@@ -1,13 +1,195 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.metrics._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query reads the driver-generated parquet tables under `dir`
+  * (TESTDATA.md), computes one operator from SURVEY.md §2's inventory, and has a
+  * DuckDB-equivalent oracle in [[oracleSql]] with identical column names, rounding
+  * (6 decimals on floating-point outputs) and ORDER BY, so the driver's hash compare
+  * is deterministic.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    qNovelty(spark, "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------------------
+  // Shared input shapes (each mirrored 1:1 in the oracle SQL CTEs)
+  // ---------------------------------------------------------------------------
+
+  /** "Sales" interactions: (user_id, item_id) from finalized orders. */
+  private def sales(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+  }
+
+  /** "Recommendations": (user_id, item_id) from urgent orders — overlaps sales but
+    * includes items absent from it, exercising novelty's left-join null semantics
+    * (SURVEY.md §2.4.2).
+    */
+  private def recommendations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
+    val l = Tables.lineitem(spark, dir)
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+  }
+
+  private val salesSql =
+    """sales AS (SELECT o_custkey AS user_id, l_partkey AS item_id
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F')""".stripMargin
+  private val recsSql =
+    """recs AS (SELECT o_custkey AS user_id, l_partkey AS item_id
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |  WHERE o_orderpriority = '1-URGENT')""".stripMargin
+
+  // ---------------------------------------------------------------------------
+  // Queries (SURVEY.md §2.1 P1-P8)
+  // ---------------------------------------------------------------------------
+
+  /** P1 long_tail_plot → data-out long-tail distribution over lineitem part volume. */
+  def qLongTail(spark: SparkSession, dir: String): DataFrame =
+    LongTail.longTailDF(Tables.lineitem(spark, dir), "l_partkey", headPct = 0.5)
+      .withColumnRenamed("rank", "item_rank")
+      .withColumn("pct_of_total", round(col("pct_of_total"), 6))
+      .orderBy(col("item_rank"))
+
+  /** P2 coverage: distinct returned-flagged lineitem parts vs the part catalog. */
+  def qCoverage(spark: SparkSession, dir: String): DataFrame =
+    Coverage.coverageDF(
+      Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R"),
+      Tables.part(spark, dir), "l_partkey", "p_partkey")
+
+  /** P5 novelty: per-user mean self-information of recommended items. */
+  def qNovelty(spark: SparkSession, dir: String): DataFrame =
+    Novelty.perUserMsi(sales(spark, dir), recommendations(spark, dir),
+        u = None, colUser = "user_id", colItem = "item_id")
+      .select(col("user_id"), round(col("msi"), 6).as("msi"))
+      .orderBy(col("user_id"))
+
+  /** P5 novelty, scalar form: mean msi over users (reference returns this first). */
+  def qNoveltyMean(spark: SparkSession, dir: String): DataFrame =
+    Novelty.perUserMsi(sales(spark, dir), recommendations(spark, dir),
+        u = None, colUser = "user_id", colItem = "item_id")
+      .agg(count(lit(1)).as("n_users"), round(avg(col("msi")), 6).as("mean_msi"))
+
+  /** P6 personalization over one nation's customers (all-pairs cosine is O(users²);
+    * the unbounded path is [[Personalization.personalizationDimsum]] — SURVEY.md §7.4).
+    */
+  def qPersonalization(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_nationkey") === 1)
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
+    Personalization.personalizationDF(df, "user_id", "item_id")
+  }
+
+  /** P8 intra-list similarity: per customer, cosine similarity among their purchased
+    * parts represented as brand×quantity vectors.
+    */
+  def qIntraList(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
+        col("p_brand").as("feature"), col("l_quantity").as("value"))
+    IntraList.intraListSimilarity(src, "user_id", "item_id", "feature", "value")
+      .select(col("user_id"), col("n_items"), round(col("ils"), 6).as("ils"))
+      .orderBy(col("user_id"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_long_tail" -> (qLongTail _),
+    "q_coverage" -> (qCoverage _),
+    "q_novelty" -> (qNovelty _),
+    "q_novelty_mean" -> (qNoveltyMean _),
+    "q_personalization" -> (qPersonalization _),
+    "q_intra_list" -> (qIntraList _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_long_tail" ->
+      """WITH v AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem GROUP BY 1),
+        |w AS (SELECT l_partkey, volume,
+        |  ROW_NUMBER() OVER (ORDER BY volume DESC, l_partkey) AS item_rank,
+        |  SUM(volume) OVER (ORDER BY volume DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_volume,
+        |  SUM(volume) OVER () AS total FROM v)
+        |SELECT l_partkey, volume, item_rank, cum_volume,
+        |  ROUND(cum_volume * 1.0 / total, 6) AS pct_of_total,
+        |  cum_volume * 1.0 / total <= 0.5 AS is_head
+        |FROM w ORDER BY item_rank""".stripMargin,
+    "q_coverage" ->
+      """SELECT n_recommended, n_catalog,
+        |  ROUND(n_recommended * 1.0 / n_catalog, 6) AS coverage
+        |FROM (SELECT COUNT(DISTINCT l_partkey) AS n_recommended
+        |      FROM lineitem WHERE l_returnflag = 'R')
+        |CROSS JOIN (SELECT COUNT(DISTINCT p_partkey) AS n_catalog FROM part)""".stripMargin,
+    "q_novelty" ->
+      s"""WITH $salesSql,
+        |$recsSql,
+        |pop AS (SELECT item_id, COUNT(*) AS pop_count FROM sales GROUP BY 1),
+        |uu AS (SELECT COUNT(DISTINCT user_id) AS u FROM sales),
+        |j AS (SELECT r.user_id, -log2(p.pop_count * 1.0 / (SELECT u FROM uu)) AS lg
+        |      FROM recs r LEFT JOIN pop p ON r.item_id = p.item_id)
+        |SELECT user_id, ROUND(SUM(lg) / COUNT(*), 6) AS msi
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_novelty_mean" ->
+      s"""WITH $salesSql,
+        |$recsSql,
+        |pop AS (SELECT item_id, COUNT(*) AS pop_count FROM sales GROUP BY 1),
+        |uu AS (SELECT COUNT(DISTINCT user_id) AS u FROM sales),
+        |j AS (SELECT r.user_id, -log2(p.pop_count * 1.0 / (SELECT u FROM uu)) AS lg
+        |      FROM recs r LEFT JOIN pop p ON r.item_id = p.item_id),
+        |m AS (SELECT user_id, SUM(lg) / COUNT(*) AS msi FROM j GROUP BY 1)
+        |SELECT COUNT(*) AS n_users, ROUND(AVG(msi), 6) AS mean_msi FROM m""".stripMargin,
+    "q_personalization" ->
+      """WITH dfp AS (SELECT o_custkey AS user_id, l_partkey AS item_id
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN customer ON o_custkey = c_custkey WHERE c_nationkey = 1),
+        |c AS (SELECT user_id, item_id, COUNT(*) * 1.0 AS v FROM dfp GROUP BY 1, 2),
+        |n AS (SELECT user_id, SQRT(SUM(v * v)) AS nrm FROM c GROUP BY 1),
+        |d AS (SELECT a.user_id AS u1, b.user_id AS u2, SUM(a.v * b.v) AS dot
+        |      FROM c a JOIN c b ON a.item_id = b.item_id AND a.user_id < b.user_id
+        |      GROUP BY 1, 2),
+        |s AS (SELECT COALESCE(SUM(dot / (n1.nrm * n2.nrm)), 0) AS sum_sim
+        |      FROM d JOIN n n1 ON d.u1 = n1.user_id JOIN n n2 ON d.u2 = n2.user_id),
+        |nu AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM dfp)
+        |SELECT n_users,
+        |  ROUND(1 - 2 * sum_sim / (n_users * (n_users - 1)), 6) AS personalization
+        |FROM nu CROSS JOIN s""".stripMargin,
+    "q_intra_list" ->
+      """WITH src AS (SELECT o_custkey AS user_id, l_partkey AS item_id,
+        |    p_brand AS feature, l_quantity AS value
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |  JOIN part ON l_partkey = p_partkey),
+        |f AS (SELECT user_id, item_id, feature, AVG(value) AS v FROM src GROUP BY 1, 2, 3),
+        |n AS (SELECT user_id, item_id, SQRT(SUM(v * v)) AS nrm FROM f GROUP BY 1, 2),
+        |ni AS (SELECT user_id, COUNT(*) AS n_items FROM n GROUP BY 1),
+        |p AS (SELECT a.user_id, a.item_id AS i1, b.item_id AS i2, SUM(a.v * b.v) AS dot
+        |      FROM f a JOIN f b ON a.user_id = b.user_id AND a.feature = b.feature
+        |        AND a.item_id < b.item_id
+        |      GROUP BY 1, 2, 3),
+        |s AS (SELECT p.user_id, SUM(dot / (n1.nrm * n2.nrm)) AS sum_sim FROM p
+        |      JOIN n n1 ON p.user_id = n1.user_id AND p.i1 = n1.item_id
+        |      JOIN n n2 ON p.user_id = n2.user_id AND p.i2 = n2.item_id
+        |      GROUP BY 1)
+        |SELECT ni.user_id, ni.n_items,
+        |  ROUND(COALESCE(sum_sim, 0) / (n_items * (n_items - 1) / 2.0), 6) AS ils
+        |FROM ni LEFT JOIN s ON ni.user_id = s.user_id
+        |WHERE n_items >= 2 ORDER BY 1""".stripMargin
+  )
 }

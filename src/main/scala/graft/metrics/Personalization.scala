@@ -1,0 +1,96 @@
+package graft.metrics
+
+import org.apache.spark.mllib.linalg.distributed.{CoordinateMatrix, MatrixEntry}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Personalization — 1 − mean pairwise cosine similarity between users' item-count
+  * vectors (how dissimilar users' recommendation lists are from each other).
+  *
+  * Reference: `personalization` (/root/reference/recmetrics_pyspark/recmetrics_pyspark.py:300-412).
+  * The reference pivots to a user×item count matrix (`pivot().sum(lit(1))`, :337-342 —
+  * note: counts, NOT clamped to binary; duplicate (user,item) rows raise the entry,
+  * SURVEY.md §2.4.4) and computes the user-user cosine Gram three equivalent ways; the
+  * default v2 uses DIMSUM `columnSimilarities()` (:403-409). Result
+  * `= 1 − 2·Σ_upper / (n(n−1))` (:408-409); golden value `0.666666666666667` for the
+  * 3-user doctest (:320-333).
+  *
+  * Our primary implementation never pivots (pivot explodes columns at scale —
+  * SURVEY.md §7.4): the pairwise dot products come from a self-join on the item key in
+  * long format, so the plan stays fully inside Catalyst, shuffles scale with the number
+  * of item co-occurrences (not users²), and the result is SQL-oracle-checkable. The
+  * MLlib DIMSUM path is kept as the differential-test partner and the
+  * sampling-threshold escape hatch for extreme scale.
+  */
+object Personalization {
+
+  /** Pairwise user-user cosine similarities over shared items, long format.
+    * Output: (u1, u2, sim) with u1 < u2 — only pairs with at least one shared item
+    * (absent pairs have cosine 0).
+    */
+  def pairwiseCosine(df: DataFrame, colUser: String, colItem: String): DataFrame = {
+    val c = df.groupBy(col(colUser), col(colItem))
+      .agg(count(lit(1)).cast("double").as("v"))
+    val norms = c.groupBy(col(colUser))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val a = c.select(col(colUser).as("u1"), col(colItem).as("i"), col("v").as("va"))
+    val b = c.select(col(colUser).as("u2"), col(colItem).as("i"), col("v").as("vb"))
+    a.join(b, a("i") === b("i") && a("u1") < b("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(norms.select(col(colUser).as("u1"), col("nrm").as("n1")), Seq("u1"))
+      .join(norms.select(col(colUser).as("u2"), col("nrm").as("n2")), Seq("u2"))
+      .select(col("u1"), col("u2"), (col("dot") / (col("n1") * col("n2"))).as("sim"))
+  }
+
+  /** Scalar personalization via the Catalyst-native self-join path. */
+  def personalization(df: DataFrame, colUser: String, colItem: String): Double = {
+    val cached = df.select(col(colUser), col(colItem)).cache()
+    try {
+      val n = cached.select(col(colUser)).distinct().count()
+      if (n < 2) return 0.0
+      val sumSim = pairwiseCosine(cached, colUser, colItem)
+        .agg(coalesce(sum(col("sim")), lit(0.0))).first().getDouble(0)
+      1.0 - 2.0 * sumSim / (n.toDouble * (n - 1))
+    } finally { cached.unpersist(); () }
+  }
+
+  /** One-row DataFrame form (n_users, personalization) for the oracle. */
+  def personalizationDF(df: DataFrame, colUser: String, colItem: String): DataFrame = {
+    val pairs = pairwiseCosine(df, colUser, colItem)
+      .agg(coalesce(sum(col("sim")), lit(0.0)).as("sum_sim"))
+    val n = df.agg(countDistinct(col(colUser)).as("n_users"))
+    n.crossJoin(pairs).select(
+      col("n_users"),
+      round(lit(1.0) - lit(2.0) * col("sum_sim") / (col("n_users") * (col("n_users") - lit(1))), 6)
+        .as("personalization"))
+  }
+
+  /** MLlib DIMSUM path, mirroring the reference's v2 (:388-409): items as matrix rows,
+    * users as columns, `columnSimilarities()` (threshold 0 → exact all pairs). Used in
+    * differential tests against [[personalization]]; at extreme scale a positive
+    * threshold trades exactness for sampling (DIMSUM, Zadeh & Carlsson 2013).
+    */
+  def personalizationDimsum(df: DataFrame, colUser: String, colItem: String,
+                            threshold: Double = 0.0): Double = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(colUser), col(colItem))
+      .agg(count(lit(1)).cast("double").as("v")).cache()
+    try {
+      val users = counts.select(col(colUser)).distinct().rdd.map(_.get(0))
+        .zipWithIndex().collectAsMap()
+      val n = users.size
+      if (n < 2) return 0.0
+      val bcUsers = spark.sparkContext.broadcast(users)
+      val items = counts.select(col(colItem)).distinct().rdd.map(_.get(0))
+        .zipWithIndex().collectAsMap()
+      val bcItems = spark.sparkContext.broadcast(items)
+      val entries = counts.rdd.map { r =>
+        MatrixEntry(bcItems.value(r.get(1)), bcUsers.value(r.get(0)), r.getDouble(2))
+      }
+      val mat = new CoordinateMatrix(entries, items.size.toLong, n.toLong).toRowMatrix()
+      val sumSim = mat.columnSimilarities(threshold).entries.map(_.value).sum()
+      1.0 - 2.0 * sumSim / (n.toDouble * (n - 1))
+    } finally { counts.unpersist(); () }
+  }
+}

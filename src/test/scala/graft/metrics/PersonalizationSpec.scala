@@ -1,0 +1,50 @@
+package graft.metrics
+
+import graft.SparkTestBase
+
+class PersonalizationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // Reference doctest fixture (recmetrics_pyspark.py:320-333)
+  private def doctestDf = Seq((1, 1), (1, 2), (2, 2), (2, 1), (3, 3), (3, 4))
+    .toDF("cod_pessoa", "cod_ean")
+
+  test("doctest golden value 0.666666666666667") {
+    val p = Personalization.personalization(doctestDf, "cod_pessoa", "cod_ean")
+    assert(approx(p, 0.666666666666667, 1e-12), s"got $p")
+  }
+
+  test("DIMSUM path agrees with the self-join path (differential, §5)") {
+    val df = doctestDf
+    val a = Personalization.personalization(df, "cod_pessoa", "cod_ean")
+    val b = Personalization.personalizationDimsum(df, "cod_pessoa", "cod_ean")
+    assert(approx(a, b), s"self-join $a vs dimsum $b")
+  }
+
+  test("identical lists → 0, disjoint lists → 1") {
+    val same = Seq((1, 10), (1, 20), (2, 10), (2, 20)).toDF("u", "i")
+    assert(approx(Personalization.personalization(same, "u", "i"), 0.0))
+    val disjoint = Seq((1, 10), (1, 20), (2, 30), (2, 40)).toDF("u", "i")
+    assert(approx(Personalization.personalization(disjoint, "u", "i"), 1.0))
+  }
+
+  test("duplicate (user,item) rows are counted, not binarized (§2.4.4)") {
+    // u1 = (2,1) over items {a,b}; u2 = (1,1): cos = 3/(sqrt(5)*sqrt(2))
+    val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")).toDF("u", "i")
+    val expectedSim = 3.0 / (math.sqrt(5) * math.sqrt(2))
+    val p = Personalization.personalization(df, "u", "i")
+    assert(approx(p, 1.0 - expectedSim, 1e-12), s"got $p")
+    val d = Personalization.personalizationDimsum(df, "u", "i")
+    assert(approx(d, 1.0 - expectedSim, 1e-9), s"dimsum got $d")
+  }
+
+  test("larger random-ish differential check") {
+    val rows = for (u <- 1 to 30; i <- 1 to 40 if (u * 7 + i * 13) % 5 < 2)
+      yield (u, i)
+    val df = rows.toDF("u", "i")
+    val a = Personalization.personalization(df, "u", "i")
+    val b = Personalization.personalizationDimsum(df, "u", "i")
+    assert(approx(a, b, 1e-8), s"self-join $a vs dimsum $b")
+    assert(a >= 0.0 && a <= 1.0)
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables as DuckDB
+views, runs each oracle SQL, and compares against the Spark parquet dump
+(<verifyOutDir>/<name>/). Columns are sorted by name before comparing (driver
+contract); rows compared in order and, if that fails, as sorted multisets.
+"""
+import json
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(f"{out_dir}/oracle_sql.json") as f:
+        oracle = json.load(f)
+    failures = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            exp = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: spark output unreadable: {e}")
+            failures += 1
+            continue
+        e_cols = sorted(exp.column_names)
+        g_cols = sorted(got.column_names)
+        if e_cols != g_cols:
+            print(f"FAIL {name}: columns differ: oracle={e_cols} spark={g_cols}")
+            failures += 1
+            continue
+        er = [tuple(str(r[c]) for c in e_cols) for r in exp.to_pylist()]
+        gr = [tuple(str(r[c]) for c in e_cols) for r in got.to_pylist()]
+        if er == gr:
+            print(f"PASS {name} ({len(er)} rows)")
+        elif sorted(er) == sorted(gr):
+            print(f"PASS* {name} ({len(er)} rows; row order differs)")
+        else:
+            print(f"FAIL {name}: rows differ (oracle {len(er)} vs spark {len(gr)})")
+            diff = [(a, b) for a, b in zip(er, gr) if a != b][:3]
+            for a, b in diff:
+                print(f"  oracle: {a}\n  spark : {b}")
+            only_e = set(er) - set(gr)
+            only_g = set(gr) - set(er)
+            for x in list(only_e)[:3]:
+                print(f"  only-oracle: {x}")
+            for x in list(only_g)[:3]:
+                print(f"  only-spark : {x}")
+            failures += 1
+    return failures
+
+
+if __name__ == "__main__":
+    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
