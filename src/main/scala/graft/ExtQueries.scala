@@ -1,0 +1,354 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext._
+
+/** Extension queries (training-data-pipeline operators) + their DuckDB oracles.
+  * Merged into [[SparkEntry.queries]] / [[SparkEntry.oracleSql]].
+  *
+  * SQL-generation note: the MinHash/SimHash/embedding-LSH oracles are generated
+  * programmatically from the SAME constants the Scala operators use
+  * ([[Dedup.minhashA]] etc.), so Spark and DuckDB run literally the same hash
+  * arithmetic (md5-prefix integers — portable across both engines).
+  */
+object ExtQueries {
+
+  // -------------------------------------------------------------------------
+  // Dedup
+  // -------------------------------------------------------------------------
+
+  def qDedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val dedupExactSql: String =
+    """WITH g AS (SELECT md5(text) AS h, MIN(doc_id) AS canonical_id,
+      |    COUNT(*) AS group_size FROM documents GROUP BY 1)
+      |SELECT doc_id, canonical_id, group_size
+      |FROM documents JOIN g ON md5(text) = g.h ORDER BY doc_id""".stripMargin
+
+  /** Shared shingle CTE (word 3-grams, distinct per doc). */
+  private val shinglesSql =
+    """sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(l) - 2, 1)),
+      |    i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)))""".stripMargin
+
+  def qDedupJaccard(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupJaccardSql: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ROUND(n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared), 6) AS jaccard
+      |FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  private val numHashes = 16
+  private val rowsPerBand = 4
+  private val numBands = numHashes / rowsPerBand
+
+  def qDedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupMinhashSql: String = {
+    val mh = (0 until numHashes).map { j =>
+      s"MIN((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j"
+    }.mkString(",\n      ")
+    val bandRows = (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH $shinglesSql,
+      |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+      |sig AS (SELECT doc_id,
+      |      $mh
+      |      FROM hh GROUP BY doc_id),
+      |banded AS ($bandRows),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |      FROM banded x JOIN banded y
+      |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_shared
+      |      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+      |      JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh GROUP BY 1, 2),
+      |j AS (SELECT c.id_a, c.id_b,
+      |      COALESCE(s.n_shared, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(s.n_shared, 0)) AS jaccard
+      |      FROM cand c LEFT JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
+      |      JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
+      |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM j
+      |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val dedupSimhashSql: String = {
+    val bitSums = (0 until 32).map { j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_$j"
+    }.mkString(",\n      ")
+    val sig = (0 until 32).map { j =>
+      s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |hh AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
+      |s AS (SELECT doc_id,
+      |      $bitSums
+      |      FROM hh GROUP BY doc_id)
+      |SELECT doc_id, $sig AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        numPlanes = 8, threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEmbedSql: String = {
+    val planes = (0 until 8).map { p =>
+      val signs = (0 until 64).map(i => SimSearch.planeSign(i, p)).mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
+         |        i -> embedding[i]::DOUBLE * ($signs)[i])) > 0
+         |      THEN ${1L << p} ELSE 0 END""".stripMargin
+    }.mkString(" +\n      ")
+    s"""WITH b AS (SELECT vec_id, embedding,
+      |      $planes AS bucket,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |    FROM embeddings),
+      |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |      list_sum(list_transform(generate_series(1, 64),
+      |        i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      |        / (x.nrm * y.nrm) AS cosine
+      |      FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+      |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p
+      |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // Similarity search
+  // -------------------------------------------------------------------------
+
+  def qSimsearchTopk(spark: SparkSession, dir: String): DataFrame =
+    SimSearch.topKForId(Tables.embeddings(spark, dir), "vec_id", "embedding",
+        queryId = 0L, k = 10)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+
+  val simsearchTopkSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |s AS (SELECT e.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))) AS cos_raw
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+      |SELECT vec_id, ROUND(cos_raw, 6) AS cosine FROM s
+      |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Text analysis
+  // -------------------------------------------------------------------------
+
+  def qTextStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.qualityDF(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val stopRegexes = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+    .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
+  private val stopCountSql = stopRegexes.mkString("(", " + ", ")")
+
+  val textStatsSql: String =
+    s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens,
+      |    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+      |    $stopCountSql AS stop FROM documents)
+      |SELECT doc_id, n_chars, n_tokens,
+      |  ROUND((n_chars - n_tokens + 1) * 1.0 / n_tokens, 6) AS avg_token_len,
+      |  ROUND(alpha_chars * 1.0 / n_chars, 6) AS alpha_ratio,
+      |  ROUND(stop * 1.0 / n_tokens, 6) AS stopword_ratio,
+      |  ROUND(CASE WHEN n_tokens BETWEEN 5 AND 100000 THEN 0.4 ELSE 0.0 END
+      |    + 0.3 * (alpha_chars * 1.0 / n_chars)
+      |    + 0.3 * least(1.0, stop * 10.0 / n_tokens), 6) AS quality_score
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  def qLangId(spark: SparkSession, dir: String): DataFrame =
+    TextStats.langIdDF(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val langIdSql: String =
+    s"""WITH t AS (SELECT doc_id,
+      |    $stopCountSql AS stopword_hits,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      |  FROM documents)
+      |SELECT doc_id, stopword_hits, n_tokens,
+      |  CASE WHEN stopword_hits * 25 >= n_tokens * 2 THEN 'en'
+      |       WHEN stopword_hits > 0 THEN 'en-maybe' ELSE 'unk' END AS lang_pred
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    d.select(col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+        TextStats.regexTokenCount(col("text")).cast("long").as("regex_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN length(trim(text)) = 0 THEN 0
+      |       ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS ws_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS regex_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def qFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Event-time operators
+  // -------------------------------------------------------------------------
+
+  def qEventHourly(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.hourlyStats(Tables.events(spark, dir))
+      .orderBy(col("window_start"), col("event_type"))
+
+  val eventHourlySql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qSessionize(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.sessionize(Tables.events(spark, dir), gapMinutes = 30)
+      .orderBy(col("user_id"), col("session_id"))
+
+  val sessionizeSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+      |f AS (SELECT user_id, ms,
+      |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT user_id, ms,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM f)
+      |SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS duration_ms
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qEventProps(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.propsStats(Tables.events(spark, dir))
+      .orderBy(col("event_type"))
+
+  val eventPropsSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |  ROUND(AVG(k), 6) AS avg_k, MAX(k) AS max_k
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Classic analytics (bench headliners)
+  // -------------------------------------------------------------------------
+
+  def qPricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 6).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 6) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  def qBrandRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  val brandRevenueSql: String =
+    """SELECT p_brand,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (qDedupExact _),
+    "q_dedup_jaccard" -> (qDedupJaccard _),
+    "q_dedup_minhash" -> (qDedupMinhash _),
+    "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dedup_embed" -> (qDedupEmbed _),
+    "q_simsearch_topk" -> (qSimsearchTopk _),
+    "q_text_stats" -> (qTextStats _),
+    "q_lang_id" -> (qLangId _),
+    "q_token_count" -> (qTokenCount _),
+    "q_fingerprint" -> (qFingerprint _),
+    "q_event_hourly" -> (qEventHourly _),
+    "q_sessionize" -> (qSessionize _),
+    "q_event_props" -> (qEventProps _),
+    "q_pricing_summary" -> (qPricingSummary _),
+    "q_brand_revenue" -> (qBrandRevenue _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_jaccard" -> dedupJaccardSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_embed" -> dedupEmbedSql,
+    "q_simsearch_topk" -> simsearchTopkSql,
+    "q_text_stats" -> textStatsSql,
+    "q_lang_id" -> langIdSql,
+    "q_token_count" -> tokenCountSql,
+    "q_fingerprint" -> fingerprintSql,
+    "q_event_hourly" -> eventHourlySql,
+    "q_sessionize" -> sessionizeSql,
+    "q_event_props" -> eventPropsSql,
+    "q_pricing_summary" -> pricingSummarySql,
+    "q_brand_revenue" -> brandRevenueSql
+  )
+}

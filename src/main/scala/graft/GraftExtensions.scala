@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+
+import graft.functions.FloatVecDot
+
+/** SparkSessionExtensions entry point: make graft's native expressions available as
+  * SQL functions. Wire with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` at session build, or
+  * call [[GraftExtensions.register]] on a live session.
+  *
+  * {{{ SELECT float_vec_dot(embedding, other_embedding) FROM t }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_vec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
+      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+  }
+}
+
+object GraftExtensions {
+  /** Late registration on an existing session (tests, notebooks). */
+  def register(spark: SparkSession): Unit =
+    ColumnBridge.registerTempFunction(spark, "float_vec_dot",
+      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+}

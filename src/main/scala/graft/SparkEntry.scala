@@ -107,7 +107,9 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (+ north-star extensions
+    * from [[ExtQueries]]).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_long_tail" -> (qLongTail _),
     "q_coverage" -> (qCoverage _),
@@ -115,7 +117,7 @@ object SparkEntry {
     "q_novelty_mean" -> (qNoveltyMean _),
     "q_personalization" -> (qPersonalization _),
     "q_intra_list" -> (qIntraList _)
-  )
+  ) ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -191,5 +193,5 @@ object SparkEntry {
         |  ROUND(COALESCE(sum_sim, 0) / (n_items * (n_items - 1) / 2.0), 6) AS ils
         |FROM ni LEFT JOIN s ON ni.user_id = s.user_id
         |WHERE n_items >= 2 ORDER BY 1""".stripMargin
-  )
+  ) ++ ExtQueries.oracleSql
 }

@@ -1,0 +1,185 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact (hash-group),
+  * n-gram Jaccard, MinHash+LSH, SimHash — north-star extensions beyond the reference.
+  *
+  * Every hash here is derived from md5 so the DuckDB oracle can replay it exactly
+  * (`conv(substring(md5(x),1,n),16,10)` ⇔ `('0x'||substr(md5(x),1,n))::BIGINT`).
+  * All operators stay in long format — shingles/signatures explode to rows, candidate
+  * generation is an equi-join on a bucket key (never an all-pairs cross join), so the
+  * shuffle volume scales with corpus size × shingles, not documents².
+  */
+object Dedup {
+
+  /** 32-bit portable token hash (md5-prefix). */
+  def tokenHash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** Exact dedup: canonical id (min) per identical text. Output:
+    * (id, canonical_id, group_size) — rows whose id != canonical_id are the drops.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
+    df.select(col(idCol), md5(col(textCol)).as("text_md5"))
+      .join(groups, "text_md5")
+      .select(col(idCol), col("canonical_id"), col("group_size"))
+  }
+
+  /** Word k-gram shingles, long format: (id, shingle), distinct per doc. */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    val toks = split(col(textCol), " ")
+    // greatest(..., 1): a doc shorter than k tokens yields one (partial) shingle —
+    // and keeps sequence() ascending (Spark's sequence(1, 0) would COUNT DOWN).
+    val sh = transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    df.select(col(idCol), explode(sh).as("shingle")).distinct()
+  }
+
+  /** Pairwise shingle-Jaccard near-dup detection. Output: (id_a, id_b, jaccard) for
+    * pairs with jaccard ≥ threshold, id_a < id_b. Candidate pairs come from the
+    * shingle equi-join (docs sharing ≥1 shingle); prefer [[minhashLshPairs]] when the
+    * co-occurrence join itself gets hot (very common shingles).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  // MinHash constants: h_j(x) = (A(j)*x + B(j)) mod P over 32-bit token hashes.
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+  def minhashA(j: Int): Long = 2L * j + 3
+  def minhashB(j: Int): Long = 1000003L * (j + 1)
+
+  /** MinHash signatures: one column mh_j per hash function (numHashes columns).
+    * min over the doc's shingles of (A_j·h32(shingle) + B_j) mod P.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+      .withColumn("h", tokenHash32(col("shingle")))
+    val aggs = (0 until numHashes).map { j =>
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(MinhashPrime))
+        .as(s"mh_$j")
+    }
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures are split into bands of `rowsPerBand`; docs
+    * sharing any band key become candidates; candidates are verified with the exact
+    * shingle Jaccard. Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    // band key: (band index, md5 of the band's signature slice)
+    val bandCols = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    val candidates = x.join(y, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+
+    val sh = shingles(df, idCol, textCol, k).cache()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val shared = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(candidates, Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    candidates.join(shared, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_shared"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of
+    * the signature is 1 iff Σ_tokens tf·(bit_j(h32(token)) ? +1 : −1) > 0.
+    * 32-bit signature (from the 32-bit portable hash). Output: (id, simhash).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .withColumn("h", tokenHash32(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1, col("tf"))
+        .otherwise(-col("tf"))).as(s"s_$j")
+    }
+    val sums = tok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"s_$j") > 0, lit(1L) * lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    sums.select(col(idCol), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: pairs whose signatures match on at least one of the
+    * four 8-bit bands (hamming-distance-bounded blocking), verified by exact hamming
+    * distance ≤ maxHamming. Output: (id_a, id_b, hamming).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(df, idCol, textCol).cache()
+    val bands = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+    }
+    val banded = sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+    val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
+    val cand = x.join(y, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val withSig = cand
+      .join(sig.select(col(idCol).as("id_a"), col("simhash").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col(idCol).as("id_b"), col("simhash").as("sig_b")), Seq("id_b"))
+    withSig.select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Near-dup detection over an embedding column via sign-LSH bucketing + in-bucket
+    * cosine. Deterministic hyperplanes: plane p's coefficient for dimension i is
+    * +1/−1 from bit (i+p) of a fixed pattern — portable to SQL. Output:
+    * (id_a, id_b, cosine) with cosine ≥ threshold, from same-bucket pairs only
+    * (approximate: cross-bucket near-dups are missed — that's the LSH trade).
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        numPlanes: Int = 8, threshold: Double = 0.8): DataFrame = {
+    val v = col(vecCol)
+    val bucketed = df.select(col(idCol), v,
+      SimSearch.lshBucket(v, dims = 64, numPlanes).as("bucket"),
+      sqrt(SimSearch.dot(v, v)).as("nrm"))
+    val a = bucketed.select(col(idCol).as("id_a"), v.as("va"),
+      col("bucket"), col("nrm").as("na"))
+    val b = bucketed.select(col(idCol).as("id_b"), col(vecCol).as("vb"),
+      col("bucket"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (SimSearch.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

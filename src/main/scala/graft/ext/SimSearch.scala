@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the exact baseline (one scan, no shuffle until the
+  * top-k reduction — `orderBy(...).limit(k)` is planned as TakeOrderedAndProject:
+  * per-partition heaps, only k rows per partition cross the wire). The scale path is
+  * sign-LSH bucketing ([[lshTopK]]): probe only the query's bucket ring instead of the
+  * full corpus. North-star extension (no counterpart in the reference).
+  */
+object SimSearch {
+
+  /** Deterministic ±1 hyperplane sign for (dimension i, plane p) — the single source
+    * of truth shared by the LSH operators here, [[Dedup.embeddingDupPairs]], and the
+    * generated SQL oracles in [[graft.ExtQueries]].
+    */
+  def planeSign(i: Int, p: Int): Double =
+    if (((i + p) * 2654435761L >>> 13) % 2 == 0) 1.0 else -1.0
+
+  /** Sign-LSH bucket id from `numPlanes` deterministic hyperplanes over a `dims`-dim
+    * vector column (bit p set iff plane p's dot product is positive).
+    */
+  def lshBucket(vec: Column, dims: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { p =>
+      val d = (0 until dims).map { i =>
+        element_at(vec, i + 1).cast("double") * lit(planeSign(i, p))
+      }.reduce(_ + _)
+      when(d > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Dot product of two `array<float>` columns via the native codegen expression
+    * [[graft.functions.FloatVecDot]] (double accumulator, index-ordered — identical
+    * numerics to the composable `aggregate(zip_with(...))` form, which remains
+    * available as [[dotGeneric]] for non-float arrays).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.floatDot(a, b)
+
+  /** Composable fallback for arbitrary numeric array types. */
+  def dotGeneric(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity of every row's `array<float>` vector against a constant query
+    * vector (query floats are exactly representable as the doubles used before, so
+    * results are bit-identical to the double-literal formulation).
+    */
+  def cosineToQuery(vec: Column, query: Seq[Float]): Column = {
+    val q = array(query.map(lit): _*)
+    dot(vec, q) /
+      (norm(vec) * lit(math.sqrt(query.map(x => x.toDouble * x.toDouble).sum)))
+  }
+
+  /** Exact brute-force top-k by cosine against the vector of `queryId`.
+    * Output: (id, cosine), k rows, descending.
+    */
+  def topKForId(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int): DataFrame = {
+    val qRow = df.filter(col(idCol) === queryId).select(col(vecCol)).head()
+    val q = qRow.getSeq[Float](0)
+    df.filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosineToQuery(col(vecCol), q).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs exact cosine ≥ threshold (small corpora / verification). */
+  def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double): DataFrame = {
+    val n = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("nrm"))
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("va"), col("nrm").as("na"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
+    * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
+    * candidates whose bucket is within `maxHammingProbe` of the query's bucket.
+    * Recall < 1 by design; ScalaTest checks recall vs [[topKForId]].
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, numPlanes: Int = 8,
+              maxHammingProbe: Int = 2): DataFrame = {
+    val bucketed = df
+      .withColumn("bucket", lshBucket(col(vecCol), dims = 64, numPlanes)).cache()
+    val qBucket = bucketed.filter(col(idCol) === queryId)
+      .select(col("bucket")).head().getLong(0)
+    val qVec = bucketed.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    bucketed
+      .filter(bit_count(col("bucket").bitwiseXOR(lit(qBucket))) <= maxHammingProbe)
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosineToQuery(col(vecCol), qVec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+}

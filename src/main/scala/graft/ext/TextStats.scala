@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token counting,
+  * quality scoring, language-ID heuristics, document fingerprinting.
+  *
+  * Extensions beyond the reference (north-star scope, SURVEY.md §7.2.6) — all pure
+  * codegen-friendly column expressions (no UDFs), each with a portable DuckDB
+  * formulation so the oracle can replay them 1:1.
+  */
+object TextStats {
+
+  /** Whitespace token count, portable formulation (single-space-separated corpus):
+    * `length(text) - length(replace(text, ' ', '')) + 1`.
+    */
+  def wsTokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0L))
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + lit(1))
+      .cast("long")
+
+  /** BPE-ish regex token count: runs of word chars or single non-space symbols. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Simple quality features + composite score in [0,1]. */
+  def qualityDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t)
+    val nTokens = wsTokenCount(t)
+    val alphaChars = length(regexp_replace(t, "[^A-Za-z]", ""))
+    val stop = stopwordCount(t)
+    df.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      round((nChars - nTokens + lit(1)).cast("double") / nTokens, 6).as("avg_token_len"),
+      round(alphaChars.cast("double") / nChars, 6).as("alpha_ratio"),
+      round(stop.cast("double") / nTokens, 6).as("stopword_ratio"),
+      // composite: tokens in a sane range, mostly alphabetic, some stopwords
+      round(
+        when(nTokens >= 5 && nTokens <= 100000, lit(0.4)).otherwise(lit(0.0))
+          + lit(0.3) * (alphaChars.cast("double") / nChars)
+          + lit(0.3) * least(lit(1.0), stop.cast("double") * 10.0 / nTokens),
+        6).as("quality_score"))
+  }
+
+  private val enStopwords = Seq("the", "and", "of", "to", "a", "in", "is", "it")
+
+  /** Count of English stopword occurrences (word-bounded). */
+  def stopwordCount(text: Column): Column =
+    enStopwords.map(w => regexp_count(text, lit(s"\\b$w\\b")))
+      .reduce(_ + _)
+
+  /** Heuristic language ID: English stopword density vs text length. With no real
+    * multilingual signal in the corpus this is a deterministic rule, identical in the
+    * oracle: ≥2 stopword hits per 25 tokens → 'en', any hits → 'en-maybe', else 'unk'.
+    */
+  def langIdDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hits = stopwordCount(col(textCol))
+    val tokens = wsTokenCount(col(textCol))
+    df.select(col(idCol), hits.as("stopword_hits"), tokens.as("n_tokens"),
+      when(hits * 25 >= tokens * 2, lit("en"))
+        .when(hits > 0, lit("en-maybe"))
+        .otherwise(lit("unk")).as("lang_pred"))
+  }
+
+  /** Content fingerprint: md5 of the normalized text (lower-cased, whitespace
+    * collapsed) — the exact-dedup key that survives formatting noise.
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rabin-Karp rolling-hash winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    * k-gram rolling hashes over the normalized char stream, minimum per window.
+    * Driver-free, but not SQL-expressible — covered by ScalaTest, not the oracle.
+    * Returns (id, array<long> fingerprints).
+    */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 8, window: Int = 4): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idIdx = 0
+    df.select(col(idCol).cast("long"), fingerprintNormalize(col(textCol)))
+      .map { r =>
+        val id = r.getLong(idIdx)
+        val s = r.getString(1)
+        (id, winnow(s, k, window))
+      }.toDF(idCol, "fingerprints")
+  }
+
+  private def fingerprintNormalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Pure-Scala winnowing over one string (used per-row inside the Dataset map). */
+  private[ext] def winnow(s: String, k: Int, window: Int): Array[Long] = {
+    if (s.length < k) return Array.empty
+    val B = 257L; val M = 1000000007L
+    var pow = 1L; (1 until k).foreach(_ => pow = pow * B % M)
+    val hashes = new Array[Long](s.length - k + 1)
+    var h = 0L
+    (0 until k).foreach(i => h = (h * B + s.charAt(i)) % M)
+    hashes(0) = h
+    var i = k
+    while (i < s.length) {
+      h = ((h - s.charAt(i - k) * pow % M + M * 257) % M * B + s.charAt(i)) % M
+      hashes(i - k + 1) = h
+      i += 1
+    }
+    if (hashes.length <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var j = 0
+    while (j + window <= hashes.length) {
+      val m = hashes.slice(j, j + window).min
+      if (out.isEmpty || out.last != m) out += m
+      j += 1
+    }
+    out.toArray
+  }
+}

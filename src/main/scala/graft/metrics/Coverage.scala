@@ -21,6 +21,20 @@ object Coverage {
     r.toDouble / c
   }
 
+  /** HLL-sketch variant for extreme-cardinality catalogs: no exact-distinct shuffle,
+    * each side reduces to a sketch merge (SCALE.md). `rsd` = relative standard
+    * deviation of the estimate.
+    */
+  def approxCoverage(dfRecommendations: DataFrame, dfCatalog: DataFrame,
+                     recItemCol: String, catalogItemCol: String,
+                     rsd: Double = 0.01): Double = {
+    val r = dfRecommendations.agg(approx_count_distinct(col(recItemCol), rsd))
+      .first().getLong(0)
+    val c = dfCatalog.agg(approx_count_distinct(col(catalogItemCol), rsd))
+      .first().getLong(0)
+    r.toDouble / c
+  }
+
   /** One-row DataFrame form (n_recommended, n_catalog, coverage) for the oracle. */
   def coverageDF(dfRecommendations: DataFrame, dfCatalog: DataFrame,
                  recItemCol: String, catalogItemCol: String): DataFrame = {

@@ -29,8 +29,10 @@ object Personalization {
     * (absent pairs have cosine 0).
     */
   def pairwiseCosine(df: DataFrame, colUser: String, colItem: String): DataFrame = {
+    // cache(): c feeds both sides of the self-join and the norms aggregate
     val c = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v"))
+      .cache()
     val norms = c.groupBy(col(colUser))
       .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
     val a = c.select(col(colUser).as("u1"), col(colItem).as("i"), col("v").as("va"))

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming variants of the event-time operators in
+  * [[graft.ext.EventWindows]]. The reference has no streaming semantics
+  * (SURVEY.md §2.3 "Streaming: Absent") — these are north-star extensions showing the
+  * same aggregations as incremental, watermark-bounded streams.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour windowed counts/sums per event type with a watermark bounding
+    * state. Works on any streaming DataFrame with (ts timestamp, event_type string,
+    * value double).
+    */
+  def hourlyStats(stream: DataFrame, watermark: String = "2 hours"): DataFrame =
+    stream
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+                              n_events: Long, sum_value: Double)
+
+  /** Gap-based streaming sessionization via flatMapGroupsWithState: a user's session
+    * closes (and emits one row) when a later event arrives more than `gapMs` after
+    * the session's last event. State per user is O(1) — counts and bounds, not the
+    * events themselves. NoTimeout keeps micro-batch scheduling purely data-driven;
+    * for wall-clock session expiry add an event-time timeout + watermark in the
+    * deployment pipeline.
+    */
+  def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+}

@@ -11,7 +11,9 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
     .appName(getClass.getSimpleName)
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   override def beforeAll(): Unit = {

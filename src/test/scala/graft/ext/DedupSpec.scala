@@ -1,0 +1,82 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+  private val nearDup = base.replace("today", "tonight") // one token differs
+  private def docs = Seq(
+    (1L, base), (2L, base), // exact dups
+    (3L, nearDup), // near dup of 1/2
+    (4L, "completely different words about spark query engines and data processing"),
+    (5L, "another unrelated document mentioning neither foxes nor dogs at all whatsoever")
+  ).toDF("doc_id", "text")
+
+  test("exactDedup maps duplicates to the canonical (min) id") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == (1L, 2L) && out(2L) == (1L, 2L))
+    assert(out(3L) == (3L, 1L) && out(4L) == (4L, 1L))
+  }
+
+  test("shingles: n tokens → n-k+1 distinct k-grams") {
+    val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(one, "doc_id", "text", k = 3).collect().map(_.getString(1))
+    assert(sh.toSet == Set("a b c", "b c d", "c d e"))
+  }
+
+  test("jaccardPairs: identical docs → 1.0; near-dups high; unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(approx(pairs((1L, 2L)), 1.0))
+    assert(pairs((1L, 3L)) > 0.5 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.contains((4L, 5L)))
+  }
+
+  test("minhashLshPairs recovers the pairs exact jaccard finds at high threshold") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a candidate filter + exact verify: subset of exact, and identical
+    // docs (jaccard 1) can never be missed (identical signatures share every band)
+    assert(lsh.subsetOf(exact))
+    assert(lsh.contains((1L, 2L)))
+    assert(lsh.contains((1L, 3L)), s"near-dup missed: $lsh")
+  }
+
+  test("simhash: identical docs get identical signatures, near-dups close hamming") {
+    val sig = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    val hammingNear = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    val hammingFar = java.lang.Long.bitCount(sig(1L) ^ sig(4L))
+    assert(hammingNear < hammingFar,
+      s"near=$hammingNear far=$hammingFar sig=$sig")
+  }
+
+  test("simhashPairs finds exact and near dups within hamming bound") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("embeddingDupPairs: planted near-identical vectors are found, bucket-local") {
+    val dim = 64
+    def vec(seed: Int, jitter: Float): Seq[Float] =
+      (0 until dim).map(i => math.sin(seed * 31 + i).toFloat + (if (i == 0) jitter else 0f))
+    val df = Seq(
+      (1L, vec(1, 0f)), (2L, vec(1, 0.01f)), // near-identical pair
+      (3L, vec(7, 0f)), (4L, vec(13, 0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingDupPairs(df, "vec_id", "embedding",
+        numPlanes = 8, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.99, s"got $pairs")
+    assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+}

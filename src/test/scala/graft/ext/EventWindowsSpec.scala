@@ -1,0 +1,47 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class EventWindowsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("sessionize splits on gaps > 30 min, per user") {
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(20), 1.0), // session 1
+      (1L, ts(60), 1.0), (1L, ts(70), 1.0), // session 2 (40-min gap)
+      (2L, ts(5), 1.0) // other user, own session
+    ).toDF("user_id", "ts", "value")
+    val out = EventWindows.sessionize(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(out((1L, 1L)) == (3L, 20 * 60000L))
+    assert(out((1L, 2L)) == (2L, 10 * 60000L))
+    assert(out((2L, 1L)) == (1L, 0L))
+  }
+
+  test("hourlyStats buckets by hour and type") {
+    val h0 = new Timestamp(3600L * 1000 * 500000)
+    val df = Seq(
+      (h0, "click", 1.0), (new Timestamp(h0.getTime + 100000), "click", 2.0),
+      (new Timestamp(h0.getTime + 3600000), "click", 5.0)
+    ).toDF("ts", "event_type", "value")
+    val out = EventWindows.hourlyStats(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(3600L * 500000) == (2L, 3.0))
+    assert(out(3600L * 500001) == (1L, 5.0))
+  }
+
+  test("propsStats extracts k and aggregates; missing k → null-skipped") {
+    val df = Seq(
+      ("click", "{\"k\": 10}"), ("click", "{\"k\": 20}"), ("click", "{}"),
+      ("view", "{\"k\": 7}")
+    ).toDF("event_type", "props")
+    val out = EventWindows.propsStats(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("click") == (2L, 30L))
+    assert(out("view") == (1L, 7L))
+  }
+}

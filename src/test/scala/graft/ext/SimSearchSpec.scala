@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SimSearchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val dim = 64
+  private def clusterVec(center: Int, off: Int): Seq[Float] =
+    (0 until dim).map(i => (math.sin(center * 17 + i) + 0.05 * math.cos(off * 7 + i)).toFloat)
+
+  private def corpus = (
+    (0 until 20).map(o => (o.toLong, clusterVec(1, o))) ++
+    (20 until 40).map(o => (o.toLong, clusterVec(2, o)))
+  ).toDF("vec_id", "embedding")
+
+  test("dot and norm on known vectors") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f, 6f))).toDF("a", "b")
+    val r = df.select(SimSearch.dot(col("a"), col("b")).as("d"),
+      SimSearch.norm(col("a")).as("n")).head()
+    assert(approx(r.getDouble(0), 32.0) && approx(r.getDouble(1), math.sqrt(14)))
+  }
+
+  test("brute-force top-k returns same-cluster neighbors first, descending") {
+    val top = SimSearch.topKForId(corpus, "vec_id", "embedding", queryId = 0L, k = 5)
+      .collect()
+    val sims = top.map(_.getDouble(1))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    assert(top.map(_.getLong(0)).forall(_ < 20), "neighbors should come from cluster 1")
+    assert(sims.head > 0.9)
+  }
+
+  test("lshTopK achieves high recall vs brute force on clustered data") {
+    val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val approxTop = SimSearch.lshTopK(corpus, "vec_id", "embedding", 0L, 10,
+      numPlanes = 8, maxHammingProbe = 3).collect().map(_.getLong(0)).toSet
+    val recall = (exact & approxTop).size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall $recall exact=$exact approx=$approxTop")
+  }
+
+  test("allPairsCosine threshold keeps within-cluster pairs only") {
+    val small = ((0 until 5).map(o => (o.toLong, clusterVec(1, o))) ++
+      (5 until 10).map(o => (o.toLong, clusterVec(9, o)))).toDF("vec_id", "embedding")
+    val pairs = SimSearch.allPairsCosine(small, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    assert(pairs.forall { case (a, b) => (a < 5) == (b < 5) })
+  }
+}

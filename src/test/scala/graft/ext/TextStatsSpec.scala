@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts: whitespace and regex") {
+    val df = Seq(("a bb ccc", 3), ("one", 1), ("x, y!", 2)).toDF("text", "ws")
+    val out = df.select(col("ws"),
+      TextStats.wsTokenCount(col("text")).as("n"),
+      TextStats.regexTokenCount(col("text")).as("rx")).collect()
+    out.foreach(r => assert(r.getLong(1) == r.getInt(0).toLong))
+    // "x, y!" → tokens x , y ! = 4
+    assert(out.find(_.getInt(0) == 2).get.getInt(2) == 4)
+  }
+
+  test("quality features on a known string") {
+    val df = Seq((1L, "the cat and the dog in a house")).toDF("doc_id", "text")
+    val r = TextStats.qualityDF(df, "doc_id", "text").head()
+    assert(r.getAs[Long]("n_tokens") == 8L)
+    assert(r.getAs[Int]("n_chars") == 30)
+    // stopwords: the×2, and, in, a → 5
+    assert(approx(r.getAs[Double]("stopword_ratio"), 5.0 / 8, 1e-6))
+  }
+
+  test("langId rule: stopword-dense → en, none → unk") {
+    val df = Seq((1L, "the cat and the dog in a house"),
+      (2L, "zzz qqq www rrr ttt yyy uuu iii")).toDF("doc_id", "text")
+    val out = TextStats.langIdDF(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "en" && out(2L) == "unk")
+  }
+
+  test("fingerprint is whitespace/case invariant") {
+    val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fp = df.select(TextStats.fingerprint(col("text"))).collect().map(_.getString(0))
+    assert(fp(0) == fp(1) && fp(0) != fp(2))
+  }
+
+  test("winnowing fingerprints: deterministic, shift-invariant-ish, discriminative") {
+    val a = TextStats.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
+    val a2 = TextStats.winnow("the quick brown fox jumps over the lazy dog", 8, 4)
+    val b = TextStats.winnow("a completely different sentence altogether here", 8, 4)
+    assert(a.sameElements(a2))
+    assert(a.nonEmpty && b.nonEmpty)
+    assert(a.toSet.intersect(b.toSet).size.toDouble / a.toSet.size < 0.3)
+    // winnowing property: shared long substring → shared fingerprints
+    val c = TextStats.winnow("XYZ quick brown fox jumps over the lazy dog", 8, 4)
+    assert(a.toSet.intersect(c.toSet).nonEmpty)
+  }
+
+  test("distributed winnowingFingerprints matches local winnow") {
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val out = TextStats.winnowingFingerprints(df, "doc_id", "text", 8, 4)
+      .head().getSeq[Long](1)
+    assert(out == TextStats.winnow("the quick brown fox jumps over the lazy dog", 8, 4).toSeq)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  final case class Ev(ts: Timestamp, event_type: String, value: Double)
+
+  test("hourlyStats aggregates a stream incrementally with watermark") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val query = StreamingOps.hourlyStats(input.toDF(), watermark = "2 hours")
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    input.addData(Ev(ts(0), "click", 1.0), Ev(ts(10), "click", 2.0),
+      Ev(ts(70), "view", 5.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("hourly_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getString(1)) -> r.getLong(2)).toMap
+    assert(out.values.sum == 3)
+    assert(out.exists { case ((_, t), n) => t == "click" && n == 2 })
+  }
+
+  test("streaming sessionize emits closed sessions via flatMapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[StreamingOps.SessionEvent]
+    val query = StreamingOps.sessionize(input.toDS(), gapMs = 30 * 60000L)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    // batch 1: user 1 events 0-20min (one open session), user 2 at 0
+    input.addData(StreamingOps.SessionEvent(1L, ts(0), 1.0),
+      StreamingOps.SessionEvent(1L, ts(20), 2.0),
+      StreamingOps.SessionEvent(2L, ts(0), 9.0))
+    query.processAllAvailable()
+    // batch 2: user 1 event at 120min → closes the first session (gap > 30min)
+    input.addData(StreamingOps.SessionEvent(1L, ts(120), 3.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("sessions_out").as[StreamingOps.SessionOut].collect()
+    assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.sum_value == 3.0),
+      s"got ${out.mkString(";")}")
+  }
+}
