@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.FloatVecDot
+import graft.functions.{FloatVecDot, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("float_vec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
       (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0),
+        children(1).eval().asInstanceOf[Int])))
   }
 }
 

@@ -29,16 +29,15 @@ object Dedup {
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }
 
-  /** Word k-gram shingles, long format: (id, shingle), distinct per doc. */
-  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
-    val toks = split(col(textCol), " ")
-    // greatest(..., 1): a doc shorter than k tokens yields one (partial) shingle —
-    // and keeps sequence() ascending (Spark's sequence(1, 0) would COUNT DOWN).
-    val sh = transform(
-      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
-      i => concat_ws(" ", slice(toks, i, lit(k))))
-    df.select(col(idCol), explode(sh).as("shingle")).distinct()
-  }
+  /** Word k-gram shingles, long format: (id, shingle), distinct per doc. Uses the
+    * native codegen'd [[graft.functions.WordShingles]] expression (the composable
+    * `transform(sequence...)` formulation is CodegenFallback → interpreted → the
+    * dominant cost of the dedup family at scale).
+    */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame =
+    df.select(col(idCol),
+      explode(graft.functions.WordShingles.shingles(col(textCol), k)).as("shingle"))
+      .distinct()
 
   /** Pairwise shingle-Jaccard near-dup detection. Output: (id_a, id_b, jaccard) for
     * pairs with jaccard ≥ threshold, id_a < id_b. Candidate pairs come from the
@@ -47,7 +46,7 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = shingles(df, idCol, textCol, k)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -89,20 +88,20 @@ object Dedup {
                       threshold: Double = 0.5): DataFrame = {
     val numBands = numHashes / rowsPerBand
     val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
-    // band key: (band index, md5 of the band's signature slice)
-    val bandCols = (0 until numBands).map { b =>
+    // band key rows via UNION ALL of plain projections (mirrors the SQL oracle);
+    // an explode(array(struct...)) here would run as an interpreted generator
+    val banded = (0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
-    }
-    val banded = sig.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws(",", slice: _*)).as("bkey"))
+    }.reduce(_ union _)
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
     val candidates = x.join(y, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val sh = shingles(df, idCol, textCol, k).cache()
+    val sh = shingles(df, idCol, textCol, k)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val shared = sh.select(col(idCol).as("id_a"), col("shingle"))
       .join(candidates, Seq("id_a"))
@@ -142,13 +141,11 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol).cache()
-    val bands = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
+    val sig = simhash(df, idCol, textCol)
+    val banded = (0 until 4).map { b =>
+      sig.select(col(idCol), lit(b).as("band"),
         shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
-    }
-    val banded = sig.select(col(idCol), explode(array(bands: _*)).as("bk"))
-      .select(col(idCol), col("bk.band"), col("bk.bkey"))
+    }.reduce(_ union _)
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
     val cand = x.join(y, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

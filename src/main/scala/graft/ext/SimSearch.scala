@@ -88,8 +88,11 @@ object SimSearch {
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, numPlanes: Int = 8,
               maxHammingProbe: Int = 2): DataFrame = {
+    // In a production ANN service the bucketed corpus would be persisted once
+    // (bucketed parquet or cached) and probed many times; here each query
+    // recomputes it — the bucket expression is scan-side and cheap.
     val bucketed = df
-      .withColumn("bucket", lshBucket(col(vecCol), dims = 64, numPlanes)).cache()
+      .withColumn("bucket", lshBucket(col(vecCol), dims = 64, numPlanes))
     val qBucket = bucketed.filter(col(idCol) === queryId)
       .select(col("bucket")).head().getLong(0)
     val qVec = bucketed.filter(col(idCol) === queryId)

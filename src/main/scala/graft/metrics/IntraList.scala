@@ -26,14 +26,14 @@ object IntraList {
   def intraListSimilarity(df: DataFrame, colGroup: String, colIndex: String,
                           colColumns: String, colValues: String): DataFrame = {
     // pandas pivot_table default aggfunc='mean' over duplicate (index, columns) cells.
-    // cache(): f feeds the self-join twice plus the norm/count aggregates — without it
-    // the upstream joins re-execute four times (caller/harness clears the cache).
+    // No explicit cache: f's aggregation exchange appears on both self-join sides and
+    // under the norm aggregate, and Catalyst's ReuseExchange computes it once per job.
+    // (An explicit .cache() here measurably HURT: the columnar cache build ran inside
+    // AQE's concurrent stage materialization — see SCALE.md "cache policy".)
     val f = df.groupBy(col(colGroup), col(colIndex), col(colColumns))
       .agg(avg(col(colValues)).as("v"))
-      .cache()
     val norms = f.groupBy(col(colGroup), col(colIndex))
       .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-      .cache()
     val nItems = norms.groupBy(col(colGroup)).agg(count(lit(1)).as("n_items"))
 
     val a = f.select(col(colGroup).as("g"), col(colIndex).as("i1"),

@@ -29,10 +29,9 @@ object Personalization {
     * (absent pairs have cosine 0).
     */
   def pairwiseCosine(df: DataFrame, colUser: String, colItem: String): DataFrame = {
-    // cache(): c feeds both sides of the self-join and the norms aggregate
+    // no cache: c's exchange is shared by both join sides + norms via ReuseExchange
     val c = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v"))
-      .cache()
     val norms = c.groupBy(col(colUser))
       .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
     val a = c.select(col(colUser).as("u1"), col(colItem).as("i"), col("v").as("va"))
@@ -45,16 +44,35 @@ object Personalization {
       .select(col("u1"), col("u2"), (col("dot") / (col("n1") * col("n2"))).as("sim"))
   }
 
-  /** Scalar personalization via the Catalyst-native self-join path. */
+  /** Scalar personalization via the Catalyst-native self-join path. Two actions
+    * consume the (user,item) counts, so that compact aggregate is cached — not the
+    * raw input.
+    */
   def personalization(df: DataFrame, colUser: String, colItem: String): Double = {
-    val cached = df.select(col(colUser), col(colItem)).cache()
+    val c = df.groupBy(col(colUser), col(colItem))
+      .agg(count(lit(1)).cast("double").as("v")).cache()
     try {
-      val n = cached.select(col(colUser)).distinct().count()
+      val n = c.select(col(colUser)).distinct().count()
       if (n < 2) return 0.0
-      val sumSim = pairwiseCosine(cached, colUser, colItem)
+      val sumSim = pairwiseCosineFromCounts(c, colUser)
         .agg(coalesce(sum(col("sim")), lit(0.0))).first().getDouble(0)
       1.0 - 2.0 * sumSim / (n.toDouble * (n - 1))
-    } finally { cached.unpersist(); () }
+    } finally { c.unpersist(); () }
+  }
+
+  /** Pairwise cosine from a pre-aggregated (user, item, v) counts table. */
+  private def pairwiseCosineFromCounts(c: DataFrame, colUser: String): DataFrame = {
+    val norms = c.groupBy(col(colUser))
+      .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+    val cols = c.columns
+    val a = c.select(col(cols(0)).as("u1"), col(cols(1)).as("i"), col("v").as("va"))
+    val b = c.select(col(cols(0)).as("u2"), col(cols(1)).as("i"), col("v").as("vb"))
+    a.join(b, a("i") === b("i") && a("u1") < b("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(sum(col("va") * col("vb")).as("dot"))
+      .join(norms.select(col(colUser).as("u1"), col("nrm").as("n1")), Seq("u1"))
+      .join(norms.select(col(colUser).as("u2"), col("nrm").as("n2")), Seq("u2"))
+      .select(col("u1"), col("u2"), (col("dot") / (col("n1") * col("n2"))).as("sim"))
   }
 
   /** One-row DataFrame form (n_users, personalization) for the oracle. */

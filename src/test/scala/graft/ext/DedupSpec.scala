@@ -27,6 +27,24 @@ class DedupSpec extends SparkTestBase {
     assert(sh.toSet == Set("a b c", "b c d", "c d e"))
   }
 
+  test("native WordShingles matches the composable transform formulation") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq((1L, "a b c d e"), (2L, "x y"), (3L, ""), (4L, "one"),
+      (5L, "the quick brown fox jumps over dogs")).toDF("doc_id", "text")
+    val k = 3
+    val toks = split(col("text"), " ")
+    val composable = transform(
+      sequence(lit(1), greatest(size(toks) - lit(k - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    val out = texts.select(col("doc_id"),
+      graft.functions.WordShingles.shingles(col("text"), k).as("native"),
+      composable.as("reference")).collect()
+    out.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"doc ${r.getLong(0)}: ${r.getSeq[String](1)} vs ${r.getSeq[String](2)}")
+    }
+  }
+
   test("jaccardPairs: identical docs → 1.0; near-dups high; unrelated absent") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
