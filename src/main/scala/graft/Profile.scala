@@ -29,8 +29,10 @@ object Profile {
       }
       println(f"PROFILE $name%-22s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs")
       if (planFor(name)) {
-        println(s"=== plan $name ===")
-        println(fn(spark, sfDir).queryExecution.explainString(
+        val df = fn(spark, sfDir)
+        df.queryExecution.toRdd.count() // same QueryExecution → AQE finalizes stage reuse
+        println(s"=== plan $name (final adaptive) ===")
+        println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
       }
     }

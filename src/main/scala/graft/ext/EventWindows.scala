@@ -23,6 +23,32 @@ object EventWindows {
         round(sum(col(valCol)), 6).as("sum_value"),
         round(avg(col(valCol)), 6).as("avg_value"))
 
+  /** Sliding event-time windows (batch): each event lands in width/slide overlapping
+    * windows. Uses Spark's `window()` generator — the batch twin of
+    * [[graft.streaming.StreamingOps.hourlyStats]].
+    */
+  def slidingStats(events: DataFrame, width: String = "1 hour",
+                   slide: String = "30 minutes", tsCol: String = "ts",
+                   typeCol: String = "event_type", valCol: String = "value"): DataFrame =
+    events.groupBy(window(col(tsCol), width, slide).as("w"), col(typeCol))
+      .agg(count(lit(1)).as("n_events"), round(sum(col(valCol)), 6).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start"),
+        unix_timestamp(col("w.end")).as("window_end"),
+        col(typeCol), col("n_events"), col("sum_value"))
+
+  /** Catalog coverage over time: per tumbling window, the fraction of the full item
+    * catalog that appears in events — the event-time variant of
+    * [[graft.metrics.Coverage]] (SURVEY.md §1.1 "coverage-over-time").
+    */
+  def coverageOverTime(events: DataFrame, catalog: DataFrame,
+                       itemCol: String, catalogItemCol: String,
+                       tsCol: String = "ts"): DataFrame = {
+    val catalogSize = catalog.agg(countDistinct(col(catalogItemCol))).first().getLong(0)
+    events.groupBy(unix_timestamp(date_trunc("hour", col(tsCol))).as("window_start"))
+      .agg(countDistinct(col(itemCol)).as("n_items"))
+      .withColumn("coverage", round(col("n_items") / lit(catalogSize.toDouble), 6))
+  }
+
   /** Gap-based sessionization: a new session starts when a user's inter-event gap
     * exceeds `gapMinutes`. The window is partitioned by user — parallel across users,
     * no global sort (scale-safe; skew only if one user dominates).

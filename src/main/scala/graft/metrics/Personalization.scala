@@ -86,6 +86,54 @@ object Personalization {
         .as("personalization"))
   }
 
+  /** Closed-form mean of the off-diagonal of a symmetric similarity matrix with unit
+    * diagonal: `(Σ_all − n) / (n(n−1))` — the reference's `get_symmetrical_matrix_mean`
+    * (:288-298). Its sibling `get_upper_triangle_mean` (:184-188) additionally embeds
+    * the `1 −` flip (SURVEY.md §2.4.6); both assume cosine(self)=1, i.e. no zero rows.
+    */
+  def symmetricalMatrixMean(sumAll: Double, n: Long): Double =
+    (sumAll - n) / (n.toDouble * (n - 1))
+
+  def upperTriangleMean(sumAll: Double, n: Long): Double =
+    1.0 - symmetricalMatrixMean(sumAll, n)
+
+  /** BlockMatrix Gram path mirroring the reference's v0 `cosine_similarity_matrix`
+    * (:197-246): L2-normalize each user's count vector, multiply the matrix by its
+    * transpose, and reduce the Gram entries distributed (the reference's
+    * `toLocalMatrix` / all-ones-vector tricks at :249-298 are replaced by an
+    * `entries`-RDD sum — no driver materialization). Differential partner of
+    * [[personalization]] / [[personalizationDimsum]].
+    */
+  def personalizationBlockMatrix(df: DataFrame, colUser: String, colItem: String,
+                                 blockSize: Int = 1024): Double = {
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(colUser), col(colItem))
+      .agg(count(lit(1)).cast("double").as("v")).cache()
+    try {
+      val users = counts.select(col(colUser)).distinct().rdd.map(_.get(0))
+        .zipWithIndex().collectAsMap()
+      val n = users.size
+      if (n < 2) return 0.0
+      val bcUsers = spark.sparkContext.broadcast(users)
+      val items = counts.select(col(colItem)).distinct().rdd.map(_.get(0))
+        .zipWithIndex().collectAsMap()
+      val bcItems = spark.sparkContext.broadcast(items)
+      val norms = counts.groupBy(col(colUser))
+        .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
+        .rdd.map(r => (r.get(0), r.getDouble(1))).collectAsMap()
+      val bcNorms = spark.sparkContext.broadcast(norms)
+      val entries = counts.rdd.map { r =>
+        MatrixEntry(bcUsers.value(r.get(0)), bcItems.value(r.get(1)),
+          r.getDouble(2) / bcNorms.value(r.get(0)))
+      }
+      val m = new CoordinateMatrix(entries, n.toLong, items.size.toLong)
+        .toBlockMatrix(blockSize, blockSize)
+      val gram = m.multiply(m.transpose)
+      val sumAll = gram.toCoordinateMatrix().entries.map(_.value).sum()
+      upperTriangleMean(sumAll, n)
+    } finally { counts.unpersist(); () }
+  }
+
   /** MLlib DIMSUM path, mirroring the reference's v2 (:388-409): items as matrix rows,
     * users as columns, `columnSimilarities()` (threshold 0 → exact all pairs). Used in
     * differential tests against [[personalization]]; at extreme scale a positive

@@ -34,6 +34,26 @@ class EventWindowsSpec extends SparkTestBase {
     assert(out(3600L * 500001) == (1L, 5.0))
   }
 
+  test("slidingStats: events land in overlapping windows") {
+    val h0 = new Timestamp(3600L * 1000 * 500000)
+    val df = Seq((h0, "click", 1.0)).toDF("ts", "event_type", "value")
+    val out = EventWindows.slidingStats(df, "1 hour", "30 minutes").collect()
+    assert(out.length == 2) // one event → 2 overlapping hour windows at 30-min slide
+    assert(out.map(_.getLong(0)).toSet ==
+      Set(3600L * 500000, 3600L * 500000 - 1800))
+  }
+
+  test("coverageOverTime: per-hour distinct items vs catalog") {
+    val h0 = new Timestamp(3600L * 1000 * 500000)
+    val events = Seq((h0, 1L), (h0, 1L), (h0, 2L),
+      (new Timestamp(h0.getTime + 3600000), 3L)).toDF("ts", "item_id")
+    val catalog = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val out = EventWindows.coverageOverTime(events, catalog, "item_id", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(approx(out(3600L * 500000), 0.5))
+    assert(approx(out(3600L * 500001), 0.25))
+  }
+
   test("propsStats extracts k and aggregates; missing k → null-skipped") {
     val df = Seq(
       ("click", "{\"k\": 10}"), ("click", "{\"k\": 20}"), ("click", "{}"),

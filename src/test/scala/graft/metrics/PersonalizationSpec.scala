@@ -38,13 +38,23 @@ class PersonalizationSpec extends SparkTestBase {
     assert(approx(d, 1.0 - expectedSim, 1e-9), s"dimsum got $d")
   }
 
-  test("larger random-ish differential check") {
+  test("larger random-ish differential check across all three engines (v0/v2/DF)") {
     val rows = for (u <- 1 to 30; i <- 1 to 40 if (u * 7 + i * 13) % 5 < 2)
       yield (u, i)
     val df = rows.toDF("u", "i")
     val a = Personalization.personalization(df, "u", "i")
     val b = Personalization.personalizationDimsum(df, "u", "i")
+    val c = Personalization.personalizationBlockMatrix(df, "u", "i")
     assert(approx(a, b, 1e-8), s"self-join $a vs dimsum $b")
+    assert(approx(a, c, 1e-8), s"self-join $a vs blockmatrix $c")
     assert(a >= 0.0 && a <= 1.0)
+  }
+
+  test("matrix-mean helpers match the reference's sign conventions (§2.4.6)") {
+    // 3x3 similarity matrix, off-diagonal sims all 0.5 → Σ_all = 3 + 6*0.5 = 6
+    assert(approx(Personalization.symmetricalMatrixMean(6.0, 3), 0.5))
+    assert(approx(Personalization.upperTriangleMean(6.0, 3), 0.5))
+    // doctest matrix: users 1,2 sim 1, user 3 disjoint → Σ_all = 3 + 2*1
+    assert(approx(Personalization.upperTriangleMean(5.0, 3), 0.666666666666667, 1e-12))
   }
 }
