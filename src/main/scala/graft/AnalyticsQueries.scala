@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join-heavy analytic queries in the TPC-H idiom over the star schema — the classic
+  * OLAP shapes (selective fact-dimension joins, multi-way joins with correlated
+  * predicates, top-k by aggregate) that exercise broadcast choice, join order, and
+  * partial aggregation. Each has a DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  /** Q3-like shipping priority: top-20 open orders by potential revenue for one
+    * market segment (orders placed before the cutoff, lines shipped after it).
+    */
+  def qShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "1998-06-01 00:00:00"
+    Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .select(col("o_orderkey"), round(col("rev"), 6).as("revenue"),
+        unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT o_orderkey,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_orderpriority
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Q5-like local supplier volume: revenue per nation from orders where the customer
+    * and the line's supplier share the nation, for one region.
+    */
+  def qLocalSupplierVolume(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.nation(spark, dir), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "AMERICA")
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name"))
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA'
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  /** Q10-like returned-item losses: per customer, revenue on lines flagged returned. */
+  def qReturnedItemLosses(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("lost_revenue"), count(lit(1)).as("n_lines"))
+      .orderBy(col("c_custkey"))
+
+  val returnedItemLossesSql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS lost_revenue,
+      |  COUNT(*) AS n_lines
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_returnflag = 'R'
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_shipping_priority" -> (qShippingPriority _),
+    "q_local_supplier_volume" -> (qLocalSupplierVolume _),
+    "q_returned_item_losses" -> (qReturnedItemLosses _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_shipping_priority" -> shippingPrioritySql,
+    "q_local_supplier_volume" -> localSupplierVolumeSql,
+    "q_returned_item_losses" -> returnedItemLossesSql
+  )
+}

@@ -117,7 +117,7 @@ object SparkEntry {
     "q_novelty_mean" -> (qNoveltyMean _),
     "q_personalization" -> (qPersonalization _),
     "q_intra_list" -> (qIntraList _)
-  ) ++ ExtQueries.queries
+  ) ++ ExtQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -193,5 +193,5 @@ object SparkEntry {
         |  ROUND(COALESCE(sum_sim, 0) / (n_items * (n_items - 1) / 2.0), 6) AS ils
         |FROM ni LEFT JOIN s ON ni.user_id = s.user_id
         |WHERE n_items >= 2 ORDER BY 1""".stripMargin
-  ) ++ ExtQueries.oracleSql
+  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

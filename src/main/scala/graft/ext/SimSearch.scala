@@ -80,6 +80,47 @@ object SimSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** IVF (inverted-file) index: k-means coarse quantizer over the corpus, each vector
+    * assigned to its nearest centroid. Returns (assigned df with `ivf_cell` column,
+    * local centroid array). At scale the assigned table is written bucketed by
+    * `ivf_cell` so probes prune files; here it's rebuilt per call.
+    */
+  def ivfIndex(df: DataFrame, vecCol: String, nCells: Int = 16,
+               seed: Long = 42L): (DataFrame, Array[Array[Double]]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val withVec = df.withColumn("__v", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("__v")
+      .setPredictionCol("ivf_cell").setMaxIter(10)
+      .fit(withVec)
+    val assigned = model.transform(withVec).drop("__v")
+    (assigned, model.clusterCenters.map(_.toArray))
+  }
+
+  /** IVF probe: search only the `nProbe` cells whose centroids are closest to the
+    * query vector; exact cosine within the probed cells. Recall < 1 by design
+    * (ScalaTest checks it against [[topKForId]]).
+    */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              idCol: String, vecCol: String, queryId: Long, k: Int,
+              nProbe: Int = 4): DataFrame = {
+    val qVec = assigned.filter(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Float](0)
+    val qd = qVec.map(_.toDouble).toArray
+    val probeCells = centroids.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    assigned
+      .filter(col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= queryId)
+      .select(col(idCol), cosineToQuery(col(vecCol), qVec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
     * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
     * candidates whose bucket is within `maxHammingProbe` of the query's bucket.

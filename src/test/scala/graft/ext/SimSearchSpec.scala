@@ -40,6 +40,21 @@ class SimSearchSpec extends SparkTestBase {
     assert(recall >= 0.7, s"recall $recall exact=$exact approx=$approxTop")
   }
 
+  test("IVF index + probe recovers brute-force neighbors on clustered data") {
+    val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val (assigned, centroids) = SimSearch.ivfIndex(corpus, "embedding", nCells = 4)
+    assert(assigned.columns.contains("ivf_cell"))
+    val probed = SimSearch.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      queryId = 0L, k = 10, nProbe = 2).collect().map(_.getLong(0)).toSet
+    val recall = (exact & probed).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall exact=$exact probed=$probed")
+    // probing ALL cells must equal brute force exactly
+    val full = SimSearch.ivfTopK(assigned, centroids, "vec_id", "embedding",
+      0L, 10, nProbe = 4).collect().map(_.getLong(0)).toSet
+    assert(full == exact)
+  }
+
   test("allPairsCosine threshold keeps within-cluster pairs only") {
     val small = ((0 until 5).map(o => (o.toLong, clusterVec(1, o))) ++
       (5 until 10).map(o => (o.toLong, clusterVec(9, o)))).toDF("vec_id", "embedding")
