@@ -229,6 +229,23 @@ object ExtQueries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Multimodal
+  // -------------------------------------------------------------------------
+
+  def qMultimodalMeta(spark: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .metaExprDF(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val multimodalMetaSql: String =
+    """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      |  1 + (h & 1023) AS width, 1 + ((h >> 10) & 1023) AS height,
+      |  CASE WHEN octet_length(encode(text)) % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM (SELECT doc_id, text,
+      |      ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Event-time operators
   // -------------------------------------------------------------------------
 
@@ -327,6 +344,7 @@ object ExtQueries {
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
+    "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_event_hourly" -> (qEventHourly _),
     "q_sessionize" -> (qSessionize _),
     "q_event_props" -> (qEventProps _),
@@ -345,6 +363,7 @@ object ExtQueries {
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
     "q_fingerprint" -> fingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
     "q_event_hourly" -> eventHourlySql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,

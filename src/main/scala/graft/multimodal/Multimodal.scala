@@ -28,6 +28,22 @@ object Multimodal {
   def withFakeMedia(df: DataFrame, textCol: String, mediaCol: String = "media"): DataFrame =
     df.withColumn(mediaCol, encode(col(textCol), "UTF-8"))
 
+  /** Expression-only metadata variant: byte length plus md5-derived fake dimensions,
+    * all portable column expressions (oracle-checkable, unlike the codec path below
+    * which models real per-partition native decoding).
+    */
+  def metaExprDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val media = encode(col(textCol), "UTF-8")
+    val h = conv(substring(md5(col(textCol)), 1, 8), 16, 10).cast("long")
+    df.select(col(idCol),
+      octet_length(media).cast("long").as("n_bytes"),
+      (lit(1L) + h.bitwiseAND(lit(1023L))).as("width"),
+      (lit(1L) + shiftright(h, 10).bitwiseAND(lit(1023L))).as("height"),
+      when(octet_length(media) % 2 === 0, lit("png")).otherwise(lit("jpeg"))
+        .as("format"))
+  }
+
   /** Decode metadata for each media blob — per-partition imperative batch loop (the
     * Scala analog of `mapInPandas`: one iterator in, one iterator out, no per-row
     * driver involvement, arbitrary native-lib calls allowed inside).
