@@ -10,6 +10,21 @@ import org.apache.spark.sql.functions._
   */
 object AnalyticsQueries {
 
+  /** Money/value aggregates use exact DECIMAL arithmetic: double sums differ across
+    * engines in the last ulp once enough rows accumulate (observed at sf0.1:
+    * 1215710442.893292 vs ...93293 before rounding), so the oracle hashes diverge.
+    * Doubles cast to DECIMAL(18,4) round identically in Spark and DuckDB (inputs are
+    * clean 2-decimal values), decimal sums are order-independent and exact, and the
+    * final CAST(... AS DOUBLE) is deterministic IEEE on both sides.
+    */
+  private[graft] def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    c.cast("decimal(18,4)")
+  private[graft] def revenueDec(price: org.apache.spark.sql.Column,
+                                discount: org.apache.spark.sql.Column) =
+    sum(dec(price) * (lit(1).cast("decimal(18,4)") - dec(discount)))
+  private[graft] val revenueDecSql =
+    "SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))))"
+
   /** Q3-like shipping priority: top-20 open orders by potential revenue for one
     * market segment (orders placed before the cutoff, lines shipped after it).
     */
@@ -21,17 +36,19 @@ object AnalyticsQueries {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
-      .select(col("o_orderkey"), round(col("rev"), 6).as("revenue"),
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+      .select(col("o_orderkey"),
+        round(col("rev").cast("double"), 6).as("revenue"), col("rev"),
         unix_timestamp(col("o_orderdate")).as("orderdate_epoch"),
         col("o_orderpriority"))
-      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .orderBy(col("rev").desc, col("o_orderkey"))
       .limit(20)
+      .drop("rev")
   }
 
   val shippingPrioritySql: String =
-    """SELECT o_orderkey,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+    s"""SELECT o_orderkey,
+      |  ROUND(CAST($revenueDecSql AS DOUBLE), 6) AS revenue,
       |  CAST(epoch(o_orderdate) AS BIGINT) AS orderdate_epoch, o_orderpriority
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -40,7 +57,7 @@ object AnalyticsQueries {
       |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
       |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
-      |ORDER BY revenue DESC, o_orderkey LIMIT 20""".stripMargin
+      |ORDER BY $revenueDecSql DESC, o_orderkey LIMIT 20""".stripMargin
 
   /** Q5-like local supplier volume: revenue per nation from orders where the customer
     * and the line's supplier share the nation, for one region.
@@ -56,13 +73,14 @@ object AnalyticsQueries {
       .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "AMERICA")
       .groupBy(col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-        .as("revenue"), count(lit(1)).as("n_lines"))
+      .agg(round(revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("double"), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
       .orderBy(col("n_name"))
 
   val localSupplierVolumeSql: String =
-    """SELECT n_name,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+    s"""SELECT n_name,
+      |  ROUND(CAST($revenueDecSql AS DOUBLE), 6) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey
@@ -80,13 +98,14 @@ object AnalyticsQueries {
       .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
       .filter(col("l_returnflag") === "R")
       .groupBy(col("c_custkey"), col("c_mktsegment"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-        .as("lost_revenue"), count(lit(1)).as("n_lines"))
+      .agg(round(revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("double"), 6).as("lost_revenue"),
+        count(lit(1)).as("n_lines"))
       .orderBy(col("c_custkey"))
 
   val returnedItemLossesSql: String =
-    """SELECT c_custkey, c_mktsegment,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS lost_revenue,
+    s"""SELECT c_custkey, c_mktsegment,
+      |  ROUND(CAST($revenueDecSql AS DOUBLE), 6) AS lost_revenue,
       |  COUNT(*) AS n_lines
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey

@@ -256,7 +256,8 @@ object ExtQueries {
   val eventHourlySql: String =
     """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
       |  event_type, COUNT(*) AS n_events,
-      |  ROUND(SUM(value), 6) AS sum_value, ROUND(AVG(value), 6) AS avg_value
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
@@ -293,25 +294,29 @@ object ExtQueries {
   // Classic analytics (bench headliners)
   // -------------------------------------------------------------------------
 
+  // exact DECIMAL sums for money columns — see AnalyticsQueries.dec rationale
+  private def dec(c: org.apache.spark.sql.Column) = AnalyticsQueries.dec(c)
+
   def qPricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 6).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("sum_disc_price"),
-        round(avg(col("l_quantity")), 6).as("avg_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"),
+        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
+        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
+        round(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("double"), 6).as("sum_disc_price"),
+        round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
   val pricingSummarySql: String =
-    """SELECT l_returnflag, l_linestatus,
-      |  ROUND(SUM(l_quantity), 6) AS sum_qty,
-      |  ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
-      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
+      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
+      |  ROUND(CAST(${AnalyticsQueries.revenueDecSql} AS DOUBLE), 6) AS sum_disc_price,
+      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+      |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -319,14 +324,14 @@ object ExtQueries {
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-          .as("revenue"),
+      .agg(round(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("double"), 6).as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
 
   val brandRevenueSql: String =
-    """SELECT p_brand,
-      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+    s"""SELECT p_brand,
+      |  ROUND(CAST(${AnalyticsQueries.revenueDecSql} AS DOUBLE), 6) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin

@@ -15,13 +15,17 @@ object EventWindows {
     * (bigint) — portable across Spark/DuckDB timestamp flavors.
     */
   def hourlyStats(events: DataFrame, tsCol: String = "ts",
-                  typeCol: String = "event_type", valCol: String = "value"): DataFrame =
+                  typeCol: String = "event_type", valCol: String = "value"): DataFrame = {
+    // exact DECIMAL sum: double summation order differs across engines and can land
+    // on a half-exact rounding boundary (43.4728125 → .813 vs .812 observed)
+    val decSum = sum(col(valCol).cast("decimal(18,4)"))
     events.groupBy(
         unix_timestamp(date_trunc("hour", col(tsCol))).as("window_start"),
         col(typeCol))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col(valCol)), 6).as("sum_value"),
-        round(avg(col(valCol)), 6).as("avg_value"))
+        round(decSum.cast("double"), 6).as("sum_value"),
+        round(decSum.cast("double") / count(lit(1)), 6).as("avg_value"))
+  }
 
   /** Sliding event-time windows (batch): each event lands in width/slide overlapping
     * windows. Uses Spark's `window()` generator — the batch twin of
@@ -31,7 +35,8 @@ object EventWindows {
                    slide: String = "30 minutes", tsCol: String = "ts",
                    typeCol: String = "event_type", valCol: String = "value"): DataFrame =
     events.groupBy(window(col(tsCol), width, slide).as("w"), col(typeCol))
-      .agg(count(lit(1)).as("n_events"), round(sum(col(valCol)), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(valCol).cast("decimal(18,4)")).cast("double"), 6).as("sum_value"))
       .select(unix_timestamp(col("w.start")).as("window_start"),
         unix_timestamp(col("w.end")).as("window_end"),
         col(typeCol), col("n_events"), col("sum_value"))
