@@ -271,8 +271,8 @@ object ExtQueries {
       |         THEN 1 ELSE 0 END AS is_new
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
       |s AS (SELECT user_id, ms,
-      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       |  FROM f)
       |SELECT user_id, session_id, COUNT(*) AS n_events,
       |  MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS duration_ms
@@ -286,7 +286,7 @@ object ExtQueries {
     """WITH e AS (SELECT event_type,
       |    CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k
       |  FROM events)
-      |SELECT event_type, COUNT(k) AS n_with_k, SUM(k) AS sum_k,
+      |SELECT event_type, COUNT(k) AS n_with_k, CAST(SUM(k) AS BIGINT) AS sum_k,
       |  ROUND(AVG(k), 6) AS avg_k, MAX(k) AS max_k
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 

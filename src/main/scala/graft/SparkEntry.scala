@@ -127,8 +127,8 @@ object SparkEntry {
       """WITH v AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem GROUP BY 1),
         |w AS (SELECT l_partkey, volume,
         |  ROW_NUMBER() OVER (ORDER BY volume DESC, l_partkey) AS item_rank,
-        |  SUM(volume) OVER (ORDER BY volume DESC, l_partkey
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_volume,
+        |  CAST(SUM(volume) OVER (ORDER BY volume DESC, l_partkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_volume,
         |  SUM(volume) OVER () AS total FROM v)
         |SELECT l_partkey, volume, item_rank, cum_volume,
         |  ROUND(cum_volume * 1.0 / total, 6) AS pct_of_total,
