@@ -163,6 +163,36 @@ object ExtQueries {
       |SELECT vec_id, ROUND(cos_raw, 6) AS cosine FROM s
       |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Batched service-shape ANN: 5 query vectors resolved against the corpus in one
+    * job via the broadcast + bounded-heap-aggregate plan ([[SimSearch.topKForQueries]]).
+    */
+  def qSimsearchBatch(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimSearch.topKForQueries(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simsearchBatchSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+      |  FROM embeddings WHERE vec_id < 5),
+      |s AS (SELECT q.query_id, e.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) * q.qn) AS cos_raw
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+      |r AS (SELECT query_id, vec_id, cos_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, vec_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, vec_id, ROUND(cos_raw, 6) AS cosine
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   // -------------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------------
@@ -345,6 +375,7 @@ object ExtQueries {
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
+    "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
@@ -364,6 +395,7 @@ object ExtQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
+    "q_simsearch_batch" -> simsearchBatchSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,

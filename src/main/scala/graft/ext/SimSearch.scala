@@ -68,6 +68,40 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Batched exact top-k: every row of `queries` is searched against `corpus` in
+    * ONE job — the shape a similarity-search service wants, instead of one driver
+    * round-trip per query ([[topKForId]]).
+    *
+    * Plan: broadcast the (small) query table, BroadcastNestedLoopJoin against the
+    * corpus scan (each corpus partition scores all queries locally — the corpus is
+    * never shuffled), then a per-query bounded-heap aggregate
+    * ([[graft.functions.TopKAggregator]]) with map-side partial reduction, so at
+    * most k rows per query per partition cross the wire. At 100 TB the corpus scan
+    * dominates and parallelizes perfectly; the shuffle is O(#queries × k × #parts).
+    *
+    * Output: (query_id, rank, idCol, cosine) — rank 1..k by descending cosine,
+    * ties broken by ascending id; a query never matches itself.
+    */
+  def topKForQueries(corpus: DataFrame, queries: DataFrame,
+                     idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn")))
+    val scored = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+      .crossJoin(q)
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__qv")) / (col("__n") * col("__qn"))).as("cosine"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col(idCol), col("cosine")).as("__r"))
+      .select(col("query_id"), posexplode(col("__r.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as("cosine"))
+  }
+
   /** All-pairs exact cosine ≥ threshold (small corpora / verification). */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {

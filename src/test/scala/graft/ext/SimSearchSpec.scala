@@ -63,4 +63,31 @@ class SimSearchSpec extends SparkTestBase {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b) => (a < 5) == (b < 5) })
   }
+
+  test("topKForQueries matches per-id brute force for every query") {
+    val queries = corpus.filter(col("vec_id").isin(0L, 7L, 25L))
+    val batch = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getLong(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    assert(batch.keySet == Set(0L, 7L, 25L))
+    for (q <- Seq(0L, 7L, 25L)) {
+      val single = SimSearch.topKForId(corpus, "vec_id", "embedding", q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(q).map(_._1) == single.map(_._1), s"ids differ for query $q")
+      batch(q).zip(single).foreach { case ((_, a), (_, b)) => assert(approx(a, b)) }
+    }
+  }
+
+  test("topKForQueries partial aggregation bounds rows per query at k") {
+    val queries = corpus.filter(col("vec_id") < 2)
+    val out = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 3)
+    val counts = out.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(counts.forall(_ == 3))
+    // rank is 1..k, dense, per query
+    val ranks = out.collect().groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L)))
+  }
 }
