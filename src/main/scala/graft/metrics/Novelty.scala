@@ -19,16 +19,25 @@ import org.apache.spark.sql.functions._
   */
 object Novelty {
 
-  /** Per-user mean self-information. Output: (colUser, msi) — msi unrounded. */
+  /** Per-user mean self-information. Output: (colUser, msi) — msi unrounded.
+    *
+    * When `u` is not given, the distinct-user count is a 1-row aggregate
+    * broadcast-cross-joined into the pipeline (the reference runs it as an eager
+    * separate action, `:154-155`) — the whole metric stays one Spark job.
+    */
   def perUserMsi(dfSales: DataFrame, dfRecommendations: DataFrame,
                  u: Option[Long] = None,
                  colUser: String = "person", colItem: String = "product"): DataFrame = {
-    val users = u.getOrElse(
-      dfSales.agg(countDistinct(col(colUser))).first().getLong(0))
     val pop = dfSales.groupBy(col(colItem)).agg(count(lit(1)).as("pop_count"))
-    dfRecommendations
-      .join(pop, Seq(colItem), "left")
-      .withColumn("log2", -log(2.0, col("pop_count") / lit(users.toDouble)))
+    val joined = dfRecommendations.join(pop, Seq(colItem), "left")
+    val withU = u match {
+      case Some(n) => joined.withColumn("__u", lit(n.toDouble))
+      case None =>
+        val uAgg = dfSales.agg(countDistinct(col(colUser)).cast("double").as("__u"))
+        joined.crossJoin(broadcast(uAgg))
+    }
+    withU
+      .withColumn("log2", -log(2.0, col("pop_count") / col("__u")))
       .groupBy(col(colUser))
       .agg((sum(col("log2")) / count(lit(1))).as("msi"))
   }
