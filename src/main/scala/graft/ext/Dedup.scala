@@ -39,19 +39,68 @@ object Dedup {
       explode(graft.functions.WordShingles.shingles(col(textCol), k)).as("shingle"))
       .distinct()
 
+  /** Keep only shingles whose document frequency is ≤ `maxDf` — the stop-shingle cut.
+    * Boilerplate shingles ("all rights reserved...") appear in a huge share of a web
+    * corpus and make the candidate equi-join quadratic in their document frequency;
+    * dropping them from CANDIDATE GENERATION bounds that term while verification
+    * stays exact on the full shingle sets.
+    */
+  private def rareShingles(sh: DataFrame, maxDf: Long): DataFrame = {
+    val hot = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
+      .filter(col("df_sh") > maxDf)
+      .select(col("shingle"))
+    sh.join(broadcast(hot), Seq("shingle"), "left_anti")
+  }
+
   /** Pairwise shingle-Jaccard near-dup detection. Output: (id_a, id_b, jaccard) for
     * pairs with jaccard ≥ threshold, id_a < id_b. Candidate pairs come from the
     * shingle equi-join (docs sharing ≥1 shingle); prefer [[minhashLshPairs]] when the
     * co-occurrence join itself gets hot (very common shingles).
+    *
+    * `stopShingleMaxDf`: if set, shingles seen in more than that many documents are
+    * excluded from candidate generation (they contribute O(df²) join rows each);
+    * jaccard is still computed on the FULL shingle sets, so reported pairs keep exact
+    * values — only pairs whose every shared shingle is hot can be missed.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   k: Int = 3, threshold: Double = 0.5,
+                   stopShingleMaxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(df, idCol, textCol, k)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    stopShingleMaxDf match {
+      case None =>
+        // one-pass shape: the co-occurrence join IS both candidates and n_shared
+        val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+        val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+        a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+          .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
+          .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
+              .as("jaccard"))
+          .filter(col("jaccard") >= threshold)
+      case Some(maxDf) =>
+        // two-phase: candidates from rare shingles only, exact verify on full sets
+        val rare = rareShingles(sh, maxDf)
+        val a = rare.select(col(idCol).as("id_a"), col("shingle"))
+        val b = rare.select(col(idCol).as("id_b"), col("shingle"))
+        val candidates = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b").distinct()
+        verifyJaccard(candidates, sh, sizes, idCol, threshold)
+    }
+  }
+
+  /** Exact-Jaccard verification of a candidate pair table against the full shingle
+    * sets (shared by the capped jaccard path and MinHash+LSH).
+    */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame, sizes: DataFrame,
+                            idCol: String, threshold: Double): DataFrame = {
+    val shared = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(candidates, Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
+    candidates.join(shared, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_shared"))
       .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
       .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -82,12 +131,31 @@ object Dedup {
   /** MinHash + LSH banding: signatures are split into bands of `rowsPerBand`; docs
     * sharing any band key become candidates; candidates are verified with the exact
     * shingle Jaccard. Output: (id_a, id_b, jaccard), id_a < id_b, jaccard ≥ threshold.
+    *
+    * Skew hardening for web-scale corpora:
+    *  - `stopShingleMaxDf`: shingles above this document frequency are excluded from
+    *    SIGNATURE computation (boilerplate shingles otherwise dominate every doc's
+    *    minima, herding unrelated docs into the same buckets). Verification still
+    *    runs on the full shingle sets, so emitted jaccard values are exact.
+    *  - `saltFactor` > 1 spreads each hot band bucket over that many shuffle keys
+    *    (explode one join side over salts, hash-bucket the other) — identical
+    *    candidate pairs, `saltFactor`× the parallelism on the hottest key.
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      stopShingleMaxDf: Option[Long] = None,
+                      saltFactor: Int = 1): DataFrame = {
+    require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val numBands = numHashes / rowsPerBand
-    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val sh = shingles(df, idCol, textCol, k)
+    val shSig = stopShingleMaxDf.fold(sh)(rareShingles(sh, _))
+    val hashed = shSig.withColumn("h", tokenHash32(col("shingle")))
+    val aggs = (0 until numHashes).map { j =>
+      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(MinhashPrime))
+        .as(s"mh_$j")
+    }
+    val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
     // band key rows via UNION ALL of plain projections (mirrors the SQL oracle);
     // an explode(array(struct...)) here would run as an interpreted generator
     val banded = (0 until numBands).map { b =>
@@ -97,23 +165,21 @@ object Dedup {
     }.reduce(_ union _)
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
-    val candidates = x.join(y, Seq("band", "bkey"))
+    val joined =
+      if (saltFactor == 1) x.join(y, Seq("band", "bkey"))
+      else {
+        val xs = x.withColumn("salt",
+          explode(array((0 until saltFactor).map(lit): _*)))
+        val ys = y.withColumn("salt",
+          pmod(xxhash64(col("id_b")), lit(saltFactor)).cast("int"))
+        xs.join(ys, Seq("band", "bkey", "salt"))
+      }
+    val candidates = joined
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
 
-    val sh = shingles(df, idCol, textCol, k)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val shared = sh.select(col(idCol).as("id_a"), col("shingle"))
-      .join(candidates, Seq("id_a"))
-      .join(sh.select(col(idCol).as("id_b"), col("shingle")), Seq("id_b", "shingle"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_shared"))
-    candidates.join(shared, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_shared"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("na")), Seq("id_a"))
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("nb")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")))
-          .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    verifyJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
   /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of

@@ -66,6 +66,56 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 3L)), s"near-dup missed: $lsh")
   }
 
+  // skewed fixture: every doc ends with the same boilerplate (hot shingles,
+  // document frequency = corpus size) but above-threshold pairs share RARE shingles
+  private def skewedDocs = {
+    val boiler = "all rights reserved contact us for more information about this site"
+    val body = "sphinx of black quartz judge my vow while zephyrs wind the daft jumbled text " +
+      "pack my box with five dozen liquor jugs and the quick onyx goblin jumps over " +
+      "a lazy dwarf as bright vixens jump while dozy fowl quack loudly nearby"
+    (
+      (0 until 20).map(i => (i.toLong, s"unique$i alpha$i beta$i gamma$i delta$i epsilon$i $boiler")) :+
+      (100L, s"$body today $boiler") :+
+      (101L, s"$body tonight $boiler")
+    ).toDF("doc_id", "text")
+  }
+
+  test("stop-shingle cap leaves above-threshold jaccard pairs untouched") {
+    val uncapped = Dedup.jaccardPairs(skewedDocs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairs(skewedDocs, "doc_id", "text", k = 3, threshold = 0.5,
+        stopShingleMaxDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(uncapped.keySet == capped.keySet, s"pairs differ: $uncapped vs $capped")
+    uncapped.foreach { case (k, v) => assert(approx(capped(k), v)) } // exact values
+    assert(capped.contains((100L, 101L)))
+  }
+
+  test("minhash stop-shingle cap keeps the near-dup pair with exact jaccard") {
+    val uncapped = Dedup.minhashLshPairs(skewedDocs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.minhashLshPairs(skewedDocs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4, threshold = 0.5,
+        stopShingleMaxDf = Some(10L))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped.contains((100L, 101L)))
+    // values of surviving pairs are the exact full-set jaccard, unchanged by the cap
+    capped.keySet.intersect(uncapped.keySet)
+      .foreach(k => assert(approx(capped(k), uncapped(k))))
+  }
+
+  test("salted band-key join yields identical candidate pairs") {
+    val plain = Dedup.minhashLshPairs(skewedDocs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val salted = Dedup.minhashLshPairs(skewedDocs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4, threshold = 0.5, saltFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(plain.keySet == salted.keySet)
+    plain.foreach { case (k, v) => assert(approx(salted(k), v)) }
+  }
+
   test("simhash: identical docs get identical signatures, near-dups close hamming") {
     val sig = Dedup.simhash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
