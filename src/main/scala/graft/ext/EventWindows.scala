@@ -76,6 +76,51 @@ object EventWindows {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Skew-guarded sessionize: identical output to [[sessionize]], but no single
+    * window partition ever holds more than one user's events for one time chunk.
+    *
+    * [[sessionize]]'s `partitionBy(user)` window serializes ALL of a user's events
+    * into one task — a whale user (bot traffic) with 10⁸ events stalls the stage.
+    * Here events are sessionized within (user, chunk) partitions first (parallel
+    * across chunks of the same user), then chunk-local sessions whose boundary gap
+    * is ≤ the session gap are merged in a second window pass over the per-chunk
+    * SESSION list — orders of magnitude smaller than the event list for dense
+    * (bot-like) traffic, which is exactly the skew case.
+    *
+    * `chunk` is any `date_trunc` unit ("day", "hour"); chunks are disjoint time
+    * ranges, so chunk-local sessions never interleave across chunks and the merge
+    * is a linear scan per user. A session chain spanning many chunks merges
+    * transitively via the running sum.
+    */
+  def sessionizeChunked(events: DataFrame, userCol: String = "user_id",
+                        tsCol: String = "ts", gapMinutes: Int = 30,
+                        chunk: String = "day"): DataFrame = {
+    val gapMs = gapMinutes * 60000L
+    val e = events.select(col(userCol), unix_millis(col(tsCol)).as("__ms"),
+      date_trunc(chunk, col(tsCol)).as("__chunk"))
+    // phase 1: sessions within (user, chunk) — bounded partitions, parallel
+    val byChunk = Window.partitionBy(col(userCol), col("__chunk")).orderBy(col("__ms"))
+    val prevMs = lag(col("__ms"), 1).over(byChunk)
+    val localNew = when(prevMs.isNull || col("__ms") - prevMs > gapMs, 1L).otherwise(0L)
+    val local = e
+      .withColumn("__sid", sum(localNew)
+        .over(byChunk.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__chunk"), col("__sid"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("__ms")).as("start_ms"), max(col("__ms")).as("end_ms"))
+    // phase 2: merge boundary-adjacent chunk-local sessions (rows = sessions, not events)
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col("start_ms"), col("end_ms"))
+    val prevEnd = lag(col("end_ms"), 1).over(byUser)
+    val mergedNew = when(prevEnd.isNull || col("start_ms") - prevEnd > gapMs, 1L).otherwise(0L)
+    local
+      .withColumn("session_id", sum(mergedNew)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("session_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        min(col("start_ms")).as("start_ms"), max(col("end_ms")).as("end_ms"))
+      .withColumn("duration_ms", col("end_ms") - col("start_ms"))
+  }
+
   /** Extract the integer `k` property from the JSON `props` string with a portable
     * regexp (identical semantics in DuckDB), aggregate per event type.
     */

@@ -22,6 +22,32 @@ class EventWindowsSpec extends SparkTestBase {
     assert(out((2L, 1L)) == (1L, 0L))
   }
 
+  test("sessionizeChunked matches plain sessionize, incl. sessions spanning chunk boundaries") {
+    // dominant "bot" user: an event every 10 min for 3 days straight (one session
+    // spanning every day boundary), plus sparse users with gaps around midnight
+    val bot = (0 until (3 * 24 * 6)).map(i => (99L, ts(i * 10), 1.0))
+    val sparse = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(60), 1.0), // gap-split sessions
+      // user 2: events straddling the first midnight (1700000000000 is mid-day UTC;
+      // minutes 650-700 cross into the next day at some chunking) 20 min apart → one session
+      (2L, ts(650), 1.0), (2L, ts(670), 1.0), (2L, ts(690), 1.0), (2L, ts(710), 1.0),
+      // user 3: a >30-min gap exactly across a day boundary → two sessions
+      (3L, ts(600), 1.0), (3L, ts(900), 1.0)
+    )
+    val df = (bot ++ sparse).toDF("user_id", "ts", "value")
+    def canon(d: org.apache.spark.sql.DataFrame) = d
+      .select("user_id", "session_id", "n_events", "start_ms", "end_ms", "duration_ms")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(t => (t._1, t._2)).toSeq
+    val plain = canon(EventWindows.sessionize(df))
+    val chunkedDay = canon(EventWindows.sessionizeChunked(df, chunk = "day"))
+    val chunkedHour = canon(EventWindows.sessionizeChunked(df, chunk = "hour"))
+    assert(chunkedDay == plain)
+    assert(chunkedHour == plain)
+    // the bot's 3-day run must have merged into a single session
+    assert(plain.count(_._1 == 99L) == 1)
+  }
+
   test("hourlyStats buckets by hour and type") {
     val h0 = new Timestamp(3600L * 1000 * 500000)
     val df = Seq(
