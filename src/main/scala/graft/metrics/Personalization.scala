@@ -27,11 +27,27 @@ object Personalization {
   /** Pairwise user-user cosine similarities over shared items, long format.
     * Output: (u1, u2, sim) with u1 < u2 — only pairs with at least one shared item
     * (absent pairs have cosine 0).
+    *
+    * `maxItemUsers`: optional hot-item cap. The self-join's shuffle grows with
+    * Σ_item n_users(item)² — one item bought by every user makes the metric
+    * quadratic in users. Items above the cap are dropped from the count vectors
+    * BEFORE the join (norms and dots stay mutually consistent: cosine is computed
+    * exactly in the reduced item space). Same rationale as DIMSUM's sampling of
+    * heavy columns: near-universal items carry almost no signal about how users
+    * differ, so the approximation error is small (quantified in
+    * PersonalizationSpec) while the quadratic term is bounded by the cap.
     */
-  def pairwiseCosine(df: DataFrame, colUser: String, colItem: String): DataFrame = {
+  def pairwiseCosine(df: DataFrame, colUser: String, colItem: String,
+                     maxItemUsers: Option[Long] = None): DataFrame = {
     // no cache: c's exchange is shared by both join sides + norms via ReuseExchange
-    val c = df.groupBy(col(colUser), col(colItem))
+    val c0 = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v"))
+    val c = maxItemUsers.fold(c0) { cap =>
+      // c0 has one row per (user, item) → per-item row count == user count
+      val hot = c0.groupBy(col(colItem)).agg(count(lit(1)).as("n_users_item"))
+        .filter(col("n_users_item") > cap).select(col(colItem))
+      c0.join(broadcast(hot), Seq(colItem), "left_anti")
+    }
     val norms = c.groupBy(col(colUser))
       .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
     val a = c.select(col(colUser).as("u1"), col(colItem).as("i"), col("v").as("va"))
@@ -46,18 +62,28 @@ object Personalization {
 
   /** Scalar personalization via the Catalyst-native self-join path. Two actions
     * consume the (user,item) counts, so that compact aggregate is cached — not the
-    * raw input.
+    * raw input. `maxItemUsers` as in [[pairwiseCosine]]; `n` (the pair-count
+    * denominator) always counts ALL users, capped or not.
     */
-  def personalization(df: DataFrame, colUser: String, colItem: String): Double = {
-    val c = df.groupBy(col(colUser), col(colItem))
+  def personalization(df: DataFrame, colUser: String, colItem: String,
+                      maxItemUsers: Option[Long] = None): Double = {
+    val c0 = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v")).cache()
     try {
-      val n = c.select(col(colUser)).distinct().count()
+      val n = c0.select(col(colUser)).distinct().count()
       if (n < 2) return 0.0
+      val c = maxItemUsers.fold(c0) { cap =>
+        val hot = c0.groupBy(col(colItem)).agg(count(lit(1)).as("n_users_item"))
+          .filter(col("n_users_item") > cap).select(col(colItem))
+        // anti-join moves the join key to column 0; restore (user, item, v) order
+        // for the positional access in pairwiseCosineFromCounts
+        c0.join(broadcast(hot), Seq(colItem), "left_anti")
+          .select(col(colUser), col(colItem), col("v"))
+      }
       val sumSim = pairwiseCosineFromCounts(c, colUser)
         .agg(coalesce(sum(col("sim")), lit(0.0))).first().getDouble(0)
       1.0 - 2.0 * sumSim / (n.toDouble * (n - 1))
-    } finally { c.unpersist(); () }
+    } finally { c0.unpersist(); () }
   }
 
   /** Pairwise cosine from a pre-aggregated (user, item, v) counts table. */

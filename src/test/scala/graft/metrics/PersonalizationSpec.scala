@@ -50,6 +50,29 @@ class PersonalizationSpec extends SparkTestBase {
     assert(a >= 0.0 && a <= 1.0)
   }
 
+  test("hot-item cap: generous cap is exact, tight cap errs small and bounds the join") {
+    // fixture where every user shares one universal item, otherwise mostly distinct
+    val rows = (for (u <- 1 to 30) yield (u, 0)) ++ // item 0: bought by all 30 users
+      (for (u <- 1 to 30; i <- 1 to 40 if (u * 7 + i * 13) % 5 < 1) yield (u, i))
+    val df = rows.toDF("u", "i")
+    val exact = Personalization.personalization(df, "u", "i")
+    // cap above the hottest item's user count → nothing dropped, identical result
+    val uncut = Personalization.personalization(df, "u", "i", maxItemUsers = Some(30L))
+    assert(approx(uncut, exact, 1e-12))
+    // cap that drops only the universal item: error stays small (the universal
+    // item carries no discriminative signal) but the u² join term is gone
+    val capped = Personalization.personalization(df, "u", "i", maxItemUsers = Some(15L))
+    assert(capped != exact)
+    assert(math.abs(capped - exact) < 0.15,
+      s"cap error too large: exact=$exact capped=$capped")
+    // dropping the universal item can only make users look MORE dissimilar
+    assert(capped >= exact)
+    // pairwiseCosine honors the cap too: pairs sharing ONLY the hot item disappear
+    val pairsExact = Personalization.pairwiseCosine(df, "u", "i").count()
+    val pairsCapped = Personalization.pairwiseCosine(df, "u", "i", Some(15L)).count()
+    assert(pairsCapped < pairsExact)
+  }
+
   test("matrix-mean helpers match the reference's sign conventions (§2.4.6)") {
     // 3x3 similarity matrix, off-diagonal sims all 0.5 → Σ_all = 3 + 6*0.5 = 6
     assert(approx(Personalization.symmetricalMatrixMean(6.0, 3), 0.5))
