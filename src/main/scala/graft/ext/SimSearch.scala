@@ -155,6 +155,47 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Build and PERSIST an IVF index: k-means assignment written as parquet
+    * partitioned by `ivf_cell` (one directory per cell → probes prune whole
+    * files), plus the nCells centroids as a tiny side table. This is the
+    * production shape [[ivfIndex]]'s scaladoc promises: pay the clustering once,
+    * then serve many probes that each read only nProbe cells' files.
+    */
+  def ivfWriteIndex(df: DataFrame, vecCol: String, path: String,
+                    nCells: Int = 16, seed: Long = 42L): Unit = {
+    val spark = df.sparkSession
+    val (assigned, centroids) = ivfIndex(df, vecCol, nCells, seed)
+    assigned.write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/data")
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Probe a persisted IVF index by query VECTOR (service shape — the query need
+    * not be in the corpus): pick the nProbe nearest centroids from the O(nCells)
+    * side table, then scan ONLY those cells' parquet partitions (`ivf_cell IN`
+    * becomes a partition filter — zero bytes read from the other cells) with
+    * exact cosine + TakeOrderedAndProject inside.
+    */
+  def ivfProbePersistedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                            idCol: String, vecCol: String, queryVec: Seq[Float],
+                            k: Int, nProbe: Int = 4): DataFrame = {
+    val qd = queryVec.map(_.toDouble).toArray
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    spark.read.parquet(s"$path/data")
+      .filter(col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), queryVec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
     * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
     * candidates whose bucket is within `maxHammingProbe` of the query's bucket.

@@ -64,6 +64,37 @@ class SimSearchSpec extends SparkTestBase {
     assert(pairs.forall { case (a, b) => (a < 5) == (b < 5) })
   }
 
+  test("persisted IVF index: probe prunes to nProbe cells' files and keeps recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    try {
+      SimSearch.ivfWriteIndex(corpus, "embedding", dir, nCells = 4)
+      val qVec = corpus.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      val probed = SimSearch.ivfProbePersistedTopK(spark, dir, "vec_id", "embedding",
+        qVec, k = 11, nProbe = 2)
+      val rows = probed.collect()
+      // file pruning: the scan carries a partition filter on ivf_cell, and the
+      // executed scan read at most the probed cells' partitions
+      val planStr = probed.queryExecution.executedPlan.toString
+      assert(planStr.contains("PartitionFilters") && planStr.contains("ivf_cell"),
+        s"no partition filter in plan:\n$planStr")
+      val scans = probed.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      assert(scans.head.selectedPartitions.partitionCount <= 2,
+        s"probe read ${scans.head.selectedPartitions.partitionCount} partitions, expected <= 2")
+      // recall vs brute force (self-match included in probe since query IS id 0;
+      // drop it before comparing)
+      val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val got = rows.map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+      val recall = (exact & got).size.toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall exact=$exact got=$got")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("topKForQueries matches per-id brute force for every query") {
     val queries = corpus.filter(col("vec_id").isin(0L, 7L, 25L))
     val batch = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 5)
