@@ -113,15 +113,80 @@ object AnalyticsQueries {
       |WHERE l_returnflag = 'R'
       |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
 
+  /** Q15-like top supplier per brand: argmax-per-group via a rank-1 window over the
+    * aggregated revenue — the window partitions by brand (parallel), never globally.
+    * Ranking key is the EXACT decimal revenue (ties broken by s_suppkey), so Spark
+    * and DuckDB pick the same winner even when doubles would tie.
+    */
+  def qTopSupplierBrand(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_suppkey"), col("s_name"))
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount")).as("rev"))
+    val byBrand = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev").desc, col("s_suppkey"))
+    g.withColumn("rnk", row_number().over(byBrand))
+      .filter(col("rnk") === 1)
+      .select(col("p_brand"), col("s_suppkey"), col("s_name"),
+        round(col("rev").cast("double"), 6).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
+  val topSupplierBrandSql: String =
+    s"""WITH g AS (SELECT p_brand, s_suppkey, s_name, $revenueDecSql AS rev
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY p_brand, s_suppkey, s_name),
+      |r AS (SELECT p_brand, s_suppkey, s_name, rev,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY rev DESC, s_suppkey) AS rnk
+      |  FROM g)
+      |SELECT p_brand, s_suppkey, s_name, ROUND(CAST(rev AS DOUBLE), 6) AS revenue
+      |FROM r WHERE rnk = 1 ORDER BY p_brand""".stripMargin
+
+  /** Per-customer order cadence: lag window partitioned by customer (parallel across
+    * customers, no global sort), average gap in days between consecutive orders.
+    * Only customers with ≥ 2 orders appear.
+    */
+  def qOrderGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byCust = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val epochDay = unix_timestamp(col("o_orderdate")).cast("double") / 86400.0
+    Tables.orders(spark, dir)
+      .withColumn("gap_days", epochDay - lag(epochDay, 1).over(byCust))
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(avg(col("gap_days")), 6).as("avg_gap_days"))
+      .filter(col("n_orders") >= 2)
+      .orderBy(col("o_custkey"))
+  }
+
+  val orderGapsSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS DOUBLE) / 86400.0 AS d FROM orders),
+      |g AS (SELECT o_custkey,
+      |    d - lag(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS gap_days
+      |  FROM o)
+      |SELECT o_custkey, COUNT(*) AS n_orders,
+      |  ROUND(AVG(gap_days), 6) AS avg_gap_days
+      |FROM g GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shipping_priority" -> (qShippingPriority _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
-    "q_returned_item_losses" -> (qReturnedItemLosses _)
+    "q_returned_item_losses" -> (qReturnedItemLosses _),
+    "q_top_supplier_brand" -> (qTopSupplierBrand _),
+    "q_order_gaps" -> (qOrderGaps _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_shipping_priority" -> shippingPrioritySql,
     "q_local_supplier_volume" -> localSupplierVolumeSql,
-    "q_returned_item_losses" -> returnedItemLossesSql
+    "q_returned_item_losses" -> returnedItemLossesSql,
+    "q_top_supplier_brand" -> topSupplierBrandSql,
+    "q_order_gaps" -> orderGapsSql
   )
 }

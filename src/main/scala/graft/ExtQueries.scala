@@ -193,6 +193,56 @@ object ExtQueries {
       |SELECT query_id, rank, vec_id, ROUND(cos_raw, 6) AS cosine
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
+  /** End-to-end corpus curation — the composed shape a training-data pipeline runs:
+    * quality filter (length band) → exact dedup keeping canonical docs → per-language
+    * corpus stats. Exercises operator COMPOSITION under one plan: the filter pushes
+    * to the parquet scan, dedup's group-and-join-back consumes the filtered scan, and
+    * the final aggregate is map-side partial.
+    */
+  def qCorpusCuration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(col("n_chars").between(100, 2000))
+    val canon = Dedup.exactDedup(docs, "doc_id", "text")
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    docs.join(canon, Seq("doc_id"))
+      .withColumn("n_tokens",
+        length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_chars")), 6).as("avg_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusCurationSql: String =
+    """WITH f AS (SELECT * FROM documents WHERE n_chars BETWEEN 100 AND 2000),
+      |g AS (SELECT md5(text) AS h, MIN(doc_id) AS canonical_id FROM f GROUP BY 1),
+      |k AS (SELECT f.* FROM f JOIN g ON md5(f.text) = g.h AND f.doc_id = g.canonical_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(length(text) - length(replace(text, ' ', '')) + 1) AS BIGINT)
+      |    AS total_tokens,
+      |  ROUND(AVG(n_chars), 6) AS avg_chars
+      |FROM k GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Per-label embedding centroids in long format (label, dimension, mean) — class
+    * prototypes for embedding-space analysis. posexplode turns the array into
+    * (pos, value) rows so the mean is one map-side-partial hash aggregate keyed by
+    * (label, pos); no array column ever crosses the shuffle.
+    */
+  def qLabelCentroid(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), (col("pos") + 1).cast("long").as("dim"))
+      .agg(round(avg(col("col").cast("double")), 6).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val labelCentroidSql: String =
+    """SELECT label, i AS dim,
+      |  ROUND(AVG(embedding[i]::DOUBLE), 6) AS centroid
+      |FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
+      |GROUP BY label, i ORDER BY label, i""".stripMargin
+
   // -------------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------------
@@ -376,6 +426,8 @@ object ExtQueries {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
+    "q_corpus_curation" -> (qCorpusCuration _),
+    "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
     "q_token_count" -> (qTokenCount _),
@@ -396,6 +448,8 @@ object ExtQueries {
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
+    "q_corpus_curation" -> corpusCurationSql,
+    "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
     "q_token_count" -> tokenCountSql,
