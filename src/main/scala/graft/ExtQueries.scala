@@ -340,6 +340,40 @@ object ExtQueries {
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Sliding 1h/30min windows per event type — each event lands in exactly two
+    * windows. The oracle replays Spark's epoch-aligned `window()` semantics with a
+    * 2-way generate_series fan-out: window starts are the event's 30-min floor
+    * boundary and the one before it.
+    */
+  def qSlidingHourly(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.slidingStats(Tables.events(spark, dir), "1 hour", "30 minutes")
+      .orderBy(col("window_start"), col("event_type"))
+
+  val slidingHourlySql: String =
+    """WITH e AS (SELECT event_type, value, epoch_ms(ts) / 1000.0 AS es FROM events),
+      |w AS (SELECT event_type, value,
+      |    CAST(floor(es / 1800) * 1800 - k * 1800 AS BIGINT) AS window_start
+      |  FROM e CROSS JOIN generate_series(0, 1) s(k))
+      |SELECT window_start, window_start + 3600 AS window_end, event_type,
+      |  COUNT(*) AS n_events,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_value
+      |FROM w GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
+
+  /** Catalog coverage over time: per hour, the fraction of the customer base active
+    * in events — the event-time variant of the coverage metric.
+    */
+  def qCoverageTime(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.coverageOverTime(Tables.events(spark, dir),
+        Tables.customer(spark, dir), "user_id", "c_custkey")
+      .orderBy(col("window_start"))
+
+  val coverageTimeSql: String =
+    """WITH c AS (SELECT COUNT(DISTINCT c_custkey) AS cat FROM customer)
+      |SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+      |  COUNT(DISTINCT user_id) AS n_items,
+      |  ROUND(COUNT(DISTINCT user_id) * 1.0 / (SELECT cat FROM c), 6) AS coverage
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(Tables.events(spark, dir), gapMinutes = 30)
       .orderBy(col("user_id"), col("session_id"))
@@ -434,6 +468,8 @@ object ExtQueries {
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
     "q_event_hourly" -> (qEventHourly _),
+    "q_sliding_hourly" -> (qSlidingHourly _),
+    "q_coverage_time" -> (qCoverageTime _),
     "q_sessionize" -> (qSessionize _),
     "q_event_props" -> (qEventProps _),
     "q_pricing_summary" -> (qPricingSummary _),
@@ -456,6 +492,8 @@ object ExtQueries {
     "q_fingerprint" -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_event_hourly" -> eventHourlySql,
+    "q_sliding_hourly" -> slidingHourlySql,
+    "q_coverage_time" -> coverageTimeSql,
     "q_sessionize" -> sessionizeSql,
     "q_event_props" -> eventPropsSql,
     "q_pricing_summary" -> pricingSummarySql,

@@ -48,10 +48,13 @@ object EventWindows {
   def coverageOverTime(events: DataFrame, catalog: DataFrame,
                        itemCol: String, catalogItemCol: String,
                        tsCol: String = "ts"): DataFrame = {
-    val catalogSize = catalog.agg(countDistinct(col(catalogItemCol))).first().getLong(0)
+    // catalog size folded in as a broadcast 1-row aggregate — single job, no eager action
+    val catSize = catalog.agg(countDistinct(col(catalogItemCol)).cast("double").as("__cat"))
     events.groupBy(unix_timestamp(date_trunc("hour", col(tsCol))).as("window_start"))
       .agg(countDistinct(col(itemCol)).as("n_items"))
-      .withColumn("coverage", round(col("n_items") / lit(catalogSize.toDouble), 6))
+      .crossJoin(broadcast(catSize))
+      .withColumn("coverage", round(col("n_items") / col("__cat"), 6))
+      .drop("__cat")
   }
 
   /** Gap-based sessionization: a new session starts when a user's inter-event gap
