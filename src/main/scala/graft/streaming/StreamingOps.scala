@@ -25,6 +25,24 @@ object StreamingOps {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Streaming exact dedup — the incremental twin of [[graft.ext.Dedup.exactDedup]]:
+    * only the FIRST document with each content hash passes through; later arrivals
+    * within the watermark horizon are dropped.
+    *
+    * Keying on the md5 digest (not the text) keeps per-key state at 32 bytes, and
+    * `dropDuplicatesWithinWatermark` expires state once the watermark passes a
+    * duplicate's event time — bounded state at 100 TB/day ingest, at the cost of
+    * re-admitting a duplicate that recurs after the horizon (the batch dedup is the
+    * exact backstop).
+    */
+  def dedupExactStream(stream: DataFrame, tsCol: String = "ts",
+                       textCol: String = "text",
+                       watermark: String = "1 hour"): DataFrame =
+    stream
+      .withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("text_md5")
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

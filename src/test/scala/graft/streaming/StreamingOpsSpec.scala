@@ -16,11 +16,13 @@ class StreamingOpsSpec extends SparkTestBase {
   test("hourlyStats aggregates a stream incrementally with watermark") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Ev]
+    // data must be added BEFORE an AvailableNow query starts: the trigger snapshots
+    // available offsets at start, so a late addData races a zero-row completion
+    input.addData(Ev(ts(0), "click", 1.0), Ev(ts(10), "click", 2.0),
+      Ev(ts(70), "view", 5.0))
     val query = StreamingOps.hourlyStats(input.toDF(), watermark = "2 hours")
       .writeStream.format("memory").queryName("hourly_out")
       .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    input.addData(Ev(ts(0), "click", 1.0), Ev(ts(10), "click", 2.0),
-      Ev(ts(70), "view", 5.0))
     query.processAllAvailable()
     query.stop()
     val out = spark.table("hourly_out").collect()
@@ -47,5 +49,26 @@ class StreamingOpsSpec extends SparkTestBase {
     val out = spark.table("sessions_out").as[StreamingOps.SessionOut].collect()
     assert(out.exists(s => s.user_id == 1L && s.n_events == 2 && s.sum_value == 3.0),
       s"got ${out.mkString(";")}")
+  }
+
+  final case class Doc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("streaming exact dedup passes first occurrence only, across batches") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val query = StreamingOps.dedupExactStream(input.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(Doc(ts(0), 1L, "alpha"), Doc(ts(1), 2L, "beta"),
+      Doc(ts(2), 3L, "alpha")) // in-batch duplicate
+    query.processAllAvailable()
+    input.addData(Doc(ts(5), 4L, "alpha"), Doc(ts(6), 5L, "gamma")) // cross-batch dup
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("dedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    assert(out.map(_._2).sorted.toSeq == Seq("alpha", "beta", "gamma"),
+      s"got ${out.mkString(";")}")
+    assert(out.toMap.get(1L).contains("alpha")) // the FIRST alpha won
   }
 }
