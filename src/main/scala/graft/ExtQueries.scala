@@ -93,6 +93,31 @@ object ExtQueries {
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Near-dup clusters: connected components (min-label) over the exact-jaccard
+    * pair table — each clustered doc mapped to its cluster's min doc_id. The oracle
+    * computes the same components with a recursive CTE (transitive min-reachability).
+    */
+  def qDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+        Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+          k = 3, threshold = 0.5))
+      .orderBy(col("id"))
+
+  val dupClustersSql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT id_a, id_b FROM p
+      |      JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |      WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |      SELECT a, a FROM edges UNION SELECT a, b FROM edges
+      |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+      |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -457,6 +482,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_dup_clusters" -> (qDupClusters _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
@@ -481,6 +507,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dup_clusters" -> dupClustersSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,

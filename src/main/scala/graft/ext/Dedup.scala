@@ -182,6 +182,45 @@ object Dedup {
     verifyJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
+  /** Connected components over a near-dup pair table: every document in a duplicate
+    * cluster gets the cluster's minimum id as `cluster_id` — the step a dedup
+    * pipeline runs AFTER pair generation to pick one canonical doc per cluster
+    * (pairs alone aren't actionable: a↔b and b↔c must collapse to one keep-decision).
+    *
+    * Algorithm: iterative min-label propagation — each round, every node takes the
+    * min label among itself and its neighbors; converges in O(diameter) rounds.
+    * Each round is two shuffles (join + groupBy) on the EDGE table; dup clusters in
+    * practice are tiny and dense (diameter ≤ ~3: copies of one original), so
+    * `maxIter` 10 is generous. The loop checkpoints the label table every round via
+    * localCheckpoint to cut the growing lineage. Singleton docs (no pairs) are
+    * absent from the output — join against the corpus if they're needed.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    var labels = edges.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
+      .union(edges.select(col("id_a").as("id"), col("id_b").as("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      .localCheckpoint(eager = true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // each node adopts the min of its own label and its neighbors' labels
+      val next = edges
+        .join(labels.select(col("id").as("id_b"), col("cluster_id").as("nbr")), Seq("id_b"))
+        .select(col("id_a").as("id"), col("nbr"))
+        .union(labels.select(col("id"), col("cluster_id").as("nbr")))
+        .groupBy(col("id")).agg(min(col("nbr")).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
+        .filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
   /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of
     * the signature is 1 iff Σ_tokens tf·(bit_j(h32(token)) ? +1 : −1) > 0.
     * 32-bit signature (from the 32-bit portable hash). Output: (id, simhash).

@@ -66,6 +66,15 @@ class DedupSpec extends SparkTestBase {
     assert(lsh.contains((1L, 3L)), s"near-dup missed: $lsh")
   }
 
+  test("dupClusters: transitive chains collapse to the min id, components stay apart") {
+    // path graph 1-2-3-4 (diameter 3, needs >1 propagation round) + separate pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   // skewed fixture: every doc ends with the same boilerplate (hot shingles,
   // document frequency = corpus size) but above-threshold pairs share RARE shingles
   private def skewedDocs = {
