@@ -268,6 +268,26 @@ object ExtQueries {
       |FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
       |GROUP BY label, i ORDER BY label, i""".stripMargin
 
+  /** Per-language document-length quantiles — exact `percentile` (linear
+    * interpolation, same R-7 definition as DuckDB's `quantile_cont`). At extreme
+    * scale swap for `percentile_approx` (t-digest sketch, map-side mergeable) —
+    * the exact form shuffles per-group value multisets.
+    */
+  def qQualityQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(round(expr("percentile(n_chars, 0.5)"), 6).as("p50_chars"),
+        round(expr("percentile(n_chars, 0.9)"), 6).as("p90_chars"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"))
+
+  val qualityQuantilesSql: String =
+    """SELECT lang,
+      |  ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+      |  ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------------------
   // Text analysis
   // -------------------------------------------------------------------------
@@ -487,6 +507,7 @@ object ExtQueries {
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_corpus_curation" -> (qCorpusCuration _),
+    "q_quality_quantiles" -> (qQualityQuantiles _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -512,6 +533,7 @@ object ExtQueries {
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_corpus_curation" -> corpusCurationSql,
+    "q_quality_quantiles" -> qualityQuantilesSql,
     "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
