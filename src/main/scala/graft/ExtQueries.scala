@@ -419,6 +419,35 @@ object ExtQueries {
       |  ROUND(COUNT(DISTINCT user_id) * 1.0 / (SELECT cat FROM c), 6) AS coverage
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** As-of join: each event picks up the most recent prior order-day aggregate of
+    * its user ([[AsOfJoin.asOf]] — union + carry-forward window, one shuffle).
+    * The oracle is DuckDB's NATIVE `ASOF LEFT JOIN`, so the semantics (inclusive
+    * bound, null when no prior order) are checked against an independent
+    * first-class implementation.
+    */
+  def qAsofLastOrder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), (unix_timestamp(col("o_orderdate")) * 1000).as("oms"))
+      .agg(count(lit(1)).as("n_day"),
+        round(sum(AnalyticsQueries.dec(col("o_totalprice"))).cast("double"), 6)
+          .as("day_total"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ems"))
+    AsOfJoin.asOf(e, o, "user_id", "o_custkey", "ems", "oms",
+        Seq("oms", "n_day", "day_total"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofLastOrderSql: String =
+    """WITH o AS (SELECT o_custkey, CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS oms,
+      |    COUNT(*) AS n_day,
+      |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS day_total
+      |  FROM orders GROUP BY 1, 2),
+      |e AS (SELECT event_id, user_id, epoch_ms(ts) AS ems FROM events)
+      |SELECT e.event_id, e.user_id, e.ems, o.oms, o.n_day, o.day_total
+      |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ems >= o.oms
+      |ORDER BY e.event_id""".stripMargin
+
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(Tables.events(spark, dir), gapMinutes = 30)
       .orderBy(col("user_id"), col("session_id"))
@@ -518,6 +547,7 @@ object ExtQueries {
     "q_sliding_hourly" -> (qSlidingHourly _),
     "q_coverage_time" -> (qCoverageTime _),
     "q_sessionize" -> (qSessionize _),
+    "q_asof_last_order" -> (qAsofLastOrder _),
     "q_event_props" -> (qEventProps _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_brand_revenue" -> (qBrandRevenue _)
@@ -544,6 +574,7 @@ object ExtQueries {
     "q_sliding_hourly" -> slidingHourlySql,
     "q_coverage_time" -> coverageTimeSql,
     "q_sessionize" -> sessionizeSql,
+    "q_asof_last_order" -> asofLastOrderSql,
     "q_event_props" -> eventPropsSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_brand_revenue" -> brandRevenueSql

@@ -1,0 +1,47 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def left = Seq(
+    (1L, 10L, 100L), // key 10 at t=100
+    (2L, 10L, 250L),
+    (3L, 20L, 50L), // key 20 before any right row
+    (4L, 20L, 400L),
+    (5L, 30L, 999L) // key absent from right entirely
+  ).toDF("event_id", "k", "t")
+
+  private def right = Seq(
+    (10L, 100L, "a"), // exactly at left t=100 → matched (inclusive)
+    (10L, 200L, "b"),
+    (10L, 300L, "c"), // after every left row of key 10
+    (20L, 400L, "d")
+  ).toDF("rk", "rt", "payload")
+
+  test("asOf picks the most recent right row at or before each left time") {
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+    assert(out == Map(
+      1L -> Some("a"), // inclusive bound at equal timestamps
+      2L -> Some("b"), // 200 <= 250 < 300
+      3L -> None, // no right row yet
+      4L -> Some("d"), // equal timestamp again
+      5L -> None // key never appears on the right
+    ))
+  }
+
+  test("asOf keeps every left row exactly once and all left columns") {
+    val out = AsOfJoin.asOf(left, right, "k", "rk", "t", "rt", Seq("payload"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("event_id", "k", "t", "payload"))
+  }
+
+  test("payload name collision with a left column is rejected") {
+    intercept[IllegalArgumentException] {
+      AsOfJoin.asOf(left, right.withColumnRenamed("payload", "t"),
+        "k", "rk", "t", "rt", Seq("t"))
+    }
+  }
+}
