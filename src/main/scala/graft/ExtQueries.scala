@@ -268,6 +268,47 @@ object ExtQueries {
       |FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
       |GROUP BY label, i ORDER BY label, i""".stripMargin
 
+  /** Deterministic train/val/test assignment: split is a pure md5-bucket function
+    * of doc_id (reproducible, join-free, stable under data growth); the query
+    * reports the per-(lang, split) composition of the corpus.
+    */
+  def qDatasetSplit(spark: SparkSession, dir: String): DataFrame =
+    Splits.withSplit(Tables.documents(spark, dir), "doc_id",
+        trainPct = 80, valPct = 10)
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("split"))
+
+  val datasetSplitSql: String =
+    """WITH b AS (SELECT lang,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bk
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs
+      |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** TF-IDF top-3 terms per document (smoothed idf, rank window with term
+    * tie-break).
+    */
+  def qTfidf(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidfTopTerms(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"), col("rank"))
+
+  val tfidfSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |s AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    tf.tf * ln((n.n + 1) / (dfreq.df + 1)) AS tfidf
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      |r AS (SELECT s.*, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY tfidf DESC, term) AS rank FROM s)
+      |SELECT doc_id, rank, term, tf, df, ROUND(tfidf, 6) AS tfidf
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** Per-language document-length quantiles — exact `percentile` (linear
     * interpolation, same R-7 definition as DuckDB's `quantile_cont`). At extreme
     * scale swap for `percentile_approx` (t-digest sketch, map-side mergeable) —
@@ -537,6 +578,8 @@ object ExtQueries {
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
+    "q_dataset_split" -> (qDatasetSplit _),
+    "q_tfidf" -> (qTfidf _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
@@ -564,6 +607,8 @@ object ExtQueries {
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_quality_quantiles" -> qualityQuantilesSql,
+    "q_dataset_split" -> datasetSplitSql,
+    "q_tfidf" -> tfidfSql,
     "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,

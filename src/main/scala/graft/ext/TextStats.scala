@@ -24,6 +24,31 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** TF-IDF top-k terms per document: tf from the per-doc term counts, smoothed
+    * idf `ln((N+1)/(df+1))`, rank-1..k window per doc (descending score, ties by
+    * term). Three shuffles — (doc,term) counts, term document frequencies, the
+    * per-doc rank window — all keyed and partial-aggregated; the corpus size is a
+    * broadcast 1-row aggregate. The rank window compiles to WindowGroupLimit, so
+    * only each partition's top k rows per doc reach the exchange.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+    val tf = tok.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).cast("double").as("__n"))
+    val byDoc = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") * log((col("__n") + 1) / (col("df") + 1)))
+      .withColumn("rank", row_number().over(byDoc).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
+  }
+
   /** Simple quality features + composite score in [0,1]. */
   def qualityDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
