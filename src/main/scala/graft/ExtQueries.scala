@@ -268,6 +268,39 @@ object ExtQueries {
       |FROM embeddings CROSS JOIN generate_series(1, 64) s(i)
       |GROUP BY label, i ORDER BY label, i""".stripMargin
 
+  /** Repeat-purchase intensity via the bucketed range join: for each order, how
+    * many OTHER orders the same customer placed in the 90 days ending at (and
+    * including) that order's date. Zero-count orders are kept via the left
+    * join-back. The oracle uses DuckDB's plain inequality join — same semantics,
+    * different algorithm.
+    */
+  def qRepeatOrders(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("pms"))
+    val iv = base.select(col("o_orderkey").as("iv_orderkey"),
+      col("o_custkey").as("iv_custkey"), col("pms").as("ivs"),
+      (col("pms") + lit(90L * day)).as("ive"))
+    val counts = RangeJoin.rangeJoinPairs(base, iv,
+        "o_custkey", "iv_custkey", "pms", "ivs", "ive", bucketWidth = 90L * day)
+      .filter(col("o_orderkey") =!= col("iv_orderkey"))
+      .groupBy(col("o_orderkey")).agg(count(lit(1)).as("__n"))
+    base.join(counts, Seq("o_orderkey"), "left")
+      .select(col("o_orderkey"),
+        coalesce(col("__n"), lit(0L)).cast("long").as("n_prior_90d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val repeatOrdersSql: String =
+    """WITH p AS (SELECT o_orderkey, o_custkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS ms FROM orders)
+      |SELECT a.o_orderkey, COUNT(b.o_orderkey) AS n_prior_90d
+      |FROM p a LEFT JOIN p b
+      |  ON a.o_custkey = b.o_custkey AND a.o_orderkey <> b.o_orderkey
+      |  AND a.ms >= b.ms AND a.ms < b.ms + 7776000000
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic train/val/test assignment: split is a pure md5-bucket function
     * of doc_id (reproducible, join-free, stable under data growth); the query
     * reports the per-(lang, split) composition of the corpus.
@@ -579,6 +612,7 @@ object ExtQueries {
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
     "q_dataset_split" -> (qDatasetSplit _),
+    "q_repeat_orders" -> (qRepeatOrders _),
     "q_tfidf" -> (qTfidf _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
@@ -608,6 +642,7 @@ object ExtQueries {
     "q_corpus_curation" -> corpusCurationSql,
     "q_quality_quantiles" -> qualityQuantilesSql,
     "q_dataset_split" -> datasetSplitSql,
+    "q_repeat_orders" -> repeatOrdersSql,
     "q_tfidf" -> tfidfSql,
     "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def points = Seq(
+    (1L, 10L, 100L), (2L, 10L, 199L), (3L, 10L, 200L), // 200 = exclusive end
+    (4L, 20L, 150L), // other key
+    (5L, 10L, 5000L) // far outside every interval
+  ).toDF("pid", "k", "t")
+
+  private def intervals = Seq(
+    (100L, 10L, 100L, 200L), // [100, 200) on key 10
+    (101L, 10L, 150L, 250L), // overlapping interval, same key
+    (102L, 20L, 100L, 200L) // key 20
+  ).toDF("iid", "ik", "s", "e")
+
+  private def pairs(bucket: Long) = RangeJoin.rangeJoinPairs(
+      points, intervals, "k", "ik", "t", "s", "e", bucket)
+    .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private val expected = Set(
+    (1L, 100L), // t=100 inclusive start
+    (2L, 100L), (2L, 101L), // t=199 in both key-10 intervals
+    (3L, 101L), // t=200 excluded from [100,200), inside [150,250)
+    (4L, 102L) // key isolation
+  )
+
+  test("range join matches point-in-[start,end) per key, exactly once per pair") {
+    assert(pairs(bucket = 100L) == expected)
+  }
+
+  test("bucket width does not change the result (tiny and huge buckets)") {
+    assert(pairs(bucket = 7L) == expected)
+    assert(pairs(bucket = 100000L) == expected)
+  }
+}
