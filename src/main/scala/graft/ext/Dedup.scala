@@ -196,8 +196,12 @@ object Dedup {
     * absent from the output — join against the corpus if they're needed.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    // materialize the edge table once: every propagation round joins against it,
+    // and without this the whole upstream pair pipeline (shingle join included)
+    // would re-execute per round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint(eager = true)
     var labels = edges.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
       .union(edges.select(col("id_a").as("id"), col("id_b").as("cluster_id")))
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
