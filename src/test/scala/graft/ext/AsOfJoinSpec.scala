@@ -44,4 +44,28 @@ class AsOfJoinSpec extends SparkTestBase {
         "k", "rk", "t", "rt", Seq("t"))
     }
   }
+
+  test("differential vs brute force on a pseudo-random fixture") {
+    // deterministic pseudo-random events/states over a handful of keys
+    val ls = (0 until 300).map { i =>
+      (i.toLong, (i * 7919 % 5).toLong, (i * 104729 % 1000).toLong)
+    }
+    val rs = (0 until 120).map { j =>
+      (j * 6101 % 5L, (j * 15485863 % 1000).toLong, j.toLong)
+    }
+    val l = ls.toDF("event_id", "k", "t")
+    val r = rs.toDF("rk", "rt", "rid")
+    val got = AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    // brute force: max rt <= t per key, tie-broken like the window (last row wins
+    // among equal rt — make rt unique per key to sidestep the ambiguity)
+    val rByKey = rs.groupBy(_._1)
+    val expected = ls.map { case (id, k, t) =>
+      val cands = rByKey.getOrElse(k, Seq.empty).filter(_._2 <= t)
+      id -> (if (cands.isEmpty) -1L else cands.maxBy(c => (c._2, c._3))._3)
+    }.toMap
+    val rtUnique = rs.groupBy(x => (x._1, x._2)).forall(_._2.size == 1)
+    assert(rtUnique, "fixture must have unique (key, rt) for a deterministic oracle")
+    assert(got == expected)
+  }
 }

@@ -37,4 +37,24 @@ class RangeJoinSpec extends SparkTestBase {
     assert(pairs(bucket = 7L) == expected)
     assert(pairs(bucket = 100000L) == expected)
   }
+
+  test("differential vs the naive inequality join on a pseudo-random fixture") {
+    val ps = (0 until 200).map { i =>
+      (i.toLong, (i * 7919 % 4).toLong, (i * 104729 % 500).toLong)
+    }
+    val ivs = (0 until 80).map { j =>
+      val s = (j * 15485863 % 500).toLong
+      (1000L + j, (j * 6101 % 4).toLong, s, s + 1 + (j * 31 % 60))
+    }
+    val p = ps.toDF("pid", "k", "t")
+    val iv = ivs.toDF("iid", "ik", "s", "e")
+    val got = RangeJoin.rangeJoinPairs(p, iv, "k", "ik", "t", "s", "e", bucketWidth = 64L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pid, k, t) <- ps
+      (iid, ik, s, e) <- ivs
+      if k == ik && t >= s && t < e
+    } yield (pid, iid)).toSet
+    assert(got == expected)
+  }
 }
