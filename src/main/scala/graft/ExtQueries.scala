@@ -444,6 +444,35 @@ object ExtQueries {
       |      ('0x' || substr(md5(text), 1, 8))::BIGINT AS h FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** Byte-histogram features through the REAL per-partition batch path
+    * ([[graft.multimodal.Multimodal.featurize]] — the mapPartitions codec loop, not
+    * a column expression), exploded to long format. The oracle replays the
+    * histogram in SQL: the corpus is ASCII, so each byte is `ascii(substr(...))`
+    * and the bin is integer `code*16//256`; absent bins densify to 0 via a
+    * generate_series cross join.
+    */
+  def qMultimodalHist(spark: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.withFakeMedia(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), "text")
+    graft.multimodal.Multimodal.featurize(media, "media", bins = 16)
+      .select(col("doc_id"), posexplode(col("features")))
+      .select(col("doc_id"), col("pos").cast("long").as("bin"),
+        round(col("col"), 6).as("frac"))
+      .orderBy(col("doc_id"), col("bin"))
+  }
+
+  val multimodalHistSql: String =
+    """WITH ch AS (SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text))) AS i FROM documents),
+      |agg AS (SELECT doc_id, (ascii(substr(text, i, 1)) * 16) // 256 AS bin,
+      |    COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      |dn AS (SELECT doc_id, length(text) AS n FROM documents),
+      |bins AS (SELECT doc_id, n, b AS bin
+      |  FROM dn CROSS JOIN generate_series(0, 15) g(b))
+      |SELECT b.doc_id, b.bin, ROUND(COALESCE(a.c, 0) * 1.0 / b.n, 6) AS frac
+      |FROM bins b LEFT JOIN agg a ON b.doc_id = a.doc_id AND b.bin = a.bin
+      |ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------------------
   // Event-time operators
   // -------------------------------------------------------------------------
@@ -620,6 +649,7 @@ object ExtQueries {
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
+    "q_multimodal_hist" -> (qMultimodalHist _),
     "q_event_hourly" -> (qEventHourly _),
     "q_sliding_hourly" -> (qSlidingHourly _),
     "q_coverage_time" -> (qCoverageTime _),
@@ -650,6 +680,7 @@ object ExtQueries {
     "q_token_count" -> tokenCountSql,
     "q_fingerprint" -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_multimodal_hist" -> multimodalHistSql,
     "q_event_hourly" -> eventHourlySql,
     "q_sliding_hourly" -> slidingHourlySql,
     "q_coverage_time" -> coverageTimeSql,
