@@ -174,12 +174,53 @@ object AnalyticsQueries {
       |  ROUND(AVG(gap_days), 6) AS avg_gap_days
       |FROM g GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin
 
+  /** Q4-idiom semi-join: orders having at least one returned line, counted per
+    * priority. `left_semi` never materializes the match — each order contributes
+    * once no matter how many lines matched (broadcast/shuffled hash semi at the
+    * physical layer); the oracle states the same thing as EXISTS.
+    */
+  def qOrdersWithReturns(spark: SparkSession, dir: String): DataFrame = {
+    val returned = Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R").select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(returned, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val ordersWithReturnsSql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |  WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Anti-join: customers who never placed an order, per market segment
+    * (`left_anti` ⇔ NOT EXISTS).
+    */
+  def qCustomersNoOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val customersNoOrdersSql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_customers
+      |FROM customer c
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shipping_priority" -> (qShippingPriority _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
     "q_returned_item_losses" -> (qReturnedItemLosses _),
     "q_top_supplier_brand" -> (qTopSupplierBrand _),
-    "q_order_gaps" -> (qOrderGaps _)
+    "q_order_gaps" -> (qOrderGaps _),
+    "q_orders_with_returns" -> (qOrdersWithReturns _),
+    "q_customers_no_orders" -> (qCustomersNoOrders _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -187,6 +228,8 @@ object AnalyticsQueries {
     "q_local_supplier_volume" -> localSupplierVolumeSql,
     "q_returned_item_losses" -> returnedItemLossesSql,
     "q_top_supplier_brand" -> topSupplierBrandSql,
-    "q_order_gaps" -> orderGapsSql
+    "q_order_gaps" -> orderGapsSql,
+    "q_orders_with_returns" -> ordersWithReturnsSql,
+    "q_customers_no_orders" -> customersNoOrdersSql
   )
 }
