@@ -20,11 +20,17 @@ object Dedup {
 
   /** Exact dedup: canonical id (min) per identical text. Output:
     * (id, canonical_id, group_size) — rows whose id != canonical_id are the drops.
+    *
+    * Null-safe: null texts hash to a sentinel so they form one group like any
+    * other duplicate class — a plain `md5(text)` join key would silently DROP
+    * every null-text row (null join keys never match), losing data instead of
+    * deduplicating it.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val groups = df.groupBy(md5(col(textCol)).as("text_md5"))
+    val key = coalesce(md5(col(textCol)), lit("__null_text__"))
+    val groups = df.groupBy(key.as("text_md5"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("group_size"))
-    df.select(col(idCol), md5(col(textCol)).as("text_md5"))
+    df.select(col(idCol), key.as("text_md5"))
       .join(groups, "text_md5")
       .select(col(idCol), col("canonical_id"), col("group_size"))
   }

@@ -21,6 +21,17 @@ class DedupSpec extends SparkTestBase {
     assert(out(3L) == (3L, 1L) && out(4L) == (4L, 1L))
   }
 
+  test("exactDedup groups null texts instead of silently dropping them") {
+    val withNulls = Seq(
+      (1L, Some("alpha")), (2L, None), (3L, None), (4L, Some("alpha"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(withNulls, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 4, s"rows lost: $out") // nothing dropped
+    assert(out(2L) == (2L, 2L) && out(3L) == (2L, 2L)) // nulls form one group
+    assert(out(1L) == (1L, 2L) && out(4L) == (1L, 2L))
+  }
+
   test("shingles: n tokens → n-k+1 distinct k-grams") {
     val one = Seq((1L, "a b c d e")).toDF("doc_id", "text")
     val sh = Dedup.shingles(one, "doc_id", "text", k = 3).collect().map(_.getString(1))
