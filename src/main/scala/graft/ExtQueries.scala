@@ -321,6 +321,22 @@ object ExtQueries {
       |  COUNT(*) AS n_docs
       |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Balanced corpus sample: at most 50 docs per language, drawn by deterministic
+    * md5-of-id order ([[Splits.balancedSample]]).
+    */
+  def qBalancedSample(spark: SparkSession, dir: String): DataFrame =
+    Splits.balancedSample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("lang")),
+        "doc_id", "lang", maxPerGroup = 50)
+      .orderBy(col("lang"), col("doc_id"))
+
+  val balancedSampleSql: String =
+    """WITH r AS (SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rk <= 50 ORDER BY lang, doc_id""".stripMargin
+
   /** TF-IDF top-3 terms per document (smoothed idf, rank window with term
     * tie-break).
     */
@@ -641,6 +657,7 @@ object ExtQueries {
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
     "q_dataset_split" -> (qDatasetSplit _),
+    "q_balanced_sample" -> (qBalancedSample _),
     "q_repeat_orders" -> (qRepeatOrders _),
     "q_tfidf" -> (qTfidf _),
     "q_label_centroid" -> (qLabelCentroid _),
@@ -672,6 +689,7 @@ object ExtQueries {
     "q_corpus_curation" -> corpusCurationSql,
     "q_quality_quantiles" -> qualityQuantilesSql,
     "q_dataset_split" -> datasetSplitSql,
+    "q_balanced_sample" -> balancedSampleSql,
     "q_repeat_orders" -> repeatOrdersSql,
     "q_tfidf" -> tfidfSql,
     "q_label_centroid" -> labelCentroidSql,

@@ -31,4 +31,21 @@ object Splits {
   def withSplit(df: DataFrame, idCol: String,
                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), trainPct, valPct))
+
+  /** Deterministic balanced sampling: keep at most `maxPerGroup` rows per group,
+    * chosen by md5-of-id order — a reproducible "random" draw (same rows every
+    * run, stable under repartitioning) for dataset balancing / per-class caps.
+    * The rank-≤-k window compiles to WindowGroupLimit, so each partition forwards
+    * at most `maxPerGroup` rows per group before the shuffle.
+    */
+  def balancedSample(df: DataFrame, idCol: String, groupCol: String,
+                     maxPerGroup: Int): DataFrame = {
+    require(maxPerGroup > 0, s"maxPerGroup must be positive, got $maxPerGroup")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= maxPerGroup)
+      .drop("__rk")
+  }
 }
