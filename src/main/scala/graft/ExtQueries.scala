@@ -118,6 +118,48 @@ object ExtQueries {
       |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
       |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Cross-modal agreement: each text near-dup pair (exact jaccard ≥ 0.5) paired
+    * with the cosine of the two docs' embeddings (doc_id ⇔ vec_id) — the check a
+    * pipeline runs to see whether text-level and embedding-level similarity agree.
+    * Composition showcase: dedup pair generation × vector similarity in one plan.
+    */
+  def qDupPairCosine(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.jaccardPairs(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, threshold = 0.5)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(SimSearch.dot(col("embedding"), col("embedding"))).as("nrm"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        round(SimSearch.dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val dupPairCosineSql: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |pr AS (SELECT id_a, id_b,
+      |      n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) AS jaccard
+      |      FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |      WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |e AS (SELECT vec_id, embedding,
+      |      sqrt(list_sum(list_transform(generate_series(1, 64),
+      |        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |      FROM embeddings)
+      |SELECT pr.id_a, pr.id_b, ROUND(pr.jaccard, 6) AS jaccard,
+      |  ROUND(list_sum(list_transform(generate_series(1, 64),
+      |    i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+      |    / (x.nrm * y.nrm), 6) AS cosine
+      |FROM pr JOIN e x ON pr.id_a = x.vec_id JOIN e y ON pr.id_b = y.vec_id
+      |ORDER BY pr.id_a, pr.id_b""".stripMargin
+
   def qDedupSimhash(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -651,6 +693,7 @@ object ExtQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dup_pair_cosine" -> (qDupPairCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
@@ -683,6 +726,7 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_dup_pair_cosine" -> dupPairCosineSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
