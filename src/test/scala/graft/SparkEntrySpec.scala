@@ -1,0 +1,39 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract guards for the driver surface: every declared query must carry its
+  * DuckDB oracle (a query without one silently downgrades to a rows-only check
+  * in the driver), and the key sets must stay consistent.
+  */
+class SparkEntrySpec extends AnyFunSuite {
+
+  test("every query has an oracle and every oracle has a query") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty, s"queries missing oracles: ${(q -- o).toSeq.sorted}")
+    assert((o -- q).isEmpty, s"oracles without queries: ${(o -- q).toSeq.sorted}")
+  }
+
+  test("query names follow the q_ convention and are non-empty SQL") {
+    SparkEntry.queries.keys.foreach(k => assert(k.startsWith("q_"), k))
+    SparkEntry.oracleSql.foreach { case (k, sql) =>
+      assert(sql.trim.toUpperCase.startsWith("WITH") ||
+        sql.trim.toUpperCase.startsWith("SELECT"), s"$k oracle doesn't look like SQL")
+    }
+  }
+
+  test("integer SUMs in oracle SQL are BIGINT-cast (DuckDB DECIMAL128 trap)") {
+    // DuckDB SUM over an integer column yields DECIMAL128(38,0) while Spark
+    // yields int64 — any un-cast SUM over a known integer column in a FINAL
+    // projection breaks the driver's typed hash. Heuristic guard: the known
+    // integer-sum aliases introduced so far must carry the cast.
+    val knownIntSums = Seq("cum_volume", "session_id", "sum_k", "total_tokens")
+    for ((name, sql) <- SparkEntry.oracleSql; alias <- knownIntSums
+         if sql.contains(s"AS $alias")) {
+      val ok = sql.contains(s"AS BIGINT) AS $alias") ||
+        !sql.replaceAll("(?s)\\s+", " ").matches(s".*SUM\\([^)]*\\) AS $alias.*")
+      assert(ok, s"$name: SUM AS $alias lacks CAST(... AS BIGINT)")
+    }
+  }
+}
