@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench` as JSON;
+// sbt's trailing "[success] Total time: ..." line broke that in rounds 1-2
+// (BENCH_r{1,2}.json parsed:null). Suppress it so the program's own JSON line
+// is last.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -120,19 +120,26 @@ object Dedup {
   def minhashA(j: Int): Long = 2L * j + 3
   def minhashB(j: Int): Long = 1000003L * (j + 1)
 
-  /** MinHash signatures: one column mh_j per hash function (numHashes columns).
-    * min over the doc's shingles of (A_j·h32(shingle) + B_j) mod P.
+  /** MinHash signature aggregation over a pre-built (id, shingle) table — the one
+    * place the per-hash min-agg formula lives, so [[minhashSignatures]] and
+    * [[minhashLshPairs]] (and the SQL oracle mirroring it) can't drift apart.
     */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 16): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-      .withColumn("h", tokenHash32(col("shingle")))
+  def signaturesFromShingles(sh: DataFrame, idCol: String,
+                             numHashes: Int = 16): DataFrame = {
+    val hashed = sh.withColumn("h", tokenHash32(col("shingle")))
     val aggs = (0 until numHashes).map { j =>
       min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(MinhashPrime))
         .as(s"mh_$j")
     }
-    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures: one column mh_j per hash function (numHashes columns).
+    * min over the doc's shingles of (A_j·h32(shingle) + B_j) mod P.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16): DataFrame =
+    signaturesFromShingles(shingles(df, idCol, textCol, k), idCol, numHashes)
 
   /** MinHash + LSH banding: signatures are split into bands of `rowsPerBand`; docs
     * sharing any band key become candidates; candidates are verified with the exact
@@ -156,12 +163,7 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val sh = shingles(df, idCol, textCol, k)
     val shSig = stopShingleMaxDf.fold(sh)(rareShingles(sh, _))
-    val hashed = shSig.withColumn("h", tokenHash32(col("shingle")))
-    val aggs = (0 until numHashes).map { j =>
-      min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(MinhashPrime))
-        .as(s"mh_$j")
-    }
-    val sig = hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val sig = signaturesFromShingles(shSig, idCol, numHashes)
     // band key rows via UNION ALL of plain projections (mirrors the SQL oracle);
     // an explode(array(struct...)) here would run as an interpreted generator
     val banded = (0 until numBands).map { b =>
@@ -201,7 +203,25 @@ object Dedup {
     * localCheckpoint to cut the growing lineage. Singleton docs (no pairs) are
     * absent from the output — join against the corpus if they're needed.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
+    dupClustersWithStats(pairs, maxIter) match {
+      case (labels, iters, converged) =>
+        if (!converged)
+          // partially-converged labels over-split clusters (a chain longer than
+          // maxIter hops ends up under several cluster_ids) — loud, not silent
+          throw new IllegalStateException(
+            s"dupClusters did not converge after $iters rounds; a duplicate " +
+              "cluster has diameter > maxIter. Raise maxIter (rounds needed = " +
+              "max cluster diameter, typically <= 3 for near-dup copies).")
+        labels
+    }
+
+  /** [[dupClusters]] with convergence telemetry: (labels, rounds run, converged).
+    * Callers that can tolerate partial labels (e.g. progressive refinement)
+    * use this instead of the throwing wrapper.
+    */
+  def dupClustersWithStats(pairs: DataFrame,
+                           maxIter: Int = 10): (DataFrame, Int, Boolean) = {
     // materialize the edge table once: every propagation round joins against it,
     // and without this the whole upstream pair pipeline (shingle join included)
     // would re-execute per round
@@ -228,7 +248,7 @@ object Dedup {
       converged = changed == 0
       iter += 1
     }
-    labels
+    (labels, iter, converged)
   }
 
   /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of

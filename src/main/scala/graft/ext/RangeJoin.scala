@@ -24,17 +24,39 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `maxBucketsPerInterval` guards the `sequence()` explode: an interval vastly
+    * longer than `bucketWidth` (e.g. an open-ended Long.MaxValue sentinel end)
+    * would otherwise generate a huge — or over-the-sequence-limit — bucket array
+    * at runtime. Such rows now fail fast with a clear message telling the caller
+    * to raise `bucketWidth` (or cap sentinel ends). Empty intervals
+    * (`end <= start`, which contain no point under half-open semantics) are
+    * dropped before the explode instead of producing a spurious descending
+    * `sequence`.
+    */
   def rangeJoinPairs(points: DataFrame, intervals: DataFrame,
                      pointKey: String, intervalKey: String,
                      pointTime: String, startCol: String, endCol: String,
-                     bucketWidth: Long): DataFrame = {
+                     bucketWidth: Long,
+                     maxBucketsPerInterval: Long = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval > 0,
+      s"maxBucketsPerInterval must be positive, got $maxBucketsPerInterval")
     val common = points.columns.toSet.intersect(intervals.columns.toSet)
     require(common.isEmpty, s"point/interval column names collide: $common")
     val w = lit(bucketWidth)
     val p = points.withColumn("__bk", floor(col(pointTime) / w))
-    val iv = intervals.withColumn("__bk",
-      explode(sequence(floor(col(startCol) / w), floor((col(endCol) - 1) / w))))
+    val firstBk = floor(col(startCol) / w)
+    val lastBk = floor((col(endCol) - 1) / w)
+    val nBuckets = lastBk - firstBk + 1
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bk", explode(
+        when(nBuckets <= lit(maxBucketsPerInterval), sequence(firstBk, lastBk))
+          .otherwise(raise_error(concat(
+            lit(s"rangeJoinPairs: interval [${startCol}, ${endCol}) spans "),
+            nBuckets.cast("string"),
+            lit(s" buckets (> max $maxBucketsPerInterval at bucketWidth " +
+              s"$bucketWidth); raise bucketWidth or cap sentinel ends"))))))
     p.join(iv,
         col(pointKey) === col(intervalKey) &&
           p("__bk") === iv("__bk") &&

@@ -86,6 +86,19 @@ class DedupSpec extends SparkTestBase {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("dupClusters: non-convergence is loud, not silently partial") {
+    // path graph 1-2-...-8 (diameter 7): maxIter=2 can't finish propagating
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, iters, converged) = Dedup.dupClustersWithStats(chain, maxIter = 2)
+    assert(!converged && iters == 2)
+    val e = intercept[IllegalStateException](Dedup.dupClusters(chain, maxIter = 2))
+    assert(e.getMessage.contains("did not converge"))
+    // and with headroom the same chain converges to one cluster
+    val (labels, _, ok) = Dedup.dupClustersWithStats(chain, maxIter = 10)
+    assert(ok)
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
+  }
+
   // skewed fixture: every doc ends with the same boilerplate (hot shingles,
   // document frequency = corpus size) but above-threshold pairs share RARE shingles
   private def skewedDocs = {

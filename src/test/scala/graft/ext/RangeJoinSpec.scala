@@ -38,6 +38,28 @@ class RangeJoinSpec extends SparkTestBase {
     assert(pairs(bucket = 100000L) == expected)
   }
 
+  test("empty intervals (end <= start) match nothing instead of exploding a descending sequence") {
+    val iv = Seq(
+      (200L, 10L, 150L, 150L), // empty: [150, 150)
+      (201L, 10L, 180L, 120L), // inverted
+      (202L, 10L, 100L, 200L) // normal, catches points 1 and 2
+    ).toDF("iid", "ik", "s", "e")
+    val got = RangeJoin.rangeJoinPairs(points, iv, "k", "ik", "t", "s", "e", 50L)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 202L), (2L, 202L)))
+  }
+
+  test("an interval spanning more than maxBucketsPerInterval buckets fails fast") {
+    val sentinel = Seq((300L, 10L, 0L, Long.MaxValue)).toDF("iid", "ik", "s", "e")
+    val e = intercept[Exception] {
+      RangeJoin.rangeJoinPairs(points, sentinel, "k", "ik", "t", "s", "e",
+        bucketWidth = 100L, maxBucketsPerInterval = 1000L).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("rangeJoinPairs")), s"unexpected error: $e")
+  }
+
   test("differential vs the naive inequality join on a pseudo-random fixture") {
     val ps = (0 until 200).map { i =>
       (i.toLong, (i * 7919 % 4).toLong, (i * 104729 % 500).toLong)
