@@ -16,6 +16,9 @@ run / fork := true
 // (BENCH_r{1,2}.json parsed:null). Suppress it so the program's own JSON line
 // is last.
 Global / showSuccess := false
+// ...and don't route the forked JVM's stdout through sbt's logger, which
+// prefixes every line with "[info] " — the JSON must be bare on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
