@@ -16,6 +16,7 @@ run / fork := true
 // (BENCH_r{1,2}.json parsed:null). Suppress it so the program's own JSON line
 // is last.
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // used by commands, not tasks
 // ...and don't route the forked JVM's stdout through sbt's logger, which
 // prefixes every line with "[info] " — the JSON must be bare on stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)

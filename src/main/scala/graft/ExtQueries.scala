@@ -686,6 +686,136 @@ object ExtQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Corpus quality (Gopher/C4-style), n-gram stats, PII (round 3)
+  // -------------------------------------------------------------------------
+
+  def qGopherQuality(spark: SparkSession, dir: String): DataFrame =
+    TextQuality.gopherSignals(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  /** Bigram CTE shared by the quality + top-ngram oracles: slice+array_to_string
+    * mirrors WordShingles' short-document behavior (a 1-token doc yields its one
+    * token, not a NULL from concatenating a missing element).
+    */
+  private val bigramsSql =
+    """bg AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(l) - 1, 1)),
+      |    i -> array_to_string(l[i:i+1], ' '))) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))""".stripMargin
+
+  val gopherQualitySql: String =
+    s"""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents),
+      |tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+      |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct, MAX(c) AS max_tf FROM tc GROUP BY 1),
+      |$bigramsSql,
+      |ba AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS n_distinct_bg
+      |    FROM bg GROUP BY 1)
+      |SELECT ta.doc_id, n_tokens,
+      |  ROUND(n_distinct * 1.0 / n_tokens, 6) AS type_token_ratio,
+      |  ROUND(max_tf * 1.0 / n_tokens, 6) AS top_token_ratio,
+      |  ROUND(1 - n_distinct_bg * 1.0 / n_bg, 6) AS dup_bigram_frac,
+      |  (max_tf * 1.0 / n_tokens <= 0.20
+      |    AND 1 - n_distinct_bg * 1.0 / n_bg <= 0.30) AS keep
+      |FROM ta JOIN ba ON ta.doc_id = ba.doc_id ORDER BY ta.doc_id""".stripMargin
+
+  def qTopNgrams(spark: SparkSession, dir: String): DataFrame =
+    TextQuality.topNgrams(Tables.documents(spark, dir), "doc_id", "text",
+        k = 2, topN = 20)
+      .orderBy(col("rank"))
+
+  val topNgramsSql: String =
+    s"""WITH $bigramsSql,
+      |sh AS (SELECT DISTINCT doc_id, b AS ngram FROM bg),
+      |f AS (SELECT ngram, COUNT(*) AS doc_freq FROM sh GROUP BY 1
+      |      ORDER BY doc_freq DESC, ngram LIMIT 20)
+      |SELECT ngram, doc_freq,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, ngram) AS BIGINT) AS rank
+      |FROM f ORDER BY rank""".stripMargin
+
+  /** PII fixture shared verbatim by the Spark query and the VALUES-based oracle —
+    * the generated corpus has no PII, so an on-corpus query would be a vacuous
+    * all-zeros check; a literal fixture exercises the regex semantics for real
+    * (and proves the pattern strings behave identically under java.util.regex
+    * and RE2).
+    */
+  private[graft] val piiFixture: Seq[(Long, String)] = Seq(
+    (1L, "reach us at alice.smith@example.com or 555-123-4567 during business hours"),
+    (2L, "ssn on file 123-45-6789 card 4111 1111 1111 1111 expires soon"),
+    (3L, "no sensitive content in this row just plain words"),
+    (4L, "bob@corp.io and carol@site.org both wrote while 999-555-0199 rang"))
+
+  def qPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = piiFixture.toDF("doc_id", "text")
+    TextQuality.piiCounts(docs, "doc_id", "text")
+      .join(docs.select(col("doc_id"),
+        TextQuality.redactPii(col("text")).as("redacted")), "doc_id")
+      .select(col("doc_id"), col("redacted"), col("n_emails"), col("n_cards"),
+        col("n_ssns"), col("n_phones"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String = {
+    val values = piiFixture
+      .map { case (id, text) => s"(CAST($id AS BIGINT), '$text')" }
+      .mkString(",\n    ")
+    import TextQuality.{EmailRe, CardRe, SsnRe, PhoneRe}
+    s"""WITH docs(doc_id, text) AS (VALUES
+      |    $values)
+      |SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |    '$EmailRe', '<EMAIL>', 'g'),
+      |    '$CardRe', '<CARD>', 'g'),
+      |    '$SsnRe', '<SSN>', 'g'),
+      |    '$PhoneRe', '<PHONE>', 'g') AS redacted,
+      |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '$CardRe')) AS BIGINT) AS n_cards,
+      |  CAST(len(regexp_extract_all(text, '$SsnRe')) AS BIGINT) AS n_ssns,
+      |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones
+      |FROM docs ORDER BY doc_id""".stripMargin
+  }
+
+  // -------------------------------------------------------------------------
+  // Funnel + cohort retention (round 3)
+  // -------------------------------------------------------------------------
+
+  def qFunnel(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelCounts(Tables.events(spark, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+
+  val funnelSql: String =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |    JOIN s1 ON e.user_id = s1.user_id
+      |    WHERE e.event_type = 'click' AND e.ts >= s1.t GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |    JOIN s2 ON e.user_id = s2.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ts >= s2.t GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_stage_1,
+      |       (SELECT COUNT(*) FROM s2) AS n_stage_2,
+      |       (SELECT COUNT(*) FROM s3) AS n_stage_3""".stripMargin
+
+  def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
+    Funnel.cohortRetention(Tables.events(spark, dir), "user_id", "ts")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  val cohortRetentionSql: String =
+    """WITH weekly AS (SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+      |c AS (SELECT user_id, MIN(wk) AS cw FROM weekly GROUP BY 1),
+      |j AS (SELECT w.user_id, c.cw, w.wk
+      |    FROM weekly w JOIN c ON w.user_id = c.user_id)
+      |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+      |  CAST(date_diff('day', cw, wk) / 7 AS BIGINT) AS week_offset,
+      |  COUNT(*) AS n_users
+      |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> (qDedupExact _),
@@ -717,7 +847,12 @@ object ExtQueries {
     "q_asof_last_order" -> (qAsofLastOrder _),
     "q_event_props" -> (qEventProps _),
     "q_pricing_summary" -> (qPricingSummary _),
-    "q_brand_revenue" -> (qBrandRevenue _)
+    "q_brand_revenue" -> (qBrandRevenue _),
+    "q_gopher_quality" -> (qGopherQuality _),
+    "q_top_ngrams" -> (qTopNgrams _),
+    "q_pii_redact" -> (qPiiRedact _),
+    "q_funnel" -> (qFunnel _),
+    "q_cohort_retention" -> (qCohortRetention _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -750,6 +885,11 @@ object ExtQueries {
     "q_asof_last_order" -> asofLastOrderSql,
     "q_event_props" -> eventPropsSql,
     "q_pricing_summary" -> pricingSummarySql,
-    "q_brand_revenue" -> brandRevenueSql
+    "q_brand_revenue" -> brandRevenueSql,
+    "q_gopher_quality" -> gopherQualitySql,
+    "q_top_ngrams" -> topNgramsSql,
+    "q_pii_redact" -> piiRedactSql,
+    "q_funnel" -> funnelSql,
+    "q_cohort_retention" -> cohortRetentionSql
   )
 }

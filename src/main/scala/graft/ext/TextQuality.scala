@@ -1,0 +1,104 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-quality operators in the Gopher/C4 filtering tradition (Rae et al. 2021
+  * §A1.1; Raffel et al. 2020 §2.2): repetition and diversity signals that
+  * large-scale training-data pipelines use to drop boilerplate and degenerate
+  * documents, plus corpus-level n-gram statistics and PII redaction.
+  *
+  * North-star extensions beyond the reference (SURVEY.md §7.2.6). Every metric is
+  * groupBy/aggregate-shaped — shuffles key on doc_id (uniform), partial
+  * aggregation applies map-side, nothing is quadratic — and each has a 1:1 DuckDB
+  * formulation for the oracle.
+  */
+object TextQuality {
+
+  /** Per-document repetition/diversity signals:
+    *  - `n_tokens`: whitespace token count
+    *  - `type_token_ratio`: distinct / total tokens (low → repetitive)
+    *  - `top_token_ratio`: most frequent token's share (high → degenerate)
+    *  - `dup_bigram_frac`: 1 − distinct/total bigrams (high → looping text)
+    *  - `keep`: the composite Gopher-style keep decision
+    *
+    * Two aggregations keyed on doc_id (token stats, bigram stats) joined back —
+    * both partial-aggregate map-side; per-doc state is O(distinct tokens), never
+    * corpus-wide.
+    */
+  def gopherSignals(df: DataFrame, idCol: String, textCol: String,
+                    maxTopTokenRatio: Double = 0.20,
+                    maxDupBigramFrac: Double = 0.30): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+    val tokenStats = tf.groupBy(col(idCol)).agg(
+      sum(col("c")).as("n_tokens"),
+      count(lit(1)).as("n_distinct"),
+      max(col("c")).as("max_tf"))
+    // bigrams WITH duplicates (repetition is the signal, so no distinct here)
+    val bigramStats = df.select(col(idCol),
+        explode(graft.functions.WordShingles.shingles(col(textCol), 2)).as("b"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bg"),
+        countDistinct(col("b")).as("n_distinct_bg"))
+    val ttr = col("n_distinct").cast("double") / col("n_tokens")
+    val topTf = col("max_tf").cast("double") / col("n_tokens")
+    val dupBg = lit(1.0) - col("n_distinct_bg").cast("double") / col("n_bg")
+    tokenStats.join(bigramStats, idCol)
+      .select(col(idCol),
+        col("n_tokens"),
+        round(ttr, 6).as("type_token_ratio"),
+        round(topTf, 6).as("top_token_ratio"),
+        round(dupBg, 6).as("dup_bigram_frac"),
+        (topTf <= maxTopTokenRatio && dupBg <= maxDupBigramFrac).as("keep"))
+  }
+
+  /** Corpus-wide top-`topN` word `k`-grams by document frequency (distinct per doc,
+    * so a single looping document can't dominate). The global top-N runs as
+    * TakeOrderedAndProject — per-partition heaps, only N rows per partition reach
+    * the driver-side merge; no single-partition global sort. Ties break on the
+    * n-gram text for determinism.
+    */
+  def topNgrams(df: DataFrame, idCol: String, textCol: String,
+                k: Int = 2, topN: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = Dedup.shingles(df, idCol, textCol, k)
+      .groupBy(col("shingle").as("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("ngram"))
+      .limit(topN)
+    // rank window runs AFTER the top-N cut — topN rows, not the corpus
+    byFreq.withColumn("rank",
+      row_number().over(Window.orderBy(col("doc_freq").desc, col("ngram")))
+        .cast("long"))
+  }
+
+  // PII patterns — RE2-safe (no backreferences/lookaround) so the same pattern
+  // string runs in Spark (java.util.regex) and DuckDB (RE2) identically.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val CardRe = "[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}"
+  val SsnRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact PII spans with typed placeholders. Order matters: card before
+    * ssn/phone (a card's groups would otherwise partially match the shorter
+    * digit patterns), ssn before phone (disjoint shapes, but explicit beats
+    * implicit). Pure codegen'd expression — no UDF.
+    */
+  def redactPii(text: Column): Column = {
+    val e = regexp_replace(text, EmailRe, "<EMAIL>")
+    val c = regexp_replace(e, CardRe, "<CARD>")
+    val s = regexp_replace(c, SsnRe, "<SSN>")
+    regexp_replace(s, PhoneRe, "<PHONE>")
+  }
+
+  /** Per-document PII hit counts (pre-redaction), one column per class. */
+  def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(CardRe)).cast("long").as("n_cards"),
+      regexp_count(t, lit(SsnRe)).cast("long").as("n_ssns"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"))
+  }
+}

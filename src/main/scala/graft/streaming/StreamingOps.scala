@@ -43,6 +43,73 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  final case class CandidatePair(id_a: Long, id_b: Long)
+
+  /** Streaming MinHash+LSH near-dup candidate detection — the incremental twin of
+    * [[graft.ext.Dedup.minhashLshPairs]]'s candidate-generation stage. Arriving
+    * documents are signed and banded with the SAME hash family as the batch
+    * operator; state is one Long per occupied band bucket (the bucket's canonical
+    * = minimum doc id), and a document landing in an occupied bucket emits a
+    * `(canonical, doc)` candidate pair.
+    *
+    * Two structural differences from the batch path, both forced by streaming:
+    *  - the signature is a per-row fold over the shingle array
+    *    (`functions.aggregate`) instead of an explode + groupBy min — zero
+    *    shuffle before the keyed state, so no streaming-aggregation watermark is
+    *    needed for signing;
+    *  - candidates are NOT Jaccard-verified here (verification needs both full
+    *    shingle sets; run the batch `verifyJaccard` over the emitted pairs, or
+    *    join pairs back against a document store downstream). The same pair can
+    *    also emit from several bands — `.distinct()` downstream.
+    *
+    * State grows with distinct occupied buckets (8 bytes + key per bucket), the
+    * same asymptotics as the batch band table; add a state-store TTL in
+    * deployment if the corpus is unbounded.
+    */
+  def minhashCandidatesStream(docs: DataFrame, idCol: String = "doc_id",
+                              textCol: String = "text", k: Int = 3,
+                              numHashes: Int = 16, rowsPerBand: Int = 4)
+      : Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    import graft.ext.Dedup
+    val numBands = numHashes / rowsPerBand
+    val shingleArr = graft.functions.WordShingles.shingles(col(textCol), k)
+    val mh = (0 until numHashes).map { j =>
+      aggregate(shingleArr, lit(Long.MaxValue), (acc, s) =>
+        least(acc, (lit(Dedup.minhashA(j)) * Dedup.tokenHash32(s)
+          + lit(Dedup.minhashB(j))) % lit(Dedup.MinhashPrime)))
+        .as(s"mh_$j")
+    }
+    val sig = docs.select(col(idCol).cast("long").as("__id") +: mh: _*)
+    val banded = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }
+    // per-row generator over numBands elements — interpreted, but O(bands), not hot
+    val keyed = sig
+      .select(col("__id"), explode(array(banded: _*)).as("bk"))
+      .select(col("__id").as("_1"), col("bk.band").as("_2"), col("bk.bkey").as("_3"))
+      .as[(Long, Int, String)]
+    keyed
+      .groupByKey { case (_, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[Long, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Long, Int, String)], state: GroupState[Long]) =>
+          val ids = it.map(_._1).toSeq.distinct.sorted
+          val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
+          var canon = state.getOption.getOrElse(Long.MaxValue)
+          ids.foreach { id =>
+            if (canon == Long.MaxValue) canon = id
+            else if (id != canon) {
+              out += CandidatePair(math.min(canon, id), math.max(canon, id))
+              canon = math.min(canon, id)
+            }
+          }
+          if (canon != Long.MaxValue) state.update(canon)
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

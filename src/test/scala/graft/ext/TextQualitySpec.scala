@@ -1,0 +1,58 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextQualitySpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("gopherSignals flags repetitive text and keeps diverse text") {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "a varied document with many different interesting words inside it")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.gopherSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .toMap
+    val (n1, ttr1, top1, dup1, keep1) = out(1L)
+    assert(n1 == 10 && approx(ttr1, 0.1) && approx(top1, 1.0))
+    assert(approx(dup1, 1.0 - 1.0 / 9.0, 1e-5)) // 9 bigrams, 1 distinct
+    assert(!keep1)
+    val (n2, ttr2, top2, dup2, keep2) = out(2L)
+    assert(n2 == 10 && approx(ttr2, 1.0) && approx(top2, 0.1) && approx(dup2, 0.0))
+    assert(keep2)
+  }
+
+  test("topNgrams ranks by document frequency with ngram tie-break") {
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y w"), (3L, "x y v"), (4L, "p q r")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.topNgrams(docs, "doc_id", "text", k = 2, topN = 3)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(2), r.getString(0), r.getLong(1)))
+    assert(out.head == (1L, "x y", 3L)) // in 3 docs
+    // the rest are all df=1 → ordered alphabetically
+    assert(out.map(_._2).toSeq == Seq("x y", "p q", "q r"))
+  }
+
+  test("redactPii replaces every class; piiCounts counts them") {
+    val docs = Seq(
+      (1L, "mail a.b@x.io twice a.b@x.io phone 555-123-4567"),
+      (2L, "ssn 123-45-6789 and card 4111 1111 1111 1111"),
+      (3L, "clean text")
+    ).toDF("doc_id", "text")
+    val red = docs.select(col("doc_id"),
+        TextQuality.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "mail <EMAIL> twice <EMAIL> phone <PHONE>")
+    assert(red(2L) == "ssn <SSN> and card <CARD>")
+    assert(red(3L) == "clean text")
+    val counts = TextQuality.piiCounts(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(counts(1L) == (2L, 0L, 0L, 1L))
+    assert(counts(2L) == (0L, 1L, 1L, 0L))
+    assert(counts(3L) == (0L, 0L, 0L, 0L))
+  }
+}

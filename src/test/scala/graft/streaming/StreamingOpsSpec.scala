@@ -53,6 +53,35 @@ class StreamingOpsSpec extends SparkTestBase {
 
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
+  final case class RawDoc(doc_id: Long, text: String)
+
+  test("streaming minhash emits near-dup candidates incrementally, matching batch LSH") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val input = MemoryStream[RawDoc]
+    val query = StreamingOps.minhashCandidatesStream(input.toDF())
+      .writeStream.format("memory").queryName("mh_cand_out")
+      .outputMode("append").start()
+    // batch 1: exact dup (1,2), near dup 3, unrelated 4
+    input.addData(RawDoc(1L, base), RawDoc(2L, base),
+      RawDoc(3L, base.replace("today", "tonight")),
+      RawDoc(4L, "completely different words about spark query engines and data processing"))
+    query.processAllAvailable()
+    val afterBatch1 = spark.table("mh_cand_out").as[StreamingOps.CandidatePair]
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(afterBatch1.contains((1L, 2L)), s"got $afterBatch1")
+    assert(afterBatch1.contains((1L, 3L)) || afterBatch1.contains((2L, 3L)),
+      s"near-dup missed: $afterBatch1")
+    assert(!afterBatch1.exists(p => p._1 == 4L || p._2 == 4L))
+    // batch 2: a late copy of the base doc → candidate against the stored canonical
+    input.addData(RawDoc(5L, base))
+    query.processAllAvailable()
+    query.stop()
+    val all = spark.table("mh_cand_out").as[StreamingOps.CandidatePair]
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(all.contains((1L, 5L)), s"cross-batch dup missed: $all")
+  }
+
   test("streaming exact dedup passes first occurrence only, across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Doc]
