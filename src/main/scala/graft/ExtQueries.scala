@@ -777,6 +777,60 @@ object ExtQueries {
       |FROM docs ORDER BY doc_id""".stripMargin
   }
 
+  def qUnigramNll(spark: SparkSession, dir: String): DataFrame =
+    TextQuality.unigramNll(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val unigramNllSql: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+      |    FROM documents),
+      |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      |corpus AS (SELECT t, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM corpus)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+      |  ROUND(-CAST(SUM(CAST(tf * ln(cnt * 1.0 / total) AS DECIMAL(18,8)))
+      |      AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS avg_nll
+      |FROM tf JOIN corpus USING (t) CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Benchmark set = every 100th document (simulated eval suite); the query
+    * scores the REST of the corpus against it.
+    */
+  def qContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextQuality.contamination(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH $shinglesSql,
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 100 = 0),
+      |docsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM docsh GROUP BY 1),
+      |h AS (SELECT doc_id, COUNT(*) AS n_hit FROM docsh
+      |    WHERE sh IN (SELECT sh FROM bench) GROUP BY 1)
+      |SELECT doc_id, n_sh, COALESCE(n_hit, 0) AS n_hit,
+      |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_sh, 6) AS contamination
+      |FROM n LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeStats(Tables.embeddings(spark, dir), "vec_id", "embedding")
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """WITH m AS (SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS mx,
+      |    embedding FROM embeddings),
+      |e AS (SELECT vec_id, mx, unnest(embedding) AS x FROM m),
+      |q AS (SELECT vec_id, mx, CASE WHEN mx = 0 THEN 0
+      |    ELSE CAST(ROUND(x::DOUBLE * 127.0 / mx) AS BIGINT) END AS qv FROM e)
+      |SELECT vec_id, ROUND(mx, 6) AS scale, CAST(SUM(qv) AS BIGINT) AS sum_q,
+      |  MIN(qv) AS min_q, MAX(qv) AS max_q
+      |FROM q GROUP BY vec_id, mx ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Funnel + cohort retention (round 3)
   // -------------------------------------------------------------------------
@@ -852,7 +906,10 @@ object ExtQueries {
     "q_top_ngrams" -> (qTopNgrams _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_funnel" -> (qFunnel _),
-    "q_cohort_retention" -> (qCohortRetention _)
+    "q_cohort_retention" -> (qCohortRetention _),
+    "q_unigram_nll" -> (qUnigramNll _),
+    "q_contamination" -> (qContamination _),
+    "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -890,6 +947,9 @@ object ExtQueries {
     "q_top_ngrams" -> topNgramsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_funnel" -> funnelSql,
-    "q_cohort_retention" -> cohortRetentionSql
+    "q_cohort_retention" -> cohortRetentionSql,
+    "q_unigram_nll" -> unigramNllSql,
+    "q_contamination" -> contaminationSql,
+    "q_embed_quantize" -> embedQuantizeSql
   )
 }

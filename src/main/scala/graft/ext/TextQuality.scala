@@ -92,6 +92,54 @@ object TextQuality {
     regexp_replace(s, PhoneRe, "<PHONE>")
   }
 
+  /** Per-document unigram language-model score: average negative log-likelihood
+    * of the document's tokens under the corpus unigram distribution
+    * (perplexity = e^avg_nll, left to the caller — exponentiation would stack
+    * float drift onto the oracle compare). Low avg_nll → the doc looks like the
+    * corpus; high → outlier/garbage. This is the cheap first-pass LM filter a
+    * training pipeline runs before an expensive neural scorer.
+    *
+    * Two corpus-keyed aggregations (per-doc-token tf, corpus token counts) and
+    * one token-keyed join; the corpus total rides along as a broadcast 1-row
+    * aggregate. Per-token log-likelihoods are summed as DECIMAL(18,8) so the
+    * result is addition-order-independent — identical across engines and
+    * partitionings at any scale.
+    */
+  def unigramNll(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("tf"))
+    val corpus = tf.groupBy(col("t")).agg(sum(col("tf")).as("cnt"))
+    val total = corpus.agg(sum(col("cnt")).as("total"))
+    tf.join(corpus, "t")
+      .crossJoin(broadcast(total))
+      .withColumn("ll",
+        (col("tf") * log(col("cnt").cast("double") / col("total")))
+          .cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_tokens"),
+        round(-sum(col("ll")).cast("double") / sum(col("tf")), 6).as("avg_nll"))
+  }
+
+  /** Benchmark decontamination: for every non-benchmark document, the fraction of
+    * its word `k`-gram shingles that appear anywhere in the benchmark set — the
+    * standard train/eval leakage check (a near-copy of an eval document scores
+    * ~1.0). The benchmark shingle set is distinct-ed and BROADCAST: eval suites
+    * are tiny next to a training corpus, so the probe is a map-side semi-join —
+    * no shuffle of the corpus at all.
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame = {
+    val docSh = Dedup.shingles(docs, idCol, textCol, k)
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, k)
+      .select(col("shingle")).distinct()
+    val hits = docSh.join(broadcast(benchSh), Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_hit"))
+    docSh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq(idCol), "left").na.fill(0L, Seq("n_hit"))
+      .select(col(idCol), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("contamination"))
+  }
+
   /** Per-document PII hit counts (pre-redaction), one column per class. */
   def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -36,6 +36,34 @@ class TextQualitySpec extends SparkTestBase {
     assert(out.map(_._2).toSeq == Seq("x y", "p q", "q r"))
   }
 
+  test("unigramNll: common-token docs score lower than rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the"), // most frequent token → low nll
+      (2L, "the the rare rare"),
+      (3L, "unique singleton tokens here") // all rare → high nll
+    ).toDF("doc_id", "text")
+    val out = TextQuality.unigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: the=6, rare=2, unique/singleton/tokens/here=1 each, total=12
+    assert(out(1L)._1 == 4 && approx(out(1L)._2, -math.log(6.0 / 12.0), 1e-5))
+    assert(out(3L)._2 > out(2L)._2 && out(2L)._2 > out(1L)._2)
+  }
+
+  test("contamination scores a benchmark near-copy ~1 and unrelated text 0") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-copy
+      (2L, "totally different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.contamination(docs, bench, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val (n1, h1, c1) = out(1L)
+    assert(n1 == 6 && h1 == 5 && approx(c1, 5.0 / 6.0, 1e-5))
+    assert(out(2L) == (6L, 0L, 0.0)) // 8 tokens → 6 trigrams, none shared
+  }
+
   test("redactPii replaces every class; piiCounts counts them") {
     val docs = Seq(
       (1L, "mail a.b@x.io twice a.b@x.io phone 555-123-4567"),
