@@ -91,6 +91,24 @@ object TextStats {
         .otherwise(lit("unk")).as("lang_pred"))
   }
 
+  /** Per-group quantiles of a numeric column — the 100 TB path. Exact
+    * `percentile` buffers every value per group (OOM on a billion-doc group);
+    * `percentile_approx` keeps a fixed-size KLL-style sketch per group that
+    * merges map-side, so memory is O(accuracy) per group regardless of row
+    * count. Rank error ≤ 1/accuracy (Spark's contract); the differential spec
+    * quantifies it against the exact form. Use the exact variant (as
+    * `q_quality_quantiles` does) only when per-group cardinality is bounded.
+    */
+  def groupQuantilesApprox(df: DataFrame, groupCol: String, valueCol: String,
+                           probs: Seq[Double],
+                           accuracy: Int = 10000): DataFrame = {
+    val aggs = probs.map { p =>
+      percentile_approx(col(valueCol), lit(p), lit(accuracy))
+        .cast("double").as(s"p${math.round(p * 100)}")
+    }
+    df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Content fingerprint: md5 of the normalized text (lower-cased, whitespace
     * collapsed) — the exact-dedup key that survives formatting noise.
     */

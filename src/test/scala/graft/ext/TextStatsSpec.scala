@@ -58,4 +58,30 @@ class TextStatsSpec extends SparkTestBase {
       .head().getSeq[Long](1)
     assert(out == TextStats.winnow("the quick brown fox jumps over the lazy dog", 8, 4).toSeq)
   }
+
+  test("groupQuantilesApprox tracks exact percentiles within rank tolerance") {
+    // skewed per-group distributions: group g gets values i^2 + offset
+    val rows = for (g <- 0 until 3; i <- 0 until 2000)
+      yield (s"g$g", (i.toLong * i) % 5000 + g * 10)
+    val df = rows.toDF("grp", "v")
+    val probs = Seq(0.5, 0.9, 0.99)
+    val approx = TextStats.groupQuantilesApprox(df, "grp", "v", probs)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val sortedByGroup = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).sorted
+    }
+    // percentile_approx returns an actual element whose RANK is within
+    // 1/accuracy of the target — compare ranks, not values
+    def rankOf(g: String, v: Double): Double = {
+      val s = sortedByGroup(g)
+      s.count(_ <= v).toDouble / s.size
+    }
+    approx.foreach { case (g, (p50, p90, p99)) =>
+      probs.zip(Seq(p50, p90, p99)).foreach { case (p, got) =>
+        assert(math.abs(rankOf(g, got) - p) <= 0.01,
+          s"$g p$p: value $got at rank ${rankOf(g, got)}")
+      }
+    }
+  }
 }
