@@ -213,6 +213,66 @@ object AnalyticsQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Revenue subtotals at three grain levels in one pass — GROUP BY ROLLUP
+    * ((brand), (brand, type), ()). Spark expands grouping sets inside a
+    * single hash aggregate (one shuffle keyed on the grouping-set id + keys),
+    * not one job per level. NULL grouping markers are normalized to 'ALL' so
+    * both engines order and hash identically.
+    */
+  def qRevenueRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .rollup(col("p_brand"), col("p_type"))
+      // 2-dp rounding, not the usual 6: the grand-total row reaches ~3e9 where
+      // a 1e-6 increment is BELOW double ulp (~5e-7) — the engines' round()
+      // algorithms then pick adjacent doubles. 1e-2 is safely above ulp at any
+      // total this schema can produce.
+      .agg(round(revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("double"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("p_type"), lit("ALL")).as("ptype"),
+        col("revenue"), col("n_lines"))
+      .orderBy(col("brand"), col("ptype"))
+
+  val revenueRollupSql: String =
+    s"""SELECT COALESCE(p_brand, 'ALL') AS brand,
+      |  COALESCE(p_type, 'ALL') AS ptype,
+      |  ROUND(CAST($revenueDecSql AS DOUBLE), 2) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY ROLLUP(p_brand, p_type)
+      |ORDER BY 1, 2""".stripMargin
+
+  private val eventTypes = Seq("view", "click", "purchase", "signup", "error")
+
+  /** Hourly event-type matrix via `pivot` with an EXPLICIT value list — the
+    * scale-safe pivot form (no distinct-value collect to the driver; one hash
+    * aggregate with 5 conditional counts). The oracle states the same thing as
+    * conditional aggregation.
+    */
+  def qEventPivot(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .withColumn("window_start",
+        unix_timestamp(date_trunc("hour", col("ts"))))
+      .groupBy(col("window_start"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+    eventTypes.foldLeft(hourly) { (df, t) =>
+      df.withColumnRenamed(t, s"n_$t")
+    }.na.fill(0L, eventTypes.map(t => s"n_$t"))
+      .orderBy(col("window_start"))
+  }
+
+  val eventPivotSql: String = {
+    val cols = eventTypes.map { t =>
+      s"COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS n_$t"
+    }.mkString(", ")
+    s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+      |  $cols
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_shipping_priority" -> (qShippingPriority _),
     "q_local_supplier_volume" -> (qLocalSupplierVolume _),
@@ -220,7 +280,9 @@ object AnalyticsQueries {
     "q_top_supplier_brand" -> (qTopSupplierBrand _),
     "q_order_gaps" -> (qOrderGaps _),
     "q_orders_with_returns" -> (qOrdersWithReturns _),
-    "q_customers_no_orders" -> (qCustomersNoOrders _)
+    "q_customers_no_orders" -> (qCustomersNoOrders _),
+    "q_revenue_rollup" -> (qRevenueRollup _),
+    "q_event_pivot" -> (qEventPivot _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -230,6 +292,8 @@ object AnalyticsQueries {
     "q_top_supplier_brand" -> topSupplierBrandSql,
     "q_order_gaps" -> orderGapsSql,
     "q_orders_with_returns" -> ordersWithReturnsSql,
-    "q_customers_no_orders" -> customersNoOrdersSql
+    "q_customers_no_orders" -> customersNoOrdersSql,
+    "q_revenue_rollup" -> revenueRollupSql,
+    "q_event_pivot" -> eventPivotSql
   )
 }

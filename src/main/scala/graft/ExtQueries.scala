@@ -777,6 +777,32 @@ object ExtQueries {
       |FROM docs ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language document-length deciles via NTILE — the window partitions on
+    * `lang`, so decile assignment parallelizes across languages (a GLOBAL ntile
+    * would be a single-partition window; at corpus scale use approx-quantile
+    * boundaries instead, [[graft.ext.TextStats.groupQuantilesApprox]]).
+    */
+  def qQualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("decile", ntile(10).over(byLang).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  val qualityDecilesSql: String =
+    """WITH d AS (SELECT lang, n_chars,
+      |    NTILE(10) OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |SELECT lang, CAST(decile AS BIGINT) AS decile, COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def qUnigramNll(spark: SparkSession, dir: String): DataFrame =
     TextQuality.unigramNll(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
@@ -907,6 +933,7 @@ object ExtQueries {
     "q_pii_redact" -> (qPiiRedact _),
     "q_funnel" -> (qFunnel _),
     "q_cohort_retention" -> (qCohortRetention _),
+    "q_quality_deciles" -> (qQualityDeciles _),
     "q_unigram_nll" -> (qUnigramNll _),
     "q_contamination" -> (qContamination _),
     "q_embed_quantize" -> (qEmbedQuantize _)
@@ -948,6 +975,7 @@ object ExtQueries {
     "q_pii_redact" -> piiRedactSql,
     "q_funnel" -> funnelSql,
     "q_cohort_retention" -> cohortRetentionSql,
+    "q_quality_deciles" -> qualityDecilesSql,
     "q_unigram_nll" -> unigramNllSql,
     "q_contamination" -> contaminationSql,
     "q_embed_quantize" -> embedQuantizeSql
