@@ -110,6 +110,49 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
+  final case class FunnelState(stage: Int, reachMs: Long)
+  final case class StageReached(user_id: Long, stage: Int, stage_name: String,
+                                reach_ms: Long)
+
+  /** Streaming twin of [[graft.ext.Funnel.funnelCounts]]: per-user funnel
+    * progression as a keyed state machine. State per user is (stage index,
+    * reach time) — two fields, O(1) regardless of event volume. A row is
+    * emitted each time a user first reaches a stage.
+    *
+    * Greedy in-order advancement ("first qualifying event of the next stage at
+    * or after the current stage's reach time") is equivalent to the batch
+    * min-timestamp chaining when events are processed in event-time order —
+    * guaranteed within a micro-batch by the explicit sort below, and across
+    * batches when arrival respects event time (add a watermark + sorted replay
+    * for heavily late sources).
+    */
+  def funnelStream(events: Dataset[FunnelEvent], stages: Seq[String])
+      : Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = it.toSeq.sortBy(_.ts.getTime)
+          var cur = state.getOption.getOrElse(FunnelState(-1, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer[StageReached]()
+          sorted.foreach { e =>
+            val next = cur.stage + 1
+            if (next < stages.length &&
+                stageIdx.get(e.event_type).contains(next) &&
+                (cur.stage < 0 || e.ts.getTime >= cur.reachMs)) {
+              cur = FunnelState(next, e.ts.getTime)
+              out += StageReached(user, next, stages(next), e.ts.getTime)
+            }
+          }
+          if (cur.stage >= 0) state.update(cur)
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

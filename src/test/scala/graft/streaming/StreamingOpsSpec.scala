@@ -53,6 +53,38 @@ class StreamingOpsSpec extends SparkTestBase {
 
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
+  test("streaming funnel advances per-user stages across batches, matching batch semantics") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{FunnelEvent, StageReached}
+    val stages = Seq("view", "click", "purchase")
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingOps.funnelStream(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    // batch 1: user 1 view+click; user 2 clicks BEFORE viewing (click must not count)
+    input.addData(FunnelEvent(1L, ts(0), "view"), FunnelEvent(1L, ts(1), "click"),
+      FunnelEvent(2L, ts(0), "click"), FunnelEvent(2L, ts(1), "view"))
+    query.processAllAvailable()
+    // batch 2: user 1 completes; user 2's purchase doesn't count (no click since view)
+    input.addData(FunnelEvent(1L, ts(2), "purchase"), FunnelEvent(2L, ts(2), "purchase"))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("funnel_out").as[StageReached].collect()
+      .map(r => (r.user_id, r.stage_name)).toSet
+    assert(out == Set((1L, "view"), (1L, "click"), (1L, "purchase"), (2L, "view")),
+      s"got $out")
+    // matches the batch operator on the same events
+    val batch = graft.ext.Funnel.funnelCounts(
+      Seq((1L, ts(0), "view"), (1L, ts(1), "click"), (1L, ts(2), "purchase"),
+        (2L, ts(0), "click"), (2L, ts(1), "view"), (2L, ts(2), "purchase"))
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", stages).collect().head
+    // each user emits each reached stage exactly once, so users reaching
+    // stage i == pairs named stages(i)
+    val streamCounts = stages.map(st => out.count(_._2 == st).toLong)
+    assert(streamCounts == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+  }
+
   final case class RawDoc(doc_id: Long, text: String)
 
   test("streaming minhash emits near-dup candidates incrementally, matching batch LSH") {
