@@ -235,16 +235,21 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // each node adopts the min of its own label and its neighbors' labels
+      // each node adopts the min of its own label and its neighbors' labels.
+      // The node's previous label rides along through the aggregate (every id
+      // has exactly one self-branch row, so max() just picks it past the
+      // edge-branch nulls) — convergence detection then reads the checkpointed
+      // result directly instead of re-joining against the old labels, saving
+      // one shuffle join per round.
       val next = edges
         .join(labels.select(col("id").as("id_b"), col("cluster_id").as("nbr")), Seq("id_b"))
-        .select(col("id_a").as("id"), col("nbr"))
-        .union(labels.select(col("id"), col("cluster_id").as("nbr")))
-        .groupBy(col("id")).agg(min(col("nbr")).as("cluster_id"))
+        .select(col("id_a").as("id"), col("nbr"), lit(null).cast("long").as("old"))
+        .union(labels.select(col("id"), col("cluster_id").as("nbr"),
+          col("cluster_id").as("old")))
+        .groupBy(col("id")).agg(min(col("nbr")).as("cluster_id"), max(col("old")).as("old"))
         .localCheckpoint(eager = true)
-      val changed = next.join(labels.withColumnRenamed("cluster_id", "old"), Seq("id"))
-        .filter(col("cluster_id") =!= col("old")).limit(1).count()
-      labels = next
+      val changed = next.filter(col("cluster_id") =!= col("old")).limit(1).count()
+      labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0
       iter += 1
     }
