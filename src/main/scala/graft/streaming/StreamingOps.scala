@@ -110,6 +110,39 @@ object StreamingOps {
       }
   }
 
+  /** Streaming twin of [[graft.ext.TextQuality.contamination]]: score arriving
+    * documents against a STATIC benchmark shingle set, statelessly. The
+    * benchmark is collapsed to one array row and broadcast-cross-joined; per-doc
+    * scoring is then a pure array expression (`array_intersect` of the doc's
+    * distinct shingles with the benchmark array) — no streaming aggregation, no
+    * watermark, no state store.
+    *
+    * Fine up to benchmark sets that fit one in-memory array (eval suites
+    * usually do). For bigger suites, swap the array for a Bloom filter built
+    * once on the static side (`DataFrameStatFunctions.bloomFilter` +
+    * `might_contain`) — same stateless shape, constant memory, small false-hit
+    * rate inflating `n_hit`.
+    */
+  def contaminationStream(docs: DataFrame, benchmark: DataFrame,
+                          textCol: String = "text", k: Int = 3): DataFrame = {
+    val benchArr = graft.ext.Dedup
+      .shingles(benchmark, benchmark.columns.head, textCol, k)
+      .agg(collect_set(col("shingle")).as("__bench"))
+    val docSh = array_distinct(
+      graft.functions.WordShingles.shingles(col(textCol), k))
+    // constant-key equi join rather than crossJoin: stream-static INNER
+    // equi-joins are the supported streaming join shape
+    docs
+      .withColumn("__one", lit(1))
+      .join(broadcast(benchArr.withColumn("__one", lit(1))), "__one")
+      .drop("__one")
+      .withColumn("n_sh", size(docSh).cast("long"))
+      .withColumn("n_hit", size(array_intersect(docSh, col("__bench"))).cast("long"))
+      .withColumn("contamination",
+        round(col("n_hit").cast("double") / greatest(col("n_sh"), lit(1L)), 6))
+      .drop("__bench")
+  }
+
   final case class FunnelEvent(user_id: Long, ts: Timestamp, event_type: String)
   final case class FunnelState(stage: Int, reachMs: Long)
   final case class StageReached(user_id: Long, stage: Int, stage_name: String,

@@ -87,6 +87,27 @@ class StreamingOpsSpec extends SparkTestBase {
 
   final case class RawDoc(doc_id: Long, text: String)
 
+  test("streaming contamination scores docs against a static benchmark, statelessly") {
+    implicit val sc = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[RawDoc]
+    input.addData(
+      RawDoc(1L, "alpha beta gamma delta epsilon zeta eta iota"), // near-copy
+      RawDoc(2L, "totally different content with no overlap at all"))
+    val query = StreamingOps.contaminationStream(input.toDF(), bench)
+      .writeStream.format("memory").queryName("contam_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("contam_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sh"), r.getAs[Long]("n_hit"), r.getAs[Double]("contamination")))
+      .toMap
+    assert(out(1L) == (6L, 5L, 0.833333)) // matches the batch operator's fixture
+    assert(out(2L) == (6L, 0L, 0.0))
+  }
+
   test("streaming minhash emits near-dup candidates incrementally, matching batch LSH") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
