@@ -45,14 +45,23 @@ object Bench {
       }
       name -> runs
     }
-    def fmt(sel: Seq[Double] => Double) = timings
-      .map { case (k, runs) => s"\"" + k + "\":" + sel(runs) }
+    // The driver records only a bounded tail of stdout (~2 KB): round medians to
+    // 3 decimals and keep ONE compact line so the artifact parses whole (the r3
+    // full-precision double line overflowed the capture and front-truncated).
+    // Full per-rep timings go to BENCH_DETAIL.json alongside the repo instead.
+    def r3d(x: Double) = math.round(x * 1000) / 1000.0
+    val qs = timings
+      .map { case (k, runs) => "\"" + k + "\":" + r3d(median(runs)) }
       .mkString("{", ",", "}")
-    val qs = fmt(median)
-    val qsMin = fmt(_.min)
-    val total = timings.map { case (_, runs) => median(runs) }.sum
+    val total = r3d(timings.map { case (_, runs) => median(runs) }.sum)
+    val totalMin = r3d(timings.map { case (_, runs) => runs.min }.sum)
+    val detail = timings
+      .map { case (k, runs) => "\"" + k + "\":" + runs.mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"reps_per_query":$detail,"reps":$reps,"sf":"$sfDir"}""".getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

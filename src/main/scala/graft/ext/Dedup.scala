@@ -195,24 +195,28 @@ object Dedup {
     * pipeline runs AFTER pair generation to pick one canonical doc per cluster
     * (pairs alone aren't actionable: a↔b and b↔c must collapse to one keep-decision).
     *
-    * Algorithm: iterative min-label propagation — each round, every node takes the
-    * min label among itself and its neighbors; converges in O(diameter) rounds.
-    * Each round is two shuffles (join + groupBy) on the EDGE table; dup clusters in
-    * practice are tiny and dense (diameter ≤ ~3: copies of one original), so
-    * `maxIter` 10 is generous. The loop checkpoints the label table every round via
-    * localCheckpoint to cut the growing lineage. Singleton docs (no pairs) are
-    * absent from the output — join against the corpus if they're needed.
+    * Algorithm: min-label propagation with pointer jumping — each round, every
+    * node takes the min label over its closed neighborhood, then shortcuts to its
+    * new label's OWN label (path halving). The shortcut makes label-forest depth
+    * collapse geometrically, so convergence is O(log n) rounds even for
+    * chain-shaped clusters, where plain propagation needs O(diameter) rounds
+    * (`pointerJump = false` keeps that variant for differentials). Each round is
+    * three shuffles (edge join + groupBy + label self-join) on the EDGE table; the
+    * loop checkpoints the label table every round via localCheckpoint to cut the
+    * growing lineage. Singleton docs (no pairs) are absent from the output — join
+    * against the corpus if they're needed.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame =
-    dupClustersWithStats(pairs, maxIter) match {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10,
+                  pointerJump: Boolean = true): DataFrame =
+    dupClustersWithStats(pairs, maxIter, pointerJump) match {
       case (labels, iters, converged) =>
         if (!converged)
           // partially-converged labels over-split clusters (a chain longer than
           // maxIter hops ends up under several cluster_ids) — loud, not silent
           throw new IllegalStateException(
-            s"dupClusters did not converge after $iters rounds; a duplicate " +
-              "cluster has diameter > maxIter. Raise maxIter (rounds needed = " +
-              "max cluster diameter, typically <= 3 for near-dup copies).")
+            s"dupClusters did not converge after $iters rounds. With pointer " +
+              "jumping rounds needed ~ log2(max cluster size); without, max " +
+              "cluster diameter. Raise maxIter or enable pointerJump.")
         labels
     }
 
@@ -220,8 +224,8 @@ object Dedup {
     * Callers that can tolerate partial labels (e.g. progressive refinement)
     * use this instead of the throwing wrapper.
     */
-  def dupClustersWithStats(pairs: DataFrame,
-                           maxIter: Int = 10): (DataFrame, Int, Boolean) = {
+  def dupClustersWithStats(pairs: DataFrame, maxIter: Int = 10,
+                           pointerJump: Boolean = true): (DataFrame, Int, Boolean) = {
     // materialize the edge table once: every propagation round joins against it,
     // and without this the whole upstream pair pipeline (shingle join included)
     // would re-execute per round
@@ -241,13 +245,23 @@ object Dedup {
       // edge-branch nulls) — convergence detection then reads the checkpointed
       // result directly instead of re-joining against the old labels, saving
       // one shuffle join per round.
-      val next = edges
+      val base = edges
         .join(labels.select(col("id").as("id_b"), col("cluster_id").as("nbr")), Seq("id_b"))
         .select(col("id_a").as("id"), col("nbr"), lit(null).cast("long").as("old"))
         .union(labels.select(col("id"), col("cluster_id").as("nbr"),
           col("cluster_id").as("old")))
-        .groupBy(col("id")).agg(min(col("nbr")).as("cluster_id"), max(col("old")).as("old"))
-        .localCheckpoint(eager = true)
+        .groupBy(col("id")).agg(min(col("nbr")).as("mid"), max(col("old")).as("old"))
+      // pointer jump (path halving): shortcut to the new label's OWN label.
+      // Every label value is a node id present in `labels` (labels start as mins
+      // of node ids and stay so inductively), so the self-join always hits, and
+      // lbl(mid) <= mid <= old keeps the labels monotone non-increasing.
+      val stepped =
+        if (pointerJump)
+          base.join(labels.select(col("id").as("mid"), col("cluster_id").as("jmp")),
+              Seq("mid"))
+            .select(col("id"), col("jmp").as("cluster_id"), col("old"))
+        else base.select(col("id"), col("mid").as("cluster_id"), col("old"))
+      val next = stepped.localCheckpoint(eager = true)
       val changed = next.filter(col("cluster_id") =!= col("old")).limit(1).count()
       labels = next.select(col("id"), col("cluster_id"))
       converged = changed == 0

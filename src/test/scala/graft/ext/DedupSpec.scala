@@ -99,6 +99,33 @@ class DedupSpec extends SparkTestBase {
     assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
+  test("pointer jumping: a 50-node chain converges within 10 rounds; plain does not") {
+    val chain = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, iters, ok) = Dedup.dupClustersWithStats(chain, maxIter = 10)
+    assert(ok, s"pointer-jump CC did not converge in 10 rounds (ran $iters)")
+    assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
+    // plain min-label propagation needs O(diameter)=49 rounds on the same chain
+    val (_, _, plainOk) =
+      Dedup.dupClustersWithStats(chain, maxIter = 10, pointerJump = false)
+    assert(!plainOk, "plain propagation should not finish a 49-hop chain in 10 rounds")
+  }
+
+  test("pointer jumping matches plain propagation on random graphs") {
+    val rnd = new scala.util.Random(42)
+    (0 until 3).foreach { trial =>
+      val edges = (0 until 40)
+        .map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val df = edges.toDF("id_a", "id_b")
+      val fast = Dedup.dupClusters(df, maxIter = 12).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.dupClusters(df, maxIter = 30, pointerJump = false).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast == slow, s"trial $trial: $fast vs $slow")
+    }
+  }
+
   // skewed fixture: every doc ends with the same boilerplate (hot shingles,
   // document frequency = corpus size) but above-threshold pairs share RARE shingles
   private def skewedDocs = {
