@@ -64,7 +64,10 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  val dedupMinhashSql: String = {
+  /** CTE chain ending in `j(id_a, id_b, jaccard)` — the MinHash-LSH candidate +
+    * exact-verify pipeline, shared by the pair oracle and the LSH-cluster oracle.
+    */
+  private val minhashPairCtesSql: String = {
     val mh = (0 until numHashes).map { j =>
       s"MIN((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j"
     }.mkString(",\n      ")
@@ -72,7 +75,7 @@ object ExtQueries {
       val cols = (0 until rowsPerBand).map(r => s"mh_${b * rowsPerBand + r}").mkString(", ")
       s"SELECT doc_id, $b AS band, md5(concat_ws(',', $cols)) AS bkey FROM sig"
     }.mkString("\n      UNION ALL ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
       |hh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
       |sig AS (SELECT doc_id,
       |      $mh
@@ -88,10 +91,13 @@ object ExtQueries {
       |j AS (SELECT c.id_a, c.id_b,
       |      COALESCE(s.n_shared, 0) * 1.0 / (na.n_sh + nb.n_sh - COALESCE(s.n_shared, 0)) AS jaccard
       |      FROM cand c LEFT JOIN shared s ON c.id_a = s.id_a AND c.id_b = s.id_b
-      |      JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)
+      |      JOIN n na ON c.id_a = na.doc_id JOIN n nb ON c.id_b = nb.doc_id)""".stripMargin
+  }
+
+  val dedupMinhashSql: String =
+    s"""WITH $minhashPairCtesSql
       |SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM j
       |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** Near-dup clusters: connected components (min-label) over the exact-jaccard
     * pair table — each clustered doc mapped to its cluster's min doc_id. The oracle
@@ -111,6 +117,30 @@ object ExtQueries {
       |pr AS (SELECT id_a, id_b FROM p
       |      JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
       |      WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |      SELECT a, a FROM edges UNION SELECT a, b FROM edges
+      |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
+      |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** The flagship dedup pipeline at its 100-TB shape: connected components
+    * (pointer-jumping min-label) over the MinHash-LSH candidate path — banded
+    * bucket join for candidates, exact verify, then clustering — instead of the
+    * raw-shingle quadratic join [[qDupClusters]] uses. At scale THIS is the
+    * composition that runs ([[qDupClusters]]'s exact pair table stays as the
+    * verifier); the oracle re-derives the same components with a recursive CTE
+    * over the minhash-pair SQL.
+    */
+  def qDupClustersLsh(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dupClusters(
+        Dedup.minhashLshPairs(Tables.documents(spark, dir), "doc_id", "text",
+          k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand, threshold = 0.5))
+      .orderBy(col("id"))
+
+  val dupClustersLshSql: String =
+    s"""WITH RECURSIVE $minhashPairCtesSql,
+      |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
       |edges AS (SELECT id_a AS a, id_b AS b FROM pr
       |      UNION SELECT id_b, id_a FROM pr),
       |reach(id, r) AS (
@@ -627,6 +657,16 @@ object ExtQueries {
       |  MIN(ms) AS start_ms, MAX(ms) AS end_ms, MAX(ms) - MIN(ms) AS duration_ms
       |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The whale-user skew guard oracle-verified: [[EventWindows.sessionizeChunked]]
+    * produces output identical to [[EventWindows.sessionize]] by construction
+    * (chunk-local sessions re-merged across boundaries), so it shares
+    * [[sessionizeSql]] — the guard itself goes through the correctness gate.
+    */
+  def qSessionizeChunked(spark: SparkSession, dir: String): DataFrame =
+    EventWindows.sessionizeChunked(Tables.events(spark, dir), gapMinutes = 30,
+        chunk = "day")
+      .orderBy(col("user_id"), col("session_id"))
+
   def qEventProps(spark: SparkSession, dir: String): DataFrame =
     EventWindows.propsStats(Tables.events(spark, dir))
       .orderBy(col("event_type"))
@@ -903,6 +943,7 @@ object ExtQueries {
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
     "q_dup_clusters" -> (qDupClusters _),
+    "q_dup_clusters_lsh" -> (qDupClustersLsh _),
     "q_dup_pair_cosine" -> (qDupPairCosine _),
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
@@ -924,6 +965,7 @@ object ExtQueries {
     "q_sliding_hourly" -> (qSlidingHourly _),
     "q_coverage_time" -> (qCoverageTime _),
     "q_sessionize" -> (qSessionize _),
+    "q_sessionize_chunked" -> (qSessionizeChunked _),
     "q_asof_last_order" -> (qAsofLastOrder _),
     "q_event_props" -> (qEventProps _),
     "q_pricing_summary" -> (qPricingSummary _),
@@ -945,6 +987,7 @@ object ExtQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dup_clusters" -> dupClustersSql,
+    "q_dup_clusters_lsh" -> dupClustersLshSql,
     "q_dup_pair_cosine" -> dupPairCosineSql,
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
@@ -966,6 +1009,7 @@ object ExtQueries {
     "q_sliding_hourly" -> slidingHourlySql,
     "q_coverage_time" -> coverageTimeSql,
     "q_sessionize" -> sessionizeSql,
+    "q_sessionize_chunked" -> sessionizeSql,
     "q_asof_last_order" -> asofLastOrderSql,
     "q_event_props" -> eventPropsSql,
     "q_pricing_summary" -> pricingSummarySql,
