@@ -217,13 +217,20 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
       .orderBy(col("id_a"), col("id_b"))
 
-  val dedupEmbedSql: String = {
-    val planes = (0 until 8).map { p =>
+  /** Sign-LSH bucket expression over `embedding` — the SQL twin of
+    * [[SimSearch.lshBucket]], shared by the embedding-dedup and LSH-top-k
+    * oracles (same deterministic [[SimSearch.planeSign]] hyperplanes).
+    */
+  private def lshBucketPlanesSql(numPlanes: Int): String =
+    (0 until numPlanes).map { p =>
       val signs = (0 until 64).map(i => SimSearch.planeSign(i, p)).mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(generate_series(1, 64),
          |        i -> embedding[i]::DOUBLE * ($signs)[i])) > 0
          |      THEN ${1L << p} ELSE 0 END""".stripMargin
     }.mkString(" +\n      ")
+
+  val dedupEmbedSql: String = {
+    val planes = lshBucketPlanesSql(8)
     s"""WITH b AS (SELECT vec_id, embedding,
       |      $planes AS bucket,
       |    sqrt(list_sum(list_transform(generate_series(1, 64),
@@ -289,6 +296,44 @@ object ExtQueries {
       |  FROM s)
       |SELECT query_id, rank, vec_id, ROUND(cos_raw, 6) AS cosine
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Batched APPROXIMATE ANN through the candidate-pruned LSH path
+    * ([[SimSearch.lshTopKForQueries]]): probe-ring bucket equi-join instead of
+    * the exact path's full-corpus scan. The oracle replays the SAME bucket
+    * arithmetic and ring condition (`bit_count(xor(bucket, qbucket)) <= probe`)
+    * in DuckDB, so the approximation itself — which candidates the ring admits —
+    * is oracle-checked, not just recall-bounded.
+    */
+  def qSimsearchLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimSearch.lshTopKForQueries(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, numPlanes = 8, maxHammingProbe = 2)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val simsearchLshSql: String = {
+    val planes = lshBucketPlanesSql(8)
+    s"""WITH b AS (SELECT vec_id, embedding,
+      |      $planes AS bucket,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |    FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
+      |    FROM b WHERE vec_id < 5),
+      |s AS (SELECT q.query_id, c.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) / (c.nrm * q.qn) AS cos_raw
+      |  FROM b c JOIN q ON bit_count(xor(c.bucket, q.qb)) <= 2
+      |    AND c.vec_id <> q.query_id),
+      |r AS (SELECT query_id, vec_id, cos_raw,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, vec_id) AS rank
+      |  FROM s)
+      |SELECT query_id, rank, vec_id, ROUND(cos_raw, 6) AS cosine
+      |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** End-to-end corpus curation — the composed shape a training-data pipeline runs:
     * quality filter (length band) → exact dedup keeping canonical docs → per-language
@@ -948,6 +993,7 @@ object ExtQueries {
     "q_dedup_embed" -> (qDedupEmbed _),
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
+    "q_simsearch_lsh" -> (qSimsearchLsh _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
     "q_dataset_split" -> (qDatasetSplit _),
@@ -992,6 +1038,7 @@ object ExtQueries {
     "q_dedup_embed" -> dedupEmbedSql,
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
+    "q_simsearch_lsh" -> simsearchLshSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_quality_quantiles" -> qualityQuantilesSql,
     "q_dataset_split" -> datasetSplitSql,

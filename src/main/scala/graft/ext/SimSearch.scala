@@ -102,6 +102,52 @@ object SimSearch {
         col("col.score").as("cosine"))
   }
 
+  /** Batched APPROXIMATE top-k: the candidate-pruned variant of
+    * [[topKForQueries]]. Both sides are sign-LSH bucketed with the shared
+    * deterministic hyperplanes; each query probes the ring of buckets within
+    * hamming `maxHammingProbe` of its own (the Σ C(numPlanes, i) ring masks are
+    * a STATIC list, exploded query-side), and candidates come from a broadcast
+    * hash EQUI-join on the probe bucket — no BroadcastNestedLoopJoin, and only
+    * the ring's corpus fraction is scored (~ring/2^numPlanes of the corpus per
+    * query instead of all of it). Each corpus row has exactly one bucket and
+    * ring masks are distinct, so a (query, candidate) pair can't duplicate.
+    * The per-query bounded-heap aggregate then keeps shuffle volume at
+    * O(#queries × k × #parts), same as the exact path.
+    *
+    * Recall < 1 by design (near neighbors outside the probed ring are missed);
+    * SimSearchSpec checks recall against [[topKForQueries]]. Output shape is
+    * identical: (query_id, rank, idCol, cosine), rank 1..k by descending
+    * cosine, ties broken by ascending id.
+    */
+  def lshTopKForQueries(corpus: DataFrame, queries: DataFrame,
+                        idCol: String, vecCol: String, k: Int,
+                        numPlanes: Int = 8, maxHammingProbe: Int = 2,
+                        dims: Int = 64): DataFrame = {
+    val masks = (0 until (1 << numPlanes))
+      .filter(m => Integer.bitCount(m) <= maxHammingProbe)
+      .map(m => lit(m.toLong))
+    val c = corpus.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"),
+      lshBucket(col(vecCol), dims, numPlanes).as("__bucket"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+        norm(col(vecCol)).as("__qn"),
+        lshBucket(col(vecCol), dims, numPlanes).as("__qb"))
+      .withColumn("__mask", explode(array(masks: _*)))
+      .select(col("query_id"), col("__qv"), col("__qn"),
+        col("__qb").bitwiseXOR(col("__mask")).as("__bucket"))
+    val scored = c.join(broadcast(q), Seq("__bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__qv")) / (col("__n") * col("__qn"))).as("cosine"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col(idCol), col("cosine")).as("__r"))
+      .select(col("query_id"), posexplode(col("__r.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as("cosine"))
+  }
+
   /** All-pairs exact cosine ≥ threshold (small corpora / verification). */
   def allPairsCosine(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double): DataFrame = {

@@ -112,6 +112,34 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("lshTopKForQueries: high recall vs exact batch, candidates bucket-pruned") {
+    val queries = corpus.filter(col("vec_id").isin(0L, 7L, 25L))
+    val exact = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 5)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val approxDf = SimSearch.lshTopKForQueries(corpus, queries, "vec_id", "embedding",
+      k = 5, numPlanes = 8, maxHammingProbe = 3)
+    val got = approxDf.collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      (got.getOrElse(q, Set.empty) & ids).size.toDouble / ids.size
+    }
+    assert(recalls.sum / recalls.size >= 0.7,
+      s"mean recall ${recalls.sum / recalls.size}: exact=$exact got=$got")
+    // rank order within a query is (cosine desc, id asc), dense from 1
+    val ranks = approxDf.collect().groupBy(_.getLong(0)).values
+      .map(_.sortBy(_.getLong(1)).map(_.getLong(1)).toSeq)
+    assert(ranks.forall(r => r == (1L to r.length)))
+  }
+
+  test("lshTopKForQueries plans a bucket equi-join, not BroadcastNestedLoopJoin") {
+    val queries = corpus.filter(col("vec_id") < 3)
+    val plan = SimSearch.lshTopKForQueries(corpus, queries, "vec_id", "embedding",
+        k = 5).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast hash join:\n$plan")
+  }
+
   test("topKForQueries partial aggregation bounds rows per query at k") {
     val queries = corpus.filter(col("vec_id") < 2)
     val out = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 3)
