@@ -140,6 +140,44 @@ object TextQuality {
         round(col("n_hit").cast("double") / col("n_sh"), 6).as("contamination"))
   }
 
+  /** Bloom-filter variant of [[contamination]] for benchmark suites too big to
+    * broadcast as an exact shingle array: the benchmark's xxhash64'd shingles go
+    * into a `BloomFilter` sized for `fpp` (built DISTRIBUTED over the benchmark
+    * side via `stat.bloomFilter`, which runs the `bloom_filter_agg` aggregate),
+    * and every corpus shingle probes it through the codegen'd `might_contain`
+    * expression with the filter bytes riding in the plan as a foldable literal —
+    * constant memory per executor, zero corpus shuffle before the per-doc
+    * aggregate, no UDF.
+    *
+    * `n_hit`/`contamination` are one-sided approximations: never below the exact
+    * operator's values (a Bloom filter has no false negatives), inflated by at
+    * most ~`fpp` of each document's non-benchmark shingles (TextQualitySpec
+    * bounds the observed false-hit rate). `expectedItems` skips the sizing
+    * count() on the benchmark side when the caller already knows it.
+    */
+  def contaminationBloom(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3, fpp: Double = 0.01,
+                         expectedItems: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val benchHashes = Dedup.shingles(benchmark, idCol, textCol, k)
+      .select(xxhash64(col("shingle")).as("h")).distinct()
+    val n = math.max(expectedItems.getOrElse(benchHashes.count()), 1L)
+    val bf = benchHashes.stat.bloomFilter("h", n, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = ColumnBridge.bloomMightContain(
+      lit(bytes), xxhash64(col("shingle")))
+    Dedup.shingles(docs, idCol, textCol, k)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(mightContain, 1L).otherwise(0L)).as("n_hit"))
+      .select(col(idCol), col("n_sh"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_sh"), 6).as("contamination"))
+  }
+
   /** Per-document PII hit counts (pre-redaction), one column per class. */
   def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

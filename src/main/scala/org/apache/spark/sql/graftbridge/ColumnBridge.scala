@@ -13,6 +13,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** `might_contain(bloomBytes, longValue)` over Spark's Bloom-filter probe
+    * expression (`BloomFilterMightContain` — codegen'd, lazily deserializes the
+    * filter once per task). Not exposed through `functions._` or the SQL
+    * registry, so the Column is built here from the Catalyst node directly.
+    * `bloom` must be a foldable BinaryType expression (e.g. a literal of the
+    * bytes `DataFrameStatFunctions.bloomFilter` produced); `value` a LongType
+    * (xxhash64 of the probed column, matching the build side's hashing).
+    */
+  def bloomMightContain(bloom: Column, value: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ExpressionUtils.expression(bloom), ExpressionUtils.expression(value)))
+
   /** Register a SQL function builder on an already-running session (the
     * `functionRegistry` is `private[sql]`; production deployments should prefer the
     * `spark.sql.extensions` path — [[graft.GraftExtensions]]).

@@ -64,6 +64,33 @@ class TextQualitySpec extends SparkTestBase {
     assert(out(2L) == (6L, 0L, 0.0)) // 8 tokens → 6 trigrams, none shared
   }
 
+  test("contaminationBloom: superset of exact hits, false-hit rate near stated fpp") {
+    // every doc gets 30 tokens unique to it → ~2800 non-member shingle probes,
+    // enough mass to measure the false-hit rate against fpp
+    def text(docId: Int) = (0 until 30).map(t => s"w${docId}_$t").mkString(" ")
+    val bench = (0 until 10).map(i => (1000L + i, text(1000 + i))).toDF("doc_id", "text")
+    val corpus = ((0 until 100).map(i => (i.toLong, text(i))) :+
+      (500L, text(1000))).toDF("doc_id", "text") // doc 500 copies bench doc 1000
+    val fpp = 0.01
+    val exact = TextQuality.contamination(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bloom = TextQuality.contaminationBloom(corpus, bench, "doc_id", "text",
+        fpp = fpp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(bloom.keySet == exact.keySet)
+    exact.foreach { case (id, (nsh, nhit)) =>
+      assert(bloom(id)._1 == nsh, s"doc $id n_sh drifted")
+      // a Bloom filter has no false negatives
+      assert(bloom(id)._2 >= nhit, s"doc $id bloom ${bloom(id)._2} < exact $nhit")
+    }
+    // the planted benchmark copy is fully contaminated under both operators
+    assert(exact(500L)._2 == exact(500L)._1 && bloom(500L)._2 == bloom(500L)._1)
+    val falseHits = exact.keys.map(id => bloom(id)._2 - exact(id)._2).sum
+    val nonMember = exact.values.map { case (nsh, nhit) => nsh - nhit }.sum
+    val rate = falseHits.toDouble / nonMember
+    assert(rate <= 5 * fpp, s"false-hit rate $rate >> fpp $fpp ($falseHits/$nonMember)")
+  }
+
   test("redactPii replaces every class; piiCounts counts them") {
     val docs = Seq(
       (1L, "mail a.b@x.io twice a.b@x.io phone 555-123-4567"),
