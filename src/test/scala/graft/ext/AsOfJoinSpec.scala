@@ -45,6 +45,41 @@ class AsOfJoinSpec extends SparkTestBase {
     }
   }
 
+  test("asOfChunked equals asOf on a single-key whale fixture across chunks") {
+    // one whale key: 400 left events and 60 right rows spread over ~10 chunks
+    // (chunkMs = 1000), including chunks with no right rows at all so the
+    // cross-chunk tail carry actually exercises multi-chunk gaps
+    val ls = (0 until 400).map(i => (i.toLong, 1L, (i * 104729 % 10000).toLong))
+    val rs = (0 until 60).map(j => (1L, (j * 15485863 % 3000).toLong, j.toLong))
+    val l = ls.toDF("event_id", "k", "t")
+    val r = rs.toDF("rk", "rt", "rid")
+    assert(rs.map(_._2).distinct.size == rs.size, "fixture needs unique rt")
+    val plain = AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("rid"))
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    val chunked = AsOfJoin.asOfChunked(l, r, "k", "rk", "t", "rt", Seq("rid"),
+        chunkMs = 1000L)
+      .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+    assert(chunked == plain)
+  }
+
+  test("asOfChunked equals asOf on multi-key data and odd chunk widths") {
+    val ls = (0 until 300).map { i =>
+      (i.toLong, (i * 7919 % 5).toLong, (i * 104729 % 1000).toLong)
+    }
+    val rs = (0 until 120).map { j =>
+      (j * 6101 % 5L, (j * 15485863 % 1000).toLong, j.toLong)
+    }
+    val l = ls.toDF("event_id", "k", "t")
+    val r = rs.toDF("rk", "rt", "rid")
+    for (chunkMs <- Seq(7L, 100L, 999L, 100000L)) {
+      val plain = AsOfJoin.asOf(l, r, "k", "rk", "t", "rt", Seq("rid"))
+        .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      val chunked = AsOfJoin.asOfChunked(l, r, "k", "rk", "t", "rt", Seq("rid"), chunkMs)
+        .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      assert(chunked == plain, s"chunkMs=$chunkMs")
+    }
+  }
+
   test("differential vs brute force on a pseudo-random fixture") {
     // deterministic pseudo-random events/states over a handful of keys
     val ls = (0 until 300).map { i =>

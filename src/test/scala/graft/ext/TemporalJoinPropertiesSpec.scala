@@ -46,6 +46,24 @@ class TemporalJoinPropertiesSpec extends SparkTestBase {
     }
   }
 
+  test("asOfChunked equals brute force on random tables across chunk widths") {
+    (1L to 4L).foreach { seed =>
+      val ls = sample(leftGen, seed)
+      val rs = sample(rightGen, seed + 100)
+      val expected = ls.map { case (id, k, t) =>
+        val cands = rs.filter { case (rk, rt, _) => rk == k && rt <= t }
+        id -> cands.sortBy(_._2).lastOption.map(_._3)
+      }.toMap
+      Seq(13L, 128L, 10000L).foreach { chunkMs =>
+        val got = AsOfJoin.asOfChunked(
+            ls.toDF("event_id", "k", "t"), rs.toDF("rk", "rt", "payload"),
+            "k", "rk", "t", "rt", Seq("payload"), chunkMs)
+          .collect().map(r => r.getLong(0) -> Option(r.getString(3))).toMap
+        assert(got == expected, s"seed $seed chunkMs $chunkMs")
+      }
+    }
+  }
+
   // --- range join -----------------------------------------------------------
 
   private val pointsGen: Gen[List[(Long, Long, Long)]] = for {
