@@ -186,6 +186,70 @@ object StreamingOps {
       }
   }
 
+  final case class FunnelLateState(stage: Int, reachMs: Long,
+                                   buffer: Seq[FunnelEvent])
+
+  /** Late-data-hardened [[funnelStream]]: correct under OUT-OF-ORDER arrival
+    * within an `allowedLateness` watermark horizon, where the plain variant
+    * assumes cross-batch event-time order.
+    *
+    * Mechanics: arriving events are BUFFERED in state; only events at or below
+    * the current watermark are run through the stage machine (no
+    * later-arriving earlier event can reorder them anymore), in
+    * (event time, stage index) order — the stage-index tie-break makes
+    * same-timestamp events advance lower stages first, matching the batch
+    * operator's inclusive `ts >= prev_reach` chaining. Events still above the
+    * watermark stay buffered, and an EVENT-TIME TIMEOUT at the earliest
+    * buffered timestamp re-invokes the group when the watermark passes it,
+    * even if no new data arrives. Arrivals already below the watermark
+    * (later than `allowedLateness`) are dropped — the deterministic policy the
+    * watermark contract promises.
+    *
+    * Cost of determinism: emission is delayed by the lateness horizon, and
+    * per-user state grows with the events inside that horizon (bounded by
+    * rate × lateness, not total volume).
+    */
+  def funnelStreamLate(events: Dataset[FunnelEvent], stages: Seq[String],
+                       allowedLateness: String = "30 minutes")
+      : Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelLateState, StageReached](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelLateState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(FunnelLateState(-1, Long.MinValue, Vector.empty))
+          // incoming rows already past the horizon are too late — drop them
+          val buf = prev.buffer ++ it.filter(_.ts.getTime > wm)
+          val (ripe, hold) = buf.partition(_.ts.getTime <= wm)
+          var stage = prev.stage
+          var reachMs = prev.reachMs
+          val out = scala.collection.mutable.ArrayBuffer[StageReached]()
+          ripe.sortBy(e => (e.ts.getTime, stageIdx.getOrElse(e.event_type, Int.MaxValue)))
+            .foreach { e =>
+              val next = stage + 1
+              if (next < stages.length &&
+                  stageIdx.get(e.event_type).contains(next) &&
+                  (stage < 0 || e.ts.getTime >= reachMs)) {
+                stage = next
+                reachMs = e.ts.getTime
+                out += StageReached(user, next, stages(next), e.ts.getTime)
+              }
+            }
+          if (stage < 0 && hold.isEmpty) state.remove()
+          else {
+            state.update(FunnelLateState(stage, reachMs, hold))
+            // wake this group when the watermark reaches the earliest buffered
+            // event, even with no new arrivals (> wm by construction of `hold`)
+            if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_.ts.getTime).min)
+          }
+          out.iterator
+      }
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Long, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

@@ -85,6 +85,43 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamCounts == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
   }
 
+  test("funnelStreamLate matches batch funnel under shuffled cross-batch arrival") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{FunnelEvent, StageReached}
+    val stages = Seq("view", "click", "purchase")
+    val input = MemoryStream[FunnelEvent]
+    val query = StreamingOps.funnelStreamLate(input.toDS(), stages, "30 minutes")
+      .writeStream.format("memory").queryName("funnel_late_out")
+      .outputMode("append").start()
+    // user 1's view arrives a batch AFTER its click+purchase; user 2's purchase
+    // arrives between view and click in event time but must not count
+    input.addData(FunnelEvent(1L, ts(5), "click"), FunnelEvent(1L, ts(10), "purchase"),
+      FunnelEvent(2L, ts(0), "view"))
+    query.processAllAvailable()
+    input.addData(FunnelEvent(1L, ts(0), "view"),
+      FunnelEvent(2L, ts(2), "click"), FunnelEvent(2L, ts(1), "purchase"))
+    query.processAllAvailable()
+    // sentinels push the watermark far past every real event; a second round
+    // lets the event-time timeouts fire and flush the buffered users
+    input.addData(FunnelEvent(999L, ts(10000), "view"))
+    query.processAllAvailable()
+    input.addData(FunnelEvent(999L, ts(20000), "view"))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("funnel_late_out").as[StageReached].collect()
+      .filter(_.user_id != 999L).map(r => (r.user_id, r.stage_name)).toSet
+    assert(out == Set((1L, "view"), (1L, "click"), (1L, "purchase"),
+      (2L, "view"), (2L, "click")), s"got $out")
+    // equality with the batch operator over the same events in proper order
+    val batch = graft.ext.Funnel.funnelCounts(
+      Seq((1L, ts(0), "view"), (1L, ts(5), "click"), (1L, ts(10), "purchase"),
+        (2L, ts(0), "view"), (2L, ts(1), "purchase"), (2L, ts(2), "click"))
+        .toDF("user_id", "ts", "event_type"),
+      "user_id", "ts", "event_type", stages).collect().head
+    val streamCounts = stages.indices.map(i => out.count(_._2 == stages(i)).toLong)
+    assert(streamCounts == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
+  }
+
   final case class RawDoc(doc_id: Long, text: String)
 
   test("streaming contamination scores docs against a static benchmark, statelessly") {
