@@ -194,22 +194,52 @@ object ExtQueries {
     Dedup.simhash(Tables.documents(spark, dir), "doc_id", "text")
       .orderBy(col("doc_id"))
 
-  val dedupSimhashSql: String = {
+  /** CTE chain ending in `sims(doc_id, simhash)` — shared by the signature and
+    * pair oracles.
+    */
+  private val simhashCtesSql: String = {
     val bitSums = (0 until 32).map { j =>
       s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_$j"
     }.mkString(",\n      ")
     val sig = (0 until 32).map { j =>
       s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+    s"""tok AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |  GROUP BY 1, 2),
       |hh AS (SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tok),
       |s AS (SELECT doc_id,
       |      $bitSums
-      |      FROM hh GROUP BY doc_id)
-      |SELECT doc_id, $sig AS simhash FROM s ORDER BY doc_id""".stripMargin
+      |      FROM hh GROUP BY doc_id),
+      |sims AS (SELECT doc_id, $sig AS simhash FROM s)""".stripMargin
   }
+
+  val dedupSimhashSql: String =
+    s"""WITH $simhashCtesSql
+      |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
+
+  /** SimHash PAIR detection through the oracle gate: banded 8-bit blocking
+    * (hamming-bounded candidate generation) + exact hamming verify — the
+    * operator [[Dedup.simhashPairs]], previously spec-only. The oracle replays
+    * the same bands and `bit_count(xor(...))` verify.
+    */
+  def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",
+        maxHamming = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val simhashPairsSql: String =
+    s"""WITH $simhashCtesSql,
+      |banded AS (SELECT doc_id, b AS band, (simhash >> (b * 8)) & 255 AS bkey
+      |      FROM sims CROSS JOIN generate_series(0, 3) g(b)),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |      FROM banded x JOIN banded y
+      |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM cand c JOIN sims a ON c.id_a = a.doc_id JOIN sims b ON c.id_b = b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
 
   def qDedupEmbed(spark: SparkSession, dir: String): DataFrame =
     Dedup.embeddingDupPairs(Tables.embeddings(spark, dir), "vec_id", "embedding",
@@ -684,6 +714,24 @@ object ExtQueries {
       |FROM e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ems >= o.oms
       |ORDER BY e.event_id""".stripMargin
 
+  /** The as-of whale-key guard oracle-verified: [[AsOfJoin.asOfChunked]] must
+    * produce output identical to [[AsOfJoin.asOf]] (chunk-local carry-forward +
+    * cross-chunk tail merge), so it runs the same query as [[qAsofLastOrder]]
+    * against the same DuckDB native `ASOF LEFT JOIN` oracle.
+    */
+  def qAsofChunked(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), (unix_timestamp(col("o_orderdate")) * 1000).as("oms"))
+      .agg(count(lit(1)).as("n_day"),
+        round(sum(AnalyticsQueries.dec(col("o_totalprice"))).cast("double"), 6)
+          .as("day_total"))
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_millis(col("ts")).as("ems"))
+    AsOfJoin.asOfChunked(e, o, "user_id", "o_custkey", "ems", "oms",
+        Seq("oms", "n_day", "day_total"), chunkMs = 86400000L)
+      .orderBy(col("event_id"))
+  }
+
   def qSessionize(spark: SparkSession, dir: String): DataFrame =
     EventWindows.sessionize(Tables.events(spark, dir), gapMinutes = 30)
       .orderBy(col("user_id"), col("session_id"))
@@ -963,6 +1011,30 @@ object ExtQueries {
       |       (SELECT COUNT(*) FROM s2) AS n_stage_2,
       |       (SELECT COUNT(*) FROM s3) AS n_stage_3""".stripMargin
 
+  /** Windowed funnel: each stage must convert within 24h of the previous one —
+    * [[Funnel.funnelCountsWindowed]], the conversion-window refinement of
+    * [[qFunnel]].
+    */
+  def qFunnelWindowed(spark: SparkSession, dir: String): DataFrame =
+    Funnel.funnelCountsWindowed(Tables.events(spark, dir), "user_id", "ts",
+      "event_type", Seq("view", "click", "purchase"), windowMs = 86400000L)
+
+  val funnelWindowedSql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |s1 AS (SELECT user_id, MIN(ms) AS t FROM e
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+      |    JOIN s1 ON e.user_id = s1.user_id
+      |    WHERE e.event_type = 'click' AND e.ms >= s1.t
+      |      AND e.ms <= s1.t + 86400000 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ms) AS t FROM e
+      |    JOIN s2 ON e.user_id = s2.user_id
+      |    WHERE e.event_type = 'purchase' AND e.ms >= s2.t
+      |      AND e.ms <= s2.t + 86400000 GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_stage_1,
+      |       (SELECT COUNT(*) FROM s2) AS n_stage_2,
+      |       (SELECT COUNT(*) FROM s3) AS n_stage_3""".stripMargin
+
   def qCohortRetention(spark: SparkSession, dir: String): DataFrame =
     Funnel.cohortRetention(Tables.events(spark, dir), "user_id", "ts")
       .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
@@ -987,6 +1059,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
     "q_dedup_simhash" -> (qDedupSimhash _),
+    "q_simhash_pairs" -> (qSimhashPairs _),
     "q_dup_clusters" -> (qDupClusters _),
     "q_dup_clusters_lsh" -> (qDupClustersLsh _),
     "q_dup_pair_cosine" -> (qDupPairCosine _),
@@ -1013,6 +1086,7 @@ object ExtQueries {
     "q_sessionize" -> (qSessionize _),
     "q_sessionize_chunked" -> (qSessionizeChunked _),
     "q_asof_last_order" -> (qAsofLastOrder _),
+    "q_asof_chunked" -> (qAsofChunked _),
     "q_event_props" -> (qEventProps _),
     "q_pricing_summary" -> (qPricingSummary _),
     "q_brand_revenue" -> (qBrandRevenue _),
@@ -1020,6 +1094,7 @@ object ExtQueries {
     "q_top_ngrams" -> (qTopNgrams _),
     "q_pii_redact" -> (qPiiRedact _),
     "q_funnel" -> (qFunnel _),
+    "q_funnel_windowed" -> (qFunnelWindowed _),
     "q_cohort_retention" -> (qCohortRetention _),
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_unigram_nll" -> (qUnigramNll _),
@@ -1032,6 +1107,7 @@ object ExtQueries {
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_simhash_pairs" -> simhashPairsSql,
     "q_dup_clusters" -> dupClustersSql,
     "q_dup_clusters_lsh" -> dupClustersLshSql,
     "q_dup_pair_cosine" -> dupPairCosineSql,
@@ -1058,6 +1134,7 @@ object ExtQueries {
     "q_sessionize" -> sessionizeSql,
     "q_sessionize_chunked" -> sessionizeSql,
     "q_asof_last_order" -> asofLastOrderSql,
+    "q_asof_chunked" -> asofLastOrderSql,
     "q_event_props" -> eventPropsSql,
     "q_pricing_summary" -> pricingSummarySql,
     "q_brand_revenue" -> brandRevenueSql,
@@ -1065,6 +1142,7 @@ object ExtQueries {
     "q_top_ngrams" -> topNgramsSql,
     "q_pii_redact" -> piiRedactSql,
     "q_funnel" -> funnelSql,
+    "q_funnel_windowed" -> funnelWindowedSql,
     "q_cohort_retention" -> cohortRetentionSql,
     "q_quality_deciles" -> qualityDecilesSql,
     "q_unigram_nll" -> unigramNllSql,

@@ -42,6 +42,38 @@ object Funnel {
       .reduce(_ crossJoin _)
   }
 
+  /** [[funnelCounts]] with per-stage CONVERSION WINDOWS — the standard
+    * product-analytics refinement: stage i counts only when its event lands
+    * within `windowMs` AFTER the stage-(i−1) reach time (inclusive on both
+    * ends); first qualifying timestamp wins, as in the unbounded funnel.
+    * Same shuffle profile: per-stage user-keyed min-aggs and monotone-shrinking
+    * user-keyed joins, with the window condition folded into the join filter.
+    */
+  def funnelCountsWindowed(events: DataFrame, userCol: String, tsCol: String,
+                           typeCol: String, stages: Seq[String],
+                           windowMs: Long): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(windowMs > 0, s"windowMs must be positive, got $windowMs")
+    val e = events.select(col(userCol), unix_millis(col(tsCol)).as("__ms"),
+      col(typeCol))
+    val reached = stages.scanLeft(Option.empty[DataFrame]) {
+      case (prev, stage) =>
+        val candidates = e.filter(col(typeCol) === stage)
+        val qualified = prev match {
+          case None => candidates
+          case Some(p) =>
+            candidates.join(p.select(col(userCol), col("reach_ms").as("__prev")),
+                Seq(userCol))
+              .filter(col("__ms") >= col("__prev") &&
+                col("__ms") <= col("__prev") + windowMs)
+        }
+        Some(qualified.groupBy(col(userCol)).agg(min(col("__ms")).as("reach_ms")))
+    }.flatten
+    reached.zipWithIndex
+      .map { case (r, i) => r.agg(count(lit(1)).as(s"n_stage_${i + 1}")) }
+      .reduce(_ crossJoin _)
+  }
+
   /** Weekly cohort retention: cohort = ISO week (Monday-truncated) of the user's
     * first event; for every (cohort_week, week_offset) pair, the number of cohort
     * users active in that week. The (user, week) activity table is distinct-ed

@@ -110,6 +110,77 @@ object StreamingOps {
       }
   }
 
+  /** [[minhashCandidatesStream]] with EVENT-TIME state TTL — the deployment
+    * shape for unbounded corpora, where NoTimeout state grows with occupied
+    * band buckets forever. A bucket's canonical id expires once the watermark
+    * passes `ttlMs` beyond the bucket's last-seen event time (the timeout is
+    * re-armed on every visit); an expired bucket forgets its canonical, so a
+    * duplicate recurring after the horizon re-seeds instead of pairing — the
+    * same trade [[dedupExactStream]] makes, with the batch operator as the
+    * exact backstop.
+    */
+  def minhashCandidatesStreamTtl(docs: DataFrame, tsCol: String, ttlMs: Long,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text", k: Int = 3,
+                                 numHashes: Int = 16, rowsPerBand: Int = 4,
+                                 allowedLateness: String = "0 seconds")
+      : Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    import graft.ext.Dedup
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val numBands = numHashes / rowsPerBand
+    val shingleArr = graft.functions.WordShingles.shingles(col(textCol), k)
+    val mh = (0 until numHashes).map { j =>
+      aggregate(shingleArr, lit(Long.MaxValue), (acc, s) =>
+        least(acc, (lit(Dedup.minhashA(j)) * Dedup.tokenHash32(s)
+          + lit(Dedup.minhashB(j))) % lit(Dedup.MinhashPrime)))
+        .as(s"mh_$j")
+    }
+    val sig = docs.withWatermark(tsCol, allowedLateness)
+      .select(Seq(col(idCol).cast("long").as("__id"), col(tsCol).as("__ts")) ++ mh: _*)
+    val banded = (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }
+    val keyed = sig
+      .select(col("__id"), col("__ts"), explode(array(banded: _*)).as("bk"))
+      .select(col("__id").as("_1"), col("__ts").as("_2"),
+        col("bk.band").as("_3"), col("bk.bkey").as("_4"))
+      .as[(Long, Timestamp, Int, String)]
+    keyed
+      .groupByKey { case (_, _, band, bkey) => (band, bkey) }
+      .flatMapGroupsWithState[Long, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), it: Iterator[(Long, Timestamp, Int, String)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val ids = rows.map(_._1).distinct.sorted
+            val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
+            var canon = state.getOption.getOrElse(Long.MaxValue)
+            ids.foreach { id =>
+              if (canon == Long.MaxValue) canon = id
+              else if (id != canon) {
+                out += CandidatePair(math.min(canon, id), math.max(canon, id))
+                canon = math.min(canon, id)
+              }
+            }
+            if (canon != Long.MaxValue) {
+              state.update(canon)
+              // re-arm: expire ttlMs past this bucket's latest event time (must
+              // stay strictly above the current watermark to be settable)
+              val maxTs = rows.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.ext.TextQuality.contamination]]: score arriving
     * documents against a STATIC benchmark shingle set, statelessly. The
     * benchmark is collapsed to one array row and broadcast-cross-joined; per-doc

@@ -34,6 +34,29 @@ class FunnelSpec extends SparkTestBase {
     assert((out.getLong(0), out.getLong(1)) == (1L, 1L))
   }
 
+  test("funnelCountsWindowed drops conversions outside the per-stage window") {
+    val events = Seq(
+      // user 1: every stage within 2h of the previous — full conversion
+      (1L, ts(0, 0), "view"), (1L, ts(0, 1), "click"), (1L, ts(0, 2), "purchase"),
+      // user 2: click 3 days after view — outside a 1-day window
+      (2L, ts(0), "view"), (2L, ts(3), "click"),
+      // user 3: click in window, purchase 5 days after the click — outside
+      (3L, ts(0), "view"), (3L, ts(0, 2), "click"), (3L, ts(5), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val stages = Seq("view", "click", "purchase")
+    val day = 86400000L
+    val windowed = Funnel.funnelCountsWindowed(events, "user_id", "ts",
+      "event_type", stages, windowMs = day).collect().head
+    assert((windowed.getLong(0), windowed.getLong(1), windowed.getLong(2)) == (3L, 2L, 1L))
+    // an effectively-unbounded window reproduces the plain funnel
+    val unbounded = Funnel.funnelCounts(events, "user_id", "ts", "event_type",
+      stages).collect().head
+    val wide = Funnel.funnelCountsWindowed(events, "user_id", "ts", "event_type",
+      stages, windowMs = 1000L * day).collect().head
+    assert((wide.getLong(0), wide.getLong(1), wide.getLong(2)) ==
+      (unbounded.getLong(0), unbounded.getLong(1), unbounded.getLong(2)))
+  }
+
   test("cohortRetention counts each user once per active week, offset from first week") {
     val events = Seq(
       // user 1: first seen week 0 (day 0 = a fixed epoch), active weeks 0 and 1

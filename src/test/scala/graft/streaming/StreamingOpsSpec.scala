@@ -172,6 +172,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(all.contains((1L, 5L)), s"cross-batch dup missed: $all")
   }
 
+  final case class TsDoc(ts: Timestamp, doc_id: Long, text: String)
+
+  test("minhash TTL: buckets expire past the horizon, dups within it still pair") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val other = "completely different words about spark query engines and data processing"
+    val input = MemoryStream[TsDoc]
+    val query = StreamingOps.minhashCandidatesStreamTtl(input.toDF(), "ts",
+        ttlMs = 60 * 60000L) // 1 hour of event time
+      .writeStream.format("memory").queryName("mh_ttl_out")
+      .outputMode("append").start()
+    // dup pair well inside the horizon
+    input.addData(TsDoc(ts(0), 1L, base), TsDoc(ts(10), 2L, base))
+    query.processAllAvailable()
+    // unrelated docs 3 hours later advance the watermark past the TTL
+    input.addData(TsDoc(ts(180), 3L, other))
+    query.processAllAvailable()
+    input.addData(TsDoc(ts(200), 4L, other))
+    query.processAllAvailable()
+    // same text again: the old canonical has expired → no cross-epoch pair
+    input.addData(TsDoc(ts(210), 5L, base))
+    query.processAllAvailable()
+    // a fresh dup inside the new epoch pairs against the re-seeded canonical
+    input.addData(TsDoc(ts(215), 6L, base))
+    query.processAllAvailable()
+    query.stop()
+    val pairs = spark.table("mh_ttl_out").as[StreamingOps.CandidatePair]
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs.contains((1L, 2L)), s"in-horizon dup missed: $pairs")
+    assert(!pairs.exists(p => p._2 == 5L && p._1 <= 2L),
+      s"expired canonical leaked across the TTL horizon: $pairs")
+    assert(pairs.contains((5L, 6L)), s"re-seeded epoch dup missed: $pairs")
+  }
+
   test("streaming exact dedup passes first occurrence only, across batches") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[Doc]
