@@ -565,6 +565,46 @@ object ExtQueries {
       |       WHEN stopword_hits > 0 THEN 'en-maybe' ELSE 'unk' END AS lang_pred
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Multi-language fixture shared by the Spark query and the VALUES oracle —
+    * the generated corpus is same-language synthetic text, so an on-corpus
+    * multi-class check would be vacuous (same reasoning as [[piiFixture]]).
+    */
+  private[graft] val langFixture: Seq[(Long, String)] = Seq(
+    (1L, "the cat sat on the mat and it is clear that you saw it leave"),
+    (2L, "la casa de la madre es el lugar que los vecinos aman por siempre"),
+    (3L, "der hund und die katze laufen von der stadt zu den feldern mit sich"),
+    (4L, "le chien et les enfants jouent dans un jardin du village pour une heure"),
+    (5L, "zzz qqq xxx words without common function tokens whatsoever"))
+
+  def qLangIdMulti(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    TextStats.langIdMultiDF(langFixture.toDF("doc_id", "text"), "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val langIdMultiSql: String = {
+    val docs = langFixture
+      .map { case (id, text) => s"(CAST($id AS BIGINT), '$text')" }
+      .mkString(",\n    ")
+    val profile = TextStats.langProfiles
+      .flatMap { case (lang, toks) => toks.map(t => s"('$t', '$lang')") }
+      .mkString(", ")
+    s"""WITH docs(doc_id, text) AS (VALUES
+      |    $docs),
+      |profile(tok, plang) AS (VALUES $profile),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM docs),
+      |h AS (SELECT doc_id, plang, COUNT(*) AS n_hits
+      |    FROM tok JOIN profile USING (tok) GROUP BY 1, 2),
+      |r AS (SELECT doc_id, plang, n_hits,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY n_hits DESC, plang) AS rn FROM h)
+      |SELECT d.doc_id, COALESCE(r.plang, 'unk') AS lang_pred,
+      |  CAST(COALESCE(r.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM docs d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1
+      |ORDER BY d.doc_id""".stripMargin
+  }
+
   def qTokenCount(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir)
     d.select(col("doc_id"),
@@ -1076,6 +1116,7 @@ object ExtQueries {
     "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
     "q_lang_id" -> (qLangId _),
+    "q_lang_id_multi" -> (qLangIdMulti _),
     "q_token_count" -> (qTokenCount _),
     "q_fingerprint" -> (qFingerprint _),
     "q_multimodal_meta" -> (qMultimodalMeta _),
@@ -1124,6 +1165,7 @@ object ExtQueries {
     "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,
     "q_lang_id" -> langIdSql,
+    "q_lang_id_multi" -> langIdMultiSql,
     "q_token_count" -> tokenCountSql,
     "q_fingerprint" -> fingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,

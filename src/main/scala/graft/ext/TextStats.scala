@@ -91,6 +91,47 @@ object TextStats {
         .otherwise(lit("unk")).as("lang_pred"))
   }
 
+  /** Per-language stopword profiles for [[langIdMultiDF]] — public common-word
+    * lists, ten per language. Exposed so the SQL oracle embeds the SAME lists.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "he"),
+    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "auf"),
+    "fr" -> Seq("le", "et", "les", "des", "un", "du", "une", "dans", "est", "pour"))
+
+  /** Multi-class language ID over stopword profiles: tokens join a broadcast
+    * (token → language) profile table, per-(doc, language) hit counts are
+    * aggregated map-side-partial, and each document takes the language with the
+    * most hits (ties broken by language code; zero hits → 'unk'). The
+    * distributed shape of a fastText-style classifier's first stage — a real
+    * model swaps the profile table for learned weights; the container ships
+    * none, so the profile variant is the honest oracle-checkable stand-in
+    * (upgrade of the en-only density rule in [[langIdDF]]).
+    * Output: (id, lang_pred, n_hits).
+    */
+  def langIdMultiDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val profile = langProfiles
+      .flatMap { case (lang, toks) => toks.map(t => (t, lang)) }
+      .toDF("tok", "plang")
+    val tok = df.select(col(idCol),
+      explode(split(lower(col(textCol)), " ")).as("tok"))
+    val best = tok.join(broadcast(profile), "tok")
+      .groupBy(col(idCol), col("plang")).agg(count(lit(1)).as("n_hits"))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol))
+          .orderBy(col("n_hits").desc, col("plang"))))
+      .filter(col("__rn") === 1)
+    df.select(col(idCol))
+      .join(best.select(col(idCol), col("plang"), col("n_hits")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("plang"), lit("unk")).as("lang_pred"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Per-group quantiles of a numeric column — the 100 TB path. Exact
     * `percentile` buffers every value per group (OOM on a billion-doc group);
     * `percentile_approx` keeps a fixed-size KLL-style sketch per group that

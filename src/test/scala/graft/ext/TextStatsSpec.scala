@@ -33,6 +33,16 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(1L) == "en" && out(2L) == "unk")
   }
 
+  test("langIdMulti classifies each profile language, unk with zero hits") {
+    val df = graft.ExtQueries.langFixture.toDF("doc_id", "text")
+    val out = TextStats.langIdMultiDF(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L)._1 == "en" && out(2L)._1 == "es" &&
+      out(3L)._1 == "de" && out(4L)._1 == "fr", s"got $out")
+    assert(out(5L) == ("unk", 0L))
+    assert(Seq(1L, 2L, 3L, 4L).forall(out(_)._2 >= 5L), s"weak signal: $out")
+  }
+
   test("fingerprint is whitespace/case invariant") {
     val df = Seq((1L, "Hello   World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
