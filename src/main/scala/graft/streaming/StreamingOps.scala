@@ -330,8 +330,8 @@ object StreamingOps {
     * closes (and emits one row) when a later event arrives more than `gapMs` after
     * the session's last event. State per user is O(1) — counts and bounds, not the
     * events themselves. NoTimeout keeps micro-batch scheduling purely data-driven;
-    * for wall-clock session expiry add an event-time timeout + watermark in the
-    * deployment pipeline.
+    * [[sessionizeLate]] is the watermark-hardened variant (out-of-order safety +
+    * sessions close by event-time timeout instead of waiting for a next event).
     */
   def sessionize(events: Dataset[SessionEvent], gapMs: Long = 30 * 60 * 1000L)
       : Dataset[SessionOut] = {
@@ -357,6 +357,73 @@ object StreamingOps {
             }
           }
           cur.foreach(state.update)
+          closed.iterator
+      }
+  }
+
+  final case class SessionLateState(cur: Option[SessionState],
+                                    buffer: Seq[SessionEvent])
+
+  /** Watermark-hardened [[sessionize]]: correct under out-of-order arrival
+    * within `allowedLateness`, and sessions CLOSE BY EVENT-TIME TIMEOUT — an
+    * idle user's last session emits once the watermark passes its end + gap,
+    * instead of waiting for a next event that may never come (the two caveats
+    * the plain variant documents).
+    *
+    * Same buffering discipline as [[funnelStreamLate]]: events are held in
+    * state until the watermark passes them (no later-arriving earlier event
+    * can reorder them anymore), then folded through the gap logic in event-time
+    * order; too-late arrivals are dropped. The open session also closes as soon
+    * as the watermark clears its gap horizon — any event that could still
+    * extend it would have ts below the watermark, i.e. be dropped as too late,
+    * so the close is safe, not speculative. Timeouts re-arm at the earliest
+    * buffered event or the open session's gap deadline, whichever applies.
+    */
+  def sessionizeLate(events: Dataset[SessionEvent],
+                     gapMs: Long = 30 * 60 * 1000L,
+                     allowedLateness: String = "30 minutes")
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", allowedLateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionLateState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionLateState]) =>
+          val wm = state.getCurrentWatermarkMs()
+          val prev = state.getOption.getOrElse(SessionLateState(None, Vector.empty))
+          val buf = prev.buffer ++ it.filter(_.ts.getTime > wm)
+          val (ripe, hold) = buf.partition(_.ts.getTime <= wm)
+          var cur = prev.cur
+          val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+          ripe.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if t - s.last <= gapMs =>
+                cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+              case Some(s) =>
+                closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+                cur = Some(SessionState(t, t, 1, e.value))
+              case None =>
+                cur = Some(SessionState(t, t, 1, e.value))
+            }
+          }
+          // close the open session once the watermark clears its gap horizon:
+          // nothing that could still extend it can arrive on time anymore
+          cur match {
+            case Some(s) if hold.isEmpty && wm > s.last + gapMs =>
+              closed += SessionOut(user, s.start, s.last, s.n, s.sum)
+              cur = None
+            case _ => ()
+          }
+          if (cur.isEmpty && hold.isEmpty) state.remove()
+          else {
+            state.update(SessionLateState(cur, hold))
+            val wake =
+              if (hold.nonEmpty) hold.map(_.ts.getTime).min
+              else cur.get.last + gapMs + 1
+            state.setTimeoutTimestamp(math.max(wake, wm + 1))
+          }
           closed.iterator
       }
   }

@@ -85,6 +85,34 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamCounts == Seq(batch.getLong(0), batch.getLong(1), batch.getLong(2)))
   }
 
+  test("sessionizeLate: out-of-order arrivals fold correctly; idle session closes by timeout") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{SessionEvent, SessionOut}
+    val input = MemoryStream[SessionEvent]
+    val query = StreamingOps.sessionizeLate(input.toDS(), gapMs = 30 * 60000L,
+        allowedLateness = "30 minutes")
+      .writeStream.format("memory").queryName("sessions_late_out")
+      .outputMode("append").start()
+    // the session's LAST event arrives first; earlier events follow a batch later
+    input.addData(SessionEvent(1L, ts(20), 2.0))
+    query.processAllAvailable()
+    input.addData(SessionEvent(1L, ts(0), 1.0), SessionEvent(1L, ts(10), 4.0))
+    query.processAllAvailable()
+    // sentinels push the watermark past the session's gap horizon — the session
+    // must close WITHOUT any further user-1 event
+    input.addData(SessionEvent(99L, ts(500), 0.0))
+    query.processAllAvailable()
+    input.addData(SessionEvent(99L, ts(1000), 0.0))
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("sessions_late_out").as[SessionOut].collect()
+      .filter(_.user_id == 1L)
+    assert(out.length == 1, s"got ${out.mkString(";")}")
+    val s = out.head
+    assert(s.n_events == 3 && s.sum_value == 7.0 &&
+      s.start_ms == ts(0).getTime && s.end_ms == ts(20).getTime, s"got $s")
+  }
+
   test("funnelStreamLate matches batch funnel under shuffled cross-batch arrival") {
     implicit val sc = spark.sqlContext
     import StreamingOps.{FunnelEvent, StageReached}
