@@ -148,6 +148,43 @@ object ExtQueries {
       |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
       |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** The COMPLETE near-dup curation pipeline in one plan — what a training-data
+    * run actually executes end-to-end: MinHash-LSH candidate pairs → connected
+    * components → keep the cluster canonical (min doc_id; singletons keep
+    * themselves) → per-language stats of the surviving corpus. Composes four
+    * operators ([[Dedup.minhashLshPairs]], [[Dedup.dupClusters]], an anti-join
+    * drop, an aggregate); the oracle re-derives every stage in SQL including
+    * the recursive-CTE components.
+    */
+  def qCorpusCurationLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val clusters = Dedup.dupClusters(
+      Dedup.minhashLshPairs(docs, "doc_id", "text",
+        k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand, threshold = 0.5))
+    val drops = clusters.filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as("doc_id"))
+    docs.join(drops, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val corpusCurationLshSql: String =
+    s"""WITH RECURSIVE $minhashPairCtesSql,
+      |pr AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.5),
+      |edges AS (SELECT id_a AS a, id_b AS b FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |reach(id, r) AS (
+      |      SELECT a, a FROM edges UNION SELECT a, b FROM edges
+      |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+      |cl AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |drops AS (SELECT id AS doc_id FROM cl WHERE id <> cluster_id)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM drops)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** Cross-modal agreement: each text near-dup pair (exact jaccard ≥ 0.5) paired
     * with the cosine of the two docs' embeddings (doc_id ⇔ vec_id) — the check a
     * pipeline runs to see whether text-level and embedding-level similarity agree.
@@ -1108,6 +1145,7 @@ object ExtQueries {
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_simsearch_lsh" -> (qSimsearchLsh _),
     "q_corpus_curation" -> (qCorpusCuration _),
+    "q_corpus_curation_lsh" -> (qCorpusCurationLsh _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
     "q_dataset_split" -> (qDatasetSplit _),
     "q_balanced_sample" -> (qBalancedSample _),
@@ -1157,6 +1195,7 @@ object ExtQueries {
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_simsearch_lsh" -> simsearchLshSql,
     "q_corpus_curation" -> corpusCurationSql,
+    "q_corpus_curation_lsh" -> corpusCurationLshSql,
     "q_quality_quantiles" -> qualityQuantilesSql,
     "q_dataset_split" -> datasetSplitSql,
     "q_balanced_sample" -> balancedSampleSql,
