@@ -201,6 +201,51 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Batched IVF probe: every query row resolves its `nProbe` nearest cells and
+    * scores ONLY those cells' vectors, all in one job — the IVF counterpart of
+    * [[lshTopKForQueries]]. The (tiny) centroid list is broadcast-crossed with
+    * the query table (#queries × nCells rows), ranked per query by squared
+    * centroid distance, cut to nProbe; candidates come from an equi-join on
+    * `ivf_cell`, and the bounded-heap aggregate keeps shuffle volume at
+    * O(#queries × k × #parts). Probing all cells reproduces the exact batch
+    * result (spec-asserted); fewer cells trade recall for reading ~nProbe/nCells
+    * of the corpus per query.
+    */
+  def ivfTopKForQueries(assigned: DataFrame, centroids: Array[Array[Double]],
+                        queries: DataFrame, idCol: String, vecCol: String,
+                        k: Int, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cent = centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("ivf_cell", "__centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val d2 = aggregate(
+      zip_with(col("__qv"), col("__centroid"),
+        (x, c) => { val dx = x.cast("double") - c; dx * dx }),
+      lit(0.0), (acc, x) => acc + x)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(d2, col("ivf_cell"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("__qn"), col("ivf_cell"))
+    val scored = assigned
+      .select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"), col("ivf_cell"))
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol),
+        (dot(col(vecCol), col("__qv")) / (col("__n") * col("__qn"))).as("cosine"))
+    val topk = udaf(new graft.functions.TopKAggregator(k))
+    scored.groupBy("query_id")
+      .agg(topk(col(idCol), col("cosine")).as("__r"))
+      .select(col("query_id"), posexplode(col("__r.items")))
+      .select(col("query_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol),
+        col("col.score").as("cosine"))
+  }
+
   /** Build and PERSIST an IVF index: k-means assignment written as parquet
     * partitioned by `ivf_cell` (one directory per cell → probes prune whole
     * files), plus the nCells centroids as a tiny side table. This is the

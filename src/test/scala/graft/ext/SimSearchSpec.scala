@@ -55,6 +55,29 @@ class SimSearchSpec extends SparkTestBase {
     assert(full == exact)
   }
 
+  test("ivfTopKForQueries: all-cell probe equals exact batch; partial probe keeps recall") {
+    val queries = corpus.filter(col("vec_id").isin(0L, 25L))
+    val (assigned, centroids) = SimSearch.ivfIndex(corpus, "embedding", nCells = 4)
+    val exact = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 8)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    // probing every cell must reproduce the exact batch result, rank for rank
+    val full = SimSearch.ivfTopKForQueries(assigned, centroids, queries,
+        "vec_id", "embedding", k = 8, nProbe = 4)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
+    assert(full == exact, s"full-probe drifted: $full vs $exact")
+    // nProbe=2 is approximate but must keep high recall on clustered data
+    val partial = SimSearch.ivfTopKForQueries(assigned, centroids, queries,
+        "vec_id", "embedding", k = 8, nProbe = 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(2)).toSet }
+    val recalls = exact.map { case (q, ids) =>
+      (partial.getOrElse(q, Set.empty) & ids.toSet).size.toDouble / ids.size
+    }
+    assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
+  }
+
   test("allPairsCosine threshold keeps within-cluster pairs only") {
     val small = ((0 until 5).map(o => (o.toLong, clusterVec(1, o))) ++
       (5 until 10).map(o => (o.toLong, clusterVec(9, o)))).toDF("vec_id", "embedding")
