@@ -64,10 +64,11 @@ object ExtQueries {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** CTE chain ending in `j(id_a, id_b, jaccard)` — the MinHash-LSH candidate +
-    * exact-verify pipeline, shared by the pair oracle and the LSH-cluster oracle.
+  /** CTE chain ending in `banded(doc_id, band, bkey)` — shingles → minhash
+    * signatures → LSH band keys over `documents`, shared by the same-set pair
+    * oracles and the cross-set incremental-dedup oracle.
     */
-  private val minhashPairCtesSql: String = {
+  private val minhashSigBandCtesSql: String = {
     val mh = (0 until numHashes).map { j =>
       s"MIN((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j"
     }.mkString(",\n      ")
@@ -80,7 +81,14 @@ object ExtQueries {
       |sig AS (SELECT doc_id,
       |      $mh
       |      FROM hh GROUP BY doc_id),
-      |banded AS ($bandRows),
+      |banded AS ($bandRows)""".stripMargin
+  }
+
+  /** CTE chain ending in `j(id_a, id_b, jaccard)` — the MinHash-LSH candidate +
+    * exact-verify pipeline, shared by the pair oracle and the LSH-cluster oracle.
+    */
+  private val minhashPairCtesSql: String = {
+    s"""$minhashSigBandCtesSql,
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |      FROM banded x JOIN banded y
       |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
@@ -1130,8 +1138,170 @@ object ExtQueries {
       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Training-data assembly: sequence packing, mixture resampling, repetition
+  // signals, incremental ingest dedup
+  // -------------------------------------------------------------------------
+
+  /** Concat-and-chunk sequence packing: per source stream (docs in doc_id order),
+    * each doc's offset in the concatenated token stream and the 512-token
+    * training sequences it occupies ([[Packing.packChunks]]).
+    */
+  def qSeqPack(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("n_tokens"))
+    Packing.packChunks(d, "doc_id", "source", "n_tokens", seqLen = 512)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val seqPackSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+      |      AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS tok_start
+      |  FROM t),
+      |s AS (SELECT source, doc_id, n_tokens, tok_start,
+      |    CAST(FLOOR(tok_start / 512.0) AS BIGINT) AS seq_first,
+      |    CAST(CASE WHEN n_tokens <= 0 THEN FLOOR(tok_start / 512.0)
+      |         ELSE FLOOR((tok_start + n_tokens - 1) / 512.0) END AS BIGINT)
+      |      AS seq_last
+      |  FROM c)
+      |SELECT source, doc_id, n_tokens, tok_start, seq_first, seq_last,
+      |  seq_last - seq_first + 1 AS n_seqs
+      |FROM s ORDER BY source, doc_id""".stripMargin
+
+  /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
+    * head/torso/tail skew over the 20 generated sources, exposed so the SQL
+    * oracle embeds the SAME weights.
+    */
+  private[graft] val mixWeightsPpm: Seq[(String, Long)] =
+    (0 until 5).map(i => s"src$i" -> 100000L) ++
+      (5 until 15).map(i => s"src$i" -> 40000L) ++
+      (15 until 20).map(i => s"src$i" -> 20000L)
+
+  /** Domain-mixture resampling: deterministically downsample sources to the
+    * target mixture, keeping the maximum total the scarcest source allows
+    * ([[Splits.mixtureSample]]).
+    */
+  def qDomainMix(spark: SparkSession, dir: String): DataFrame =
+    Splits.mixtureSample(
+        Tables.documents(spark, dir).select(col("source"), col("doc_id")),
+        "doc_id", "source", mixWeightsPpm)
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val domainMixSql: String = {
+    val values = mixWeightsPpm
+      .map { case (s, w) => s"('$s', $w)" }.mkString(", ")
+    s"""WITH w AS (SELECT * FROM (VALUES $values) AS t(source, w_ppm)),
+      |cw AS (SELECT d.source, COUNT(*) AS n_g, CAST(MAX(w.w_ppm) AS BIGINT) AS w_ppm
+      |  FROM documents d JOIN w ON d.source = w.source GROUP BY 1),
+      |m AS (SELECT MIN(CAST(FLOOR(n_g * 1000000 / w_ppm) AS BIGINT)) AS m FROM cw),
+      |kept AS (SELECT source, CAST(FLOOR(w_ppm * m / 1000000) AS BIGINT) AS n_keep
+      |  FROM cw CROSS JOIN m),
+      |r AS (SELECT d.source, d.doc_id, k.n_keep,
+      |    ROW_NUMBER() OVER (PARTITION BY d.source
+      |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+      |  FROM documents d JOIN kept k ON d.source = k.source)
+      |SELECT source, doc_id FROM r WHERE rk <= n_keep
+      |ORDER BY source, doc_id""".stripMargin
+  }
+
+  /** Char-weighted Gopher repetition signals over word trigrams
+    * ([[TextQuality.repetitionSignals]]).
+    */
+  def qRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextQuality.repetitionSignals(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3)
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    """WITH tg AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(l) - 2, 1)),
+      |    i -> array_to_string(l[i:i+2], ' '))) AS g
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |tc AS (SELECT doc_id, g, COUNT(*) AS c FROM tg GROUP BY 1, 2),
+      |a AS (SELECT doc_id,
+      |    CAST(SUM(c * length(g)) AS BIGINT) AS w_total,
+      |    CAST(SUM(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS BIGINT)
+      |      AS w_dup
+      |  FROM tc GROUP BY 1),
+      |t AS (SELECT doc_id, c * length(g) AS w_top,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, g) AS rn
+      |  FROM tc)
+      |SELECT a.doc_id, w_total, w_dup,
+      |  ROUND(w_dup * 1.0 / w_total, 6) AS dup_ngram_char_frac,
+      |  ROUND(t.w_top * 1.0 / w_total, 6) AS top_ngram_char_frac
+      |FROM a JOIN t ON a.doc_id = t.doc_id AND t.rn = 1
+      |ORDER BY a.doc_id""".stripMargin
+
+  /** Incremental ingest dedup: the corpus is split deterministically into an
+    * "existing" store (md5 bucket < 80, ~80%) and an "incoming" batch (the
+    * rest); every incoming doc is classified exact_dup / near_dup / new against
+    * the store ([[Dedup.incrementalDedup]] — exact md5 match, then cross-set
+    * MinHash-LSH candidates verified with exact Jaccard).
+    */
+  def qIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val bucket = Splits.hashBucket(col("doc_id"))
+    val incoming = docs.filter(bucket >= 80)
+    val existing = docs.filter(bucket < 80)
+    Dedup.incrementalDedup(incoming, existing, "doc_id", "text",
+        k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand, threshold = 0.5)
+      .select(col("doc_id"), col("status"), col("match_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $minhashSigBandCtesSql,
+      |mem AS (SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 >= 80
+      |      AS is_inc
+      |  FROM documents),
+      |exk AS (SELECT COALESCE(md5(d.text), '__null_text__') AS hkey,
+      |      MIN(d.doc_id) AS ex_id
+      |  FROM documents d JOIN mem m ON d.doc_id = m.doc_id
+      |  WHERE NOT m.is_inc GROUP BY 1),
+      |inc AS (SELECT d.doc_id, COALESCE(md5(d.text), '__null_text__') AS hkey
+      |  FROM documents d JOIN mem m ON d.doc_id = m.doc_id WHERE m.is_inc),
+      |ex0 AS (SELECT i.doc_id, e.ex_id FROM inc i LEFT JOIN exk e ON i.hkey = e.hkey),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_in, y.doc_id AS id_ex
+      |  FROM banded x
+      |  JOIN ex0 f ON x.doc_id = f.doc_id AND f.ex_id IS NULL
+      |  JOIN banded y ON x.band = y.band AND x.bkey = y.bkey
+      |  JOIN mem my ON y.doc_id = my.doc_id AND NOT my.is_inc),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |shared AS (SELECT c.id_in, c.id_ex, COUNT(*) AS n_shared
+      |  FROM cand c JOIN sh a ON a.doc_id = c.id_in
+      |  JOIN sh b ON b.doc_id = c.id_ex AND b.sh = a.sh GROUP BY 1, 2),
+      |jj AS (SELECT c.id_in, c.id_ex,
+      |    COALESCE(s.n_shared, 0) * 1.0
+      |      / (na.n_sh + nb.n_sh - COALESCE(s.n_shared, 0)) AS jaccard
+      |  FROM cand c LEFT JOIN shared s ON c.id_in = s.id_in AND c.id_ex = s.id_ex
+      |  JOIN n na ON c.id_in = na.doc_id JOIN n nb ON c.id_ex = nb.doc_id),
+      |best AS (SELECT id_in, id_ex, jaccard,
+      |    ROW_NUMBER() OVER (PARTITION BY id_in ORDER BY jaccard DESC, id_ex) AS rn
+      |  FROM jj WHERE jaccard >= 0.5)
+      |SELECT e.doc_id,
+      |  CASE WHEN e.ex_id IS NOT NULL THEN 'exact_dup'
+      |       WHEN b.id_ex IS NOT NULL THEN 'near_dup' ELSE 'new' END AS status,
+      |  COALESCE(e.ex_id, b.id_ex) AS match_id,
+      |  ROUND(b.jaccard, 6) AS jaccard
+      |FROM ex0 e LEFT JOIN best b ON e.doc_id = b.id_in AND b.rn = 1
+      |ORDER BY e.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_seq_pack" -> (qSeqPack _),
+    "q_domain_mix" -> (qDomainMix _),
+    "q_repetition" -> (qRepetition _),
+    "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1182,6 +1352,10 @@ object ExtQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_seq_pack" -> seqPackSql,
+    "q_domain_mix" -> domainMixSql,
+    "q_repetition" -> repetitionSql,
+    "q_incremental_dedup" -> incrementalDedupSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -164,13 +164,7 @@ object Dedup {
     val sh = shingles(df, idCol, textCol, k)
     val shSig = stopShingleMaxDf.fold(sh)(rareShingles(sh, _))
     val sig = signaturesFromShingles(shSig, idCol, numHashes)
-    // band key rows via UNION ALL of plain projections (mirrors the SQL oracle);
-    // an explode(array(struct...)) here would run as an interpreted generator
-    val banded = (0 until numBands).map { b =>
-      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws(",", slice: _*)).as("bkey"))
-    }.reduce(_ union _)
+    val banded = bandKeys(sig, idCol, numBands, rowsPerBand)
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
     val joined =
@@ -188,6 +182,92 @@ object Dedup {
 
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     verifyJaccard(candidates, sh, sizes, idCol, threshold)
+  }
+
+  /** LSH band-key rows (id, band, bkey) from a signature table — UNION ALL of
+    * plain projections (mirrors the SQL oracle; an explode(array(struct...))
+    * here would run as an interpreted generator).
+    */
+  private def bandKeys(sig: DataFrame, idCol: String,
+                       numBands: Int, rowsPerBand: Int): DataFrame =
+    (0 until numBands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws(",", slice: _*)).as("bkey"))
+    }.reduce(_ union _)
+
+  /** Incremental (new-batch-vs-corpus) dedup — the shape a continuously-refreshed
+    * training corpus runs on every ingest: classify each `incoming` document as
+    *  - `exact_dup`: byte-identical text already in `existing` (md5 key match;
+    *    `match_id` = the smallest matching existing id)
+    *  - `near_dup`: MinHash-LSH candidate against `existing` whose exact
+    *    cross-set shingle Jaccard ≥ `threshold` (`match_id` = best match —
+    *    highest jaccard, ties to the smallest id; `jaccard` = its value)
+    *  - `new`: neither.
+    * Output: (id, status, match_id, jaccard), one row per incoming document;
+    * `match_id`/`jaccard` are null for `new`, `jaccard` null for `exact_dup`.
+    *
+    * Scale shape: the existing corpus is NEVER self-joined — its md5 keys feed
+    * one grouped join, its band keys one cross-set equi-join (incoming side is
+    * the small batch, so AQE broadcasts it), and exact verification touches only
+    * candidate pairs. Exact-dup docs are excluded from the near phase before
+    * candidate generation, so the LSH work scales with the genuinely-new slice.
+    * At 100 TB, persist `existing`'s signatures/band keys once (they're
+    * ingest-invariant) instead of recomputing per batch.
+    */
+  def incrementalDedup(incoming: DataFrame, existing: DataFrame,
+                       idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                       threshold: Double = 0.5): DataFrame = {
+    val key = coalesce(md5(col(textCol)), lit("__null_text__"))
+    val exKeys = existing.groupBy(key.as("hkey"))
+      .agg(min(col(idCol)).as("__ex_id"))
+    val exact = incoming.select(col(idCol), key.as("hkey"))
+      .join(exKeys, Seq("hkey"), "left")
+      .select(col(idCol), col("__ex_id"))
+
+    // near phase over exact-miss incoming docs only
+    val numBands = numHashes / rowsPerBand
+    val freshIds = exact.filter(col("__ex_id").isNull).select(col(idCol))
+    val shIn = shingles(incoming.join(freshIds, idCol), idCol, textCol, k)
+    val shEx = shingles(existing, idCol, textCol, k)
+    val bandIn = bandKeys(signaturesFromShingles(shIn, idCol, numHashes),
+      idCol, numBands, rowsPerBand)
+    val bandEx = bandKeys(signaturesFromShingles(shEx, idCol, numHashes),
+      idCol, numBands, rowsPerBand)
+    val cand = bandIn.select(col(idCol).as("id_in"), col("band"), col("bkey"))
+      .join(bandEx.select(col(idCol).as("id_ex"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select("id_in", "id_ex").distinct()
+    val shared = shIn.select(col(idCol).as("id_in"), col("shingle"))
+      .join(cand, Seq("id_in"))
+      .join(shEx.select(col(idCol).as("id_ex"), col("shingle")),
+        Seq("id_ex", "shingle"))
+      .groupBy(col("id_in"), col("id_ex")).agg(count(lit(1)).as("n_shared"))
+    val nIn = shIn.groupBy(col(idCol)).agg(count(lit(1)).as("n_in"))
+    val nEx = shEx.groupBy(col(idCol)).agg(count(lit(1)).as("n_ex"))
+    val best = cand.join(shared, Seq("id_in", "id_ex"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .join(nIn.select(col(idCol).as("id_in"), col("n_in")), Seq("id_in"))
+      .join(nEx.select(col(idCol).as("id_ex"), col("n_ex")), Seq("id_ex"))
+      .select(col("id_in"), col("id_ex"),
+        (col("n_shared").cast("double") / (col("n_in") + col("n_ex") - col("n_shared")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id_in"))
+          .orderBy(col("jaccard").desc, col("id_ex"))))
+      .filter(col("__rn") === 1)
+
+    exact
+      .join(best.select(col("id_in").as(idCol), col("id_ex"), col("jaccard")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__ex_id").isNotNull, lit("exact_dup"))
+          .when(col("id_ex").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__ex_id"), col("id_ex")).as("match_id"),
+        col("jaccard"))
   }
 
   /** Connected components over a near-dup pair table: every document in a duplicate

@@ -1,0 +1,53 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM pre-training: documents are laid end-to-end in a
+  * deterministic order and the concatenated token stream is cut into fixed-length
+  * training sequences ("concat-and-chunk", the standard GPT-style data layout).
+  * The operator answers, per document: where in the stream it starts, which
+  * sequences it lands in, and whether it straddles a sequence boundary — the
+  * bookkeeping a tokenize-and-shard job needs to write packed training files.
+  *
+  * North-star extension beyond the reference (SURVEY.md §7.2.6): the reference has
+  * no packing surface; this is the missing step between a curated corpus and
+  * trainer-ready shards.
+  *
+  * Scale shape: one window per pack group (`partitionBy(groupCol)`) computing a
+  * running token prefix sum — parallel across groups (sources/shards), no global
+  * sort, no single-partition window. A 100 TB corpus packs per-shard by
+  * construction: the group key IS the output shard, so each executor owns whole
+  * sequences and no token stream ever crosses machines. Degenerate single-group
+  * use at extreme size would serialize into one partition — shard first (any
+  * deterministic doc_id bucketing) exactly as production tokenizers do.
+  */
+object Packing {
+
+  /** Per-document chunk assignment packing `nTokensCol` tokens per doc into
+    * sequences of `seqLen` tokens within each `groupCol` stream, docs ordered by
+    * `idCol`. Output adds:
+    *  - `tok_start`: the doc's offset in its group's concatenated token stream
+    *  - `seq_first` / `seq_last`: first/last sequence index the doc occupies
+    *  - `n_seqs`: how many sequences the doc touches (>1 ⇒ split across chunks)
+    *
+    * Zero-token docs occupy no positions: they report the sequence they would
+    * start in (`seq_last` = `seq_first`, `n_seqs` = 1) and never span.
+    */
+  def packChunks(df: DataFrame, idCol: String, groupCol: String,
+                 nTokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val before = Window.partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val n = col(nTokensCol)
+    val seqOf = (tok: org.apache.spark.sql.Column) =>
+      floor(tok / lit(seqLen.toDouble)).cast("long")
+    df.withColumn("tok_start", coalesce(sum(n).over(before), lit(0L)))
+      .withColumn("seq_first", seqOf(col("tok_start")))
+      .withColumn("seq_last",
+        when(n <= 0, col("seq_first"))
+          .otherwise(seqOf(col("tok_start") + n - 1)))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+}

@@ -32,6 +32,48 @@ object Splits {
                 trainPct: Int = 80, valPct: Int = 10): DataFrame =
     df.withColumn("split", splitLabel(col(idCol), trainPct, valPct))
 
+  /** Deterministic domain-mixture resampling: downsample groups so the kept corpus
+    * matches target proportions (`weightsPpm`: group → parts-per-million), keeping
+    * as much data as the scarcest group allows. The scale factor
+    * `m = min_g floor(n_g·10⁶ / w_g)` is the largest total such that every group
+    * can supply its share; group g then keeps `floor(w_g·m / 10⁶)` rows, chosen by
+    * md5-of-id order — the same reproducible draw as [[balancedSample]] (identical
+    * rows every run, stable under repartitioning; new data re-draws, since both
+    * the quotas and the md5 rank order shift). Groups absent
+    * from `weightsPpm` get weight 0 (dropped); weighted groups absent from the
+    * data simply don't constrain `m`.
+    *
+    * This is the mixture step of a training-data pipeline (e.g. "10% code, 30%
+    * web, 60% books"): two aggregates — per-group counts (#groups rows,
+    * broadcast back) and the 1-row scale factor — then one per-group rank window,
+    * parallel across groups. The division stays on exact integers (< 2⁵³) so
+    * floor() is bit-identical across engines and partitionings. For a whale group
+    * at extreme scale, swap the exact rank for the hash-threshold approximation
+    * (`hashBucket(id) scaled to n_keep/n_g`) — zero sort, ±binomial-noise counts.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    weightsPpm: Seq[(String, Long)]): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.forall(_._2 > 0),
+      "weightsPpm must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val w = weightsPpm.toDF(groupCol, "__w_ppm")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
+      .join(broadcast(w), groupCol)
+    val scale = counts
+      .agg(min(floor(col("__n_g") * lit(1000000L) / col("__w_ppm"))).as("__m"))
+    val kept = counts.crossJoin(broadcast(scale))
+      .select(col(groupCol),
+        floor(col("__w_ppm") * col("__m") / lit(1000000L)).as("__n_keep"))
+    val rk = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.join(broadcast(kept), groupCol)
+      .withColumn("__rk", row_number().over(rk))
+      .filter(col("__rk") <= col("__n_keep"))
+      .drop("__rk", "__n_keep")
+  }
+
   /** Deterministic balanced sampling: keep at most `maxPerGroup` rows per group,
     * chosen by md5-of-id order — a reproducible "random" draw (same rows every
     * run, stable under repartitioning) for dataset balancing / per-class caps.

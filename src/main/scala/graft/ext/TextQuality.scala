@@ -53,6 +53,44 @@ object TextQuality {
         (topTf <= maxTopTokenRatio && dupBg <= maxDupBigramFrac).as("keep"))
   }
 
+  /** Char-weighted repetition signals (the Gopher repetition filters' other half:
+    * [[gopherSignals]] counts duplicated n-grams, this weights them by the
+    * characters they cover, so a few long repeated phrases register as strongly
+    * as many short ones):
+    *  - `w_total`: Σ count·len over the doc's word `k`-grams (with duplicates)
+    *  - `w_dup`: the same sum restricted to n-grams occurring ≥ 2 times
+    *  - `dup_ngram_char_frac`: w_dup / w_total (high → looping/boilerplate text)
+    *  - `top_ngram_char_frac`: the single most frequent n-gram's count·len share
+    *    (ties broken by n-gram text for cross-engine determinism)
+    *
+    * One (doc, ngram) count aggregate feeding a doc-keyed aggregate plus a rank-1
+    * window — all keyed on doc_id (uniform), partial-aggregated map-side; the
+    * rank window compiles to WindowGroupLimit. Per-doc state is O(distinct
+    * n-grams), never corpus-wide.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(col(idCol),
+        explode(graft.functions.WordShingles.shingles(col(textCol), k)).as("g"))
+      .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("c"))
+      .withColumn("w", col("c") * length(col("g")))
+    val perDoc = counts.groupBy(col(idCol)).agg(
+      sum(col("w")).as("w_total"),
+      sum(when(col("c") >= 2, col("w")).otherwise(0L)).as("w_dup"))
+    val top = counts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("c").desc, col("g"))))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("w").as("w_top"))
+    perDoc.join(top, idCol)
+      .select(col(idCol), col("w_total"), col("w_dup"),
+        round(col("w_dup").cast("double") / col("w_total"), 6)
+          .as("dup_ngram_char_frac"),
+        round(col("w_top").cast("double") / col("w_total"), 6)
+          .as("top_ngram_char_frac"))
+  }
+
   /** Corpus-wide top-`topN` word `k`-grams by document frequency (distinct per doc,
     * so a single looping document can't dominate). The global top-N runs as
     * TakeOrderedAndProject — per-partition heaps, only N rows per partition reach

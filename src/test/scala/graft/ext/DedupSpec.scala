@@ -207,4 +207,30 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) > 0.99, s"got $pairs")
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
+
+  test("incrementalDedup classifies exact / near / new against the store") {
+    val existing = Seq(
+      (1L, base), (2L, base), // store has its own internal dup — min id wins
+      (4L, "completely different words about spark query engines and data processing")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, base), // exact match of 1/2
+      (11L, nearDup), // one token off base → near_dup
+      (12L, "entirely fresh content that resembles nothing stored so far at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(incoming, existing, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2), !r.isNullAt(3)))
+      .toMap
+    assert(out(10L) == (("exact_dup", 1L, false)))
+    assert(out(11L)._1 == "near_dup" && out(11L)._2 == 1L && out(11L)._3)
+    assert(out(12L) == (("new", -1L, false)))
+  }
+
+  test("incrementalDedup: an exact dup is never double-reported as near") {
+    val existing = Seq((1L, base)).toDF("doc_id", "text")
+    val incoming = Seq((10L, base)).toDF("doc_id", "text")
+    val rows = Dedup.incrementalDedup(incoming, existing, "doc_id", "text").collect()
+    assert(rows.length == 1 && rows.head.getString(1) == "exact_dup")
+  }
 }

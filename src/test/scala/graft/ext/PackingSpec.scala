@@ -1,0 +1,74 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class PackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  /** Single-threaded reference: running offsets + chunk spans per group. */
+  private def reference(rows: Seq[(String, Long, Long)], seqLen: Int)
+      : Map[(String, Long), (Long, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (_, grp) =>
+      var off = 0L
+      grp.sortBy(_._2).map { case (g, id, n) =>
+        val first = off / seqLen
+        val last = if (n <= 0) first else (off + n - 1) / seqLen
+        val out = (g, id) -> (off, first, last, last - first + 1)
+        off += math.max(n, 0)
+        out
+      }
+    }
+
+  private def run(rows: Seq[(String, Long, Long)], seqLen: Int) =
+    Packing.packChunks(rows.toDF("source", "doc_id", "n_tokens"),
+        "doc_id", "source", "n_tokens", seqLen)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+
+  test("packChunks: offsets contiguous, spans cover each doc, zero-token docs inert") {
+    val rows = Seq[(String, Long, Long)](
+      ("a", 1L, 100L), ("a", 2L, 500L), ("a", 3L, 12L), ("a", 4L, 0L), ("a", 5L, 600L),
+      ("b", 10L, 256L), ("b", 11L, 1L))
+    val got = run(rows, seqLen = 256)
+    assert(got == reference(rows, 256))
+    // doc 2 starts at 100, ends at 599 → sequences 0..2 of group a
+    assert(got(("a", 2L)) == ((100L, 0L, 2L, 3L)))
+    // zero-token doc reports its would-be sequence, spans nothing
+    assert(got(("a", 4L)) == ((612L, 2L, 2L, 1L)))
+    // exact boundary fit: doc 10 fills sequence 0 exactly; doc 11 starts seq 1
+    assert(got(("b", 10L)) == ((0L, 0L, 0L, 1L)))
+    assert(got(("b", 11L)) == ((256L, 1L, 1L, 1L)))
+  }
+
+  test("packChunks matches the reference on random corpora (ScalaCheck)") {
+    val row = for {
+      g <- Gen.oneOf("g0", "g1", "g2")
+      id <- Gen.choose(0L, 500L)
+      n <- Gen.choose(0L, 1000L)
+    } yield (g, id, n)
+    val corpusGen = Gen.zip(Gen.listOfN(60, row), Gen.choose(16, 512))
+    (1 to 8).foreach { seed =>
+      val (raw, seqLen) = sample(corpusGen, seed.toLong)
+      // distinct ids per group (duplicate ids have no defined order)
+      val rows = raw.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      assert(run(rows, seqLen) == reference(rows, seqLen), s"seed $seed")
+    }
+  }
+
+  test("packChunks is stable under repartitioning") {
+    val rows = (0 until 200).map(i => (s"g${i % 4}", i.toLong, (i * 37 % 400).toLong))
+    val df = rows.toDF("source", "doc_id", "n_tokens")
+    val a = Packing.packChunks(df, "doc_id", "source", "n_tokens", 128)
+      .orderBy("source", "doc_id").collect().toSeq
+    val b = Packing.packChunks(df.repartition(7), "doc_id", "source", "n_tokens", 128)
+      .orderBy("source", "doc_id").collect().toSeq
+    assert(a == b)
+  }
+}

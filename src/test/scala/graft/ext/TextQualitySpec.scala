@@ -110,4 +110,22 @@ class TextQualitySpec extends SparkTestBase {
     assert(counts(2L) == (0L, 1L, 1L, 0L))
     assert(counts(3L) == (0L, 0L, 0L, 0L))
   }
+
+  test("repetitionSignals: looping text saturates, diverse text scores zero") {
+    val docs = Seq(
+      (1L, "spam ham eggs spam ham eggs spam ham eggs"), // every trigram repeats-ish
+      (2L, "one two three four five six seven eight nine"), // all trigrams unique
+      (3L, "a b") // shorter than k → single partial shingle, no dups
+    ).toDF("doc_id", "text")
+    val out = TextQuality.repetitionSignals(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    // doc 1 trigrams: "spam ham eggs"×3 (len 13), "ham eggs spam"×2 (13),
+    // "eggs spam ham"×2 (13) → w_total = 7·13 = 91, all duplicated → frac 1.0
+    assert(out(1L)._1 == 91L && out(1L)._2 == 91L)
+    assert(approx(out(1L)._3, 1.0))
+    assert(approx(out(1L)._4, 0.428571)) // top trigram: count 3 · len 13, round 6
+    assert(out(2L)._2 == 0L && approx(out(2L)._3, 0.0))
+    assert(out(3L)._1 == 3L && out(3L)._2 == 0L) // "a b" single shingle, len 3
+  }
 }
