@@ -125,13 +125,14 @@ object Dedup {
     * [[minhashLshPairs]] (and the SQL oracle mirroring it) can't drift apart.
     */
   def signaturesFromShingles(sh: DataFrame, idCol: String,
-                             numHashes: Int = 16): DataFrame = {
+                             numHashes: Int = 16,
+                             carryCols: Seq[String] = Nil): DataFrame = {
     val hashed = sh.withColumn("h", tokenHash32(col("shingle")))
     val aggs = (0 until numHashes).map { j =>
       min((lit(minhashA(j)) * col("h") + lit(minhashB(j))) % lit(MinhashPrime))
         .as(s"mh_$j")
     }
-    hashed.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy((idCol +: carryCols).map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash signatures: one column mh_j per hash function (numHashes columns).
@@ -184,17 +185,29 @@ object Dedup {
     verifyJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
-  /** LSH band-key rows (id, band, bkey) from a signature table — UNION ALL of
-    * plain projections (mirrors the SQL oracle; an explode(array(struct...))
-    * here would run as an interpreted generator).
+  /** LSH band-key rows (id, band, bkey) from a signature table, via ONE
+    * explode(array(struct...)) generator rather than a UNION ALL of per-band
+    * projections. The union shape reads as if the signature aggregate computes
+    * once with four projections over it — but Catalyst's column pruning
+    * specializes each branch's partial aggregate to ITS 4 minima, so the four
+    * exchanges differ and each re-runs the whole shingle pipeline (no AQE
+    * reuse possible; measured 4× the shingle work). The generator keeps all
+    * `numHashes` minima on one exchange and expands to band rows scan-side:
+    * #docs × numBands tiny structs, noise next to one shingle pass. (The SQL
+    * oracle keeps its UNION ALL over the sig CTE — DuckDB CTEs materialize
+    * once, and output is identical either way.)
     */
   private def bandKeys(sig: DataFrame, idCol: String,
-                       numBands: Int, rowsPerBand: Int): DataFrame =
-    (0 until numBands).map { b =>
+                       numBands: Int, rowsPerBand: Int,
+                       carryCols: Seq[String] = Nil): DataFrame = {
+    val bands = array((0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
-      sig.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws(",", slice: _*)).as("bkey"))
-    }.reduce(_ union _)
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }: _*)
+    sig.select((idCol +: carryCols).map(col) :+ explode(bands).as("__bb"): _*)
+      .select((idCol +: carryCols).map(col) ++
+        Seq(col("__bb.band").as("band"), col("__bb.bkey").as("bkey")): _*)
+  }
 
   /** Incremental (new-batch-vs-corpus) dedup — the shape a continuously-refreshed
     * training corpus runs on every ingest: classify each `incoming` document as
@@ -210,10 +223,11 @@ object Dedup {
     * Scale shape: the existing corpus is NEVER self-joined — its md5 keys feed
     * one grouped join, its band keys one cross-set equi-join (incoming side is
     * the small batch, so AQE broadcasts it), and exact verification touches only
-    * candidate pairs. Exact-dup docs are excluded from the near phase before
-    * candidate generation, so the LSH work scales with the genuinely-new slice.
-    * At 100 TB, persist `existing`'s signatures/band keys once (they're
-    * ingest-invariant) instead of recomputing per batch.
+    * candidate pairs. Exact-dup docs take precedence over any near match in the
+    * final select (masking there instead of pruning candidates keeps the near
+    * phase's subtrees reusable — see the in-code note). At 100 TB, persist
+    * `existing`'s signatures/band keys once (they're ingest-invariant) instead
+    * of recomputing per batch.
     */
   def incrementalDedup(incoming: DataFrame, existing: DataFrame,
                        idCol: String, textCol: String,
@@ -226,10 +240,23 @@ object Dedup {
       .join(exKeys, Seq("hkey"), "left")
       .select(col(idCol), col("__ex_id"))
 
-    // near phase over exact-miss incoming docs only
+    // near phase: one shingle→signature→band pipeline PER SIDE, with NOTHING
+    // from the exact phase woven into it. Three shapes that look equivalent are
+    // measurably worse (sf0.01 timings vs ~2s for this one):
+    //  - routing the incoming side through `exact` before shingling inlines the
+    //    exact-match join pipeline under every band projection, defeating AQE
+    //    exchange reuse (18s);
+    //  - a single side-tagged union pipeline (the oracle SQL's shape) is undone
+    //    by Catalyst, which pushes the side filters back through the union and
+    //    re-specializes every subtree per band AND per side (16s);
+    //  - even a left-semi cut of exact-dups on the candidate table gets pushed
+    //    down into every incoming band subtree, breaking their mutual reuse
+    //    (6-9s). Exact-dup precedence is instead applied in the final select
+    //    (identical output: the status CASE masks any near match an exact-dup
+    //    doc also has), so the near phase's subtrees stay identical per side
+    //    and each side's shingle/signature work runs once.
     val numBands = numHashes / rowsPerBand
-    val freshIds = exact.filter(col("__ex_id").isNull).select(col(idCol))
-    val shIn = shingles(incoming.join(freshIds, idCol), idCol, textCol, k)
+    val shIn = shingles(incoming, idCol, textCol, k)
     val shEx = shingles(existing, idCol, textCol, k)
     val bandIn = bandKeys(signaturesFromShingles(shIn, idCol, numHashes),
       idCol, numBands, rowsPerBand)
@@ -267,7 +294,10 @@ object Dedup {
           .when(col("id_ex").isNotNull, lit("near_dup"))
           .otherwise(lit("new")).as("status"),
         coalesce(col("__ex_id"), col("id_ex")).as("match_id"),
-        col("jaccard"))
+        // exact-dup precedence: a byte-identical doc may also band-collide;
+        // its near match (if any) is masked here, not pruned upstream (see
+        // the near-phase note on why pruning there wrecks the plan)
+        when(col("__ex_id").isNull, col("jaccard")).as("jaccard"))
   }
 
   /** Connected components over a near-dup pair table: every document in a duplicate
