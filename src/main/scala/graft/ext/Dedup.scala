@@ -197,9 +197,9 @@ object Dedup {
     * oracle keeps its UNION ALL over the sig CTE — DuckDB CTEs materialize
     * once, and output is identical either way.)
     */
-  private def bandKeys(sig: DataFrame, idCol: String,
-                       numBands: Int, rowsPerBand: Int,
-                       carryCols: Seq[String] = Nil): DataFrame = {
+  private[graft] def bandKeys(sig: DataFrame, idCol: String,
+                              numBands: Int, rowsPerBand: Int,
+                              carryCols: Seq[String] = Nil): DataFrame = {
     val bands = array((0 until numBands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))

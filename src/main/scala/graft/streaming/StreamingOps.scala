@@ -427,4 +427,104 @@ object StreamingOps {
           closed.iterator
       }
   }
+
+  /** Build the STATIC side of streaming incremental dedup from an existing
+    * corpus: one row per (store doc, band) with the doc's exact-match key, LSH
+    * band key, full distinct-shingle array and its size — everything
+    * [[incrementalDedupStream]] probes, in one persistable table (this is the
+    * "persist the store's signatures once, they're ingest-invariant" artifact
+    * [[graft.ext.Dedup.incrementalDedup]]'s docs call for; write it out
+    * partitioned however the store is managed and hand it to every stream).
+    */
+  def dedupStore(existing: DataFrame, idCol: String, textCol: String,
+                 k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4)
+      : DataFrame = {
+    val sh = graft.ext.Dedup.shingles(existing, idCol, textCol, k)
+    val perDoc = sh.groupBy(col(idCol)).agg(
+      collect_set(col("shingle")).as("__ex_sh"),
+      count(lit(1)).as("__n_ex"))
+    val banded = graft.ext.Dedup.bandKeys(
+      graft.ext.Dedup.signaturesFromShingles(sh, idCol, numHashes),
+      idCol, numHashes / rowsPerBand, rowsPerBand)
+    existing
+      .select(col(idCol).as("__ex_id"),
+        coalesce(md5(col(textCol)), lit("__null_text__")).as("__hkey"))
+      .join(perDoc.select(col(idCol).as("__ex_id"), col("__ex_sh"), col("__n_ex")),
+        Seq("__ex_id"))
+      .join(banded.select(col(idCol).as("__ex_id"), col("band"), col("bkey")),
+        Seq("__ex_id"))
+  }
+
+  /** Streaming twin of [[graft.ext.Dedup.incrementalDedup]]: classify ARRIVING
+    * documents against a static store built by [[dedupStore]], STATELESSLY —
+    * every probe is a stream-static broadcast join, so there is no watermark,
+    * no state store, and arbitrary stream volume costs O(batch) per trigger.
+    *
+    * Emits (id, status, match_id, jaccard) rows:
+    *  - `exact_dup`: md5 key found in the store (match_id = smallest holder,
+    *    jaccard null) — exactly one row per exact-dup doc; such docs are cut
+    *    from the near path by a stream-static left-anti join, mirroring the
+    *    batch operator's exact-over-near precedence
+    *  - `near_dup`: band-collision candidate whose exact shingle Jaccard
+    *    (an array-intersect expression against the store row's shingle array)
+    *    ≥ `threshold` — one row per (doc, store match, colliding band):
+    *    stateless append mode can neither dedupe bands nor pick a per-doc
+    *    best, so the consumer's reduction is a one-line distinct+groupBy
+    *    (the spec's differential does exactly that)
+    *  - docs with NO emitted row are `new` — a stateless stream cannot emit a
+    *    negative (proving "no match" needs all of a doc's candidate rows in
+    *    one place, i.e. state); the batch operator emits the explicit rows.
+    *
+    * The stream side computes its MinHash signature scan-side with array
+    * expressions (transform/array_min over the doc's shingle hashes — per-row
+    * work on small arrays; the batch operator's aggregate formulation does not
+    * stream). Same hash constants, so candidates match the batch operator's.
+    */
+  def incrementalDedupStream(stream: DataFrame, store: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 3, numHashes: Int = 16,
+                             rowsPerBand: Int = 4,
+                             threshold: Double = 0.5): DataFrame = {
+    import graft.ext.Dedup.{minhashA, minhashB, MinhashPrime}
+    val numBands = numHashes / rowsPerBand
+    val docSh = array_distinct(
+      graft.functions.WordShingles.shingles(col(textCol), k))
+    val hashes = transform(col("__sh"),
+      s => conv(substring(md5(s), 1, 8), 16, 10).cast("long"))
+    val mh = (0 until numHashes).map { j =>
+      array_min(transform(col("__h"),
+        h => (lit(minhashA(j)) * h + lit(minhashB(j))) % lit(MinhashPrime)))
+    }
+    val bandArr = array((0 until numBands).map { b =>
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(mh)
+      struct(lit(b).as("band"), md5(concat_ws(",", slice: _*)).as("bkey"))
+    }: _*)
+
+    val base = stream.select(col(idCol), col(textCol))
+      .withColumn("__sh", docSh)
+      .withColumn("__h", hashes)
+      .withColumn("__hkey", coalesce(md5(col(textCol)), lit("__null_text__")))
+
+    val exKeys = broadcast(
+      store.groupBy(col("__hkey")).agg(min(col("__ex_id")).as("__m")))
+    val exact = base.join(exKeys, Seq("__hkey"))
+      .select(col(idCol), lit("exact_dup").as("status"),
+        col("__m").as("match_id"), lit(null).cast("double").as("jaccard"))
+
+    val near = base
+      .join(exKeys, Seq("__hkey"), "left_anti") // exact dups report via `exact`
+      .withColumn("__bb", explode(bandArr))
+      .select(col(idCol), col("__sh"),
+        col("__bb.band").as("band"), col("__bb.bkey").as("bkey"))
+      .join(broadcast(store.drop("__hkey")), Seq("band", "bkey"))
+      .withColumn("__shared",
+        size(array_intersect(col("__sh"), col("__ex_sh"))).cast("long"))
+      .withColumn("jaccard", col("__shared").cast("double") /
+        (size(col("__sh")) + col("__n_ex") - col("__shared")))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), lit("near_dup").as("status"),
+        col("__ex_id").as("match_id"), col("jaccard"))
+
+    exact.unionByName(near)
+  }
 }

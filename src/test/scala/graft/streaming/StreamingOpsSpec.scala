@@ -6,10 +6,57 @@ import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 
+final case class IncDoc(doc_id: Long, text: String)
+
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
 
   private def ts(min: Long) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("incrementalDedupStream matches batch incrementalDedup after consumer reduction") {
+    implicit val sc = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    val existing = Seq(
+      (1L, base), (2L, base),
+      (4L, "completely different words about spark query engines and data processing")
+    ).toDF("doc_id", "text")
+    val incomingRows = Seq(
+      IncDoc(10L, base), // exact dup of 1/2
+      IncDoc(11L, base.replace("today", "tonight")), // near dup
+      IncDoc(12L, "entirely fresh content that resembles nothing stored so far at all"))
+
+    val store = StreamingOps.dedupStore(existing, "doc_id", "text")
+    val input = MemoryStream[IncDoc]
+    input.addData(incomingRows: _*)
+    val query = StreamingOps
+      .incrementalDedupStream(input.toDF(), store, "doc_id", "text")
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.processAllAvailable()
+    query.stop()
+
+    // consumer reduction: distinct rows, then best match per doc
+    // (max jaccard, ties to min id); docs with no row are `new`
+    val emitted = spark.table("incdedup_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).distinct
+    val reduced = emitted.groupBy(_._1).map { case (id, rows) =>
+      val best = rows.minBy(r => (-(if (r._4.isNaN) 2.0 else r._4), r._3))
+      id -> (best._2, best._3)
+    }
+    val batch = graft.ext.Dedup
+      .incrementalDedup(incomingRows.toDF(), existing, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    incomingRows.map(_.doc_id).foreach { id =>
+      val streamed = reduced.getOrElse(id, ("new", -1L))
+      assert(streamed == batch(id), s"doc $id: stream=$streamed batch=${batch(id)}")
+    }
+    // and the jaccard the stream reports for the near dup is the exact one
+    val nearJac = emitted.filter(r => r._1 == 11L).map(_._4)
+    assert(nearJac.nonEmpty && nearJac.forall(j => j > 0.5 && j <= 1.0))
+  }
 
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
 
