@@ -406,10 +406,14 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val sig = simhash(df, idCol, textCol)
-    val banded = (0 until 4).map { b =>
-      sig.select(col(idCol), lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
-    }.reduce(_ union _)
+    // one explode generator, not a UNION ALL of band projections — the union
+    // shape re-runs the 32-sum simhash aggregate per band (same column-pruning
+    // trap as the MinHash bandKeys, see that note)
+    val banded = sig.select(col(idCol), explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+      }: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"), col("__bb.bkey").as("bkey"))
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
     val cand = x.join(y, Seq("band", "bkey")).filter(col("id_a") < col("id_b"))

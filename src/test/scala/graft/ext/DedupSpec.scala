@@ -208,6 +208,30 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.keys.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("band keys ride ONE signature exchange (no per-band pipeline re-run)") {
+    // regression lock for the r4 plan fix: the UNION-ALL band construction let
+    // column pruning specialize each band's partial aggregate to its own 4
+    // minima — four distinct exchanges, each re-running the shingle pipeline.
+    // With the explode generator there is exactly one shingle Generate (plus
+    // the band-struct Generate) in the whole pair plan.
+    val df = (1 to 40).map(i =>
+        (i.toLong, base + (if (i % 2 == 0) " tail" + i / 2 else "")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text")
+    assert(pairs.count() > 0) // non-degenerate: AQE must not short-circuit
+    pairs.queryExecution.toRdd.count() // finalize the adaptive plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val shingleGenerates = finalPlan.split("\n").count(l =>
+      l.contains("Generate") && l.contains("word_shingles"))
+    // 2 = one for the signature/band path + one for the verify/sizes path
+    // (different pruning → different exchanges, irreducible declaratively);
+    // the union-shaped regression measures 8 here
+    assert(shingleGenerates <= 2,
+      s"shingle pipeline ran $shingleGenerates times — band exchange reuse lost:\n" +
+        finalPlan.take(2000))
+  }
+
   test("incrementalDedup classifies exact / near / new against the store") {
     val existing = Seq(
       (1L, base), (2L, base), // store has its own internal dup — min id wins
