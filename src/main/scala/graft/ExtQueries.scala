@@ -1239,6 +1239,31 @@ object ExtQueries {
       |FROM a JOIN t ON a.doc_id = t.doc_id AND t.rn = 1
       |ORDER BY a.doc_id""".stripMargin
 
+  /** MinHash estimator diagnostics: estimated vs exact Jaccard for every LSH
+    * candidate pair ([[Dedup.minhashEstimatePairs]]) — the tuning surface for
+    * banding parameters.
+    */
+  def qMinhashEst(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashEstimatePairs(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_jaccard"), 6).as("est_jaccard"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val minhashEstSql: String = {
+    val matches = (0 until numHashes)
+      .map(j => s"CASE WHEN a.mh_$j = b.mh_$j THEN 1.0 ELSE 0.0 END")
+      .mkString("(", " + ", s") / $numHashes")
+    s"""WITH $minhashPairCtesSql,
+      |est AS (SELECT c.id_a, c.id_b, $matches AS est
+      |  FROM cand c JOIN sig a ON c.id_a = a.doc_id JOIN sig b ON c.id_b = b.doc_id)
+      |SELECT j.id_a, j.id_b, ROUND(est.est, 6) AS est_jaccard,
+      |  ROUND(j.jaccard, 6) AS jaccard
+      |FROM j JOIN est ON j.id_a = est.id_a AND j.id_b = est.id_b
+      |ORDER BY j.id_a, j.id_b""".stripMargin
+  }
+
   /** Incremental ingest dedup: the corpus is split deterministically into an
     * "existing" store (md5 bucket < 80, ~80%) and an "incoming" batch (the
     * rest); every incoming doc is classified exact_dup / near_dup / new against
@@ -1302,6 +1327,7 @@ object ExtQueries {
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
+    "q_minhash_est" -> (qMinhashEst _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -1356,6 +1382,7 @@ object ExtQueries {
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,
+    "q_minhash_est" -> minhashEstSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -209,6 +209,41 @@ object Dedup {
         Seq(col("__bb.band").as("band"), col("__bb.bkey").as("bkey")): _*)
   }
 
+  /** MinHash estimator diagnostics: for every LSH candidate pair, the signature
+    * Jaccard ESTIMATE (matching components / numHashes) next to the exact
+    * shingle Jaccard — the surface for tuning numHashes/rowsPerBand against a
+    * corpus sample before a full run (estimator std ≈ √(J(1−J)/numHashes); with
+    * 16 hashes ≈ 0.12 at J=0.5). Same candidate generation as
+    * [[minhashLshPairs]]; no threshold — every candidate is reported, so the
+    * error distribution is visible across the whole similarity range.
+    * Output: (id_a, id_b, est_jaccard, jaccard).
+    */
+  def minhashEstimatePairs(df: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, numHashes: Int = 16,
+                           rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sig = signaturesFromShingles(sh, idCol, numHashes)
+    val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__a_$j")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__b_$j")): _*)
+    val est = (0 until numHashes).map { j =>
+      when(col(s"__a_$j") === col(s"__b_$j"), 1.0).otherwise(0.0)
+    }.reduce(_ + _) / numHashes
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    verifyJaccard(cand, sh, sizes, idCol, threshold = 0.0)
+      .join(cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), est.as("est_jaccard")),
+        Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
+  }
+
   /** Incremental (new-batch-vs-corpus) dedup — the shape a continuously-refreshed
     * training corpus runs on every ingest: classify each `incoming` document as
     *  - `exact_dup`: byte-identical text already in `existing` (md5 key match;

@@ -232,6 +232,23 @@ class DedupSpec extends SparkTestBase {
         finalPlan.take(2000))
   }
 
+  test("minhashEstimatePairs: exact dups estimate 1.0; errors within estimator noise") {
+    val docs = (1 to 30).map { i =>
+      (i.toLong, if (i <= 10) base else base.replace("today", s"tok$i extra words"))
+    }.toDF("doc_id", "text")
+    val rows = Dedup.minhashEstimatePairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // identical docs: signatures identical → estimate exactly 1.0
+    rows.filter(r => r._1 <= 10 && r._2 <= 10)
+      .foreach(r => assert(r._3 == 1.0 && r._4 == 1.0, s"got $r"))
+    // estimator noise: std ≈ √(J(1−J)/16) ≤ 0.125 — allow 4σ per pair, and the
+    // mean absolute error over candidates must be well inside one σ
+    rows.foreach(r => assert(math.abs(r._3 - r._4) <= 0.5, s"outlier $r"))
+    val meanErr = rows.map(r => math.abs(r._3 - r._4)).sum / rows.length
+    assert(meanErr <= 0.125, s"mean |est-exact| = $meanErr")
+  }
+
   test("incrementalDedup classifies exact / near / new against the store") {
     val existing = Seq(
       (1L, base), (2L, base), // store has its own internal dup — min id wins
