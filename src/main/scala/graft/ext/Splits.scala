@@ -74,6 +74,37 @@ object Splits {
       .drop("__rk", "__n_keep")
   }
 
+  /** Hash-threshold variant of [[mixtureSample]] for whale groups: instead of an
+    * exact per-group rank (which sorts the group, serializing a single giant
+    * group into one partition's window), each row keeps itself iff its md5
+    * fine-bucket (0..10⁶) falls under the group's acceptance rate
+    * `n_keep·10⁶ / n_g` — a pure scan-side decision after the same two tiny
+    * quota aggregates, ZERO sorts. Kept counts land within binomial noise of
+    * the exact quotas (σ ≈ √(rate·(1−rate)·n_g)); the draw is reproducible and
+    * repartition-stable like every md5-keyed decision here.
+    */
+  def mixtureSampleApprox(df: DataFrame, idCol: String, groupCol: String,
+                          weightsPpm: Seq[(String, Long)]): DataFrame = {
+    require(weightsPpm.nonEmpty && weightsPpm.forall(_._2 > 0),
+      "weightsPpm must be non-empty with positive weights")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = weightsPpm.toDF(groupCol, "__w_ppm")
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("__n_g"))
+      .join(broadcast(w), groupCol)
+    val scale = counts
+      .agg(min(floor(col("__n_g") * lit(1000000L) / col("__w_ppm"))).as("__m"))
+    val kept = counts.crossJoin(broadcast(scale))
+      .select(col(groupCol), col("__n_g"),
+        floor(col("__w_ppm") * col("__m") / lit(1000000L)).as("__n_keep"))
+    val fineBucket =
+      conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+        .cast("long") % 1000000L
+    df.join(broadcast(kept), groupCol)
+      .filter(fineBucket * col("__n_g") < col("__n_keep") * lit(1000000L))
+      .drop("__n_g", "__n_keep")
+  }
+
   /** Deterministic balanced sampling: keep at most `maxPerGroup` rows per group,
     * chosen by md5-of-id order — a reproducible "random" draw (same rows every
     * run, stable under repartitioning) for dataset balancing / per-class caps.

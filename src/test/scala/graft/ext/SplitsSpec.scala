@@ -30,6 +30,35 @@ class SplitsSpec extends SparkTestBase {
     assert(kept == Map("web" -> 99L, "code" -> 66L))
   }
 
+  test("mixtureSampleApprox: counts within binomial noise of exact quotas, zero sorts") {
+    val big = (0 until 6000).map { i =>
+      (i.toLong, if (i % 3 == 0) "web" else if (i % 3 == 1) "code" else "books")
+    }.toDF("doc_id", "source") // 2000 per source
+    val w = Seq("web" -> 500000L, "code" -> 300000L, "books" -> 200000L)
+    // exact quotas: m = 4000000/... → web 2000, code 1200, books 800
+    val quotas = Map("web" -> 2000.0, "code" -> 1200.0, "books" -> 800.0)
+    val kept = Splits.mixtureSampleApprox(big, "doc_id", "source", w)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    quotas.foreach { case (g, q) =>
+      val rate = q / 2000.0
+      val sigma = math.sqrt(rate * (1 - rate) * 2000.0)
+      assert(math.abs(kept(g) - q) <= math.max(4 * sigma, 1.0),
+        s"$g: kept ${kept(g)} vs quota $q (sigma $sigma)")
+    }
+    // scan-side decision: no window/sort in the plan
+    val plan = Splits.mixtureSampleApprox(big, "doc_id", "source", w)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Sort"),
+      s"expected sort-free plan:\n${plan.take(1500)}")
+    // and the draw is repartition-stable
+    val a = Splits.mixtureSampleApprox(big, "doc_id", "source", w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Splits.mixtureSampleApprox(big.repartition(11), "doc_id", "source", w)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("mixtureSample draws identical rows regardless of partitioning") {
     val w = Seq("web" -> 500000L, "code" -> 300000L, "books" -> 200000L)
     val a = Splits.mixtureSample(corpus, "doc_id", "source", w)
