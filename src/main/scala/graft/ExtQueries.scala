@@ -342,6 +342,43 @@ object ExtQueries {
       |SELECT vec_id, ROUND(cos_raw, 6) AS cosine FROM s
       |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
 
+  /** Two-stage quantized retrieval: int8 integer-dot shortlist (50) → exact
+    * fp32 cosine re-rank to top 10 ([[SimSearch.quantizedRerankTopKForId]]).
+    */
+  def qSimsearchQuantized(spark: SparkSession, dir: String): DataFrame =
+    SimSearch.quantizedRerankTopKForId(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", queryId = 0L, k = 10, rerank = 50)
+      .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+
+  val simsearchQuantizedSql: String =
+    """WITH nrm AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nv
+      |  FROM embeddings),
+      |nx AS (SELECT vec_id, embedding, nv, list_transform(embedding,
+      |    x -> CASE WHEN nv = 0 THEN 0.0 ELSE x::DOUBLE / nv END) AS n
+      |  FROM nrm),
+      |mxq AS (SELECT vec_id, embedding, nv,
+      |    list_max(list_transform(n, x -> abs(x))) AS mx, n
+      |  FROM nx),
+      |qv AS (SELECT vec_id, embedding, nv, mx, list_transform(n,
+      |    x -> CASE WHEN mx = 0 THEN 0 ELSE CAST(ROUND(x * 127.0 / mx) AS BIGINT) END) AS q
+      |  FROM mxq),
+      |qq AS (SELECT q AS qarr, embedding AS qe, nv AS qn FROM qv WHERE vec_id = 0),
+      |sc AS (SELECT v.vec_id, v.embedding, v.nv, v.mx,
+      |    CAST(list_sum(list_transform(generate_series(1, 64),
+      |      i -> v.q[i] * qq.qarr[i])) AS BIGINT) AS idot
+      |  FROM qv v CROSS JOIN qq WHERE v.vec_id <> 0),
+      |short AS (SELECT * FROM sc ORDER BY idot::DOUBLE * mx DESC, vec_id LIMIT 50),
+      |rr AS (SELECT s.vec_id,
+      |    CASE WHEN s.nv * qq.qn = 0 THEN 0.0 ELSE
+      |      list_sum(list_transform(generate_series(1, 64),
+      |        i -> s.embedding[i]::DOUBLE * qq.qe[i]::DOUBLE)) / (s.nv * qq.qn)
+      |    END AS cos_raw
+      |  FROM short s CROSS JOIN qq)
+      |SELECT vec_id, ROUND(cos_raw, 6) AS cosine FROM rr
+      |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
   /** Batched service-shape ANN: 5 query vectors resolved against the corpus in one
     * job via the broadcast + bounded-heap-aggregate plan ([[SimSearch.topKForQueries]]).
     */
@@ -1340,6 +1377,7 @@ object ExtQueries {
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_simsearch_lsh" -> (qSimsearchLsh _),
+    "q_simsearch_quantized" -> (qSimsearchQuantized _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_corpus_curation_lsh" -> (qCorpusCurationLsh _),
     "q_quality_quantiles" -> (qQualityQuantiles _),
@@ -1395,6 +1433,7 @@ object ExtQueries {
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_simsearch_lsh" -> simsearchLshSql,
+    "q_simsearch_quantized" -> simsearchQuantizedSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_curation_lsh" -> corpusCurationLshSql,
     "q_quality_quantiles" -> qualityQuantilesSql,

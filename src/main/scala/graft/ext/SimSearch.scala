@@ -68,6 +68,53 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Quantized-shortlist retrieval — the production two-stage ANN pattern:
+    * vectors are L2-normalized and symmetric-int8 quantized (4× the scan
+    * bandwidth of fp32; in production the int8 table is the PERSISTED index and
+    * the fp32 vectors are fetched only for the shortlist), candidates are ranked
+    * by the INTEGER dot product of quantized vectors scaled by the row's
+    * quantization step (order ≈ cosine to within quantization noise), and the
+    * top `rerank` shortlist is re-scored with exact fp32 cosine for the final
+    * `k`. Both ranking stages run as TakeOrderedAndProject (per-partition heaps,
+    * no global sort). Integer dots make the shortlist ordering exactly
+    * reproducible across engines — the whole pipeline is oracle-checkable.
+    *
+    * Zero vectors normalize to zero (guarded division), quantize to all-zero,
+    * score 0 — never NaN.
+    */
+  def quantizedRerankTopKForId(df: DataFrame, idCol: String, vecCol: String,
+                               queryId: Long, k: Int = 10,
+                               rerank: Int = 50): DataFrame = {
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val nv = norm(col(vecCol))
+    val nx = transform(col(vecCol),
+      x => when(lit(0.0) === col("__nv"), lit(0.0))
+        .otherwise(x.cast("double") / col("__nv")))
+    val prepared = df
+      .withColumn("__nv", nv)
+      .withColumn("__nx", nx)
+      .withColumn("__mx", Embeddings.maxAbs(col("__nx")))
+      .withColumn("__q",
+        transform(col("__nx"), x => Embeddings.quantize(x, col("__mx"))))
+    val qrow = prepared.filter(col(idCol) === queryId)
+      .select(col("__q").as("__qq"), col(vecCol).as("__qv"),
+        col("__nv").as("__qn"))
+    val idot = aggregate(
+      zip_with(col("__q"), col("__qq"), (x, y) => x * y), lit(0L), _ + _)
+    val shortlist = prepared.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(qrow))
+      .withColumn("__idot", idot)
+      .orderBy((col("__idot").cast("double") * col("__mx")).desc, col(idCol))
+      .limit(rerank)
+    shortlist
+      .select(col(idCol),
+        when(col("__nv") * col("__qn") === 0.0, lit(0.0))
+          .otherwise(dot(col(vecCol), col("__qv")) / (col("__nv") * col("__qn")))
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Batched exact top-k: every row of `queries` is searched against `corpus` in
     * ONE job — the shape a similarity-search service wants, instead of one driver
     * round-trip per query ([[topKForId]]).

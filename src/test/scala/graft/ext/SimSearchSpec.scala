@@ -31,6 +31,31 @@ class SimSearchSpec extends SparkTestBase {
     assert(sims.head > 0.9)
   }
 
+  test("quantized re-rank recovers the exact top-k on clustered data") {
+    val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val quant = SimSearch.quantizedRerankTopKForId(corpus, "vec_id", "embedding",
+        queryId = 0L, k = 10, rerank = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    // re-ranked cosines are the EXACT fp32 values, so any id in both lists
+    // carries the identical score; with rerank = 2k the shortlist recovers
+    // the full exact top-k on this corpus
+    val recall = (exact.map(_._1).toSet & quant.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.9, s"recall $recall exact=${exact.toSeq} quant=${quant.toSeq}")
+    val exactMap = exact.toMap
+    quant.filter(q => exactMap.contains(q._1))
+      .foreach(q => assert(approx(q._2, exactMap(q._1)), s"score drift at $q"))
+  }
+
+  test("quantized re-rank: zero vectors never produce NaN") {
+    val withZero = corpus.union(
+      Seq((99L, Seq.fill(dim)(0f))).toDF("vec_id", "embedding"))
+    val out = SimSearch.quantizedRerankTopKForId(withZero, "vec_id", "embedding",
+        queryId = 0L, k = 40, rerank = 40).collect()
+    assert(out.forall(r => !r.getDouble(1).isNaN))
+    assert(out.find(_.getLong(0) == 99L).forall(_.getDouble(1) == 0.0))
+  }
+
   test("lshTopK achieves high recall vs brute force on clustered data") {
     val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet
