@@ -1211,6 +1211,39 @@ object ExtQueries {
       |  seq_last - seq_first + 1 AS n_seqs
       |FROM s ORDER BY source, doc_id""".stripMargin
 
+  /** Greedy document-boundary packing (no doc split, SFT-style) over the same
+    * per-source streams as [[qSeqPack]] ([[Packing.packGreedy]]). The oracle
+    * replays the sequential fold as a recursive CTE stepping one doc per
+    * source per iteration.
+    */
+  def qSeqPackGreedy(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("n_tokens"))
+    Packing.packGreedy(d, "doc_id", "source", "n_tokens", seqLen = 512)
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  val seqPackGreedySql: String =
+    """WITH RECURSIVE t AS (SELECT source, doc_id,
+      |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+      |      AS BIGINT) AS n_tokens,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |rec AS (
+      |  SELECT source, rn, doc_id, n_tokens, CAST(0 AS BIGINT) AS seq_id,
+      |    n_tokens AS acc
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.source, t.rn, t.doc_id, t.n_tokens,
+      |    CASE WHEN rec.acc + t.n_tokens > 512 THEN rec.seq_id + 1
+      |         ELSE rec.seq_id END,
+      |    CASE WHEN rec.acc + t.n_tokens > 512 THEN t.n_tokens
+      |         ELSE rec.acc + t.n_tokens END
+      |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+      |SELECT source, doc_id, n_tokens, seq_id FROM rec
+      |ORDER BY source, doc_id""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1361,6 +1394,7 @@ object ExtQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> (qSeqPack _),
+    "q_seq_pack_greedy" -> (qSeqPackGreedy _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1417,6 +1451,7 @@ object ExtQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_seq_pack" -> seqPackSql,
+    "q_seq_pack_greedy" -> seqPackGreedySql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,

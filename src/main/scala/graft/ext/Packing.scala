@@ -4,6 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** Row shape for [[Packing.packGreedy]]'s typed per-group fold. */
+final case class PackedDoc(group: String, id: Long, n_tokens: Long, seq_id: Long)
+
 /** Sequence packing for LLM pre-training: documents are laid end-to-end in a
   * deterministic order and the concatenated token stream is cut into fixed-length
   * training sequences ("concat-and-chunk", the standard GPT-style data layout).
@@ -49,5 +52,42 @@ object Packing {
         when(n <= 0, col("seq_first"))
           .otherwise(seqOf(col("tok_start") + n - 1)))
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  /** Greedy document-boundary packing — the SFT-style layout where NO document
+    * is split: within each group (docs in `idCol` order), a sequence closes
+    * when the next doc would push it past `seqLen` tokens; a doc longer than
+    * `seqLen` occupies a sequence alone. Output: (group, id, n_tokens, seq_id),
+    * seq_id 0-based per group.
+    *
+    * The fold is inherently sequential per group (each decision depends on the
+    * running fill), so it runs as a typed `flatMapGroups`: one shuffle keyed by
+    * group, then a per-group in-memory sort+fold — parallel ACROSS groups,
+    * which is the real parallelism at 100 TB exactly as in [[packChunks]] (the
+    * group key is the output shard). Each group must fit one executor's heap;
+    * shard oversized groups first (any deterministic id bucketing) — same
+    * contract as production sequence packers.
+    */
+  def packGreedy(df: DataFrame, idCol: String, groupCol: String,
+                 nTokensCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(groupCol).cast("string"), col(idCol).cast("long"),
+        col(nTokensCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (g, it) =>
+        val docs = it.toArray.sortBy(_._2)
+        var seq = -1L
+        var acc = 0L
+        docs.iterator.map { case (_, id, n) =>
+          if (seq < 0 || acc + n > seqLen) { seq += 1; acc = n }
+          else acc += n
+          PackedDoc(g, id, n, seq)
+        }
+      }
+      .toDF("__g", idCol, nTokensCol, "seq_id")
+      .withColumnRenamed("__g", groupCol)
   }
 }

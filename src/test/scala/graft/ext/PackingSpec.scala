@@ -62,6 +62,51 @@ class PackingSpec extends SparkTestBase {
     }
   }
 
+  /** Independent reference for greedy packing: straight fold per group. */
+  private def greedyRef(rows: Seq[(String, Long, Long)], seqLen: Int)
+      : Map[(String, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (_, grp) =>
+      var seq = -1L; var acc = 0L
+      grp.sortBy(_._2).map { case (g, id, n) =>
+        if (seq < 0 || acc + n > seqLen) { seq += 1; acc = n } else acc += n
+        (g, id) -> seq
+      }
+    }
+
+  test("packGreedy: no doc split, sequences fill greedily, oversize docs go alone") {
+    val rows = Seq[(String, Long, Long)](
+      ("a", 1L, 100L), ("a", 2L, 150L), ("a", 3L, 10L), // fits: seq 0 (260)
+      ("a", 4L, 300L), // would overflow 512? 260+300=560 > 256... seqLen=256 below
+      ("a", 5L, 999L), // oversize → alone
+      ("a", 6L, 1L))
+    val got = Packing.packGreedy(rows.toDF("source", "doc_id", "n_tokens"),
+        "doc_id", "source", "n_tokens", seqLen = 256)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(got == greedyRef(rows, 256))
+    assert(got(("a", 1L)) == 0L && got(("a", 2L)) == 0L) // 100+150=250 ≤ 256
+    assert(got(("a", 3L)) == 1L) // 250+10 > 256 → new sequence
+    assert(got(("a", 4L)) == 2L) // 10+300 > 256
+    assert(got(("a", 5L)) == 3L) // oversize: alone
+    assert(got(("a", 6L)) == 4L) // 999+1 > 256 → next
+  }
+
+  test("packGreedy matches the reference fold on random corpora") {
+    val row = for {
+      g <- Gen.oneOf("g0", "g1", "g2", "g3")
+      id <- Gen.choose(0L, 400L)
+      n <- Gen.choose(0L, 700L)
+    } yield (g, id, n)
+    val gen = Gen.zip(Gen.listOfN(80, row), Gen.choose(32, 600))
+    (1 to 6).foreach { seed =>
+      val (raw, seqLen) = sample(gen, seed.toLong)
+      val rows = raw.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      val got = Packing.packGreedy(rows.toDF("source", "doc_id", "n_tokens"),
+          "doc_id", "source", "n_tokens", seqLen)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+      assert(got == greedyRef(rows, seqLen), s"seed $seed")
+    }
+  }
+
   test("packChunks is stable under repartitioning") {
     val rows = (0 until 200).map(i => (s"g${i % 4}", i.toLong, (i * 37 % 400).toLong))
     val df = rows.toDF("source", "doc_id", "n_tokens")
