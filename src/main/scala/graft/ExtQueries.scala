@@ -1223,7 +1223,11 @@ object ExtQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
-  val seqPackGreedySql: String =
+  /** Recursive-CTE replay of the greedy fold, ending in
+    * `rec(source, rn, doc_id, n_tokens, seq_id, acc)` — shared by the
+    * per-doc and per-source-stats oracles.
+    */
+  private val greedyRecCtesSql: String =
     """WITH RECURSIVE t AS (SELECT source, doc_id,
       |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |         ELSE length(text) - length(replace(text, ' ', '')) + 1 END
@@ -1240,9 +1244,38 @@ object ExtQueries {
       |         ELSE rec.seq_id END,
       |    CASE WHEN rec.acc + t.n_tokens > 512 THEN t.n_tokens
       |         ELSE rec.acc + t.n_tokens END
-      |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)
+      |  FROM rec JOIN t ON t.source = rec.source AND t.rn = rec.rn + 1)""".stripMargin
+
+  val seqPackGreedySql: String =
+    s"""$greedyRecCtesSql
       |SELECT source, doc_id, n_tokens, seq_id FROM rec
       |ORDER BY source, doc_id""".stripMargin
+
+  /** Packing efficiency monitor: per source, how many greedy sequences the
+    * stream packs into and how full they are — fill rate is THE number a
+    * training-data engineer watches when choosing seqLen (waste =
+    * n_seqs·seqLen − total tokens, counting oversize docs' overflow as its own
+    * sequence's fill). Pure aggregation over [[Packing.packGreedy]]'s output.
+    */
+  def qPackStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("source"), col("doc_id"),
+      TextStats.wsTokenCount(col("text")).as("n_tokens"))
+    Packing.packGreedy(d, "doc_id", "source", "n_tokens", seqLen = 512)
+      .groupBy(col("source"))
+      .agg(
+        (max(col("seq_id")) + 1).as("n_seqs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        round(sum(col("n_tokens")).cast("double")
+          / ((max(col("seq_id")) + 1) * 512), 6).as("fill_rate"))
+      .orderBy(col("source"))
+  }
+
+  val packStatsSql: String =
+    s"""$greedyRecCtesSql
+      |SELECT source, MAX(seq_id) + 1 AS n_seqs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      |  ROUND(SUM(n_tokens) * 1.0 / ((MAX(seq_id) + 1) * 512), 6) AS fill_rate
+      |FROM rec GROUP BY source ORDER BY source""".stripMargin
 
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
@@ -1395,6 +1428,7 @@ object ExtQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_seq_pack" -> (qSeqPack _),
     "q_seq_pack_greedy" -> (qSeqPackGreedy _),
+    "q_pack_stats" -> (qPackStats _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1452,6 +1486,7 @@ object ExtQueries {
   val oracleSql: Map[String, String] = Map(
     "q_seq_pack" -> seqPackSql,
     "q_seq_pack_greedy" -> seqPackGreedySql,
+    "q_pack_stats" -> packStatsSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,
