@@ -521,6 +521,42 @@ object ExtQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Concurrent-order detection: pairs of a customer's orders whose 30-day
+    * fulfillment windows overlap ([[RangeJoin.intervalOverlapPairs]] — the
+    * interval×interval companion to the point-in-interval range join; each
+    * pair emerges exactly once from its overlap-start bucket, no distinct).
+    * The oracle is DuckDB's plain inequality self-join.
+    */
+  def qOrderOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val day = 86400000L
+    val base = Tables.orders(spark, dir).select(col("o_custkey"),
+        col("o_orderkey"), (unix_timestamp(col("o_orderdate")) * 1000).as("s"))
+      .withColumn("e", col("s") + lit(30L * day))
+    val a = base.select(col("o_custkey").as("cust_a"),
+      col("o_orderkey").as("okey_a"), col("s").as("sa"), col("e").as("ea"))
+    val b = base.select(col("o_custkey").as("cust_b"),
+      col("o_orderkey").as("okey_b"), col("s").as("sb"), col("e").as("eb"))
+    RangeJoin.intervalOverlapPairs(a, b, "cust_a", "cust_b",
+        "sa", "ea", "sb", "eb", bucketWidth = 30L * day)
+      .filter(col("okey_a") < col("okey_b"))
+      .select(col("cust_a").as("o_custkey"), col("okey_a"), col("okey_b"),
+        ((least(col("ea"), col("eb")) - greatest(col("sa"), col("sb")))
+          / lit(day)).cast("long").as("overlap_days"))
+      .orderBy(col("o_custkey"), col("okey_a"), col("okey_b"))
+  }
+
+  val orderOverlapSql: String =
+    """WITH o AS (SELECT o_custkey, o_orderkey,
+      |    CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS s,
+      |    CAST(epoch(o_orderdate) AS BIGINT) * 1000 + 2592000000 AS e
+      |  FROM orders)
+      |SELECT a.o_custkey, a.o_orderkey AS okey_a, b.o_orderkey AS okey_b,
+      |  CAST((least(a.e, b.e) - greatest(a.s, b.s)) / 86400000 AS BIGINT)
+      |    AS overlap_days
+      |FROM o a JOIN o b ON a.o_custkey = b.o_custkey
+      |  AND a.o_orderkey < b.o_orderkey AND a.s < b.e AND b.s < a.e
+      |ORDER BY a.o_custkey, okey_a, okey_b""".stripMargin
+
   val repeatOrdersSql: String =
     """WITH p AS (SELECT o_orderkey, o_custkey,
       |    CAST(epoch(o_orderdate) AS BIGINT) * 1000 AS ms FROM orders)
@@ -1452,6 +1488,7 @@ object ExtQueries {
     "q_dataset_split" -> (qDatasetSplit _),
     "q_balanced_sample" -> (qBalancedSample _),
     "q_repeat_orders" -> (qRepeatOrders _),
+    "q_order_overlap" -> (qOrderOverlap _),
     "q_tfidf" -> (qTfidf _),
     "q_label_centroid" -> (qLabelCentroid _),
     "q_text_stats" -> (qTextStats _),
@@ -1510,6 +1547,7 @@ object ExtQueries {
     "q_dataset_split" -> datasetSplitSql,
     "q_balanced_sample" -> balancedSampleSql,
     "q_repeat_orders" -> repeatOrdersSql,
+    "q_order_overlap" -> orderOverlapSql,
     "q_tfidf" -> tfidfSql,
     "q_label_centroid" -> labelCentroidSql,
     "q_text_stats" -> textStatsSql,

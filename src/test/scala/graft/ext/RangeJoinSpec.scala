@@ -79,4 +79,28 @@ class RangeJoinSpec extends SparkTestBase {
     } yield (pid, iid)).toSet
     assert(got == expected)
   }
+
+  test("intervalOverlapPairs: exactly-once pairs, differential vs naive overlap") {
+    val as = (0 until 120).map { i =>
+      val s = (i * 15485863 % 400).toLong
+      (i.toLong, (i * 7919 % 3).toLong, s, s + 1 + (i * 37 % 90))
+    }
+    val bs = (0 until 90).map { j =>
+      val s = (j * 104729 % 400).toLong
+      (500L + j, (j * 6101 % 3).toLong, s, s + 1 + (j * 53 % 90))
+    }
+    val a = as.toDF("aid", "ak", "sa", "ea")
+    val b = bs.toDF("bid", "bk", "sb", "eb")
+    // rows, not a set, so duplicate emissions would be caught
+    val got = RangeJoin.intervalOverlapPairs(a, b, "ak", "bk",
+        "sa", "ea", "sb", "eb", bucketWidth = 64L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = for {
+      (aid, ak, sa, ea) <- as
+      (bid, bk, sb, eb) <- bs
+      if ak == bk && sa < eb && sb < ea
+    } yield (aid, bid)
+    assert(got.sorted == expected.sorted,
+      s"got ${got.size} rows (${got.distinct.size} distinct), expected ${expected.size}")
+  }
 }
