@@ -1313,6 +1313,26 @@ object ExtQueries {
       |  ROUND(SUM(n_tokens) * 1.0 / ((MAX(seq_id) + 1) * 512), 6) AS fill_rate
       |FROM rec GROUP BY source ORDER BY source""".stripMargin
 
+  /** One-pass column profiling of the documents table
+    * ([[Profiling.profileColumns]]) — the data-quality gate a pipeline runs on
+    * every new drop.
+    */
+  def qProfileDocs(spark: SparkSession, dir: String): DataFrame =
+    Profiling.profileColumns(Tables.documents(spark, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .orderBy(col("column_name"))
+
+  val profileDocsSql: String = {
+    val perCol = Seq("doc_id", "text", "lang", "source", "n_chars").map { c =>
+      s"""SELECT '$c' AS column_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT($c) AS n_nulls, COUNT(DISTINCT $c) AS n_distinct,
+        |  CAST(MIN($c) AS VARCHAR) AS min_value,
+        |  CAST(MAX($c) AS VARCHAR) AS max_value
+        |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"$perCol\nORDER BY column_name"
+  }
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1465,6 +1485,7 @@ object ExtQueries {
     "q_seq_pack" -> (qSeqPack _),
     "q_seq_pack_greedy" -> (qSeqPackGreedy _),
     "q_pack_stats" -> (qPackStats _),
+    "q_profile_docs" -> (qProfileDocs _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1524,6 +1545,7 @@ object ExtQueries {
     "q_seq_pack" -> seqPackSql,
     "q_seq_pack_greedy" -> seqPackGreedySql,
     "q_pack_stats" -> packStatsSql,
+    "q_profile_docs" -> profileDocsSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,

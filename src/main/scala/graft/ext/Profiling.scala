@@ -1,0 +1,45 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the "analyze table" primitive a pipeline runs on every
+  * new data drop before trusting it: per-column row/null/distinct counts and
+  * min/max, in one scan, as a long-format table keyed by column name.
+  */
+object Profiling {
+
+  /** Profile `cols` of `df` in ONE aggregation pass. Output, one row per
+    * column: (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
+    * min/max cast to string so mixed-type columns share one schema.
+    *
+    * `exactDistinct = true` uses COUNT(DISTINCT): Spark plans the multi-distinct
+    * aggregate via Expand, duplicating every input row once per profiled column
+    * — exact, and fine up to mid-scale, but at 100 TB profile with
+    * `exactDistinct = false` (HyperLogLog `approx_count_distinct`, single pass,
+    * no Expand, ±~2.3% error) — the same switch [[graft.metrics.Coverage]]
+    * exposes. The exact form is the oracle-checked one.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+                     exactDistinct: Boolean = true): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        (if (exactDistinct) countDistinct(col(c))
+         else approx_count_distinct(col(c))).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__mn_$c"),
+        max(col(c)).cast("string").as(s"__mx_$c"))
+    } :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__nn_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__mn_$c").as("min_value"),
+        col(s"__mx_$c").as("max_value"))
+    }
+    row.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
+  }
+}
