@@ -1333,6 +1333,166 @@ object ExtQueries {
     s"$perCol\nORDER BY column_name"
   }
 
+  /** Equi-depth histogram of lineitem prices ([[GlobalRank.equiDepthHistogram]]):
+    * 8 equal-count buckets cut on a distributed global row number — NO
+    * single-task `ROW_NUMBER() OVER (ORDER BY ...)` window anywhere in the plan
+    * (the oracle uses one; at sf it's equivalent, at 100 TB only ours runs).
+    */
+  def qEquidepthPrice(spark: SparkSession, dir: String): DataFrame =
+    GlobalRank.equiDepthHistogram(Tables.lineitem(spark, dir),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"), buckets = 8)
+      .orderBy(col("bucket"))
+
+  val equidepthPriceSql: String =
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT (rn - 1) * 8 // n AS bucket, COUNT(*) AS n_rows,
+      |  MIN(v) AS min_value, MAX(v) AS max_value
+      |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  /** One-pass pairwise Pearson correlation over lineitem's numeric columns
+    * ([[Profiling.corrMatrix]]) — column-relationship profiling in a single
+    * map-side-partial aggregate.
+    */
+  def qNumericCorr(spark: SparkSession, dir: String): DataFrame =
+    Profiling.corrMatrix(Tables.lineitem(spark, dir),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+      .select(col("col_a"), col("col_b"), round(col("pearson_r"), 6).as("pearson_r"))
+      .orderBy(col("col_a"), col("col_b"))
+
+  val numericCorrSql: String = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val pairs = for { i <- cols.indices; j <- cols.indices if i < j }
+      yield (cols(i), cols(j))
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS col_a, '$b' AS col_b,
+        |  ROUND(corr($a, $b), 6) AS pearson_r FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /** C4-style span-level exact dedup with document reassembly
+    * ([[SpanDedup.spanDedup]]): drop every 10-word span already seen in an
+    * earlier doc, rebuild documents from surviving spans.
+    */
+  def qSpanDedup(spark: SparkSession, dir: String): DataFrame =
+    SpanDedup.spanDedup(Tables.documents(spark, dir), "doc_id", "text",
+        spanWords = 10)
+      .orderBy(col("doc_id"))
+
+  val spanDedupSql: String =
+    """WITH w AS (
+      |  SELECT doc_id, u.pos AS pos, u.word AS word
+      |  FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(l)),
+      |          i -> {'pos': i-1, 'word': l[i]})) AS u
+      |        FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))
+      |),
+      |sp AS (SELECT doc_id, pos // 10 AS span_id,
+      |    string_agg(word, ' ' ORDER BY pos) AS span_text
+      |  FROM w GROUP BY 1, 2),
+      |fst AS (SELECT span_text, MIN(ROW(doc_id, span_id)) AS f FROM sp GROUP BY 1),
+      |kept AS (SELECT sp.* FROM sp JOIN fst USING (span_text)
+      |  WHERE ROW(doc_id, span_id) = f),
+      |tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY 1),
+      |ka AS (SELECT doc_id, COUNT(*) AS n_kept,
+      |    string_agg(span_text, ' ' ORDER BY span_id) AS text_deduped
+      |  FROM kept GROUP BY 1)
+      |SELECT tot.doc_id, n_spans, COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(text_deduped, '') AS text_deduped
+      |FROM tot LEFT JOIN ka ON tot.doc_id = ka.doc_id
+      |ORDER BY tot.doc_id""".stripMargin
+
+  /** SCD-type-2 history build over the event stream ([[Runs.collapseRuns]]):
+    * per user, collapse consecutive same-event_type events into validity
+    * intervals with the next run's start as the exclusive upper bound.
+    */
+  def qScd2Runs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+    Runs.collapseRuns(e, "user_id", "ms", "event_id", "event_type")
+      .orderBy(col("user_id"), col("run_id"))
+  }
+
+  val scd2RunsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+      |f AS (SELECT user_id, ms, event_id, event_type,
+      |    CASE WHEN ROW_NUMBER() OVER w = 1
+      |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |r AS (SELECT user_id, event_type, ms,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM f),
+      |c AS (SELECT user_id, run_id, MAX(event_type) AS value, MIN(ms) AS valid_from,
+      |    MAX(ms) AS valid_to, COUNT(*) AS n_events
+      |  FROM r GROUP BY 1, 2)
+      |SELECT user_id, run_id, value, valid_from, valid_to,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_until,
+      |  n_events
+      |FROM c ORDER BY user_id, run_id""".stripMargin
+
+  /** Shared oracle CTEs for the clustering queries: per-vector norms, seed
+    * centroids (vec_id < 8 — deterministic, engine-portable), all-centroid
+    * cosines, and the rank-1 assignment.
+    */
+  private val centroidAssignCtes =
+    """v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, nv AS nc FROM v WHERE vec_id < 8),
+      |s AS (SELECT v.vec_id, c.cid,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> v.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / (v.nv * c.nc) AS cos
+      |  FROM v CROSS JOIN c),
+      |r AS (SELECT vec_id, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk FROM s)""".stripMargin
+
+  /** Deterministic seed centroids for the clustering oracle queries: the 8
+    * lowest-id embedding rows (the oracle SQL embeds the same `vec_id < 8`).
+    */
+  private def seedCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  /** Nearest-centroid assignment ([[Clustering.assignToCentroids]]) — the
+    * deterministic half of k-means, oracle-checked against a rank-1 window over
+    * all (vector, centroid) cosines.
+    */
+  def qCentroidAssign(spark: SparkSession, dir: String): DataFrame =
+    Clustering.assignToCentroids(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", seedCentroids(spark, dir), "cid", "cvec")
+      .select(col("vec_id"), col("centroid_id"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("vec_id"))
+
+  val centroidAssignSql: String =
+    s"""WITH $centroidAssignCtes
+      |SELECT vec_id, cid AS centroid_id, ROUND(cos, 6) AS cosine
+      |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
+  /** SemDeDup-style semantic near-dup pairs ([[Clustering.centroidDupPairs]]):
+    * centroid blocking bounds the quadratic term to cluster size; exact cosine
+    * within blocks.
+    */
+  def qSemanticDup(spark: SparkSession, dir: String): DataFrame =
+    Clustering.centroidDupPairs(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", seedCentroids(spark, dir), "cid", "cvec", threshold = 0.2)
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val semanticDupSql: String =
+    s"""WITH $centroidAssignCtes,
+      |asn AS (SELECT vec_id, cid FROM r WHERE rk = 1),
+      |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> vx.embedding[i]::DOUBLE * vy.embedding[i]::DOUBLE)) / (vx.nv * vy.nv) AS cosine
+      |  FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      |  JOIN v vx ON x.vec_id = vx.vec_id JOIN v vy ON y.vec_id = vy.vec_id)
+      |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p
+      |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1486,6 +1646,12 @@ object ExtQueries {
     "q_seq_pack_greedy" -> (qSeqPackGreedy _),
     "q_pack_stats" -> (qPackStats _),
     "q_profile_docs" -> (qProfileDocs _),
+    "q_equidepth_price" -> (qEquidepthPrice _),
+    "q_numeric_corr" -> (qNumericCorr _),
+    "q_span_dedup" -> (qSpanDedup _),
+    "q_scd2_runs" -> (qScd2Runs _),
+    "q_centroid_assign" -> (qCentroidAssign _),
+    "q_semantic_dup" -> (qSemanticDup _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1546,6 +1712,12 @@ object ExtQueries {
     "q_seq_pack_greedy" -> seqPackGreedySql,
     "q_pack_stats" -> packStatsSql,
     "q_profile_docs" -> profileDocsSql,
+    "q_equidepth_price" -> equidepthPriceSql,
+    "q_numeric_corr" -> numericCorrSql,
+    "q_span_dedup" -> spanDedupSql,
+    "q_scd2_runs" -> scd2RunsSql,
+    "q_centroid_assign" -> centroidAssignSql,
+    "q_semantic_dup" -> semanticDupSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,

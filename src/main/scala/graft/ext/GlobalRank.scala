@@ -1,0 +1,72 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Distributed global ranking — `ROW_NUMBER() OVER (ORDER BY ...)` without the
+  * single-task global window.
+  *
+  * Spark plans an un-partitioned window as ONE task holding the whole dataset —
+  * the canonical 100 TB scale-killer. This operator produces the identical
+  * numbering with the two-phase trick [[graft.metrics.LongTail]] uses for its
+  * prefix sum: range-repartition on the sort key (Spark samples split points, so
+  * partitions are balanced), sort within partitions, collect ONE Long per
+  * partition (row counts), and offset each partition's local numbering by the
+  * broadcast prefix. Driver traffic is O(#partitions) scalars; no partition ever
+  * holds more than its range share.
+  */
+object GlobalRank {
+
+  /** Append `rnCol` = the 1-based global row number of each row under the total
+    * order `order` (pass enough columns to make the order total — ties would
+    * otherwise make the numbering nondeterministic).
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column],
+                      rnCol: String = "rn"): DataFrame = {
+    require(order.nonEmpty, "globalRowNumber needs at least one sort column")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // One tiny job: rows per partition → prefix offsets on the driver.
+    val partCounts = rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect()
+      .sortBy(_._1)
+      .map(_._2)
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val bc = spark.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var rn = bc.value(pid)
+      it.map { r => rn += 1; Row.fromSeq(r.toSeq :+ rn) }
+    }
+    spark.createDataFrame(out, sorted.schema.add(rnCol, LongType, nullable = false))
+  }
+
+  /** Equi-depth (equal-count) histogram of a numeric column: global rank rows by
+    * `(valueCol, tieCols...)`, cut into `buckets` equal-count ranges
+    * (`bucket = (rn-1)·B / N`, integer division — the same closed form the SQL
+    * oracle uses over `ROW_NUMBER()`), then one aggregate per bucket. Output:
+    * (bucket, n_rows, min_value, max_value).
+    *
+    * Unlike equi-WIDTH histograms this adapts bin edges to the data (each bucket
+    * holds N/B rows), which is what a profiler wants for skewed columns. The
+    * exact form is oracle-checked; at extreme scale the approximate partner is
+    * `approx_percentile` bucket edges + a scan-side `CASE` assignment — no
+    * global sort at all.
+    */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                         buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    val proj = df.select(valueCol, tieCols: _*)
+    val total = proj.count()
+    val ranked = globalRowNumber(proj, (valueCol +: tieCols).map(col))
+    ranked
+      .withColumn("bucket", expr(s"((rn - 1) * $buckets) div $total"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col(valueCol)).as("min_value"),
+        max(col(valueCol)).as("max_value"))
+  }
+}

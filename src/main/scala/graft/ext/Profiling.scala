@@ -42,4 +42,25 @@ object Profiling {
     }
     row.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** Pairwise Pearson correlation of `cols` in ONE aggregation pass — all
+    * `corr(ci, cj)` (i < j) computed as co-moments in the same map-side-partial
+    * aggregate, then exploded to long format (col_a, col_b, corr). Pearson r is
+    * scale-invariant, so sample-vs-population variance conventions cancel and the
+    * result is engine-portable. One scan however many columns; the profiler
+    * companion to [[profileColumns]].
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "corrMatrix needs at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"__c_${a}_$b") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__c_${a}_$b").as("pearson_r"))
+    }
+    row.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
+  }
 }
