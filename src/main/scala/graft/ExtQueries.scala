@@ -1493,6 +1493,29 @@ object ExtQueries {
       |SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM p
       |WHERE cosine >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
+  /** Per-source unigram KL divergence from the corpus blend
+    * ([[TextStats.groupDivergence]]) — the drift diagnostic behind mixture
+    * rebalancing decisions.
+    */
+  def qSourceKl(spark: SparkSession, dir: String): DataFrame =
+    TextStats.groupDivergence(Tables.documents(spark, dir), "source", "text")
+      .orderBy(col("source"))
+
+  val sourceKlSql: String =
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |gt AS (SELECT source, t, COUNT(*) AS n_gt FROM tok GROUP BY 1, 2),
+      |g AS (SELECT source, CAST(SUM(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+      |ct AS (SELECT t, CAST(SUM(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct),
+      |k AS (SELECT gt.source,
+      |    CAST((n_gt * 1.0 / n_g) * ln((n_gt * 1.0 / n_g) / (n_t * 1.0 / n_total))
+      |      AS DECIMAL(18,8)) AS term_kl
+      |  FROM gt JOIN ct USING (t) JOIN g USING (source) CROSS JOIN tot)
+      |SELECT k.source, MAX(g.n_g) AS n_tokens,
+      |  ROUND(CAST(SUM(term_kl) AS DOUBLE) / 0.6931471805599453, 6) AS kl_bits
+      |FROM k JOIN g ON k.source = g.source
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1652,6 +1675,7 @@ object ExtQueries {
     "q_scd2_runs" -> (qScd2Runs _),
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_semantic_dup" -> (qSemanticDup _),
+    "q_source_kl" -> (qSourceKl _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1718,6 +1742,7 @@ object ExtQueries {
     "q_scd2_runs" -> scd2RunsSql,
     "q_centroid_assign" -> centroidAssignSql,
     "q_semantic_dup" -> semanticDupSql,
+    "q_source_kl" -> sourceKlSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Embedding-space clustering primitives for semantic dedup (SemDeDup-style:
+  * cluster the corpus, then compare only within clusters).
+  *
+  * [[assignToCentroids]] is the deterministic assignment half of k-means — it
+  * composes with ANY small centroid table: MLlib KMeans centers
+  * ([[SimSearch.ivfIndex]] — the production quantizer), or seed vectors picked
+  * by id (what the oracle-checked query uses, so the result is reproducible
+  * across engines).
+  *
+  * Scale shape: centroids are broadcast (k rows), assignment is one scan with a
+  * codegen'd dot product per (row, centroid) and a min-struct argmax aggregate —
+  * no shuffle of the embedding column beyond the per-id argmax. The dup-pair
+  * join is an equi-join on the assigned cluster, bounding the quadratic term to
+  * cluster size (the same blocking idea as [[Dedup.embeddingDupPairs]]'s
+  * sign-LSH buckets, but with data-driven cells; a hot cluster is split by
+  * raising k or sub-clustering the offender).
+  */
+object Clustering {
+
+  /** Assign each vector to its highest-cosine centroid. Output:
+    * (id, centroid_id, cosine). Ties break toward the smaller centroid id;
+    * zero-norm vectors score 0 against everything.
+    */
+  def assignToCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cidCol: String,
+                        cvecCol: String): DataFrame = {
+    val v = vecs.select(col(idCol), col(vecCol),
+      SimSearch.norm(col(vecCol)).as("__nv"))
+    val c = centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"),
+      SimSearch.norm(col(cvecCol)).as("__nc"))
+    val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+      .otherwise(SimSearch.dot(col(vecCol), col("__cv")) / (col("__nv") * col("__nc")))
+    v.crossJoin(broadcast(c))
+      .select(col(idCol), col("__cid"), cos.as("__cos"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cos")).as("neg"), col("__cid").as("cid"),
+        col("__cos").as("cos"))).as("__b"))
+      .select(col(idCol), col("__b.cid").as("centroid_id"),
+        col("__b.cos").as("cosine"))
+  }
+
+  /** Semantic near-dup pairs via centroid blocking: pairs sharing a nearest
+    * centroid with cosine ≥ `threshold`. Output: (id_a, id_b, cosine), a < b.
+    */
+  def centroidDupPairs(vecs: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, cidCol: String, cvecCol: String,
+                       threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(vecs, idCol, vecCol, centroids, cidCol, cvecCol)
+      .select(col(idCol), col("centroid_id"))
+    val n = vecs
+      .select(col(idCol), col(vecCol), SimSearch.norm(col(vecCol)).as("__n"))
+      .join(assigned, idCol)
+    val a = n.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      col("__n").as("__na"), col("centroid_id"))
+    val b = n.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      col("__n").as("__nb"), col("centroid_id"))
+    a.join(b, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (SimSearch.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

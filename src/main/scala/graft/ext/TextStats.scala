@@ -202,4 +202,38 @@ object TextStats {
     }
     out.toArray
   }
+
+  /** Per-group unigram-distribution drift from the corpus:
+    * `KL(P_group ‖ P_corpus)` in bits over whitespace tokens — the mixture
+    * diagnostic a pipeline watches when rebalancing domains (a source whose
+    * word distribution diverges from the blend is over/under-represented or
+    * off-topic). Every group term also occurs in the corpus, so P_corpus > 0
+    * wherever P_group > 0 and the sum is finite by construction.
+    *
+    * Three keyed aggregations ((group, term) counts → per-group totals +
+    * corpus term counts) and one term-keyed join; the corpus total is a
+    * broadcast 1-row aggregate. Per-term contributions are summed as
+    * DECIMAL(18,8) — addition-order-independent, the [[TextQuality.unigramNll]]
+    * pattern — so the result is identical across engines and partitionings.
+    * Output: (group, n_tokens, kl_bits).
+    */
+  def groupDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol), explode(split(col(textCol), " ")).as("t"))
+    val gt = tok.groupBy(col(groupCol), col("t")).agg(count(lit(1)).as("n_gt"))
+    val g = gt.groupBy(col(groupCol)).agg(sum(col("n_gt")).as("n_g"))
+    val ct = gt.groupBy(col("t")).agg(sum(col("n_gt")).as("n_t"))
+    val total = ct.agg(sum(col("n_t")).as("n_total"))
+    val pg = col("n_gt").cast("double") / col("n_g")
+    val pc = col("n_t").cast("double") / col("n_total")
+    gt.join(ct, "t")
+      .join(g, groupCol)
+      .crossJoin(broadcast(total))
+      .withColumn("term_kl", (pg * log(pg / pc)).cast("decimal(18,8)"))
+      .groupBy(col(groupCol))
+      .agg(max(col("n_g")).as("n_tokens"),
+        // nats → bits with an embedded ln(2) literal: both engines parse the
+        // same double, dodging any libm log2-vs-ln/ln(2) last-bit skew
+        round(sum(col("term_kl")).cast("double") / lit(0.6931471805599453), 6)
+          .as("kl_bits"))
+  }
 }

@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ClusteringSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(1f, 0f, 0f)),
+    (1L, Array(0f, 1f, 0f)),
+    (10L, Array(0.9f, 0.1f, 0f)),   // → centroid 0
+    (11L, Array(0.1f, 0.95f, 0f)),  // → centroid 1
+    (12L, Array(0.8f, 0.2f, 0f))    // → centroid 0
+  ).toDF("vec_id", "embedding")
+
+  private def cents = vecs.filter(col("vec_id") < 2)
+    .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  test("assignToCentroids picks the highest-cosine centroid") {
+    val out = Clustering.assignToCentroids(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec")
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 0L, 1L -> 1L, 10L -> 0L, 11L -> 1L, 12L -> 0L))
+  }
+
+  test("assignToCentroids: a centroid assigns to itself with cosine 1") {
+    val out = Clustering.assignToCentroids(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec")
+      .filter(col("vec_id") === 0L).collect().head
+    assert(out.getLong(1) == 0L)
+    assert(math.abs(out.getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("assignToCentroids: zero-norm vector scores 0 and ties to lowest cid") {
+    val z = Seq((5L, Array(0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val out = Clustering.assignToCentroids(z, "vec_id", "embedding",
+      cents, "cid", "cvec").collect().head
+    assert(out.getLong(1) == 0L)
+    assert(out.getDouble(2) == 0.0)
+  }
+
+  test("centroidDupPairs: only same-cluster pairs above threshold, a < b") {
+    val out = Clustering.centroidDupPairs(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec", threshold = 0.9)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cluster 0 = {0, 10, 12}: all pairwise cosines > 0.9; cluster 1 = {1, 11}
+    assert(out == Seq((0L, 10L), (0L, 12L), (1L, 11L), (10L, 12L)))
+    // cross-cluster near-orthogonal pairs must be absent even though some share
+    // no cluster: (0, 11) etc. are not candidates at all
+  }
+
+  test("centroidDupPairs matches brute-force within-cluster cosine") {
+    val rng = new scala.util.Random(3)
+    val big = (0 until 200)
+      .map(i => (i.toLong, Array.fill(16)(rng.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val cs = big.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val assigned = Clustering.assignToCentroids(big, "vec_id", "embedding",
+      cs, "cid", "cvec").select(col("vec_id"), col("centroid_id"))
+    val blocked = Clustering.centroidDupPairs(big, "vec_id", "embedding",
+        cs, "cid", "cvec", threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: all pairs with cosine >= 0.3 AND same assignment
+    val asg = assigned.as[(Long, Long)].collect().toMap
+    val brute = SimSearch.allPairsCosine(big, "vec_id", "embedding", 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => asg(a) == asg(b) }.toSet
+    assert(blocked == brute)
+  }
+}

@@ -94,4 +94,32 @@ class TextStatsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("groupDivergence: identical distribution → 0; skewed group → positive KL") {
+    import spark.implicits._
+    val docs = Seq(
+      ("mirror", "a b a b"),    // same distribution as the corpus half it forms
+      ("mirror", "a b a b"),
+      ("skew", "a a a a"),      // all mass on 'a'
+      ("skew", "a a a a")
+    ).toDF("source", "text")
+    val out = TextStats.groupDivergence(docs, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // corpus: a=12/16, b=4/16. mirror: a=1/2,b=1/2; skew: a=1.
+    val (nm, klM) = out("mirror")
+    val (ns, klS) = out("skew")
+    assert(nm == 8L && ns == 8L)
+    val expM = 0.5 * math.log(0.5 / 0.75) / math.log(2) +
+      0.5 * math.log(0.5 / 0.25) / math.log(2)
+    val expS = 1.0 * math.log(1.0 / 0.75) / math.log(2)
+    assert(math.abs(klM - expM) < 1e-5, s"mirror kl $klM vs $expM")
+    assert(math.abs(klS - expS) < 1e-5, s"skew kl $klS vs $expS")
+  }
+
+  test("groupDivergence: single group diverges 0 from itself") {
+    import spark.implicits._
+    val docs = Seq(("only", "x y z x")).toDF("source", "text")
+    val out = TextStats.groupDivergence(docs, "source", "text").collect().head
+    assert(out.getDouble(2) == 0.0)
+  }
 }
