@@ -244,6 +244,30 @@ object AnalyticsQueries {
       |GROUP BY ROLLUP(p_brand, p_type)
       |ORDER BY 1, 2""".stripMargin
 
+  /** Full CUBE over (status, priority) — all four grain levels in one hash
+    * aggregate (grouping-set expansion, one shuffle), completing the
+    * multi-grain family next to [[qRevenueRollup]] (ROLLUP) and the explicit
+    * grouping-sets query. 2-dp money rounding for the same ulp reason.
+    */
+  def qOrderCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(dec(col("o_totalprice"))).cast("double"), 2).as("total"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n_orders"))
+      .orderBy(col("status"), col("priority"))
+
+  val orderCubeSql: String =
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+      |  COALESCE(o_orderpriority, 'ALL') AS priority,
+      |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS total,
+      |  COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY 1, 2""".stripMargin
+
   private val eventTypes = Seq("view", "click", "purchase", "signup", "error")
 
   /** Hourly event-type matrix via `pivot` with an EXPLICIT value list — the
@@ -282,6 +306,7 @@ object AnalyticsQueries {
     "q_orders_with_returns" -> (qOrdersWithReturns _),
     "q_customers_no_orders" -> (qCustomersNoOrders _),
     "q_revenue_rollup" -> (qRevenueRollup _),
+    "q_order_cube" -> (qOrderCube _),
     "q_event_pivot" -> (qEventPivot _)
   )
 
@@ -294,6 +319,7 @@ object AnalyticsQueries {
     "q_orders_with_returns" -> ordersWithReturnsSql,
     "q_customers_no_orders" -> customersNoOrdersSql,
     "q_revenue_rollup" -> revenueRollupSql,
+    "q_order_cube" -> orderCubeSql,
     "q_event_pivot" -> eventPivotSql
   )
 }

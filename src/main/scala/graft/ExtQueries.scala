@@ -1516,6 +1516,127 @@ object ExtQueries {
       |FROM k JOIN g ON k.source = g.source
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Feature-store point-in-time join: every order picks up the user state
+    * that was valid AT order time — the composition of [[Runs.collapseRuns]]
+    * (SCD2 dimension from the event log) with [[AsOfJoin.asOf]] (as-of ON the
+    * run's valid_from; runs tile each key's timeline, so as-of ≡ interval
+    * containment — the oracle states it as BETWEEN-style containment and the
+    * hash compare proves the equivalence). Orders before a user's first event,
+    * or for users with no events, get null state — exactly what a leakage-safe
+    * training-feature join must do (no future peeking).
+    */
+  def qPitJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"), col("event_type"))
+    val dim = Runs.collapseRuns(e, "user_id", "ms", "event_id", "event_type")
+      .select(col("user_id"), col("run_id"), col("value"), col("valid_from"))
+    val facts = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey"), (unix_timestamp(col("o_orderdate")) * 1000).as("oms"))
+    AsOfJoin.asOf(facts, dim, "o_custkey", "user_id", "oms", "valid_from",
+        Seq("run_id", "value"))
+      .select(col("o_orderkey"), col("o_custkey"), col("oms"),
+        col("run_id"), col("value"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** The scd2 runs CTEs of [[scd2RunsSql]], reusable: yields `runs`
+    * (user_id, run_id, value, valid_from, valid_until).
+    */
+  private val scd2RunsCtes =
+    """e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type FROM events),
+      |f AS (SELECT user_id, ms, event_id, event_type,
+      |    CASE WHEN ROW_NUMBER() OVER w = 1
+      |           OR event_type IS DISTINCT FROM lag(event_type) OVER w
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)),
+      |r AS (SELECT user_id, event_type, ms,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_id
+      |  FROM f),
+      |c AS (SELECT user_id, run_id, MAX(event_type) AS value, MIN(ms) AS valid_from
+      |  FROM r GROUP BY 1, 2),
+      |runs AS (SELECT user_id, run_id, value, valid_from,
+      |    lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_until
+      |  FROM c)""".stripMargin
+
+  val pitJoinSql: String =
+    s"""WITH $scd2RunsCtes
+      |SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS oms,
+      |  runs.run_id, runs.value
+      |FROM orders LEFT JOIN runs ON o_custkey = runs.user_id
+      |  AND runs.valid_from <= epoch_ms(o_orderdate)
+      |  AND (runs.valid_until IS NULL OR epoch_ms(o_orderdate) < runs.valid_until)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Hybrid retrieval with reciprocal-rank fusion: a dense leg (embedding
+    * cosine to query vector 0) and a sparse leg (distinct-term overlap with
+    * query document 0) each produce a top-100 candidate ranking, fused as
+    * `Σ 1/(60 + rank)` (RRF, Cormack et al.) and cut to the final top 20.
+    *
+    * Scale shape: each leg is scan → TakeOrderedAndProject(100) — the rank
+    * window then runs on ≤100 rows post-limit (the [[TextQuality.topNgrams]]
+    * precedent), never on the corpus. The fusion join touches 100-row inputs.
+    */
+  def qHybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), SimSearch.norm(col("embedding")).as("qn"))
+    val dense = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id").as("id"),
+        (SimSearch.dot(col("embedding"), col("qe")) /
+          (SimSearch.norm(col("embedding")) * col("qn"))).as("cos"))
+      .orderBy(col("cos").desc, col("id")).limit(100)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("id"))).cast("long"))
+    val qTerms = docs.filter(col("doc_id") === 0)
+      .select(explode(array_distinct(split(col("text"), " "))).as("term"))
+    val sparse = docs.filter(col("doc_id") =!= 0)
+      .select(col("doc_id").as("id"),
+        explode(array_distinct(split(col("text"), " "))).as("term"))
+      .join(broadcast(qTerms), "term")
+      .groupBy(col("id")).agg(count(lit(1)).as("overlap"))
+      .orderBy(col("overlap").desc, col("id")).limit(100)
+      .withColumn("sparse_rank",
+        row_number().over(Window.orderBy(col("overlap").desc, col("id"))).cast("long"))
+    dense.select(col("id"), col("dense_rank"))
+      .join(sparse.select(col("id"), col("sparse_rank")), Seq("id"), "full_outer")
+      .select(col("id"), col("dense_rank"), col("sparse_rank"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sparse_rank")), lit(0.0)), 6)
+          .as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("id")).limit(20)
+  }
+
+  val hybridRrfSql: String =
+    """WITH qv AS (SELECT embedding AS qe,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS qn
+      |  FROM embeddings WHERE vec_id = 0),
+      |dense0 AS (SELECT vec_id AS id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * qv.qe[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(e.embedding, x -> x::DOUBLE * x::DOUBLE))) * qv.qn) AS cos
+      |  FROM embeddings e CROSS JOIN qv WHERE vec_id <> 0),
+      |dense AS (SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id) AS dense_rank
+      |  FROM dense0 QUALIFY dense_rank <= 100),
+      |qt AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS term
+      |  FROM documents WHERE doc_id = 0),
+      |ov AS (SELECT doc_id AS id, COUNT(*) AS overlap
+      |  FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents WHERE doc_id <> 0) d
+      |  JOIN qt USING (term) GROUP BY 1),
+      |sparse AS (SELECT id, ROW_NUMBER() OVER (ORDER BY overlap DESC, id) AS sparse_rank
+      |  FROM ov QUALIFY sparse_rank <= 100),
+      |fused AS (SELECT COALESCE(dense.id, sparse.id) AS id, dense_rank, sparse_rank,
+      |    ROUND(COALESCE(1.0::DOUBLE / (60 + dense_rank), 0) +
+      |          COALESCE(1.0::DOUBLE / (60 + sparse_rank), 0), 6) AS rrf_score
+      |  FROM dense FULL OUTER JOIN sparse ON dense.id = sparse.id)
+      |SELECT id, dense_rank, sparse_rank, rrf_score FROM fused
+      |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1676,6 +1797,8 @@ object ExtQueries {
     "q_centroid_assign" -> (qCentroidAssign _),
     "q_semantic_dup" -> (qSemanticDup _),
     "q_source_kl" -> (qSourceKl _),
+    "q_pit_join" -> (qPitJoin _),
+    "q_hybrid_rrf" -> (qHybridRrf _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1743,6 +1866,8 @@ object ExtQueries {
     "q_centroid_assign" -> centroidAssignSql,
     "q_semantic_dup" -> semanticDupSql,
     "q_source_kl" -> sourceKlSql,
+    "q_pit_join" -> pitJoinSql,
+    "q_hybrid_rrf" -> hybridRrfSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,
