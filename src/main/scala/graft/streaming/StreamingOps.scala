@@ -527,4 +527,52 @@ object StreamingOps {
 
     exact.unionByName(near)
   }
+
+  final case class RunEvent(user_id: Long, ts: Timestamp, event_id: Long,
+                            value: String)
+  final case class RunState(value: String, run_id: Long, from: Long, to: Long,
+                            n: Long)
+  final case class RunOut(user_id: Long, run_id: Long, value: String,
+                          valid_from: Long, valid_to: Long, valid_until: Long,
+                          n_events: Long)
+
+  /** Streaming twin of [[graft.ext.Runs.collapseRuns]]: the SCD2 history build
+    * as a live stream — a run row is emitted the moment a DIFFERENT value
+    * arrives for the key (the run's exclusive upper bound is then known, so
+    * the emitted row is final — exactly the append-mode contract). The key's
+    * open run stays in O(1) state: (value, run_id, bounds, count) — never the
+    * events. Same cross-batch assumption as [[sessionize]]: per-key event-time
+    * order across batches (within a batch it sorts); the watermark-buffering
+    * discipline of [[sessionizeLate]] ports directly if arrival can disorder.
+    *
+    * Differential contract (spec-checked): emitted rows == the batch
+    * operator's CLOSED runs (`valid_until IS NOT NULL`); open runs live only
+    * in state, matching batch rows with null `valid_until`.
+    */
+  def collapseRunsStream(events: Dataset[RunEvent]): Dataset[RunOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunState, RunOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[RunEvent], state: GroupState[RunState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer[RunOut]()
+          sorted.foreach { e =>
+            val t = e.ts.getTime
+            cur match {
+              case Some(s) if s.value == e.value =>
+                cur = Some(s.copy(to = t, n = s.n + 1))
+              case Some(s) =>
+                closed += RunOut(user, s.run_id, s.value, s.from, s.to, t, s.n)
+                cur = Some(RunState(e.value, s.run_id + 1, t, t, 1L))
+              case None =>
+                cur = Some(RunState(e.value, 1L, t, t, 1L))
+            }
+          }
+          cur.foreach(state.update)
+          closed.iterator
+      }
+  }
 }

@@ -98,6 +98,42 @@ class StreamingOpsSpec extends SparkTestBase {
       s"got ${out.mkString(";")}")
   }
 
+  test("collapseRunsStream emits closed runs matching batch collapseRuns") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{RunEvent, RunOut}
+    val input = MemoryStream[RunEvent]
+    val query = StreamingOps.collapseRunsStream(input.toDS())
+      .writeStream.format("memory").queryName("runs_out")
+      .outputMode("append").start()
+    // user 1: A A | B (closes A run) | B A (closes B run); user 2: X only (open)
+    input.addData(RunEvent(1L, ts(0), 1L, "A"), RunEvent(1L, ts(1), 2L, "A"),
+      RunEvent(2L, ts(0), 10L, "X"))
+    query.processAllAvailable()
+    input.addData(RunEvent(1L, ts(5), 3L, "B"))
+    query.processAllAvailable()
+    input.addData(RunEvent(1L, ts(6), 4L, "B"), RunEvent(1L, ts(9), 5L, "A"))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("runs_out").as[RunOut].collect()
+      .map(r => (r.user_id, r.run_id, r.value, r.valid_from, r.valid_to,
+        r.valid_until, r.n_events)).toSet
+
+    val batch = graft.ext.Runs.collapseRuns(
+        Seq((1L, ts(0).getTime, 1L, "A"), (1L, ts(1).getTime, 2L, "A"),
+          (2L, ts(0).getTime, 10L, "X"), (1L, ts(5).getTime, 3L, "B"),
+          (1L, ts(6).getTime, 4L, "B"), (1L, ts(9).getTime, 5L, "A"))
+          .toDF("user_id", "ms", "event_id", "event_type"),
+        "user_id", "ms", "event_id", "event_type")
+      .filter($"valid_until".isNotNull)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    // open runs (user 1's trailing A, user 2's X) must NOT be emitted
+    assert(!streamed.exists(r => r._1 == 2L))
+    assert(!streamed.exists(r => r._1 == 1L && r._3 == "A" && r._4 == ts(9).getTime))
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("streaming funnel advances per-user stages across batches, matching batch semantics") {
