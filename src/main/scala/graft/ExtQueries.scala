@@ -1637,6 +1637,75 @@ object ExtQueries {
       |SELECT id, dense_rank, sparse_rank, rrf_score FROM fused
       |ORDER BY rrf_score DESC, id LIMIT 20""".stripMargin
 
+  /** Exact distributed quantiles of lineitem prices
+    * ([[GlobalRank.exactQuantiles]]): percentile_disc values at p50/p90/p99
+    * picked by global rank — the zero-error partner of
+    * `q_quality_quantiles`'s sketch, still with no single-task sort.
+    */
+  def qExactQuantiles(spark: SparkSession, dir: String): DataFrame =
+    GlobalRank.exactQuantiles(Tables.lineitem(spark, dir), "l_extendedprice",
+        Seq("l_orderkey", "l_linenumber"), probs = Seq(0.5, 0.9, 0.99))
+      .select(col("p"), col("value"))
+      .orderBy(col("p"))
+
+  val exactQuantilesSql: String =
+    """WITH r AS (SELECT l_extendedprice AS v,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM lineitem)
+      |SELECT CAST(p AS DOUBLE) AS p, v AS value
+      |FROM r JOIN (VALUES (0.5), (0.9), (0.99)) t(p)
+      |  ON rn = GREATEST(1, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT))
+      |ORDER BY p""".stripMargin
+
+  /** Top-20 PMI collocations over the corpus ([[TextStats.collocations]]) —
+    * the phrase-mining signal behind wordpiece-style vocabulary induction.
+    */
+  def qCollocations(spark: SparkSession, dir: String): DataFrame =
+    TextStats.collocations(Tables.documents(spark, dir), "text",
+      k = 20, minCount = 5L)
+
+  val collocationsSql: String =
+    """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |bg0 AS (SELECT unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+      |    i -> {'w1': w[i], 'w2': w[i+1]})) AS b FROM w),
+      |bg AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair FROM bg0 GROUP BY 1, 2),
+      |uc AS (SELECT t, COUNT(*) AS n_tok
+      |  FROM (SELECT unnest(w) AS t FROM w) GROUP BY 1),
+      |tp AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS t_pairs FROM bg),
+      |tt AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS t_toks FROM uc)
+      |SELECT w1 || ' ' || w2 AS bigram, n_pair,
+      |  ROUND(ln(n_pair * 1.0 * t_toks * t_toks / (t_pairs * 1.0 * n_a * n_b)), 6) AS pmi
+      |FROM bg
+      |JOIN (SELECT t AS w1, n_tok AS n_a FROM uc) a USING (w1)
+      |JOIN (SELECT t AS w2, n_tok AS n_b FROM uc) b USING (w2)
+      |CROSS JOIN tp CROSS JOIN tt
+      |WHERE n_pair >= 5
+      |ORDER BY pmi DESC, bigram LIMIT 20""".stripMargin
+
+  /** Temporal leave-one-out evaluation split over the event log
+    * ([[Splits.leaveOneOutSplit]]): each user's last event is the test point.
+    * Reported as per-split totals (the assignment itself is row-level).
+    */
+  def qLooSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"),
+      unix_millis(col("ts")).as("ms"), col("event_id"))
+    Splits.leaveOneOutSplit(e, "user_id", "ms", "event_id")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("split"))
+  }
+
+  val looSplitSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) = 1
+      |      THEN 'test' ELSE 'train' END AS split
+      |  FROM events)
+      |SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1799,6 +1868,9 @@ object ExtQueries {
     "q_source_kl" -> (qSourceKl _),
     "q_pit_join" -> (qPitJoin _),
     "q_hybrid_rrf" -> (qHybridRrf _),
+    "q_exact_quantiles" -> (qExactQuantiles _),
+    "q_collocations" -> (qCollocations _),
+    "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
@@ -1868,6 +1940,9 @@ object ExtQueries {
     "q_source_kl" -> sourceKlSql,
     "q_pit_join" -> pitJoinSql,
     "q_hybrid_rrf" -> hybridRrfSql,
+    "q_exact_quantiles" -> exactQuantilesSql,
+    "q_collocations" -> collocationsSql,
+    "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,

@@ -69,4 +69,32 @@ object GlobalRank {
         min(col(valueCol)).as("min_value"),
         max(col(valueCol)).as("max_value"))
   }
+
+  /** EXACT quantiles of a column without a single-task sort: the value at
+    * global rank `max(1, ceil(p·N))` under the total order
+    * `(valueCol, tieCols...)` — percentile_disc semantics, computed on the
+    * distributed row number and a broadcast (p, target-rank) join, so only
+    * |probs| rows leave the ranked table. The exact partner of
+    * [[TextStats.groupQuantilesApprox]]: run THIS when the answer must be a
+    * real data value with zero sketch error, the approx form when a rank
+    * tolerance is fine and one pass matters. The rank arithmetic
+    * (`ceil(p·N)` in IEEE double) is stated identically in the SQL oracle, so
+    * the picked element matches bit-for-bit across engines.
+    * Output: (p, value), one row per prob.
+    */
+  def exactQuantiles(df: DataFrame, valueCol: String, tieCols: Seq[String],
+                     probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df.select(valueCol, tieCols: _*)
+    val total = proj.count()
+    val ranked = globalRowNumber(proj, (valueCol +: tieCols).map(col))
+    val targets = probs
+      .map(p => (p, math.max(1L, math.ceil(p * total).toLong)))
+      .toDF("p", "__target")
+    ranked.join(broadcast(targets), col("rn") === col("__target"))
+      .select(col("p"), col(valueCol).as("value"))
+  }
 }

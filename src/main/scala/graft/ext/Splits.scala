@@ -121,4 +121,22 @@ object Splits {
       .filter(col("__rk") <= maxPerGroup)
       .drop("__rk")
   }
+
+  /** Temporal leave-one-out holdout — the recsys evaluation split: each key's
+    * LAST event (by time, ties on `tieCol`) becomes "test", everything earlier
+    * "train". Unlike a global time cutoff, every key contributes exactly one
+    * test point and its full history stays in train — and because the split is
+    * a per-key rank, it is leakage-free by construction (no train row is later
+    * than its key's test row). One per-key rank window; the rank-1 probe
+    * compiles to WindowGroupLimit, so partitions forward one candidate per key
+    * per partition before the shuffle.
+    */
+  def leaveOneOutSplit(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.withColumn("split",
+        when(row_number().over(w) === 1, lit("test")).otherwise(lit("train")))
+  }
 }

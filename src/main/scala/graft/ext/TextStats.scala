@@ -203,6 +203,44 @@ object TextStats {
     out.toArray
   }
 
+  /** Top-k collocations by pointwise mutual information:
+    * `PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) )` over adjacent word pairs, with a
+    * minimum pair count (PMI without a support floor surfaces one-off noise).
+    * The vocabulary-induction signal behind phrase mining / wordpiece-style
+    * merges: high-PMI adjacent pairs are the units worth fusing into one token.
+    *
+    * Three aggregations — bigram counts, unigram counts, two 1-row totals
+    * broadcast back — then two unigram-keyed joins. All counts are integers and
+    * the PMI arithmetic is stated with the identical operation order in the SQL
+    * oracle, so the doubles (and the rank cut) match bit-for-bit. The top-k cut
+    * is `orderBy(...).limit(k)` → TakeOrderedAndProject, never a global sort.
+    * Output: (bigram, n_pair, pmi), k rows.
+    */
+  def collocations(df: DataFrame, textCol: String, k: Int = 20,
+                   minCount: Long = 5L): DataFrame = {
+    val words = df.select(split(col(textCol), " ").as("w"))
+    val bigrams = words
+      .select(explode(expr(
+        "transform(slice(w, 1, greatest(size(w) - 1, 0)), (x, i) -> struct(x as w1, w[i + 1] as w2))"))
+        .as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val unigrams = words.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_tok"))
+    val totals = bigrams.agg(sum(col("n_pair")).as("t_pairs"))
+      .crossJoin(unigrams.agg(sum(col("n_tok")).as("t_toks")))
+    bigrams
+      .filter(col("n_pair") >= minCount)
+      .join(unigrams.select(col("t").as("w1"), col("n_tok").as("n_a")), "w1")
+      .join(unigrams.select(col("t").as("w2"), col("n_tok").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bigram"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("t_toks") * col("t_toks") /
+          (col("t_pairs").cast("double") * col("n_a") * col("n_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(k)
+  }
+
   /** Per-group unigram-distribution drift from the corpus:
     * `KL(P_group ‖ P_corpus)` in bits over whitespace tokens — the mixture
     * diagnostic a pipeline watches when rebalancing domains (a source whose

@@ -53,6 +53,20 @@ class GlobalRankSpec extends SparkTestBase {
     assert(out.map(_.getLong(1)).toSeq == Seq(4L, 3L, 3L))
   }
 
+  test("exactQuantiles picks the value at ceil(p*N) under the total order") {
+    val df = (1 to 100).map(i => (i * 10, i.toLong)).toDF("v", "id")
+    val out = GlobalRank.exactQuantiles(df, "v", Seq("id"), Seq(0.5, 0.9, 0.99, 1.0))
+      .orderBy("p").collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    assert(out == Map(0.5 -> 500, 0.9 -> 900, 0.99 -> 990, 1.0 -> 1000))
+  }
+
+  test("exactQuantiles: tiny p clamps to rank 1") {
+    val df = (1 to 10).map(i => (i, i.toLong)).toDF("v", "id")
+    val out = GlobalRank.exactQuantiles(df, "v", Seq("id"), Seq(0.001))
+      .collect().head
+    assert(out.getInt(1) == 1)
+  }
+
   test("corrMatrix matches per-pair corr in one pass") {
     val df = (0 until 500)
       .map { i => (i.toDouble, 2.0 * i + 3, (i % 17).toDouble) }

@@ -67,4 +67,23 @@ class SplitsSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(a == b && a.size == 200)
   }
+
+  test("leaveOneOutSplit: exactly one test row per key, and it is the latest") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 1L), (1L, 20L, 2L), (1L, 20L, 3L), // tie on ts → event 3 wins
+      (2L, 5L, 4L)
+    ).toDF("user_id", "ms", "event_id")
+    val out = Splits.leaveOneOutSplit(df, "user_id", "ms", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    val test = out.filter(_._3 == "test")
+    assert(test.toSet == Set((1L, 3L, "test"), (2L, 4L, "test")))
+    assert(out.count(_._3 == "train") == 2)
+    // leakage-free: every train row's ts <= its key's test row ts
+    val testTs = Map(1L -> 20L, 2L -> 5L)
+    val byId = Map(1L -> 10L, 2L -> 20L, 3L -> 20L, 4L -> 5L)
+    out.filter(_._3 == "train").foreach { case (u, eid, _) =>
+      assert(byId(eid) <= testTs(u))
+    }
+  }
 }

@@ -116,6 +116,25 @@ class TextStatsSpec extends SparkTestBase {
     assert(math.abs(klS - expS) < 1e-5, s"skew kl $klS vs $expS")
   }
 
+  test("collocations: adjacent pair PMI with support floor and top-k cut") {
+    import spark.implicits._
+    // "x y" always adjacent (PMI high); "a b" adjacent but a,b also frequent
+    // alone (PMI lower); pairs under minCount are dropped.
+    val docs = (1 to 6).map(_ => "x y a b a c a d").toDF("text")
+    val out = TextStats.collocations(docs, "text", k = 10, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty)
+    assert(out.forall(_._2 >= 5L))
+    // ranked descending by pmi
+    assert(out.map(_._3).toSeq == out.map(_._3).toSeq.sortBy(-(_: Double)))
+    val byPair = out.map(r => r._1 -> r._3).toMap
+    assert(byPair.contains("x y"))
+    assert(byPair("x y") > byPair("a b"), s"got $byPair")
+    // manual PMI for "x y": n_pair=6, n_x=6, n_y=6, pairs=42, toks=48
+    val exp = math.log(6.0 * 48 * 48 / (42.0 * 6 * 6))
+    assert(math.abs(byPair("x y") - exp) < 1e-5)
+  }
+
   test("groupDivergence: single group diverges 0 from itself") {
     import spark.implicits._
     val docs = Seq(("only", "x y z x")).toDF("source", "text")
