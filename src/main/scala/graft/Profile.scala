@@ -5,14 +5,16 @@ import org.apache.spark.sql.SparkSession
 /** Dev profiler: runs each SparkEntry query twice in one session (cold/warm) and
   * optionally dumps the formatted physical plan. Usage:
   *   runMain graft.Profile <sfDir> [planFor...]
-  * SPARK_GRAFT_ONLY=<substring> restricts to matching query names;
+  * SPARK_GRAFT_ONLY=<substr1,substr2,...> restricts to matching query names;
   * SPARK_GRAFT_PROFILE_REPS overrides the run count (default 2).
   */
 object Profile {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val planFor = args.drop(1).toSet
+    // comma-separated substrings, same contract as Verify's filter
     val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
     val reps = math.max(2, sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "2").toInt)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,7 +28,7 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(name.contains) }
+      .filter { case (name, _) => only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
