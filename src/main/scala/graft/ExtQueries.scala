@@ -54,6 +54,41 @@ object ExtQueries {
       |WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** PPJoin-style prefix-filtered Jaccard ([[Dedup.jaccardPairsPrefix]]):
+    * output-identical to [[qDedupJaccard]] (the prefix filter is lossless),
+    * but candidates come only from each doc's rarest-first prefix shingles —
+    * the oracle replays the whole prefix pipeline, so the rank/cut logic
+    * itself is hash-verified, not just the final pairs.
+    */
+  def qDedupPrefix(spark: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsPrefix(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupPrefixSql: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |dfq AS (SELECT sh, COUNT(*) AS df_sh FROM sh GROUP BY 1),
+      |pp AS (SELECT s.doc_id, s.sh,
+      |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY df_sh, s.sh) AS pos,
+      |    n.n_sh
+      |  FROM sh s JOIN dfq USING (sh) JOIN n USING (doc_id)),
+      |pref AS (SELECT doc_id, sh FROM pp
+      |  WHERE pos <= n_sh - ceil(0.5 * n_sh) + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |v AS (SELECT id_a, id_b, COUNT(*) AS n_shared
+      |  FROM cand
+      |  JOIN sh sa ON sa.doc_id = cand.id_a
+      |  JOIN sh sb ON sb.doc_id = cand.id_b AND sb.sh = sa.sh
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b,
+      |  ROUND(n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared), 6) AS jaccard
+      |FROM v JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   private val numHashes = 16
   private val rowsPerBand = 4
   private val numBands = numHashes / rowsPerBand
@@ -1869,6 +1904,7 @@ object ExtQueries {
     "q_pit_join" -> (qPitJoin _),
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_exact_quantiles" -> (qExactQuantiles _),
+    "q_dedup_prefix" -> (qDedupPrefix _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -1941,6 +1977,7 @@ object ExtQueries {
     "q_pit_join" -> pitJoinSql,
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_exact_quantiles" -> exactQuantilesSql,
+    "q_dedup_prefix" -> dedupPrefixSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,

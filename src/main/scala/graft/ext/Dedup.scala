@@ -97,6 +97,45 @@ object Dedup {
     }
   }
 
+  /** PPJoin-style prefix-filtered Jaccard pairs — the SAME output as
+    * [[jaccardPairs]] (exact, no false negatives — the differential spec locks
+    * it), with candidate generation restricted to each document's PREFIX
+    * shingles under a global rarity order.
+    *
+    * Prefix filtering (Chaudhuri et al. SSJoin / Xiao et al. PPJoin): order
+    * every document's shingles by ascending document frequency (ties by
+    * shingle), and keep only the first `n − ceil(t·n) + 1` as join tokens. Two
+    * sets with Jaccard ≥ t MUST share a token inside both prefixes, so the
+    * equi-join on prefix tokens is a complete candidate generator — while hot
+    * boilerplate shingles (highest df) sort LAST and fall outside almost every
+    * prefix, killing the quadratic term the naive co-occurrence join pays on
+    * them. Verification runs on full shingle sets, so values are exact.
+    *
+    * vs `stopShingleMaxDf`: the stop-shingle cut is a lossy heuristic (pairs
+    * whose every shared shingle is hot are MISSED) needing a tuned cap; the
+    * prefix filter is threshold-derived, parameter-free, and lossless. Cost:
+    * one extra df aggregate + a per-doc rank window (keyed by doc — uniform).
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = shingles(df, idCol, textCol, k)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("df_sh"), col("shingle"))
+    val prefix = sh
+      .join(dfreq, "shingle")
+      .withColumn("pos", row_number().over(w))
+      .join(sizes, idCol)
+      .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select(col(idCol), col("shingle"))
+    val a = prefix.select(col(idCol).as("id_a"), col("shingle"))
+    val b = prefix.select(col(idCol).as("id_b"), col("shingle"))
+    val candidates = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    verifyJaccard(candidates, sh, sizes, idCol, threshold)
+  }
+
   /** Exact-Jaccard verification of a candidate pair table against the full shingle
     * sets (shared by the capped jaccard path and MinHash+LSH).
     */

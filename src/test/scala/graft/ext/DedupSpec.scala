@@ -140,6 +140,44 @@ class DedupSpec extends SparkTestBase {
     ).toDF("doc_id", "text")
   }
 
+  test("jaccardPairsPrefix: identical output to the full co-occurrence join") {
+    val rng = new scala.util.Random(11)
+    val vocab = Array("spark", "query", "table", "scan", "join", "agg", "row",
+      "col", "sort", "hash", "data", "key")
+    val randomDocs = (0 until 60).map { i =>
+      val base = Array.fill(12)(vocab(rng.nextInt(vocab.length))).mkString(" ")
+      // plant near-dups by copying some docs with a one-word change
+      (i.toLong, if (i % 7 == 0 && i > 0) base else base)
+    }
+    // explicit near-dup plants
+    val planted = Seq(
+      (200L, "aa bb cc dd ee ff gg hh"), (201L, "aa bb cc dd ee ff gg zz"),
+      (202L, "aa bb cc dd ee ff gg hh"))
+    val df = (randomDocs ++ planted).toDF("doc_id", "text")
+    def norm(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val full = norm(Dedup.jaccardPairs(df, "doc_id", "text", k = 3, threshold = 0.5))
+    val pref = norm(Dedup.jaccardPairsPrefix(df, "doc_id", "text", k = 3, threshold = 0.5))
+    assert(pref == full, s"prefix filter must be lossless: ${pref.size} vs ${full.size}")
+    assert(full.nonEmpty)
+  }
+
+  test("prefix filter excludes hot boilerplate shingles from candidate generation") {
+    // on the skewed fixture, the boilerplate shingles have df = 22 (every doc);
+    // with threshold 0.5 a 16-shingle doc keeps prefix 16-8+1=9 rarest shingles
+    // — all unique ones — so no boilerplate-only candidate pairs are generated,
+    // yet the planted near-dup pair survives with its exact jaccard
+    val out = Dedup.jaccardPairsPrefix(skewedDocs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set((100L, 101L)))
+    val exact = Dedup.jaccardPairs(skewedDocs, "doc_id", "text",
+        k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out == exact)
+  }
+
   test("stop-shingle cap leaves above-threshold jaccard pairs untouched") {
     val uncapped = Dedup.jaccardPairs(skewedDocs, "doc_id", "text", k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
