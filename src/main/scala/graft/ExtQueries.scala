@@ -1741,6 +1741,95 @@ object ExtQueries {
       |SELECT split, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Relative-standing windows: per-brand percent_rank + cume_dist of part
+    * price — completes the window-function family (row_number / rank-1 / NTILE
+    * / lag / lead / running sum are covered elsewhere). `partitionBy(brand)`,
+    * parallel across brands, no global window; the full order (price, partkey)
+    * makes both engines rank identically.
+    */
+  def qPricePctRank(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("p_retailprice"), col("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("p_partkey"))
+  }
+
+  val pricePctRankSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice,
+      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+      |  ROUND(CUME_DIST() OVER w, 6) AS cume
+      |FROM part
+      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Join-key skew diagnostic — the report that decides whether a join needs
+    * salting BEFORE it runs: per-key frequency profile of lineitem's part key
+    * (key count, max/avg per key, the hottest key's share, how many keys run
+    * hot). Two aggregations; the per-key table partial-aggregates map-side.
+    */
+  def qSkewReport(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+    val stats = perKey.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("n")).as("total_rows"),
+      max(col("n")).as("max_per_key"),
+      avg(col("n")).as("__avg"))
+    val hot = perKey
+      .crossJoin(broadcast(stats.select(col("__avg"))))
+      .filter(col("n") > col("__avg") * 2)
+      .agg(count(lit(1)).as("n_hot_keys"))
+    stats.crossJoin(broadcast(hot))
+      .select(col("n_keys"), col("total_rows"), col("max_per_key"),
+        round(col("__avg"), 6).as("avg_per_key"),
+        round(col("max_per_key").cast("double") / col("total_rows"), 6)
+          .as("top1_share"),
+        col("n_hot_keys"))
+  }
+
+  val skewReportSql: String =
+    """WITH k AS (SELECT l_partkey, COUNT(*) AS n FROM lineitem GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS total_rows,
+      |    CAST(MAX(n) AS BIGINT) AS max_per_key,
+      |    ROUND(AVG(n * 1.0), 6) AS avg_per_key,
+      |    MAX(n) * 1.0 / SUM(n) AS t1, AVG(n * 1.0) AS av FROM k)
+      |SELECT n_keys, total_rows, max_per_key, avg_per_key,
+      |  ROUND(t1, 6) AS top1_share,
+      |  (SELECT COUNT(*) FROM k, s WHERE n > av * 2) AS n_hot_keys
+      |FROM s""".stripMargin
+
+  /** Gap-free hourly series: a calendar spine from `sequence(min, max, 1h)`
+    * left-joins the hourly counts so missing hours surface as explicit zeros —
+    * the densification a downstream time-series model needs. The spine explodes
+    * from a 1-row min/max aggregate (no driver-side range building).
+    */
+  def qEventHourlyDense(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"))
+      .agg(count(lit(1)).as("n_events"))
+    val spine = Tables.events(spark, dir)
+      .agg(unix_timestamp(date_trunc("hour", min(col("ts")))).as("lo"),
+        unix_timestamp(date_trunc("hour", max(col("ts")))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_start"))
+    spine.join(hourly, Seq("hour_start"), "left")
+      .select(col("hour_start"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("hour_start"))
+  }
+
+  val eventHourlyDenseSql: String =
+    """WITH h AS (SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+      |    COUNT(*) AS n_events FROM events GROUP BY 1),
+      |b AS (SELECT CAST(epoch(date_trunc('hour', MIN(ts))) AS BIGINT) AS lo,
+      |    CAST(epoch(date_trunc('hour', MAX(ts))) AS BIGINT) AS hi FROM events),
+      |sp AS (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_start FROM b)
+      |SELECT sp.hour_start, COALESCE(h.n_events, 0) AS n_events
+      |FROM sp LEFT JOIN h ON sp.hour_start = h.hour_start
+      |ORDER BY sp.hour_start""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1905,6 +1994,9 @@ object ExtQueries {
     "q_hybrid_rrf" -> (qHybridRrf _),
     "q_exact_quantiles" -> (qExactQuantiles _),
     "q_dedup_prefix" -> (qDedupPrefix _),
+    "q_price_pctrank" -> (qPricePctRank _),
+    "q_skew_report" -> (qSkewReport _),
+    "q_event_hourly_dense" -> (qEventHourlyDense _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -1978,6 +2070,9 @@ object ExtQueries {
     "q_hybrid_rrf" -> hybridRrfSql,
     "q_exact_quantiles" -> exactQuantilesSql,
     "q_dedup_prefix" -> dedupPrefixSql,
+    "q_price_pctrank" -> pricePctRankSql,
+    "q_skew_report" -> skewReportSql,
+    "q_event_hourly_dense" -> eventHourlyDenseSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
