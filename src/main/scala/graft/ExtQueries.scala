@@ -1830,6 +1830,117 @@ object ExtQueries {
       |FROM sp LEFT JOIN h ON sp.hour_start = h.hour_start
       |ORDER BY sp.hour_start""".stripMargin
 
+  /** Market-basket analysis: co-purchased part pairs ranked by lift
+    * (`P(ab) / (P(a)·P(b))` over orders) with a support floor — the
+    * "frequently bought together" surface. The within-order self-join is
+    * bounded by basket size (≤ items-per-order choose 2 — whale baskets cap
+    * via a per-order item limit if a corpus has them); counts partial-aggregate
+    * map-side; the cut is TakeOrderedAndProject.
+    */
+  def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val a = li.select(col("okey"), col("item").as("item_a"))
+    val b = li.select(col("okey"), col("item").as("item_b"))
+    val pairs = a.join(b, "okey").filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
+    val itemN = li.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val total = li.agg(countDistinct(col("okey")).as("n_orders"))
+    pairs
+      .filter(col("n_ab") >= 3)
+      .join(itemN.select(col("item").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(itemN.select(col("item").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(total))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        round(col("n_ab").cast("double") * col("n_orders") /
+          (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+      .limit(20)
+  }
+
+  val marketBasketSql: String =
+    """WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+      |p AS (SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item GROUP BY 1, 2),
+      |i AS (SELECT item, COUNT(*) AS n_i FROM li GROUP BY 1),
+      |t AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM li)
+      |SELECT item_a, item_b, n_ab,
+      |  ROUND(n_ab * 1.0 * n_orders / (n_a * 1.0 * n_b), 6) AS lift
+      |FROM p
+      |JOIN (SELECT item AS item_a, n_i AS n_a FROM i) a USING (item_a)
+      |JOIN (SELECT item AS item_b, n_i AS n_b FROM i) b USING (item_b)
+      |CROSS JOIN t
+      |WHERE n_ab >= 3
+      |ORDER BY lift DESC, item_a, item_b LIMIT 20""".stripMargin
+
+  /** Weighted sample of documents ∝ length ([[Splits.weightedSample]],
+    * Efraimidis-Spirakis priorities from md5-derived uniforms — reproducible
+    * across runs AND engines; the oracle replays the same priority draw).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String): DataFrame =
+    Splits.weightedSample(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", n = 100)
+      .orderBy(col("doc_id"))
+
+  val weightedSampleSql: String =
+    """WITH pri AS (SELECT doc_id, n_chars,
+      |    pow((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+      |          / 4294967296.0,
+      |        1.0 / n_chars) AS p
+      |  FROM documents),
+      |top AS (SELECT doc_id, n_chars FROM pri ORDER BY p DESC, doc_id LIMIT 100)
+      |SELECT doc_id, n_chars FROM top ORDER BY doc_id""".stripMargin
+
+  /** Jackknife error bars for a corpus-level metric (mean document length):
+    * 10 deterministic md5 folds, leave-one-fold-out means, jackknife variance
+    * `(k-1)/k · Σ (m_i − m̄)²`. Per-fold sums are exact integers and both
+    * double reductions (m̄ and the squared deviations) run through
+    * DECIMAL(28,12) accumulators — order-independent, engine-identical. This
+    * is how a pipeline attaches uncertainty to any quality metric at scale:
+    * two aggregations, no resampling passes.
+    */
+  def qFoldVariance(spark: SparkSession, dir: String): DataFrame = {
+    val folds = Tables.documents(spark, dir)
+      .select(col("n_chars"), (Splits.hashBucket(col("doc_id")) % 10).as("fold"))
+      .groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_f"), sum(col("n_chars")).as("s_f"))
+    val tot = folds.agg(sum(col("n_f")).as("n"), sum(col("s_f")).as("s"))
+    val loo = folds.crossJoin(broadcast(tot))
+      .select(((col("s") - col("s_f")).cast("double") /
+        (col("n") - col("n_f"))).as("m_i"), col("n"), col("s"))
+    val mbar = loo
+      .agg(first(col("n")).as("n"), first(col("s")).as("s"),
+        count(lit(1)).as("k"),
+        sum(col("m_i").cast("decimal(28,12)")).as("sm"))
+      .select(col("n"), col("s"), col("k"),
+        (col("sm").cast("double") / col("k")).as("mbar"))
+    loo.crossJoin(broadcast(mbar.select(col("k"), col("mbar"))))
+      .agg(
+        round((first(col("s")).cast("double") / first(col("n"))), 6).as("mean"),
+        round(sqrt(
+          (first(col("k")) - 1).cast("double") / first(col("k")) *
+            sum(((col("m_i") - col("mbar")) * (col("m_i") - col("mbar")))
+              .cast("decimal(28,12)")).cast("double")), 6).as("jk_se"))
+  }
+
+  val foldVarianceSql: String =
+    """WITH f AS (SELECT (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |      % 100) % 10 AS fold,
+      |    COUNT(*) AS n_f, CAST(SUM(n_chars) AS BIGINT) AS s_f
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_f) AS BIGINT) AS n, CAST(SUM(s_f) AS BIGINT) AS s FROM f),
+      |loo AS (SELECT (s - s_f) * 1.0 / (n - n_f) AS m_i, n, s FROM f CROSS JOIN t),
+      |mb AS (SELECT COUNT(*) AS k,
+      |    CAST(SUM(CAST(m_i AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS mbar
+      |  FROM loo)
+      |SELECT ROUND(loo.s * 1.0 / loo.n, 6) AS mean,
+      |  ROUND(sqrt((k - 1) * 1.0 / k *
+      |    CAST(SUM(CAST((m_i - mbar) * (m_i - mbar) AS DECIMAL(28,12))) AS DOUBLE)), 6)
+      |    AS jk_se
+      |FROM loo CROSS JOIN mb GROUP BY loo.n, loo.s, k""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -1997,6 +2108,9 @@ object ExtQueries {
     "q_price_pctrank" -> (qPricePctRank _),
     "q_skew_report" -> (qSkewReport _),
     "q_event_hourly_dense" -> (qEventHourlyDense _),
+    "q_market_basket" -> (qMarketBasket _),
+    "q_weighted_sample" -> (qWeightedSample _),
+    "q_fold_variance" -> (qFoldVariance _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2073,6 +2187,9 @@ object ExtQueries {
     "q_price_pctrank" -> pricePctRankSql,
     "q_skew_report" -> skewReportSql,
     "q_event_hourly_dense" -> eventHourlyDenseSql,
+    "q_market_basket" -> marketBasketSql,
+    "q_weighted_sample" -> weightedSampleSql,
+    "q_fold_variance" -> foldVarianceSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,

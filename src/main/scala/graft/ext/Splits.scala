@@ -122,6 +122,28 @@ object Splits {
       .drop("__rk")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    * A-ES): each row draws a reproducible uniform `u` from its id's md5 prefix
+    * and takes priority `u^(1/w)`; the top-n priorities are a weighted sample
+    * without replacement. One scan + TakeOrderedAndProject — no global sort, no
+    * driver-side draw, identical rows every run (the weighted counterpart of
+    * [[balancedSample]]'s md5-rank draw; use it to sample documents ∝ quality
+    * score or length). Weights must be positive.
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    // u ∈ (0,1]: 32-bit md5 prefix scaled; +1 dodges u=0 (pow(0, x) = 0 would
+    // make weight irrelevant)
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+      .cast("double") + 1.0) / 4294967296.0
+    val priority = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.withColumn("__pri", priority)
+      .orderBy(col("__pri").desc, col(idCol))
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Temporal leave-one-out holdout — the recsys evaluation split: each key's
     * LAST event (by time, ties on `tieCol`) becomes "test", everything earlier
     * "train". Unlike a global time cutoff, every key contributes exactly one

@@ -68,6 +68,23 @@ class SplitsSpec extends SparkTestBase {
     assert(a == b && a.size == 200)
   }
 
+  test("weightedSample: heavier rows are sampled more often; draw is stable") {
+    import spark.implicits._
+    // two weight classes: 100 heavy (w=50) vs 400 light (w=1); a 100-row
+    // weighted draw should be dominated by heavy rows (E-S: P(select) ∝ w)
+    val df = (0 until 500)
+      .map(i => (i.toLong, if (i < 100) 50 else 1))
+      .toDF("doc_id", "w")
+    val picked = Splits.weightedSample(df, "doc_id", "w", n = 100)
+      .collect().map(_.getLong(0)).toSet
+    val heavy = picked.count(_ < 100)
+    assert(heavy > 80, s"heavy class underrepresented: $heavy/100")
+    // deterministic under repartitioning
+    val again = Splits.weightedSample(df.repartition(7), "doc_id", "w", n = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+  }
+
   test("leaveOneOutSplit: exactly one test row per key, and it is the latest") {
     import spark.implicits._
     val df = Seq(
