@@ -1941,6 +1941,110 @@ object ExtQueries {
       |    AS jk_se
       |FROM loo CROSS JOIN mb GROUP BY loo.n, loo.s, k""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event sequences:
+    * P(next event type | current) — the statistic behind next-action
+    * prediction baselines and funnel-shape sanity checks. One per-user lag
+    * window (ordered by time, tie on event id) + a (from, to)-keyed aggregate;
+    * row-normalized by the per-from totals.
+    */
+  def qTransitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val steps = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromTotals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    steps.join(fromTotals, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH s AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |f AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM c GROUP BY 1)
+      |SELECT c.from_type, to_type, n, ROUND(n * 1.0 / n_from, 6) AS p
+      |FROM c JOIN f ON c.from_type = f.from_type
+      |ORDER BY c.from_type, to_type""".stripMargin
+
+  /** Exponentially time-decayed popularity: each order contributes
+    * `exp(−Δdays/30)` against the corpus's latest order date — the freshness-
+    * weighted ranking signal (a trending-items surface). The decay anchor is
+    * the max order date (data-derived, so the query is reproducible at any
+    * time); per-item decayed weights sum through DECIMAL(28,12) accumulators
+    * (order-independent; each exp term is engine-identical double arithmetic
+    * on exact integer day deltas).
+    */
+  def qDecayedPopularity(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), (unix_timestamp(col("o_orderdate")) / 86400L)
+        .cast("long").as("day"))
+    val anchor = o.agg(max(col("day")).as("max_day"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(anchor))
+      .select(col("l_partkey"),
+        exp((col("day") - col("max_day")).cast("double") / 30.0)
+          .cast("decimal(28,12)").as("w"))
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum(col("w")).cast("double"), 6).as("decayed_pop"))
+      .orderBy(col("decayed_pop").desc, col("l_partkey"))
+      .limit(20)
+  }
+
+  val decayedPopularitySql: String =
+    """WITH o AS (SELECT o_orderkey,
+      |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day FROM orders),
+      |a AS (SELECT MAX(day) AS max_day FROM o),
+      |w AS (SELECT l_partkey,
+      |    CAST(exp((day - max_day) * 1.0 / 30.0) AS DECIMAL(28,12)) AS w
+      |  FROM lineitem JOIN o ON l_orderkey = o_orderkey CROSS JOIN a),
+      |g AS (SELECT l_partkey, COUNT(*) AS n_lines,
+      |    ROUND(CAST(SUM(w) AS DOUBLE), 6) AS decayed_pop FROM w GROUP BY 1)
+      |SELECT l_partkey, n_lines, decayed_pop FROM g
+      |ORDER BY decayed_pop DESC, l_partkey LIMIT 20""".stripMargin
+
+  /** Rolling 7-day event volume via a RANGE window frame (`RANGE BETWEEN 6
+    * PRECEDING AND CURRENT ROW` over per-day aggregates) — the frame variant
+    * the window family still lacked. The window runs over the per-(type, day)
+    * aggregate (≤ types × days rows), partitioned by type — never over raw
+    * events.
+    */
+  def qRolling7d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"),
+        (unix_timestamp(date_trunc("day", col("ts"))) / 86400L).cast("long").as("day"))
+      .agg(count(lit(1)).as("n_day"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("event_type"), col("day"), col("n_day"),
+        sum(col("n_day")).over(w).as("n_7d"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val rolling7dSql: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(floor(epoch(date_trunc('day', ts)) / 86400) AS BIGINT) AS day,
+      |    COUNT(*) AS n_day
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n_day,
+      |  CAST(SUM(n_day) OVER (PARTITION BY event_type ORDER BY day
+      |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+      |FROM d ORDER BY event_type, day""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2111,6 +2215,9 @@ object ExtQueries {
     "q_market_basket" -> (qMarketBasket _),
     "q_weighted_sample" -> (qWeightedSample _),
     "q_fold_variance" -> (qFoldVariance _),
+    "q_transition_matrix" -> (qTransitionMatrix _),
+    "q_decayed_popularity" -> (qDecayedPopularity _),
+    "q_rolling_7d" -> (qRolling7d _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2190,6 +2297,9 @@ object ExtQueries {
     "q_market_basket" -> marketBasketSql,
     "q_weighted_sample" -> weightedSampleSql,
     "q_fold_variance" -> foldVarianceSql,
+    "q_transition_matrix" -> transitionMatrixSql,
+    "q_decayed_popularity" -> decayedPopularitySql,
+    "q_rolling_7d" -> rolling7dSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
