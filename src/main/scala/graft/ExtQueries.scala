@@ -2045,6 +2045,55 @@ object ExtQueries {
       |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
       |FROM d ORDER BY event_type, day""".stripMargin
 
+  /** PageRank over the co-purchase graph ([[PageRank.pageRank]], 5 damped
+    * iterations): structural item importance beyond raw counts. Edges =
+    * part pairs co-purchased in ≥2 orders, symmetrized. The oracle unrolls
+    * the SAME 5 iterations as chained CTEs with identical DECIMAL contribution
+    * sums and double scalar arithmetic — every rank matches to 6 decimals.
+    */
+  def qPagerank(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
+      .distinct()
+    val a = li.select(col("okey"), col("item").as("ia"))
+    val b = li.select(col("okey"), col("item").as("ib"))
+    val pairs = a.join(b, "okey").filter(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
+      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    PageRank.pageRank(edges, "src", "dst", iterations = 5, damping = 0.85)
+      .select(col("node"), round(col("pr"), 6).as("pr"))
+      .orderBy(col("node"))
+  }
+
+  val pagerankSql: String = {
+    val iters = (1 to 5).map { i =>
+      s"""pr$i AS (SELECT nodes.node,
+        |    (1.0::DOUBLE - 0.85::DOUBLE) / n
+        |      + 0.85::DOUBLE * COALESCE(CAST(s AS DOUBLE), 0.0::DOUBLE) AS pr
+        |  FROM nodes CROSS JOIN cnt LEFT JOIN (
+        |    SELECT e.dst AS node,
+        |      SUM(CAST(pr${i - 1}.pr / deg.deg AS DECIMAL(28,15))) AS s
+        |    FROM e JOIN pr${i - 1} ON e.src = pr${i - 1}.node
+        |    JOIN deg ON e.src = deg.src GROUP BY 1) c
+        |  ON nodes.node = c.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS item FROM lineitem),
+      |p AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS n_ab
+      |  FROM li a JOIN li b ON a.okey = b.okey AND a.item < b.item
+      |  GROUP BY 1, 2),
+      |e AS (SELECT ia AS src, ib AS dst FROM p WHERE n_ab >= 2
+      |  UNION ALL SELECT ib, ia FROM p WHERE n_ab >= 2),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+      |nodes AS (SELECT DISTINCT src AS node
+      |  FROM (SELECT src FROM e UNION ALL SELECT dst FROM e) t(src)),
+      |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+      |pr0 AS (SELECT node, 1.0::DOUBLE / n AS pr FROM nodes CROSS JOIN cnt),
+      |$iters
+      |SELECT node, ROUND(pr, 6) AS pr FROM pr5 ORDER BY node""".stripMargin
+  }
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2218,6 +2267,7 @@ object ExtQueries {
     "q_transition_matrix" -> (qTransitionMatrix _),
     "q_decayed_popularity" -> (qDecayedPopularity _),
     "q_rolling_7d" -> (qRolling7d _),
+    "q_pagerank" -> (qPagerank _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2300,6 +2350,7 @@ object ExtQueries {
     "q_transition_matrix" -> transitionMatrixSql,
     "q_decayed_popularity" -> decayedPopularitySql,
     "q_rolling_7d" -> rolling7dSql,
+    "q_pagerank" -> pagerankSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,

@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an edge table — the iterative graph-analytics
+  * companion to [[Dedup.dupClusters]]'s connected components: CC tells you
+  * WHICH rows form a duplicate/citation cluster, PageRank ranks nodes by
+  * structural importance (canonical-document election, seed-URL
+  * prioritization, item-graph popularity smoothing).
+  *
+  * Fixed-iteration power method, engine-portable by construction: per-node
+  * contributions `pr(u)/deg(u)` are exact-order-independent DECIMAL(28,15)
+  * sums, and every scalar op (damping mix, init) is stated with identical
+  * double arithmetic in the SQL oracle (which unrolls the same iterations as
+  * chained CTEs). Scale shape per iteration: one edge⋈rank equi-join + one
+  * dst-keyed aggregate — both partial-aggregated, keyed by node id; the rank
+  * table is #nodes rows. Hot (high-in-degree) nodes are AGGREGATE keys, not
+  * join fan-out. The driver holds one scalar (node count). 5 iterations ≈
+  * 5 shuffles of #edges — the standard batch-PageRank cost; convergence-gated
+  * variants stop on an L1 delta the same way [[Dedup.dupClusters]] gates.
+  */
+object PageRank {
+
+  /** Run `iterations` damped-PageRank steps over `edges` (directed; pass both
+    * directions for an undirected graph). Nodes = every id appearing as src or
+    * dst; init 1/N; dangling nodes keep only the teleport term. Output:
+    * (node, pr) — one row per node.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    // checkpoint once: the edge table feeds every iteration — without the
+    // lineage cut, each of the 5 contrib joins would re-run the whole
+    // upstream edge-building pipeline (same discipline as dupClusters)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .localCheckpoint()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count() // one driver scalar
+    var pr = nodes.withColumn("pr", lit(1.0) / lit(n.toDouble))
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(deg, "src")
+        .select(col("dst").as("node"),
+          (col("pr") / col("deg")).cast("decimal(28,15)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0))).as("pr"))
+    }
+    pr
+  }
+}
