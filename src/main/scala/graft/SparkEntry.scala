@@ -107,6 +107,23 @@ object SparkEntry {
       .orderBy(col("user_id"))
   }
 
+  /** Per-user precision/recall of the urgent-order "recommendations" against
+    * finalized-order "sales" ([[RankingMetrics.precisionRecall]]) — the
+    * accuracy side of the metric family (coverage/novelty/personalization
+    * measure catalog reach and diversity).
+    */
+  def qRecPrecision(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.precisionRecall(recommendations(spark, dir), sales(spark, dir),
+        "user_id", "item_id")
+      .orderBy(col("user"))
+
+  /** Mean reciprocal rank of the first sales hit in each user's
+    * frequency-ranked recommendation list ([[RankingMetrics.meanReciprocalRank]]).
+    */
+  def qMrr(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.meanReciprocalRank(recommendations(spark, dir),
+      sales(spark, dir), "user_id", "item_id")
+
   /** One entry per implemented operator from SURVEY.md §2 (+ north-star extensions
     * from [[ExtQueries]]).
     */
@@ -116,7 +133,9 @@ object SparkEntry {
     "q_novelty" -> (qNovelty _),
     "q_novelty_mean" -> (qNoveltyMean _),
     "q_personalization" -> (qPersonalization _),
-    "q_intra_list" -> (qIntraList _)
+    "q_intra_list" -> (qIntraList _),
+    "q_rec_precision" -> (qRecPrecision _),
+    "q_mrr" -> (qMrr _)
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -192,6 +211,41 @@ object SparkEntry {
         |SELECT ni.user_id, ni.n_items,
         |  ROUND(COALESCE(sum_sim, 0) / (n_items * (n_items - 1) / 2.0), 6) AS ils
         |FROM ni LEFT JOIN s ON ni.user_id = s.user_id
-        |WHERE n_items >= 2 ORDER BY 1""".stripMargin
+        |WHERE n_items >= 2 ORDER BY 1""".stripMargin,
+    "q_rec_precision" ->
+      s"""WITH $salesSql,
+        |$recsSql,
+        |r AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM recs),
+        |a AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM sales),
+        |nr AS (SELECT "user", COUNT(*) AS n_recs FROM r GROUP BY 1),
+        |na AS (SELECT "user", COUNT(*) AS n_actual FROM a GROUP BY 1),
+        |h AS (SELECT r."user", COUNT(*) AS n_hit
+        |      FROM r JOIN a ON r."user" = a."user" AND r.item = a.item GROUP BY 1)
+        |SELECT COALESCE(nr."user", na."user") AS "user",
+        |  COALESCE(n_recs, 0) AS n_recs, COALESCE(n_actual, 0) AS n_actual,
+        |  COALESCE(n_hit, 0) AS n_hit,
+        |  ROUND(COALESCE(n_hit, 0) * 1.0 / NULLIF(COALESCE(n_recs, 0), 0), 6)
+        |    AS precision,
+        |  ROUND(COALESCE(n_hit, 0) * 1.0 / NULLIF(COALESCE(n_actual, 0), 0), 6)
+        |    AS recall
+        |FROM nr FULL OUTER JOIN na ON nr."user" = na."user"
+        |LEFT JOIN h ON COALESCE(nr."user", na."user") = h."user"
+        |ORDER BY 1""".stripMargin,
+    "q_mrr" ->
+      s"""WITH $salesSql,
+        |$recsSql,
+        |rc AS (SELECT user_id, item_id, COUNT(*) AS n FROM recs GROUP BY 1, 2),
+        |rk AS (SELECT user_id, item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item_id)
+        |      AS rnk FROM rc),
+        |a AS (SELECT DISTINCT user_id, item_id FROM sales),
+        |fh AS (SELECT rk.user_id, MIN(rnk) AS first_hit
+        |  FROM rk JOIN a ON rk.user_id = a.user_id AND rk.item_id = a.item_id
+        |  GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM rc)
+        |SELECT COUNT(*) AS n_users, COUNT(first_hit) AS n_users_hit,
+        |  ROUND(CAST(SUM(COALESCE(CAST(1.0::DOUBLE / first_hit AS DECIMAL(18,8)),
+        |      CAST(0 AS DECIMAL(18,8)))) AS DOUBLE) / COUNT(*), 6) AS mrr
+        |FROM u LEFT JOIN fh ON u.user_id = fh.user_id""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }
