@@ -2094,6 +2094,47 @@ object ExtQueries {
       |SELECT node, ROUND(pr, 6) AS pr FROM pr5 ORDER BY node""".stripMargin
   }
 
+  /** Month-over-month customer churn from the order log: for every month,
+    * how many of the previous month's active customers did not come back.
+    * Distinct (customer, month) activity (≪ orders), one self-join on
+    * (customer, month+1), per-month aggregates — no windows over users.
+    */
+  def qChurn(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("cust"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1).as("m"))
+      .distinct()
+    val nxt = act.select(col("cust"), (col("m") - 1).as("m"))
+    val retained = act.join(nxt, Seq("cust", "m"))
+      .groupBy(col("m")).agg(count(lit(1)).as("n_retained"))
+    val monthly = act.groupBy(col("m")).agg(count(lit(1)).as("n_active"))
+    val lastMonth = act.agg(max(col("m")).as("mx"))
+    monthly.join(retained, Seq("m"), "left")
+      .crossJoin(broadcast(lastMonth))
+      .filter(col("m") < col("mx")) // the final month has no successor to churn into
+      .select(col("m"), col("n_active"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        (col("n_active") - coalesce(col("n_retained"), lit(0L))).as("n_churned"),
+        round((col("n_active") - coalesce(col("n_retained"), lit(0L)))
+          .cast("double") / col("n_active"), 6).as("churn_rate"))
+      .orderBy(col("m"))
+  }
+
+  val churnSql: String =
+    """WITH act AS (SELECT DISTINCT o_custkey AS cust,
+      |    year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m FROM orders),
+      |nxt AS (SELECT cust, m - 1 AS m FROM act),
+      |ret AS (SELECT act.m, COUNT(*) AS n_retained
+      |  FROM act JOIN nxt ON act.cust = nxt.cust AND act.m = nxt.m GROUP BY 1),
+      |mon AS (SELECT m, COUNT(*) AS n_active FROM act GROUP BY 1),
+      |mx AS (SELECT MAX(m) AS mx FROM act)
+      |SELECT mon.m, n_active, COALESCE(n_retained, 0) AS n_retained,
+      |  n_active - COALESCE(n_retained, 0) AS n_churned,
+      |  ROUND((n_active - COALESCE(n_retained, 0)) * 1.0 / n_active, 6)
+      |    AS churn_rate
+      |FROM mon LEFT JOIN ret ON mon.m = ret.m CROSS JOIN mx
+      |WHERE mon.m < mx ORDER BY mon.m""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2268,6 +2309,7 @@ object ExtQueries {
     "q_decayed_popularity" -> (qDecayedPopularity _),
     "q_rolling_7d" -> (qRolling7d _),
     "q_pagerank" -> (qPagerank _),
+    "q_churn" -> (qChurn _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2351,6 +2393,7 @@ object ExtQueries {
     "q_decayed_popularity" -> decayedPopularitySql,
     "q_rolling_7d" -> rolling7dSql,
     "q_pagerank" -> pagerankSql,
+    "q_churn" -> churnSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,

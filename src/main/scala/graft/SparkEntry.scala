@@ -124,6 +124,15 @@ object SparkEntry {
     RankingMetrics.meanReciprocalRank(recommendations(spark, dir),
       sales(spark, dir), "user_id", "item_id")
 
+  /** NDCG@10 of the urgent-order recommendations vs finalized-order sales
+    * ([[RankingMetrics.ndcgAtK]]) — completes the accuracy family
+    * (precision/recall, MRR, NDCG).
+    */
+  def qNdcg(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.ndcgAtK(recommendations(spark, dir), sales(spark, dir),
+        "user_id", "item_id", k = 10)
+      .orderBy(col("user"))
+
   /** One entry per implemented operator from SURVEY.md §2 (+ north-star extensions
     * from [[ExtQueries]]).
     */
@@ -135,7 +144,8 @@ object SparkEntry {
     "q_personalization" -> (qPersonalization _),
     "q_intra_list" -> (qIntraList _),
     "q_rec_precision" -> (qRecPrecision _),
-    "q_mrr" -> (qMrr _)
+    "q_mrr" -> (qMrr _),
+    "q_ndcg" -> (qNdcg _)
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -246,6 +256,30 @@ object SparkEntry {
         |SELECT COUNT(*) AS n_users, COUNT(first_hit) AS n_users_hit,
         |  ROUND(CAST(SUM(COALESCE(CAST(1.0::DOUBLE / first_hit AS DECIMAL(18,8)),
         |      CAST(0 AS DECIMAL(18,8)))) AS DOUBLE) / COUNT(*), 6) AS mrr
-        |FROM u LEFT JOIN fh ON u.user_id = fh.user_id""".stripMargin
+        |FROM u LEFT JOIN fh ON u.user_id = fh.user_id""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH $salesSql,
+        |$recsSql,
+        |rc AS (SELECT user_id, item_id, COUNT(*) AS n FROM recs GROUP BY 1, 2),
+        |rk AS (SELECT user_id, item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item_id)
+        |      AS rnk FROM rc QUALIFY rnk <= 10),
+        |a AS (SELECT DISTINCT user_id, item_id FROM sales),
+        |dcg AS (SELECT rk.user_id,
+        |    SUM(CAST(0.6931471805599453 / ln(rnk + 1) AS DECIMAL(18,8))) AS dcg
+        |  FROM rk JOIN a ON rk.user_id = a.user_id AND rk.item_id = a.item_id
+        |  GROUP BY 1),
+        |na AS (SELECT user_id, COUNT(*) AS n_actual FROM a GROUP BY 1),
+        |idcg AS (SELECT user_id, n_actual,
+        |    SUM(CAST(0.6931471805599453 / ln(i + 1) AS DECIMAL(18,8))) AS idcg
+        |  FROM (SELECT user_id, n_actual,
+        |      unnest(generate_series(1, least(10, n_actual))) AS i FROM na)
+        |  GROUP BY 1, 2)
+        |SELECT idcg.user_id AS "user", idcg.n_actual,
+        |  ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE), 6) AS dcg,
+        |  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
+        |  ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
+        |FROM idcg LEFT JOIN dcg ON idcg.user_id = dcg.user_id
+        |ORDER BY 1""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }

@@ -39,6 +39,29 @@ class RankingMetricsSpec extends SparkTestBase {
     assert(math.abs(out.getDouble(2) - (1.0 + 0.0 + 1.0) / 3) < 1e-6)
   }
 
+  test("ndcgAtK: perfect ranking → 1, miss → 0, partial in between") {
+    // user 1: recs (by item order) 10, 11, 12; actuals 10, 12
+    //   dcg  = 1/log2(2) + 1/log2(4) = 1 + 0.5 = 1.5
+    //   idcg = 1/log2(2) + 1/log2(3)
+    val out = RankingMetrics.ndcgAtK(recs, actuals, "user_id", "item_id", k = 10)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val idcg1 = 1.0 + math.log(2) / math.log(3)
+    val (n1, d1, i1, nd1) = out(1L)
+    assert(n1 == 3L) // actuals 10, 12, 99
+    val expIdcg1 = 1.0 + math.log(2) / math.log(3) + math.log(2) / math.log(4)
+    assert(math.abs(i1 - expIdcg1) < 1e-5, s"idcg $i1 vs $expIdcg1")
+    assert(math.abs(d1 - 1.5) < 1e-5)
+    assert(math.abs(nd1 - 1.5 / expIdcg1) < 1e-5)
+    // user 3: single rec is the single actual → perfect
+    assert(math.abs(out(3L)._4 - 1.0) < 1e-9)
+    // user 4 has actuals but no recs → ndcg 0
+    assert(out(4L)._4 == 0.0)
+    // user 2 has recs but no actuals → absent (no idcg denominator)
+    assert(!out.contains(2L))
+    assert(idcg1 > 0) // silence unused warning path
+  }
+
   test("meanReciprocalRank: rank ordering respects frequency before item id") {
     // user 1 recommends item 5 twice (rank 1) and item 1 once (rank 2);
     // only item 1 is an actual → first hit at rank 2 → mrr = 0.5
