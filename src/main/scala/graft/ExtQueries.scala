@@ -2135,6 +2135,57 @@ object ExtQueries {
       |FROM mon LEFT JOIN ret ON mon.m = ret.m CROSS JOIN mx
       |WHERE mon.m < mx ORDER BY mon.m""".stripMargin
 
+  /** Snapshot diff between corpus versions ([[TableDiff.diff]]): the new
+    * version is derived deterministically from the old (every 50th doc
+    * dropped, every 97th-mod-3 lang rewritten, every 61st-mod-5 re-added
+    * under a shifted key), so both engines build identical versions and the
+    * oracle replays the same chr(31)-fingerprint comparison.
+    */
+  def qTableDiff(spark: SparkSession, dir: String): DataFrame = {
+    val old = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val newV = old.filter(col("doc_id") % 50 =!= 0)
+      .select(col("doc_id"), col("text"),
+        when(col("doc_id") % 97 === 3, lit("xx")).otherwise(col("lang")).as("lang"),
+        col("source"), col("n_chars"))
+      .unionByName(old.filter(col("doc_id") % 61 === 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"),
+          col("lang"), col("source"), col("n_chars")))
+    TableDiff.diff(old, newV, "doc_id")
+      .orderBy(col("key"))
+  }
+
+  val tableDiffSql: String =
+    """WITH old AS (SELECT doc_id, text, lang, source, n_chars FROM documents),
+      |new_v AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN doc_id % 97 = 3 THEN 'xx' ELSE lang END AS lang,
+      |    source, n_chars
+      |  FROM old WHERE doc_id % 50 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text, lang, source, n_chars
+      |  FROM old WHERE doc_id % 61 = 5),
+      |ofp AS (SELECT doc_id AS key, md5(concat_ws(chr(31),
+      |    COALESCE(CAST(text AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(lang AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(source AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(n_chars AS VARCHAR), chr(30) || 'null'))) AS old_fp
+      |  FROM old),
+      |nfp AS (SELECT doc_id AS key, md5(concat_ws(chr(31),
+      |    COALESCE(CAST(text AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(lang AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(source AS VARCHAR), chr(30) || 'null'),
+      |    COALESCE(CAST(n_chars AS VARCHAR), chr(30) || 'null'))) AS new_fp
+      |  FROM new_v)
+      |SELECT COALESCE(ofp.key, nfp.key) AS key,
+      |  CASE WHEN old_fp IS NULL THEN 'added'
+      |       WHEN new_fp IS NULL THEN 'removed'
+      |       WHEN old_fp <> new_fp THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM ofp FULL OUTER JOIN nfp ON ofp.key = nfp.key
+      |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
+      |ORDER BY key""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2310,6 +2361,7 @@ object ExtQueries {
     "q_rolling_7d" -> (qRolling7d _),
     "q_pagerank" -> (qPagerank _),
     "q_churn" -> (qChurn _),
+    "q_table_diff" -> (qTableDiff _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2394,6 +2446,7 @@ object ExtQueries {
     "q_rolling_7d" -> rolling7dSql,
     "q_pagerank" -> pagerankSql,
     "q_churn" -> churnSql,
+    "q_table_diff" -> tableDiffSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
