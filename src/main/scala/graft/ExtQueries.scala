@@ -2186,6 +2186,30 @@ object ExtQueries {
       |WHERE old_fp IS NULL OR new_fp IS NULL OR old_fp <> new_fp
       |ORDER BY key""".stripMargin
 
+  /** Heavy hitters via the SpaceSaving sketch
+    * ([[graft.functions.SpaceSavingAggregator]]) in its EXACTNESS regime:
+    * capacity (32) covers the event-type domain (5), so every counter is
+    * exact with zero error and the result equals a plain GROUP BY — which is
+    * what the oracle states. The approx regime (capacity ≪ domain) is
+    * property-tested in SpaceSavingSpec; this query proves the Aggregator's
+    * map-side partial-aggregation path end-to-end on real data.
+    */
+  def qHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val s = spark
+    import s.implicits._
+    val types = Tables.events(spark, dir).select(col("event_type")).as[String]
+    types.select(new graft.functions.SpaceSavingAggregator(32).toColumn)
+      .toDF("sk")
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("event_type"), col("c.est").as("n_events"),
+        col("c.err").as("err"))
+      .orderBy(col("event_type"))
+  }
+
+  val heavyHittersSql: String =
+    """SELECT event_type, COUNT(*) AS n_events, 0 AS err
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2362,6 +2386,7 @@ object ExtQueries {
     "q_pagerank" -> (qPagerank _),
     "q_churn" -> (qChurn _),
     "q_table_diff" -> (qTableDiff _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2447,6 +2472,7 @@ object ExtQueries {
     "q_pagerank" -> pagerankSql,
     "q_churn" -> churnSql,
     "q_table_diff" -> tableDiffSql,
+    "q_heavy_hitters" -> heavyHittersSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
