@@ -2210,6 +2210,31 @@ object ExtQueries {
     """SELECT event_type, COUNT(*) AS n_events, 0 AS err
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Distinct-n diversity per source: distinct bigrams / total bigrams — the
+    * standard degeneracy metric for (synthetic) text: repetitive generation
+    * drives it toward 0, diverse text toward 1. Two aggregates over the
+    * bigram explode; the per-source denominator rides the same aggregate.
+    */
+  def qDistinctNgrams(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 2)).as("bg"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        countDistinct(col("bg")).as("n_distinct"),
+        round(countDistinct(col("bg")).cast("double") / count(lit(1)), 6)
+          .as("distinct_2"))
+      .orderBy(col("source"))
+
+  val distinctNgramsSql: String =
+    """WITH bg AS (SELECT source, unnest(list_transform(
+      |    generate_series(1, greatest(len(l) - 1, 1)),
+      |    i -> l[i] || ' ' || l[i+1])) AS bg
+      |  FROM (SELECT source, string_split(text, ' ') AS l FROM documents))
+      |SELECT source, COUNT(*) AS n_bigrams, COUNT(DISTINCT bg) AS n_distinct,
+      |  ROUND(COUNT(DISTINCT bg) * 1.0 / COUNT(*), 6) AS distinct_2
+      |FROM bg GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2387,6 +2412,7 @@ object ExtQueries {
     "q_churn" -> (qChurn _),
     "q_table_diff" -> (qTableDiff _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2473,6 +2499,7 @@ object ExtQueries {
     "q_churn" -> churnSql,
     "q_table_diff" -> tableDiffSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_distinct_ngrams" -> distinctNgramsSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
