@@ -1204,6 +1204,51 @@ object ExtQueries {
       |       (SELECT COUNT(*) FROM s2) AS n_stage_2,
       |       (SELECT COUNT(*) FROM s3) AS n_stage_3""".stripMargin
 
+  /** SESSION-scoped funnel: the same strictly-ordered stages, but a
+    * conversion must complete within ONE session (30-min gap sessionization) —
+    * the composition of [[EventWindows.sessionize]]'s per-event session
+    * numbering with [[Funnel.funnelCounts]], via a synthetic
+    * (user, session) funnel key. Counts are sessions reaching each stage:
+    * the per-session product-analytics view next to [[qFunnel]]'s lifetime
+    * view and [[qFunnelWindowed]]'s fixed-window view.
+    */
+  def qSessionFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withSession = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), col("event_type"))
+      .withColumn("__new",
+        when(lag(col("ms"), 1).over(w).isNull or
+          col("ms") - lag(col("ms"), 1).over(w) > 1800000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(cum))
+      .withColumn("skey", col("user_id") * 100000L + col("session_id"))
+    Funnel.funnelCounts(withSession, "skey", "ms", "event_type",
+      Seq("view", "click", "purchase"))
+  }
+
+  val sessionFunnelSql: String =
+    """WITH e0 AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |f AS (SELECT user_id, ms, event_type,
+      |    CASE WHEN lag(ms) OVER w IS NULL OR ms - lag(ms) OVER w > 1800000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e0 WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |e AS (SELECT user_id * 100000 + CAST(SUM(is_new) OVER (
+      |      PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS skey,
+      |    ms, event_type FROM f),
+      |s1 AS (SELECT skey, MIN(ms) AS t FROM e
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.skey, MIN(e.ms) AS t FROM e
+      |    JOIN s1 ON e.skey = s1.skey
+      |    WHERE e.event_type = 'click' AND e.ms >= s1.t GROUP BY 1),
+      |s3 AS (SELECT e.skey, MIN(e.ms) AS t FROM e
+      |    JOIN s2 ON e.skey = s2.skey
+      |    WHERE e.event_type = 'purchase' AND e.ms >= s2.t GROUP BY 1)
+      |SELECT (SELECT COUNT(*) FROM s1) AS n_stage_1,
+      |       (SELECT COUNT(*) FROM s2) AS n_stage_2,
+      |       (SELECT COUNT(*) FROM s3) AS n_stage_3""".stripMargin
+
   /** Windowed funnel: each stage must convert within 24h of the previous one —
     * [[Funnel.funnelCountsWindowed]], the conversion-window refinement of
     * [[qFunnel]].
@@ -2413,6 +2458,7 @@ object ExtQueries {
     "q_table_diff" -> (qTableDiff _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
+    "q_session_funnel" -> (qSessionFunnel _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2500,6 +2546,7 @@ object ExtQueries {
     "q_table_diff" -> tableDiffSql,
     "q_heavy_hitters" -> heavyHittersSql,
     "q_distinct_ngrams" -> distinctNgramsSql,
+    "q_session_funnel" -> sessionFunnelSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
