@@ -2280,6 +2280,125 @@ object ExtQueries {
       |  ROUND(COUNT(DISTINCT bg) * 1.0 / COUNT(*), 6) AS distinct_2
       |FROM bg GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Two-proportion A/B significance test: users hash-split into arms (the
+    * [[Splits.hashBucket]] draw — same deterministic assignment machinery as
+    * the dataset splits), conversion = any purchase event, pooled two-
+    * proportion z-score. The experimentation-analytics primitive: three
+    * aggregates, all integer counts until the final closed-form doubles
+    * (stated identically in the oracle). Conversion = a purchase above 90
+    * (every generated user has some purchase, so the bare event would be
+    * degenerate — rate 1.0 on both arms, z undefined).
+    */
+  def qAbTest(spark: SparkSession, dir: String): DataFrame = {
+    val users = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 90,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm", when(Splits.hashBucket(col("user_id")) % 2 === 0,
+        lit("A")).otherwise(lit("B")))
+    val byArm = users.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
+    val a = byArm.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("n_conv").as("conv_a"))
+    val b = byArm.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("n_conv").as("conv_b"))
+    a.crossJoin(b)
+      .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("conv_a").cast("double") / col("n_a"), 6).as("rate_a"),
+        round(col("conv_b").cast("double") / col("n_b"), 6).as("rate_b"),
+        round(
+          (col("conv_a").cast("double") / col("n_a") -
+            col("conv_b").cast("double") / col("n_b")) /
+            sqrt(((col("conv_a") + col("conv_b")).cast("double") /
+              (col("n_a") + col("n_b"))) *
+              (lit(1.0) - (col("conv_a") + col("conv_b")).cast("double") /
+                (col("n_a") + col("n_b"))) *
+              (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+  }
+
+  val abTestSql: String =
+    """WITH u AS (SELECT user_id,
+      |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+      |        THEN 1 ELSE 0 END) AS conv,
+      |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 100) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |ba AS (SELECT arm, COUNT(*) AS n, CAST(SUM(conv) AS BIGINT) AS n_conv
+      |  FROM u GROUP BY 1),
+      |a AS (SELECT n AS n_a, n_conv AS conv_a FROM ba WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, n_conv AS conv_b FROM ba WHERE arm = 'B')
+      |SELECT n_a, n_b, conv_a, conv_b,
+      |  ROUND(conv_a * 1.0 / n_a, 6) AS rate_a,
+      |  ROUND(conv_b * 1.0 / n_b, 6) AS rate_b,
+      |  ROUND((conv_a * 1.0 / n_a - conv_b * 1.0 / n_b) /
+      |    sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+      |      (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b)) *
+      |      (1.0 / n_a + 1.0 / n_b)), 6) AS z
+      |FROM a CROSS JOIN b""".stripMargin
+
+  /** RFM segmentation per market: recency / frequency / monetary quartiles
+    * WITHIN each nation (windows partitioned by nation — parallel across
+    * markets, no global NTILE) and the 3-digit segment code. The classic
+    * customer-value segmentation, deterministic via (metric, custkey) total
+    * orders.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        (unix_timestamp(col("o_orderdate")) / 86400L).cast("long").as("day"),
+        AnalyticsQueries.dec(col("o_totalprice")).as("price"))
+    val anchor = o.agg(max(col("day")).as("max_day"))
+    val perCust = o.groupBy(col("o_custkey"))
+      .agg(max(col("day")).as("last_day"), count(lit(1)).as("frequency"),
+        sum(col("price")).as("monetary_dec"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"), (col("max_day") - col("last_day")).as("recency"),
+        col("frequency"), col("monetary_dec"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+    def q(metric: org.apache.spark.sql.Column, asc: Boolean) = {
+      val ordered = if (asc) Window.partitionBy(col("c_nationkey"))
+        .orderBy(metric, col("o_custkey"))
+      else Window.partitionBy(col("c_nationkey"))
+        .orderBy(metric.desc, col("o_custkey"))
+      ntile(4).over(ordered)
+    }
+    perCust
+      .select(col("o_custkey").as("custkey"), col("c_nationkey").as("nation"),
+        col("recency"), col("frequency"),
+        round(col("monetary_dec").cast("double"), 2).as("monetary"),
+        q(col("recency"), asc = true).as("r_q"), // low recency = best → quartile 1
+        q(col("frequency"), asc = false).as("f_q"),
+        q(col("monetary_dec"), asc = false).as("m_q"))
+      .withColumn("segment",
+        concat(col("r_q").cast("string"), col("f_q").cast("string"),
+          col("m_q").cast("string")))
+      .orderBy(col("custkey"))
+  }
+
+  val rfmSql: String =
+    """WITH o AS (SELECT o_custkey,
+      |    CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS day,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS price FROM orders),
+      |a AS (SELECT MAX(day) AS max_day FROM o),
+      |pc AS (SELECT o_custkey, MAX(day) AS last_day, COUNT(*) AS frequency,
+      |    SUM(price) AS monetary_dec FROM o GROUP BY 1),
+      |j AS (SELECT o_custkey, max_day - last_day AS recency, frequency,
+      |    monetary_dec, c_nationkey
+      |  FROM pc CROSS JOIN a JOIN customer ON o_custkey = c_custkey)
+      |SELECT o_custkey AS custkey, c_nationkey AS nation, recency, frequency,
+      |  ROUND(CAST(monetary_dec AS DOUBLE), 2) AS monetary,
+      |  NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY recency, o_custkey) AS r_q,
+      |  NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY frequency DESC, o_custkey) AS f_q,
+      |  NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY monetary_dec DESC, o_custkey) AS m_q,
+      |  CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY recency, o_custkey) AS VARCHAR) ||
+      |  CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY frequency DESC, o_custkey) AS VARCHAR) ||
+      |  CAST(NTILE(4) OVER (PARTITION BY c_nationkey ORDER BY monetary_dec DESC, o_custkey) AS VARCHAR)
+      |    AS segment
+      |FROM j ORDER BY custkey""".stripMargin
+
   /** Target mixture in parts-per-million for [[qDomainMix]] — a deliberate
     * head/torso/tail skew over the 20 generated sources, exposed so the SQL
     * oracle embeds the SAME weights.
@@ -2459,6 +2578,8 @@ object ExtQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_distinct_ngrams" -> (qDistinctNgrams _),
     "q_session_funnel" -> (qSessionFunnel _),
+    "q_ab_test" -> (qAbTest _),
+    "q_rfm" -> (qRfm _),
     "q_collocations" -> (qCollocations _),
     "q_loo_split" -> (qLooSplit _),
     "q_domain_mix" -> (qDomainMix _),
@@ -2547,6 +2668,8 @@ object ExtQueries {
     "q_heavy_hitters" -> heavyHittersSql,
     "q_distinct_ngrams" -> distinctNgramsSql,
     "q_session_funnel" -> sessionFunnelSql,
+    "q_ab_test" -> abTestSql,
+    "q_rfm" -> rfmSql,
     "q_collocations" -> collocationsSql,
     "q_loo_split" -> looSplitSql,
     "q_domain_mix" -> domainMixSql,
