@@ -133,6 +133,49 @@ object SparkEntry {
         "user_id", "item_id", k = 10)
       .orderBy(col("user"))
 
+  /** Catalog coverage at k: the share of the part catalog that appears in ANY
+    * user's frequency-ranked top-3 recommendation list — the coverage@k
+    * refinement of P2's all-recommendations coverage (a recommender can touch
+    * the whole catalog in its tails while its HEAD — what users actually see —
+    * covers almost nothing; this measures the head).
+    */
+  def qCoverageAtK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("n").desc, col("item_id"))
+    val topK = recommendations(spark, dir)
+      .groupBy(col("user_id"), col("item_id")).agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+    val nTop = topK.agg(countDistinct(col("item_id")).as("n_rec_items"))
+    val nCat = Tables.part(spark, dir)
+      .agg(countDistinct(col("p_partkey")).as("n_catalog"))
+    nTop.crossJoin(nCat)
+      .select(lit(3).as("k"), col("n_rec_items"), col("n_catalog"),
+        round(col("n_rec_items").cast("double") / col("n_catalog"), 6)
+          .as("coverage_at_k"))
+  }
+
+  /** Gini concentration of item interaction volume — the catalog-inequality
+    * companion of P1's long-tail curve (0 = uniform attention, → 1 = all
+    * volume on one item). Exact closed form on the ascending volume ranking:
+    * `G = 2·Σ(rank·vol) / (n·Σvol) − (n+1)/n`, with the rank from
+    * [[graft.ext.GlobalRank.globalRowNumber]] — no single-task sort — and
+    * every sum an exact integer, so both engines produce identical doubles.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("volume"))
+    val ranked = graft.ext.GlobalRank.globalRowNumber(
+      counts, Seq(col("volume"), col("l_partkey")))
+    ranked
+      .agg(count(lit(1)).as("n"), sum(col("volume")).as("s"),
+        sum(col("rn") * col("volume")).as("srw"))
+      .select(col("n"), col("s"),
+        round(lit(2.0) * col("srw") / (col("n") * col("s")) -
+          (col("n") + 1).cast("double") / col("n"), 6).as("gini"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ north-star extensions
     * from [[ExtQueries]]).
     */
@@ -145,7 +188,9 @@ object SparkEntry {
     "q_intra_list" -> (qIntraList _),
     "q_rec_precision" -> (qRecPrecision _),
     "q_mrr" -> (qMrr _),
-    "q_ndcg" -> (qNdcg _)
+    "q_ndcg" -> (qNdcg _),
+    "q_coverage_at_k" -> (qCoverageAtK _),
+    "q_gini" -> (qGini _)
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -280,6 +325,27 @@ object SparkEntry {
         |  ROUND(CAST(idcg AS DOUBLE), 6) AS idcg,
         |  ROUND(CAST(COALESCE(dcg, 0) AS DOUBLE) / CAST(idcg AS DOUBLE), 6) AS ndcg
         |FROM idcg LEFT JOIN dcg ON idcg.user_id = dcg.user_id
-        |ORDER BY 1""".stripMargin
+        |ORDER BY 1""".stripMargin,
+    "q_coverage_at_k" ->
+      s"""WITH $recsSql,
+        |rc AS (SELECT user_id, item_id, COUNT(*) AS n FROM recs GROUP BY 1, 2),
+        |tk AS (SELECT user_id, item_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item_id)
+        |      AS rnk FROM rc QUALIFY rnk <= 3)
+        |SELECT 3 AS k,
+        |  (SELECT COUNT(DISTINCT item_id) FROM tk) AS n_rec_items,
+        |  (SELECT COUNT(DISTINCT p_partkey) FROM part) AS n_catalog,
+        |  ROUND((SELECT COUNT(DISTINCT item_id) FROM tk) * 1.0 /
+        |        (SELECT COUNT(DISTINCT p_partkey) FROM part), 6)
+        |    AS coverage_at_k""".stripMargin,
+    "q_gini" ->
+      """WITH c AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem GROUP BY 1),
+        |r AS (SELECT volume,
+        |    ROW_NUMBER() OVER (ORDER BY volume, l_partkey) AS rn FROM c),
+        |s AS (SELECT COUNT(*) AS n, CAST(SUM(volume) AS BIGINT) AS s,
+        |    CAST(SUM(rn * volume) AS BIGINT) AS srw FROM r)
+        |SELECT n, s,
+        |  ROUND(2.0 * srw / (n * s) - (n + 1) * 1.0 / n, 6) AS gini
+        |FROM s""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
 }
