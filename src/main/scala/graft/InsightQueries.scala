@@ -1,0 +1,333 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{EventStats, Profiling, Triangles}
+import graft.metrics.{ItemCF, RankingMetrics}
+
+/** Round-5 operator batch: the rest of the ranking-metric family (MAP@k,
+  * hit-rate/ARHR, serendipity, calibration), item-item CF neighborhoods,
+  * triangle counting on the co-purchase graph, event-stream behavioral
+  * statistics (trailing-window anomalies, burstiness, type entropy) and
+  * robust median/MAD outlier detection. Registered into [[SparkEntry]]
+  * alongside [[ExtQueries]] / [[AnalyticsQueries]]; every entry has a DuckDB
+  * oracle with matching column names, 6-decimal rounding and ORDER BY.
+  */
+object InsightQueries {
+
+  import SparkEntry.{sales, recommendations, salesSql, recsSql}
+
+  // -------------------------------------------------------------------------
+  // Ranking-metric family completion
+  // -------------------------------------------------------------------------
+
+  /** MAP@10 per user: average precision of the frequency-ranked urgent-order
+    * recommendations against finalized-order actuals.
+    */
+  def qMapAtK(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.mapAtK(recommendations(spark, dir), sales(spark, dir),
+        "user_id", "item_id", k = 10)
+      .orderBy(col("user"))
+
+  val mapAtKSql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |rc AS (SELECT user_id AS "user", item_id AS item, COUNT(*) AS n
+      |       FROM recs GROUP BY 1, 2),
+      |rk AS (SELECT "user", item,
+      |    ROW_NUMBER() OVER (PARTITION BY "user" ORDER BY n DESC, item) AS rnk
+      |  FROM rc),
+      |topk AS (SELECT * FROM rk WHERE rnk <= 10),
+      |a AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM sales),
+      |f AS (SELECT t."user", t.rnk,
+      |    CASE WHEN a.item IS NULL THEN 0 ELSE 1 END AS hit
+      |  FROM topk t LEFT JOIN a ON t."user" = a."user" AND t.item = a.item),
+      |c AS (SELECT "user", rnk, hit,
+      |    SUM(hit) OVER (PARTITION BY "user" ORDER BY rnk) AS cum FROM f),
+      |t AS (SELECT "user", SUM(hit) AS n_hits_at_k,
+      |    SUM(CASE WHEN hit = 1 THEN CAST(cum * 1.0 / rnk AS DECIMAL(18,8))
+      |        ELSE CAST(0 AS DECIMAL(18,8)) END) AS ap_num
+      |  FROM c GROUP BY 1),
+      |na AS (SELECT "user", COUNT(*) AS n_actual FROM a GROUP BY 1)
+      |SELECT na."user", na.n_actual,
+      |  COALESCE(t.n_hits_at_k, 0) AS n_hits_at_k,
+      |  ROUND(CAST(COALESCE(t.ap_num, CAST(0 AS DECIMAL(18,8))) AS DOUBLE)
+      |    / LEAST(10, na.n_actual), 6) AS ap
+      |FROM na LEFT JOIN t ON na."user" = t."user"
+      |ORDER BY na."user"""".stripMargin
+
+  /** Corpus hit-rate@10 + ARHR of the same rec/actual pair — 1 row. */
+  def qHitRate(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.hitRateAtK(recommendations(spark, dir), sales(spark, dir),
+      "user_id", "item_id", k = 10)
+
+  val hitRateSql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |rc AS (SELECT user_id AS "user", item_id AS item, COUNT(*) AS n
+      |       FROM recs GROUP BY 1, 2),
+      |rk AS (SELECT "user", item,
+      |    ROW_NUMBER() OVER (PARTITION BY "user" ORDER BY n DESC, item) AS rnk
+      |  FROM rc),
+      |a AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM sales),
+      |fh AS (SELECT rk."user", MIN(rk.rnk) AS first_hit
+      |  FROM rk JOIN a ON rk."user" = a."user" AND rk.item = a.item
+      |  WHERE rk.rnk <= 10 GROUP BY 1),
+      |u AS (SELECT DISTINCT "user" FROM rc)
+      |SELECT 10 AS k, COUNT(*) AS n_users, COUNT(fh.first_hit) AS n_users_hit,
+      |  ROUND(COUNT(fh.first_hit) * 1.0 / COUNT(*), 6) AS hit_rate,
+      |  ROUND(CAST(SUM(COALESCE(CAST(1.0 / fh.first_hit AS DECIMAL(18,8)),
+      |      CAST(0 AS DECIMAL(18,8)))) AS DOUBLE) / COUNT(*), 6) AS arhr
+      |FROM u LEFT JOIN fh ON u."user" = fh."user"""".stripMargin
+
+  /** Serendipity per user: relevant-AND-unexpected share of recommendations,
+    * "expected" = the 100 most-popular sales items.
+    */
+  def qSerendipity(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.serendipity(recommendations(spark, dir), sales(spark, dir),
+        "user_id", "item_id", topN = 100)
+      .orderBy(col("user"))
+
+  val serendipitySql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |r AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM recs),
+      |a AS (SELECT DISTINCT user_id AS "user", item_id AS item FROM sales),
+      |pop AS (SELECT item FROM a GROUP BY item
+      |        ORDER BY COUNT(DISTINCT "user") DESC, item LIMIT 100),
+      |h AS (SELECT r."user", r.item FROM r JOIN a
+      |      ON r."user" = a."user" AND r.item = a.item),
+      |nh AS (SELECT "user", COUNT(*) AS n_hits FROM h GROUP BY 1),
+      |ns AS (SELECT "user", COUNT(*) AS n_serendipitous FROM h
+      |       WHERE item NOT IN (SELECT item FROM pop) GROUP BY 1),
+      |nr AS (SELECT "user", COUNT(*) AS n_recs FROM r GROUP BY 1)
+      |SELECT nr."user", nr.n_recs, COALESCE(nh.n_hits, 0) AS n_hits,
+      |  COALESCE(ns.n_serendipitous, 0) AS n_serendipitous,
+      |  ROUND(COALESCE(ns.n_serendipitous, 0) * 1.0 / nr.n_recs, 6) AS serendipity
+      |FROM nr LEFT JOIN nh ON nr."user" = nh."user"
+      |LEFT JOIN ns ON nr."user" = ns."user"
+      |ORDER BY nr."user"""".stripMargin
+
+  /** Calibration overlap per user: how well the brand mix of recommendations
+    * matches the brand mix of purchase history (1 − total-variation distance).
+    */
+  def qCalibration(spark: SparkSession, dir: String): DataFrame = {
+    def withBrand(df: DataFrame, spark: SparkSession): DataFrame =
+      df.join(Tables.part(spark, dir), col("item_id") === col("p_partkey"))
+        .select(col("user_id"), col("p_brand").as("brand"))
+    RankingMetrics.calibrationOverlap(
+        withBrand(sales(spark, dir), spark),
+        withBrand(recommendations(spark, dir), spark),
+        "user_id", "brand")
+      .orderBy(col("user"))
+  }
+
+  val calibrationSql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |hb AS (SELECT s.user_id AS "user", p.p_brand AS feat, COUNT(*) AS n
+      |       FROM sales s JOIN part p ON s.item_id = p.p_partkey GROUP BY 1, 2),
+      |rb AS (SELECT r.user_id AS "user", p.p_brand AS feat, COUNT(*) AS n
+      |       FROM recs r JOIN part p ON r.item_id = p.p_partkey GROUP BY 1, 2),
+      |ht AS (SELECT "user", SUM(n) AS tot, COUNT(*) AS n_feat_hist FROM hb GROUP BY 1),
+      |rt AS (SELECT "user", SUM(n) AS tot, COUNT(*) AS n_feat_rec FROM rb GROUP BY 1),
+      |hs AS (SELECT hb."user", hb.feat, ht.n_feat_hist,
+      |       hb.n * 1.0 / ht.tot AS p FROM hb JOIN ht ON hb."user" = ht."user"),
+      |rs AS (SELECT rb."user", rb.feat, rt.n_feat_rec,
+      |       rb.n * 1.0 / rt.tot AS p FROM rb JOIN rt ON rb."user" = rt."user"),
+      |j AS (SELECT COALESCE(hs."user", rs."user") AS "user",
+      |    hs.n_feat_hist, rs.n_feat_rec,
+      |    CAST(LEAST(COALESCE(hs.p, 0), COALESCE(rs.p, 0)) AS DECIMAL(18,8)) AS ov
+      |  FROM hs FULL OUTER JOIN rs
+      |  ON hs."user" = rs."user" AND hs.feat = rs.feat)
+      |SELECT "user", MAX(n_feat_hist) AS n_feat_hist, MAX(n_feat_rec) AS n_feat_rec,
+      |  ROUND(CAST(SUM(ov) AS DOUBLE), 6) AS overlap
+      |FROM j GROUP BY 1
+      |HAVING MAX(n_feat_hist) IS NOT NULL AND MAX(n_feat_rec) IS NOT NULL
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Item-item CF + co-purchase graph
+  // -------------------------------------------------------------------------
+
+  /** "Customers who bought X also bought Y": top-3 cosine neighbors per part
+    * over finalized-order baskets (min item support 5, whale-basket cap 50).
+    */
+  def qItemCf(spark: SparkSession, dir: String): DataFrame =
+    ItemCF.itemNeighbors(sales(spark, dir), "user_id", "item_id",
+        k = 3, minSupport = 5, maxBasket = 50)
+      .orderBy(col("item_id"), col("rnk"))
+
+  val itemCfSql: String =
+    s"""WITH $salesSql,
+      |b0 AS (SELECT DISTINCT user_id, item_id FROM sales),
+      |ku AS (SELECT user_id FROM b0 GROUP BY 1 HAVING COUNT(*) <= 50),
+      |ni AS (SELECT item_id, COUNT(*) AS n_users
+      |       FROM b0 JOIN ku USING (user_id) GROUP BY 1 HAVING COUNT(*) >= 5),
+      |b AS (SELECT b0.user_id, b0.item_id, ni.n_users
+      |      FROM b0 JOIN ku USING (user_id) JOIN ni USING (item_id)),
+      |co AS (SELECT x.item_id AS i, y.item_id AS j,
+      |    x.n_users AS ni, y.n_users AS nj, COUNT(*) AS n_both
+      |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.item_id < y.item_id
+      |  GROUP BY 1, 2, 3, 4),
+      |d AS (SELECT i AS item_id, j AS neighbor_id, ni AS n_item,
+      |        nj AS n_neighbor, n_both FROM co
+      |      UNION ALL
+      |      SELECT j, i, nj, ni, n_both FROM co),
+      |s AS (SELECT *, n_both / SQRT(n_item * n_neighbor) AS cosine FROM d),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+      |         ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+      |SELECT item_id, neighbor_id, n_item, n_neighbor, n_both,
+      |  ROUND(cosine, 6) AS cosine, rnk
+      |FROM rk WHERE rnk <= 3 ORDER BY item_id, rnk""".stripMargin
+
+  /** Triangle census of the co-purchase graph (parts co-occurring in ≥1 order;
+    * the oracle's a<b<c three-way join states the same count the
+    * degree-oriented wedge join computes).
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    Triangles.triangleCensus(edges, "src", "dst")
+  }
+
+  val trianglesSql: String =
+    """WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS (SELECT COUNT(*) AS n_triangles
+      |  FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+      |  ON e3.a = e1.a AND e3.b = e2.b)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT CAST(SUM(deg * (deg - 1)) / 2 AS BIGINT) FROM deg) AS n_wedges,
+      |  (SELECT n_triangles FROM tri) AS n_triangles,
+      |  ROUND(3.0 * (SELECT n_triangles FROM tri)
+      |    / (SELECT SUM(deg * (deg - 1)) / 2 FROM deg), 6) AS global_clustering""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Event-stream behavioral statistics
+  // -------------------------------------------------------------------------
+
+  /** Trailing-7-day volume anomalies per event type (current day scored
+    * against the preceding week's mean/stddev).
+    */
+  def qAnomalyDaily(spark: SparkSession, dir: String): DataFrame =
+    EventStats.dailyAnomalies(Tables.events(spark, dir), "ts", "event_type")
+      .orderBy(col("event_type"), col("day"))
+
+  val anomalyDailySql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT event_type, day, n_events,
+      |    COUNT(n_events) OVER pw AS baseline_n,
+      |    AVG(n_events) OVER pw AS baseline_mean,
+      |    STDDEV_SAMP(n_events) OVER pw AS baseline_std
+      |  FROM d WINDOW pw AS (PARTITION BY event_type ORDER BY day
+      |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      |z AS (SELECT *, CASE WHEN baseline_n >= 3 AND baseline_std > 0
+      |    THEN (n_events - baseline_mean) / baseline_std END AS zv FROM w)
+      |SELECT event_type, day, n_events,
+      |  ROUND(baseline_mean, 6) AS baseline_mean,
+      |  ROUND(baseline_std, 6) AS baseline_std,
+      |  ROUND(zv, 6) AS z, ABS(zv) > 2.0 AS is_anomaly
+      |FROM z ORDER BY event_type, day""".stripMargin
+
+  /** Per-user inter-arrival burstiness B = (σ−μ)/(σ+μ) over event gaps. */
+  def qBurstiness(spark: SparkSession, dir: String): DataFrame =
+    EventStats.burstiness(Tables.events(spark, dir), "ts", "user_id")
+      .orderBy(col("user_id"))
+
+  val burstinessSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+      |g AS (SELECT user_id,
+      |    (ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id))
+      |      / 1000.0 AS gap_s
+      |  FROM e),
+      |s AS (SELECT user_id, COUNT(*) + 1 AS n_events,
+      |    AVG(gap_s) AS mu, STDDEV_SAMP(gap_s) AS sigma
+      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_events, ROUND(mu, 6) AS mean_gap_s,
+      |  ROUND(sigma, 6) AS std_gap_s,
+      |  ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
+      |FROM s WHERE n_events >= 6 ORDER BY user_id""".stripMargin
+
+  /** Shannon entropy (bits) of each user's event-type mix. */
+  def qUserEntropy(spark: SparkSession, dir: String): DataFrame =
+    EventStats.userTypeEntropy(Tables.events(spark, dir), "user_id", "event_type")
+      .orderBy(col("user_id"))
+
+  val userEntropySql: String =
+    """WITH c AS (SELECT user_id, event_type, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, SUM(n) AS tot, COUNT(*) AS n_types FROM c GROUP BY 1),
+      |j AS (SELECT c.user_id, t.tot, t.n_types,
+      |    CAST(-(c.n / CAST(t.tot AS DOUBLE))
+      |      * LN(c.n / CAST(t.tot AS DOUBLE)) / 0.6931471805599453
+      |      AS DECIMAL(18,8)) AS term
+      |  FROM c JOIN t ON c.user_id = t.user_id)
+      |SELECT user_id, MAX(tot) AS n_events, MAX(n_types) AS n_types,
+      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
+  // Robust outliers
+  // -------------------------------------------------------------------------
+
+  /** Median/MAD modified-z outliers over event values (threshold 3.5) —
+    * o_totalprice was the first candidate but its spread is too uniform to
+    * flag anything (max |z| ≈ 1.4 at sf0.01), which would make the oracle
+    * pass vacuous; the long-tailed events.value column genuinely trips the
+    * 3.5 cut.
+    */
+  def qMadOutliers(spark: SparkSession, dir: String): DataFrame =
+    Profiling.madOutliers(Tables.events(spark, dir), "event_id", "value")
+      .orderBy(abs(col("robust_z")).desc, col("id"))
+
+  val madOutliersSql: String =
+    """WITH x AS (SELECT event_id AS id, CAST(value AS DOUBLE) AS value
+      |  FROM events),
+      |m AS (SELECT QUANTILE_CONT(value, 0.5) AS median_value FROM x),
+      |md AS (SELECT QUANTILE_CONT(ABS(value - m.median_value), 0.5) AS mad
+      |       FROM x CROSS JOIN m),
+      |z AS (SELECT id, value, m.median_value, md.mad,
+      |    0.6745 * (value - m.median_value) / md.mad AS rz
+      |  FROM x CROSS JOIN m CROSS JOIN md)
+      |SELECT id, value, ROUND(median_value, 6) AS median_value,
+      |  ROUND(mad, 6) AS mad, ROUND(rz, 6) AS robust_z
+      |FROM z WHERE ABS(rz) > 3.5 ORDER BY ABS(ROUND(rz, 6)) DESC, id""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_at_k" -> (qMapAtK _),
+    "q_hit_rate" -> (qHitRate _),
+    "q_serendipity" -> (qSerendipity _),
+    "q_calibration" -> (qCalibration _),
+    "q_item_cf" -> (qItemCf _),
+    "q_triangles" -> (qTriangles _),
+    "q_anomaly_daily" -> (qAnomalyDaily _),
+    "q_burstiness" -> (qBurstiness _),
+    "q_user_entropy" -> (qUserEntropy _),
+    "q_mad_outliers" -> (qMadOutliers _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_map_at_k" -> mapAtKSql,
+    "q_hit_rate" -> hitRateSql,
+    "q_serendipity" -> serendipitySql,
+    "q_calibration" -> calibrationSql,
+    "q_item_cf" -> itemCfSql,
+    "q_triangles" -> trianglesSql,
+    "q_anomaly_daily" -> anomalyDailySql,
+    "q_burstiness" -> burstinessSql,
+    "q_user_entropy" -> userEntropySql,
+    "q_mad_outliers" -> madOutliersSql
+  )
+}

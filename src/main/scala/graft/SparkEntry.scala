@@ -24,7 +24,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------------
 
   /** "Sales" interactions: (user_id, item_id) from finalized orders. */
-  private def sales(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def sales(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
     val l = Tables.lineitem(spark, dir)
     o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -35,18 +35,18 @@ object SparkEntry {
     * includes items absent from it, exercising novelty's left-join null semantics
     * (SURVEY.md §2.4.2).
     */
-  private def recommendations(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def recommendations(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).filter(col("o_orderpriority") === "1-URGENT")
     val l = Tables.lineitem(spark, dir)
     o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"))
   }
 
-  private val salesSql =
+  private[graft] val salesSql =
     """sales AS (SELECT o_custkey AS user_id, l_partkey AS item_id
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  WHERE o_orderstatus = 'F')""".stripMargin
-  private val recsSql =
+  private[graft] val recsSql =
     """recs AS (SELECT o_custkey AS user_id, l_partkey AS item_id
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |  WHERE o_orderpriority = '1-URGENT')""".stripMargin
@@ -191,7 +191,7 @@ object SparkEntry {
     "q_ndcg" -> (qNdcg _),
     "q_coverage_at_k" -> (qCoverageAtK _),
     "q_gini" -> (qGini _)
-  ) ++ ExtQueries.queries ++ AnalyticsQueries.queries
+  ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -347,5 +347,5 @@ object SparkEntry {
         |SELECT n, s,
         |  ROUND(2.0 * srw / (n * s) - (n + 1) * 1.0 / n, 6) AS gini
         |FROM s""".stripMargin
-  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql
+  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql
 }

@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Behavioral statistics over event streams — the monitoring layer of a
+  * training-data pipeline (ingest anomalies, bot detection, behavioral
+  * diversity). All three operators are pure keyed window/aggregate plans:
+  * no global windows, no driver-side state, partition keys chosen so 1000
+  * executors each see a bounded slice (event_type × day is small; user_id is
+  * the natural high-cardinality shard key).
+  */
+object EventStats {
+
+  /** Trailing-window anomaly detection on daily volumes per event type.
+    * Each (event_type, day) row is scored against the mean/stddev of the
+    * PRECEDING `baselineDays` days (current day excluded — an anomalous day
+    * must not defend itself by inflating its own baseline); days with fewer
+    * than `minBaseline` preceding observations get a null z-score rather than
+    * a misleading one. Output: (event_type, day, n_events, baseline_mean,
+    * baseline_std, z, is_anomaly = |z| > threshold).
+    *
+    * Scale shape: the aggregate shrinks events to |types|×|days| rows, then the
+    * window runs per event_type — thousands of independent partitions, each a
+    * short time series. stddev_samp follows the same definition in DuckDB.
+    */
+  def dailyAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                     baselineDays: Int = 7, minBaseline: Int = 3,
+                     threshold: Double = 2.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-baselineDays, -1)
+    daily
+      .withColumn("baseline_n", count(col("n_events")).over(w))
+      .withColumn("baseline_mean", avg(col("n_events")).over(w))
+      .withColumn("baseline_std", stddev_samp(col("n_events")).over(w))
+      .withColumn("z",
+        when(col("baseline_n") >= minBaseline && col("baseline_std") > 0,
+          (col("n_events") - col("baseline_mean")) / col("baseline_std")))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("baseline_mean"), 6).as("baseline_mean"),
+        round(col("baseline_std"), 6).as("baseline_std"),
+        round(col("z"), 6).as("z"),
+        (abs(col("z")) > threshold).as("is_anomaly"))
+  }
+
+  /** Per-user inter-arrival burstiness (Goh & Barabási 2008): with gap mean μ
+    * and sample stddev σ, B = (σ−μ)/(σ+μ) ∈ (−1, 1) — 0 for a Poisson
+    * process, → 1 for heavy bursts, → −1 for a metronome. Bot traffic shows
+    * up as extreme B with tiny μ. Users need at least `minEvents` events
+    * (`minEvents − 1` gaps ≥ 2, so σ is defined).
+    * Output: (user_id, n_events, mean_gap_s, std_gap_s, burstiness).
+    *
+    * Gaps are computed in epoch SECONDS (double) so both engines do identical
+    * float arithmetic off an exact integer millisecond base.
+    */
+  def burstiness(events: DataFrame, tsCol: String, userCol: String,
+                 minEvents: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+    val gaps = events
+      .select(col(userCol).as("user_id"),
+        (unix_millis(col(tsCol))).as("ms"), col("event_id"))
+      .withColumn("gap_s", (col("ms") - lag(col("ms"), 1).over(w)) / 1000.0)
+      .filter(col("gap_s").isNotNull)
+    gaps.groupBy(col("user_id"))
+      .agg((count(lit(1)) + 1).as("n_events"),
+        avg(col("gap_s")).as("mu"), stddev_samp(col("gap_s")).as("sigma"))
+      .filter(col("n_events") >= minEvents)
+      .select(col("user_id"), col("n_events"),
+        round(col("mu"), 6).as("mean_gap_s"),
+        round(col("sigma"), 6).as("std_gap_s"),
+        round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6)
+          .as("burstiness"))
+  }
+
+  /** Shannon entropy (bits) of each user's event-type distribution — the
+    * behavioral-diversity score (0 = monomaniac, log2 |types| = uniform).
+    * Output: (user_id, n_events, n_types, entropy_bits).
+    *
+    * The per-type terms −p·log2(p) accumulate through DECIMAL(18,8) so the
+    * per-user sum is partition-order-independent; log2 is expressed as
+    * ln/ln2 with an embedded ln2 literal both engines parse identically.
+    */
+  def userTypeEntropy(events: DataFrame, userCol: String, typeCol: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val c = events.select(col(userCol).as("user_id"), col(typeCol).as("t"))
+      .groupBy(col("user_id"), col("t")).agg(count(lit(1)).as("n"))
+    val tot = c.groupBy(col("user_id"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_types"))
+    c.join(tot, Seq("user_id"))
+      .select(col("user_id"), col("tot"), col("n_types"),
+        (-(col("n") / col("tot").cast("double")) *
+          log(col("n") / col("tot").cast("double")) / lit(ln2))
+          .cast("decimal(18,8)").as("term"))
+      .groupBy(col("user_id"))
+      .agg(max(col("tot")).as("n_events"), max(col("n_types")).as("n_types"),
+        round(sum(col("term")).cast("double"), 6).as("entropy_bits"))
+  }
+}

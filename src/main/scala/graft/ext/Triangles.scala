@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting with degree-ordered edge orientation — the
+  * classic MapReduce formulation (Suri & Vassilvitskii, "Counting Triangles
+  * and the Curse of the Last Reducer", WWW'11).
+  *
+  * Orienting every undirected edge from its (degree, id)-smaller endpoint to
+  * the larger bounds each node's out-degree by O(√m), so the wedge join
+  * (out-edges ⋈ out-edges on source) generates Σ d_out² = O(m^1.5) candidates
+  * instead of the Σ d² blow-up a hub node causes under arbitrary orientation —
+  * THE difference between finishing and dying on a power-law co-purchase graph
+  * at 100 TB. Each triangle's three nodes carry a strict (degree, id) total
+  * order, so it is generated exactly once: wedge (v ← u → w) with v before w,
+  * closed by oriented edge v → w.
+  */
+object Triangles {
+
+  /** Global triangle census of an undirected graph.
+    * `edges` must hold one row per undirected edge as (src, dst) — duplicates
+    * and self-loops are dropped, orientation of the input rows is irrelevant.
+    * Output: 1 row (n_nodes, n_edges, n_wedges, n_triangles,
+    * global_clustering = 3·triangles/wedges, rounded 6).
+    */
+  def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient a→b when (deg,id)(a) < (deg,id)(b); both joins against the small
+    // degree table are broadcast-eligible, the wedge join shuffles on node id
+    val oriented = e
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("deg", "db"), Seq("b"))
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("db").as("d"), col("b").as("n")))
+          .otherwise(struct(col("da").as("d"), col("a").as("n")))
+          .as("vo"))
+      .select(col("u"), col("vo").getField("n").as("v"), col("vo"))
+    val wedges = oriented.as("x").join(oriented.as("y"),
+        col("x.u") === col("y.u") && (col("x.vo") < col("y.vo")))
+      .select(col("x.v").as("wv"), col("y.v").as("ww"))
+    val triangles = wedges.join(oriented.select(col("u").as("wv"), col("v").as("ww")),
+        Seq("wv", "ww"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val wedgeCount = deg.agg(
+      (sum(col("deg") * (col("deg") - 1)) / 2).cast("long").as("n_wedges"))
+    val base = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+    base.crossJoin(wedgeCount).crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("global_clustering"))
+  }
+}

@@ -78,6 +78,142 @@ object RankingMetrics {
           col("idcg").cast("double"), 6).as("ndcg"))
   }
 
+  /** MAP@k (mean-average-precision building block): per-user average precision
+    * of the top-k recommendations, ranks assigned by (frequency desc, item) —
+    * the same deterministic order as [[ndcgAtK]]. AP@k = Σ_{hit at rank r≤k}
+    * precision@r / min(k, n_actual); users without actuals are excluded (AP is
+    * undefined for them). Output: (user, n_actual, n_hits_at_k, ap).
+    *
+    * Scale shape: user-keyed windows and joins only — no global order. The
+    * per-rank precision terms sum through DECIMAL(18,8), so the result is
+    * partition-order-independent (cross-engine hash-stable).
+    */
+  def mapAtK(recs: DataFrame, actuals: DataFrame,
+             userCol: String, itemCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rc = recs.select(col(userCol).as("user"), col(itemCol).as("item"))
+      .groupBy(col("user"), col("item")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user")).orderBy(col("n").desc, col("item"))
+    val ranked = rc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val a = actuals.select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val flagged = ranked.join(a.withColumn("hit", lit(1L)), Seq("user", "item"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+    val cumW = Window.partitionBy(col("user")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val terms = flagged
+      .withColumn("cum_hits", sum(col("hit")).over(cumW))
+      .withColumn("term",
+        when(col("hit") === 1,
+          (col("cum_hits").cast("double") / col("rnk")).cast("decimal(18,8)"))
+          .otherwise(lit(0).cast("decimal(18,8)")))
+      .groupBy(col("user"))
+      .agg(sum(col("hit")).as("n_hits_at_k"), sum(col("term")).as("ap_num"))
+    val na = a.groupBy(col("user")).agg(count(lit(1)).as("n_actual"))
+    na.join(terms, Seq("user"), "left")
+      .select(col("user"), col("n_actual"),
+        coalesce(col("n_hits_at_k"), lit(0L)).as("n_hits_at_k"),
+        round(coalesce(col("ap_num"), lit(0).cast("decimal(18,8)")).cast("double") /
+          least(lit(k.toLong), col("n_actual")), 6).as("ap"))
+  }
+
+  /** Corpus hit-rate@k and average-reciprocal-hit-rank: share of users whose
+    * top-k (frequency-desc-ranked) recommendations contain ≥1 actual, and the
+    * mean of 1/first-hit-rank (0 when no hit within k) over every user WITH
+    * recommendations. Output: 1 row (k, n_users, n_users_hit, hit_rate, arhr).
+    */
+  def hitRateAtK(recs: DataFrame, actuals: DataFrame,
+                 userCol: String, itemCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rc = recs.select(col(userCol).as("user"), col(itemCol).as("item"))
+      .groupBy(col("user"), col("item")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user")).orderBy(col("n").desc, col("item"))
+    val ranked = rc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val a = actuals.select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val firstHit = ranked.join(a, Seq("user", "item"))
+      .groupBy(col("user")).agg(min(col("rnk")).as("first_hit"))
+    rc.select(col("user")).distinct()
+      .join(firstHit, Seq("user"), "left")
+      .agg(lit(k).as("k"), count(lit(1)).as("n_users"),
+        count(col("first_hit")).as("n_users_hit"),
+        round(count(col("first_hit")).cast("double") / count(lit(1)), 6)
+          .as("hit_rate"),
+        round(sum(coalesce((lit(1.0) / col("first_hit")).cast("decimal(18,8)"),
+            lit(0).cast("decimal(18,8)")))
+          .cast("double") / count(lit(1)), 6).as("arhr"))
+  }
+
+  /** Serendipity: the share of each user's recommended items that are relevant
+    * (appear in the user's actuals) AND unexpected (outside the global top-N
+    * most-popular actual items, popularity = distinct-user count, ties broken
+    * by item). A recommender that only re-serves blockbusters scores 0 even at
+    * perfect precision. Output per user with recommendations:
+    * (user, n_recs, n_hits, n_serendipitous, serendipity = n_ser/n_recs).
+    *
+    * Scale shape: the popular set is N rows — computed with
+    * TakeOrderedAndProject and broadcast into the anti-join; everything else is
+    * user-keyed distinct + join aggregation.
+    */
+  def serendipity(recs: DataFrame, actuals: DataFrame,
+                  userCol: String, itemCol: String, topN: Int = 100): DataFrame = {
+    val r = recs.select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val a = actuals.select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val popular = a.groupBy(col("item"))
+      .agg(countDistinct(col("user")).as("n_users"))
+      .orderBy(col("n_users").desc, col("item"))
+      .limit(topN)
+      .select(col("item"))
+    val hits = r.join(a, Seq("user", "item"))
+    val ser = hits.join(broadcast(popular), Seq("item"), "left_anti")
+      .groupBy(col("user")).agg(count(lit(1)).as("n_serendipitous"))
+    val nh = hits.groupBy(col("user")).agg(count(lit(1)).as("n_hits"))
+    r.groupBy(col("user")).agg(count(lit(1)).as("n_recs"))
+      .join(nh, Seq("user"), "left")
+      .join(ser, Seq("user"), "left")
+      .select(col("user"), col("n_recs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_serendipitous"), lit(0L)).as("n_serendipitous"))
+      .withColumn("serendipity",
+        round(col("n_serendipitous").cast("double") / col("n_recs"), 6))
+  }
+
+  /** Calibration overlap: how well each user's recommendation mix matches
+    * their historical taste profile over a categorical feature (genre/brand).
+    * With p = the user's history share per feature and q = the rec share,
+    * overlap = Σ_f min(p_f, q_f) ∈ [0,1] (1 = perfectly calibrated). The
+    * min-overlap form (1 − total-variation distance) avoids KL's log-of-zero
+    * on features present in one side only — no smoothing constant to pick, and
+    * exactly reproducible in SQL. Only users present in BOTH frames are scored.
+    * Output: (user, n_feat_hist, n_feat_rec, overlap).
+    */
+  def calibrationOverlap(history: DataFrame, recs: DataFrame,
+                         userCol: String, featureCol: String): DataFrame = {
+    def shares(df: DataFrame, alias: String): DataFrame = {
+      val c = df.select(col(userCol).as("user"), col(featureCol).as("feat"))
+        .groupBy(col("user"), col("feat")).agg(count(lit(1)).as("n"))
+      val t = c.groupBy(col("user")).agg(sum(col("n")).as("tot"),
+        count(lit(1)).as(s"n_feat_$alias"))
+      c.join(t, Seq("user"))
+        .select(col("user"), col("feat"), col(s"n_feat_$alias"),
+          (col("n").cast("double") / col("tot")).as(s"p_$alias"))
+    }
+    val h = shares(history, "hist")
+    val r = shares(recs, "rec")
+    // full outer on (user, feat) within users present in both sides: a feature
+    // missing from one side contributes min(p, 0) = 0 but must not drop rows
+    h.join(r, Seq("user", "feat"), "full_outer")
+      .groupBy(col("user"))
+      .agg(max(col("n_feat_hist")).as("n_feat_hist"),
+        max(col("n_feat_rec")).as("n_feat_rec"),
+        sum(least(coalesce(col("p_hist"), lit(0.0)),
+            coalesce(col("p_rec"), lit(0.0))).cast("decimal(18,8)"))
+          .as("ov"))
+      .filter(col("n_feat_hist").isNotNull && col("n_feat_rec").isNotNull)
+      .select(col("user"), col("n_feat_hist"), col("n_feat_rec"),
+        round(col("ov").cast("double"), 6).as("overlap"))
+  }
+
   /** Mean reciprocal rank: each user's recommendations are ranked by
     * (frequency desc, item) — a deterministic, popularity-within-user order —
     * and the user contributes 1/rank of their first actual hit (0 if none).

@@ -1,0 +1,80 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class EventStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("dailyAnomalies: spike day flagged against its trailing baseline only") {
+    // 9 quiet days of 10 events, then a 100-event day: the spike must be
+    // flagged, and the spike must NOT inflate its own baseline.
+    val rows = (1 to 9).flatMap { d =>
+      (1 to 10).map(i => (s"2024-01-0$d".take(10), i))
+    }.map { case (day, i) => (ts(f"${day} 12:00:00"), "view", i.toLong) } ++
+      (1 to 100).map(i => (ts("2024-01-10 12:00:00"), "view", i.toLong))
+    val df = rows.toDF("ts", "event_type", "event_id")
+    val out = EventStats.dailyAnomalies(df, "ts", "event_type")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[java.lang.Double]("z")), r.getAs[Boolean]("is_anomaly"))).toMap
+    // first 3 days: baseline too thin → null z
+    assert(out("2024-01-01")._1.isEmpty)
+    assert(out("2024-01-03")._1.isEmpty)
+    // a quiet mid-run day: zero variance in baseline → null z (std = 0 guard)
+    assert(out("2024-01-09")._1.isEmpty)
+    // spike day with an all-constant baseline: std = 0 ⇒ the guard nulls z
+    // rather than divide by zero, so jitter one day INSIDE the spike's
+    // trailing window (days 3-9) to give the baseline nonzero variance
+    val jit = rows ++ Seq((ts("2024-01-05 13:00:00"), "view", 999L))
+    val out2 = EventStats.dailyAnomalies(jit.toDF("ts", "event_type", "event_id"),
+        "ts", "event_type")
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (Option(r.getAs[java.lang.Double]("z")), r.getAs[Boolean]("is_anomaly"))).toMap
+    val (zSpike, flagged) = out2("2024-01-10")
+    assert(zSpike.exists(_ > 2.0))
+    assert(flagged)
+    // quiet days with the jittered baseline stay unflagged
+    assert(!out2("2024-01-08")._2)
+  }
+
+  test("burstiness: metronome → -1-ish, bursty → positive") {
+    // user 1: perfectly regular 60s gaps → sigma=0 → B = -1
+    val regular = (0 until 10).map(i =>
+      (1L, i.toLong, ts("2024-01-01 00:00:00").getTime + i * 60000L))
+    // user 2: 9 tiny gaps and one huge gap → heavy burst, B > 0
+    val burstTimes = (0 until 9).scanLeft(0L)((acc, _) => acc + 1000L) :+ 3600000L
+    val bursty = burstTimes.zipWithIndex.map { case (off, i) =>
+      (2L, (100 + i).toLong, ts("2024-01-01 00:00:00").getTime + off)
+    }
+    // user 3: too few events → excluded
+    val few = (0 until 3).map(i =>
+      (3L, (200 + i).toLong, ts("2024-01-01 00:00:00").getTime + i * 1000L))
+    val df = (regular ++ bursty ++ few)
+      .map { case (u, e, ms) => (u, e, new Timestamp(ms)) }
+      .toDF("user_id", "event_id", "ts")
+    val out = EventStats.burstiness(df, "ts", "user_id")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("burstiness")).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(approx(out(1L), -1.0, 1e-6))
+    assert(out(2L) > 0.3)
+  }
+
+  test("userTypeEntropy: uniform = log2 n, single-type = 0") {
+    val df = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),
+      (2L, "a"), (2L, "a"), (2L, "a"),
+      (3L, "a"), (3L, "a"), (3L, "b")
+    ).toDF("user_id", "event_type")
+    val out = EventStats.userTypeEntropy(df, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_types"), r.getAs[Double]("entropy_bits"))).toMap
+    assert(out(1L) == (4L, 2.0))
+    assert(out(2L) == (1L, 0.0))
+    // H(1/3, 2/3) = log2 3 − 2/3 ≈ 0.918296
+    assert(out(3L)._1 == 2L)
+    assert(approx(out(3L)._2, 0.918296, 1e-6))
+  }
+}

@@ -33,4 +33,30 @@ class ProfilingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Expand"), s"approx mode must not Expand:\n${plan.take(800)}")
   }
+
+  test("madOutliers: flags the planted outlier, robust to its magnitude") {
+    // 99 values uniform-ish around 100 plus one at 10000: median/MAD barely
+    // move, the planted point gets a huge modified z
+    val vals = (1 to 99).map(i => (i.toLong, 95.0 + (i % 11))) :+ (100L, 10000.0)
+    val out = Profiling.madOutliers(vals.toDF("id", "v"), "id", "v")
+      .collect()
+    assert(out.map(_.getLong(0)).toSet == Set(100L))
+    val z = out.head.getAs[Double]("robust_z")
+    assert(z > 100, s"z=$z")
+  }
+
+  test("madOutliers: symmetric data flags nothing") {
+    val vals = (1 to 100).map(i => (i.toLong, (i % 10).toDouble))
+    assert(Profiling.madOutliers(vals.toDF("id", "v"), "id", "v").count() == 0)
+  }
+
+  test("madOutliers: approx mode agrees with exact on the planted outlier") {
+    val vals = (1 to 999).map(i => (i.toLong, 50.0 + (i % 7))) :+ (1000L, -4000.0)
+    val exact = Profiling.madOutliers(vals.toDF("id", "v"), "id", "v")
+      .collect().map(_.getLong(0)).toSet
+    val approxM = Profiling.madOutliers(vals.toDF("id", "v"), "id", "v",
+        exact = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact == Set(1000L) && approxM == Set(1000L))
+  }
 }

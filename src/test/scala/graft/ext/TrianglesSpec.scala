@@ -1,0 +1,60 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class TrianglesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def census(edges: Seq[(Long, Long)]) =
+    Triangles.triangleCensus(edges.toDF("src", "dst"), "src", "dst")
+      .collect().head
+
+  test("K4 has 4 triangles and clustering 1") {
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val r = census(k4)
+    assert(r.getAs[Long]("n_nodes") == 4)
+    assert(r.getAs[Long]("n_edges") == 6)
+    assert(r.getAs[Long]("n_wedges") == 12)
+    assert(r.getAs[Long]("n_triangles") == 4)
+    assert(approx(r.getAs[Double]("global_clustering"), 1.0))
+  }
+
+  test("triangle with a pendant edge") {
+    // 1-2-3 triangle, 4 hangs off 1: wedges = 3 + C(3,2)·... deg(1)=3 others
+    val r = census(Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L)))
+    assert(r.getAs[Long]("n_triangles") == 1)
+    // degrees: 1→3, 2→2, 3→2, 4→1 ⇒ wedges = 3 + 1 + 1 + 0 = 5
+    assert(r.getAs[Long]("n_wedges") == 5)
+    assert(approx(r.getAs[Double]("global_clustering"), 0.6))
+  }
+
+  test("input duplicates, self-loops and reversed orientation are normalized") {
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (3L, 3L), (2L, 3L), (1L, 3L))
+    val r = census(messy)
+    assert(r.getAs[Long]("n_edges") == 3)
+    assert(r.getAs[Long]("n_triangles") == 1)
+  }
+
+  test("hub star graph has zero triangles and many wedges") {
+    val star = (2L to 20L).map(i => (1L, i))
+    val r = census(star)
+    assert(r.getAs[Long]("n_triangles") == 0)
+    assert(r.getAs[Long]("n_wedges") == 19L * 18 / 2)
+  }
+
+  test("matches brute-force a<b<c count on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 300).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }
+    val norm = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val es = norm.toSet
+    val nodes = norm.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+    var brute = 0L
+    for {
+      i <- nodes; j <- nodes if i < j; k <- nodes if j < k
+      if es((i, j)) && es((j, k)) && es((i, k))
+    } brute += 1
+    val r = census(edges)
+    assert(r.getAs[Long]("n_triangles") == brute)
+  }
+}

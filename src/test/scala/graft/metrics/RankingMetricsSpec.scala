@@ -71,4 +71,77 @@ class RankingMetricsSpec extends SparkTestBase {
       .collect().head
     assert(out.getDouble(2) == 0.5)
   }
+
+  test("mapAtK: hand-computed average precision") {
+    // user 1 recs ranked: 5 (freq 2), then 1, then 9; actuals {1, 9, 7}
+    //   hits at ranks 2 (cum 1) and 3 (cum 2)
+    //   AP = (1/2 + 2/3) / min(10, 3) = (0.5 + 0.666667) / 3
+    val r = Seq((1L, 5L), (1L, 5L), (1L, 1L), (1L, 9L)).toDF("user_id", "item_id")
+    val a = Seq((1L, 1L), (1L, 9L), (1L, 7L), (2L, 4L)).toDF("user_id", "item_id")
+    val out = RankingMetrics.mapAtK(r, a, "user_id", "item_id", k = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    val (nAct, nHits, ap) = out(1L)
+    assert(nAct == 3L && nHits == 2L)
+    assert(math.abs(ap - (0.5 + 2.0 / 3) / 3) < 1e-5)
+    // user 2 has actuals but no recs -> AP 0
+    assert(out(2L) == ((1L, 0L, 0.0)))
+  }
+
+  test("mapAtK: ranks beyond k do not contribute") {
+    // 4 recs, k=2: the only hit sits at rank 3 -> AP@2 = 0
+    val r = Seq((1L, 1L), (1L, 1L), (1L, 1L), (1L, 2L), (1L, 2L), (1L, 3L),
+      (1L, 4L)).toDF("user_id", "item_id")
+    val a = Seq((1L, 3L)).toDF("user_id", "item_id")
+    val out = RankingMetrics.mapAtK(r, a, "user_id", "item_id", k = 2)
+      .collect().head
+    assert(out.getDouble(3) == 0.0)
+  }
+
+  test("hitRateAtK: counts users with a top-k hit and averages 1/first-hit") {
+    // u1: first hit rank 2; u2: no hit; u3: hit rank 1
+    val r = Seq((1L, 5L), (1L, 5L), (1L, 1L), (2L, 7L), (3L, 4L))
+      .toDF("user_id", "item_id")
+    val a = Seq((1L, 1L), (3L, 4L), (9L, 9L)).toDF("user_id", "item_id")
+    val out = RankingMetrics.hitRateAtK(r, a, "user_id", "item_id", k = 10)
+      .collect().head
+    assert(out.getAs[Long]("n_users") == 3L)
+    assert(out.getAs[Long]("n_users_hit") == 2L)
+    assert(math.abs(out.getAs[Double]("arhr") - (0.5 + 1.0) / 3) < 1e-5)
+  }
+
+  test("serendipity: popular hits are excluded, unexpected hits kept") {
+    // items 1, 2 are the top-2 popular actuals; with topN = 2 a hit on item 1
+    // is expected, a hit on item 30 is serendipitous
+    val a = (1L to 10L).map(u => (u, 1L)) ++ (1L to 9L).map(u => (u, 2L)) ++
+      Seq((1L, 30L), (2L, 31L))
+    val r = Seq((1L, 1L), (1L, 30L), (1L, 99L), (2L, 2L))
+    val out = RankingMetrics.serendipity(r.toDF("user_id", "item_id"),
+        a.toDF("user_id", "item_id"), "user_id", "item_id", topN = 2)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(out(1L) == ((3L, 2L, 1L))) // hits: item 1 (popular) + item 30 (serendip)
+    assert(out(2L) == ((1L, 1L, 0L))) // hit on popular item 2 only
+  }
+
+  test("calibrationOverlap: identical mixes -> 1, disjoint -> 0") {
+    val h = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "a"), (3L, "x"))
+      .toDF("user_id", "feat")
+    val r = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (4L, "y"))
+      .toDF("user_id", "feat")
+    val out = RankingMetrics.calibrationOverlap(h, r, "user_id", "feat")
+      .collect().map(x => x.getLong(0) -> x.getAs[Double]("overlap")).toMap
+    assert(approx(out(1L), 1.0, 1e-6))   // same 2/3-1/3 mix
+    assert(approx(out(2L), 0.0, 1e-6))   // disjoint features
+    assert(!out.contains(3L) && !out.contains(4L)) // one-sided users excluded
+  }
+
+  test("calibrationOverlap: partial overlap is the min-share sum") {
+    // hist: a 3/4, b 1/4; recs: a 1/2, c 1/2 -> overlap = min(3/4,1/2) = 0.5
+    val h = Seq((1L, "a"), (1L, "a"), (1L, "a"), (1L, "b")).toDF("user_id", "feat")
+    val r = Seq((1L, "a"), (1L, "c")).toDF("user_id", "feat")
+    val out = RankingMetrics.calibrationOverlap(h, r, "user_id", "feat")
+      .collect().head
+    assert(approx(out.getAs[Double]("overlap"), 0.5, 1e-6))
+  }
 }
