@@ -25,13 +25,17 @@ object Triangles {
     * global_clustering = 3·triangles/wedges, rounded 6).
     */
   def triangleCensus(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // e (O(m)) and deg (O(n)) each feed 2-3 consumers below; materialized once
+    // so the input scan + dedup shuffle doesn't re-run per consumer
     val e = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-    val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
+      .localCheckpoint()
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // orient a→b when (deg,id)(a) < (deg,id)(b); both joins against the small
     // degree table are broadcast-eligible, the wedge join shuffles on node id
     val oriented = e
@@ -45,6 +49,10 @@ object Triangles {
           .otherwise(struct(col("da").as("d"), col("a").as("n")))
           .as("vo"))
       .select(col("u"), col("vo").getField("n").as("v"), col("vo"))
+      // three consumers below (both wedge-join sides + the closing semi-join
+      // probe); materialize once so the edge+degree pipeline doesn't re-run
+      // per consumer — the same checkpoint discipline as Dedup.dupClusters
+      .localCheckpoint()
     val wedges = oriented.as("x").join(oriented.as("y"),
         col("x.u") === col("y.u") && (col("x.vo") < col("y.vo")))
       .select(col("x.v").as("wv"), col("y.v").as("ww"))

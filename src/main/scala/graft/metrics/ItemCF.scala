@@ -47,10 +47,16 @@ object ItemCF {
       .groupBy(col("x.item").as("i"), col("y.item").as("j"),
         col("x.n_users").as("ni"), col("y.n_users").as("nj"))
       .agg(count(lit(1)).as("n_both"))
-    val directed = co.select(col("i").as("item_id"), col("j").as("neighbor_id"),
-        col("ni").as("n_item"), col("nj").as("n_neighbor"), col("n_both"))
-      .unionAll(co.select(col("j").as("item_id"), col("i").as("neighbor_id"),
-        col("nj").as("n_item"), col("ni").as("n_neighbor"), col("n_both")))
+    // both directions from ONE generator, not a UNION of two projections — a
+    // union's branches each re-specialize (and re-run) the whole co-occurrence
+    // aggregate upstream; explode(array(struct…)) keeps a single subtree
+    val directed = co.select(explode(array(
+        struct(col("i").as("item_id"), col("j").as("neighbor_id"),
+          col("ni").as("n_item"), col("nj").as("n_neighbor"), col("n_both")),
+        struct(col("j").as("item_id"), col("i").as("neighbor_id"),
+          col("nj").as("n_item"), col("ni").as("n_neighbor"), col("n_both"))))
+        .as("e"))
+      .select(col("e.*"))
       .withColumn("cosine",
         col("n_both").cast("double") / sqrt(col("n_item") * col("n_neighbor")))
     val w = Window.partitionBy(col("item_id"))
