@@ -277,6 +277,58 @@ object InsightQueries {
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Conversion attribution
+  // -------------------------------------------------------------------------
+
+  /** First/last/linear attribution of purchases to view/click touchpoints
+    * within a 7-day lookback.
+    */
+  def qAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Attribution.channelCredit(Tables.events(spark, dir),
+        "ts", "user_id", "event_type", "event_id",
+        touchTypes = Seq("view", "click"), convType = "purchase",
+        lookbackMs = 7L * 24 * 3600 * 1000)
+      .orderBy(col("channel"))
+
+  val attributionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id,
+      |    event_type AS channel FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase')),
+      |s AS (SELECT *, SUM(CASE WHEN channel = 'purchase' THEN 1 ELSE 0 END)
+      |    OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM e),
+      |seg AS (SELECT user_id, ms, event_id, channel,
+      |    CASE WHEN channel = 'purchase' THEN cum - 1 ELSE cum END AS seg FROM s),
+      |t AS (SELECT * FROM seg WHERE channel <> 'purchase'),
+      |c AS (SELECT user_id, seg, ms AS conv_ms, event_id AS conv_id
+      |      FROM seg WHERE channel = 'purchase'),
+      |j AS (SELECT t.user_id, t.seg, t.ms, t.event_id, t.channel,
+      |        c.conv_ms, c.conv_id
+      |      FROM t JOIN c ON t.user_id = c.user_id AND t.seg = c.seg
+      |      WHERE c.conv_ms - t.ms <= 604800000),
+      |m AS (SELECT *,
+      |    COUNT(*) OVER pc AS n_touches,
+      |    FIRST_VALUE(channel) OVER po AS first_chan,
+      |    LAST_VALUE(channel) OVER po AS last_chan
+      |  FROM j WINDOW
+      |    pc AS (PARTITION BY user_id, seg),
+      |    po AS (PARTITION BY user_id, seg ORDER BY ms, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)),
+      |lin AS (SELECT channel, SUM(CAST(1.0 / n_touches AS DECIMAL(18,8)))
+      |        AS lin FROM m GROUP BY 1),
+      |pc AS (SELECT DISTINCT user_id, conv_id, first_chan, last_chan FROM m),
+      |f AS (SELECT first_chan AS channel, COUNT(*) AS n_first_touch FROM pc GROUP BY 1),
+      |l AS (SELECT last_chan AS channel, COUNT(*) AS n_last_touch FROM pc GROUP BY 1)
+      |SELECT COALESCE(f.channel, l.channel, lin.channel) AS channel,
+      |  COALESCE(f.n_first_touch, 0) AS n_first_touch,
+      |  COALESCE(l.n_last_touch, 0) AS n_last_touch,
+      |  ROUND(CAST(COALESCE(lin.lin, CAST(0 AS DECIMAL(18,8))) AS DOUBLE), 6)
+      |    AS linear_credit
+      |FROM f FULL OUTER JOIN l ON f.channel = l.channel
+      |FULL OUTER JOIN lin ON COALESCE(f.channel, l.channel) = lin.channel
+      |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Robust outliers
   // -------------------------------------------------------------------------
 
@@ -315,6 +367,7 @@ object InsightQueries {
     "q_anomaly_daily" -> (qAnomalyDaily _),
     "q_burstiness" -> (qBurstiness _),
     "q_user_entropy" -> (qUserEntropy _),
+    "q_attribution" -> (qAttribution _),
     "q_mad_outliers" -> (qMadOutliers _)
   )
 
@@ -328,6 +381,7 @@ object InsightQueries {
     "q_anomaly_daily" -> anomalyDailySql,
     "q_burstiness" -> burstinessSql,
     "q_user_entropy" -> userEntropySql,
+    "q_attribution" -> attributionSql,
     "q_mad_outliers" -> madOutliersSql
   )
 }

@@ -1,0 +1,66 @@
+package graft.ext
+
+import java.sql.Timestamp
+
+import graft.SparkTestBase
+
+class AttributionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+
+  private def df(rows: Seq[(Long, Long, Long, String)]) =
+    rows.map { case (u, e, off, t) => (u, e, new Timestamp(base + off), t) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+
+  private def run(rows: Seq[(Long, Long, Long, String)], lookbackMs: Long = 1000000L) =
+    Attribution.channelCredit(df(rows), "ts", "user_id", "event_type", "event_id",
+        Seq("view", "click"), "purchase", lookbackMs)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("first/last/linear credit on a two-conversion timeline") {
+    val out = run(Seq(
+      // conv 1: view then click then purchase → first=view, last=click, ½ each
+      (1L, 1L, 0L, "view"), (1L, 2L, 10L, "click"), (1L, 3L, 20L, "purchase"),
+      // conv 2: single view → all three models credit view
+      (1L, 4L, 30L, "view"), (1L, 5L, 40L, "purchase")
+    ))
+    assert(out("view") == ((2L, 1L, 1.5)))
+    assert(out("click") == ((0L, 1L, 0.5)))
+  }
+
+  test("touches beyond the lookback window earn nothing") {
+    val out = run(Seq(
+      (2L, 1L, 0L, "view"), (2L, 2L, 5000000L, "purchase")
+    ), lookbackMs = 100L)
+    assert(out.isEmpty) // the conversion is unattributed
+  }
+
+  test("a conversion resets the segment — earlier touches never leak forward") {
+    val out = run(Seq(
+      (3L, 1L, 0L, "click"), (3L, 2L, 10L, "purchase"),
+      // second purchase has NO touches in its own segment
+      (3L, 3L, 20L, "purchase")
+    ))
+    assert(out("click") == ((1L, 1L, 1.0)))
+  }
+
+  test("other event types are ignored entirely") {
+    val out = run(Seq(
+      (4L, 1L, 0L, "view"), (4L, 2L, 5L, "error"), (4L, 3L, 6L, "signup"),
+      (4L, 4L, 10L, "purchase")
+    ))
+    assert(out("view") == ((1L, 1L, 1.0)))
+    assert(!out.contains("error") && !out.contains("signup"))
+  }
+
+  test("simultaneous timestamps break ties by event id") {
+    val out = run(Seq(
+      (5L, 1L, 0L, "view"), (5L, 2L, 0L, "click"), (5L, 3L, 10L, "purchase")
+    ))
+    assert(out("view")._1 == 1L)  // id 1 < id 2 → view is first
+    assert(out("click")._2 == 1L) // click is last
+  }
+}
