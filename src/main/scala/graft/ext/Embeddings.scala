@@ -31,6 +31,48 @@ object Embeddings {
       .withColumn("q", transform(col(vecCol), x => quantize(x, col("scale"))))
   }
 
+  /** PCA projection of an `array<float>` embedding column to `k` dimensions —
+    * the standard dimensionality cut before IVF/LSH indexing (64→16 dims
+    * quarters every distance computation downstream).
+    *
+    * Distribution shape: the d×d Gram matrix is accumulated in ONE pass with
+    * map-side partial aggregation (`RowMatrix.computeCovariance`), the d×d
+    * eigendecomposition runs on the driver — d is the embedding width
+    * (typically ≤ 4096), NEVER the row count, so the driver-local step is
+    * O(d³) independent of data scale — and the projection back over the rows
+    * is a broadcast matrix multiply. This mirrors MLlib's own PCA
+    * (`org.apache.spark.mllib.linalg.distributed.RowMatrix
+    * .computePrincipalComponents`, which this uses).
+    *
+    * Output: (idCol, projected array<double> of length k). Component signs
+    * follow the underlying eigensolver (sign-indeterminate, as in every PCA
+    * implementation) — tests assert variance/geometry, not raw signs.
+    */
+  def pcaProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.mllib.linalg.{DenseMatrix, Vectors}
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rows = df.select(col(idCol), col(vecCol)).rdd.map { r =>
+      val id = r.get(0)
+      val arr = r.getSeq[Float](1).toArray.map(_.toDouble)
+      (id, Vectors.dense(arr))
+    }
+    rows.cache()
+    val mat = new RowMatrix(rows.values)
+    val pcs = mat.computePrincipalComponents(k) // d×k, driver-local (small)
+    val pcB = df.sparkSession.sparkContext.broadcast(
+      new DenseMatrix(pcs.numRows, pcs.numCols, pcs.toArray))
+    val projected = rows.map { case (id, v) =>
+      val p = pcB.value.transpose.multiply(v)
+      org.apache.spark.sql.Row(id, p.toArray.toSeq)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.select(col(idCol)).schema.head,
+      org.apache.spark.sql.types.StructField("pca",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType, containsNull = false))))
+    df.sparkSession.createDataFrame(projected, schema)
+  }
+
   /** Per-vector quantization summary — the flat (non-array) projection of
     * [[quantizeInt8]] used by the oracle-checked query: element-wise explode,
     * re-aggregated to (sum, min, max) of the quantized values.

@@ -40,4 +40,49 @@ class EmbeddingsSpec extends SparkTestBase {
       assert(math.abs(deq - x) <= scale / 254.0 + 1e-9, s"$x vs $deq")
     }
   }
+
+  test("pcaProject: a 1-D signal embedded in d dims collapses onto PC1") {
+    // points along direction (1,1,0,...)/sqrt(2) with tiny noise in dim 3
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 200).map { i =>
+      val t = rnd.nextGaussian() * 10
+      val noise = rnd.nextGaussian() * 0.01
+      (i.toLong, Array(t.toFloat, t.toFloat, noise.toFloat, 0.0f))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.pcaProject(df, "vec_id", "embedding", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(out.size == 200)
+    assert(out.values.forall(_.length == 2))
+    // PC1 must carry (essentially) all the variance; PC2 only the noise
+    val p1 = out.values.map(_.head).toSeq
+    val p2 = out.values.map(_(1)).toSeq
+    def variance(xs: Seq[Double]) = {
+      val m = xs.sum / xs.size
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1)
+    }
+    assert(variance(p1) > 100 * variance(p2),
+      s"var1=${variance(p1)} var2=${variance(p2)}")
+    // PC1 coordinate recovers the signal up to sign: |p1| ~ |t|*sqrt(2)
+    val in = rows.map { case (id, a) => id -> a(0).toDouble }.toMap
+    val ratios = out.collect { case (id, p) if math.abs(in(id)) > 1 =>
+      math.abs(p.head) / (math.abs(in(id)) * math.sqrt(2)) }
+    assert(ratios.forall(r => r > 0.99 && r < 1.01))
+  }
+
+  test("pcaProject: k equal to input dim is a rotation (norms preserved)") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 50).map { i =>
+      (i.toLong, Array.fill(3)((rnd.nextGaussian()).toFloat))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Embeddings.pcaProject(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val in = rows.toMap
+    for ((id, p) <- out) {
+      val n1 = math.sqrt(in(id).map(x => x.toDouble * x).sum)
+      val n2 = math.sqrt(p.map(x => x * x).sum)
+      assert(math.abs(n1 - n2) < 1e-5, s"norm $n1 vs $n2")
+    }
+  }
 }
