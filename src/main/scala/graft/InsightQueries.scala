@@ -276,6 +276,47 @@ object InsightQueries {
       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** 80-core of the co-purchase graph (k chosen so the peel actually cascades:
+    * depth 5 at sf0.01/sf0.1 with a non-empty core — smaller k peels nothing,
+    * k ≥ 90 empties the graph). The oracle unrolls 12 peeling rounds as CTEs;
+    * peeling is IDEMPOTENT at fixpoint, so unrolling more rounds than the
+    * actual depth changes nothing — the PageRank fixed-iteration discipline
+    * without needing the iteration counts to match exactly.
+    */
+  def qKcore(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = l.as("x").join(l.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+    graft.ext.KCore.kCore(edges, "src", "dst", k = 80)
+      .orderBy(col("node"))
+  }
+
+  val kcoreSql: String = {
+    val k = 80
+    val rounds = 10
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // frame several times, and inlined CTEs would expand the lineage
+    // exponentially (observed as thousands of re-opened parquet scans)
+    val peels = (1 to rounds).map { i =>
+      val prev = if (i == 1) "p0" else s"p${i - 1}"
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM
+         |  (SELECT a AS node FROM $prev UNION ALL SELECT b FROM $prev)
+         |  GROUP BY 1),
+         |p$i AS MATERIALIZED (SELECT a, b FROM $prev
+         |  WHERE a IN (SELECT node FROM d$i WHERE deg >= $k)
+         |  AND b IN (SELECT node FROM d$i WHERE deg >= $k))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH p0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |$peels
+       |SELECT node, COUNT(*) AS deg FROM
+       |  (SELECT a AS node FROM p$rounds UNION ALL SELECT b FROM p$rounds)
+       |GROUP BY 1 HAVING COUNT(*) >= $k ORDER BY node""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
   // Conversion attribution
   // -------------------------------------------------------------------------
@@ -367,6 +408,7 @@ object InsightQueries {
     "q_anomaly_daily" -> (qAnomalyDaily _),
     "q_burstiness" -> (qBurstiness _),
     "q_user_entropy" -> (qUserEntropy _),
+    "q_kcore" -> (qKcore _),
     "q_attribution" -> (qAttribution _),
     "q_mad_outliers" -> (qMadOutliers _)
   )
@@ -381,6 +423,7 @@ object InsightQueries {
     "q_anomaly_daily" -> anomalyDailySql,
     "q_burstiness" -> burstinessSql,
     "q_user_entropy" -> userEntropySql,
+    "q_kcore" -> kcoreSql,
     "q_attribution" -> attributionSql,
     "q_mad_outliers" -> madOutliersSql
   )

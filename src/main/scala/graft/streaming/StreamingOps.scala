@@ -575,4 +575,60 @@ object StreamingOps {
           closed.iterator
       }
   }
+
+  final case class AttribEvent(user_id: Long, event_id: Long, ts: Timestamp,
+                               event_type: String)
+  final case class AttribState(channel: String, touch_ms: Long, touch_id: Long)
+  final case class AttributedConv(user_id: Long, conv_id: Long, conv_ms: Long,
+                                  channel: String, touch_ms: Long)
+
+  /** Streaming LAST-TOUCH attribution — the incremental twin of
+    * [[graft.ext.Attribution.channelCredit]]'s last-touch model. State per
+    * user is ONE row: the most recent touch since the last conversion. A
+    * conversion emits `(conversion, credited channel)` immediately if the
+    * stored touch is within the lookback, then RESETS the touch — mirroring
+    * the batch operator's segment semantics (a touch never credits two
+    * conversions, and pre-conversion touches never leak forward).
+    *
+    * First/linear models are not streamable in O(1) state (they need the
+    * segment's full touch list); the batch operator remains their home — the
+    * same division of labor as minhash candidates vs batch verification.
+    *
+    * Assumes event-time order across batches (in-batch disorder is sorted
+    * out); port [[funnelStreamLate]]'s watermark-buffering if arrival can
+    * disorder. State is O(1) per user but lives under `NoTimeout` — add a
+    * state TTL for user spaces that grow without bound.
+    */
+  def attributionStream(events: Dataset[AttribEvent], touchTypes: Set[String],
+                        convType: String, lookbackMs: Long)
+      : Dataset[AttributedConv] = {
+    import events.sparkSession.implicits._
+    events
+      .filter(e => touchTypes.contains(e.event_type) || e.event_type == convType)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AttribState, AttributedConv](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[AttribEvent], state: GroupState[AttribState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer[AttributedConv]()
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            if (e.event_type == convType) {
+              cur.foreach { t =>
+                if (ms - t.touch_ms <= lookbackMs)
+                  out += AttributedConv(user, e.event_id, ms, t.channel, t.touch_ms)
+              }
+              cur = None // conversion closes the segment
+            } else {
+              cur = Some(AttribState(e.event_type, ms, e.event_id))
+            }
+          }
+          cur match {
+            case Some(s) => state.update(s)
+            case None    => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+  }
 }

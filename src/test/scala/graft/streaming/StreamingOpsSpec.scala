@@ -335,4 +335,63 @@ class StreamingOpsSpec extends SparkTestBase {
       s"got ${out.mkString(";")}")
     assert(out.toMap.get(1L).contains("alpha")) // the FIRST alpha won
   }
+
+  test("attributionStream last-touch credit matches batch channelCredit") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{AttribEvent, AttributedConv}
+    val input = MemoryStream[AttribEvent]
+    val query = StreamingOps.attributionStream(input.toDS(),
+        Set("view", "click"), "purchase", lookbackMs = 1000000L)
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("append").start()
+    // user 1 conv A: view, click -> last = click; conv B: view only
+    input.addData(AttribEvent(1L, 1L, ts(0), "view"),
+      AttribEvent(1L, 2L, ts(10), "click"))
+    query.processAllAvailable()
+    input.addData(AttribEvent(1L, 3L, ts(20), "purchase"),
+      AttribEvent(1L, 4L, ts(30), "view"))
+    query.processAllAvailable()
+    // cross-batch: the view from the previous batch credits this purchase
+    input.addData(AttribEvent(1L, 5L, ts(40), "purchase"),
+      // user 2: purchase with NO prior touch -> unattributed
+      AttribEvent(2L, 6L, ts(40), "purchase"),
+      // user 2: ignored event types never become touches
+      AttribEvent(2L, 7L, ts(50), "error"),
+      AttribEvent(2L, 8L, ts(60), "purchase"))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("attrib_out").as[AttributedConv].collect()
+      .map(r => (r.user_id, r.conv_id, r.channel)).toSet
+    assert(streamed == Set((1L, 3L, "click"), (1L, 5L, "view")))
+
+    // batch last-touch totals agree per channel
+    val events = Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(10), "click"),
+      (1L, 3L, ts(20), "purchase"), (1L, 4L, ts(30), "view"),
+      (1L, 5L, ts(40), "purchase"), (2L, 6L, ts(40), "purchase"),
+      (2L, 7L, ts(50), "error"), (2L, 8L, ts(60), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val batch = graft.ext.Attribution.channelCredit(events, "ts", "user_id",
+        "event_type", "event_id", Seq("view", "click"), "purchase", 1000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val streamedPerChannel = streamed.toSeq.groupBy(_._3)
+      .view.mapValues(_.size.toLong).toMap
+    assert(streamedPerChannel == batch,
+      s"stream $streamedPerChannel vs batch $batch")
+  }
+
+  test("attributionStream: lookback expiry drops stale touches") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{AttribEvent, AttributedConv}
+    val input = MemoryStream[AttribEvent]
+    val query = StreamingOps.attributionStream(input.toDS(),
+        Set("view"), "purchase", lookbackMs = 5L)
+      .writeStream.format("memory").queryName("attrib_stale")
+      .outputMode("append").start()
+    input.addData(AttribEvent(1L, 1L, ts(0), "view"),
+      AttribEvent(1L, 2L, ts(60), "purchase"))
+    query.processAllAvailable()
+    query.stop()
+    assert(spark.table("attrib_stale").as[AttributedConv].isEmpty)
+  }
 }
