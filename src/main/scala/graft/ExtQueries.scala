@@ -1517,7 +1517,7 @@ object ExtQueries {
     * centroids (vec_id < 8 — deterministic, engine-portable), all-centroid
     * cosines, and the rank-1 assignment.
     */
-  private val centroidAssignCtes =
+  private[graft] val centroidAssignCtes =
     """v AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
       |  FROM embeddings),
@@ -1532,7 +1532,7 @@ object ExtQueries {
   /** Deterministic seed centroids for the clustering oracle queries: the 8
     * lowest-id embedding rows (the oracle SQL embeds the same `vec_id < 8`).
     */
-  private def seedCentroids(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def seedCentroids(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir).filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
 

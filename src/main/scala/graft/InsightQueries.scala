@@ -370,6 +370,111 @@ object InsightQueries {
       |ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Clustering quality, popularity bias, graph drift
+  // -------------------------------------------------------------------------
+
+  /** Simplified silhouette of the seed-centroid clustering over the embedding
+    * corpus — the measurable form of SemDeDup's "raise k or sub-cluster"
+    * decision.
+    */
+  def qSilhouette(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Clustering.simplifiedSilhouette(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        ExtQueries.seedCentroids(spark, dir), "cid", "cvec")
+      .orderBy(col("centroid_id"))
+
+  val silhouetteSql: String =
+    s"""WITH ${ExtQueries.centroidAssignCtes},
+      |b1 AS (SELECT vec_id, cid, 1 - cos AS a FROM r WHERE rk = 1),
+      |b2 AS (SELECT vec_id, 1 - cos AS b FROM r WHERE rk = 2),
+      |sil AS (SELECT b1.cid,
+      |    CAST(CASE WHEN GREATEST(a, b) = 0 THEN 0
+      |      ELSE (b - a) / GREATEST(a, b) END AS DECIMAL(18,8)) AS s
+      |  FROM b1 JOIN b2 ON b1.vec_id = b2.vec_id)
+      |SELECT cid AS centroid_id, COUNT(*) AS n_vectors,
+      |  ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+      |FROM sil GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Average recommendation popularity (ARP) per user — the popularity-bias
+    * gauge: high ARP with low [[qSerendipity]] means the recommender re-serves
+    * blockbusters. Popularity = the item's interaction count in sales; items
+    * never sold count 0.
+    */
+  def qPopBias(spark: SparkSession, dir: String): DataFrame = {
+    val pop = sales(spark, dir)
+      .groupBy(col("item_id")).agg(count(lit(1)).as("pop_n"))
+    val r = recommendations(spark, dir)
+      .select(col("user_id"), col("item_id")).distinct()
+    r.join(pop, Seq("item_id"), "left")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_recs"),
+        round(sum(coalesce(col("pop_n"), lit(0L))).cast("double") /
+          count(lit(1)), 6).as("arp"))
+      .orderBy(col("user_id"))
+  }
+
+  val popBiasSql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |pop AS (SELECT item_id, COUNT(*) AS pop_n FROM sales GROUP BY 1),
+      |r AS (SELECT DISTINCT user_id, item_id FROM recs)
+      |SELECT r.user_id, COUNT(*) AS n_recs,
+      |  ROUND(CAST(SUM(COALESCE(pop.pop_n, 0)) AS BIGINT) * 1.0 / COUNT(*), 6)
+      |    AS arp
+      |FROM r LEFT JOIN pop ON r.item_id = pop.item_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Year-over-year drift of the co-purchase graph: Jaccard of consecutive
+    * years' edge sets — the retraining-cadence signal (a high-drift catalog
+    * invalidates item-item models faster).
+    */
+  def qGraphDrift(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("ok"), year(col("o_orderdate")).as("y"))
+    val ey = l.as("x").join(l.as("y"), col("x.ok") === col("y.ok") &&
+        col("x.pk") < col("y.pk"))
+      .select(col("x.ok").as("ok"), col("x.pk").as("a"), col("y.pk").as("b"))
+      .join(o, Seq("ok"))
+      .select(col("y"), col("a"), col("b")).distinct()
+    val ny = ey.groupBy(col("y")).agg(count(lit(1)).as("n_edges"))
+    val common = ey.as("p").join(ey.as("q"),
+        col("p.a") === col("q.a") && col("p.b") === col("q.b") &&
+          col("q.y") === col("p.y") + 1)
+      .groupBy(col("p.y").as("y"))
+      .agg(count(lit(1)).as("n_common"))
+    ny.as("na").join(ny.as("nb"), col("nb.y") === col("na.y") + 1)
+      .select(col("na.y").as("year_a"), col("nb.y").as("year_b"),
+        col("na.n_edges").as("n_a"), col("nb.n_edges").as("n_b"))
+      .join(common.withColumnRenamed("y", "year_a"), Seq("year_a"), "left")
+      .select(col("year_a"), col("year_b"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 6))
+      .orderBy(col("year_a"))
+  }
+
+  val graphDriftSql: String =
+    """WITH e AS (SELECT DISTINCT year(o.o_orderdate) AS y,
+      |    x.l_partkey AS a, y2.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y2
+      |  ON x.l_orderkey = y2.l_orderkey AND x.l_partkey < y2.l_partkey
+      |  JOIN orders o ON x.l_orderkey = o.o_orderkey),
+      |ny AS (SELECT y, COUNT(*) AS n_edges FROM e GROUP BY 1),
+      |cm AS (SELECT p.y, COUNT(*) AS n_common
+      |  FROM e p JOIN e q ON p.a = q.a AND p.b = q.b AND q.y = p.y + 1
+      |  GROUP BY 1)
+      |SELECT na.y AS year_a, nb.y AS year_b, na.n_edges AS n_a,
+      |  nb.n_edges AS n_b, COALESCE(cm.n_common, 0) AS n_common,
+      |  ROUND(COALESCE(cm.n_common, 0) * 1.0
+      |    / (na.n_edges + nb.n_edges - COALESCE(cm.n_common, 0)), 6) AS jaccard
+      |FROM ny na JOIN ny nb ON nb.y = na.y + 1
+      |LEFT JOIN cm ON cm.y = na.y
+      |ORDER BY year_a""".stripMargin
+
+  // -------------------------------------------------------------------------
   // Robust outliers
   // -------------------------------------------------------------------------
 
@@ -409,6 +514,9 @@ object InsightQueries {
     "q_burstiness" -> (qBurstiness _),
     "q_user_entropy" -> (qUserEntropy _),
     "q_kcore" -> (qKcore _),
+    "q_silhouette" -> (qSilhouette _),
+    "q_pop_bias" -> (qPopBias _),
+    "q_graph_drift" -> (qGraphDrift _),
     "q_attribution" -> (qAttribution _),
     "q_mad_outliers" -> (qMadOutliers _)
   )
@@ -424,6 +532,9 @@ object InsightQueries {
     "q_burstiness" -> burstinessSql,
     "q_user_entropy" -> userEntropySql,
     "q_kcore" -> kcoreSql,
+    "q_silhouette" -> silhouetteSql,
+    "q_pop_bias" -> popBiasSql,
+    "q_graph_drift" -> graphDriftSql,
     "q_attribution" -> attributionSql,
     "q_mad_outliers" -> madOutliersSql
   )

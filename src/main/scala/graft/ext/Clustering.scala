@@ -44,6 +44,51 @@ object Clustering {
         col("__b.cos").as("cosine"))
   }
 
+  /** Simplified silhouette per cluster — the clustering-quality gauge that
+    * makes the "raise k or sub-cluster the offender" decision above
+    * measurable. Per vector: a = cosine distance (1 − cos) to its own
+    * centroid, b = distance to the best OTHER centroid,
+    * s = (b − a) / max(a, b) ∈ [−1, 1] (degenerate max(a,b)=0 → 0). The
+    * classic silhouette compares against every point (O(n²)); the simplified
+    * form substitutes centroids (Hruschka et al.) and is the only one that
+    * scales — O(n·k), same envelope as assignment itself.
+    *
+    * Output: (centroid_id, n_vectors, mean_silhouette), means through
+    * DECIMAL(18,8) sums. Scale shape: broadcast centroids, per-vector window
+    * over k rows, centroid-keyed final agg — no vector ever joins a vector.
+    */
+  def simplifiedSilhouette(vecs: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, cidCol: String,
+                           cvecCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = vecs.select(col(idCol), col(vecCol),
+      SimSearch.norm(col(vecCol)).as("__nv"))
+    val c = centroids.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"),
+      SimSearch.norm(col(cvecCol)).as("__nc"))
+    val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+      .otherwise(SimSearch.dot(col(vecCol), col("__cv")) / (col("__nv") * col("__nc")))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__cid"))
+    val ranked = v.crossJoin(broadcast(c))
+      .select(col(idCol), col("__cid"), cos.as("__cos"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= 2)
+    val best = ranked.filter(col("__rk") === 1)
+      .select(col(idCol), col("__cid").as("centroid_id"),
+        (lit(1.0) - col("__cos")).as("__a"))
+    val second = ranked.filter(col("__rk") === 2)
+      .select(col(idCol), (lit(1.0) - col("__cos")).as("__b"))
+    best.join(second, idCol)
+      .select(col("centroid_id"),
+        when(greatest(col("__a"), col("__b")) === 0, lit(0.0))
+          .otherwise((col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .cast("decimal(18,8)").as("__s"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("__s")).cast("double") / count(lit(1)), 6)
+          .as("mean_silhouette"))
+  }
+
   /** Semantic near-dup pairs via centroid blocking: pairs sharing a nearest
     * centroid with cosine ≥ `threshold`. Output: (id_a, id_b, cosine), a < b.
     */

@@ -72,4 +72,27 @@ class ClusteringSpec extends SparkTestBase {
       .filter { case (a, b) => asg(a) == asg(b) }.toSet
     assert(blocked == brute)
   }
+
+  test("simplifiedSilhouette: tight clusters near 1, straddling point near 0") {
+    // centroids along x and y axes; cluster members almost parallel to their
+    // centroid -> a ~ 0, b ~ 1 -> s ~ 1. A 45-degree point ties both (a = b)
+    // -> s = 0.
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.01f)), (11L, Array(1.0f, -0.01f)),
+      (20L, Array(0.01f, 1.0f)), (21L, Array(-0.01f, 1.0f)),
+      (30L, Array(1.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = Clustering.simplifiedSilhouette(vecs, "vec_id", "embedding",
+        cents, "cid", "cvec")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getAs[Double]("mean_silhouette"))).toMap
+    // the 45-degree point tie-breaks to centroid 1 with s = 0, diluting its mean
+    val (n1, s1) = out(1L)
+    val (n2, s2) = out(2L)
+    assert(n1 == 3L && n2 == 2L)
+    assert(s2 > 0.98, s"tight cluster should be ~1, got $s2")
+    assert(s1 > 0.6 && s1 < 0.7, s"diluted mean should be ~2/3 of ~1, got $s1")
+  }
 }
