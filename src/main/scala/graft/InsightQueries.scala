@@ -182,23 +182,39 @@ object InsightQueries {
       |  ROUND(cosine, 6) AS cosine, rnk
       |FROM rk WHERE rnk <= 3 ORDER BY item_id, rnk""".stripMargin
 
-  /** Triangle census of the co-purchase graph (parts co-occurring in ≥1 order;
-    * the oracle's a<b<c three-way join states the same count the
-    * degree-oriented wedge join computes).
+  /** Repeat-co-purchase edges: parts appearing together in ≥2 DISTINCT orders.
+    * The support floor is the market-basket minSupport idea applied to graph
+    * construction — single co-occurrences on a dense catalog are noise, and
+    * they also dominate the wedge volume (the raw ≥1 graph at sf0.1 has 1.2M
+    * edges / 72M wedges, the signal graph 3.6k / 1.4k). Shared by
+    * [[qTriangles]] and [[qKcore]].
     */
-  def qTriangles(spark: SparkSession, dir: String): DataFrame = {
+  private def repeatEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = l.as("x").join(l.as("y"),
+    l.as("x").join(l.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-    Triangles.triangleCensus(edges, "src", "dst")
+      .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .agg(countDistinct(col("x.ok")).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("src"), col("dst"))
   }
 
-  val trianglesSql: String =
-    """WITH e AS (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  private val repeatEdgesSql =
+    """e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
       |  FROM lineitem x JOIN lineitem y
-      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2)""".stripMargin
+
+  /** Triangle census of the repeat-co-purchase graph (the oracle's a<b<c
+    * three-way join states the same count the degree-oriented wedge join
+    * computes).
+    */
+  def qTriangles(spark: SparkSession, dir: String): DataFrame =
+    Triangles.triangleCensus(repeatEdges(spark, dir), "src", "dst")
+
+  val trianglesSql: String =
+    s"""WITH $repeatEdgesSql,
       |deg AS (SELECT node, COUNT(*) AS deg FROM
       |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
       |tri AS (SELECT COUNT(*) AS n_triangles
@@ -276,25 +292,19 @@ object InsightQueries {
       |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** 80-core of the co-purchase graph (k chosen so the peel actually cascades:
-    * depth 5 at sf0.01/sf0.1 with a non-empty core — smaller k peels nothing,
-    * k ≥ 90 empties the graph). The oracle unrolls 12 peeling rounds as CTEs;
-    * peeling is IDEMPOTENT at fixpoint, so unrolling more rounds than the
-    * actual depth changes nothing — the PageRank fixed-iteration discipline
-    * without needing the iteration counts to match exactly.
+  /** 2-core of the repeat-co-purchase graph (the peel cascades: depth 3 at
+    * sf0.01, 5 at sf0.1, with a non-empty core at the correctness SF). The
+    * oracle unrolls 10 peeling rounds as CTEs; peeling is IDEMPOTENT at
+    * fixpoint, so unrolling more rounds than the actual depth changes
+    * nothing — the PageRank fixed-iteration discipline without needing the
+    * iteration counts to match exactly.
     */
-  def qKcore(spark: SparkSession, dir: String): DataFrame = {
-    val l = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = l.as("x").join(l.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
-    graft.ext.KCore.kCore(edges, "src", "dst", k = 80)
+  def qKcore(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.KCore.kCore(repeatEdges(spark, dir), "src", "dst", k = 2)
       .orderBy(col("node"))
-  }
 
   val kcoreSql: String = {
-    val k = 80
+    val k = 2
     val rounds = 10
     // AS MATERIALIZED is load-bearing: each round references the previous
     // frame several times, and inlined CTEs would expand the lineage
@@ -308,9 +318,8 @@ object InsightQueries {
          |  WHERE a IN (SELECT node FROM d$i WHERE deg >= $k)
          |  AND b IN (SELECT node FROM d$i WHERE deg >= $k))""".stripMargin
     }.mkString(",\n")
-    s"""WITH p0 AS MATERIALIZED (SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-       |  FROM lineitem x JOIN lineitem y
-       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+    s"""WITH $repeatEdgesSql,
+       |p0 AS MATERIALIZED (SELECT a, b FROM e),
        |$peels
        |SELECT node, COUNT(*) AS deg FROM
        |  (SELECT a AS node FROM p$rounds UNION ALL SELECT b FROM p$rounds)
