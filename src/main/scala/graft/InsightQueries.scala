@@ -7,9 +7,11 @@ import graft.ext.{EventStats, Profiling, Triangles}
 import graft.metrics.{ItemCF, RankingMetrics}
 
 /** Round-5 operator batch: the rest of the ranking-metric family (MAP@k,
-  * hit-rate/ARHR, serendipity, calibration), item-item CF neighborhoods,
-  * triangle counting on the co-purchase graph, event-stream behavioral
-  * statistics (trailing-window anomalies, burstiness, type entropy) and
+  * hit-rate/ARHR, serendipity, calibration, popularity bias), item-item CF
+  * neighborhoods, co-purchase graph analytics (triangle census, k-core,
+  * year-over-year edge drift), event-stream behavioral statistics
+  * (trailing-window anomalies, burstiness, type entropy), multi-touch
+  * conversion attribution, clustering quality (simplified silhouette) and
   * robust median/MAD outlier detection. Registered into [[SparkEntry]]
   * alongside [[ExtQueries]] / [[AnalyticsQueries]]; every entry has a DuckDB
   * oracle with matching column names, 6-decimal rounding and ORDER BY.
