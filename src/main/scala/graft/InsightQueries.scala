@@ -381,6 +381,165 @@ object InsightQueries {
       |ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Counterfactual evaluation + training-data assembly
+  // -------------------------------------------------------------------------
+
+  /** Self-normalized inverse-propensity precision@10 (SNIPS): hits weighted by
+    * 1/propensity so popular items can't buy precision — the standard
+    * debiased offline evaluation when the logged feedback itself came from a
+    * popularity-skewed policy. Propensity is Laplace-smoothed interaction
+    * share `(pop_i + 1) / (total + n_items)` (smoothing keeps zero-history
+    * rec items finite); per-user score = Σ(hit·w) / Σ(w) over the top-10
+    * frequency-ranked recs. All weights derive from exact integers, so both
+    * engines compute identical doubles; per-user sums go through DECIMAL.
+    */
+  def qIpsPrecision(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = sales(spark, dir).select(col("user_id"), col("item_id"))
+    val pop = a.groupBy(col("item_id")).agg(count(lit(1)).as("pop_n"))
+    val totals = a.agg(count(lit(1)).as("total"),
+      countDistinct(col("item_id")).as("n_items"))
+    val rc = recommendations(spark, dir)
+      .groupBy(col("user_id"), col("item_id")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("item_id"))
+    val topk = rc.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+    val hits = a.distinct().withColumn("hit", lit(1L))
+    topk
+      .join(hits, Seq("user_id", "item_id"), "left")
+      .join(pop, Seq("item_id"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("wgt",
+        ((col("total") + col("n_items")).cast("double") /
+          (coalesce(col("pop_n"), lit(0L)) + 1)).cast("decimal(18,8)"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_topk"),
+        sum(when(col("hit") === 1, col("wgt"))
+          .otherwise(lit(0).cast("decimal(18,8)"))).as("num"),
+        sum(col("wgt")).as("den"))
+      .select(col("user_id"), col("n_topk"),
+        round((col("num") / col("den")).cast("double"), 6).as("snips"))
+      .orderBy(col("user_id"))
+  }
+
+  val ipsPrecisionSql: String =
+    s"""WITH $salesSql,
+      |$recsSql,
+      |pop AS (SELECT item_id, COUNT(*) AS pop_n FROM sales GROUP BY 1),
+      |tot AS (SELECT COUNT(*) AS total, COUNT(DISTINCT item_id) AS n_items
+      |        FROM sales),
+      |rc AS (SELECT user_id, item_id, COUNT(*) AS n FROM recs GROUP BY 1, 2),
+      |topk AS (SELECT * FROM (SELECT user_id, item_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item_id)
+      |      AS rnk FROM rc) WHERE rnk <= 10),
+      |h AS (SELECT DISTINCT user_id, item_id, 1 AS hit FROM sales),
+      |t AS (SELECT k.user_id,
+      |    CAST((tot.total + tot.n_items) * 1.0 / (COALESCE(pop.pop_n, 0) + 1)
+      |      AS DECIMAL(18,8)) AS wgt,
+      |    COALESCE(h.hit, 0) AS hit
+      |  FROM topk k
+      |  LEFT JOIN h ON k.user_id = h.user_id AND k.item_id = h.item_id
+      |  LEFT JOIN pop ON k.item_id = pop.item_id
+      |  CROSS JOIN tot)
+      |SELECT user_id, COUNT(*) AS n_topk,
+      |  ROUND(CAST(SUM(CASE WHEN hit = 1 THEN wgt
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) / SUM(wgt) AS DOUBLE), 6)
+      |    AS snips
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Deterministic negative sampling: for each user with purchase history,
+    * 5 items drawn from the 200 most-popular catalog items the user has NOT
+    * interacted with — the contrastive-training counterpart of the positive
+    * pairs. Popularity-proposal negatives (not uniform) are the standard
+    * hard-negative heuristic, and the md5 pick order makes every engine and
+    * every rerun draw the same rows (the dataset-split discipline).
+    */
+  def qNegativeSamples(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = sales(spark, dir).select(col("user_id"), col("item_id")).distinct()
+    val popTop = a.groupBy(col("item_id")).agg(count(lit(1)).as("pop_n"))
+      .orderBy(col("pop_n").desc, col("item_id")).limit(200)
+      .select(col("item_id"))
+    val users = a.select(col("user_id")).distinct()
+    val cand = users.crossJoin(broadcast(popTop))
+      .join(a, Seq("user_id", "item_id"), "left_anti")
+      .withColumn("pick",
+        md5(concat(col("user_id").cast("string"), lit(":"),
+          col("item_id").cast("string"))))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("pick"), col("item_id"))
+    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("user_id"), col("item_id"), col("rnk"))
+      .orderBy(col("user_id"), col("rnk"))
+  }
+
+  val negativeSamplesSql: String =
+    s"""WITH $salesSql,
+      |a AS (SELECT DISTINCT user_id, item_id FROM sales),
+      |pt AS (SELECT item_id FROM a GROUP BY item_id
+      |       ORDER BY COUNT(*) DESC, item_id LIMIT 200),
+      |u AS (SELECT DISTINCT user_id FROM a),
+      |cand AS (SELECT u.user_id, pt.item_id,
+      |    md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(pt.item_id AS VARCHAR))
+      |      AS pick
+      |  FROM u CROSS JOIN pt
+      |  WHERE NOT EXISTS (SELECT 1 FROM a
+      |    WHERE a.user_id = u.user_id AND a.item_id = pt.item_id)),
+      |rk AS (SELECT user_id, item_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY pick, item_id)
+      |      AS rnk FROM cand)
+      |SELECT user_id, item_id, rnk FROM rk WHERE rnk <= 5
+      |ORDER BY user_id, rnk""".stripMargin
+
+  /** Referential-integrity audit across the warehouse's FK chains — the
+    * data-quality gate a pipeline runs on every drop (generated data is
+    * clean, so the sf oracle run is a zero-orphans regression check; the
+    * orphan-detection logic itself is fixture-tested in
+    * InsightQueriesSpec, the q_customers_no_orders precedent).
+    */
+  def qFkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    def audit(child: DataFrame, childKey: String, parent: DataFrame,
+              parentKey: String, relation: String): DataFrame = {
+      val orphans = child.select(col(childKey))
+        .join(parent.select(col(parentKey)),
+          col(childKey) === col(parentKey), "left_anti")
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+        .select(lit(relation).as("relation"), col("n_child"), col("n_orphans"))
+    }
+    val l = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    val n = Tables.nation(spark, dir)
+    val r = Tables.region(spark, dir)
+    Seq(
+      audit(l, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+      audit(l, "l_partkey", Tables.part(spark, dir), "p_partkey", "lineitem->part"),
+      audit(l, "l_suppkey", s, "s_suppkey", "lineitem->supplier"),
+      audit(o, "o_custkey", c, "c_custkey", "orders->customer"),
+      audit(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+      audit(s, "s_nationkey", n, "n_nationkey", "supplier->nation"),
+      audit(n, "n_regionkey", r, "r_regionkey", "nation->region")
+    ).reduce(_ unionAll _).orderBy(col("relation"))
+  }
+
+  val fkIntegritySql: String = {
+    val rels = Seq(
+      ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+      ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+    rels.map { case (rel, ct, ck, pt, pk) =>
+      s"""SELECT '$rel' AS relation,
+         |  (SELECT COUNT(*) FROM $ct) AS n_child,
+         |  (SELECT COUNT(*) FROM $ct WHERE $ck NOT IN
+         |    (SELECT $pk FROM $pt)) AS n_orphans""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
+  // -------------------------------------------------------------------------
   // Clustering quality, popularity bias, graph drift
   // -------------------------------------------------------------------------
 
@@ -529,7 +688,10 @@ object InsightQueries {
     "q_pop_bias" -> (qPopBias _),
     "q_graph_drift" -> (qGraphDrift _),
     "q_attribution" -> (qAttribution _),
-    "q_mad_outliers" -> (qMadOutliers _)
+    "q_mad_outliers" -> (qMadOutliers _),
+    "q_ips_precision" -> (qIpsPrecision _),
+    "q_negative_samples" -> (qNegativeSamples _),
+    "q_fk_integrity" -> (qFkIntegrity _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -547,6 +709,9 @@ object InsightQueries {
     "q_pop_bias" -> popBiasSql,
     "q_graph_drift" -> graphDriftSql,
     "q_attribution" -> attributionSql,
-    "q_mad_outliers" -> madOutliersSql
+    "q_mad_outliers" -> madOutliersSql,
+    "q_ips_precision" -> ipsPrecisionSql,
+    "q_negative_samples" -> negativeSamplesSql,
+    "q_fk_integrity" -> fkIntegritySql
   )
 }
