@@ -74,10 +74,14 @@ object ExtQueries {
       |    ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY df_sh, s.sh) AS pos,
       |    n.n_sh
       |  FROM sh s JOIN dfq USING (sh) JOIN n USING (doc_id)),
-      |pref AS (SELECT doc_id, sh FROM pp
+      |pref AS (SELECT doc_id, sh, pos, n_sh FROM pp
       |  WHERE pos <= n_sh - ceil(0.5 * n_sh) + 1),
-      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+      |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |  HAVING (1 + LEAST(ANY_VALUE(a.n_sh) - MIN(a.pos),
+      |                    ANY_VALUE(b.n_sh) - MIN(b.pos))) * 1.5
+      |    >= 0.5 * (ANY_VALUE(a.n_sh) + ANY_VALUE(b.n_sh)) - 1e-9),
       |v AS (SELECT id_a, id_b, COUNT(*) AS n_shared
       |  FROM cand
       |  JOIN sh sa ON sa.doc_id = cand.id_a

@@ -115,24 +115,49 @@ object Dedup {
     * whose every shared shingle is hot are MISSED) needing a tuned cap; the
     * prefix filter is threshold-derived, parameter-free, and lossless. Cost:
     * one extra df aggregate + a per-doc rank window (keyed by doc — uniform).
+    *
+    * The shingle table feeds four branches (df counts, the prefix window, and
+    * both sides of the exact verify); their exchanges hash on different keys,
+    * so Catalyst cannot reuse one scan across them and AQE re-runs the whole
+    * explode pipeline per branch (20 scans observed in the final plan).
+    * `localCheckpoint` materializes it once — the multi-pass token-table shape
+    * a PPJoin runs at corpus scale anyway.
     */
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sh = shingles(df, idCol, textCol, k)
+    val sh = shingles(df, idCol, textCol, k).localCheckpoint(eager = true)
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df_sh"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("df_sh"), col("shingle"))
+    // n_sh rides the SAME doc-keyed window pass as the rank (whole-partition
+    // frame) instead of a separate aggregate + join back.
     val prefix = sh
       .join(dfreq, "shingle")
       .withColumn("pos", row_number().over(w))
-      .join(sizes, idCol)
+      .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col(idCol), col("shingle"))
-    val a = prefix.select(col(idCol).as("id_a"), col("shingle"))
-    val b = prefix.select(col(idCol).as("id_b"), col("shingle"))
+      .select(col(idCol), col("shingle"), col("pos"), col("n_sh"))
+    val a = prefix.select(col(idCol).as("id_a"), col("shingle"),
+      col("pos").as("pa"), col("n_sh").as("na"))
+    val b = prefix.select(col(idCol).as("id_b"), col("shingle"),
+      col("pos").as("pb"), col("n_sh").as("nb"))
+    // Positional filter (Xiao et al. PPJoin §3.2 / Vernica et al. VLDB'10):
+    // prefix positions follow the global token order, so the pair's FIRST
+    // matched token (min pa — and min pb, both monotone in token order) caps
+    // the true overlap at 1 + min(na − pa, nb − pb): no shared token sorts
+    // before it, and every other shared token lies after it in BOTH sets.
+    // Jaccard ≥ t needs overlap·(1+t) ≥ t·(na+nb) — stated as that product
+    // inequality (exact for dyadic t; the 1e-9 slack only ever ADMITS extra
+    // candidates, so the exact verify keeps the output lossless regardless).
+    // Without it the verify join ran on 1600× more candidates than survivors.
     val candidates = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("pa")).as("pa1"), min(col("pb")).as("pb1"),
+        first(col("na")).as("na"), first(col("nb")).as("nb"))
+      .filter((lit(1) + least(col("na") - col("pa1"), col("nb") - col("pb1"))) *
+        lit(1.0 + threshold) >= lit(threshold) * (col("na") + col("nb")) - lit(1e-9))
+      .select("id_a", "id_b")
     verifyJaccard(candidates, sh, sizes, idCol, threshold)
   }
 
@@ -479,7 +504,10 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(df, idCol, textCol)
+    // sig (one row per doc) feeds three differently-keyed branches (banding +
+    // both verify sides); checkpoint so the tokenize + 32-bit-sum aggregate
+    // runs once instead of per branch.
+    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
     // one explode generator, not a UNION ALL of band projections — the union
     // shape re-runs the 32-sum simhash aggregate per band (same column-pruning
     // trap as the MinHash bandKeys, see that note)
