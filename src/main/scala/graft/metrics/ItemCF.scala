@@ -30,8 +30,12 @@ object ItemCF {
                     k: Int = 3, minSupport: Long = 5,
                     maxBasket: Long = 50): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // b0 feeds three differently-keyed branches (basket sizes, item support,
+    // the join input) — materialize the upstream interactions+distinct once
+    // instead of letting AQE re-run it per branch (35 scans observed).
     val b0 = interactions
       .select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+      .localCheckpoint(eager = true)
     val keptUsers = b0.groupBy(col("user")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket).select(col("user"))
     val ni = b0.join(keptUsers, Seq("user"))
