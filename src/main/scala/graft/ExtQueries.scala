@@ -1172,6 +1172,63 @@ object ExtQueries {
       |  ROUND(COALESCE(n_hit, 0) * 1.0 / n_sh, 6) AS contamination
       |FROM n LEFT JOIN h USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  /** Pair-level contamination: which benchmark docs leak into which corpus
+    * docs (same %100 benchmark convention as [[qContamination]]). The
+    * synthetic corpus has no real benchmark leakage (max containment ≈ 0.09),
+    * so the demo threshold sits at 0.04 to keep the check non-vacuous — a
+    * production decontamination pass runs the same plan at ~0.8.
+    */
+  def qContainment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    TextQuality.containmentPairs(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text", k = 3, threshold = 0.04)
+      .select(col("bench_id"), col("doc_id"), col("n_bench"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("bench_id"), col("doc_id"))
+  }
+
+  val containmentSql: String =
+    s"""WITH $shinglesSql,
+      |bsh AS (SELECT doc_id AS bench_id, sh FROM sh WHERE doc_id % 100 = 0),
+      |bn AS (SELECT bench_id, COUNT(*) AS n_bench FROM bsh GROUP BY 1),
+      |dsh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 100 <> 0),
+      |p AS (SELECT bench_id, doc_id, COUNT(*) AS n_shared
+      |      FROM bsh JOIN dsh USING (sh) GROUP BY 1, 2)
+      |SELECT bench_id, doc_id, n_bench, n_shared,
+      |  ROUND(n_shared * 1.0 / n_bench, 6) AS containment
+      |FROM p JOIN bn USING (bench_id)
+      |WHERE n_shared * 1.0 / n_bench >= 0.04
+      |ORDER BY bench_id, doc_id""".stripMargin
+
+  /** First-BPE-iteration merge-pair table over the corpus vocabulary. */
+  def qBpePairs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.bpePairStats(Tables.documents(spark, dir), "text", topN = 20)
+
+  val bpePairsSql: String =
+    """WITH w AS (SELECT word, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) >= 2 GROUP BY 1),
+      |p AS (SELECT n, unnest(list_transform(
+      |    generate_series(1, len(word) - 1),
+      |    i -> substr(word, i, 2))) AS pair FROM w),
+      |a AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM p GROUP BY 1)
+      |SELECT pair, n_occ FROM a ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
+
+  /** Boolean AND search for three common corpus terms. */
+  def qKeywordAnd(spark: SparkSession, dir: String): DataFrame =
+    TextStats.keywordAndSearch(Tables.documents(spark, dir), "doc_id", "text",
+        Seq("join", "hash", "scan"))
+      .orderBy(col("doc_id"))
+
+  val keywordAndSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, t FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+      |  WHERE t IN ('join', 'hash', 'scan'))
+      |SELECT doc_id FROM tok GROUP BY 1 HAVING COUNT(*) = 3
+      |ORDER BY doc_id""".stripMargin
+
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeStats(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
@@ -2638,6 +2695,9 @@ object ExtQueries {
     "q_quality_deciles" -> (qQualityDeciles _),
     "q_unigram_nll" -> (qUnigramNll _),
     "q_contamination" -> (qContamination _),
+    "q_containment" -> (qContainment _),
+    "q_bpe_pairs" -> (qBpePairs _),
+    "q_keyword_and" -> (qKeywordAnd _),
     "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
@@ -2728,6 +2788,9 @@ object ExtQueries {
     "q_quality_deciles" -> qualityDecilesSql,
     "q_unigram_nll" -> unigramNllSql,
     "q_contamination" -> contaminationSql,
+    "q_containment" -> containmentSql,
+    "q_bpe_pairs" -> bpePairsSql,
+    "q_keyword_and" -> keywordAndSql,
     "q_embed_quantize" -> embedQuantizeSql
   )
 }

@@ -229,6 +229,95 @@ object InsightQueries {
       |  ROUND(3.0 * (SELECT n_triangles FROM tri)
       |    / (SELECT SUM(deg * (deg - 1)) / 2 FROM deg), 6) AS global_clustering""".stripMargin
 
+  /** 2-hop candidate generation over the repeat-co-purchase graph: for each
+    * part, the top-3 parts reachable through a common neighbor but NOT
+    * directly co-purchased — the classic "customers who bought what you
+    * bought also bought" expansion ranked by distinct-path support. The
+    * direct-edge exclusion is a left-anti join, and both hop joins shuffle on
+    * node keys (wedge volume Σ deg² is the cost driver — bounded here by the
+    * ≥2-support signal graph, by degree caps at web scale).
+    */
+  def qTwoHopRecs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // undirected adjacency from ONE generator (the union-of-projections shape
+    // re-runs the edge aggregate per branch); the edge table is iterated over
+    // three differently-keyed branches, so materialize it once
+    val adj = repeatEdges(spark, dir).select(explode(array(
+        struct(col("src").as("u"), col("dst").as("v")),
+        struct(col("dst").as("u"), col("src").as("v")))).as("p"))
+      .select(col("p.u"), col("p.v"))
+      .localCheckpoint(eager = true)
+    val hop2 = adj.as("x").join(adj.as("y"), col("x.v") === col("y.u"))
+      .filter(col("x.u") =!= col("y.v"))
+      .groupBy(col("x.u").as("item_id"), col("y.v").as("rec_id"))
+      .agg(countDistinct(col("x.v")).as("n_paths"))
+    val indirect = hop2.join(
+      adj.select(col("u").as("item_id"), col("v").as("rec_id")),
+      Seq("item_id", "rec_id"), "left_anti")
+    val w = Window.partitionBy(col("item_id"))
+      .orderBy(col("n_paths").desc, col("rec_id"))
+    indirect.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .orderBy(col("item_id"), col("rnk"))
+  }
+
+  val twoHopRecsSql: String =
+    s"""WITH $repeatEdgesSql,
+      |adj AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |h AS (SELECT x.u AS item_id, y.v AS rec_id,
+      |    COUNT(DISTINCT x.v) AS n_paths
+      |  FROM adj x JOIN adj y ON x.v = y.u WHERE x.u <> y.v GROUP BY 1, 2),
+      |r AS (SELECT h.* FROM h WHERE NOT EXISTS (SELECT 1 FROM adj
+      |    WHERE adj.u = h.item_id AND adj.v = h.rec_id)),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY item_id
+      |    ORDER BY n_paths DESC, rec_id) AS rnk FROM r)
+      |SELECT item_id, rec_id, n_paths, rnk FROM rk WHERE rnk <= 3
+      |ORDER BY item_id, rnk""".stripMargin
+
+  /** Temporal split-leakage audit: fraction of each user's post-cutoff
+    * (user, item) holdout pairs already present pre-cutoff. A time-based
+    * evaluation split silently turns into re-purchase prediction when this is
+    * high — the standard pre-training sanity check on interaction splits.
+    * Both sides reduce to distinct pairs before the semi-join, so the probe
+    * is keyed and partial-aggregated all the way down.
+    */
+  def qSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1999-01-01").cast("timestamp")
+    val o = Tables.orders(spark, dir)
+    val l = Tables.lineitem(spark, dir)
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item_id"),
+        col("o_orderdate"))
+    val train = pairs.filter(col("o_orderdate") < cutoff)
+      .select("user_id", "item_id").distinct()
+    val test = pairs.filter(col("o_orderdate") >= cutoff)
+      .select("user_id", "item_id").distinct()
+    val leaked = test.join(train, Seq("user_id", "item_id"), "left_semi")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_leaked"))
+    test.groupBy(col("user_id")).agg(count(lit(1)).as("n_test_pairs"))
+      .join(leaked, Seq("user_id"), "left").na.fill(0L, Seq("n_leaked"))
+      .select(col("user_id"), col("n_test_pairs"), col("n_leaked"),
+        round(col("n_leaked").cast("double") / col("n_test_pairs"), 6)
+          .as("leakage"))
+      .orderBy(col("user_id"))
+  }
+
+  val splitLeakageSql: String =
+    """WITH p AS (SELECT o_custkey AS user_id, l_partkey AS item_id, o_orderdate
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+      |tr AS (SELECT DISTINCT user_id, item_id FROM p
+      |       WHERE o_orderdate < TIMESTAMP '1999-01-01'),
+      |te AS (SELECT DISTINCT user_id, item_id FROM p
+      |       WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+      |lk AS (SELECT user_id, COUNT(*) AS n_leaked FROM te
+      |  WHERE EXISTS (SELECT 1 FROM tr
+      |    WHERE tr.user_id = te.user_id AND tr.item_id = te.item_id)
+      |  GROUP BY 1),
+      |nt AS (SELECT user_id, COUNT(*) AS n_test_pairs FROM te GROUP BY 1)
+      |SELECT nt.user_id, nt.n_test_pairs, COALESCE(lk.n_leaked, 0) AS n_leaked,
+      |  ROUND(COALESCE(lk.n_leaked, 0) * 1.0 / nt.n_test_pairs, 6) AS leakage
+      |FROM nt LEFT JOIN lk ON nt.user_id = lk.user_id
+      |ORDER BY nt.user_id""".stripMargin
+
   // -------------------------------------------------------------------------
   // Event-stream behavioral statistics
   // -------------------------------------------------------------------------
@@ -691,7 +780,9 @@ object InsightQueries {
     "q_mad_outliers" -> (qMadOutliers _),
     "q_ips_precision" -> (qIpsPrecision _),
     "q_negative_samples" -> (qNegativeSamples _),
-    "q_fk_integrity" -> (qFkIntegrity _)
+    "q_fk_integrity" -> (qFkIntegrity _),
+    "q_two_hop_recs" -> (qTwoHopRecs _),
+    "q_split_leakage" -> (qSplitLeakage _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -712,6 +803,8 @@ object InsightQueries {
     "q_mad_outliers" -> madOutliersSql,
     "q_ips_precision" -> ipsPrecisionSql,
     "q_negative_samples" -> negativeSamplesSql,
-    "q_fk_integrity" -> fkIntegritySql
+    "q_fk_integrity" -> fkIntegritySql,
+    "q_two_hop_recs" -> twoHopRecsSql,
+    "q_split_leakage" -> splitLeakageSql
   )
 }

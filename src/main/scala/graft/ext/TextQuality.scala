@@ -178,6 +178,36 @@ object TextQuality {
         round(col("n_hit").cast("double") / col("n_sh"), 6).as("contamination"))
   }
 
+  /** Containment join — the pair-level refinement of [[contamination]]: for
+    * each (benchmark doc, corpus doc) pair, Jaccard CONTAINMENT
+    * `|A ∩ B| / |A|` of the benchmark doc's shingle set A in the corpus doc's
+    * set B. Containment, not Jaccard, is the right asymmetric measure here: a
+    * short eval item pasted inside a long web page scores ~1.0 on containment
+    * but near 0 on Jaccard (the page's size swamps the union).
+    *
+    * The benchmark shingle table (tiny vs the corpus) is BROADCAST into the
+    * corpus-shingle scan, so candidate generation is map-side; only the
+    * (bench_id, doc_id) hit pairs — bounded by corpus hits on benchmark
+    * shingles — reach the pair aggregate. Output:
+    * (bench_id, <idCol>, n_bench, n_shared, containment ≥ threshold).
+    */
+  def containmentPairs(docs: DataFrame, benchmark: DataFrame, idCol: String,
+                       textCol: String, k: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val benchSh = Dedup.shingles(benchmark, idCol, textCol, k)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    val benchSizes = benchSh.groupBy(col("bench_id"))
+      .agg(count(lit(1)).as("n_bench"))
+    Dedup.shingles(docs, idCol, textCol, k)
+      .join(broadcast(benchSh), Seq("shingle"))
+      .groupBy(col("bench_id"), col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(benchSizes), Seq("bench_id"))
+      .select(col("bench_id"), col(idCol), col("n_bench"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_bench")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** Bloom-filter variant of [[contamination]] for benchmark suites too big to
     * broadcast as an exact shingle array: the benchmark's xxhash64'd shingles go
     * into a `BloomFilter` sized for `fpp` (built DISTRIBUTED over the benchmark

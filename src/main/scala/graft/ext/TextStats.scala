@@ -274,4 +274,48 @@ object TextStats {
         round(sum(col("term_kl")).cast("double") / lit(0.6931471805599453), 6)
           .as("kl_bits"))
   }
+
+  /** Corpus-wide adjacent character-pair frequencies — the statistic the first
+    * BPE merge iteration maximizes (Sennrich et al. '16: the merge chosen is
+    * the most frequent symbol pair; iterating this IS tokenizer training, so
+    * the top of this table is the merge list's head).
+    *
+    * Pair counts are weighted by word frequency, NOT recomputed per word
+    * occurrence: the corpus first collapses to its vocabulary (one aggregate —
+    * at 100 TB the vocab is millions of rows where the corpus is trillions),
+    * and only vocabulary entries explode into (pair, n) rows. The final cut is
+    * `orderBy.limit` → TakeOrderedAndProject, never a global sort.
+    * Output: (pair, n_occ), topN rows by count desc then pair.
+    */
+  def bpePairStats(df: DataFrame, textCol: String, topN: Int = 20): DataFrame = {
+    val vocab = df.select(explode(split(col(textCol), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    vocab
+      .select(col("n"), explode(transform(
+          sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("pair"))
+      .limit(topN)
+  }
+
+  /** Boolean AND keyword search: documents containing EVERY term in `terms`.
+    * The explode is pre-filtered to the query terms (the predicate rides the
+    * scan-side projection, so non-matching tokens never leave the scan stage)
+    * and the per-doc aggregate just checks the distinct-hit count — the
+    * scan-and-probe shape. At index-serving scale the same plan runs against a
+    * pre-built (term, doc_id) posting table bucketed by term, turning the scan
+    * into a partition-pruned posting-list intersection. Output: (id) sorted.
+    */
+  def keywordAndSearch(df: DataFrame, idCol: String, textCol: String,
+                       terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "keywordAndSearch needs at least one term")
+    df.select(col(idCol), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .distinct()
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_terms"))
+      .filter(col("n_terms") === terms.size)
+      .select(col(idCol))
+  }
 }

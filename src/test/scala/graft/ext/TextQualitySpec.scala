@@ -128,4 +128,33 @@ class TextQualitySpec extends SparkTestBase {
     assert(out(2L)._2 == 0L && approx(out(2L)._3, 0.0))
     assert(out(3L)._1 == 3L && out(3L)._2 == 0L) // "a b" single shingle, len 3
   }
+
+  test("containmentPairs: asymmetric — short bench doc inside a long page") {
+    // bench doc's 3 shingles all appear in corpus doc 10 (pasted verbatim
+    // inside a longer page) → containment 1.0 even though Jaccard is low;
+    // corpus doc 11 shares nothing.
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "intro words here alpha beta gamma delta epsilon outro words trail tail"),
+      (11L, "completely different content with no overlap at all whatsoever")
+    ).toDF("doc_id", "text")
+    val out = TextQuality.containmentPairs(docs, bench, "doc_id", "text",
+      k = 3, threshold = 0.5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 100L && r.getLong(1) == 10L)
+    assert(r.getLong(2) == 3L && r.getLong(3) == 3L) // all 3 bench shingles hit
+    assert(approx(r.getDouble(4), 1.0))
+  }
+
+  test("containmentPairs: threshold drops partial overlaps") {
+    val bench = Seq((100L, "a b c d e f")).toDF("doc_id", "text") // 4 shingles
+    val docs = Seq((10L, "a b c z z z")).toDF("doc_id", "text") // shares only "a b c"
+    val strict = TextQuality.containmentPairs(docs, bench, "doc_id", "text",
+      k = 3, threshold = 0.5).collect()
+    assert(strict.isEmpty) // 1/4 = 0.25 < 0.5
+    val loose = TextQuality.containmentPairs(docs, bench, "doc_id", "text",
+      k = 3, threshold = 0.25).collect()
+    assert(loose.length == 1 && approx(loose.head.getDouble(4), 0.25))
+  }
 }

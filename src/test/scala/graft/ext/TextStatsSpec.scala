@@ -141,4 +141,42 @@ class TextStatsSpec extends SparkTestBase {
     val out = TextStats.groupDivergence(docs, "source", "text").collect().head
     assert(out.getDouble(2) == 0.0)
   }
+
+  test("bpePairStats: pair counts are vocabulary-weighted by word frequency") {
+    import spark.implicits._
+    // "abc" ×3 and "bcd" ×1: ab=3, bc=3+1=4, cd=1; 1-char words contribute none
+    val docs = Seq("abc abc bcd a", "abc x").toDF("text")
+    val out = TextStats.bpePairStats(docs, "text", topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("ab" -> 3L, "bc" -> 4L, "cd" -> 1L))
+  }
+
+  test("bpePairStats: topN keeps the most frequent pairs, ties by pair") {
+    import spark.implicits._
+    val docs = Seq("aa bb aa").toDF("text")
+    val out = TextStats.bpePairStats(docs, "text", topN = 1).collect()
+    assert(out.length == 1 && out.head.getString(0) == "aa" &&
+      out.head.getLong(1) == 2L)
+  }
+
+  test("keywordAndSearch: only docs containing EVERY term match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "join hash scan filter"), // all three
+      (2L, "join hash join hash"),   // missing scan
+      (3L, "scan join hash"),        // all three, different order
+      (4L, "other words entirely")
+    ).toDF("doc_id", "text")
+    val out = TextStats.keywordAndSearch(docs, "doc_id", "text",
+      Seq("join", "hash", "scan")).collect().map(_.getLong(0)).sorted
+    assert(out.toSeq == Seq(1L, 3L))
+  }
+
+  test("keywordAndSearch: repeated terms in one doc count once") {
+    import spark.implicits._
+    val docs = Seq((1L, "join join join")).toDF("doc_id", "text")
+    val out = TextStats.keywordAndSearch(docs, "doc_id", "text",
+      Seq("join", "hash")).collect()
+    assert(out.isEmpty)
+  }
 }
