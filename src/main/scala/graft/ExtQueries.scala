@@ -1216,6 +1216,27 @@ object ExtQueries {
       |a AS (SELECT pair, CAST(SUM(n) AS BIGINT) AS n_occ FROM p GROUP BY 1)
       |SELECT pair, n_occ FROM a ORDER BY n_occ DESC, pair LIMIT 20""".stripMargin
 
+  /** Zipf fit over the top-100 vocabulary head. */
+  def qZipfSlope(spark: SparkSession, dir: String): DataFrame =
+    TextStats.zipfSlope(Tables.documents(spark, dir), "text", topN = 100)
+
+  val zipfSlopeSql: String =
+    """WITH v AS (SELECT t, COUNT(*) AS n FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |  GROUP BY 1 ORDER BY n DESC, t LIMIT 100),
+      |r AS (SELECT ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, t) AS DOUBLE)) AS x,
+      |    ln(CAST(n AS DOUBLE)) AS y FROM v),
+      |a AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+      |    CAST(SUM(CAST(x AS DECIMAL(18,8))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(18,8))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(18,8))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(18,8))) AS DOUBLE) AS sxx FROM r)
+      |SELECT CAST(m AS BIGINT) AS n_terms,
+      |  ROUND((sxy - sx * sy / m) / (sxx - sx * sx / m), 6) AS slope,
+      |  ROUND(sy / m - ((sxy - sx * sy / m) / (sxx - sx * sx / m)) * (sx / m), 6)
+      |    AS intercept
+      |FROM a""".stripMargin
+
   /** Boolean AND search for three common corpus terms. */
   def qKeywordAnd(spark: SparkSession, dir: String): DataFrame =
     TextStats.keywordAndSearch(Tables.documents(spark, dir), "doc_id", "text",
@@ -2698,6 +2719,7 @@ object ExtQueries {
     "q_containment" -> (qContainment _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_keyword_and" -> (qKeywordAnd _),
+    "q_zipf_slope" -> (qZipfSlope _),
     "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
@@ -2791,6 +2813,7 @@ object ExtQueries {
     "q_containment" -> containmentSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_keyword_and" -> keywordAndSql,
+    "q_zipf_slope" -> zipfSlopeSql,
     "q_embed_quantize" -> embedQuantizeSql
   )
 }

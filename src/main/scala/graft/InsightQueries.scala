@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{EventStats, Profiling, Triangles}
+import graft.ext.{EventStats, Profiling, Survival, Triangles}
 import graft.metrics.{ItemCF, RankingMetrics}
 
 /** Round-5 operator batch: the rest of the ranking-metric family (MAP@k,
@@ -321,6 +321,98 @@ object InsightQueries {
   // -------------------------------------------------------------------------
   // Event-stream behavioral statistics
   // -------------------------------------------------------------------------
+
+  /** Kaplan-Meier view→purchase conversion curve: per-user duration from
+    * first view to first subsequent purchase in days, non-converters
+    * right-censored at the corpus horizon ([[graft.ext.Survival.kaplanMeier]]
+    * documents the estimator and its determinism discipline).
+    */
+  def qSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(unix_millis(col("ts"))).as("t0"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("tp"))
+    val conv = v.join(p, Seq("user_id")).filter(col("tp") >= col("t0"))
+      .groupBy(col("user_id")).agg(min(col("tp")).as("t1"))
+    val horizon = e.agg(max(unix_millis(col("ts"))).as("mx"))
+    val durations = v.join(conv, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(
+        floor((coalesce(col("t1"), col("mx")) - col("t0")) / lit(86400000.0))
+          .cast("long").as("t_days"),
+        when(col("t1").isNotNull, 1).otherwise(0).as("converted"))
+    Survival.kaplanMeier(durations, "t_days", "converted").orderBy(col("t"))
+  }
+
+  val survivalSql: String =
+    """WITH v AS (SELECT user_id, MIN(epoch_ms(ts)) AS t0 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |p AS (SELECT user_id, epoch_ms(ts) AS tp FROM events
+      |  WHERE event_type = 'purchase'),
+      |cv AS (SELECT v.user_id, MIN(p.tp) AS t1 FROM v JOIN p
+      |  ON v.user_id = p.user_id AND p.tp >= v.t0 GROUP BY 1),
+      |mx AS (SELECT MAX(epoch_ms(ts)) AS mx FROM events),
+      |dur AS (SELECT
+      |    CAST(FLOOR((COALESCE(cv.t1, mx.mx) - v.t0) / 86400000.0) AS BIGINT)
+      |      AS t,
+      |    CASE WHEN cv.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev
+      |  FROM v LEFT JOIN cv ON v.user_id = cv.user_id CROSS JOIN mx),
+      |bt AS (SELECT t, CAST(SUM(ev) AS BIGINT) AS n_events,
+      |    CAST(SUM(1 - ev) AS BIGINT) AS n_censored FROM dur GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS total FROM bt),
+      |rk AS (SELECT bt.*, CAST(tt.total - COALESCE(SUM(n_events + n_censored)
+      |    OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS n_at_risk
+      |  FROM bt CROSS JOIN tt),
+      |lg AS (SELECT *, CAST(CASE WHEN n_events = 0 THEN 0.0
+      |    WHEN n_events < n_at_risk
+      |      THEN ln(1.0 - n_events * 1.0 / n_at_risk)
+      |    ELSE -50.0 END AS DECIMAL(18,8)) AS log_term FROM rk)
+      |SELECT t, n_at_risk, n_events, n_censored,
+      |  ROUND(EXP(CAST(SUM(log_term) OVER (ORDER BY t
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)), 6)
+      |    AS survival
+      |FROM lg ORDER BY t""".stripMargin
+
+  /** Most common within-session event-type paths (30-minute gap sessions). */
+  def qTopPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.EventWindows.topSessionPaths(Tables.events(spark, dir),
+      gapMinutes = 30, topN = 20)
+
+  val topPathsSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_id, event_type
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+      |  FROM f),
+      |p AS (SELECT user_id, sid,
+      |    string_agg(event_type, '>' ORDER BY ms, event_id) AS path
+      |  FROM s GROUP BY 1, 2)
+      |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
+  /** DAU plus trailing-7-day rolling distinct actives per observed day. */
+  def qRollingDau(spark: SparkSession, dir: String): DataFrame =
+    EventStats.rollingActiveUsers(Tables.events(spark, dir), "ts", "user_id",
+        windowDays = 7)
+      .orderBy(col("day"))
+
+  val rollingDauSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+      |  FROM events),
+      |mx AS (SELECT MAX(d) AS max_d FROM ud),
+      |c AS (SELECT DISTINCT u, d + x.i AS day
+      |  FROM ud CROSS JOIN (SELECT CAST(unnest(generate_series(0, 6)) AS INTEGER)
+      |    AS i) x
+      |  CROSS JOIN mx WHERE d + x.i <= mx.max_d),
+      |w AS (SELECT day, COUNT(*) AS wau FROM c GROUP BY 1),
+      |da AS (SELECT d AS day, COUNT(*) AS dau FROM ud GROUP BY 1)
+      |SELECT da.day, da.dau, w.wau FROM da JOIN w USING (day)
+      |ORDER BY day""".stripMargin
 
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
@@ -782,7 +874,10 @@ object InsightQueries {
     "q_negative_samples" -> (qNegativeSamples _),
     "q_fk_integrity" -> (qFkIntegrity _),
     "q_two_hop_recs" -> (qTwoHopRecs _),
-    "q_split_leakage" -> (qSplitLeakage _)
+    "q_split_leakage" -> (qSplitLeakage _),
+    "q_survival" -> (qSurvival _),
+    "q_top_paths" -> (qTopPaths _),
+    "q_rolling_dau" -> (qRollingDau _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -805,6 +900,9 @@ object InsightQueries {
     "q_negative_samples" -> negativeSamplesSql,
     "q_fk_integrity" -> fkIntegritySql,
     "q_two_hop_recs" -> twoHopRecsSql,
-    "q_split_leakage" -> splitLeakageSql
+    "q_split_leakage" -> splitLeakageSql,
+    "q_survival" -> survivalSql,
+    "q_top_paths" -> topPathsSql,
+    "q_rolling_dau" -> rollingDauSql
   )
 }

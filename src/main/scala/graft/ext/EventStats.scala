@@ -100,4 +100,31 @@ object EventStats {
       .agg(max(col("tot")).as("n_events"), max(col("n_types")).as("n_types"),
         round(sum(col("term")).cast("double"), 6).as("entropy_bits"))
   }
+
+  /** Daily + trailing-`windowDays` rolling distinct active users (DAU/WAU).
+    * Sliding-window COUNT DISTINCT doesn't decompose over a window frame, so
+    * the standard distributed shape is contribution-explode: each distinct
+    * (user, day) row fans out to the `windowDays` window positions it
+    * contributes to, and the count is a plain keyed distinct-aggregate per
+    * window day — shuffle volume `windowDays ×` the (user, day) table, never
+    * a per-day rescan. Days beyond the observed range are clipped with a
+    * broadcast 1-row max. Output: (day, dau, wau) per observed day.
+    */
+  def rollingActiveUsers(events: DataFrame, tsCol: String, userCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val maxDay = ud.agg(max(col("d")).as("max_d"))
+    val contrib = ud
+      .select(col("u"), explode(sequence(col("d"),
+        date_add(col("d"), windowDays - 1))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("max_d"))
+      .select(col("u"), col("day")).distinct()
+    val wau = contrib.groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    // report observed days only (a window day with no direct activity still
+    // has trailing actives, but the DAU spine is the product surface)
+    dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
+  }
 }

@@ -124,6 +124,39 @@ object EventWindows {
       .withColumn("duration_ms", col("end_ms") - col("start_ms"))
   }
 
+  /** Top-N session paths: the most common event-type sequences within gap-based
+    * sessions — the path-mining view of the funnel ("view>click>purchase" vs
+    * "view>error>view"). Sessions are assigned with the same user-keyed gap
+    * window as [[sessionize]]; each session's path is assembled by sorting the
+    * collected (ts, tiebreak, type) structs INSIDE the aggregate (sort_array
+    * makes collect_list's arrival order irrelevant — deterministic under any
+    * partitioning), and the final cut is orderBy.limit, never a global sort of
+    * the path table. Session length bounds the collected array, so memory per
+    * group is session-bounded, not corpus-bounded.
+    * Output: (path, n_sessions), topN rows by count desc then path.
+    */
+  def topSessionPaths(events: DataFrame, userCol: String = "user_id",
+                      tsCol: String = "ts", typeCol: String = "event_type",
+                      idCol: String = "event_id", gapMinutes: Int = 30,
+                      topN: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val epochMs = unix_millis(col(tsCol))
+    val prev = lag(epochMs, 1).over(byUser)
+    val isNew = when(prev.isNull || epochMs - prev > gapMinutes * 60000L, 1L)
+      .otherwise(0L)
+    events
+      .withColumn("__sid", sum(isNew)
+        .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(userCol), col("__sid"))
+      .agg(array_join(transform(
+          sort_array(collect_list(struct(epochMs.as("ms"),
+            col(idCol).as("tb"), col(typeCol).as("et")))),
+          x => x.getField("et")), ">").as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topN)
+  }
+
   /** Extract the integer `k` property from the JSON `props` string with a portable
     * regexp (identical semantics in DuckDB), aggregate per event type.
     */

@@ -275,6 +275,45 @@ object TextStats {
           .as("kl_bits"))
   }
 
+  /** Zipf-law fit over the head of the corpus vocabulary: OLS slope of
+    * ln(freq) on ln(rank) for the `topN` most frequent tokens. Natural text
+    * sits near slope −1; a corpus drifting toward −0.5 (too uniform —
+    * boilerplate/templating) or −2 (too peaked — spam loops) is the
+    * distribution-health smoke alarm a curation pipeline watches per source.
+    *
+    * The vocabulary aggregate is corpus-scale; everything after the
+    * `orderBy.limit(topN)` cut (TakeOrderedAndProject) is `topN` rows, so the
+    * rank window's single partition is a constant-size table by construction.
+    * Per-term OLS products are truncated to DECIMAL(18,8) before the sums —
+    * addition-order-independent and identical across engines.
+    * Output: one row (n_terms, slope, intercept).
+    */
+  def zipfSlope(df: DataFrame, textCol: String, topN: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val head = df.select(explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t")).limit(topN)
+    val ranked = head
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("n").desc, col("t"))))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("n").cast("double")).as("y"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(18,8)")
+    ranked
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(dec(col("x"))).cast("double").as("sx"),
+        sum(dec(col("y"))).cast("double").as("sy"),
+        sum(dec(col("x") * col("y"))).cast("double").as("sxy"),
+        sum(dec(col("x") * col("x"))).cast("double").as("sxx"))
+      .select(col("m").cast("long").as("n_terms"),
+        round((col("sxy") - col("sx") * col("sy") / col("m")) /
+          (col("sxx") - col("sx") * col("sx") / col("m")), 6).as("slope"),
+        round(col("sy") / col("m") -
+          ((col("sxy") - col("sx") * col("sy") / col("m")) /
+            (col("sxx") - col("sx") * col("sx") / col("m"))) *
+            (col("sx") / col("m")), 6).as("intercept"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic the first
     * BPE merge iteration maximizes (Sennrich et al. '16: the merge chosen is
     * the most frequent symbol pair; iterating this IS tokenizer training, so

@@ -77,4 +77,22 @@ class EventStatsSpec extends SparkTestBase {
     assert(out(3L)._1 == 2L)
     assert(approx(out(3L)._2, 0.918296, 1e-6))
   }
+
+  test("rollingActiveUsers: WAU counts each user once across the window") {
+    val df = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"), // same day ×2
+      (2L, "2024-01-01 10:00:00"),
+      (1L, "2024-01-03 10:00:00"), // user 1 again inside the 7d window
+      (3L, "2024-01-09 10:00:00")  // beyond day 1+6 → window excludes day-1 users
+    ).map { case (u, s) => (u, java.sql.Timestamp.valueOf(s)) }
+      .toDF("user_id", "ts")
+    val out = EventStats.rollingActiveUsers(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // observed days only: Jan 1, 3, 9
+    assert(out.keySet == Set("2024-01-01", "2024-01-03", "2024-01-09"))
+    assert(out("2024-01-01") == ((2L, 2L)))
+    assert(out("2024-01-03") == ((1L, 2L))) // users 1,2 active in [12-28, 1-3]
+    assert(out("2024-01-09") == ((1L, 2L))) // users 1 (Jan 3) + 3; day-1 aged out
+  }
 }

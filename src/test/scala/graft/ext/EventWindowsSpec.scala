@@ -90,4 +90,34 @@ class EventWindowsSpec extends SparkTestBase {
     assert(out("click") == (2L, 30L))
     assert(out("view") == (1L, 7L))
   }
+
+  test("topSessionPaths: gap splits sessions, order within session is by time") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = Seq(
+      // user 1, session 1: view > click (1 min apart)
+      (1L, 1L, 0L, "view"), (1L, 2L, 60000L, "click"),
+      // user 1, session 2 (2h later): view > click
+      (1L, 3L, 7200000L, "view"), (1L, 4L, 7260000L, "click"),
+      // user 2, one session: purchase only
+      (2L, 5L, 0L, "purchase")
+    ).map { case (u, e, off, t) =>
+      (u, e, new java.sql.Timestamp(base + off), t)
+    }.toDF("user_id", "event_id", "ts", "event_type")
+    val out = EventWindows.topSessionPaths(df, topN = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("view>click" -> 2L, "purchase" -> 1L))
+  }
+
+  test("topSessionPaths: topN cut keeps the most frequent path") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val df = (1 to 3).flatMap(u => Seq((u.toLong, u * 10L, 0L, "view"))) ++
+      Seq((9L, 99L, 0L, "click"))
+    val out = EventWindows.topSessionPaths(
+        df.map { case (u, e, off, t) =>
+          (u, e, new java.sql.Timestamp(base + off), t)
+        }.toDF("user_id", "event_id", "ts", "event_type"), topN = 1)
+      .collect()
+    assert(out.length == 1 && out.head.getString(0) == "view" &&
+      out.head.getLong(1) == 3L)
+  }
 }

@@ -172,6 +172,17 @@ class TextStatsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("zipfSlope: exact two-point fit recovers slope and intercept") {
+    import spark.implicits._
+    // vocab "a"×8 rank 1, "b"×2 rank 2: slope = ln(2/8)/ln(2) = −2,
+    // intercept = ln(8)
+    val docs = Seq("a a a a a a a a b b").toDF("text")
+    val out = TextStats.zipfSlope(docs, "text", topN = 10).collect().head
+    assert(out.getLong(0) == 2L)
+    assert(approx(out.getDouble(1), -2.0, 1e-5))
+    assert(approx(out.getDouble(2), math.log(8.0), 1e-5))
+  }
+
   test("keywordAndSearch: repeated terms in one doc count once") {
     import spark.implicits._
     val docs = Seq((1L, "join join join")).toDF("doc_id", "text")
