@@ -414,6 +414,88 @@ object InsightQueries {
       |SELECT da.day, da.dau, w.wau FROM da JOIN w USING (day)
       |ORDER BY day""".stripMargin
 
+  /** Connected components of the repeat-co-purchase graph — product families
+    * that sell together, via the SAME pointer-jumping CC machinery the dedup
+    * pipeline uses ([[graft.ext.Dedup.dupClusters]]): operators compose
+    * across domains. Oracle: transitive min-reachability recursive CTE.
+    */
+  def qCopurchaseCc(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.dupClusters(
+        repeatEdges(spark, dir)
+          .select(col("src").as("id_a"), col("dst").as("id_b")))
+      .orderBy(col("id"))
+
+  val copurchaseCcSql: String =
+    s"""WITH RECURSIVE $repeatEdgesSql,
+      |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |reach(id, r) AS (
+      |      SELECT a, a FROM edges UNION SELECT a, b FROM edges
+      |      UNION SELECT eg.a, r.r FROM edges eg JOIN reach r ON eg.b = r.id)
+      |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
+
+  /** Weekly-seasonal volume anomalies: day vs same-day-of-week median. */
+  def qSeasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    EventStats.seasonalAnomalies(Tables.events(spark, dir), "ts", "event_type")
+      .orderBy(col("event_type"), col("day"))
+
+  val seasonalBaselineSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (SELECT *, CAST(isodow(day) AS BIGINT) AS dow FROM d),
+      |m AS (SELECT event_type, dow, QUANTILE_CONT(n_events, 0.5) AS dow_median,
+      |    COUNT(*) AS n_weeks FROM dw GROUP BY 1, 2)
+      |SELECT dw.event_type, dw.day, dw.dow, dw.n_events, m.n_weeks,
+      |  ROUND(m.dow_median, 6) AS dow_median,
+      |  ROUND(dw.n_events / m.dow_median, 6) AS ratio,
+      |  (dw.n_events > 1.5 * m.dow_median OR dw.n_events < 0.5 * m.dow_median)
+      |    AS is_anomaly
+      |FROM dw JOIN m USING (event_type, dow)
+      |ORDER BY event_type, day""".stripMargin
+
+  /** Churn-model label + feature builder: per (user, month) activity with the
+    * churned-next-month label — the supervised-training counterpart of
+    * `q_churn`'s aggregate rates. Leakage-free by construction: features come
+    * from month M only, the label from M+1, and the final month (whose label
+    * is unobservable) is excluded via a broadcast 1-row horizon.
+    */
+  def qChurnLabels(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val m = o.groupBy(col("o_custkey").as("user_id"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(AnalyticsQueries.dec(col("o_totalprice"))).cast("double"), 6)
+          .as("spend"))
+    val horizon = m.agg(max(col("month")).as("max_m"))
+    val nextActive = m.select(col("user_id"),
+        add_months(col("month"), -1).as("month"))
+      .distinct().withColumn("next_flag", lit(true))
+    m.join(nextActive, Seq("user_id", "month"), "left")
+      .crossJoin(broadcast(horizon))
+      .filter(col("month") < col("max_m"))
+      .select(col("user_id"), col("month"), col("n_orders"), col("spend"),
+        coalesce(col("next_flag"), lit(false)).as("active_next"),
+        col("next_flag").isNull.as("churned"))
+      .orderBy(col("user_id"), col("month"))
+  }
+
+  val churnLabelsSql: String =
+    """WITH m AS (SELECT o_custkey AS user_id,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    COUNT(*) AS n_orders,
+      |    ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 6)
+      |      AS spend
+      |  FROM orders GROUP BY 1, 2),
+      |mx AS (SELECT MAX(month) AS max_m FROM m),
+      |nx AS (SELECT DISTINCT user_id,
+      |    CAST(month - INTERVAL 1 MONTH AS DATE) AS month FROM m)
+      |SELECT m.user_id, m.month, m.n_orders, m.spend,
+      |  (nx.user_id IS NOT NULL) AS active_next,
+      |  (nx.user_id IS NULL) AS churned
+      |FROM m CROSS JOIN mx
+      |LEFT JOIN nx ON m.user_id = nx.user_id AND m.month = nx.month
+      |WHERE m.month < mx.max_m
+      |ORDER BY m.user_id, m.month""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -877,7 +959,10 @@ object InsightQueries {
     "q_split_leakage" -> (qSplitLeakage _),
     "q_survival" -> (qSurvival _),
     "q_top_paths" -> (qTopPaths _),
-    "q_rolling_dau" -> (qRollingDau _)
+    "q_rolling_dau" -> (qRollingDau _),
+    "q_copurchase_cc" -> (qCopurchaseCc _),
+    "q_seasonal_baseline" -> (qSeasonalBaseline _),
+    "q_churn_labels" -> (qChurnLabels _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -903,6 +988,9 @@ object InsightQueries {
     "q_split_leakage" -> splitLeakageSql,
     "q_survival" -> survivalSql,
     "q_top_paths" -> topPathsSql,
-    "q_rolling_dau" -> rollingDauSql
+    "q_rolling_dau" -> rollingDauSql,
+    "q_copurchase_cc" -> copurchaseCcSql,
+    "q_seasonal_baseline" -> seasonalBaselineSql,
+    "q_churn_labels" -> churnLabelsSql
   )
 }

@@ -101,6 +101,37 @@ object EventStats {
         round(sum(col("term")).cast("double"), 6).as("entropy_bits"))
   }
 
+  /** Weekly-seasonal anomaly detection: each (event_type, day) volume scored
+    * against the exact MEDIAN volume of the same ISO day-of-week for that
+    * type — the robust seasonal baseline that [[dailyAnomalies]]' trailing
+    * mean can't give (a Monday spike is only anomalous relative to other
+    * Mondays). The median includes the scored day itself: with a handful of
+    * weeks per dow a leave-one-out median doubles the work for little
+    * robustness gain (one outlier barely moves a median), and the inclusion
+    * only ever DAMPS the flag — conservative in the safe direction.
+    *
+    * The daily aggregate bounds everything downstream at |types| × |days|
+    * rows; the per-(type, dow) exact percentile runs over ≤ |weeks| values a
+    * group. Output: (event_type, day, dow, n_events, n_weeks, dow_median,
+    * ratio, is_anomaly = ratio outside [lo, hi]).
+    */
+  def seasonalAnomalies(events: DataFrame, tsCol: String, typeCol: String,
+                        hi: Double = 1.5, lo: Double = 0.5): DataFrame = {
+    val d = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow", (weekday(col("day")) + lit(1)).cast("long"))
+    val m = d.groupBy(col("event_type"), col("dow"))
+      .agg(percentile(col("n_events"), lit(0.5)).as("dow_median"),
+        count(lit(1)).as("n_weeks"))
+    d.join(m, Seq("event_type", "dow"))
+      .select(col("event_type"), col("day"), col("dow"), col("n_events"),
+        col("n_weeks"), round(col("dow_median"), 6).as("dow_median"),
+        round(col("n_events") / col("dow_median"), 6).as("ratio"),
+        (col("n_events") > lit(hi) * col("dow_median") ||
+          col("n_events") < lit(lo) * col("dow_median")).as("is_anomaly"))
+  }
+
   /** Daily + trailing-`windowDays` rolling distinct active users (DAU/WAU).
     * Sliding-window COUNT DISTINCT doesn't decompose over a window frame, so
     * the standard distributed shape is contribution-explode: each distinct

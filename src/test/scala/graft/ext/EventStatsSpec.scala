@@ -78,6 +78,23 @@ class EventStatsSpec extends SparkTestBase {
     assert(approx(out(3L)._2, 0.918296, 1e-6))
   }
 
+  test("seasonalAnomalies: spike flagged against same-dow median only") {
+    // Mondays Jan 1/8/15/22 2024: volumes 10,10,10,30 → median 10, the 30
+    // flags high; a Tuesday with 30 events and median 30 does not.
+    def day(d: String, n: Int, t: String) = (0 until n).map(i =>
+      (t, java.sql.Timestamp.valueOf(s"$d 0${i % 10}:00:00")))
+    val df = (day("2024-01-01", 10, "click") ++ day("2024-01-08", 10, "click") ++
+        day("2024-01-15", 10, "click") ++ day("2024-01-22", 30, "click") ++
+        day("2024-01-02", 30, "click") ++ day("2024-01-09", 30, "click"))
+      .toDF("event_type", "ts")
+    val out = EventStats.seasonalAnomalies(df, "ts", "event_type")
+      .collect().map(r => r.getDate(1).toString ->
+        (r.getLong(2), r.getDouble(5), r.getBoolean(7))).toMap
+    assert(out("2024-01-01") == ((1L, 10.0, false)))
+    assert(out("2024-01-22") == ((1L, 10.0, true)))  // 30 > 1.5 × 10
+    assert(out("2024-01-02") == ((2L, 30.0, false))) // Tuesday baseline is 30
+  }
+
   test("rollingActiveUsers: WAU counts each user once across the window") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"), // same day ×2
