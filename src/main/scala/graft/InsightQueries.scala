@@ -718,19 +718,33 @@ object InsightQueries {
     */
   def qNegativeSamples(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the distinct interaction table feeds three differently-keyed branches
+    // (popularity top-200, the user roster, the history anti-join) — one
+    // materialization instead of three sales-join re-runs (17 scans observed)
     val a = sales(spark, dir).select(col("user_id"), col("item_id")).distinct()
+      .localCheckpoint(eager = true)
     val popTop = a.groupBy(col("item_id")).agg(count(lit(1)).as("pop_n"))
       .orderBy(col("pop_n").desc, col("item_id")).limit(200)
       .select(col("item_id"))
     val users = a.select(col("user_id")).distinct()
+    // pick = 52-bit md5 prefix as a NUMBER (exact in a double, same value in
+    // both engines via the conv ⇔ ('0x'||…)::BIGINT identity) so the draw can
+    // run through the bounded-heap TopKAggregator instead of a row_number
+    // window: the window shuffles all #users × 200 candidate rows to sort
+    // them; the aggregator's map-side partial heaps forward ≤ 5 rows per user
+    // — the q_simsearch_batch shape applied to sampling. Ties (52-bit
+    // collisions) break by ascending item_id in BOTH engines.
     val cand = users.crossJoin(broadcast(popTop))
       .join(a, Seq("user_id", "item_id"), "left_anti")
       .withColumn("pick",
-        md5(concat(col("user_id").cast("string"), lit(":"),
-          col("item_id").cast("string"))))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("pick"), col("item_id"))
-    cand.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
-      .select(col("user_id"), col("item_id"), col("rnk"))
+        conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("item_id").cast("string"))), 1, 13), 16, 10).cast("long"))
+    val topk = udaf(new graft.functions.TopKAggregator(5))
+    cand.groupBy(col("user_id"))
+      .agg(topk(col("item_id"), (-col("pick")).cast("double")).as("__r"))
+      .select(col("user_id"), posexplode(col("__r.items")))
+      .select(col("user_id"), col("col.id").as("item_id"),
+        (col("pos") + 1).cast("long").as("rnk"))
       .orderBy(col("user_id"), col("rnk"))
   }
 
@@ -741,8 +755,8 @@ object InsightQueries {
       |       ORDER BY COUNT(*) DESC, item_id LIMIT 200),
       |u AS (SELECT DISTINCT user_id FROM a),
       |cand AS (SELECT u.user_id, pt.item_id,
-      |    md5(CAST(u.user_id AS VARCHAR) || ':' || CAST(pt.item_id AS VARCHAR))
-      |      AS pick
+      |    ('0x' || substr(md5(CAST(u.user_id AS VARCHAR) || ':' ||
+      |      CAST(pt.item_id AS VARCHAR)), 1, 13))::BIGINT AS pick
       |  FROM u CROSS JOIN pt
       |  WHERE NOT EXISTS (SELECT 1 FROM a
       |    WHERE a.user_id = u.user_id AND a.item_id = pt.item_id)),
