@@ -1250,6 +1250,103 @@ object ExtQueries {
       |SELECT doc_id FROM tok GROUP BY 1 HAVING COUNT(*) = 3
       |ORDER BY doc_id""".stripMargin
 
+  /** Embedding-space quality eval: 1-NN label agreement on a deterministic
+    * 10% query sample (every vector whose id ≡ 0 mod 10 finds its nearest
+    * OTHER vector by cosine; agreement of their labels per query label). The
+    * kNN leg is [[SimSearch.topKForQueries]] — broadcast queries, corpus
+    * never shuffles, bounded-heap top-1 — so the eval is the search service's
+    * own plan pointed at itself. High agreement ⇒ the space clusters by
+    * label; a drop after re-embedding is the retrain regression alarm.
+    */
+  def qKnnLabelAcc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val nn = SimSearch.topKForQueries(emb,
+      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 1)
+    nn.join(emb.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        Seq("query_id"))
+      .join(emb.select(col("vec_id"), col("label").as("n_label")), Seq("vec_id"))
+      .groupBy(col("q_label").as("label"))
+      .agg(count(lit(1)).as("n_queries"),
+        sum(when(col("q_label") === col("n_label"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("label"), col("n_queries"), col("n_match"),
+        round(col("n_match").cast("double") / col("n_queries"), 6).as("acc"))
+      .orderBy(col("label"))
+  }
+
+  val knnLabelAccSql: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |s AS (SELECT q.qid, q.qlab, e.label AS nlab,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> q.qe[i]::DOUBLE * q.qe[i]::DOUBLE)))) AS cos, e.vec_id
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+      |r AS (SELECT qid, qlab, nlab FROM (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM s)
+      |  WHERE rn = 1)
+      |SELECT qlab AS label, COUNT(*) AS n_queries,
+      |  CAST(SUM(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+      |  ROUND(SUM(CASE WHEN qlab = nlab THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+      |    AS acc
+      |FROM r GROUP BY 1 ORDER BY label""".stripMargin
+
+  /** Embedding drift between two corpus snapshots (stand-in: even/odd vec_id
+    * halves): per-label mean-vector prototypes for each half, their cosine and
+    * norms. prototype_cos ≈ 1 means the label's region didn't move between
+    * embedding runs; a dip says re-index/re-train. Everything is exploded to
+    * (label, half, dim) keyed aggregates — the array never crosses a shuffle,
+    * and per-dim/per-term sums go through DECIMAL so both engines see
+    * identical doubles regardless of partition order.
+    */
+  def qEmbedDrift(spark: SparkSession, dir: String): DataFrame = {
+    val dec18 = (c: org.apache.spark.sql.Column) => c.cast("decimal(27,12)")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("label"), (col("vec_id") % 2).as("half"),
+        posexplode(col("embedding")))
+    val m = e.groupBy(col("label"), col("half"), col("pos"))
+      .agg((sum(dec18(col("col").cast("double"))).cast("double") /
+        count(lit(1))).as("m"))
+    val a = m.filter(col("half") === 0)
+      .select(col("label"), col("pos"), col("m").as("ma"))
+    val b = m.filter(col("half") === 1)
+      .select(col("label"), col("pos"), col("m").as("mb"))
+    a.join(b, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(sum(dec18(col("ma") * col("mb"))).cast("double").as("dt"),
+        sum(dec18(col("ma") * col("ma"))).cast("double").as("na2"),
+        sum(dec18(col("mb") * col("mb"))).cast("double").as("nb2"))
+      .select(col("label"),
+        round(col("dt") / (sqrt(col("na2")) * sqrt(col("nb2"))), 6)
+          .as("prototype_cos"),
+        round(sqrt(col("na2")), 6).as("norm_a"),
+        round(sqrt(col("nb2")), 6).as("norm_b"))
+      .orderBy(col("label"))
+  }
+
+  val embedDriftSql: String =
+    """WITH e AS (SELECT label, vec_id % 2 AS half, x.i AS pos,
+      |    embedding[x.i]::DOUBLE AS v
+      |  FROM embeddings CROSS JOIN
+      |    (SELECT unnest(generate_series(1, 64)) AS i) x),
+      |m AS (SELECT label, half, pos,
+      |    CAST(SUM(CAST(v AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM e GROUP BY 1, 2, 3),
+      |j AS (SELECT a.label, a.m AS ma, b.m AS mb
+      |  FROM m a JOIN m b ON a.label = b.label AND a.pos = b.pos
+      |  WHERE a.half = 0 AND b.half = 1),
+      |g AS (SELECT label,
+      |    CAST(SUM(CAST(ma * mb AS DECIMAL(27,12))) AS DOUBLE) AS dt,
+      |    CAST(SUM(CAST(ma * ma AS DECIMAL(27,12))) AS DOUBLE) AS na2,
+      |    CAST(SUM(CAST(mb * mb AS DECIMAL(27,12))) AS DOUBLE) AS nb2
+      |  FROM j GROUP BY 1)
+      |SELECT label, ROUND(dt / (sqrt(na2) * sqrt(nb2)), 6) AS prototype_cos,
+      |  ROUND(sqrt(na2), 6) AS norm_a, ROUND(sqrt(nb2), 6) AS norm_b
+      |FROM g ORDER BY label""".stripMargin
+
   def qEmbedQuantize(spark: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeStats(Tables.embeddings(spark, dir), "vec_id", "embedding")
       .orderBy(col("vec_id"))
@@ -2717,6 +2814,8 @@ object ExtQueries {
     "q_unigram_nll" -> (qUnigramNll _),
     "q_contamination" -> (qContamination _),
     "q_containment" -> (qContainment _),
+    "q_knn_label_acc" -> (qKnnLabelAcc _),
+    "q_embed_drift" -> (qEmbedDrift _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_keyword_and" -> (qKeywordAnd _),
     "q_zipf_slope" -> (qZipfSlope _),
@@ -2811,6 +2910,8 @@ object ExtQueries {
     "q_unigram_nll" -> unigramNllSql,
     "q_contamination" -> contaminationSql,
     "q_containment" -> containmentSql,
+    "q_knn_label_acc" -> knnLabelAccSql,
+    "q_embed_drift" -> embedDriftSql,
     "q_bpe_pairs" -> bpePairsSql,
     "q_keyword_and" -> keywordAndSql,
     "q_zipf_slope" -> zipfSlopeSql,
