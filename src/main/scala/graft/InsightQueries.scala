@@ -496,6 +496,96 @@ object InsightQueries {
       |WHERE m.month < mx.max_m
       |ORDER BY m.user_id, m.month""".stripMargin
 
+  /** 10-90% trimmed mean of line price per brand — the robust central
+    * tendency for skew/outlier-heavy money columns (a fat-finger price or a
+    * whale order moves a plain mean; the trimmed mean ignores both tails).
+    * Exact per-group percentiles bound the kept range (identical
+    * interpolation in both engines, the q_mad_outliers precedent); the kept
+    * sum goes through DECIMAL so the mean is partition-order-independent.
+    */
+  def qTrimmedMean(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        col("l_extendedprice").cast("double").as("v"))
+    val q = x.groupBy(col("brand"))
+      .agg(percentile(col("v"), lit(0.1)).as("lo"),
+        percentile(col("v"), lit(0.9)).as("hi"),
+        count(lit(1)).as("n_all"))
+    x.join(q, Seq("brand"))
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .groupBy(col("brand"))
+      .agg(max(col("n_all")).as("n_all"), count(lit(1)).as("n_kept"),
+        round(max(col("lo")), 6).as("p10"),
+        round(max(col("hi")), 6).as("p90"),
+        round(sum(AnalyticsQueries.dec(col("v"))).cast("double") /
+          count(lit(1)), 6).as("trimmed_mean"))
+      .orderBy(col("brand"))
+  }
+
+  val trimmedMeanSql: String =
+    """WITH x AS (SELECT p_brand AS brand, CAST(l_extendedprice AS DOUBLE) AS v
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |q AS (SELECT brand, QUANTILE_CONT(v, 0.1) AS lo, QUANTILE_CONT(v, 0.9) AS hi,
+      |    COUNT(*) AS n_all FROM x GROUP BY 1)
+      |SELECT x.brand, MAX(q.n_all) AS n_all, COUNT(*) AS n_kept,
+      |  ROUND(MAX(q.lo), 6) AS p10, ROUND(MAX(q.hi), 6) AS p90,
+      |  ROUND(CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6)
+      |    AS trimmed_mean
+      |FROM x JOIN q USING (brand) WHERE v >= q.lo AND v <= q.hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Stage-to-stage funnel latency percentiles: among users who complete each
+    * transition of the strict view→click→purchase funnel, the median and p90
+    * dwell times — the "WHERE is the funnel slow" companion to `q_funnel`'s
+    * "where does it leak" counts. The per-stage tables reuse the funnel's
+    * monotone-shrinking min-timestamp joins; the final percentiles run over
+    * one row per completing user.
+    */
+  def qFunnelLatency(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id")).filter(col("ms") >= col("t1"))
+      .groupBy(col("user_id"), col("t1")).agg(min(col("ms")).as("t2"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c.select(col("user_id"), col("t2")), Seq("user_id"))
+      .filter(col("ms") >= col("t2"))
+      .groupBy(col("user_id"), col("t2")).agg(min(col("ms")).as("t3"))
+    val l1 = c.agg(count(lit(1)).as("n_users"),
+      percentile(col("t2") - col("t1"), lit(0.5)).as("p50"),
+      percentile(col("t2") - col("t1"), lit(0.9)).as("p90"))
+      .select(lit("view>click").as("stage"), col("n_users"),
+        round(col("p50"), 6).as("p50_ms"), round(col("p90"), 6).as("p90_ms"))
+    val l2 = p.agg(count(lit(1)).as("n_users"),
+      percentile(col("t3") - col("t2"), lit(0.5)).as("p50"),
+      percentile(col("t3") - col("t2"), lit(0.9)).as("p90"))
+      .select(lit("click>purchase").as("stage"), col("n_users"),
+        round(col("p50"), 6).as("p50_ms"), round(col("p90"), 6).as("p90_ms"))
+    l1.unionAll(l2).orderBy(col("stage"))
+  }
+
+  val funnelLatencySql: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ms FROM events),
+      |v AS (SELECT user_id, MIN(ms) AS t1 FROM e
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, v.t1, MIN(e.ms) AS t2 FROM e
+      |  JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'click' AND e.ms >= v.t1 GROUP BY 1, 2),
+      |p AS (SELECT e.user_id, c.t2, MIN(e.ms) AS t3 FROM e
+      |  JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ms >= c.t2 GROUP BY 1, 2)
+      |SELECT 'view>click' AS stage, COUNT(*) AS n_users,
+      |  ROUND(QUANTILE_CONT(t2 - t1, 0.5), 6) AS p50_ms,
+      |  ROUND(QUANTILE_CONT(t2 - t1, 0.9), 6) AS p90_ms FROM c
+      |UNION ALL
+      |SELECT 'click>purchase', COUNT(*),
+      |  ROUND(QUANTILE_CONT(t3 - t2, 0.5), 6),
+      |  ROUND(QUANTILE_CONT(t3 - t2, 0.9), 6) FROM p
+      |ORDER BY stage""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -976,7 +1066,9 @@ object InsightQueries {
     "q_rolling_dau" -> (qRollingDau _),
     "q_copurchase_cc" -> (qCopurchaseCc _),
     "q_seasonal_baseline" -> (qSeasonalBaseline _),
-    "q_churn_labels" -> (qChurnLabels _)
+    "q_churn_labels" -> (qChurnLabels _),
+    "q_trimmed_mean" -> (qTrimmedMean _),
+    "q_funnel_latency" -> (qFunnelLatency _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1005,6 +1097,8 @@ object InsightQueries {
     "q_rolling_dau" -> rollingDauSql,
     "q_copurchase_cc" -> copurchaseCcSql,
     "q_seasonal_baseline" -> seasonalBaselineSql,
-    "q_churn_labels" -> churnLabelsSql
+    "q_churn_labels" -> churnLabelsSql,
+    "q_trimmed_mean" -> trimmedMeanSql,
+    "q_funnel_latency" -> funnelLatencySql
   )
 }

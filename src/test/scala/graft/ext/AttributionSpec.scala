@@ -47,6 +47,66 @@ class AttributionSpec extends SparkTestBase {
     assert(out("click") == ((1L, 1L, 1.0)))
   }
 
+  test("random timelines match an independent sequential replay") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val rowsGen: Gen[List[(Long, Long, Long, String)]] = for {
+      n <- Gen.choose(5, 60)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(1L, 5L), Gen.choose(0L, 500L),
+        Gen.oneOf("view", "click", "purchase", "noise")))
+    } yield rows.zipWithIndex.map { case ((u, ms, t), i) =>
+      (u, i.toLong, ms, t) // unique ids keep the (ms, id) order total
+    }
+
+    /** Sequential per-user replay — a different algorithm family than the
+      * segment-join operator (buffer + reset instead of window counts).
+      */
+    def reference(rows: Seq[(Long, Long, Long, String)], lookback: Long)
+        : Map[String, (Long, Long, Double)] = {
+      val first = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val last = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      val lin = scala.collection.mutable.Map[String, BigDecimal]()
+        .withDefaultValue(BigDecimal(0))
+      rows.groupBy(_._1).values.foreach { userRows =>
+        val sorted = userRows.sortBy(r => (r._3, r._2))
+          .filter(r => Set("view", "click", "purchase")(r._4))
+        var buffer = Vector.empty[(Long, String)] // (ms, channel)
+        sorted.foreach {
+          case (_, _, ms, "purchase") =>
+            val qual = buffer.filter { case (tms, _) => ms - tms <= lookback }
+            if (qual.nonEmpty) {
+              first(qual.head._2) += 1
+              last(qual.last._2) += 1
+              val share = BigDecimal(1.0 / qual.size)
+                .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+              qual.foreach { case (_, ch) => lin(ch) += share }
+            }
+            buffer = Vector.empty
+          case (_, _, ms, ch) => buffer :+= ((ms, ch))
+        }
+      }
+      (first.keySet ++ last.keySet ++ lin.keySet).map { ch =>
+        ch -> ((first(ch), last(ch), lin(ch).toDouble))
+      }.toMap
+    }
+
+    for (seed <- 1L to 8L; lookback <- Seq(60L, 1000000L)) {
+      val rows = sample(rowsGen, seed)
+      val got = run(rows, lookback)
+      val exp = reference(rows, lookback)
+      assert(got.keySet == exp.keySet, s"seed $seed lookback $lookback")
+      got.foreach { case (ch, (f, l, lv)) =>
+        val (ef, el, elv) = exp(ch)
+        assert(f == ef && l == el && math.abs(lv - elv) < 1e-6,
+          s"seed $seed lookback $lookback channel $ch: " +
+            s"got ($f,$l,$lv) expected ($ef,$el,$elv)")
+      }
+    }
+  }
+
   test("other event types are ignored entirely") {
     val out = run(Seq(
       (4L, 1L, 0L, "view"), (4L, 2L, 5L, "error"), (4L, 3L, 6L, "signup"),
