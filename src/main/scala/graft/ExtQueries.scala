@@ -1237,6 +1237,29 @@ object ExtQueries {
       |    AS intercept
       |FROM a""".stripMargin
 
+  /** Heaps'-law vocabulary growth over 10 id-ordered corpus prefixes. */
+  def qHeapsLaw(spark: SparkSession, dir: String): DataFrame =
+    TextStats.heapsLaw(Tables.documents(spark, dir), "doc_id", "text",
+        buckets = 10)
+      .orderBy(col("bkt"))
+
+  val heapsLawSql: String =
+    """WITH n AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+      |tok AS (SELECT CAST(FLOOR(doc_id * 10 / n.n) AS BIGINT) AS bkt,
+      |    unnest(string_split(text, ' ')) AS t
+      |  FROM documents CROSS JOIN n),
+      |tb AS (SELECT bkt, COUNT(*) AS n_tokens FROM tok GROUP BY 1),
+      |fb AS (SELECT t, MIN(bkt) AS bkt FROM tok GROUP BY 1),
+      |nv AS (SELECT bkt, COUNT(*) AS new_terms FROM fb GROUP BY 1)
+      |SELECT tb.bkt, tb.n_tokens,
+      |  CAST(SUM(tb.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  COALESCE(nv.new_terms, 0) AS new_terms,
+      |  CAST(SUM(COALESCE(nv.new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+      |FROM tb LEFT JOIN nv USING (bkt)
+      |WINDOW w AS (ORDER BY tb.bkt ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY bkt""".stripMargin
+
   /** Boolean AND search for three common corpus terms. */
   def qKeywordAnd(spark: SparkSession, dir: String): DataFrame =
     TextStats.keywordAndSearch(Tables.documents(spark, dir), "doc_id", "text",
@@ -2819,6 +2842,7 @@ object ExtQueries {
     "q_bpe_pairs" -> (qBpePairs _),
     "q_keyword_and" -> (qKeywordAnd _),
     "q_zipf_slope" -> (qZipfSlope _),
+    "q_heaps_law" -> (qHeapsLaw _),
     "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
@@ -2915,6 +2939,7 @@ object ExtQueries {
     "q_bpe_pairs" -> bpePairsSql,
     "q_keyword_and" -> keywordAndSql,
     "q_zipf_slope" -> zipfSlopeSql,
+    "q_heaps_law" -> heapsLawSql,
     "q_embed_quantize" -> embedQuantizeSql
   )
 }

@@ -586,6 +586,24 @@ object InsightQueries {
       |  ROUND(QUANTILE_CONT(t3 - t2, 0.9), 6) FROM p
       |ORDER BY stage""".stripMargin
 
+  /** Theil-Sen robust daily-volume trend per event type. */
+  def qTheilSen(spark: SparkSession, dir: String): DataFrame =
+    EventStats.theilSenTrend(Tables.events(spark, dir), "ts", "event_type")
+      .orderBy(col("event_type"))
+
+  val theilSenSql: String =
+    """WITH d AS (SELECT event_type,
+      |    CAST(ts AS DATE) - DATE '1970-01-01' AS x, COUNT(*) AS y
+      |  FROM events GROUP BY event_type, CAST(ts AS DATE)),
+      |p AS (SELECT a.event_type, (b.y - a.y) * 1.0 / (b.x - a.x) AS s
+      |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.x < b.x),
+      |m AS (SELECT event_type, QUANTILE_CONT(s, 0.5) AS slope FROM p GROUP BY 1)
+      |SELECT d.event_type, COUNT(*) AS n_days,
+      |  ROUND(MAX(m.slope), 6) AS slope_per_day,
+      |  ROUND(QUANTILE_CONT(d.y - m.slope * d.x, 0.5), 6) AS intercept
+      |FROM d JOIN m USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -1068,7 +1086,8 @@ object InsightQueries {
     "q_seasonal_baseline" -> (qSeasonalBaseline _),
     "q_churn_labels" -> (qChurnLabels _),
     "q_trimmed_mean" -> (qTrimmedMean _),
-    "q_funnel_latency" -> (qFunnelLatency _)
+    "q_funnel_latency" -> (qFunnelLatency _),
+    "q_theil_sen" -> (qTheilSen _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1099,6 +1118,7 @@ object InsightQueries {
     "q_seasonal_baseline" -> seasonalBaselineSql,
     "q_churn_labels" -> churnLabelsSql,
     "q_trimmed_mean" -> trimmedMeanSql,
-    "q_funnel_latency" -> funnelLatencySql
+    "q_funnel_latency" -> funnelLatencySql,
+    "q_theil_sen" -> theilSenSql
   )
 }

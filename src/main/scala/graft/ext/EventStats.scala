@@ -132,6 +132,36 @@ object EventStats {
           col("n_events") < lit(lo) * col("dow_median")).as("is_anomaly"))
   }
 
+  /** Theil-Sen robust trend per event type: the median of all pairwise
+    * day-to-day slopes over daily volumes (plus the median-residual
+    * intercept). One anomalous day drags an OLS line; the median slope needs
+    * >29% of days corrupted to move — the trend line a volume monitor should
+    * alarm on. The pairwise O(days²) join runs on the DAILY AGGREGATE — a
+    * calendar-bounded table, so ~500k pairs per type per decade at any
+    * corpus size. Output: (event_type, n_days, slope_per_day, intercept).
+    */
+  def theilSenTrend(events: DataFrame, tsCol: String,
+                    typeCol: String): DataFrame = {
+    val d = events
+      .groupBy(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .withColumn("x", datediff(col("day"), lit("1970-01-01").cast("date")))
+    val p = d.as("a").join(d.as("b"),
+        col("a.event_type") === col("b.event_type") && col("a.x") < col("b.x"))
+      .select(col("a.event_type").as("event_type"),
+        ((col("b.y") - col("a.y")).cast("double") / (col("b.x") - col("a.x")))
+          .as("s"))
+    val m = p.groupBy(col("event_type"))
+      .agg(percentile(col("s"), lit(0.5)).as("slope"))
+    d.join(m, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), max(col("slope")).as("slope"),
+        percentile(col("y") - col("slope") * col("x"), lit(0.5)).as("icept"))
+      .select(col("event_type"), col("n_days"),
+        round(col("slope"), 6).as("slope_per_day"),
+        round(col("icept"), 6).as("intercept"))
+  }
+
   /** Daily + trailing-`windowDays` rolling distinct active users (DAU/WAU).
     * Sliding-window COUNT DISTINCT doesn't decompose over a window frame, so
     * the standard distributed shape is contribution-explode: each distinct

@@ -314,6 +314,38 @@ object TextStats {
             (col("sx") / col("m")), 6).as("intercept"))
   }
 
+  /** Heaps'-law vocabulary growth curve: cumulative distinct vocabulary vs
+    * cumulative tokens over `buckets` growing id-ordered corpus prefixes.
+    * Sub-linear growth (V ≈ K·Nᵝ, β ≈ 0.4-0.6) is what natural text does; a
+    * curve bending UP signals injected noise/mojibake, flattening signals
+    * template spam — the companion alarm to [[zipfSlope]].
+    *
+    * The growing-prefix distinct count is computed WITHOUT rescanning
+    * prefixes: a term first appearing in bucket b contributes to every
+    * prefix ≥ b, so cum_vocab is just a running sum over the per-bucket
+    * first-appearance counts — one (term → min bucket) aggregate, then a
+    * `buckets`-row window. Output: (bkt, n_tokens, cum_tokens, new_terms,
+    * cum_vocab).
+    */
+  def heapsLaw(df: DataFrame, idCol: String, textCol: String,
+               buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = df.agg((max(col(idCol)) + 1).as("__n"))
+    val tok = df.crossJoin(broadcast(n))
+      .select(floor(col(idCol) * buckets / col("__n")).cast("long").as("bkt"),
+        explode(split(col(textCol), " ")).as("t"))
+    val perBucket = tok.groupBy(col("bkt")).agg(count(lit(1)).as("n_tokens"))
+    val newTerms = tok.groupBy(col("t")).agg(min(col("bkt")).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy(col("bkt"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTerms, Seq("bkt"), "left")
+      .na.fill(0L, Seq("new_terms"))
+      .select(col("bkt"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum_tokens"), col("new_terms"),
+        sum(col("new_terms")).over(w).as("cum_vocab"))
+  }
+
   /** Corpus-wide adjacent character-pair frequencies — the statistic the first
     * BPE merge iteration maximizes (Sennrich et al. '16: the merge chosen is
     * the most frequent symbol pair; iterating this IS tokenizer training, so

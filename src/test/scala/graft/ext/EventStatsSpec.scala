@@ -95,6 +95,19 @@ class EventStatsSpec extends SparkTestBase {
     assert(out("2024-01-02") == ((2L, 30.0, false))) // Tuesday baseline is 30
   }
 
+  test("theilSenTrend: one wild day cannot move the median slope") {
+    // volumes 10,20,30,40 on consecutive days (slope 10/day), then a day with
+    // 500 events: 6 of 10 pairwise slopes still come from the clean points.
+    def day(d: String, n: Int) = (0 until n).map(i =>
+      ("click", java.sql.Timestamp.valueOf(s"$d ${"%02d".format(i % 24)}:00:00")))
+    val df = (day("2024-01-01", 10) ++ day("2024-01-02", 20) ++
+      day("2024-01-03", 30) ++ day("2024-01-04", 40) ++ day("2024-01-05", 500))
+      .toDF("event_type", "ts")
+    val out = EventStats.theilSenTrend(df, "ts", "event_type").collect().head
+    assert(out.getLong(1) == 5L)
+    assert(out.getDouble(2) == 10.0, s"slope ${out.getDouble(2)}")
+  }
+
   test("rollingActiveUsers: WAU counts each user once across the window") {
     val df = Seq(
       (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"), // same day ×2

@@ -172,6 +172,20 @@ class TextStatsSpec extends SparkTestBase {
     assert(out.toSeq == Seq(1L, 3L))
   }
 
+  test("heapsLaw: cum_vocab counts each term at its first bucket only") {
+    import spark.implicits._
+    // ids 0-3 with buckets=2 → bucket 0 = docs 0,1; bucket 1 = docs 2,3
+    val docs = Seq(
+      (0L, "a b"), (1L, "a c"),     // bucket 0: 4 tokens, vocab {a,b,c}
+      (2L, "a b d"), (3L, "d")      // bucket 1: 4 tokens, new term {d}
+    ).toDF("doc_id", "text")
+    val out = TextStats.heapsLaw(docs, "doc_id", "text", buckets = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(0L) == ((4L, 4L, 3L, 3L)))
+    assert(out(1L) == ((4L, 8L, 1L, 4L)))
+  }
+
   test("zipfSlope: exact two-point fit recovers slope and intercept") {
     import spark.implicits._
     // vocab "a"×8 rank 1, "b"×2 rank 2: slope = ln(2/8)/ln(2) = −2,
