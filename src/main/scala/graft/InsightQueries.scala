@@ -604,6 +604,114 @@ object InsightQueries {
       |FROM d JOIN m USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Order-to-ship latency percentiles per order priority — the operational
+    * SLA view (does URGENT actually ship faster?). Exact p50/p90 over the
+    * per-line day lag, grouped by the priority dimension.
+    */
+  def qShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .join(Tables.lineitem(spark, dir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority").as("priority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("double")
+          .as("lag_days"))
+    x.groupBy(col("priority"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(percentile(col("lag_days"), lit(0.5)), 6).as("p50_days"),
+        round(percentile(col("lag_days"), lit(0.9)), 6).as("p90_days"),
+        round(max(col("lag_days")), 6).as("max_days"))
+      .orderBy(col("priority"))
+  }
+
+  val shipLatencySql: String =
+    """WITH x AS (SELECT o_orderpriority AS priority,
+      |    CAST(CAST(l_shipdate AS DATE) - CAST(o_orderdate AS DATE) AS DOUBLE)
+      |      AS lag_days
+      |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+      |SELECT priority, COUNT(*) AS n_lines,
+      |  ROUND(QUANTILE_CONT(lag_days, 0.5), 6) AS p50_days,
+      |  ROUND(QUANTILE_CONT(lag_days, 0.9), 6) AS p90_days,
+      |  ROUND(MAX(lag_days), 6) AS max_days
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Per-brand return rate with a 95% Wilson score interval — the
+    * small-sample-honest version of the naive rate (a brand with 2 returns
+    * out of 3 lines should NOT outrank one with 200/350; the Wilson lower
+    * bound encodes exactly that). Closed-form arithmetic from exact integer
+    * counts with the z=1.96 literal embedded identically in both engines.
+    */
+  def qReturnRateCi(spark: SparkSession, dir: String): DataFrame = {
+    val z = 1.96
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n_returned"))
+    val n = col("n_lines").cast("double")
+    val p = col("n_returned").cast("double") / n
+    val z2 = lit(z * z)
+    val center = (p + z2 / (lit(2.0) * n)) / (lit(1.0) + z2 / n)
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / n + z2 / (lit(4.0) * n * n))) /
+      (lit(1.0) + z2 / n)
+    x.select(col("brand"), col("n_lines"), col("n_returned"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("wilson_lo"),
+        round(center + half, 6).as("wilson_hi"))
+      .orderBy(col("brand"))
+  }
+
+  val returnRateCiSql: String =
+    """WITH x AS (SELECT p_brand AS brand, COUNT(*) AS n_lines,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_returned
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |c AS (SELECT brand, n_lines, n_returned, CAST(n_lines AS DOUBLE) AS n,
+      |    CAST(n_returned AS DOUBLE) / CAST(n_lines AS DOUBLE) AS p,
+      |    CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS z2
+      |  FROM x)
+      |SELECT brand, n_lines, n_returned, ROUND(p, 6) AS rate,
+      |  ROUND((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+      |    - (CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / n
+      |        + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 6) AS wilson_lo,
+      |  ROUND((p + z2 / (2.0 * n)) / (1.0 + z2 / n)
+      |    + (CAST(1.96 AS DOUBLE) * sqrt(p * (1.0 - p) / n
+      |        + z2 / (4.0 * n * n))) / (1.0 + z2 / n), 6) AS wilson_hi
+      |FROM c ORDER BY brand""".stripMargin
+
+  /** Order basket-size distribution: how many orders carry k lines, with the
+    * cumulative order share — the shape parameter behind every co-purchase
+    * operator's cost model (wedge counts grow with Σ basket²).
+    */
+  def qBasketSizeDist(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("basket_size"))
+      .groupBy(col("basket_size")).agg(count(lit(1)).as("n_orders"))
+    val total = sizes.agg(sum(col("n_orders")).as("n_total"))
+    val w = Window.orderBy(col("basket_size"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the distribution table is bounded by max basket size — tiny; the
+    // single-partition cumulative window is safe by construction
+    sizes.crossJoin(broadcast(total))
+      .select(col("basket_size"), col("n_orders"),
+        sum(col("n_orders")).over(w).as("cum_orders"),
+        round(sum(col("n_orders")).over(w).cast("double") / col("n_total"), 6)
+          .as("cum_share"))
+      .orderBy(col("basket_size"))
+  }
+
+  val basketSizeDistSql: String =
+    """WITH s AS (SELECT l_orderkey, COUNT(*) AS basket_size FROM lineitem
+      |  GROUP BY 1),
+      |d AS (SELECT basket_size, COUNT(*) AS n_orders FROM s GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM d)
+      |SELECT basket_size, n_orders,
+      |  CAST(SUM(n_orders) OVER w AS BIGINT) AS cum_orders,
+      |  ROUND(CAST(SUM(n_orders) OVER w AS DOUBLE) / t.n_total, 6) AS cum_share
+      |FROM d CROSS JOIN t
+      |WINDOW w AS (ORDER BY basket_size ROWS BETWEEN UNBOUNDED PRECEDING
+      |  AND CURRENT ROW)
+      |ORDER BY basket_size""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -1087,7 +1195,10 @@ object InsightQueries {
     "q_churn_labels" -> (qChurnLabels _),
     "q_trimmed_mean" -> (qTrimmedMean _),
     "q_funnel_latency" -> (qFunnelLatency _),
-    "q_theil_sen" -> (qTheilSen _)
+    "q_theil_sen" -> (qTheilSen _),
+    "q_ship_latency" -> (qShipLatency _),
+    "q_return_rate_ci" -> (qReturnRateCi _),
+    "q_basket_size_dist" -> (qBasketSizeDist _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1119,6 +1230,9 @@ object InsightQueries {
     "q_churn_labels" -> churnLabelsSql,
     "q_trimmed_mean" -> trimmedMeanSql,
     "q_funnel_latency" -> funnelLatencySql,
-    "q_theil_sen" -> theilSenSql
+    "q_theil_sen" -> theilSenSql,
+    "q_ship_latency" -> shipLatencySql,
+    "q_return_rate_ci" -> returnRateCiSql,
+    "q_basket_size_dist" -> basketSizeDistSql
   )
 }
