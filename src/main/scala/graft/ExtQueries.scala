@@ -1260,6 +1260,74 @@ object ExtQueries {
       |  AND CURRENT ROW)
       |ORDER BY bkt""".stripMargin
 
+  /** Exact-duplicate rate per source — the first number a curation run
+    * reports per feed (a source whose dup rate jumps is re-crawling itself).
+    * Composition: [[Dedup.exactDedup]] ⋈ the source dimension.
+    */
+  def qDupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    docs.select(col("doc_id"), col("source"))
+      .join(Dedup.exactDedup(docs, "doc_id", "text"), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("canonical_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        round(col("n_dropped").cast("double") / col("n_docs"), 6).as("dup_rate"))
+      .orderBy(col("source"))
+  }
+
+  val dupRateBySourceSql: String =
+    """WITH g AS (SELECT md5(text) AS h, MIN(doc_id) AS canonical_id
+      |  FROM documents GROUP BY 1),
+      |x AS (SELECT d.doc_id, d.source, g.canonical_id
+      |  FROM documents d JOIN g ON md5(d.text) = g.h)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped,
+      |  ROUND(CAST(SUM(CASE WHEN doc_id <> canonical_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / COUNT(*), 6) AS dup_rate
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Character-trigram entropy per source in bits — the gibberish/mojibake
+    * detector: natural language sits in a tight entropy band; binary spew or
+    * repeated templates fall far outside it. Per-term contributions go
+    * through DECIMAL (the userTypeEntropy discipline) so the sums are
+    * partition-order-independent and engine-identical. One scan-proportional
+    * explode, then (source, trigram)-keyed aggregates.
+    */
+  def qCharNgramEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val ln2 = 0.6931471805599453
+    val tri = Tables.documents(spark, dir)
+      .select(col("source"), explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
+          i => col("text").substr(i, lit(3)))).as("g"))
+    val c = tri.groupBy(col("source"), col("g")).agg(count(lit(1)).as("n"))
+    val t = c.groupBy(col("source"))
+      .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_grams"))
+    val p = col("n").cast("double") / col("tot")
+    c.join(t, Seq("source"))
+      .select(col("source"), col("tot"), col("n_grams"),
+        (-p * log(p) / lit(ln2)).cast("decimal(18,8)").as("term"))
+      .groupBy(col("source"))
+      .agg(max(col("tot")).as("n_total"), max(col("n_grams")).as("n_distinct"),
+        round(sum(col("term")).cast("double"), 6).as("entropy_bits"))
+      .orderBy(col("source"))
+  }
+
+  val charNgramEntropySql: String =
+    """WITH tri AS (SELECT source, unnest(list_transform(
+      |    generate_series(1, greatest(len(text) - 2, 1)),
+      |    i -> substr(text, i, 3))) AS g FROM documents),
+      |c AS (SELECT source, g, COUNT(*) AS n FROM tri GROUP BY 1, 2),
+      |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot,
+      |    COUNT(*) AS n_grams FROM c GROUP BY 1)
+      |SELECT c.source, MAX(t.tot) AS n_total, MAX(t.n_grams) AS n_distinct,
+      |  ROUND(CAST(SUM(CAST(-(CAST(n AS DOUBLE) / tot) *
+      |    ln(CAST(n AS DOUBLE) / tot) / 0.6931471805599453
+      |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS entropy_bits
+      |FROM c JOIN t USING (source) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Boolean AND search for three common corpus terms. */
   def qKeywordAnd(spark: SparkSession, dir: String): DataFrame =
     TextStats.keywordAndSearch(Tables.documents(spark, dir), "doc_id", "text",
@@ -2843,6 +2911,8 @@ object ExtQueries {
     "q_keyword_and" -> (qKeywordAnd _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_heaps_law" -> (qHeapsLaw _),
+    "q_dup_rate_by_source" -> (qDupRateBySource _),
+    "q_char_ngram_entropy" -> (qCharNgramEntropy _),
     "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
@@ -2940,6 +3010,8 @@ object ExtQueries {
     "q_keyword_and" -> keywordAndSql,
     "q_zipf_slope" -> zipfSlopeSql,
     "q_heaps_law" -> heapsLawSql,
+    "q_dup_rate_by_source" -> dupRateBySourceSql,
+    "q_char_ngram_entropy" -> charNgramEntropySql,
     "q_embed_quantize" -> embedQuantizeSql
   )
 }
