@@ -1328,6 +1328,43 @@ object ExtQueries {
       |    AS DECIMAL(18,8))) AS DOUBLE), 6) AS entropy_bits
       |FROM c JOIN t USING (source) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Cross-source near-duplicate overlap: for each ordered source pair, how
+    * many near-dup pairs (shingle Jaccard ≥ 0.5) span the two feeds — the
+    * redundancy matrix that decides which upstream feed to drop. Composition:
+    * the exact pair table ⋈ the source dimension twice; the pair table is
+    * tiny relative to the corpus, so both dimension joins broadcast.
+    */
+  def qSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val src = docs.select(col("doc_id"), col("source"))
+    Dedup.jaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")),
+        Seq("id_b"))
+      .select(least(col("src_a"), col("src_b")).as("source_1"),
+        greatest(col("src_a"), col("src_b")).as("source_2"))
+      .groupBy(col("source_1"), col("source_2"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+      .orderBy(col("source_1"), col("source_2"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |pr AS (SELECT id_a, id_b FROM p
+      |      JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |      WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |s AS (SELECT LEAST(da.source, db.source) AS source_1,
+      |    GREATEST(da.source, db.source) AS source_2
+      |  FROM pr JOIN documents da ON pr.id_a = da.doc_id
+      |  JOIN documents db ON pr.id_b = db.doc_id)
+      |SELECT source_1, source_2, COUNT(*) AS n_dup_pairs
+      |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Boolean AND search for three common corpus terms. */
   def qKeywordAnd(spark: SparkSession, dir: String): DataFrame =
     TextStats.keywordAndSearch(Tables.documents(spark, dir), "doc_id", "text",
@@ -2913,6 +2950,7 @@ object ExtQueries {
     "q_heaps_law" -> (qHeapsLaw _),
     "q_dup_rate_by_source" -> (qDupRateBySource _),
     "q_char_ngram_entropy" -> (qCharNgramEntropy _),
+    "q_source_overlap" -> (qSourceOverlap _),
     "q_embed_quantize" -> (qEmbedQuantize _)
   )
 
@@ -3012,6 +3050,7 @@ object ExtQueries {
     "q_heaps_law" -> heapsLawSql,
     "q_dup_rate_by_source" -> dupRateBySourceSql,
     "q_char_ngram_entropy" -> charNgramEntropySql,
+    "q_source_overlap" -> sourceOverlapSql,
     "q_embed_quantize" -> embedQuantizeSql
   )
 }

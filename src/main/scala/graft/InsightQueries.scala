@@ -712,6 +712,69 @@ object InsightQueries {
       |  AND CURRENT ROW)
       |ORDER BY basket_size""".stripMargin
 
+  /** Monthly revenue volatility per brand: coefficient of variation of
+    * monthly revenue totals — the stability screen behind assortment and
+    * forecasting decisions (a brand with CV 1.2 needs a different safety
+    * stock than one at 0.1). Monthly sums go through DECIMAL; the CV runs on
+    * the brand × month aggregate, bounded by catalog × calendar.
+    */
+  def qPriceVolatility(spark: SparkSession, dir: String): DataFrame = {
+    val m = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"),
+        to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(sum(AnalyticsQueries.dec(col("l_extendedprice"))).cast("double")
+        .as("rev"))
+    m.groupBy(col("brand"))
+      .agg(count(lit(1)).as("n_months"),
+        round(avg(col("rev")), 6).as("mean_rev"),
+        round(stddev_samp(col("rev")), 6).as("std_rev"),
+        round(stddev_samp(col("rev")) / avg(col("rev")), 6).as("cv"))
+      .orderBy(col("brand"))
+  }
+
+  val priceVolatilitySql: String =
+    """WITH m AS (SELECT p_brand AS brand,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2)
+      |SELECT brand, COUNT(*) AS n_months, ROUND(AVG(rev), 6) AS mean_rev,
+      |  ROUND(STDDEV_SAMP(rev), 6) AS std_rev,
+      |  ROUND(STDDEV_SAMP(rev) / AVG(rev), 6) AS cv
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** User active-lifetime distribution: the span in days between each user's
+    * first and last event, bucketed — the engagement-horizon histogram that
+    * sets retention-window defaults. Per-user min/max is one keyed aggregate;
+    * the histogram is bounded by the observation window.
+    */
+  def qActiveLifetime(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts"))))
+        .cast("long").as("span_days"))
+    val total = spans.agg(count(lit(1)).as("n_total"))
+    spans.groupBy(col("span_days")).agg(count(lit(1)).as("n_users"))
+      .crossJoin(broadcast(total))
+      .select(col("span_days"), col("n_users"),
+        round(col("n_users").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("span_days"))
+  }
+
+  val activeLifetimeSql: String =
+    """WITH s AS (SELECT user_id,
+      |    CAST(MAX(CAST(ts AS DATE)) - MIN(CAST(ts AS DATE)) AS BIGINT)
+      |      AS span_days
+      |  FROM events GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n_total FROM s)
+      |SELECT span_days, COUNT(*) AS n_users,
+      |  ROUND(CAST(COUNT(*) AS DOUBLE) / t.n_total, 6) AS share
+      |FROM s CROSS JOIN t GROUP BY span_days, t.n_total
+      |ORDER BY span_days""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -1198,7 +1261,9 @@ object InsightQueries {
     "q_theil_sen" -> (qTheilSen _),
     "q_ship_latency" -> (qShipLatency _),
     "q_return_rate_ci" -> (qReturnRateCi _),
-    "q_basket_size_dist" -> (qBasketSizeDist _)
+    "q_basket_size_dist" -> (qBasketSizeDist _),
+    "q_price_volatility" -> (qPriceVolatility _),
+    "q_active_lifetime" -> (qActiveLifetime _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1233,6 +1298,8 @@ object InsightQueries {
     "q_theil_sen" -> theilSenSql,
     "q_ship_latency" -> shipLatencySql,
     "q_return_rate_ci" -> returnRateCiSql,
-    "q_basket_size_dist" -> basketSizeDistSql
+    "q_basket_size_dist" -> basketSizeDistSql,
+    "q_price_volatility" -> priceVolatilitySql,
+    "q_active_lifetime" -> activeLifetimeSql
   )
 }
