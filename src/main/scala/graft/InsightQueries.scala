@@ -775,6 +775,88 @@ object InsightQueries {
       |FROM s CROSS JOIN t GROUP BY span_days, t.n_total
       |ORDER BY span_days""".stripMargin
 
+  /** Quantity uplift by discount band: average line quantity at each discount
+    * level vs the zero-discount baseline — the first-order price-elasticity
+    * read a merchandiser pulls before any modeling. DECIMAL sums; the
+    * baseline rides a broadcast 1-row aggregate.
+    */
+  def qDiscountUplift(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select((round(col("l_discount") * 100).cast("long")).as("disc_pct"),
+        col("l_quantity"))
+    val bands = l.groupBy(col("disc_pct"))
+      .agg(count(lit(1)).as("n_lines"),
+        (sum(AnalyticsQueries.dec(col("l_quantity"))).cast("double") /
+          count(lit(1))).as("avg_qty"))
+    val base = bands.filter(col("disc_pct") === 0)
+      .select(col("avg_qty").as("base_qty"))
+    bands.crossJoin(broadcast(base))
+      .select(col("disc_pct"), col("n_lines"),
+        round(col("avg_qty"), 6).as("avg_qty"),
+        round(col("avg_qty") / col("base_qty"), 6).as("uplift"))
+      .orderBy(col("disc_pct"))
+  }
+
+  val discountUpliftSql: String =
+    """WITH l AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS disc_pct,
+      |    l_quantity FROM lineitem),
+      |b AS (SELECT disc_pct, COUNT(*) AS n_lines,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+      |      AS avg_qty
+      |  FROM l GROUP BY 1),
+      |z AS (SELECT avg_qty AS base_qty FROM b WHERE disc_pct = 0)
+      |SELECT disc_pct, n_lines, ROUND(avg_qty, 6) AS avg_qty,
+      |  ROUND(avg_qty / z.base_qty, 6) AS uplift
+      |FROM b CROSS JOIN z ORDER BY disc_pct""".stripMargin
+
+  /** Conversion rate by session ordinal: does the Nth session of a user's
+    * life convert better than the first? Reuses the gap-sessionized stream
+    * (session_id IS the ordinal — the cumulative window numbers a user's
+    * sessions in time order); the rate table is bounded by max sessions per
+    * user over the observation window.
+    */
+  def qSessionConversion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_type"))
+    val prev = lag(col("ms"), 1).over(byUser)
+    val sess = e
+      .withColumn("session_id",
+        sum(when(prev.isNull || col("ms") - prev > 1800000L, 1L).otherwise(0L))
+          .over(byUser.rowsBetween(Window.unboundedPreceding,
+            Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+    sess.groupBy(col("session_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).as("n_converted"))
+      .select(col("session_id"), col("n_sessions"), col("n_converted"),
+        round(col("n_converted").cast("double") / col("n_sessions"), 6)
+          .as("conversion_rate"))
+      .orderBy(col("session_id"))
+  }
+
+  val sessionConversionSql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms, event_type FROM events),
+      |f AS (SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+      |      OR ms - lag(ms) OVER w > 1800000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      |s AS (SELECT user_id, event_type,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_id
+      |  FROM f),
+      |g AS (SELECT user_id, session_id,
+      |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+      |  FROM s GROUP BY 1, 2)
+      |SELECT session_id, COUNT(*) AS n_sessions,
+      |  CAST(SUM(converted) AS BIGINT) AS n_converted,
+      |  ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Trailing-7-day volume anomalies per event type (current day scored
     * against the preceding week's mean/stddev).
     */
@@ -1263,7 +1345,9 @@ object InsightQueries {
     "q_return_rate_ci" -> (qReturnRateCi _),
     "q_basket_size_dist" -> (qBasketSizeDist _),
     "q_price_volatility" -> (qPriceVolatility _),
-    "q_active_lifetime" -> (qActiveLifetime _)
+    "q_active_lifetime" -> (qActiveLifetime _),
+    "q_discount_uplift" -> (qDiscountUplift _),
+    "q_session_conversion" -> (qSessionConversion _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1300,6 +1384,8 @@ object InsightQueries {
     "q_return_rate_ci" -> returnRateCiSql,
     "q_basket_size_dist" -> basketSizeDistSql,
     "q_price_volatility" -> priceVolatilitySql,
-    "q_active_lifetime" -> activeLifetimeSql
+    "q_active_lifetime" -> activeLifetimeSql,
+    "q_discount_uplift" -> discountUpliftSql,
+    "q_session_conversion" -> sessionConversionSql
   )
 }
