@@ -1095,8 +1095,17 @@ object InsightQueries {
     // them; the aggregator's map-side partial heaps forward ≤ 5 rows per user
     // — the q_simsearch_batch shape applied to sampling. Ties (52-bit
     // collisions) break by ascending item_id in BOTH engines.
+    // the anti-join only ever needs history rows whose item is in the top-200
+    // candidate set — semi-restricting `a` first shrinks the build side from
+    // the full interaction table to the top-item histories, small enough to
+    // broadcast, so the #users × 200 candidate stream never shuffles: it flows
+    // map-side from the crossJoin straight into the partial heaps. (The
+    // broadcast bound is Σ_top-items |users(item)|; if that outgrows the
+    // driver at extreme scale, drop the hint and AQE's runtime conversion
+    // keeps the same join with a local shuffle read instead.)
+    val topHistory = a.join(broadcast(popTop), Seq("item_id"), "left_semi")
     val cand = users.crossJoin(broadcast(popTop))
-      .join(a, Seq("user_id", "item_id"), "left_anti")
+      .join(broadcast(topHistory), Seq("user_id", "item_id"), "left_anti")
       .withColumn("pick",
         conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
           col("item_id").cast("string"))), 1, 13), 16, 10).cast("long"))

@@ -414,10 +414,22 @@ object Dedup {
     * loop checkpoints the label table every round via localCheckpoint to cut the
     * growing lineage. Singleton docs (no pairs) are absent from the output — join
     * against the corpus if they're needed.
+    *
+    * Adaptive small-graph path: the edge list of a dedup graph is sparse —
+    * orders of magnitude smaller than the corpus that produced it — and its
+    * size is known for free once the edge table is checkpointed. When it has
+    * at most `unionFindMaxEdges` rows (and integral ids), the loop is replaced
+    * by a single-task union-find (path halving + union by size, O(E·α)): one
+    * narrow coalesce instead of 3·O(log n) shuffle rounds, each of which costs
+    * a full scheduling round-trip regardless of data volume. 5M edges ≈ 80 MB
+    * in one task — well under executor memory; above the threshold (or for
+    * non-integral ids) the distributed rounds run unchanged, so the 100 TB
+    * path never depends on any single task holding the graph.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 10,
-                  pointerJump: Boolean = true): DataFrame =
-    dupClustersWithStats(pairs, maxIter, pointerJump) match {
+                  pointerJump: Boolean = true,
+                  unionFindMaxEdges: Long = 5000000L): DataFrame =
+    dupClustersWithStats(pairs, maxIter, pointerJump, unionFindMaxEdges) match {
       case (labels, iters, converged) =>
         if (!converged)
           // partially-converged labels over-split clusters (a chain longer than
@@ -434,13 +446,23 @@ object Dedup {
     * use this instead of the throwing wrapper.
     */
   def dupClustersWithStats(pairs: DataFrame, maxIter: Int = 10,
-                           pointerJump: Boolean = true): (DataFrame, Int, Boolean) = {
+                           pointerJump: Boolean = true,
+                           unionFindMaxEdges: Long = 5000000L): (DataFrame, Int, Boolean) = {
     // materialize the edge table once: every propagation round joins against it,
     // and without this the whole upstream pair pipeline (shingle join included)
     // would re-execute per round
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint(eager = true)
+    val integralId = {
+      import org.apache.spark.sql.types._
+      Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(edges.schema("id_a").dataType)
+    }
+    // counting the checkpointed edges is a narrow scan of local blocks — the
+    // size check costs one cheap job, not a recompute of the pair pipeline
+    if (integralId && edges.count() <= unionFindMaxEdges)
+      return (unionFindLabels(edges), 1, true)
     var labels = edges.select(col("id_a").as("id"), col("id_a").as("cluster_id"))
       .union(edges.select(col("id_a").as("id"), col("id_b").as("cluster_id")))
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
@@ -477,6 +499,59 @@ object Dedup {
       iter += 1
     }
     (labels, iter, converged)
+  }
+
+  /** Single-task union-find over the symmetric edge table — the small-graph
+    * fast path of [[dupClusters]]. Path halving + union by size → O(E·α(E));
+    * labels are the component-minimum id, identical to the distributed rounds'
+    * output. Ids travel as longs and are cast back to the input's integral
+    * type (min commutes with widening integral casts).
+    */
+  private def unionFindLabels(edges: DataFrame): DataFrame = {
+    val idType = edges.schema("id_a").dataType
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labelled = edges
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val parent = new java.util.HashMap[Long, Long]()
+        val size = new java.util.HashMap[Long, Int]()
+        def add(x: Long): Unit =
+          if (!parent.containsKey(x)) { parent.put(x, x); size.put(x, 1) }
+        def find(x0: Long): Long = {
+          var x = x0
+          while (parent.get(x) != x) {
+            val p = parent.get(x)
+            val gp = parent.get(p) // path halving: value puts only, no resize
+            parent.put(x, gp)
+            x = gp
+          }
+          x
+        }
+        it.foreach { case (a, b) =>
+          add(a); add(b)
+          val ra = find(a)
+          val rb = find(b)
+          if (ra != rb) {
+            val (big, small) =
+              if (size.get(ra) >= size.get(rb)) (ra, rb) else (rb, ra)
+            parent.put(small, big)
+            size.put(big, size.get(big) + size.get(small))
+          }
+        }
+        val minOf = new java.util.HashMap[Long, Long]()
+        parent.keySet().forEach { n =>
+          val r = find(n)
+          if (!minOf.containsKey(r) || n < minOf.get(r)) minOf.put(r, n)
+        }
+        import scala.jdk.CollectionConverters._
+        parent.keySet().iterator().asScala.map(n => (n, minOf.get(find(n))))
+      }
+    labelled.toDF("id", "cluster_id")
+      .select(col("id").cast(idType).as("id"),
+        col("cluster_id").cast(idType).as("cluster_id"))
   }
 
   /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of

@@ -89,24 +89,29 @@ class DedupSpec extends SparkTestBase {
   test("dupClusters: non-convergence is loud, not silently partial") {
     // path graph 1-2-...-8 (diameter 7): maxIter=2 can't finish propagating
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (_, iters, converged) = Dedup.dupClustersWithStats(chain, maxIter = 2)
+    // unionFindMaxEdges = 0 forces the distributed rounds on this tiny fixture
+    val (_, iters, converged) =
+      Dedup.dupClustersWithStats(chain, maxIter = 2, unionFindMaxEdges = 0)
     assert(!converged && iters == 2)
-    val e = intercept[IllegalStateException](Dedup.dupClusters(chain, maxIter = 2))
+    val e = intercept[IllegalStateException](
+      Dedup.dupClusters(chain, maxIter = 2, unionFindMaxEdges = 0))
     assert(e.getMessage.contains("did not converge"))
     // and with headroom the same chain converges to one cluster
-    val (labels, _, ok) = Dedup.dupClustersWithStats(chain, maxIter = 10)
+    val (labels, _, ok) =
+      Dedup.dupClustersWithStats(chain, maxIter = 10, unionFindMaxEdges = 0)
     assert(ok)
     assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
   }
 
   test("pointer jumping: a 50-node chain converges within 10 rounds; plain does not") {
     val chain = (1L until 50L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, iters, ok) = Dedup.dupClustersWithStats(chain, maxIter = 10)
+    val (labels, iters, ok) =
+      Dedup.dupClustersWithStats(chain, maxIter = 10, unionFindMaxEdges = 0)
     assert(ok, s"pointer-jump CC did not converge in 10 rounds (ran $iters)")
     assert(labels.collect().map(_.getLong(1)).toSet == Set(1L))
     // plain min-label propagation needs O(diameter)=49 rounds on the same chain
-    val (_, _, plainOk) =
-      Dedup.dupClustersWithStats(chain, maxIter = 10, pointerJump = false)
+    val (_, _, plainOk) = Dedup.dupClustersWithStats(chain, maxIter = 10,
+      pointerJump = false, unionFindMaxEdges = 0)
     assert(!plainOk, "plain propagation should not finish a 49-hop chain in 10 rounds")
   }
 
@@ -118,11 +123,16 @@ class DedupSpec extends SparkTestBase {
         .filter { case (a, b) => a != b }
         .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
       val df = edges.toDF("id_a", "id_b")
-      val fast = Dedup.dupClusters(df, maxIter = 12).collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val slow = Dedup.dupClusters(df, maxIter = 30, pointerJump = false).collect()
+      val fast = Dedup.dupClusters(df, maxIter = 12, unionFindMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val slow = Dedup.dupClusters(df, maxIter = 30, pointerJump = false,
+          unionFindMaxEdges = 0)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // and the single-task union-find fast path agrees with both
+      val uf = Dedup.dupClusters(df).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(fast == slow, s"trial $trial: $fast vs $slow")
+      assert(uf == fast, s"trial $trial union-find: $uf vs $fast")
     }
   }
 

@@ -51,9 +51,15 @@ class GraphFunnelPropertiesSpec extends SparkTestBase {
     (1L to 6L).foreach { seed =>
       val edges = sample(edgesGen, seed)
       if (edges.nonEmpty) {
-        val got = Dedup.dupClusters(edges.toDF("id_a", "id_b"), maxIter = 15)
+        val df = edges.toDF("id_a", "id_b")
+        // distributed rounds (unionFindMaxEdges = 0) and the single-task
+        // fast path (default) must both match the reference union-find
+        val dist = Dedup.dupClusters(df, maxIter = 15, unionFindMaxEdges = 0)
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got == unionFind(edges), s"seed $seed edges $edges")
+        val fast = Dedup.dupClusters(df)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(dist == unionFind(edges), s"seed $seed edges $edges")
+        assert(fast == unionFind(edges), s"seed $seed (fast path) edges $edges")
       }
     }
   }
