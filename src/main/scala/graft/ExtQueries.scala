@@ -2190,15 +2190,21 @@ object ExtQueries {
     * map-side; the cut is TakeOrderedAndProject.
     */
   def qMarketBasket(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // basket form: one order-keyed set aggregate feeds pair generation, item
+    // frequencies AND the order count — checkpointed because three branches
+    // of one aggregate would otherwise each re-run it (the plan-shape trap)
+    val baskets = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .distinct()
-    val a = li.select(col("okey"), col("item").as("item_a"))
-    val b = li.select(col("okey"), col("item").as("item_b"))
-    val pairs = a.join(b, "okey").filter(col("item_a") < col("item_b"))
+      .groupBy(col("okey")).agg(collect_set(col("item")).as("items"))
+      .localCheckpoint(eager = true)
+    val pairs = baskets
+      .select(explode(col("items")).as("item_a"), col("items"))
+      .select(col("item_a"), explode(col("items")).as("item_b"))
+      .filter(col("item_a") < col("item_b"))
       .groupBy(col("item_a"), col("item_b")).agg(count(lit(1)).as("n_ab"))
-    val itemN = li.groupBy(col("item")).agg(count(lit(1)).as("n_i"))
-    val total = li.agg(countDistinct(col("okey")).as("n_orders"))
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("n_i"))
+    val total = baskets.agg(count(lit(1)).as("n_orders"))
     pairs
       .filter(col("n_ab") >= 3)
       .join(itemN.select(col("item").as("item_a"), col("n_i").as("n_a")), "item_a")
@@ -2404,12 +2410,14 @@ object ExtQueries {
     * sums and double scalar arithmetic — every rank matches to 6 decimals.
     */
   def qPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // basket form: one order-keyed set aggregate + map-side pair generation
+    // (bounded by basket size²) instead of a two-sided self-join shuffle
+    val pairs = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("okey"), col("l_partkey").as("item"))
-      .distinct()
-    val a = li.select(col("okey"), col("item").as("ia"))
-    val b = li.select(col("okey"), col("item").as("ib"))
-    val pairs = a.join(b, "okey").filter(col("ia") < col("ib"))
+      .groupBy(col("okey")).agg(collect_set(col("item")).as("items"))
+      .select(explode(col("items")).as("ia"), col("items"))
+      .select(col("ia"), explode(col("items")).as("ib"))
+      .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))

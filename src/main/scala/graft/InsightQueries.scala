@@ -194,10 +194,15 @@ object InsightQueries {
   private def repeatEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    l.as("x").join(l.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .groupBy(col("x.pk").as("src"), col("y.pk").as("dst"))
-      .agg(countDistinct(col("x.ok")).as("s"))
+    // basket form: ONE order-keyed set aggregate (partial map-side) replaces
+    // the two-sided self-join shuffle; pairs generate map-side from each
+    // basket, bounded by basket size², and the distinct-order count becomes a
+    // plain count because a set yields each pair at most once per order
+    l.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("s"))
       .filter(col("s") >= 2)
       .select(col("src"), col("dst"))
   }

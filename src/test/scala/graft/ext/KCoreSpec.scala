@@ -5,9 +5,18 @@ import graft.SparkTestBase
 class KCoreSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def core(edges: Seq[(Long, Long)], k: Int) =
-    KCore.kCore(edges.toDF("src", "dst"), "src", "dst", k)
+  // smallGraphMaxEdges = 0 forces the distributed peeling rounds on these
+  // tiny fixtures; every test also runs the single-task fast path (default)
+  // and asserts the two agree.
+  private def core(edges: Seq[(Long, Long)], k: Int) = {
+    val df = edges.toDF("src", "dst")
+    val dist = KCore.kCore(df, "src", "dst", k, smallGraphMaxEdges = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = KCore.kCore(df, "src", "dst", k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == fast, s"distributed $dist vs single-task $fast")
+    dist
+  }
 
   test("triangle with pendant chain: 2-core strips the chain recursively") {
     // 1-2-3 triangle; 3-4-5 chain. Peeling 5 (deg 1) exposes 4, which must
