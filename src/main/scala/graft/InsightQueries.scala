@@ -191,7 +191,7 @@ object InsightQueries {
     * edges / 72M wedges, the signal graph 3.6k / 1.4k). Shared by
     * [[qTriangles]] and [[qKcore]].
     */
-  private def repeatEdges(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def repeatEdges(spark: SparkSession, dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     // basket form: ONE order-keyed set aggregate (partial map-side) replaces
@@ -207,7 +207,7 @@ object InsightQueries {
       .select(col("src"), col("dst"))
   }
 
-  private val repeatEdgesSql =
+  private[graft] val repeatEdgesSql =
     """e AS (SELECT x.l_partkey AS a, y.l_partkey AS b
       |  FROM lineitem x JOIN lineitem y
       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey

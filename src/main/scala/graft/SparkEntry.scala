@@ -191,7 +191,8 @@ object SparkEntry {
     "q_ndcg" -> (qNdcg _),
     "q_coverage_at_k" -> (qCoverageAtK _),
     "q_gini" -> (qGini _)
-  ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries
+  ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries ++
+    FrontierQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -347,5 +348,6 @@ object SparkEntry {
         |SELECT n, s,
         |  ROUND(2.0 * srw / (n * s) - (n + 1) * 1.0 / n, 6) AS gini
         |FROM s""".stripMargin
-  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql
+  ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql ++
+    FrontierQueries.oracleSql
 }

@@ -13,6 +13,50 @@ object Embeddings {
   def maxAbs(vec: Column): Column =
     array_max(transform(vec, x => abs(x.cast("double"))))
 
+  /** Embedding-space health check: the cosine distribution over deterministic
+    * pseudo-random disjoint vector pairs, binned into a histogram. A healthy
+    * isotropic space concentrates near 0; mass near 1 flags collapsed /
+    * duplicate regions, a shifted mode flags anisotropy (the "cone effect")
+    * — the cheap corpus-level diagnostic run before trusting ANN recall.
+    *
+    * Pairing is reproducible and join-free: ids hash (md5) into `nBuckets`
+    * buckets, rows rank by hash within their bucket, and each odd rank pairs
+    * with its `lead()` successor — ONE bucket-keyed window, no self-join, no
+    * second branch over the corpus. Buckets bound window partitions
+    * (corpus/nBuckets rows each; raise `nBuckets` with corpus size). Per-bin
+    * cosine sums ride DECIMAL.
+    *
+    * Output: (bin, lo, n_pairs, mean_cos) where bin i covers
+    * [-1 + 2i/nBins, -1 + 2(i+1)/nBins).
+    */
+  def pairCosineHistogram(df: DataFrame, idCol: String, vecCol: String,
+                          nBuckets: Int = 64, nBins: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val h = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("h", md5(col("id").cast("string")))
+      .withColumn("bucket",
+        conv(substring(col("h"), 1, 8), 16, 10).cast("long") % nBuckets)
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("id"))
+    val paired = h
+      .withColumn("rn", row_number().over(w))
+      .withColumn("pvec", lead(col("vec"), 1).over(w))
+      .filter(col("rn") % 2 === 1 && col("pvec").isNotNull)
+    val cos = round(
+      graft.ext.SimSearch.dot(col("vec"), col("pvec")) /
+        (graft.ext.SimSearch.norm(col("vec")) *
+          graft.ext.SimSearch.norm(col("pvec"))), 6)
+    paired
+      .select(least(lit(nBins - 1), greatest(lit(0),
+          floor((cos + 1.0) / 2.0 * nBins))).cast("int").as("bin"),
+        cos.as("cos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(sum(col("cos").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_cos"))
+      .withColumn("lo", round(lit(-1.0) + col("bin") * 2.0 / nBins, 6))
+      .select(col("bin"), col("lo"), col("n_pairs"), col("mean_cos"))
+  }
+
   /** Symmetric int8 quantization of one element: round(x · 127 / maxAbs), with
     * all-zero vectors mapping to 0 (not NaN). Kept as a scalar building block so
     * the SQL oracle can mirror it token-for-token.

@@ -47,6 +47,42 @@ object EventStats {
         (abs(col("z")) > threshold).as("is_anomaly"))
   }
 
+  /** Exponentially-weighted moving average of daily volumes per event type —
+    * the smoothed baseline curve behind alerting dashboards and trend
+    * normalization. For each (event_type, day): ewma = Σ_s w_s·n_s / Σ_s w_s
+    * over the trailing `windowDays` days with weight w_s = decay^(Δdays) —
+    * pandas `ewm(adjust=True)` semantics restricted to a bounded window, so
+    * the weights are an explicit finite sum instead of an unbounded
+    * recurrence (which no SQL window computes and whose infinite tail decays
+    * below double precision past the bound anyway; decay 0.9^28 ≈ 0.05).
+    *
+    * Scale shape: events aggregate to |types|×|days| rows FIRST; the trailing
+    * window is then a bounded-fan-out (≤ `windowDays`×) self-join on the tiny
+    * aggregated series, keyed by event_type — never a join on raw events.
+    * Weighted sums ride DECIMAL so partition order can't flip low bits.
+    * Output: (event_type, day, n_events, ewma).
+    */
+  def ewmaDaily(events: DataFrame, tsCol: String, typeCol: String,
+                decay: Double = 0.9, windowDays: Int = 28): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day")).agg(count(lit(1)).as("n_events"))
+    val t = daily.as("t")
+    val s = daily.select(col("event_type"), col("day").as("sday"),
+      col("n_events").as("sn")).as("s")
+    t.join(s, col("t.event_type") === col("s.event_type") &&
+        datediff(col("t.day"), col("sday")).between(0, windowDays - 1))
+      .select(col("t.event_type").as("event_type"), col("t.day").as("day"),
+        col("t.n_events").as("n_events"),
+        pow(lit(decay), datediff(col("t.day"), col("sday"))).as("w"),
+        col("sn"))
+      .groupBy(col("event_type"), col("day"), col("n_events"))
+      .agg((sum((col("sn") * col("w")).cast("decimal(27,12)")).cast("double") /
+        sum(col("w").cast("decimal(27,12)")).cast("double")).as("ewma"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        round(col("ewma"), 6).as("ewma"))
+  }
+
   /** Per-user inter-arrival burstiness (Goh & Barabási 2008): with gap mean μ
     * and sample stddev σ, B = (σ−μ)/(σ+μ) ∈ (−1, 1) — 0 for a Poisson
     * process, → 1 for heavy bursts, → −1 for a metronome. Bot traffic shows

@@ -15,6 +15,50 @@ import org.apache.spark.sql.functions._
   */
 object TextQuality {
 
+  /** Feature-hashed linear document scorer — the fastText-classifier shape
+    * (Joulin et al. 2016: hash word uni/bigrams into a fixed feature space,
+    * score = σ(mean feature weight)) that backs most production quality /
+    * topic filters at corpus scale. The Spark plumbing is the real thing:
+    * tokenize → n-gram → hash → per-doc reduce, all codegen expressions with
+    * zero shuffles beyond the doc-keyed aggregate. The WEIGHTS are a
+    * deterministic hash-derived stand-in (no trained model ships in this
+    * library — a real deployment broadcasts its weight vector and replaces
+    * `bucketWeight` alone; every other column is production-shaped).
+    *
+    * Hash = first 8 md5 hex chars mod `nFeatures` (engine-portable, unlike
+    * xxhash whose DuckDB/Spark implementations differ); per-doc weight sums
+    * ride DECIMAL. Output: (doc_id, n_feats, raw, score) with
+    * raw = mean weight and score = sigmoid(raw).
+    */
+  def hashedLinearScore(df: DataFrame, idCol: String, textCol: String,
+                        nFeatures: Int = 4096): DataFrame = {
+    val toks = split(lower(col(textCol)), " ")
+    // unigrams ++ joining bigrams, one generator
+    val bigrams = when(size(toks) >= 2,
+      zip_with(slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit("_"), b)))
+      .otherwise(array().cast("array<string>"))
+    val bucket = conv(substring(md5(col("feat")), 1, 8), 16, 10)
+      .cast("long") % nFeatures
+    df.select(col(idCol).as("doc_id"),
+        explode(concat(toks, bigrams)).as("feat"))
+      .select(col("doc_id"), bucketWeight(bucket).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feats"),
+        (sum(col("w").cast("decimal(27,12)")).cast("double") /
+          count(lit(1))).as("raw"))
+      .select(col("doc_id"), col("n_feats"), round(col("raw"), 6).as("raw"),
+        round(lit(1.0) / (lit(1.0) + exp(-col("raw"))), 6).as("score"))
+  }
+
+  /** The stand-in weight for a hashed feature bucket: a fixed pseudo-random
+    * value in [-0.5, 0.5] derived from the bucket id. Swap for a broadcast
+    * lookup against trained weights in a real deployment.
+    */
+  def bucketWeight(bucket: Column): Column =
+    (bucket % 997).cast("double") / 996.0 - 0.5
+
   /** Per-document repetition/diversity signals:
     *  - `n_tokens`: whitespace token count
     *  - `type_token_ratio`: distinct / total tokens (low → repetitive)

@@ -10,15 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * With binary (user, item) vectors, cosine(i,j) reduces to
   * `co(i,j) / sqrt(n_i · n_j)` where co = #users holding both and n_i = #users
-  * holding i — so the whole computation is one self-join on user plus keyed
-  * aggregates; no matrix library, no pivot.
+  * holding i — so the whole computation is one user-keyed basket aggregate
+  * plus map-side pair generation; no matrix library, no pivot, no self-join
+  * shuffle (each interaction row crosses the wire once).
   *
-  * Scale shape: the self-join's cost is Σ_user basket², so whale users (bots,
+  * Scale shape: pair generation costs Σ_user basket², so whale users (bots,
   * shared accounts) dominate at 100 TB. `maxBasket` drops users above a basket
-  * cap BEFORE the join — the standard power-user cut in item-CF (their
-  * co-occurrence signal is near-uniform noise anyway). `minSupport` prunes
-  * long-tail items before the join, shrinking both sides. Top-k per item runs
-  * as a user-keyed WindowGroupLimit, never a global sort.
+  * cap BEFORE the aggregate — the standard power-user cut in item-CF (their
+  * co-occurrence signal is near-uniform noise anyway) — which also bounds the
+  * collected basket arrays. `minSupport` prunes long-tail items on the scan
+  * via a broadcast semi-join. Top-k per item runs as a user-keyed
+  * WindowGroupLimit, never a global sort.
   */
 object ItemCF {
 
@@ -38,19 +40,29 @@ object ItemCF {
       .localCheckpoint(eager = true)
     val keptUsers = b0.groupBy(col("user")).agg(count(lit(1)).as("bsz"))
       .filter(col("bsz") <= maxBasket).select(col("user"))
-    val ni = b0.join(keptUsers, Seq("user"))
+    // ni feeds three consumers (the item prune + both post-aggregate support
+    // joins) — checkpoint the small table instead of re-running its aggregate
+    val ni = b0.join(broadcast(keptUsers), Seq("user"))
       .groupBy(col("item")).agg(count(lit(1)).as("n_users"))
       .filter(col("n_users") >= minSupport)
-    val b = b0.join(keptUsers, Seq("user"))
-      .join(ni, Seq("item"))
-      .select(col("user"), col("item"), col("n_users"))
-    // one ordered self-join builds each unordered pair once; both directions
-    // are emitted afterwards so every item ranks its own neighbor list
-    val co = b.as("x").join(b.as("y"),
-        col("x.user") === col("y.user") && col("x.item") < col("y.item"))
-      .groupBy(col("x.item").as("i"), col("y.item").as("j"),
-        col("x.n_users").as("ni"), col("y.n_users").as("nj"))
-      .agg(count(lit(1)).as("n_both"))
+      .localCheckpoint(eager = true)
+    // basket form: both cuts apply as broadcast semi-joins on the scan (no
+    // reshuffle), then ONE user-keyed set aggregate collects each kept basket
+    // and pairs generate map-side from it — bounded by maxBasket² per user —
+    // instead of a two-sided self-join shuffle. Support counts re-attach
+    // post-aggregate from the broadcast ni (functionally dependent on the id).
+    val b = b0.join(broadcast(keptUsers), Seq("user"), "left_semi")
+      .join(broadcast(ni.select(col("item"))), Seq("item"), "left_semi")
+    val co = b.groupBy(col("user")).agg(collect_list(col("item")).as("items"))
+      .select(explode(col("items")).as("i"), col("items"))
+      .select(col("i"), explode(col("items")).as("j"))
+      .filter(col("i") < col("j"))
+      .groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_both"))
+      .join(broadcast(ni.select(col("item").as("i"), col("n_users").as("ni"))),
+        Seq("i"))
+      .join(broadcast(ni.select(col("item").as("j"), col("n_users").as("nj"))),
+        Seq("j"))
+      .select(col("i"), col("j"), col("ni"), col("nj"), col("n_both"))
     // both directions from ONE generator, not a UNION of two projections — a
     // union's branches each re-specialize (and re-run) the whole co-occurrence
     // aggregate upstream; explode(array(struct…)) keeps a single subtree

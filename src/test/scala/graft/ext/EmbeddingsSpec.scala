@@ -85,4 +85,34 @@ class EmbeddingsSpec extends SparkTestBase {
       assert(math.abs(n1 - n2) < 1e-5, s"norm $n1 vs $n2")
     }
   }
+
+  test("pairCosineHistogram: identical vectors land every pair in the top bin") {
+    val rows = (1L to 10L).map(i => (i, Array(1.0f, 2.0f, 3.0f)))
+    val out = Embeddings.pairCosineHistogram(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nBuckets = 1)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getInt(0) == 19)        // bin for cos = 1.0 clamps to the top
+    assert(r.getLong(2) == 5L)       // 10 rows, one bucket → 5 disjoint pairs
+    assert(approx(r.getDouble(3), 1.0, 1e-9))
+  }
+
+  test("pairCosineHistogram: pair count conserves ⌊bucket size / 2⌋ and " +
+      "orthogonal planted pairs hit the middle bin") {
+    // 20 vectors: half along e1, half along e2 — any cross pair is cos 0,
+    // any same-axis pair is cos 1; with one bucket pairing is deterministic
+    val rows = (1L to 20L).map { i =>
+      val v = if (i % 2 == 0) Array(1.0f, 0.0f) else Array(0.0f, 1.0f)
+      (i, v)
+    }
+    val out = Embeddings.pairCosineHistogram(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nBuckets = 1)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.values.map(_._1).sum == 10L)
+    // cos 0 bins at floor((0+1)/2·20) = 10; cos 1 clamps to 19
+    assert(out.keySet.subsetOf(Set(10, 19)))
+    out.get(10).foreach { case (_, m) => assert(approx(m, 0.0, 1e-9)) }
+    out.get(19).foreach { case (_, m) => assert(approx(m, 1.0, 1e-9)) }
+  }
 }

@@ -125,4 +125,37 @@ class EventStatsSpec extends SparkTestBase {
     assert(out("2024-01-03") == ((1L, 2L))) // users 1,2 active in [12-28, 1-3]
     assert(out("2024-01-09") == ((1L, 2L))) // users 1 (Jan 3) + 3; day-1 aged out
   }
+
+  test("ewmaDaily: weights decay by CALENDAR day gaps, hand-checked") {
+    // type A: days 1,2,4 (note the gap) with volumes 10, 20, 40
+    val rows =
+      (1 to 10).map(i => (ts("2024-01-01 08:00:00"), "A", i.toLong)) ++
+      (1 to 20).map(i => (ts("2024-01-02 08:00:00"), "A", i.toLong)) ++
+      (1 to 40).map(i => (ts("2024-01-04 08:00:00"), "A", i.toLong))
+    val out = EventStats.ewmaDaily(rows.toDF("ts", "event_type", "event_id"),
+        "ts", "event_type", decay = 0.9, windowDays = 28)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("2024-01-01") == ((10L, 10.0)))
+    // day 2: (20 + 0.9·10)/(1 + 0.9)
+    assert(approx(out("2024-01-02")._2,
+      math.round(29.0 / 1.9 * 1e6) / 1e6, 1e-9))
+    // day 4: gap day weights by Δdays, not Δrows: (40 + 0.9²·20 + 0.9³·10)
+    //        /(1 + 0.81 + 0.729)
+    assert(approx(out("2024-01-04")._2,
+      math.round((40 + 0.81 * 20 + 0.729 * 10) / (1 + 0.81 + 0.729) * 1e6) / 1e6,
+      1e-9))
+  }
+
+  test("ewmaDaily: days beyond the window bound stop contributing") {
+    val rows =
+      (1 to 100).map(i => (ts("2024-01-01 08:00:00"), "A", i.toLong)) ++
+      (1 to 10).map(i => (ts("2024-03-01 08:00:00"), "A", i.toLong))
+    val out = EventStats.ewmaDaily(rows.toDF("ts", "event_type", "event_id"),
+        "ts", "event_type", decay = 0.9, windowDays = 28)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString -> r.getDouble(3))
+      .toMap
+    // Mar 1 is 60 days past Jan 1 — outside the 28-day window entirely
+    assert(out("2024-03-01") == 10.0)
+  }
 }

@@ -157,4 +157,30 @@ class TextQualitySpec extends SparkTestBase {
       k = 3, threshold = 0.25).collect()
     assert(loose.length == 1 && approx(loose.head.getDouble(4), 0.25))
   }
+
+  // reference implementation of the engine's md5-bucket weight, for goldens
+  private def refWeight(feat: String): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(feat.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+    val bucket = java.lang.Long.parseLong(hex, 16) % 4096
+    (bucket % 997).toDouble / 996.0 - 0.5
+  }
+
+  test("hashedLinearScore: uni+bigram feature count and hand-computed score") {
+    val df = Seq((1L, "the quick fox"), (2L, "solo")).toDF("doc_id", "text")
+    val out = TextQuality.hashedLinearScore(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    // 3 tokens → 3 unigrams + 2 bigrams
+    assert(out(1L)._1 == 5L)
+    assert(out(2L)._1 == 1L)
+    val feats = Seq("the", "quick", "fox", "the_quick", "quick_fox")
+    val raw = feats.map(refWeight).sum / feats.length
+    assert(approx(out(1L)._2, math.round(raw * 1e6) / 1e6, 1e-9))
+    assert(approx(out(1L)._3,
+      math.round(1.0 / (1.0 + math.exp(-raw)) * 1e6) / 1e6, 1e-9))
+    // scores are probabilities
+    assert(out.values.forall(v => v._3 > 0.0 && v._3 < 1.0))
+  }
 }
