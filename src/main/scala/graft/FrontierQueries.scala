@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Compaction, Embeddings, EventStats, LinkPrediction, Mixing, TextQuality}
+import graft.ext.{Bootstrap, Compaction, Embeddings, EventStats, LinkPrediction, Mixing, TextQuality}
 
 /** Round-5 closer batch: EWMA volume smoothing, neighborhood link prediction,
   * changelog compaction (the lakehouse upsert primitive), training-mixture
@@ -153,7 +153,111 @@ object FrontierQueries {
       |  ROUND(1.0 / (1.0 + EXP(-raw)), 6) AS score
       |FROM a ORDER BY doc_id""".stripMargin
 
+  /** Poisson-bootstrap 95% CI for mean order value per order priority. */
+  def qBootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    Bootstrap.groupMeanCi(
+        Tables.orders(spark, dir)
+          .select(col("o_orderpriority").as("priority"),
+            col("o_totalprice"), col("o_orderkey")),
+        Seq("priority"), "o_totalprice", "o_orderkey")
+      .orderBy(col("priority"))
+
+  val bootstrapCiSql: String =
+    """WITH b AS (SELECT o_orderpriority AS priority, o_orderkey AS rid,
+      |    CAST(o_totalprice AS DECIMAL(18,4)) AS v FROM orders),
+      |r AS (SELECT priority, rid, v, rep FROM b CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 49)) AS rep)),
+      |u0 AS (SELECT priority, rep, v,
+      |    ('0x' || substr(md5(rid || ':' || rep), 1, 13))::BIGINT
+      |      / 4503599627370496.0 AS u FROM r),
+      |w AS (SELECT priority, rep, v,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286059 THEN 2
+      |         WHEN u < 0.9810118431238463 THEN 3
+      |         WHEN u < 0.9963401531726564 THEN 4
+      |         WHEN u < 0.9994058151824184 THEN 5
+      |         ELSE 6 END AS w
+      |  FROM u0),
+      |rm AS (SELECT priority, rep,
+      |    CAST(SUM(v * w) AS DOUBLE) / SUM(w) AS rm FROM w GROUP BY 1, 2),
+      |a AS (SELECT priority, COUNT(*) AS n,
+      |    CAST(SUM(v) AS DOUBLE) / COUNT(*) AS mean FROM b GROUP BY 1),
+      |c AS (SELECT priority, quantile_cont(rm, 0.025) AS ci_lo,
+      |    quantile_cont(rm, 0.975) AS ci_hi FROM rm GROUP BY 1)
+      |SELECT a.priority, a.n, ROUND(a.mean, 6) AS mean,
+      |  ROUND(c.ci_lo, 6) AS ci_lo, ROUND(c.ci_hi, 6) AS ci_hi
+      |FROM a JOIN c USING (priority) ORDER BY priority""".stripMargin
+
+  /** Calibration curve of the hashed linear scorer against the Gopher keep
+    * label: fixed score bins (no global NTILE — a pure scan + aggregate at
+    * any scale), per-bin empirical keep rate.
+    */
+  def qScoreCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val s = TextQuality.hashedLinearScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("score"))
+    val g = TextQuality.gopherSignals(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep"))
+    s.join(g, "doc_id")
+      .select(least(lit(19), floor(col("score") * 20)).cast("int").as("bin"),
+        col("score"), col("keep"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("score").cast("decimal(27,12)")).cast("double") /
+          count(lit(1)), 6).as("mean_score"),
+        round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("keep_rate"))
+      .withColumn("lo", round(col("bin") / lit(20.0), 6))
+      .select(col("bin"), col("lo"), col("n_docs"), col("mean_score"),
+        col("keep_rate"))
+      .orderBy(col("bin"))
+  }
+
+  val scoreCalibrationSql: String =
+    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, unnest(toks) AS feat FROM t
+      |      UNION ALL
+      |      SELECT doc_id, unnest(list_transform(
+      |          generate_series(1, len(toks) - 1),
+      |          i -> toks[i] || '_' || toks[i + 1])) AS feat
+      |        FROM t WHERE len(toks) >= 2),
+      |wf AS (SELECT doc_id,
+      |    CAST((('0x' || substr(md5(feat), 1, 8))::BIGINT % 4096) % 997
+      |      AS DOUBLE) / 996.0 - 0.5 AS w
+      |  FROM f),
+      |sc AS (SELECT doc_id, ROUND(1.0 / (1.0 + EXP(
+      |    -(CAST(SUM(CAST(w AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)))), 6)
+      |    AS score
+      |  FROM wf GROUP BY 1),
+      |tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tk
+      |  FROM documents),
+      |tc AS (SELECT doc_id, tk, COUNT(*) AS c FROM tf GROUP BY 1, 2),
+      |ta AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    MAX(c) AS max_tf FROM tc GROUP BY 1),
+      |bg AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, greatest(len(l) - 1, 1)),
+      |    i -> array_to_string(l[i:i+1], ' '))) AS b
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+      |ba AS (SELECT doc_id, COUNT(*) AS n_bg, COUNT(DISTINCT b) AS n_distinct_bg
+      |    FROM bg GROUP BY 1),
+      |g AS (SELECT ta.doc_id,
+      |    (CAST(max_tf AS DOUBLE) / n_tokens <= 0.20 AND
+      |     1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bg <= 0.30) AS keep
+      |  FROM ta JOIN ba USING (doc_id)),
+      |j AS (SELECT CAST(LEAST(19, FLOOR(sc.score * 20)) AS INT) AS bin,
+      |    sc.score, g.keep FROM sc JOIN g USING (doc_id))
+      |SELECT bin, ROUND(bin / 20.0, 6) AS lo, COUNT(*) AS n_docs,
+      |  ROUND(CAST(SUM(CAST(score AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_score,
+      |  ROUND(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*), 6) AS keep_rate
+      |FROM j GROUP BY 1 ORDER BY bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (qBootstrapCi _),
+    "q_score_calibration" -> (qScoreCalibration _),
     "q_ewma_daily" -> (qEwmaDaily _),
     "q_link_pred" -> (qLinkPred _),
     "q_upsert_compact" -> (qUpsertCompact _),
@@ -162,6 +266,8 @@ object FrontierQueries {
     "q_quality_lr" -> (qQualityLr _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_bootstrap_ci" -> bootstrapCiSql,
+    "q_score_calibration" -> scoreCalibrationSql,
     "q_ewma_daily" -> ewmaDailySql,
     "q_link_pred" -> linkPredSql,
     "q_upsert_compact" -> upsertCompactSql,

@@ -631,4 +631,46 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  final case class ChangeEvent(key: Long, ver: Long, op: String, payload: String)
+  final case class CompactState(ver: Long, op: String, payload: String, n: Long)
+  final case class CompactOut(key: Long, ver: Long, op: String, payload: String,
+                              n_versions: Long, live: Boolean)
+
+  /** Streaming twin of [[graft.ext.Compaction.compactLatest]]: keyed
+    * latest-wins state over a CDC change stream, emitting each touched key's
+    * CURRENT state per micro-batch (an upsert stream — `live = false` rows
+    * are the tombstone signal a MERGE sink turns into deletes; emitting them
+    * is what makes downstream deletion possible at all).
+    *
+    * Out-of-order-safe by construction: a lower-version arrival bumps the
+    * version COUNT but never overwrites the surviving row, so arrival order
+    * across micro-batches cannot change the final state — the property the
+    * differential spec locks against the batch operator under shuffled
+    * delivery. State per key is O(1) (the surviving row + a counter), the
+    * [[sessionize]] discipline; add a timeout-based TTL for unbounded key
+    * spaces.
+    */
+  def compactLatestStream(changes: Dataset[ChangeEvent],
+                          tombstoneOp: String = "del"): Dataset[CompactOut] = {
+    import changes.sparkSession.implicits._
+    changes
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[CompactState, CompactOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, it: Iterator[ChangeEvent], state: GroupState[CompactState]) =>
+          var cur = state.getOption
+          it.foreach { e =>
+            cur = Some(cur match {
+              case Some(s) if e.ver > s.ver =>
+                CompactState(e.ver, e.op, e.payload, s.n + 1)
+              case Some(s) => s.copy(n = s.n + 1)
+              case None => CompactState(e.ver, e.op, e.payload, 1L)
+            })
+          }
+          cur.foreach(state.update)
+          cur.map(s => CompactOut(key, s.ver, s.op, s.payload, s.n,
+            s.op != tombstoneOp)).iterator
+      }
+  }
 }

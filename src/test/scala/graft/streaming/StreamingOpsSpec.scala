@@ -134,6 +134,47 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(!streamed.exists(r => r._1 == 1L && r._3 == "A" && r._4 == ts(9).getTime))
   }
 
+  test("compactLatestStream: upsert stream matches batch compaction under " +
+      "shuffled cross-batch delivery") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{ChangeEvent, CompactOut}
+    val input = MemoryStream[ChangeEvent]
+    val query = StreamingOps.compactLatestStream(input.toDS())
+      .writeStream.format("memory").queryName("compact_out")
+      .outputMode("update").start()
+    // key 1: upserts arriving OUT OF ORDER across batches (30 before 20)
+    // key 2: delete arrives last → tombstone
+    // key 3: old delete then a later upsert → resurrect
+    input.addData(ChangeEvent(1L, 10L, "put", "v1"), ChangeEvent(1L, 30L, "put", "v3"),
+      ChangeEvent(2L, 10L, "put", "x"))
+    query.processAllAvailable()
+    input.addData(ChangeEvent(1L, 20L, "put", "v2"), ChangeEvent(3L, 10L, "del", null))
+    query.processAllAvailable()
+    input.addData(ChangeEvent(2L, 40L, "del", null), ChangeEvent(3L, 50L, "put", "back"))
+    query.processAllAvailable()
+    query.stop()
+    // update-mode memory sink appends each emission; n_versions grows
+    // monotonically, so max-n per key IS the final state
+    val fin = spark.table("compact_out").as[CompactOut].collect()
+      .groupBy(_.key).map { case (k, rows) => k -> rows.maxBy(_.n_versions) }
+    assert(fin(1L) == CompactOut(1L, 30L, "put", "v3", 3L, live = true))
+    assert(fin(2L) == CompactOut(2L, 40L, "del", null, 2L, live = false))
+    assert(fin(3L) == CompactOut(3L, 50L, "put", "back", 2L, live = true))
+
+    // batch differential on the same changelog: live keys match exactly
+    val batch = graft.ext.Compaction.compactLatest(
+        Seq((1L, 10L, "put", "v1"), (1L, 30L, "put", "v3"), (2L, 10L, "put", "x"),
+          (1L, 20L, "put", "v2"), (3L, 10L, "del", null.asInstanceOf[String]),
+          (2L, 40L, "del", null.asInstanceOf[String]), (3L, 50L, "put", "back"))
+          .toDF("key", "ver", "op", "payload"),
+        Seq("key"), Seq("ver"), tombstone = $"op" === "del")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getString(3), r.getLong(4))).toMap
+    val live = fin.filter(_._2.live)
+      .map { case (k, o) => k -> ((o.ver, o.op, o.payload, o.n_versions)) }
+    assert(live == batch, s"stream $live vs batch $batch")
+  }
+
   final case class Doc(ts: Timestamp, doc_id: Long, text: String)
 
   test("streaming funnel advances per-user stages across batches, matching batch semantics") {
