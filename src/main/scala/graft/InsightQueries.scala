@@ -48,16 +48,17 @@ object InsightQueries {
       |c AS (SELECT "user", rnk, hit,
       |    SUM(hit) OVER (PARTITION BY "user" ORDER BY rnk) AS cum FROM f),
       |t AS (SELECT "user", SUM(hit) AS n_hits_at_k,
-      |    SUM(CASE WHEN hit = 1 THEN CAST(cum * 1.0 / rnk AS DECIMAL(18,8))
-      |        ELSE CAST(0 AS DECIMAL(18,8)) END) AS ap_num
+      |    SUM(CASE WHEN hit = 1 THEN cum * (2520 // rnk) ELSE 0 END) AS ap_num
       |  FROM c GROUP BY 1),
-      |na AS (SELECT "user", COUNT(*) AS n_actual FROM a GROUP BY 1)
-      |SELECT na."user", na.n_actual,
-      |  COALESCE(t.n_hits_at_k, 0) AS n_hits_at_k,
-      |  ROUND(CAST(COALESCE(t.ap_num, CAST(0 AS DECIMAL(18,8))) AS DOUBLE)
-      |    / LEAST(10, na.n_actual), 6) AS ap
-      |FROM na LEFT JOIN t ON na."user" = t."user"
-      |ORDER BY na."user"""".stripMargin
+      |na AS (SELECT "user", COUNT(*) AS n_actual FROM a GROUP BY 1),
+      |fin AS (SELECT na."user", na.n_actual,
+      |    COALESCE(t.n_hits_at_k, 0) AS n_hits_at_k,
+      |    CAST(COALESCE(t.ap_num, 0) AS BIGINT) AS s,
+      |    2520 * LEAST(10, na.n_actual) AS d
+      |  FROM na LEFT JOIN t ON na."user" = t."user")
+      |SELECT "user", n_actual, n_hits_at_k,
+      |  CAST((2000000 * s + d) // (2 * d) AS DOUBLE) / 1000000.0 AS ap
+      |FROM fin ORDER BY "user"""".stripMargin
 
   /** Corpus hit-rate@10 + ARHR of the same rec/actual pair — 1 row. */
   def qHitRate(spark: SparkSession, dir: String): DataFrame =
@@ -920,7 +921,7 @@ object InsightQueries {
       |      AS DECIMAL(18,8)) AS term
       |  FROM c JOIN t ON c.user_id = t.user_id)
       |SELECT user_id, MAX(tot) AS n_events, MAX(n_types) AS n_types,
-      |  ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_bits
+      |  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS entropy_bits
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** 2-core of the repeat-co-purchase graph (the peel cascades: depth 3 at

@@ -134,7 +134,10 @@ object EventStats {
           .cast("decimal(18,8)").as("term"))
       .groupBy(col("user_id"))
       .agg(max(col("tot")).as("n_events"), max(col("n_types")).as("n_types"),
-        round(sum(col("term")).cast("double"), 6).as("entropy_bits"))
+        // Round in the DECIMAL domain (exact half-up on the 8-dp sum), then
+        // convert: rounding a converted double instead would let a 1-ulp
+        // engine difference at a x.xxxxxx50 sum flip the 6th decimal.
+        round(sum(col("term")), 6).cast("double").as("entropy_bits"))
   }
 
   /** Weekly-seasonal anomaly detection: each (event_type, day) volume scored

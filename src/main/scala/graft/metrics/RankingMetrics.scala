@@ -82,11 +82,16 @@ object RankingMetrics {
     * of the top-k recommendations, ranks assigned by (frequency desc, item) —
     * the same deterministic order as [[ndcgAtK]]. AP@k = Σ_{hit at rank r≤k}
     * precision@r / min(k, n_actual); users without actuals are excluded (AP is
-    * undefined for them). Output: (user, n_actual, n_hits_at_k, ap).
+    * undefined for them). Output: (user, n_actual, n_hits_at_k, ap) with ap
+    * rounded half-up to 6 decimals.
     *
     * Scale shape: user-keyed windows and joins only — no global order. The
-    * per-rank precision terms sum through DECIMAL(18,8), so the result is
-    * partition-order-independent (cross-engine hash-stable).
+    * precision terms cum/rnk are exact rationals with denominators ≤ k, so AP
+    * is computed ENTIRELY in integer arithmetic scaled by L = lcm(1..k): the
+    * per-rank numerator is cum·(L/rnk) (exact — rnk divides L), and the 6-dp
+    * half-up round is ⌊(2·10⁶·S + D) / 2D⌋ with D = L·min(k, n_actual). No
+    * float enters before the final exact division, so the result is
+    * bit-identical across engines and partition orders by construction.
     */
   def mapAtK(recs: DataFrame, actuals: DataFrame,
              userCol: String, itemCol: String, k: Int = 10): DataFrame = {
@@ -101,20 +106,21 @@ object RankingMetrics {
       .withColumn("hit", coalesce(col("hit"), lit(0L)))
     val cumW = Window.partitionBy(col("user")).orderBy(col("rnk"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val L = (1 to k).map(BigInt(_)).reduce((x, y) => x * y / x.gcd(y)).toLong
     val terms = flagged
       .withColumn("cum_hits", sum(col("hit")).over(cumW))
-      .withColumn("term",
-        when(col("hit") === 1,
-          (col("cum_hits").cast("double") / col("rnk")).cast("decimal(18,8)"))
-          .otherwise(lit(0).cast("decimal(18,8)")))
+      .withColumn("term_num",
+        when(col("hit") === 1, col("cum_hits") * expr(s"${L}L div rnk"))
+          .otherwise(lit(0L)))
       .groupBy(col("user"))
-      .agg(sum(col("hit")).as("n_hits_at_k"), sum(col("term")).as("ap_num"))
+      .agg(sum(col("hit")).as("n_hits_at_k"), sum(col("term_num")).as("ap_num"))
     val na = a.groupBy(col("user")).agg(count(lit(1)).as("n_actual"))
     na.join(terms, Seq("user"), "left")
+      .withColumn("s", coalesce(col("ap_num"), lit(0L)))
+      .withColumn("d", least(lit(k.toLong), col("n_actual")) * lit(L))
       .select(col("user"), col("n_actual"),
         coalesce(col("n_hits_at_k"), lit(0L)).as("n_hits_at_k"),
-        round(coalesce(col("ap_num"), lit(0).cast("decimal(18,8)")).cast("double") /
-          least(lit(k.toLong), col("n_actual")), 6).as("ap"))
+        (expr("(2000000 * s + d) div (2 * d)").cast("double") / lit(1e6)).as("ap"))
   }
 
   /** Corpus hit-rate@k and average-reciprocal-hit-rank: share of users whose

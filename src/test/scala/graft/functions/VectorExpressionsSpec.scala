@@ -35,6 +35,30 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  test("codegen compiles with several instances in one projection (cosine shape)") {
+    // Regression: hardcoded codegen locals collided when a cosine projection
+    // emitted dot(a,b), dot(a,a), dot(b,b) into one scope — Janino threw a
+    // CompileException and every cosine fell back to interpreted eval. This
+    // compiles the projection directly so a recurrence fails loudly instead
+    // of silently de-optimizing.
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val at = ArrayType(FloatType)
+    val a = BoundReference(0, at, nullable = true)
+    val b = BoundReference(1, at, nullable = true)
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(FloatVecDot(a, b), FloatVecDot(a, a), FloatVecDot(b, b)))
+    val row = InternalRow(
+      ArrayData.toArrayData(Array(1f, 2f)), ArrayData.toArrayData(Array(3f, 4f)))
+    val out = proj(row)
+    assert(out.getDouble(0) == 11.0)
+    assert(out.getDouble(1) == 5.0)
+    assert(out.getDouble(2) == 25.0)
+  }
+
   test("interpreted eval path (outside codegen) agrees") {
     // force interpreted projection by evaluating the expression directly
     val e = FloatVecDot(
