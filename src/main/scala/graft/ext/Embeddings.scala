@@ -131,4 +131,73 @@ object Embeddings {
         min(col("qv")).as("min_q"),
         max(col("qv")).as("max_q"))
   }
+
+  /** Sign-bit packing: one bit per dimension (1 iff the component is > 0),
+    * packed into 64-bit words — a 32× compression over float32 that turns
+    * cosine ranking into XOR + popcount over a handful of longs. For
+    * mean-centered embeddings, Hamming distance on sign bits approximates
+    * angular distance (Charikar's SimHash bound: P[bits agree] =
+    * 1 − θ/π), which is why binary rerank-then-refine is the standard
+    * bandwidth-bound first pass at corpus scale.
+    *
+    * Emits one column per 32-dim word (`w0`, `w1`, …): 32 bits per word
+    * keeps every value positive and small, sidestepping cross-engine
+    * sign-bit edge cases at no capacity cost. Pure codegen'd array
+    * expressions, scan-side.
+    */
+  def signPack(df: DataFrame, vecCol: String, dims: Int): DataFrame = {
+    require(dims % 32 == 0, s"dims must be a multiple of 32, got $dims")
+    val words = (0 until dims / 32).map { w =>
+      val lo = 32 * w
+      // SQL form: functions.shiftleft only takes a literal shift count
+      expr(s"""aggregate(
+        transform(sequence($lo, ${lo + 31}),
+          i -> IF(element_at($vecCol, i + 1) > 0.0D, shiftleft(1L, i - $lo), 0L)),
+        0L, (acc, x) -> acc | x)""").as(s"w$w")
+    }
+    df.select(df.columns.map(col).toIndexedSeq ++ words: _*)
+  }
+
+  /** Hamming distance between two sign-packed vectors given as word column
+    * pairs: Σ popcount(a XOR b).
+    */
+  def hammingDist(wordPairs: Seq[(Column, Column)]): Column =
+    wordPairs.map { case (a, b) => bit_count(a.bitwiseXOR(b)) }
+      .reduce(_ + _)
+
+  /** Binary top-k: exact Hamming ranking over the sign-packed corpus for a
+    * set of query vectors (query rows selected by `isQuery`). The corpus
+    * never shuffles more than (queries × corpus) candidate rows of packed
+    * words — 16 bytes a row at 64 dims instead of 256 — and the per-query
+    * rank runs on Hamming-distance-sorted candidates with deterministic
+    * (dist, id) ties. Output: (query_id, vec_id, hamming, rnk ≤ k).
+    *
+    * At 100 TB the same packed words feed the banded variant: split words
+    * into bands, equi-join on exact band matches (Hamming ≤ r implies ≥ 1
+    * exact band among r+1 bands — the pigeonhole blocking used by
+    * [[Dedup.simhashPairs]]) — this exact-scan form is the recall-1 baseline
+    * the banded plan is measured against.
+    */
+  def binaryTopK(df: DataFrame, idCol: String, vecCol: String, dims: Int,
+                 isQuery: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nWords = dims / 32
+    val packed = signPack(
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"), isQuery.as("is_q")),
+      "vec", dims)
+    val corpus = packed.select(
+      col("vec_id") +: (0 until nWords).map(w => col(s"w$w")): _*)
+    val queries = packed.filter(col("is_q")).select(
+      col("vec_id").as("query_id") +:
+        (0 until nWords).map(w => col(s"w$w").as(s"q$w")): _*)
+    val dist = hammingDist((0 until nWords).map(w => (col(s"w$w"), col(s"q$w"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", dist)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("hamming"), col("rnk"))
+  }
 }

@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: space-filling-curve sort keys and skew-salted
+  * joins — the two layout levers that matter most at 100 TB.
+  *
+  * Z-ORDER: parquet file pruning works off per-file min/max column stats; a
+  * table range-partitioned on one column prunes only on that column. Sorting
+  * by the Morton (bit-interleaved) key of two columns gives every file a
+  * tight min/max RECTANGLE in both dimensions, so selective predicates on
+  * EITHER column skip files (the Delta/Iceberg OPTIMIZE ZORDER design). The
+  * key is pure integer bit-arithmetic — codegen'd scan-side, no shuffle
+  * beyond the final range partitioning.
+  *
+  * SALTING: a shuffle join with one giant key sends that key's every row to
+  * one task. Replicating the SMALL side `saltFactor` ways and spreading the
+  * big side uniformly over the replicas turns one whale task into
+  * `saltFactor` even ones, at the cost of a saltFactor× copy of the small
+  * side — output-identical to the plain join by construction. AQE's runtime
+  * skew-split covers sort-merge joins; explicit salting remains the answer
+  * when the skew is known ahead of time or the join is hash-partitioned by a
+  * downstream stage.
+  */
+object Layout {
+
+  /** Morton key: interleave the low `bits` bits of x (even positions) and y
+    * (odd positions). Inputs must be non-negative integers < 2^bits.
+    */
+  def mortonKey(x: Column, y: Column, bits: Int): Column = {
+    val terms = (0 until bits).flatMap { b =>
+      Seq(
+        shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order locality audit: compute the Morton key of two bucketed
+    * dimensions, group rows into `zvalue >> coarseBits` buckets (stand-ins
+    * for files after a range-partitioned write), and report each bucket's
+    * min/max per dimension. Tight per-bucket rectangles = both dimensions
+    * prune. Output: (z_bucket, n, x_min, x_max, y_min, y_max).
+    */
+  def zorderAudit(df: DataFrame, x: Column, y: Column,
+                  bits: Int, coarseBits: Int): DataFrame =
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("z", mortonKey(col("x"), col("y"), bits))
+      .groupBy(shiftright(col("z"), coarseBits).as("z_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+
+  /** Skew-salted equi-join: replicate the small (dimension) side
+    * `saltFactor` ways, spread the big (fact) side across replicas by a
+    * deterministic hash of its whole row, and join on (key, salt). Output
+    * rows are exactly those of `big.join(small, keys)` — the salt is a pure
+    * partitioning trick that never changes the match set.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltFactor: Int): DataFrame = {
+    val salted = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    val spread = big.withColumn("__salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
+    spread.join(salted, keys :+ "__salt").drop("__salt")
+  }
+}

@@ -115,4 +115,34 @@ class EmbeddingsSpec extends SparkTestBase {
     out.get(10).foreach { case (_, m) => assert(approx(m, 0.0, 1e-9)) }
     out.get(19).foreach { case (_, m) => assert(approx(m, 1.0, 1e-9)) }
   }
+
+  test("signPack: golden words — bit i set iff component i > 0") {
+    val vec = Array.tabulate(64)(i => if (i == 0 || i == 5 || i == 33) 0.5f
+      else if (i == 31) 1e-30f else -1.0f)
+    val out = Embeddings.signPack(Seq((1L, vec)).toDF("vec_id", "embedding"),
+      "embedding", 64).select("w0", "w1").head()
+    // w0: bits 0, 5, 31; w1: bit 1 (dim 33). Tiny positive still counts.
+    assert(out.getLong(0) == ((1L << 0) | (1L << 5) | (1L << 31)))
+    assert(out.getLong(1) == (1L << 1))
+  }
+
+  test("binaryTopK: matches brute-force Hamming with (dist, id) ties") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 40L).map(i => (i, Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Embeddings.binaryTopK(df, "vec_id", "embedding", 64,
+        org.apache.spark.sql.functions.col("vec_id") < 2, k = 5)
+      .as[(Long, Long, Int, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(v => (v._2, v._3)).toSeq).toMap
+    def bits(v: Array[Float]): Seq[Int] = v.map(x => if (x > 0) 1 else 0).toSeq
+    def ham(a: Array[Float], b: Array[Float]): Int =
+      bits(a).zip(bits(b)).count { case (x, y) => x != y }
+    for (q <- 0L until 2L) {
+      val qv = rows(q.toInt)._2
+      val expected = rows.filter(_._1 != q)
+        .map { case (id, v) => (id, ham(qv, v)) }
+        .sortBy { case (id, d) => (d, id) }.take(5)
+      assert(got(q) == expected.toSeq, s"query $q")
+    }
+  }
 }
