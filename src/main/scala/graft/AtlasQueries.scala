@@ -104,6 +104,56 @@ object AtlasQueries {
       |SELECT query_id, vec_id, hamming, rnk FROM r WHERE rnk <= 10
       |ORDER BY query_id, rnk""".stripMargin
 
+  /** Banded binary candidates + exact-cosine rerank (the sub-linear path);
+    * exercises the codegen'd FloatVecDot in the rerank projection. 8-bit
+    * bands: the synthetic embeddings have near-independent dimensions, so a
+    * 16-bit exact band almost never fires (p ≈ 4·2⁻¹⁶ per pair); real
+    * embedding spaces are anisotropic (correlated sign patterns) and band
+    * wider. Band width is the recall/cost dial, like LSH rows-per-band.
+    */
+  def qEmbedBinaryRerank(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.binaryTopKBandedRerank(Tables.embeddings(spark, dir), "vec_id",
+        "embedding", dims = 64, isQuery = col("vec_id") < 5, k = 5, bandBits = 8)
+      .select(col("query_id"), col("vec_id"),
+        round(col("cosine"), 6).as("cosine"), col("rnk"))
+      .orderBy(col("query_id"), col("rnk"))
+
+  val embedBinaryRerankSql: String =
+    """WITH b AS (SELECT vec_id,
+      |    CAST(SUM(CASE WHEN i < 32 AND embedding[i + 1] > 0
+      |      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS w0,
+      |    CAST(SUM(CASE WHEN i >= 32 AND embedding[i + 1] > 0
+      |      THEN (CAST(1 AS BIGINT) << (i - 32)) ELSE 0 END) AS BIGINT) AS w1
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS i)
+      |  GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, w0 AS q0, w1 AS q1 FROM b
+      |      WHERE vec_id < 5),
+      |cand AS (SELECT q.query_id, b.vec_id FROM b CROSS JOIN q
+      |  WHERE b.vec_id <> q.query_id AND (
+      |    (xor(b.w0, q.q0) & 255) = 0 OR
+      |    ((xor(b.w0, q.q0) >> 8) & 255) = 0 OR
+      |    ((xor(b.w0, q.q0) >> 16) & 255) = 0 OR
+      |    ((xor(b.w0, q.q0) >> 24) & 255) = 0 OR
+      |    (xor(b.w1, q.q1) & 255) = 0 OR
+      |    ((xor(b.w1, q.q1) >> 8) & 255) = 0 OR
+      |    ((xor(b.w1, q.q1) >> 16) & 255) = 0 OR
+      |    ((xor(b.w1, q.q1) >> 24) & 255) = 0)),
+      |cs AS (SELECT c.query_id, c.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)) /
+      |    (sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))) *
+      |     sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)))) AS cosine
+      |  FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+      |  JOIN embeddings qe ON c.query_id = qe.vec_id),
+      |r AS (SELECT query_id, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id)
+      |      AS rnk FROM cs)
+      |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rnk
+      |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
   // -------------------------------------------------------------------------
   // Z-order layout audit over part (size × price-bucket)
   // -------------------------------------------------------------------------
@@ -243,6 +293,7 @@ object AtlasQueries {
     "q_fuzzy_match" -> (qFuzzyMatch _),
     "q_entity_clusters" -> (qEntityClusters _),
     "q_embed_binary" -> (qEmbedBinary _),
+    "q_embed_binary_rerank" -> (qEmbedBinaryRerank _),
     "q_zorder" -> (qZorder _),
     "q_salted_brand_rev" -> (qSaltedBrandRev _),
     "q_market_share" -> (qMarketShare _),
@@ -253,6 +304,7 @@ object AtlasQueries {
     "q_fuzzy_match" -> fuzzyMatchSql,
     "q_entity_clusters" -> entityClustersSql,
     "q_embed_binary" -> embedBinarySql,
+    "q_embed_binary_rerank" -> embedBinaryRerankSql,
     "q_zorder" -> zorderSql,
     "q_salted_brand_rev" -> saltedBrandRevSql,
     "q_market_share" -> marketShareSql,

@@ -200,4 +200,63 @@ object Embeddings {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("hamming"), col("rnk"))
   }
+
+  /** Banded binary search with exact-cosine rerank — the sub-linear scale
+    * path of [[binaryTopK]]. The packed words split into `dims / bandBits`
+    * bands; a corpus row is a candidate for a query iff SOME band matches
+    * exactly (pigeonhole: Hamming < #bands implies an exact band, the
+    * [[Dedup]] SimHash blocking). Candidates then rerank by TRUE cosine
+    * ([[graft.functions.VectorFunctions.floatDot]], codegen'd), so binary
+    * quantization only gates RECALL, never the reported scores.
+    *
+    * Scale shape: candidate generation is an equi-join on (band, value) —
+    * the corpus shuffles its packed bands once, never the float vectors; only
+    * candidate ids join back to vectors for the rerank. Hot bands (all-zero
+    * sign patterns from dead dimensions) bound fan-out exactly like hot LSH
+    * buckets — the same salting/cap escapes apply.
+    *
+    * Output: (query_id, vec_id, cosine, rnk ≤ k) over the candidate set.
+    */
+  def binaryTopKBandedRerank(df: DataFrame, idCol: String, vecCol: String,
+                             dims: Int, isQuery: Column, k: Int,
+                             bandBits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    require(32 % bandBits == 0 || bandBits % 32 == 0,
+      s"bandBits must pack into 32-bit words, got $bandBits")
+    val nWords = dims / 32
+    val nBands = dims / bandBits
+    val mask = (1L << bandBits) - 1
+    val packed = signPack(
+      df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"), isQuery.as("is_q")),
+      "vec", dims)
+    def bandVal(j: Int): Column = {
+      val word = j * bandBits / 32
+      val off = (j * bandBits) % 32
+      shiftright(col(s"w$word"), off).bitwiseAND(lit(mask))
+    }
+    val bandCols = array((0 until nBands).map(bandVal): _*)
+    val corpusBands = packed
+      .select(col("vec_id"), posexplode(bandCols).as(Seq("band", "bval")))
+    val queryBands = packed.filter(col("is_q"))
+      .select(col("vec_id").as("query_id"),
+        posexplode(bandCols).as(Seq("band", "bval")))
+    val cand = corpusBands.join(broadcast(queryBands), Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id")).distinct()
+    val vecs = df.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+    val qVecs = df.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val cos = VectorFunctions.floatDot(col("vec"), col("qvec")) /
+      (sqrt(VectorFunctions.floatDot(col("vec"), col("vec"))) *
+        sqrt(VectorFunctions.floatDot(col("qvec"), col("qvec"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    cand.join(vecs, Seq("vec_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .withColumn("cosine", cos)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
+  }
 }

@@ -145,4 +145,37 @@ class EmbeddingsSpec extends SparkTestBase {
       assert(got(q) == expected.toSeq, s"query $q")
     }
   }
+
+  test("binaryTopKBandedRerank: pigeonhole recall and true-cosine scores") {
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextFloat() - 0.5f)
+    def flip(v: Array[Float], idxs: Seq[Int]): Array[Float] = {
+      val c = v.clone(); idxs.foreach(i => c(i) = -c(i)); c
+    }
+    // id 0 = query; ids 1..3 within Hamming 3 of it (< 4 bands -> pigeonhole
+    // GUARANTEES candidacy); id 4 differs in one bit of EVERY band (never an
+    // exact band match -> provably not a candidate)
+    val rows = Seq(
+      (0L, base),
+      (1L, flip(base, Seq(2))),
+      (2L, flip(base, Seq(7, 40))),
+      (3L, flip(base, Seq(10, 20, 60))),
+      (4L, flip(base, Seq(1, 17, 33, 49))))
+    val out = Embeddings.binaryTopKBandedRerank(rows.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", 64,
+        org.apache.spark.sql.functions.col("vec_id") === 0L, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(out.map(_._2).toSet == Set(1L, 2L, 3L), "pigeonhole candidate set")
+    // reranked by true cosine: flipping fewer signs keeps cosine higher here
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      def n(v: Array[Float]) = math.sqrt(v.map(x => x.toDouble * x).sum)
+      d / (n(a) * n(b))
+    }
+    out.foreach { case (_, id, c, _) =>
+      assert(approx(c, cos(base, rows(id.toInt)._2), 1e-9), s"cosine of $id")
+    }
+    assert(out.sortBy(_._4).map(_._2).toSeq ==
+      out.sortBy(r => -r._3).map(_._2).toSeq, "rnk follows cosine desc")
+  }
 }
