@@ -673,4 +673,44 @@ object StreamingOps {
             s.op != tombstoneOp)).iterator
       }
   }
+
+  final case class HHItem(shard: Int, item: String)
+  final case class HHState(buf: graft.functions.SSBuf, n_seen: Long)
+  final case class HHCounter(shard: Int, item: String, est: Long, err: Long,
+                             n_seen: Long)
+
+  /** Streaming heavy hitters — the incremental twin of the batch
+    * [[graft.functions.SpaceSavingAggregator]] path (`q_heavy_hitters`).
+    * Each shard keeps ONE SpaceSaving sketch (`capacity` counters) in keyed
+    * state and re-emits its counters every micro-batch (Update mode): the
+    * latest emission per shard IS the sketch snapshot, and shard snapshots
+    * merge downstream with the aggregator's own mergeable-summary merge —
+    * the same map-side-sketch / merge split as the batch plan, with state
+    * bounded at O(nShards × capacity) regardless of stream cardinality or
+    * length (no watermark needed: the sketch never grows).
+    *
+    * Callers shard by `hash(item) % nShards` so every occurrence of an item
+    * lands in one shard — then per-shard guarantees are exactly the batch
+    * ones: est − err ≤ true ≤ est, and exactness when a shard's distinct
+    * items fit in `capacity`.
+    */
+  def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
+    import items.sparkSession.implicits._
+    val agg = new graft.functions.SpaceSavingAggregator(capacity)
+    items
+      .groupByKey(_.shard)
+      .flatMapGroupsWithState[HHState, HHCounter](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (shard: Int, it: Iterator[HHItem], state: GroupState[HHState]) =>
+          var st = state.getOption.getOrElse(HHState(agg.zero, 0L))
+          it.foreach(e => st = HHState(agg.reduce(st.buf, e.item), st.n_seen + 1))
+          state.update(st)
+          // n_seen stamps each snapshot: a consumer keeps, per shard, the rows
+          // with the maximal n_seen — the latest (complete) sketch — instead
+          // of guessing from per-item emissions that may be stale after
+          // eviction
+          st.buf.counters.iterator.map(c =>
+            HHCounter(shard, c.item, c.est, c.err, st.n_seen))
+      }
+  }
 }

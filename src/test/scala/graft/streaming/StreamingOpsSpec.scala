@@ -435,4 +435,53 @@ class StreamingOpsSpec extends SparkTestBase {
     query.stop()
     assert(spark.table("attrib_stale").as[AttributedConv].isEmpty)
   }
+
+  test("heavyHittersStream: sharded sketches merge to the batch guarantees") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{HHItem, HHCounter}
+    val rnd = new scala.util.Random(5)
+    // skewed stream: item_i appears ~2^(8-i) times, plus a long random tail
+    val hot = (0 until 8).flatMap(i => Seq.fill(1 << (8 - i))(s"hot_$i"))
+    val tail = Seq.fill(300)(s"tail_${rnd.nextInt(150)}")
+    val all = rnd.shuffle(hot ++ tail)
+    def shard(s: String) = math.abs(s.hashCode) % 4
+    val (b1, b2) = all.splitAt(all.size / 2)
+
+    val input = MemoryStream[HHItem]
+    val query = StreamingOps.heavyHittersStream(input.toDS(), capacity = 64)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    input.addData(b1.map(s => HHItem(shard(s), s)): _*)
+    query.processAllAvailable()
+    input.addData(b2.map(s => HHItem(shard(s), s)): _*)
+    query.processAllAvailable()
+    query.stop()
+
+    // final snapshot per shard = the emission stamped with that shard's
+    // maximal n_seen (stale per-item emissions from before an eviction are
+    // NOT summaries of the full stream)
+    val rows = spark.table("hh_out").as[HHCounter].collect()
+    val lastN = rows.groupBy(_.shard).view.mapValues(_.map(_.n_seen).max).toMap
+    val latest = rows.filter(r => r.n_seen == lastN(r.shard))
+    // the stamp equals the true per-shard item count — nothing lost en route
+    assert(lastN == all.groupBy(shard).view.mapValues(_.size.toLong).toMap)
+    val exact = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // SpaceSaving bounds per tracked item: est − err ≤ true ≤ est
+    latest.foreach { c =>
+      val t = exact(c.item)
+      assert(c.est >= t && c.est - c.err <= t,
+        s"${c.item}: est=${c.est} err=${c.err} true=$t")
+    }
+    // no false dismissal: every item above its shard's N/capacity is tracked
+    val tracked = latest.map(_.item).toSet
+    all.groupBy(shard).foreach { case (sh, items) =>
+      val n = items.size
+      items.groupBy(identity).foreach { case (item, occ) =>
+        if (occ.size > n / 64)
+          assert(tracked.contains(item), s"heavy $item of shard $sh dropped")
+      }
+    }
+    // the truly hot items are all present with exact-regime tight bounds
+    (0 until 8).foreach(i => assert(tracked.contains(s"hot_$i")))
+  }
 }
