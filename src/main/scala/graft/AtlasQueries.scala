@@ -49,6 +49,30 @@ object AtlasQueries {
       |SELECT id_a, id_b, name_a, name_b, dist FROM pr
       |WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin
 
+  /** Multi-pass (first ∪ last token) blocked fuzzy pairs — the recall-
+    * insurance variant; 16 of its 96 sf0.01 pairs are invisible to
+    * single-pass last-token blocking.
+    */
+  def qFuzzyMulti(spark: SparkSession, dir: String): DataFrame =
+    Linkage.fuzzyPairsMultiBlock(entities(spark, dir), "id", "name",
+        maxDist = 3, lengthBand = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val fuzzyMultiSql: String =
+    s"""WITH $entitiesSql,
+      |blk AS (SELECT id, name,
+      |        UNNEST(list_distinct([string_split(name, ' ')[1],
+      |                              string_split(name, ' ')[-1]])) AS b,
+      |        LENGTH(name) AS len FROM e),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.name AS name_a,
+      |        b.name AS name_b
+      |      FROM blk a JOIN blk b ON a.b = b.b AND a.id < b.id
+      |      WHERE ABS(a.len - b.len) <= 3)
+      |SELECT id_a, id_b, name_a, name_b,
+      |  levenshtein(name_a, name_b) AS dist
+      |FROM cand WHERE levenshtein(name_a, name_b) <= 3
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Entity clusters: connected components over the fuzzy pairs. */
   def qEntityClusters(spark: SparkSession, dir: String): DataFrame = {
     val ents = entities(spark, dir)
@@ -291,6 +315,7 @@ object AtlasQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
+    "q_fuzzy_multi" -> (qFuzzyMulti _),
     "q_entity_clusters" -> (qEntityClusters _),
     "q_embed_binary" -> (qEmbedBinary _),
     "q_embed_binary_rerank" -> (qEmbedBinaryRerank _),
@@ -302,6 +327,7 @@ object AtlasQueries {
 
   def oracleSql: Map[String, String] = Map(
     "q_fuzzy_match" -> fuzzyMatchSql,
+    "q_fuzzy_multi" -> fuzzyMultiSql,
     "q_entity_clusters" -> entityClustersSql,
     "q_embed_binary" -> embedBinarySql,
     "q_embed_binary_rerank" -> embedBinaryRerankSql,

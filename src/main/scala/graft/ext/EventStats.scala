@@ -227,4 +227,39 @@ object EventStats {
     // has trailing actives, but the DAU spine is the product surface)
     dau.join(wau, Seq("day")).select(col("day"), col("dau"), col("wau"))
   }
+
+  /** Rolling active users via mergeable HLL sketches — the 100 TB twin of
+    * [[rollingActiveUsers]]. The exact path explodes each (user, day) into
+    * every window it serves (windowDays× the distinct volume, then a
+    * COUNT DISTINCT per window); the sketch path aggregates raw events ONCE
+    * into a per-day HLL (map-side partial, bytes per day) and every window
+    * after that is a UNION OF SKETCHES over `windowDays` rows — no second
+    * pass over users, no explode, window cost independent of cardinality.
+    * The trade is the HLL's ~1.6% standard error (lgConfigK = 12 default),
+    * and that sketches admit ANY downstream rollup (weekly, monthly, ad-hoc
+    * ranges) from the same daily aggregates — the reason warehouses
+    * materialize sketch columns, not counts.
+    *
+    * Output: (day, dau_est, wau_est) — both HLL estimates (long-rounded, as
+    * `hll_sketch_estimate` reports), the daily one checkable against the
+    * exact DAU in specs.
+    */
+  def rollingActiveUsersSketch(events: DataFrame, tsCol: String, userCol: String,
+                               windowDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"), col(userCol).as("u"))
+      .groupBy(col("day"))
+      .agg(hll_sketch_agg(col("u")).as("sk"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(-(windowDays - 1), Window.currentRow)
+    // NOTE the rows-frame approximation: like the exact operator, only
+    // observed days appear; unlike it, a GAP in the day spine lets the frame
+    // reach further back than windowDays calendar days. Densify the spine
+    // first when that matters (the events table has no gaps at test SFs).
+    daily
+      .withColumn("dau_est", hll_sketch_estimate(col("sk")))
+      .withColumn("wau_est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select(col("day"), col("dau_est"), col("wau_est"))
+  }
 }

@@ -59,6 +59,35 @@ object Linkage {
       .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"), col("dist"))
   }
 
+  /** Multi-pass blocking: candidates from the FIRST-token block unioned with
+    * the last-token block, deduplicated before the (expensive) verification
+    * DP runs once per distinct candidate. Single-key blocking misses any true
+    * match whose edit touches the block key ("john smith" / "john smyth"
+    * share no last token); each extra pass is the same bounded equi-join, so
+    * recall insurance costs one more shuffle of the (id, name) projection —
+    * the standard production trade (add phonetic/k-gram passes the same way).
+    */
+  def fuzzyPairsMultiBlock(df: DataFrame, idCol: String, nameCol: String,
+                           maxDist: Int = 2, lengthBand: Int = 2): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(nameCol).as("name"))
+      .withColumn("blks", array_distinct(array(
+        element_at(split(col("name"), " "), 1),
+        element_at(split(col("name"), " "), -1))))
+      .select(col("id"), col("name"), explode(col("blks")).as("blk"),
+        length(col("name")).as("len"))
+    val a = base.select(col("blk"), col("id").as("id_a"),
+      col("name").as("name_a"), col("len").as("len_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"),
+      col("name").as("name_b"), col("len").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("len_a") - col("len_b")) <= lengthBand)
+      .select(col("id_a"), col("id_b"), col("name_a"), col("name_b"))
+      .distinct() // a pair may surface from both passes; verify once
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist").between(0, maxDist))
+  }
+
   /** Entity clusters: transitive closure over [[fuzzyPairs]] via
     * [[Dedup.dupClusters]] (pointer-jumping connected components). Output:
     * (id, cluster_id = min id reachable).

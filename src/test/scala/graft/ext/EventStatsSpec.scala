@@ -158,4 +158,28 @@ class EventStatsSpec extends SparkTestBase {
     // Mar 1 is 60 days past Jan 1 — outside the 28-day window entirely
     assert(out("2024-03-01") == 10.0)
   }
+
+  test("rollingActiveUsersSketch: HLL estimates track the exact rolling counts") {
+    val rnd = new scala.util.Random(13)
+    // 14 days, ~400 distinct users/day with heavy cross-day overlap
+    val rows = for {
+      d <- 1 to 14
+      _ <- 1 to 600
+    } yield (ts(f"2024-01-$d%02d 12:00:00"), rnd.nextInt(1200).toLong)
+    val df = rows.toDF("ts", "user_id")
+    val exact = EventStats.rollingActiveUsers(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val est = EventStats.rollingActiveUsersSketch(df, "ts", "user_id", windowDays = 7)
+      .collect().map(r => r.getAs[java.sql.Date]("day").toString ->
+        (r.getLong(1).toDouble, r.getLong(2).toDouble)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (day, (dau, wau)) =>
+      val (ed, ew) = exact(day)
+      assert(math.abs(dau - ed) / ed < 0.05, s"$day dau est=$dau exact=$ed")
+      assert(math.abs(wau - ew) / ew < 0.05, s"$day wau est=$wau exact=$ew")
+      // sketch union can only see MORE users than any single day
+      assert(wau >= dau * 0.99)
+    }
+  }
 }

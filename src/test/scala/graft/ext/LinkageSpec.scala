@@ -43,6 +43,24 @@ class LinkageSpec extends SparkTestBase {
       Set((4L, 5L)))
   }
 
+  test("fuzzyPairsMultiBlock: superset of single-pass; catches block-key edits") {
+    // smith/smyth: the edit is IN the last token, so last-token blocking
+    // cannot pair them — the first-token pass can
+    val df = people.union(Seq((7L, "john smyth")).toDF("id", "name"))
+    val single = Linkage.fuzzyPairs(df, "id", "name", maxDist = 2, lengthBand = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val multi = Linkage.fuzzyPairsMultiBlock(df, "id", "name",
+        maxDist = 2, lengthBand = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(multi))
+    assert(!single.contains((1L, 7L)) && multi.contains((1L, 7L)))
+    // verified pairs carry the same distances as the single-pass operator
+    val dists = Linkage.fuzzyPairsMultiBlock(df, "id", "name", 2, 3)
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect()
+      .map { case (a, b, d) => (a, b) -> d }.toMap
+    assert(dists((1L, 7L)) == 1)
+  }
+
   test("entityClusters: transitive closure merges chains across pairs") {
     // john smith - jon smith - johnny smith chain via dist<=2 links
     val cl = Linkage.entityClusters(people, "id", "name", maxDist = 2, lengthBand = 3)
