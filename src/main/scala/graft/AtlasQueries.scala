@@ -178,6 +178,25 @@ object AtlasQueries {
       |SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine, rnk
       |FROM r WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** Per-dimension embedding profile (whitening / dead-dim diagnostics). */
+  def qEmbedDimProfile(spark: SparkSession, dir: String): DataFrame =
+    Embeddings.dimProfile(Tables.embeddings(spark, dir), "embedding")
+      .orderBy(col("dim"))
+
+  val embedDimProfileSql: String =
+    """WITH c AS (SELECT i AS dim, embedding[i + 1] AS v,
+      |    CAST(embedding[i + 1] AS DECIMAL(18,9)) AS vd
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS i)),
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(vd) AS s, SUM(vd * vd) AS sq,
+      |    MIN(v) AS v_min, MAX(v) AS v_max
+      |  FROM c GROUP BY 1)
+      |SELECT dim, n, ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+      |  ROUND(SQRT((CAST(sq AS DOUBLE) -
+      |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS std,
+      |  v_min, v_max
+      |FROM a ORDER BY dim""".stripMargin
+
   // -------------------------------------------------------------------------
   // Z-order layout audit over part (size × price-bucket)
   // -------------------------------------------------------------------------
@@ -319,6 +338,7 @@ object AtlasQueries {
     "q_entity_clusters" -> (qEntityClusters _),
     "q_embed_binary" -> (qEmbedBinary _),
     "q_embed_binary_rerank" -> (qEmbedBinaryRerank _),
+    "q_embed_dim_profile" -> (qEmbedDimProfile _),
     "q_zorder" -> (qZorder _),
     "q_salted_brand_rev" -> (qSaltedBrandRev _),
     "q_market_share" -> (qMarketShare _),
@@ -331,6 +351,7 @@ object AtlasQueries {
     "q_entity_clusters" -> entityClustersSql,
     "q_embed_binary" -> embedBinarySql,
     "q_embed_binary_rerank" -> embedBinaryRerankSql,
+    "q_embed_dim_profile" -> embedDimProfileSql,
     "q_zorder" -> zorderSql,
     "q_salted_brand_rev" -> saltedBrandRevSql,
     "q_market_share" -> marketShareSql,

@@ -2804,6 +2804,38 @@ object ExtQueries {
       |ORDER BY j.id_a, j.id_b""".stripMargin
   }
 
+  /** LSH candidate-recall curve ([[Dedup.lshRecallCurve]]): the measured
+    * banding S-curve — per similarity decile, how many TRUE pairs (exact
+    * all-pairs Jaccard ≥ 0.2) the MinHash banding surfaces.
+    */
+  def qLshRecallCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.lshRecallCurve(Tables.documents(spark, dir), "doc_id", "text",
+        k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand,
+        truthThreshold = 0.05)
+      .orderBy(col("bucket"))
+
+  val lshRecallCurveSql: String =
+    s"""WITH $minhashSigBandCtesSql,
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |      FROM banded x JOIN banded y
+      |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |tr AS (SELECT p.id_a, p.id_b,
+      |      p.n_shared * 1.0 / (na.n_sh + nb.n_sh - p.n_shared) AS jaccard
+      |      FROM p JOIN n na ON p.id_a = na.doc_id
+      |      JOIN n nb ON p.id_b = nb.doc_id
+      |      WHERE p.n_shared * 1.0 / (na.n_sh + nb.n_sh - p.n_shared) >= 0.05),
+      |f AS (SELECT tr.jaccard,
+      |      CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS found
+      |  FROM tr LEFT JOIN cand c ON tr.id_a = c.id_a AND tr.id_b = c.id_b)
+      |SELECT CAST(FLOOR(jaccard * 10) AS INT) AS bucket, COUNT(*) AS n_pairs,
+      |  CAST(SUM(found) AS BIGINT) AS n_found,
+      |  ROUND(SUM(found) * 1.0 / COUNT(*), 6) AS recall
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Incremental ingest dedup: the corpus is split deterministically into an
     * "existing" store (md5 bucket < 80, ~80%) and an "incoming" batch (the
     * rest); every incoming doc is classified exact_dup / near_dup / new against
@@ -2901,6 +2933,7 @@ object ExtQueries {
     "q_repetition" -> (qRepetition _),
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_minhash_est" -> (qMinhashEst _),
+    "q_lsh_recall_curve" -> (qLshRecallCurve _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -3001,6 +3034,7 @@ object ExtQueries {
     "q_repetition" -> repetitionSql,
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_minhash_est" -> minhashEstSql,
+    "q_lsh_recall_curve" -> lshRecallCurveSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -308,6 +308,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** LSH candidate-recall curve: ground-truth pairs (exact all-pairs Jaccard ≥
+    * `truthThreshold`) bucketed by similarity decile, with the fraction that
+    * the MinHash banding SURFACES as candidates — the empirical S-curve
+    * (P[candidate] = 1 − (1 − j^rows)^bands) measured on the actual corpus.
+    * This is the banding tuning surface: run it on a corpus SAMPLE, pick
+    * (numHashes, rowsPerBand) so the recall at the dedup threshold clears the
+    * target, then run the full [[minhashLshPairs]] with those parameters.
+    * The exact all-pairs truth join is why this belongs on a sample, not the
+    * corpus ([[minhashEstimatePairs]] profiles estimator error the same way).
+    * Output: (bucket = ⌊10·jaccard⌋, n_pairs, n_found, recall).
+    */
+  def lshRecallCurve(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                     truthThreshold: Double = 0.2): DataFrame = {
+    val truth = jaccardPairs(df, idCol, textCol, k, truthThreshold)
+    val sh = shingles(df, idCol, textCol, k)
+    val sig = signaturesFromShingles(sh, idCol, numHashes)
+    val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val found = sum(coalesce(col("found"), lit(0L)))
+    truth.join(cand.withColumn("found", lit(1L)), Seq("id_a", "id_b"), "left")
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("int"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), found.as("n_found"),
+        round(found.cast("double") / count(lit(1)), 6).as("recall"))
+  }
+
   /** Incremental (new-batch-vs-corpus) dedup — the shape a continuously-refreshed
     * training corpus runs on every ingest: classify each `incoming` document as
     *  - `exact_dup`: byte-identical text already in `existing` (md5 key match;

@@ -132,6 +132,30 @@ object Embeddings {
         max(col("qv")).as("max_q"))
   }
 
+  /** Per-dimension distribution profile: n/mean/std/min/max for every vector
+    * component — the health check run before whitening, quantization-range
+    * selection, or dead-dimension pruning (a dimension with ~zero variance
+    * wastes index bits everywhere downstream). One posexplode + one
+    * (dim)-keyed aggregation; sums ride DECIMAL so the profile is
+    * partition-order-independent, and std derives from the exact decimal
+    * moments (n·Σx² − (Σx)² form) in one pass.
+    * Output: (dim, n, mean, std, v_min, v_max).
+    */
+  def dimProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = col("v").cast("decimal(18,9)")
+    df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(vd).as("s"), sum(vd * vd).as("sq"),
+        min(col("v")).as("v_min"), max(col("v")).as("v_max"))
+      .select(col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt((col("sq").cast("double") -
+            col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("std"),
+        col("v_min"), col("v_max"))
+  }
+
   /** Sign-bit packing: one bit per dimension (1 iff the component is > 0),
     * packed into 64-bit words — a 32× compression over float32 that turns
     * cosine ranking into XOR + popcount over a handful of longs. For
