@@ -694,6 +694,56 @@ object StreamingOps {
     * ones: est − err ≤ true ≤ est, and exactness when a shard's distinct
     * items fit in `capacity`.
     */
+  final case class DailyCount(event_type: String, day: java.sql.Date,
+                              n_events: Long)
+  final case class EwmaState(num: Double, den: Double, lastEpochDay: Long)
+  final case class EwmaOut(event_type: String, day: java.sql.Date,
+                           n_events: Long, ewma: Double)
+
+  /** Streaming EWMA volume baseline — the incremental twin of
+    * [[graft.ext.EventStats.ewmaDaily]], the smoothing under its anomaly
+    * flags. Input is the per-(type, day) count stream (the upstream windowed
+    * aggregation every monitoring pipeline already runs); state per type is
+    * three numbers — the decayed numerator/denominator and the last day seen
+    * — updated with the same calendar-gap decay (`decay^Δdays`, gap days
+    * decay without contributing), so day t costs O(1) instead of the batch
+    * join's O(windowDays) regardless of history length.
+    *
+    * Two documented deltas vs batch: the recursion never drops terms past
+    * `windowDays` (geometric decay makes the tail negligible once
+    * `decay^windowDays` ≈ 0 — equal within fp noise when history is shorter
+    * than the window), and per-type days must arrive in day order across
+    * micro-batches (within a batch they are sorted here) — the
+    * [[funnelStream]] ordering assumption; feed it from a watermarked daily
+    * aggregation to make that hold.
+    */
+  def ewmaDailyStream(daily: Dataset[DailyCount],
+                      decay: Double = 0.9): Dataset[EwmaOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (typ: String, it: Iterator[DailyCount], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0.0, Long.MinValue))
+          // a micro-batch may carry several days of one type: process in day
+          // order (bounded by days per batch, not by history)
+          val out = it.toSeq.sortBy(_.day.getTime).map { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            val w =
+              if (st.lastEpochDay == Long.MinValue) 0.0
+              else math.pow(decay, (epochDay - st.lastEpochDay).toDouble)
+            val num = e.n_events.toDouble + w * st.num
+            val den = 1.0 + w * st.den
+            st = EwmaState(num, den, epochDay)
+            EwmaOut(typ, e.day, e.n_events,
+              math.round(num / den * 1e6) / 1e6)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
     import items.sparkSession.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(capacity)

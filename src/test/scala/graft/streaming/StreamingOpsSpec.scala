@@ -436,6 +436,47 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(spark.table("attrib_stale").as[AttributedConv].isEmpty)
   }
 
+  test("ewmaDailyStream: matches batch ewmaDaily across batches and gap days") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{DailyCount, EwmaOut}
+    def day(s: String) = java.sql.Date.valueOf(s)
+    // type A: consecutive days + a 2-day gap; type B: sparse
+    val counts = Seq(
+      DailyCount("A", day("2024-01-01"), 10L),
+      DailyCount("A", day("2024-01-02"), 20L),
+      DailyCount("A", day("2024-01-04"), 40L),
+      DailyCount("B", day("2024-01-01"), 5L),
+      DailyCount("B", day("2024-01-05"), 50L))
+    val (b1, b2) = counts.sortBy(_.day.getTime).splitAt(3)
+
+    val input = MemoryStream[DailyCount]
+    val query = StreamingOps.ewmaDailyStream(input.toDS(), decay = 0.9)
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    input.addData(b1: _*)
+    query.processAllAvailable()
+    input.addData(b2: _*)
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("ewma_out").as[EwmaOut].collect()
+      .map(r => (r.event_type, r.day.toString) -> r.ewma).toMap
+
+    // batch twin over raw events with the same counts (history < windowDays,
+    // so the recursion and the windowed join agree exactly up to fp noise)
+    val events = counts.flatMap(c => (1L to c.n_events).map(i =>
+      (new Timestamp(c.day.getTime + 3600000L), c.event_type, i)))
+    val batch = graft.ext.EventStats.ewmaDaily(
+        events.toDF("ts", "event_type", "event_id"), "ts", "event_type",
+        decay = 0.9, windowDays = 28)
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.sql.Date]("day").toString) ->
+        r.getDouble(3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, v) =>
+      assert(approx(v, batch(k), 1e-5), s"$k stream=$v batch=${batch(k)}")
+    }
+  }
+
   test("heavyHittersStream: sharded sketches merge to the batch guarantees") {
     implicit val sc = spark.sqlContext
     import StreamingOps.{HHItem, HHCounter}
