@@ -16,6 +16,26 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Release everything a query pinned in executor storage. clearCache()
+    * only drops catalog-cached plans; localCheckpoint blocks (dupClusters /
+    * triangles / PPJoin pin their edge and signature tables) stay resident
+    * until the RDD is GC'd — with a large bench heap GC may never run, the
+    * blocks accumulate over 170+ queries, unified memory shrinks, and
+    * shuffle-heavy queries degrade run-over-run (observed: q_triangles
+    * 2.5s → 14.9s across reps in one session). A long-lived cluster session
+    * must do exactly this after pipeline runs, for the same reason.
+    */
+  private def releaseStorage(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    // broadcasts and shuffle state are cleaned by ContextCleaner only after
+    // a GC notices the references are dead; a 100 GiB bench heap may never
+    // GC on its own, so kick one — milliseconds between queries, against
+    // gigabytes of stale broadcast blocks over a 170-query session
+    System.gc()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // default to the machine's real core count so unset-env runs are comparable
@@ -36,11 +56,11 @@ object Bench {
     // timed runs — steady-state numbers, as a long-lived cluster would see.
     val timings = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      releaseStorage(spark)
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        spark.catalog.clearCache()
+        releaseStorage(spark)
         (System.nanoTime() - t0) / 1e9
       }
       name -> runs

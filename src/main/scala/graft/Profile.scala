@@ -33,7 +33,11 @@ object Profile {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
+        // clearCache alone leaks localCheckpoint blocks (see Bench.releaseStorage)
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        System.gc() // let ContextCleaner reap broadcasts (Bench.releaseStorage)
         (System.nanoTime() - t0) / 1e9
       }
       val rest = times.drop(2).map(t => f"$t%.2f").mkString(" ")

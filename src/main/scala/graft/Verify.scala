@@ -35,9 +35,12 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // queries cache() intermediates for intra-query reuse; drop them so
-      // memory pressure doesn't accumulate across the suite
+      // queries cache() intermediates for intra-query reuse; drop them — and
+      // the localCheckpoint blocks clearCache can't see (Bench.releaseStorage
+      // rationale) — so memory pressure doesn't accumulate across the suite
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
