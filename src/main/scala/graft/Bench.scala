@@ -60,8 +60,11 @@ object Bench {
       val runs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // cleanup happens between reps but OUTSIDE the timed window — a full
+        // GC on the bench heap costs ~1s and is harness hygiene, not query time
         releaseStorage(spark)
-        (System.nanoTime() - t0) / 1e9
+        dt
       }
       name -> runs
     }

@@ -33,12 +33,14 @@ object Profile {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        // clearCache alone leaks localCheckpoint blocks (see Bench.releaseStorage)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed: clearCache alone leaks localCheckpoint blocks, and
+        // ContextCleaner needs a GC to reap broadcasts (Bench.releaseStorage)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        System.gc() // let ContextCleaner reap broadcasts (Bench.releaseStorage)
-        (System.nanoTime() - t0) / 1e9
+        System.gc()
+        dt
       }
       val rest = times.drop(2).map(t => f"$t%.2f").mkString(" ")
       println(f"PROFILE $name%-22s cold=${times(0)}%7.2fs warm=${times(1)}%7.2fs $rest")

@@ -52,6 +52,20 @@ object Layout {
         min(col("x")).as("x_min"), max(col("x")).as("x_max"),
         min(col("y")).as("y_min"), max(col("y")).as("y_max"))
 
+  /** Range-partition rows by their Morton key — the write-side layout step:
+    * `df.transform(zorderLayout(x, y, bits, nFiles)).write.parquet(...)`
+    * gives every output file a tight min/max rectangle in BOTH dimensions
+    * (each parquet footer then prunes selective predicates on either column).
+    * `repartitionByRange` samples the key distribution, so files are
+    * balanced even when the key space is sparse.
+    */
+  def zorderLayout(x: Column, y: Column, bits: Int, nFiles: Int)
+                  (df: DataFrame): DataFrame =
+    df.withColumn("__z", mortonKey(x.cast("long"), y.cast("long"), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+
   /** Skew-salted equi-join: replicate the small (dimension) side
     * `saltFactor` ways, spread the big (fact) side across replicas by a
     * deterministic hash of its whole row, and join on (key, salt). Output

@@ -39,6 +39,44 @@ class LayoutSpec extends SparkTestBase {
     }
   }
 
+  test("zorderLayout: a y-selective predicate prunes z files, not x-range files") {
+    import org.apache.spark.sql.functions.{input_file_name, max => fmax, min => fmin}
+    val grid = spark.range(0, 64).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 64).select(col("id").as("y")))
+    // per-file min/max rectangles — exactly what parquet footer stats expose
+    def rects(df: org.apache.spark.sql.DataFrame, path: String) = {
+      df.write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+        .groupBy(input_file_name())
+        .agg(fmin(col("x")).as("x0"), fmax(col("x")).as("x1"),
+          fmin(col("y")).as("y0"), fmax(col("y")).as("y1"))
+        .select("x0", "x1", "y0", "y1").as[(Long, Long, Long, Long)]
+        .collect().toSeq
+    }
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val z = rects(
+      grid.transform(Layout.zorderLayout(col("x"), col("y"), bits = 6, nFiles = 16)),
+      s"$dir/zordered")
+    // baseline: same file count, range-partitioned on the PRIMARY column only
+    val xOnly = rects(
+      grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x")),
+      s"$dir/byprimary")
+    assert(z.size == 16 && xOnly.size == 16)
+    // single-dim layout: every file spans the FULL y range -> y never prunes
+    assert(xOnly.forall { case (_, _, y0, y1) => y0 == 0 && y1 == 63 })
+    // a file "matches" a predicate iff its stats rectangle intersects it —
+    // the footer-pruning rule. y = 5 must skip most z files and no x files.
+    def matching(rs: Seq[(Long, Long, Long, Long)], y: Long) =
+      rs.count { case (_, _, y0, y1) => y0 <= y && y <= y1 }
+    assert(matching(xOnly, 5L) == 16)
+    assert(matching(z, 5L) <= 8,
+      s"z-order y-extents too loose: ${z.map(r => (r._3, r._4)).sorted}")
+    // and x stays prunable too (not traded away): most z files skip x = 5
+    def matchingX(rs: Seq[(Long, Long, Long, Long)], x: Long) =
+      rs.count { case (x0, x1, _, _) => x0 <= x && x <= x1 }
+    assert(matchingX(z, 5L) <= 8)
+  }
+
   test("saltedJoin: output-identical to the plain join, including dup keys") {
     val big = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"), (1L, "e"))
       .toDF("k", "payload")
