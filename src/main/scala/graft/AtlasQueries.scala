@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Embeddings, Layout, Linkage}
+import graft.ext.{Drift, Embeddings, Experiment, Layout, Linkage, Splits}
 
 /** Round-6 operator batch: record linkage (blocked Levenshtein matching +
   * entity clustering), binary sign-quantized Hamming search, Z-order layout
@@ -331,6 +331,233 @@ object AtlasQueries {
       |FROM a ORDER BY o_month""".stripMargin
 
   // -------------------------------------------------------------------------
+  // Distribution drift & feature-dependence audits (graft.ext.Drift)
+  // -------------------------------------------------------------------------
+
+  /** One-vs-rest KS drift scan of the token-count distribution per document
+    * source — "which feed's length profile diverges from the blend".
+    */
+  def qKsDrift(spark: SparkSession, dir: String): DataFrame =
+    Drift.ksOneVsRest(
+        Tables.documents(spark, dir).select(col("source"),
+          size(split(col("text"), " ")).as("x")),
+        "source", "x")
+      .withColumnRenamed("s", "source")
+      .orderBy(col("source"))
+
+  val ksDriftSql: String =
+    """WITH t AS (SELECT source AS src, len(string_split(text, ' ')) AS x
+      |           FROM documents),
+      |c AS (SELECT src, x, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      |r AS (SELECT DISTINCT src AS s FROM c),
+      |ev AS (SELECT r.s, c.x,
+      |    CAST(SUM(CASE WHEN c.src = r.s THEN c.cnt ELSE 0 END) AS BIGINT)
+      |      AS in_cnt,
+      |    CAST(SUM(CASE WHEN c.src <> r.s THEN c.cnt ELSE 0 END) AS BIGINT)
+      |      AS out_cnt
+      |  FROM c CROSS JOIN r GROUP BY 1, 2),
+      |tot AS (SELECT src AS s, CAST(SUM(cnt) AS BIGINT) AS n_grp
+      |        FROM c GROUP BY 1),
+      |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM c),
+      |cum AS (SELECT s, x,
+      |    SUM(in_cnt) OVER (PARTITION BY s ORDER BY x) AS cin,
+      |    SUM(out_cnt) OVER (PARTITION BY s ORDER BY x) AS cout
+      |  FROM ev)
+      |SELECT cum.s AS source, MAX(n_grp) AS n,
+      |  ROUND(MAX(ABS(CAST(cin AS DOUBLE) / CAST(n_grp AS DOUBLE) -
+      |      CAST(cout AS DOUBLE) / CAST(n_tot - n_grp AS DOUBLE))), 6) AS ks
+      |FROM cum JOIN tot USING (s) CROSS JOIN g
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** PSI of the price distribution between the pre-1998 reference period and
+    * the rest — the standard go/no-go drift gate, with the per-bin
+    * decomposition.
+    */
+  def qPsiPrice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val split = col("l_shipdate") < lit("1998-01-01").cast("timestamp")
+    Drift.psi(li.filter(split), li.filter(!split), "l_extendedprice", nBins = 10)
+      .orderBy(col("bin"))
+  }
+
+  val psiPriceSql: String =
+    """WITH st AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'),
+      |b AS (SELECT CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+      |        THEN 'ref' ELSE 'cur' END AS slice,
+      |    CAST(LEAST(GREATEST(
+      |        FLOOR((l_extendedprice - mn) * 10 / (mx - mn)), 0), 9) AS INT)
+      |      AS bin
+      |  FROM lineitem CROSS JOIN st),
+      |c AS (SELECT slice, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+      |      FROM b GROUP BY 1, 2),
+      |spine AS (SELECT CAST(range AS INT) AS bin FROM range(0, 10)),
+      |wide AS (SELECT spine.bin,
+      |    COALESCE(rf.cnt, 0) AS ref_cnt, COALESCE(cu.cnt, 0) AS cur_cnt
+      |  FROM spine
+      |  LEFT JOIN (SELECT bin, cnt FROM c WHERE slice = 'ref') rf USING (bin)
+      |  LEFT JOIN (SELECT bin, cnt FROM c WHERE slice = 'cur') cu USING (bin)),
+      |t AS (SELECT bin, ref_cnt, cur_cnt,
+      |    ((CAST(ref_cnt AS DOUBLE) + 0.5) /
+      |       (CAST(SUM(ref_cnt) OVER () AS DOUBLE) + 5.0) -
+      |     (CAST(cur_cnt AS DOUBLE) + 0.5) /
+      |       (CAST(SUM(cur_cnt) OVER () AS DOUBLE) + 5.0)) *
+      |    LN(((CAST(ref_cnt AS DOUBLE) + 0.5) /
+      |          (CAST(SUM(ref_cnt) OVER () AS DOUBLE) + 5.0)) /
+      |        ((CAST(cur_cnt AS DOUBLE) + 0.5) /
+      |          (CAST(SUM(cur_cnt) OVER () AS DOUBLE) + 5.0))) AS psi_term_raw
+      |  FROM wide)
+      |SELECT bin, ref_cnt, cur_cnt,
+      |  ROUND(psi_term_raw, 6) AS psi_term,
+      |  ROUND(CAST(SUM(CAST(psi_term_raw AS DECIMAL(28,12))) OVER ()
+      |    AS DOUBLE), 6) AS psi_total
+      |FROM t ORDER BY bin""".stripMargin
+
+  /** Categorical dependence audit over two warehouse column pairs: mutual
+    * information, chi-square and Cramér's V from the contingency tables.
+    */
+  def qMutualInfo(spark: SparkSession, dir: String): DataFrame =
+    Drift.categoricalDependence(Tables.orders(spark, dir),
+        "o_orderpriority", "o_orderstatus", "orders_priority_x_status")
+      .unionAll(Drift.categoricalDependence(Tables.customer(spark, dir),
+        "c_mktsegment", "c_nationkey", "customer_segment_x_nation"))
+      .orderBy(col("pair"))
+
+  private val dependenceSqlTemplate: String =
+    """SELECT '%LABEL%' AS pair, n, r_levels, c_levels,
+      |  ROUND(CAST(SUM(CAST((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      LN(CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) /
+      |         (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE)))
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS mi_nats,
+      |  ROUND(CAST(SUM(CAST(
+      |      CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) /
+      |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+      |    AS DECIMAL(28,12))) AS DOUBLE) - CAST(n AS DOUBLE), 6) AS chi2,
+      |  ROUND(SQRT((CAST(SUM(CAST(
+      |      CAST(cnt AS DOUBLE) * CAST(cnt AS DOUBLE) * CAST(n AS DOUBLE) /
+      |      (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))
+      |    AS DECIMAL(28,12))) AS DOUBLE) - CAST(n AS DOUBLE)) /
+      |    (CAST(n AS DOUBLE) *
+      |      CAST(LEAST(r_levels - 1, c_levels - 1) AS DOUBLE))), 6)
+      |    AS cramers_v
+      |FROM (
+      |  SELECT cells.cnt, ra.ra, cb.cb, g.n, g.r_levels, g.c_levels
+      |  FROM (SELECT %A% AS a, %B% AS b, CAST(COUNT(*) AS BIGINT) AS cnt
+      |        FROM %TBL% GROUP BY 1, 2) cells
+      |  JOIN (SELECT %A% AS a, CAST(COUNT(*) AS BIGINT) AS ra
+      |        FROM %TBL% GROUP BY 1) ra USING (a)
+      |  JOIN (SELECT %B% AS b, CAST(COUNT(*) AS BIGINT) AS cb
+      |        FROM %TBL% GROUP BY 1) cb USING (b)
+      |  CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |      CAST(COUNT(DISTINCT %A%) AS BIGINT) AS r_levels,
+      |      CAST(COUNT(DISTINCT %B%) AS BIGINT) AS c_levels FROM %TBL%) g)
+      |GROUP BY n, r_levels, c_levels""".stripMargin
+
+  private def dependenceSql(tbl: String, a: String, b: String,
+      label: String): String =
+    dependenceSqlTemplate.replace("%TBL%", tbl).replace("%A%", a)
+      .replace("%B%", b).replace("%LABEL%", label)
+
+  val mutualInfoSql: String =
+    s"""SELECT * FROM (
+      |${dependenceSql("orders", "o_orderpriority", "o_orderstatus",
+        "orders_priority_x_status")}
+      |UNION ALL
+      |${dependenceSql("customer", "c_mktsegment", "c_nationkey",
+        "customer_segment_x_nation")}
+      |) ORDER BY pair""".stripMargin
+
+  /** Per-brand OLS of quantity on discount — the grouped price-elasticity
+    * regression (does discounting move volume, and for which brand).
+    */
+  def qBrandElasticity(spark: SparkSession, dir: String): DataFrame =
+    Drift.groupedOls(
+        Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"), col("l_discount"),
+            col("l_quantity")),
+        "brand", "l_discount", "l_quantity")
+      .orderBy(col("brand"))
+
+  val brandElasticitySql: String =
+    """WITH m AS (SELECT p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(l_discount AS DECIMAL(18,4))) AS sx,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sy,
+      |    SUM(CAST(l_discount AS DECIMAL(18,4)) *
+      |        CAST(l_quantity AS DECIMAL(18,4))) AS sxy,
+      |    SUM(CAST(l_discount AS DECIMAL(18,4)) *
+      |        CAST(l_discount AS DECIMAL(18,4))) AS sxx
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1),
+      |s AS (SELECT brand, n,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+      |     CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+      |     CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0) AS slope_raw,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+      |  FROM m)
+      |SELECT brand, n, ROUND(slope_raw, 6) AS slope,
+      |  ROUND((syd - slope_raw * sxd) / CAST(n AS DOUBLE), 6) AS intercept
+      |FROM s ORDER BY brand""".stripMargin
+
+  /** CUPED variance-reduced A/B readout over the events stream: arms from
+    * the deterministic md5 user split (the q_ab_test assignment), covariate
+    * x = pre-period purchase spend, metric y = experiment-period spend.
+    */
+  def qCuped(spark: SparkSession, dir: String): DataFrame = {
+    val splitTs = lit("2024-01-16").cast("timestamp")
+    val dec0 = lit(0).cast("decimal(18,4)")
+    val u = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "purchase" && col("ts") < splitTs,
+          col("value").cast("decimal(18,4)")).otherwise(dec0)).as("x"),
+        sum(when(col("event_type") === "purchase" && col("ts") >= splitTs,
+          col("value").cast("decimal(18,4)")).otherwise(dec0)).as("y"))
+      .withColumn("arm", when(Splits.hashBucket(col("user_id")) % 2 === 0,
+        lit("A")).otherwise(lit("B")))
+    Experiment.cuped(u, "arm", "x", "y").orderBy(col("arm"))
+  }
+
+  val cupedSql: String =
+    """WITH u AS (SELECT user_id,
+      |    SUM(CASE WHEN event_type = 'purchase' AND ts < TIMESTAMP '2024-01-16'
+      |        THEN CAST(value AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS x,
+      |    SUM(CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16'
+      |        THEN CAST(value AS DECIMAL(18,4))
+      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS y,
+      |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 100) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events GROUP BY user_id),
+      |m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+      |    SUM(CAST(x AS DECIMAL(18,4))) AS sx,
+      |    SUM(CAST(y AS DECIMAL(18,4))) AS sy,
+      |    SUM(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS sxy,
+      |    SUM(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4))) AS sxx,
+      |    SUM(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4))) AS syy
+      |  FROM u GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS DOUBLE) AS gn, CAST(SUM(sx) AS DOUBLE) AS gsx,
+      |    CAST(SUM(sy) AS DOUBLE) AS gsy, CAST(SUM(sxy) AS DOUBLE) AS gsxy,
+      |    CAST(SUM(sxx) AS DOUBLE) AS gsxx, CAST(SUM(syy) AS DOUBLE) AS gsyy
+      |  FROM m),
+      |s AS (SELECT gn, gsx, gsy,
+      |    gn * gsxy - gsx * gsy AS covn,
+      |    gn * gsxx - gsx * gsx AS varxn,
+      |    gn * gsyy - gsy * gsy AS varyn
+      |  FROM g)
+      |SELECT arm, n,
+      |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_y,
+      |  ROUND(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) -
+      |    (covn / NULLIF(varxn, 0.0)) *
+      |    (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) - gsx / gn), 6)
+      |    AS mean_y_adj,
+      |  ROUND(covn / NULLIF(varxn, 0.0), 6) AS theta,
+      |  ROUND(covn * covn / NULLIF(varxn * varyn, 0.0), 6) AS var_reduction
+      |FROM m CROSS JOIN s ORDER BY arm""".stripMargin
+
+  // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_match" -> (qFuzzyMatch _),
@@ -342,7 +569,12 @@ object AtlasQueries {
     "q_zorder" -> (qZorder _),
     "q_salted_brand_rev" -> (qSaltedBrandRev _),
     "q_market_share" -> (qMarketShare _),
-    "q_promo_revenue" -> (qPromoRevenue _)
+    "q_promo_revenue" -> (qPromoRevenue _),
+    "q_ks_drift" -> (qKsDrift _),
+    "q_psi_price" -> (qPsiPrice _),
+    "q_mutual_info" -> (qMutualInfo _),
+    "q_brand_elasticity" -> (qBrandElasticity _),
+    "q_cuped" -> (qCuped _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -355,6 +587,11 @@ object AtlasQueries {
     "q_zorder" -> zorderSql,
     "q_salted_brand_rev" -> saltedBrandRevSql,
     "q_market_share" -> marketShareSql,
-    "q_promo_revenue" -> promoRevenueSql
+    "q_promo_revenue" -> promoRevenueSql,
+    "q_ks_drift" -> ksDriftSql,
+    "q_psi_price" -> psiPriceSql,
+    "q_mutual_info" -> mutualInfoSql,
+    "q_brand_elasticity" -> brandElasticitySql,
+    "q_cuped" -> cupedSql
   )
 }

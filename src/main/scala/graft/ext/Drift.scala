@@ -1,0 +1,196 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift and feature-dependence audits — the monitoring layer a
+  * training-data pipeline runs on every corpus drop before it reaches a
+  * trainer: "did this feed's length distribution shift?" (KS), "did prices
+  * move between periods?" (PSI), "are these two categorical columns
+  * redundant?" (mutual information / Cramér's V), "how does the target
+  * respond per group?" (grouped OLS).
+  *
+  * Scale notes (100 TB):
+  *  - Every operator aggregates FIRST (per-group × per-value counts, bin
+  *    counts, contingency cells, per-group moment sums) and runs the metric
+  *    math on the aggregate. The raw table crosses the shuffle exactly once,
+  *    as map-side-combined partial counts/sums keyed by bounded domains.
+  *  - The KS window partitions by target group and orders by the value
+  *    domain; its partition size is the number of DISTINCT values, bounded
+  *    by the value domain (token counts, bin ids) — not by row count.
+  *  - Summed double terms (log contributions) are cast to DECIMAL before
+  *    aggregation so results are partition-order independent — the same
+  *    discipline as the unigram-NLL scorer.
+  */
+object Drift {
+
+  /** Two-sample Kolmogorov–Smirnov statistic of `valueCol`'s distribution
+    * for each `groupCol` level vs the REST of the data (one-vs-rest drift
+    * scan): `ks = max_x |CDF_group(x) − CDF_rest(x)|`.
+    *
+    * Exact, not sampled: per-(group, value) counts are crossed with the
+    * (small) group roster so each target group sees every support point of
+    * the pooled distribution, then one cumulative window per target yields
+    * both CDFs. The cross product is |distinct values| × |groups| AGGREGATE
+    * rows — independent of corpus row count.
+    *
+    * Returns one row per group: (group, n, ks).
+    */
+  def ksOneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("src"), col(valueCol).as("x"))
+      .agg(count(lit(1)).as("cnt"))
+    val roster = c.select(col("src").as("s")).distinct()
+    val ev = c.crossJoin(broadcast(roster))
+      .groupBy(col("s"), col("x"))
+      .agg(
+        sum(when(col("src") === col("s"), col("cnt")).otherwise(lit(0L))).as("in_cnt"),
+        sum(when(col("src") =!= col("s"), col("cnt")).otherwise(lit(0L))).as("out_cnt"))
+    val w = Window.partitionBy(col("s")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = c.groupBy(col("src").as("s")).agg(sum(col("cnt")).as("n_grp"))
+    val grand = c.agg(sum(col("cnt")).as("n_tot"))
+    ev.select(col("s"), col("x"),
+        sum(col("in_cnt")).over(w).as("cin"),
+        sum(col("out_cnt")).over(w).as("cout"))
+      .join(broadcast(tot), Seq("s"))
+      .crossJoin(broadcast(grand))
+      .groupBy(col("s"))
+      .agg(
+        max(col("n_grp")).as("n"),
+        max(abs(
+          col("cin").cast("double") / col("n_grp").cast("double") -
+          col("cout").cast("double") / (col("n_tot") - col("n_grp")).cast("double")
+        )).as("ks_raw"))
+      .select(col("s"), col("n"), round(col("ks_raw"), 6).as("ks"))
+  }
+
+  /** Population Stability Index of `valueCol` between a reference and a
+    * current slice, over `nBins` equal-width bins fit on the REFERENCE
+    * min/max (out-of-range current values clamp to the edge bins — the
+    * convention that makes new-range drift visible in bins 0/n−1 instead of
+    * silently dropped). Shares are Laplace-smoothed ((c+0.5)/(n+nBins/2)) so
+    * empty bins contribute finitely.
+    *
+    * Returns one row per bin: (bin, ref_cnt, cur_cnt, psi_term, psi_total) —
+    * the per-bin decomposition IS the diagnostic (which price band moved),
+    * psi_total the alert threshold (0.1 watch / 0.25 act convention).
+    *
+    * Two passes over the input: a 1-row min/max aggregate on the reference
+    * (filter pushed to the scan), then one (slice, bin) count — both
+    * map-side combined.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10): DataFrame = {
+    val spark = ref.sparkSession
+    val stats = ref.agg(
+      min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    def binned(df: DataFrame, slice: String): DataFrame =
+      df.crossJoin(broadcast(stats)).select(
+        lit(slice).as("slice"),
+        least(greatest(
+          floor((col(valueCol).cast("double") - col("mn")) * nBins /
+            (col("mx") - col("mn"))), lit(0L)), lit(nBins - 1L))
+          .cast("int").as("bin"))
+    val counts = binned(ref, "ref").unionAll(binned(cur, "cur"))
+      .groupBy(col("slice"), col("bin")).agg(count(lit(1)).as("cnt"))
+    val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val wide = spine
+      .join(broadcast(counts.filter(col("slice") === "ref")
+        .select(col("bin"), col("cnt").as("ref_cnt"))), Seq("bin"), "left")
+      .join(broadcast(counts.filter(col("slice") === "cur")
+        .select(col("bin"), col("cnt").as("cur_cnt"))), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("ref_cnt"), lit(0L)).as("ref_cnt"),
+        coalesce(col("cur_cnt"), lit(0L)).as("cur_cnt"))
+    val nRef = sum(col("ref_cnt")).over(Window.partitionBy())
+    val nCur = sum(col("cur_cnt")).over(Window.partitionBy())
+    // nBins rows total — the single-partition window is bin-count-bounded,
+    // the documented exception to the no-global-window rule.
+    val p = (col("ref_cnt").cast("double") + 0.5) / (nRef.cast("double") + nBins / 2.0)
+    val q = (col("cur_cnt").cast("double") + 0.5) / (nCur.cast("double") + nBins / 2.0)
+    val term = (p - q) * log(p / q)
+    wide
+      .withColumn("psi_term_raw", term)
+      .withColumn("psi_total_raw",
+        sum(col("psi_term_raw").cast("decimal(28,12)")).over(Window.partitionBy())
+          .cast("double"))
+      .select(col("bin"), col("ref_cnt"), col("cur_cnt"),
+        round(col("psi_term_raw"), 6).as("psi_term"),
+        round(col("psi_total_raw"), 6).as("psi_total"))
+  }
+
+  /** Dependence between two categorical columns from their contingency
+    * table: mutual information (nats), the chi-square statistic, and
+    * Cramér's V (chi² normalized to [0,1] — the "is this feature redundant /
+    * is this split leaking labels" audit number).
+    *
+    * One row out: (pair, n, r_levels, c_levels, mi_nats, chi2, cramers_v).
+    * The contingency table is a map-side-combined count keyed by the level
+    * cross product (bounded by the categorical domains); per-cell log terms
+    * are summed in DECIMAL for partition-order independence.
+    */
+  def categoricalDependence(df: DataFrame, colA: String, colB: String,
+      pairLabel: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val ra = cells.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
+    val cb = cells.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
+    val n = cells.agg(sum(col("cnt")).as("n"),
+      countDistinct(col("a")).as("r_levels"),
+      countDistinct(col("b")).as("c_levels"))
+    val cd = col("cnt").cast("double")
+    val nd = col("n").cast("double")
+    // Zero cells contribute (0-e)^2/e = e to chi2; summing c^2*n/(ra*cb)
+    // over OBSERVED cells and subtracting n folds them in exactly
+    // (sum_all (c-e)^2/e = sum_obs c^2/e - n), so the aggregate never has
+    // to materialize the empty cells of the level cross product.
+    val chi2 = col("chi_dec").cast("double") - nd
+    cells
+      .join(broadcast(ra), Seq("a"))
+      .join(broadcast(cb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("n"), col("r_levels"), col("c_levels"),
+        ((cd / nd) * log(cd * nd /
+          (col("ra").cast("double") * col("cb").cast("double"))))
+          .cast("decimal(28,12)").as("mi_term"),
+        (cd * cd * nd /
+          (col("ra").cast("double") * col("cb").cast("double")))
+          .cast("decimal(28,12)").as("chi_term"))
+      .groupBy(col("n"), col("r_levels"), col("c_levels"))
+      .agg(sum(col("mi_term")).as("mi_dec"), sum(col("chi_term")).as("chi_dec"))
+      .select(lit(pairLabel).as("pair"), col("n"), col("r_levels"), col("c_levels"),
+        round(col("mi_dec").cast("double"), 6).as("mi_nats"),
+        round(chi2, 6).as("chi2"),
+        round(sqrt(chi2 /
+          (col("n").cast("double") *
+            least(col("r_levels") - 1, col("c_levels") - 1).cast("double"))), 6)
+          .as("cramers_v"))
+  }
+
+  /** Per-group simple OLS of `yCol` on `xCol` via the closed-form moment
+    * sums — the grouped-regression primitive (price elasticity per brand,
+    * dose-response per cohort). Moments are summed as DECIMAL (exact, any
+    * partition order); the slope/intercept division runs in double on the
+    * exact aggregates. Groups with zero x-variance return NULL slope.
+    *
+    * Returns (group, n, slope, intercept) — one map-side-combined aggregate,
+    * no window, no second pass.
+    */
+  def groupedOls(df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+    val nd = col("n").cast("double")
+    val sxd = col("sx").cast("double")
+    val syd = col("sy").cast("double")
+    val denom = nd * col("sxx").cast("double") - sxd * sxd
+    val slope = (nd * col("sxy").cast("double") - sxd * syd) /
+      when(denom === 0.0, lit(null)).otherwise(denom)
+    agg.select(col(groupCol), col("n"),
+      round(slope, 6).as("slope"),
+      round((syd - slope * sxd) / nd, 6).as("intercept"))
+  }
+}

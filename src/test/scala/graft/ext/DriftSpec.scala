@@ -1,0 +1,121 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DriftSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // -------------------------------------------------------------------- KS
+
+  test("ksOneVsRest: hand-computed two-group statistic") {
+    // g1: values 1,1,2  g2: values 2,3,3
+    // CDF_g1: 1->2/3, 2->1, 3->1 ; CDF_g2: 1->0, 2->1/3, 3->1
+    // sup diff = |2/3 - 0| = 2/3 at x=1 (both directions symmetric here)
+    val df = Seq(("g1", 1), ("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3), ("g2", 3))
+      .toDF("g", "v")
+    val r = Drift.ksOneVsRest(df, "g", "v")
+      .orderBy(col("s")).collect()
+    assert(r.length == 2)
+    assert(r.map(_.getLong(1)).toSeq == Seq(3L, 3L))
+    r.foreach(row => assert(math.abs(row.getDouble(2) - 2.0 / 3) < 1e-6))
+  }
+
+  test("ksOneVsRest: identical distributions give zero") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3))
+      .toDF("g", "v")
+    val r = Drift.ksOneVsRest(df, "g", "v").collect()
+    r.foreach(row => assert(row.getDouble(2) == 0.0))
+  }
+
+  test("ksOneVsRest: evaluates the CDF gap at points ABSENT from one group") {
+    // g1 = {1, 3}, g2 = {2, 4}: the largest gap (at x=1 and x=3, 0.5) is only
+    // visible at support points of the OTHER group too — the pooled-support
+    // cross is what makes the statistic exact rather than group-local.
+    val df = Seq(("g1", 1), ("g1", 3), ("g2", 2), ("g2", 4)).toDF("g", "v")
+    val r = Drift.ksOneVsRest(df, "g", "v").collect()
+    r.foreach(row => assert(math.abs(row.getDouble(2) - 0.5) < 1e-6))
+  }
+
+  // ------------------------------------------------------------------- PSI
+
+  test("psi: identical slices give exactly zero terms") {
+    val a = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r = Drift.psi(a, a, "v", nBins = 5).orderBy(col("bin")).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(row.getDouble(3) == 0.0 && row.getDouble(4) == 0.0)
+    }
+  }
+
+  test("psi: shifted distribution is flagged and out-of-range values clamp") {
+    // ref on [0,10); cur entirely above the ref max -> all cur mass clamps
+    // into the top bin and the PSI total is large.
+    val ref = (0 until 100).map(i => i % 10 * 1.0).toDF("v")
+    val cur = (0 until 100).map(_ => 99.0).toDF("v")
+    val r = Drift.psi(ref, cur, "v", nBins = 10).orderBy(col("bin")).collect()
+    val top = r.last
+    assert(top.getInt(0) == 9 && top.getLong(2) == 100L)
+    assert(r.take(9).forall(_.getLong(2) == 0L))
+    assert(top.getDouble(4) > 1.0) // way past the 0.25 action threshold
+  }
+
+  test("psi: spine keeps empty bins present with smoothed finite terms") {
+    val ref = Seq(0.0, 10.0).toDF("v") // only bins 0 and 9 occupied
+    val cur = Seq(0.0, 10.0).toDF("v")
+    val r = Drift.psi(ref, cur, "v", nBins = 10).collect()
+    assert(r.length == 10)
+    assert(r.forall(row => !row.isNullAt(3) && !row.getDouble(3).isNaN))
+  }
+
+  // ----------------------------------------------------- categorical dependence
+
+  test("categoricalDependence: independent columns have ~zero MI and chi2") {
+    // perfectly balanced 2x2 -> exact independence
+    val df = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")).toDF("u", "w")
+    val row = Drift.categoricalDependence(df, "u", "w", "p").head()
+    assert(row.getLong(1) == 4L)
+    assert(math.abs(row.getDouble(4)) < 1e-9) // mi
+    assert(math.abs(row.getDouble(5)) < 1e-9) // chi2
+    assert(math.abs(row.getDouble(6)) < 1e-9) // v
+  }
+
+  test("categoricalDependence: deterministic mapping gives Cramér's V = 1") {
+    val df = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"), ("c", "z"))
+      .toDF("u", "w")
+    val row = Drift.categoricalDependence(df, "u", "w", "p").head()
+    assert(math.abs(row.getDouble(6) - 1.0) < 1e-6)
+    // MI of a bijection = entropy of the marginal, here H = ln5 - (4/5)ln2...
+    // just assert strictly positive and <= ln(3) (level bound)
+    assert(row.getDouble(4) > 0.5 && row.getDouble(4) <= math.log(3.0) + 1e-9)
+  }
+
+  // --------------------------------------------------------------- grouped OLS
+
+  test("groupedOls: exact line recovered per group") {
+    // g1: y = 2x + 1 exactly; g2: y = -0.5x + 3 exactly
+    val d1 = Seq.tabulate(5)(i => ("g1", i.toDouble, 2.0 * i + 1))
+    val d2 = Seq.tabulate(5)(i => ("g2", i.toDouble, -0.5 * i + 3))
+    val r = (d1 ++ d2).toDF("g", "x", "y")
+    val rows = Drift.groupedOls(r, "g", "x", "y").orderBy(col("g")).collect()
+    assert(math.abs(rows(0).getDouble(2) - 2.0) < 1e-6)
+    assert(math.abs(rows(0).getDouble(3) - 1.0) < 1e-6)
+    assert(math.abs(rows(1).getDouble(2) + 0.5) < 1e-6)
+    assert(math.abs(rows(1).getDouble(3) - 3.0) < 1e-6)
+  }
+
+  test("groupedOls: zero x-variance group yields null slope, not a crash") {
+    val df = Seq(("g", 1.0, 2.0), ("g", 1.0, 5.0)).toDF("g", "x", "y")
+    val row = Drift.groupedOls(df, "g", "x", "y").head()
+    assert(row.isNullAt(2) && row.isNullAt(3))
+  }
+
+  test("ks and dependence plans aggregate before the metric math") {
+    // the shuffle input must be the (group, value) count, not raw rows:
+    // no raw-row window partitions — check the KS window reads an Aggregate.
+    val df = Seq(("g1", 1), ("g2", 2)).toDF("g", "v")
+    val plan = Drift.ksOneVsRest(df, "g", "v").queryExecution.optimizedPlan.toString
+    assert(plan.contains("Aggregate"))
+    assert(plan.contains("Window"))
+  }
+}
