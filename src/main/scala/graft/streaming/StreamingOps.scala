@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -742,6 +742,62 @@ object StreamingOps {
           state.update(st)
           out.iterator
       }
+  }
+
+  /** Streaming twin of [[graft.ext.Drift.psi]]: the monitored slice arrives
+    * as a stream, the reference slice is static. The reference collapses
+    * batch-side into ONE wide row (bin edges + per-bin counts), attached to
+    * every input row via the constant-key stream-static equi-join (the
+    * [[contaminationStream]] idiom); the stream then runs a single global
+    * aggregation whose state is the `nBins` conditional counters — one row,
+    * O(nBins) state regardless of volume — and every PSI term is a
+    * downstream projection with the batch operator's exact bin/smoothing
+    * math. Each trigger emits the PSI-so-far (Complete mode); once the
+    * current slice has fully arrived it equals the batch `Drift.psi` (the
+    * streaming sum folds doubles in fixed bin order vs batch's DECIMAL
+    * accumulator — agreement is within fp noise, differential-tested).
+    *
+    * Output (one row per trigger): (n_ref, n_cur, psi_total,
+    * bins: array&lt;struct&lt;bin, ref_cnt, cur_cnt, psi_term&gt;&gt;).
+    */
+  def psiDriftStream(cur: DataFrame, ref: DataFrame, valueCol: String,
+                     nBins: Int = 10): DataFrame = {
+    val stats = ref.agg(
+      min(col(valueCol).cast("double")).as("mn"),
+      max(col(valueCol).cast("double")).as("mx"))
+    def binOf(v: Column, mn: Column, mx: Column): Column =
+      least(greatest(floor((v - mn) * nBins / (mx - mn)), lit(0L)),
+        lit(nBins - 1L)).cast("int")
+    val refRow = ref.crossJoin(broadcast(stats))
+      .select(binOf(col(valueCol).cast("double"), col("mn"), col("mx")).as("bin"),
+        col("mn"), col("mx"))
+      .groupBy(col("mn"), col("mx"))
+      .agg(count(lit(1)).as("n_ref"),
+        (0 until nBins).map(i =>
+          sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"ref_$i")): _*)
+      .withColumn("__one", lit(1))
+    val curTagged = cur
+      .withColumn("__one", lit(1))
+      .join(broadcast(refRow), "__one")
+      .withColumn("bin", binOf(col(valueCol).cast("double"), col("mn"), col("mx")))
+    val wide = curTagged
+      .groupBy()
+      .agg(max(col("n_ref")).as("n_ref"),
+        (0 until nBins).map(i => max(col(s"ref_$i")).as(s"ref_$i")) ++
+        Seq(count(lit(1)).as("n_cur")) ++
+        (0 until nBins).map(i =>
+          sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"cur_$i")): _*)
+    def p(i: Int) = (col(s"ref_$i").cast("double") + 0.5) /
+      (col("n_ref").cast("double") + nBins / 2.0)
+    def q(i: Int) = (col(s"cur_$i").cast("double") + 0.5) /
+      (col("n_cur").cast("double") + nBins / 2.0)
+    def term(i: Int) = (p(i) - q(i)) * log(p(i) / q(i))
+    wide.select(col("n_ref"), col("n_cur"),
+      round((0 until nBins).map(term).reduce(_ + _), 6).as("psi_total"),
+      array((0 until nBins).map(i => struct(
+        lit(i).as("bin"), col(s"ref_$i").as("ref_cnt"),
+        col(s"cur_$i").as("cur_cnt"),
+        round(term(i), 6).as("psi_term"))): _*).as("bins"))
   }
 
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {

@@ -525,4 +525,59 @@ class StreamingOpsSpec extends SparkTestBase {
     // the truly hot items are all present with exact-regime tight bounds
     (0 until 8).foreach(i => assert(tracked.contains(s"hot_$i")))
   }
+
+  test("psiDriftStream: converges to the batch PSI once the slice arrives") {
+    import org.apache.spark.sql.functions.col
+    implicit val sc = spark.sqlContext
+    val refVals = (0 until 200).map(i => (i % 10) * 1.0)
+    val curVals = (0 until 200).map(i => (i % 5) * 2.0) // shifted: odd bins empty
+    val ref = refVals.toDF("v")
+
+    val input = MemoryStream[Double]
+    val query = StreamingOps
+      .psiDriftStream(input.toDF().withColumnRenamed("value", "v"), ref, "v")
+      .writeStream.format("memory").queryName("psi_out")
+      .outputMode("complete").start()
+    // the slice arrives over three micro-batches
+    curVals.grouped(80).foreach { chunk =>
+      input.addData(chunk: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    val streamed = spark.table("psi_out").head()
+    val batch = graft.ext.Drift.psi(ref, curVals.toDF("v"), "v")
+      .orderBy(col("bin")).collect()
+
+    assert(streamed.getLong(0) == 200L && streamed.getLong(1) == 200L)
+    // per-bin counts identical to batch
+    val bins = streamed.getSeq[org.apache.spark.sql.Row](3)
+    (0 until 10).foreach { i =>
+      assert(bins(i).getLong(1) == batch(i).getLong(1), s"ref bin $i")
+      assert(bins(i).getLong(2) == batch(i).getLong(2), s"cur bin $i")
+      assert(math.abs(bins(i).getDouble(3) - batch(i).getDouble(3)) < 1e-6)
+    }
+    // totals agree within fp noise (double fold vs DECIMAL accumulator)
+    assert(math.abs(streamed.getDouble(2) - batch(0).getDouble(4)) < 1e-6)
+    // the shift is actually flagged
+    assert(streamed.getDouble(2) > 0.25)
+  }
+
+  test("psiDriftStream: mid-stream snapshots are well-formed prefixes") {
+    implicit val sc = spark.sqlContext
+    val ref = (0 until 100).map(i => (i % 10) * 1.0).toDF("v")
+    val input = MemoryStream[Double]
+    val query = StreamingOps
+      .psiDriftStream(input.toDF().withColumnRenamed("value", "v"), ref, "v")
+      .writeStream.format("memory").queryName("psi_out2")
+      .outputMode("complete").start()
+    input.addData(0.0, 1.0, 2.0)
+    query.processAllAvailable()
+    val snap = spark.table("psi_out2").head()
+    query.stop()
+    // 3 rows so far, finite PSI, all 10 bins present
+    assert(snap.getLong(1) == 3L)
+    assert(!snap.getDouble(2).isNaN && !snap.getDouble(2).isInfinite)
+    assert(snap.getSeq[org.apache.spark.sql.Row](3).length == 10)
+  }
 }
