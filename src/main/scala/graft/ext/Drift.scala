@@ -38,8 +38,12 @@ object Drift {
     * Returns one row per group: (group, n, ks).
     */
   def ksOneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    // four consumers (roster, events, totals, grand) would each re-run the
+    // count aggregate — and its corpus scan — as Catalyst specializes shared
+    // subtrees per branch; materialize the tiny (group, value) count once
     val c = df.groupBy(col(groupCol).as("src"), col(valueCol).as("x"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val roster = c.select(col("src").as("s")).distinct()
     val ev = c.crossJoin(broadcast(roster))
       .groupBy(col("s"), col("x"))
@@ -82,9 +86,12 @@ object Drift {
     */
   def psi(ref: DataFrame, cur: DataFrame, valueCol: String, nBins: Int = 10): DataFrame = {
     val spark = ref.sparkSession
+    // 1-row stats feed both binned branches; (slice, bin) counts feed the
+    // ref and cur spine joins — materialize both so neither re-scans input
     val stats = ref.agg(
       min(col(valueCol).cast("double")).as("mn"),
       max(col(valueCol).cast("double")).as("mx"))
+      .localCheckpoint(eager = true)
     def binned(df: DataFrame, slice: String): DataFrame =
       df.crossJoin(broadcast(stats)).select(
         lit(slice).as("slice"),
@@ -94,6 +101,7 @@ object Drift {
           .cast("int").as("bin"))
     val counts = binned(ref, "ref").unionAll(binned(cur, "cur"))
       .groupBy(col("slice"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
     val wide = spine
       .join(broadcast(counts.filter(col("slice") === "ref")
@@ -132,8 +140,11 @@ object Drift {
     */
   def categoricalDependence(df: DataFrame, colA: String, colB: String,
       pairLabel: String): DataFrame = {
+    // cells feed the marginals, the totals AND the final join — materialize
+    // the (bounded) contingency table once instead of 4 input re-scans
     val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val ra = cells.groupBy(col("a")).agg(sum(col("cnt")).as("ra"))
     val cb = cells.groupBy(col("b")).agg(sum(col("cnt")).as("cb"))
     val n = cells.agg(sum(col("cnt")).as("n"),

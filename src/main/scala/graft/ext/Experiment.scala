@@ -32,6 +32,9 @@ object Experiment {
       .agg(count(lit(1)).as("n"),
         sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      // consumed by the pooled aggregate AND the final select — materialize
+      // the |arms|-row moment table once instead of re-running the unit scan
+      .localCheckpoint(eager = true)
     // |arms| rows: pool exactly, then broadcast the scalar row back.
     val g = byArm.agg(
         sum(col("n")).as("gn"), sum(col("sx")).as("gsx"), sum(col("sy")).as("gsy"),
