@@ -557,6 +557,72 @@ object AtlasQueries {
       |  ROUND(covn * covn / NULLIF(varxn * varyn, 0.0), 6) AS var_reduction
       |FROM m CROSS JOIN s ORDER BY arm""".stripMargin
 
+  /** Sample-ratio-mismatch gate for the md5 user split (the q_ab_test /
+    * q_cuped assignment): arm counts vs equal expected shares.
+    */
+  def qSrm(spark: SparkSession, dir: String): DataFrame = {
+    val u = Tables.events(spark, dir).select(col("user_id")).distinct()
+      .withColumn("arm", when(Splits.hashBucket(col("user_id")) % 2 === 0,
+        lit("A")).otherwise(lit("B")))
+    Experiment.srm(u, "arm").orderBy(col("arm"))
+  }
+
+  val srmSql: String =
+    """WITH u AS (SELECT DISTINCT user_id,
+      |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+      |        % 100) % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+      |  FROM events),
+      |b AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n FROM u GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tot, CAST(COUNT(*) AS BIGINT) AS k
+      |      FROM b)
+      |SELECT arm, n,
+      |  ROUND(CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE), 6) AS expected,
+      |  ROUND(CAST(SUM(CAST(
+      |      (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE)) *
+      |      (CAST(n AS DOUBLE) - CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE)) /
+      |      (CAST(n_tot AS DOUBLE) / CAST(k AS DOUBLE))
+      |    AS DECIMAL(28,12))) OVER () AS DOUBLE), 6) AS chi2,
+      |  k - 1 AS dof
+      |FROM b CROSS JOIN g ORDER BY arm""".stripMargin
+
+  /** One-vs-rest Mann–Whitney location test of token counts per document
+    * source — the rank-based companion to q_ks_drift from the same counts.
+    */
+  def qMwuDrift(spark: SparkSession, dir: String): DataFrame =
+    Drift.mannWhitneyOneVsRest(
+        Tables.documents(spark, dir).select(col("source"),
+          size(split(col("text"), " ")).as("x")),
+        "source", "x")
+      .withColumnRenamed("src", "source")
+      .orderBy(col("source"))
+
+  val mwuDriftSql: String =
+    """WITH t AS (SELECT source AS src, len(string_split(text, ' ')) AS x
+      |           FROM documents),
+      |c AS (SELECT src, x, CAST(COUNT(*) AS BIGINT) AS cnt FROM t GROUP BY 1, 2),
+      |p AS (SELECT x, CAST(SUM(cnt) AS BIGINT) AS tc FROM c GROUP BY 1),
+      |r AS (SELECT x, tc, SUM(tc) OVER (ORDER BY x) * 2 - tc + 1 AS a2 FROM p),
+      |ti AS (SELECT CAST(SUM(tc) AS BIGINT) AS n_tot,
+      |    SUM(CAST(tc * tc * tc - tc AS DECIMAL(38,0))) AS tie_sum FROM p),
+      |pg AS (SELECT src, CAST(SUM(cnt) AS BIGINT) AS n,
+      |    SUM(CAST(cnt AS DECIMAL(19,0)) * CAST(a2 AS DECIMAL(19,0))) AS r2
+      |  FROM c JOIN r USING (x) GROUP BY 1)
+      |SELECT src AS source, n,
+      |  ROUND((CAST(r2 AS DOUBLE) -
+      |    CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) / 2.0, 6) AS u,
+      |  ROUND(((CAST(r2 AS DOUBLE) -
+      |      CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) / 2.0 -
+      |    CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE) / 2.0) /
+      |    SQRT(CASE WHEN CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE) / 12.0 *
+      |        ((CAST(n_tot AS DOUBLE) + 1.0) - CAST(tie_sum AS DOUBLE) /
+      |         (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1.0))) <= 0.0
+      |      THEN NULL
+      |      ELSE CAST(n AS DOUBLE) * CAST(n_tot - n AS DOUBLE) / 12.0 *
+      |        ((CAST(n_tot AS DOUBLE) + 1.0) - CAST(tie_sum AS DOUBLE) /
+      |         (CAST(n_tot AS DOUBLE) * (CAST(n_tot AS DOUBLE) - 1.0)))
+      |    END), 6) AS z
+      |FROM pg CROSS JOIN ti ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -574,7 +640,9 @@ object AtlasQueries {
     "q_psi_price" -> (qPsiPrice _),
     "q_mutual_info" -> (qMutualInfo _),
     "q_brand_elasticity" -> (qBrandElasticity _),
-    "q_cuped" -> (qCuped _)
+    "q_cuped" -> (qCuped _),
+    "q_srm" -> (qSrm _),
+    "q_mwu_drift" -> (qMwuDrift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -592,6 +660,8 @@ object AtlasQueries {
     "q_psi_price" -> psiPriceSql,
     "q_mutual_info" -> mutualInfoSql,
     "q_brand_elasticity" -> brandElasticitySql,
-    "q_cuped" -> cupedSql
+    "q_cuped" -> cupedSql,
+    "q_srm" -> srmSql,
+    "q_mwu_drift" -> mwuDriftSql
   )
 }

@@ -69,6 +69,54 @@ object Drift {
       .select(col("s"), col("n"), round(col("ks_raw"), 6).as("ks"))
   }
 
+  /** One-vs-rest Mann–Whitney U rank test per group — the rank-based
+    * companion to [[ksOneVsRest]] (location shift rather than sup-CDF
+    * distance), from the SAME per-(group, value) count table.
+    *
+    * Exactness device: with pooled per-value counts t(x) and the cumulative
+    * count cb(x) of smaller values, the tie-averaged rank is
+    * a(x) = cb + (t+1)/2 — a half-integer. Working in DOUBLED ranks
+    * a2(x) = 2·cb + t + 1 keeps every rank sum in integers (DECIMAL
+    * accumulators, overflow-safe at any count), so
+    * U = (Σ cnt·a2 − n(n+1)) / 2 is exact under any partition order; only
+    * the z-score (normal approximation with tie correction) runs in double.
+    *
+    * Returns one row per group: (group, n, u, z).
+    */
+  def mannWhitneyOneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val c = df.groupBy(col(groupCol).as("src"), col(valueCol).as("x"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
+    val pool = c.groupBy(col("x")).agg(sum(col("cnt")).as("t"))
+    // |distinct values| rows — the global window is value-domain bounded,
+    // same exception class as the KS per-target window
+    val wOrd = Window.orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = pool.select(col("x"), col("t"),
+      (sum(col("t")).over(wOrd) * 2 - col("t") + 1).as("a2"))
+    val ties = pool.agg(
+      sum(col("t")).as("n_tot"),
+      sum((col("t") * col("t") * col("t") - col("t")).cast("decimal(38,0)"))
+        .as("tie_sum"))
+    val perGroup = c.join(ranked, Seq("x"))
+      .groupBy(col("src"))
+      .agg(sum(col("cnt")).as("n"),
+        sum(col("cnt").cast("decimal(19,0)") * col("a2").cast("decimal(19,0)"))
+          .as("r2"))
+    val nD = col("n").cast("double")
+    val mD = (col("n_tot") - col("n")).cast("double")
+    val nTotD = col("n_tot").cast("double")
+    val u = (col("r2").cast("double") -
+      nD * (nD + 1.0)) / 2.0
+    val varU = nD * mD / 12.0 *
+      ((nTotD + 1.0) - col("tie_sum").cast("double") / (nTotD * (nTotD - 1.0)))
+    perGroup.crossJoin(broadcast(ties))
+      .select(col("src"), col("n"),
+        round(u, 6).as("u"),
+        round((u - nD * mD / 2.0) /
+          sqrt(when(varU <= 0.0, lit(null)).otherwise(varU)), 6).as("z"))
+  }
+
   /** Population Stability Index of `valueCol` between a reference and a
     * current slice, over `nBins` equal-width bins fit on the REFERENCE
     * min/max (out-of-range current values clamp to the edge bins — the

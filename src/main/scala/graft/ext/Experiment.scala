@@ -25,6 +25,35 @@ import org.apache.spark.sql.functions._
   */
 object Experiment {
 
+  /** Sample-ratio-mismatch check — the first gate of any experiment readout:
+    * a goodness-of-fit chi² of observed arm sizes against equal expected
+    * shares. A significant chi² (dof = arms−1) means the assignment is
+    * broken and every downstream metric is untrustworthy.
+    *
+    * Output: one row per arm (arm, n, expected, chi2, dof) — chi2/dof are
+    * the experiment-level statistic repeated per row. One arm-keyed count
+    * (map-side combined) plus an |arms|-row pool.
+    */
+  def srm(units: DataFrame, armCol: String): DataFrame = {
+    val byArm = units.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true)
+    val g = byArm.agg(sum(col("n")).as("n_tot"), count(lit(1)).as("k"))
+    val expected = col("n_tot").cast("double") / col("k").cast("double")
+    val dev = col("n").cast("double") - expected
+    byArm.crossJoin(broadcast(g))
+      .withColumn("chi_term", (dev * dev / expected).cast("decimal(28,12)"))
+      .withColumn("chi2_raw",
+        sum(col("chi_term")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"))
+      // |arms| rows: the global window is arm-count bounded
+      .select(col("arm"), col("n"),
+        round(expected, 6).as("expected"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        (col("k") - 1).as("dof"))
+  }
+
   def cuped(units: DataFrame, armCol: String, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(18,4)")
     val y = col(yCol).cast("decimal(18,4)")

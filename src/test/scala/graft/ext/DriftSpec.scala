@@ -37,6 +37,47 @@ class DriftSpec extends SparkTestBase {
     r.foreach(row => assert(math.abs(row.getDouble(2) - 0.5) < 1e-6))
   }
 
+  // ------------------------------------------------------------- Mann–Whitney
+
+  test("mannWhitneyOneVsRest: hand-computed U without ties") {
+    // g1 = {1,2}, g2 = {3,4}: ranks 1,2 vs 3,4.
+    // U_g1 = R1 - n1(n1+1)/2 = 3 - 3 = 0 ; U_g2 = 7 - 3 = 4 = n1*n2 - U_g1.
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 3), ("g2", 4)).toDF("g", "v")
+    val r = Drift.mannWhitneyOneVsRest(df, "g", "v")
+      .orderBy(col("src")).collect()
+    assert(r(0).getDouble(2) == 0.0)
+    assert(r(1).getDouble(2) == 4.0)
+    // complete separation: z symmetric, negative for the low group
+    assert(r(0).getDouble(3) < 0 && r(1).getDouble(3) > 0)
+    assert(math.abs(r(0).getDouble(3) + r(1).getDouble(3)) < 1e-9)
+  }
+
+  test("mannWhitneyOneVsRest: tie-averaged ranks are exact half-integers") {
+    // g1 = {1,2}, g2 = {2,3}: value 2 is shared -> avg rank 2.5.
+    // R_g1 = 1 + 2.5 = 3.5, U_g1 = 3.5 - 3 = 0.5
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3)).toDF("g", "v")
+    val r = Drift.mannWhitneyOneVsRest(df, "g", "v")
+      .orderBy(col("src")).collect()
+    assert(r(0).getDouble(2) == 0.5)
+    assert(r(1).getDouble(2) == 3.5)
+  }
+
+  test("mannWhitneyOneVsRest: identical distributions give U = n1*n2/2, z = 0") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 1), ("b", 2), ("b", 3))
+      .toDF("g", "v")
+    val r = Drift.mannWhitneyOneVsRest(df, "g", "v").collect()
+    r.foreach { row =>
+      assert(row.getDouble(2) == 4.5) // 3*3/2
+      assert(math.abs(row.getDouble(3)) < 1e-9)
+    }
+  }
+
+  test("mannWhitneyOneVsRest: all-tied data yields null z (zero variance)") {
+    val df = Seq(("a", 7), ("a", 7), ("b", 7), ("b", 7)).toDF("g", "v")
+    val r = Drift.mannWhitneyOneVsRest(df, "g", "v").collect()
+    r.foreach(row => assert(row.isNullAt(3)))
+  }
+
   // ------------------------------------------------------------------- PSI
 
   test("psi: identical slices give exactly zero terms") {

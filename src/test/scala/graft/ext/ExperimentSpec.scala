@@ -43,6 +43,27 @@ class ExperimentSpec extends SparkTestBase {
     assert(r.forall(_.isNullAt(3))) // adjusted mean undefined without theta
   }
 
+  test("srm: balanced arms give chi2 = 0, imbalance is flagged") {
+    val ok = (1 to 50).map(i => (if (i % 2 == 0) "A" else "B")).toDF("arm")
+    val rOk = Experiment.srm(ok, "arm").collect()
+    assert(rOk.forall(_.getDouble(3) == 0.0))
+    assert(rOk.forall(_.getLong(4) == 1L))
+    // 90/10 on n=100: chi2 = (40^2/50)*2 = 64 — far past any alpha
+    val bad = ((1 to 90).map(_ => "A") ++ (1 to 10).map(_ => "B")).toDF("arm")
+    val rBad = Experiment.srm(bad, "arm").collect()
+    assert(rBad.forall(r => math.abs(r.getDouble(3) - 64.0) < 1e-9))
+    assert(rBad.forall(r => r.getDouble(2) == 50.0))
+  }
+
+  test("srm: generalizes to k arms with dof = k-1") {
+    val df = ((1 to 30).map(_ => "A") ++ (1 to 30).map(_ => "B") ++
+      (1 to 30).map(_ => "C")).toDF("arm")
+    val r = Experiment.srm(df, "arm").collect()
+    assert(r.length == 3)
+    assert(r.forall(_.getLong(4) == 2L))
+    assert(r.forall(_.getDouble(3) == 0.0))
+  }
+
   test("cuped: plan is two aggregates, no window, no raw-row second pass") {
     val df = Seq(("A", 1.0, 2.0), ("B", 3.0, 4.0)).toDF("arm", "x", "y")
     val plan = Experiment.cuped(df, "arm", "x", "y")
