@@ -369,6 +369,46 @@ object AtlasQueries {
       |FROM cum JOIN tot USING (s) CROSS JOIN g
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** One-vs-rest Wasserstein-1 drift of token counts per source — the
+    * magnitude-aware companion to q_ks_drift (how FAR the lengths moved, in
+    * tokens, not just the sup CDF gap).
+    */
+  def qW1Drift(spark: SparkSession, dir: String): DataFrame =
+    Drift.wasserstein1OneVsRest(
+        Tables.documents(spark, dir).select(col("source"),
+          size(split(col("text"), " ")).as("x")),
+        "source", "x")
+      .withColumnRenamed("s", "source")
+      .orderBy(col("source"))
+
+  val w1DriftSql: String =
+    """WITH t AS (SELECT source AS src, len(string_split(text, ' ')) AS x
+      |           FROM documents),
+      |c AS (SELECT src, x, COUNT(*) AS cnt FROM t GROUP BY 1, 2),
+      |r AS (SELECT DISTINCT src AS s FROM c),
+      |ev AS (SELECT r.s, c.x,
+      |    CAST(SUM(CASE WHEN c.src = r.s THEN c.cnt ELSE 0 END) AS BIGINT)
+      |      AS in_cnt,
+      |    CAST(SUM(CASE WHEN c.src <> r.s THEN c.cnt ELSE 0 END) AS BIGINT)
+      |      AS out_cnt
+      |  FROM c CROSS JOIN r GROUP BY 1, 2),
+      |tot AS (SELECT src AS s, CAST(SUM(cnt) AS BIGINT) AS n_grp
+      |        FROM c GROUP BY 1),
+      |g AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_tot FROM c),
+      |cum AS (SELECT s, x,
+      |    SUM(in_cnt) OVER (PARTITION BY s ORDER BY x) AS cin,
+      |    SUM(out_cnt) OVER (PARTITION BY s ORDER BY x) AS cout,
+      |    CAST(LEAD(x) OVER (PARTITION BY s ORDER BY x) - x AS DOUBLE) AS dx
+      |  FROM ev)
+      |SELECT cum.s AS source, MAX(n_grp) AS n,
+      |  ROUND(CAST(SUM(CAST(
+      |      ABS(CAST(cin AS DOUBLE) / CAST(n_grp AS DOUBLE) -
+      |          CAST(cout AS DOUBLE) / CAST(n_tot - n_grp AS DOUBLE)) * dx
+      |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS w1
+      |FROM cum JOIN tot USING (s) CROSS JOIN g
+      |WHERE dx IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** PSI of the price distribution between the pre-1998 reference period and
     * the rest — the standard go/no-go drift gate, with the per-bin
     * decomposition.
@@ -642,7 +682,8 @@ object AtlasQueries {
     "q_brand_elasticity" -> (qBrandElasticity _),
     "q_cuped" -> (qCuped _),
     "q_srm" -> (qSrm _),
-    "q_mwu_drift" -> (qMwuDrift _)
+    "q_mwu_drift" -> (qMwuDrift _),
+    "q_w1_drift" -> (qW1Drift _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -662,6 +703,7 @@ object AtlasQueries {
     "q_brand_elasticity" -> brandElasticitySql,
     "q_cuped" -> cupedSql,
     "q_srm" -> srmSql,
-    "q_mwu_drift" -> mwuDriftSql
+    "q_mwu_drift" -> mwuDriftSql,
+    "q_w1_drift" -> w1DriftSql
   )
 }

@@ -37,7 +37,13 @@ object Drift {
     *
     * Returns one row per group: (group, n, ks).
     */
-  def ksOneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+  /** Shared one-vs-rest CDF scaffold: per target group `s` and every pooled
+    * support point `x`, the cumulative in-group / out-group counts plus the
+    * group/grand totals. All downstream drift statistics (KS sup, W1
+    * integral) are aggregations over these |groups| × |distinct values|
+    * rows.
+    */
+  private def cdfEvents(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     // four consumers (roster, events, totals, grand) would each re-run the
     // count aggregate — and its corpus scan — as Catalyst specializes shared
     // subtrees per branch; materialize the tiny (group, value) count once
@@ -59,14 +65,38 @@ object Drift {
         sum(col("out_cnt")).over(w).as("cout"))
       .join(broadcast(tot), Seq("s"))
       .crossJoin(broadcast(grand))
+  }
+
+  /** The CDF gap |F_group(x) − F_rest(x)| as a Column, on [[cdfEvents]] rows. */
+  private def cdfGap: Column = abs(
+    col("cin").cast("double") / col("n_grp").cast("double") -
+    col("cout").cast("double") / (col("n_tot") - col("n_grp")).cast("double"))
+
+  def ksOneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame =
+    cdfEvents(df, groupCol, valueCol)
       .groupBy(col("s"))
-      .agg(
-        max(col("n_grp")).as("n"),
-        max(abs(
-          col("cin").cast("double") / col("n_grp").cast("double") -
-          col("cout").cast("double") / (col("n_tot") - col("n_grp")).cast("double")
-        )).as("ks_raw"))
+      .agg(max(col("n_grp")).as("n"), max(cdfGap).as("ks_raw"))
       .select(col("s"), col("n"), round(col("ks_raw"), 6).as("ks"))
+
+  /** One-vs-rest Wasserstein-1 (earth mover's) distance per group — the
+    * magnitude-aware companion to [[ksOneVsRest]]: instead of the sup of the
+    * CDF gap it integrates it, `W1 = Σ_x |F_grp(x) − F_rest(x)| · Δx`
+    * (exact for empirical distributions; Δx is the gap to the next pooled
+    * support point, the last point contributes nothing). Same aggregate-first
+    * scaffold; gap·Δx terms are summed in DECIMAL for partition-order
+    * independence. Returns one row per group: (group, n, w1).
+    */
+  def wasserstein1OneVsRest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val nxt = Window.partitionBy(col("s")).orderBy(col("x"))
+    cdfEvents(df, groupCol, valueCol)
+      .withColumn("dx",
+        (lead(col("x"), 1).over(nxt) - col("x")).cast("double"))
+      .filter(col("dx").isNotNull)
+      .groupBy(col("s"))
+      .agg(max(col("n_grp")).as("n"),
+        sum((cdfGap * col("dx")).cast("decimal(28,12)")).as("w1_dec"))
+      .select(col("s"), col("n"),
+        round(col("w1_dec").cast("double"), 6).as("w1"))
   }
 
   /** One-vs-rest Mann–Whitney U rank test per group — the rank-based

@@ -37,6 +37,32 @@ class DriftSpec extends SparkTestBase {
     r.foreach(row => assert(math.abs(row.getDouble(2) - 0.5) < 1e-6))
   }
 
+  // ----------------------------------------------------------- Wasserstein-1
+
+  test("wasserstein1OneVsRest: hand-computed transport distance") {
+    // g1 = {1,2}, g2 = {3,4}: W1 = |mean transport| = 2 exactly
+    // (gap .5 at x=1, 1 at x=2, .5 at x=3, each dx=1)
+    val df = Seq(("g1", 1), ("g1", 2), ("g2", 3), ("g2", 4)).toDF("g", "v")
+    val r = Drift.wasserstein1OneVsRest(df, "g", "v").collect()
+    r.foreach(row => assert(math.abs(row.getDouble(2) - 2.0) < 1e-9))
+  }
+
+  test("wasserstein1OneVsRest: unit shift gives W1 = 1, identical gives 0") {
+    val shifted = Seq(("g1", 1), ("g1", 2), ("g2", 2), ("g2", 3)).toDF("g", "v")
+    Drift.wasserstein1OneVsRest(shifted, "g", "v").collect()
+      .foreach(row => assert(math.abs(row.getDouble(2) - 1.0) < 1e-9))
+    val same = Seq(("a", 1), ("a", 5), ("b", 1), ("b", 5)).toDF("g", "v")
+    Drift.wasserstein1OneVsRest(same, "g", "v").collect()
+      .foreach(row => assert(row.getDouble(2) == 0.0))
+  }
+
+  test("wasserstein1OneVsRest: respects uneven support gaps (dx weighting)") {
+    // g1 = {0}, g2 = {10}: single gap of 10 with CDF gap 1 -> W1 = 10
+    val df = Seq(("g1", 0), ("g2", 10)).toDF("g", "v")
+    Drift.wasserstein1OneVsRest(df, "g", "v").collect()
+      .foreach(row => assert(math.abs(row.getDouble(2) - 10.0) < 1e-9))
+  }
+
   // ------------------------------------------------------------- Mann–Whitney
 
   test("mannWhitneyOneVsRest: hand-computed U without ties") {
