@@ -177,6 +177,53 @@ class DriftSpec extends SparkTestBase {
     assert(row.isNullAt(2) && row.isNullAt(3))
   }
 
+  test("random samples: KS, W1 and U match brute-force references") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def sample[A](g: Gen[A], seed: Long): A =
+      g.apply(Gen.Parameters.default, Seed(seed)).get
+    val gen: Gen[List[(String, Int)]] = for {
+      n <- Gen.choose(10, 80)
+      rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("g1", "g2", "g3"),
+        Gen.choose(0, 12)))
+    } yield rows
+
+    // brute-force references over raw samples, one group vs rest
+    def refStats(rows: Seq[(String, Int)], g: String): (Double, Double, Double) = {
+      val mine = rows.filter(_._1 == g).map(_._2).sorted
+      val rest = rows.filter(_._1 != g).map(_._2).sorted
+      val support = rows.map(_._2).distinct.sorted
+      def cdf(s: Seq[Int], x: Int) = s.count(_ <= x).toDouble / s.size
+      val ks = support.map(x => math.abs(cdf(mine, x) - cdf(rest, x))).max
+      val w1 = support.zip(support.tail).map { case (x, nx) =>
+        math.abs(cdf(mine, x) - cdf(rest, x)) * (nx - x)
+      }.sum
+      // U via pairwise comparison (the textbook definition)
+      val u = mine.map(a => rest.map(b =>
+        if (a > b) 1.0 else if (a == b) 0.5 else 0.0).sum).sum
+      (ks, w1, u)
+    }
+
+    (1L to 8L).foreach { seed =>
+      val rows = sample(gen, seed)
+      // every group needs at least one row and the pool 2+ distinct values
+      val groups = rows.map(_._1).distinct
+      val df = rows.toDF("g", "v")
+      val ks = Drift.ksOneVsRest(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val w1 = Drift.wasserstein1OneVsRest(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      val mwu = Drift.mannWhitneyOneVsRest(df, "g", "v").collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      groups.foreach { g =>
+        val (rks, rw1, ru) = refStats(rows, g)
+        assert(math.abs(ks(g) - rks) < 1e-6, s"seed=$seed g=$g ks")
+        assert(math.abs(w1(g) - rw1) < 1e-6, s"seed=$seed g=$g w1")
+        assert(math.abs(mwu(g) - ru) < 1e-6, s"seed=$seed g=$g u")
+      }
+    }
+  }
+
   test("ks and dependence plans aggregate before the metric math") {
     // the shuffle input must be the (group, value) count, not raw rows:
     // no raw-row window partitions — check the KS window reads an Aggregate.
