@@ -1,0 +1,88 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sequential change detection over grouped time series — the monitoring gate
+  * a pipeline runs on per-feed daily volume before a corpus drop: "did this
+  * feed's level shift upward, and when?".
+  *
+  * One-sided CUSUM (Page 1954): standardize each group's series to z-scores,
+  * then fold `s_t = max(0, s_{t-1} + z_t − k)`; an alarm fires while
+  * `s_t > h`. The fold is a genuine nonlinear recursion — not expressible as
+  * a window function — so it runs per group over the PRE-AGGREGATED series.
+  *
+  * Scale shape (100 TB): raw rows cross the shuffle once, as map-side-combined
+  * DECIMAL partial sums keyed by (group, day); the recursive fold then runs on
+  * |groups| × |days| aggregate rows via `flatMapGroups`, each group's state a
+  * single double. Group moments use exact DECIMAL sums (order-independent),
+  * and the per-day fold is sequential by construction — bit-identical across
+  * partitionings, so the DuckDB recursive-CTE oracle reproduces it exactly.
+  */
+object ChangeDetect {
+
+  /** Per-group one-sided CUSUM over a (groupCol, dayCol, valueDec) daily
+    * aggregate. `df` must already be one row per (group, day) with `value` a
+    * DECIMAL column (exact); returns one row per group:
+    * (group, n_days, max_s, peak_day, n_alarms).
+    */
+  def cusum(df: DataFrame, groupCol: String, dayCol: String,
+            valueCol: String, k: Double, h: Double): DataFrame = {
+    val spark = df.sparkSession
+    val moments = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol)).as("__s"),
+        sum(col(valueCol) * col(valueCol)).as("__s2"))
+      .select(col(groupCol),
+        (col("__s").cast("double") / col("__n")).as("__mean"),
+        sqrt(greatest(
+          col("__s2").cast("double") / col("__n") -
+            (col("__s").cast("double") / col("__n")) *
+            (col("__s").cast("double") / col("__n")),
+          lit(0.0))).as("__sd"))
+
+    val z = df.join(moments, groupCol)
+      .select(col(groupCol).as("g"), col(dayCol).cast("date").as("d"),
+        ((col(valueCol).cast("double") - col("__mean")) /
+          when(col("__sd") > 0.0, col("__sd")).otherwise(lit(1.0))).as("z"))
+
+    val schema = StructType(Seq(
+      StructField("g", z.schema("g").dataType),
+      StructField("n_days", LongType, nullable = false),
+      StructField("max_s", DoubleType, nullable = false),
+      StructField("peak_day", DateType),
+      StructField("n_alarms", LongType, nullable = false)))
+    implicit val enc = org.apache.spark.sql.Encoders.row(schema)
+
+    z.repartition(col("g"))
+      .sortWithinPartitions(col("g"), col("d"))
+      .mapPartitions { it =>
+        // rows arrive clustered by group, ordered by day within each group
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var g: Any = null
+        var started = false
+        var s = 0.0; var maxS = 0.0; var peak: java.sql.Date = null
+        var n = 0L; var alarms = 0L
+        def flush(): Unit = if (started) {
+          out += Row(g, n, maxS, peak, alarms)
+        }
+        it.foreach { r =>
+          val rg = r.get(0)
+          if (!started || rg != g) {
+            flush(); g = rg; started = true
+            s = 0.0; maxS = 0.0; peak = null; n = 0L; alarms = 0L
+          }
+          // left-assoc (s + z) - k matches the oracle's `s + z - k` exactly
+          s = math.max(0.0, s + r.getDouble(2) - k)
+          n += 1
+          if (s > maxS) { maxS = s; peak = r.getDate(1) }
+          if (s > h) alarms += 1
+        }
+        flush()
+        out.iterator
+      }(enc)
+      .toDF(groupCol, "n_days", "max_s", "peak_day", "n_alarms")
+  }
+}
