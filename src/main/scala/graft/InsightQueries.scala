@@ -52,7 +52,7 @@ object InsightQueries {
       |  FROM c GROUP BY 1),
       |na AS (SELECT "user", COUNT(*) AS n_actual FROM a GROUP BY 1),
       |fin AS (SELECT na."user", na.n_actual,
-      |    COALESCE(t.n_hits_at_k, 0) AS n_hits_at_k,
+      |    CAST(COALESCE(t.n_hits_at_k, 0) AS BIGINT) AS n_hits_at_k,
       |    CAST(COALESCE(t.ap_num, 0) AS BIGINT) AS s,
       |    2520 * LEAST(10, na.n_actual) AS d
       |  FROM na LEFT JOIN t ON na."user" = t."user")
@@ -920,7 +920,7 @@ object InsightQueries {
       |      * LN(c.n / CAST(t.tot AS DOUBLE)) / 0.6931471805599453
       |      AS DECIMAL(18,8)) AS term
       |  FROM c JOIN t ON c.user_id = t.user_id)
-      |SELECT user_id, MAX(tot) AS n_events, MAX(n_types) AS n_types,
+      |SELECT user_id, CAST(MAX(tot) AS BIGINT) AS n_events, MAX(n_types) AS n_types,
       |  CAST(ROUND(SUM(term), 6) AS DOUBLE) AS entropy_bits
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 

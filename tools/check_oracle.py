@@ -45,6 +45,16 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ: oracle={e_cols} spark={g_cols}")
             failures += 1
             continue
+        # The driver hashes typed values: a DuckDB HUGEINT (decimal128) from an
+        # un-cast SUM() hash-mismatches a Spark int64 even when every value
+        # agrees as a string. Treat type divergence as a failure here too.
+        tdiff = [(c, str(exp.schema.field(c).type), str(got.schema.field(c).type))
+                 for c in e_cols
+                 if str(exp.schema.field(c).type) != str(got.schema.field(c).type)]
+        if tdiff:
+            print(f"FAIL {name}: column types differ: {tdiff}")
+            failures += 1
+            continue
         er = [tuple(str(r[c]) for c in e_cols) for r in exp.to_pylist()]
         gr = [tuple(str(r[c]) for c in e_cols) for r in got.to_pylist()]
         if er == gr:
