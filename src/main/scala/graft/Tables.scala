@@ -2,12 +2,24 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the driver-generated parquet tables (TESTDATA.md). */
 object Tables {
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Driver-generated parquet stores timestamps as
+    * `Timestamp(isAdjustedToUTC=false)`, which Spark 4 infers as
+    * TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled` default) —
+    * a type `unix_timestamp`/`unix_millis`/window functions reject. Every
+    * harness session pins the session timezone to UTC, so casting NTZ →
+    * TIMESTAMP reinterprets the wall clock as the same UTC instant the
+    * oracle (DuckDB reads the column as naive TIMESTAMP) computes with.
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(raw) {
+      (df, f) => df.withColumn(f.name, col(f.name).cast("timestamp"))
+    }
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")

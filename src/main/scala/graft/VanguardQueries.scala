@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Experiment, Mmr, Series, TextStats}
+
+/** Round-7 batch: MMR shortlist diversification (the serving-side rerank every
+  * retrieval stack runs after ANN), sample autocorrelation (the seasonality
+  * probe behind forecasting-baseline choices), per-group ROC AUC via exact
+  * rank sums (distributed model eval), and Flesch-Kincaid readability signals
+  * (corpus quality gating). Registered into [[SparkEntry]]; every entry has a
+  * DuckDB oracle with matching column names/types, 6-decimal rounding on
+  * floating-point outputs and a deterministic ORDER BY.
+  */
+object VanguardQueries {
+
+  // --------------------------------------------------------------------------
+  // MMR rerank
+  // --------------------------------------------------------------------------
+
+  /** MMR(λ=0.5) selection of 5 from the cosine top-20 shortlist for vec 0. */
+  def qMmrRerank(spark: SparkSession, dir: String): DataFrame =
+    Mmr.rerank(Tables.embeddings(spark, dir), "vec_id", "embedding",
+      queryId = 0L, candidates = 20, k = 5, lambda = 0.5)
+
+  /** Index-ordered float→double cosine between two DuckDB list columns —
+    * bit-identical to [[graft.ext.SimSearch.dot]]/norm (the q_simsearch_topk
+    * precedent).
+    */
+  private def cosSql(a: String, b: String): String = {
+    def dotSql(x: String, y: String): String =
+      "list_sum(list_transform(generate_series(1, 64), " +
+        s"i -> $x[i]::DOUBLE * $y[i]::DOUBLE))"
+    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  }
+
+  /** Unrolled greedy MMR — each step i: max-sim of every remaining candidate
+    * against the i−1 selected, argmax of `0.5·rel − 0.5·maxsim` with id
+    * tiebreak, identical to the Spark loop in [[graft.ext.Mmr.rerank]].
+    */
+  val mmrRerankSql: String = {
+    val k = 5
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      s"""ms$i AS (SELECT c.vec_id, c.embedding, c.rel,
+         |    MAX(${cosSql("c.embedding", "s.embedding")}) AS maxsim
+         |  FROM cand c CROSS JOIN sel$prev s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel$prev)
+         |  GROUP BY c.vec_id, c.embedding, c.rel),
+         |s$i AS (SELECT $i AS rnk, vec_id, embedding, rel,
+         |    0.5 * rel - 0.5 * maxsim AS score
+         |  FROM ms$i ORDER BY score DESC, vec_id LIMIT 1),
+         |sel$i AS (SELECT vec_id, embedding FROM sel$prev
+         |  UNION ALL SELECT vec_id, embedding FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to k).map(i => s"SELECT rnk, vec_id, rel, score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT e.vec_id, e.embedding,
+       |    ${cosSql("e.embedding", "q.qe")} AS rel
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id LIMIT 20),
+       |s1 AS (SELECT 1 AS rnk, vec_id, embedding, rel,
+       |    0.5 * rel - 0.5 * 0.0 AS score
+       |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, embedding FROM s1),
+       |$steps
+       |SELECT rnk, vec_id, ROUND(rel, 6) AS relevance,
+       |  ROUND(score, 6) AS mmr_score
+       |FROM ($unionAll) ORDER BY rnk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Autocorrelation of daily revenue
+  // --------------------------------------------------------------------------
+
+  /** ACF(lags 1..10) of the daily order-revenue series. */
+  def qAcf(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(AnalyticsQueries.dec(col("o_totalprice"))).as("x"))
+    Series.acf(d, "day", "x", maxLag = 10)
+  }
+
+  val acfSql: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS x
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT unnest(generate_series(1, 10)) AS lag),
+      |s AS (SELECT l.lag, d.day + CAST(l.lag AS INTEGER) AS tday, d.x AS xs
+      |  FROM d CROSS JOIN l),
+      |p AS (SELECT s.lag, t.x AS y, s.xs AS x FROM d t JOIN s ON t.day = s.tday),
+      |m AS (SELECT lag, COUNT(*) AS n_pairs,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+      |FROM m ORDER BY lag""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Per-brand ROC AUC (does discount depth predict returns?)
+  // --------------------------------------------------------------------------
+
+  def qBrandAuc(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"), col("l_discount").as("score"),
+        (col("l_returnflag") === "R").cast("int").as("label"))
+    Experiment.rankAuc(j, "brand", "score", "label")
+  }
+
+  val brandAucSql: String =
+    """WITH j AS (SELECT p_brand AS brand, l_discount AS score,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |t AS (SELECT brand, score, COUNT(*) AS cnt,
+      |    CAST(SUM(label) AS BIGINT) AS pos
+      |  FROM j GROUP BY 1, 2),
+      |r AS (SELECT brand, cnt, pos,
+      |    2 * (SUM(cnt) OVER (PARTITION BY brand ORDER BY score) - cnt)
+      |      + cnt + 1 AS r2
+      |  FROM t),
+      |a AS (SELECT brand, CAST(SUM(pos) AS BIGINT) AS n_pos,
+      |    CAST(SUM(cnt - pos) AS BIGINT) AS n_neg,
+      |    SUM(pos * r2) AS pr2
+      |  FROM r GROUP BY 1)
+      |SELECT brand, n_pos, n_neg,
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+      |    ELSE ROUND(CAST(pr2 - n_pos * (n_pos + 1) AS DOUBLE)
+      |      / (2.0 * n_pos * n_neg), 6) END AS auc
+      |FROM a ORDER BY brand""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // BH-FDR brand scan: which brands have significantly deviant return rates?
+  // --------------------------------------------------------------------------
+
+  def qBhFdr(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (col("l_returnflag") === "R").cast("int").as("ret"))
+    Experiment.bhFdr(j, "brand", "ret", alpha = 0.05)
+  }
+
+  val bhFdrSql: String =
+    """WITH j AS (SELECT p_brand AS brand,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |g AS (SELECT brand, COUNT(*) AS n, CAST(SUM(ret) AS BIGINT) AS pos
+      |  FROM j GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(pos) AS BIGINT) AS pp,
+      |    COUNT(*) AS m FROM g),
+      |sc AS (SELECT brand, n, pos, m,
+      |    ROUND(CAST(pos AS DOUBLE) / n, 6) AS rate,
+      |    ROUND((CAST(pos AS DOUBLE) / n - CAST(pp - pos AS DOUBLE) / (nn - n)) /
+      |      sqrt((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) *
+      |        (1.0 / n + 1.0 / (nn - n))), 6) AS z,
+      |    abs((CAST(pos AS DOUBLE) / n - CAST(pp - pos AS DOUBLE) / (nn - n)) /
+      |      sqrt((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) *
+      |        (1.0 / n + 1.0 / (nn - n)))) / sqrt(2.0) AS x
+      |  FROM g CROSS JOIN tot),
+      |pv AS (SELECT brand, n, pos, m, rate, z,
+      |    ROUND((1.0 / (1.0 + 0.3275911 * x)) * (0.254829592
+      |      + (1.0 / (1.0 + 0.3275911 * x)) * (-0.284496736
+      |      + (1.0 / (1.0 + 0.3275911 * x)) * (1.421413741
+      |      + (1.0 / (1.0 + 0.3275911 * x)) * (-1.453152027
+      |      + (1.0 / (1.0 + 0.3275911 * x)) * 1.061405429))))
+      |      * exp(-(x * x)), 6) AS p_value
+      |  FROM sc),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, brand) AS bh_rank
+      |  FROM pv),
+      |fr AS (SELECT *, MAX(CASE WHEN p_value <= CAST(bh_rank AS DOUBLE)
+      |      * 0.05 / m THEN bh_rank END) OVER () AS sig_rank
+      |  FROM rk)
+      |SELECT brand, n, pos, rate, z, p_value, bh_rank,
+      |  bh_rank <= COALESCE(sig_rank, 0) AS significant
+      |FROM fr ORDER BY bh_rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Readability
+  // --------------------------------------------------------------------------
+
+  def qReadability(spark: SparkSession, dir: String): DataFrame =
+    TextStats.readabilityDF(Tables.documents(spark, dir), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val readabilitySql: String =
+    """WITH c AS (SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z]+')) AS n_words,
+      |    GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+      |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+      |  FROM documents)
+      |SELECT doc_id, n_words, n_sentences, n_syllables,
+      |  CASE WHEN n_words = 0 THEN NULL
+      |    ELSE ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+      |      + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 6)
+      |  END AS fk_grade
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Registration
+  // --------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mmr_rerank" -> (qMmrRerank _),
+    "q_acf" -> (qAcf _),
+    "q_brand_auc" -> (qBrandAuc _),
+    "q_bh_fdr" -> (qBhFdr _),
+    "q_readability" -> (qReadability _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_mmr_rerank" -> mmrRerankSql,
+    "q_acf" -> acfSql,
+    "q_brand_auc" -> brandAucSql,
+    "q_bh_fdr" -> bhFdrSql,
+    "q_readability" -> readabilitySql)
+}

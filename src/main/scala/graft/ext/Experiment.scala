@@ -54,6 +54,105 @@ object Experiment {
         (col("k") - 1).as("dof"))
   }
 
+  /** Per-group ROC AUC of a numeric score against a binary label via the
+    * rank-sum (Mann-Whitney U) identity — the distributed model-eval readout:
+    * AUC = (Σ_pos rank − n₁(n₁+1)/2) / (n₁·n₀), with midranks for ties.
+    *
+    * Everything stays EXACT INTEGER until the final division: tie groups are
+    * the (group, score) hash aggregate (map-side combined), the midrank is
+    * carried doubled (`2·cum_before + cnt + 1`, always integral) through a
+    * per-group running-sum window, and AUC = (Σ pos·2rank − n₁(n₁+1)) /
+    * (2·n₁·n₀). No per-row global sort: the window orders only the DISTINCT
+    * scores within each group, so the shuffle is (groups × distinct scores),
+    * not the input row count. Groups with no positives or no negatives yield
+    * null (AUC undefined).
+    */
+  def rankAuc(df: DataFrame, groupCol: String, scoreCol: String,
+              labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ties = df.groupBy(col(groupCol), col(scoreCol))
+      .agg(count(lit(1)).as("cnt"), sum(col(labelCol).cast("long")).as("pos"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(scoreCol))
+    val ranked = ties
+      .withColumn("r2",
+        lit(2L) * (sum(col("cnt")).over(w) - col("cnt")) + col("cnt") + lit(1L))
+    ranked.groupBy(col(groupCol))
+      .agg(sum(col("pos")).as("n_pos"),
+        sum(col("cnt") - col("pos")).as("n_neg"),
+        sum(col("pos") * col("r2")).as("pr2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(null))
+          .otherwise(round((col("pr2") - col("n_pos") * (col("n_pos") + lit(1L)))
+              .cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))
+      .orderBy(col(groupCol))
+  }
+
+  /** Benjamini-Hochberg FDR control over per-group one-vs-rest two-proportion
+    * z-tests — the multiple-comparisons gate for "which segments have a
+    * significantly elevated rate" scans (m segments tested simultaneously
+    * inflate false positives; BH bounds the false-discovery rate at α).
+    *
+    * Per group: z = (p_g − p_rest) / sqrt(p̂(1−p̂)(1/n_g + 1/n_rest)) from
+    * EXACT integer counts (one hash aggregate + a broadcast 1-row total);
+    * two-sided p via the Abramowitz-Stegun 7.1.26 erfc polynomial (max error
+    * 1.5e-7 — far below decision granularity). BH: sort p ascending, reject
+    * every rank ≤ the largest i with p_(i) ≤ i·α/m. The rejection frontier
+    * and the flag both use ROUND(p, 6) so the decision is identical in any
+    * engine computing the same formula (a sub-ulp exp() divergence cannot
+    * flip a 6-decimal comparison away from a boundary).
+    *
+    * The window runs over m GROUP rows, not input rows — groups are
+    * dimension-bounded, so the global sort is trivially small at any scale.
+    */
+  def bhFdr(df: DataFrame, groupCol: String, flagCol: String,
+            alpha: Double = 0.05): DataFrame =
+    bhFdrFromCounts(
+      df.groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"), sum(col(flagCol).cast("long")).as("pos")),
+      groupCol, alpha)
+
+  /** The frontier math of [[bhFdr]] over an already-aggregated counts table
+    * (groupCol, n, pos) — shared with the streaming twin, whose stateful
+    * aggregate maintains exactly these counts and re-ranks the snapshot per
+    * trigger in `foreachBatch`.
+    */
+  def bhFdrFromCounts(counts: DataFrame, groupCol: String,
+                      alpha: Double = 0.05): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = counts.localCheckpoint(eager = true)
+    val tot = g.agg(sum(col("n")).as("nn"), sum(col("pos")).as("pp"),
+      count(lit(1)).as("m"))
+    val withTot = g.crossJoin(broadcast(tot))
+    val pg = col("pos").cast("double") / col("n")
+    val pr = (col("pp") - col("pos")).cast("double") / (col("nn") - col("n"))
+    val phat = col("pp").cast("double") / col("nn")
+    val z = (pg - pr) / sqrt(phat * (lit(1.0) - phat) *
+      (lit(1.0) / col("n") + lit(1.0) / (col("nn") - col("n"))))
+    // A&S 7.1.26: erfc(x) = t·(a1 + t·(a2 + t·(a3 + t·(a4 + t·a5))))·e^(−x²)
+    val x = abs(z) / lit(math.sqrt(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
+      t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
+    val pTwo = poly * exp(-(x * x))
+    val scored = withTot.select(col(groupCol), col("n"), col("pos"),
+      round(pg, 6).as("rate"), round(z, 6).as("z"),
+      round(pTwo, 6).as("p_value"), col("m"))
+    val wRank = Window.orderBy(col("p_value"), col(groupCol))
+    val wAll = Window.partitionBy()
+    scored
+      .withColumn("bh_rank", row_number().over(wRank))
+      .withColumn("__thr",
+        col("bh_rank").cast("double") * lit(alpha) / col("m"))
+      .withColumn("__hit", when(col("p_value") <= col("__thr"), col("bh_rank")))
+      .withColumn("significant",
+        col("bh_rank") <= coalesce(max(col("__hit")).over(wAll), lit(0)))
+      .select(col(groupCol), col("n"), col("pos"), col("rate"), col("z"),
+        col("p_value"), col("bh_rank").cast("long").as("bh_rank"),
+        col("significant"))
+      .orderBy(col("bh_rank"))
+  }
+
   def cuped(units: DataFrame, armCol: String, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("decimal(18,4)")
     val y = col(yCol).cast("decimal(18,4)")

@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Time-series diagnostics over aggregated day-grain series.
+  *
+  * The input series is the OUTPUT of a distributed aggregation (e.g. daily
+  * revenue): even at 100 TB of raw events the day grain is a few thousand
+  * rows, so the lag joins here are deliberately small — the scale-bearing
+  * work happened in the upstream groupBy, which map-side combines.
+  */
+object Series {
+
+  /** Sample autocorrelation of a (day, x) series at lags 1..maxLag, Pearson
+    * over the aligned pairs (x_t, x_{t−lag}) — the seasonality probe run
+    * before picking a forecasting baseline (a weekly cycle shows as a peak
+    * at lag 7).
+    *
+    * The lag alignment is an EQUI-join: the lagged side explodes each row
+    * into (lag, day+lag) keys, so Catalyst plans a hash join rather than the
+    * O(n²) nested-loop a `datediff BETWEEN 1 AND maxLag` theta-join would
+    * give. Per-lag moment sums (n, Σx, Σy, Σxy, Σx², Σy²) accumulate in
+    * DECIMAL — exact under any partition order — and the correlation is one
+    * double formula over the exact aggregates:
+    * r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − (Σx)²) · (n·Σy² − (Σy)²)),
+    * evaluated in the same operation order as the DuckDB oracle so results
+    * hash-match bit-for-bit.
+    *
+    * `x` must already be DECIMAL(18,2) (caller casts) so products stay
+    * exactly representable: (18,2)×(18,2) → (37,4), summed at (38,4).
+    */
+  def acf(series: DataFrame, dayCol: String, xCol: String,
+          maxLag: Int): DataFrame = {
+    val d = series.select(col(dayCol).as("__day"),
+      col(xCol).cast("decimal(18,2)").as("__x"))
+    val lagged = d.select(
+        explode(sequence(lit(1), lit(maxLag))).as("lag"),
+        col("__day"), col("__x"))
+      .select(col("lag"), date_add(col("__day"), col("lag")).as("__tday"),
+        col("__x").as("__xs"))
+    val pairs = d.join(lagged, col("__day") === col("__tday"))
+      .select(col("lag"), col("__x").as("y"), col("__xs").as("x"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    def dbl(c: Column): Column = c.cast("double")
+    val n = dbl(col("n_pairs"))
+    val num = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = sqrt((n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+      (n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))))
+    // lag as BIGINT: the oracle's generate_series unnests to int64, and the
+    // driver's hash compare is typed
+    // degenerate lags (zero variance on either side) yield null, not a
+    // divide-by-zero (ANSI mode throws on a plain x/0)
+    m.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(num / when(den === 0.0, lit(null)).otherwise(den), 6).as("acf"))
+      .orderBy(col("lag"))
+  }
+}

@@ -24,6 +24,34 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** Flesch-Kincaid-style readability signals per document — the grade-level
+    * quality gate a corpus-curation pipeline scores alongside the Gopher
+    * signals. Words are lowercase letter runs, sentences are `[.!?]+` runs
+    * (floored at 1 so headline-only docs don't divide by zero), and syllables
+    * use the standard vowel-group approximation (`[aeiouy]+` runs). Grade =
+    * 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    *
+    * Pure scan-side codegen expressions — zero shuffles, scan-bandwidth-bound
+    * at any corpus size; the double formula runs in the same operation order
+    * as the DuckDB oracle.
+    */
+  def readabilityDF(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    df.select(col(idCol),
+        size(regexp_extract_all(t, lit("[a-z]+"), lit(0))).cast("long")
+          .as("n_words"),
+        greatest(size(regexp_extract_all(col(textCol), lit("[.!?]+"), lit(0))),
+          lit(1)).cast("long").as("n_sentences"),
+        size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))).cast("long")
+          .as("n_syllables"))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0, lit(null))
+          .otherwise(round(
+            lit(0.39) * (col("n_words").cast("double") / col("n_sentences")) +
+              lit(11.8) * (col("n_syllables").cast("double") / col("n_words")) -
+              lit(15.59), 6)))
+  }
+
   /** TF-IDF top-k terms per document: tf from the per-doc term counts, smoothed
     * idf `ln((N+1)/(df+1))`, rank-1..k window per doc (descending score, ties by
     * term). Three shuffles — (doc,term) counts, term document frequencies, the

@@ -800,6 +800,29 @@ object StreamingOps {
         round(term(i), 6).as("psi_term"))): _*).as("bins"))
   }
 
+  /** Streaming BH-FDR segment scan — the incremental twin of
+    * [[graft.ext.Experiment.bhFdr]]. The streaming side maintains ONLY the
+    * per-group (n, pos) counts (O(groups) state, map-side partial like any
+    * stateful aggregate); the z/p/rejection-frontier math is a SNAPSHOT
+    * readout over m group rows, so it runs per trigger in `foreachBatch` via
+    * [[graft.ext.Experiment.bhFdrFromCounts]] — the psiDriftStream division
+    * of labor (stream accumulates sufficient statistics, the bounded readout
+    * re-derives the metric exactly).
+    *
+    * Run with `outputMode("complete")`:
+    * {{{
+    * bhFdrCountsStream(events, "brand", "ret").writeStream
+    *   .outputMode("complete")
+    *   .foreachBatch { (counts: DataFrame, _: Long) =>
+    *     Experiment.bhFdrFromCounts(counts, "brand").write...
+    *   }.start()
+    * }}}
+    */
+  def bhFdrCountsStream(stream: DataFrame, groupCol: String,
+                        flagCol: String): DataFrame =
+    stream.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(flagCol).cast("long")).as("pos"))
+
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
     import items.sparkSession.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(capacity)

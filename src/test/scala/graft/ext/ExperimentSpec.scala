@@ -64,6 +64,90 @@ class ExperimentSpec extends SparkTestBase {
     assert(r.forall(_.getDouble(3) == 0.0))
   }
 
+  test("rankAuc: perfect separation gives 1, reversed gives 0") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 0), ("g", 2.0, 0), ("g", 3.0, 1), ("g", 4.0, 1),
+      ("h", 1.0, 1), ("h", 2.0, 1), ("h", 3.0, 0), ("h", 4.0, 0))
+      .toDF("grp", "score", "label")
+    val out = Experiment.rankAuc(df, "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(out("g") == 1.0 && out("h") == 0.0)
+  }
+
+  test("rankAuc: all-tied scores give exactly 0.5 via midranks") {
+    import spark.implicits._
+    val df = Seq(("g", 7.0, 1), ("g", 7.0, 0), ("g", 7.0, 1), ("g", 7.0, 0))
+      .toDF("grp", "score", "label")
+    val r = Experiment.rankAuc(df, "grp", "score", "label").collect().head
+    assert(r.getLong(1) == 2L && r.getLong(2) == 2L && r.getDouble(3) == 0.5)
+  }
+
+  test("rankAuc: hand-computed mixed case and single-class null") {
+    import spark.implicits._
+    // scores 1,2,3 labels 1,0,1: pos ranks 1+3 = 4, U = 4-3 = 1, AUC = 1/2
+    val df = Seq(("g", 1.0, 1), ("g", 2.0, 0), ("g", 3.0, 1),
+      ("p", 1.0, 1), ("p", 2.0, 1)).toDF("grp", "score", "label")
+    val out = Experiment.rankAuc(df, "grp", "score", "label").collect()
+    val g = out.find(_.getString(0) == "g").get
+    assert(g.getDouble(3) == 0.5)
+    assert(out.find(_.getString(0) == "p").get.isNullAt(3))
+  }
+
+  test("rankAuc: window orders distinct scores, not raw rows") {
+    import spark.implicits._
+    val df = Seq(("g", 1.0, 0), ("g", 1.0, 1)).toDF("grp", "score", "label")
+    val plan = Experiment.rankAuc(df, "grp", "score", "label")
+      .queryExecution.optimizedPlan.toString
+    // the tie-group aggregate sits BELOW the window: the per-row input never
+    // reaches the sort
+    val winIdx = plan.indexOf("Window")
+    val aggBelow = plan.indexOf("Aggregate", winIdx)
+    assert(winIdx >= 0 && aggBelow > winIdx)
+  }
+
+  test("bhFdr: one extreme group is rejected, null groups are not") {
+    import spark.implicits._
+    // A: 90/100 vs pooled ~0.58 → |z| ≈ 7, p ≈ 0; B..E at the pooled rate
+    val rows = (1 to 100).map(i => ("A", if (i <= 90) 1 else 0)) ++
+      Seq("B", "C", "D", "E").flatMap(g =>
+        (1 to 100).map(i => (g, if (i <= 50) 1 else 0)))
+    val out = Experiment.bhFdr(rows.toDF("grp", "flag"), "grp", "flag")
+      .collect()
+    val byGrp = out.map(r => r.getString(0) ->
+      (r.getDouble(5), r.getBoolean(7))).toMap
+    assert(byGrp("A")._1 < 1e-6 && byGrp("A")._2)
+    assert(Seq("B", "C", "D", "E").forall(!byGrp(_)._2))
+    // BH frontier is monotone: significance is a prefix of the p-ranking
+    val flags = out.sortBy(_.getLong(6)).map(_.getBoolean(7))
+    assert(!flags.dropWhile(identity).contains(true))
+  }
+
+  test("bhFdr: erfc approximation hits known normal quantiles") {
+    import spark.implicits._
+    // 60/100 vs three 50/100 groups: z_A ≈ 1.734 → two-sided p ≈ 0.083
+    val rows = (1 to 100).map(i => ("A", if (i <= 60) 1 else 0)) ++
+      Seq("B", "C", "D").flatMap(g =>
+        (1 to 100).map(i => (g, if (i <= 50) 1 else 0)))
+    val out = Experiment.bhFdr(rows.toDF("grp", "flag"), "grp", "flag")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("A")
+    val z = a.getDouble(4)
+    // exact two-proportion z: (0.6 - 0.5) / sqrt(0.525·0.475·(1/100 + 1/300))
+    val zExp = 0.1 / math.sqrt(0.525 * 0.475 * (1.0 / 100 + 1.0 / 300))
+    assert(approx(z, zExp, 1e-4))
+    // the engine must reproduce the A&S 7.1.26 polynomial exactly (the
+    // oracle depends on it); the polynomial itself is within 1.5e-7 of erfc
+    val p = a.getDouble(5)
+    val pExact = {
+      val x = math.abs(zExp) / math.sqrt(2.0)
+      val t = 1.0 / (1.0 + 0.3275911 * x)
+      val poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 +
+        t * (-1.453152027 + t * 1.061405429))))
+      poly * math.exp(-x * x)
+    }
+    assert(approx(p, pExact, 1e-5))
+  }
+
   test("cuped: plan is two aggregates, no window, no raw-row second pass") {
     val df = Seq(("A", 1.0, 2.0), ("B", 3.0, 4.0)).toDF("arm", "x", "y")
     val plan = Experiment.cuped(df, "arm", "x", "y")

@@ -1,0 +1,32 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SeriesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("acf: alternating series is exactly -1 at lag 1 and +1 at lag 2") {
+    // x alternates 10, 20: lag-1 pairs lie on y = 30 - x (r = -1 exactly),
+    // lag-2 pairs on y = x (r = +1 exactly) — both exact in the moment math
+    val d = (0 until 10).map { i =>
+      (f"2024-01-${i + 1}%02d", if (i % 2 == 0) 10.0 else 20.0)
+    }.toDF("ds", "x").select(to_date(col("ds")).as("day"), col("x"))
+    val out = Series.acf(d, "day", "x", maxLag = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 9 && approx(out(1L)._2, -1.0, 1e-12))
+    assert(out(2L)._1 == 8 && approx(out(2L)._2, 1.0, 1e-12))
+    assert(approx(out(3L)._2, -1.0, 1e-12))
+  }
+
+  test("acf: gaps align by calendar day, not row order") {
+    // days 1,2,4: lag 1 aligns only (2,1); lag 2 aligns only (4,2);
+    // lag 3 aligns only (4,1) — single pairs have zero variance → null acf
+    val d = Seq(("2024-01-01", 1.0), ("2024-01-02", 2.0), ("2024-01-04", 4.0))
+      .toDF("ds", "x").select(to_date(col("ds")).as("day"), col("x"))
+    val out = Series.acf(d, "day", "x", maxLag = 3).collect()
+    assert(out.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    assert(out.forall(_.isNullAt(2)))
+  }
+}

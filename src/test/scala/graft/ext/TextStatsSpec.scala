@@ -204,4 +204,24 @@ class TextStatsSpec extends SparkTestBase {
       Seq("join", "hash")).collect()
     assert(out.isEmpty)
   }
+
+  test("readability: golden Flesch-Kincaid on a hand-counted doc") {
+    import spark.implicits._
+    // words [the cat sat the dog ran] = 6, sentences ('.', '!') = 2,
+    // vowel groups e/a/a/e/o/a = 6 → 0.39*3 + 11.8*1 - 15.59 = -2.62
+    val docs = Seq((1L, "The cat sat. The dog ran!")).toDF("doc_id", "text")
+    val r = TextStats.readabilityDF(docs, "doc_id", "text").collect().head
+    assert(r.getLong(1) == 6L && r.getLong(2) == 2L && r.getLong(3) == 6L)
+    assert(approx(r.getDouble(4), -2.62, 1e-9))
+  }
+
+  test("readability: no sentence marks floors at 1; no words gives null grade") {
+    import spark.implicits._
+    val docs = Seq((1L, "beautiful prose without punctuation"),
+      (2L, "!!! ???")).toDF("doc_id", "text")
+    val out = TextStats.readabilityDF(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(2) == 1L)            // floored sentence count
+    assert(out(1).getLong(1) == 0L && out(1).isNullAt(4))
+  }
 }

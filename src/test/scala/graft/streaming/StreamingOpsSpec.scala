@@ -580,4 +580,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(!snap.getDouble(2).isNaN && !snap.getDouble(2).isInfinite)
     assert(snap.getSeq[org.apache.spark.sql.Row](3).length == 10)
   }
+
+  test("bhFdrCountsStream + bhFdrFromCounts matches batch bhFdr per trigger") {
+    implicit val sc = spark.sqlContext
+    // group A runs hot (80% flags), B..D at 50% — arriving over 3 batches
+    val rows = (1 to 100).map(i => ("A", if (i % 5 != 0) 1 else 0)) ++
+      Seq("B", "C", "D").flatMap(g => (1 to 100).map(i => (g, i % 2)))
+    val shuffled = new scala.util.Random(7).shuffle(rows)
+
+    val input = MemoryStream[(String, Int)]
+    val query = StreamingOps
+      .bhFdrCountsStream(input.toDF().toDF("grp", "flag"), "grp", "flag")
+      .writeStream.format("memory").queryName("bh_counts")
+      .outputMode("complete").start()
+
+    var seen = Seq.empty[(String, Int)]
+    shuffled.grouped(150).foreach { chunk =>
+      input.addData(chunk: _*)
+      query.processAllAvailable()
+      seen = seen ++ chunk
+      // snapshot frontier == batch bhFdr over exactly the rows seen so far
+      val streamed = graft.ext.Experiment
+        .bhFdrFromCounts(spark.table("bh_counts"), "grp")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(5), r.getLong(6), r.getBoolean(7)))
+      val batch = graft.ext.Experiment
+        .bhFdr(seen.toDF("grp", "flag"), "grp", "flag")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(5), r.getLong(6), r.getBoolean(7)))
+      assert(streamed.toSeq == batch.toSeq)
+    }
+    query.stop()
+    // the hot group ends up rejected in the final snapshot
+    val fin = graft.ext.Experiment
+      .bhFdrFromCounts(spark.table("bh_counts"), "grp").collect()
+    assert(fin.find(_.getString(0) == "A").get.getBoolean(7))
+  }
 }

@@ -45,14 +45,24 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: columns differ: oracle={e_cols} spark={g_cols}")
             failures += 1
             continue
-        # The driver hashes typed values: a DuckDB HUGEINT (decimal128) from an
-        # un-cast SUM() hash-mismatches a Spark int64 even when every value
-        # agrees as a string. Treat type divergence as a failure here too.
+        # The driver hashes PYTHON values: a DuckDB HUGEINT (decimal128) from
+        # an un-cast SUM() becomes Decimal and hash-mismatches a Spark int64
+        # even when every value agrees as a string (broke q_map_at_k and
+        # q_user_entropy in r6) — but int8/int32/int64 all become int, so
+        # width-only divergence is fine (13 r6-green queries differ in width).
+        # Flag only cross-FAMILY divergence.
+        def family(t) -> str:
+            s = str(t)
+            if "int" in s and "decimal" not in s:
+                return "int"
+            if s in ("float", "double") or s.startswith("halffloat"):
+                return "float"
+            return s
         tdiff = [(c, str(exp.schema.field(c).type), str(got.schema.field(c).type))
                  for c in e_cols
-                 if str(exp.schema.field(c).type) != str(got.schema.field(c).type)]
+                 if family(exp.schema.field(c).type) != family(got.schema.field(c).type)]
         if tdiff:
-            print(f"FAIL {name}: column types differ: {tdiff}")
+            print(f"FAIL {name}: column type families differ: {tdiff}")
             failures += 1
             continue
         er = [tuple(str(r[c]) for c in e_cols) for r in exp.to_pylist()]
