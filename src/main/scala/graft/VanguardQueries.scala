@@ -205,6 +205,81 @@ object VanguardQueries {
       |FROM c ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Farthest-point sampling (k-center coreset over embeddings)
+  // --------------------------------------------------------------------------
+
+  def qFpsSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Coreset.farthestPointSample(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", seedId = 0L, k = 5)
+
+  /** Unrolled greedy k-center: b_i carries each point's running max-cosine to
+    * the selected set (incremental GREATEST == full MAX — associative), s_i
+    * is the argmin with id tiebreak. Identical to the Spark loop in
+    * [[graft.ext.Coreset.farthestPointSample]].
+    */
+  val fpsSampleSql: String = {
+    val k = 5
+    val steps = (2 to k).map { i =>
+      val prev = i - 1
+      val stepCte =
+        s"""s$i AS (SELECT vec_id, embedding, bs FROM b$prev
+           |  ORDER BY bs ASC, vec_id LIMIT 1)""".stripMargin
+      val nextB = if (i < k)
+        s""",
+           |b$i AS (SELECT b$prev.vec_id, b$prev.embedding,
+           |    GREATEST(b$prev.bs, ${cosSql(s"b$prev.embedding", s"s$i.embedding")}) AS bs
+           |  FROM b$prev CROSS JOIN s$i WHERE b$prev.vec_id <> s$i.vec_id)""".stripMargin
+      else ""
+      stepCte + nextB
+    }.mkString(",\n")
+    val unionAll = (2 to k).map(i =>
+      s"UNION ALL SELECT $i AS rnk, vec_id, ROUND(bs, 6) AS farthest_sim FROM s$i")
+      .mkString("\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |b1 AS (SELECT e.vec_id, e.embedding,
+       |    ${cosSql("e.embedding", "q.qe")} AS bs
+       |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |$steps
+       |SELECT 1 AS rnk, CAST(0 AS BIGINT) AS vec_id,
+       |  CAST(NULL AS DOUBLE) AS farthest_sim
+       |$unionAll
+       |ORDER BY rnk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Interpolated bigram LM scoring
+  // --------------------------------------------------------------------------
+
+  def qBigramNll(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextQuality.bigramNll(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val bigramNllSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i]))
+      |      AS w1,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i+1]))
+      |      AS w2
+      |  FROM s),
+      |dbf AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS cnt2
+      |  FROM dbf GROUP BY 1, 2),
+      |tok AS (SELECT unnest(l) AS t FROM s),
+      |c1 AS (SELECT t, COUNT(*) AS cnt1 FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS total FROM c1)
+      |SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(bf * ln(0.7 * (CAST(cnt2 AS DOUBLE) / u1.cnt1)
+      |      + 0.3 * (CAST(u2.cnt1 AS DOUBLE) / total)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) / CAST(SUM(bf) AS BIGINT), 6) AS avg_nll2
+      |FROM dbf JOIN c2 USING (w1, w2)
+      |  JOIN c1 u1 ON dbf.w1 = u1.t
+      |  JOIN c1 u2 ON dbf.w2 = u2.t
+      |  CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
@@ -213,6 +288,8 @@ object VanguardQueries {
     "q_acf" -> (qAcf _),
     "q_brand_auc" -> (qBrandAuc _),
     "q_bh_fdr" -> (qBhFdr _),
+    "q_fps_sample" -> (qFpsSample _),
+    "q_bigram_nll" -> (qBigramNll _),
     "q_readability" -> (qReadability _))
 
   val oracleSql: Map[String, String] = Map(
@@ -220,5 +297,7 @@ object VanguardQueries {
     "q_acf" -> acfSql,
     "q_brand_auc" -> brandAucSql,
     "q_bh_fdr" -> bhFdrSql,
+    "q_fps_sample" -> fpsSampleSql,
+    "q_bigram_nll" -> bigramNllSql,
     "q_readability" -> readabilitySql)
 }

@@ -202,6 +202,46 @@ object TextQuality {
         round(-sum(col("ll")).cast("double") / sum(col("tf")), 6).as("avg_nll"))
   }
 
+  /** Interpolated bigram-LM per-document scoring — the next rung above
+    * [[unigramNll]] on the LM-quality-filter ladder: each bigram scores
+    * `−ln(λ_bi·c(w₁w₂)/c(w₁) + λ_uni·c(w₂)/N)` (Jelinek-Mercer smoothing;
+    * the unigram term keeps unseen-context probabilities finite), averaged
+    * per document. Context counts use the plain unigram count (the standard
+    * closed-corpus convention, stated so the oracle matches exactly).
+    *
+    * Scale shape mirrors unigramNll: bigram/unigram count tables are
+    * Zipf-bounded vocab aggregates (map-side combined), the corpus total is
+    * a broadcast 1-row aggregate, and the log terms — computed once per
+    * DISTINCT (doc, w₁, w₂) — sum in DECIMAL(18,8) so the per-doc score is
+    * partition-order independent. λ's are two explicit literals (not
+    * 1−λ — binary 1.0−0.7 ≠ the SQL literal 0.3) so both engines evaluate
+    * the identical double formula.
+    */
+  def bigramNll(df: DataFrame, idCol: String, textCol: String,
+                lambdaBi: Double = 0.7, lambdaUni: Double = 0.3): DataFrame = {
+    val l = split(col(textCol), " ")
+    val bgArr = zip_with(
+      slice(l, lit(1), size(l) - 1), slice(l, lit(2), size(l) - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val dbf = df.select(col(idCol), explode(bgArr).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col(idCol), col("w1"), col("w2")).agg(count(lit(1)).as("bf"))
+    val c2 = dbf.groupBy(col("w1"), col("w2")).agg(sum(col("bf")).as("cnt2"))
+    val c1 = df.select(explode(l).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt1"))
+    val tot = c1.agg(sum(col("cnt1")).as("total"))
+    val p = lit(lambdaBi) * (col("cnt2").cast("double") / col("cut1")) +
+      lit(lambdaUni) * (col("cut2").cast("double") / col("total"))
+    dbf.join(c2, Seq("w1", "w2"))
+      .join(c1.select(col("t").as("w1"), col("cnt1").as("cut1")), Seq("w1"))
+      .join(c1.select(col("t").as("w2"), col("cnt1").as("cut2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ll", (col("bf") * log(p)).cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("bf")).as("n_bigrams"),
+        round(-sum(col("ll")).cast("double") / sum(col("bf")), 6).as("avg_nll2"))
+  }
+
   /** Benchmark decontamination: for every non-benchmark document, the fraction of
     * its word `k`-gram shingles that appear anywhere in the benchmark set — the
     * standard train/eval leakage check (a near-copy of an eval document scores

@@ -183,4 +183,25 @@ class TextQualitySpec extends SparkTestBase {
     // scores are probabilities
     assert(out.values.forall(v => v._3 > 0.0 && v._3 < 1.0))
   }
+
+  test("bigramNll: hand-computed interpolated probabilities") {
+    // corpus: "a b", "a b", "a c" → c2(a,b)=2, c2(a,c)=1; c1 a=3,b=2,c=1; N=6
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextQuality.bigramNll(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val nllAb = -math.log(0.7 * (2.0 / 3) + 0.3 * (2.0 / 6))
+    val nllAc = -math.log(0.7 * (1.0 / 3) + 0.3 * (1.0 / 6))
+    assert(out(1L)._1 == 1L && approx(out(1L)._2, nllAb, 1e-6))
+    assert(out(2L)._2 == out(1L)._2)
+    assert(approx(out(3L)._2, nllAc, 1e-6))
+    // the rarer continuation really is more surprising
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
+  test("bigramNll: single-token docs contribute no bigrams and drop out") {
+    val df = Seq((1L, "alone"), (2L, "two words")).toDF("doc_id", "text")
+    val out = TextQuality.bigramNll(df, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+    assert(out.head.getLong(1) == 1L)
+  }
 }
