@@ -280,6 +280,103 @@ object VanguardQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Waiting suppliers (TPC-H Q21 idiom: correlated EXISTS + NOT EXISTS)
+  // --------------------------------------------------------------------------
+
+  /** Suppliers who single-handedly held up finalized multi-supplier orders:
+    * their line shipped >60 days after the order date (late) while EVERY
+    * other supplier on the order shipped on time. The Q21 plan shape —
+    * one semi join (another supplier exists) + one anti join (no other late
+    * supplier) over the same fact table, both equi-keyed on the order with a
+    * supplier-inequality residual — exercises exactly the correlated-
+    * subquery planning a warehouse engine must get right.
+    */
+  def qWaitingSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(datediff(col("l_shipdate"), col("o_orderdate")) > 60)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val hasOther = late.join(
+      l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2")),
+      col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+      "left_semi")
+    val soleLate = hasOther.join(
+      late.select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3")),
+      col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+      "left_anti")
+    soleLate.join(Tables.supplier(spark, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+  }
+
+  val waitingSuppliersSql: String =
+    """WITH f AS (SELECT o_orderkey, o_orderdate FROM orders
+      |  WHERE o_orderstatus = 'F'),
+      |late AS (SELECT l_orderkey, l_suppkey
+      |  FROM lineitem JOIN f ON l_orderkey = o_orderkey
+      |  WHERE date_diff('day', CAST(o_orderdate AS DATE),
+      |    CAST(l_shipdate AS DATE)) > 60)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late t JOIN supplier ON t.l_suppkey = s_suppkey
+      |WHERE EXISTS (SELECT 1 FROM lineitem x
+      |    WHERE x.l_orderkey = t.l_orderkey AND x.l_suppkey <> t.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late y
+      |    WHERE y.l_orderkey = t.l_orderkey AND y.l_suppkey <> t.l_suppkey)
+      |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Rank-biased overlap between the quantity and revenue item rankings
+  // --------------------------------------------------------------------------
+
+  /** RBO(p=0.9, depth 20) between "top items by total quantity" and "top
+    * items by revenue" — how much do the two popularity notions agree at the
+    * head?
+    */
+  def qRbo(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(spark, dir)
+    def topRanked(valued: DataFrame): DataFrame = {
+      val top = valued.orderBy(col("v").desc, col("item")).limit(20)
+      top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("v").desc, col("item"))))
+    }
+    val byQty = topRanked(l.groupBy(col("l_partkey").as("item"))
+      .agg(sum(AnalyticsQueries.dec(col("l_quantity"))).as("v")))
+    val byRev = topRanked(l.groupBy(col("l_partkey").as("item"))
+      .agg(AnalyticsQueries.revenueDec(col("l_extendedprice"),
+        col("l_discount")).as("v")))
+    graft.ext.RankCompare.rbo(byQty, byRev, "item", "rnk",
+      depth = 20, p = 0.9)
+  }
+
+  val rboSql: String =
+    """WITH qty AS (SELECT l_partkey AS item,
+      |    SUM(CAST(l_quantity AS DECIMAL(18,4))) AS v FROM lineitem GROUP BY 1),
+      |rev AS (SELECT l_partkey AS item,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+      |      * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS v
+      |  FROM lineitem GROUP BY 1),
+      |ra AS (SELECT item, r FROM (SELECT item,
+      |    ROW_NUMBER() OVER (ORDER BY v DESC, item) AS r FROM qty) WHERE r <= 20),
+      |rb AS (SELECT item, r FROM (SELECT item,
+      |    ROW_NUMBER() OVER (ORDER BY v DESC, item) AS r FROM rev) WHERE r <= 20),
+      |m AS (SELECT ra.item, ra.r AS rnk_a, rb.r AS rnk_b
+      |  FROM ra JOIN rb USING (item)),
+      |ds AS (SELECT unnest(generate_series(1, 20)) AS d),
+      |ov AS (SELECT ds.d, COUNT(*) AS ov FROM m JOIN ds
+      |    ON ds.d >= GREATEST(m.rnk_a, m.rnk_b) GROUP BY 1),
+      |t AS (SELECT d, ov,
+      |    CAST(POWER(0.9, d - 1) * ov / d AS DECIMAL(28,12)) AS term FROM ov)
+      |SELECT CAST(20 AS BIGINT) AS depth,
+      |  COALESCE(MAX(CASE WHEN d = 20 THEN ov END), 0) AS n_overlap,
+      |  ROUND((1.0 - 0.9) * CAST(COALESCE(SUM(term), 0) AS DOUBLE), 6) AS rbo
+      |FROM t""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
@@ -290,6 +387,8 @@ object VanguardQueries {
     "q_bh_fdr" -> (qBhFdr _),
     "q_fps_sample" -> (qFpsSample _),
     "q_bigram_nll" -> (qBigramNll _),
+    "q_waiting_suppliers" -> (qWaitingSuppliers _),
+    "q_rbo" -> (qRbo _),
     "q_readability" -> (qReadability _))
 
   val oracleSql: Map[String, String] = Map(
@@ -299,5 +398,7 @@ object VanguardQueries {
     "q_bh_fdr" -> bhFdrSql,
     "q_fps_sample" -> fpsSampleSql,
     "q_bigram_nll" -> bigramNllSql,
+    "q_waiting_suppliers" -> waitingSuppliersSql,
+    "q_rbo" -> rboSql,
     "q_readability" -> readabilitySql)
 }

@@ -1,0 +1,48 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ranking-comparison metrics. Rank-biased overlap (Webber, Moffat & Zobel
+  * 2010) — the standard top-weighted similarity between two rankings (e.g.
+  * yesterday's vs today's top products, or two candidate rankers in an A/B):
+  * RBO_trunc = (1−p) · Σ_{d=1..D} p^{d−1} · |A_d ∩ B_d| / d, where A_d/B_d
+  * are the depth-d prefixes. p ≈ 0.9 concentrates weight on the head.
+  *
+  * Scale shape: the inputs are already-ranked TOP-D lists (each the output
+  * of a TakeOrderedAndProject or rank-window over the corpus), so everything
+  * here is depth-bounded — the prefix-overlap counts come from one D-row
+  * equi-join fanned out over a broadcast depth spine, and the 1-row total
+  * sums the ≤D weighted terms in DECIMAL (partition-order exact).
+  */
+object RankCompare {
+
+  /** Truncated RBO of two ranked lists sharing `idCol`; `rankCol` is 1-based
+    * in both. Output: one row (depth, n_overlap, rbo) — n_overlap is the
+    * prefix intersection at full depth.
+    */
+  def rbo(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+          depth: Int, p: Double = 0.9): DataFrame = {
+    val m = a.select(col(idCol), col(rankCol).as("__ra"))
+      .filter(col("__ra") <= depth)
+      .join(b.select(col(idCol), col(rankCol).as("__rb"))
+        .filter(col("__rb") <= depth), idCol)
+    val depths = a.sparkSession.range(1, depth + 1).select(col("id").as("d"))
+    val ov = m.crossJoin(broadcast(depths))
+      .filter(col("d") >= greatest(col("__ra"), col("__rb")))
+      .groupBy(col("d")).agg(count(lit(1)).as("ov"))
+    // (1.0 − p) as an explicit subtraction on BOTH engines: the binary value
+    // of 1.0−0.9 is not the literal 0.1
+    ov.select(col("d"), col("ov"),
+        (pow(lit(p), col("d") - 1) * col("ov") / col("d"))
+          .cast("decimal(28,12)").as("__term"))
+      .agg(
+        coalesce(max(when(col("d") === depth, col("ov"))), lit(0L))
+          .as("n_overlap"),
+        round((lit(1.0) - lit(p)) *
+          coalesce(sum(col("__term")), lit(0).cast("decimal(28,12)"))
+            .cast("double"), 6).as("rbo"))
+      .select(lit(depth).cast("long").as("depth"), col("n_overlap"),
+        col("rbo"))
+  }
+}
