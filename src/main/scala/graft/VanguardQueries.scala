@@ -184,6 +184,30 @@ object VanguardQueries {
       |FROM fr ORDER BY bh_rank""".stripMargin
 
   // --------------------------------------------------------------------------
+  // RAG chunking
+  // --------------------------------------------------------------------------
+
+  /** 50-token windows every 40 tokens (10-token overlap) over the corpus. */
+  def qChunking(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Chunking.chunk(Tables.documents(spark, dir), "doc_id", "text",
+        size = 50, stride = 40)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunkingSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |st AS (SELECT doc_id, l,
+      |    unnest(generate_series(1, GREATEST(len(l) - 10, 1), 40)) AS st
+      |  FROM s)
+      |SELECT doc_id,
+      |  CAST((st - 1) // 40 + 1 AS BIGINT) AS chunk_idx,
+      |  CAST(st AS BIGINT) AS start_token,
+      |  CAST(LEAST(50, len(l) - st + 1) AS BIGINT) AS n_tokens,
+      |  substr(md5(array_to_string(
+      |    list_slice(l, st, st + LEAST(50, len(l) - st + 1) - 1), ' ')),
+      |    1, 16) AS chunk_sig
+      |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Readability
   // --------------------------------------------------------------------------
 
@@ -389,6 +413,7 @@ object VanguardQueries {
     "q_bigram_nll" -> (qBigramNll _),
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_rbo" -> (qRbo _),
+    "q_chunking" -> (qChunking _),
     "q_readability" -> (qReadability _))
 
   val oracleSql: Map[String, String] = Map(
@@ -400,5 +425,6 @@ object VanguardQueries {
     "q_bigram_nll" -> bigramNllSql,
     "q_waiting_suppliers" -> waitingSuppliersSql,
     "q_rbo" -> rboSql,
+    "q_chunking" -> chunkingSql,
     "q_readability" -> readabilitySql)
 }
