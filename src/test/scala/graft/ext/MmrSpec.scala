@@ -36,6 +36,36 @@ class MmrSpec extends SparkTestBase {
     assert(approx(out(0).getDouble(3), out(0).getDouble(2) * 0.5, 1e-6))
   }
 
+  test("mmr matches a local greedy reference on random vectors") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i =>
+      (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Mmr.rerank(df, "vec_id", "embedding", queryId = 0L,
+      candidates = 12, k = 5, lambda = 0.5).collect().map(_.getLong(1)).toSeq
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) *
+        math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    val byId = vecs.toMap
+    val q = byId(0L)
+    val cand = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(v, q)) }
+      .sortBy { case (id, rel) => (-rel, id) }.take(12)
+    var selected = Seq(cand.minBy { case (id, rel) => (-rel, id) }._1)
+    while (selected.length < 5) {
+      val next = cand.filterNot(c => selected.contains(c._1)).map {
+        case (id, rel) =>
+          val ms = selected.map(s => cos(byId(id), byId(s))).max
+          (id, 0.5 * rel - 0.5 * ms)
+      }.minBy { case (id, sc) => (-sc, id) }._1
+      selected = selected :+ next
+    }
+    assert(out == selected)
+  }
+
   test("lambda=1 reduces to pure relevance ranking over the shortlist") {
     val mmr = Mmr.rerank(emb, "vec_id", "embedding", queryId = 0L,
       candidates = 4, k = 4, lambda = 1.0).collect().map(_.getLong(1)).toSeq
