@@ -105,6 +105,30 @@ class ExperimentSpec extends SparkTestBase {
     assert(winIdx >= 0 && aggBelow > winIdx)
   }
 
+  test("rankAuc: random differential vs brute-force pairwise AUC with ties") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // small score domain → dense ties, the hard case for midranks
+    val rows = (1 to 300).map { _ =>
+      val g = s"g${rnd.nextInt(3)}"
+      val score = rnd.nextInt(5).toDouble
+      val label = if (rnd.nextDouble() < 0.3 + score / 10) 1 else 0
+      (g, score, label)
+    }
+    val out = Experiment.rankAuc(rows.toDF("grp", "score", "label"),
+        "grp", "score", "label")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val pos = rs.filter(_._3 == 1).map(_._2)
+      val neg = rs.filter(_._3 == 0).map(_._2)
+      val brute = pos.flatMap(p => neg.map(n =>
+        if (p > n) 1.0 else if (p == n) 0.5 else 0.0)).sum /
+        (pos.length.toDouble * neg.length)
+      assert(approx(out(g), math.round(brute * 1e6) / 1e6, 1e-9),
+        s"group $g: ${out(g)} vs $brute")
+    }
+  }
+
   test("bhFdr: one extreme group is rejected, null groups are not") {
     import spark.implicits._
     // A: 90/100 vs pooled ~0.58 → |z| ≈ 7, p ≈ 0; B..E at the pooled rate
