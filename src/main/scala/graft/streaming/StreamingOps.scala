@@ -800,6 +800,69 @@ object StreamingOps {
         round(term(i), 6).as("psi_term"))): _*).as("bins"))
   }
 
+  final case class DailyValue(series: String, day: java.sql.Date, x: Double)
+  final case class AcfState(ring: Seq[Double], lastEpochDay: Long,
+                            moments: Seq[(Long, Double, Double, Double, Double,
+                              Double)])
+  final case class AcfOut(series: String, lag: Int, n_pairs: Long, acf: Double)
+
+  /** Streaming sample autocorrelation — the incremental twin of
+    * [[graft.ext.Series.acf]]. State per series is an O(maxLag) ring of the
+    * latest day values plus per-lag moment sums (n, Σx, Σy, Σxy, Σx², Σy²):
+    * each arriving day pairs against the lagged ring entries, updates the
+    * six sums per lag, and the Pearson readout is re-derived from the sums
+    * at every emit — the bhFdr sufficient-statistics split. Calendar gaps
+    * shift the ring (missing days pair with nothing, exactly like the batch
+    * equi-join on day+lag); per-series days must arrive in day order across
+    * micro-batches (sorted within a batch), the [[ewmaDailyStream]]
+    * ordering assumption.
+    *
+    * The streaming sums fold doubles in arrival order vs the batch
+    * operator's DECIMAL accumulators — agreement is within fp noise
+    * (differential-tested), exact when values are small integers.
+    */
+  def acfDailyStream(daily: Dataset[DailyValue],
+                     maxLag: Int = 10): Dataset[AcfOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[AcfState, AcfOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[DailyValue], state: GroupState[AcfState]) =>
+          var st = state.getOption.getOrElse(AcfState(Seq.empty, Long.MinValue,
+            Seq.fill(maxLag)((0L, 0.0, 0.0, 0.0, 0.0, 0.0))))
+          it.toSeq.sortBy(_.day.getTime).foreach { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // shift the ring past calendar gaps: ring(i) = value at day−1−i
+            val gap =
+              if (st.lastEpochDay == Long.MinValue) 0
+              else (epochDay - st.lastEpochDay).toInt
+            val shifted =
+              if (gap == 0) st.ring
+              else (Seq.fill(math.min(gap - 1, maxLag))(Double.NaN) ++ st.ring)
+                .take(maxLag)
+            val moments = st.moments.zipWithIndex.map { case (m, i) =>
+              // lag L = i+1 pairs today's y with the ring entry L−1 back
+              if (i < shifted.length && !shifted(i).isNaN) {
+                val (n, sx, sy, sxy, sxx, syy) = m
+                val x = shifted(i); val y = e.x
+                (n + 1, sx + x, sy + y, sxy + x * y, sxx + x * x, syy + y * y)
+              } else m
+            }
+            st = AcfState((e.x +: shifted).take(maxLag), epochDay, moments)
+          }
+          state.update(st)
+          st.moments.zipWithIndex.map { case ((n, sx, sy, sxy, sxx, syy), i) =>
+            val nn = n.toDouble
+            val num = nn * sxy - sx * sy
+            val den = math.sqrt((nn * sxx - sx * sx) * (nn * syy - sy * sy))
+            AcfOut(series, i + 1, n,
+              if (den == 0.0) Double.NaN
+              else math.round(num / den * 1e6) / 1e6)
+          }.iterator
+      }
+  }
+
   /** Streaming BH-FDR segment scan — the incremental twin of
     * [[graft.ext.Experiment.bhFdr]]. The streaming side maintains ONLY the
     * per-group (n, pos) counts (O(groups) state, map-side partial like any

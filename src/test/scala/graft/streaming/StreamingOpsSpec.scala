@@ -581,6 +581,46 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(snap.getSeq[org.apache.spark.sql.Row](3).length == 10)
   }
 
+  test("acfDailyStream converges to batch Series.acf, gaps handled") {
+    import org.apache.spark.sql.functions.{col, to_date}
+    implicit val sc = spark.sqlContext
+    // alternating series with one calendar gap (day 6 missing)
+    val days = (1 to 12).filter(_ != 6)
+    val vals = days.map(d => StreamingOps.DailyValue("s",
+      java.sql.Date.valueOf(f"2024-01-$d%02d"), if (d % 2 == 0) 10.0 else 20.0))
+
+    val input = MemoryStream[StreamingOps.DailyValue]
+    val query = StreamingOps.acfDailyStream(input.toDS(), maxLag = 4)
+      .writeStream.format("memory").queryName("acf_out")
+      .outputMode("update").start()
+    vals.grouped(4).foreach { chunk =>
+      input.addData(chunk: _*)
+      query.processAllAvailable()
+    }
+    query.stop()
+
+    // latest snapshot per lag = the row with the highest n_pairs
+    val streamed = spark.table("acf_out").collect()
+      .groupBy(_.getInt(1)).map { case (lag, rows) =>
+        val last = rows.maxBy(_.getLong(2))
+        lag.toLong -> (last.getLong(2), last.getDouble(3))
+      }
+    val batch = graft.ext.Series.acf(
+        vals.map(v => (v.day.toString, v.x)).toDF("ds", "x")
+          .select(to_date(col("ds")).as("day"), col("x")),
+        "day", "x", maxLag = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2))).toMap
+    batch.foreach { case (lag, (nB, acfB)) =>
+      val (nS, acfS) = streamed(lag)
+      assert(nS == nB, s"lag $lag pair count: stream $nS vs batch $nB")
+      if (!acfB.isNaN)
+        assert(math.abs(acfS - acfB) < 1e-6, s"lag $lag: $acfS vs $acfB")
+    }
+    // the gap really removed pairs: lag 1 has fewer pairs than days-1
+    assert(streamed(1L)._1 < days.length - 1)
+  }
+
   test("bhFdrCountsStream + bhFdrFromCounts matches batch bhFdr per trigger") {
     implicit val sc = spark.sqlContext
     // group A runs hot (80% flags), B..D at 50% — arriving over 3 batches
