@@ -208,6 +208,37 @@ object VanguardQueries {
       |FROM st ORDER BY doc_id, chunk_idx""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Skip-gram PMI
+  // --------------------------------------------------------------------------
+
+  /** Top-20 window-5 skip-gram pairs by PMI (support ≥ 5). */
+  def qSkipgramPmi(spark: SparkSession, dir: String): DataFrame =
+    TextStats.skipgramPmi(Tables.documents(spark, dir), "text",
+      window = 5, k = 20, minCount = 5L)
+
+  val skipgramPmiSql: String =
+    """WITH s AS (SELECT string_split(text, ' ') AS w FROM documents),
+      |pr AS (SELECT unnest(flatten(list_transform(
+      |    generate_series(1, len(w)), i ->
+      |      list_transform(generate_series(i + 1, LEAST(i + 5, len(w))), j ->
+      |        {'w1': LEAST(w[i], w[j]), 'w2': GREATEST(w[i], w[j])})))) AS b
+      |  FROM s),
+      |p AS (SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS n_pair
+      |  FROM pr GROUP BY 1, 2),
+      |u AS (SELECT unnest(w) AS t FROM s),
+      |ug AS (SELECT t, COUNT(*) AS n_tok FROM u GROUP BY 1),
+      |tot AS (SELECT CAST((SELECT SUM(n_pair) FROM p) AS BIGINT) AS t_pairs,
+      |    CAST((SELECT SUM(n_tok) FROM ug) AS BIGINT) AS t_toks)
+      |SELECT w1 || ' ' || w2 AS pair, n_pair,
+      |  ROUND(ln(CAST(n_pair AS DOUBLE) * t_toks * t_toks /
+      |    (CAST(t_pairs AS DOUBLE) * ua.n_tok * ub.n_tok)), 6) AS pmi
+      |FROM p JOIN ug ua ON p.w1 = ua.t
+      |  JOIN ug ub ON p.w2 = ub.t
+      |  CROSS JOIN tot
+      |WHERE n_pair >= 5
+      |ORDER BY pmi DESC, pair LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Readability
   // --------------------------------------------------------------------------
 
@@ -414,6 +445,7 @@ object VanguardQueries {
     "q_waiting_suppliers" -> (qWaitingSuppliers _),
     "q_rbo" -> (qRbo _),
     "q_chunking" -> (qChunking _),
+    "q_skipgram_pmi" -> (qSkipgramPmi _),
     "q_readability" -> (qReadability _))
 
   val oracleSql: Map[String, String] = Map(
@@ -426,5 +458,6 @@ object VanguardQueries {
     "q_waiting_suppliers" -> waitingSuppliersSql,
     "q_rbo" -> rboSql,
     "q_chunking" -> chunkingSql,
+    "q_skipgram_pmi" -> skipgramPmiSql,
     "q_readability" -> readabilitySql)
 }

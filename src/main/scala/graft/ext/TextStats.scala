@@ -269,6 +269,48 @@ object TextStats {
       .limit(k)
   }
 
+  /** Window-`w` skip-gram co-occurrence PMI — the word2vec/GloVe
+    * preprocessing statistic: unordered token pairs within `window` positions
+    * of each other, scored with the same PMI convention as [[collocations]]
+    * (which is the `window = 1` adjacent special case). Pairs are
+    * canonicalized (lexicographic least first) so both directions count to
+    * one cell.
+    *
+    * Pair generation is ARRAY-LOCAL (nested transform over the token array,
+    * flattened then exploded) — the ItemCF basket-form lesson: no token-table
+    * self-join, the fan-out is len×window map-side rows per document, and
+    * the (w1, w2) count aggregate is map-side combined. Count tables are
+    * Zipf-bounded; totals broadcast as 1-row aggregates.
+    */
+  def skipgramPmi(df: DataFrame, textCol: String, window: Int = 5,
+                  k: Int = 20, minCount: Long = 5L): DataFrame = {
+    val words = df.select(split(col(textCol), " ").as("w"))
+    val pairs = words.select(explode(expr(
+      s"""flatten(transform(sequence(1, size(w)), i ->
+         |  filter(transform(sequence(i, least(i + $window, size(w))), j ->
+         |    CASE WHEN j > i THEN struct(
+         |      least(element_at(w, i), element_at(w, j)) AS w1,
+         |      greatest(element_at(w, i), element_at(w, j)) AS w2) END),
+         |    p -> p IS NOT NULL)))""".stripMargin)).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+    val unigrams = words.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n_tok"))
+    val totals = pairs.agg(sum(col("n_pair")).as("t_pairs"))
+      .crossJoin(unigrams.agg(sum(col("n_tok")).as("t_toks")))
+    pairs
+      .filter(col("n_pair") >= minCount)
+      .join(unigrams.select(col("t").as("w1"), col("n_tok").as("n_a")), "w1")
+      .join(unigrams.select(col("t").as("w2"), col("n_tok").as("n_b")), "w2")
+      .crossJoin(broadcast(totals))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("pair"), col("n_pair"),
+        round(log(col("n_pair").cast("double") * col("t_toks") * col("t_toks") /
+          (col("t_pairs").cast("double") * col("n_a") * col("n_b"))), 6)
+          .as("pmi"))
+      .orderBy(col("pmi").desc, col("pair"))
+      .limit(k)
+  }
+
   /** Per-group unigram-distribution drift from the corpus:
     * `KL(P_group ‖ P_corpus)` in bits over whitespace tokens — the mixture
     * diagnostic a pipeline watches when rebalancing domains (a source whose

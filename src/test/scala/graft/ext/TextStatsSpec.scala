@@ -205,6 +205,29 @@ class TextStatsSpec extends SparkTestBase {
     assert(out.isEmpty)
   }
 
+  test("skipgramPmi: hand-counted window pairs, canonical order, PMI value") {
+    import spark.implicits._
+    // tokens [a b c a], window 2 → pairs ab, ac, bc, ab(b-a), ac(c-a):
+    // counts ab=2 ac=2 bc=1; unigrams a=2 b=1 c=1, T_toks=4, T_pairs=5
+    val docs = Seq("a b c a").toDF("text")
+    val out = TextStats.skipgramPmi(docs, "text", window = 2, k = 10,
+      minCount = 1L).collect()
+    val counts = out.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("a b" -> 2L, "a c" -> 2L, "b c" -> 1L))
+    val pmiBc = math.log(1.0 * 4 * 4 / (5.0 * 1 * 1))
+    assert(approx(out.find(_.getString(0) == "b c").get.getDouble(2),
+      math.round(pmiBc * 1e6) / 1e6, 1e-9))
+  }
+
+  test("skipgramPmi: window=1 pair counts match adjacent bigram counts") {
+    import spark.implicits._
+    val docs = Seq("x y z x y").toDF("text")
+    val sg = TextStats.skipgramPmi(docs, "text", window = 1, k = 10,
+      minCount = 1L).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // adjacent pairs: xy, yz, zx, xy → canonical: x y=2, y z=1, x z=1
+    assert(sg == Map("x y" -> 2L, "y z" -> 1L, "x z" -> 1L))
+  }
+
   test("readability: golden Flesch-Kincaid on a hand-counted doc") {
     import spark.implicits._
     // words [the cat sat the dog ran] = 6, sentences ('.', '!') = 2,
