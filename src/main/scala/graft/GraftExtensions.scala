@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{FloatVecDot, WordShingles}
+import graft.functions.{FloatVecDot, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -26,12 +26,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (children: Seq[Expression]) => WordShingles(children(0),
         children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("word_pairs"),
+      new ExpressionInfo(classOf[WordPairs].getName, "word_pairs"),
+      (children: Seq[Expression]) => WordPairs(children(0),
+        children(1).eval().asInstanceOf[Int])))
   }
 }
 
 object GraftExtensions {
   /** Late registration on an existing session (tests, notebooks). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "float_vec_dot",
       (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+    ColumnBridge.registerTempFunction(spark, "word_pairs",
+      (children: Seq[Expression]) => WordPairs(children.head,
+        children(1).eval().asInstanceOf[Int]))
+  }
 }

@@ -276,24 +276,22 @@ object TextStats {
     * canonicalized (lexicographic least first) so both directions count to
     * one cell.
     *
-    * Pair generation is ARRAY-LOCAL (nested transform over the token array,
-    * flattened then exploded) — the ItemCF basket-form lesson: no token-table
-    * self-join, the fan-out is len×window map-side rows per document, and
-    * the (w1, w2) count aggregate is map-side combined. Count tables are
-    * Zipf-bounded; totals broadcast as 1-row aggregates.
+    * Pair generation is ARRAY-LOCAL via the native codegen kernel
+    * [[graft.functions.WordPairs]] (the ItemCF basket-form lesson plus the
+    * WordShingles no-HOF lesson): no token-table self-join, the fan-out is
+    * len×window map-side rows per document, and the pair-count aggregate is
+    * map-side combined. Count tables are Zipf-bounded; totals broadcast as
+    * 1-row aggregates.
     */
   def skipgramPmi(df: DataFrame, textCol: String, window: Int = 5,
                   k: Int = 20, minCount: Long = 5L): DataFrame = {
     val words = df.select(split(col(textCol), " ").as("w"))
-    val pairs = words.select(explode(expr(
-      s"""flatten(transform(sequence(1, size(w)), i ->
-         |  filter(transform(sequence(i, least(i + $window, size(w))), j ->
-         |    CASE WHEN j > i THEN struct(
-         |      least(element_at(w, i), element_at(w, j)) AS w1,
-         |      greatest(element_at(w, i), element_at(w, j)) AS w2) END),
-         |    p -> p IS NOT NULL)))""".stripMargin)).as("b"))
-      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      .agg(count(lit(1)).as("n_pair"))
+    val pairs = df
+      .select(explode(
+        graft.functions.WordPairs.pairs(col(textCol), window)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n_pair"))
+      .withColumn("w1", element_at(split(col("pair"), " "), 1))
+      .withColumn("w2", element_at(split(col("pair"), " "), 2))
     val unigrams = words.select(explode(col("w")).as("t"))
       .groupBy(col("t")).agg(count(lit(1)).as("n_tok"))
     val totals = pairs.agg(sum(col("n_pair")).as("t_pairs"))
@@ -303,7 +301,7 @@ object TextStats {
       .join(unigrams.select(col("t").as("w1"), col("n_tok").as("n_a")), "w1")
       .join(unigrams.select(col("t").as("w2"), col("n_tok").as("n_b")), "w2")
       .crossJoin(broadcast(totals))
-      .select(concat_ws(" ", col("w1"), col("w2")).as("pair"), col("n_pair"),
+      .select(col("pair"), col("n_pair"),
         round(log(col("n_pair").cast("double") * col("t_toks") * col("t_toks") /
           (col("t_pairs").cast("double") * col("n_a") * col("n_b"))), 6)
           .as("pmi"))
