@@ -1298,10 +1298,11 @@ object ExtQueries {
     */
   def qCharNgramEntropy(spark: SparkSession, dir: String): DataFrame = {
     val ln2 = 0.6931471805599453
+    // native kernel: the HOF substr formulation is CodegenFallback and was
+    // ~half this query's budget at sf0.1 (the WordShingles lesson)
     val tri = Tables.documents(spark, dir)
-      .select(col("source"), explode(transform(
-          sequence(lit(1), greatest(length(col("text")) - 2, lit(1))),
-          i => col("text").substr(i, lit(3)))).as("g"))
+      .select(col("source"),
+        explode(graft.functions.CharNgrams.ngrams(col("text"), 3)).as("g"))
     val c = tri.groupBy(col("source"), col("g")).agg(count(lit(1)).as("n"))
     val t = c.groupBy(col("source"))
       .agg(sum(col("n")).as("tot"), count(lit(1)).as("n_grams"))
