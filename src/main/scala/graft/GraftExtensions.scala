@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{FloatVecDot, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, FloatVecDot, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -30,6 +30,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_pairs"),
       new ExpressionInfo(classOf[WordPairs].getName, "word_pairs"),
       (children: Seq[Expression]) => WordPairs(children(0),
+        children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("char_ngrams"),
+      new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
+      (children: Seq[Expression]) => CharNgrams(children(0),
         children(1).eval().asInstanceOf[Int])))
   }
 }
