@@ -432,6 +432,102 @@ object VanguardQueries {
       |FROM t""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Deletion-propagation sweep (right-to-be-forgotten impact audit)
+  // --------------------------------------------------------------------------
+
+  /** Given a deterministic user blacklist (custkey % 97 = 0, standing in for
+    * a deletion-request table), count the rows each table must drop —
+    * cascading through the FK chain (lineitem is reached via its orders).
+    * The audit every deletion pipeline runs before executing: the actual
+    * deletes are anti-joins with exactly these join shapes.
+    */
+  def qDeletionSweep(spark: SparkSession, dir: String): DataFrame = {
+    val bl = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("uid"))
+    val o = Tables.orders(spark, dir)
+    val delOrders = o.join(broadcast(bl), col("o_custkey") === col("uid"))
+    def cnt(df: DataFrame, rel: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(rel).as("relation"),
+        col("n_rows"))
+    cnt(bl, "customer")
+      .unionByName(cnt(delOrders, "orders"))
+      .unionByName(cnt(Tables.lineitem(spark, dir)
+        .join(delOrders.select(col("o_orderkey").as("dok")),
+          col("l_orderkey") === col("dok")), "lineitem"))
+      .unionByName(cnt(Tables.events(spark, dir)
+        .join(broadcast(bl), col("user_id") === col("uid")), "events"))
+      .orderBy(col("relation"))
+  }
+
+  val deletionSweepSql: String =
+    """WITH bl AS (SELECT c_custkey AS uid FROM customer WHERE c_custkey % 97 = 0),
+      |do_ AS (SELECT o_orderkey FROM orders JOIN bl ON o_custkey = uid)
+      |SELECT 'customer' AS relation, COUNT(*) AS n_rows FROM bl
+      |UNION ALL SELECT 'orders', COUNT(*) FROM do_
+      |UNION ALL SELECT 'lineitem', COUNT(*)
+      |  FROM lineitem JOIN do_ ON l_orderkey = o_orderkey
+      |UNION ALL SELECT 'events', COUNT(*)
+      |  FROM events JOIN bl ON user_id = uid
+      |ORDER BY relation""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Data-contract gate: many rules, ONE scan
+  // --------------------------------------------------------------------------
+
+  /** Schema/constraint gate over lineitem as conditional aggregates in a
+    * single scan — the shape that matters at 100 TB: N rules cost one pass,
+    * not N. Generated data is clean, so the oracle run doubles as a
+    * zero-violations regression; the rule logic itself is fixture-tested.
+    */
+  def qDataContract(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+    def viol(cond: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(cond, 1L).otherwise(0L))
+    val wide = l.agg(
+      count(lit(1)).as("n_rows"),
+      viol(col("l_quantity") <= 0 || col("l_quantity") > 60)
+        .as("quantity_range"),
+      viol(col("l_discount") < 0 || col("l_discount") > 0.2)
+        .as("discount_range"),
+      viol(!col("l_returnflag").isin("A", "N", "R")).as("returnflag_enum"),
+      viol(col("l_extendedprice").isNull || col("l_extendedprice") <= 0)
+        .as("price_positive"),
+      viol(col("l_shipdate").isNull).as("shipdate_null"))
+    wide.select(explode(array(
+        Seq(("quantity_range", col("quantity_range")),
+          ("discount_range", col("discount_range")),
+          ("returnflag_enum", col("returnflag_enum")),
+          ("price_positive", col("price_positive")),
+          ("shipdate_null", col("shipdate_null"))).map { case (n, c) =>
+          struct(lit(n).as("rule"), col("n_rows"), c.as("n_violations"))
+        }: _*)).as("r"))
+      .select(col("r.rule"), col("r.n_rows"), col("r.n_violations"))
+      .orderBy(col("rule"))
+  }
+
+  val dataContractSql: String =
+    """WITH w AS (SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN l_quantity <= 0 OR l_quantity > 60
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS quantity_range,
+      |  CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.2
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS discount_range,
+      |  CAST(SUM(CASE WHEN l_returnflag NOT IN ('A', 'N', 'R')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS returnflag_enum,
+      |  CAST(SUM(CASE WHEN l_extendedprice IS NULL OR l_extendedprice <= 0
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS price_positive,
+      |  CAST(SUM(CASE WHEN l_shipdate IS NULL
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS shipdate_null
+      |  FROM lineitem)
+      |SELECT 'discount_range' AS rule, n_rows, discount_range AS n_violations
+      |  FROM w
+      |UNION ALL SELECT 'price_positive', n_rows, price_positive FROM w
+      |UNION ALL SELECT 'quantity_range', n_rows, quantity_range FROM w
+      |UNION ALL SELECT 'returnflag_enum', n_rows, returnflag_enum FROM w
+      |UNION ALL SELECT 'shipdate_null', n_rows, shipdate_null FROM w
+      |ORDER BY rule""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
@@ -446,6 +542,8 @@ object VanguardQueries {
     "q_rbo" -> (qRbo _),
     "q_chunking" -> (qChunking _),
     "q_skipgram_pmi" -> (qSkipgramPmi _),
+    "q_deletion_sweep" -> (qDeletionSweep _),
+    "q_data_contract" -> (qDataContract _),
     "q_readability" -> (qReadability _))
 
   val oracleSql: Map[String, String] = Map(
@@ -459,5 +557,7 @@ object VanguardQueries {
     "q_rbo" -> rboSql,
     "q_chunking" -> chunkingSql,
     "q_skipgram_pmi" -> skipgramPmiSql,
+    "q_deletion_sweep" -> deletionSweepSql,
+    "q_data_contract" -> dataContractSql,
     "q_readability" -> readabilitySql)
 }
