@@ -36,8 +36,21 @@ object Bench {
     System.gc()
   }
 
+  /** 1/5/15-min load averages — recorded in the artifact so an
+    * environment-contaminated run (machine contention skews every query by a
+    * uniform factor, e.g. BENCH_r07's ~2.8x) is self-diagnosing instead of
+    * masquerading as a code regression.
+    */
+  private def loadAvg(): String =
+    try {
+      val s = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      s.split("\\s+").take(3).mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val loadStart = loadAvg()
     // default to the machine's real core count so unset-env runs are comparable
     // across hosts (local[32] on a smaller box oversubscribes and skews numbers)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -46,6 +59,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // all entry points must agree on the instant semantics of the
+      // TIMESTAMP_NTZ->TIMESTAMP normalization in Tables.load (Verify pins
+      // UTC; an unpinned Bench on a non-UTC host would time different data)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.artifact.isolation.enabled", "false")
       .config("spark.sql.codegen.cache.maxEntries", "10000")
@@ -85,10 +102,18 @@ object Bench {
     val detail = timings
       .map { case (k, runs) => "\"" + k + "\":" + runs.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
+    val loadEnd = loadAvg()
+    // per-rep suite totals: a uniform environment skew shows up as ALL rep
+    // totals inflated together (r7: 353.7/354.5/314.9 vs 113.9 on idle HW);
+    // flag when the spread or the absolute level makes medians untrustworthy
+    val repTotals = (0 until reps).map(i =>
+      r3d(timings.map { case (_, runs) => runs(i) }.sum))
+    val varianceWarn = repTotals.max > repTotals.min * 1.5
+    val machine = s""""cpus":$cpus,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"rep_totals":${repTotals.mkString("[", ",", "]")},"variance_warning":$varianceWarn"""
     java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
-      s"""{"reps_per_query":$detail,"reps":$reps,"sf":"$sfDir"}""".getBytes("UTF-8"))
+      s"""{"reps_per_query":$detail,"reps":$reps,"sf":"$sfDir",$machine}""".getBytes("UTF-8"))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"n_queries":${timings.length},"queries_shown":"slowest_${slowest.length}_of_${timings.length}_full_set_in_BENCH_DETAIL.json","queries":$qs,"reps":$reps,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","stat":"median_of_$reps","total_min":$totalMin,"n_queries":${timings.length},"queries_shown":"slowest_${slowest.length}_of_${timings.length}_full_set_in_BENCH_DETAIL.json","queries":$qs,"reps":$reps,"sf":"$sfDir",$machine}""")
     spark.stop()
   }
 }

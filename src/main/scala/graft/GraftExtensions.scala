@@ -47,5 +47,11 @@ object GraftExtensions {
     ColumnBridge.registerTempFunction(spark, "word_pairs",
       (children: Seq[Expression]) => WordPairs(children.head,
         children(1).eval().asInstanceOf[Int]))
+    ColumnBridge.registerTempFunction(spark, "word_shingles",
+      (children: Seq[Expression]) => WordShingles(children.head,
+        children(1).eval().asInstanceOf[Int]))
+    ColumnBridge.registerTempFunction(spark, "char_ngrams",
+      (children: Seq[Expression]) => CharNgrams(children.head,
+        children(1).eval().asInstanceOf[Int]))
   }
 }

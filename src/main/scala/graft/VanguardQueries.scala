@@ -159,12 +159,14 @@ object VanguardQueries {
       |    COUNT(*) AS m FROM g),
       |sc AS (SELECT brand, n, pos, m,
       |    ROUND(CAST(pos AS DOUBLE) / n, 6) AS rate,
+      |    CASE WHEN nn = n OR pp = 0 OR pp = nn THEN NULL ELSE
       |    ROUND((CAST(pos AS DOUBLE) / n - CAST(pp - pos AS DOUBLE) / (nn - n)) /
       |      sqrt((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) *
-      |        (1.0 / n + 1.0 / (nn - n))), 6) AS z,
+      |        (1.0 / n + 1.0 / (nn - n))), 6) END AS z,
+      |    CASE WHEN nn = n OR pp = 0 OR pp = nn THEN NULL ELSE
       |    abs((CAST(pos AS DOUBLE) / n - CAST(pp - pos AS DOUBLE) / (nn - n)) /
       |      sqrt((CAST(pp AS DOUBLE) / nn) * (1.0 - CAST(pp AS DOUBLE) / nn) *
-      |        (1.0 / n + 1.0 / (nn - n)))) / sqrt(2.0) AS x
+      |        (1.0 / n + 1.0 / (nn - n)))) / sqrt(2.0) END AS x
       |  FROM g CROSS JOIN tot),
       |pv AS (SELECT brand, n, pos, m, rate, z,
       |    ROUND((1.0 / (1.0 + 0.3275911 * x)) * (0.254829592
@@ -174,7 +176,8 @@ object VanguardQueries {
       |      + (1.0 / (1.0 + 0.3275911 * x)) * 1.061405429))))
       |      * exp(-(x * x)), 6) AS p_value
       |  FROM sc),
-      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_value, brand) AS bh_rank
+      |rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY p_value NULLS LAST, brand)
+      |    AS bh_rank
       |  FROM pv),
       |fr AS (SELECT *, MAX(CASE WHEN p_value <= CAST(bh_rank AS DOUBLE)
       |      * 0.05 / m THEN bh_rank END) OVER () AS sig_rank

@@ -31,23 +31,30 @@ object Coreset {
   def farthestPointSample(df: DataFrame, idCol: String, vecCol: String,
                           seedId: Long, k: Int): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
-    val seedVec = df.filter(col(idCol) === seedId).select(col(vecCol))
-      .head().getSeq[Float](0)
+    val seedRow = df.filter(col(idCol) === seedId).select(col(vecCol)).head(1)
+    require(seedRow.nonEmpty, s"seed id $seedId not found in $idCol")
+    val seedVec = seedRow(0).getSeq[Float](0)
     def simTo(q: Seq[Float]) = SimSearch.cosineToQuery(col("__v"), q)
     var pts = df.filter(col(idCol) =!= seedId)
       .select(col(idCol).as("__id"), col(vecCol).as("__v"))
       .withColumn("__bs", simTo(seedVec))
       .localCheckpoint(eager = true)
     var sel = Seq((1, seedId, Option.empty[Double]))
-    for (i <- 2 to k) {
-      val next = pts.orderBy(col("__bs").asc, col("__id")).limit(1)
-        .select(col("__id"), col("__v"), col("__bs")).head()
-      val nextVec = next.getSeq[Float](1)
-      sel = sel :+ ((i, next.getLong(0), Some(next.getDouble(2))))
-      if (i < k)
-        pts = pts.filter(col("__id") =!= next.getLong(0))
-          .withColumn("__bs", greatest(col("__bs"), simTo(nextVec)))
-          .localCheckpoint(eager = true)
+    var exhausted = false
+    for (i <- 2 to k if !exhausted) {
+      // when k exceeds the point count the argmin frame runs dry: return the
+      // full ordering selected so far rather than crashing on head()
+      pts.orderBy(col("__bs").asc, col("__id")).limit(1)
+        .select(col("__id"), col("__v"), col("__bs")).head(1).headOption match {
+        case None => exhausted = true
+        case Some(next) =>
+          val nextVec = next.getSeq[Float](1)
+          sel = sel :+ ((i, next.getLong(0), Some(next.getDouble(2))))
+          if (i < k)
+            pts = pts.filter(col("__id") =!= next.getLong(0))
+              .withColumn("__bs", greatest(col("__bs"), simTo(nextVec)))
+              .localCheckpoint(eager = true)
+      }
     }
     val spark = df.sparkSession
     import spark.implicits._

@@ -135,10 +135,18 @@ object Experiment {
     val poly = t * (lit(0.254829592) + t * (lit(-0.284496736) +
       t * (lit(1.421413741) + t * (lit(-1.453152027) + t * lit(1.061405429)))))
     val pTwo = poly * exp(-(x * x))
+    // degenerate inputs (single group: nn==n; pooled rate 0 or 1) make the z
+    // denominator 0 — NaN/Inf propagation differs across engines, so those
+    // rows get an explicit NULL p and rank LAST deterministically (both the
+    // Spark window and the oracle's ROW_NUMBER must say NULLS LAST)
+    val degenerate = col("nn") === col("n") ||
+      col("pp") === lit(0L) || col("pp") === col("nn")
     val scored = withTot.select(col(groupCol), col("n"), col("pos"),
-      round(pg, 6).as("rate"), round(z, 6).as("z"),
-      round(pTwo, 6).as("p_value"), col("m"))
-    val wRank = Window.orderBy(col("p_value"), col(groupCol))
+      round(pg, 6).as("rate"),
+      when(degenerate, lit(null)).otherwise(round(z, 6)).as("z"),
+      when(degenerate, lit(null)).otherwise(round(pTwo, 6)).as("p_value"),
+      col("m"))
+    val wRank = Window.orderBy(col("p_value").asc_nulls_last, col(groupCol))
     val wAll = Window.partitionBy()
     scored
       .withColumn("bh_rank", row_number().over(wRank))

@@ -36,8 +36,9 @@ object Mmr {
              candidates: Int = 20, k: Int = 5,
              lambda: Double = 0.5): DataFrame = {
     require(k >= 1 && candidates >= k, s"need 1 <= k ($k) <= candidates ($candidates)")
-    val q = df.filter(col(idCol) === queryId).select(col(vecCol))
-      .head().getSeq[Float](0)
+    val qRow = df.filter(col(idCol) === queryId).select(col(vecCol)).head(1)
+    require(qRow.nonEmpty, s"query id $queryId not found in $idCol")
+    val q = qRow(0).getSeq[Float](0)
     // corpus-side pass: relevance + shortlist (TakeOrderedAndProject), then
     // materialize the tiny shortlist so the greedy iterations never re-scan
     val cand = df.filter(col(idCol) =!= queryId)

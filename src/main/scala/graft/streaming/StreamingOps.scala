@@ -833,6 +833,13 @@ object StreamingOps {
             Seq.fill(maxLag)((0L, 0.0, 0.0, 0.0, 0.0, 0.0))))
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
             val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // the in-order/unique-day contract, ENFORCED: a duplicate or
+            // out-of-order day would pair against an unshifted ring and then
+            // prepend a second entry for the same day, silently corrupting
+            // every later lag alignment — drop such arrivals instead
+            if (st.lastEpochDay != Long.MinValue && epochDay <= st.lastEpochDay) {
+              // skip: late/duplicate day
+            } else {
             // shift the ring past calendar gaps: ring(i) = value at day−1−i
             val gap =
               if (st.lastEpochDay == Long.MinValue) 0
@@ -850,6 +857,7 @@ object StreamingOps {
               } else m
             }
             st = AcfState((e.x +: shifted).take(maxLag), epochDay, moments)
+            }
           }
           state.update(st)
           st.moments.zipWithIndex.map { case ((n, sx, sy, sxy, sxx, syy), i) =>
