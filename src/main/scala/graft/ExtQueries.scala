@@ -486,6 +486,51 @@ object ExtQueries {
       |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH recall/probes curve ([[SimSearch.lshRecallByProbe]]):
+    * for probe radius 0..3 over the 8-plane sign-LSH index, what fraction of
+    * the exact top-10 (5 queries, brute force) falls inside the probed bucket
+    * ring — the measured tuning curve for `maxHammingProbe`, with the probed
+    * bucket count alongside as the cost axis.
+    */
+  def qLshMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    SimSearch.lshRecallByProbe(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, numPlanes = 8, maxRadius = 3)
+      .orderBy(col("max_hamming"))
+  }
+
+  val lshMultiprobeSql: String = {
+    val planes = lshBucketPlanesSql(8)
+    s"""WITH b AS (SELECT vec_id, embedding,
+      |      $planes AS bucket,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |    FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, embedding AS qe, nrm AS qn, bucket AS qb
+      |    FROM b WHERE vec_id < 5),
+      |s AS (SELECT q.query_id, c.vec_id, q.qb,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> c.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) / (c.nrm * q.qn)
+      |      AS cos_raw,
+      |    c.bucket
+      |  FROM b c CROSS JOIN q WHERE c.vec_id <> q.query_id),
+      |t AS (SELECT query_id, vec_id, bucket, qb,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_raw DESC, vec_id) AS rank
+      |  FROM s),
+      |h AS (SELECT bit_count(xor(bucket, qb)) AS h FROM t WHERE rank <= 10),
+      |r AS (SELECT * FROM (VALUES (0, 1), (1, 9), (2, 37), (3, 93))
+      |    AS v(max_hamming, n_probe_buckets))
+      |SELECT CAST(r.max_hamming AS INT) AS max_hamming,
+      |  CAST(r.n_probe_buckets AS BIGINT) AS n_probe_buckets,
+      |  COUNT(*) AS n_truth_pairs,
+      |  CAST(SUM(CASE WHEN h.h <= r.max_hamming THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_found,
+      |  ROUND(SUM(CASE WHEN h.h <= r.max_hamming THEN 1 ELSE 0 END) * 1.0
+      |    / COUNT(*), 6) AS recall
+      |FROM h CROSS JOIN r GROUP BY 1, 2 ORDER BY 1""".stripMargin
+  }
+
   /** End-to-end corpus curation — the composed shape a training-data pipeline runs:
     * quality filter (length band) → exact dedup keeping canonical docs → per-language
     * corpus stats. Exercises operator COMPOSITION under one plan: the filter pushes
@@ -2947,6 +2992,7 @@ object ExtQueries {
     "q_simsearch_topk" -> (qSimsearchTopk _),
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_simsearch_lsh" -> (qSimsearchLsh _),
+    "q_lsh_multiprobe" -> (qLshMultiprobe _),
     "q_simsearch_quantized" -> (qSimsearchQuantized _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_corpus_curation_lsh" -> (qCorpusCurationLsh _),
@@ -3048,6 +3094,7 @@ object ExtQueries {
     "q_simsearch_topk" -> simsearchTopkSql,
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_simsearch_lsh" -> simsearchLshSql,
+    "q_lsh_multiprobe" -> lshMultiprobeSql,
     "q_simsearch_quantized" -> simsearchQuantizedSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_curation_lsh" -> corpusCurationLshSql,

@@ -358,4 +358,51 @@ object SimSearch {
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
   }
+
+  /** Multi-probe recall curve for the sign-LSH index: for each hamming probe
+    * radius 0..`maxRadius`, the fraction of EXACT top-k results (per query,
+    * vs brute force — [[topKForQueries]]) whose corpus bucket lies within that
+    * radius of the query's bucket, i.e. the candidate recall the banded
+    * multi-probe ring ([[lshTopKForQueries]]) achieves at that radius. The
+    * whole curve needs ONE hamming evaluation per truth pair — a true
+    * neighbor at hamming h is admitted by every radius ≥ h, so per-radius
+    * candidate generation would recompute the same information
+    * (the exact re-rank inside the ring keeps every admitted true neighbor).
+    *
+    * `n_probe_buckets` rides along: Σ_{i≤r} C(numPlanes, i) — the index cost
+    * knob a caller tunes against the recall this curve measures.
+    *
+    * Scale shape: the truth side is the production measurement harness run on
+    * a SAMPLE of queries (here: the query frame itself); everything downstream
+    * of the exact top-k is O(#queries × k) rows.
+    */
+  def lshRecallByProbe(corpus: DataFrame, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       numPlanes: Int = 8, maxRadius: Int = 3,
+                       dims: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val truth = topKForQueries(corpus, queries, idCol, vecCol, k)
+      .select(col("query_id"), col(idCol))
+    val cb = corpus.select(col(idCol),
+      lshBucket(col(vecCol), dims, numPlanes).as("__cb"))
+    val qb = queries.select(col(idCol).as("query_id"),
+      lshBucket(col(vecCol), dims, numPlanes).as("__qb"))
+    def choose(n: Int, r: Int): Long =
+      (0 until r).foldLeft(1L)((acc, i) => acc * (n - i) / (i + 1))
+    val radii = (0 to maxRadius)
+      .map(r => (r, (0 to r).map(choose(numPlanes, _)).sum))
+      .toDF("max_hamming", "n_probe_buckets")
+    truth.join(cb, Seq(idCol)).join(broadcast(qb), Seq("query_id"))
+      .select(bit_count(col("__cb").bitwiseXOR(col("__qb"))).as("__h"))
+      .crossJoin(broadcast(radii))
+      .groupBy(col("max_hamming"), col("n_probe_buckets"))
+      .agg(count(lit(1)).as("n_truth_pairs"),
+        sum(when(col("__h") <= col("max_hamming"), 1L).otherwise(0L))
+          .as("n_found"))
+      .select(col("max_hamming").cast("int").as("max_hamming"),
+        col("n_probe_buckets"), col("n_truth_pairs"), col("n_found"),
+        round(col("n_found").cast("double") / col("n_truth_pairs"), 6)
+          .as("recall"))
+  }
 }

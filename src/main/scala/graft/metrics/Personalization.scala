@@ -132,27 +132,29 @@ object Personalization {
     */
   def personalizationBlockMatrix(df: DataFrame, colUser: String, colItem: String,
                                  blockSize: Int = 1024): Double = {
-    val spark = df.sparkSession
     val counts = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v")).cache()
     try {
-      val users = counts.select(col(colUser)).distinct().rdd.map(_.get(0))
-        .zipWithIndex().collectAsMap()
-      val n = users.size
+      // dense matrix indices are derived DISTRIBUTED (zipWithIndex + RDD join on
+      // the natural key) — no collectAsMap: a driver-side O(#users + #items) map
+      // is exactly the scale ceiling this v0 partner exists to avoid
+      val userIdx = counts.select(col(colUser)).distinct().rdd
+        .map(_.get(0)).zipWithIndex()
+      val n = userIdx.count()
       if (n < 2) return 0.0
-      val bcUsers = spark.sparkContext.broadcast(users)
-      val items = counts.select(col(colItem)).distinct().rdd.map(_.get(0))
-        .zipWithIndex().collectAsMap()
-      val bcItems = spark.sparkContext.broadcast(items)
-      val norms = counts.groupBy(col(colUser))
+      val itemIdx = counts.select(col(colItem)).distinct().rdd
+        .map(_.get(0)).zipWithIndex()
+      val nItems = itemIdx.count()
+      val normsRdd = counts.groupBy(col(colUser))
         .agg(sqrt(sum(col("v") * col("v"))).as("nrm"))
-        .rdd.map(r => (r.get(0), r.getDouble(1))).collectAsMap()
-      val bcNorms = spark.sparkContext.broadcast(norms)
-      val entries = counts.rdd.map { r =>
-        MatrixEntry(bcUsers.value(r.get(0)), bcItems.value(r.get(1)),
-          r.getDouble(2) / bcNorms.value(r.get(0)))
-      }
-      val m = new CoordinateMatrix(entries, n.toLong, items.size.toLong)
+        .rdd.map(r => (r.get(0), r.getDouble(1)))
+      val entries = counts.rdd
+        .map(r => (r.get(0), (r.get(1), r.getDouble(2))))
+        .join(userIdx.join(normsRdd))
+        .map { case (_, ((item, v), (uid, nrm))) => (item, (uid, v / nrm)) }
+        .join(itemIdx)
+        .map { case (_, ((uid, x), iid)) => MatrixEntry(uid, iid, x) }
+      val m = new CoordinateMatrix(entries, n, nItems)
         .toBlockMatrix(blockSize, blockSize)
       val gram = m.multiply(m.transpose)
       val sumAll = gram.toCoordinateMatrix().entries.map(_.value).sum()
@@ -167,22 +169,24 @@ object Personalization {
     */
   def personalizationDimsum(df: DataFrame, colUser: String, colItem: String,
                             threshold: Double = 0.0): Double = {
-    val spark = df.sparkSession
     val counts = df.groupBy(col(colUser), col(colItem))
       .agg(count(lit(1)).cast("double").as("v")).cache()
     try {
-      val users = counts.select(col(colUser)).distinct().rdd.map(_.get(0))
-        .zipWithIndex().collectAsMap()
-      val n = users.size
+      // indices derived distributed, as in [[personalizationBlockMatrix]]
+      val userIdx = counts.select(col(colUser)).distinct().rdd
+        .map(_.get(0)).zipWithIndex()
+      val n = userIdx.count()
       if (n < 2) return 0.0
-      val bcUsers = spark.sparkContext.broadcast(users)
-      val items = counts.select(col(colItem)).distinct().rdd.map(_.get(0))
-        .zipWithIndex().collectAsMap()
-      val bcItems = spark.sparkContext.broadcast(items)
-      val entries = counts.rdd.map { r =>
-        MatrixEntry(bcItems.value(r.get(1)), bcUsers.value(r.get(0)), r.getDouble(2))
-      }
-      val mat = new CoordinateMatrix(entries, items.size.toLong, n.toLong).toRowMatrix()
+      val itemIdx = counts.select(col(colItem)).distinct().rdd
+        .map(_.get(0)).zipWithIndex()
+      val nItems = itemIdx.count()
+      val entries = counts.rdd
+        .map(r => (r.get(0), (r.get(1), r.getDouble(2))))
+        .join(userIdx)
+        .map { case (_, ((item, v), uid)) => (item, (uid, v)) }
+        .join(itemIdx)
+        .map { case (_, ((uid, v), iid)) => MatrixEntry(iid, uid, v) }
+      val mat = new CoordinateMatrix(entries, nItems, n).toRowMatrix()
       val sumSim = mat.columnSimilarities(threshold).entries.map(_.value).sum()
       1.0 - 2.0 * sumSim / (n.toDouble * (n - 1))
     } finally { counts.unpersist(); () }

@@ -87,4 +87,59 @@ class LayoutSpec extends SparkTestBase {
       .select("k", "payload", "attr").as[(Long, String, String)].collect().sorted
     assert(salted.sameElements(plain) && plain.length == 7)
   }
+
+  test("saltedJoin spreads a hot key across shuffle partitions " +
+    "(measured on task shuffle-read metrics, not wall time)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    // 50k-row fact side with 90% of rows on ONE key — the shape where an
+    // unsalted shuffle join puts ~all the data in a single reducer task
+    val nRows = 50000
+    val big = spark.range(nRows.toLong)
+      .select((when(col("id") % 10 < 9, lit(0L)).otherwise(col("id") % 1000))
+        .as("k"), col("id").as("payload"))
+    val small = spark.range(1000L).select(col("id").as("k"),
+      concat(lit("attr_"), col("id")).as("attr"))
+
+    def maxTaskShuffleReadRecords(job: => Long): (Long, Long) = {
+      val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null)
+            maxRead.getAndUpdate(c =>
+              math.max(c, m.shuffleReadMetrics.recordsRead))
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val rows = job
+        org.apache.spark.GraftTestBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        (rows, maxRead.get())
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+
+    // force the skew to be visible: no AQE rebalancing, no broadcast escape —
+    // the production regime this guards is a dim side too big to broadcast
+    // 32 shuffle partitions so the 4 salt groups rarely collide into one
+    // reducer (the suite default of 4 partitions would re-merge them)
+    val confs = Seq("spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = confs.map { case (key, _) => key -> spark.conf.get(key) }
+    confs.foreach { case (key, v) => spark.conf.set(key, v) }
+    try {
+      val (nPlain, maxPlain) = maxTaskShuffleReadRecords(
+        big.join(small, Seq("k")).count())
+      val (nSalted, maxSalted) = maxTaskShuffleReadRecords(
+        Layout.saltedJoin(big, small, Seq("k"), saltFactor = 4).count())
+      assert(nPlain == nSalted && nPlain == nRows.toLong)
+      // unsalted: the hot key's reducer reads ~45k records; salted by 4 the
+      // worst task carries ~1/4 of that (plus the small side's replicas)
+      assert(maxPlain >= (nRows * 9) / 10,
+        s"fixture not skewed as designed: maxPlain=$maxPlain")
+      assert(maxSalted * 2 <= maxPlain,
+        s"salting did not spread the hot key: $maxSalted vs $maxPlain")
+    } finally saved.foreach { case (key, v) => spark.conf.set(key, v) }
+  }
 }

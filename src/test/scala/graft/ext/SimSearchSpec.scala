@@ -65,6 +65,27 @@ class SimSearchSpec extends SparkTestBase {
     assert(recall >= 0.7, s"recall $recall exact=$exact approx=$approxTop")
   }
 
+  test("lshRecallByProbe: >=0.9 recall within hamming radius 1 on clustered " +
+    "data, and the curve is monotone with correct ring sizes") {
+    // 10 tight clusters (intra-cosine ~0.99): every true top-5 neighbor is a
+    // clustermate, so its bucket is 0-1 planes away from the query's
+    val tight = (0 until 100).map { j =>
+      (j.toLong, (0 until dim).map(i =>
+        (math.sin(j / 10 * 31 + i) + 0.01 * math.cos(j * 13 + i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = tight.filter(col("vec_id") % 10 === 0)
+    val curve = SimSearch.lshRecallByProbe(tight, queries, "vec_id",
+        "embedding", k = 5, numPlanes = 8, maxRadius = 2)
+      .orderBy(col("max_hamming"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(4)))
+    assert(curve.map(_._2).toSeq == Seq(1L, 9L, 37L)) // Σ C(8,i) ring sizes
+    val recalls = curve.map(_._3)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b })
+    assert(recalls(1) >= 0.9,
+      s"multi-probe radius 1 should recover clustered neighbors: ${recalls.toSeq}")
+  }
+
   test("IVF index + probe recovers brute-force neighbors on clustered data") {
     val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
       .collect().map(_.getLong(0)).toSet

@@ -29,6 +29,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(approx(h.sum, 1.0))
   }
 
+  /** Render a real image in-memory with the JDK's own encoder — a genuine
+    * PNG/JPEG byte stream, no external fixture files or libraries.
+    */
+  private def renderImage(w: Int, h: Int, fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, ((x * 7 + y * 13) % 256) * 0x010101)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec decodes real PNG and JPEG headers (width/height/format)") {
+    val rows = Seq(
+      (1L, renderImage(37, 21, "png")),
+      (2L, renderImage(64, 48, "jpg")),
+      (3L, "not an image at all".getBytes("UTF-8")))
+    val df = rows.toDF("doc_id", "media")
+    val out = Multimodal.decodeMeta(df, "media", ImageIoCodec).collect()
+      .map(r => r.getLong(0) -> r.getStruct(r.length - 1)).toMap
+    assert(out(1L).getAs[String]("format") == "png")
+    assert(out(1L).getAs[Int]("width") == 37)
+    assert(out(1L).getAs[Int]("height") == 21)
+    assert(out(1L).getAs[Long]("n_bytes") == rows(0)._2.length.toLong)
+    assert(out(2L).getAs[String]("format") == "jpeg")
+    assert(out(2L).getAs[Int]("width") == 64)
+    assert(out(2L).getAs[Int]("height") == 48)
+    // non-image blobs degrade to "unknown" instead of throwing mid-scan
+    assert(out(3L).getAs[String]("format") == "unknown")
+    assert(out(3L).getAs[Int]("width") == 0)
+  }
+
+  test("ImageIoCodec.lumaHistogram decodes real pixels to a normalized histogram") {
+    val png = renderImage(16, 16, "png")
+    val Some(h) = ImageIoCodec.lumaHistogram(png)
+    assert(h.length == 16)
+    assert(approx(h.sum, 1.0))
+    // the gradient fill spans many luma values — not a single-bin histogram
+    assert(h.count(_ > 0.0) > 4)
+    assert(ImageIoCodec.lumaHistogram("plain text".getBytes("UTF-8")).isEmpty)
+  }
+
   test("frameSample explodes n frames per blob with correct offsets") {
     val out = Multimodal.frameSample(Multimodal.withFakeMedia(docs, "text"), "media",
       n = 3, frameBytes = 4)
