@@ -138,6 +138,7 @@ class LayoutSpec extends SparkTestBase {
       // worst task carries ~1/4 of that (plus the small side's replicas)
       assert(maxPlain >= (nRows * 9) / 10,
         s"fixture not skewed as designed: maxPlain=$maxPlain")
+      info(s"hot-reducer shuffle-read records: unsalted=$maxPlain salted=$maxSalted")
       assert(maxSalted * 2 <= maxPlain,
         s"salting did not spread the hot key: $maxSalted vs $maxPlain")
     } finally saved.foreach { case (key, v) => spark.conf.set(key, v) }
