@@ -531,6 +531,88 @@ object VanguardQueries {
       |ORDER BY rule""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Data selection: DSIR importance weights, token-budget pick, interleave
+  // --------------------------------------------------------------------------
+
+  /** DSIR importance log-weights toward the English slice of the corpus
+    * ([[graft.ext.Importance.dsirLogWeights]], 256 hash buckets).
+    */
+  def qDsirWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Importance.dsirLogWeights(Tables.documents(spark, dir),
+        "doc_id", "text", isTarget = col("lang") === "en", numBuckets = 256)
+      .orderBy(col("doc_id"))
+
+  val dsirWeightsSql: String =
+    """WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+      |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+      |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)),
+      |dist AS (SELECT b, COUNT(*) AS n_raw,
+      |    CAST(SUM(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+      |  FROM toks GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_raw) AS BIGINT) AS nr,
+      |    CAST(SUM(n_tgt) AS BIGINT) AS nt FROM dist),
+      |lr AS (SELECT b,
+      |    CAST(ln((n_tgt + 1) * 1.0 / (nt + 256))
+      |      - ln((n_raw + 1) * 1.0 / (nr + 256)) AS DECIMAL(12,6)) AS lr
+      |  FROM dist CROSS JOIN tot),
+      |dc AS (SELECT doc_id, b, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT dc.doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(c * lr) AS DOUBLE), 6) AS log_weight
+      |FROM dc JOIN lr ON dc.b = lr.b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Greedy token-budget selection ([[graft.ext.Importance.tokenBudgetSelect]]):
+    * keep the highest-lexical-density documents until 20k tokens are spent.
+    */
+  def qTokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val nTokens =
+      (length(col("text")) - length(regexp_replace(col("text"), " ", "")) + 1)
+        .cast("long")
+    val scored = Tables.documents(spark, dir)
+      .select(col("doc_id"), nTokens.as("n_toks"),
+        round(nTokens.cast("double") / col("n_chars"), 6).as("density"))
+    graft.ext.Importance.tokenBudgetSelect(scored, "doc_id", "density",
+        "n_toks", budget = 20000L)
+      .orderBy(col("sel_rank"))
+  }
+
+  val tokenBudgetSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+      |      AS n_tokens,
+      |    ROUND((length(text) - length(replace(text, ' ', '')) + 1) * 1.0
+      |      / n_chars, 6) AS score
+      |  FROM documents),
+      |r AS (SELECT doc_id, score, n_tokens,
+      |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS sel_rank,
+      |    CAST(SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM d)
+      |SELECT doc_id, score, n_tokens, sel_rank, cum_tokens
+      |FROM r WHERE cum_tokens <= 20000 ORDER BY sel_rank""".stripMargin
+
+  /** Proportional source interleave ([[graft.ext.Importance.interleaveBySource]]):
+    * the deterministic global training order with same-source runs bounded by
+    * corpus share.
+    */
+  def qInterleaveOrder(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Importance.interleaveBySource(Tables.documents(spark, dir),
+        "doc_id", "source")
+      .orderBy(col("position"))
+
+  val interleaveOrderSql: String =
+    """WITH k AS (SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS m
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, m,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, doc_id) AS rr,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM k)
+      |SELECT ROW_NUMBER() OVER (ORDER BY ROUND((rr - 0.5) / n, 6), m, doc_id)
+      |    AS position,
+      |  doc_id, source, ROUND((rr - 0.5) / n, 6) AS interleave_key
+      |FROM r ORDER BY position""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
@@ -547,7 +629,10 @@ object VanguardQueries {
     "q_skipgram_pmi" -> (qSkipgramPmi _),
     "q_deletion_sweep" -> (qDeletionSweep _),
     "q_data_contract" -> (qDataContract _),
-    "q_readability" -> (qReadability _))
+    "q_readability" -> (qReadability _),
+    "q_dsir_weights" -> (qDsirWeights _),
+    "q_token_budget" -> (qTokenBudget _),
+    "q_interleave_order" -> (qInterleaveOrder _))
 
   val oracleSql: Map[String, String] = Map(
     "q_mmr_rerank" -> mmrRerankSql,
@@ -562,5 +647,8 @@ object VanguardQueries {
     "q_skipgram_pmi" -> skipgramPmiSql,
     "q_deletion_sweep" -> deletionSweepSql,
     "q_data_contract" -> dataContractSql,
-    "q_readability" -> readabilitySql)
+    "q_readability" -> readabilitySql,
+    "q_dsir_weights" -> dsirWeightsSql,
+    "q_token_budget" -> tokenBudgetSql,
+    "q_interleave_order" -> interleaveOrderSql)
 }

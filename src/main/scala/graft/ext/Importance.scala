@@ -1,0 +1,142 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+
+/** Data-selection operators for training-corpus curation: importance weighting
+  * toward a target distribution (hashed-n-gram DSIR, Xie et al. 2023,
+  * arXiv:2302.03169), greedy selection under a token budget, and
+  * proportional source interleaving for training order.
+  *
+  * North-star extensions (no counterpart in the reference —
+  * /root/reference/recmetrics_pyspark/recmetrics_pyspark.py has no
+  * data-selection surface).
+  */
+object Importance {
+
+  /** Hashed-unigram bucket id — md5-derived, the engine's shared deterministic
+    * hash idiom (same arithmetic the DuckDB oracles replay).
+    */
+  private def tokenBucket(tok: Column, numBuckets: Int): Column =
+    pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(numBuckets))
+
+  /** DSIR-style importance log-weights: score every document by how much more
+    * likely its hashed-unigram counts are under the TARGET distribution (rows
+    * where `isTarget`) than under the full raw corpus —
+    * `log w(d) = Σ_b c_d(b)·(ln p_target(b) − ln p_raw(b))`, add-one smoothed
+    * over `numBuckets` hash buckets. Sampling ∝ exp(log w) shifts the corpus
+    * toward the target domain (the DSIR selection rule).
+    *
+    * Scale shape: one token explode feeds BOTH distributions (a single
+    * conditional aggregate over `numBuckets` rows — broadcast back) and the
+    * per-doc bucket counts; everything map-side-combines on (doc, bucket).
+    * The per-BUCKET log ratio is quantized to DECIMAL(12,6) at the source:
+    * libm `ln` differs sub-ulp across engines, and quantizing each of
+    * ~numBuckets ratios once (instead of each doc×bucket TERM) makes every
+    * downstream product and sum exact integer×decimal arithmetic — caught by
+    * the sf0.1 scale-tier gate, where a term-level DECIMAL(18,8) cast let one
+    * doc in 5000 flip its 6th decimal.
+    */
+  def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, numBuckets: Int = 256): DataFrame = {
+    val toks = docs
+      .select(col(idCol), isTarget.as("__t"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__b", tokenBucket(col("__tok"), numBuckets))
+    val dist = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
+    val tot = dist.agg(sum(col("n_raw")).as("__nr"), sum(col("n_tgt")).as("__nt"))
+    val logRatio = dist.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("n_tgt") + 1).cast("double") / (col("__nt") + numBuckets)) -
+          log((col("n_raw") + 1).cast("double") / (col("__nr") + numBuckets)))
+          .cast("decimal(12,6)").as("__lr"))
+    toks.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(logRatio), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__lr")).as("__lw"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("__lw").cast("double"), 6).as("log_weight"))
+  }
+
+  /** Greedy selection under a token budget: rank documents by
+    * `(scoreCol desc, idCol)` and keep the maximal prefix whose cumulative
+    * `tokenCol` stays within `budget` (each kept row's OWN tokens included).
+    * Output: (idCol, score, n_tokens, sel_rank, cum_tokens) for kept rows.
+    *
+    * The running sum uses the [[graft.metrics.LongTail]] two-phase discipline
+    * (range-repartition on the sort key, per-partition totals, broadcast
+    * prefix offsets) — no single-task global window, so the selection holds
+    * at catalog scale.
+    */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, scoreCol: String,
+                        tokenCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .select(col(idCol), col(scoreCol).cast(DoubleType).as("score"),
+        col(tokenCol).cast(LongType).as("n_tokens"))
+      .repartitionByRange(col("score").desc, col(idCol))
+      .sortWithinPartitions(col("score").desc, col(idCol))
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val partStats = rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var rows = 0L; var tok = 0L
+        it.foreach { r => rows += 1; tok += r.getLong(2) }
+        Iterator((pid, rows, tok))
+      }
+      .collect().sortBy(_._1)
+    val rowOffsets = partStats.map(_._2).scanLeft(0L)(_ + _)
+    val tokOffsets = partStats.map(_._3).scanLeft(0L)(_ + _)
+    val bcRow = spark.sparkContext.broadcast(rowOffsets)
+    val bcTok = spark.sparkContext.broadcast(tokOffsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      // partitions whose token prefix already exceeds the budget emit nothing
+      var rank = bcRow.value(pid)
+      var cum = bcTok.value(pid)
+      it.flatMap { r =>
+        rank += 1; cum += r.getLong(2)
+        if (cum <= budget) Some(Row(r.get(0), r.getDouble(1), r.getLong(2), rank, cum))
+        else None
+      }
+    }
+    val idField = df.schema(idCol)
+    spark.createDataFrame(out, StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("score", DoubleType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("sel_rank", LongType, nullable = false),
+      StructField("cum_tokens", LongType, nullable = false))))
+  }
+
+  /** Proportional source interleave — a deterministic global training order in
+    * which each source's documents are spread evenly (the i-th of a source's
+    * n docs lands at fraction (i−0.5)/n), so runs of same-source documents
+    * are bounded by the source's corpus share instead of clustering. Output:
+    * (position, idCol, srcCol, interleave_key) — `position` is the global
+    * 1-based training order.
+    *
+    * Within-source ranks come from a PARTITIONED window (per-source, ordered
+    * by the md5 scatter of the id — scale-safe); the global position is
+    * [[GlobalRank.globalRowNumber]] on (fraction, md5, id), not a single-task
+    * global window.
+    */
+  def interleaveBySource(docs: DataFrame, idCol: String, srcCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scatter = md5(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(srcCol)).orderBy(scatter, col(idCol))
+    val keyed = docs
+      .select(col(idCol), col(srcCol), scatter.as("__md5"))
+      .withColumn("__r", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col(srcCol))))
+      .withColumn("interleave_key",
+        round((col("__r") - lit(0.5)) / col("__n"), 6))
+    GlobalRank.globalRowNumber(
+        keyed.select(col(idCol), col(srcCol), col("interleave_key"), col("__md5")),
+        Seq(col("interleave_key"), col("__md5"), col(idCol)), rnCol = "position")
+      .select(col("position"), col(idCol), col(srcCol), col("interleave_key"))
+  }
+}
