@@ -40,20 +40,31 @@ object Importance {
     */
   def dsirLogWeights(docs: DataFrame, idCol: String, textCol: String,
                      isTarget: Column, numBuckets: Int = 256): DataFrame = {
-    val toks = docs
+    // ONE explode pass: the corpus/target bucket distributions are derived
+    // FROM the per-doc counts (Σ over docs), not from a second scan — without
+    // the checkpoint, Catalyst specializes the explode pipeline per consumer
+    // and AQE re-runs it (observed: 9 parquet scans / 12 Generates for this
+    // plan's naive form; 1 scan / 1 Generate after). The materialized frame
+    // is ≤ one row per (doc, distinct bucket) — capped at docs×numBuckets,
+    // far below the token stream it replaces.
+    val docBuckets = docs
       .select(col(idCol), isTarget.as("__t"),
         explode(split(col(textCol), " ")).as("__tok"))
       .withColumn("__b", tokenBucket(col("__tok"), numBuckets))
-    val dist = toks.groupBy(col("__b"))
-      .agg(count(lit(1)).as("n_raw"),
-        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
+      .groupBy(col(idCol), col("__t"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(eager = true)
+    val dist = docBuckets.groupBy(col("__b"))
+      .agg(sum(col("__c")).as("n_raw"),
+        sum(when(col("__t"), col("__c")).otherwise(0L)).as("n_tgt"))
+      .localCheckpoint(eager = true) // numBuckets rows; feeds tot AND logRatio
     val tot = dist.agg(sum(col("n_raw")).as("__nr"), sum(col("n_tgt")).as("__nt"))
     val logRatio = dist.crossJoin(broadcast(tot))
       .select(col("__b"),
         (log((col("n_tgt") + 1).cast("double") / (col("__nt") + numBuckets)) -
           log((col("n_raw") + 1).cast("double") / (col("__nr") + numBuckets)))
           .cast("decimal(12,6)").as("__lr"))
-    toks.groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+    docBuckets
       .join(broadcast(logRatio), Seq("__b"))
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_tokens"),
