@@ -54,6 +54,40 @@ object ExtQueries {
       |WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** Dup-rate vs threshold sweep ([[Dedup.thresholdCurve]]): pair and
+    * flagged-doc counts at Jaccard cutoffs 0.5–0.9 from one pair computation.
+    */
+  def qDedupThresholdCurve(spark: SparkSession, dir: String): DataFrame =
+    Dedup.thresholdCurve(Tables.documents(spark, dir), "doc_id", "text", k = 3)
+      .orderBy(col("threshold"))
+
+  val dedupThresholdCurveSql: String =
+    s"""WITH $shinglesSql,
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b,
+      |      n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) AS jaccard
+      |  FROM p JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |  WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |th AS (SELECT CAST(v AS DOUBLE) AS threshold
+      |  FROM (VALUES (0.5), (0.6), (0.7), (0.8), (0.9)) t(v)),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |pc AS (SELECT threshold, COUNT(*) AS n_pairs
+      |  FROM j JOIN th ON j.jaccard >= th.threshold GROUP BY 1),
+      |dm AS (SELECT id, MAX(jaccard) AS mj FROM (
+      |    SELECT id_a AS id, jaccard FROM j
+      |    UNION ALL SELECT id_b AS id, jaccard FROM j) GROUP BY 1),
+      |dc AS (SELECT threshold, COUNT(*) AS n_dup_docs
+      |  FROM dm JOIN th ON dm.mj >= th.threshold GROUP BY 1)
+      |SELECT th.threshold, COALESCE(pc.n_pairs, 0) AS n_pairs,
+      |  COALESCE(dc.n_dup_docs, 0) AS n_dup_docs,
+      |  ROUND(COALESCE(dc.n_dup_docs, 0) * 1.0 / nd.n_docs, 6) AS dup_doc_rate
+      |FROM th LEFT JOIN pc ON th.threshold = pc.threshold
+      |LEFT JOIN dc ON th.threshold = dc.threshold
+      |CROSS JOIN nd ORDER BY th.threshold""".stripMargin
+
   /** PPJoin-style prefix-filtered Jaccard ([[Dedup.jaccardPairsPrefix]]):
     * output-identical to [[qDedupJaccard]] (the prefix filter is lossless),
     * but candidates come only from each doc's rarest-first prefix shingles —
@@ -2993,6 +3027,7 @@ object ExtQueries {
     "q_simsearch_batch" -> (qSimsearchBatch _),
     "q_simsearch_lsh" -> (qSimsearchLsh _),
     "q_lsh_multiprobe" -> (qLshMultiprobe _),
+    "q_dedup_threshold_curve" -> (qDedupThresholdCurve _),
     "q_simsearch_quantized" -> (qSimsearchQuantized _),
     "q_corpus_curation" -> (qCorpusCuration _),
     "q_corpus_curation_lsh" -> (qCorpusCurationLsh _),
@@ -3095,6 +3130,7 @@ object ExtQueries {
     "q_simsearch_batch" -> simsearchBatchSql,
     "q_simsearch_lsh" -> simsearchLshSql,
     "q_lsh_multiprobe" -> lshMultiprobeSql,
+    "q_dedup_threshold_curve" -> dedupThresholdCurveSql,
     "q_simsearch_quantized" -> simsearchQuantizedSql,
     "q_corpus_curation" -> corpusCurationSql,
     "q_corpus_curation_lsh" -> corpusCurationLshSql,

@@ -339,6 +339,47 @@ object Dedup {
         round(found.cast("double") / count(lit(1)), 6).as("recall"))
   }
 
+  /** Dup-rate vs threshold curve — the tuning surface for picking a near-dup
+    * Jaccard cutoff: ONE exact pair computation at the loosest threshold, then
+    * every tighter threshold's statistics fold from the same pair table. Per
+    * threshold t: `n_pairs` (pairs with jaccard ≥ t), `n_dup_docs` (docs in at
+    * least one such pair — via each doc's MAX pair jaccard), `dup_doc_rate`
+    * (fraction of the corpus that would be flagged at t).
+    *
+    * Scale shape: the corpus-sized work (shingle join) runs once and the pair
+    * table is localCheckpointed — dup pairs are ≪ corpus; the per-threshold
+    * sweep is a broadcast crossJoin over that small table.
+    */
+  def thresholdCurve(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 3,
+                     thresholds: Seq[Double] = Seq(0.5, 0.6, 0.7, 0.8, 0.9))
+  : DataFrame = {
+    require(thresholds.nonEmpty, "thresholdCurve needs at least one threshold")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pairs = jaccardPairs(df, idCol, textCol, k, thresholds.min)
+      .localCheckpoint(eager = true) // feeds the pair sweep AND the doc sweep
+    val th = thresholds.toDF("threshold")
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val pairCounts = pairs.crossJoin(broadcast(th))
+      .filter(col("jaccard") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_pairs"))
+    val docMax = pairs.select(col("id_a").as("__id"), col("jaccard"))
+      .unionByName(pairs.select(col("id_b").as("__id"), col("jaccard")))
+      .groupBy(col("__id")).agg(max(col("jaccard")).as("__mj"))
+    val docCounts = docMax.crossJoin(broadcast(th))
+      .filter(col("__mj") >= col("threshold"))
+      .groupBy(col("threshold")).agg(count(lit(1)).as("n_dup_docs"))
+    th.join(pairCounts, Seq("threshold"), "left")
+      .join(docCounts, Seq("threshold"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        round(coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          col("n_docs"), 6).as("dup_doc_rate"))
+  }
+
   /** Incremental (new-batch-vs-corpus) dedup — the shape a continuously-refreshed
     * training corpus runs on every ingest: classify each `incoming` document as
     *  - `exact_dup`: byte-identical text already in `existing` (md5 key match;

@@ -16,10 +16,25 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
 object Importance {
 
   /** Hashed-unigram bucket id — md5-derived, the engine's shared deterministic
-    * hash idiom (same arithmetic the DuckDB oracles replay).
+    * hash idiom (same arithmetic the DuckDB oracles replay). Shared with the
+    * streaming twin ([[graft.streaming.StreamingOps.dsirBucketCountsStream]]).
     */
-  private def tokenBucket(tok: Column, numBuckets: Int): Column =
+  private[graft] def tokenBucket(tok: Column, numBuckets: Int): Column =
     pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(numBuckets))
+
+  /** The readout half of [[dsirLogWeights]]: per-bucket DECIMAL(12,6) log
+    * ratios from an aggregated (bucket, n_raw, n_tgt) distribution table.
+    * Shared with the streaming twin, whose stateful aggregate maintains
+    * exactly those counts.
+    */
+  def logRatiosFromDist(dist: DataFrame, numBuckets: Int): DataFrame = {
+    val tot = dist.agg(sum(col("n_raw")).as("__nr"), sum(col("n_tgt")).as("__nt"))
+    dist.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        (log((col("n_tgt") + 1).cast("double") / (col("__nt") + numBuckets)) -
+          log((col("n_raw") + 1).cast("double") / (col("__nr") + numBuckets)))
+          .cast("decimal(12,6)").as("__lr"))
+  }
 
   /** DSIR-style importance log-weights: score every document by how much more
     * likely its hashed-unigram counts are under the TARGET distribution (rows
@@ -58,12 +73,7 @@ object Importance {
       .agg(sum(col("__c")).as("n_raw"),
         sum(when(col("__t"), col("__c")).otherwise(0L)).as("n_tgt"))
       .localCheckpoint(eager = true) // numBuckets rows; feeds tot AND logRatio
-    val tot = dist.agg(sum(col("n_raw")).as("__nr"), sum(col("n_tgt")).as("__nt"))
-    val logRatio = dist.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        (log((col("n_tgt") + 1).cast("double") / (col("__nt") + numBuckets)) -
-          log((col("n_raw") + 1).cast("double") / (col("__nr") + numBuckets)))
-          .cast("decimal(12,6)").as("__lr"))
+    val logRatio = logRatiosFromDist(dist, numBuckets)
     docBuckets
       .join(broadcast(logRatio), Seq("__b"))
       .groupBy(col(idCol))

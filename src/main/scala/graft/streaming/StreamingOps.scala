@@ -894,6 +894,37 @@ object StreamingOps {
     stream.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col(flagCol).cast("long")).as("pos"))
 
+  /** Streaming DSIR distribution — the incremental twin of
+    * [[graft.ext.Importance.dsirLogWeights]]'s distribution half. The stream
+    * maintains ONLY the per-bucket (n_raw, n_tgt) token counts (O(numBuckets)
+    * state, map-side partial); the smoothed log-ratio readout is a snapshot
+    * over `numBuckets` rows per trigger in `foreachBatch` via
+    * [[graft.ext.Importance.logRatiosFromDist]] — the bhFdrCountsStream
+    * division of labor. A live pipeline scores incoming documents by joining
+    * their hashed-unigram counts against the latest ratio snapshot, so the
+    * selection distribution tracks the corpus as it grows.
+    *
+    * Run with `outputMode("complete")`:
+    * {{{
+    * dsirBucketCountsStream(docs, "text", col("lang") === "en").writeStream
+    *   .outputMode("complete")
+    *   .foreachBatch { (counts: DataFrame, _: Long) =>
+    *     Importance.logRatiosFromDist(counts, 256).write...
+    *   }.start()
+    * }}}
+    */
+  def dsirBucketCountsStream(stream: DataFrame, textCol: String,
+                             isTarget: Column,
+                             numBuckets: Int = 256): DataFrame =
+    stream
+      .select(isTarget.as("__t"),
+        explode(split(col(textCol), " ")).as("__tok"))
+      .withColumn("__b",
+        graft.ext.Importance.tokenBucket(col("__tok"), numBuckets))
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
+
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
     import items.sparkSession.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(capacity)

@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.SparkTestBase
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 final case class IncDoc(doc_id: Long, text: String)
@@ -106,6 +107,50 @@ class StreamingOpsSpec extends SparkTestBase {
     val m21 = rows.filter(_._1 == 21L)
     assert(m21.nonEmpty &&
       m21.forall(r => r._2 == "near_dup" && (r._3 == 1L || r._3 == 2L)))
+  }
+
+  test("dsirBucketCountsStream counts match the batch distribution and the " +
+    "shared readout reproduces batch log-ratios") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      IncDoc(1L, "the quick brown fox"), IncDoc(2L, "der schnelle fuchs"),
+      IncDoc(3L, "the lazy dog sleeps"), IncDoc(4L, "den faulen hund"))
+    val lang = (id: Long) => if (id % 2 == 1) "en" else "de"
+    val batchDf = docs.map(d => (d.doc_id, d.text, lang(d.doc_id)))
+      .toDF("doc_id", "text", "lang")
+
+    val input = MemoryStream[IncDoc]
+    input.addData(docs.take(2): _*)
+    val q = StreamingOps
+      .dsirBucketCountsStream(
+        input.toDF().withColumn("lang",
+          when(col("doc_id") % 2 === 1, "en").otherwise("de")),
+        "text", col("lang") === "en", numBuckets = 16)
+      .writeStream.format("memory").queryName("dsir_counts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    input.addData(docs.drop(2): _*) // second micro-batch folds in incrementally
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("dsir_counts")
+    // distribution equals the batch aggregate over the same corpus
+    val batchDist = batchDf
+      .select((col("lang") === "en").as("__t"),
+        explode(split(col("text"), " ")).as("__tok"))
+      .withColumn("__b", conv(substring(md5(col("__tok")), 1, 8), 16, 10)
+        .cast("long") % 16)
+      .groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
+    val s = streamed.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = batchDist.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(s == b, s"stream=$s batch=$b")
+    // and the shared readout on the streamed snapshot == batch readout
+    val fromStream = graft.ext.Importance.logRatiosFromDist(streamed, 16)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val fromBatch = graft.ext.Importance.logRatiosFromDist(batchDist, 16)
+      .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    assert(fromStream == fromBatch)
   }
 
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
