@@ -1285,6 +1285,15 @@ object ExtQueries {
   def qBpePairs(spark: SparkSession, dir: String): DataFrame =
     TextStats.bpePairStats(Tables.documents(spark, dir), "text", topN = 20)
 
+  /** Full BPE merge training ([[graft.ext.BpeTrain.train]], 16 merges over
+    * the ≥2-freq vocabulary). No SQL oracle — the merge recurrence is not
+    * SQL-expressible (driver records the rows-only check); the semantics gate
+    * is BpeTrainSpec's golden fixture from the original paper.
+    */
+  def qBpeTrain(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.BpeTrain.trainDF(spark, Tables.documents(spark, dir), "text",
+      nMerges = 16, minFreq = 2)
+
   val bpePairsSql: String =
     """WITH w AS (SELECT word, COUNT(*) AS n FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3068,6 +3077,7 @@ object ExtQueries {
     "q_knn_label_acc" -> (qKnnLabelAcc _),
     "q_embed_drift" -> (qEmbedDrift _),
     "q_bpe_pairs" -> (qBpePairs _),
+    "q_bpe_train" -> (qBpeTrain _),
     "q_keyword_and" -> (qKeywordAnd _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_heaps_law" -> (qHeapsLaw _),

@@ -1,0 +1,51 @@
+package graft.ext
+
+import graft.SparkTestBase
+
+class BpeTrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // The worked example of Sennrich et al. 2016 §3.2:
+  // vocab {low:5, lower:2, newest:6, widest:3}
+  private def corpus = {
+    val words = Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")
+    Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("train reproduces the paper's merge sequence (ties lexicographic)") {
+    val merges = BpeTrain.train(corpus, "text", nMerges = 5)
+    val got = merges.map(m => (m.rank, m.left, m.right, m.pair_freq))
+    // (e,s) and (s,t) and (t,</w>) all have freq 9 -> lexicographic tie-break
+    assert(got == Seq(
+      (1, "e", "s", 9L),
+      (2, "es", "t", 9L),
+      (3, "est", "</w>", 9L),
+      (4, "l", "o", 7L),
+      (5, "lo", "w", 7L)), s"got $got")
+  }
+
+  test("train stops early when no pair remains") {
+    val tiny = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // "ab</w>" fully merges in 2 steps; further merges are impossible
+    val merges = BpeTrain.train(tiny, "text", nMerges = 10)
+    assert(merges.length == 2)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("a", "b"), ("ab", "</w>")))
+    assert(merges.forall(_.pair_freq == 2L))
+  }
+
+  test("minFreq prunes hapax words from the vocabulary") {
+    val docs = Seq((1L, "aa aa aa zq")).toDF("doc_id", "text")
+    val merges = BpeTrain.train(docs, "text", nMerges = 10, minFreq = 2)
+    // only "aa" survives: merges involve a and </w> exclusively
+    assert(merges.flatMap(m => Seq(m.left, m.right))
+      .forall(s => s.replace("</w>", "").forall(_ == 'a')))
+  }
+
+  test("applyMerge merges left-to-right without overlap") {
+    val v = Seq(BpeTrain.VocabRow(Seq("a", "a", "a"), 1L)).toDS()
+    val out = BpeTrain.applyMerge(v, "a", "a").collect().head.symbols
+    assert(out == Seq("aa", "a")) // NOT (a, aa): scan is left-to-right
+  }
+}
