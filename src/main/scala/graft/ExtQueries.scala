@@ -1294,6 +1294,17 @@ object ExtQueries {
     graft.ext.BpeTrain.trainDF(spark, Tables.documents(spark, dir), "text",
       nMerges = 16, minFreq = 2)
 
+  /** Train-then-encode composition: learn 16 merges, tokenize the corpus with
+    * them, report per-doc BPE sequence lengths ([[graft.ext.BpeTrain.encode]];
+    * rows-only check, like [[qBpeTrain]]).
+    */
+  def qBpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = graft.ext.BpeTrain.train(docs, "text", nMerges = 16, minFreq = 2)
+    graft.ext.BpeTrain.encode(docs, "doc_id", "text", merges)
+      .orderBy(col("doc_id"))
+  }
+
   val bpePairsSql: String =
     """WITH w AS (SELECT word, COUNT(*) AS n FROM (
       |    SELECT unnest(string_split(text, ' ')) AS word FROM documents)
@@ -3078,6 +3089,7 @@ object ExtQueries {
     "q_embed_drift" -> (qEmbedDrift _),
     "q_bpe_pairs" -> (qBpePairs _),
     "q_bpe_train" -> (qBpeTrain _),
+    "q_bpe_encode" -> (qBpeEncode _),
     "q_keyword_and" -> (qKeywordAnd _),
     "q_zipf_slope" -> (qZipfSlope _),
     "q_heaps_law" -> (qHeapsLaw _),

@@ -79,6 +79,64 @@ object BpeTrain {
       .select(col("rank"), col("left"), col("right"), col("pair_freq"))
   }
 
+  /** Encode documents with a learned merge list — the APPLY half of BPE:
+    * per word, repeatedly merge the adjacent pair with the LOWEST merge rank
+    * until none applies (the standard greedy encoding order — rank order, not
+    * left-to-right discovery order). Output: (idCol, n_tokens, n_word_ends) —
+    * the sequence-length accounting a packing/budget pipeline consumes.
+    *
+    * Scale shape: merges are vocabulary-sized (thousands) → one broadcast
+    * map; encoding is embarrassingly parallel per row. The per-word loop is
+    * O(symbols × applied merges) — the same kernel every tokenizer runs.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rank: Map[(String, String), Int] =
+      merges.map(m => (m.left, m.right) -> m.rank).toMap
+    val bc = spark.sparkContext.broadcast(rank)
+    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val r = bc.value
+        var nTokens = 0L
+        var nWords = 0L
+        text.split(" ").iterator.filter(_.nonEmpty).foreach { w =>
+          nWords += 1
+          var s = (w.map(_.toString) :+ EndOfWord).toArray
+          var done = false
+          while (!done && s.length > 1) {
+            // lowest-rank applicable merge wins each round
+            var best = Int.MaxValue; var bi = -1
+            var i = 0
+            while (i < s.length - 1) {
+              val rk = r.getOrElse((s(i), s(i + 1)), Int.MaxValue)
+              if (rk < best) { best = rk; bi = i }
+              i += 1
+            }
+            if (bi < 0) done = true
+            else {
+              val l = s(bi); val rt = s(bi + 1)
+              val out = new Array[String](s.length)
+              // merge EVERY occurrence of this pair, left-to-right
+              var j = 0; var k = 0
+              while (j < s.length) {
+                if (j + 1 < s.length && s(j) == l && s(j + 1) == rt) {
+                  out(k) = l + rt; j += 2
+                } else { out(k) = s(j); j += 1 }
+                k += 1
+              }
+              s = java.util.Arrays.copyOf(out, k)
+            }
+          }
+          nTokens += s.length
+        }
+        (id, nTokens, nWords)
+      }
+      .toDF(idCol, "n_tokens", "n_words")
+  }
+
   /** Highest-frequency adjacent symbol pair (freq desc, then (left, right)
     * asc for determinism); None when no row has two symbols left.
     */

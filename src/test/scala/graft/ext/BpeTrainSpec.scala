@@ -43,6 +43,19 @@ class BpeTrainSpec extends SparkTestBase {
       .forall(s => s.replace("</w>", "").forall(_ == 'a')))
   }
 
+  test("encode applies merges in rank order and counts resulting tokens") {
+    val merges = BpeTrain.train(corpus, "text", nMerges = 5)
+    // "lowest" -> l o w e s t </w> -> es -> est -> est</w> -> lo -> low
+    //   => [low, est</w>] (2 tokens); "newest" -> [n, e, w, est</w>] (4)
+    val docs = Seq((1L, "lowest"), (2L, "newest"), (3L, "lowest newest"))
+      .toDF("doc_id", "text")
+    val out = BpeTrain.encode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((2L, 1L)))
+    assert(out(2L) == ((4L, 1L)))
+    assert(out(3L) == ((6L, 2L)))
+  }
+
   test("applyMerge merges left-to-right without overlap") {
     val v = Seq(BpeTrain.VocabRow(Seq("a", "a", "a"), 1L)).toDS()
     val out = BpeTrain.applyMerge(v, "a", "a").collect().head.symbols
