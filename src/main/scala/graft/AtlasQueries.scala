@@ -274,7 +274,10 @@ object AtlasQueries {
         sum(when(col("s_nationkey") === 1, rev)
           .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"))
       .select(col("o_year"),
-        round(col("total").cast("double"), 6).as("total_revenue"),
+        // grand totals are ~5e9 at sf0.1: ROUND(double, 6) is unstable there
+        // (the 1e-6 increment sits below double ulp — the q_revenue_rollup
+        // trap), so the exact DECIMAL goes out as-is on both engines
+        col("total").cast("decimal(18,4)").as("total_revenue"),
         round(col("nat").cast("double") / col("total").cast("double"), 6)
           .as("mkt_share"))
       .orderBy(col("o_year"))
@@ -291,7 +294,7 @@ object AtlasQueries {
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  GROUP BY 1)
-      |SELECT o_year, ROUND(CAST(total AS DOUBLE), 6) AS total_revenue,
+      |SELECT o_year, CAST(total AS DECIMAL(18,4)) AS total_revenue,
       |  ROUND(CAST(nat AS DOUBLE) / CAST(total AS DOUBLE), 6) AS mkt_share
       |FROM a ORDER BY o_year""".stripMargin
 

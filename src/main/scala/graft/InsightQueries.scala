@@ -135,19 +135,16 @@ object InsightQueries {
       |       FROM recs r JOIN part p ON r.item_id = p.p_partkey GROUP BY 1, 2),
       |ht AS (SELECT "user", SUM(n) AS tot, COUNT(*) AS n_feat_hist FROM hb GROUP BY 1),
       |rt AS (SELECT "user", SUM(n) AS tot, COUNT(*) AS n_feat_rec FROM rb GROUP BY 1),
-      |hs AS (SELECT hb."user", hb.feat, ht.n_feat_hist,
-      |       hb.n * 1.0 / ht.tot AS p FROM hb JOIN ht ON hb."user" = ht."user"),
-      |rs AS (SELECT rb."user", rb.feat, rt.n_feat_rec,
-      |       rb.n * 1.0 / rt.tot AS p FROM rb JOIN rt ON rb."user" = rt."user"),
-      |j AS (SELECT COALESCE(hs."user", rs."user") AS "user",
-      |    hs.n_feat_hist, rs.n_feat_rec,
-      |    CAST(LEAST(COALESCE(hs.p, 0), COALESCE(rs.p, 0)) AS DECIMAL(18,8)) AS ov
-      |  FROM hs FULL OUTER JOIN rs
-      |  ON hs."user" = rs."user" AND hs.feat = rs.feat)
-      |SELECT "user", MAX(n_feat_hist) AS n_feat_hist, MAX(n_feat_rec) AS n_feat_rec,
-      |  ROUND(CAST(SUM(ov) AS DOUBLE), 6) AS overlap
-      |FROM j GROUP BY 1
-      |HAVING MAX(n_feat_hist) IS NOT NULL AND MAX(n_feat_rec) IS NOT NULL
+      |u AS (SELECT ht."user", ht.tot AS th, rt.tot AS tr,
+      |       ht.n_feat_hist, rt.n_feat_rec
+      |  FROM ht JOIN rt ON ht."user" = rt."user"),
+      |ov AS (SELECT hb."user",
+      |       CAST(SUM(LEAST(hb.n * u.tr, rb.n * u.th)) AS BIGINT) AS num
+      |  FROM hb JOIN rb ON hb."user" = rb."user" AND hb.feat = rb.feat
+      |  JOIN u ON hb."user" = u."user" GROUP BY 1)
+      |SELECT u."user", u.n_feat_hist, u.n_feat_rec,
+      |  ROUND(COALESCE(ov.num, 0) * 1.0 / (u.th * u.tr), 6) AS overlap
+      |FROM u LEFT JOIN ov ON u."user" = ov."user"
       |ORDER BY 1""".stripMargin
 
   // -------------------------------------------------------------------------
@@ -1038,16 +1035,20 @@ object InsightQueries {
       .join(hits, Seq("user_id", "item_id"), "left")
       .join(pop, Seq("item_id"), "left")
       .crossJoin(broadcast(totals))
+      // micro-units: the IPS weight is quantized to an INTEGER number of
+      // 1e-6 units — integer sums are engine-exact, and the single final
+      // double division of two BIGINTs is IEEE-identical everywhere. (The
+      // earlier per-row double→DECIMAL(18,8) cast diverged sub-ulp between
+      // engines at sf0.1 — caught by the scale-tier oracle gate.)
       .withColumn("wgt",
-        ((col("total") + col("n_items")).cast("double") /
-          (coalesce(col("pop_n"), lit(0L)) + 1)).cast("decimal(18,8)"))
+        round((col("total") + col("n_items")).cast("double") * 1000000.0 /
+          (coalesce(col("pop_n"), lit(0L)) + 1)).cast("long"))
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_topk"),
-        sum(when(col("hit") === 1, col("wgt"))
-          .otherwise(lit(0).cast("decimal(18,8)"))).as("num"),
+        sum(when(col("hit") === 1, col("wgt")).otherwise(0L)).as("num"),
         sum(col("wgt")).as("den"))
       .select(col("user_id"), col("n_topk"),
-        round((col("num") / col("den")).cast("double"), 6).as("snips"))
+        round(col("num").cast("double") / col("den"), 6).as("snips"))
       .orderBy(col("user_id"))
   }
 
@@ -1063,16 +1064,15 @@ object InsightQueries {
       |      AS rnk FROM rc) WHERE rnk <= 10),
       |h AS (SELECT DISTINCT user_id, item_id, 1 AS hit FROM sales),
       |t AS (SELECT k.user_id,
-      |    CAST((tot.total + tot.n_items) * 1.0 / (COALESCE(pop.pop_n, 0) + 1)
-      |      AS DECIMAL(18,8)) AS wgt,
+      |    CAST(ROUND((tot.total + tot.n_items) * 1000000.0
+      |      / (COALESCE(pop.pop_n, 0) + 1)) AS BIGINT) AS wgt,
       |    COALESCE(h.hit, 0) AS hit
       |  FROM topk k
       |  LEFT JOIN h ON k.user_id = h.user_id AND k.item_id = h.item_id
       |  LEFT JOIN pop ON k.item_id = pop.item_id
       |  CROSS JOIN tot)
       |SELECT user_id, COUNT(*) AS n_topk,
-      |  ROUND(CAST(SUM(CASE WHEN hit = 1 THEN wgt
-      |      ELSE CAST(0 AS DECIMAL(18,8)) END) / SUM(wgt) AS DOUBLE), 6)
+      |  ROUND(SUM(CASE WHEN hit = 1 THEN wgt ELSE 0 END) * 1.0 / SUM(wgt), 6)
       |    AS snips
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 

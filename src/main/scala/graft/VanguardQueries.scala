@@ -85,7 +85,7 @@ object VanguardQueries {
 
   val acfSql: String =
     """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,2)) AS x
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS HUGEINT) AS x
       |  FROM orders GROUP BY 1),
       |l AS (SELECT unnest(generate_series(1, 10)) AS lag),
       |s AS (SELECT l.lag, d.day + CAST(l.lag AS INTEGER) AS tday, d.x AS xs

@@ -32,8 +32,12 @@ object Series {
     */
   def acf(series: DataFrame, dayCol: String, xCol: String,
           maxLag: Int): DataFrame = {
+    // integer cents: Pearson is scale-invariant, and integer moments keep
+    // every product/sum exact on BOTH engines at any data scale — the
+    // DECIMAL(18,2) form overflowed DuckDB's int64 decimal path on sf0.1's
+    // ~1.6e7 daily revenues (x·x products ~2.5e18, sums beyond int64)
     val d = series.select(col(dayCol).as("__day"),
-      col(xCol).cast("decimal(18,2)").as("__x"))
+      (col(xCol).cast("decimal(18,2)") * 100).cast("decimal(19,0)").as("__x"))
     val lagged = d.select(
         explode(sequence(lit(1), lit(maxLag))).as("lag"),
         col("__day"), col("__x"))

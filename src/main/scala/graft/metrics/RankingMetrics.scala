@@ -195,29 +195,33 @@ object RankingMetrics {
     */
   def calibrationOverlap(history: DataFrame, recs: DataFrame,
                          userCol: String, featureCol: String): DataFrame = {
-    def shares(df: DataFrame, alias: String): DataFrame = {
+    def counts(df: DataFrame, alias: String): (DataFrame, DataFrame) = {
       val c = df.select(col(userCol).as("user"), col(featureCol).as("feat"))
-        .groupBy(col("user"), col("feat")).agg(count(lit(1)).as("n"))
-      val t = c.groupBy(col("user")).agg(sum(col("n")).as("tot"),
+        .groupBy(col("user"), col("feat")).agg(count(lit(1)).as(s"n_$alias"))
+      val t = c.groupBy(col("user")).agg(sum(col(s"n_$alias")).as(s"tot_$alias"),
         count(lit(1)).as(s"n_feat_$alias"))
-      c.join(t, Seq("user"))
-        .select(col("user"), col("feat"), col(s"n_feat_$alias"),
-          (col("n").cast("double") / col("tot")).as(s"p_$alias"))
+      (c, t)
     }
-    val h = shares(history, "hist")
-    val r = shares(recs, "rec")
-    // full outer on (user, feat) within users present in both sides: a feature
-    // missing from one side contributes min(p, 0) = 0 but must not drop rows
-    h.join(r, Seq("user", "feat"), "full_outer")
+    // overlap = Σ_feat min(nh/th, nr/tr) = Σ_feat min(nh·tr, nr·th) / (th·tr):
+    // ALL-INTEGER numerator (one exact division at the end) — casting the
+    // per-feature double shares to DECIMAL hits engine-dependent
+    // double→decimal rounding at scale (caught by the sf0.1 oracle tier:
+    // one user in 12.5k flipped its 6th decimal). Features on one side only
+    // contribute min(p, 0) = 0, so the share sum needs only the INNER
+    // feature join; users present in both sides but sharing no feature get
+    // overlap 0 via the left join.
+    val (hc, ht) = counts(history, "hist")
+    val (rc, rt) = counts(recs, "rec")
+    val users = ht.join(rt, Seq("user"))
+    val num = hc.join(rc, Seq("user", "feat"))
+      .join(users.select(col("user"), col("tot_hist"), col("tot_rec")), Seq("user"))
       .groupBy(col("user"))
-      .agg(max(col("n_feat_hist")).as("n_feat_hist"),
-        max(col("n_feat_rec")).as("n_feat_rec"),
-        sum(least(coalesce(col("p_hist"), lit(0.0)),
-            coalesce(col("p_rec"), lit(0.0))).cast("decimal(18,8)"))
-          .as("ov"))
-      .filter(col("n_feat_hist").isNotNull && col("n_feat_rec").isNotNull)
+      .agg(sum(least(col("n_hist") * col("tot_rec"),
+        col("n_rec") * col("tot_hist"))).as("ov_num"))
+    users.join(num, Seq("user"), "left")
       .select(col("user"), col("n_feat_hist"), col("n_feat_rec"),
-        round(col("ov").cast("double"), 6).as("overlap"))
+        round(coalesce(col("ov_num"), lit(0L)).cast("double") /
+          (col("tot_hist") * col("tot_rec")), 6).as("overlap"))
   }
 
   /** Mean reciprocal rank: each user's recommendations are ranked by
