@@ -86,6 +86,53 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Image near-dup pairs by perceptual hash: dHash every decodable blob
+    * ([[ImageIoCodec.dHash]], per-partition batch decode), then find pairs
+    * within `maxHamming` bits via banded equi-join — the 64-bit hash splits
+    * into `maxHamming + 1` bands, and by pigeonhole any pair within the
+    * budget shares at least one EXACT band, so candidate generation is an
+    * equi-join on (band, bits), never corpus². Verification is one
+    * bit_count(xor) on candidates. Output: (id_a, id_b, hamming), id_a <
+    * id_b. The simhash-banding discipline applied to the pixel domain.
+    */
+  def perceptualDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                         maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idField = df.schema(idCol)
+    val hashSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("dhash", LongType, nullable = false)))
+    val hashed = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          ImageIoCodec.dHash(r.getAs[Array[Byte]](mediaIdx))
+            .map(hh => Row(r.get(idIdx), hh))
+        }
+      }, hashSchema)
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
+          .as("bits"))
+    }: _*))
+    val banded = hashed.select(col(idCol), col("dhash"), bands.as("__bb"))
+      .select(col(idCol), col("dhash"),
+        col("__bb.band").as("band"), col("__bb.bits").as("bits"))
+    banded.select(col(idCol).as("id_a"), col("dhash").as("__ha"),
+        col("band"), col("bits"))
+      .join(banded.select(col(idCol).as("id_b"), col("dhash").as("__hb"),
+        col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame-sample a "video" blob: split the payload into `n` evenly spaced fixed-size
     * frames, one output row each — the explode shape a video pipeline needs.
     */
@@ -143,6 +190,51 @@ object ImageIoCodec extends MediaCodec {
         } finally r.dispose()
       } else MediaMeta("unknown", 0, 0, bytes.length.toLong)
     } finally if (iis != null) iis.close()
+  }
+
+  /** Perceptual difference-hash (dHash): decode, average-pool the luma plane
+    * to a (size+1)×size grid, emit one bit per horizontal neighbor pair
+    * (left > right). Near-duplicate images (recompression, mild resize/crop,
+    * brightness shifts) land within a few bits of hamming distance — the
+    * standard cheap screen for image-level training-data dedup. None for
+    * undecodable blobs.
+    */
+  def dHash(bytes: Array[Byte], size: Int = 8): Option[Long] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null || img.getWidth == 0 || img.getHeight == 0) None
+    else {
+      val w = size + 1; val h = size
+      val cell = Array.ofDim[Long](h, w)
+      val cnt = Array.ofDim[Long](h, w)
+      var y = 0
+      while (y < img.getHeight) {
+        val gy = math.min(h - 1, (y.toLong * h / img.getHeight).toInt)
+        var x = 0
+        while (x < img.getWidth) {
+          val gx = math.min(w - 1, (x.toLong * w / img.getWidth).toInt)
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          cell(gy)(gx) += luma; cnt(gy)(gx) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var hash = 0L; var bit = 0
+      var gy = 0
+      while (gy < h) {
+        var gx = 0
+        while (gx < w - 1) {
+          val a = if (cnt(gy)(gx) == 0) 0.0 else cell(gy)(gx).toDouble / cnt(gy)(gx)
+          val b = if (cnt(gy)(gx + 1) == 0) 0.0
+            else cell(gy)(gx + 1).toDouble / cnt(gy)(gx + 1)
+          if (a > b) hash |= (1L << bit)
+          bit += 1; gx += 1
+        }
+        gy += 1
+      }
+      Some(hash)
+    }
   }
 
   /** Full-decode feature extraction: normalized 256-bin luminance histogram of

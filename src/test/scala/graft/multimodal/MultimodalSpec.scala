@@ -72,6 +72,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(ImageIoCodec.lumaHistogram("plain text".getBytes("UTF-8")).isEmpty)
   }
 
+  /** Gradient image with a tunable direction — nearby `tilt`s give perceptually
+    * similar images, distant ones don't.
+    */
+  private def gradientImage(w: Int, h: Int, tilt: Int, fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = math.min(255, math.max(0, (x * (64 + tilt) + y * 64) / w))
+      img.setRGB(x, y, v * 0x010101)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("dHash: identical pixels -> identical hash; mild change -> small " +
+    "hamming; different structure -> large hamming") {
+    val base = gradientImage(64, 64, 0)
+    val mild = gradientImage(64, 64, 2)
+    // inverted gradient: right-to-left ordering flips every comparison bit
+    val noise = renderImage(64, 64, "png")
+    val Some(hBase) = ImageIoCodec.dHash(base)
+    val Some(hSame) = ImageIoCodec.dHash(gradientImage(64, 64, 0))
+    val Some(hMild) = ImageIoCodec.dHash(mild)
+    val Some(hNoise) = ImageIoCodec.dHash(noise)
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hBase == hSame)
+    assert(ham(hBase, hMild) <= 6, s"mild perturbation moved ${ham(hBase, hMild)} bits")
+    assert(ham(hBase, hNoise) > 10, s"unrelated image only ${ham(hBase, hNoise)} bits away")
+    assert(ImageIoCodec.dHash("not an image".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("perceptualDupPairs finds near-dup images via banded join, skips " +
+    "unrelated and undecodable blobs") {
+    val rows = Seq(
+      (1L, gradientImage(64, 64, 0)),
+      (2L, gradientImage(64, 64, 1)),      // near dup of 1
+      (3L, renderImage(64, 64, "png")),    // unrelated structure
+      (4L, "junk bytes".getBytes("UTF-8")) // undecodable: dropped, not thrown
+    ).toDF("doc_id", "media")
+    val pairs = Multimodal.perceptualDupPairs(rows, "doc_id", "media",
+        maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)),
+      s"pairs: ${pairs.toSeq}")
+    assert(pairs.head._3 <= 3)
+  }
+
   test("frameSample explodes n frames per blob with correct offsets") {
     val out = Multimodal.frameSample(Multimodal.withFakeMedia(docs, "text"), "media",
       n = 3, frameBytes = 4)
