@@ -30,7 +30,7 @@ object ExtQueries {
       |FROM documents JOIN g ON md5(text) = g.h ORDER BY doc_id""".stripMargin
 
   /** Shared shingle CTE (word 3-grams, distinct per doc). */
-  private val shinglesSql =
+  private[graft] val shinglesSql =
     """sh AS (SELECT DISTINCT doc_id, sh FROM (
       |  SELECT doc_id, unnest(list_transform(
       |    generate_series(1, greatest(len(l) - 2, 1)),

@@ -192,7 +192,8 @@ object SparkEntry {
     "q_coverage_at_k" -> (qCoverageAtK _),
     "q_gini" -> (qGini _)
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries ++
-    FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries
+    FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries ++
+    ZenithQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -349,5 +350,6 @@ object SparkEntry {
         |  ROUND(2.0 * srw / (n * s) - (n + 1) * 1.0 / n, 6) AS gini
         |FROM s""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql ++
-    FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql
+    FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
+    ZenithQueries.oracleSql
 }

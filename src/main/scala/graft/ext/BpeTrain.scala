@@ -137,6 +137,33 @@ object BpeTrain {
       .toDF(idCol, "n_tokens", "n_words")
   }
 
+  /** Tokenizer fertility by group (language, source, domain …) — the
+    * multilingual-tokenizer audit: fertility = BPE tokens per whitespace
+    * word. A tokenizer trained on an English-heavy corpus fragments other
+    * languages into many more subwords, which silently taxes their context
+    * budget and training compute; this table is how that skew is measured
+    * (cf. the fertility metric in the XLM-R / NLLB tokenizer analyses).
+    *
+    * Composes [[encode]] (embarrassingly parallel, broadcast merge ranks)
+    * with one group-keyed aggregate. `chars_per_token` is the compression
+    * view of the same skew (chars counted on the text column, whitespace
+    * included — stated so the oracle matches). Output per group:
+    * (group, n_docs, n_words, n_tokens, fertility, chars_per_token).
+    */
+  def fertilityByGroup(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, merges: Seq[Merge]): DataFrame = {
+    val enc = encode(docs, idCol, textCol, merges)
+    docs.select(col(idCol), col(groupCol).as("grp"),
+        length(col(textCol)).cast("long").as("__chars"))
+      .join(enc, idCol)
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"), sum(col("__chars")).as("__c"))
+      .select(col("grp"), col("n_docs"), col("n_words"), col("n_tokens"),
+        round(col("n_tokens").cast("double") / col("n_words"), 6).as("fertility"),
+        round(col("__c").cast("double") / col("n_tokens"), 6).as("chars_per_token"))
+  }
+
   /** Highest-frequency adjacent symbol pair (freq desc, then (left, right)
     * asc for determinism); None when no row has two symbols left.
     */

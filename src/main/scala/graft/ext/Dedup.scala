@@ -696,4 +696,30 @@ object Dedup {
         (SimSearch.dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Canonical-representative selection — the step after [[dupClusters]] in a
+    * real dedup pipeline: clusters tell you WHAT is duplicated; this decides
+    * WHICH copy survives. Per multi-member cluster, keep the member with the
+    * highest `quality` (doc length, a classifier score, …), smaller id on
+    * ties — the same argmax-by-struct idiom as [[Clustering.assignToCentroids]],
+    * so no window shuffle over the (tiny) cluster table is needed.
+    *
+    * Input: `clusters` as (id, cluster_id) from [[dupClusters]], `docs`
+    * carrying the quality column. Output per cluster:
+    * (cluster_id, canonical_id, canonical_quality, n_members, n_dropped).
+    * Scale shape: one equi-join clusters⋈docs on id (both doc-keyed), one
+    * cluster-keyed aggregate — linear in the number of duplicated docs, which
+    * is already a small fraction of the corpus.
+    */
+  def canonicalPick(clusters: DataFrame, docs: DataFrame, idCol: String,
+                    qualityCol: String): DataFrame =
+    clusters.join(docs.select(col(idCol).as("id"), col(qualityCol).as("__q")), "id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(struct((-col("__q")).as("negq"), col("id").as("id"),
+          col("__q").as("q"))).as("__b"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("__b.id").as("canonical_id"),
+        col("__b.q").as("canonical_quality"), col("n_members"),
+        (col("n_members") - 1).as("n_dropped"))
 }

@@ -198,4 +198,42 @@ object Experiment {
           when(varxN * varyN === 0.0, lit(null)).otherwise(varxN * varyN), 6)
           .as("var_reduction"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between a predicted and a
+    * true categorical label (annotator QA, weak-label audits, classifier
+    * sanity checks where raw accuracy flatters skewed class mixes):
+    * κ = (p_o − p_e)/(1 − p_e) with p_o the observed agreement rate and
+    * p_e = Σ_c (pred-marginal_c · truth-marginal_c) the agreement expected
+    * from the marginals alone.
+    *
+    * One scan builds the confusion-cell counts (map-side combined, at most
+    * |classes|² rows); marginals and the expected term are computed on that
+    * tiny table. All sums are exact longs, so p_o/p_e/κ are the same doubles
+    * in any engine. Degenerate p_e = 1 (both sides constant) → null κ.
+    * Output: one row (n, p_o, p_e, kappa).
+    */
+  def cohensKappa(df: DataFrame, predCol: String, truthCol: String): DataFrame = {
+    val cells = df.groupBy(col(predCol).as("pred"), col(truthCol).as("truth"))
+      .agg(count(lit(1)).as("n_cell"))
+      .localCheckpoint(eager = true)
+    val n = cells.agg(sum(col("n_cell")).as("n"))
+    val po = cells.filter(col("pred") === col("truth"))
+      .agg(coalesce(sum(col("n_cell")), lit(0L)).as("n_agree"))
+    val predM = cells.groupBy(col("pred").as("c"))
+      .agg(sum(col("n_cell")).as("n_pred"))
+    val truthM = cells.groupBy(col("truth").as("c"))
+      .agg(sum(col("n_cell")).as("n_truth"))
+    // Σ_c n_pred_c·n_truth_c as an exact long; classes missing from one side
+    // contribute 0, so the inner join is the correct set.
+    val pe = predM.join(truthM, "c")
+      .agg(coalesce(sum(col("n_pred") * col("n_truth")), lit(0L)).as("s_pe"))
+    val poE = col("n_agree").cast("double") / col("n")
+    val peE = col("s_pe").cast("double") / (col("n").cast("double") * col("n"))
+    n.crossJoin(po).crossJoin(pe)
+      .select(col("n"),
+        round(poE, 6).as("p_o"),
+        round(peE, 6).as("p_e"),
+        round((poE - peE) /
+          when(peE === 1.0, lit(null)).otherwise(lit(1.0) - peE), 6).as("kappa"))
+  }
 }

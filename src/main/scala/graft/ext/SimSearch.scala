@@ -207,6 +207,54 @@ object SimSearch {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Seeded-quantizer IVF probe — the oracle-checkable twin of
+    * [[ivfIndex]]+[[ivfTopK]]: the coarse quantizer is a deterministic seed
+    * table (vectors picked by id) instead of trained k-means centers, so the
+    * whole pipeline — assignment, probe selection, in-cell exact top-k — is
+    * reproducible bit-for-bit in any engine. Same plan shape as production
+    * IVF: centroids broadcast, inverted lists = the assignment's `centroid_id`
+    * key, the probe an equi-join on that key pruning the corpus to
+    * ~nProbe/nCells, per-cell candidates scored exactly and cut by
+    * TakeOrderedAndProject.
+    */
+  def seededIvfTopK(df: DataFrame, idCol: String, vecCol: String,
+                    seeds: DataFrame, cidCol: String, cvecCol: String,
+                    queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    val c = seeds.select(col(cidCol).as("__cid"), col(cvecCol).as("__cv"),
+      norm(col(cvecCol)).as("__nc"))
+    val q = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).as("__qv"), norm(col(vecCol)).as("__qn"))
+    // nProbe nearest centroids to the query: |seeds| rows, broadcast both ways.
+    val probes = c.crossJoin(broadcast(q))
+      .select(col("__cid").as("centroid_id"),
+        (dot(col("__cv"), col("__qv")) / (col("__nc") * col("__qn"))).as("__pcos"))
+      .orderBy(col("__pcos").desc, col("centroid_id"))
+      .limit(nProbe)
+      .select(col("centroid_id"))
+    // Assignment carries the vector THROUGH the argmax aggregate (first() over
+    // the per-id group — every group row holds the same vector), so the corpus
+    // crosses exactly one shuffle and is never self-joined to refetch vectors.
+    // Map-side combine collapses the k broadcast-expanded rows back to one per
+    // id before that shuffle. Same guard as Clustering.assignToCentroids:
+    // zero norms score 0, ties break toward the smaller centroid id.
+    val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+      .otherwise(dot(col(vecCol), col("__cv")) / (col("__nv") * col("__nc")))
+    val assigned = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__nv"))
+      .crossJoin(broadcast(c))
+      .select(col(idCol), col(vecCol), col("__nv"), col("__cid"), cos.as("__cos"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cos")).as("neg"), col("__cid").as("cid"))).as("__b"),
+        first(col(vecCol)).as(vecCol), first(col("__nv")).as("__nv"))
+      .select(col(idCol), col("__b.cid").as("centroid_id"), col(vecCol), col("__nv"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol), col("centroid_id"),
+        (dot(col(vecCol), col("__qv")) / (col("__nv") * col("__qn"))).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** IVF (inverted-file) index: k-means coarse quantizer over the corpus, each vector
     * assigned to its nearest centroid. Returns (assigned df with `ivf_cell` column,
     * local centroid array). At scale the assigned table is written bucketed by

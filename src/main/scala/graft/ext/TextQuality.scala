@@ -330,6 +330,44 @@ object TextQuality {
         round(col("n_hit").cast("double") / col("n_sh"), 6).as("contamination"))
   }
 
+  /** Perplexity-filter retention curve — the tuning table behind an LM-score
+    * quality cut (CCNet-style): rank documents by [[unigramNll]] ascending
+    * (low NLL = closest to the corpus LM), cut into `buckets` equal-count
+    * tiers, and report per tier the NLL cutoff plus the cumulative doc and
+    * TOKEN retention a filter at that cutoff would keep. Token share is the
+    * number that matters — perplexity filters keep short template-ish docs
+    * and drop long tail ones, so doc- and token-retention diverge, and the
+    * budget is in tokens.
+    *
+    * Scale shape: the NLL table is one token-keyed join ([[unigramNll]]);
+    * the global ranking is [[GlobalRank.globalRowNumber]] (range partition +
+    * per-partition offsets — no single-task sort); the curve itself is a
+    * `buckets`-row aggregate + window. Output per tier:
+    * (tier, n_docs, cutoff_nll, cum_docs, cum_tokens, token_share).
+    */
+  def nllRetentionCurve(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramNll(df, idCol, textCol)
+    val ranked = GlobalRank.globalRowNumber(nll, Seq(col("avg_nll"), col(idCol)))
+      .localCheckpoint(eager = true)
+    val n = ranked.agg(count(lit(1)).as("__n"))
+    val tiers = ranked.crossJoin(broadcast(n))
+      .withColumn("tier", expr(s"((rn - 1) * $buckets) div __n") + 1)
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_docs"), max(col("avg_nll")).as("cutoff_nll"),
+        sum(col("n_tokens")).as("__toks"))
+    val w = Window.orderBy(col("tier"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val total = tiers.agg(sum(col("__toks")).as("__tt"))
+    tiers.crossJoin(broadcast(total))
+      .select(col("tier"), col("n_docs"), round(col("cutoff_nll"), 6).as("cutoff_nll"),
+        sum(col("n_docs")).over(w).as("cum_docs"),
+        sum(col("__toks")).over(w).as("cum_tokens"),
+        round(sum(col("__toks")).over(w).cast("double") / col("__tt"), 6)
+          .as("token_share"))
+  }
+
   /** Per-document PII hit counts (pre-redaction), one column per class. */
   def piiCounts(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)

@@ -14,7 +14,8 @@ class SparkEntrySpec extends AnyFunSuite {
     */
   private val rowsOnlyQueries = Set(
     "q_bpe_train", // iterative data-dependent merge recurrence; BpeTrainSpec golden
-    "q_bpe_encode") // rank-order greedy tokenizer apply; BpeTrainSpec golden
+    "q_bpe_encode", // rank-order greedy tokenizer apply; BpeTrainSpec golden
+    "q_tokenizer_fertility") // composes the trained-BPE encode; BpeTrainSpec golden
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class BpeTrainSpec extends SparkTestBase {
   import spark.implicits._
@@ -60,5 +61,32 @@ class BpeTrainSpec extends SparkTestBase {
     val v = Seq(BpeTrain.VocabRow(Seq("a", "a", "a"), 1L)).toDS()
     val out = BpeTrain.applyMerge(v, "a", "a").collect().head.symbols
     assert(out == Seq("aa", "a")) // NOT (a, aa): scan is left-to-right
+  }
+
+  test("fertilityByGroup: hand-counted tokens per word by language") {
+    // With zero merges every word of length L costs L+1 tokens (chars + </w>)
+    val docs = Seq(
+      (1L, "ab ab", "en"),   // 2 words, 6 tokens, 5 chars
+      (2L, "abc", "en"),     // 1 word, 4 tokens, 3 chars
+      (3L, "x y", "de")      // 2 words, 4 tokens, 3 chars
+    ).toDF("doc_id", "text", "lang")
+    val out = BpeTrain.fertilityByGroup(docs, "doc_id", "text", "lang", Nil)
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("de", 1L, 2L, 4L, 2.0, 0.75),
+      ("en", 2L, 3L, 10L, 3.333333, 0.8))) // 10/3 through the 6-decimal round
+  }
+
+  test("fertilityByGroup: merges lower fertility for the language they fit") {
+    val docs = Seq((1L, "aa aa aa", "en"), (2L, "zz zz zz", "de"))
+      .toDF("doc_id", "text", "lang")
+    val merges = BpeTrain.train(docs.filter(col("lang") === "en"), "text",
+      nMerges = 4, minFreq = 1)
+    val f = BpeTrain.fertilityByGroup(docs, "doc_id", "text", "lang", merges)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(f("en") < f("de"),
+      s"tokenizer trained on en should fragment de more: $f")
   }
 }

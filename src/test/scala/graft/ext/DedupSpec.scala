@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkTestBase {
   import spark.implicits._
@@ -321,5 +322,24 @@ class DedupSpec extends SparkTestBase {
     val incoming = Seq((10L, base)).toDF("doc_id", "text")
     val rows = Dedup.incrementalDedup(incoming, existing, "doc_id", "text").collect()
     assert(rows.length == 1 && rows.head.getString(1) == "exact_dup")
+  }
+
+  test("canonicalPick: highest quality wins, smaller id breaks ties, " +
+    "clusters below two members are dropped") {
+    val clusters = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1: quality 10, 30, 30 → pick 2
+      (7L, 7L), (9L, 7L),           // cluster 7: pick 9 (40 > 5)
+      (5L, 5L)                      // singleton: excluded
+    ).toDF("id", "cluster_id")
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), (7L, 5L), (9L, 40L), (5L, 99L)
+    ).toDF("doc_id", "quality")
+    val out = Dedup.canonicalPick(clusters, docs, "doc_id", "quality")
+      .orderBy(col("cluster_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, 30L, 3L, 2L),
+      (7L, 9L, 40L, 2L, 1L)))
   }
 }

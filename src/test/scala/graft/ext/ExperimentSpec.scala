@@ -179,4 +179,33 @@ class ExperimentSpec extends SparkTestBase {
     assert(!plan.contains("Window"))
     assert(plan.contains("Aggregate"))
   }
+
+  test("cohensKappa: textbook 2x2 fixture (po=0.7, pe=0.5, kappa=0.4)") {
+    // 50 items: 20 yes/yes, 15 no/no, 5 yes/no, 10 no/yes
+    val df = (
+      Seq.fill(20)(("y", "y")) ++ Seq.fill(15)(("n", "n")) ++
+      Seq.fill(5)(("y", "n")) ++ Seq.fill(10)(("n", "y"))
+    ).toDF("pred", "truth")
+    val r = Experiment.cohensKappa(df, "pred", "truth").collect().head
+    assert(r.getLong(0) == 50L)
+    assert(r.getDouble(1) == 0.7)
+    assert(r.getDouble(2) == 0.5)
+    assert(r.getDouble(3) == 0.4)
+  }
+
+  test("cohensKappa: perfect agreement is 1, constant raters are null") {
+    val perfect = Seq(("a", "a"), ("b", "b"), ("c", "c")).toDF("pred", "truth")
+    assert(Experiment.cohensKappa(perfect, "pred", "truth")
+      .collect().head.getDouble(3) == 1.0)
+    val constant = Seq(("a", "a"), ("a", "a")).toDF("pred", "truth")
+    val r = Experiment.cohensKappa(constant, "pred", "truth").collect().head
+    assert(r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0 && r.isNullAt(3))
+  }
+
+  test("cohensKappa: disjoint label sets give zero expected-agreement term") {
+    // pred only says x/y, truth only says u/v: po=0, pe=0, kappa=0
+    val df = Seq(("x", "u"), ("y", "v"), ("x", "v")).toDF("pred", "truth")
+    val r = Experiment.cohensKappa(df, "pred", "truth").collect().head
+    assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+  }
 }

@@ -218,4 +218,31 @@ class SimSearchSpec extends SparkTestBase {
     val ranks = out.collect().groupBy(_.getLong(0)).values.map(_.map(_.getLong(1)).sorted.toSeq)
     assert(ranks.forall(_ == Seq(1L, 2L, 3L)))
   }
+
+  test("seededIvfTopK: probing every cell reproduces the exact scan") {
+    // seeds 0 and 20 sit in the two cluster centers — one cell per cluster
+    val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val ivf = SimSearch.seededIvfTopK(corpus, "vec_id", "embedding", seeds,
+        "cid", "cvec", queryId = 0L, k = 10, nProbe = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    assert(ivf.toSeq == exact.toSeq)
+  }
+
+  test("seededIvfTopK: one probe restricts candidates to the query's cell " +
+    "with exact cosines") {
+    val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = SimSearch.seededIvfTopK(corpus, "vec_id", "embedding", seeds,
+        "cid", "cvec", queryId = 0L, k = 25, nProbe = 1).collect()
+    // cluster-1 cell holds 20 vectors; minus the query itself = 19 candidates
+    assert(out.length == 19)
+    assert(out.forall(_.getLong(1) == 0L)) // all from the probed cell
+    assert(out.forall(_.getLong(0) < 20L))
+    val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 39)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach(r => assert(approx(r.getDouble(2), exact(r.getLong(0)))))
+  }
 }

@@ -204,4 +204,26 @@ class TextQualitySpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L))
     assert(out.head.getLong(1) == 1L)
   }
+
+  test("nllRetentionCurve: tiers partition the corpus, cumulative counts are " +
+    "monotone and the final token share is exactly 1") {
+    // 10 docs: common-word docs rank first (low NLL), rare-word docs last
+    val docs = (0 until 8).map(i => (i.toLong, "a a a b")) ++
+      Seq((8L, "z q"), (9L, "w v u t s"))
+    val out = TextQuality.nllRetentionCurve(docs.toDF("doc_id", "text"),
+        "doc_id", "text", buckets = 5)
+      .orderBy(col("tier")).collect()
+    assert(out.map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(out.map(_.getLong(1)).sum == 10L) // every doc in exactly one tier
+    val cumDocs = out.map(_.getLong(3))
+    val cumToks = out.map(_.getLong(4))
+    assert(cumDocs.toSeq == cumDocs.sorted.toSeq && cumDocs.last == 10L)
+    assert(cumToks.toSeq == cumToks.sorted.toSeq && cumToks.last == 39L)
+    assert(out.last.getDouble(5) == 1.0)
+    // NLL cutoffs rise with the tier (the curve is a valid filter table)
+    val cuts = out.map(_.getDouble(2))
+    assert(cuts.zip(cuts.tail).forall { case (a, b) => a <= b })
+    // the common-word docs all fall in earlier tiers than the rare-word docs
+    assert(cuts.head < cuts.last)
+  }
 }
