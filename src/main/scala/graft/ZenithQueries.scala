@@ -228,18 +228,87 @@ object ZenithQueries {
       .orderBy(col("lang"))
   }
 
+  // --------------------------------------------------------------------------
+  // Diagonal-Mahalanobis embedding outliers
+  // --------------------------------------------------------------------------
+
+  /** Top-20 corpus anomalies by squared diagonal-Mahalanobis distance
+    * ([[graft.ext.Embeddings.mahalanobisOutliers]]).
+    */
+  def qEmbedOutliers(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.mahalanobisOutliers(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", topN = 20)
+      .select(col("vec_id"), round(col("mahal2"), 6).as("mahal2"))
+
+  val embedOutliersSql: String =
+    """WITH c AS (SELECT i AS dim, CAST(embedding[i + 1] AS DECIMAL(18,9)) AS vd
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS i)),
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(vd) AS s, SUM(vd * vd) AS sq
+      |  FROM c GROUP BY 1),
+      |st AS (SELECT dim, ROUND(CAST(s AS DOUBLE) / n, 6) AS mean,
+      |    ROUND(SQRT((CAST(sq AS DOUBLE) -
+      |      CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS std
+      |  FROM a),
+      |arr AS (SELECT list(mean ORDER BY dim) AS mu, list(std ORDER BY dim) AS sd
+      |  FROM st),
+      |sc AS (SELECT e.vec_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> CASE WHEN sd[i] = 0 THEN 0.0 ELSE
+      |        ((e.embedding[i]::DOUBLE - mu[i]) / sd[i]) *
+      |        ((e.embedding[i]::DOUBLE - mu[i]) / sd[i]) END)) AS mahal2
+      |  FROM embeddings e CROSS JOIN arr)
+      |SELECT vec_id, ROUND(mahal2, 6) AS mahal2 FROM sc
+      |ORDER BY mahal2 DESC, vec_id LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Benford first-digit audit
+  // --------------------------------------------------------------------------
+
+  /** Benford's-law chi² over order totals ([[graft.ext.Profiling.benfordAudit]]). */
+  def qBenford(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiling.benfordAudit(Tables.orders(spark, dir), "o_totalprice")
+      .orderBy(col("digit"))
+
+  val benfordSql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice >= 1),
+      |c AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY 1),
+      |spine AS (SELECT CAST(UNNEST(range(1, 10)) AS INT) AS digit),
+      |b AS (SELECT s.digit, CAST(COALESCE(n_obs, 0) AS BIGINT) AS n_obs
+      |  FROM spine s LEFT JOIN c ON s.digit = c.digit),
+      |g AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_tot FROM b),
+      |t AS (SELECT b.digit, b.n_obs,
+      |    CAST(n_tot AS DOUBLE) *
+      |      (ln(1.0::DOUBLE + 1.0::DOUBLE / CAST(b.digit AS DOUBLE)) /
+      |       ln(10.0::DOUBLE)) AS expected
+      |  FROM b CROSS JOIN g),
+      |x AS (SELECT digit, n_obs, expected,
+      |    CAST((CAST(n_obs AS DOUBLE) - expected) * (CAST(n_obs AS DOUBLE) - expected)
+      |      / expected AS DECIMAL(28,12)) AS chi_term
+      |  FROM t),
+      |s2 AS (SELECT CAST(SUM(chi_term) AS DOUBLE) AS chi2_raw FROM x)
+      |SELECT digit, n_obs, ROUND(expected, 6) AS expected,
+      |  ROUND(chi2_raw, 6) AS chi2, CAST(8 AS BIGINT) AS dof
+      |FROM x CROSS JOIN s2 ORDER BY digit""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_seeded" -> (qIvfSeeded _),
     "q_k_anonymity" -> (qKAnonymity _),
     "q_cohens_kappa" -> (qCohensKappa _),
     "q_cluster_canonical" -> (qClusterCanonical _),
     "q_nll_filter_curve" -> (qNllFilterCurve _),
-    "q_tokenizer_fertility" -> (qTokenizerFertility _))
+    "q_tokenizer_fertility" -> (qTokenizerFertility _),
+    "q_embed_outliers" -> (qEmbedOutliers _),
+    "q_benford" -> (qBenford _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ivf_seeded" -> ivfSeededSql,
     "q_k_anonymity" -> kAnonymitySql,
     "q_cohens_kappa" -> cohensKappaSql,
     "q_cluster_canonical" -> clusterCanonicalSql,
-    "q_nll_filter_curve" -> nllFilterCurveSql)
+    "q_nll_filter_curve" -> nllFilterCurveSql,
+    "q_embed_outliers" -> embedOutliersSql,
+    "q_benford" -> benfordSql)
 }

@@ -156,6 +156,68 @@ object Embeddings {
         col("v_min"), col("v_max"))
   }
 
+  /** Diagonal-Mahalanobis embedding outliers — the cheap whole-corpus anomaly
+    * screen that catches broken encoders, corrupted rows and out-of-domain
+    * inserts BEFORE they poison ANN indexes or dedup thresholds: score each
+    * vector by Σ_i ((x_i − μ_i)/σ_i)², the squared Mahalanobis distance under
+    * a diagonal covariance (per-dim moments, no d×d matrix), and keep the
+    * top-N.
+    *
+    * Scale shape: the per-dim moments are [[dimProfile]]'s DECIMAL-exact
+    * aggregate (one explode + dim-keyed combine); they collapse to ONE row of
+    * dim-ordered mean/std arrays that broadcast-crosses the corpus, so
+    * scoring never shuffles a vector — each row folds its own dimensions
+    * left-to-right (the same sequential order DuckDB's list_sum uses, which
+    * is what makes the doubles — and the oracle hash — engine-identical).
+    * The top-N cut is a TakeOrderedAndProject heap. Constant dimensions
+    * (σ=0) contribute 0 rather than ∞ on BOTH engines.
+    * Output: (id, label-through columns…, mahal2) — top `n` by score desc,
+    * id asc.
+    */
+  def mahalanobisOutliers(df: DataFrame, idCol: String, vecCol: String,
+                          topN: Int): DataFrame = {
+    val vd = col("v").cast("decimal(18,9)")
+    val stats = df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(vd).as("s"), sum(vd * vd).as("sq"))
+      // μ/σ are quantized to 6 decimals: the raw DECIMAL moments differ
+      // across engines in the last float ulp (float→decimal casts round the
+      // exact binary expansion in Spark but the shortest decimal repr in
+      // DuckDB), and the scoring fold needs BIT-identical stats. 6 decimals
+      // is the suite-wide proven agreement point (dimProfile's oracle).
+      .select(col("dim"),
+        round(col("s").cast("double") / col("n"), 6).as("mean"),
+        round(sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1)), 6).as("std"))
+    // 64 rows → 1 row of dim-ordered arrays; sort_array fixes the order the
+    // fold sees regardless of aggregate partitioning.
+    val statsRow = stats
+      .agg(sort_array(collect_list(struct(col("dim"), col("mean"), col("std"))))
+        .as("ms"))
+      .select(transform(col("ms"), m => m.getField("mean")).as("__mu"),
+        transform(col("ms"), m => m.getField("std")).as("__sd"))
+    val term = (x: Column, m: Column, s: Column) =>
+      when(s === 0.0, lit(0.0))
+        .otherwise(((x.cast("double") - m) / s) * ((x.cast("double") - m) / s))
+    // Plain double fold: with bit-identical μ/σ the per-dim terms are the
+    // same doubles in both engines, and both fold them strictly
+    // left-to-right (Spark aggregate(); DuckDB list_sum ≡ list_reduce,
+    // probed empirically), so the sum is bit-identical without decimal
+    // quantization — which would itself diverge, double→decimal casts round
+    // differently across engines.
+    df.crossJoin(broadcast(statsRow))
+      .select(col(idCol),
+        aggregate(
+          zip_with(zip_with(col(vecCol), col("__mu"),
+              (x, m) => struct(x.as("x"), m.as("m"))),
+            col("__sd"),
+            (xm, s) => term(xm.getField("x"), xm.getField("m"), s)),
+          lit(0.0), (acc, t) => acc + t).as("mahal2"))
+      .orderBy(col("mahal2").desc, col(idCol))
+      .limit(topN)
+  }
+
   /** Sign-bit packing: one bit per dimension (1 iff the component is > 0),
     * packed into 64-bit words — a 32× compression over float32 that turns
     * cosine ranking into XOR + popcount over a handful of longs. For

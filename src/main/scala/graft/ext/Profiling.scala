@@ -9,6 +9,48 @@ import org.apache.spark.sql.functions._
   */
 object Profiling {
 
+  /** Benford first-digit audit — the forensic screen for fabricated or
+    * pipeline-mangled numeric columns (price feeds, usage counters): natural
+    * multi-magnitude data follows P(d) = log10(1+1/d); a unit-level default,
+    * a truncation bug, or synthetic padding shows up as a large chi²
+    * against that law. Rows with value < 1 are excluded (no stable first
+    * significant digit without magnitude).
+    *
+    * One digit-keyed count (map-side combined) left-joined onto the digit
+    * spine 1..9 so EMPTY digits still contribute their expected mass to
+    * chi²; per-digit terms pool in DECIMAL(28,12) ([[Experiment.srm]]'s
+    * idiom), so the statistic is partition-order-exact. Output, one row per
+    * digit: (digit, n_obs, expected, chi2, dof) — chi2/dof are the
+    * column-level statistic repeated per row.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val digit = substring(floor(col(valueCol)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df.filter(col(valueCol) >= 1)
+      .groupBy(digit.as("digit")).agg(count(lit(1)).as("n_obs"))
+    val spine = spark.range(1, 10).select(col("id").cast("int").as("digit"))
+    val byDigit = spine.join(counts, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .localCheckpoint(eager = true)
+    val g = byDigit.agg(sum(col("n_obs")).as("n_tot"))
+    // spelled ln(1+1/d)/ln(10), NOT log10(): both engines then run the same
+    // two doubles ops (a direct log10 can differ in the last bit)
+    val expected = col("n_tot").cast("double") *
+      (log(lit(1.0) + lit(1.0) / col("digit").cast("double")) / log(lit(10.0)))
+    val dev = col("n_obs").cast("double") - expected
+    byDigit.crossJoin(broadcast(g))
+      .withColumn("chi_term", (dev * dev / expected).cast("decimal(28,12)"))
+      .withColumn("chi2_raw",
+        sum(col("chi_term")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double"))
+      .select(col("digit"), col("n_obs"),
+        round(expected, 6).as("expected"),
+        round(col("chi2_raw"), 6).as("chi2"),
+        lit(8L).as("dof"))
+  }
+
   /** Profile `cols` of `df` in ONE aggregation pass. Output, one row per
     * column: (column_name, n_rows, n_nulls, n_distinct, min_value, max_value) —
     * min/max cast to string so mixed-type columns share one schema.

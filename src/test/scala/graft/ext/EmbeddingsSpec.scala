@@ -178,4 +178,31 @@ class EmbeddingsSpec extends SparkTestBase {
     assert(out.sortBy(_._4).map(_._2).toSeq ==
       out.sortBy(r => -r._3).map(_._2).toSeq, "rnk follows cosine desc")
   }
+
+  test("mahalanobisOutliers: a planted anomaly dominates; inliers score ~dim") {
+    val dim = 8
+    // 40 inliers on a deterministic pseudo-random cloud + one 10σ spike
+    def v(seed: Int): Seq[Float] =
+      (0 until dim).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val rows = (0 until 40).map(i => (i.toLong, v(i))) :+
+      (99L, (0 until dim).map(i => 10f * (i + 1)))
+    val out = graft.ext.Embeddings.mahalanobisOutliers(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", topN = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(out.head._1 == 99L, s"spike should rank first: ${out.toSeq}")
+    assert(out.head._2 > 10 * out(1)._2,
+      s"spike should dominate the runner-up: ${out.toSeq}")
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(-_).toSeq)
+  }
+
+  test("mahalanobisOutliers: constant dimensions contribute zero, not infinity") {
+    val rows = (0 until 10).map(i =>
+      (i.toLong, Seq(1.0f, i.toFloat, 2.0f))) // dims 0 and 2 constant
+    val out = graft.ext.Embeddings.mahalanobisOutliers(
+        rows.toDF("vec_id", "embedding"), "vec_id", "embedding", topN = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.values.forall(s => !s.isNaN && !s.isInfinity))
+    // extreme ids of the varying dim score highest, center lowest
+    assert(out(0L) > out(4L) && out(9L) > out(5L))
+  }
 }

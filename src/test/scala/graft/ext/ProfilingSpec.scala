@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class ProfilingSpec extends SparkTestBase {
   import spark.implicits._
@@ -58,5 +59,36 @@ class ProfilingSpec extends SparkTestBase {
         exact = false)
       .collect().map(_.getLong(0)).toSet
     assert(exact == Set(1000L) && approxM == Set(1000L))
+  }
+
+  test("benfordAudit: a perfectly Benford sample has ~zero chi2, a uniform " +
+    "first-digit sample does not") {
+    // 'perfect' sample: digit d appears round(1000*log10(1+1/d)) times
+    val benford = (1 to 9).flatMap { d =>
+      val n = math.round(1000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(n)(d * 10.0 + 1.0) // first digit = d, magnitude > 1
+    }
+    val b = Profiling.benfordAudit(benford.toDF("v"), "v")
+      .orderBy(col("digit")).collect()
+    assert(b.length == 9)
+    assert(b.map(_.getInt(0)).toSeq == (1 to 9))
+    assert(b.head.getDouble(3) < 1.0, s"near-Benford chi2: ${b.head.getDouble(3)}")
+    assert(b.forall(_.getLong(4) == 8L))
+    // monotone: digit 1 most frequent
+    assert(b.head.getLong(1) > b.last.getLong(1))
+    val uniform = (1 to 9).flatMap(d => Seq.fill(100)(d * 100.0 + 5.0))
+    val u = Profiling.benfordAudit(uniform.toDF("v"), "v").collect()
+    assert(u.head.getDouble(3) > 50.0, s"uniform chi2: ${u.head.getDouble(3)}")
+  }
+
+  test("benfordAudit: sub-1 values are excluded and empty digits keep their " +
+    "expected mass") {
+    // only digits 1 and 2 present; 0.5 rows dropped
+    val df = Seq(1.5, 12.0, 150.0, 2.5, 0.5, 0.9).toDF("v")
+    val out = Profiling.benfordAudit(df, "v").orderBy(col("digit")).collect()
+    assert(out.map(_.getLong(1)).sum == 4L) // 0.5/0.9 excluded
+    assert(out.length == 9) // spine keeps digits 3..9 with n_obs = 0
+    assert(out.drop(2).forall(_.getLong(1) == 0L))
+    assert(out.forall(_.getDouble(2) > 0.0)) // expected mass everywhere
   }
 }
