@@ -925,6 +925,26 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_raw"),
         sum(when(col("__t"), 1L).otherwise(0L)).as("n_tgt"))
 
+  /** Streaming twin of [[graft.ext.Privacy.kAnonymity]]'s k side — the
+    * release gate kept CONTINUOUSLY true while rows arrive: per
+    * quasi-identifier class, the running class size and its below-k flag.
+    * As data accumulates a class can only leave the at-risk set, never
+    * re-enter it, so a consumer gating exports on `NOT k_at_risk` is
+    * monotone-safe across micro-batches. l-diversity stays batch-only:
+    * streaming aggregation has no exact COUNT(DISTINCT), and an
+    * approximate l would under- or over-promise exactly where the audit
+    * must not.
+    *
+    * Run with `outputMode("update")` (or `complete` for small class
+    * spaces); state is one row per equivalence class — the same
+    * cardinality the batch audit materializes.
+    */
+  def kAnonymityClassStream(rows: DataFrame, quasiIds: Seq[Column],
+                            k: Int): DataFrame =
+    rows.groupBy(quasiIds: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .withColumn("k_at_risk", col("class_size") < k)
+
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
     import items.sparkSession.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(capacity)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 final case class IncDoc(doc_id: Long, text: String)
+final case class PrivRow(region: String, band: Long, salary: Double)
 
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -151,6 +152,38 @@ class StreamingOpsSpec extends SparkTestBase {
     val fromBatch = graft.ext.Importance.logRatiosFromDist(batchDist, 16)
       .collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
     assert(fromStream == fromBatch)
+  }
+
+  test("kAnonymityClassStream matches the batch audit's k side across " +
+    "micro-batches") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      PrivRow("N", 1L, 100.0), PrivRow("N", 1L, 100.0), PrivRow("N", 1L, 200.0),
+      PrivRow("N", 2L, 300.0),
+      PrivRow("S", 1L, 400.0), PrivRow("S", 1L, 400.0))
+    val input = MemoryStream[PrivRow]
+    input.addData(rows.take(3): _*)
+    val q = StreamingOps
+      .kAnonymityClassStream(input.toDF(), Seq(col("region"), col("band")), k = 3)
+      .writeStream.format("memory").queryName("kanon_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    // after batch 1 the N/1 class is already safe at k=3
+    val mid = spark.table("kanon_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(mid(("N", 1L)) == ((3L, false)))
+    input.addData(rows.drop(3): _*) // second micro-batch folds in
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("kanon_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val batch = graft.ext.Privacy.kAnonymity(
+        rows.toDF(), Seq(col("region"), col("band")), col("salary"), k = 3, l = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(4)))
+      .toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
   }
 
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
