@@ -293,6 +293,127 @@ object ZenithQueries {
       |  ROUND(chi2_raw, 6) AS chi2, CAST(8 AS BIGINT) AS dof
       |FROM x CROSS JOIN s2 ORDER BY digit""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Padding-waste audit (length-bucketed batching)
+  // --------------------------------------------------------------------------
+
+  /** Pad-to-power-of-two waste table over the documents corpus
+    * ([[graft.ext.Packing.padWasteByBucket]]).
+    */
+  def qPadWaste(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Packing.padWasteByBucket(Tables.documents(spark, dir), "text")
+      .orderBy(col("bucket_len"))
+
+  val padWasteSql: String =
+    """WITH n AS (SELECT len(string_split(text, ' ')) AS nt FROM documents),
+      |b AS (SELECT CASE WHEN nt <= 16 THEN 16 WHEN nt <= 32 THEN 32
+      |    WHEN nt <= 64 THEN 64 WHEN nt <= 128 THEN 128 WHEN nt <= 256 THEN 256
+      |    WHEN nt <= 512 THEN 512 WHEN nt <= 1024 THEN 1024 ELSE -1 END
+      |      AS bucket_len, nt FROM n),
+      |g AS (SELECT CAST(bucket_len AS BIGINT) AS bucket_len, COUNT(*) AS n_docs,
+      |    CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM b GROUP BY 1),
+      |p AS (SELECT bucket_len, n_docs, sum_tokens,
+      |    CASE WHEN bucket_len > 0 THEN bucket_len * n_docs ELSE sum_tokens END
+      |      AS padded_tokens FROM g)
+      |SELECT bucket_len, n_docs, sum_tokens, padded_tokens,
+      |  padded_tokens - sum_tokens AS waste_tokens,
+      |  ROUND(CAST(padded_tokens - sum_tokens AS DOUBLE) / padded_tokens, 6)
+      |    AS waste_share
+      |FROM p ORDER BY bucket_len""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // kNN label-noise screen
+  // --------------------------------------------------------------------------
+
+  /** Vectors whose label disagrees with the 5-NN anchor majority
+    * ([[Clustering.labelNoiseByKnn]]; anchors: vec_id<10 with their labels).
+    */
+  def qLabelNoise(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    Clustering.labelNoiseByKnn(emb.filter(col("vec_id") >= 10),
+        "vec_id", "embedding", "label",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding", "label", k = 5)
+      .orderBy(col("vec_id"))
+  }
+
+  val labelNoiseSql: String =
+    """WITH v AS (SELECT vec_id, embedding, label,
+      |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE))) AS nv
+      |  FROM embeddings),
+      |c AS (SELECT vec_id AS cid, embedding AS ce, label AS slabel, nv AS nc
+      |  FROM v WHERE vec_id < 10),
+      |s AS (SELECT v.vec_id, v.label, c.cid, c.slabel,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> v.embedding[i]::DOUBLE * c.ce[i]::DOUBLE)) / (v.nv * c.nc) AS cos
+      |  FROM v CROSS JOIN c WHERE v.vec_id >= 10),
+      |r AS (SELECT vec_id, label, cid, slabel,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rk
+      |  FROM s),
+      |votes AS (SELECT vec_id, label, slabel, COUNT(*) AS n
+      |  FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+      |m AS (SELECT vec_id, label, slabel, n,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY n DESC, slabel) AS vr
+      |  FROM votes)
+      |SELECT vec_id, label, slabel AS pred_label, CAST(n AS BIGINT) AS n_votes
+      |FROM m WHERE vr = 1 AND slabel <> label ORDER BY vec_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Embedding isotropy
+  // --------------------------------------------------------------------------
+
+  /** One-row isotropy panel ([[graft.ext.Embeddings.isotropyProfile]]). */
+  def qEmbedIsotropy(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.isotropyProfile(Tables.embeddings(spark, dir),
+      "embedding")
+
+  val embedIsotropySql: String =
+    """WITH c AS (SELECT i AS dim, CAST(embedding[i + 1] AS DECIMAL(18,9)) AS vd
+      |  FROM embeddings
+      |  CROSS JOIN (SELECT CAST(UNNEST(range(0, 64)) AS INT) AS i)),
+      |a AS (SELECT dim, COUNT(*) AS n, SUM(vd) AS s, SUM(vd * vd) AS sq
+      |  FROM c GROUP BY 1),
+      |va AS (SELECT CAST(ROUND((CAST(sq AS DOUBLE) -
+      |    CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1), 6)
+      |    AS DECIMAL(18,6)) AS var FROM a),
+      |g AS (SELECT COUNT(*) AS n_dims, SUM(var) AS sv,
+      |    SUM(CAST(var * var AS DECIMAL(38,12))) AS svv, MAX(var) AS vmax
+      |  FROM va)
+      |SELECT n_dims, ROUND(CAST(sv AS DOUBLE), 6) AS total_var,
+      |  ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(svv AS DOUBLE), 6)
+      |    AS participation_ratio,
+      |  ROUND(CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE) / CAST(svv AS DOUBLE)
+      |    / n_dims, 6) AS pr_fraction,
+      |  ROUND(CAST(vmax AS DOUBLE) / CAST(sv AS DOUBLE), 6) AS top1_var_share
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Vocabulary diversity by source
+  // --------------------------------------------------------------------------
+
+  /** Per-source diversity panel ([[graft.ext.TextStats.vocabDiversity]]). */
+  def qVocabDiversity(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.vocabDiversity(Tables.documents(spark, dir),
+        "source", "text")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("source"))
+
+  val vocabDiversitySql: String =
+    """WITH tf AS (SELECT grp, t, COUNT(*) AS c FROM (
+      |    SELECT source AS grp, unnest(string_split(text, ' ')) AS t
+      |    FROM documents) GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
+      |    SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) AS DECIMAL(18,8)))
+      |      AS sclc,
+      |    CAST(SUM(c * (c - 1)) AS BIGINT) AS srep
+      |  FROM tf GROUP BY 1)
+      |SELECT grp AS source, n_tokens, n_types,
+      |  ROUND(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+      |  ROUND((ln(CAST(n_tokens AS DOUBLE)) - CAST(sclc AS DOUBLE) / n_tokens)
+      |    / 0.6931471805599453, 6) AS entropy_bits,
+      |  ROUND(CAST(srep AS DOUBLE) /
+      |    (CAST(n_tokens AS DOUBLE) * (n_tokens - 1)), 6) AS simpson
+      |FROM g ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_seeded" -> (qIvfSeeded _),
     "q_k_anonymity" -> (qKAnonymity _),
@@ -301,7 +422,11 @@ object ZenithQueries {
     "q_nll_filter_curve" -> (qNllFilterCurve _),
     "q_tokenizer_fertility" -> (qTokenizerFertility _),
     "q_embed_outliers" -> (qEmbedOutliers _),
-    "q_benford" -> (qBenford _))
+    "q_benford" -> (qBenford _),
+    "q_pad_waste" -> (qPadWaste _),
+    "q_label_noise" -> (qLabelNoise _),
+    "q_embed_isotropy" -> (qEmbedIsotropy _),
+    "q_vocab_diversity" -> (qVocabDiversity _))
 
   val oracleSql: Map[String, String] = Map(
     "q_ivf_seeded" -> ivfSeededSql,
@@ -310,5 +435,9 @@ object ZenithQueries {
     "q_cluster_canonical" -> clusterCanonicalSql,
     "q_nll_filter_curve" -> nllFilterCurveSql,
     "q_embed_outliers" -> embedOutliersSql,
-    "q_benford" -> benfordSql)
+    "q_benford" -> benfordSql,
+    "q_pad_waste" -> padWasteSql,
+    "q_label_noise" -> labelNoiseSql,
+    "q_embed_isotropy" -> embedIsotropySql,
+    "q_vocab_diversity" -> vocabDiversitySql)
 }

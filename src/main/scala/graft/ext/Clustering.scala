@@ -111,4 +111,42 @@ object Clustering {
           .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** kNN label-noise screen (confident-learning-lite): flag every vector
+    * whose own label disagrees with the majority label of its `k` highest-
+    * cosine anchors — the triage list a labeling-QA pass reviews first.
+    * Majority ties break toward the smaller label, anchor-rank ties toward
+    * the smaller anchor id, so the flag set is deterministic.
+    *
+    * Scale shape: anchors broadcast (they're a curated set, not the corpus),
+    * each vector ranks its |anchors| candidates in a per-vector window —
+    * shuffle carries (id, label, cosine) triples, never a second copy of the
+    * embedding — and the vote is a (vector, label)-keyed count. Output, one
+    * row per FLAGGED vector: (id, label, pred_label, n_votes).
+    */
+  def labelNoiseByKnn(vecs: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, anchors: DataFrame, aidCol: String,
+                      avecCol: String, alabelCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val a = anchors.select(col(aidCol).as("__aid"), col(avecCol).as("__av"),
+      col(alabelCol).as("__al"), SimSearch.norm(col(avecCol)).as("__an"))
+    val v = vecs.select(col(idCol), col(vecCol), col(labelCol),
+      SimSearch.norm(col(vecCol)).as("__nv"))
+    val cos = when(col("__nv") === 0 || col("__an") === 0, lit(0.0))
+      .otherwise(SimSearch.dot(col(vecCol), col("__av")) / (col("__nv") * col("__an")))
+    val wRank = Window.partitionBy(col(idCol))
+      .orderBy(col("__cos").desc, col("__aid"))
+    val topK = v.crossJoin(broadcast(a))
+      .select(col(idCol), col(labelCol), col("__aid"), col("__al"), cos.as("__cos"))
+      .withColumn("__rk", row_number().over(wRank))
+      .filter(col("__rk") <= k)
+    val wVote = Window.partitionBy(col(idCol))
+      .orderBy(col("__n").desc, col("__al"))
+    topK.groupBy(col(idCol), col(labelCol), col("__al"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__vr", row_number().over(wVote))
+      .filter(col("__vr") === 1 && col("__al") =!= col(labelCol))
+      .select(col(idCol), col(labelCol), col("__al").as("pred_label"),
+        col("__n").as("n_votes"))
+  }
 }

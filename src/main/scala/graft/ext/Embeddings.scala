@@ -218,6 +218,44 @@ object Embeddings {
       .limit(topN)
   }
 
+  /** Embedding isotropy profile — the one-row health check that predicts
+    * retrieval quality: anisotropic spaces (variance concentrated in a few
+    * rogue dimensions, the classic contextual-embedding pathology) make
+    * cosine scores collapse toward a dominant direction. Reports the
+    * participation ratio PR = (Σλ)²/Σλ² over the per-dimension variances (a
+    * diagonal proxy for the covariance spectrum; PR = d for perfect isotropy,
+    * → 1 for rank-1 collapse), its fraction of d, and the top-1 variance
+    * share.
+    *
+    * The moments are [[dimProfile]]'s DECIMAL-exact aggregate; variances are
+    * quantized at 6 decimals (the cross-engine float→decimal agreement
+    * point, see [[mahalanobisOutliers]]) and pooled as DECIMAL(18,6)/(38,12)
+    * so PR is partition-order-exact. Output:
+    * (n_dims, total_var, participation_ratio, pr_fraction, top1_var_share).
+    */
+  def isotropyProfile(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = col("v").cast("decimal(18,9)")
+    val variances = df.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(vd).as("s"), sum(vd * vd).as("sq"))
+      .select(round((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n")) /
+          (col("n") - 1), 6).cast("decimal(18,6)").as("var"))
+    variances
+      .agg(count(lit(1)).as("n_dims"),
+        sum(col("var")).as("sv"),
+        sum((col("var") * col("var")).cast("decimal(38,12)")).as("svv"),
+        max(col("var")).as("vmax"))
+      .select(col("n_dims"),
+        round(col("sv").cast("double"), 6).as("total_var"),
+        round(col("sv").cast("double") * col("sv").cast("double") /
+          col("svv").cast("double"), 6).as("participation_ratio"),
+        round(col("sv").cast("double") * col("sv").cast("double") /
+          col("svv").cast("double") / col("n_dims"), 6).as("pr_fraction"),
+        round(col("vmax").cast("double") / col("sv").cast("double"), 6)
+          .as("top1_var_share"))
+  }
+
   /** Sign-bit packing: one bit per dimension (1 iff the component is > 0),
     * packed into 64-bit words — a 32× compression over float32 that turns
     * cosine ranking into XOR + popcount over a handful of longs. For

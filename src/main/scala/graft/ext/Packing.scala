@@ -90,4 +90,38 @@ object Packing {
       .toDF("__g", idCol, nTokensCol, "seq_id")
       .withColumnRenamed("__g", groupCol)
   }
+
+  /** Padding-waste audit for length-bucketed batching — the sizing table
+    * behind the pack-vs-pad decision: bucket every document to the smallest
+    * power-of-two length ≥ its token count and report, per bucket, how many
+    * tokens a pad-to-bucket batcher would burn vs the packed ideal. High
+    * waste share in the short buckets is the classic signal to switch that
+    * tier to sequence packing ([[packFirstFit]]).
+    *
+    * Buckets are assigned by an explicit CASE ladder over `bucketLens`
+    * (ascending powers of two), NOT `2^ceil(log2 n)` — the float log lands on
+    * 5.0000000000000004 at exact powers and mis-buckets them differently per
+    * engine. Docs longer than the last bucket land in bucket −1 ("oversize",
+    * they need chunking, not padding). One scan + one tiny aggregate.
+    * Output per bucket: (bucket_len, n_docs, sum_tokens, padded_tokens,
+    * waste_tokens, waste_share).
+    */
+  def padWasteByBucket(df: DataFrame, textCol: String,
+                       bucketLens: Seq[Int] = Seq(16, 32, 64, 128, 256, 512, 1024)): DataFrame = {
+    require(bucketLens.nonEmpty && bucketLens == bucketLens.sorted,
+      s"bucketLens must be ascending: $bucketLens")
+    val n = size(split(col(textCol), " "))
+    val bucket = bucketLens.reverse.foldLeft(lit(-1L)) { (acc, b) =>
+      when(n <= b, lit(b.toLong)).otherwise(acc)
+    }
+    df.select(bucket.as("bucket_len"), n.cast("long").as("__n"))
+      .groupBy(col("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("sum_tokens"))
+      .select(col("bucket_len"), col("n_docs"), col("sum_tokens"),
+        when(col("bucket_len") > 0, col("bucket_len") * col("n_docs"))
+          .otherwise(col("sum_tokens")).as("padded_tokens"))
+      .withColumn("waste_tokens", col("padded_tokens") - col("sum_tokens"))
+      .withColumn("waste_share",
+        round(col("waste_tokens").cast("double") / col("padded_tokens"), 6))
+  }
 }

@@ -447,6 +447,39 @@ object TextStats {
     * pre-built (term, doc_id) posting table bucketed by term, turning the scan
     * into a partition-pruned posting-list intersection. Output: (id) sorted.
     */
+  /** Per-group vocabulary-diversity panel — the corpus-health dashboard row
+    * that separates template farms from natural text: token/type counts,
+    * type-token ratio, Shannon entropy of the unigram distribution (bits)
+    * and the Simpson repeat-probability. A source whose entropy sits far
+    * below its size-matched peers is template-generated; a TTR near 1 with
+    * tiny counts is ID-like noise.
+    *
+    * One tokenize pass → (group, term) counts → group-keyed pool. The
+    * entropy term Σ c·ln c is summed in DECIMAL(18,8)
+    * (partition-order-exact), H = ln n − Σc·ln c / n re-derived in doubles
+    * identically on both engines; Simpson Σc(c−1)/(n(n−1)) is exact integer
+    * arithmetic until the final division. Output per group:
+    * (group, n_tokens, n_types, ttr, entropy_bits, simpson).
+    */
+  def vocabDiversity(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(groupCol).as("grp"),
+        explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("grp"), col("t")).agg(count(lit(1)).as("c"))
+    tf.groupBy(col("grp"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum((col("c").cast("double") * log(col("c").cast("double")))
+          .cast("decimal(18,8)")).as("sclc"),
+        sum(col("c") * (col("c") - 1)).as("srep"))
+      .select(col("grp"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"),
+        round((log(col("n_tokens").cast("double")) -
+            col("sclc").cast("double") / col("n_tokens")) /
+          lit(0.6931471805599453), 6).as("entropy_bits"),
+        round(col("srep").cast("double") /
+          (col("n_tokens").cast("double") * (col("n_tokens") - 1)), 6)
+          .as("simpson"))
+  }
+
   def keywordAndSearch(df: DataFrame, idCol: String, textCol: String,
                        terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "keywordAndSearch needs at least one term")

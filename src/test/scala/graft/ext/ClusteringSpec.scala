@@ -95,4 +95,24 @@ class ClusteringSpec extends SparkTestBase {
     assert(s2 > 0.98, s"tight cluster should be ~1, got $s2")
     assert(s1 > 0.6 && s1 < 0.7, s"diluted mean should be ~2/3 of ~1, got $s1")
   }
+
+  test("labelNoiseByKnn flags only the mislabeled vector, with the anchor " +
+    "majority as its prediction") {
+    def near(base: Seq[Float], eps: Float): Seq[Float] =
+      base.zipWithIndex.map { case (v, i) => v + eps * (i % 3 - 1) }
+    val dirA = Seq(1f, 0f, 0f, 0f); val dirB = Seq(0f, 1f, 0f, 0f)
+    val anchors = (
+      (0 until 3).map(i => (i.toLong, near(dirA, 0.01f * (i + 1)), 0)) ++
+      (3 until 6).map(i => (i.toLong, near(dirB, 0.01f * (i + 1)), 1))
+    ).toDF("vec_id", "embedding", "label")
+    val vecs = Seq(
+      (10L, near(dirA, 0.02f), 0), // correctly labeled
+      (11L, near(dirA, 0.03f), 1), // mislabeled: looks like A, tagged B
+      (12L, near(dirB, 0.02f), 1)  // correctly labeled
+    ).toDF("vec_id", "embedding", "label")
+    val out = Clustering.labelNoiseByKnn(vecs, "vec_id", "embedding", "label",
+        anchors, "vec_id", "embedding", "label", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(out.toSeq == Seq((11L, 1, 0, 3L)), s"got ${out.toSeq}")
+  }
 }

@@ -205,4 +205,21 @@ class EmbeddingsSpec extends SparkTestBase {
     // extreme ids of the varying dim score highest, center lowest
     assert(out(0L) > out(4L) && out(9L) > out(5L))
   }
+
+  test("isotropyProfile: full-spread cloud scores PR ~ d, rank-1 collapse ~ 1") {
+    // all 16 sign patterns over 4 dims: equal per-dim variance
+    val iso = (0 until 16).map { m =>
+      (m.toLong, (0 until 4).map(i => if ((m >> i) % 2 == 0) -1f else 1f))
+    }.toDF("vec_id", "embedding")
+    val a = graft.ext.Embeddings.isotropyProfile(iso, "embedding").collect().head
+    assert(a.getLong(0) == 4L)
+    assert(a.getDouble(2) == 4.0 && a.getDouble(3) == 1.0) // perfect isotropy
+    assert(a.getDouble(4) == 0.25)
+    // variance only on dim 0
+    val flat = (0 until 16).map { m =>
+      (m.toLong, Seq(if (m % 2 == 0) -1f else 1f, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val b = graft.ext.Embeddings.isotropyProfile(flat, "embedding").collect().head
+    assert(b.getDouble(2) == 1.0 && b.getDouble(4) == 1.0)
+  }
 }

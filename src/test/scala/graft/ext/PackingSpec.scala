@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -115,5 +116,30 @@ class PackingSpec extends SparkTestBase {
     val b = Packing.packChunks(df.repartition(7), "doc_id", "source", "n_tokens", 128)
       .orderBy("source", "doc_id").collect().toSeq
     assert(a == b)
+  }
+
+  test("padWasteByBucket: CASE-ladder buckets, oversize tier, exact waste") {
+    val docs = Seq(
+      (1L, Seq.fill(10)("w").mkString(" ")),
+      (2L, Seq.fill(20)("w").mkString(" ")),
+      (3L, Seq.fill(100)("w").mkString(" ")),
+      (4L, Seq.fill(2000)("w").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Packing.padWasteByBucket(docs, "text")
+      .orderBy(col("bucket_len")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      (-1L, 1L, 2000L, 2000L, 0L, 0.0), // oversize: needs chunking, no padding
+      (16L, 1L, 10L, 16L, 6L, 0.375),
+      (32L, 1L, 20L, 32L, 12L, 0.375),
+      (128L, 1L, 100L, 128L, 28L, 0.21875)))
+  }
+
+  test("padWasteByBucket: exact powers of two stay in their own bucket") {
+    val docs = Seq((1L, Seq.fill(32)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = Packing.padWasteByBucket(docs, "text").collect()
+    assert(out.length == 1 && out.head.getLong(0) == 32L &&
+      out.head.getLong(4) == 0L) // 2^ceil(log2 32) float drift would say 64
   }
 }

@@ -247,4 +247,18 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(0).getLong(2) == 1L)            // floored sentence count
     assert(out(1).getLong(1) == 0L && out(1).isNullAt(4))
   }
+
+  test("vocabDiversity: degenerate and uniform vocabularies, by hand") {
+    val docs = Seq(
+      ("s1", "a a"), ("s1", "a a"),      // n=4, V=1: TTR .25, H 0, simpson 1
+      ("s2", "a b"), ("s2", "c d")       // n=4, V=4: TTR 1, H 2 bits, simpson 0
+    ).toDF("source", "text")
+    val out = TextStats.vocabDiversity(docs, "source", "text")
+      .orderBy(col("grp")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(out.toSeq == Seq(
+      ("s1", 4L, 1L, 0.25, 0.0, 1.0),
+      ("s2", 4L, 4L, 1.0, 2.0, 0.0)))
+  }
 }
