@@ -1,0 +1,216 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Boilerplate, Experiment}
+
+/** Round-8 batch #3: pre-training boilerplate strip analytics, post-training
+  * memorization audit, and the two experiment-design gates (power/MDE,
+  * split-conformal coverage). Every oracle mirrors the Spark expression
+  * shapes exactly — integer/DECIMAL moments with one final double division —
+  * so results hash-match at sf0.01 and sf0.1.
+  */
+object SummitQueries {
+
+  // --------------------------------------------------------------------------
+  // Chunk-level boilerplate detection
+  // --------------------------------------------------------------------------
+
+  /** Per-document boilerplate share from within-source chunk doc-frequency
+    * ([[Boilerplate.chunkBoilerplate]], CCNet line-dedup shape at 2-token
+    * chunk granularity, 20% doc-frequency threshold).
+    */
+  def qBoilerplate(spark: SparkSession, dir: String): DataFrame =
+    Boilerplate.chunkBoilerplate(Tables.documents(spark, dir), "source",
+        "doc_id", "text", chunkTokens = 2, minDocFrac = 0.2)
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("doc_id"))
+
+  val boilerplateSql: String =
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents),
+      |ck AS (SELECT doc_id, source,
+      |    unnest(generate_series(0, CAST(ceil(len(t) / 2.0) AS INT) - 1)) AS i,
+      |    t
+      |  FROM d),
+      |c2 AS (SELECT doc_id, source,
+      |    array_to_string(list_slice(t, i * 2 + 1, i * 2 + 2), ' ') AS chunk,
+      |    len(list_slice(t, i * 2 + 1, i * 2 + 2)) AS clen
+      |  FROM ck),
+      |gd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+      |df AS (SELECT source, chunk, COUNT(DISTINCT doc_id) AS df_docs
+      |  FROM c2 GROUP BY 1, 2),
+      |bl AS (SELECT df.source, df.chunk,
+      |    df.df_docs * 1000 >= 200 * gd.n_docs AS is_boiler
+      |  FROM df JOIN gd USING (source))
+      |SELECT c2.doc_id, c2.source, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_boiler_chunks,
+      |  CAST(SUM(clen) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CASE WHEN is_boiler THEN clen ELSE 0 END) AS BIGINT)
+      |    * 1.0 / CAST(SUM(clen) AS BIGINT), 6) AS boiler_token_frac
+      |FROM c2 JOIN bl ON c2.source = bl.source AND c2.chunk = bl.chunk
+      |GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Memorization-depth audit
+  // --------------------------------------------------------------------------
+
+  /** Deepest shared word n-gram order (3/5/8) between each held-out document
+    * (doc_id % 10 < 2) and the training split
+    * ([[Boilerplate.memorizationDepth]]).
+    */
+  def qMemorization(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    Boilerplate.memorizationDepth(
+        docs.filter(col("doc_id") % 10 >= 2),
+        docs.filter(col("doc_id") % 10 < 2),
+        "doc_id", "text", ns = Seq(3, 5, 8))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-order shingle CTE matching [[graft.functions.WordShingles]]: docs
+    * shorter than n yield one partial shingle.
+    */
+  private def shingleCte(name: String, n: Int): String =
+    s"""$name AS (SELECT DISTINCT doc_id, sh FROM (
+       |  SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, greatest(len(l) - ${n - 1}, 1)),
+       |    i -> array_to_string(list_slice(l, i, least(i + ${n - 1}, len(l))),
+       |      ' '))) AS sh
+       |  FROM tk))""".stripMargin
+
+  val memorizationSql: String =
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |${shingleCte("s3", 3)},
+      |${shingleCte("s5", 5)},
+      |${shingleCte("s8", 8)},
+      |tr3 AS (SELECT DISTINCT sh FROM s3 WHERE doc_id % 10 >= 2),
+      |tr5 AS (SELECT DISTINCT sh FROM s5 WHERE doc_id % 10 >= 2),
+      |tr8 AS (SELECT DISTINCT sh FROM s8 WHERE doc_id % 10 >= 2),
+      |h3 AS (SELECT DISTINCT s3.doc_id FROM s3 JOIN tr3 USING (sh)
+      |  WHERE s3.doc_id % 10 < 2),
+      |h5 AS (SELECT DISTINCT s5.doc_id FROM s5 JOIN tr5 USING (sh)
+      |  WHERE s5.doc_id % 10 < 2),
+      |h8 AS (SELECT DISTINCT s8.doc_id FROM s8 JOIN tr8 USING (sh)
+      |  WHERE s8.doc_id % 10 < 2),
+      |hd AS (SELECT doc_id FROM documents WHERE doc_id % 10 < 2)
+      |SELECT hd.doc_id,
+      |  h3.doc_id IS NOT NULL AS shared_3,
+      |  h5.doc_id IS NOT NULL AS shared_5,
+      |  h8.doc_id IS NOT NULL AS shared_8,
+      |  CASE WHEN h8.doc_id IS NOT NULL THEN 8
+      |       WHEN h5.doc_id IS NOT NULL THEN 5
+      |       WHEN h3.doc_id IS NOT NULL THEN 3 ELSE 0 END AS max_shared_n
+      |FROM hd
+      |LEFT JOIN h3 ON hd.doc_id = h3.doc_id
+      |LEFT JOIN h5 ON hd.doc_id = h5.doc_id
+      |LEFT JOIN h8 ON hd.doc_id = h8.doc_id
+      |ORDER BY hd.doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // A/B power / minimum detectable effect
+  // --------------------------------------------------------------------------
+
+  /** Per-event-type MDE of the user_id-parity bucketing over event `value`
+    * ([[Experiment.powerMde]], α = 0.05 two-sided, power = 0.80).
+    */
+  def qPowerMde(spark: SparkSession, dir: String): DataFrame =
+    Experiment.powerMde(
+        Tables.events(spark, dir).select(col("event_type"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+          col("value")),
+        "event_type", "arm", "value")
+      .orderBy(col("segment"))
+
+  val powerMdeSql: String = {
+    val zSum = Experiment.ZAlphaTwoSided05 + Experiment.ZPower80
+    s"""WITH e AS (SELECT event_type AS segment,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm
+      |  FROM events),
+      |g AS (SELECT segment, arm, COUNT(*) AS n, SUM(vm) AS s1,
+      |    SUM(CAST(vm AS HUGEINT) * vm) AS s2
+      |  FROM e GROUP BY 1, 2),
+      |a AS (SELECT segment, n AS n_a, s1 AS s1_a, s2 AS s2_a FROM g
+      |  WHERE arm = 'A'),
+      |b AS (SELECT segment, n AS n_b, s1 AS s1_b, s2 AS s2_b FROM g
+      |  WHERE arm = 'B'),
+      |j AS (SELECT segment, n_a, n_b,
+      |    CAST(s1_a AS DOUBLE) / n_a / 1000000.0 AS mean_a,
+      |    CAST(s1_b AS DOUBLE) / n_b / 1000000.0 AS mean_b,
+      |    $zSum * sqrt(
+      |      (CAST(s2_a AS DOUBLE) -
+      |        CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) /
+      |        (n_a - 1) / 1000000000000.0 / n_a +
+      |      (CAST(s2_b AS DOUBLE) -
+      |        CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b) /
+      |        (n_b - 1) / 1000000000000.0 / n_b) AS mde
+      |  FROM a JOIN b USING (segment)
+      |  WHERE n_a > 1 AND n_b > 1)
+      |SELECT segment, n_a, n_b, ROUND(mean_a, 6) AS mean_a,
+      |  ROUND(mean_b, 6) AS mean_b, ROUND(mde, 6) AS mde_abs,
+      |  ROUND(mde / NULLIF(mean_a, 0.0), 6) AS mde_rel
+      |FROM j ORDER BY segment""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Split-conformal coverage gate
+  // --------------------------------------------------------------------------
+
+  /** Conformal interval for l_extendedprice ~ l_quantity: calibrate on
+    * l_orderkey % 5 = 0, α = 0.1 ([[Experiment.conformalGate]]); coverage on
+    * the rest should come out ≥ ~0.9.
+    */
+  def qConformal(spark: SparkSession, dir: String): DataFrame =
+    Experiment.conformalGate(Tables.lineitem(spark, dir),
+      "l_quantity", "l_extendedprice", col("l_orderkey") % 5 === 0,
+      alpha = 0.1, xScale = 1.0, yScale = 100.0)
+
+  val conformalSql: String =
+    """WITH base AS (SELECT CAST(ROUND(l_quantity * 1.0) AS HUGEINT) AS xi,
+      |    CAST(ROUND(l_extendedprice * 100.0) AS HUGEINT) AS yi,
+      |    l_orderkey % 5 = 0 AS is_cal
+      |  FROM lineitem),
+      |cal AS (SELECT * FROM base WHERE is_cal),
+      |m0 AS (SELECT COUNT(*) AS n_cal, SUM(xi) AS sx, SUM(yi) AS sy,
+      |    SUM(xi * xi) AS sxx, SUM(xi * yi) AS sxy FROM cal),
+      |m1 AS (SELECT n_cal,
+      |    CAST(n_cal * sxy - sx * sy AS DOUBLE) /
+      |      CAST(n_cal * sxx - sx * sx AS DOUBLE) AS b_i,
+      |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd FROM m0),
+      |m AS (SELECT n_cal, b_i,
+      |    syd / n_cal - b_i * (sxd / n_cal) AS a_i FROM m1),
+      |k AS (SELECT CAST(FLOOR(((n_cal + 1) * 900 + 999) / 1000.0) AS BIGINT)
+      |    AS k, n_cal, a_i, b_i FROM m),
+      |r AS (SELECT n_cal, a_i, b_i, k, xi, yi,
+      |    ABS(CAST(yi AS DOUBLE) - (a_i + b_i * CAST(xi AS DOUBLE))) AS r
+      |  FROM cal CROSS JOIN k),
+      |rq AS (SELECT n_cal, a_i, b_i, r AS q_i FROM (
+      |    SELECT *, ROW_NUMBER() OVER (ORDER BY r, xi, yi) AS rn FROM r)
+      |  WHERE rn = LEAST(k, n_cal)),
+      |t AS (SELECT COUNT(*) AS n_test,
+      |    CAST(SUM(CASE WHEN ABS(CAST(yi AS DOUBLE) -
+      |        (a_i + b_i * CAST(xi AS DOUBLE))) <= q_i
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_cov,
+      |    MAX(n_cal) AS n_cal, MAX(a_i) AS a_i, MAX(b_i) AS b_i,
+      |    MAX(q_i) AS q_i
+      |  FROM base CROSS JOIN rq WHERE NOT is_cal)
+      |SELECT n_cal, n_test, ROUND(b_i * 0.01, 6) AS slope,
+      |  ROUND(a_i / 100.0, 6) AS intercept, ROUND(q_i / 100.0, 6) AS q_alpha,
+      |  ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage
+      |FROM t""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_boilerplate" -> (qBoilerplate _),
+    "q_memorization" -> (qMemorization _),
+    "q_power_mde" -> (qPowerMde _),
+    "q_conformal" -> (qConformal _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_boilerplate" -> boilerplateSql,
+    "q_memorization" -> memorizationSql,
+    "q_power_mde" -> powerMdeSql,
+    "q_conformal" -> conformalSql)
+}

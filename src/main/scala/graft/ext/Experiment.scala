@@ -236,4 +236,130 @@ object Experiment {
         round((poE - peE) /
           when(peE === 1.0, lit(null)).otherwise(lit(1.0) - peE), 6).as("kappa"))
   }
+
+  /** z-quantiles for the standard experiment-design constants: two-sided
+    * α = 0.05 and power = 0.80. Literal so both engines see identical doubles.
+    */
+  val ZAlphaTwoSided05: Double = 1.959963984540054
+  val ZPower80: Double = 0.8416212335729143
+
+  /** A/B power analysis — the minimum detectable effect (MDE) the experiment
+    * as-bucketed could resolve at two-sided α = 0.05 with 80% power, per
+    * segment: MDE = (z_{1−α/2} + z_{power}) · √(σ²_a/n_a + σ²_b/n_b) with the
+    * per-arm variances taken from the observed metric. This is the pre-readout
+    * gate that tells you which segments the test is even *capable* of deciding
+    * (an MDE above any plausible lift means "don't bother waiting").
+    *
+    * Numeric contract: the metric is quantized to integer micro-units
+    * (`round(value·10⁶)`) and first/second moments are exact DECIMAL(38,0)
+    * sums, so every engine derives the same variance from the same integers —
+    * a double Σx² is order-dependent across partitions and would not
+    * hash-match an oracle. One scan, |segments|×2 aggregate rows, no shuffle
+    * beyond the group-by.
+    *
+    * Output per segment: (segment, n_a, n_b, mean_a, mean_b, mde_abs,
+    * mde_rel) with mde_rel = mde_abs / mean_a (null when mean_a = 0).
+    */
+  def powerMde(df: DataFrame, segmentCol: String, armCol: String,
+               valueCol: String): DataFrame = {
+    val vm = round(col(valueCol) * 1e6, 0).cast("decimal(38,0)")
+    val arms = df
+      .select(col(segmentCol).as("segment"), col(armCol).as("arm"), vm.as("vm"))
+      .groupBy(col("segment"), col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
+        sum(col("vm") * col("vm")).as("s2"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("segment"), col("n").as("n_a"), col("s1").as("s1_a"),
+        col("s2").as("s2_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("segment"), col("n").as("n_b"), col("s1").as("s1_b"),
+        col("s2").as("s2_b"))
+    def mean(s1: String, n: String) =
+      col(s1).cast("double") / col(n) / 1e6
+    // sample variance in metric units from exact integer moments
+    def variance(s2: String, s1: String, n: String) =
+      (col(s2).cast("double") -
+        col(s1).cast("double") * col(s1).cast("double") / col(n)) /
+        (col(n) - 1) / 1e12
+    val mde = lit(ZAlphaTwoSided05 + ZPower80) *
+      sqrt(variance("s2_a", "s1_a", "n_a") / col("n_a") +
+        variance("s2_b", "s1_b", "n_b") / col("n_b"))
+    a.join(b, "segment")
+      .filter(col("n_a") > 1 && col("n_b") > 1)
+      .select(col("segment"), col("n_a"), col("n_b"),
+        round(mean("s1_a", "n_a"), 6).as("mean_a"),
+        round(mean("s1_b", "n_b"), 6).as("mean_b"),
+        round(mde, 6).as("mde_abs"),
+        round(mde / when(mean("s1_a", "n_a") === 0.0, lit(null))
+          .otherwise(mean("s1_a", "n_a")), 6).as("mde_rel"))
+  }
+
+  /** Split-conformal prediction gate for a linear score: fit y ≈ a + b·x by
+    * OLS on the calibration split, take the conformal quantile q = the
+    * ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual, and report the empirical
+    * coverage of the interval ±q on the held-out split. Distribution-free:
+    * under exchangeability the coverage is ≥ 1−α regardless of how wrong the
+    * linear model is — which is exactly why it works as a release gate for
+    * any score column.
+    *
+    * Numeric contract: x and y ride as integer units (`xScale`/`yScale`
+    * quantization), the five OLS moments are exact DECIMAL(38,0) sums, and
+    * (a, b) are derived from those integers with one fixed expression shape —
+    * so residuals are bit-identical doubles on every engine and the quantile
+    * index selects the same row. The quantile is an exact ORDER BY/row_number
+    * selection (calibration sets are small by construction; at real scale
+    * [[GlobalRank.globalRowNumber]] is the drop-in for the sort).
+    *
+    * Output: one row (n_cal, n_test, slope, intercept, q_alpha, coverage).
+    */
+  def conformalGate(df: DataFrame, xCol: String, yCol: String,
+                    isCalibration: org.apache.spark.sql.Column,
+                    alpha: Double = 0.1, xScale: Double = 1.0,
+                    yScale: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0, 1), got $alpha")
+    val base = df.select(
+      round(col(xCol) * xScale, 0).cast("decimal(38,0)").as("xi"),
+      round(col(yCol) * yScale, 0).cast("decimal(38,0)").as("yi"),
+      isCalibration.as("is_cal"))
+    val cal = base.filter(col("is_cal"))
+    // quantile index k = ⌈(n+1)(1−α)⌉ in exact integer arithmetic (α taken at
+    // 1/1000 precision) — the double form rounds (n+1)·0.9 past the integer
+    // boundary for, e.g., n_cal = 9
+    val alphaMil = math.round(alpha * 1000)
+    val m = cal.agg(count(lit(1)).as("n_cal"), sum(col("xi")).as("sx"),
+        sum(col("yi")).as("sy"), sum(col("xi") * col("xi")).as("sxx"),
+        sum(col("xi") * col("yi")).as("sxy"))
+      .select(col("n_cal"),
+        ((col("n_cal") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (col("n_cal") * col("sxx") - col("sx") * col("sx")).cast("double"))
+          .as("b_i"),
+        col("sx").cast("double").as("sxd"), col("sy").cast("double").as("syd"))
+      .select(col("n_cal"), col("b_i"),
+        (col("syd") / col("n_cal") - col("b_i") * (col("sxd") / col("n_cal")))
+          .as("a_i"))
+    def resid = abs(col("yi").cast("double") -
+      (col("a_i") + col("b_i") * col("xi").cast("double")))
+    val k = m.select(
+      floor(((col("n_cal") + 1) * lit(1000 - alphaMil) + 999) / lit(1000.0))
+        .cast("long").as("k"), col("n_cal"), col("a_i"), col("b_i"))
+    val q = cal.crossJoin(broadcast(k))
+      .select(col("n_cal"), col("a_i"), col("b_i"), col("k"), col("xi"),
+        col("yi"), resid.as("r"))
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("r"), col("xi"), col("yi"))))
+      .filter(col("rn") === least(col("k"), col("n_cal")))
+      .select(col("n_cal"), col("a_i"), col("b_i"), col("r").as("q_i"))
+    base.filter(!col("is_cal")).crossJoin(broadcast(q))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(resid <= col("q_i"), 1L).otherwise(0L)).as("n_cov"),
+        first(col("n_cal")).as("n_cal"), first(col("a_i")).as("a_i"),
+        first(col("b_i")).as("b_i"), first(col("q_i")).as("q_i"))
+      .select(col("n_cal"), col("n_test"),
+        // b_i is y-units-per-x-unit; ·xScale/yScale restores metric units
+        round(col("b_i") * lit(xScale / yScale), 6).as("slope"),
+        round(col("a_i") / lit(yScale), 6).as("intercept"),
+        round(col("q_i") / lit(yScale), 6).as("q_alpha"),
+        round(col("n_cov").cast("double") / col("n_test"), 6).as("coverage"))
+  }
 }

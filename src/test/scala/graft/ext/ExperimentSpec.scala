@@ -208,4 +208,58 @@ class ExperimentSpec extends SparkTestBase {
     val r = Experiment.cohensKappa(df, "pred", "truth").collect().head
     assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
   }
+
+  test("powerMde: hand-computed MDE from known per-arm variances") {
+    // arm A: 1,3 (mean 2, var 2); arm B: 2,6 (mean 4, var 8)
+    val df = Seq(("s", "A", 1.0), ("s", "A", 3.0), ("s", "B", 2.0),
+      ("s", "B", 6.0)).toDF("seg", "arm", "v")
+    val r = Experiment.powerMde(df, "seg", "arm", "v").collect().head
+    val mde = (Experiment.ZAlphaTwoSided05 + Experiment.ZPower80) *
+      math.sqrt(2.0 / 2 + 8.0 / 2)
+    assert(r.getLong(1) == 2 && r.getLong(2) == 2)
+    assert(r.getDouble(3) == 2.0 && r.getDouble(4) == 4.0)
+    assert(approx(r.getDouble(5), mde, 1e-6))
+    assert(approx(r.getDouble(6), mde / 2.0, 1e-6))
+  }
+
+  test("powerMde: single-row arms and missing arms are dropped") {
+    val df = Seq(("one", "A", 1.0), ("one", "B", 2.0), ("one", "B", 3.0),
+      ("noB", "A", 1.0), ("noB", "A", 2.0)).toDF("seg", "arm", "v")
+    assert(Experiment.powerMde(df, "seg", "arm", "v").collect().isEmpty)
+  }
+
+  test("conformalGate: zero-noise linear data covers everything with q=0") {
+    // y = 10 + 2x exactly: residuals are 0 on both splits → q=0, coverage=1
+    val rows = (1 to 40).map(i => (i.toLong, i.toDouble, 10.0 + 2.0 * i))
+    val df = rows.toDF("id", "x", "y")
+    val r = Experiment.conformalGate(df, "x", "y", col("id") % 4 === 0,
+      alpha = 0.1).collect().head
+    assert(r.getLong(0) == 10 && r.getLong(1) == 30)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 10.0)
+    assert(r.getDouble(4) == 0.0 && r.getDouble(5) == 1.0)
+  }
+
+  test("conformalGate: coverage tracks 1 - alpha on noisy data") {
+    // deterministic pseudo-noise in [-5, 5); exchangeable between splits
+    val rows = (1 to 2000).map { i =>
+      val noise = ((i * 2654435761L) % 1000) / 100.0 - 5.0
+      (i.toLong, (i % 50).toDouble, 3.0 * (i % 50) + noise)
+    }
+    val df = rows.toDF("id", "x", "y")
+    val r = Experiment.conformalGate(df, "x", "y", col("id") % 4 === 0,
+      alpha = 0.2).collect().head
+    val cov = r.getDouble(5)
+    assert(cov >= 0.78 && cov <= 0.9, s"coverage $cov out of band")
+  }
+
+  test("conformalGate: quantile index is exact at the integer boundary") {
+    // n_cal = 9, alpha = 0.1 → k = ceil(10 * 0.9) = 9 (double arithmetic
+    // would give 10); with all-zero residuals the selection must not run
+    // past the calibration set
+    val rows = (1 to 36).map(i => (i.toLong, i.toDouble, i.toDouble))
+    val df = rows.toDF("id", "x", "y")
+    val r = Experiment.conformalGate(df, "x", "y", col("id") % 4 === 0,
+      alpha = 0.1).collect().head
+    assert(r.getLong(0) == 9 && r.getDouble(5) == 1.0)
+  }
 }
