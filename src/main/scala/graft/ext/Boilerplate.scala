@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Boilerplate {
 
+  /** Array of consecutive `chunkTokens`-token chunks of `textCol` (last chunk
+    * may be shorter). Pure codegen — no shuffle, no UDF; shared by the batch
+    * operator and the streaming twin.
+    */
+  def chunkArray(textCol: org.apache.spark.sql.Column,
+                 chunkTokens: Int): org.apache.spark.sql.Column = {
+    val toks = split(textCol, " ")
+    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+  }
+
   /** CCNet-style boilerplate detection at chunk granularity: split every
     * document into consecutive `chunkTokens`-token chunks, count each chunk's
     * document frequency *within its source group*, flag chunks whose
@@ -47,12 +59,9 @@ object Boilerplate {
       s"minDocFrac must be in (0, 1], got $minDocFrac")
     val fracMil = math.round(minDocFrac * 1000)
 
-    val toks = split(col(textCol), " ")
-    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
     val chunks = docs
       .select(col(groupCol).as("grp"), col(idCol),
-        posexplode(transform(sequence(lit(0), nChunks - 1),
-          i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))))
+        posexplode(chunkArray(col(textCol), chunkTokens)))
       .withColumnRenamed("pos", "chunk_idx")
       .withColumnRenamed("col", "chunk")
       .withColumn("clen", size(split(col("chunk"), " ")))

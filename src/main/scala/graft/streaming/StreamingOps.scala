@@ -945,6 +945,30 @@ object StreamingOps {
       .agg(count(lit(1)).as("class_size"))
       .withColumn("k_at_risk", col("class_size") < k)
 
+  /** Streaming twin of [[graft.ext.Boilerplate.chunkBoilerplate]]'s detection
+    * side: per (group, chunk) running document frequency with a boilerplate
+    * flag at an ABSOLUTE doc count. Each document arrives once on a corpus
+    * ingest stream, so within-doc chunk repeats are deduped doc-locally
+    * (`array_distinct` before the explode — per-row codegen, no state) and
+    * the streaming count is an exact distinct-doc count without keeping doc
+    * ids in state. The threshold is an absolute `minDocs`, not the batch
+    * operator's fraction: a fraction of a growing group denominator could
+    * UNflag a chunk as clean docs arrive, and a monotone flag is what makes
+    * gating downstream consumers on it safe (the kAnonymityClassStream
+    * argument, inverted: here the risky state is the one rows can only
+    * enter).
+    */
+  def boilerplateChunkStream(docs: DataFrame, groupCol: String,
+                             textCol: String, chunkTokens: Int,
+                             minDocs: Long): DataFrame =
+    docs.select(col(groupCol).as("grp"),
+        explode(array_distinct(
+          graft.ext.Boilerplate.chunkArray(col(textCol), chunkTokens)))
+          .as("chunk"))
+      .groupBy(col("grp"), col("chunk"))
+      .agg(count(lit(1)).as("df_docs"))
+      .withColumn("is_boiler", col("df_docs") >= minDocs)
+
   def heavyHittersStream(items: Dataset[HHItem], capacity: Int): Dataset[HHCounter] = {
     import items.sparkSession.implicits._
     val agg = new graft.functions.SpaceSavingAggregator(capacity)

@@ -9,6 +9,7 @@ import org.apache.spark.sql.streaming.Trigger
 
 final case class IncDoc(doc_id: Long, text: String)
 final case class PrivRow(region: String, band: Long, salary: Double)
+final case class CorpusDoc(src: String, doc_id: Long, text: String)
 
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -184,6 +185,45 @@ class StreamingOpsSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getBoolean(4)))
       .toMap
     assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("boilerplateChunkStream matches the batch doc-frequency across " +
+    "micro-batches, deduping chunk repeats doc-locally") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      CorpusDoc("g1", 1L, "a b a b c d"), // "a b" twice → counts once
+      CorpusDoc("g1", 2L, "a b x y"),
+      CorpusDoc("g2", 3L, "a b"),
+      CorpusDoc("g1", 4L, "a b q"))
+    val input = MemoryStream[CorpusDoc]
+    input.addData(docs.take(2): _*)
+    val q = StreamingOps
+      .boilerplateChunkStream(input.toDF(), "src", "text",
+        chunkTokens = 2, minDocs = 3)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val mid = spark.table("boiler_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // doc 1's repeated "a b" counted once; not boiler yet at df=2
+    assert(mid(("g1", "a b")) == ((2L, false)))
+    input.addData(docs.drop(2): _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("boiler_stream").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // g1 "a b" reaches the absolute threshold; g2's copy is scoped apart
+    assert(streamed(("g1", "a b")) == ((3L, true)))
+    assert(streamed(("g2", "a b")) == ((1L, false)))
+    // full differential vs the same pipeline run as one batch
+    val batch = docs.toDF()
+      .select(col("src").as("grp"),
+        explode(array_distinct(
+          graft.ext.Boilerplate.chunkArray(col("text"), 2))).as("chunk"))
+      .groupBy("grp", "chunk").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
