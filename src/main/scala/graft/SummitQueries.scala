@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Boilerplate, Experiment}
+import graft.ext.{Boilerplate, Communities, Experiment}
 
 /** Round-8 batch #3: pre-training boilerplate strip analytics, post-training
   * memorization audit, and the two experiment-design gates (power/MDE,
@@ -202,15 +202,69 @@ object SummitQueries {
       |  ROUND(CAST(n_cov AS DOUBLE) / n_test, 6) AS coverage
       |FROM t""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Label-propagation communities
+  // --------------------------------------------------------------------------
+
+  /** Three rounds of deterministic synchronous label propagation
+    * ([[Communities.labelPropagation]]) over the weighted repeat-co-purchase
+    * graph (weight = number of orders containing both parts, edges with ≥2
+    * co-orders). The oracle unrolls the same three rounds — one
+    * aggregate + rank-1 CTE pair per round — so every adoption decision is
+    * checked, not just the fixed point.
+    */
+  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // basket form as in InsightQueries.repeatEdges, weight kept: one
+    // order-keyed set aggregate, pairs generated map-side per basket
+    val edges = l.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    Communities.labelPropagation(edges, "src", "dst", "w", iters = 3)
+      .orderBy(col("node"))
+  }
+
+  /** One unrolled LPA round: labels `lPrev` → labels `lNext`. */
+  private def lpaRoundSql(t: Int): String = {
+    val (prev, a, r, next) = (s"l${t - 1}", s"a$t", s"r$t", s"l$t")
+    s"""$a AS (SELECT s.dst, l.label AS lbl, CAST(SUM(s.w) AS BIGINT) AS wsum
+       |  FROM sym s JOIN $prev l ON s.src = l.node GROUP BY 1, 2),
+       |$r AS (SELECT dst, lbl, ROW_NUMBER() OVER (
+       |    PARTITION BY dst ORDER BY wsum DESC, lbl) AS rn FROM $a),
+       |$next AS (SELECT p.node, COALESCE(r.lbl, p.label) AS label
+       |  FROM $prev p LEFT JOIN $r r ON p.node = r.dst AND r.rn = 1)"""
+      .stripMargin
+  }
+
+  val communitiesSql: String =
+    s"""WITH e AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |    COUNT(DISTINCT x.l_orderkey) AS w
+      |  FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+      |sym AS (SELECT a AS src, b AS dst, w FROM e
+      |  UNION ALL SELECT b, a, w FROM e),
+      |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
+      |${lpaRoundSql(1)},
+      |${lpaRoundSql(2)},
+      |${lpaRoundSql(3)}
+      |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
     "q_power_mde" -> (qPowerMde _),
-    "q_conformal" -> (qConformal _))
+    "q_conformal" -> (qConformal _),
+    "q_communities" -> (qCommunities _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
     "q_memorization" -> memorizationSql,
     "q_power_mde" -> powerMdeSql,
-    "q_conformal" -> conformalSql)
+    "q_conformal" -> conformalSql,
+    "q_communities" -> communitiesSql)
 }
