@@ -254,17 +254,98 @@ object SummitQueries {
       |${lpaRoundSql(3)}
       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Characteristic terms per language (Monroe log-odds)
+  // --------------------------------------------------------------------------
+
+  /** Top-5 tokens distinguishing each language slice from the rest of the
+    * corpus ([[graft.ext.TextStats.logOddsTerms]], prior mass 1000, min
+    * global count 5).
+    */
+  def qLogOdds(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.logOddsTerms(Tables.documents(spark, dir), "lang",
+        "text", priorScale = 1000.0, minGlobalCount = 5, topK = 5)
+      .withColumnRenamed("grp", "lang")
+      .orderBy(col("lang"), col("term_rank"))
+
+  val logOddsSql: String =
+    """WITH tok AS (SELECT lang AS grp, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |gt AS (SELECT grp, t, COUNT(*) AS y_iw FROM tok GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(SUM(y_iw) AS BIGINT) AS n_i FROM gt GROUP BY 1),
+      |ct AS (SELECT t, CAST(SUM(y_iw) AS BIGINT) AS y_w FROM gt GROUP BY 1
+      |  HAVING CAST(SUM(y_iw) AS BIGINT) >= 5),
+      |tot AS (SELECT CAST(SUM(y_w) AS BIGINT) AS n_tot FROM ct),
+      |j AS (SELECT gt.grp, gt.t, gt.y_iw, ct.y_w, g.n_i, tot.n_tot,
+      |    1000.0 * CAST(ct.y_w AS DOUBLE) / tot.n_tot AS a_w,
+      |    CAST(ct.y_w - gt.y_iw AS DOUBLE) AS y_rw,
+      |    CAST(tot.n_tot - g.n_i AS DOUBLE) AS n_r
+      |  FROM gt JOIN ct ON gt.t = ct.t JOIN g ON gt.grp = g.grp
+      |  CROSS JOIN tot),
+      |z AS (SELECT grp, t, y_iw, y_w,
+      |    ROUND((ln((y_iw + a_w) / (n_i + 1000.0 - y_iw - a_w)) -
+      |           ln((y_rw + a_w) / (n_r + 1000.0 - y_rw - a_w))) /
+      |          sqrt(1.0 / (y_iw + a_w) + 1.0 / (y_rw + a_w)), 6) AS z_score
+      |  FROM j),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY grp ORDER BY z_score DESC, t) AS term_rank FROM z)
+      |SELECT grp AS lang, t AS token, y_iw AS n_grp, y_w AS n_global,
+      |  z_score, term_rank
+      |FROM r WHERE term_rank <= 5 ORDER BY lang, term_rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Empirical-Bayes shrunk return rates per brand
+  // --------------------------------------------------------------------------
+
+  /** Per-brand return-rate ranking before/after fixed-strength EB shrinkage
+    * toward the pooled rate ([[graft.ext.Profiling.shrunkRates]], τ = 200).
+    */
+  def qEbShrinkage(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiling.shrunkRates(
+        Tables.lineitem(spark, dir)
+          .join(Tables.part(spark, dir),
+            col("l_partkey") === col("p_partkey"))
+          .select(col("p_brand").as("brand"),
+            (col("l_returnflag") === "R").as("is_return")),
+        "brand", "is_return", tau = 200.0)
+      .withColumnRenamed("grp", "brand")
+      .orderBy(col("brand"))
+
+  val ebShrinkageSql: String =
+    """WITH g AS (SELECT p_brand AS brand, COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS k
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |p AS (SELECT CAST(SUM(k) AS BIGINT) AS tk, CAST(SUM(n) AS BIGINT) AS tn
+      |  FROM g),
+      |s AS (SELECT brand, n, k,
+      |    CAST(k AS DOUBLE) / n AS raw,
+      |    (k + CAST(tk AS DOUBLE) / tn * 200.0) / (n + 200.0) AS shrunk
+      |  FROM g CROSS JOIN p),
+      |r AS (SELECT *,
+      |    ROW_NUMBER() OVER (ORDER BY raw DESC, brand) AS rank_raw,
+      |    ROW_NUMBER() OVER (ORDER BY shrunk DESC, brand) AS rank_shrunk
+      |  FROM s)
+      |SELECT brand, n, k, ROUND(raw, 6) AS raw_rate,
+      |  ROUND(shrunk, 6) AS shrunk_rate, rank_raw, rank_shrunk,
+      |  CAST(rank_raw - rank_shrunk AS BIGINT) AS rank_shift
+      |FROM r ORDER BY brand""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
     "q_power_mde" -> (qPowerMde _),
     "q_conformal" -> (qConformal _),
-    "q_communities" -> (qCommunities _))
+    "q_communities" -> (qCommunities _),
+    "q_log_odds" -> (qLogOdds _),
+    "q_eb_shrinkage" -> (qEbShrinkage _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
     "q_memorization" -> memorizationSql,
     "q_power_mde" -> powerMdeSql,
     "q_conformal" -> conformalSql,
-    "q_communities" -> communitiesSql)
+    "q_communities" -> communitiesSql,
+    "q_log_odds" -> logOddsSql,
+    "q_eb_shrinkage" -> ebShrinkageSql)
 }

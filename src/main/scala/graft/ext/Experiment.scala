@@ -261,19 +261,34 @@ object Experiment {
     * mde_rel) with mde_rel = mde_abs / mean_a (null when mean_a = 0).
     */
   def powerMde(df: DataFrame, segmentCol: String, armCol: String,
-               valueCol: String): DataFrame = {
+               valueCol: String): DataFrame =
+    mdeFromMoments(perArmMoments(df, segmentCol, armCol, valueCol))
+
+  /** Per-segment exact integer moments of both arms in ONE conditional
+    * aggregate — a single shuffle, and (unlike two filtered branches off one
+    * grouped aggregate) nothing for Catalyst to re-specialize per branch.
+    * Shared by the batch operator and [[graft.streaming.StreamingOps]]'s
+    * `powerMdeStream` twin, which runs this very aggregation incrementally.
+    */
+  def perArmMoments(df: DataFrame, segmentCol: String, armCol: String,
+                    valueCol: String): DataFrame = {
     val vm = round(col(valueCol) * 1e6, 0).cast("decimal(38,0)")
-    val arms = df
-      .select(col(segmentCol).as("segment"), col(armCol).as("arm"), vm.as("vm"))
-      .groupBy(col("segment"), col("arm"))
-      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s1"),
-        sum(col("vm") * col("vm")).as("s2"))
-    val a = arms.filter(col("arm") === "A")
-      .select(col("segment"), col("n").as("n_a"), col("s1").as("s1_a"),
-        col("s2").as("s2_a"))
-    val b = arms.filter(col("arm") === "B")
-      .select(col("segment"), col("n").as("n_b"), col("s1").as("s1_b"),
-        col("s2").as("s2_b"))
+    val zeroDec = lit(0).cast("decimal(38,0)")
+    def arm(a: String) = col("arm") === a
+    df.select(col(segmentCol).as("segment"), col(armCol).as("arm"), vm.as("vm"))
+      .groupBy(col("segment"))
+      .agg(sum(when(arm("A"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(arm("A"), col("vm")).otherwise(zeroDec)).as("s1_a"),
+        sum(when(arm("A"), col("vm") * col("vm")).otherwise(zeroDec)).as("s2_a"),
+        sum(when(arm("B"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(arm("B"), col("vm")).otherwise(zeroDec)).as("s1_b"),
+        sum(when(arm("B"), col("vm") * col("vm")).otherwise(zeroDec)).as("s2_b"))
+  }
+
+  /** MDE readout over [[perArmMoments]] rows (projection only — streaming
+    * safe). Segments without both arms populated (> 1 row each) are dropped.
+    */
+  def mdeFromMoments(moments: DataFrame): DataFrame = {
     def mean(s1: String, n: String) =
       col(s1).cast("double") / col(n) / 1e6
     // sample variance in metric units from exact integer moments
@@ -284,7 +299,7 @@ object Experiment {
     val mde = lit(ZAlphaTwoSided05 + ZPower80) *
       sqrt(variance("s2_a", "s1_a", "n_a") / col("n_a") +
         variance("s2_b", "s1_b", "n_b") / col("n_b"))
-    a.join(b, "segment")
+    moments
       .filter(col("n_a") > 1 && col("n_b") > 1)
       .select(col("segment"), col("n_a"), col("n_b"),
         round(mean("s1_a", "n_a"), 6).as("mean_a"),

@@ -126,6 +126,45 @@ object Profiling {
     * result is engine-portable. One scan however many columns; the profiler
     * companion to [[profileColumns]].
     */
+  /** Empirical-Bayes rate shrinkage — per-group success rates pulled toward
+    * the pooled mean with a fixed-strength prior: with k successes of n
+    * trials and pooled mean m = Σk/Σn,
+    * `shrunk = (k + m·τ)/(n + τ)` (a Beta(m·τ, (1−m)·τ) prior). The standard
+    * fix for small-sample rate rankings (return rates, CTRs, defect rates)
+    * where a 1-of-2 group would otherwise outrank a 490-of-1000 one; the
+    * output carries both rankings and the shift so the damage raw ranking
+    * would do is visible. Fixed τ (not method-of-moments) keeps every number
+    * a ratio of exact integers — MoM needs the across-group variance of
+    * p_i, whose double summation is partition-order-dependent.
+    *
+    * One conditional aggregate (group rollup) + a broadcast 1-row pooled
+    * total; ranking windows run over |groups| rows. Output per group:
+    * (grp, n, k, raw_rate, shrunk_rate, rank_raw, rank_shrunk, rank_shift).
+    */
+  def shrunkRates(df: DataFrame, groupCol: String,
+                  successCol: String, tau: Double = 200.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = df.groupBy(col(groupCol).as("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol), 1L).otherwise(0L)).as("k"))
+    val pooled = g.agg(sum(col("k")).as("tk"), sum(col("n")).as("tn"))
+    val m = col("tk").cast("double") / col("tn")
+    val raw = col("k").cast("double") / col("n")
+    val shrunk = (col("k") + m * lit(tau)) / (col("n") + lit(tau))
+    val wRaw = Window.orderBy(col("__raw").desc, col("grp"))
+    val wShrunk = Window.orderBy(col("__shrunk").desc, col("grp"))
+    g.crossJoin(broadcast(pooled))
+      .withColumn("__raw", raw)
+      .withColumn("__shrunk", shrunk)
+      .withColumn("rank_raw", row_number().over(wRaw))
+      .withColumn("rank_shrunk", row_number().over(wShrunk))
+      .select(col("grp"), col("n"), col("k"),
+        round(col("__raw"), 6).as("raw_rate"),
+        round(col("__shrunk"), 6).as("shrunk_rate"),
+        col("rank_raw"), col("rank_shrunk"),
+        (col("rank_raw") - col("rank_shrunk")).as("rank_shift"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val pairs = for {

@@ -343,6 +343,64 @@ object TextStats {
           .as("kl_bits"))
   }
 
+  /** Characteristic terms per group — log-odds with an informative Dirichlet
+    * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): for token w in
+    * group i vs the REST of the corpus,
+    * δ = ln((y_iw + a_w)/(n_i + a₀ − y_iw − a_w))
+    *   − ln((y_rw + a_w)/(n_r + a₀ − y_rw − a_w)),
+    * σ² ≈ 1/(y_iw + a_w) + 1/(y_rw + a_w), z = δ/σ — the statistically sound
+    * replacement for raw TF-IDF "top terms" when profiling what distinguishes
+    * one source/language/split from the rest: the prior (a_w ∝ global
+    * frequency, total mass `priorScale`) shrinks rare-word noise instead of
+    * letting hapax legomena dominate.
+    *
+    * Scale shape: one token explode → (group, token) count (map-side
+    * combined); group totals and the corpus total are broadcast; the
+    * global-token join is the only corpus-sized shuffle. Ranking is a
+    * per-group top-`topK` window over the ROUNDED z (rank on rounded values +
+    * token tie-break — a last-ulp libm `ln` skew between engines cannot
+    * reorder), which compiles to WindowGroupLimit.
+    *
+    * Output: (grp, token, n_grp, n_global, z_score, term_rank), `topK` rows
+    * per group, z descending.
+    */
+  def logOddsTerms(df: DataFrame, groupCol: String, textCol: String,
+                   priorScale: Double = 1000.0, minGlobalCount: Long = 5,
+                   topK: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("t"))
+    val gt = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("y_iw"))
+    val g = gt.groupBy(col("grp")).agg(sum(col("y_iw")).as("n_i"))
+    val ct = gt.groupBy(col("t")).agg(sum(col("y_iw")).as("y_w"))
+      .filter(col("y_w") >= minGlobalCount)
+    val total = ct.agg(sum(col("y_w")).as("n_tot"))
+
+    val aw = lit(priorScale) * col("y_w").cast("double") / col("n_tot")
+    val yRw = col("y_w") - col("y_iw")
+    val nR = col("n_tot") - col("n_i")
+    val delta =
+      log((col("y_iw") + col("a_w")) /
+        (col("n_i") + lit(priorScale) - col("y_iw") - col("a_w"))) -
+      log((col("y_rw") + col("a_w")) /
+        (col("n_r") + lit(priorScale) - col("y_rw") - col("a_w")))
+    val sigma = sqrt(lit(1.0) / (col("y_iw") + col("a_w")) +
+      lit(1.0) / (col("y_rw") + col("a_w")))
+    val rank = Window.partitionBy(col("grp"))
+      .orderBy(col("z_score").desc, col("t"))
+    gt.join(ct, "t")
+      .join(broadcast(g), "grp")
+      .crossJoin(broadcast(total))
+      .withColumn("a_w", aw)
+      .withColumn("y_rw", yRw.cast("double"))
+      .withColumn("n_r", nR.cast("double"))
+      .withColumn("z_score", round(delta / sigma, 6))
+      .withColumn("term_rank", row_number().over(rank))
+      .filter(col("term_rank") <= topK)
+      .select(col("grp"), col("t").as("token"), col("y_iw").as("n_grp"),
+        col("y_w").as("n_global"), col("z_score"), col("term_rank"))
+  }
+
   /** Zipf-law fit over the head of the corpus vocabulary: OLS slope of
     * ln(freq) on ln(rank) for the `topN` most frequent tokens. Natural text
     * sits near slope −1; a corpus drifting toward −0.5 (too uniform —

@@ -958,6 +958,21 @@ object StreamingOps {
     * argument, inverted: here the risky state is the one rows can only
     * enter).
     */
+  /** Streaming twin of [[graft.ext.Experiment.powerMde]]: the per-segment
+    * A/B minimum-detectable-effect readout over RUNNING exact integer
+    * moments — literally the batch operator's shared
+    * [[graft.ext.Experiment.perArmMoments]] aggregation run incrementally
+    * (complete/update mode) with the same [[graft.ext.Experiment
+    * .mdeFromMoments]] projection on top. MDE is a monitoring readout, not a
+    * gate flag: it shrinks as n grows, so consumers treat each emission as
+    * the current design resolution ("what lift could this test detect if
+    * stopped now"), not a monotone pass/fail.
+    */
+  def powerMdeStream(df: DataFrame, segmentCol: String, armCol: String,
+                     valueCol: String): DataFrame =
+    graft.ext.Experiment.mdeFromMoments(
+      graft.ext.Experiment.perArmMoments(df, segmentCol, armCol, valueCol))
+
   def boilerplateChunkStream(docs: DataFrame, groupCol: String,
                              textCol: String, chunkTokens: Int,
                              minDocs: Long): DataFrame =

@@ -91,4 +91,35 @@ class ProfilingSpec extends SparkTestBase {
     assert(out.drop(2).forall(_.getLong(1) == 0L))
     assert(out.forall(_.getDouble(2) > 0.0)) // expected mass everywhere
   }
+
+  test("shrunkRates: small samples are pulled to the pool and re-ranked") {
+    // brand X: 2/2 raw 1.0 (tiny sample); Y: 900/1000 raw 0.9; Z: 100/1000;
+    // pooled m = 1002/2002 ~ 0.5005. With tau=200 X collapses to ~0.505 and
+    // drops below Y (~0.833) in the shrunk ranking - the raw-rank deception
+    // the operator exists to surface.
+    val rows = Seq.fill(2)(("X", true)) ++
+      Seq.fill(900)(("Y", true)) ++ Seq.fill(100)(("Y", false)) ++
+      Seq.fill(100)(("Z", true)) ++ Seq.fill(900)(("Z", false))
+    val out = Profiling.shrunkRates(rows.toDF("g", "s"), "g", "s", tau = 200.0)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getInt(5), r.getInt(6))).toMap
+    val (nx, kx, rawX, shrX, rankRawX, rankShrX) = out("X")
+    val (_, _, _, shrY, rankRawY, rankShrY) = out("Y")
+    assert(nx == 2 && kx == 2 && rawX == 1.0)
+    val m = 1002.0 / 2002
+    assert(math.abs(shrX - (2 + m * 200) / (2 + 200)) < 1e-6)
+    assert(shrX < shrY)
+    assert(rankRawX == 1 && rankRawY == 2 && rankShrY == 1 && rankShrX == 2)
+  }
+
+  test("shrunkRates: tau=0 degenerates to raw rates and identical rankings") {
+    val rows = Seq(("a", true), ("a", false), ("b", true))
+    val out = Profiling.shrunkRates(rows.toDF("g", "s"), "g", "s", tau = 0.0)
+      .collect().map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getInt(7)))
+    out.foreach { case (_, raw, shrunk, shift) =>
+      assert(raw == shrunk && shift == 0)
+    }
+  }
 }

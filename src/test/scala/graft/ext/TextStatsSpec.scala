@@ -261,4 +261,35 @@ class TextStatsSpec extends SparkTestBase {
       ("s1", 4L, 1L, 0.25, 0.0, 1.0),
       ("s2", 4L, 4L, 1.0, 2.0, 0.0)))
   }
+
+  test("logOddsTerms: group-exclusive heavy tokens surface with positive z, " +
+    "shared filler does not") {
+    // "alpha" dominates g1, "beta" dominates g2, "the" is even filler
+    val docs = Seq(
+      ("g1", Seq.fill(30)("alpha").mkString(" ") + " " +
+        Seq.fill(20)("the").mkString(" ")),
+      ("g2", Seq.fill(30)("beta").mkString(" ") + " " +
+        Seq.fill(20)("the").mkString(" "))).toDF("src", "text")
+    val out = TextStats.logOddsTerms(docs, "src", "text",
+        priorScale = 10.0, minGlobalCount = 5, topK = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(4), r.getInt(5))).toMap
+    assert(out(("g1", "alpha"))._2 == 1 && out(("g1", "alpha"))._1 > 0)
+    assert(out(("g2", "beta"))._2 == 1 && out(("g2", "beta"))._1 > 0)
+    // the filler ranks below the exclusive token and its |z| is small
+    assert(math.abs(out(("g1", "the"))._1) < out(("g1", "alpha"))._1)
+    // the symmetric design gives mirrored z-scores
+    assert(math.abs(out(("g1", "alpha"))._1 - out(("g2", "beta"))._1) < 1e-9)
+  }
+
+  test("logOddsTerms: minGlobalCount prunes rare tokens; topK caps each group") {
+    val docs = Seq(
+      ("a", "x x x x x x rare"),
+      ("b", "y y y y y y")).toDF("src", "text")
+    val out = TextStats.logOddsTerms(docs, "src", "text",
+      priorScale = 10.0, minGlobalCount = 5, topK = 1).collect()
+    assert(!out.exists(_.getString(1) == "rare"))
+    assert(out.groupBy(_.getString(0)).forall(_._2.length == 1))
+  }
 }

@@ -226,6 +226,35 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
+  test("powerMdeStream equals the batch MDE readout after each micro-batch") {
+    implicit val sc = spark.sqlContext
+    val rows = Seq(
+      PrivRow("seg1", 0L, 10.0), PrivRow("seg1", 1L, 14.0),
+      PrivRow("seg1", 2L, 11.0), PrivRow("seg1", 3L, 19.0),
+      PrivRow("seg1", 4L, 12.5), PrivRow("seg1", 5L, 13.5))
+    def withArm(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("arm", when(col("band") % 2 === 0, "A").otherwise("B"))
+    val input = MemoryStream[PrivRow]
+    input.addData(rows.take(4): _*)
+    val q = StreamingOps
+      .powerMdeStream(withArm(input.toDF()), "region", "arm", "salary")
+      .writeStream.format("memory").queryName("mde_stream")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    def snapshot() = spark.table("mde_stream").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSeq.sorted
+    def batch(n: Int) = graft.ext.Experiment
+      .powerMde(withArm(rows.take(n).toDF()), "region", "arm", "salary")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(5)))
+      .toSeq.sorted
+    assert(snapshot() == batch(4))
+    input.addData(rows.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    assert(snapshot() == batch(6))
+  }
+
   final case class Ev(ts: Timestamp, event_type: String, value: Double)
 
   test("hourlyStats aggregates a stream incrementally with watermark") {
