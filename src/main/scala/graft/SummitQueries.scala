@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Boilerplate, Communities, Experiment}
+import graft.ext.{Boilerplate, ChangeDetect, Communities, Experiment, Skyline}
 
 /** Round-8 batch #3: pre-training boilerplate strip analytics, post-training
   * memorization audit, and the two experiment-design gates (power/MDE,
@@ -331,6 +331,89 @@ object SummitQueries {
       |  CAST(rank_raw - rank_shrunk AS BIGINT) AS rank_shift
       |FROM r ORDER BY brand""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Pareto skyline
+  // --------------------------------------------------------------------------
+
+  /** Parts on the (retail price ↓, size ↑) Pareto frontier
+    * ([[Skyline.skyline2d]] — histogram-pruned, no quadratic self-join). The
+    * oracle re-derives the frontier from the distinct-price scaffold alone.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame =
+    Skyline.skyline2d(
+        Tables.part(spark, dir)
+          .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+        "p_retailprice", "p_size")
+      .orderBy(col("p_partkey"))
+
+  val skylineSql: String =
+    """WITH px AS (SELECT p_retailprice AS x, MAX(p_size) AS maxy
+      |  FROM part GROUP BY 1),
+      |sc AS (SELECT x, maxy, MAX(maxy) OVER (ORDER BY x
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS strict
+      |  FROM px)
+      |SELECT p.p_partkey, p.p_retailprice, p.p_size
+      |FROM part p JOIN sc ON p.p_retailprice = sc.x
+      |WHERE (sc.strict IS NULL OR sc.strict < p.p_size)
+      |  AND sc.maxy <= p.p_size
+      |ORDER BY p.p_partkey""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // CUSUM change detection
+  // --------------------------------------------------------------------------
+
+  /** One-sided CUSUM (k = 0.5, h = 3) over each event type's daily
+    * micro-quantized value volume ([[ChangeDetect.cusum]]); the oracle
+    * replays the nonlinear fold day by day with a recursive CTE.
+    */
+  def qCusum(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    ChangeDetect.cusum(daily, "event_type", "day", "v", k = 0.5, h = 3.0)
+      .select(col("event_type"), col("n_days"),
+        round(col("max_s"), 6).as("max_s"), col("peak_day"), col("n_alarms"))
+      .orderBy(col("event_type"))
+  }
+
+  val cusumSql: String =
+    """WITH RECURSIVE dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT g, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS s2
+      |  FROM dly GROUP BY 1),
+      |mm AS (SELECT g, CAST(s AS DOUBLE) / n AS mean,
+      |    sqrt(GREATEST(CAST(s2 AS DOUBLE) / n -
+      |      (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 0.0)) AS sd
+      |  FROM m),
+      |z AS (SELECT dly.g, dly.d,
+      |    ROW_NUMBER() OVER (PARTITION BY dly.g ORDER BY dly.d) AS rn,
+      |    (CAST(dly.v AS DOUBLE) - mm.mean) /
+      |      (CASE WHEN mm.sd > 0.0 THEN mm.sd ELSE 1.0 END) AS z
+      |  FROM dly JOIN mm USING (g)),
+      |f(g, rn, s, maxs, peak, alarms) AS (
+      |  SELECT g, rn, GREATEST(z - 0.5, 0.0),
+      |    GREATEST(z - 0.5, 0.0),
+      |    CASE WHEN GREATEST(z - 0.5, 0.0) > 0.0 THEN d ELSE NULL END,
+      |    CASE WHEN GREATEST(z - 0.5, 0.0) > 3.0 THEN 1 ELSE 0 END
+      |  FROM z WHERE rn = 1
+      |  UNION ALL
+      |  SELECT z.g, z.rn, GREATEST(f.s + z.z - 0.5, 0.0),
+      |    CASE WHEN GREATEST(f.s + z.z - 0.5, 0.0) > f.maxs
+      |         THEN GREATEST(f.s + z.z - 0.5, 0.0) ELSE f.maxs END,
+      |    CASE WHEN GREATEST(f.s + z.z - 0.5, 0.0) > f.maxs
+      |         THEN z.d ELSE f.peak END,
+      |    f.alarms + CASE WHEN GREATEST(f.s + z.z - 0.5, 0.0) > 3.0
+      |               THEN 1 ELSE 0 END
+      |  FROM f JOIN z ON z.g = f.g AND z.rn = f.rn + 1),
+      |fin AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY rn DESC)
+      |    AS rr FROM f)
+      |SELECT g AS event_type, rn AS n_days, ROUND(maxs, 6) AS max_s,
+      |  peak AS peak_day, CAST(alarms AS BIGINT) AS n_alarms
+      |FROM fin WHERE rr = 1 ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -338,7 +421,9 @@ object SummitQueries {
     "q_conformal" -> (qConformal _),
     "q_communities" -> (qCommunities _),
     "q_log_odds" -> (qLogOdds _),
-    "q_eb_shrinkage" -> (qEbShrinkage _))
+    "q_eb_shrinkage" -> (qEbShrinkage _),
+    "q_skyline" -> (qSkyline _),
+    "q_cusum" -> (qCusum _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -347,5 +432,7 @@ object SummitQueries {
     "q_conformal" -> conformalSql,
     "q_communities" -> communitiesSql,
     "q_log_odds" -> logOddsSql,
-    "q_eb_shrinkage" -> ebShrinkageSql)
+    "q_eb_shrinkage" -> ebShrinkageSql,
+    "q_skyline" -> skylineSql,
+    "q_cusum" -> cusumSql)
 }

@@ -1,0 +1,51 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ChangeDetectSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def daily(rows: Seq[(String, String, Long)]) =
+    rows.toDF("g", "d", "v")
+      .select(col("g"), col("d").cast("date").as("d"),
+        col("v").cast("decimal(38,0)").as("v"))
+
+  test("cusum: a planted level shift alarms and peaks at the end of the run") {
+    // 10 quiet days at 100 then 5 shifted days at 200: s climbs through the
+    // shift, max at the last day, alarms once s crosses h
+    val rows = (1 to 10).map(i => ("a", f"2024-01-$i%02d", 100L)) ++
+      (11 to 15).map(i => ("a", f"2024-01-$i%02d", 200L))
+    val out = ChangeDetect.cusum(daily(rows), "g", "d", "v", k = 0.5, h = 2.0)
+      .collect().head
+    assert(out.getLong(1) == 15)
+    assert(out.getDouble(2) > 2.0)
+    assert(out.getDate(3).toString == "2024-01-15")
+    assert(out.getLong(4) >= 1 && out.getLong(4) <= 5)
+  }
+
+  test("cusum: a flat series never alarms and reports a null peak") {
+    val rows = (1 to 12).map(i => ("flat", f"2024-02-$i%02d", 500L))
+    val out = ChangeDetect.cusum(daily(rows), "g", "d", "v", k = 0.5, h = 2.0)
+      .collect().head
+    // sd = 0 → z = 0 via the guard; s stays 0, no peak day
+    assert(out.getDouble(2) == 0.0 && out.isNullAt(3) && out.getLong(4) == 0)
+  }
+
+  test("cusum: groups fold independently and a downward shift stays silent " +
+    "in the one-sided statistic") {
+    val up = (1 to 8).map(i => ("up", f"2024-03-$i%02d", 10L)) ++
+      (9 to 12).map(i => ("up", f"2024-03-$i%02d", 40L))
+    val down = (1 to 8).map(i => ("down", f"2024-03-$i%02d", 40L)) ++
+      (9 to 12).map(i => ("down", f"2024-03-$i%02d", 10L))
+    val out = ChangeDetect
+      .cusum(daily(up ++ down), "g", "d", "v", k = 0.5, h = 2.5)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getLong(4)))
+      .toMap
+    assert(out("up")._2 >= 1, s"upward shift should alarm: $out")
+    // the early high plateau gives positive z at the START for `down`, but
+    // the post-shift tail drifts to zero — its peak cannot exceed `up`'s
+    assert(out("down")._1 <= out("up")._1)
+  }
+}

@@ -23,4 +23,22 @@ class CoverageSpec extends SparkTestBase {
     val r = Coverage.coverageDF(recs, catalog, "item", "id").collect().head
     assert(r.getLong(0) == 3 && r.getLong(1) == 3 && approx(r.getDouble(2), 1.0))
   }
+
+  test("approxCoverage tracks the exact ratio within HLL error and its plan " +
+    "has no exact-distinct expand") {
+    val recs = (1 to 3000).filter(_ % 3 != 0).toDF("item")
+    val catalog = (1 to 3000).toDF("id")
+    val exact = Coverage.coverage(recs, catalog, "item", "id")
+    val est = Coverage.approxCoverage(recs, catalog, "item", "id", rsd = 0.02)
+    // numerator and denominator each carry ~2% rsd; 10% absolute slack is
+    // ~2.5 combined sigmas on a ratio near 2/3
+    assert(math.abs(est - exact) <= 0.1 * exact,
+      s"approx $est vs exact $exact")
+    // the sketch path must plan an HLL++ aggregate, not countDistinct
+    val plan = recs.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(
+        org.apache.spark.sql.functions.col("item"), 0.02))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("approx_count_distinct") && !plan.contains("Expand"))
+  }
 }
