@@ -414,6 +414,67 @@ object SummitQueries {
       |  peak AS peak_day, CAST(alarms AS BIGINT) AS n_alarms
       |FROM fin WHERE rr = 1 ORDER BY event_type""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Incremental rollup maintenance
+  // --------------------------------------------------------------------------
+
+  /** Base rollup over 3/4 of the event stream merged with the remaining 1/4
+    * as a late-arriving delta ([[graft.ext.Compaction.incrementalRollup]]);
+    * the oracle recomputes the rollup from scratch over ALL events, so the
+    * merge algebra itself is what's checked.
+    */
+  def qIncrementalRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"),
+        col("event_id"))
+    val base = ev.filter(col("event_id") % 4 < 3)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+    val delta = ev.filter(col("event_id") % 4 === 3)
+    graft.ext.Compaction
+      .incrementalRollup(base, delta, Seq("event_type", "day"), "vm")
+      .select(col("event_type"), col("day"), col("n"),
+        col("s").cast("long").as("s_micro"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val incrementalRollupSql: String =
+    """WITH ev AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm FROM events)
+      |SELECT event_type, day, COUNT(*) AS n, CAST(SUM(vm) AS BIGINT) AS s_micro
+      |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Quantile normalization across sources
+  // --------------------------------------------------------------------------
+
+  /** Document lengths mapped onto the pooled length distribution per source
+    * ([[graft.ext.Mixing.quantileNormalize]] — exact integer index
+    * arithmetic, distributed pooled ranking).
+    */
+  def qQuantileNorm(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Mixing.quantileNormalize(Tables.documents(spark, dir),
+        "source", "n_chars", "doc_id")
+      .withColumnRenamed("grp", "source")
+      .orderBy(col("doc_id"))
+
+  val quantileNormSql: String =
+    """WITH g AS (SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+      |      AS rg,
+      |    COUNT(*) OVER (PARTITION BY source) AS ng
+      |  FROM documents),
+      |p AS (SELECT n_chars AS pv,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rp FROM documents),
+      |np AS (SELECT COUNT(*) AS n_p FROM documents),
+      |ix AS (SELECT g.doc_id, g.source, g.n_chars,
+      |    CASE WHEN g.ng = 1 THEN (np.n_p - 1) // 2 + 1
+      |         ELSE ((g.rg - 1) * (np.n_p - 1)) // (g.ng - 1) + 1 END AS q_idx
+      |  FROM g CROSS JOIN np)
+      |SELECT ix.doc_id, ix.source, ix.n_chars AS raw, p.pv AS norm_value
+      |FROM ix JOIN p ON ix.q_idx = p.rp ORDER BY ix.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -423,7 +484,9 @@ object SummitQueries {
     "q_log_odds" -> (qLogOdds _),
     "q_eb_shrinkage" -> (qEbShrinkage _),
     "q_skyline" -> (qSkyline _),
-    "q_cusum" -> (qCusum _))
+    "q_cusum" -> (qCusum _),
+    "q_incremental_rollup" -> (qIncrementalRollup _),
+    "q_quantile_norm" -> (qQuantileNorm _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -434,5 +497,7 @@ object SummitQueries {
     "q_log_odds" -> logOddsSql,
     "q_eb_shrinkage" -> ebShrinkageSql,
     "q_skyline" -> skylineSql,
-    "q_cusum" -> cusumSql)
+    "q_cusum" -> cusumSql,
+    "q_incremental_rollup" -> incrementalRollupSql,
+    "q_quantile_norm" -> quantileNormSql)
 }

@@ -41,4 +41,37 @@ object Compaction {
       .filter(col("rn") === 1 && !tombstone)
       .drop("rn")
   }
+
+  /** Incremental materialized-rollup maintenance — the warehouse pattern that
+    * keeps a (keys → count, sum) rollup current as new fact rows land,
+    * WITHOUT rescanning history: aggregate only the delta to the rollup
+    * grain, then full-outer-merge it into the base with coalesced additive
+    * metrics. Correctness contract: the merged result is row-identical to
+    * recomputing the rollup over (history ∪ delta) from scratch — which is
+    * exactly what the oracle checks, making the merge algebra itself the
+    * thing under test.
+    *
+    * `base` carries (keyCols..., n, s); `delta` carries raw rows with
+    * `valueCol` (already quantized exact — DECIMAL/long — so addition is
+    * associative). Count and sum are the additive pair from which avg
+    * derives; min/max merge the same way, quantiles do not (that's what
+    * sketches are for).
+    *
+    * Scale shape: the delta aggregate is delta-sized and map-side combined;
+    * the merge join shuffles on the rollup keys — with the base stored
+    * bucketed by those keys ([[graft.sources.Bucketed]]) the base side is
+    * co-located and only the tiny delta aggregate moves. Nothing rescans
+    * fact history.
+    */
+  def incrementalRollup(base: DataFrame, delta: DataFrame,
+                        keyCols: Seq[String], valueCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val deltaAgg = delta.groupBy(keys: _*)
+      .agg(count(lit(1)).as("__dn"), sum(col(valueCol)).as("__ds"))
+    base.join(deltaAgg, keyCols, "full_outer")
+      .select(keys ++ Seq(
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))).as("n"),
+        (coalesce(col("s"), lit(0L).cast("decimal(38,0)")) +
+          coalesce(col("__ds"), lit(0L).cast("decimal(38,0)"))).as("s")): _*)
+  }
 }

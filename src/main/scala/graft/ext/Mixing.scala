@@ -40,4 +40,49 @@ object Mixing {
         round(col("weight"), 6).as("weight"),
         round(col("weight") * col("t_units") / col("n_units"), 6).as("epochs"))
   }
+
+  /** Quantile normalization across sources — map each row's WITHIN-source
+    * rank onto the POOLED distribution's order statistic at the same
+    * percentile, so every source ends up on a common scale (the
+    * batch-effect correction quantile-normalization applies to scores from
+    * heterogeneous quality models / length distributions before a single
+    * global threshold is applied).
+    *
+    * Entirely exact integer arithmetic: a row at within-group rank r of n_g
+    * maps to pooled index `1 + (r−1)·(N−1) div (n_g−1)` (step interpolation
+    * of the Hazen plotting position; a singleton group maps to the pooled
+    * median index) and takes the pooled value at that index via one
+    * equi-join. No doubles anywhere until the caller divides.
+    *
+    * Scale shape: within-group ranks are a group-partitioned window (parallel
+    * across sources); the pooled numbering is
+    * [[GlobalRank.globalRowNumber]] (range partition + per-partition offsets
+    * — no single-task sort); the index lookup is an equi-join on the pooled
+    * rank. Ties in the value order cannot change the result (equal values are
+    * interchangeable at any index); the id tiebreak just keeps the numbering
+    * itself deterministic.
+    *
+    * Output: (idCol, grp, raw, norm_value).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+                        idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wg = Window.partitionBy(col("grp"))
+      .orderBy(col("raw"), col(idCol))
+    val ranked = df
+      .select(col(idCol), col(groupCol).as("grp"), col(valueCol).as("raw"))
+      .withColumn("rg", row_number().over(wg))
+      .withColumn("ng", count(lit(1)).over(Window.partitionBy(col("grp"))))
+    val pooled = GlobalRank.globalRowNumber(
+        df.select(col(valueCol).as("pv"), col(idCol).as("__pid")),
+        Seq(col("pv"), col("__pid")), rnCol = "rp")
+      .select(col("pv"), col("rp"))
+    val np = pooled.agg(count(lit(1)).as("n_p"))
+    ranked.crossJoin(broadcast(np))
+      .withColumn("q_idx",
+        when(col("ng") === 1, expr("(n_p - 1) div 2") + 1)
+          .otherwise(expr("(rg - 1) * (n_p - 1) div (ng - 1)") + 1))
+      .join(pooled, col("q_idx") === col("rp"))
+      .select(col(idCol), col("grp"), col("raw"), col("pv").as("norm_value"))
+  }
 }

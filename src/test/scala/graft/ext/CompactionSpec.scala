@@ -46,4 +46,40 @@ class CompactionSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getString(3)).toMap
     assert(out == Map((1L, "a") -> "z", (1L, "b") -> "y"))
   }
+
+  test("incrementalRollup: merge equals full recompute, including delta-only " +
+    "and base-only keys") {
+    val facts = Seq(
+      ("k1", 10L), ("k1", 20L), ("k2", 5L), // history
+      ("k1", 7L), ("k3", 100L))             // delta (k3 is a NEW key)
+    def mkDelta(rows: Seq[(String, Long)]) = rows.toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(38,0)").as("vm"))
+    val base = mkDelta(facts.take(3)).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+    val merged = Compaction
+      .incrementalRollup(base, mkDelta(facts.drop(3)), Seq("k"), "vm")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact())).toMap
+    val full = mkDelta(facts).groupBy("k")
+      .agg(count(lit(1)).as("n"), sum(col("vm")).as("s"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact())).toMap
+    assert(merged == full)
+    assert(merged("k2") == ((1L, 5L)))   // base-only key untouched
+    assert(merged("k3") == ((1L, 100L))) // delta-only key created
+    assert(merged("k1") == ((3L, 37L)))  // merged counts and sums
+  }
+
+  test("incrementalRollup: empty delta is the identity") {
+    val base = Seq(("k", 2L, 30L)).toDF("k", "n", "raw")
+      .select(col("k"), col("n"), col("raw").cast("decimal(38,0)").as("s"))
+    val emptyDelta = Seq.empty[(String, Long)].toDF("k", "raw")
+      .select(col("k"), col("raw").cast("decimal(38,0)").as("vm"))
+    val out = Compaction.incrementalRollup(base, emptyDelta, Seq("k"), "vm")
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L &&
+      out.head.getDecimal(2).longValueExact() == 30L)
+  }
 }

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class MixingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("quantileNormalize: two sources with shifted scales land on the " +
+    "common pooled scale") {
+    // source a: 10,20,30; source b: 1000,2000,3000. Pooled sorted:
+    // 10,20,30,1000,2000,3000 (N=6). Rank r of 3 maps to pooled index
+    // 1 + (r-1)*5 div 2 → 1, 3, 6 → values 10, 30, 3000 for BOTH sources.
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 30L),
+      ("b", 4L, 1000L), ("b", 5L, 2000L), ("b", 6L, 3000L))
+      .toDF("src", "id", "v")
+    val out = Mixing.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) == 10L && out(2L) == 30L && out(3L) == 3000L)
+    assert(out(4L) == 10L && out(5L) == 30L && out(6L) == 3000L)
+  }
+
+  test("quantileNormalize: a singleton source maps to the pooled median") {
+    val df = Seq(("big", 1L, 1L), ("big", 2L, 2L), ("big", 3L, 3L),
+      ("big", 4L, 4L), ("solo", 9L, 999L)).toDF("src", "id", "v")
+    // N=5, singleton index = (5-1) div 2 + 1 = 3 → third-smallest value 3
+    val out = Mixing.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(9L) == 3L)
+  }
+
+  test("quantileNormalize: within-source ordering is preserved (monotone)") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map(i =>
+      (s"s${i % 3}", i.toLong, rnd.nextInt(1000).toLong))
+    val out = Mixing.quantileNormalize(rows.toDF("src", "id", "v"),
+        "src", "v", "id")
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    out.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r._2, r._3))
+      assert(sorted.map(_._3).sliding(2)
+        .forall(w => w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
+  test("temperatureWeights: alpha=1 recovers raw shares, alpha<1 upweights " +
+    "small sources") {
+    val docs = Seq.fill(90)(("big", 10L)) ++ Seq.fill(10)(("small", 10L))
+    val df = docs.toDF("src", "sz")
+    val at1 = Mixing.temperatureWeights(df, "src", "sz", alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(approx(at1("big"), 0.9, 1e-6) && approx(at1("small"), 0.1, 1e-6))
+    val at03 = Mixing.temperatureWeights(df, "src", "sz", alpha = 0.3)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(at03("small") > 0.1 && at03("big") < 0.9)
+    assert(approx(at03("small") + at03("big"), 1.0, 1e-6))
+  }
+}
