@@ -475,6 +475,68 @@ object SummitQueries {
       |SELECT ix.doc_id, ix.source, ix.n_chars AS raw, p.pv AS norm_value
       |FROM ix JOIN p ON ix.q_idx = p.rp ORDER BY ix.doc_id""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Always-valid sequential p-value (mSPRT)
+  // --------------------------------------------------------------------------
+
+  /** Per-event-type always-valid p-value curve for the user-parity A/B over
+    * daily cumulative moments ([[Experiment.alwaysValidPValue]], ρ = 1):
+    * safe-to-peek sequential testing next to `q_ab_test`'s fixed-horizon z.
+    */
+  def qAlwaysValid(spark: SparkSession, dir: String): DataFrame =
+    Experiment.alwaysValidPValue(
+        Tables.events(spark, dir).select(col("event_type"),
+          to_date(col("ts")).as("day"),
+          when(col("user_id") % 2 === 0, "A").otherwise("B").as("arm"),
+          col("value")),
+        "event_type", "day", "arm", "value", rho = 1.0)
+      .orderBy(col("segment"), col("day"))
+
+  val alwaysValidSql: String =
+    """WITH e AS (SELECT event_type AS segment, CAST(ts AS DATE) AS day,
+      |    CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(ROUND(value * 1000000.0) AS BIGINT) AS vm FROM events),
+      |d AS (SELECT segment, day,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+      |    CAST(SUM(CASE WHEN arm = 'A' THEN vm ELSE 0 END) AS HUGEINT)
+      |      AS ds1_a,
+      |    SUM(CASE WHEN arm = 'A' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END)
+      |      AS ds2_a,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+      |    CAST(SUM(CASE WHEN arm = 'B' THEN vm ELSE 0 END) AS HUGEINT)
+      |      AS ds1_b,
+      |    SUM(CASE WHEN arm = 'B' THEN CAST(vm AS HUGEINT) * vm ELSE 0 END)
+      |      AS ds2_b
+      |  FROM e GROUP BY 1, 2),
+      |c AS (SELECT segment, day,
+      |    SUM(dn_a) OVER w AS n_a, SUM(ds1_a) OVER w AS s1_a,
+      |    SUM(ds2_a) OVER w AS s2_a,
+      |    SUM(dn_b) OVER w AS n_b, SUM(ds1_b) OVER w AS s1_b,
+      |    SUM(ds2_b) OVER w AS s2_b
+      |  FROM d WINDOW w AS (PARTITION BY segment ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |x AS (SELECT segment, day, CAST(n_a AS BIGINT) AS n_a,
+      |    CAST(n_b AS BIGINT) AS n_b,
+      |    CAST(s1_a AS DOUBLE) / n_a / 1000000.0 -
+      |      CAST(s1_b AS DOUBLE) / n_b / 1000000.0 AS delta,
+      |    ((CAST(s2_a AS DOUBLE) -
+      |        CAST(s1_a AS DOUBLE) * CAST(s1_a AS DOUBLE) / n_a) +
+      |     (CAST(s2_b AS DOUBLE) -
+      |        CAST(s1_b AS DOUBLE) * CAST(s1_b AS DOUBLE) / n_b)) /
+      |      (n_a + n_b - 2) / 1000000000000.0 *
+      |      (1.0 / n_a + 1.0 / n_b) AS v
+      |  FROM c),
+      |pp AS (SELECT segment, day, n_a, n_b, delta,
+      |    CASE WHEN n_a > 1 AND n_b > 1 AND v > 0.0 THEN
+      |      ROUND(LEAST(1.0, 1.0 / (sqrt(v / (v + 1.0)) *
+      |        exp(delta * delta * 1.0 / (2.0 * v * (v + 1.0))))), 6)
+      |    END AS p_value
+      |  FROM x)
+      |SELECT segment, day, n_a, n_b, ROUND(delta, 6) AS delta, p_value,
+      |  MIN(p_value) OVER (PARTITION BY segment ORDER BY day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_min
+      |FROM pp ORDER BY segment, day""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -486,7 +548,8 @@ object SummitQueries {
     "q_skyline" -> (qSkyline _),
     "q_cusum" -> (qCusum _),
     "q_incremental_rollup" -> (qIncrementalRollup _),
-    "q_quantile_norm" -> (qQuantileNorm _))
+    "q_quantile_norm" -> (qQuantileNorm _),
+    "q_always_valid" -> (qAlwaysValid _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -499,5 +562,6 @@ object SummitQueries {
     "q_skyline" -> skylineSql,
     "q_cusum" -> cusumSql,
     "q_incremental_rollup" -> incrementalRollupSql,
-    "q_quantile_norm" -> quantileNormSql)
+    "q_quantile_norm" -> quantileNormSql,
+    "q_always_valid" -> alwaysValidSql)
 }

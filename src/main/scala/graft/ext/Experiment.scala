@@ -309,6 +309,79 @@ object Experiment {
           .otherwise(mean("s1_a", "n_a")), 6).as("mde_rel"))
   }
 
+  /** Always-valid p-value curve (mSPRT, Johari et al. "Peeking at A/B
+    * tests"): per segment and day, the mixture-sequential-probability-ratio
+    * p-value for the two-sample mean difference over all data up to that day,
+    * Λ = √(V/(V+ρ²)) · exp(δ̂²ρ²/(2V(V+ρ²))), p = min(1, 1/Λ), plus the
+    * running minimum p — which is what makes the curve SAFE to peek at: the
+    * always-valid guarantee is on inf_t p_t, so a consumer may stop the
+    * experiment the first day `p_min` crosses α without inflating the false
+    * positive rate (the fixed-horizon z-test in `q_ab_test` does inflate it
+    * under peeking).
+    *
+    * Numerics: daily per-arm moments are exact DECIMAL(38,0) micro-unit sums
+    * (one conditional aggregate), the cumulative prefix is a window SUM over
+    * those exact integers, and each day's doubles derive from them with one
+    * fixed expression shape. p is rounded to 6 decimals BEFORE the running
+    * min, so a last-ulp libm exp skew between engines cannot flip the
+    * minimum. Degenerate days (an arm still at ≤1 observation, or zero
+    * pooled variance) emit null p and don't advance the minimum.
+    *
+    * Scale shape: one shuffle to (segment, day) grain; the cumulative window
+    * is per-segment over |days| aggregate rows. Output per (segment, day):
+    * (segment, day, n_a, n_b, delta, p_value, p_min).
+    */
+  def alwaysValidPValue(df: DataFrame, segmentCol: String, dayCol: String,
+                        armCol: String, valueCol: String,
+                        rho: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rho > 0, s"mixture scale rho must be > 0, got $rho")
+    val vm = round(col(valueCol) * 1e6, 0).cast("decimal(38,0)")
+    val zeroDec = lit(0).cast("decimal(38,0)")
+    def armIs(a: String) = col("arm") === a
+    val daily = df
+      .select(col(segmentCol).as("segment"), col(dayCol).as("day"),
+        col(armCol).as("arm"), vm.as("vm"))
+      .groupBy(col("segment"), col("day"))
+      .agg(sum(when(armIs("A"), 1L).otherwise(0L)).as("dn_a"),
+        sum(when(armIs("A"), col("vm")).otherwise(zeroDec)).as("ds1_a"),
+        sum(when(armIs("A"), col("vm") * col("vm")).otherwise(zeroDec))
+          .as("ds2_a"),
+        sum(when(armIs("B"), 1L).otherwise(0L)).as("dn_b"),
+        sum(when(armIs("B"), col("vm")).otherwise(zeroDec)).as("ds1_b"),
+        sum(when(armIs("B"), col("vm") * col("vm")).otherwise(zeroDec))
+          .as("ds2_b"))
+    val wc = Window.partitionBy(col("segment")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.select(col("segment"), col("day"),
+      sum(col("dn_a")).over(wc).as("n_a"),
+      sum(col("ds1_a")).over(wc).as("s1_a"),
+      sum(col("ds2_a")).over(wc).as("s2_a"),
+      sum(col("dn_b")).over(wc).as("n_b"),
+      sum(col("ds1_b")).over(wc).as("s1_b"),
+      sum(col("ds2_b")).over(wc).as("s2_b"))
+    def mean(s1: String, n: String) = col(s1).cast("double") / col(n) / 1e6
+    def ss(s2: String, s1: String, n: String) =
+      col(s2).cast("double") -
+        col(s1).cast("double") * col(s1).cast("double") / col(n)
+    val varPool = (ss("s2_a", "s1_a", "n_a") + ss("s2_b", "s1_b", "n_b")) /
+      (col("n_a") + col("n_b") - 2) / 1e12
+    val bigV = varPool * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))
+    val delta = mean("s1_a", "n_a") - mean("s1_b", "n_b")
+    val rho2 = rho * rho
+    val lam = sqrt(bigV / (bigV + lit(rho2))) *
+      exp(delta * delta * lit(rho2) /
+        (lit(2.0) * bigV * (bigV + lit(rho2))))
+    val p = when(col("n_a") > 1 && col("n_b") > 1 && bigV > 0.0,
+      round(least(lit(1.0), lit(1.0) / lam), 6))
+    val wmin = Window.partitionBy(col("segment")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum.select(col("segment"), col("day"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        round(delta, 6).as("delta"), p.as("p_value"))
+      .withColumn("p_min", min(col("p_value")).over(wmin))
+  }
+
   /** Split-conformal prediction gate for a linear score: fit y ≈ a + b·x by
     * OLS on the calibration split, take the conformal quantile q = the
     * ⌈(n_cal+1)(1−α)⌉-th smallest absolute residual, and report the empirical

@@ -958,6 +958,64 @@ object StreamingOps {
     * argument, inverted: here the risky state is the one rows can only
     * enter).
     */
+  final case class AvRow(segment: String, arm: String, vm: Long)
+  final case class AvState(nA: Long, s1A: Double, s2A: Double,
+                           nB: Long, s1B: Double, s2B: Double, pMin: Double)
+  final case class AvOut(segment: String, n_a: Long, n_b: Long,
+                         p_value: Double, p_min: Double)
+
+  /** Streaming twin of [[graft.ext.Experiment.alwaysValidPValue]]: per
+    * segment, the running mSPRT p-value and its running minimum over the
+    * whole stream so far. The running min is the always-valid quantity — a
+    * consumer stops the experiment the first emission with `p_min < α`, and
+    * because inf_t p_t only ever decreases the decision is monotone-safe
+    * across micro-batches (same argument as the k-anonymity gate, inverted).
+    *
+    * State per segment is seven scalars (two arms' count/Σ/Σ² + the min) —
+    * O(1) regardless of traffic. The moment accumulators are doubles here,
+    * not the batch operator's DECIMALs: exactness would need unbounded-width
+    * state, and a monitoring stream's p at 6 decimals is insensitive to the
+    * last-ulp difference (the spec pins the stream within 1e-9 of the exact
+    * batch p on identical prefixes). Emissions with an arm at ≤1 obs or zero
+    * variance report p = 1 and don't move the minimum.
+    */
+  def alwaysValidPStream(rows: Dataset[AvRow], rho: Double): Dataset[AvOut] = {
+    import rows.sparkSession.implicits._
+    val rho2 = rho * rho
+    rows.groupByKey(_.segment)
+      .mapGroupsWithState[AvState, AvOut](GroupStateTimeout.NoTimeout) {
+        (seg: String, it: Iterator[AvRow], state: GroupState[AvState]) =>
+          var st = state.getOption.getOrElse(
+            AvState(0L, 0.0, 0.0, 0L, 0.0, 0.0, 1.0))
+          it.foreach { r =>
+            val v = r.vm.toDouble
+            if (r.arm == "A")
+              st = st.copy(nA = st.nA + 1, s1A = st.s1A + v,
+                s2A = st.s2A + v * v)
+            else if (r.arm == "B")
+              st = st.copy(nB = st.nB + 1, s1B = st.s1B + v,
+                s2B = st.s2B + v * v)
+          }
+          val p =
+            if (st.nA > 1 && st.nB > 1) {
+              val ssA = st.s2A - st.s1A * st.s1A / st.nA
+              val ssB = st.s2B - st.s1B * st.s1B / st.nB
+              val varPool = (ssA + ssB) / (st.nA + st.nB - 2) / 1e12
+              val bigV = varPool * (1.0 / st.nA + 1.0 / st.nB)
+              val delta = st.s1A / st.nA / 1e6 - st.s1B / st.nB / 1e6
+              if (bigV > 0.0) {
+                val lam = math.sqrt(bigV / (bigV + rho2)) *
+                  math.exp(delta * delta * rho2 /
+                    (2.0 * bigV * (bigV + rho2)))
+                math.min(1.0, 1.0 / lam)
+              } else 1.0
+            } else 1.0
+          st = st.copy(pMin = math.min(st.pMin, p))
+          state.update(st)
+          AvOut(seg, st.nA, st.nB, p, st.pMin)
+      }
+  }
+
   /** Streaming twin of [[graft.ext.Experiment.powerMde]]: the per-segment
     * A/B minimum-detectable-effect readout over RUNNING exact integer
     * moments — literally the batch operator's shared

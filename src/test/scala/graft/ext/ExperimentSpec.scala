@@ -262,4 +262,47 @@ class ExperimentSpec extends SparkTestBase {
       alpha = 0.1).collect().head
     assert(r.getLong(0) == 9 && r.getDouble(5) == 1.0)
   }
+
+  test("alwaysValidPValue: p_min is monotone, degenerate days are null, " +
+    "a strong effect drives p down") {
+    val rows =
+      // day 1: one obs per arm -> null p
+      Seq(("s", "2024-01-01", "A", 10.0), ("s", "2024-01-01", "B", 10.0)) ++
+      // days 2-4: A consistently ~10 above B
+      (2 to 4).flatMap { d =>
+        (1 to 20).flatMap(i => Seq(
+          ("s", f"2024-01-0$d", "A", 20.0 + (i % 3)),
+          ("s", f"2024-01-0$d", "B", 10.0 + (i % 3))))
+      }
+    val df = rows.toDF("seg", "day", "arm", "v")
+      .select(col("seg"), col("day").cast("date").as("day"), col("arm"),
+        col("v"))
+    val out = Experiment.alwaysValidPValue(df, "seg", "day", "arm", "v",
+        rho = 1.0)
+      .orderBy("day").collect()
+    assert(out.length == 4)
+    assert(out(0).isNullAt(5) && out(0).isNullAt(6)) // day 1 degenerate
+    val ps = out.drop(1).map(_.getDouble(5))
+    val pmins = out.drop(1).map(_.getDouble(6))
+    assert(pmins.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)))
+    // decisive effects round to 0.0 at 6 decimals — p lives in [0, 1]
+    assert(ps.forall(x => x >= 0.0 && x <= 1.0))
+    // 120 obs of a 10-point lift vs rho=1: decisive
+    assert(pmins.last < 0.01, s"p_min ${pmins.last}")
+  }
+
+  test("alwaysValidPValue: a true null (identical arms) keeps p at 1") {
+    val rows = (1 to 3).flatMap { d =>
+      (1 to 15).flatMap(i => Seq(
+        ("s", f"2024-02-0$d", "A", 10.0 + (i % 5)),
+        ("s", f"2024-02-0$d", "B", 10.0 + (i % 5))))
+    }
+    val df = rows.toDF("seg", "day", "arm", "v")
+      .select(col("seg"), col("day").cast("date").as("day"), col("arm"),
+        col("v"))
+    val out = Experiment.alwaysValidPValue(df, "seg", "day", "arm", "v", 1.0)
+      .orderBy("day").collect()
+    // delta = 0 exactly -> exp term 1, lambda = sqrt(V/(V+1)) < 1 -> p = 1
+    assert(out.forall(r => r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0))
+  }
 }

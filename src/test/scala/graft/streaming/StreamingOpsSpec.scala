@@ -226,6 +226,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
+  test("alwaysValidPStream tracks the exact batch mSPRT p within 1e-9 and " +
+    "its p_min is monotone across micro-batches") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.AvRow
+    def day(d: Int, shift: Long) = (1 to 12).flatMap(i => Seq(
+      AvRow("s", "A", (20000000L + shift * 1000000L + i % 3 * 1000000L)),
+      AvRow("s", "B", (10000000L + i % 3 * 1000000L))))
+    val d1 = day(1, 0); val d2 = day(2, 2)
+    val input = MemoryStream[AvRow]
+    input.addData(d1: _*)
+    val q = StreamingOps.alwaysValidPStream(input.toDS(), rho = 1.0)
+      .writeStream.format("memory").queryName("av_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    val p1 = spark.table("av_stream").collect().last.getDouble(3)
+    input.addData(d2: _*)
+    q.processAllAvailable(); q.stop()
+    val fin = spark.table("av_stream").collect().maxBy(_.getLong(1))
+    val p2 = fin.getDouble(3); val pMin = fin.getDouble(4)
+    assert(pMin <= math.min(p1, p2) + 1e-12)
+    // batch twin over the identical two-day prefix (vm micro-units -> /1e6)
+    val batchDf = (d1.map(r => (r.segment, "2024-03-01", r.arm, r.vm / 1e6)) ++
+      d2.map(r => (r.segment, "2024-03-02", r.arm, r.vm / 1e6)))
+      .toDF("seg", "day", "arm", "v")
+      .select(col("seg"), col("day").cast("date").as("day"), col("arm"),
+        col("v"))
+    val batch = graft.ext.Experiment
+      .alwaysValidPValue(batchDf, "seg", "day", "arm", "v", rho = 1.0)
+      .orderBy("day").collect()
+    // batch p is rounded to 6; the stream is unrounded double accumulation
+    assert(math.abs(batch.last.getDouble(5) - p2) < 1e-6 + 1e-9,
+      s"batch ${batch.last.getDouble(5)} stream $p2")
+  }
+
   test("powerMdeStream equals the batch MDE readout after each micro-batch") {
     implicit val sc = spark.sqlContext
     val rows = Seq(
