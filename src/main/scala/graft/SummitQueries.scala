@@ -537,6 +537,35 @@ object SummitQueries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p_min
       |FROM pp ORDER BY segment, day""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Leave-one-source-out influence
+  // --------------------------------------------------------------------------
+
+  /** Per-source LOO influence on the corpus mean document length
+    * ([[graft.ext.Importance.looSourceImpact]]).
+    */
+  def qLooImpact(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Importance.looSourceImpact(Tables.documents(spark, dir),
+        "source", "n_chars")
+      .withColumnRenamed("src", "source")
+      .orderBy(col("source"))
+
+  val looImpactSql: String =
+    """WITH g AS (SELECT source AS src, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_chars) AS BIGINT) AS s_src
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_tot,
+      |    CAST(SUM(s_src) AS BIGINT) AS s_tot FROM g)
+      |SELECT src AS source, n_docs,
+      |  ROUND(CAST(s_src AS DOUBLE) / n_docs, 6) AS mean_src,
+      |  ROUND(CASE WHEN n_tot > n_docs THEN
+      |      CAST(s_tot - s_src AS DOUBLE) / (n_tot - n_docs) END, 6)
+      |    AS mean_rest,
+      |  ROUND(CASE WHEN n_tot > n_docs THEN
+      |      CAST(s_tot - s_src AS DOUBLE) / (n_tot - n_docs) END -
+      |    CAST(s_tot AS DOUBLE) / n_tot, 6) AS delta
+      |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -549,7 +578,8 @@ object SummitQueries {
     "q_cusum" -> (qCusum _),
     "q_incremental_rollup" -> (qIncrementalRollup _),
     "q_quantile_norm" -> (qQuantileNorm _),
-    "q_always_valid" -> (qAlwaysValid _))
+    "q_always_valid" -> (qAlwaysValid _),
+    "q_loo_impact" -> (qLooImpact _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -563,5 +593,6 @@ object SummitQueries {
     "q_cusum" -> cusumSql,
     "q_incremental_rollup" -> incrementalRollupSql,
     "q_quantile_norm" -> quantileNormSql,
-    "q_always_valid" -> alwaysValidSql)
+    "q_always_valid" -> alwaysValidSql,
+    "q_loo_impact" -> looImpactSql)
 }

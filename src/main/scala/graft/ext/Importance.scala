@@ -160,4 +160,35 @@ object Importance {
         Seq(col("interleave_key"), col("__md5"), col(idCol)), rnCol = "position")
       .select(col("position"), col(idCol), col(srcCol), col("interleave_key"))
   }
+
+  /** Leave-one-source-out influence — data-valuation-lite over any additive
+    * corpus metric: for each source, the pooled mean of `metricCol` WITH the
+    * source vs WITHOUT it (the LOO counterfactual a curation pipeline asks
+    * before cutting a feed: "if this source vanished, which way does the
+    * corpus move?"). Because the metric is additive, the counterfactual is
+    * algebra on one pair of aggregates — (Σ−Σ_s)/(N−n_s) — not |sources|
+    * recomputations: O(corpus) total work for the whole influence table.
+    *
+    * Exact integer sums; one group rollup + a broadcast 1-row total. Output
+    * per source: (src, n_docs, mean_src, mean_rest, delta) with
+    * delta = mean_rest − mean_with (positive ⇒ the source drags the pooled
+    * mean DOWN). A source equal to the whole corpus yields null mean_rest.
+    */
+  def looSourceImpact(docs: DataFrame, srcCol: String,
+                      metricCol: String): DataFrame = {
+    val perSrc = docs.groupBy(col(srcCol).as("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(metricCol)).as("s_src"))
+    val total = perSrc.agg(sum(col("n_docs")).as("n_tot"),
+      sum(col("s_src")).as("s_tot"))
+    val meanWith = col("s_tot").cast("double") / col("n_tot")
+    val meanSrc = col("s_src").cast("double") / col("n_docs")
+    val meanRest = when(col("n_tot") > col("n_docs"),
+      (col("s_tot") - col("s_src")).cast("double") /
+        (col("n_tot") - col("n_docs")))
+    perSrc.crossJoin(broadcast(total))
+      .select(col("src"), col("n_docs"),
+        round(meanSrc, 6).as("mean_src"),
+        round(meanRest, 6).as("mean_rest"),
+        round(meanRest - meanWith, 6).as("delta"))
+  }
 }

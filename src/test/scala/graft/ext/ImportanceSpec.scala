@@ -70,4 +70,22 @@ class ImportanceSpec extends SparkTestBase {
     val gaps = smallPos.zip(smallPos.tail).map { case (a, b) => b - a }
     assert(gaps.max <= 7, s"small docs cluster: max gap ${gaps.max}")
   }
+
+  test("looSourceImpact: hand-computed counterfactual means and a " +
+    "whole-corpus source yields null rest") {
+    // a: lengths 10, 20 (mean 15); b: lengths 100 (mean 100).
+    // pooled mean 130/3; without a -> 100, without b -> 15.
+    val df = Seq(("a", 10L), ("a", 20L), ("b", 100L)).toDF("src", "len")
+    val out = Importance.looSourceImpact(df, "src", "len")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val pooled = 130.0 / 3
+    assert(out("a") == ((2L, 15.0, 100.0,
+      math.round((100.0 - pooled) * 1e6) / 1e6)))
+    assert(out("b")._3 == 15.0)
+    assert(out("b")._4 < 0) // dropping the long source lowers the mean
+    val solo = Importance.looSourceImpact(
+      Seq(("only", 5L)).toDF("src", "len"), "src", "len").collect().head
+    assert(solo.isNullAt(3) && solo.isNullAt(4))
+  }
 }
