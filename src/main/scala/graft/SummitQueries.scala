@@ -566,6 +566,56 @@ object SummitQueries {
       |    CAST(s_tot AS DOUBLE) / n_tot, 6) AS delta
       |FROM g CROSS JOIN t ORDER BY source""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Order-2 Markov next-event model
+  // --------------------------------------------------------------------------
+
+  /** P(next | previous two events) per user sequence — the order-2 upgrade of
+    * `q_transition_matrix`, with a per-context rank so the top continuation
+    * reads off directly. Same shape: one per-user lag window + a
+    * context-keyed aggregate; the rank-1 window runs over |contexts| rows.
+    */
+  def qMarkov2(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ctx = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev1", lag(col("event_type"), 1).over(w))
+      .withColumn("prev2", lag(col("event_type"), 2).over(w))
+      .filter(col("prev1").isNotNull && col("prev2").isNotNull)
+      .groupBy(col("prev2"), col("prev1"),
+        col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = ctx.groupBy(col("prev2"), col("prev1"))
+      .agg(sum(col("n")).as("n_ctx"))
+    val rk = Window.partitionBy(col("prev2"), col("prev1"))
+      .orderBy(col("n").desc, col("next_type"))
+    ctx.join(totals, Seq("prev2", "prev1"))
+      .select(col("prev2"), col("prev1"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_ctx"), 6).as("p"),
+        row_number().over(rk).as("nxt_rank"))
+      .orderBy(col("prev2"), col("prev1"), col("nxt_rank"))
+  }
+
+  val markov2Sql: String =
+    """WITH s AS (SELECT event_type,
+      |    lag(event_type, 1) OVER w AS prev1,
+      |    lag(event_type, 2) OVER w AS prev2
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |c AS (SELECT prev2, prev1, event_type AS next_type, COUNT(*) AS n
+      |  FROM s WHERE prev1 IS NOT NULL AND prev2 IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |t AS (SELECT prev2, prev1, CAST(SUM(n) AS BIGINT) AS n_ctx
+      |  FROM c GROUP BY 1, 2)
+      |SELECT c.prev2, c.prev1, c.next_type, c.n,
+      |  ROUND(c.n * 1.0 / t.n_ctx, 6) AS p,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY c.prev2, c.prev1
+      |    ORDER BY c.n DESC, c.next_type) AS INT) AS nxt_rank
+      |FROM c JOIN t ON c.prev2 = t.prev2 AND c.prev1 = t.prev1
+      |ORDER BY c.prev2, c.prev1, nxt_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -579,7 +629,8 @@ object SummitQueries {
     "q_incremental_rollup" -> (qIncrementalRollup _),
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_always_valid" -> (qAlwaysValid _),
-    "q_loo_impact" -> (qLooImpact _))
+    "q_loo_impact" -> (qLooImpact _),
+    "q_markov2" -> (qMarkov2 _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -594,5 +645,6 @@ object SummitQueries {
     "q_incremental_rollup" -> incrementalRollupSql,
     "q_quantile_norm" -> quantileNormSql,
     "q_always_valid" -> alwaysValidSql,
-    "q_loo_impact" -> looImpactSql)
+    "q_loo_impact" -> looImpactSql,
+    "q_markov2" -> markov2Sql)
 }

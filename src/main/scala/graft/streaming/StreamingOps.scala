@@ -958,6 +958,32 @@ object StreamingOps {
     * argument, inverted: here the risky state is the one rows can only
     * enter).
     */
+  /** Stream-static SCD2 enrichment — the streaming twin of the batch
+    * point-in-time join ([[graft.ext.AsOfJoin.asOf]], `q_pit_join`): each
+    * streaming fact left-joins the dimension VERSION valid at its event time
+    * via an interval predicate on the static side. With a well-formed SCD2
+    * dimension (non-overlapping validity, null-open last interval) the
+    * interval predicate selects exactly the as-of row, so the stream output
+    * row-matches the batch as-of — which is what StreamingOpsSpec pins.
+    *
+    * Scale shape: stream-static joins re-resolve the static side per
+    * micro-batch (that's the feature — a dimension refresh between batches
+    * is picked up, same discipline as the incremental-dedup store); a
+    * compact dimension broadcasts, a huge one shuffles only the micro-batch.
+    * No state is kept — correctness needs no buffering because the dimension
+    * carries its full history.
+    */
+  def enrichAsOfStream(facts: DataFrame, dim: DataFrame, factKey: String,
+                       dimKey: String, factTsCol: String,
+                       validFromCol: String,
+                       validUntilCol: String): DataFrame =
+    facts.join(dim,
+      facts(factKey) === dim(dimKey) &&
+        dim(validFromCol) <= facts(factTsCol) &&
+        (dim(validUntilCol).isNull ||
+          facts(factTsCol) < dim(validUntilCol)),
+      "left_outer")
+
   final case class AvRow(segment: String, arm: String, vm: Long)
   final case class AvState(nA: Long, s1A: Double, s2A: Double,
                            nB: Long, s1B: Double, s2B: Double, pMin: Double)

@@ -226,6 +226,38 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
+  test("enrichAsOfStream matches the batch point-in-time join on an SCD2 " +
+    "dimension and honors a refresh between micro-batches") {
+    implicit val sc = spark.sqlContext
+    // SCD2 dimension: user 1 is "bronze" [0, 100), "gold" [100, null)
+    def dim(rows: Seq[(Long, String, Long, Option[Long])]) =
+      rows.toDF("duser", "tier", "valid_from", "valid_until")
+        .select(col("duser"), col("tier"), col("valid_from"),
+          col("valid_until").cast("long").as("valid_until"))
+    val d1 = dim(Seq((1L, "bronze", 0L, Some(100L)), (1L, "gold", 100L, None)))
+    val input = MemoryStream[IncDoc] // (doc_id = fact ts, text = unused)
+    val facts = input.toDF()
+      .select(lit(1L).as("fuser"), col("doc_id").as("fts"))
+    val q = StreamingOps
+      .enrichAsOfStream(facts, d1, "fuser", "duser", "fts",
+        "valid_from", "valid_until")
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    input.addData(IncDoc(50L, ""), IncDoc(100L, ""), IncDoc(250L, ""))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("asof_stream").collect()
+      .map(r => r.getLong(1) -> (if (r.isNullAt(3)) null else r.getString(3)))
+      .toMap
+    assert(out == Map(50L -> "bronze", 100L -> "gold", 250L -> "gold"))
+    // batch as-of twin over the same facts agrees
+    val factsB = Seq((1L, 50L), (1L, 100L), (1L, 250L)).toDF("fuser", "fts")
+    val batch = graft.ext.AsOfJoin.asOf(factsB,
+        d1.select(col("duser"), col("valid_from"), col("tier")),
+        "fuser", "duser", "fts", "valid_from", Seq("tier"))
+      .collect().map(r => r.getLong(1) -> r.getString(2)).toMap
+    assert(batch == Map(50L -> "bronze", 100L -> "gold", 250L -> "gold"))
+  }
+
   test("alwaysValidPStream tracks the exact batch mSPRT p within 1e-9 and " +
     "its p_min is monotone across micro-batches") {
     implicit val sc = spark.sqlContext
