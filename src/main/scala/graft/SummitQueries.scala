@@ -616,6 +616,29 @@ object SummitQueries {
       |FROM c JOIN t ON c.prev2 = t.prev2 AND c.prev1 = t.prev1
       |ORDER BY c.prev2, c.prev1, nxt_rank""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Join-cardinality audit
+  // --------------------------------------------------------------------------
+
+  /** Exact self-join size on lineitem's part key vs the uniform-assumption
+    * estimate ([[graft.ext.Profiling.selfJoinCardinality]]) — the skew
+    * multiplier a cost model would miss.
+    */
+  def qJoinCard(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiling.selfJoinCardinality(
+      Tables.lineitem(spark, dir), "l_partkey")
+
+  val joinCardSql: String =
+    """WITH k AS (SELECT l_partkey, COUNT(*) AS c FROM lineitem GROUP BY 1),
+      |s AS (SELECT COUNT(*) AS n_keys, CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    CAST(SUM(c * c) AS BIGINT) AS actual_pairs FROM k)
+      |SELECT n_rows, n_keys, actual_pairs,
+      |  ROUND(CAST(n_rows AS DOUBLE) * n_rows / n_keys, 6)
+      |    AS est_pairs_uniform,
+      |  ROUND(CAST(actual_pairs AS DOUBLE) /
+      |    (CAST(n_rows AS DOUBLE) * n_rows / n_keys), 6) AS skew_factor
+      |FROM s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -630,7 +653,8 @@ object SummitQueries {
     "q_quantile_norm" -> (qQuantileNorm _),
     "q_always_valid" -> (qAlwaysValid _),
     "q_loo_impact" -> (qLooImpact _),
-    "q_markov2" -> (qMarkov2 _))
+    "q_markov2" -> (qMarkov2 _),
+    "q_join_card" -> (qJoinCard _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -646,5 +670,6 @@ object SummitQueries {
     "q_quantile_norm" -> quantileNormSql,
     "q_always_valid" -> alwaysValidSql,
     "q_loo_impact" -> looImpactSql,
-    "q_markov2" -> markov2Sql)
+    "q_markov2" -> markov2Sql,
+    "q_join_card" -> joinCardSql)
 }

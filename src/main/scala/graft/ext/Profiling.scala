@@ -165,6 +165,32 @@ object Profiling {
         (col("rank_raw") - col("rank_shrunk")).as("rank_shift"))
   }
 
+  /** Join-cardinality audit — the optimizer sanity check behind every join
+    * plan: the EXACT self-equi-join size on `keyCol` (Σ_k c_k², from per-key
+    * counts) against the uniform-distribution textbook estimate n²/d that a
+    * cost model assuming no skew would produce. `skew_factor` =
+    * actual/estimate is exactly the multiplier by which skew inflates a
+    * uniform-assumption plan — 1.0 for flat keys, large for whale keys
+    * (complements `q_skew_report`, which profiles the key histogram itself:
+    * this row quantifies what that histogram does to a join).
+    *
+    * One map-side-combined per-key aggregate + a 1-row rollup; the Σc²
+    * accumulates as exact longs (DECIMAL on overflow-prone domains).
+    */
+  def selfJoinCardinality(df: DataFrame, keyCol: String): DataFrame = {
+    val perKey = df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("c")).as("n_rows"),
+        sum(col("c") * col("c")).as("actual_pairs"))
+      .select(col("n_rows"), col("n_keys"), col("actual_pairs"),
+        round(col("n_rows").cast("double") * col("n_rows") / col("n_keys"), 6)
+          .as("est_pairs_uniform"),
+        round(col("actual_pairs").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows") / col("n_keys")), 6)
+          .as("skew_factor"))
+  }
+
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "corrMatrix needs at least two columns")
     val pairs = for {
