@@ -639,6 +639,55 @@ object SummitQueries {
       |    (CAST(n_rows AS DOUBLE) * n_rows / n_keys), 6) AS skew_factor
       |FROM s""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Triplet-margin violation rate
+  // --------------------------------------------------------------------------
+
+  /** Metric-learning health of the labeled embedding space
+    * ([[graft.ext.Embeddings.tripletViolations]], margin 0.05,
+    * id-deterministic triplet selection).
+    */
+  def qTripletViolation(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.tripletViolations(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", "label", margin = 0.05)
+
+  val tripletViolationSql: String =
+    """WITH v AS (SELECT vec_id AS id, embedding AS vec, label AS lbl,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> x::DOUBLE * x::DOUBLE))) AS nv
+      |  FROM embeddings),
+      |p AS (SELECT id, vec, lbl, nv,
+      |    lead(id, 1) OVER (PARTITION BY lbl ORDER BY id) AS pos_id,
+      |    lead(id, 1) OVER (ORDER BY id) AS n1_id,
+      |    lead(lbl, 1) OVER (ORDER BY id) AS n1_lbl,
+      |    lead(id, 2) OVER (ORDER BY id) AS n2_id,
+      |    lead(lbl, 2) OVER (ORDER BY id) AS n2_lbl
+      |  FROM v),
+      |pk AS (SELECT *,
+      |    CASE WHEN n1_lbl IS NOT NULL AND n1_lbl <> lbl THEN n1_id
+      |         WHEN n2_lbl IS NOT NULL AND n2_lbl <> lbl THEN n2_id
+      |    END AS neg_id FROM p),
+      |t AS (SELECT pk.id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> pk.vec[i]::DOUBLE * pv.vec[i]::DOUBLE)) /
+      |      (pk.nv * pv.nv) AS cos_pos,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> pk.vec[i]::DOUBLE * ng.vec[i]::DOUBLE)) /
+      |      (pk.nv * ng.nv) AS cos_neg
+      |  FROM pk JOIN v pv ON pk.pos_id = pv.id
+      |  JOIN v ng ON pk.neg_id = ng.id
+      |  WHERE pk.pos_id IS NOT NULL AND pk.neg_id IS NOT NULL),
+      |a AS (SELECT COUNT(*) AS n_anchors FROM v),
+      |s AS (SELECT COUNT(*) AS n_triplets,
+      |    CAST(SUM(CASE WHEN cos_pos < cos_neg + 0.05 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_violations,
+      |    SUM(CAST(cos_pos - cos_neg AS DECIMAL(28,12))) AS gap
+      |  FROM t)
+      |SELECT n_anchors, n_triplets, n_violations,
+      |  ROUND(CAST(n_violations AS DOUBLE) / n_triplets, 6) AS violation_rate,
+      |  ROUND(CAST(gap AS DOUBLE) / n_triplets, 6) AS avg_gap
+      |FROM a CROSS JOIN s""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -654,7 +703,8 @@ object SummitQueries {
     "q_always_valid" -> (qAlwaysValid _),
     "q_loo_impact" -> (qLooImpact _),
     "q_markov2" -> (qMarkov2 _),
-    "q_join_card" -> (qJoinCard _))
+    "q_join_card" -> (qJoinCard _),
+    "q_triplet_violation" -> (qTripletViolation _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -671,5 +721,6 @@ object SummitQueries {
     "q_always_valid" -> alwaysValidSql,
     "q_loo_impact" -> looImpactSql,
     "q_markov2" -> markov2Sql,
-    "q_join_card" -> joinCardSql)
+    "q_join_card" -> joinCardSql,
+    "q_triplet_violation" -> tripletViolationSql)
 }

@@ -383,4 +383,66 @@ object Embeddings {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id"), col("cosine"), col("rnk"))
   }
+
+  /** Triplet-margin violation rate — the metric-learning health check for a
+    * labeled embedding space: over deterministic (anchor, positive, negative)
+    * triplets, the fraction where cos(a, pos) < cos(a, neg) + margin (the
+    * triplet loss is active). Triplet selection is id-deterministic, not
+    * sampled: positive = the anchor's successor within its label (vec-id
+    * order), negative = the first of the anchor's next two successors in
+    * GLOBAL id order whose label differs (with ≥3 well-mixed labels almost
+    * every anchor gets one; anchors without a positive or negative are
+    * excluded and counted). Deterministic selection is what makes the rate
+    * reproducible AND oracle-checkable — a sampled variant answers the same
+    * question with less auditability.
+    *
+    * Scale shape: two lag/lead windows (one label-partitioned, one global
+    * over ids — the global one is the documented exception, swap in
+    * [[GlobalRank.globalRowNumber]] neighbor pairing at real scale) + two
+    * id-keyed equi-joins to fetch the pos/neg vectors; cosines are codegen'd
+    * float dots. Output: one row (n_anchors, n_triplets, n_violations,
+    * violation_rate, avg_gap).
+    */
+  def tripletViolations(df: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, margin: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLabel = Window.partitionBy(col("lbl")).orderBy(col("id"))
+    val global = Window.orderBy(col("id"))
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      col(labelCol).as("lbl"))
+    val picked = base
+      .withColumn("pos_id", lead(col("id"), 1).over(byLabel))
+      .withColumn("n1_id", lead(col("id"), 1).over(global))
+      .withColumn("n1_lbl", lead(col("lbl"), 1).over(global))
+      .withColumn("n2_id", lead(col("id"), 2).over(global))
+      .withColumn("n2_lbl", lead(col("lbl"), 2).over(global))
+      .withColumn("neg_id",
+        when(col("n1_lbl").isNotNull && col("n1_lbl") =!= col("lbl"),
+          col("n1_id"))
+          .when(col("n2_lbl").isNotNull && col("n2_lbl") =!= col("lbl"),
+            col("n2_id")))
+    val pos = base.select(col("id").as("pos_id"), col("vec").as("pvec"))
+    val neg = base.select(col("id").as("neg_id"), col("vec").as("nvec"))
+    val trip = picked
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .join(pos, "pos_id").join(neg, "neg_id")
+      .select(col("id"),
+        (SimSearch.dot(col("vec"), col("pvec")) /
+          (SimSearch.norm(col("vec")) * SimSearch.norm(col("pvec"))))
+          .as("cos_pos"),
+        (SimSearch.dot(col("vec"), col("nvec")) /
+          (SimSearch.norm(col("vec")) * SimSearch.norm(col("nvec"))))
+          .as("cos_neg"))
+    base.agg(count(lit(1)).as("n_anchors")).crossJoin(
+      trip.agg(count(lit(1)).as("n_triplets"),
+        sum(when(col("cos_pos") < col("cos_neg") + lit(margin), 1L)
+          .otherwise(0L)).as("n_violations"),
+        sum((col("cos_pos") - col("cos_neg")).cast("decimal(28,12)"))
+          .as("__gap")))
+      .select(col("n_anchors"), col("n_triplets"), col("n_violations"),
+        round(col("n_violations").cast("double") / col("n_triplets"), 6)
+          .as("violation_rate"),
+        round(col("__gap").cast("double") / col("n_triplets"), 6)
+          .as("avg_gap"))
+  }
 }

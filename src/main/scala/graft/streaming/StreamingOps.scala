@@ -801,6 +801,57 @@ object StreamingOps {
   }
 
   final case class DailyValue(series: String, day: java.sql.Date, x: Double)
+
+  final case class CusumState(s: Double, maxS: Double,
+                              peakEpochDay: Long, alarms: Long,
+                              lastEpochDay: Long)
+  final case class CusumOut(series: String, day: java.sql.Date, s: Double,
+                            is_alarm: Boolean, max_s: Double, n_alarms: Long)
+
+  /** Streaming one-sided CUSUM monitor — the deployed form of
+    * [[graft.ext.ChangeDetect.cusum]]: the batch operator standardizes
+    * against the SERIES' own moments (a retrospective audit); a live monitor
+    * can't know them, so this twin folds z = (x − refMean)/refSd against
+    * FIXED reference parameters fitted on a training window (the standard
+    * Shewhart/CUSUM deployment contract). With the reference parameters set
+    * to the series' own moments the fold is bit-identical to the batch
+    * operator — the differential the spec pins.
+    *
+    * Same in-order/unique-day contract as [[acfDailyStream]], enforced the
+    * same way (late or duplicate days are dropped, not folded). State is four
+    * scalars + the day cursor per series; each arrival emits the running
+    * (s, alarm, max_s, n_alarms) snapshot.
+    */
+  def cusumStream(daily: Dataset[DailyValue], refMean: Double, refSd: Double,
+                  k: Double, h: Double): Dataset[CusumOut] = {
+    import daily.sparkSession.implicits._
+    require(refSd > 0, s"reference sd must be > 0, got $refSd")
+    daily
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[CusumState, CusumOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[DailyValue],
+         state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(
+            CusumState(0.0, 0.0, Long.MinValue, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
+          it.toSeq.sortBy(_.day.getTime).foreach { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            if (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay) {
+              val z = (e.x - refMean) / refSd
+              // left-assoc (s + z) - k, matching the batch fold exactly
+              val s = math.max(0.0, st.s + z - k)
+              val (maxS, peak) =
+                if (s > st.maxS) (s, epochDay) else (st.maxS, st.peakEpochDay)
+              val alarms = st.alarms + (if (s > h) 1L else 0L)
+              st = CusumState(s, maxS, peak, alarms, epochDay)
+              out += CusumOut(series, e.day, s, s > h, maxS, alarms)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
   final case class AcfState(ring: Seq[Double], lastEpochDay: Long,
                             moments: Seq[(Long, Double, Double, Double, Double,
                               Double)])

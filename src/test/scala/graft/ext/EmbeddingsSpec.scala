@@ -222,4 +222,43 @@ class EmbeddingsSpec extends SparkTestBase {
     val b = graft.ext.Embeddings.isotropyProfile(flat, "embedding").collect().head
     assert(b.getDouble(2) == 1.0 && b.getDouble(4) == 1.0)
   }
+
+  test("tripletViolations: tight clusters yield zero violations, a planted " +
+    "mislabel violates, anchors without pos/neg are excluded") {
+    // axis-aligned clusters: label 0 -> e0-ish, label 1 -> e1-ish, label 2 ->
+    // e2-ish; ids interleave labels so global next-2 always has a negative
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 64).map(i => (if (i == axis) 1.0f else 0.0f) +
+        (if (i == (axis + 3) % 64) eps else 0.0f))
+    val clean = (0 until 12).map { i =>
+      val lbl = i % 3
+      (i.toLong, v(lbl, (i / 3).toFloat * 0.01f), lbl)
+    }
+    val out = Embeddings.tripletViolations(
+        clean.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", margin = 0.05)
+      .collect().head
+    assert(out.getLong(0) == 12)
+    assert(out.getLong(1) > 0 && out.getLong(2) == 0,
+      s"clean space: ${out.getLong(2)} violations of ${out.getLong(1)}")
+    assert(out.getDouble(4) > 0.5) // avg cos gap is large for tight clusters
+
+    // flip one vector's label: its positives now live in another cluster
+    val noisy = clean.map { case (id, vec, lbl) =>
+      if (id == 4L) (id, vec, (lbl + 1) % 3) else (id, vec, lbl)
+    }
+    val nOut = Embeddings.tripletViolations(
+        noisy.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", margin = 0.05)
+      .collect().head
+    assert(nOut.getLong(2) > 0, "planted mislabel must violate")
+
+    // a label with a single member yields no positive -> fewer triplets
+    val single = clean :+ (100L, v(5, 0.0f), 9)
+    val sOut = Embeddings.tripletViolations(
+        single.toDF("vec_id", "embedding", "label"),
+        "vec_id", "embedding", "label", margin = 0.05)
+      .collect().head
+    assert(sOut.getLong(0) == 13 && sOut.getLong(1) <= out.getLong(1) + 1)
+  }
 }

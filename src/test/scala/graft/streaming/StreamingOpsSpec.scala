@@ -226,6 +226,44 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
+  test("cusumStream with the series' own moments folds bit-identically to " +
+    "the batch CUSUM, and drops late/duplicate days") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.DailyValue
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-05-$day%02d")
+    val xs = Seq(100.0, 100.0, 100.0, 100.0, 200.0, 200.0, 200.0)
+    val mean = xs.sum / xs.length
+    val sd = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+    val rows = xs.zipWithIndex.map { case (x, i) => DailyValue("a", d(i + 1), x) }
+    val input = MemoryStream[DailyValue]
+    input.addData(rows.take(4): _*)
+    val q = StreamingOps.cusumStream(input.toDS(), refMean = mean,
+        refSd = sd, k = 0.5, h = 1.0)
+      .writeStream.format("memory").queryName("cusum_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    // late + duplicate arrivals must be dropped, not folded
+    input.addData(DailyValue("a", d(2), 999.0), DailyValue("a", d(4), 999.0))
+    q.processAllAvailable()
+    input.addData(rows.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("cusum_stream").collect()
+      .maxBy(_.getDate(1).getTime)
+    val batch = graft.ext.ChangeDetect.cusum(
+        rows.toDF("g", "day", "x")
+          .select(org.apache.spark.sql.functions.col("g"),
+            org.apache.spark.sql.functions.col("day"),
+            org.apache.spark.sql.functions.round(
+              org.apache.spark.sql.functions.col("x") * 1e6, 0)
+              .cast("decimal(38,0)").as("v")),
+        "g", "day", "v", k = 0.5, h = 1.0)
+      .collect().head
+    // same z-standardization (micro-scaling cancels), same fold -> same stats
+    assert(math.abs(last.getDouble(4) - batch.getDouble(2)) < 1e-9,
+      s"max_s stream ${last.getDouble(4)} batch ${batch.getDouble(2)}")
+    assert(last.getLong(5) == batch.getLong(4), "alarm counts")
+  }
+
   test("enrichAsOfStream matches the batch point-in-time join on an SCD2 " +
     "dimension and honors a refresh between micro-batches") {
     implicit val sc = spark.sqlContext
