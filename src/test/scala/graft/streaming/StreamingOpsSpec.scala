@@ -226,6 +226,33 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.view.mapValues(_._1).toMap == batch)
   }
 
+  test("UpsertSink: overlapping keys across micro-batches resolve to the " +
+    "latest version and a replayed batch is idempotent") {
+    implicit val sc = spark.sqlContext
+    val outDir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val input = MemoryStream[IncDoc] // doc_id = key, text = payload
+    input.addData(IncDoc(1L, "v1"), IncDoc(2L, "v1"))
+    val q = input.toDS().toDF()
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("upsert_ckpt").toString)
+      .foreachBatch(UpsertSink.writeBatch(outDir) _)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(IncDoc(2L, "v2"), IncDoc(3L, "v1"))
+    q.processAllAvailable(); q.stop()
+
+    def state() = UpsertSink.readCurrent(spark, outDir, Seq("doc_id"),
+        Seq("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state() == Map(1L -> "v1", 2L -> "v2", 3L -> "v1"))
+
+    // replay batch 1 (crash-between-write-and-commit): same directory is
+    // overwritten, state unchanged
+    UpsertSink.writeBatch(outDir)(
+      Seq(IncDoc(2L, "v2"), IncDoc(3L, "v1")).toDF(), 1L)
+    assert(state() == Map(1L -> "v1", 2L -> "v2", 3L -> "v1"))
+  }
+
   test("cusumStream with the series' own moments folds bit-identically to " +
     "the batch CUSUM, and drops late/duplicate days") {
     implicit val sc = spark.sqlContext
