@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CharNgrams, FloatVecDot, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, FloatVecDot, WordChunks, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -36,6 +36,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (children: Seq[Expression]) => CharNgrams(children(0),
         children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("word_chunks"),
+      new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
+      (children: Seq[Expression]) => WordChunks(children(0),
+        children(1).eval().asInstanceOf[Int])))
   }
 }
 
@@ -52,6 +57,9 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Int]))
     ColumnBridge.registerTempFunction(spark, "char_ngrams",
       (children: Seq[Expression]) => CharNgrams(children.head,
+        children(1).eval().asInstanceOf[Int]))
+    ColumnBridge.registerTempFunction(spark, "word_chunks",
+      (children: Seq[Expression]) => WordChunks(children.head,
         children(1).eval().asInstanceOf[Int]))
   }
 }

@@ -17,16 +17,14 @@ import org.apache.spark.sql.functions._
 object Boilerplate {
 
   /** Array of consecutive `chunkTokens`-token chunks of `textCol` (last chunk
-    * may be shorter). Pure codegen — no shuffle, no UDF; shared by the batch
-    * operator and the streaming twin.
+    * may be shorter) — the native codegen kernel
+    * ([[graft.functions.WordChunks]]; the composable
+    * transform/sequence/slice formulation runs interpreted). Shared by the
+    * batch operator and the streaming twin.
     */
   def chunkArray(textCol: org.apache.spark.sql.Column,
-                 chunkTokens: Int): org.apache.spark.sql.Column = {
-    val toks = split(textCol, " ")
-    val nChunks = ceil(size(toks).cast("double") / chunkTokens).cast("int")
-    transform(sequence(lit(0), nChunks - 1),
-      i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
-  }
+                 chunkTokens: Int): org.apache.spark.sql.Column =
+    graft.functions.WordChunks.chunks(textCol, chunkTokens)
 
   /** CCNet-style boilerplate detection at chunk granularity: split every
     * document into consecutive `chunkTokens`-token chunks, count each chunk's
