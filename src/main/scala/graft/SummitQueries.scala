@@ -688,6 +688,135 @@ object SummitQueries {
       |  ROUND(CAST(gap AS DOUBLE) / n_triplets, 6) AS avg_gap
       |FROM a CROSS JOIN s""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Seasonality strength
+  // --------------------------------------------------------------------------
+
+  /** Day-of-week seasonality strength per event type: the share of daily
+    * volume variance explained by the day-of-week means — the eta² ANOVA
+    * decomposition in its all-integer form (SSB/SST from Σn, Σn², per-dow
+    * sums; means never materialize, so no double accumulation at any step
+    * before the final ratio). strength 1 = perfectly weekly, 0 = no weekly
+    * structure; `peak_dow` is the highest-mean day. The companion of
+    * `q_seasonal_baseline`, which flags per-day anomalies against the same
+    * structure.
+    */
+  def qSeasonalStrength(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", dayofweek(col("day")).cast("long"))
+    val byDow = daily.groupBy(col("event_type"), col("dow"))
+      .agg(sum(col("n")).as("s_dow"), count(lit(1)).as("c_dow"))
+    val tot = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).as("s_all"),
+        sum(col("n") * col("n")).as("ss_all"))
+    val rk = Window.partitionBy(col("event_type"))
+      .orderBy((col("s_dow").cast("double") / col("c_dow")).desc, col("dow"))
+    val dowAgg = byDow
+      .withColumn("__rk", row_number().over(rk))
+      .groupBy(col("event_type"))
+      .agg(sum((col("s_dow").cast("double") * col("s_dow") / col("c_dow"))
+          .cast("decimal(28,12)")).as("ssb_dec"),
+        max(when(col("__rk") === 1, col("dow"))).as("peak_dow"))
+    tot.join(dowAgg, "event_type")
+      .select(col("event_type"), col("n_days"),
+        round((col("ssb_dec").cast("double") -
+          col("s_all").cast("double") * col("s_all") / col("n_days")) /
+          (col("ss_all").cast("double") -
+            col("s_all").cast("double") * col("s_all") / col("n_days")), 6)
+          .as("strength"),
+        col("peak_dow"))
+      .orderBy(col("event_type"))
+  }
+
+  val seasonalStrengthSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2),
+      |dw AS (SELECT event_type, n,
+      |    CAST(dayofweek(day) + 1 AS BIGINT) AS dow FROM d),
+      |b AS (SELECT event_type, dow, CAST(SUM(n) AS BIGINT) AS s_dow,
+      |    COUNT(*) AS c_dow FROM dw GROUP BY 1, 2),
+      |t AS (SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(n) AS BIGINT) AS s_all,
+      |    CAST(SUM(n * n) AS BIGINT) AS ss_all FROM dw GROUP BY 1),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+      |    ORDER BY CAST(s_dow AS DOUBLE) / c_dow DESC, dow) AS rk FROM b),
+      |g AS (SELECT event_type,
+      |    SUM(CAST(CAST(s_dow AS DOUBLE) * s_dow / c_dow
+      |      AS DECIMAL(28,12))) AS ssb_dec,
+      |    MAX(CASE WHEN rk = 1 THEN dow END) AS peak_dow
+      |  FROM r GROUP BY 1)
+      |SELECT t.event_type, t.n_days,
+      |  ROUND((CAST(g.ssb_dec AS DOUBLE) -
+      |      CAST(t.s_all AS DOUBLE) * t.s_all / t.n_days) /
+      |    (CAST(t.ss_all AS DOUBLE) -
+      |      CAST(t.s_all AS DOUBLE) * t.s_all / t.n_days), 6) AS strength,
+      |  g.peak_dow
+      |FROM t JOIN g ON t.event_type = g.event_type
+      |ORDER BY t.event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Laspeyres price index
+  // --------------------------------------------------------------------------
+
+  /** Monthly Laspeyres price index over parts: base-month quantities weight
+    * each month's unit prices, L_t = Σ q₀·p_t / Σ q₀·p₀ over parts traded in
+    * both the base month and month t — the classic fixed-basket inflation
+    * measure, here over order data. Quantities and cents are exact longs;
+    * each part's q₀·p_t term is one deterministic double expression
+    * truncated to DECIMAL(28,12) before the sums, so the ratio is
+    * partition-order exact. The basket (and the denominator) is re-matched
+    * per month to the parts actually traded — the matched-Laspeyres variant
+    * that avoids imputing prices for missing parts.
+    */
+  def qPriceIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"),
+        trunc(col("o_orderdate"), "month").as("month"),
+        col("l_quantity").cast("long").as("qv"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("part"), col("month"))
+      .agg(sum(col("qv")).as("q"), sum(col("cents")).as("c"))
+    val baseMonth = pm.agg(min(col("month")).as("base_month"))
+    val basePm = pm.crossJoin(broadcast(baseMonth))
+      .filter(col("month") === col("base_month"))
+      .select(col("part"), col("q").as("q0"), col("c").as("c0"))
+    pm.join(basePm, "part")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("q0") * (col("c").cast("double") / col("q")))
+          .cast("decimal(28,12)")).as("__num"),
+        sum((col("q0") * (col("c0").cast("double") / col("q0")))
+          .cast("decimal(28,12)")).as("__den"))
+      .select(col("month"), col("n_parts"),
+        round(col("__num").cast("double") / col("__den").cast("double"), 6)
+          .as("price_index"))
+      .orderBy(col("month"))
+  }
+
+  val priceIndexSql: String =
+    """WITH pm AS (SELECT l_partkey AS part,
+      |    date_trunc('month', o_orderdate) AS month,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |bm AS (SELECT MIN(month) AS base_month FROM pm),
+      |b AS (SELECT part, q AS q0, c AS c0 FROM pm CROSS JOIN bm
+      |  WHERE month = base_month)
+      |SELECT pm.month, COUNT(*) AS n_parts,
+      |  ROUND(CAST(SUM(CAST(b.q0 * (CAST(pm.c AS DOUBLE) / pm.q)
+      |      AS DECIMAL(28,12))) AS DOUBLE) /
+      |    CAST(SUM(CAST(b.q0 * (CAST(b.c0 AS DOUBLE) / b.q0)
+      |      AS DECIMAL(28,12))) AS DOUBLE), 6) AS price_index
+      |FROM pm JOIN b ON pm.part = b.part
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_boilerplate" -> (qBoilerplate _),
     "q_memorization" -> (qMemorization _),
@@ -704,7 +833,9 @@ object SummitQueries {
     "q_loo_impact" -> (qLooImpact _),
     "q_markov2" -> (qMarkov2 _),
     "q_join_card" -> (qJoinCard _),
-    "q_triplet_violation" -> (qTripletViolation _))
+    "q_triplet_violation" -> (qTripletViolation _),
+    "q_seasonal_strength" -> (qSeasonalStrength _),
+    "q_price_index" -> (qPriceIndex _))
 
   val oracleSql: Map[String, String] = Map(
     "q_boilerplate" -> boilerplateSql,
@@ -722,5 +853,7 @@ object SummitQueries {
     "q_loo_impact" -> looImpactSql,
     "q_markov2" -> markov2Sql,
     "q_join_card" -> joinCardSql,
-    "q_triplet_violation" -> tripletViolationSql)
+    "q_triplet_violation" -> tripletViolationSql,
+    "q_seasonal_strength" -> seasonalStrengthSql,
+    "q_price_index" -> priceIndexSql)
 }
