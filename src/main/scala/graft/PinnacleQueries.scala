@@ -1,0 +1,275 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ext.{ChangeDetect, Experiment, Mixing}
+import graft.metrics.{LongTail, RankingMetrics}
+
+/** Round-8 batch #4: cascade ranking quality (ERR), heavy-tail quantification
+  * (Hill estimator), nonparametric trend detection (Mann–Kendall), mixture
+  * budgeting (UniMax waterfill + data-constrained effective data), and
+  * multi-rater reliability (Krippendorff's alpha). Every oracle mirrors the
+  * Spark arithmetic shapes exactly — integer/DECIMAL sums with one final
+  * double division — so results hash-match at sf0.01 and sf0.1.
+  */
+object PinnacleQueries {
+
+  // --------------------------------------------------------------------------
+  // Expected reciprocal rank — cascade-model ranking quality
+  // --------------------------------------------------------------------------
+
+  /** ERR@10 of the urgent-order recommendations vs finalized-order sales
+    * ([[RankingMetrics.errAtK]]) — unlike q_mrr, later hits are discounted by
+    * the probability the user already stopped at an earlier hit.
+    */
+  def qErrRank(spark: SparkSession, dir: String): DataFrame =
+    RankingMetrics.errAtK(SparkEntry.recommendations(spark, dir),
+        SparkEntry.sales(spark, dir), "user_id", "item_id", k = 10)
+      .orderBy(col("user"))
+
+  val errRankSql: String =
+    s"""WITH ${SparkEntry.salesSql},
+      |${SparkEntry.recsSql},
+      |rc AS (SELECT user_id, item_id, COUNT(*) AS n FROM recs GROUP BY 1, 2),
+      |rk AS (SELECT user_id, item_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, item_id)
+      |      AS rnk FROM rc QUALIFY rnk <= 10),
+      |a AS (SELECT DISTINCT user_id, item_id FROM sales),
+      |f AS (SELECT rk.user_id, rnk,
+      |    CASE WHEN a.item_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      |  FROM rk LEFT JOIN a
+      |    ON rk.user_id = a.user_id AND rk.item_id = a.item_id),
+      |t AS (SELECT user_id, rnk, hit,
+      |    COALESCE(SUM(hit) OVER (PARTITION BY user_id ORDER BY rnk
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS hb
+      |  FROM f)
+      |SELECT user_id AS "user", CAST(SUM(hit) AS BIGINT) AS n_hits_at_k,
+      |  ROUND(CAST(SUM(CASE WHEN hit = 1
+      |      THEN CAST(power(0.5, hb + 1) / rnk AS DECIMAL(18,8))
+      |      ELSE CAST(0 AS DECIMAL(18,8)) END) AS DOUBLE), 6) AS err
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Hill tail-index — power-law exponent of item popularity
+  // --------------------------------------------------------------------------
+
+  /** Hill estimator (k = 100) of the item-popularity tail exponent over
+    * lineitem part volume ([[LongTail.hillTailIndex]]) — the scalar that says
+    * whether q_long_tail's curve is blockbuster-dominated (α̂ ≈ 1) or
+    * thin-tailed.
+    */
+  def qHillTail(spark: SparkSession, dir: String): DataFrame =
+    LongTail.hillTailIndex(Tables.lineitem(spark, dir), "l_partkey", k = 100)
+
+  val hillTailSql: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem GROUP BY 1),
+      |r AS (SELECT l_partkey, volume,
+      |    ROW_NUMBER() OVER (ORDER BY volume DESC, l_partkey) AS rnk FROM c),
+      |tl AS (SELECT volume AS x_kplus1 FROM r WHERE rnk = 101),
+      |s AS (SELECT SUM(CAST(ln(CAST(r.volume AS DOUBLE) / tl.x_kplus1)
+      |      AS DECIMAL(18,8))) AS sl
+      |  FROM r CROSS JOIN tl WHERE rnk <= 100)
+      |SELECT 100 AS k, x_kplus1,
+      |  ROUND(CAST(sl AS DOUBLE), 6) AS sum_log,
+      |  ROUND(100 / CAST(sl AS DOUBLE), 6) AS hill_alpha
+      |FROM s CROSS JOIN tl""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Mann–Kendall trend test — nonparametric per-feed trend gate
+  // --------------------------------------------------------------------------
+
+  /** Mann–Kendall trend test per event_type over the daily micro-unit value
+    * sum ([[ChangeDetect.mannKendall]]) — the distribution-free companion to
+    * q_theil_sen's slope and q_cusum's level-shift alarm.
+    */
+  def qMannKendall(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    ChangeDetect.mannKendall(daily, "event_type", "day", "v")
+      .orderBy(col("event_type"))
+  }
+
+  val mannKendallSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |s AS (SELECT a.g, CAST(SUM(CASE WHEN b.v > a.v THEN 1
+      |      WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+      |  FROM dly a JOIN dly b ON a.g = b.g AND a.d < b.d GROUP BY 1),
+      |tt AS (SELECT g, CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT)
+      |      AS tie_term
+      |  FROM (SELECT g, v, COUNT(*) AS t FROM dly GROUP BY 1, 2) GROUP BY 1),
+      |n AS (SELECT g, COUNT(*) AS n_days FROM dly GROUP BY 1),
+      |f AS (SELECT n.g, n_days, s_stat,
+      |    CAST(n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS DOUBLE)
+      |      / 18.0 AS var_s
+      |  FROM n JOIN s USING (g) JOIN tt USING (g)),
+      |z AS (SELECT g, n_days, s_stat, var_s,
+      |    CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+      |         WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+      |         ELSE 0.0 END AS z_stat FROM f)
+      |SELECT g AS event_type, n_days, s_stat,
+      |  ROUND(var_s, 6) AS var_s, ROUND(z_stat, 6) AS z_stat,
+      |  CASE WHEN z_stat > 1.96 THEN 'increasing'
+      |       WHEN z_stat < -1.96 THEN 'decreasing'
+      |       ELSE 'none' END AS trend
+      |FROM z ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // UniMax budget allocation + data-constrained effective data
+  // --------------------------------------------------------------------------
+
+  private val UnimaxEpochCap = 2
+
+  /** The token budget is 2× the corpus's total chars — sized so the epoch-2
+    * cap binds on the small sources while the large ones sit on the common
+    * waterline (a genuinely mixed capped/uncapped solution at every sf). One
+    * scalar collect (the corpus total) — O(1) driver traffic.
+    */
+  private def unimaxBudget(spark: SparkSession, dir: String): Long =
+    2L * Tables.documents(spark, dir)
+      .agg(sum(col("n_chars")).cast("long")).head.getLong(0)
+
+  /** UniMax waterfill of a 2×-corpus token budget across sources at epoch cap
+    * 2 ([[Mixing.unimaxAllocation]]) — the epoch-capped alternative to
+    * q_mix_weights' temperature sampling.
+    */
+  def qUnimaxAlloc(spark: SparkSession, dir: String): DataFrame =
+    Mixing.unimaxAllocation(Tables.documents(spark, dir), "source", "n_chars",
+        budget = unimaxBudget(spark, dir), epochCap = UnimaxEpochCap)
+      .orderBy(col("source"))
+
+  /** CTE chain ending in `f(source, n_tokens, cap, is_capped, n, r_star,
+    * capped_sum, b)` — the waterfill solved in SQL, shared by the allocation
+    * and effective-data oracles.
+    */
+  private val unimaxCtesSql: String =
+    s"""s AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT 2 * CAST(SUM(n_tokens) AS BIGINT) AS b FROM s),
+      |c AS (SELECT source, n_tokens,
+      |    n_tokens * $UnimaxEpochCap AS cap FROM s),
+      |r AS (SELECT source, n_tokens, cap,
+      |    ROW_NUMBER() OVER (ORDER BY cap, source) AS r,
+      |    CAST(SUM(cap) OVER (ORDER BY cap, source
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS prefix,
+      |    COUNT(*) OVER () AS n FROM c),
+      |g AS (SELECT r.*, b,
+      |    cap * (n - r + 1) <= b - (prefix - cap) AS is_capped
+      |  FROM r CROSS JOIN tot),
+      |rs AS (SELECT COALESCE(MAX(CASE WHEN is_capped THEN r END), 0) AS r_star,
+      |    COALESCE(MAX(CASE WHEN is_capped THEN prefix END), CAST(0 AS BIGINT))
+      |      AS capped_sum FROM g),
+      |f AS (SELECT g.*, r_star, capped_sum,
+      |    CASE WHEN is_capped THEN CAST(cap AS DOUBLE)
+      |         ELSE CAST(b - capped_sum AS DOUBLE) / (n - r_star) END AS alloc
+      |  FROM g CROSS JOIN rs)""".stripMargin
+
+  val unimaxAllocSql: String =
+    s"""WITH $unimaxCtesSql
+      |SELECT source, n_tokens, cap, is_capped,
+      |  ROUND(alloc, 6) AS allocated,
+      |  ROUND(alloc / n_tokens, 6) AS epochs
+      |FROM f ORDER BY source""".stripMargin
+
+  private val RStar = 15.4
+
+  /** Effective data of the UniMax allocation under the data-constrained
+    * scaling law ([[Mixing.effectiveData]], Muennighoff et al. 2023): how much
+    * of each source's allocated budget buys new learning once repeats decay.
+    */
+  def qDataConstrained(spark: SparkSession, dir: String): DataFrame =
+    Mixing.effectiveData(
+        Mixing.unimaxAllocation(Tables.documents(spark, dir), "source",
+          "n_chars", budget = unimaxBudget(spark, dir),
+          epochCap = UnimaxEpochCap),
+        "source", "n_tokens", "allocated", rStar = RStar)
+      .orderBy(col("source"))
+
+  val dataConstrainedSql: String =
+    s"""WITH $unimaxCtesSql,
+      |al AS (SELECT source, n_tokens, ROUND(alloc, 6) AS allocated FROM f),
+      |e AS (SELECT source, n_tokens, allocated,
+      |    GREATEST(allocated / n_tokens - 1.0, 0.0) AS rp,
+      |    CASE WHEN allocated <= n_tokens THEN allocated
+      |         ELSE n_tokens + n_tokens * $RStar *
+      |           (1.0 - exp(-GREATEST(allocated / n_tokens - 1.0, 0.0)
+      |             / $RStar)) END AS eff
+      |  FROM al)
+      |SELECT source, n_tokens, allocated,
+      |  ROUND(rp, 6) AS repeats, ROUND(eff, 6) AS effective,
+      |  ROUND(eff / allocated, 6) AS efficiency
+      |FROM e ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Krippendorff's alpha — multi-rater label reliability
+  // --------------------------------------------------------------------------
+
+  /** Krippendorff's alpha over three deterministic "annotators" labeling each
+    * document long/short at slightly different n_chars thresholds (300 / 290 /
+    * 310), the third rating only doc_id % 3 ≠ 0 — so units have 2 or 3
+    * ratings, exercising the missing-data path 2-rater kappa
+    * (q_cohens_kappa) can't ([[Experiment.krippendorffAlpha]]).
+    */
+  def qKrippAlpha(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("n_chars"))
+    def rate(threshold: Int) =
+      when(col("n_chars") > threshold, lit("long")).otherwise(lit("short"))
+        .as("label")
+    val ratings = d.select(col("doc_id").as("u"), rate(300))
+      .union(d.select(col("doc_id").as("u"), rate(290)))
+      .union(d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("u"), rate(310)))
+    Experiment.krippendorffAlpha(ratings, "u", "label", maxRaters = 3)
+  }
+
+  val krippAlphaSql: String =
+    """WITH rat AS (
+      |  SELECT doc_id AS u, CASE WHEN n_chars > 300 THEN 'long' ELSE 'short'
+      |    END AS label FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN n_chars > 290 THEN 'long' ELSE 'short' END
+      |    FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, CASE WHEN n_chars > 310 THEN 'long' ELSE 'short' END
+      |    FROM documents WHERE doc_id % 3 <> 0),
+      |ouc AS (SELECT u, label AS c, COUNT(*) AS o FROM rat GROUP BY 1, 2),
+      |nu AS (SELECT u, CAST(SUM(o) AS BIGINT) AS n_u FROM ouc GROUP BY 1
+      |  HAVING SUM(o) >= 2),
+      |p AS (SELECT ouc.u, ouc.c, ouc.o, nu.n_u FROM ouc JOIN nu USING (u)),
+      |obs AS (SELECT CAST(SUM(o * (n_u - o) * (2 // (n_u - 1))) AS BIGINT)
+      |    AS num_scaled FROM p),
+      |tt AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n,
+      |    CAST(SUM(n_c * n_c) AS BIGINT) AS s_nc2
+      |  FROM (SELECT c, SUM(o) AS n_c FROM p GROUP BY 1)),
+      |un AS (SELECT COUNT(*) AS n_units_pairable FROM nu)
+      |SELECT n_units_pairable, n AS n_ratings,
+      |  ROUND(CAST(num_scaled AS DOUBLE) / (2 * n), 6) AS d_o,
+      |  ROUND(CAST(n * n - s_nc2 AS DOUBLE) / (n * (n - 1)), 6) AS d_e,
+      |  ROUND(1.0 - CAST((n - 1) * num_scaled AS DOUBLE) /
+      |    CAST(2 * (n * n - s_nc2) AS DOUBLE), 6) AS alpha
+      |FROM un CROSS JOIN obs CROSS JOIN tt""".stripMargin
+
+  // --------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_err_rank" -> (qErrRank _),
+    "q_hill_tail" -> (qHillTail _),
+    "q_mann_kendall" -> (qMannKendall _),
+    "q_unimax_alloc" -> (qUnimaxAlloc _),
+    "q_data_constrained" -> (qDataConstrained _),
+    "q_kripp_alpha" -> (qKrippAlpha _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_err_rank" -> errRankSql,
+    "q_hill_tail" -> hillTailSql,
+    "q_mann_kendall" -> mannKendallSql,
+    "q_unimax_alloc" -> unimaxAllocSql,
+    "q_data_constrained" -> dataConstrainedSql,
+    "q_kripp_alpha" -> krippAlphaSql)
+}

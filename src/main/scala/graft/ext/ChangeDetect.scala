@@ -85,4 +85,53 @@ object ChangeDetect {
       }(enc)
       .toDF(groupCol, "n_days", "max_s", "peak_day", "n_alarms")
   }
+
+  /** Mann–Kendall trend test (Mann 1945, Kendall 1975) per group over a
+    * (group, day, value) daily aggregate — the nonparametric "is this feed
+    * trending?" gate: S = Σ_{i<j} sign(v_j − v_i) over day-ordered pairs,
+    * tie-corrected variance
+    * `Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18` (t = size of each
+    * tied-value group), and the continuity-corrected
+    * `z = (S ∓ 1)/√Var(S)` (0 when S = 0). Distribution-free: no normality
+    * or linearity assumption, robust to outliers — the standard companion to
+    * the Theil–Sen slope (q_theil_sen) for monotone-trend detection.
+    *
+    * `df` must be one row per (group, day) with `valueCol` DECIMAL (exact), so
+    * the pairwise sign comparisons are unambiguous across engines. Scale
+    * shape: the pair join runs on the PRE-AGGREGATED daily rows — O(days²)
+    * per group on a bounded calendar span (a 3-year daily feed is 1096 rows →
+    * 600k pairs per group, map-side work), never on raw events; S and the tie
+    * counts are exact integers, floats enter only in the final z. Output per
+    * group: (group, n_days, s_stat, var_s, z_stat, trend), doubles rounded
+    * half-up to 6 decimals.
+    */
+  def mannKendall(df: DataFrame, groupCol: String, dayCol: String,
+                  valueCol: String, zCrit: Double = 1.96): DataFrame = {
+    val base = df.select(col(groupCol).as("g"), col(dayCol).as("d"),
+      col(valueCol).as("v"))
+    val s = base.as("a").join(base.as("b"),
+        col("a.g") === col("b.g") && col("a.d") < col("b.d"))
+      .groupBy(col("a.g").as("g"))
+      .agg(sum(signum(col("b.v") - col("a.v")).cast("long")).as("s_stat"))
+    val ties = base.groupBy(col("g"), col("v"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("__ndistinct"),
+        sum(col("t") * (col("t") - 1) * (col("t") * 2 + 5)).as("tie_term"))
+    val n = base.groupBy(col("g")).agg(count(lit(1)).as("n_days"))
+    n.join(s, "g").join(ties, "g")
+      .withColumn("var_s",
+        (col("n_days") * (col("n_days") - 1) * (col("n_days") * 2 + 5) -
+          col("tie_term")).cast("double") / 18.0)
+      .withColumn("z_stat",
+        when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(col("var_s")))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(col("var_s")))
+          .otherwise(lit(0.0)))
+      .select(col("g").as(groupCol), col("n_days"), col("s_stat"),
+        round(col("var_s"), 6).as("var_s"),
+        round(col("z_stat"), 6).as("z_stat"),
+        when(col("z_stat") > zCrit, lit("increasing"))
+          .when(col("z_stat") < -zCrit, lit("decreasing"))
+          .otherwise(lit("none")).as("trend"))
+  }
 }

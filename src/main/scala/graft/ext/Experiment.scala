@@ -450,4 +450,54 @@ object Experiment {
         round(col("q_i") / lit(yScale), 6).as("q_alpha"),
         round(col("n_cov").cast("double") / col("n_test"), 6).as("coverage"))
   }
+
+  /** Krippendorff's alpha, nominal metric (Krippendorff, Content Analysis
+    * 4th ed. §12) — inter-annotator reliability for ≥2 raters with missing
+    * ratings, the generalization [[cohensKappa]] (exactly 2 fixed raters)
+    * can't cover. From per-unit label counts o_uc over pairable units
+    * (n_u ≥ 2 ratings):
+    * `α = 1 − (n−1)·Σ_u Σ_c o_uc(n_u−o_uc)/(n_u−1) / (n² − Σ_c n_c²)`
+    * with n = Σ n_u and n_c the label totals over pairable units.
+    *
+    * Numeric contract: the per-unit term has denominator n_u−1 ≤ maxRaters−1,
+    * so the whole numerator is scaled by L = lcm(1..maxRaters−1) and summed
+    * as exact BIGINTs; α is one final double division — bit-identical across
+    * engines and partition orders. Scale shape: one groupBy to unit×label
+    * counts, one to units, one to label totals — all map-side-combinable;
+    * nothing is ever per-pair.
+    *
+    * `df` is one row per rating: (unitCol, raterCol unused beyond count,
+    * labelCol). Duplicate (unit, rater) rows are the caller's contract.
+    * Output: 1 row (n_units_pairable, n_ratings, d_o, d_e, alpha).
+    */
+  def krippendorffAlpha(df: DataFrame, unitCol: String, labelCol: String,
+                        maxRaters: Int = 8): DataFrame = {
+    require(maxRaters >= 2, s"maxRaters ($maxRaters) must be >= 2")
+    val L = (1 until maxRaters).map(BigInt(_))
+      .reduce((x, y) => x * y / x.gcd(y)).toLong
+    val ouc = df.groupBy(col(unitCol).as("u"), col(labelCol).as("c"))
+      .agg(count(lit(1)).as("o"))
+    val nu = ouc.groupBy(col("u")).agg(sum(col("o")).as("n_u"))
+      .filter(col("n_u") >= 2)
+    val pairable = ouc.join(nu, "u")
+    // numerator term scaled by L: o_uc·(n_u−o_uc)·(L div (n_u−1)) — exact
+    // longs (n_u−1 ≤ maxRaters−1 divides L by construction)
+    val obs = pairable
+      .select((col("o") * (col("n_u") - col("o")) *
+        expr(s"${L}L div (n_u - 1)")).as("t"))
+      .agg(sum(col("t")).as("num_scaled"))
+    val totals = pairable.groupBy(col("c")).agg(sum(col("o")).as("n_c"))
+      .agg(sum(col("n_c")).as("n"), sum(col("n_c") * col("n_c")).as("s_nc2"))
+    val units = nu.agg(count(lit(1)).as("n_units_pairable"))
+    units.crossJoin(obs).crossJoin(totals)
+      .select(col("n_units_pairable"), col("n").as("n_ratings"),
+        round(col("num_scaled").cast("double") / (lit(L) * col("n")), 6)
+          .as("d_o"),
+        round((col("n") * col("n") - col("s_nc2")).cast("double") /
+          (col("n") * (col("n") - 1)), 6).as("d_e"),
+        round(lit(1.0) -
+          ((col("n") - 1) * col("num_scaled")).cast("double") /
+          (lit(L) * (col("n") * col("n") - col("s_nc2"))).cast("double"), 6)
+          .as("alpha"))
+  }
 }

@@ -85,4 +85,82 @@ object Mixing {
       .join(pooled, col("q_idx") === col("rp"))
       .select(col(idCol), col("grp"), col("raw"), col("pv").as("norm_value"))
   }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): spread a total token
+    * budget across sources as uniformly as possible subject to a per-source
+    * epoch cap — no source is repeated more than `epochCap` times, and budget
+    * a capped source can't absorb flows to the uncapped ones. The waterfill
+    * closed form: sort sources ASCENDING by capacity c_s = epochCap·u_s; a
+    * source at rank r is capped iff its capacity is below the fair share of
+    * the budget left after every smaller source takes its full capacity —
+    * `c_r·(n−r+1) ≤ B − prefix(c)_{r−1}` (the capped set is a prefix of the
+    * ascending order by exchange argument); every uncapped source gets the
+    * common waterline `(B − prefix(c)_{r*})/(n − r*)`.
+    *
+    * Capacities, prefixes and the cap test are exact BIGINT arithmetic
+    * (epochCap is an integer); the waterline is the only float, computed once
+    * at the end. The ascending window runs over |sources| rows (a source
+    * catalog, not the corpus — bounded by construction). Output per source:
+    * (source, n_tokens, cap, is_capped, allocated, epochs), doubles rounded
+    * half-up to 6 decimals.
+    */
+  def unimaxAllocation(docs: DataFrame, sourceCol: String, sizeCol: String,
+                       budget: Long, epochCap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budget > 0 && epochCap >= 1,
+      s"budget ($budget) must be > 0 and epochCap ($epochCap) >= 1")
+    val s = docs.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(sizeCol)).cast("long").as("n_tokens"))
+      .withColumn("cap", col("n_tokens") * epochCap)
+    // |sources| rows from here on — the unpartitioned windows are bounded
+    val w = Window.orderBy(col("cap"), col("source"))
+    val ranked = s
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("prefix", sum(col("cap")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("is_capped",
+        col("cap") * (col("n") - col("r") + 1) <= lit(budget) -
+          (col("prefix") - col("cap")))
+    val rStar = ranked.agg(
+      coalesce(max(when(col("is_capped"), col("r"))), lit(0L)).as("r_star"),
+      coalesce(max(when(col("is_capped"), col("prefix"))), lit(0L))
+        .as("capped_sum"))
+    ranked.crossJoin(broadcast(rStar))
+      .withColumn("alloc",
+        when(col("is_capped"), col("cap").cast("double"))
+          .otherwise((lit(budget) - col("capped_sum")).cast("double") /
+            (col("n") - col("r_star"))))
+      .select(col("source"), col("n_tokens"), col("cap"), col("is_capped"),
+        round(col("alloc"), 6).as("allocated"),
+        round(col("alloc") / col("n_tokens"), 6).as("epochs"))
+  }
+
+  /** Effective data under repetition (Muennighoff et al., NeurIPS 2023,
+    * "Scaling Data-Constrained Language Models"): tokens repeated beyond the
+    * first epoch decay in value — with U unique tokens trained for
+    * R = D/U − 1 extra epochs, the effective data is
+    * `D' = U + U·R*·(1 − exp(−R/R*))` (R* the fitted repetition half-value
+    * constant, ≈ 15.4 in the paper); D' = D when D ≤ U. Applied to a
+    * per-source allocation this scores how much of each source's budget
+    * actually buys new learning vs diminishing repeats.
+    *
+    * `alloc` is one row per source (from [[unimaxAllocation]] or any
+    * allocator): `uniqueCol` = unique tokens, `allocCol` = allocated tokens.
+    * Pure per-row arithmetic on the |sources|-row frame — no shuffle at all.
+    * Output: (source, n_tokens, allocated, repeats, effective, efficiency).
+    */
+  def effectiveData(alloc: DataFrame, sourceCol: String, uniqueCol: String,
+                    allocCol: String, rStar: Double = 15.4): DataFrame = {
+    val u = col(uniqueCol).cast("double")
+    val d = col(allocCol).cast("double")
+    val repeats = greatest(d / u - 1.0, lit(0.0))
+    val eff = when(d <= u, d)
+      .otherwise(u + u * rStar * (lit(1.0) - exp(-repeats / rStar)))
+    alloc.select(col(sourceCol).as("source"),
+      col(uniqueCol).as("n_tokens"), col(allocCol).as("allocated"),
+      round(repeats, 6).as("repeats"),
+      round(eff, 6).as("effective"),
+      round(eff / d, 6).as("efficiency"))
+  }
 }

@@ -85,4 +85,43 @@ object LongTail {
       .withColumn("pct_of_total", col("cum_volume") / sum("volume").over(Window.partitionBy()))
       .withColumn("is_head", col("pct_of_total") <= lit(headPct))
   }
+
+  /** Hill estimator of the tail index of the item-popularity distribution —
+    * the quantitative companion of the long-tail curve: a power-law tail
+    * `P(V > v) ~ v^(-α)` has `α̂ = k / Σ_{i=1..k} ln(x_(i) / x_(k+1))` over
+    * the k largest per-item volumes x_(1) ≥ … ≥ x_(k) (Hill, Ann. Stat.
+    * 1975). Small α̂ (≈1) = blockbuster-dominated catalog; large α̂ = thin
+    * tail. Ties are broken by item id so the order statistics are
+    * deterministic (§2.4.7 discipline).
+    *
+    * Scale shape: the only full-data pass is the groupBy count; the top-(k+1)
+    * order statistics come from `orderBy().limit(k+1)` — planned as
+    * TakeOrderedAndProject (bounded per-partition heaps, k+1 rows cross the
+    * wire), never a global sort. The window below runs on ≤ k+1 rows
+    * post-limit, so its single task is bounded by construction. Each ln term
+    * is cast to DECIMAL(18,8) before the sum (addition-order-independent).
+    * Output: 1 row (k, x_kplus1, sum_log, hill_alpha), doubles rounded
+    * half-up to 6 decimals.
+    */
+  def hillTailIndex(df: DataFrame, itemCol: String, k: Int = 100): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val top = df.groupBy(col(itemCol)).agg(count(lit(1)).as("volume"))
+      .orderBy(col("volume").desc, col(itemCol))
+      .limit(k + 1)
+    // ≤ k+1 rows here — the unpartitioned window is bounded, not a scale path
+    val ranked = top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("volume").desc, col(itemCol))))
+    val tail = ranked.filter(col("rnk") === k + 1)
+      .select(col("volume").as("x_kplus1"))
+    ranked.filter(col("rnk") <= k)
+      .crossJoin(broadcast(tail))
+      .select(col("volume"), col("x_kplus1"),
+        log(col("volume").cast("double") / col("x_kplus1"))
+          .cast("decimal(18,8)").as("term"))
+      .groupBy(col("x_kplus1"))
+      .agg(sum(col("term")).as("s"))
+      .select(lit(k).as("k"), col("x_kplus1"),
+        round(col("s").cast("double"), 6).as("sum_log"),
+        round(lit(k.toDouble) / col("s").cast("double"), 6).as("hill_alpha"))
+  }
 }

@@ -248,4 +248,43 @@ object RankingMetrics {
             lit(0).cast("decimal(18,8)")))
           .cast("double") / count(lit(1)), 6).as("mrr"))
   }
+
+  /** Expected reciprocal rank @k (Chapelle et al., CIKM 2009) with binary
+    * relevance: a relevant item at rank r stops the cascade with probability
+    * R = 1/2, so ERR = Σ_{hit at rank r} (1/r) · (1/2) · (1/2)^{hits before r}.
+    * Unlike MRR this discounts hits that sit BELOW earlier hits — a list whose
+    * relevant items are all buried under other relevant items scores lower
+    * than one spreading them to the top. Ranks come from the same
+    * deterministic (frequency desc, item) order as [[ndcgAtK]]/[[mapAtK]].
+    *
+    * Every user with recommendations gets a row (err = 0 when no hit in the
+    * top k). The cascade factor (1/2)^{h+1} is an exact power of two and each
+    * term is cast to DECIMAL(18,8) before the sum, so the aggregate is
+    * addition-order-independent — bit-identical across engines and partition
+    * orders. Scale shape: user-keyed windows + an equi-join; no global order.
+    * Output: (user, n_hits_at_k, err) with err rounded half-up to 6 decimals.
+    */
+  def errAtK(recs: DataFrame, actuals: DataFrame,
+             userCol: String, itemCol: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rc = recs.select(col(userCol).as("user"), col(itemCol).as("item"))
+      .groupBy(col("user"), col("item")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user")).orderBy(col("n").desc, col("item"))
+    val ranked = rc.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+    val a = actuals.select(col(userCol).as("user"), col(itemCol).as("item")).distinct()
+    val flagged = ranked.join(a.withColumn("hit", lit(1L)), Seq("user", "item"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+    val before = Window.partitionBy(col("user")).orderBy(col("rnk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    flagged
+      .withColumn("hb", coalesce(sum(col("hit")).over(before), lit(0L)))
+      .withColumn("term",
+        when(col("hit") === 1,
+            (pow(lit(0.5), col("hb") + 1) / col("rnk")).cast("decimal(18,8)"))
+          .otherwise(lit(0).cast("decimal(18,8)")))
+      .groupBy(col("user"))
+      .agg(sum(col("hit")).as("n_hits_at_k"),
+        round(sum(col("term")).cast("double"), 6).as("err"))
+  }
 }

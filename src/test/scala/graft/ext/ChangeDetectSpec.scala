@@ -48,4 +48,34 @@ class ChangeDetectSpec extends SparkTestBase {
     // the post-shift tail drifts to zero — its peak cannot exceed `up`'s
     assert(out("down")._1 <= out("up")._1)
   }
+
+  test("mannKendall: strictly increasing series has S = n(n-1)/2 and " +
+    "flags an increasing trend; strictly decreasing mirrors it") {
+    val up = (1 to 5).map(i => ("up", f"2024-01-0$i", 10L * i))
+    val down = (1 to 5).map(i => ("down", f"2024-01-0$i", 100L - 10L * i))
+    val out = ChangeDetect.mannKendall(daily(up ++ down), "g", "d", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getString(5))).toMap
+    // n=5, no ties: S = 10, Var = 5·4·15/18 = 16.666667,
+    // z = 9/sqrt(16.666667) = 2.204541 > 1.96
+    assert(out("up")._1 == 5 && out("up")._2 == 10L)
+    assert(approx(out("up")._3, 16.666667, 1e-6))
+    assert(approx(out("up")._4, 2.204541, 1e-6))
+    assert(out("up")._5 == "increasing")
+    assert(out("down")._2 == -10L && out("down")._5 == "decreasing")
+    assert(approx(out("down")._4, -2.204541, 1e-6))
+  }
+
+  test("mannKendall: constant series has S = 0, z = 0, no trend, and the " +
+    "tie correction zeroes the variance") {
+    val rows = (1 to 6).map(i => ("c", f"2024-01-0$i", 42L))
+    val out = ChangeDetect.mannKendall(daily(rows), "g", "d", "v")
+      .collect().head
+    // one tie group of t=6: Var = (6·5·17 − 6·5·17)/18 = 0
+    assert(out.getLong(2) == 0L)
+    assert(out.getDouble(3) == 0.0)
+    assert(out.getDouble(4) == 0.0)
+    assert(out.getString(5) == "none")
+  }
 }

@@ -305,4 +305,43 @@ class ExperimentSpec extends SparkTestBase {
     // delta = 0 exactly -> exp term 1, lambda = sqrt(V/(V+1)) < 1 -> p = 1
     assert(out.forall(r => r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0))
   }
+
+  test("krippendorffAlpha reproduces the canonical 4-rater example " +
+    "(Krippendorff 2011, nominal alpha = 0.743)") {
+    import spark.implicits._
+    // 12 units, 4 raters A-D with missing cells; published nominal alpha
+    // for this dataset is 0.743 (exact: 0.743421 at 6dp)
+    val a = Seq(1, 2, 3, 3, 2, 1, 4, 1, 2, 0, 0, 0)
+    val b = Seq(1, 2, 3, 3, 2, 2, 4, 1, 2, 5, 0, 3)
+    val c = Seq(0, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, 0)
+    val d = Seq(1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, 0)
+    val rows = Seq(a, b, c, d).zipWithIndex.flatMap { case (r, ri) =>
+      r.zipWithIndex.collect { case (v, u) if v != 0 =>
+        (u.toLong, s"r$ri", v.toString)
+      }
+    }
+    val out = Experiment.krippendorffAlpha(
+        rows.toDF("u", "rater", "label"), "u", "label", maxRaters = 4)
+      .collect().head
+    assert(out.getLong(0) == 11) // unit 11 has a single rating — not pairable
+    assert(out.getLong(1) == 40L)
+    assert(approx(out.getDouble(2), 0.2, 1e-6))       // D_o
+    assert(approx(out.getDouble(3), 0.779487, 1e-6))  // D_e
+    assert(approx(out.getDouble(4), 0.743421, 1e-6))
+  }
+
+  test("krippendorffAlpha: perfect agreement gives alpha = 1, and " +
+    "systematic disagreement goes negative") {
+    import spark.implicits._
+    val perfect = (0 until 10).flatMap(u =>
+      Seq((u.toLong, "a", u % 2), (u.toLong, "b", u % 2)))
+      .toDF("u", "rater", "label")
+    assert(Experiment.krippendorffAlpha(perfect, "u", "label")
+      .collect().head.getDouble(4) == 1.0)
+    val opposite = (0 until 10).flatMap(u =>
+      Seq((u.toLong, "a", 0), (u.toLong, "b", 1)))
+      .toDF("u", "rater", "label")
+    assert(Experiment.krippendorffAlpha(opposite, "u", "label")
+      .collect().head.getDouble(4) < 0.0)
+  }
 }

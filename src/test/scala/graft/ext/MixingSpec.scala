@@ -57,4 +57,54 @@ class MixingSpec extends SparkTestBase {
     assert(at03("small") > 0.1 && at03("big") < 0.9)
     assert(approx(at03("small") + at03("big"), 1.0, 1e-6))
   }
+
+  test("unimaxAllocation: mixed capped/uncapped waterfill — capped sources " +
+    "take their capacity, the rest split the remainder evenly") {
+    // unique tokens 10/20/30/100, epochCap 2 → caps 20/40/60/200.
+    // B=300: ranks 1..3 capped (20+40+60=120), source d gets 300-120=180.
+    val docs = (Seq.fill(1)(("a", 10L)) ++ Seq.fill(2)(("b", 10L)) ++
+      Seq.fill(3)(("c", 10L)) ++ Seq.fill(10)(("d", 10L))).toDF("src", "sz")
+    val out = Mixing.unimaxAllocation(docs, "src", "sz", budget = 300L,
+        epochCap = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getBoolean(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("a") == ((20L, true, 20.0, 2.0)))
+    assert(out("b") == ((40L, true, 40.0, 2.0)))
+    assert(out("c") == ((60L, true, 60.0, 2.0)))
+    assert(out("d") == ((200L, false, 180.0, 1.8)))
+  }
+
+  test("unimaxAllocation: tight budget — only the smallest source caps, " +
+    "everyone else shares the waterline") {
+    // caps 20/40/60/200, B=100: rank 1 capped (20·4=80 ≤ 100); rank 2 is
+    // not (40·3=120 > 80). Waterline = (100-20)/3 = 26.666667.
+    val docs = Seq(("a", 10L), ("b", 20L), ("c", 30L), ("d", 100L))
+      .toDF("src", "sz")
+    val out = Mixing.unimaxAllocation(docs, "src", "sz", budget = 100L,
+        epochCap = 2)
+      .collect().map(r => r.getString(0) -> (r.getBoolean(3), r.getDouble(4)))
+      .toMap
+    assert(out("a") == ((true, 20.0)))
+    assert(out("b")._1 == false && approx(out("b")._2, 26.666667, 1e-6))
+    assert(approx(out("c")._2, 26.666667, 1e-6))
+    assert(approx(out("d")._2, 26.666667, 1e-6))
+    // allocations exhaust the budget
+    val total = out.values.map(_._2).sum
+    assert(approx(total, 100.0, 1e-5))
+  }
+
+  test("effectiveData: no repeats passes through; R=1 matches the " +
+    "closed form U + U·R*·(1−exp(−1/R*))") {
+    val alloc = Seq(("fresh", 100L, 80.0), ("twice", 100L, 200.0))
+      .toDF("source", "n_tokens", "allocated")
+    val out = Mixing.effectiveData(alloc, "source", "n_tokens", "allocated",
+        rStar = 15.4)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(out("fresh") == ((0.0, 80.0, 1.0)))
+    val expected = 100.0 + 100.0 * 15.4 * (1.0 - math.exp(-1.0 / 15.4))
+    assert(approx(out("twice")._1, 1.0, 1e-9))
+    assert(approx(out("twice")._2, expected, 1e-4))
+    assert(out("twice")._3 < 1.0)
+  }
 }

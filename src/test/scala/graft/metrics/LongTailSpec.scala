@@ -35,4 +35,32 @@ class LongTailSpec extends SparkTestBase {
     assert(out.zip(out.tail).forall { case (p, n) => p <= n + 1e-15 })
     assert(approx(out.last, 1.0))
   }
+
+  test("hillTailIndex matches the hand-computed estimator on known volumes") {
+    import spark.implicits._
+    // volumes 8, 4, 2, 1 → with k=2: x_(1)=8, x_(2)=4, x_(3)=2;
+    // Σ ln(x_i/x_3) = ln4 + ln2 = 2.07944154, α̂ = 2/2.07944154 = 0.961797
+    val df = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("item")
+    val out = LongTail.hillTailIndex(df, "item", k = 2).collect().head
+    assert(out.getInt(0) == 2)
+    assert(out.getLong(1) == 2L)
+    assert(approx(out.getDouble(2), 2.079442, 1e-6))
+    assert(approx(out.getDouble(3), 0.961797, 1e-6))
+  }
+
+  test("hillTailIndex: a steeper (thinner-tailed) catalog yields a larger " +
+    "alpha than a blockbuster-dominated one") {
+    import spark.implicits._
+    // flat-ish: 10,9,8,7 vs extreme: 1000,10,2,1 at k=2
+    val flat = (Seq.fill(10)("a") ++ Seq.fill(9)("b") ++ Seq.fill(8)("c") ++
+      Seq.fill(7)("d")).toDF("item")
+    val steep = (Seq.fill(1000)("a") ++ Seq.fill(10)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).toDF("item")
+    val aFlat = LongTail.hillTailIndex(flat, "item", k = 2)
+      .collect().head.getDouble(3)
+    val aSteep = LongTail.hillTailIndex(steep, "item", k = 2)
+      .collect().head.getDouble(3)
+    assert(aFlat > aSteep, s"flat $aFlat should exceed steep $aSteep")
+  }
 }

@@ -144,4 +144,30 @@ class RankingMetricsSpec extends SparkTestBase {
       .collect().head
     assert(approx(out.getAs[Double]("overlap"), 0.5, 1e-6))
   }
+
+  test("errAtK: cascade discount — a hit below an earlier hit contributes " +
+    "half as much as it would standalone") {
+    // user 1 recs ranked a(3×), b(2×), c(1×); actuals {a, c}:
+    // ERR = 0.5/1 + (0.5·0.5)/3 = 0.583333. user 2: no hits → 0.
+    val recs = (Seq.fill(3)((1L, "a")) ++ Seq.fill(2)((1L, "b")) ++
+      Seq((1L, "c"), (2L, "x"))).toDF("user_id", "item_id")
+    val actuals = Seq((1L, "a"), (1L, "c"), (9L, "z")).toDF("user_id", "item_id")
+    val out = RankingMetrics.errAtK(recs, actuals, "user_id", "item_id", k = 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 2L && approx(out(1L)._2, 0.583333, 1e-6))
+    assert(out(2L) == ((0L, 0.0)))
+  }
+
+  test("errAtK is bounded by MRR's reciprocal first-hit rank and respects k") {
+    // hit only at rank 3 of 3: ERR = 0.5/3 = 0.166667; with k=2 it vanishes
+    val recs = (Seq.fill(3)((1L, "a")) ++ Seq.fill(2)((1L, "b")) ++
+      Seq((1L, "c"))).toDF("user_id", "item_id")
+    val actuals = Seq((1L, "c")).toDF("user_id", "item_id")
+    val at10 = RankingMetrics.errAtK(recs, actuals, "user_id", "item_id", 10)
+      .collect().head
+    assert(approx(at10.getDouble(2), 0.166667, 1e-6))
+    val at2 = RankingMetrics.errAtK(recs, actuals, "user_id", "item_id", 2)
+      .collect().head
+    assert(at2.getLong(1) == 0L && at2.getDouble(2) == 0.0)
+  }
 }
