@@ -229,6 +229,60 @@ object ExtQueries {
       |      UNION SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id)
       |SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Blocking-quality audit of the MinHash-LSH banding vs the exact-Jaccard
+    * ground truth ([[Dedup.blockingQuality]]): reduction ratio (share of the
+    * all-pairs space never generated) + pairs completeness (share of true
+    * dup pairs surfaced) — the one-row summary behind q_lsh_recall_curve's
+    * per-decile resolution.
+    */
+  def qBlockingQuality(spark: SparkSession, dir: String): DataFrame =
+    Dedup.blockingQuality(Tables.documents(spark, dir), "doc_id", "text",
+      k = 3, numHashes = numHashes, rowsPerBand = rowsPerBand,
+      threshold = 0.5)
+
+  val blockingQualitySql: String =
+    s"""WITH $minhashSigBandCtesSql,
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |      FROM banded x JOIN banded y
+      |        ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |n AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+      |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+      |      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |      GROUP BY 1, 2),
+      |tr AS (SELECT id_a, id_b FROM p
+      |      JOIN n na ON id_a = na.doc_id JOIN n nb ON id_b = nb.doc_id
+      |      WHERE n_shared * 1.0 / (na.n_sh + nb.n_sh - n_shared) >= 0.5),
+      |nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+      |nc AS (SELECT COUNT(*) AS n_candidates FROM cand),
+      |nt AS (SELECT COUNT(*) AS n_truth FROM tr),
+      |cg AS (SELECT COUNT(*) AS n_caught
+      |      FROM tr JOIN cand USING (id_a, id_b))
+      |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_total_pairs,
+      |  n_candidates, n_truth, n_caught,
+      |  ROUND(1.0 - CAST(n_candidates AS DOUBLE) /
+      |    (n_docs * (n_docs - 1) // 2), 6) AS reduction_ratio,
+      |  ROUND(CAST(n_caught AS DOUBLE) / n_truth, 6) AS pairs_completeness
+      |FROM nd CROSS JOIN nc CROSS JOIN nt CROSS JOIN cg""".stripMargin
+
+  /** Per-document n-gram novelty rate against everything earlier in corpus
+    * order ([[graft.ext.TextStats.ngramNovelty]]): the share of each doc's
+    * distinct 3-shingles first seen in that doc.
+    */
+  def qNgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.ngramNovelty(Tables.documents(spark, dir), "doc_id",
+        "text", k = 3)
+      .orderBy(col("doc_id"))
+
+  val ngramNoveltySql: String =
+    s"""WITH $shinglesSql,
+      |f AS (SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+      |SELECT s.doc_id, COUNT(*) AS n_sh,
+      |  CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  ROUND(CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1.0 / COUNT(*), 6) AS novelty_rate
+      |FROM sh s JOIN f USING (sh) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** The COMPLETE near-dup curation pipeline in one plan — what a training-data
     * run actually executes end-to-end: MinHash-LSH candidate pairs → connected
     * components → keep the cluster canonical (min doc_id; singletons keep
@@ -3034,6 +3088,8 @@ object ExtQueries {
     "q_incremental_dedup" -> (qIncrementalDedup _),
     "q_minhash_est" -> (qMinhashEst _),
     "q_lsh_recall_curve" -> (qLshRecallCurve _),
+    "q_blocking_quality" -> (qBlockingQuality _),
+    "q_ngram_novelty" -> (qNgramNovelty _),
     "q_dedup_exact" -> (qDedupExact _),
     "q_dedup_jaccard" -> (qDedupJaccard _),
     "q_dedup_minhash" -> (qDedupMinhash _),
@@ -3139,6 +3195,8 @@ object ExtQueries {
     "q_incremental_dedup" -> incrementalDedupSql,
     "q_minhash_est" -> minhashEstSql,
     "q_lsh_recall_curve" -> lshRecallCurveSql,
+    "q_blocking_quality" -> blockingQualitySql,
+    "q_ngram_novelty" -> ngramNoveltySql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_jaccard" -> dedupJaccardSql,
     "q_dedup_minhash" -> dedupMinhashSql,

@@ -256,6 +256,183 @@ object PinnacleQueries {
       |FROM un CROSS JOIN obs CROSS JOIN tt""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Winsorized mean — clamping robust location per brand
+  // --------------------------------------------------------------------------
+
+  /** 10%-winsorized mean of per-brand line price in cents
+    * ([[graft.ext.Profiling.winsorizedMean]]) — the clamping counterpart of
+    * q_trimmed_mean (tails replaced by the boundary order statistics, not
+    * dropped). Rank-based and exact end to end.
+    */
+  def qWinsorized(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+    graft.ext.Profiling.winsorizedMean(x, "brand", "cents", "tie",
+        pctNum = 1, pctDen = 10)
+      .orderBy(col("brand"))
+  }
+
+  val winsorizedSql: String =
+    """WITH x AS (SELECT p_brand AS brand,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+      |    l_orderkey * 8 + l_linenumber AS tie
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |r AS (SELECT brand, v,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY v, tie) AS rn,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n FROM x),
+      |b AS (SELECT brand, MAX(n) AS n,
+      |    MAX(CASE WHEN rn = n // 10 + 1 THEN v END) AS lo_bound,
+      |    MAX(CASE WHEN rn = n - n // 10 THEN v END) AS hi_bound
+      |  FROM r GROUP BY 1)
+      |SELECT r.brand, b.n, b.lo_bound, b.hi_bound,
+      |  ROUND(CAST(CAST(SUM(GREATEST(LEAST(r.v, b.hi_bound), b.lo_bound))
+      |    AS BIGINT) AS DOUBLE) / b.n, 6) AS winsorized_mean
+      |FROM r JOIN b USING (brand)
+      |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Kendall's tau-b — do revenue and volume rank brands the same way?
+  // --------------------------------------------------------------------------
+
+  /** τ-b between the brand ranking by revenue and by unit volume
+    * ([[graft.ext.RankCompare.kendallTau]]) — the whole-list agreement
+    * complement of q_rbo's top-weighted overlap.
+    */
+  def qKendallTau(spark: SparkSession, dir: String): DataFrame = {
+    val perBrand = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand").as("brand"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+          .as("rev_cents"),
+        sum(col("l_quantity").cast("long")).as("qty"))
+    graft.ext.RankCompare.kendallTau(perBrand, "brand", "rev_cents", "qty")
+  }
+
+  val kendallTauSql: String =
+    """WITH pb AS (SELECT p_brand AS brand,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS x,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |pr AS (SELECT
+      |    CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END *
+      |    CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS cd,
+      |    CASE WHEN a.x = b.x THEN 1 ELSE 0 END AS tx,
+      |    CASE WHEN a.y = b.y THEN 1 ELSE 0 END AS ty
+      |  FROM pb a JOIN pb b ON a.brand < b.brand),
+      |n AS (SELECT COUNT(*) AS n_keys FROM pb),
+      |ag AS (SELECT
+      |    CAST(COALESCE(SUM(CASE WHEN cd = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      |      AS n_concordant,
+      |    CAST(COALESCE(SUM(CASE WHEN cd = -1 THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_discordant,
+      |    CAST(COALESCE(SUM(tx), 0) AS BIGINT) AS n_tied_x,
+      |    CAST(COALESCE(SUM(ty), 0) AS BIGINT) AS n_tied_y
+      |  FROM pr)
+      |SELECT n_keys, n_concordant, n_discordant, n_tied_x, n_tied_y,
+      |  ROUND(CAST(n_concordant - n_discordant AS DOUBLE) /
+      |    sqrt(CAST((n_keys * (n_keys - 1) // 2 - n_tied_x) *
+      |      (n_keys * (n_keys - 1) // 2 - n_tied_y) AS DOUBLE)), 6) AS tau_b
+      |FROM n CROSS JOIN ag""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Ljung–Box whiteness test over the daily-revenue ACF
+  // --------------------------------------------------------------------------
+
+  /** Ljung–Box Q over lags 1..10 of the daily order-revenue series
+    * ([[graft.ext.Series.ljungBox]]) — the one-number "any autocorrelation
+    * left?" gate over the same series q_acf resolves per lag.
+    */
+  def qLjungBox(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(AnalyticsQueries.dec(col("o_totalprice"))).as("x"))
+    graft.ext.Series.ljungBox(d, "day", "x", maxLag = 10)
+  }
+
+  val ljungBoxSql: String =
+    """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) * 100 AS HUGEINT) AS x
+      |  FROM orders GROUP BY 1),
+      |l AS (SELECT unnest(generate_series(1, 10)) AS lag),
+      |s AS (SELECT l.lag, d.day + CAST(l.lag AS INTEGER) AS tday, d.x AS xs
+      |  FROM d CROSS JOIN l),
+      |p AS (SELECT s.lag, t.x AS y, s.xs AS x FROM d t JOIN s ON t.day = s.tday),
+      |m AS (SELECT lag, COUNT(*) AS n_pairs,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY 1),
+      |rho AS (SELECT lag,
+      |  ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS acf
+      |  FROM m),
+      |nn AS (SELECT COUNT(*) AS n_obs FROM d),
+      |t AS (SELECT n_obs,
+      |    CAST((acf * acf) / (n_obs - lag) AS DECIMAL(18,8)) AS term
+      |  FROM rho CROSS JOIN nn)
+      |SELECT n_obs, CAST(10 AS BIGINT) AS max_lag,
+      |  ROUND(CAST(n_obs * (n_obs + 2) AS DOUBLE) *
+      |    CAST(SUM(term) AS DOUBLE), 6) AS q_stat,
+      |  1.8307038053275146E1 AS chi2_crit_95,
+      |  CAST(n_obs * (n_obs + 2) AS DOUBLE) * CAST(SUM(term) AS DOUBLE)
+      |    > 1.8307038053275146E1 AS reject_white
+      |FROM t GROUP BY n_obs""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Wald–Wolfowitz runs test — sign-sequence randomness per event feed
+  // --------------------------------------------------------------------------
+
+  /** Runs test per event_type over the daily micro-unit value sums
+    * ([[graft.ext.Runs.runsTest]]) — too few runs = regime clumping, too
+    * many = oscillation; the sequence-structure companion to q_mann_kendall.
+    */
+  def qRunsTest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    graft.ext.Runs.runsTest(daily, "event_type", "day", "v")
+      .orderBy(col("event_type"))
+  }
+
+  val runsTestSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT g, COUNT(*) AS n, SUM(v) AS sv FROM dly GROUP BY 1),
+      |sg AS (SELECT dly.g, d,
+      |    CASE WHEN v * n > sv THEN 1 WHEN v * n < sv THEN -1 END AS sign
+      |  FROM dly JOIN m USING (g)),
+      |sgn AS (SELECT g, d, sign FROM sg WHERE sign IS NOT NULL),
+      |r AS (SELECT g, sign,
+      |    CASE WHEN LAG(sign) OVER (PARTITION BY g ORDER BY d) IS NULL
+      |      OR sign <> LAG(sign) OVER (PARTITION BY g ORDER BY d)
+      |      THEN 1 ELSE 0 END AS nw
+      |  FROM sgn),
+      |c AS (SELECT g,
+      |    CAST(SUM(CASE WHEN sign = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |    CAST(SUM(CASE WHEN sign = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_down,
+      |    CAST(SUM(nw) AS BIGINT) AS n_runs FROM r GROUP BY 1),
+      |f AS (SELECT g, n_up, n_down, n_runs,
+      |    CAST(n_up * n_down * 2 AS DOUBLE) AS p2,
+      |    CAST(n_up + n_down AS DOUBLE) AS n FROM c)
+      |SELECT g AS event_type, n_up, n_down, n_runs,
+      |  ROUND(1.0 + p2 / n, 6) AS e_runs,
+      |  ROUND((n_runs - (1.0 + p2 / n)) /
+      |    sqrt(CASE WHEN p2 * (p2 - n) / (n * n * (n - 1)) > 0.0
+      |      THEN p2 * (p2 - n) / (n * n * (n - 1)) END), 6) AS z_stat
+      |FROM f ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -263,7 +440,11 @@ object PinnacleQueries {
     "q_mann_kendall" -> (qMannKendall _),
     "q_unimax_alloc" -> (qUnimaxAlloc _),
     "q_data_constrained" -> (qDataConstrained _),
-    "q_kripp_alpha" -> (qKrippAlpha _))
+    "q_kripp_alpha" -> (qKrippAlpha _),
+    "q_winsorized" -> (qWinsorized _),
+    "q_kendall_tau" -> (qKendallTau _),
+    "q_ljung_box" -> (qLjungBox _),
+    "q_runs_test" -> (qRunsTest _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -271,5 +452,9 @@ object PinnacleQueries {
     "q_mann_kendall" -> mannKendallSql,
     "q_unimax_alloc" -> unimaxAllocSql,
     "q_data_constrained" -> dataConstrainedSql,
-    "q_kripp_alpha" -> krippAlphaSql)
+    "q_kripp_alpha" -> krippAlphaSql,
+    "q_winsorized" -> winsorizedSql,
+    "q_kendall_tau" -> kendallTauSql,
+    "q_ljung_box" -> ljungBoxSql,
+    "q_runs_test" -> runsTestSql)
 }

@@ -722,4 +722,49 @@ object Dedup {
       .select(col("cluster_id"), col("__b.id").as("canonical_id"),
         col("__b.q").as("canonical_quality"), col("n_members"),
         (col("n_members") - 1).as("n_dropped"))
+
+  /** Blocking-quality audit of the MinHash-LSH banding (the record-linkage
+    * literature's two standard numbers, Christen 2012): REDUCTION RATIO — the
+    * share of the n(n−1)/2 all-pairs space the banding never generates — and
+    * PAIRS COMPLETENESS — the share of true duplicate pairs (exact Jaccard ≥
+    * threshold) the banding surfaces as candidates. Together they quantify
+    * the blocking trade-off a parameter choice buys; [[lshRecallCurve]] shows
+    * the same recall RESOLVED by similarity, this gives the one-row summary
+    * plus the cost side (candidate volume).
+    *
+    * Like the recall curve, the exact all-pairs truth join means this runs
+    * on a corpus SAMPLE to tune (numHashes, rowsPerBand) before the full
+    * [[minhashLshPairs]] run. Every count is exact; the two ratios are the
+    * only floats. Output: 1 row (n_docs, n_total_pairs, n_candidates,
+    * n_truth, n_caught, reduction_ratio, pairs_completeness).
+    */
+  def blockingQuality(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val banded = bandKeys(
+      minhashSignatures(df, idCol, textCol, k, numHashes),
+      idCol, numHashes / rowsPerBand, rowsPerBand)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+      .localCheckpoint(eager = true) // two branches below read it
+    val truth = jaccardPairs(df, idCol, textCol, k, threshold)
+      .select("id_a", "id_b")
+    val nd = df.select(col(idCol)).distinct()
+      .agg(count(lit(1)).as("n_docs"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    val nt = truth.agg(count(lit(1)).as("n_truth"))
+    val caught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
+      .agg(count(lit(1)).as("n_caught"))
+    nd.crossJoin(nc).crossJoin(nt).crossJoin(caught)
+      .withColumn("n_total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .select(col("n_docs"), col("n_total_pairs"), col("n_candidates"),
+        col("n_truth"), col("n_caught"),
+        round(lit(1.0) - col("n_candidates").cast("double") /
+          col("n_total_pairs"), 6).as("reduction_ratio"),
+        round(col("n_caught").cast("double") / col("n_truth"), 6)
+          .as("pairs_completeness"))
+  }
 }

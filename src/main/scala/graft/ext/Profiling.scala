@@ -204,4 +204,47 @@ object Profiling {
     }
     row.select(explode(array(stacked: _*)).as("__p")).select(col("__p.*"))
   }
+
+  /** Per-group winsorized mean — the clamping counterpart of the trimmed mean
+    * (q_trimmed_mean DROPS the tails; winsorizing REPLACES them, so n stays
+    * intact and extreme rows still vote, just boundedly). Rank-based and
+    * fully exact: with k = ⌊n·pctNum/pctDen⌋ rows clamped on each side, the
+    * k smallest values become the value at ascending rank k+1 and the k
+    * largest the value at rank n−k; the mean sums exact integers.
+    *
+    * `valueCol` must be an exact integer column (e.g. cents); `tieCol` makes
+    * the ranking deterministic. Scale shape: one group-partitioned rank
+    * window (parallel across groups), the two per-group bounds come from a
+    * conditional aggregate joined back on the group key — no global order,
+    * no percentile interpolation to drift across engines. Output per group:
+    * (group, n, lo_bound, hi_bound, winsorized_mean).
+    */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
+                     tieCol: String, pctNum: Int = 1,
+                     pctDen: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pctNum >= 0 && pctDen > 0 && pctNum * 2 < pctDen,
+      s"tail fraction $pctNum/$pctDen must be in [0, 0.5)")
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"), col("__t"))
+    val ranked = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col(tieCol).as("__t"))
+      .withColumn("__rn", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__k", expr(s"__n * $pctNum div $pctDen"))
+    val bounds = ranked.groupBy(col("__g"))
+      .agg(max(col("__n")).as("n"), max(col("__k")).as("__k2"),
+        max(when(col("__rn") === col("__k") + 1, col("__v"))).as("lo_bound"),
+        max(when(col("__rn") === col("__n") - col("__k"), col("__v")))
+          .as("hi_bound"))
+    ranked.join(bounds.withColumnRenamed("__g", "__gb"),
+        col("__g") === col("__gb"))
+      .select(col("__g"), col("n"),  col("lo_bound"), col("hi_bound"),
+        greatest(least(col("__v"), col("hi_bound")), col("lo_bound"))
+          .as("__w"))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("n")).as("n"), max(col("lo_bound")).as("lo_bound"),
+        max(col("hi_bound")).as("hi_bound"),
+        round(sum(col("__w")).cast("double") / max(col("n")), 6)
+          .as("winsorized_mean"))
+  }
 }

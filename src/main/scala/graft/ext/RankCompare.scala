@@ -45,4 +45,43 @@ object RankCompare {
       .select(lit(depth).cast("long").as("depth"), col("n_overlap"),
         col("rbo"))
   }
+
+  /** Kendall's τ-b rank correlation (tie-corrected) between two metrics over
+    * the same keys — "do these two rankings agree?" without RBO's top-weight:
+    * τ-b = (C − D) / √((n₀ − n₁)(n₀ − n₂)) with C/D the concordant and
+    * discordant pair counts, n₀ = n(n−1)/2, and n₁/n₂ the tied-pair counts
+    * within each metric (Kendall 1945). Complements [[rbo]] (which needs
+    * ranked prefixes and ignores the tail) for whole-list agreement.
+    *
+    * `df` must be the PRE-AGGREGATED per-key frame with `xCol`/`yCol` exact
+    * (long/DECIMAL) — the pair join is O(keys²) on that bounded frame (a
+    * brand/source catalog, not the corpus), and every sign/tie count is an
+    * exact integer; the only float is the final ratio. Output: 1 row
+    * (n_keys, n_concordant, n_discordant, n_tied_x, n_tied_y, tau_b).
+    */
+  def kendallTau(df: DataFrame, idCol: String, xCol: String,
+                 yCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(xCol).as("__x"),
+      col(yCol).as("__y"))
+    val pairs = base.as("a").join(base.as("b"),
+        col("a.__id") < col("b.__id"))
+      .select(
+        (signum(col("b.__x") - col("a.__x")) *
+          signum(col("b.__y") - col("a.__y"))).cast("long").as("cd"),
+        (col("a.__x") === col("b.__x")).cast("long").as("tx"),
+        (col("a.__y") === col("b.__y")).cast("long").as("ty"))
+    val n = base.agg(count(lit(1)).as("n_keys"))
+    val agg = pairs.agg(
+      coalesce(sum(when(col("cd") === 1, 1L).otherwise(0L)), lit(0L)).as("c"),
+      coalesce(sum(when(col("cd") === -1, 1L).otherwise(0L)), lit(0L)).as("d"),
+      coalesce(sum(col("tx")), lit(0L)).as("n_tied_x"),
+      coalesce(sum(col("ty")), lit(0L)).as("n_tied_y"))
+    n.crossJoin(agg)
+      .withColumn("n0", expr("n_keys * (n_keys - 1) div 2"))
+      .select(col("n_keys"), col("c").as("n_concordant"),
+        col("d").as("n_discordant"), col("n_tied_x"), col("n_tied_y"),
+        round((col("c") - col("d")).cast("double") /
+          sqrt(((col("n0") - col("n_tied_x")) *
+            (col("n0") - col("n_tied_y"))).cast("double")), 6).as("tau_b"))
+  }
 }

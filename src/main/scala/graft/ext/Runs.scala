@@ -51,4 +51,53 @@ object Runs {
       .select(col(keyCol), col("run_id"), col("value"), col("valid_from"),
         col("valid_to"), col("valid_until"), col("n_events"))
   }
+
+  /** Wald–Wolfowitz runs test per group over a (group, day, value) daily
+    * aggregate — "are the above/below-mean days randomly interleaved, or do
+    * they clump?": dichotomize each day against the group mean, count
+    * maximal runs R of equal sign, and compare against the randomness null
+    * E[R] = 1 + 2n₁n₂/n,
+    * Var[R] = 2n₁n₂(2n₁n₂ − n)/(n²(n−1)), z = (R − E[R])/√Var[R].
+    * Too FEW runs = regime clumping (trend/level shifts); too many =
+    * oscillation. The sequence-structure companion to [[graft.ext
+    * .ChangeDetect.mannKendall]] (monotone trend) and q_cusum (level shift).
+    *
+    * The dichotomy is exact: `valueCol` must be DECIMAL, and a day is "up"
+    * iff v·n > Σv in exact integer arithmetic — no double mean to skew a
+    * borderline day across engines. Days exactly AT the mean are dropped
+    * (the standard treatment). Scale shape: group-keyed aggregates and one
+    * group-partitioned lag window over the bounded daily frame. Output per
+    * group: (group, n_up, n_down, n_runs, e_runs, z_stat), doubles rounded
+    * half-up to 6 decimals.
+    */
+  def runsTest(df: DataFrame, groupCol: String, dayCol: String,
+               valueCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("__g"), col(dayCol).as("__d"),
+      col(valueCol).as("__v"))
+    val m = base.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__sv"))
+    val signed = base.join(m, "__g")
+      .withColumn("__sign",
+        when(col("__v") * col("__n") > col("__sv"), lit(1))
+          .when(col("__v") * col("__n") < col("__sv"), lit(-1)))
+      .filter(col("__sign").isNotNull)
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    val counted = signed
+      .withColumn("__new",
+        when(lag(col("__sign"), 1).over(w).isNull or
+          col("__sign") =!= lag(col("__sign"), 1).over(w), 1L).otherwise(0L))
+      .groupBy(col("__g"))
+      .agg(sum(when(col("__sign") === 1, 1L).otherwise(0L)).as("n_up"),
+        sum(when(col("__sign") === -1, 1L).otherwise(0L)).as("n_down"),
+        sum(col("__new")).as("n_runs"))
+    val n = (col("n_up") + col("n_down")).cast("double")
+    val p2 = (col("n_up") * col("n_down") * 2).cast("double")
+    val eR = lit(1.0) + p2 / n
+    val varR = p2 * (p2 - n) / (n * n * (n - 1))
+    counted.select(col("__g").as(groupCol), col("n_up"), col("n_down"),
+      col("n_runs"),
+      round(eR, 6).as("e_runs"),
+      round((col("n_runs") - eR) /
+        sqrt(when(varR > 0.0, varR).otherwise(lit(null))), 6).as("z_stat"))
+  }
 }

@@ -64,4 +64,48 @@ object Series {
         round(num / when(den === 0.0, lit(null)).otherwise(den), 6).as("acf"))
       .orderBy(col("lag"))
   }
+
+  /** χ²(0.95) critical values for df = 1..15 — literals so both engines see
+    * identical doubles (neither has an inverse-χ² builtin).
+    */
+  private val Chi2Crit95: Array[Double] = Array(
+    3.841458820694124, 5.991464547107979, 7.814727903251179,
+    9.487729036781154, 11.070497693516351, 12.591587243743977,
+    14.067140449340169, 15.50731305586545, 16.918977604620448,
+    18.307038053275146, 19.67513757268249, 21.02606981748307,
+    22.362032494826934, 23.684791304840576, 24.99579013972863)
+
+  /** Ljung–Box portmanteau whiteness test over the [[acf]] lag correlations:
+    * Q = n(n+2)·Σ_{k=1..m} ρ_k²/(n−k) — "is there ANY autocorrelation left
+    * in the first m lags?", the standard residual-whiteness gate after a
+    * seasonal/trend model (vs q_acf which reports each lag separately).
+    * Compared against the χ²(0.95, df=m) critical value (literal constant —
+    * no inverse-CDF builtin in either engine).
+    *
+    * The ρ_k are [[acf]]'s lag-k Pearson correlations ROUNDED to 6 decimals
+    * first (the cross-engine quantization point — libm ulp skew in the ρ's
+    * cannot flip Q); each Q term is cast to DECIMAL(18,8) before the sum.
+    * Scale shape: [[acf]]'s equi-join plus one m-row aggregate. Output:
+    * 1 row (n_obs, max_lag, q_stat, chi2_crit_95, reject_white).
+    */
+  def ljungBox(series: DataFrame, dayCol: String, xCol: String,
+               maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= Chi2Crit95.length,
+      s"maxLag ($maxLag) must be in 1..${Chi2Crit95.length}")
+    val crit = Chi2Crit95(maxLag - 1)
+    val rho = acf(series, dayCol, xCol, maxLag)
+    val n = series.agg(count(lit(1)).as("n_obs"))
+    rho.crossJoin(broadcast(n))
+      .select(col("n_obs"),
+        ((col("acf") * col("acf")) / (col("n_obs") - col("lag")))
+          .cast("decimal(18,8)").as("__term"))
+      .groupBy(col("n_obs"))
+      .agg(sum(col("__term")).as("__s"))
+      .select(col("n_obs"), lit(maxLag).cast("long").as("max_lag"),
+        round((col("n_obs") * (col("n_obs") + 2)).cast("double") *
+          col("__s").cast("double"), 6).as("q_stat"),
+        lit(crit).as("chi2_crit_95"),
+        ((col("n_obs") * (col("n_obs") + 2)).cast("double") *
+          col("__s").cast("double") > crit).as("reject_white"))
+  }
 }

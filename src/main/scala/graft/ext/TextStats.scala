@@ -548,4 +548,31 @@ object TextStats {
       .filter(col("n_terms") === terms.size)
       .select(col(idCol))
   }
+
+  /** Per-document n-gram novelty against everything BEFORE it in corpus
+    * order: the share of a doc's distinct word k-shingles whose first
+    * occurrence (minimum `idCol` over the whole corpus) is the doc itself.
+    * Novelty ≈ 1 = genuinely new text; ≈ 0 = recombination of earlier
+    * material — the incremental-freshness score a crawl-ordering or
+    * curriculum pass ranks by (complementary to q_dedup_*: low novelty
+    * flags docs that are derivative without any single near-duplicate).
+    *
+    * Scale shape: one distinct-shingle explode (the native codegen
+    * `word_shingles` kernel), one group-min over shingles, one equi-join
+    * back — all linear in corpus shingles, never pairwise. Output per doc:
+    * (idCol, n_sh, n_novel, novelty_rate).
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(docs, idCol, textCol, k)
+    val first = sh.groupBy(col("shingle")).agg(min(col(idCol)).as("__first"))
+    sh.join(first, "shingle")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col(idCol), col("n_sh"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_sh"), 6)
+          .as("novelty_rate"))
+  }
 }

@@ -342,4 +342,27 @@ class DedupSpec extends SparkTestBase {
       (1L, 2L, 30L, 3L, 2L),
       (7L, 9L, 40L, 2L, 1L)))
   }
+
+  test("blockingQuality: identical docs are always caught (completeness 1) " +
+    "and the candidate space is far below all-pairs (reduction > 0)") {
+    import spark.implicits._
+    // 2 exact-dup pairs + 16 distinct docs: identical docs share every band
+    val dup = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "one two three four five six seven"),
+      (4L, "one two three four five six seven"))
+    val noise = (5L to 20L).map(i =>
+      (i, s"doc$i word$i token$i item$i thing$i stuff$i part$i"))
+    val out = Dedup.blockingQuality((dup ++ noise).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head
+    assert(out.getLong(0) == 20 && out.getLong(1) == 190) // 20·19/2
+    assert(out.getLong(3) == 2L, "two true dup pairs")
+    assert(out.getLong(4) == 2L, "identical docs share all bands")
+    assert(out.getDouble(6) == 1.0)
+    assert(out.getDouble(5) > 0.5,
+      s"blocking should prune most of the 190 pairs: $out")
+    // candidates can never exceed the all-pairs space
+    assert(out.getLong(2) <= out.getLong(1))
+  }
 }

@@ -122,4 +122,36 @@ class ProfilingSpec extends SparkTestBase {
       assert(raw == shrunk && shift == 0)
     }
   }
+
+  test("winsorizedMean: hand-computed 10% clamp — one row each side " +
+    "replaced by the boundary order statistics") {
+    import spark.implicits._
+    // values 1..10: n=10, k=1 → lo=2, hi=9; winsorized sum =
+    // 2+2+3+...+8+9+9 = 55 → mean 5.5 (symmetric clamp cancels here)
+    val df = (1L to 10L).map(v => ("g", v, v)).toDF("g", "v", "id")
+    val out = Profiling.winsorizedMean(df, "g", "v", "id").collect().head
+    assert(out.getLong(1) == 10)
+    assert(out.getLong(2) == 2L && out.getLong(3) == 9L)
+    assert(out.getDouble(4) == 5.5)
+  }
+
+  test("winsorizedMean: a wild outlier is clamped to the boundary order " +
+    "statistic — n stays intact and the mean stays at the clean level") {
+    import spark.implicits._
+    // 1..9 plus 1000000: raw mean ≈ 100000.9; winsorized: 1→2, 1e6→9,
+    // sum = 46 + 9 = 55 → mean 5.5
+    val dirty = ((1L to 9L) :+ 1000000L).map(v => ("g", v, v))
+    val out = Profiling.winsorizedMean(dirty.toDF("g", "v", "id"),
+      "g", "v", "id").collect().head
+    assert(out.getLong(1) == 10) // nothing dropped
+    assert(out.getDouble(4) == 5.5)
+  }
+
+  test("winsorizedMean: k = 0 (n < pctDen) degenerates to the plain mean") {
+    import spark.implicits._
+    val df = Seq(("g", 10L, 1L), ("g", 20L, 2L), ("g", 90L, 3L))
+      .toDF("g", "v", "id")
+    val out = Profiling.winsorizedMean(df, "g", "v", "id").collect().head
+    assert(out.getDouble(4) == 40.0)
+  }
 }

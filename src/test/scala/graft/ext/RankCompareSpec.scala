@@ -37,4 +37,29 @@ class RankCompareSpec extends SparkTestBase {
       ranked(Seq(1L, 3L, 2L)), "item", "rnk", 3, 0.9).collect().head.getDouble(2)
     assert(headSwap < tailSwap)
   }
+
+  test("kendallTau: perfect agreement is 1, perfect reversal is -1") {
+    import spark.implicits._
+    val agree = Seq(("a", 1L, 10L), ("b", 2L, 20L), ("c", 3L, 30L),
+      ("d", 4L, 40L)).toDF("k", "x", "y")
+    assert(RankCompare.kendallTau(agree, "k", "x", "y")
+      .collect().head.getDouble(5) == 1.0)
+    val reverse = Seq(("a", 1L, 40L), ("b", 2L, 30L), ("c", 3L, 20L),
+      ("d", 4L, 10L)).toDF("k", "x", "y")
+    assert(RankCompare.kendallTau(reverse, "k", "x", "y")
+      .collect().head.getDouble(5) == -1.0)
+  }
+
+  test("kendallTau: hand-computed mixed case with a tie in y") {
+    import spark.implicits._
+    // x: 1,2,3,4; y: 10,30,20,30 → pairs (6): ab C, ac C, ad C, bc D,
+    // bd tied-y, cd C → C=4, D=1, n1=0, n2=1, n0=6
+    // tau_b = 3 / sqrt(6·5) = 0.547723
+    val df = Seq(("a", 1L, 10L), ("b", 2L, 30L), ("c", 3L, 20L),
+      ("d", 4L, 30L)).toDF("k", "x", "y")
+    val out = RankCompare.kendallTau(df, "k", "x", "y").collect().head
+    assert(out.getLong(0) == 4 && out.getLong(1) == 4 && out.getLong(2) == 1)
+    assert(out.getLong(3) == 0 && out.getLong(4) == 1)
+    assert(approx(out.getDouble(5), 0.547723, 1e-6))
+  }
 }

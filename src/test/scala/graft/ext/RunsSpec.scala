@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class RunsSpec extends SparkTestBase {
@@ -65,5 +67,44 @@ class RunsSpec extends SparkTestBase {
       }
       assert(sorted.last.isNullAt(5)) // open current interval
     }
+  }
+
+  private def dailyDec(rows: Seq[(String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("g", "d", "v")
+      .select(col("g"), col("d").cast("date").as("d"),
+        col("v").cast("decimal(38,0)").as("v"))
+  }
+
+  test("runsTest: perfectly alternating signs maximize runs (z > 0); " +
+    "clumped halves minimize them (z < 0); counts are exact") {
+    // alternating 10/30 around mean 20: 10 days → n_up=5, n_down=5, R=10
+    // E[R] = 1 + 2·25/10 = 6, z > 0
+    val alt = (1 to 10).map(i =>
+      ("alt", f"2024-01-$i%02d", if (i % 2 == 0) 30L else 10L))
+    // clumped: 5 low days then 5 high days → R = 2, z < 0
+    val clump = (1 to 10).map(i =>
+      ("clump", f"2024-01-$i%02d", if (i <= 5) 10L else 30L))
+    val out = Runs.runsTest(dailyDec(alt ++ clump), "g", "d", "v")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("alt") ==
+      ((5L, 5L, 10L, 6.0, out("alt")._5)) && out("alt")._5 > 0)
+    assert(out("clump")._3 == 2L && out("clump")._4 == 6.0)
+    assert(out("clump")._5 < 0)
+    // symmetric fixtures: |z| identical (R=10 vs R=2 are mirror distances)
+    assert(approx(out("alt")._5, -out("clump")._5, 1e-9))
+  }
+
+  test("runsTest: days exactly at the mean are dropped from the sequence") {
+    // 20 is exactly the mean of {10, 20, 30} — the 20-day must not break
+    // the low/high run structure: signs are -,+ → 2 runs of n1=n2=1
+    val rows = Seq(("g", "2024-01-01", 10L), ("g", "2024-01-02", 20L),
+      ("g", "2024-01-03", 30L))
+    val out = Runs.runsTest(dailyDec(rows), "g", "d", "v").collect().head
+    assert(out.getLong(1) == 1L && out.getLong(2) == 1L &&
+      out.getLong(3) == 2L)
+    assert(out.getDouble(4) == 2.0) // E[R] = 1 + 2·1·1/2 = 2
   }
 }

@@ -29,4 +29,35 @@ class SeriesSpec extends SparkTestBase {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
     assert(out.forall(_.isNullAt(2)))
   }
+
+  test("ljungBox: Q matches the hand fold over the operator's own ACF, and " +
+    "a strongly periodic series rejects whiteness") {
+    import spark.implicits._
+    // 40-day alternating series — lag-1 ACF ≈ -1, lag-2 ≈ +1, ... → huge Q
+    val rows = (1 to 40).map(i => (f"2024-01-01", i, if (i % 2 == 0) 10.0 else -10.0))
+    val d = rows.map { case (_, i, v) => (i, v) }
+      .toDF("i", "x")
+      .select(expr("date_add(DATE '2024-01-01', i - 1)").as("day"), col("x"))
+    val out = Series.ljungBox(d, "day", "x", maxLag = 5).collect().head
+    assert(out.getLong(0) == 40 && out.getLong(1) == 5)
+    // recompute Q from the acf operator directly
+    val rho = Series.acf(d, "day", "x", maxLag = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val qHand = 40.0 * 42.0 * (1 to 5).map { k =>
+      BigDecimal(rho(k.toLong) * rho(k.toLong) / (40 - k))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    assert(approx(out.getDouble(2), qHand, 1e-4))
+    assert(out.getBoolean(4), "periodic series must reject whiteness")
+  }
+
+  test("ljungBox: a linear (trend-only, zero-residual-structure) series " +
+    "still rejects but a tiny-lag Q is finite and positive") {
+    import spark.implicits._
+    val d = (1 to 30).map(i => (i, i.toDouble))
+      .toDF("i", "x")
+      .select(expr("date_add(DATE '2024-01-01', i - 1)").as("day"), col("x"))
+    val out = Series.ljungBox(d, "day", "x", maxLag = 3).collect().head
+    assert(out.getDouble(2) > 0.0 && !out.getDouble(2).isNaN)
+  }
 }

@@ -292,4 +292,20 @@ class TextStatsSpec extends SparkTestBase {
     assert(!out.exists(_.getString(1) == "rare"))
     assert(out.groupBy(_.getString(0)).forall(_._2.length == 1))
   }
+
+  test("ngramNovelty: the first doc is fully novel, a verbatim copy scores " +
+    "0, and a half-recombined doc sits in between") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps high"),      // 4 shingles, all first
+      (2L, "the quick brown fox jumps high"),      // verbatim copy → 0
+      (3L, "the quick brown cat sleeps low now")). // shares only 1 of 5
+      toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((4L, 4L, 1.0)))
+    assert(out(2L) == ((4L, 0L, 0.0)))
+    assert(out(3L)._1 == 5L && out(3L)._2 == 4L && out(3L)._3 == 0.8)
+  }
 }
