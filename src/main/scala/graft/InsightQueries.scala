@@ -218,6 +218,40 @@ object InsightQueries {
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
     Triangles.triangleCensus(repeatEdges(spark, dir), "src", "dst")
 
+  /** Degree assortativity of the repeat-co-purchase graph
+    * ([[Triangles.assortativity]]): r < 0 = hub-and-spoke (popular parts
+    * attach to one-off parts), r > 0 = hubs cluster — the structural summary
+    * that says whether the degree-oriented tricks in q_triangles/q_kcore are
+    * load-bearing on this graph.
+    */
+  def qAssortativity(spark: SparkSession, dir: String): DataFrame =
+    Triangles.assortativity(repeatEdges(spark, dir), "src", "dst")
+
+  val assortativitySql: String =
+    s"""WITH $repeatEdgesSql,
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |p AS (SELECT a AS x, b AS y FROM e UNION ALL SELECT b, a FROM e),
+      |j AS (SELECT dx.deg AS dx, dy.deg AS dy FROM p
+      |  JOIN deg dx ON p.x = dx.node JOIN deg dy ON p.y = dy.node),
+      |m AS (SELECT COUNT(*) AS n2,
+      |    CAST(SUM(dx) AS BIGINT) AS sx, CAST(SUM(dy) AS BIGINT) AS sy,
+      |    CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+      |    CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+      |    CAST(SUM(dy * dy) AS BIGINT) AS syy FROM j),
+      |r AS (SELECT
+      |    CAST(n2 AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS num,
+      |    sqrt((CAST(n2 AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n2 AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS den FROM m)
+      |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  ROUND(num / (CASE WHEN den = 0.0 THEN NULL ELSE den END), 6)
+      |    AS assortativity
+      |FROM r""".stripMargin
+
   val trianglesSql: String =
     s"""WITH $repeatEdgesSql,
       |deg AS (SELECT node, COUNT(*) AS deg FROM
@@ -1333,6 +1367,7 @@ object InsightQueries {
     "q_calibration" -> (qCalibration _),
     "q_item_cf" -> (qItemCf _),
     "q_triangles" -> (qTriangles _),
+    "q_assortativity" -> (qAssortativity _),
     "q_anomaly_daily" -> (qAnomalyDaily _),
     "q_burstiness" -> (qBurstiness _),
     "q_user_entropy" -> (qUserEntropy _),
@@ -1372,6 +1407,7 @@ object InsightQueries {
     "q_calibration" -> calibrationSql,
     "q_item_cf" -> itemCfSql,
     "q_triangles" -> trianglesSql,
+    "q_assortativity" -> assortativitySql,
     "q_anomaly_daily" -> anomalyDailySql,
     "q_burstiness" -> burstinessSql,
     "q_user_entropy" -> userEntropySql,

@@ -433,6 +433,94 @@ object PinnacleQueries {
       |FROM f ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // BM25 ranked retrieval
+  // --------------------------------------------------------------------------
+
+  /** BM25 top-20 for the query {hash, join, scan} over documents
+    * ([[graft.ext.Bm25.bm25TopK]]) — the ranked-retrieval complement of the
+    * boolean q_keyword_and.
+    */
+  def qBm25(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Bm25.bm25TopK(Tables.documents(spark, dir), "doc_id", "text",
+      terms = Seq("hash", "join", "scan"), k1 = 1.2, b = 0.75, topK = 20)
+
+  val bm25Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents),
+      |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+      |corpus AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS t_toks
+      |  FROM dl),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      |  WHERE tok IN ('hash', 'join', 'scan') GROUP BY 1, 2),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT tf.doc_id,
+      |    CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+      |      (tf * (1.2 + 1.0)) /
+      |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+      |        (CAST(t_toks AS DOUBLE) / n_docs))) AS DECIMAL(18,8)) AS ts
+      |  FROM tf JOIN dfq USING (tok) JOIN dl USING (doc_id)
+      |  CROSS JOIN corpus),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_terms_hit,
+      |    ROUND(CAST(SUM(ts) AS DOUBLE), 6) AS score FROM sc GROUP BY 1),
+      |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 20)
+      |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, n_terms_hit, score
+      |FROM top ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Holt linear forecast
+  // --------------------------------------------------------------------------
+
+  /** Holt linear smoothing (α=0.5, β=0.25) per event_type over the daily
+    * micro-unit value sums ([[graft.ext.Forecast.holtLinear]]): final
+    * level/trend state, next-day forecast, and the one-step-ahead MAE — the
+    * expectation q_cusum's alarms are measured against. The oracle replays
+    * the fold day by day with a recursive CTE (the q_cusum pattern).
+    */
+  def qHoltLinear(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+      // back to original units: level ≈ daily value keeps |x| ≪ 1e9, where
+      // ROUND(x, 6) is still ulp-stable across engines (verify-skill gotcha)
+      .select(col("event_type"), col("day"),
+        (col("v").cast("double") / 1e6).as("x"))
+    graft.ext.Forecast.holtLinear(daily, "event_type", "day", "x",
+        alpha = 0.5, beta = 0.25)
+      .select(col("event_type"), col("n_days"),
+        round(col("level"), 6).as("level"), round(col("trend"), 6).as("trend"),
+        round(col("forecast_next"), 6).as("forecast_next"),
+        round(col("mae"), 6).as("mae"))
+      .orderBy(col("event_type"))
+  }
+
+  val holtLinearSql: String =
+    """WITH RECURSIVE dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |z AS (SELECT g, d, CAST(v AS DOUBLE) / 1000000.0 AS x,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS rn FROM dly),
+      |f(g, rn, l, b, sae) AS (
+      |  SELECT z2.g, CAST(2 AS BIGINT), z2.x, z2.x - z1.x,
+      |    CAST(0.0 AS DOUBLE)
+      |  FROM z z2 JOIN z z1 ON z1.g = z2.g AND z1.rn = 1 WHERE z2.rn = 2
+      |  UNION ALL
+      |  SELECT z.g, z.rn,
+      |    0.5 * z.x + 0.5 * (f.l + f.b),
+      |    0.25 * (0.5 * z.x + 0.5 * (f.l + f.b) - f.l) + 0.75 * f.b,
+      |    f.sae + abs(z.x - (f.l + f.b))
+      |  FROM f JOIN z ON z.g = f.g AND z.rn = f.rn + 1),
+      |fin AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g ORDER BY rn DESC)
+      |    AS rr FROM f)
+      |SELECT g AS event_type, rn AS n_days,
+      |  ROUND(l, 6) AS level, ROUND(b, 6) AS trend,
+      |  ROUND(l + b, 6) AS forecast_next,
+      |  ROUND(sae / (rn - 2), 6) AS mae
+      |FROM fin WHERE rr = 1 AND rn >= 3 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -444,7 +532,9 @@ object PinnacleQueries {
     "q_winsorized" -> (qWinsorized _),
     "q_kendall_tau" -> (qKendallTau _),
     "q_ljung_box" -> (qLjungBox _),
-    "q_runs_test" -> (qRunsTest _))
+    "q_runs_test" -> (qRunsTest _),
+    "q_bm25" -> (qBm25 _),
+    "q_holt_linear" -> (qHoltLinear _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -456,5 +546,7 @@ object PinnacleQueries {
     "q_winsorized" -> winsorizedSql,
     "q_kendall_tau" -> kendallTauSql,
     "q_ljung_box" -> ljungBoxSql,
-    "q_runs_test" -> runsTestSql)
+    "q_runs_test" -> runsTestSql,
+    "q_bm25" -> bm25Sql,
+    "q_holt_linear" -> holtLinearSql)
 }

@@ -68,4 +68,52 @@ object Triangles {
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("global_clustering"))
   }
+
+  /** Degree assortativity coefficient (Newman, PRL 2002): the Pearson
+    * correlation of the degrees at the two ends of every edge — r > 0 means
+    * hubs attach to hubs (social-network shape), r < 0 means hubs attach to
+    * leaves (hub-and-spoke / co-purchase shape). The one-number structural
+    * summary that predicts how the wedge-bound tricks above behave: strongly
+    * disassortative power-law graphs are exactly where degree-ordered
+    * orientation pays.
+    *
+    * Computed as plain Pearson over the DOUBLE-ORIENTED edge list (each
+    * undirected edge contributes both (d_a, d_b) and (d_b, d_a), the standard
+    * symmetrization): degrees are exact integers, all five moments exact
+    * BIGINT sums, one final double formula — bit-identical across engines.
+    * Scale shape: the degree table joins back to the edge list twice (both
+    * broadcast-eligible — O(nodes) rows); moments are one map-side-combinable
+    * aggregate. Output: 1 row (n_nodes, n_edges, assortativity).
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint() // degree agg + two degree joins read it
+    val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val both = e.select(col("a").as("x"), col("b").as("y"))
+      .union(e.select(col("b").as("x"), col("a").as("y")))
+    val pairs = both
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), Seq("x"))
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), Seq("y"))
+    val m = pairs.agg(count(lit(1)).as("n2"),
+      sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+      sum(col("dx") * col("dy")).as("sxy"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dy") * col("dy")).as("syy"))
+    def dbl(c: org.apache.spark.sql.Column) = c.cast("double")
+    val num = dbl(col("n2")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = sqrt((dbl(col("n2")) * dbl(col("sxx")) -
+      dbl(col("sx")) * dbl(col("sx"))) *
+      (dbl(col("n2")) * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))))
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes")))
+      .crossJoin(m)
+      .select(col("n_nodes"), col("n_edges"),
+        round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
+          .as("assortativity"))
+  }
 }

@@ -1138,4 +1138,115 @@ object StreamingOps {
             HHCounter(shard, c.item, c.est, c.err, st.n_seen))
       }
   }
+
+  final case class RunsState(lastSign: Int, nUp: Long, nDown: Long,
+                             nRuns: Long, lastEpochDay: Long)
+  final case class RunsOut(series: String, day: java.sql.Date, n_up: Long,
+                           n_down: Long, n_runs: Long, e_runs: Double,
+                           z_stat: Double)
+
+  /** Streaming Wald–Wolfowitz runs monitor — the deployed form of
+    * [[graft.ext.Runs.runsTest]]: the batch operator dichotomizes against
+    * the SERIES' own mean (retrospective); a live monitor can't know it, so
+    * this twin signs each day against a FIXED reference mean fitted on a
+    * training window (the [[cusumStream]] deployment contract). With the
+    * reference set to the series' own mean, counts match the batch operator
+    * exactly — the differential the spec pins. Days exactly AT the reference
+    * are dropped, like the batch op.
+    *
+    * State per series: last sign + three counters + the day cursor (O(1)).
+    * Same in-order/unique-day contract as [[acfDailyStream]] (late or
+    * duplicate days dropped). Each arrival emits the running counts and the
+    * continuity-free z readout re-derived from the counters (the bhFdr
+    * sufficient-statistics split).
+    */
+  def runsTestStream(daily: Dataset[DailyValue],
+                     refMean: Double): Dataset[RunsOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[RunsState, RunsOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[DailyValue],
+         state: GroupState[RunsState]) =>
+          var st = state.getOption.getOrElse(
+            RunsState(0, 0L, 0L, 0L, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[RunsOut]
+          it.toSeq.sortBy(_.day.getTime).foreach { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            val sign = if (e.x > refMean) 1 else if (e.x < refMean) -1 else 0
+            if (sign != 0 &&
+              (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay)) {
+              val runs = st.nRuns + (if (sign != st.lastSign) 1L else 0L)
+              st = RunsState(sign,
+                st.nUp + (if (sign == 1) 1L else 0L),
+                st.nDown + (if (sign == -1) 1L else 0L),
+                runs, epochDay)
+              // same formula shapes as the batch operator
+              val p2 = (st.nUp * st.nDown * 2).toDouble
+              val n = (st.nUp + st.nDown).toDouble
+              val eR = 1.0 + p2 / n
+              val varR = p2 * (p2 - n) / (n * n * (n - 1))
+              val z = if (varR > 0.0) (st.nRuns - eR) / math.sqrt(varR)
+                else Double.NaN
+              out += RunsOut(series, e.day, st.nUp, st.nDown, st.nRuns, eR, z)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  final case class HoltState(n: Long, x1: Double, level: Double,
+                             trend: Double, sae: Double, lastEpochDay: Long)
+  final case class HoltOut(series: String, day: java.sql.Date, n_days: Long,
+                           level: Double, trend: Double,
+                           forecast_next: Double, mae: Double)
+
+  /** Streaming Holt linear smoother — the incremental twin of
+    * [[graft.ext.Forecast.holtLinear]]. The fold is already sequential in
+    * day order, so the streaming form IS the batch form with the state
+    * (n, x₁, level, trend, Σ|err|) persisted between micro-batches — O(1)
+    * per series, bit-identical to the batch fold by construction (the spec
+    * pins the differential). Same in-order/unique-day contract as
+    * [[acfDailyStream]]; emits the post-update forecast snapshot from the
+    * third day on.
+    */
+  def holtStream(daily: Dataset[DailyValue], alpha: Double = 0.5,
+                 beta: Double = 0.25): Dataset[HoltOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[HoltState, HoltOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[DailyValue],
+         state: GroupState[HoltState]) =>
+          var st = state.getOption.getOrElse(
+            HoltState(0L, 0.0, 0.0, 0.0, 0.0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
+          it.toSeq.sortBy(_.day.getTime).foreach { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            if (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay) {
+              val n = st.n + 1
+              st =
+                if (n == 1L) HoltState(n, e.x, st.level, st.trend, st.sae, epochDay)
+                else if (n == 2L)
+                  HoltState(n, st.x1, e.x, e.x - st.x1, st.sae, epochDay)
+                else {
+                  // operation order matches Forecast.holtLinear term by term
+                  val f = st.level + st.trend
+                  val sae = st.sae + math.abs(e.x - f)
+                  val lNew = alpha * e.x + (1.0 - alpha) * f
+                  val bNew = beta * (lNew - st.level) + (1.0 - beta) * st.trend
+                  HoltState(n, st.x1, lNew, bNew, sae, epochDay)
+                }
+              if (n >= 3L)
+                out += HoltOut(series, e.day, n, st.level, st.trend,
+                  st.level + st.trend, st.sae / (n - 2))
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -57,4 +57,21 @@ class TrianglesSpec extends SparkTestBase {
     val r = census(edges)
     assert(r.getAs[Long]("n_triangles") == brute)
   }
+
+  test("assortativity: a star is perfectly disassortative (-1), a " +
+    "4-path is -0.5, a regular graph is degenerate (null)") {
+    import spark.implicits._
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)).toDF("s", "t")
+    val starOut = Triangles.assortativity(star, "s", "t").collect().head
+    assert(starOut.getLong(0) == 5 && starOut.getLong(1) == 4)
+    assert(starOut.getDouble(2) == -1.0)
+    // path 1-2-3-4: degrees 1,2,2,1 → hand Pearson over the 6 symmetrized
+    // endpoint pairs: r = -4/8 = -0.5
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "t")
+    assert(Triangles.assortativity(path, "s", "t")
+      .collect().head.getDouble(2) == -0.5)
+    // 4-cycle: every degree 2 → zero variance → null, not a crash
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    assert(Triangles.assortativity(cycle, "s", "t").collect().head.isNullAt(2))
+  }
 }

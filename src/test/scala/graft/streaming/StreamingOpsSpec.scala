@@ -291,6 +291,67 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(last.getLong(5) == batch.getLong(4), "alarm counts")
   }
 
+  test("runsTestStream with the series' own mean matches the batch runs " +
+    "test exactly, across micro-batch splits and dropped at-mean days") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.DailyValue
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-06-$day%02d")
+    // mean = 20; day 4 sits exactly at it and must be dropped by both forms
+    val xs = Seq(10.0, 30.0, 10.0, 20.0, 30.0, 30.0, 10.0)
+    val mean = 20.0
+    val rows = xs.zipWithIndex.map { case (x, i) => DailyValue("a", d(i + 1), x) }
+    val input = MemoryStream[DailyValue]
+    input.addData(rows.take(3): _*)
+    val q = StreamingOps.runsTestStream(input.toDS(), refMean = mean)
+      .writeStream.format("memory").queryName("runs_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("runs_stream").collect()
+      .maxBy(_.getDate(1).getTime)
+    val batch = graft.ext.Runs.runsTest(
+        rows.toDF("g", "day", "x")
+          .select(col("g"), col("day"),
+            round(col("x") * 1e6, 0).cast("decimal(38,0)").as("v")),
+        "g", "day", "v")
+      .collect().head
+    assert(last.getLong(2) == batch.getLong(1), "n_up")
+    assert(last.getLong(3) == batch.getLong(2), "n_down")
+    assert(last.getLong(4) == batch.getLong(3), "n_runs")
+    assert(math.abs(last.getDouble(5) - batch.getDouble(4)) < 1e-9, "e_runs")
+  }
+
+  test("holtStream folds bit-identically to the batch Holt smoother " +
+    "across micro-batches and ignores late/duplicate days") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.DailyValue
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-07-$day%02d")
+    val xs = Seq(5.0, 9.0, 2.0, 14.0, 8.0, 11.0, 3.0)
+    val rows = xs.zipWithIndex.map { case (x, i) => DailyValue("a", d(i + 1), x) }
+    val input = MemoryStream[DailyValue]
+    input.addData(rows.take(4): _*)
+    val q = StreamingOps.holtStream(input.toDS())
+      .writeStream.format("memory").queryName("holt_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    input.addData(DailyValue("a", d(2), 999.0), DailyValue("a", d(4), 999.0))
+    q.processAllAvailable()
+    input.addData(rows.drop(4): _*)
+    q.processAllAvailable(); q.stop()
+    val last = spark.table("holt_stream").collect()
+      .maxBy(_.getDate(1).getTime)
+    val batch = graft.ext.Forecast.holtLinear(
+        rows.toDF("g", "day", "x")
+          .select(col("g"), col("day"), col("x").cast("decimal(18,6)").as("x")),
+        "g", "day", "x")
+      .collect().head
+    assert(last.getLong(2) == batch.getLong(1), "n_days")
+    assert(last.getDouble(3) == batch.getDouble(2), "level bit-identical")
+    assert(last.getDouble(4) == batch.getDouble(3), "trend bit-identical")
+    assert(last.getDouble(6) == batch.getDouble(5), "mae bit-identical")
+  }
+
   test("enrichAsOfStream matches the batch point-in-time join on an SCD2 " +
     "dimension and honors a refresh between micro-batches") {
     implicit val sc = spark.sqlContext
