@@ -218,6 +218,28 @@ object InsightQueries {
   def qTriangles(spark: SparkSession, dir: String): DataFrame =
     Triangles.triangleCensus(repeatEdges(spark, dir), "src", "dst")
 
+  /** BFS level histogram from the repeat-co-purchase graph's busiest hub
+    * ([[graft.ext.GraphPaths.bfsLevels]], depth cap 10): how much of the
+    * graph sits within r hops of the max-degree part — the reachability
+    * fingerprint next to q_assortativity's mixing summary.
+    */
+  def qBfsLevels(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphPaths.bfsLevels(repeatEdges(spark, dir), "src", "dst",
+      maxDepth = 10)
+
+  val bfsLevelsSql: String =
+    s"""WITH RECURSIVE $repeatEdgesSql,
+      |bt AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),
+      |seed AS (SELECT u AS node FROM bt GROUP BY 1
+      |  ORDER BY COUNT(*) DESC, u LIMIT 1),
+      |reach(id, d) AS (
+      |  SELECT node, 0 FROM seed
+      |  UNION
+      |  SELECT bt.v, r.d + 1 FROM reach r JOIN bt ON bt.u = r.id
+      |  WHERE r.d < 10),
+      |lv AS (SELECT id, MIN(d) AS level FROM reach GROUP BY 1)
+      |SELECT level, COUNT(*) AS n_nodes FROM lv GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Degree assortativity of the repeat-co-purchase graph
     * ([[Triangles.assortativity]]): r < 0 = hub-and-spoke (popular parts
     * attach to one-off parts), r > 0 = hubs cluster — the structural summary
@@ -1368,6 +1390,7 @@ object InsightQueries {
     "q_item_cf" -> (qItemCf _),
     "q_triangles" -> (qTriangles _),
     "q_assortativity" -> (qAssortativity _),
+    "q_bfs_levels" -> (qBfsLevels _),
     "q_anomaly_daily" -> (qAnomalyDaily _),
     "q_burstiness" -> (qBurstiness _),
     "q_user_entropy" -> (qUserEntropy _),
@@ -1408,6 +1431,7 @@ object InsightQueries {
     "q_item_cf" -> itemCfSql,
     "q_triangles" -> trianglesSql,
     "q_assortativity" -> assortativitySql,
+    "q_bfs_levels" -> bfsLevelsSql,
     "q_anomaly_daily" -> anomalyDailySql,
     "q_burstiness" -> burstinessSql,
     "q_user_entropy" -> userEntropySql,

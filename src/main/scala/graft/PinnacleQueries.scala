@@ -521,6 +521,174 @@ object PinnacleQueries {
       |FROM fin WHERE rr = 1 AND rn >= 3 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Optimal single changepoint (binary segmentation, step 1)
+  // --------------------------------------------------------------------------
+
+  /** Best single split per event_type over the daily micro-unit value sums
+    * ([[ChangeDetect.bestSplit]]) — the retrospective "WHERE did the level
+    * shift?" breakpoint next to q_cusum's sequential alarm; means reported in
+    * original units.
+    */
+  def qBestSplit(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    ChangeDetect.bestSplit(daily, "event_type", "day", "v", unitScale = 1e6)
+      .orderBy(col("event_type"))
+  }
+
+  val bestSplitSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT g, d, v,
+      |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY d) AS k,
+      |    CAST(SUM(v) OVER (PARTITION BY g ORDER BY d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS HUGEINT)
+      |      AS p,
+      |    COUNT(*) OVER (PARTITION BY g) AS n,
+      |    CAST(SUM(v) OVER (PARTITION BY g) AS HUGEINT) AS s
+      |  FROM dly),
+      |sc AS (SELECT g, d, k, n, p, s,
+      |    CAST(p AS DOUBLE) * CAST(p AS DOUBLE) / k +
+      |      (CAST(s AS DOUBLE) - CAST(p AS DOUBLE)) *
+      |      (CAST(s AS DOUBLE) - CAST(p AS DOUBLE)) / (n - k) AS score
+      |  FROM b WHERE k < n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY g
+      |    ORDER BY score DESC, d) AS rr FROM sc)
+      |SELECT g AS event_type, n AS n_days, d AS split_day, k AS n_left,
+      |  ROUND(CAST(p AS DOUBLE) / k / 1000000.0, 6) AS mean_left,
+      |  ROUND((CAST(s AS DOUBLE) - CAST(p AS DOUBLE)) / (n - k)
+      |    / 1000000.0, 6) AS mean_right,
+      |  ROUND((CAST(s AS DOUBLE) - CAST(p AS DOUBLE)) / (n - k) / 1000000.0
+      |    - CAST(p AS DOUBLE) / k / 1000000.0, 6) AS shift
+      |FROM r WHERE rr = 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Weighted median
+  // --------------------------------------------------------------------------
+
+  /** Quantity-weighted median line price (cents) per brand
+    * ([[graft.ext.Profiling.weightedMedian]]) — the typical UNIT's price, vs
+    * the typical row's; exact integer `2·cumw ≥ W` rule, no interpolation.
+    */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+    graft.ext.Profiling.weightedMedian(x, "brand", "cents", "qty", "tie")
+      .orderBy(col("brand"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH x AS (SELECT p_brand AS brand,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+      |    CAST(l_quantity AS BIGINT) AS wt,
+      |    l_orderkey * 8 + l_linenumber AS tie
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |c AS (SELECT brand, v, tie,
+      |    CAST(SUM(wt) OVER (PARTITION BY brand ORDER BY v, tie
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS cumw,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n,
+      |    CAST(SUM(wt) OVER (PARTITION BY brand) AS BIGINT) AS tw
+      |  FROM x),
+      |f AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY brand
+      |    ORDER BY cumw, v, tie) AS r
+      |  FROM c WHERE cumw * 2 >= tw)
+      |SELECT brand, n AS n_rows, tw AS total_weight, v AS w_median
+      |FROM f WHERE r = 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // TF-IDF more-like-this
+  // --------------------------------------------------------------------------
+
+  /** Top-10 documents by TF-IDF cosine to doc 1
+    * ([[graft.ext.Bm25.moreLikeThis]]) — related-items retrieval over the
+    * sparse inverted-index join (vs q_semantic_dup's embedding cosine).
+    */
+  def qMoreLikeThis(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Bm25.moreLikeThis(Tables.documents(spark, dir), "doc_id",
+      "text", queryId = 1L, topK = 10)
+
+  val moreLikeThisSql: String =
+    """WITH tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM
+      |    (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |     FROM documents) GROUP BY 1, 2),
+      |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+      |wts AS (SELECT doc_id, tok,
+      |    tf * ln(CAST(n_docs + 1 AS DOUBLE) / (df + 1)) AS w
+      |  FROM tf JOIN dfq USING (tok) CROSS JOIN nn),
+      |nr AS (SELECT doc_id,
+      |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(18,8))) AS DOUBLE)) AS nrm
+      |  FROM wts GROUP BY 1),
+      |qw AS (SELECT tok, w AS qw FROM wts WHERE doc_id = 1),
+      |qn AS (SELECT nrm AS qnrm FROM nr WHERE doc_id = 1),
+      |dt AS (SELECT w.doc_id, COUNT(*) AS n_shared_terms,
+      |    SUM(CAST(w.w * qw.qw AS DECIMAL(18,8))) AS dot
+      |  FROM wts w JOIN qw USING (tok) WHERE w.doc_id <> 1 GROUP BY 1),
+      |cs AS (SELECT doc_id, n_shared_terms,
+      |    ROUND(CAST(dot AS DOUBLE) / (nrm * qnrm), 6) AS cosine
+      |  FROM dt JOIN nr USING (doc_id) CROSS JOIN qn),
+      |top AS (SELECT * FROM cs ORDER BY cosine DESC, doc_id LIMIT 10)
+      |SELECT ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS rank,
+      |  doc_id, n_shared_terms, cosine
+      |FROM top ORDER BY rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Herfindahl–Hirschman concentration
+  // --------------------------------------------------------------------------
+
+  /** Supplier revenue concentration per region: HHI = Σ share² (exact
+    * DECIMAL cents² over C²) and the effective supplier count 1/HHI — the
+    * market-structure readout next to q_market_share's raw shares and
+    * q_gini's inequality curve.
+    */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(spark, dir), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("s_suppkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("decimal(19,0)").as("c"))
+    rev.groupBy(col("region"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum(col("c")).cast("decimal(38,0)").as("__tot"),
+        sum(col("c") * col("c")).as("__ss"))
+      .select(col("region"), col("n_suppliers"),
+        round(col("__ss").cast("double") /
+          (col("__tot").cast("double") * col("__tot").cast("double")), 6)
+          .as("hhi"),
+        round(col("__tot").cast("double") * col("__tot").cast("double") /
+          col("__ss").cast("double"), 6).as("effective_n"))
+      .orderBy(col("region"))
+  }
+
+  val hhiSql: String =
+    """WITH rev AS (SELECT r_name AS region, s_suppkey,
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS HUGEINT)
+      |      AS c
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT region, COUNT(*) AS n_suppliers,
+      |    SUM(c) AS tot, SUM(c * c) AS ss FROM rev GROUP BY 1)
+      |SELECT region, n_suppliers,
+      |  ROUND(CAST(ss AS DOUBLE) /
+      |    (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi,
+      |  ROUND(CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE) /
+      |    CAST(ss AS DOUBLE), 6) AS effective_n
+      |FROM m ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -534,7 +702,11 @@ object PinnacleQueries {
     "q_ljung_box" -> (qLjungBox _),
     "q_runs_test" -> (qRunsTest _),
     "q_bm25" -> (qBm25 _),
-    "q_holt_linear" -> (qHoltLinear _))
+    "q_holt_linear" -> (qHoltLinear _),
+    "q_best_split" -> (qBestSplit _),
+    "q_weighted_median" -> (qWeightedMedian _),
+    "q_more_like_this" -> (qMoreLikeThis _),
+    "q_hhi" -> (qHhi _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -548,5 +720,9 @@ object PinnacleQueries {
     "q_ljung_box" -> ljungBoxSql,
     "q_runs_test" -> runsTestSql,
     "q_bm25" -> bm25Sql,
-    "q_holt_linear" -> holtLinearSql)
+    "q_holt_linear" -> holtLinearSql,
+    "q_best_split" -> bestSplitSql,
+    "q_weighted_median" -> weightedMedianSql,
+    "q_more_like_this" -> moreLikeThisSql,
+    "q_hhi" -> hhiSql)
 }

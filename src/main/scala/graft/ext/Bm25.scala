@@ -59,4 +59,57 @@ object Bm25 {
           .cast("long"))
       .select(col("rank"), col(idCol), col("n_terms_hit"), col("score"))
   }
+
+  /** "More like this": top-k documents by TF-IDF cosine to one query
+    * document — the classic related-items retrieval primitive (vs
+    * [[bm25TopK]]'s term-set query and q_semantic_dup's embedding cosine).
+    * Weights are `tf · ln((N+1)/(df+1))` (the q_tfidf convention); the
+    * candidate set is docs sharing ≥ 1 token with the query — the sparse
+    * inverted-index join, never all-pairs.
+    *
+    * Scale shape: the per-(doc, token) weight table is one linear aggregate;
+    * norms are one more; the dot product joins the CORPUS weight table
+    * against the query doc's token rows only (a broadcast-sized side).
+    * Per-token products sum as DECIMAL(18,8); ranking orders by the ROUNDED
+    * cosine with an id tie-break (libm ln discipline). Output:
+    * (rank, idCol, n_shared_terms, cosine).
+    */
+  def moreLikeThis(docs: DataFrame, idCol: String, textCol: String,
+                   queryId: Long, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = true) // df agg + weights + query side read it
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val weights = tf.join(dfreq, "tok").crossJoin(broadcast(n))
+      .select(col(idCol), col("tok"),
+        (col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+          .as("w"))
+      .localCheckpoint(eager = true) // norms + both dot-product sides read it
+    val norms = weights.groupBy(col(idCol))
+      .agg(sqrt(sum((col("w") * col("w")).cast("decimal(18,8)"))
+        .cast("double")).as("nrm"))
+    val qw = weights.filter(col(idCol) === queryId)
+      .select(col("tok"), col("w").as("qw"))
+    val qn = norms.filter(col(idCol) === queryId)
+      .select(col("nrm").as("qnrm"))
+    weights.filter(col(idCol) =!= queryId)
+      .join(broadcast(qw), "tok")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum((col("w") * col("qw")).cast("decimal(18,8)")).as("__dot"))
+      .join(norms, idCol)
+      .crossJoin(broadcast(qn))
+      .select(col(idCol), col("n_shared_terms"),
+        round(col("__dot").cast("double") / (col("nrm") * col("qnrm")), 6)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("cosine").desc, col(idCol)))
+          .cast("long"))
+      .select(col("rank"), col(idCol), col("n_shared_terms"), col("cosine"))
+  }
 }

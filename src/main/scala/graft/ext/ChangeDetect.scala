@@ -134,4 +134,50 @@ object ChangeDetect {
           .when(col("z_stat") < -zCrit, lit("decreasing"))
           .otherwise(lit("none")).as("trend"))
   }
+
+  /** Optimal single changepoint per group — the first step of binary
+    * segmentation (Scott & Knott 1974): the split k that maximizes the
+    * between-segment sum of squares `P_k²/k + (S−P_k)²/(n−k)` over the
+    * day-ordered prefix sums, i.e. the retrospective "WHERE did the level
+    * shift?" answer ([[cusum]] is the sequential "did it shift yet?" alarm,
+    * [[mannKendall]] the monotone-trend test — this pins the breakpoint).
+    *
+    * `df` must be one row per (group, day) with `valueCol` DECIMAL so the
+    * prefix sums are exact; every score input (P_k, k, S, n) is exact, the
+    * score itself is a fixed sequence of IEEE mul/div/add on those exact
+    * inputs — bit-identical across engines and partition orders without any
+    * rounding step, so the argmax (ties → earliest day) is stable. The
+    * prefix window partitions by group (parallel across groups; a group's
+    * daily series is calendar-bounded). Output per group:
+    * (group, n_days, split_day, n_left, mean_left, mean_right, shift) with
+    * means in `unitScale`-divided units rounded half-up to 6 decimals.
+    */
+  def bestSplit(df: DataFrame, groupCol: String, dayCol: String,
+                valueCol: String, unitScale: Double = 1.0): DataFrame = {
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = df.select(col(groupCol).as("__g"), col(dayCol).as("__d"),
+        col(valueCol).as("__v"))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("__v")).over(cum))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__s", sum(col("__v")).over(Window.partitionBy(col("__g"))))
+      .filter(col("__k") < col("__n")) // split AFTER day k; k = n is no split
+    val p = col("__p").cast("double")
+    val s = col("__s").cast("double")
+    val score = p * p / col("__k") +
+      (s - p) * (s - p) / (col("__n") - col("__k"))
+    val ranked = base.withColumn("__score", score)
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col("__g"))
+          .orderBy(col("__score").desc, col("__d"))))
+      .filter(col("__r") === 1)
+    ranked.select(col("__g").as(groupCol), col("__n").as("n_days"),
+      col("__d").as("split_day"), col("__k").as("n_left"),
+      round(p / col("__k") / unitScale, 6).as("mean_left"),
+      round((s - p) / (col("__n") - col("__k")) / unitScale, 6)
+        .as("mean_right"),
+      round((s - p) / (col("__n") - col("__k")) / unitScale -
+        p / col("__k") / unitScale, 6).as("shift"))
+  }
 }

@@ -247,4 +247,37 @@ object Profiling {
         round(sum(col("__w")).cast("double") / max(col("n")), 6)
           .as("winsorized_mean"))
   }
+
+  /** Per-group weighted median (lower): the smallest value v whose
+    * cumulative weight reaches half the group's total — `2·cumw ≥ W` in
+    * EXACT integer arithmetic, so there is no interpolation or floating
+    * half-point to drift across engines. The plain median answers "the
+    * typical row"; the weighted median answers "the typical UNIT" (typical
+    * dollar's price, typical token's document length) — they diverge
+    * whenever weight concentrates.
+    *
+    * `valueCol` and `weightCol` must be exact integer columns; `tieCol`
+    * makes the within-group order total. Scale shape: one group-partitioned
+    * window pass (cumulative weight in value order, parallel across groups),
+    * one rank-1 filter — compiles to WindowGroupLimit shapes, no global
+    * sort. Output per group: (group, n_rows, total_weight, w_median).
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"), col("__t"))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = df.select(col(groupCol).as("__g"), col(valueCol).as("__v"),
+        col(weightCol).as("__wt"), col(tieCol).as("__t"))
+      .withColumn("__cumw", sum(col("__wt")).over(cum))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .withColumn("__tw", sum(col("__wt")).over(Window.partitionBy(col("__g"))))
+      .filter(col("__cumw") * 2 >= col("__tw"))
+    val first = Window.partitionBy(col("__g"))
+      .orderBy(col("__cumw"), col("__v"), col("__t"))
+    ranked.withColumn("__r", row_number().over(first))
+      .filter(col("__r") === 1)
+      .select(col("__g").as(groupCol), col("__n").as("n_rows"),
+        col("__tw").as("total_weight"), col("__v").as("w_median"))
+  }
 }

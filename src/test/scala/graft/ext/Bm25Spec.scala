@@ -56,4 +56,22 @@ class Bm25Spec extends SparkTestBase {
     val scores = out.sortBy(_.getLong(0)).map(_.getDouble(3))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
+
+  test("moreLikeThis: an identical document ranks first with cosine 1; " +
+    "token-disjoint documents are absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),  // identical to the query
+      (3L, "alpha beta other words"),  // partial overlap
+      (4L, "totally disjoint tokens here")).toDF("doc_id", "text")
+    val out = Bm25.moreLikeThis(corpus, "doc_id", "text", queryId = 1L)
+      .collect()
+    assert(!out.exists(_.getLong(1) == 4L), "disjoint doc must be absent")
+    assert(!out.exists(_.getLong(1) == 1L), "query doc excluded from results")
+    val top = out.minBy(_.getLong(0))
+    assert(top.getLong(1) == 2L && top.getDouble(3) == 1.0)
+    val partial = out.find(_.getLong(1) == 3L).get
+    assert(partial.getDouble(3) > 0.0 && partial.getDouble(3) < 1.0)
+    assert(partial.getLong(2) == 2L, "alpha+beta shared")
+  }
 }

@@ -78,4 +78,27 @@ class ChangeDetectSpec extends SparkTestBase {
     assert(out.getDouble(4) == 0.0)
     assert(out.getString(5) == "none")
   }
+
+  test("bestSplit finds a planted level shift at the exact boundary with " +
+    "exact segment means") {
+    // 10 days at 100 then 5 at 200 → best split after day 10
+    val rows = (1 to 10).map(i => ("a", f"2024-01-$i%02d", 100L)) ++
+      (11 to 15).map(i => ("a", f"2024-01-$i%02d", 200L))
+    val out = ChangeDetect.bestSplit(daily(rows), "g", "d", "v")
+      .collect().head
+    assert(out.getLong(1) == 15)
+    assert(out.getDate(2).toString == "2024-01-10")
+    assert(out.getLong(3) == 10L)
+    assert(out.getDouble(4) == 100.0 && out.getDouble(5) == 200.0)
+    assert(out.getDouble(6) == 100.0)
+  }
+
+  test("bestSplit: on a constant series every split scores equally — the " +
+    "earliest day wins deterministically") {
+    val rows = (1 to 6).map(i => ("c", f"2024-02-0$i", 42L))
+    val out = ChangeDetect.bestSplit(daily(rows), "g", "d", "v")
+      .collect().head
+    assert(out.getDate(2).toString == "2024-02-01")
+    assert(out.getDouble(6) == 0.0)
+  }
 }

@@ -154,4 +154,27 @@ class ProfilingSpec extends SparkTestBase {
     val out = Profiling.winsorizedMean(df, "g", "v", "id").collect().head
     assert(out.getDouble(4) == 40.0)
   }
+
+  test("weightedMedian: weight concentration moves the median to the " +
+    "typical UNIT, not the typical row") {
+    import spark.implicits._
+    // values 1..5, weight 1 each except value 5 carries weight 10:
+    // plain median = 3, total weight 14, half = 7 → cum reaches 7 at value 5
+    val rows = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 1L, 3L),
+      ("g", 4L, 1L, 4L), ("g", 5L, 10L, 5L))
+    val out = Profiling.weightedMedian(rows.toDF("g", "v", "w", "id"),
+      "g", "v", "w", "id").collect().head
+    assert(out.getLong(1) == 5 && out.getLong(2) == 14L)
+    assert(out.getLong(3) == 5L)
+  }
+
+  test("weightedMedian: uniform weights reduce to the lower median, and " +
+    "the 2·cumw ≥ W boundary is exact at even totals") {
+    import spark.implicits._
+    // 4 values weight 1: W=4, rule 2·cumw ≥ 4 first holds at cumw=2 → v=2
+    val rows = (1L to 4L).map(v => ("g", v, 1L, v))
+    val out = Profiling.weightedMedian(rows.toDF("g", "v", "w", "id"),
+      "g", "v", "w", "id").collect().head
+    assert(out.getLong(3) == 2L)
+  }
 }
