@@ -689,6 +689,164 @@ object PinnacleQueries {
       |FROM m ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Isotonic calibration (PAVA)
+  // --------------------------------------------------------------------------
+
+  /** Isotonic fit of return rate over the discount axis
+    * ([[graft.ext.Isotonic.isotonicFit]]) — the monotone calibration curve a
+    * serving layer would apply on top of q_score_calibration's reliability
+    * diagram. PAVA on the Spark side; the oracle states the same fit through
+    * the minimax characterization `max_{k≤i} min_{j≥i} avg(k..j)` — two
+    * independent formulations that must agree bit-for-bit.
+    */
+  def qIsotonic(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .groupBy(lit("all").as("curve"),
+        round(col("l_discount") * 100, 0).cast("long").as("x"))
+      .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+        count(lit(1)).as("n"))
+    graft.ext.Isotonic.isotonicFit(b, "curve", "x", "pos", "n")
+      .orderBy(col("x"))
+  }
+
+  val isotonicSql: String =
+    """WITH b AS (SELECT CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS pos,
+      |    COUNT(*) AS n
+      |  FROM lineitem GROUP BY 1),
+      |o AS (SELECT x, pos, n, ROW_NUMBER() OVER (ORDER BY x) AS i FROM b),
+      |pre AS (SELECT i, x, pos, n,
+      |    CAST(SUM(pos) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS sp,
+      |    CAST(SUM(n) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+      |      AND CURRENT ROW) AS BIGINT) AS sn
+      |  FROM o),
+      |a AS (SELECT k.i AS k, j.i AS j,
+      |    CAST(j.sp - k.sp + k.pos AS DOUBLE) / (j.sn - k.sn + k.n) AS avgkj
+      |  FROM pre k JOIN pre j ON k.i <= j.i),
+      |mm AS (SELECT p.i, a.k, MIN(avgkj) AS mn
+      |  FROM pre p JOIN a ON a.k <= p.i AND a.j >= p.i GROUP BY 1, 2),
+      |fit AS (SELECT i, MAX(mn) AS iso FROM mm GROUP BY 1)
+      |SELECT 'all' AS curve, pre.x, pre.pos, pre.n,
+      |  ROUND(CAST(pre.pos AS DOUBLE) / pre.n, 6) AS raw_rate,
+      |  ROUND(iso, 6) AS iso_rate
+      |FROM pre JOIN fit USING (i) ORDER BY pre.x""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Simpson's paradox detector
+  // --------------------------------------------------------------------------
+
+  /** Does the discount→return association reverse within brand strata? The
+    * aggregation-bias audit (Simpson 1951): the pooled rate difference
+    * (high-discount vs low), the per-stratum differences, and how many
+    * strata point the OTHER way — plus the stratum-size-weighted within
+    * effect (the confounder-adjusted estimate). Arms split at discount ≥ 5%
+    * in exact integer percent units; every rate is exact-count derived.
+    */
+  def qSimpsonParadox(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        (round(col("l_discount") * 100, 0).cast("long") >= 5).as("hi"),
+        (col("l_returnflag") === "R").cast("long").as("ret"))
+    val byBrand = x.groupBy(col("brand"))
+      .agg(sum(when(col("hi"), 1L).otherwise(0L)).as("n_hi"),
+        sum(when(col("hi"), col("ret")).otherwise(0L)).as("r_hi"),
+        sum(when(!col("hi"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(!col("hi"), col("ret")).otherwise(0L)).as("r_lo"))
+      .filter(col("n_hi") > 0 && col("n_lo") > 0)
+      .localCheckpoint(eager = true) // overall + per-stratum branches read it
+    val diffB = col("r_hi").cast("double") / col("n_hi") -
+      col("r_lo").cast("double") / col("n_lo")
+    val overall = byBrand.agg(
+        sum(col("n_hi")).as("t_nhi"), sum(col("r_hi")).as("t_rhi"),
+        sum(col("n_lo")).as("t_nlo"), sum(col("r_lo")).as("t_rlo"))
+      .select((col("t_rhi").cast("double") / col("t_nhi") -
+        col("t_rlo").cast("double") / col("t_nlo")).as("od"))
+    byBrand.crossJoin(broadcast(overall))
+      .select(col("od"),
+        diffB.as("db"), (col("n_hi") + col("n_lo")).as("w"))
+      .agg(count(lit(1)).as("n_strata"),
+        round(max(col("od")), 6).as("overall_diff"),
+        sum(when(col("db") * col("od") < 0, 1L).otherwise(0L))
+          .as("n_opposite"),
+        round(sum((col("w") * col("db")).cast("decimal(28,12)"))
+          .cast("double") / sum(col("w")), 6).as("weighted_within_diff"))
+  }
+
+  val simpsonParadoxSql: String =
+    """WITH x AS (SELECT p_brand AS brand,
+      |    CAST(ROUND(l_discount * 100) AS BIGINT) >= 5 AS hi,
+      |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |bb AS (SELECT brand,
+      |    CAST(SUM(CASE WHEN hi THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+      |    CAST(SUM(CASE WHEN hi THEN ret ELSE 0 END) AS BIGINT) AS r_hi,
+      |    CAST(SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+      |    CAST(SUM(CASE WHEN NOT hi THEN ret ELSE 0 END) AS BIGINT) AS r_lo
+      |  FROM x GROUP BY 1
+      |  HAVING SUM(CASE WHEN hi THEN 1 ELSE 0 END) > 0
+      |    AND SUM(CASE WHEN NOT hi THEN 1 ELSE 0 END) > 0),
+      |ov AS (SELECT CAST(SUM(r_hi) AS DOUBLE) / SUM(n_hi)
+      |    - CAST(SUM(r_lo) AS DOUBLE) / SUM(n_lo) AS od FROM bb),
+      |d AS (SELECT od,
+      |    CAST(r_hi AS DOUBLE) / n_hi - CAST(r_lo AS DOUBLE) / n_lo AS db,
+      |    n_hi + n_lo AS w
+      |  FROM bb CROSS JOIN ov)
+      |SELECT COUNT(*) AS n_strata,
+      |  ROUND(MAX(od), 6) AS overall_diff,
+      |  CAST(SUM(CASE WHEN db * od < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_opposite,
+      |  ROUND(CAST(SUM(CAST(w * db AS DECIMAL(28,12))) AS DOUBLE) /
+      |    SUM(w), 6) AS weighted_within_diff
+      |FROM d""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Lead–lag cross-correlation
+  // --------------------------------------------------------------------------
+
+  /** Cross-correlation of the click and purchase daily value series at lags
+    * −7..7 ([[graft.ext.Series.crossCorrelation]]) — "does click volume LEAD
+    * purchases?", the two-series companion of q_acf.
+    */
+  def qXcorr(spark: SparkSession, dir: String): DataFrame = {
+    val dly = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+      .localCheckpoint(eager = true) // both series filters read it
+    graft.ext.Series.crossCorrelation(
+      dly.filter(col("event_type") === "click"),
+      dly.filter(col("event_type") === "purchase"),
+      "day", "v", "v", maxLag = 7)
+  }
+
+  val xcorrSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |a AS (SELECT d, v AS x FROM dly WHERE g = 'click'),
+      |b AS (SELECT d, v AS y FROM dly WHERE g = 'purchase'),
+      |l AS (SELECT unnest(generate_series(-7, 7)) AS lag),
+      |s AS (SELECT l.lag, a.d + CAST(l.lag AS INTEGER) AS tday, a.x
+      |  FROM a CROSS JOIN l),
+      |p AS (SELECT s.lag, s.x, b.y FROM s JOIN b ON s.tday = b.d),
+      |m AS (SELECT lag, COUNT(*) AS n_pairs,
+      |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+      |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM p GROUP BY 1)
+      |SELECT lag, n_pairs,
+      |  ROUND((CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+      |    sqrt((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS xcorr
+      |FROM m ORDER BY lag""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -706,7 +864,10 @@ object PinnacleQueries {
     "q_best_split" -> (qBestSplit _),
     "q_weighted_median" -> (qWeightedMedian _),
     "q_more_like_this" -> (qMoreLikeThis _),
-    "q_hhi" -> (qHhi _))
+    "q_hhi" -> (qHhi _),
+    "q_isotonic" -> (qIsotonic _),
+    "q_simpson_paradox" -> (qSimpsonParadox _),
+    "q_xcorr" -> (qXcorr _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -724,5 +885,8 @@ object PinnacleQueries {
     "q_best_split" -> bestSplitSql,
     "q_weighted_median" -> weightedMedianSql,
     "q_more_like_this" -> moreLikeThisSql,
-    "q_hhi" -> hhiSql)
+    "q_hhi" -> hhiSql,
+    "q_isotonic" -> isotonicSql,
+    "q_simpson_paradox" -> simpsonParadoxSql,
+    "q_xcorr" -> xcorrSql)
 }

@@ -75,6 +75,48 @@ object Series {
     18.307038053275146, 19.67513757268249, 21.02606981748307,
     22.362032494826934, 23.684791304840576, 24.99579013972863)
 
+  /** Lead–lag cross-correlation between two daily series: Pearson of
+    * (x_t, y_{t+lag}) for lag ∈ [−maxLag, maxLag] — "does series x LEAD
+    * series y?" (positive-lag peak) or lag it. The two-series generalization
+    * of [[acf]], same machinery: the lag alignment is an equi-join on
+    * day+lag keys (the lagged side explodes over the lag spine, so Catalyst
+    * plans a hash join), per-lag moments accumulate in exact DECIMAL, and
+    * the correlation is one double formula over the exact aggregates in the
+    * same operation order as the oracle.
+    *
+    * `x`/`y` must already be exact integer-valued DECIMAL daily aggregates
+    * (the [[acf]] micro-unit convention). Output per lag:
+    * (lag, n_pairs, xcorr), null on degenerate variance.
+    */
+  def crossCorrelation(xs: DataFrame, ys: DataFrame, dayCol: String,
+                       xCol: String, yCol: String, maxLag: Int): DataFrame = {
+    val a = xs.select(col(dayCol).as("__day"),
+      col(xCol).cast("decimal(19,0)").as("__x"))
+    val b = ys.select(col(dayCol).as("__bday"),
+      col(yCol).cast("decimal(19,0)").as("__y"))
+    val lagged = a.select(
+        explode(sequence(lit(-maxLag), lit(maxLag))).as("lag"),
+        col("__day"), col("__x"))
+      .select(col("lag"), date_add(col("__day"), col("lag")).as("__tday"),
+        col("__x"))
+    val pairs = lagged.join(b, col("__tday") === col("__bday"))
+    val m = pairs.groupBy(col("lag")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+      sum(col("__x") * col("__y")).as("sxy"),
+      sum(col("__x") * col("__x")).as("sxx"),
+      sum(col("__y") * col("__y")).as("syy"))
+    def dbl(c: Column): Column = c.cast("double")
+    val n = dbl(col("n_pairs"))
+    val num = n * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))
+    val den = sqrt((n * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx"))) *
+      (n * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy"))))
+    m.select(col("lag").cast("long").as("lag"), col("n_pairs"),
+        round(num / when(den === 0.0, lit(null)).otherwise(den), 6)
+          .as("xcorr"))
+      .orderBy(col("lag"))
+  }
+
   /** Ljung–Box portmanteau whiteness test over the [[acf]] lag correlations:
     * Q = n(n+2)·Σ_{k=1..m} ρ_k²/(n−k) — "is there ANY autocorrelation left
     * in the first m lags?", the standard residual-whiteness gate after a

@@ -51,6 +51,29 @@ class SeriesSpec extends SparkTestBase {
     assert(out.getBoolean(4), "periodic series must reject whiteness")
   }
 
+  test("crossCorrelation: a shifted copy peaks exactly at its lag with " +
+    "xcorr 1, and lag 0 of a series with itself is 1") {
+    import spark.implicits._
+    // y(d) = x(d - 2): x LEADS y by 2 → peak at lag +2
+    val xs = Seq(1.0, 5.0, 2.0, 8.0, 3.0, 9.0, 4.0, 7.0, 6.0, 2.5)
+    def mk(vals: Seq[Double], startDay: Int) =
+      vals.zipWithIndex.map { case (v, i) => (startDay + i, v) }
+        .toDF("i", "v")
+        .select(expr("date_add(DATE '2024-01-01', i - 1)").as("day"),
+          // the operator contract wants integer-valued decimals (micro-unit
+          // convention); correlation is scale-invariant
+          (col("v") * 1000).cast("decimal(19,0)").as("v"))
+    val a = mk(xs, 1)
+    val b = mk(xs, 3) // same values, two days later
+    val out = Series.crossCorrelation(a, b, "day", "v", "v", maxLag = 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(2L) == 1.0, s"peak at lag +2: $out")
+    assert(out.filterNot(_._1 == 2L).values.forall(_ < 1.0))
+    val self = Series.crossCorrelation(a, a, "day", "v", "v", maxLag = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(self(0L) == 1.0)
+  }
+
   test("ljungBox: a linear (trend-only, zero-residual-structure) series " +
     "still rejects but a tiny-lag Q is finite and positive") {
     import spark.implicits._
