@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CharNgrams, FloatVecDot, WordChunks, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, FloatVecDot, SimHash32, WordChunks, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[WordChunks].getName, "word_chunks"),
       (children: Seq[Expression]) => WordChunks(children(0),
         children(1).eval().asInstanceOf[Int])))
+    ext.injectFunction((
+      FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
+      (children: Seq[Expression]) => SimHash32(children(0))))
   }
 }
 
@@ -61,5 +65,7 @@ object GraftExtensions {
     ColumnBridge.registerTempFunction(spark, "word_chunks",
       (children: Seq[Expression]) => WordChunks(children.head,
         children(1).eval().asInstanceOf[Int]))
+    ColumnBridge.registerTempFunction(spark, "simhash32",
+      (children: Seq[Expression]) => SimHash32(children.head))
   }
 }

@@ -626,11 +626,24 @@ object Dedup {
         col("cluster_id").cast(idType).as("cluster_id"))
   }
 
-  /** SimHash (Charikar'02) over word unigrams with term frequency weights: bit j of
+  /** SimHash (Charikar'02) over word unigrams with term frequency weights —
+    * the fused scan-local form: signatures come from the native codegen
+    * expression [[graft.functions.SimHash32]], so the whole
+    * explode → tf-aggregate → 32-bit-sum pipeline (TWO token-stream shuffles
+    * in [[simhashAgg]]) collapses to a per-row expression at the scan.
+    * Output: (id, simhash). Bit-identical to [[simhashAgg]] (differential
+    * spec) and to the DuckDB oracle's aggregate formulation.
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      graft.functions.SimHash32.simhash32(col(textCol)).as("simhash"))
+
+  /** The dataflow formulation of [[simhash]] — kept as the differential-test
+    * partner (SURVEY §5 discipline): bit j of
     * the signature is 1 iff Σ_tokens tf·(bit_j(h32(token)) ? +1 : −1) > 0.
     * 32-bit signature (from the 32-bit portable hash). Output: (id, simhash).
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhashAgg(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
       .withColumn("h", tokenHash32(col("tok")))

@@ -20,4 +20,14 @@ class GraftExtensionsSpec extends SparkTestBase {
     assert(e.getMessage.toLowerCase.contains("float") ||
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
+
+  test("simhash32 is callable from SQL and matches the kernel directly") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT simhash32('the quick brown fox') AS s").head()
+    val direct = graft.functions.SimHash32.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(
+        "the quick brown fox"))
+    assert(r.getLong(0) == direct)
+    assert(0 <= direct && direct <= 0xffffffffL, "32-bit signature range")
+  }
 }

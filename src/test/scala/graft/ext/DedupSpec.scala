@@ -235,6 +235,20 @@ class DedupSpec extends SparkTestBase {
       s"near=$hammingNear far=$hammingFar sig=$sig")
   }
 
+  test("simhash: the fused native expression is bit-identical to the " +
+    "dataflow aggregate on every doc, including repeats and empty strings") {
+    import spark.implicits._
+    val corpus = docs.union(Seq((90L, ""), (91L, "a a a b"),
+      (92L, "b a a a")).toDF("doc_id", "text"))
+    val fused = Dedup.simhash(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashAgg(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == agg, s"fused $fused vs agg $agg")
+    // tf-weighting is order-independent: same bag, same signature
+    assert(fused(91L) == fused(92L))
+  }
+
   test("simhashPairs finds exact and near dups within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
