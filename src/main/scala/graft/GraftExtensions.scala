@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CharNgrams, FloatVecDot, SimHash32, WordChunks, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, FloatVecDot, MinHashSigs, SimHash32, WordChunks, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -45,6 +45,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (children: Seq[Expression]) => SimHash32(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (children: Seq[Expression]) => MinHashSigs(children(0),
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int])))
   }
 }
 
@@ -67,5 +73,9 @@ object GraftExtensions {
         children(1).eval().asInstanceOf[Int]))
     ColumnBridge.registerTempFunction(spark, "simhash32",
       (children: Seq[Expression]) => SimHash32(children.head))
+    ColumnBridge.registerTempFunction(spark, "minhash_sigs",
+      (children: Seq[Expression]) => MinHashSigs(children.head,
+        children(1).eval().asInstanceOf[Int],
+        children(2).eval().asInstanceOf[Int]))
   }
 }

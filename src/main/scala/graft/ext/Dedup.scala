@@ -179,10 +179,13 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  // MinHash constants: h_j(x) = (A(j)*x + B(j)) mod P over 32-bit token hashes.
-  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
-  def minhashA(j: Int): Long = 2L * j + 3
-  def minhashB(j: Int): Long = 1000003L * (j + 1)
+  // MinHash constants: h_j(x) = (A(j)*x + B(j)) mod P over 32-bit token
+  // hashes — canonical definitions live with the fused kernel
+  // ([[graft.functions.MinHashSigs]]); delegated here so the aggregate form
+  // and the SQL oracle can't drift from it.
+  val MinhashPrime: Long = graft.functions.MinHashSigs.Prime
+  def minhashA(j: Int): Long = graft.functions.MinHashSigs.hashA(j)
+  def minhashB(j: Int): Long = graft.functions.MinHashSigs.hashB(j)
 
   /** MinHash signature aggregation over a pre-built (id, shingle) table — the one
     * place the per-hash min-agg formula lives, so [[minhashSignatures]] and
@@ -201,10 +204,25 @@ object Dedup {
 
   /** MinHash signatures: one column mh_j per hash function (numHashes columns).
     * min over the doc's shingles of (A_j·h32(shingle) + B_j) mod P.
+    *
+    * Fused scan-local form (r8): signatures come from the native codegen
+    * expression [[graft.functions.MinHashSigs]] — min is duplicate-
+    * insensitive, so the per-row fold over raw shingles is bit-identical to
+    * [[signaturesFromShingles]]'s aggregate over DISTINCT shingles
+    * (differential spec), with ZERO shuffle before banding. The aggregate
+    * form remains the path for pre-filtered shingle sets (stop-shingle cut,
+    * incremental-store deltas).
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 3, numHashes: Int = 16): DataFrame =
-    signaturesFromShingles(shingles(df, idCol, textCol, k), idCol, numHashes)
+                        k: Int = 3, numHashes: Int = 16): DataFrame = {
+    // two projections on purpose: CollapseProject keeps the non-cheap kernel
+    // aliased once, so the array computes one time per row, not per column
+    val withSig = df.select(col(idCol),
+      graft.functions.MinHashSigs.minhashSigs(col(textCol), k, numHashes)
+        .as("__sig"))
+    withSig.select(col(idCol) +: (0 until numHashes).map(j =>
+      element_at(col("__sig"), j + 1).as(s"mh_$j")): _*)
+  }
 
   /** MinHash + LSH banding: signatures are split into bands of `rowsPerBand`; docs
     * sharing any band key become candidates; candidates are verified with the exact
@@ -227,8 +245,13 @@ object Dedup {
     require(saltFactor >= 1, s"saltFactor must be >= 1, got $saltFactor")
     val numBands = numHashes / rowsPerBand
     val sh = shingles(df, idCol, textCol, k)
-    val shSig = stopShingleMaxDf.fold(sh)(rareShingles(sh, _))
-    val sig = signaturesFromShingles(shSig, idCol, numHashes)
+    // unfiltered signatures take the fused scan-local kernel (zero shuffle);
+    // a stop-shingle cut needs the explicit shingle table, so that path keeps
+    // the aggregate form
+    val sig = stopShingleMaxDf match {
+      case None => minhashSignatures(df, idCol, textCol, k, numHashes)
+      case Some(m) => signaturesFromShingles(rareShingles(sh, m), idCol, numHashes)
+    }
     val banded = bandKeys(sig, idCol, numBands, rowsPerBand)
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
     val y = banded.select(col(idCol).as("id_b"), col("band"), col("bkey"))
@@ -286,7 +309,7 @@ object Dedup {
                            k: Int = 3, numHashes: Int = 16,
                            rowsPerBand: Int = 4): DataFrame = {
     val sh = shingles(df, idCol, textCol, k)
-    val sig = signaturesFromShingles(sh, idCol, numHashes)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
     val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
     val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
@@ -324,7 +347,7 @@ object Dedup {
                      truthThreshold: Double = 0.2): DataFrame = {
     val truth = jaccardPairs(df, idCol, textCol, k, truthThreshold)
     val sh = shingles(df, idCol, textCol, k)
-    val sig = signaturesFromShingles(sh, idCol, numHashes)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
     val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
     val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
       .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),

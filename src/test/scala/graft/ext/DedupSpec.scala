@@ -249,6 +249,19 @@ class DedupSpec extends SparkTestBase {
     assert(fused(91L) == fused(92L))
   }
 
+  test("minhashSignatures: the fused native kernel is bit-identical to the " +
+    "distinct-shingle aggregate, including repeated shingles and short docs") {
+    import spark.implicits._
+    val corpus = docs.union(Seq((90L, "a b"), // shorter than k → 1 partial
+      (91L, "x y z x y z x y z")).toDF("doc_id", "text")) // repeats
+    val fused = Dedup.minhashSignatures(corpus, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    val agg = Dedup.signaturesFromShingles(
+        Dedup.shingles(corpus, "doc_id", "text", k = 3), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(fused == agg)
+  }
+
   test("simhashPairs finds exact and near dups within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
