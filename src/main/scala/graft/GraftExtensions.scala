@@ -51,6 +51,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashSigs(children(0),
         children(1).eval().asInstanceOf[Int],
         children(2).eval().asInstanceOf[Int])))
+    // scale-lint: flag unpartitioned windows over unbounded children
+    // (warn by default; spark.graft.scaleGuard.fail=true -> analysis error)
+    ext.injectCheckRule(spark => graft.plans.ScaleGuard.check(spark))
   }
 }
 

@@ -847,6 +847,135 @@ object PinnacleQueries {
       |FROM m ORDER BY lag""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Neyman stratified-sample allocation
+  // --------------------------------------------------------------------------
+
+  /** Neyman allocation of a 1000-sample audit budget across document sources
+    * by n_chars variance ([[Mixing.neymanAllocation]]) — the evaluation-side
+    * partner of q_unimax_alloc's training-token waterfill.
+    */
+  def qNeymanAlloc(spark: SparkSession, dir: String): DataFrame =
+    Mixing.neymanAllocation(Tables.documents(spark, dir), "source",
+        "n_chars", budget = 1000L)
+      .orderBy(col("source"))
+
+  val neymanAllocSql: String =
+    """WITH m AS (SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+      |      AS BIGINT) AS s2
+      |  FROM documents GROUP BY 1),
+      |sd AS (SELECT source, n_docs,
+      |    sqrt(GREATEST(CAST(s2 AS DOUBLE) / n_docs -
+      |      (CAST(s AS DOUBLE) / n_docs) * (CAST(s AS DOUBLE) / n_docs),
+      |      0.0)) AS sdv
+      |  FROM m),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS tn,
+      |    CAST(SUM(CAST(n_docs * sdv AS DECIMAL(28,12))) AS DOUBLE) AS tns
+      |  FROM sd)
+      |SELECT source, n_docs, ROUND(sdv, 6) AS sd,
+      |  ROUND(1000.0 * n_docs / tn, 6) AS prop_n,
+      |  ROUND(1000.0 * (n_docs * sdv) / tns, 6) AS neyman_n
+      |FROM sd CROSS JOIN t ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Markov entropy rate of the event stream
+  // --------------------------------------------------------------------------
+
+  /** Entropy rate of the per-user event-type process:
+    * H(X_t | X_{t−1}) = Σ_ij (c_ij/C)·log2(c_i·/c_ij) over the pooled
+    * transition counts — how predictable the next action is given the
+    * current one, against the log2(k) ceiling. The one-number summary of
+    * q_transition_matrix (its per-cell detail) and q_markov2 (the order-2
+    * refinement).
+    */
+  def qEntropyRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val c = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("f"), col("next_type").as("t"))
+      .agg(count(lit(1)).as("n"))
+    val rows = c.groupBy(col("f")).agg(sum(col("n")).as("n_f"))
+    val tot = c.agg(sum(col("n")).as("c_tot"),
+      countDistinct(col("f")).as("n_states"))
+    c.join(rows, "f").crossJoin(broadcast(tot))
+      .select(col("c_tot"), col("n_states"),
+        ((col("n").cast("double") / col("c_tot")) *
+          log2(col("n_f").cast("double") / col("n")))
+          .cast("decimal(18,8)").as("__term"))
+      .groupBy(col("c_tot").as("n_transitions"), col("n_states"))
+      .agg(sum(col("__term")).as("__h"))
+      .select(col("n_transitions"), col("n_states"),
+        round(col("__h").cast("double"), 6).as("entropy_rate_bits"),
+        round(log2(col("n_states").cast("double")), 6).as("max_bits"),
+        round(lit(1.0) - col("__h").cast("double") /
+          log2(col("n_states").cast("double")), 6).as("predictability"))
+  }
+
+  val entropyRateSql: String =
+    """WITH s AS (SELECT event_type AS f,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS t
+      |  FROM events),
+      |c AS (SELECT f, t, COUNT(*) AS n FROM s WHERE t IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (SELECT f, CAST(SUM(n) AS BIGINT) AS n_f FROM c GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS c_tot,
+      |    COUNT(DISTINCT f) AS n_states FROM c),
+      |h AS (SELECT c_tot AS n_transitions, n_states,
+      |    SUM(CAST((CAST(n AS DOUBLE) / c_tot) *
+      |      log2(CAST(n_f AS DOUBLE) / n) AS DECIMAL(18,8))) AS hh
+      |  FROM c JOIN r USING (f) CROSS JOIN tt GROUP BY 1, 2)
+      |SELECT n_transitions, n_states,
+      |  ROUND(CAST(hh AS DOUBLE), 6) AS entropy_rate_bits,
+      |  ROUND(log2(CAST(n_states AS DOUBLE)), 6) AS max_bits,
+      |  ROUND(1.0 - CAST(hh AS DOUBLE) / log2(CAST(n_states AS DOUBLE)), 6)
+      |    AS predictability
+      |FROM h""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // DAU/MAU stickiness
+  // --------------------------------------------------------------------------
+
+  /** Daily stickiness: DAU over the trailing-30-day MAU — the engagement
+    * ratio next to q_rolling_dau's raw counts. MAU's sliding DISTINCT can't
+    * ride a window aggregate; the exact form joins the bounded day spine
+    * against the (user, day) grain and de-dupes per (spine day, user) —
+    * |days| × active-users rows, a calendar-bounded frame.
+    */
+  def qStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .localCheckpoint(eager = true) // spine + DAU + MAU branches read it
+    val days = ud.select(col("day")).distinct().withColumnRenamed("day", "d")
+    val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+    val mau = days.join(ud,
+        col("day") <= col("d") && col("day") >= date_sub(col("d"), 29))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("mau"))
+    dau.join(mau, "d")
+      .select(col("d").as("day"), col("dau"), col("mau"),
+        round(col("dau").cast("double") / col("mau"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  val stickinessSql: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events),
+      |d AS (SELECT DISTINCT day AS d FROM ud),
+      |dau AS (SELECT day AS d, COUNT(*) AS dau FROM ud GROUP BY 1),
+      |mau AS (SELECT d, COUNT(DISTINCT user_id) AS mau
+      |  FROM d JOIN ud ON ud.day <= d.d AND ud.day >= d.d - INTERVAL 29 DAY
+      |  GROUP BY 1)
+      |SELECT dau.d AS day, dau, mau,
+      |  ROUND(CAST(dau AS DOUBLE) / mau, 6) AS stickiness
+      |FROM dau JOIN mau ON dau.d = mau.d ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -867,7 +996,10 @@ object PinnacleQueries {
     "q_hhi" -> (qHhi _),
     "q_isotonic" -> (qIsotonic _),
     "q_simpson_paradox" -> (qSimpsonParadox _),
-    "q_xcorr" -> (qXcorr _))
+    "q_xcorr" -> (qXcorr _),
+    "q_neyman_alloc" -> (qNeymanAlloc _),
+    "q_entropy_rate" -> (qEntropyRate _),
+    "q_stickiness" -> (qStickiness _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -888,5 +1020,8 @@ object PinnacleQueries {
     "q_hhi" -> hhiSql,
     "q_isotonic" -> isotonicSql,
     "q_simpson_paradox" -> simpsonParadoxSql,
-    "q_xcorr" -> xcorrSql)
+    "q_xcorr" -> xcorrSql,
+    "q_neyman_alloc" -> neymanAllocSql,
+    "q_entropy_rate" -> entropyRateSql,
+    "q_stickiness" -> stickinessSql)
 }

@@ -136,6 +136,47 @@ object Mixing {
         round(col("alloc") / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** Neyman optimal stratified-sample allocation (Neyman 1934): to estimate
+    * a corpus mean from a fixed labeling/inspection budget, sample stratum h
+    * in proportion to N_h·S_h (size × within-stratum standard deviation) —
+    * high-variance strata earn more than proportional share, uniform strata
+    * less. The quality-audit companion of [[unimaxAllocation]]: UniMax
+    * budgets TRAINING tokens, this budgets EVALUATION samples.
+    *
+    * Per-stratum moments are exact integer sums (population sd via
+    * s2/n − (s/n)², the q_cusum moment shape); the N·S terms sum as
+    * DECIMAL(28,12) so stratum order can't flip low bits. One source-keyed
+    * aggregate + a 1-row broadcast normalizer — the corpus is scanned once.
+    * Output per stratum: (source, n_docs, sd, prop_n, neyman_n) — both the
+    * proportional and the Neyman allocation of `budget` samples.
+    */
+  def neymanAllocation(docs: DataFrame, sourceCol: String, valueCol: String,
+                       budget: Long): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be > 0")
+    val m = docs.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(valueCol).cast("long")).as("__s"),
+        sum(col(valueCol).cast("long") * col(valueCol).cast("long"))
+          .as("__s2"))
+      .select(col("source"), col("n_docs"),
+        sqrt(greatest(
+          col("__s2").cast("double") / col("n_docs") -
+            (col("__s").cast("double") / col("n_docs")) *
+            (col("__s").cast("double") / col("n_docs")),
+          lit(0.0))).as("__sd"))
+      .localCheckpoint(eager = true) // normalizer + per-row branches read it
+    val tot = m.agg(sum(col("n_docs")).as("__tn"),
+      sum((col("n_docs") * col("__sd")).cast("decimal(28,12)"))
+        .cast("double").as("__tns"))
+    m.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        round(col("__sd"), 6).as("sd"),
+        round(lit(budget.toDouble) * col("n_docs") / col("__tn"), 6)
+          .as("prop_n"),
+        round(lit(budget.toDouble) * (col("n_docs") * col("__sd")) /
+          col("__tns"), 6).as("neyman_n"))
+  }
+
   /** Effective data under repetition (Muennighoff et al., NeurIPS 2023,
     * "Scaling Data-Constrained Language Models"): tokens repeated beyond the
     * first epoch decay in value — with U unique tokens trained for

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Exercises the check-rule logic directly on analyzed plans (the
+  * `injectCheckRule` wiring in [[graft.GraftExtensions]] is a one-line pass
+  * through to [[ScaleGuard.check]]; a second session with its own extensions
+  * can't coexist with the suite-shared one in one JVM).
+  */
+class ScaleGuardSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def check(df: DataFrame): Unit =
+    ScaleGuard.check(spark)(df.queryExecution.analyzed)
+
+  // spark.range, not a local Seq: a LocalRelation (literal data) is bounded
+  // by construction and correctly stays silent
+  private lazy val t = spark.range(100)
+    .select(col("id"), (col("id") % 7).as("k"))
+
+  private def withFail(body: => Unit): Unit = {
+    spark.conf.set(ScaleGuard.FailConf, "true")
+    try body finally spark.conf.set(ScaleGuard.FailConf, "false")
+  }
+
+  test("an unpartitioned window over an unbounded child is rejected when " +
+    "the fail conf is on, and only warned otherwise") {
+    import org.apache.spark.sql.expressions.Window
+    val bad = t.withColumn("rn",
+      row_number().over(Window.orderBy(col("id"))))
+    withFail {
+      val e = intercept[IllegalStateException] { check(bad) }
+      assert(e.getMessage.contains("scale guard"))
+    }
+    check(bad) // default: warn-only, no throw
+  }
+
+  test("partitioned windows and bounded children pass under fail mode") {
+    import org.apache.spark.sql.expressions.Window
+    withFail {
+      check(t.withColumn("rn", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("id")))))
+      // the q_bm25 shape: global rank AFTER a limit
+      check(t.orderBy(col("id")).limit(5).withColumn("rn",
+        row_number().over(Window.orderBy(col("id")))))
+      // window over a 1-row aggregate
+      check(t.agg(sum(col("id")).as("s")).withColumn("rn",
+        row_number().over(Window.orderBy(col("s")))))
+      // bounded ⋈ bounded stays bounded
+      check(t.limit(3).crossJoin(
+          t.limit(2).select(col("id").as("id2"), col("k").as("k2")))
+        .withColumn("rn", row_number().over(Window.orderBy(col("id")))))
+    }
+  }
+
+  test("an unbounded side of a join un-bounds the window child") {
+    import org.apache.spark.sql.expressions.Window
+    withFail {
+      val half = t.limit(3).crossJoin(t.select(col("id").as("id2")))
+      intercept[IllegalStateException] {
+        check(half.withColumn("rn",
+          row_number().over(Window.orderBy(col("id")))))
+      }
+    }
+  }
+}
