@@ -976,6 +976,201 @@ object PinnacleQueries {
       |FROM dau JOIN mau ON dau.d = mau.d ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Two-feature ridge regression
+  // --------------------------------------------------------------------------
+
+  /** Per-brand ridge fit of line price (cents) on quantity and discount
+    * percent ([[graft.ext.Drift.ridge2]], λ = 1000 in centered-moment
+    * units) — the multicollinearity-robust upgrade of q_brand_elasticity's
+    * single-feature OLS, solved in closed 2×2 form from one exact-DECIMAL
+    * moment pass.
+    */
+  def qRidgePrice(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        col("l_quantity").cast("long").as("qty"),
+        round(col("l_discount") * 100, 0).cast("long").as("disc"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+    graft.ext.Drift.ridge2(x, "brand", "qty", "disc", "cents",
+        lambda = 1000.0)
+      .orderBy(col("brand"))
+  }
+
+  val ridgePriceSql: String =
+    """WITH x AS (SELECT p_brand AS brand,
+      |    CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(28,4)) AS x1,
+      |    CAST(CAST(ROUND(l_discount * 100) AS BIGINT) AS DECIMAL(28,4))
+      |      AS x2,
+      |    CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+      |      AS DECIMAL(28,4)) AS y
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |m AS (SELECT brand, COUNT(*) AS n,
+      |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy,
+      |    SUM(x1 * x1) AS s11, SUM(x2 * x2) AS s22, SUM(x1 * x2) AS s12,
+      |    SUM(x1 * y) AS s1y, SUM(x2 * y) AS s2y, SUM(y * y) AS syy
+      |  FROM x GROUP BY 1),
+      |c AS (SELECT brand, n,
+      |    CAST(s1 AS DOUBLE) AS s1d, CAST(s2 AS DOUBLE) AS s2d,
+      |    CAST(sy AS DOUBLE) AS syd,
+      |    CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n
+      |      + 1000.0 AS a11,
+      |    CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE) / n
+      |      + 1000.0 AS a22,
+      |    CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE) / n
+      |      AS c12,
+      |    CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(sy AS DOUBLE) / n
+      |      AS c1y,
+      |    CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * CAST(sy AS DOUBLE) / n
+      |      AS c2y,
+      |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+      |      AS cyy
+      |  FROM m),
+      |f AS (SELECT brand, n, s1d, s2d, syd, c1y, c2y, cyy,
+      |    (a22 * c1y - c12 * c2y) /
+      |      (CASE WHEN a11 * a22 - c12 * c12 = 0.0 THEN NULL
+      |            ELSE a11 * a22 - c12 * c12 END) AS b1,
+      |    (a11 * c2y - c12 * c1y) /
+      |      (CASE WHEN a11 * a22 - c12 * c12 = 0.0 THEN NULL
+      |            ELSE a11 * a22 - c12 * c12 END) AS b2
+      |  FROM c)
+      |SELECT brand, n, ROUND(b1, 6) AS b1, ROUND(b2, 6) AS b2,
+      |  ROUND((syd - b1 * s1d - b2 * s2d) / n, 6) AS intercept,
+      |  ROUND((b1 * c1y + b2 * c2y) /
+      |    (CASE WHEN cyy = 0.0 THEN NULL ELSE cyy END), 6) AS r2
+      |FROM f ORDER BY brand""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Shuffle-quality audit of the corpus order
+  // --------------------------------------------------------------------------
+
+  /** χ² source-mix drift of 25-doc chunks under doc_id order
+    * ([[Mixing.shuffleQuality]]) — "is this data order shuffled enough to
+    * batch from?"; mean χ² near df = clean, a clumped order blows max_chi2
+    * up.
+    */
+  def qShuffleQuality(spark: SparkSession, dir: String): DataFrame =
+    Mixing.shuffleQuality(Tables.documents(spark, dir), "doc_id", "source",
+      chunkSize = 25)
+
+  val shuffleQualitySql: String =
+    """WITH b AS (SELECT doc_id // 25 AS chunk, source AS src
+      |  FROM documents),
+      |c AS (SELECT chunk, src, COUNT(*) AS o FROM b GROUP BY 1, 2),
+      |ct AS (SELECT chunk, CAST(SUM(o) AS BIGINT) AS n_c FROM c GROUP BY 1),
+      |st AS (SELECT src, CAST(SUM(o) AS BIGINT) AS n_s FROM c GROUP BY 1),
+      |g AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot,
+      |    COUNT(*) AS n_sources FROM st),
+      |grid AS (SELECT ct.chunk, st.src, ct.n_c, st.n_s,
+      |    COALESCE(c.o, 0) AS o, g.n_tot, g.n_sources
+      |  FROM ct CROSS JOIN st
+      |  LEFT JOIN c ON c.chunk = ct.chunk AND c.src = st.src
+      |  CROSS JOIN g),
+      |chi AS (SELECT chunk, n_sources,
+      |    CAST(SUM(CAST(
+      |      (o - CAST(n_c AS DOUBLE) * n_s / n_tot) *
+      |      (o - CAST(n_c AS DOUBLE) * n_s / n_tot) /
+      |      (CAST(n_c AS DOUBLE) * n_s / n_tot) AS DECIMAL(18,8)))
+      |      AS DOUBLE) AS chi2
+      |  FROM grid GROUP BY 1, 2)
+      |SELECT COUNT(*) AS n_chunks, n_sources, n_sources - 1 AS df,
+      |  ROUND(CAST(SUM(CAST(chi2 AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_chi2,
+      |  ROUND(MAX(chi2), 6) AS max_chi2
+      |FROM chi GROUP BY n_sources""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Lorenz curve deciles
+  // --------------------------------------------------------------------------
+
+  /** Lorenz curve of item interaction volume at decile resolution — the
+    * curve q_gini integrates: items ranked ascending by volume
+    * ([[graft.ext.GlobalRank.globalRowNumber]], no single-task sort), cut
+    * into 10 equal-count tiers, cumulative volume share per tier.
+    */
+  def qLorenzCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("volume"))
+    val ranked = graft.ext.GlobalRank.globalRowNumber(
+      counts, Seq(col("volume"), col("l_partkey")))
+    val n = ranked.agg(count(lit(1)).as("n_items"),
+      sum(col("volume")).as("t_vol"))
+    val dec = ranked.crossJoin(broadcast(n))
+      .select(expr("(rn - 1) * 10 div n_items").as("decile"),
+        col("volume"), col("t_vol"))
+      .groupBy(col("decile"), col("t_vol"))
+      .agg(count(lit(1)).as("n_items"), sum(col("volume")).as("vol"))
+    // 10 rows post-aggregate — the unpartitioned cumsum window is bounded
+    dec
+      .withColumn("cum_vol", sum(col("vol")).over(Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("decile"), col("n_items"), col("vol"),
+        round(col("cum_vol").cast("double") / col("t_vol"), 6)
+          .as("cum_share"))
+      .orderBy(col("decile"))
+  }
+
+  val lorenzCurveSql: String =
+    """WITH c AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem
+      |  GROUP BY 1),
+      |r AS (SELECT volume,
+      |    ROW_NUMBER() OVER (ORDER BY volume, l_partkey) AS rn FROM c),
+      |nn AS (SELECT COUNT(*) AS n_items, CAST(SUM(volume) AS BIGINT) AS t_vol
+      |  FROM r),
+      |d AS (SELECT (rn - 1) * 10 // n_items AS decile, t_vol,
+      |    COUNT(*) AS n_items, CAST(SUM(volume) AS BIGINT) AS vol
+      |  FROM r CROSS JOIN nn GROUP BY 1, 2)
+      |SELECT decile, n_items, vol,
+      |  ROUND(CAST(CAST(SUM(vol) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS DOUBLE) / t_vol, 6) AS cum_share
+      |FROM d ORDER BY decile""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Sort-layout prefix-compression estimate
+  // --------------------------------------------------------------------------
+
+  /** Delta/prefix-encoding savings a p_name sort layout buys
+    * ([[graft.ext.Layout.prefixCompressionStats]], native
+    * `common_prefix_len` kernel): adjacent-row common prefixes under the
+    * sorted order vs the natural p_partkey order.
+    */
+  def qPrefixCompress(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Layout.prefixCompressionStats(Tables.part(spark, dir),
+      "p_name", col("p_partkey"))
+
+  val prefixCompressSql: String =
+    """WITH base AS (SELECT p_name AS s, p_partkey AS k FROM part),
+      |so AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s, k) AS rn FROM base),
+      |sp AS (SELECT a.s AS s, b.s AS t FROM so a JOIN so b
+      |  ON b.rn = a.rn + 1),
+      |na AS (SELECT s, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM base),
+      |np AS (SELECT a.s AS s, b.s AS t FROM na a JOIN na b
+      |  ON b.rn = a.rn + 1),
+      |pfx_s AS (SELECT COUNT(*) AS n_pairs,
+      |    CAST(SUM(length(s)) AS BIGINT) AS sum_len,
+      |    CAST(SUM(len(list_filter(
+      |      range(1, LEAST(length(s), length(t)) + 1),
+      |      i -> substr(s, 1, CAST(i AS INTEGER)) =
+      |           substr(t, 1, CAST(i AS INTEGER))))) AS BIGINT) AS sum_prefix
+      |  FROM sp),
+      |pfx_n AS (SELECT CAST(SUM(length(s)) AS BIGINT) AS nat_len,
+      |    CAST(SUM(len(list_filter(
+      |      range(1, LEAST(length(s), length(t)) + 1),
+      |      i -> substr(s, 1, CAST(i AS INTEGER)) =
+      |           substr(t, 1, CAST(i AS INTEGER))))) AS BIGINT) AS nat_prefix
+      |  FROM np)
+      |SELECT n_pairs,
+      |  ROUND(CAST(sum_len AS DOUBLE) / n_pairs, 6) AS avg_len,
+      |  ROUND(CAST(sum_prefix AS DOUBLE) / n_pairs, 6) AS avg_prefix_sorted,
+      |  ROUND(CAST(nat_prefix AS DOUBLE) / n_pairs, 6)
+      |    AS avg_prefix_natural,
+      |  ROUND(CAST(sum_prefix AS DOUBLE) / sum_len, 6) AS savings_sorted,
+      |  ROUND(CAST(nat_prefix AS DOUBLE) / nat_len, 6) AS savings_natural
+      |FROM pfx_s CROSS JOIN pfx_n""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -999,7 +1194,11 @@ object PinnacleQueries {
     "q_xcorr" -> (qXcorr _),
     "q_neyman_alloc" -> (qNeymanAlloc _),
     "q_entropy_rate" -> (qEntropyRate _),
-    "q_stickiness" -> (qStickiness _))
+    "q_stickiness" -> (qStickiness _),
+    "q_ridge_price" -> (qRidgePrice _),
+    "q_shuffle_quality" -> (qShuffleQuality _),
+    "q_lorenz_curve" -> (qLorenzCurve _),
+    "q_prefix_compress" -> (qPrefixCompress _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -1023,5 +1222,9 @@ object PinnacleQueries {
     "q_xcorr" -> xcorrSql,
     "q_neyman_alloc" -> neymanAllocSql,
     "q_entropy_rate" -> entropyRateSql,
-    "q_stickiness" -> stickinessSql)
+    "q_stickiness" -> stickinessSql,
+    "q_ridge_price" -> ridgePriceSql,
+    "q_shuffle_quality" -> shuffleQualitySql,
+    "q_lorenz_curve" -> lorenzCurveSql,
+    "q_prefix_compress" -> prefixCompressSql)
 }

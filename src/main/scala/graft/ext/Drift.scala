@@ -282,4 +282,52 @@ object Drift {
       round(slope, 6).as("slope"),
       round((syd - slope * sxd) / nd, 6).as("intercept"))
   }
+
+  /** Two-feature ridge regression in closed form — the multicollinearity-
+    * robust upgrade of [[groupedOls]]: solve `(S + λI)·b = c` on the CENTERED
+    * normal equations (λ never penalizes the intercept) with the explicit
+    * 2×2 inverse, `intercept = ȳ − b₁x̄₁ − b₂x̄₂`, and report the explained
+    * variance share `(b₁c₁ + b₂c₂)/Syy`.
+    *
+    * All raw moments (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂, Σx₁y, Σx₂y, Σy²)
+    * accumulate as exact DECIMALs over integer-valued inputs, so both engines
+    * enter the identical double formula — ONE aggregate pass over the data,
+    * the solve is per-group scalar arithmetic. λ is in centered-moment units
+    * (same scale as Sxx). Output per group: (group, n, b1, b2, intercept,
+    * r2); null coefficients when the regularized system is singular.
+    */
+  def ridge2(df: DataFrame, groupCol: String, x1Col: String, x2Col: String,
+             yCol: String, lambda: Double): DataFrame = {
+    val x1 = col(x1Col).cast("decimal(18,4)")
+    val x2 = col(x2Col).cast("decimal(18,4)")
+    val y = col(yCol).cast("decimal(18,4)")
+    val agg = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum(x1 * x1).as("s11"), sum(x2 * x2).as("s22"),
+        sum(x1 * x2).as("s12"),
+        sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"),
+        sum(y * y).as("syy"))
+    def d(c: String) = col(c).cast("double")
+    val nd = d("n")
+    // centered second moments: Sab = Σab − Σa·Σb/n
+    val c11 = d("s11") - d("s1") * d("s1") / nd
+    val c22 = d("s22") - d("s2") * d("s2") / nd
+    val c12 = d("s12") - d("s1") * d("s2") / nd
+    val c1y = d("s1y") - d("s1") * d("sy") / nd
+    val c2y = d("s2y") - d("s2") * d("sy") / nd
+    val cyy = d("syy") - d("sy") * d("sy") / nd
+    val a11 = c11 + lambda
+    val a22 = c22 + lambda
+    val det = a11 * a22 - c12 * c12
+    val safeDet = when(det === 0.0, lit(null)).otherwise(det)
+    val b1 = (a22 * c1y - c12 * c2y) / safeDet
+    val b2 = (a11 * c2y - c12 * c1y) / safeDet
+    agg.select(col(groupCol), col("n"),
+      round(b1, 6).as("b1"),
+      round(b2, 6).as("b2"),
+      round((d("sy") - b1 * d("s1") - b2 * d("s2")) / nd, 6).as("intercept"),
+      round((b1 * c1y + b2 * c2y) /
+        when(cyy === 0.0, lit(null)).otherwise(cyy), 6).as("r2"))
+  }
 }

@@ -80,4 +80,49 @@ object Layout {
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(saltFactor)))
     spread.join(salted, keys :+ "__salt").drop("__salt")
   }
+
+  /** Prefix-compression estimate of a sort layout: the average common-prefix
+    * length between CONSECUTIVE rows of a string column under a given total
+    * order, vs under the table's natural key order — the gap is the
+    * delta/prefix-encoding savings a `sortWithinPartitions` layout buys in
+    * parquet/ORC dictionaries (the read-bandwidth sibling of [[zorderAudit]]'s
+    * row-group pruning).
+    *
+    * Neighbor pairing is [[GlobalRank.globalRowNumber]] + an rn+1 equi-join —
+    * never an unpartitioned lag window (the [[graft.plans.ScaleGuard]]
+    * contract); prefixes come from the native codegen
+    * `common_prefix_len(a, b)` kernel. All sums are exact integers. Output:
+    * 1 row (n_pairs, avg_len, avg_prefix_sorted, avg_prefix_natural,
+    * savings_sorted, savings_natural) — savings = avg_prefix/avg_len.
+    */
+  def prefixCompressionStats(df: DataFrame, strCol: String,
+                             naturalKey: Column): DataFrame = {
+    import graft.functions.CommonPrefixLen.commonPrefixLen
+    def avgPrefix(order: Seq[Column]): DataFrame = {
+      val ranked = GlobalRank.globalRowNumber(
+        df.select(col(strCol).as("__s"), naturalKey.as("__k")), order)
+      ranked.select(col("__s"), col("rn"))
+        .join(ranked.select(col("__s").as("__t"), (col("rn") - 1).as("rn")),
+          "rn")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(length(col("__s")).cast("long")).as("sum_len"),
+          sum(commonPrefixLen(col("__s"), col("__t")).cast("long"))
+            .as("sum_prefix"))
+    }
+    val sorted = avgPrefix(Seq(col("__s"), col("__k")))
+    val natural = avgPrefix(Seq(col("__k")))
+      .select(col("sum_prefix").as("nat_prefix"), col("sum_len").as("nat_len"))
+    sorted.crossJoin(natural)
+      .select(col("n_pairs"),
+        round(col("sum_len").cast("double") / col("n_pairs"), 6)
+          .as("avg_len"),
+        round(col("sum_prefix").cast("double") / col("n_pairs"), 6)
+          .as("avg_prefix_sorted"),
+        round(col("nat_prefix").cast("double") / col("n_pairs"), 6)
+          .as("avg_prefix_natural"),
+        round(col("sum_prefix").cast("double") / col("sum_len"), 6)
+          .as("savings_sorted"),
+        round(col("nat_prefix").cast("double") / col("nat_len"), 6)
+          .as("savings_natural"))
+  }
 }

@@ -136,6 +136,53 @@ object Mixing {
         round(col("alloc") / col("n_tokens"), 6).as("epochs"))
   }
 
+  /** Shuffle-quality audit of a training data ORDER: cut the ordered corpus
+    * into fixed-size chunks (the batches a loader would draw) and measure,
+    * per chunk, the χ² distance between its source mix and the global mix —
+    * `χ²_c = Σ_s (o_cs − n_c·p_s)²/(n_c·p_s)`. A well-shuffled order keeps
+    * every chunk near the global mixture (mean χ² ≈ df = |sources|−1); a
+    * source-clumped order (crawl order, concatenated dumps) blows the tail
+    * chunks up — and clumped batches are exactly what destabilizes training.
+    *
+    * Exact integer counts feed the identical double formula on both engines;
+    * per-(chunk, source) terms sum as DECIMAL(18,8), and the dense
+    * chunk×source grid comes from a broadcast cross of the two bounded key
+    * sets (absent cells contribute their full expectation). Output: 1 row
+    * (n_chunks, n_sources, df, mean_chi2, max_chi2).
+    */
+  def shuffleQuality(docs: DataFrame, orderCol: String, sourceCol: String,
+                     chunkSize: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize ($chunkSize) must be >= 1")
+    val base = docs.select(
+      expr(s"CAST($orderCol AS BIGINT) div $chunkSize").as("chunk"),
+      col(sourceCol).as("src"))
+    val counts = base.groupBy(col("chunk"), col("src"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(eager = true) // grid + totals branches read it
+    val chunkTotals = counts.groupBy(col("chunk")).agg(sum(col("o")).as("n_c"))
+    val srcTotals = counts.groupBy(col("src")).agg(sum(col("o")).as("n_s"))
+    val grand = srcTotals.agg(sum(col("n_s")).as("n_tot"),
+      count(lit(1)).as("n_sources"))
+    val grid = chunkTotals.crossJoin(broadcast(srcTotals))
+      .join(counts, Seq("chunk", "src"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
+      .crossJoin(broadcast(grand))
+    val e = col("n_c").cast("double") * col("n_s") / col("n_tot")
+    val chi2 = grid
+      .select(col("chunk"), col("n_sources"),
+        (((col("o") - e) * (col("o") - e)) / e).cast("decimal(18,8)")
+          .as("__t"))
+      .groupBy(col("chunk"), col("n_sources"))
+      .agg(sum(col("__t")).cast("double").as("chi2"))
+    chi2.groupBy(col("n_sources"))
+      .agg(count(lit(1)).as("n_chunks"),
+        round(sum(col("chi2").cast("decimal(18,8)")).cast("double") /
+          count(lit(1)), 6).as("mean_chi2"),
+        round(max(col("chi2")), 6).as("max_chi2"))
+      .select(col("n_chunks"), col("n_sources"),
+        (col("n_sources") - 1).as("df"), col("mean_chi2"), col("max_chi2"))
+  }
+
   /** Neyman optimal stratified-sample allocation (Neyman 1934): to estimate
     * a corpus mean from a fixed labeling/inspection budget, sample stratum h
     * in proportion to N_h·S_h (size × within-stratum standard deviation) —

@@ -232,4 +232,40 @@ class DriftSpec extends SparkTestBase {
     assert(plan.contains("Aggregate"))
     assert(plan.contains("Window"))
   }
+
+  test("ridge2 at lambda = 0 recovers an exact 2-feature linear law with " +
+    "r2 = 1; heavy lambda shrinks both coefficients toward 0") {
+    import spark.implicits._
+    // y = 3·x1 + 5·x2 + 7 exactly, x1/x2 not collinear
+    val rows = for (x1 <- 1L to 8L; x2 <- 1L to 5L)
+      yield ("g", x1, x2, 3 * x1 + 5 * x2 + 7)
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val exact = Drift.ridge2(df, "g", "x1", "x2", "y", lambda = 0.0)
+      .collect().head
+    assert(approx(exact.getDouble(2), 3.0, 1e-9))
+    assert(approx(exact.getDouble(3), 5.0, 1e-9))
+    assert(approx(exact.getDouble(4), 7.0, 1e-6))
+    assert(approx(exact.getDouble(5), 1.0, 1e-9))
+    val heavy = Drift.ridge2(df, "g", "x1", "x2", "y", lambda = 1e9)
+      .collect().head
+    assert(math.abs(heavy.getDouble(2)) < 0.01 &&
+      math.abs(heavy.getDouble(3)) < 0.01)
+  }
+
+  test("ridge2: collinear features are singular at lambda = 0 (null " +
+    "coefficients) but solvable under regularization") {
+    import spark.implicits._
+    // x2 = 2·x1 exactly — the OLS normal equations are singular
+    val rows = (1L to 20L).map(x => ("g", x, 2 * x, 10 * x))
+    val df = rows.toDF("g", "x1", "x2", "y")
+    val ols = Drift.ridge2(df, "g", "x1", "x2", "y", lambda = 0.0)
+      .collect().head
+    assert(ols.isNullAt(2) && ols.isNullAt(3))
+    val ridge = Drift.ridge2(df, "g", "x1", "x2", "y", lambda = 10.0)
+      .collect().head
+    // ridge splits the effect across the collinear pair: both finite, and
+    // the implied fit b1 + 2·b2 ≈ 10
+    assert(!ridge.isNullAt(2) && !ridge.isNullAt(3))
+    assert(math.abs(ridge.getDouble(2) + 2 * ridge.getDouble(3) - 10.0) < 0.5)
+  }
 }

@@ -143,4 +143,23 @@ class LayoutSpec extends SparkTestBase {
         s"salting did not spread the hot key: $maxSalted vs $maxPlain")
     } finally saved.foreach { case (key, v) => spark.conf.set(key, v) }
   }
+
+  test("prefixCompressionStats: a sorted layout shares long prefixes where " +
+    "a shuffled natural order shares almost none") {
+    import spark.implicits._
+    // 100 strings in 4 families; natural key deliberately interleaves them
+    val rows = (0 until 100).map { i =>
+      val fam = Seq("alpha", "bravo", "charlie", "delta")(i % 4)
+      (f"${fam}_item_$i%03d", i.toLong)
+    }
+    val df = rows.toDF("s", "k")
+    val out = Layout.prefixCompressionStats(df, "s", col("k")).collect().head
+    assert(out.getLong(0) == 99)
+    val sortedSav = out.getDouble(4)
+    val naturalSav = out.getDouble(5)
+    // sorted: neighbors share "<family>_item_0xx" stems; natural: the
+    // interleave flips family every row, killing the shared prefix
+    assert(sortedSav > naturalSav + 0.3,
+      s"sorted $sortedSav should beat natural $naturalSav")
+  }
 }

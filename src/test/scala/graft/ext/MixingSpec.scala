@@ -107,4 +107,20 @@ class MixingSpec extends SparkTestBase {
     assert(approx(out("twice")._2, expected, 1e-4))
     assert(out("twice")._3 < 1.0)
   }
+
+  test("shuffleQuality: a perfectly interleaved order scores chi2 = 0, a " +
+    "source-clumped order blows max_chi2 past the df scale") {
+    // 4 sources × 40 docs, chunk size 8: interleaved = every chunk has the
+    // exact 2/2/2/2 mix; clumped = each chunk is single-source
+    val interleaved = (0 until 160).map(i => (i.toLong, s"s${i % 4}"))
+    val clumped = (0 until 160).map(i => (i.toLong, s"s${i / 40}"))
+    val good = Mixing.shuffleQuality(interleaved.toDF("ord", "src"),
+      "ord", "src", chunkSize = 8).collect().head
+    assert(good.getLong(0) == 20 && good.getLong(1) == 4)
+    assert(good.getDouble(3) == 0.0 && good.getDouble(4) == 0.0)
+    val bad = Mixing.shuffleQuality(clumped.toDF("ord", "src"),
+      "ord", "src", chunkSize = 8).collect().head
+    // a single-source chunk of n=8 in a uniform-4 mix: chi2 = 3·8 = 24
+    assert(bad.getDouble(3) == 24.0 && bad.getDouble(4) == 24.0)
+  }
 }
