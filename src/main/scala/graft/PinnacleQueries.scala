@@ -1171,6 +1171,151 @@ object PinnacleQueries {
       |FROM pfx_s CROSS JOIN pfx_n""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Difference-in-differences
+  // --------------------------------------------------------------------------
+
+  /** 2×2 DiD of line quantity: treated = large parts (p_size > 25), post =
+    * orders from 1998 on ([[Experiment.diffInDiff]]) — the observational
+    * causal estimate next to q_cuped's randomized variance reduction.
+    */
+  def qDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .select((col("p_size") > 25).as("treated"),
+        (col("o_orderdate") >= lit("1998-01-01").cast("date")).as("post"),
+        col("l_quantity").cast("long").as("qty"))
+    Experiment.diffInDiff(x, "treated", "post", "qty")
+  }
+
+  val diffInDiffSql: String =
+    """WITH x AS (SELECT p_size > 25 AS treated,
+      |    o_orderdate >= DATE '1998-01-01' AS post,
+      |    CAST(l_quantity AS BIGINT) AS v
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN part ON l_partkey = p_partkey),
+      |a AS (SELECT COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+      |  CAST(SUM(CASE WHEN treated AND NOT post THEN v ELSE 0 END) AS BIGINT) AS s_tp,
+      |  CAST(SUM(CASE WHEN treated AND NOT post THEN v * v ELSE 0 END) AS BIGINT) AS q_tp,
+      |  CAST(SUM(CASE WHEN treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tq,
+      |  CAST(SUM(CASE WHEN treated AND post THEN v ELSE 0 END) AS BIGINT) AS s_tq,
+      |  CAST(SUM(CASE WHEN treated AND post THEN v * v ELSE 0 END) AS BIGINT) AS q_tq,
+      |  CAST(SUM(CASE WHEN NOT treated AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cp,
+      |  CAST(SUM(CASE WHEN NOT treated AND NOT post THEN v ELSE 0 END) AS BIGINT) AS s_cp,
+      |  CAST(SUM(CASE WHEN NOT treated AND NOT post THEN v * v ELSE 0 END) AS BIGINT) AS q_cp,
+      |  CAST(SUM(CASE WHEN NOT treated AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cq,
+      |  CAST(SUM(CASE WHEN NOT treated AND post THEN v ELSE 0 END) AS BIGINT) AS s_cq,
+      |  CAST(SUM(CASE WHEN NOT treated AND post THEN v * v ELSE 0 END) AS BIGINT) AS q_cq
+      |  FROM x),
+      |f AS (SELECT n,
+      |    CAST(s_tp AS DOUBLE) / n_tp AS m_tp, CAST(s_tq AS DOUBLE) / n_tq AS m_tq,
+      |    CAST(s_cp AS DOUBLE) / n_cp AS m_cp, CAST(s_cq AS DOUBLE) / n_cq AS m_cq,
+      |    (CAST(q_tp AS DOUBLE) / n_tp - (CAST(s_tp AS DOUBLE) / n_tp) * (CAST(s_tp AS DOUBLE) / n_tp)) / n_tp +
+      |    (CAST(q_tq AS DOUBLE) / n_tq - (CAST(s_tq AS DOUBLE) / n_tq) * (CAST(s_tq AS DOUBLE) / n_tq)) / n_tq +
+      |    (CAST(q_cp AS DOUBLE) / n_cp - (CAST(s_cp AS DOUBLE) / n_cp) * (CAST(s_cp AS DOUBLE) / n_cp)) / n_cp +
+      |    (CAST(q_cq AS DOUBLE) / n_cq - (CAST(s_cq AS DOUBLE) / n_cq) * (CAST(s_cq AS DOUBLE) / n_cq)) / n_cq
+      |      AS var_sum
+      |  FROM a)
+      |SELECT n,
+      |  ROUND(m_tp, 6) AS y_treated_pre, ROUND(m_tq, 6) AS y_treated_post,
+      |  ROUND(m_cp, 6) AS y_control_pre, ROUND(m_cq, 6) AS y_control_post,
+      |  ROUND((m_tq - m_tp) - (m_cq - m_cp), 6) AS did,
+      |  ROUND(sqrt(var_sum), 6) AS se,
+      |  ROUND(((m_tq - m_tp) - (m_cq - m_cp)) /
+      |    (CASE WHEN sqrt(var_sum) = 0.0 THEN NULL ELSE sqrt(var_sum) END), 6)
+      |    AS z_stat
+      |FROM f""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Geometric adstock correlation
+  // --------------------------------------------------------------------------
+
+  /** Does carryover-transformed click volume explain purchases better than
+    * raw clicks? ([[graft.ext.Attribution.adstockCorrelation]], θ = 0.7 via
+    * the literal ln θ, 14-day truncation.)
+    */
+  def qAdstock(spark: SparkSession, dir: String): DataFrame = {
+    val dly = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+      .localCheckpoint(eager = true)
+    graft.ext.Attribution.adstockCorrelation(
+      dly.filter(col("event_type") === "click"),
+      dly.filter(col("event_type") === "purchase"),
+      "day", "v", "v", lnTheta = -0.35667494393873245, maxLag = 14)
+  }
+
+  val adstockSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT d, v AS xv FROM dly WHERE g = 'click'),
+      |y AS (SELECT d, v AS yv FROM dly WHERE g = 'purchase'),
+      |l AS (SELECT unnest(generate_series(0, 14)) AS k),
+      |lg AS (SELECT x.d + CAST(l.k AS INTEGER) AS tday,
+      |    CAST(exp(l.k * -3.5667494393873245E-1) * x.xv AS DECIMAL(28,12))
+      |      AS term
+      |  FROM x CROSS JOIN l),
+      |ads AS (SELECT tday, SUM(term) AS a FROM lg GROUP BY 1),
+      |j AS (SELECT CAST(y.yv AS DOUBLE) AS yd, CAST(ads.a AS DOUBLE) AS ad,
+      |    CAST(x.xv AS DOUBLE) AS xd
+      |  FROM y JOIN ads ON y.d = ads.tday JOIN x ON x.d = y.d),
+      |m AS (SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(xd AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(yd AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(ad AS DECIMAL(28,12))) AS DOUBLE) AS sa,
+      |    CAST(SUM(CAST(xd * yd AS DECIMAL(38,12))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(ad * yd AS DECIMAL(38,12))) AS DOUBLE) AS say,
+      |    CAST(SUM(CAST(xd * xd AS DECIMAL(38,12))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(ad * ad AS DECIMAL(38,12))) AS DOUBLE) AS saa,
+      |    CAST(SUM(CAST(yd * yd AS DECIMAL(38,12))) AS DOUBLE) AS syy
+      |  FROM j)
+      |SELECT n AS n_days,
+      |  ROUND((n * sxy - sx * sy) /
+      |    sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr_raw,
+      |  ROUND((n * say - sa * sy) /
+      |    sqrt((n * saa - sa * sa) * (n * syy - sy * sy)), 6)
+      |    AS corr_adstock
+      |FROM m""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Peak detection
+  // --------------------------------------------------------------------------
+
+  /** Local maxima of the daily value series per event_type
+    * ([[graft.ext.Series.peaks]]) — which days spiked relative to their
+    * immediate neighbors, with prominence in original units.
+    */
+  def qPeaks(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("event_type"), to_date(col("ts")).as("day"),
+        round(col("value") * 1e6, 0).cast("decimal(38,0)").as("vm"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("vm")).as("v"))
+    graft.ext.Series.peaks(daily, "event_type", "day", "v", unitScale = 1e6)
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  val peaksSql: String =
+    """WITH dly AS (SELECT event_type AS g, CAST(ts AS DATE) AS d,
+      |    CAST(SUM(CAST(ROUND(value * 1000000.0) AS BIGINT)) AS HUGEINT) AS v
+      |  FROM events GROUP BY 1, 2),
+      |w AS (SELECT g, d, v,
+      |    LAG(v) OVER (PARTITION BY g ORDER BY d) AS pv,
+      |    LEAD(v) OVER (PARTITION BY g ORDER BY d) AS nv
+      |  FROM dly)
+      |SELECT g AS event_type, d AS day,
+      |  ROUND(CAST(v AS DOUBLE) / 1000000.0, 6) AS value,
+      |  ROUND(CAST(v - GREATEST(pv, nv) AS DOUBLE) / 1000000.0, 6)
+      |    AS prominence
+      |FROM w
+      |WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+      |ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -1198,7 +1343,10 @@ object PinnacleQueries {
     "q_ridge_price" -> (qRidgePrice _),
     "q_shuffle_quality" -> (qShuffleQuality _),
     "q_lorenz_curve" -> (qLorenzCurve _),
-    "q_prefix_compress" -> (qPrefixCompress _))
+    "q_prefix_compress" -> (qPrefixCompress _),
+    "q_diff_in_diff" -> (qDiffInDiff _),
+    "q_adstock" -> (qAdstock _),
+    "q_peaks" -> (qPeaks _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -1226,5 +1374,8 @@ object PinnacleQueries {
     "q_ridge_price" -> ridgePriceSql,
     "q_shuffle_quality" -> shuffleQualitySql,
     "q_lorenz_curve" -> lorenzCurveSql,
-    "q_prefix_compress" -> prefixCompressSql)
+    "q_prefix_compress" -> prefixCompressSql,
+    "q_diff_in_diff" -> diffInDiffSql,
+    "q_adstock" -> adstockSql,
+    "q_peaks" -> peaksSql)
 }

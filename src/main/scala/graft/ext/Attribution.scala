@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multi-touch conversion attribution: credit each conversion's preceding
@@ -77,5 +77,53 @@ object Attribution {
         coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"),
         round(coalesce(col("lin"), lit(0).cast("decimal(18,8)")).cast("double"), 6)
           .as("linear_credit"))
+  }
+
+  /** Geometric adstock (Broadbent 1979) correlation: does the carryover-
+    * transformed driver series explain the outcome better than the raw one?
+    * Truncated adstock `A_t = Σ_{k=0..maxLag} θ^k · x_{t−k}` — finite-lag, so
+    * it's a calendar equi-join over a lag spine (the [[Series.acf]] shape),
+    * NOT a recursion; θ^k enters as `exp(k·ln θ)` with ln θ a literal, the
+    * q_decayed_popularity exp discipline both engines parse identically.
+    * Reports Pearson(outcome, adstock) next to Pearson(outcome, raw) — the
+    * lift is the carryover evidence a marketing-mix model builds on.
+    *
+    * Driver/outcome must be exact integer-valued DECIMAL daily aggregates;
+    * adstock terms and all Pearson moments accumulate as DECIMAL(28,12)
+    * (order-independent; day count is calendar-bounded). Output: 1 row
+    * (n_days, corr_raw, corr_adstock).
+    */
+  def adstockCorrelation(driver: DataFrame, outcome: DataFrame,
+                         dayCol: String, xCol: String, yCol: String,
+                         lnTheta: Double, maxLag: Int): DataFrame = {
+    val x = driver.select(col(dayCol).as("__day"),
+      col(xCol).cast("decimal(19,0)").as("__x"))
+    val y = outcome.select(col(dayCol).as("__yday"),
+      col(yCol).cast("decimal(19,0)").as("__y"))
+    val lagged = x.select(
+        explode(sequence(lit(0), lit(maxLag))).as("k"),
+        col("__day"), col("__x"))
+      .select(date_add(col("__day"), col("k")).as("__tday"),
+        (exp(col("k") * lnTheta) * col("__x")).cast("decimal(28,12)")
+          .as("__term"))
+    val ads = lagged.groupBy(col("__tday")).agg(sum(col("__term")).as("__a"))
+    // early days carry their PARTIAL lag window (fewer terms) — standard
+    // truncated-adstock behavior; rows need both an adstock and outcome day
+    val joined = y.join(ads, col("__yday") === col("__tday"))
+      .join(x.select(col("__day").as("__yday"), col("__x")), Seq("__yday"))
+    def corrOf(a: Column, b: Column): Column = {
+      val n = count(lit(1)).cast("double")
+      val sa = sum(a.cast("decimal(28,12)")).cast("double")
+      val sb = sum(b.cast("decimal(28,12)")).cast("double")
+      val sab = sum((a * b).cast("decimal(38,12)")).cast("double")
+      val saa = sum((a * a).cast("decimal(38,12)")).cast("double")
+      val sbb = sum((b * b).cast("decimal(38,12)")).cast("double")
+      (n * sab - sa * sb) / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))
+    }
+    joined.agg(count(lit(1)).as("n_days"),
+      round(corrOf(col("__x").cast("double"), col("__y").cast("double")), 6)
+        .as("corr_raw"),
+      round(corrOf(col("__a").cast("double"), col("__y").cast("double")), 6)
+        .as("corr_adstock"))
   }
 }

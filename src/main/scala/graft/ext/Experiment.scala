@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** CUPED (Controlled-experiment Using Pre-Experiment Data) — the industry-
@@ -499,5 +499,60 @@ object Experiment {
           ((col("n") - 1) * col("num_scaled")).cast("double") /
           (lit(L) * (col("n") * col("n") - col("s_nc2"))).cast("double"), 6)
           .as("alpha"))
+  }
+
+  /** 2×2 difference-in-differences (Card & Krueger 1994 design): the
+    * treated group's post−pre outcome change minus the control group's —
+    * the parallel-trends causal estimate when randomization isn't available
+    * (q_cuped/q_ab_test assume a randomized split; DiD is the observational
+    * fallback). Standard error from the four cell variances:
+    * `SE = √(Σ_cells s²/n)`, z = DiD/SE.
+    *
+    * `df` must carry integer-valued `valueCol` plus boolean `treatedCol` /
+    * `postCol`; moments per cell are exact integer sums (the powerMde
+    * micro-unit discipline is the caller's job if values are fractional).
+    * One conditional-aggregate pass — four cells from one scan, no joins.
+    * Output: 1 row (n, y_treated_pre, y_treated_post, y_control_pre,
+    * y_control_post, did, se, z_stat).
+    */
+  def diffInDiff(df: DataFrame, treatedCol: String, postCol: String,
+                 valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    def cell(t: Boolean, p: Boolean, what: Column) =
+      sum(when(col(treatedCol) === t && col(postCol) === p, what)
+        .otherwise(lit(0L)))
+    def mean(pre: String, s: String) =
+      col(s).cast("double") / col(pre)
+    val agg = df.agg(count(lit(1)).as("n"),
+      cell(t = true, p = false, lit(1L)).as("n_tp"),
+      cell(t = true, p = false, v).as("s_tp"),
+      cell(t = true, p = false, v * v).as("q_tp"),
+      cell(t = true, p = true, lit(1L)).as("n_tq"),
+      cell(t = true, p = true, v).as("s_tq"),
+      cell(t = true, p = true, v * v).as("q_tq"),
+      cell(t = false, p = false, lit(1L)).as("n_cp"),
+      cell(t = false, p = false, v).as("s_cp"),
+      cell(t = false, p = false, v * v).as("q_cp"),
+      cell(t = false, p = true, lit(1L)).as("n_cq"),
+      cell(t = false, p = true, v).as("s_cq"),
+      cell(t = false, p = true, v * v).as("q_cq"))
+    def m(nc: String, sc: String) = mean(nc, sc)
+    // per-cell sample variance of the MEAN: (q/n − (s/n)²)/n
+    def vm(nc: String, sc: String, qc: String) =
+      (col(qc).cast("double") / col(nc) -
+        (col(sc).cast("double") / col(nc)) *
+        (col(sc).cast("double") / col(nc))) / col(nc)
+    val did = (m("n_tq", "s_tq") - m("n_tp", "s_tp")) -
+      (m("n_cq", "s_cq") - m("n_cp", "s_cp"))
+    val se = sqrt(vm("n_tp", "s_tp", "q_tp") + vm("n_tq", "s_tq", "q_tq") +
+      vm("n_cp", "s_cp", "q_cp") + vm("n_cq", "s_cq", "q_cq"))
+    agg.select(col("n"),
+      round(m("n_tp", "s_tp"), 6).as("y_treated_pre"),
+      round(m("n_tq", "s_tq"), 6).as("y_treated_post"),
+      round(m("n_cp", "s_cp"), 6).as("y_control_pre"),
+      round(m("n_cq", "s_cq"), 6).as("y_control_post"),
+      round(did, 6).as("did"),
+      round(se, 6).as("se"),
+      round(did / when(se === 0.0, lit(null)).otherwise(se), 6).as("z_stat"))
   }
 }

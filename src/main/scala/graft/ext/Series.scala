@@ -75,6 +75,35 @@ object Series {
     18.307038053275146, 19.67513757268249, 21.02606981748307,
     22.362032494826934, 23.684791304840576, 24.99579013972863)
 
+  /** Local-maximum (peak) detection over a (group, day, value) daily
+    * aggregate: a day is a peak iff its value STRICTLY exceeds both calendar
+    * neighbors' (missing neighbor = series edge → not a peak, the
+    * conservative convention), with prominence = v − max(neighbors). The
+    * monitoring primitive between q_anomaly_daily's global z-flags and
+    * q_cusum's level-shift alarm: "which days spiked relative to their
+    * immediate context?".
+    *
+    * `valueCol` must be exact DECIMAL so the strict comparisons can't sit on
+    * a float knife-edge. One group-partitioned lag/lead window pass; output
+    * only the peak rows: (group, day, value, prominence), prominence in
+    * `unitScale`-divided units rounded to 6 decimals.
+    */
+  def peaks(df: DataFrame, groupCol: String, dayCol: String,
+            valueCol: String, unitScale: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__g")).orderBy(col("__d"))
+    df.select(col(groupCol).as("__g"), col(dayCol).as("__d"),
+        col(valueCol).as("__v"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .withColumn("__next", lead(col("__v"), 1).over(w))
+      .filter(col("__prev").isNotNull && col("__next").isNotNull &&
+        col("__v") > col("__prev") && col("__v") > col("__next"))
+      .select(col("__g").as(groupCol), col("__d").as(dayCol),
+        round(col("__v").cast("double") / unitScale, 6).as("value"),
+        round((col("__v") - greatest(col("__prev"), col("__next")))
+          .cast("double") / unitScale, 6).as("prominence"))
+  }
+
   /** Lead–lag cross-correlation between two daily series: Pearson of
     * (x_t, y_{t+lag}) for lag ∈ [−maxLag, maxLag] — "does series x LEAD
     * series y?" (positive-lag peak) or lag it. The two-series generalization

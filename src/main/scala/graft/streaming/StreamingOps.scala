@@ -1197,6 +1197,47 @@ object StreamingOps {
       }
   }
 
+  final case class PeakState(d1: Long, v1: Double, d2: Long, v2: Double)
+  final case class PeakOut(series: String, day: java.sql.Date, value: Double,
+                           prominence: Double)
+
+  /** Streaming local-maximum detector — the incremental twin of
+    * [[graft.ext.Series.peaks]]: a peak is confirmed one day LATE (when the
+    * right neighbor arrives), from an O(1) two-day ring of state per series.
+    * Strict-inequality and edge conventions match the batch operator; the
+    * in-order/unique-day contract is [[acfDailyStream]]'s (late/duplicate
+    * days dropped). Emits (series, peak day, value, prominence).
+    */
+  def peaksStream(daily: Dataset[DailyValue]): Dataset[PeakOut] = {
+    import daily.sparkSession.implicits._
+    daily
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[PeakState, PeakOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[DailyValue],
+         state: GroupState[PeakState]) =>
+          var st = state.getOption.getOrElse(
+            PeakState(Long.MinValue, 0.0, Long.MinValue, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[PeakOut]
+          it.toSeq.sortBy(_.day.getTime).foreach { e =>
+            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            if (st.d2 == Long.MinValue || epochDay > st.d2) {
+              // ROW adjacency in day order — the batch lag/lead convention
+              // (calendar holes are just neighbors, not edges)
+              if (st.d1 != Long.MinValue &&
+                st.v2 > st.v1 && st.v2 > e.x) {
+                val prom = st.v2 - math.max(st.v1, e.x)
+                out += PeakOut(series,
+                  new java.sql.Date(st.d2 * 86400000L), st.v2, prom)
+              }
+              st = PeakState(st.d2, st.v2, epochDay, e.x)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   final case class HoltState(n: Long, x1: Double, level: Double,
                              trend: Double, sae: Double, lastEpochDay: Long)
   final case class HoltOut(series: String, day: java.sql.Date, n_days: Long,

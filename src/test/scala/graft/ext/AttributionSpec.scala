@@ -2,6 +2,8 @@ package graft.ext
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkTestBase
 
 class AttributionSpec extends SparkTestBase {
@@ -122,5 +124,37 @@ class AttributionSpec extends SparkTestBase {
     ))
     assert(out("view")._1 == 1L)  // id 1 < id 2 → view is first
     assert(out("click")._2 == 1L) // click is last
+  }
+
+  test("adstockCorrelation: a lag-distributed response correlates with the " +
+    "adstock transform far better than with the raw driver") {
+    import spark.implicits._
+    // driver: impulses on days 1, 11, 21; outcome: geometric echo of each
+    // impulse over the following week (exactly what adstock models)
+    val days = 1 to 30
+    val driver = days.map { d =>
+      (f"2024-03-$d%02d", if (d % 10 == 1) 1000L else 0L)
+    }
+    val theta = 0.7
+    val outcome = days.map { d =>
+      val echo = (0 to 9).map { k =>
+        if (d - k >= 1 && (d - k) % 10 == 1)
+          (1000 * math.pow(theta, k)).round
+        else 0L
+      }.sum
+      (f"2024-03-$d%02d", echo)
+    }
+    def df(rows: Seq[(String, Long)]) = rows.toDF("d", "v")
+      .select(col("d").cast("date").as("d"),
+        col("v").cast("decimal(38,0)").as("v"))
+    val out = Attribution.adstockCorrelation(df(driver), df(outcome),
+        "d", "v", "v", lnTheta = math.log(theta), maxLag = 14)
+      .collect().head
+    assert(out.getLong(0) == 30)
+    val raw = out.getDouble(1); val ads = out.getDouble(2)
+    assert(ads > 0.99, s"adstock should nearly perfectly fit: $ads")
+    // raw still picks up the echo's day-0 spike (~0.75); adstock closes
+    // the remaining gap to ~1
+    assert(ads > raw + 0.2, s"adstock $ads must beat raw $raw")
   }
 }

@@ -344,4 +344,31 @@ class ExperimentSpec extends SparkTestBase {
     assert(Experiment.krippendorffAlpha(opposite, "u", "label")
       .collect().head.getDouble(4) < 0.0)
   }
+
+  test("diffInDiff recovers a planted treatment effect on top of a shared " +
+    "time trend") {
+    import spark.implicits._
+    // control: 10 → 13 (trend +3); treated: 20 → 28 (trend +3, effect +5)
+    def cellRows(t: Boolean, p: Boolean, base: Long) =
+      (0 until 50).map(i => (t, p, base + (i % 3))) // small within-cell noise
+    val rows = cellRows(t = false, p = false, 10) ++
+      cellRows(t = false, p = true, 13) ++
+      cellRows(t = true, p = false, 20) ++
+      cellRows(t = true, p = true, 28)
+    val out = Experiment.diffInDiff(rows.toDF("treated", "post", "v"),
+      "treated", "post", "v").collect().head
+    assert(out.getLong(0) == 200)
+    assert(approx(out.getDouble(5), 5.0, 1e-9), s"did = ${out.getDouble(5)}")
+    assert(out.getDouble(7) > 10, "effect >> noise must be significant")
+  }
+
+  test("diffInDiff: identical trends and no effect give did = 0") {
+    import spark.implicits._
+    val rows = for {
+      t <- Seq(false, true); p <- Seq(false, true); i <- 0 until 30
+    } yield (t, p, (if (p) 15L else 10L) + (i % 4))
+    val out = Experiment.diffInDiff(rows.toDF("treated", "post", "v"),
+      "treated", "post", "v").collect().head
+    assert(out.getDouble(5) == 0.0)
+  }
 }

@@ -74,6 +74,24 @@ class SeriesSpec extends SparkTestBase {
     assert(self(0L) == 1.0)
   }
 
+  test("peaks: strict local maxima with prominence; edges and plateaus are " +
+    "not peaks") {
+    import spark.implicits._
+    // values: 5, 9, 3, 7, 7, 2, 8  → peaks: day2 (9, prom 4); the 7-plateau
+    // is NOT a peak (not strict); day7's 8 is an edge
+    val vals = Seq(5L, 9L, 3L, 7L, 7L, 2L, 8L)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      ("s", f"2024-01-0${i + 1}", v)
+    }
+    val df = rows.toDF("g", "d", "v")
+      .select(col("g"), col("d").cast("date").as("d"),
+        col("v").cast("decimal(38,0)").as("v"))
+    val out = Series.peaks(df, "g", "d", "v").collect()
+    assert(out.length == 1)
+    assert(out.head.getDate(1).toString == "2024-01-02")
+    assert(out.head.getDouble(2) == 9.0 && out.head.getDouble(3) == 4.0)
+  }
+
   test("ljungBox: a linear (trend-only, zero-residual-structure) series " +
     "still rejects but a tiny-lag Q is finite and positive") {
     import spark.implicits._

@@ -322,6 +322,36 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(math.abs(last.getDouble(5) - batch.getDouble(4)) < 1e-9, "e_runs")
   }
 
+  test("peaksStream confirms each peak one day late and matches the batch " +
+    "detector's peaks exactly") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.DailyValue
+    def d(day: Int) = java.sql.Date.valueOf(f"2024-08-$day%02d")
+    val xs = Seq(5.0, 9.0, 3.0, 7.0, 7.0, 2.0, 8.0, 1.0)
+    val rows = xs.zipWithIndex.map { case (x, i) => DailyValue("a", d(i + 1), x) }
+    val input = MemoryStream[DailyValue]
+    input.addData(rows.take(3): _*)
+    val q = StreamingOps.peaksStream(input.toDS())
+      .writeStream.format("memory").queryName("peaks_stream")
+      .outputMode("update").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+    val stream = spark.table("peaks_stream").collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val batch = graft.ext.Series.peaks(
+        rows.toDF("g", "day", "x")
+          .select(col("g"), col("day"),
+            col("x").cast("decimal(18,6)").as("v")),
+        "g", "day", "v")
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(stream.toSeq == batch.toSeq, s"stream $stream vs batch $batch")
+    assert(stream.nonEmpty)
+  }
+
   test("holtStream folds bit-identically to the batch Holt smoother " +
     "across micro-batches and ignores late/duplicate days") {
     implicit val sc = spark.sqlContext
