@@ -1316,6 +1316,160 @@ object PinnacleQueries {
       |ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------------
+  // QQ plot between two brand price distributions
+  // --------------------------------------------------------------------------
+
+  /** Decile QQ points of Brand#11 vs Brand#22 line prices — the
+    * distribution-comparison surface behind q_ks_drift's one-number
+    * statistic: where exactly do the two distributions diverge? Per-group
+    * quantiles are rank-picked within group-partitioned windows (exact, no
+    * interpolation; `percentile_disc` convention rn = ⌈p·n⌉).
+    */
+  def qQqPlot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand").isin("Brand#11", "Brand#22"))
+      .select(col("p_brand").as("brand"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"),
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("tie"))
+    val w = Window.partitionBy(col("brand")).orderBy(col("cents"), col("tie"))
+    val ranked = x.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("brand"))))
+    val probs = spark.range(1, 10)
+      .select((col("id").cast("double") / 10).as("p"))
+    val at = ranked.join(broadcast(probs),
+        col("rn") === greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .select(col("p"), col("brand"), col("cents"))
+    at.groupBy(col("p"))
+      .agg(max(when(col("brand") === "Brand#11", col("cents"))).as("q_a"),
+        max(when(col("brand") === "Brand#22", col("cents"))).as("q_b"))
+      .select(col("p"), col("q_a"), col("q_b"),
+        round(col("q_a").cast("double") / col("q_b"), 6).as("qq_ratio"))
+      .orderBy(col("p"))
+  }
+
+  val qqPlotSql: String =
+    """WITH x AS (SELECT p_brand AS brand,
+      |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+      |    l_orderkey * 8 + l_linenumber AS tie
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand IN ('Brand#11', 'Brand#22')),
+      |r AS (SELECT brand, cents,
+      |    ROW_NUMBER() OVER (PARTITION BY brand ORDER BY cents, tie) AS rn,
+      |    COUNT(*) OVER (PARTITION BY brand) AS n FROM x),
+      |pr AS (SELECT CAST(i AS DOUBLE) / 10 AS p
+      |  FROM (SELECT unnest(generate_series(1, 9)) AS i)),
+      |at AS (SELECT p, brand, cents FROM r JOIN pr
+      |  ON rn = GREATEST(1, CAST(ceil(p * n) AS BIGINT)))
+      |SELECT p,
+      |  MAX(CASE WHEN brand = 'Brand#11' THEN cents END) AS q_a,
+      |  MAX(CASE WHEN brand = 'Brand#22' THEN cents END) AS q_b,
+      |  ROUND(CAST(MAX(CASE WHEN brand = 'Brand#11' THEN cents END)
+      |    AS DOUBLE) / MAX(CASE WHEN brand = 'Brand#22' THEN cents END), 6)
+      |    AS qq_ratio
+      |FROM at GROUP BY p ORDER BY p""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Chapman capture–recapture catalog estimate
+  // --------------------------------------------------------------------------
+
+  /** Chapman mark–recapture estimate of the active catalog from two
+    * independent "sightings" (parts ordered in 1995-01 vs 1995-02):
+    * N̂ = (n₁+1)(n₂+1)/(m+1) − 1 — the classic "how big is the population
+    * we're sampling from" estimator, scored against the true part count.
+    * The corpus-survey workhorse when full enumeration is off the table.
+    */
+  def qCaptureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey"), date_format(col("o_orderdate"), "yyyy-MM")
+        .as("m"))
+    val s1 = li.filter(col("m") === "1995-01").select(col("l_partkey")).distinct()
+      .localCheckpoint(eager = true) // counted + overlap-joined
+    val s2 = li.filter(col("m") === "1995-02").select(col("l_partkey")).distinct()
+      .localCheckpoint(eager = true)
+    val n1 = s1.agg(count(lit(1)).as("n1"))
+    val n2 = s2.agg(count(lit(1)).as("n2"))
+    val m = s1.join(s2, "l_partkey").agg(count(lit(1)).as("m"))
+    val truth = Tables.part(spark, dir).agg(count(lit(1)).as("true_n"))
+    n1.crossJoin(n2).crossJoin(m).crossJoin(truth)
+      .select(col("n1"), col("n2"), col("m"), col("true_n"),
+        round((col("n1") + 1).cast("double") * (col("n2") + 1) /
+          (col("m") + 1) - 1, 6).as("chapman_n"),
+        round(((col("n1") + 1).cast("double") * (col("n2") + 1) /
+          (col("m") + 1) - 1) / col("true_n"), 6).as("coverage_ratio"))
+  }
+
+  val captureRecaptureSql: String =
+    """WITH li AS (SELECT l_partkey, strftime(o_orderdate, '%Y-%m') AS m
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |s1 AS (SELECT DISTINCT l_partkey FROM li WHERE m = '1995-01'),
+      |s2 AS (SELECT DISTINCT l_partkey FROM li WHERE m = '1995-02'),
+      |a AS (SELECT (SELECT COUNT(*) FROM s1) AS n1,
+      |    (SELECT COUNT(*) FROM s2) AS n2,
+      |    (SELECT COUNT(*) FROM s1 JOIN s2 USING (l_partkey)) AS m,
+      |    (SELECT COUNT(*) FROM part) AS true_n)
+      |SELECT n1, n2, m, true_n,
+      |  ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1, 6)
+      |    AS chapman_n,
+      |  ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1) - 1) / true_n, 6)
+      |    AS coverage_ratio
+      |FROM a""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Chao1 vocabulary richness + Good–Turing unseen mass
+  // --------------------------------------------------------------------------
+
+  /** How much of the PHRASE space has the corpus not shown yet? Chao1
+    * richness in its bias-corrected form `V + n₁(n₁−1)/(2(n₂+1))` (defined
+    * even with no doubletons) over word 3-shingle types, plus the
+    * Good–Turing unseen-probability mass `n₁/N` — the saturation gauge next
+    * to q_heaps_law's growth exponent. Unigrams are useless here (the
+    * synthetic vocabulary is closed — zero singletons); 3-shingles have the
+    * heavy rare tail richness estimation exists for.
+    */
+  def qChao1(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(graft.functions.WordShingles.shingles(col("text"), 3))
+        .as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    counts.agg(count(lit(1)).as("vocab_seen"),
+        sum(col("c")).as("n_tokens"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_singletons"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("vocab_seen"), col("n_tokens"), col("n_singletons"),
+        col("n_doubletons"),
+        round(col("vocab_seen") +
+          (col("n_singletons") * (col("n_singletons") - 1)).cast("double") /
+          ((col("n_doubletons") + 1) * 2), 6).as("chao1"),
+        round(col("n_singletons").cast("double") / col("n_tokens"), 6)
+          .as("unseen_mass"))
+  }
+
+  val chao1Sql: String =
+    """WITH t AS (SELECT string_split(text, ' ') AS l FROM documents),
+      |c AS (SELECT tok, COUNT(*) AS c FROM
+      |    (SELECT unnest(list_transform(
+      |      generate_series(1, greatest(len(l) - 2, 1)),
+      |      i -> array_to_string(list_slice(l, i, least(i + 2, len(l))), ' ')))
+      |      AS tok FROM t)
+      |  GROUP BY 1)
+      |SELECT COUNT(*) AS vocab_seen,
+      |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_singletons,
+      |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_doubletons,
+      |  ROUND(COUNT(*) +
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) *
+      |         (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1) AS DOUBLE) /
+      |    ((SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1) * 2), 6) AS chao1,
+      |  ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+      |    CAST(SUM(c) AS BIGINT), 6) AS unseen_mass
+      |FROM c""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -1346,7 +1500,10 @@ object PinnacleQueries {
     "q_prefix_compress" -> (qPrefixCompress _),
     "q_diff_in_diff" -> (qDiffInDiff _),
     "q_adstock" -> (qAdstock _),
-    "q_peaks" -> (qPeaks _))
+    "q_peaks" -> (qPeaks _),
+    "q_qq_plot" -> (qQqPlot _),
+    "q_capture_recapture" -> (qCaptureRecapture _),
+    "q_chao1" -> (qChao1 _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -1377,5 +1534,8 @@ object PinnacleQueries {
     "q_prefix_compress" -> prefixCompressSql,
     "q_diff_in_diff" -> diffInDiffSql,
     "q_adstock" -> adstockSql,
-    "q_peaks" -> peaksSql)
+    "q_peaks" -> peaksSql,
+    "q_qq_plot" -> qqPlotSql,
+    "q_capture_recapture" -> captureRecaptureSql,
+    "q_chao1" -> chao1Sql)
 }
