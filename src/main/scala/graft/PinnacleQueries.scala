@@ -1470,6 +1470,123 @@ object PinnacleQueries {
       |FROM c""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Count overdispersion
+  // --------------------------------------------------------------------------
+
+  /** Poisson-overdispersion audit of daily event counts per type: dispersion
+    * index var/mean and the χ² index-of-dispersion test
+    * z = (χ² − (n−1))/√(2(n−1)) — the "is a Poisson model even admissible"
+    * gate before any count-based alerting threshold (overdispersed feeds
+    * need negative-binomial thresholds or q_cusum's empirical
+    * standardization). All moments exact integer daily counts.
+    */
+  def qOverdispersion(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("c"))
+    val m = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("s2"))
+    val mean = col("s").cast("double") / col("n_days")
+    val vr = col("s2").cast("double") / col("n_days") - mean * mean
+    val chi2 = col("n_days") * vr / mean
+    val z = (chi2 - (col("n_days") - 1)) /
+      sqrt((col("n_days") - 1).cast("double") * 2)
+    m.select(col("event_type"), col("n_days"),
+        round(mean, 6).as("mean"), round(vr, 6).as("variance"),
+        round(vr / mean, 6).as("dispersion"),
+        round(chi2, 6).as("chi2"), round(z, 6).as("z_stat"),
+        (z > 1.96).as("overdispersed"))
+      .orderBy(col("event_type"))
+  }
+
+  val overdispersionSql: String =
+    """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+      |    COUNT(*) AS c FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, COUNT(*) AS n_days,
+      |    CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS s2
+      |  FROM d GROUP BY 1),
+      |f AS (SELECT event_type, n_days,
+      |    CAST(s AS DOUBLE) / n_days AS mean,
+      |    CAST(s2 AS DOUBLE) / n_days -
+      |      (CAST(s AS DOUBLE) / n_days) * (CAST(s AS DOUBLE) / n_days)
+      |      AS vr
+      |  FROM m),
+      |g AS (SELECT event_type, n_days, mean, vr,
+      |    n_days * vr / mean AS chi2,
+      |    (n_days * vr / mean - (n_days - 1)) /
+      |      sqrt(CAST(n_days - 1 AS DOUBLE) * 2) AS z
+      |  FROM f)
+      |SELECT event_type, n_days, ROUND(mean, 6) AS mean,
+      |  ROUND(vr, 6) AS variance, ROUND(vr / mean, 6) AS dispersion,
+      |  ROUND(chi2, 6) AS chi2, ROUND(z, 6) AS z_stat,
+      |  z > 1.96 AS overdispersed
+      |FROM g ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Jackknife standard error of a ratio metric
+  // --------------------------------------------------------------------------
+
+  /** Delete-one-brand jackknife SE of the corpus return rate: θ_(i) =
+    * (R−r_i)/(N−n_i) from per-brand exact counts (the [[graft.ext
+    * .Importance.looSourceImpact]] LOO algebra), SE = √((k−1)/k ·
+    * Σ(θ_(i) − θ̄)²) — the honest uncertainty of a ratio whose rows are
+    * CLUSTERED by brand, where the naive binomial SE undercounts.
+    */
+  def qJackknifeSe(spark: SparkSession, dir: String): DataFrame = {
+    val b = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_b"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r_b"))
+      .localCheckpoint(eager = true) // totals + per-brand LOO read it
+    val tot = b.agg(sum(col("n_b")).as("nn"), sum(col("r_b")).as("rr"),
+      count(lit(1)).as("k"))
+    val loo = b.crossJoin(broadcast(tot))
+      .select(col("nn"), col("rr"), col("k"),
+        ((col("rr") - col("r_b")).cast("double") /
+          (col("nn") - col("n_b"))).as("th"))
+    val mean = loo.groupBy(col("nn"), col("rr"), col("k"))
+      .agg((sum(col("th").cast("decimal(28,12)")).cast("double") / col("k"))
+        .as("th_bar"))
+    loo.join(broadcast(mean), Seq("nn", "rr", "k"))
+      .select(col("nn"), col("rr"), col("k"),
+        ((col("th") - col("th_bar")) * (col("th") - col("th_bar")))
+          .cast("decimal(28,12)").as("__d2"))
+      .groupBy(col("k"), col("nn"), col("rr"))
+      .agg(sum(col("__d2")).cast("double").as("__ss"))
+      .select(col("k").as("n_strata"),
+        round(col("rr").cast("double") / col("nn"), 6).as("theta"),
+        round(sqrt((col("k") - 1).cast("double") / col("k") * col("__ss")), 6)
+          .as("jackknife_se"))
+  }
+
+  val jackknifeSeSql: String =
+    """WITH b AS (SELECT p_brand,
+      |    COUNT(*) AS n_b,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r_b
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_b) AS BIGINT) AS nn,
+      |    CAST(SUM(r_b) AS BIGINT) AS rr, COUNT(*) AS k FROM b),
+      |loo AS (SELECT nn, rr, k,
+      |    CAST(rr - r_b AS DOUBLE) / (nn - n_b) AS th
+      |  FROM b CROSS JOIN t),
+      |mb AS (SELECT nn, rr, k,
+      |    CAST(SUM(CAST(th AS DECIMAL(28,12))) AS DOUBLE) / k AS th_bar
+      |  FROM loo GROUP BY 1, 2, 3),
+      |ss AS (SELECT loo.k, loo.nn, loo.rr,
+      |    CAST(SUM(CAST((th - th_bar) * (th - th_bar) AS DECIMAL(28,12)))
+      |      AS DOUBLE) AS s2
+      |  FROM loo JOIN mb ON loo.nn = mb.nn AND loo.rr = mb.rr
+      |    AND loo.k = mb.k
+      |  GROUP BY 1, 2, 3)
+      |SELECT k AS n_strata,
+      |  ROUND(CAST(rr AS DOUBLE) / nn, 6) AS theta,
+      |  ROUND(sqrt(CAST(k - 1 AS DOUBLE) / k * s2), 6) AS jackknife_se
+      |FROM ss""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_err_rank" -> (qErrRank _),
@@ -1503,7 +1620,9 @@ object PinnacleQueries {
     "q_peaks" -> (qPeaks _),
     "q_qq_plot" -> (qQqPlot _),
     "q_capture_recapture" -> (qCaptureRecapture _),
-    "q_chao1" -> (qChao1 _))
+    "q_chao1" -> (qChao1 _),
+    "q_overdispersion" -> (qOverdispersion _),
+    "q_jackknife_se" -> (qJackknifeSe _))
 
   val oracleSql: Map[String, String] = Map(
     "q_err_rank" -> errRankSql,
@@ -1537,5 +1656,7 @@ object PinnacleQueries {
     "q_peaks" -> peaksSql,
     "q_qq_plot" -> qqPlotSql,
     "q_capture_recapture" -> captureRecaptureSql,
-    "q_chao1" -> chao1Sql)
+    "q_chao1" -> chao1Sql,
+    "q_overdispersion" -> overdispersionSql,
+    "q_jackknife_se" -> jackknifeSeSql)
 }
