@@ -193,7 +193,8 @@ object SparkEntry {
     "q_gini" -> (qGini _)
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries ++
     FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries ++
-    ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries
+    ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries ++
+    ApexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -351,5 +352,6 @@ object SparkEntry {
         |FROM s""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql ++
     FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
-    ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql
+    ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
+    ApexQueries.oracleSql
 }

@@ -280,4 +280,29 @@ object Profiling {
       .select(col("__g").as(groupCol), col("__n").as("n_rows"),
         col("__tw").as("total_weight"), col("__v").as("w_median"))
   }
+
+  /** Source-freshness audit — the ingestion-health check every multi-source
+    * pipeline runs before a training snapshot: per source (event type, feed,
+    * crawl), the last-seen event time and its lag behind the freshest source
+    * in the corpus, flagged when the lag exceeds `staleAfterSec`. A source
+    * that silently stopped emitting shows up here long before it shows up as
+    * a distribution shift in `q_source_kl`/`q_psi_price`.
+    *
+    * All arithmetic is integer epoch seconds — exact on both engines. Scale
+    * shape: one groupBy(source) max/count over the scan (map-side combined),
+    * then a broadcast of the 1-row global max. Output per source asc:
+    * (source, n_events, last_seen_epoch, staleness_sec, is_stale).
+    */
+  def freshness(df: DataFrame, sourceCol: String, tsCol: String,
+                staleAfterSec: Long = 3600L): DataFrame = {
+    val per = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_timestamp(col(tsCol))).as("last_seen_epoch"))
+    val global = per.agg(max(col("last_seen_epoch")).as("__gmax"))
+    per.crossJoin(broadcast(global))
+      .select(col("source"), col("n_events"), col("last_seen_epoch"),
+        (col("__gmax") - col("last_seen_epoch")).as("staleness_sec"),
+        (col("__gmax") - col("last_seen_epoch") > staleAfterSec).as("is_stale"))
+      .orderBy(col("source"))
+  }
 }

@@ -575,4 +575,43 @@ object TextStats {
         round(col("n_novel").cast("double") / col("n_sh"), 6)
           .as("novelty_rate"))
   }
+
+  /** Vocabulary-coverage / OOV curve: for each candidate vocabulary size V,
+    * the share of total token OCCURRENCES covered by the top-V tokens (by
+    * frequency, token-lexical tiebreak) — the first number a tokenizer
+    * budget decision needs ("how big must the vocab be before the OOV rate
+    * drops below 1%?"), and the occurrence-weighted complement of
+    * `q_vocab_diversity`'s type-based view.
+    *
+    * Scale shape: one token-count groupBy over the scan (map-side combined),
+    * then ranking of the VOCAB table via [[GlobalRank.globalRowNumber]] (no
+    * single-task window even at web-corpus vocab sizes), then an explode of
+    * |sizes| threshold tags per vocab row — linear in vocab × |sizes|, never
+    * in corpus size. Output per V asc:
+    * (vocab_size, covered_occurrences, total_occurrences, coverage, oov_rate).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    sizes: Seq[Int]): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 1), s"bad vocab sizes $sizes")
+    val toks = docs
+      .select(explode(split(lower(col(textCol)), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val ranked = GlobalRank.globalRowNumber(
+      toks, Seq(col("cnt").desc, col("tok")))
+    val tagged = ranked.select(
+      explode(array(sizes.map(lit(_)): _*)).as("vocab_size"),
+      col("rn"), col("cnt"))
+    tagged.groupBy(col("vocab_size"))
+      .agg(sum(when(col("rn") <= col("vocab_size"), col("cnt")).otherwise(0L))
+          .as("covered_occurrences"),
+        sum(col("cnt")).as("total_occurrences"))
+      .select(col("vocab_size"), col("covered_occurrences"),
+        col("total_occurrences"),
+        round(col("covered_occurrences").cast("double") /
+          col("total_occurrences"), 6).as("coverage"),
+        round(lit(1.0) - col("covered_occurrences").cast("double") /
+          col("total_occurrences"), 6).as("oov_rate"))
+      .orderBy(col("vocab_size"))
+  }
 }

@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Golden + property tests for the round-8 batch-#5 modules: RankCorr,
+  * Contingency, RatioMetric, Periodogram, Sketches, TextStats.vocabCoverage,
+  * Profiling.freshness.
+  */
+class ApexModulesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // --------------------------------------------------------------- RankCorr
+
+  test("spearman: perfect monotone (nonlinear) association is exactly +1, " +
+    "reversal is -1") {
+    val up = Seq((1.0, 1.0), (2.0, 8.0), (3.0, 27.0), (4.0, 64.0), (5.0, 125.0))
+      .toDF("x", "y")
+    val rho = RankCorr.spearman(up, "x", "y").collect().head.getDouble(1)
+    assert(approx(rho, 1.0), s"monotone cube must give rho=1, got $rho")
+    val down = up.withColumn("y", -col("y"))
+    val rho2 = RankCorr.spearman(down, "x", "y").collect().head.getDouble(1)
+    assert(approx(rho2, -1.0), s"reversed must give rho=-1, got $rho2")
+  }
+
+  test("spearman: tie handling matches the textbook average-rank value") {
+    // x = [1,1,2], y = [10,20,30]: avg ranks x=(1.5,1.5,3), y=(1,2,3)
+    // rho = Pearson((1.5,1.5,3),(1,2,3)) = (3*13.5-6*6)/sqrt((3*13.5-36)(3*14-36))
+    //     = 4.5/sqrt(4.5*6) = 4.5/sqrt(27) = 0.8660254...
+    val df = Seq((1.0, 10.0), (1.0, 20.0), (2.0, 30.0)).toDF("x", "y")
+    val out = RankCorr.spearman(df, "x", "y").collect().head
+    assert(out.getLong(0) == 3L)
+    assert(approx(out.getDouble(1), 4.5 / math.sqrt(27.0)),
+      s"tie-aware rho wrong: ${out.getDouble(1)}")
+  }
+
+  test("spearman: invariant under strictly monotone transform of either side") {
+    val df = Seq.tabulate(40)(i => (i.toDouble, ((i * 7) % 40).toDouble))
+      .toDF("x", "y")
+    val base = RankCorr.spearman(df, "x", "y").collect().head.getDouble(1)
+    val tx = df.withColumn("x", exp(col("x") / 10))
+      .withColumn("y", pow(col("y") + 1, 3))
+    val trans = RankCorr.spearman(tx, "x", "y").collect().head.getDouble(1)
+    assert(approx(base, trans, 1e-12),
+      s"rank correlation must survive monotone transforms: $base vs $trans")
+  }
+
+  // ------------------------------------------------------------ Contingency
+
+  test("chiSquareCramersV: independent margins give chi2 = 0, perfect " +
+    "association gives V = 1") {
+    // independence: every (a,b) cell count = product form 2x2 with equal rows
+    val ind = Seq.fill(10)(("a1", "b1")) ++ Seq.fill(10)(("a1", "b2")) ++
+      Seq.fill(10)(("a2", "b1")) ++ Seq.fill(10)(("a2", "b2"))
+    val o1 = Contingency.chiSquareCramersV(ind.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(approx(o1.getAs[Double]("chi2"), 0.0, 1e-9))
+    assert(approx(o1.getAs[Double]("cramers_v"), 0.0, 1e-9))
+    // perfect: a determines b -> chi2 = N*min(r-1,c-1), V = 1
+    val dep = Seq.fill(7)(("a1", "b1")) ++ Seq.fill(9)(("a2", "b2"))
+    val o2 = Contingency.chiSquareCramersV(dep.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert(approx(o2.getAs[Double]("cramers_v"), 1.0, 1e-9),
+      s"deterministic association must give V=1: $o2")
+    assert(o2.getAs[Long]("dof") == 1L)
+  }
+
+  test("chiSquareCramersV: hand-computed 2x2 including an empty cell") {
+    // cells: (a1,b1)=4, (a1,b2)=0(empty), (a2,b1)=1, (a2,b2)=3; N=8
+    // ra=(4,4) cb=(5,3); e11=2.5 e12=1.5 e21=2.5 e22=1.5
+    // chi2 = (1.5²/2.5)+(1.5²/1.5)+(1.5²/2.5)+(1.5²/1.5) = 0.9+1.5+0.9+1.5 = 4.8
+    val df = (Seq.fill(4)(("a1", "b1")) ++ Seq.fill(1)(("a2", "b1")) ++
+      Seq.fill(3)(("a2", "b2"))).toDF("a", "b")
+    val o = Contingency.chiSquareCramersV(df, "a", "b").collect().head
+    assert(approx(o.getAs[Double]("chi2"), 4.8, 1e-9), s"chi2 wrong: $o")
+    assert(approx(o.getAs[Double]("cramers_v"), math.sqrt(4.8 / 8), 1e-9))
+  }
+
+  // ------------------------------------------------------------ RatioMetric
+
+  test("deltaMethodRatio: identical clusters have zero variance -> se = 0") {
+    val df = Seq.tabulate(6)(i => ("g", i.toLong, 500L, 2L))
+      .toDF("grp", "cl", "xc", "yc")
+    val o = RatioMetric.deltaMethodRatio(df, "grp", "cl",
+      col("xc").cast("decimal(19,0)"), col("yc")).collect().head
+    assert(approx(o.getAs[Double]("ratio"), 250.0))
+    assert(approx(o.getAs[Double]("se"), 0.0, 1e-12), s"se must be 0: $o")
+  }
+
+  test("deltaMethodRatio: matches a directly-computed delta-method SE") {
+    // clusters (x, y): (100,1), (300,2), (200,1), (400,4)
+    val xs = Seq(100.0, 300.0, 200.0, 400.0)
+    val ys = Seq(1.0, 2.0, 1.0, 4.0)
+    val n = 4.0
+    val xb = xs.sum / n; val yb = ys.sum / n; val r = xs.sum / ys.sum
+    val vx = xs.map(v => (v - xb) * (v - xb)).sum / (n - 1)
+    val vy = ys.map(v => (v - yb) * (v - yb)).sum / (n - 1)
+    val cxy = xs.zip(ys).map { case (a, b) => (a - xb) * (b - yb) }.sum / (n - 1)
+    val se = math.sqrt((vx - 2 * r * cxy + r * r * vy) / (n * yb * yb))
+    val df = xs.zip(ys).zipWithIndex
+      .map { case ((x, y), i) => ("g", i.toLong, x.toLong, y.toLong) }
+      .toDF("grp", "cl", "xc", "yc")
+    val o = RatioMetric.deltaMethodRatio(df, "grp", "cl",
+      col("xc").cast("decimal(19,0)"), col("yc")).collect().head
+    assert(approx(o.getAs[Double]("ratio"), r, 1e-9))
+    assert(approx(o.getAs[Double]("se"), se, 1e-9),
+      s"delta-method se: expected $se got $o")
+  }
+
+  // ------------------------------------------------------------ Periodogram
+
+  test("anovaPeriodogram: an exact 7-day cycle explains all variance at p=7 " +
+    "(and its multiple 14), and less elsewhere") {
+    val days = Seq.tabulate(70)(i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        BigDecimal(1000000L * ((i % 7) + 1))))
+    val df = days.toDF("day", "x").withColumn("x", col("x").cast("decimal(19,0)"))
+    val out = Periodogram.anovaPeriodogram(df, "day", "x", 2, 14)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(approx(out(7), 1.0, 1e-9), s"p=7 must explain everything: $out")
+    assert(approx(out(14), 1.0, 1e-9), s"p=14 folds 7-cycles exactly: $out")
+    assert(out(2) < 0.999 && out(3) < 0.999,
+      s"non-divisor periods must explain strictly less: $out")
+    out.values.foreach(v =>
+      assert(v >= -1e-9 && v <= 1.0 + 1e-9, s"r2 out of [0,1]: $out"))
+  }
+
+  // --------------------------------------------------------------- Sketches
+
+  test("countMinTopKAudit: estimates never underestimate, and with a sketch " +
+    "far wider than the item count the top-k estimates are exact") {
+    val items = (Seq.fill(50)(1L) ++ Seq.fill(30)(2L) ++ Seq.fill(20)(3L) ++
+      (4L to 13L)).toDF("item_id")
+    val audit = Sketches.countMinTopKAudit(items, "item_id", k = 5,
+      depth = 4, width = 1024).collect()
+    assert(audit.length == 5)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("overestimate") >= 0L,
+        s"CMS must never underestimate: $r")
+    }
+    // 13 items in 1024 buckets x 4 rows: some row is collision-free for each
+    // top item with overwhelming odds; all golden counts recoverable
+    val top = audit.map(r => r.getAs[Long]("item") -> r.getAs[Long]("true_cnt"))
+    assert(top.take(3).toSeq == Seq(1L -> 50L, 2L -> 30L, 3L -> 20L))
+  }
+
+  test("countMinSketch: sketch mass equals total row count per hash row") {
+    val items = (1L to 100L).flatMap(i => Seq.fill((i % 5).toInt + 1)(i))
+      .toDF("item_id")
+    val n = items.count()
+    val sketch = Sketches.countMinSketch(items, "item_id", depth = 3, width = 16)
+    val perRow = sketch.groupBy("j").agg(sum("bucket_cnt").as("mass"))
+      .collect().map(r => r.getAs[Long]("mass"))
+    assert(perRow.length == 3 && perRow.forall(_ == n),
+      s"each hash row must conserve total mass $n: ${perRow.toSeq}")
+  }
+
+  // ----------------------------------------------- TextStats.vocabCoverage
+
+  test("vocabCoverage: coverage is monotone in V, bounded by 1, and total " +
+    "once V >= vocabulary size") {
+    val docs = Seq("a a a b b c", "a b c d", "a e").toDF("text")
+    val out = TextStats.vocabCoverage(docs, "text", Seq(1, 2, 5, 100))
+      .collect().map(r => r.getAs[Int]("vocab_size") ->
+        r.getAs[Double]("coverage")).toMap
+    assert(out(1) == math.rint(1e6 * 5.0 / 12) / 1e6) // 'a' x5 of 12 tokens
+    assert(out(1) <= out(2) && out(2) <= out(5) && out(5) <= out(100))
+    assert(approx(out(100), 1.0), s"V beyond vocab must cover all: $out")
+  }
+
+  // ------------------------------------------------- Profiling.freshness
+
+  test("freshness: freshest source has zero staleness; older sources are " +
+    "flagged beyond the threshold") {
+    val ts = Seq(
+      ("feed_a", java.sql.Timestamp.valueOf("2024-01-10 12:00:00")),
+      ("feed_a", java.sql.Timestamp.valueOf("2024-01-10 10:00:00")),
+      ("feed_b", java.sql.Timestamp.valueOf("2024-01-10 11:30:00")),
+      ("feed_c", java.sql.Timestamp.valueOf("2024-01-09 12:00:00")))
+      .toDF("source_name", "ts")
+    val out = Profiling.freshness(ts, "source_name", "ts", 3600L).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("staleness_sec"),
+        r.getAs[Boolean]("is_stale"))).toSeq
+    assert(out == Seq(("feed_a", 0L, false), ("feed_b", 1800L, false),
+      ("feed_c", 86400L, true)), s"unexpected freshness table: $out")
+  }
+}
