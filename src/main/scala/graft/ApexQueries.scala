@@ -284,6 +284,195 @@ object ApexQueries {
       |ORDER BY true_cnt DESC, item""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Portable HyperLogLog audit
+  // --------------------------------------------------------------------------
+
+  /** md5-portable HLL (b=6, m=64) distinct-part estimate vs the exact count
+    * ([[Sketches.hyperLogLogAudit]]) — the oracle replays the sketch
+    * register-for-register, which Spark's built-in HLL++ can never offer.
+    */
+  def qHllEstimate(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hyperLogLogAudit(Tables.lineitem(spark, dir), "l_partkey", b = 6)
+      .select(col("m"), col("v_empty"),
+        round(col("hll_estimate"), 6).as("hll_estimate"),
+        col("true_distinct"), round(col("rel_err_pct"), 6).as("rel_err_pct"))
+
+  val hllEstimateSql: String =
+    """WITH h AS (SELECT CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+      |    1, 8)) AS BIGINT) AS h FROM lineitem),
+      |hw AS (SELECT h % 64 AS idx, h // 64 AS w FROM h),
+      |r AS (SELECT idx, MAX(CASE WHEN w = 0 THEN 27
+      |    ELSE 27 - len(bin(w)) END) AS mreg FROM hw GROUP BY 1),
+      |spine AS (SELECT unnest(generate_series(0, 63)) AS idx),
+      |fl AS (SELECT spine.idx, COALESCE(mreg, 0) AS mreg
+      |  FROM spine LEFT JOIN r USING (idx)),
+      |z AS (SELECT SUM(power(2.0, -CAST(mreg AS DOUBLE))) AS zsum,
+      |    CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+      |  FROM fl),
+      |ex AS (SELECT COUNT(DISTINCT l_partkey) AS true_distinct FROM lineitem),
+      |e AS (SELECT v_empty, true_distinct,
+      |    0.709 * (64.0 * 64.0) / zsum AS raw FROM z CROSS JOIN ex),
+      |f AS (SELECT v_empty, true_distinct,
+      |    CASE WHEN raw <= 160.0 AND v_empty > 0
+      |      THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE)) ELSE raw END AS est
+      |  FROM e)
+      |SELECT 64 AS m, v_empty, ROUND(est, 6) AS hll_estimate, true_distinct,
+      |  ROUND(100.0 * abs(est - CAST(true_distinct AS DOUBLE)) /
+      |    CAST(true_distinct AS DOUBLE), 6) AS rel_err_pct
+      |FROM f""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Welch's t-test
+  // --------------------------------------------------------------------------
+
+  /** Welch's unequal-variance t over per-user purchase revenue, arms from
+    * the deterministic md5 bucket ([[graft.ext.Experiment.welchTTest]]) —
+    * the continuous-metric companion of q_ab_test's two-proportion z.
+    */
+  def qWelchTtest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .withColumn("arm",
+        when(graft.ext.Splits.hashBucket(col("user_id")) % 2 === 0, lit("A"))
+          .otherwise(lit("B")))
+    graft.ext.Experiment.welchTTest(ev, "arm", "user_id",
+        xExact = col("value").cast("decimal(18,6)") * lit(1000000),
+        armA = "A", armB = "B")
+      .select(col("n_a"), col("n_b"),
+        round(col("mean_a") / 1000000.0, 6).as("mean_a"),
+        round(col("mean_b") / 1000000.0, 6).as("mean_b"),
+        round(col("t_stat"), 6).as("t_stat"),
+        round(col("dof"), 6).as("dof"), col("significant"))
+  }
+
+  val welchTtestSql: String =
+    """WITH pu AS (SELECT user_id,
+      |    CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 100 % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS DECIMAL(19,0))
+      |      AS x
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |m AS (SELECT arm, COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx
+      |  FROM pu GROUP BY 1),
+      |a AS (SELECT n AS n_a, sx AS sx_a, sxx AS sxx_a FROM m WHERE arm = 'A'),
+      |b AS (SELECT n AS n_b, sx AS sx_b, sxx AS sxx_b FROM m WHERE arm = 'B'),
+      |f AS (SELECT n_a, n_b,
+      |    CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS ma,
+      |    CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mb,
+      |    ((CAST(sxx_a AS DOUBLE) - CAST(n_a AS DOUBLE) *
+      |      ((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)) *
+      |       (CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)))) /
+      |      (CAST(n_a AS DOUBLE) - 1)) / CAST(n_a AS DOUBLE) AS sa,
+      |    ((CAST(sxx_b AS DOUBLE) - CAST(n_b AS DOUBLE) *
+      |      ((CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)) *
+      |       (CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE)))) /
+      |      (CAST(n_b AS DOUBLE) - 1)) / CAST(n_b AS DOUBLE) AS sb
+      |  FROM a CROSS JOIN b),
+      |g AS (SELECT n_a, n_b, ma, mb,
+      |    (ma - mb) / sqrt(sa + sb) AS t,
+      |    ((sa + sb) * (sa + sb)) /
+      |      ((sa * sa) / (CAST(n_a AS DOUBLE) - 1) +
+      |       (sb * sb) / (CAST(n_b AS DOUBLE) - 1)) AS dof
+      |  FROM f)
+      |SELECT n_a, n_b,
+      |  ROUND(ma / 1000000.0, 6) AS mean_a, ROUND(mb / 1000000.0, 6) AS mean_b,
+      |  ROUND(t, 6) AS t_stat, ROUND(dof, 6) AS dof,
+      |  abs(t) > 1.959963984540054 AS significant
+      |FROM g""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Gumbel block-maxima return levels
+  // --------------------------------------------------------------------------
+
+  /** Gumbel return levels of the DAILY PEAK event value at 30/90/365-day
+    * horizons ([[graft.ext.Series.gumbelReturnLevels]]) — extreme-value
+    * capacity planning over the day-maxima series.
+    */
+  def qGumbelLevels(spark: SparkSession, dir: String): DataFrame = {
+    val dailyMax = Tables.events(spark, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(max((col("value").cast("decimal(18,6)") * lit(1000000))
+        .cast("decimal(19,0)")).as("x_micro"))
+    graft.ext.Series.gumbelReturnLevels(dailyMax, "x_micro", Seq(30, 90, 365))
+      .select(col("t_blocks"), col("n_blocks"),
+        round(col("mu") / 1000000.0, 6).as("mu"),
+        round(col("beta") / 1000000.0, 6).as("beta"),
+        round(col("return_level") / 1000000.0, 6).as("return_level"))
+  }
+
+  val gumbelLevelsSql: String =
+    """WITH daily AS (SELECT date_trunc('day', ts) AS day,
+      |    MAX(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(19,0)))
+      |      AS x
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(x * x) AS sxx FROM daily),
+      |f AS (SELECT n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS xb,
+      |    sqrt((CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) *
+      |      ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) /
+      |      (CAST(n AS DOUBLE) - 1)) AS s
+      |  FROM m),
+      |g AS (SELECT n, xb, s * 0.779696801233676 AS beta FROM f),
+      |h AS (SELECT n, xb - 0.5772156649015329 * beta AS mu, beta FROM g),
+      |t AS (SELECT unnest([30, 90, 365]) AS t_blocks)
+      |SELECT t_blocks, n AS n_blocks,
+      |  ROUND(mu / 1000000.0, 6) AS mu, ROUND(beta / 1000000.0, 6) AS beta,
+      |  ROUND((mu - beta * ln(-ln(1.0 - 1.0 / CAST(t_blocks AS DOUBLE)))) /
+      |    1000000.0, 6) AS return_level
+      |FROM h CROSS JOIN t ORDER BY t_blocks""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Interpolated trigram NLL
+  // --------------------------------------------------------------------------
+
+  /** Per-document trigram-LM negative log likelihood with three-way
+    * Jelinek-Mercer backoff ([[graft.ext.TextQuality.trigramNll]]) — the top
+    * rung of the unigram/bigram/trigram quality-filter ladder.
+    */
+  def qTrigramNll(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextQuality.trigramNll(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val trigramNllSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |tg AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i]))
+      |      AS w1,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+1]))
+      |      AS w2,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+2]))
+      |      AS w3
+      |  FROM s),
+      |dtf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tg
+      |  GROUP BY 1, 2, 3, 4),
+      |c3 AS (SELECT w1, w2, w3, CAST(SUM(tf) AS BIGINT) AS cnt3 FROM dtf
+      |  GROUP BY 1, 2, 3),
+      |bg AS (SELECT
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i]))
+      |      AS b1,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i+1]))
+      |      AS b2
+      |  FROM s),
+      |c2 AS (SELECT b1, b2, COUNT(*) AS cnt2 FROM bg GROUP BY 1, 2),
+      |tok AS (SELECT unnest(l) AS t0 FROM s),
+      |c1 AS (SELECT t0, COUNT(*) AS cnt1 FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS total FROM c1)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+      |  ROUND(-CAST(SUM(CAST(tf * ln(0.6 * (CAST(cnt3 AS DOUBLE) / ctx.cnt2)
+      |      + 0.3 * (CAST(suf.cnt2 AS DOUBLE) / u2.cnt1)
+      |      + 0.1 * (CAST(u3.cnt1 AS DOUBLE) / total)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) / CAST(SUM(tf) AS BIGINT), 6) AS avg_nll3
+      |FROM dtf JOIN c3 USING (w1, w2, w3)
+      |  JOIN c2 ctx ON dtf.w1 = ctx.b1 AND dtf.w2 = ctx.b2
+      |  JOIN c2 suf ON dtf.w2 = suf.b1 AND dtf.w3 = suf.b2
+      |  JOIN c1 u2 ON dtf.w2 = u2.t0
+      |  JOIN c1 u3 ON dtf.w3 = u3.t0
+      |  CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -292,7 +481,11 @@ object ApexQueries {
     "q_periodogram" -> (qPeriodogram _),
     "q_oov_rate" -> (qOovRate _),
     "q_freshness" -> (qFreshness _),
-    "q_cms_sketch" -> (qCmsSketch _))
+    "q_cms_sketch" -> (qCmsSketch _),
+    "q_hll_estimate" -> (qHllEstimate _),
+    "q_welch_ttest" -> (qWelchTtest _),
+    "q_gumbel_levels" -> (qGumbelLevels _),
+    "q_trigram_nll" -> (qTrigramNll _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -301,5 +494,9 @@ object ApexQueries {
     "q_periodogram" -> periodogramSql,
     "q_oov_rate" -> oovRateSql,
     "q_freshness" -> freshnessSql,
-    "q_cms_sketch" -> cmsSketchSql)
+    "q_cms_sketch" -> cmsSketchSql,
+    "q_hll_estimate" -> hllEstimateSql,
+    "q_welch_ttest" -> welchTtestSql,
+    "q_gumbel_levels" -> gumbelLevelsSql,
+    "q_trigram_nll" -> trigramNllSql)
 }

@@ -555,4 +555,50 @@ object Experiment {
       round(se, 6).as("se"),
       round(did / when(se === 0.0, lit(null)).otherwise(se), 6).as("z_stat"))
   }
+
+  /** Welch's unequal-variance t-test over CLUSTER-level totals — the
+    * continuous-metric companion of [[srm]]/the two-proportion z
+    * (`q_ab_test`): compares mean x between two arms without assuming equal
+    * variances, with the Satterthwaite degrees-of-freedom approximation
+    *
+    *   t = (x̄_a − x̄_b) / sqrt(v_a/n_a + v_b/n_b),
+    *   ν = (v_a/n_a + v_b/n_b)² / ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1)).
+    *
+    * `xExact` must be an exact integer-valued DECIMAL expression at row
+    * grain (e.g. value micro-units) — it is summed per cluster, then the
+    * per-arm moments (n, Σx, Σx²) accumulate in DECIMAL, so everything up
+    * to the final fixed-order double formula is partition-order-exact.
+    * Exactly two arm values must be present; `armA` names the left side of
+    * the difference. Significance is flagged against the normal ±1.96
+    * (ν is large in any data-scale use; no t-table needed).
+    *
+    * Output: 1 row (n_a, n_b, mean_a, mean_b, t_stat, dof, significant) —
+    * means in x's units (caller rescales/rounds).
+    */
+  def welchTTest(df: DataFrame, armCol: String, clusterCol: String,
+                 xExact: Column, armA: String, armB: String): DataFrame = {
+    val clusters = df
+      .filter(col(armCol) === armA || col(armCol) === armB)
+      .groupBy(col(armCol).as("arm"), col(clusterCol).as("cl"))
+      .agg(sum(xExact).cast("decimal(19,0)").as("x"))
+    val m = clusters.groupBy(col("arm")).agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      sum(col("x") * col("x")).as("sxx"))
+    def side(arm: String, suf: String) = m.filter(col("arm") === arm)
+      .select(col("n").as(s"n_$suf"), col("sx").as(s"sx_$suf"),
+        col("sxx").as(s"sxx_$suf"))
+    val j = side(armA, "a").crossJoin(side(armB, "b"))
+    def nD(s: String) = col(s"n_$s").cast("double")
+    def mean(s: String) = col(s"sx_$s").cast("double") / nD(s)
+    def sOverN(s: String) =
+      ((col(s"sxx_$s").cast("double") -
+        nD(s) * (mean(s) * mean(s))) / (nD(s) - 1)) / nD(s)
+    val sa = sOverN("a"); val sb = sOverN("b")
+    val t = (mean("a") - mean("b")) / sqrt(sa + sb)
+    val dof = ((sa + sb) * (sa + sb)) /
+      ((sa * sa) / (nD("a") - 1) + (sb * sb) / (nD("b") - 1))
+    j.select(col("n_a"), col("n_b"), mean("a").as("mean_a"),
+      mean("b").as("mean_b"), t.as("t_stat"), dof.as("dof"),
+      (abs(t) > 1.959963984540054).as("significant"))
+  }
 }

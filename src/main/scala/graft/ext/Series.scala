@@ -179,4 +179,49 @@ object Series {
         ((col("n_obs") * (col("n_obs") + 2)).cast("double") *
           col("__s").cast("double") > crit).as("reject_white"))
   }
+
+  /** Gumbel block-maxima return levels — classical extreme-value analysis
+    * for capacity planning: fit a Gumbel(μ, β) to per-block (per-day) maxima
+    * by the method of moments (β̂ = s·√6/π, μ̂ = x̄ − γβ̂ with Euler's
+    * γ ≈ 0.5772), then invert the CDF for the T-block return level
+    *
+    *   x_T = μ − β·ln(−ln(1 − 1/T))
+    *
+    * — "the daily peak exceeded once every T days". The Gumbel is the
+    * correct max-domain for light-tailed daily aggregates; for heavy tails
+    * the Hill estimator (`q_hill_tail`) is the companion diagnostic.
+    *
+    * `xExactCol` must be exact integer-valued DECIMAL block maxima (maxima
+    * are order-exact by construction; only the moment sums need DECIMAL).
+    * The moment→parameter→level math is one fixed-order double formula with
+    * explicit constants (√6/π and γ as shared literals, per the
+    * two-engines-one-literal discipline). Scale shape: the block-maxima
+    * input is the OUTPUT of an upstream day-grain max aggregation; moments
+    * are one tiny aggregate; |horizons| output rows.
+    *
+    * Output per horizon T asc: (t_blocks, n_blocks, mu, beta, return_level)
+    * in x's units (caller rescales/rounds).
+    */
+  def gumbelReturnLevels(series: DataFrame, xExactCol: String,
+                         horizons: Seq[Int]): DataFrame = {
+    require(horizons.nonEmpty && horizons.forall(_ >= 2),
+      s"horizons must all be >= 2, got $horizons")
+    val m = series
+      .select(col(xExactCol).cast("decimal(19,0)").as("x"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val xb = col("sx").cast("double") / nD
+    val s = sqrt((col("sxx").cast("double") - nD * (xb * xb)) / (nD - 1))
+    val beta = s * lit(0.779696801233676) // sqrt(6)/pi
+    val mu = xb - lit(0.5772156649015329) * beta // Euler–Mascheroni
+    val spark = series.sparkSession
+    import spark.implicits._
+    val hs = horizons.sorted.toDF("t_blocks")
+    m.crossJoin(broadcast(hs)).select(
+      col("t_blocks"), col("n").as("n_blocks"), mu.as("mu"), beta.as("beta"),
+      (mu - beta * log(-log(lit(1.0) - lit(1.0) / col("t_blocks").cast("double"))))
+        .as("return_level"))
+      .orderBy(col("t_blocks"))
+  }
 }

@@ -64,4 +64,65 @@ object Sketches {
         (col("cms_estimate") - col("true_cnt")).as("overestimate"))
       .orderBy(col("true_cnt").desc, col("item"))
   }
+
+  /** Portable HyperLogLog distinct-count audit (Flajolet et al., AofA 2007)
+    * — the cardinality sketch partner of [[countMinSketch]] (frequency) and
+    * MinHash (similarity). Spark's built-in `approx_count_distinct` IS HLL++
+    * but its hash is engine-private; this variant derives everything from
+    * the md5-portable hash so the DuckDB oracle replays the sketch exactly,
+    * making the estimator itself oracle-checkable (the audit the built-in
+    * can never get).
+    *
+    * 32-bit hash h → register idx = h mod m (m = 2^b), payload
+    * w = h div m (32−b bits), ρ(w) = position of the first 1 bit
+    * = (32−b) + 1 − bitlength(w), with ρ = 33−b for w = 0. Registers keep
+    * max ρ; the raw estimate is α_m·m²/Σ_j 2^(−M_j) (empty registers
+    * contribute 2⁰ = 1), with the standard small-range linear-counting
+    * correction when raw ≤ 2.5m and empty registers remain. Every 2^(−M)
+    * term is an exact power of two ≥ 2^(b−33), so the 64-register double
+    * sum is EXACT under any addition order — no DECIMAL quantization
+    * needed.
+    *
+    * Scale shape: one select + groupBy(idx) max over the scan (map-side
+    * combined to m partials per task); the register table is m rows
+    * regardless of scale; the exact-distinct comparison column is the only
+    * full-cardinality aggregate, present because this is the AUDIT — at
+    * 100 TB one ships only the m registers.
+    *
+    * Output: 1 row (m, v_empty, hll_estimate, true_distinct, rel_err_pct).
+    */
+  def hyperLogLogAudit(df: DataFrame, itemCol: String, b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"b=$b out of supported [4,12]")
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val hashed = df.select(h.as("h"))
+      .select((col("h") % m).as("idx"), expr(s"h div $m").as("w"))
+    val rho = when(col("w") === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+    val regs = hashed.select(col("idx"), rho.as("rho"))
+      .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
+    val spine = df.sparkSession.range(m).select(col("id").as("idx"))
+    val full = spine.join(regs, Seq("idx"), "left").na.fill(0, Seq("mreg"))
+    val z = full.agg(
+      sum(pow(lit(2.0), -col("mreg").cast("double"))).as("zsum"),
+      sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = df.agg(countDistinct(col(itemCol)).as("true_distinct"))
+    val raw = lit(alpha) * (lit(m.toDouble) * lit(m.toDouble)) / col("zsum")
+    val est = when(raw <= lit(2.5 * m) && col("v_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+      .otherwise(raw)
+    z.crossJoin(exact).select(
+      lit(m).as("m"), col("v_empty"), est.as("hll_estimate"),
+      col("true_distinct"),
+      (lit(100.0) * abs(est - col("true_distinct").cast("double")) /
+        col("true_distinct").cast("double")).as("rel_err_pct"))
+  }
 }

@@ -242,6 +242,67 @@ object TextQuality {
         round(-sum(col("ll")).cast("double") / sum(col("bf")), 6).as("avg_nll2"))
   }
 
+  /** Interpolated TRIGRAM-LM per-document scoring — the top rung of the
+    * [[unigramNll]]/[[bigramNll]] quality-filter ladder: each trigram scores
+    * `−ln(λ₃·c(w₁w₂w₃)/c(w₁w₂) + λ₂·c(w₂w₃)/c(w₂) + λ₁·c(w₃)/N)`
+    * (three-way Jelinek-Mercer backoff; the lower orders keep unseen
+    * contexts finite). The context counts are POSITIONAL bigram/unigram
+    * counts from the same token stream, so every trigram's context exists
+    * by construction (no zero denominators).
+    *
+    * Scale shape mirrors bigramNll one order up: all count tables are
+    * Zipf-bounded n-gram aggregates (map-side combined), the probe joins
+    * are equi-joins on (w1,w2)/(w2,w3)/w2/w3, log terms computed once per
+    * DISTINCT (doc, trigram) and pooled in DECIMAL(18,8). Docs with fewer
+    * than 3 tokens are absent from the output (no trigrams — stated so the
+    * oracle matches). λ's are three explicit literals (two-engines-one-
+    * literal discipline).
+    */
+  def trigramNll(df: DataFrame, idCol: String, textCol: String,
+                 lambdaTri: Double = 0.6, lambdaBi: Double = 0.3,
+                 lambdaUni: Double = 0.1): DataFrame = {
+    val l = split(col(textCol), " ")
+    val n3 = greatest(size(l) - 2, lit(0))
+    val tgArr = zip_with(
+      slice(l, lit(1), n3),
+      zip_with(slice(l, lit(2), n3), slice(l, lit(3), n3),
+        (b, c) => struct(b.as("w2"), c.as("w3"))),
+      (a, p) => struct(a.as("w1"), p.getField("w2").as("w2"),
+        p.getField("w3").as("w3")))
+    val dtf = df.select(col(idCol), explode(tgArr).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c3 = dtf.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("tf")).as("cnt3"))
+    val bgArr = zip_with(
+      slice(l, lit(1), greatest(size(l) - 1, lit(0))),
+      slice(l, lit(2), greatest(size(l) - 1, lit(0))),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    val c2 = df.select(explode(bgArr).as("b"))
+      .select(col("b.w1").as("b1"), col("b.w2").as("b2"))
+      .groupBy(col("b1"), col("b2")).agg(count(lit(1)).as("cnt2"))
+    val c1 = df.select(explode(l).as("t0"))
+      .groupBy(col("t0")).agg(count(lit(1)).as("cnt1"))
+    val tot = c1.agg(sum(col("cnt1")).as("total"))
+    val p = lit(lambdaTri) * (col("cnt3").cast("double") / col("cnt_ctx")) +
+      lit(lambdaBi) * (col("cnt_suf").cast("double") / col("cnt_w2")) +
+      lit(lambdaUni) * (col("cnt_w3").cast("double") / col("total"))
+    dtf.join(c3, Seq("w1", "w2", "w3"))
+      .join(c2.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cnt2").as("cnt_ctx")), Seq("w1", "w2"))
+      .join(c2.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cnt2").as("cnt_suf")), Seq("w2", "w3"))
+      .join(c1.select(col("t0").as("w2"), col("cnt1").as("cnt_w2")), Seq("w2"))
+      .join(c1.select(col("t0").as("w3"), col("cnt1").as("cnt_w3")), Seq("w3"))
+      .crossJoin(broadcast(tot))
+      .withColumn("ll", (col("tf") * log(p)).cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(-sum(col("ll")).cast("double") / sum(col("tf")), 6).as("avg_nll3"))
+  }
+
   /** Benchmark decontamination: for every non-benchmark document, the fraction of
     * its word `k`-gram shingles that appear anywhere in the benchmark set — the
     * standard train/eval leakage check (a near-copy of an eval document scores

@@ -169,6 +169,101 @@ class ApexModulesSpec extends SparkTestBase {
     assert(approx(out(100), 1.0), s"V beyond vocab must cover all: $out")
   }
 
+  // ------------------------------------------------ Sketches.hyperLogLog
+
+  test("hyperLogLogAudit: multiplicity-invariant (a set property) and " +
+    "within tolerable error at m=64") {
+    val once = (1L to 1000L).toDF("item_id")
+    val thrice = (1L to 1000L).flatMap(i => Seq(i, i, i)).toDF("item_id")
+    val e1 = Sketches.hyperLogLogAudit(once, "item_id").collect().head
+    val e3 = Sketches.hyperLogLogAudit(thrice, "item_id").collect().head
+    assert(e1.getAs[Double]("hll_estimate") == e3.getAs[Double]("hll_estimate"),
+      "HLL must depend only on the distinct set, not multiplicities")
+    assert(e1.getAs[Long]("true_distinct") == 1000L)
+    // m=64 -> relative error ~1.04/8 = 13%; allow 3 sigma
+    assert(e1.getAs[Double]("rel_err_pct") < 40.0,
+      s"estimate too far off: $e1")
+  }
+
+  // ------------------------------------------------ Experiment.welchTTest
+
+  test("welchTTest: identical arms give t = 0; a shifted arm reproduces the " +
+    "hand-computed Welch statistic") {
+    val sym = (1 to 10).flatMap(i =>
+      Seq(("A", i.toLong, 100L + i), ("B", 1000L + i, 100L + i)))
+      .toDF("arm", "uid", "x")
+    val o = Experiment.welchTTest(sym, "arm", "uid",
+      col("x").cast("decimal(19,0)"), "A", "B").collect().head
+    assert(approx(o.getAs[Double]("t_stat"), 0.0, 1e-12), s"t must be 0: $o")
+    assert(!o.getAs[Boolean]("significant"))
+
+    // hand case: A = (1,2,3), B = (11,12,13,14): means 2, 12.5
+    // va = 1, vb = 5/3; sa = 1/3, sb = 5/12; t = -10.5/sqrt(0.75)
+    val ab = Seq(("A", 1L, 1L), ("A", 2L, 2L), ("A", 3L, 3L),
+      ("B", 4L, 11L), ("B", 5L, 12L), ("B", 6L, 13L), ("B", 7L, 14L))
+      .toDF("arm", "uid", "x")
+    val o2 = Experiment.welchTTest(ab, "arm", "uid",
+      col("x").cast("decimal(19,0)"), "A", "B").collect().head
+    val saExp = 1.0 / 3; val sbExp = (5.0 / 3) / 4
+    val tExp = (2.0 - 12.5) / math.sqrt(saExp + sbExp)
+    val dofExp = math.pow(saExp + sbExp, 2) /
+      (saExp * saExp / 2 + sbExp * sbExp / 3)
+    assert(approx(o2.getAs[Double]("t_stat"), tExp, 1e-9), s"t wrong: $o2")
+    assert(approx(o2.getAs[Double]("dof"), dofExp, 1e-9), s"dof wrong: $o2")
+    assert(o2.getAs[Boolean]("significant"))
+  }
+
+  // --------------------------------------------- Series.gumbelReturnLevels
+
+  test("gumbelReturnLevels: constant maxima give beta = 0 and level = mean; " +
+    "levels are monotone in the horizon") {
+    val const = Seq.tabulate(20)(i => (i, BigDecimal(500)))
+      .toDF("day", "x").withColumn("x", col("x").cast("decimal(19,0)"))
+    val c = Series.gumbelReturnLevels(const, "x", Seq(30, 365)).collect()
+    c.foreach { r =>
+      assert(approx(r.getAs[Double]("beta"), 0.0, 1e-12))
+      assert(approx(r.getAs[Double]("return_level"), 500.0, 1e-9), s"$r")
+    }
+    val varied = Seq.tabulate(50)(i => (i, BigDecimal(100 + (i * 37) % 60)))
+      .toDF("day", "x").withColumn("x", col("x").cast("decimal(19,0)"))
+    val lv = Series.gumbelReturnLevels(varied, "x", Seq(10, 30, 90, 365))
+      .collect().map(_.getAs[Double]("return_level"))
+    assert(lv.sliding(2).forall(p => p(0) < p(1)),
+      s"return levels must increase with horizon: ${lv.toSeq}")
+  }
+
+  // ------------------------------------------------ TextQuality.trigramNll
+
+  test("trigramNll: single-trigram corpus matches the closed form; " +
+    "repetitive text scores lower NLL than diverse text") {
+    val one = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val o = TextQuality.trigramNll(one, "doc_id", "text").collect().head
+    // p = 0.6*(1/1) + 0.3*(1/1) + 0.1*(1/3); nll = -ln(p)
+    val exp = -math.log(0.6 + 0.3 + 0.1 / 3.0)
+    assert(o.getAs[Long]("n_trigrams") == 1L)
+    assert(approx(o.getAs[Double]("avg_nll3"), math.rint(exp * 1e6) / 1e6, 1e-9),
+      s"closed form mismatch: $o vs $exp")
+
+    // predictability: doc 1's context (a,b) always continues with c;
+    // doc 2's same-shape contexts each have 3 competing continuations
+    val corpus = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "a b x a b y a b z"))
+      .toDF("doc_id", "text")
+    val nll = TextQuality.trigramNll(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_nll3")).toMap
+    assert(nll(1L) < nll(2L),
+      s"deterministic continuation must score lower trigram NLL: $nll")
+    nll.values.foreach(v => assert(v >= 0.0,
+      s"interpolated p <= 1 implies NLL >= 0: $nll"))
+  }
+
+  test("trigramNll: docs with fewer than 3 tokens are absent, not errors") {
+    val df = Seq((1L, "only two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = TextQuality.trigramNll(df, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
