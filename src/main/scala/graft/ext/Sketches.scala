@@ -25,8 +25,8 @@ import org.apache.spark.sql.functions._
   */
 object Sketches {
 
-  private def bucket(j: org.apache.spark.sql.Column,
-                     item: org.apache.spark.sql.Column, width: Int) =
+  private[graft] def bucket(j: org.apache.spark.sql.Column,
+                            item: org.apache.spark.sql.Column, width: Int) =
     conv(substring(md5(concat(j.cast("string"), lit(":"),
       item.cast("string"))), 1, 8), 16, 10).cast("long") % width
 

@@ -1290,4 +1290,48 @@ object StreamingOps {
           out.iterator
       }
   }
+
+  /** Streaming twin of [[graft.ext.Profiling.freshness]]: per-source event
+    * count and last-seen epoch, maintained incrementally — the live
+    * ingestion-health board. Pure built-in streaming aggregation: state is
+    * one (count, max) pair per source, bounded by source cardinality, no
+    * watermark needed (max/count never need retraction). The batch
+    * operator's staleness flag compares against the GLOBAL max — a
+    * snapshot-level projection the consumer applies to the emitted table
+    * (same crossJoin as batch), since a cross-source comparison inside the
+    * stream would serialize all keys through one state row.
+    *
+    * Output per trigger (Update/Complete): (source, n_events,
+    * last_seen_epoch) — after the stream drains it equals
+    * `Profiling.freshness` minus the staleness projection.
+    */
+  def freshnessStream(stream: DataFrame, sourceCol: String = "event_type",
+                      tsCol: String = "ts"): DataFrame =
+    stream.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_events"),
+        max(unix_timestamp(col(tsCol))).as("last_seen_epoch"))
+
+  /** Streaming twin of [[graft.ext.Sketches.countMinSketch]]: the d×w
+    * counter matrix as an incrementally-maintained streaming aggregation —
+    * the fixed-memory frequency sketch a 100 TB/day ingest keeps warm for
+    * point queries. State is exactly d·w counters regardless of stream
+    * cardinality or length (the CMS guarantee made physical), so no
+    * watermark and no TTL. One documented delta vs batch: the batch builder
+    * pre-reduces per item before the d-way explode (an unbounded-state
+    * luxury a stream cannot afford), so the stream explodes raw rows ×d —
+    * same sketch, d× the map-side rows, counters identical.
+    *
+    * Output per trigger (Update/Complete): (j, bucket, bucket_cnt); after
+    * the stream drains the snapshot equals `Sketches.countMinSketch`.
+    */
+  def countMinSketchStream(stream: DataFrame, itemCol: String,
+                           depth: Int = 4, width: Int = 256): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    stream
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col(itemCol).as("item"))
+      .groupBy(col("j"),
+        graft.ext.Sketches.bucket(col("j"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("bucket_cnt"))
+  }
 }

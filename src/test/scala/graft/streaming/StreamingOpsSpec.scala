@@ -10,6 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 final case class IncDoc(doc_id: Long, text: String)
 final case class PrivRow(region: String, band: Long, salary: Double)
 final case class CorpusDoc(src: String, doc_id: Long, text: String)
+final case class SourcedEvent(src: String, ts: Timestamp)
 
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -1074,5 +1075,62 @@ class StreamingOpsSpec extends SparkTestBase {
     val fin = graft.ext.Experiment
       .bhFdrFromCounts(spark.table("bh_counts"), "grp").collect()
     assert(fin.find(_.getString(0) == "A").get.getBoolean(7))
+  }
+
+  test("freshnessStream snapshot matches the batch freshness audit across " +
+    "micro-batches") {
+    implicit val sc = spark.sqlContext
+    val b1 = Seq(SourcedEvent("feed_a", ts(0)), SourcedEvent("feed_a", ts(10)),
+      SourcedEvent("feed_b", ts(5)))
+    val b2 = Seq(SourcedEvent("feed_b", ts(20)), SourcedEvent("feed_c", ts(2)))
+    val input = MemoryStream[SourcedEvent]
+    val query = StreamingOps.freshnessStream(input.toDF(), "src", "ts")
+      .writeStream.format("memory").queryName("fresh_stream")
+      .outputMode("complete").start()
+    input.addData(b1: _*); query.processAllAvailable()
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("fresh_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val batch = graft.ext.Profiling
+      .freshness((b1 ++ b2).toDF(), "src", "ts", 3600L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream=$streamed batch=$batch")
+    // the snapshot-level staleness projection reproduces the batch flags
+    val gmax = streamed.map(_._3).max
+    val flags = streamed.map(t => t._1 -> (gmax - t._3 > 300L)).toMap
+    assert(flags == Map("feed_a" -> true, "feed_b" -> false, "feed_c" -> true))
+  }
+
+  test("countMinSketchStream snapshot equals the batch CMS counter for " +
+    "counter matrix across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val b1 = (1L to 40L) ++ Seq.fill(10)(7L)
+    val b2 = (20L to 60L) ++ Seq.fill(5)(7L)
+    val input = MemoryStream[Long]
+    val query = StreamingOps
+      .countMinSketchStream(input.toDF().withColumnRenamed("value", "item_id"),
+        "item_id", depth = 3, width = 32)
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").start()
+    input.addData(b1: _*); query.processAllAvailable()
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("cms_stream").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = graft.ext.Sketches
+      .countMinSketch((b1 ++ b2).toDF("item_id"), "item_id",
+        depth = 3, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch,
+      s"streaming sketch must equal batch sketch: ${streamed.size} vs ${batch.size} cells")
+    // mass conservation per hash row at the snapshot
+    val n = (b1 ++ b2).size.toLong
+    (0 to 2).foreach { j =>
+      val mass = streamed.collect { case ((jj, _), c) if jj == j => c }.sum
+      assert(mass == n, s"row $j mass $mass != $n")
+    }
   }
 }
