@@ -473,6 +473,117 @@ object ApexQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Lloyd k-means iteration
+  // --------------------------------------------------------------------------
+
+  /** One full Lloyd round over the embeddings (assign → per-dim DECIMAL mean
+    * update → re-assign; [[graft.ext.Clustering.lloydIterations]]) from the
+    * deterministic `vec_id < 8` seeds — the iterative completion of
+    * q_centroid_assign, oracle-checked through the centroid UPDATE, which
+    * the assignment-only query never exercises.
+    */
+  def qKmeansIters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.ext.Clustering.lloydIterations(emb, "vec_id", "embedding",
+        seeds, "cid", "cvec", iters = 1, dims = 64)
+      .select(col("centroid_id"), col("n_members"),
+        round(col("mean_cos"), 6).as("mean_cos"))
+      .orderBy(col("centroid_id"))
+  }
+
+  val kmeansItersSql: String =
+    """WITH v AS (SELECT vec_id, embedding,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nv
+      |  FROM embeddings),
+      |c0 AS (SELECT vec_id AS cid,
+      |    list_transform(generate_series(1, 64), i -> embedding[i]::DOUBLE)
+      |      AS ce
+      |  FROM embeddings WHERE vec_id < 8),
+      |cn0 AS (SELECT cid, ce, sqrt(list_sum(list_transform(
+      |    generate_series(1, 64), i -> ce[i] * ce[i]))) AS nc FROM c0),
+      |s1 AS (SELECT v.vec_id, cn0.cid,
+      |    CASE WHEN v.nv = 0 OR cn0.nc = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(generate_series(1, 64),
+      |        i -> v.embedding[i]::DOUBLE * cn0.ce[i])) / (v.nv * cn0.nc)
+      |    END AS cos
+      |  FROM v CROSS JOIN cn0),
+      |a1 AS (SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cid) AS rk FROM s1),
+      |asn1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1),
+      |upd AS (SELECT asn1.cid, ii.i,
+      |    CAST(SUM(CAST(v.embedding[ii.i]::DOUBLE AS DECIMAL(18,9)))
+      |      AS DOUBLE) / COUNT(*) AS mu
+      |  FROM asn1 JOIN v USING (vec_id)
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) ii
+      |  GROUP BY 1, 2),
+      |c1 AS (SELECT cid, list(mu ORDER BY i) AS ce FROM upd GROUP BY 1),
+      |cn1 AS (SELECT cid, ce, sqrt(list_sum(list_transform(
+      |    generate_series(1, 64), i -> ce[i] * ce[i]))) AS nc FROM c1),
+      |s2 AS (SELECT v.vec_id, cn1.cid,
+      |    CASE WHEN v.nv = 0 OR cn1.nc = 0 THEN 0.0
+      |      ELSE list_sum(list_transform(generate_series(1, 64),
+      |        i -> v.embedding[i]::DOUBLE * cn1.ce[i])) / (v.nv * cn1.nc)
+      |    END AS cos
+      |  FROM v CROSS JOIN cn1),
+      |a2 AS (SELECT vec_id, cid, cos, ROW_NUMBER() OVER (PARTITION BY vec_id
+      |    ORDER BY cos DESC, cid) AS rk FROM s2),
+      |asn2 AS (SELECT vec_id, cid, cos FROM a2 WHERE rk = 1)
+      |SELECT cid AS centroid_id, COUNT(*) AS n_members,
+      |  ROUND(CAST(SUM(CAST(cos AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_cos
+      |FROM asn2 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Grouped HyperLogLog
+  // --------------------------------------------------------------------------
+
+  /** Per-event-type distinct-user HLL audit
+    * ([[Sketches.hyperLogLogGroupedAudit]]) — one 64-register sketch per
+    * source, the per-partition cardinality profile a 100 TB ingest ships
+    * instead of per-source distinct shuffles.
+    */
+  def qHllGrouped(spark: SparkSession, dir: String): DataFrame =
+    Sketches.hyperLogLogGroupedAudit(Tables.events(spark, dir),
+        "event_type", "user_id", b = 6)
+      .select(col("event_type"), col("v_empty"),
+        round(col("hll_estimate"), 6).as("hll_estimate"),
+        col("true_distinct"), round(col("rel_err_pct"), 6).as("rel_err_pct"))
+
+  val hllGroupedSql: String =
+    """WITH h AS (SELECT event_type AS grp,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) AS h
+      |  FROM events),
+      |hw AS (SELECT grp, h % 64 AS idx, h // 64 AS w FROM h),
+      |r AS (SELECT grp, idx, MAX(CASE WHEN w = 0 THEN 27
+      |    ELSE 27 - len(bin(w)) END) AS mreg FROM hw GROUP BY 1, 2),
+      |spine AS (SELECT grp, idx FROM (SELECT DISTINCT event_type AS grp
+      |    FROM events) CROSS JOIN (SELECT unnest(generate_series(0, 63))
+      |    AS idx)),
+      |fl AS (SELECT spine.grp, spine.idx, COALESCE(mreg, 0) AS mreg
+      |  FROM spine LEFT JOIN r USING (grp, idx)),
+      |z AS (SELECT grp, SUM(power(2.0, -CAST(mreg AS DOUBLE))) AS zsum,
+      |    CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS v_empty
+      |  FROM fl GROUP BY 1),
+      |ex AS (SELECT event_type AS grp, COUNT(DISTINCT user_id)
+      |    AS true_distinct FROM events GROUP BY 1),
+      |e AS (SELECT z.grp, v_empty, true_distinct,
+      |    0.709 * (64.0 * 64.0) / zsum AS raw FROM z JOIN ex USING (grp)),
+      |f AS (SELECT grp, v_empty, true_distinct,
+      |    CASE WHEN raw <= 160.0 AND v_empty > 0
+      |      THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE)) ELSE raw END AS est
+      |  FROM e)
+      |SELECT grp AS event_type, v_empty, ROUND(est, 6) AS hll_estimate,
+      |  true_distinct,
+      |  ROUND(100.0 * abs(est - CAST(true_distinct AS DOUBLE)) /
+      |    CAST(true_distinct AS DOUBLE), 6) AS rel_err_pct
+      |FROM f ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -485,7 +596,9 @@ object ApexQueries {
     "q_hll_estimate" -> (qHllEstimate _),
     "q_welch_ttest" -> (qWelchTtest _),
     "q_gumbel_levels" -> (qGumbelLevels _),
-    "q_trigram_nll" -> (qTrigramNll _))
+    "q_trigram_nll" -> (qTrigramNll _),
+    "q_kmeans_iters" -> (qKmeansIters _),
+    "q_hll_grouped" -> (qHllGrouped _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -498,5 +611,7 @@ object ApexQueries {
     "q_hll_estimate" -> hllEstimateSql,
     "q_welch_ttest" -> welchTtestSql,
     "q_gumbel_levels" -> gumbelLevelsSql,
-    "q_trigram_nll" -> trigramNllSql)
+    "q_trigram_nll" -> trigramNllSql,
+    "q_kmeans_iters" -> kmeansItersSql,
+    "q_hll_grouped" -> hllGroupedSql)
 }

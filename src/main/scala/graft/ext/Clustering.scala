@@ -149,4 +149,75 @@ object Clustering {
       .select(col(idCol), col(labelCol), col("__al").as("pred_label"),
         col("__n").as("n_votes"))
   }
+
+  /** Full Lloyd k-means iterations over cosine similarity — the iterative
+    * completion of [[assignToCentroids]] (which is one half-step): each
+    * round assigns every vector to its highest-cosine centroid (ties to the
+    * smaller centroid id), then recomputes each centroid as the per-
+    * dimension MEAN of its members. Plain means (not renormalized) keep the
+    * update oracle-expressible; cosine against an unnormalized mean centroid
+    * is scale-invariant in the centroid anyway.
+    *
+    * Exactness: per-dimension member sums pool in DECIMAL(18,9) (float
+    * components widen to double exactly, then quantize identically on both
+    * engines), so the new centroids are bit-identical doubles; cosines fold
+    * the 64 products in array order on both engines (dotGeneric ⇔
+    * list_sum∘list_transform). A cluster that loses all members simply
+    * drops out of the next round (documented; k shrinks).
+    *
+    * Scale shape per round: assignment is the broadcast-centroid scan +
+    * per-id argmax (no vector-vector join); the update is ONE
+    * (cid, dim)-keyed aggregate over posexploded members (map-side
+    * combined, 64·k partial rows per task) rebuilt into arrays with a
+    * sorted collect_list over 64 rows per cid. Rounds are a driver-side
+    * loop of `iters` fixed plans — no lineage blowup at small iters (the
+    * dupClusters checkpoint discipline applies if iters grows).
+    *
+    * Output after the final assignment, one row per surviving centroid:
+    * (centroid_id, n_members, mean_cos) — mean cosine DECIMAL(18,8)-pooled.
+    */
+  def lloydIterations(vecs: DataFrame, idCol: String, vecCol: String,
+                      centroids0: DataFrame, cidCol: String, cvecCol: String,
+                      iters: Int, dims: Int): DataFrame = {
+    require(iters >= 1 && dims >= 1, s"bad iters=$iters dims=$dims")
+    val v = vecs.select(col(idCol), col(vecCol),
+      sqrt(SimSearch.dotGeneric(col(vecCol), col(vecCol))).as("__nv"))
+
+    def assign(cents: DataFrame): DataFrame = {
+      val c = cents.select(col("cid").as("__cid"), col("cvec").as("__cv"),
+        sqrt(SimSearch.dotGeneric(col("cvec"), col("cvec"))).as("__nc"))
+      val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+        .otherwise(SimSearch.dotGeneric(col(vecCol), col("__cv")) /
+          (col("__nv") * col("__nc")))
+      v.crossJoin(broadcast(c))
+        .select(col(idCol), col("__cid"), cos.as("__cos"))
+        .groupBy(col(idCol))
+        .agg(min(struct((-col("__cos")).as("neg"), col("__cid").as("cid"),
+          col("__cos").as("cos"))).as("__b"))
+        .select(col(idCol), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
+    }
+
+    var cents = centroids0.select(col(cidCol).as("cid"),
+      col(cvecCol).cast("array<double>").as("cvec"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = assign(cents)
+      cents = assigned.select(col(idCol), col("cid"))
+        .join(v.select(col(idCol), col(vecCol)), Seq(idCol))
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+        .groupBy(col("cid"), col("__pos"))
+        .agg(sum(col("__x").cast("double").cast("decimal(18,9)")).as("__s"),
+          count(lit(1)).as("__n"))
+        .select(col("cid"), col("__pos"),
+          (col("__s").cast("double") / col("__n")).as("__mu"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mu")))),
+          e => e.getField("__mu")).as("cvec"))
+    }
+    assign(cents)
+      .groupBy(col("cid").as("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cos").cast("decimal(18,8)")).cast("double") /
+          count(lit(1))).as("mean_cos"))
+  }
 }

@@ -125,4 +125,55 @@ object Sketches {
       (lit(100.0) * abs(est - col("true_distinct").cast("double")) /
         col("true_distinct").cast("double")).as("rel_err_pct"))
   }
+
+  /** Per-group [[hyperLogLogAudit]] — one m-register sketch per group key
+    * (per-source distinct users, per-partition cardinality profiling). The
+    * register aggregate keys on (group, idx) — m partials per group per
+    * task, map-side combined — and the register spine is the distinct-group
+    * table crossed with the m-row range, so empty registers contribute their
+    * 2⁰ on every group. Same estimator math as the global audit.
+    *
+    * Output per group asc: (group, v_empty, hll_estimate, true_distinct,
+    * rel_err_pct).
+    */
+  def hyperLogLogGroupedAudit(df: DataFrame, groupCol: String, itemCol: String,
+                              b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"b=$b out of supported [4,12]")
+    val m = 1 << b
+    val wBits = 32 - b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val hashed = df.select(col(groupCol).as("grp"), h.as("h"))
+      .select(col("grp"), (col("h") % m).as("idx"), expr(s"h div $m").as("w"))
+    val rho = when(col("w") === 0, lit(wBits + 1))
+      .otherwise(lit(wBits + 1) - length(bin(col("w"))))
+    val regs = hashed.select(col("grp"), col("idx"), rho.as("rho"))
+      .groupBy(col("grp"), col("idx")).agg(max(col("rho")).as("mreg"))
+    val spine = df.select(col(groupCol).as("grp")).distinct()
+      .crossJoin(broadcast(
+        df.sparkSession.range(m).select(col("id").as("idx"))))
+    val full = spine.join(regs, Seq("grp", "idx"), "left")
+      .na.fill(0, Seq("mreg"))
+    val z = full.groupBy(col("grp")).agg(
+      sum(pow(lit(2.0), -col("mreg").cast("double"))).as("zsum"),
+      sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v_empty"))
+    val exact = df.groupBy(col(groupCol).as("grp"))
+      .agg(countDistinct(col(itemCol)).as("true_distinct"))
+    val raw = lit(alpha) * (lit(m.toDouble) * lit(m.toDouble)) / col("zsum")
+    val est = when(raw <= lit(2.5 * m) && col("v_empty") > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+      .otherwise(raw)
+    z.join(exact, Seq("grp")).select(
+      col("grp").as(groupCol), col("v_empty"), est.as("hll_estimate"),
+      col("true_distinct"),
+      (lit(100.0) * abs(est - col("true_distinct").cast("double")) /
+        col("true_distinct").cast("double")).as("rel_err_pct"))
+      .orderBy(col(groupCol))
+  }
 }

@@ -264,6 +264,55 @@ class ApexModulesSpec extends SparkTestBase {
     assert(out.map(_.getLong(0)).toSeq == Seq(2L))
   }
 
+  // ------------------------------------------ Clustering.lloydIterations
+
+  test("lloydIterations: well-separated clusters converge to their means " +
+    "and cohesion improves with iterations") {
+    // two tight cosine clusters in 4-d: around e1 and around e3
+    val a = Seq.tabulate(10)(i =>
+      (i.toLong, Array(1.0f, 0.05f * i, 0.0f, 0.0f)))
+    val b = Seq.tabulate(10)(i =>
+      (100L + i, Array(0.0f, 0.0f, 1.0f, 0.04f * i)))
+    val vecs = (a ++ b).toDF("vec_id", "embedding")
+    val seeds = vecs.filter(col("vec_id").isin(0L, 100L))
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val out = Clustering.lloydIterations(vecs, "vec_id", "embedding",
+      seeds, "cid", "cvec", iters = 2, dims = 4).collect()
+      .map(r => r.getAs[Long]("centroid_id") ->
+        (r.getAs[Long]("n_members"), r.getAs[Double]("mean_cos"))).toMap
+    assert(out.keySet == Set(0L, 100L))
+    assert(out(0L)._1 == 10L && out(100L)._1 == 10L,
+      s"separated clusters must keep their members: $out")
+    out.values.foreach { case (_, mc) =>
+      assert(mc > 0.99, s"mean centroid moved to the cluster interior: $out")
+    }
+    // cohesion is at least as good as against the raw seed centroids
+    val seedPass = Clustering.lloydIterations(vecs, "vec_id", "embedding",
+      seeds, "cid", "cvec", iters = 1, dims = 4).collect()
+      .map(r => r.getAs[Double]("mean_cos")).sum / 2
+    val twoPass = out.values.map(_._2).sum / 2
+    assert(twoPass >= seedPass - 1e-12,
+      s"mean cosine must not degrade with iterations: $seedPass -> $twoPass")
+  }
+
+  // -------------------------------------- Sketches.hyperLogLogGroupedAudit
+
+  test("hyperLogLogGroupedAudit: each group's sketch is independent and " +
+    "matches the global audit run on that group alone") {
+    val df = ((1L to 500L).map(i => ("g1", i)) ++
+      (1L to 80L).map(i => ("g2", i * 1000L))).toDF("grp", "item_id")
+    val grouped = Sketches.hyperLogLogGroupedAudit(df, "grp", "item_id")
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("hll_estimate"))
+      .toMap
+    Seq("g1", "g2").foreach { g =>
+      val solo = Sketches
+        .hyperLogLogAudit(df.filter(col("grp") === g), "item_id")
+        .collect().head.getAs[Double]("hll_estimate")
+      assert(grouped(g) == solo,
+        s"group $g sketch must equal the solo audit: ${grouped(g)} vs $solo")
+    }
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
