@@ -584,6 +584,123 @@ object ApexQueries {
       |FROM f ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Graph modularity of the LPA partition
+  // --------------------------------------------------------------------------
+
+  /** Newman modularity of q_communities' label-propagation partition over
+    * the repeat-co-purchase graph ([[graft.ext.Communities.modularity]]) —
+    * the quality score that says whether the partition found real structure
+    * (Q ≳ 0.3) or noise (Q ≈ 0). The oracle replays the 3 LPA rounds AND
+    * the modularity arithmetic.
+    */
+  def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    val edges = SummitQueries.copurchaseEdges(spark, dir)
+    val labels = graft.ext.Communities.labelPropagation(edges,
+      "src", "dst", "w", iters = 3)
+    graft.ext.Communities.modularity(edges, "src", "dst", "w",
+        labels, "node", "label")
+      .select(col("n_communities"), col("total_weight"),
+        round(col("modularity"), 6).as("modularity"))
+  }
+
+  val modularitySql: String =
+    s"""WITH ${SummitQueries.communitiesCtes},
+      |lab AS (SELECT node, label FROM l3),
+      |mm AS (SELECT CAST(SUM(w) AS BIGINT) AS m FROM e),
+      |intra AS (SELECT la.label AS c, CAST(SUM(e.w) AS BIGINT) AS ec
+      |  FROM e JOIN lab la ON e.a = la.node
+      |  JOIN lab lb ON e.b = lb.node AND la.label = lb.label
+      |  GROUP BY 1),
+      |deg AS (SELECT la.label AS c, CAST(SUM(s.w) AS BIGINT) AS dc
+      |  FROM sym s JOIN lab la ON s.src = la.node GROUP BY 1),
+      |terms AS (SELECT deg.c,
+      |    CAST(CAST(COALESCE(ec, 0) AS DOUBLE) / CAST(m AS DOUBLE) -
+      |      (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) *
+      |      (CAST(dc AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+      |      AS DECIMAL(28,12)) AS t, m
+      |  FROM deg LEFT JOIN intra USING (c) CROSS JOIN mm)
+      |SELECT COUNT(*) AS n_communities, m AS total_weight,
+      |  ROUND(CAST(SUM(t) AS DOUBLE), 6) AS modularity
+      |FROM terms GROUP BY m""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Effective sample size of DSIR importance weights
+  // --------------------------------------------------------------------------
+
+  /** Kish ESS per source of the per-token-geometric-mean DSIR importance
+    * weights ([[graft.ext.Importance.effectiveSampleSize]] over
+    * `exp(log_weight / n_tokens)`): ess_ratio → 1 means resampling toward
+    * English behaves like a uniform sample; → 1/n means one document
+    * dominates the source.
+    */
+  def qEssWeights(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val lw = graft.ext.Importance.dsirLogWeights(docs, "doc_id", "text",
+      isTarget = col("lang") === "en", numBuckets = 256)
+    val w = lw.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("source"),
+        exp(col("log_weight") / col("n_tokens")).cast("decimal(18,9)").as("w"))
+    graft.ext.Importance.effectiveSampleSize(w, "source", col("w"))
+      .select(col("source"), col("n"), round(col("ess"), 6).as("ess"),
+        round(col("ess_ratio"), 6).as("ess_ratio"))
+  }
+
+  val essWeightsSql: String =
+    s"""WITH dw AS (SELECT * FROM (
+      |${VanguardQueries.dsirWeightsSql}
+      |)),
+      |w AS (SELECT d.source,
+      |    CAST(exp(dw.log_weight / dw.n_tokens) AS DECIMAL(18,9)) AS w
+      |  FROM dw JOIN documents d USING (doc_id)),
+      |m AS (SELECT source, COUNT(*) AS n, SUM(w) AS sw, SUM(w * w) AS sww
+      |  FROM w GROUP BY 1)
+      |SELECT source, n,
+      |  ROUND((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) /
+      |    CAST(sww AS DOUBLE), 6) AS ess,
+      |  ROUND(((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE)) /
+      |    CAST(sww AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS ess_ratio
+      |FROM m ORDER BY source""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // UCB1 exploration scores
+  // --------------------------------------------------------------------------
+
+  /** UCB1 ranking of brands by non-return rate with the exploration bonus
+    * ([[graft.ext.Experiment.ucb1]]) — which brand a bandit-driven
+    * merchandising loop would surface next.
+    */
+  def qUcbScores(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+    graft.ext.Experiment.ucb1(src, "p_brand",
+        when(col("l_returnflag") =!= "R", 1L).otherwise(0L))
+      .select(col("arm"), col("n_pulls"),
+        round(col("mean_reward"), 6).as("mean_reward"),
+        round(col("ucb_bonus"), 6).as("ucb_bonus"),
+        round(col("ucb_score"), 6).as("ucb_score"),
+        col("rank").as("arm_rank"))
+      .orderBy(col("arm_rank"))
+  }
+
+  val ucbScoresSql: String =
+    """WITH arms AS (SELECT p_brand AS arm, COUNT(*) AS n_pulls,
+      |    CAST(SUM(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS r
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_pulls) AS BIGINT) AS nn FROM arms),
+      |s AS (SELECT arm, n_pulls,
+      |    CAST(r AS DOUBLE) / CAST(n_pulls AS DOUBLE) AS mean_reward,
+      |    sqrt(2.0 * ln(CAST(nn AS DOUBLE)) / CAST(n_pulls AS DOUBLE))
+      |      AS ucb_bonus
+      |  FROM arms CROSS JOIN tot)
+      |SELECT arm, n_pulls, ROUND(mean_reward, 6) AS mean_reward,
+      |  ROUND(ucb_bonus, 6) AS ucb_bonus,
+      |  ROUND(mean_reward + ucb_bonus, 6) AS ucb_score,
+      |  ROW_NUMBER() OVER (ORDER BY mean_reward + ucb_bonus DESC, arm)
+      |    AS arm_rank
+      |FROM s ORDER BY arm_rank""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -598,7 +715,10 @@ object ApexQueries {
     "q_gumbel_levels" -> (qGumbelLevels _),
     "q_trigram_nll" -> (qTrigramNll _),
     "q_kmeans_iters" -> (qKmeansIters _),
-    "q_hll_grouped" -> (qHllGrouped _))
+    "q_hll_grouped" -> (qHllGrouped _),
+    "q_modularity" -> (qModularity _),
+    "q_ess_weights" -> (qEssWeights _),
+    "q_ucb_scores" -> (qUcbScores _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -613,5 +733,8 @@ object ApexQueries {
     "q_gumbel_levels" -> gumbelLevelsSql,
     "q_trigram_nll" -> trigramNllSql,
     "q_kmeans_iters" -> kmeansItersSql,
-    "q_hll_grouped" -> hllGroupedSql)
+    "q_hll_grouped" -> hllGroupedSql,
+    "q_modularity" -> modularitySql,
+    "q_ess_weights" -> essWeightsSql,
+    "q_ucb_scores" -> ucbScoresSql)
 }

@@ -213,20 +213,28 @@ object SummitQueries {
     * aggregate + rank-1 CTE pair per round — so every adoption decision is
     * checked, not just the fixed point.
     */
-  def qCommunities(spark: SparkSession, dir: String): DataFrame = {
+  /** Weighted repeat-co-purchase edge list (weight = orders containing both
+    * parts, edges with ≥2 co-orders) — basket form as in
+    * InsightQueries.repeatEdges: one order-keyed set aggregate, pairs
+    * generated map-side per basket. Shared with [[ApexQueries]]'
+    * modularity query.
+    */
+  private[graft] def copurchaseEdges(spark: SparkSession,
+                                     dir: String): DataFrame = {
     val l = Tables.lineitem(spark, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    // basket form as in InsightQueries.repeatEdges, weight kept: one
-    // order-keyed set aggregate, pairs generated map-side per basket
-    val edges = l.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+    l.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
       .select(explode(col("parts")).as("src"), col("parts"))
       .select(col("src"), explode(col("parts")).as("dst"))
       .filter(col("src") < col("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-    Communities.labelPropagation(edges, "src", "dst", "w", iters = 3)
-      .orderBy(col("node"))
   }
+
+  def qCommunities(spark: SparkSession, dir: String): DataFrame =
+    Communities.labelPropagation(copurchaseEdges(spark, dir),
+        "src", "dst", "w", iters = 3)
+      .orderBy(col("node"))
 
   /** One unrolled LPA round: labels `lPrev` → labels `lNext`. */
   private def lpaRoundSql(t: Int): String = {
@@ -240,8 +248,11 @@ object SummitQueries {
       .stripMargin
   }
 
-  val communitiesSql: String =
-    s"""WITH e AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+  /** Shared CTE block (edges `e`, symmetric `sym`, LPA labels `l3`) — reused
+    * by the modularity oracle in [[ApexQueries]].
+    */
+  private[graft] val communitiesCtes: String =
+    s"""e AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
       |    COUNT(DISTINCT x.l_orderkey) AS w
       |  FROM lineitem x JOIN lineitem y
       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
@@ -251,7 +262,10 @@ object SummitQueries {
       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM sym),
       |${lpaRoundSql(1)},
       |${lpaRoundSql(2)},
-      |${lpaRoundSql(3)}
+      |${lpaRoundSql(3)}""".stripMargin
+
+  val communitiesSql: String =
+    s"""WITH $communitiesCtes
       |SELECT node, label FROM l3 ORDER BY node""".stripMargin
 
   // --------------------------------------------------------------------------

@@ -56,4 +56,53 @@ object Communities {
     }
     labels
   }
+
+  /** Weighted Newman modularity of a partition — the quality score that
+    * makes [[labelPropagation]]'s output auditable:
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/(2m))² ]
+    *
+    * over communities c, with m the total undirected edge weight, e_c the
+    * intra-community weight and d_c the community's weighted degree.
+    * Q ≈ 0 → the partition is no better than random; Q ≳ 0.3 → real
+    * community structure. All inputs are exact integer sums; per-community
+    * terms are one fixed-order double formula pooled in DECIMAL(28,12)
+    * (partition-order exact).
+    *
+    * Scale shape: two equi-joins of the edge list against the label table
+    * (broadcast when the graph's node table is narrow), one node-keyed
+    * degree aggregate, and a communities-sized term table — no pairwise
+    * work beyond the edges that already exist.
+    *
+    * Output: 1 row (n_communities, total_weight, modularity).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 wCol: String, labels: DataFrame, nodeCol: String,
+                 labelCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+      col(wCol).as("w"))
+    val lab = labels.select(col(nodeCol).as("node"), col(labelCol).as("label"))
+    val m = e.agg(sum(col("w")).as("m"))
+    val intra = e
+      .join(lab.select(col("node").as("a"), col("label").as("la")), Seq("a"))
+      .join(lab.select(col("node").as("b"), col("label").as("lb")), Seq("b"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("c")).agg(sum(col("w")).as("ec"))
+    val sym = e.select(col("a").as("node"), col("w"))
+      .union(e.select(col("b").as("node"), col("w")))
+    val deg = sym.join(lab, Seq("node"))
+      .groupBy(col("label").as("c")).agg(sum(col("w")).as("dc"))
+    val md = col("m").cast("double")
+    val term = ((col("ec").cast("double") / md) -
+      (col("dc").cast("double") / (lit(2.0) * md)) *
+        (col("dc").cast("double") / (lit(2.0) * md)))
+      .cast("decimal(28,12)")
+    deg.join(intra, Seq("c"), "left").na.fill(0L, Seq("ec"))
+      .crossJoin(broadcast(m))
+      .select(col("m"), term.as("t"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("t")).as("q"))
+      .select(col("n_communities"), col("m").as("total_weight"),
+        col("q").cast("double").as("modularity"))
+  }
 }

@@ -601,4 +601,41 @@ object Experiment {
       mean("b").as("mean_b"), t.as("t_stat"), dof.as("dof"),
       (abs(t) > 1.959963984540054).as("significant"))
   }
+
+  /** UCB1 exploration scores (Auer et al., ML 2002) over logged
+    * arm/reward data:
+    *
+    *   UCB(arm) = x̄_arm + sqrt(2·ln N / n_arm)
+    *
+    * — the optimism bonus that ranks arms for the NEXT pull: rarely-tried
+    * arms get a large bonus even with mediocre means. This is the
+    * deterministic, closed-form member of the bandit family (Thompson
+    * sampling needs randomness and is out of oracle scope); a batch
+    * re-ranking pipeline recomputes these scores nightly from the logged
+    * (arm, reward) table.
+    *
+    * `rewardInt` must be an integer 0/1 (or integer-valued) expression so
+    * per-arm sums are exact; the bonus is one fixed-order double formula.
+    * Scale shape: one arm-keyed aggregate (map-side combined) + a 1-row
+    * broadcast total.
+    *
+    * Output per ucb desc, arm asc: (arm, n_pulls, mean_reward, ucb_bonus,
+    * ucb_score, rank).
+    */
+  def ucb1(df: DataFrame, armCol: String, rewardInt: Column): DataFrame = {
+    val arms = df.groupBy(col(armCol).as("arm"))
+      .agg(count(lit(1)).as("n_pulls"), sum(rewardInt).as("r"))
+    val total = arms.agg(sum(col("n_pulls")).as("nn"))
+    val mean = col("r").cast("double") / col("n_pulls").cast("double")
+    val bonus = sqrt(lit(2.0) * log(col("nn").cast("double")) /
+      col("n_pulls").cast("double"))
+    val scored = arms.crossJoin(broadcast(total))
+      .select(col("arm"), col("n_pulls"), mean.as("mean_reward"),
+        bonus.as("ucb_bonus"), (mean + bonus).as("ucb_score"))
+    // rank via the distributed numbering, not an unpartitioned window —
+    // the arm table is usually small, but ScaleGuard's discipline applies
+    // to this library's own operators first
+    graft.ext.GlobalRank
+      .globalRowNumber(scored, Seq(col("ucb_score").desc, col("arm")), "rank")
+  }
 }

@@ -191,4 +191,35 @@ object Importance {
         round(meanRest, 6).as("mean_rest"),
         round(meanRest - meanWith, 6).as("delta"))
   }
+
+  /** Kish effective sample size of an importance-weighted set, per group:
+    *
+    *   ESS = (Σw)² / Σw²,   ESS/n ∈ (0, 1]
+    *
+    * — the one number that says whether resampling by these weights
+    * (DSIR selection, IPW estimation) still behaves like a sample or has
+    * collapsed onto a few heavy documents. ESS/n = 1 ⇔ uniform weights;
+    * → 1/n ⇔ one document dominates.
+    *
+    * `wExact` must be a DECIMAL-quantized weight expression (e.g.
+    * `exp(lw).cast("decimal(18,9)")`) so Σw and Σw² are exact under any
+    * partition order; the final ratio is one fixed-order double formula.
+    * Scale shape: one group-keyed aggregate, map-side combined.
+    *
+    * Output per group asc: (group, n, ess, ess_ratio).
+    */
+  def effectiveSampleSize(df: DataFrame, groupCol: String,
+                          wExact: Column): DataFrame = {
+    val m = df
+      .select(col(groupCol).as("grp"), wExact.as("w"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sww"))
+    m.select(col("grp").as(groupCol), col("n"),
+      ((col("sw").cast("double") * col("sw").cast("double")) /
+        col("sww").cast("double")).as("ess"),
+      (((col("sw").cast("double") * col("sw").cast("double")) /
+        col("sww").cast("double")) / col("n").cast("double")).as("ess_ratio"))
+      .orderBy(col(groupCol))
+  }
 }

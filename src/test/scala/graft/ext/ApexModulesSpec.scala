@@ -313,6 +313,60 @@ class ApexModulesSpec extends SparkTestBase {
     }
   }
 
+  // --------------------------------------------- Communities.modularity
+
+  test("modularity: two disjoint triangles under the perfect partition " +
+    "score Q = 0.5; the all-in-one partition scores 0") {
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 1L),
+      (10L, 20L, 1L), (20L, 30L, 1L), (10L, 30L, 1L))
+      .toDF("src", "dst", "w")
+    val goodLabels = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 2L, 20L -> 2L, 30L -> 2L).toDF("node", "label")
+    val q1 = Communities.modularity(edges, "src", "dst", "w",
+      goodLabels, "node", "label").collect().head
+    assert(q1.getAs[Long]("n_communities") == 2L)
+    assert(approx(q1.getAs[Double]("modularity"), 0.5, 1e-9), s"$q1")
+    val oneLabels = goodLabels.withColumn("label", lit(1L))
+    val q0 = Communities.modularity(edges, "src", "dst", "w",
+      oneLabels, "node", "label").collect().head
+    assert(approx(q0.getAs[Double]("modularity"), 0.0, 1e-9), s"$q0")
+  }
+
+  // ------------------------------------- Importance.effectiveSampleSize
+
+  test("effectiveSampleSize: uniform weights give ESS = n; a dominant " +
+    "weight collapses the ratio") {
+    val uniform = Seq.tabulate(8)(i => ("g", 1L)).toDF("grp", "w")
+    val u = Importance.effectiveSampleSize(uniform, "grp",
+      col("w").cast("decimal(18,9)")).collect().head
+    assert(approx(u.getAs[Double]("ess"), 8.0, 1e-9))
+    assert(approx(u.getAs[Double]("ess_ratio"), 1.0, 1e-9))
+    // w = (9, 1): ESS = 100/82
+    val skewed = Seq(("g", 9L), ("g", 1L)).toDF("grp", "w")
+    val s = Importance.effectiveSampleSize(skewed, "grp",
+      col("w").cast("decimal(18,9)")).collect().head
+    assert(approx(s.getAs[Double]("ess"), 100.0 / 82.0, 1e-9), s"$s")
+  }
+
+  // ------------------------------------------------- Experiment.ucb1
+
+  test("ucb1: equal pulls rank by mean; rare arms get the larger bonus; " +
+    "scores match the closed form") {
+    val pulls = Seq.fill(100)(("a", 1L)) ++ Seq.fill(100)(("b", 0L)) ++
+      Seq(("c", 1L), ("c", 1L))
+    val out = Experiment.ucb1(pulls.toDF("arm", "rw"), "arm", col("rw"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("mean_reward"), r.getAs[Double]("ucb_bonus"),
+          r.getAs[Long]("rank"))).toMap
+    val n = 202.0
+    assert(approx(out("a")._2, math.sqrt(2 * math.log(n) / 100), 1e-12))
+    assert(approx(out("c")._2, math.sqrt(2 * math.log(n) / 2), 1e-12))
+    assert(out("c")._2 > out("a")._2, "rare arm must get the larger bonus")
+    // a: 1 + 0.33, c: 1 + 2.3, b: 0 + 0.33 -> order c, a, b
+    assert(out("c")._3 == 1L && out("a")._3 == 2L && out("b")._3 == 3L,
+      s"ranking wrong: $out")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
