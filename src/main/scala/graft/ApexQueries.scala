@@ -701,6 +701,169 @@ object ApexQueries {
       |FROM s ORDER BY arm_rank""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Cluster evaluation vs gold labels (BCubed, ARI)
+  // --------------------------------------------------------------------------
+
+  private def assignVsGold(spark: SparkSession, dir: String) = {
+    val emb = Tables.embeddings(spark, dir)
+    val asn = graft.ext.Clustering.assignToCentroids(emb, "vec_id",
+        "embedding", ExtQueries.seedCentroids(spark, dir), "cid", "cvec")
+      .select(col("vec_id"), col("centroid_id"))
+    (asn, emb.select(col("vec_id"), col("label")))
+  }
+
+  /** BCubed P/R/F of the centroid assignment against the gold embedding
+    * labels ([[graft.ext.ClusterEval.bcubed]]) — does the geometric
+    * partition recover the label classes?
+    */
+  def qBcubed(spark: SparkSession, dir: String): DataFrame = {
+    val (asn, gold) = assignVsGold(spark, dir)
+    graft.ext.ClusterEval.bcubed(asn, "vec_id", "centroid_id",
+        gold, "vec_id", "label")
+      .select(col("n"), col("n_clusters"), col("n_classes"),
+        round(col("bcubed_p"), 6).as("bcubed_p"),
+        round(col("bcubed_r"), 6).as("bcubed_r"),
+        round(col("bcubed_f"), 6).as("bcubed_f"))
+  }
+
+  val bcubedSql: String =
+    s"""WITH ${ExtQueries.centroidAssignCtes},
+      |asn AS (SELECT vec_id, cid FROM r WHERE rk = 1),
+      |cells AS (SELECT asn.cid AS c, e.label AS g, COUNT(*) AS nij
+      |  FROM asn JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+      |ai AS (SELECT c, CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY 1),
+      |bj AS (SELECT g, CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+      |    COUNT(DISTINCT c) AS n_clusters, COUNT(DISTINCT g) AS n_classes
+      |  FROM cells),
+      |terms AS (SELECT
+      |    CAST(CAST(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0))
+      |      AS DOUBLE) / CAST(ai AS DOUBLE) AS DECIMAL(28,12)) AS tp,
+      |    CAST(CAST(CAST(nij AS DECIMAL(19,0)) * CAST(nij AS DECIMAL(19,0))
+      |      AS DOUBLE) / CAST(bj AS DOUBLE) AS DECIMAL(28,12)) AS tr
+      |  FROM cells JOIN ai USING (c) JOIN bj USING (g)),
+      |ss AS (SELECT SUM(tp) AS sp, SUM(tr) AS sr FROM terms),
+      |f AS (SELECT n, n_clusters, n_classes,
+      |    CAST(sp AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+      |    CAST(sr AS DOUBLE) / CAST(n AS DOUBLE) AS r
+      |  FROM ss CROSS JOIN tot)
+      |SELECT n, n_clusters, n_classes,
+      |  ROUND(p, 6) AS bcubed_p, ROUND(r, 6) AS bcubed_r,
+      |  ROUND((2.0 * p) * r / (p + r), 6) AS bcubed_f
+      |FROM f""".stripMargin
+
+  /** Adjusted Rand index of the same assignment-vs-labels comparison
+    * ([[graft.ext.ClusterEval.adjustedRandIndex]]) — the chance-corrected
+    * pair-counting partner of q_bcubed.
+    */
+  def qAri(spark: SparkSession, dir: String): DataFrame = {
+    val (asn, gold) = assignVsGold(spark, dir)
+    graft.ext.ClusterEval.adjustedRandIndex(asn, "vec_id", "centroid_id",
+        gold, "vec_id", "label")
+      .select(col("n"), round(col("sum_pairs_cells"), 6).as("sum_pairs_cells"),
+        round(col("expected_index"), 6).as("expected_index"),
+        round(col("max_index"), 6).as("max_index"),
+        round(col("ari"), 6).as("ari"))
+  }
+
+  val ariSql: String =
+    s"""WITH ${ExtQueries.centroidAssignCtes},
+      |asn AS (SELECT vec_id, cid FROM r WHERE rk = 1),
+      |cells AS (SELECT asn.cid AS c, e.label AS g, COUNT(*) AS nij
+      |  FROM asn JOIN embeddings e USING (vec_id) GROUP BY 1, 2),
+      |sidx AS (SELECT SUM(CAST(nij AS DECIMAL(19,0)) *
+      |      CAST(nij - 1 AS DECIMAL(19,0))) AS sidx2,
+      |    CAST(SUM(nij) AS BIGINT) AS n FROM cells),
+      |sa AS (SELECT SUM(CAST(ai AS DECIMAL(19,0)) *
+      |      CAST(ai - 1 AS DECIMAL(19,0))) AS sa2
+      |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS ai FROM cells GROUP BY c)),
+      |sb AS (SELECT SUM(CAST(bj AS DECIMAL(19,0)) *
+      |      CAST(bj - 1 AS DECIMAL(19,0))) AS sb2
+      |  FROM (SELECT CAST(SUM(nij) AS BIGINT) AS bj FROM cells GROUP BY g)),
+      |f AS (SELECT n,
+      |    CAST(sidx2 AS DOUBLE) / 2.0 AS sidx,
+      |    CAST(sa2 AS DOUBLE) / 2.0 AS sa,
+      |    CAST(sb2 AS DOUBLE) / 2.0 AS sb,
+      |    CAST(CAST(n AS DECIMAL(19,0)) * CAST(n - 1 AS DECIMAL(19,0))
+      |      AS DOUBLE) / 2.0 AS cn
+      |  FROM sidx CROSS JOIN sa CROSS JOIN sb)
+      |SELECT n, ROUND(sidx, 6) AS sum_pairs_cells,
+      |  ROUND((sa * sb) / cn, 6) AS expected_index,
+      |  ROUND((sa + sb) / 2.0, 6) AS max_index,
+      |  ROUND((sidx - (sa * sb) / cn) / ((sa + sb) / 2.0 - (sa * sb) / cn), 6)
+      |    AS ari
+      |FROM f""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Held-out trigram NLL
+  // --------------------------------------------------------------------------
+
+  /** Held-out trigram perplexity: train counts from the deterministic 80%
+    * md5 split, TEST docs scored with four-way backoff
+    * ([[graft.ext.TextQuality.heldoutTrigramNll]]) — the honest LM quality
+    * score (q_trigram_nll's in-corpus MLE lets unique text predict itself).
+    */
+  def qHeldoutNll(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextQuality.heldoutTrigramNll(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val heldoutNllSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+      |      AS BIGINT) % 100 < 80 AS is_train
+      |  FROM documents),
+      |tr AS (SELECT * FROM s WHERE is_train),
+      |te AS (SELECT * FROM s WHERE NOT is_train),
+      |tg AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i]))
+      |      AS w1,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+1]))
+      |      AS w2,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+2]))
+      |      AS w3
+      |  FROM te),
+      |dtf AS (SELECT doc_id, w1, w2, w3, COUNT(*) AS tf FROM tg
+      |  GROUP BY 1, 2, 3, 4),
+      |tg3 AS (SELECT
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i]))
+      |      AS w1,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+1]))
+      |      AS w2,
+      |    unnest(list_transform(generate_series(1, len(l) - 2), i -> l[i+2]))
+      |      AS w3
+      |  FROM tr),
+      |c3 AS (SELECT w1, w2, w3, COUNT(*) AS cnt3 FROM tg3 GROUP BY 1, 2, 3),
+      |bg AS (SELECT
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i]))
+      |      AS b1,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i+1]))
+      |      AS b2
+      |  FROM tr),
+      |c2 AS (SELECT b1, b2, COUNT(*) AS cnt2 FROM bg GROUP BY 1, 2),
+      |tok AS (SELECT unnest(l) AS t0 FROM tr),
+      |c1 AS (SELECT t0, COUNT(*) AS cnt1 FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt1) AS BIGINT) AS nn, COUNT(*) AS vv FROM c1)
+      |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+      |  ROUND(-CAST(SUM(CAST(tf * ln(
+      |      0.5 * (CASE WHEN ctx.cnt2 IS NOT NULL
+      |        THEN CAST(COALESCE(c3.cnt3, 0) AS DOUBLE) / ctx.cnt2
+      |        ELSE 0.0 END)
+      |      + 0.3 * (CASE WHEN u2.cnt1 IS NOT NULL
+      |        THEN CAST(COALESCE(suf.cnt2, 0) AS DOUBLE) / u2.cnt1
+      |        ELSE 0.0 END)
+      |      + 0.15 * (CAST(COALESCE(u3.cnt1, 0) AS DOUBLE) / nn)
+      |      + 0.05 * (1.0 / vv)) AS DECIMAL(18,8))) AS DOUBLE) /
+      |    CAST(SUM(tf) AS BIGINT), 6) AS heldout_nll
+      |FROM dtf LEFT JOIN c3 USING (w1, w2, w3)
+      |  LEFT JOIN c2 ctx ON dtf.w1 = ctx.b1 AND dtf.w2 = ctx.b2
+      |  LEFT JOIN c2 suf ON dtf.w2 = suf.b1 AND dtf.w3 = suf.b2
+      |  LEFT JOIN c1 u2 ON dtf.w2 = u2.t0
+      |  LEFT JOIN c1 u3 ON dtf.w3 = u3.t0
+      |  CROSS JOIN tot
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -718,7 +881,10 @@ object ApexQueries {
     "q_hll_grouped" -> (qHllGrouped _),
     "q_modularity" -> (qModularity _),
     "q_ess_weights" -> (qEssWeights _),
-    "q_ucb_scores" -> (qUcbScores _))
+    "q_ucb_scores" -> (qUcbScores _),
+    "q_bcubed" -> (qBcubed _),
+    "q_ari" -> (qAri _),
+    "q_heldout_nll" -> (qHeldoutNll _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -736,5 +902,8 @@ object ApexQueries {
     "q_hll_grouped" -> hllGroupedSql,
     "q_modularity" -> modularitySql,
     "q_ess_weights" -> essWeightsSql,
-    "q_ucb_scores" -> ucbScoresSql)
+    "q_ucb_scores" -> ucbScoresSql,
+    "q_bcubed" -> bcubedSql,
+    "q_ari" -> ariSql,
+    "q_heldout_nll" -> heldoutNllSql)
 }

@@ -303,6 +303,83 @@ object TextQuality {
         round(-sum(col("ll")).cast("double") / sum(col("tf")), 6).as("avg_nll3"))
   }
 
+  /** HELD-OUT trigram perplexity scoring — the honest version of
+    * [[trigramNll]]: counts come from the TRAIN split only and the TEST
+    * split is scored against them, so a unique-but-incoherent document can
+    * no longer look "predictable" by predicting itself (the in-corpus MLE
+    * pathology). Unseen events back off gracefully:
+    * `p = λ₃·[c₃/c₂ctx | 0 if ctx unseen] + λ₂·[c₂suf/c₁(w₂) | 0] +
+    *  λ₁·c₁(w₃)/N + λ₀/V` — the λ₀/V uniform floor keeps p > 0 for
+    * fully-unseen tokens (V = train vocabulary size).
+    *
+    * Split is the deterministic md5 bucket ([[Splits.hashBucket]] < trainPct)
+    * so both engines carve identical train/test sets. Scale shape mirrors
+    * trigramNll with the probe joins turned LEFT (unseen n-grams survive to
+    * the backoff terms); train count tables are Zipf-bounded.
+    *
+    * Output per TEST doc asc: (idCol, n_trigrams, heldout_nll).
+    */
+  def heldoutTrigramNll(df: DataFrame, idCol: String, textCol: String,
+                        trainPct: Int = 80, l3: Double = 0.5,
+                        l2: Double = 0.3, l1: Double = 0.15,
+                        l0: Double = 0.05): DataFrame = {
+    require(trainPct > 0 && trainPct < 100, s"bad trainPct $trainPct")
+    val l = split(col(textCol), " ")
+    val n3 = greatest(size(l) - 2, lit(0))
+    val n2 = greatest(size(l) - 1, lit(0))
+    def triRows(src: DataFrame) = src
+      .select(col(idCol), explode(zip_with(
+        slice(l, lit(1), n3),
+        zip_with(slice(l, lit(2), n3), slice(l, lit(3), n3),
+          (b, c) => struct(b.as("w2"), c.as("w3"))),
+        (a, p) => struct(a.as("w1"), p.getField("w2").as("w2"),
+          p.getField("w3").as("w3")))).as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    def bigRows(src: DataFrame) = src
+      .select(explode(zip_with(slice(l, lit(1), n2), slice(l, lit(2), n2),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("b.w1").as("b1"), col("b.w2").as("b2"))
+
+    val isTrain = Splits.hashBucket(col(idCol)) < trainPct
+    val train = df.filter(isTrain)
+    val test = df.filter(!isTrain)
+    val dtf = triRows(test)
+      .groupBy(col(idCol), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("tf"))
+    val c3 = triRows(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cnt3"))
+    val c2 = bigRows(train).groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).as("cnt2"))
+    val c1 = train.select(explode(l).as("t0"))
+      .groupBy(col("t0")).agg(count(lit(1)).as("cnt1"))
+    val tot = c1.agg(sum(col("cnt1")).as("nn"), count(lit(1)).as("vv"))
+    val t3 = when(col("cnt_ctx").isNotNull,
+      coalesce(col("cnt3"), lit(0L)).cast("double") / col("cnt_ctx"))
+      .otherwise(lit(0.0))
+    val t2 = when(col("cnt_w2").isNotNull,
+      coalesce(col("cnt_suf"), lit(0L)).cast("double") / col("cnt_w2"))
+      .otherwise(lit(0.0))
+    val t1 = coalesce(col("cnt_w3"), lit(0L)).cast("double") / col("nn")
+    val p = lit(l3) * t3 + lit(l2) * t2 + lit(l1) * t1 +
+      lit(l0) * (lit(1.0) / col("vv"))
+    dtf.join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(c2.select(col("b1").as("w1"), col("b2").as("w2"),
+        col("cnt2").as("cnt_ctx")), Seq("w1", "w2"), "left")
+      .join(c2.select(col("b1").as("w2"), col("b2").as("w3"),
+        col("cnt2").as("cnt_suf")), Seq("w2", "w3"), "left")
+      .join(c1.select(col("t0").as("w2"), col("cnt1").as("cnt_w2")),
+        Seq("w2"), "left")
+      .join(c1.select(col("t0").as("w3"), col("cnt1").as("cnt_w3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("ll", (col("tf") * log(p)).cast("decimal(18,8)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf")).as("n_trigrams"),
+        round(-sum(col("ll")).cast("double") / sum(col("tf")), 6)
+          .as("heldout_nll"))
+  }
+
   /** Benchmark decontamination: for every non-benchmark document, the fraction of
     * its word `k`-gram shingles that appear anywhere in the benchmark set — the
     * standard train/eval leakage check (a near-copy of an eval document scores

@@ -367,6 +367,87 @@ class ApexModulesSpec extends SparkTestBase {
       s"ranking wrong: $out")
   }
 
+  // --------------------------------------------------- ClusterEval
+
+  test("bcubed: the perfect partition scores 1/1/1; one-cluster-everything " +
+    "keeps recall 1 and pays in precision") {
+    val gold = Seq(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y")
+      .toDF("id", "cls")
+    val perfect = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L)
+      .toDF("id", "cl")
+    val p1 = ClusterEval.bcubed(perfect, "id", "cl", gold, "id", "cls")
+      .collect().head
+    assert(approx(p1.getAs[Double]("bcubed_p"), 1.0, 1e-12))
+    assert(approx(p1.getAs[Double]("bcubed_r"), 1.0, 1e-12))
+    assert(approx(p1.getAs[Double]("bcubed_f"), 1.0, 1e-12))
+    // all four in one cluster: P = (9/4 + 1/4)/4 = 0.625, R = 1
+    val lump = perfect.withColumn("cl", lit(1L))
+    val p2 = ClusterEval.bcubed(lump, "id", "cl", gold, "id", "cls")
+      .collect().head
+    assert(approx(p2.getAs[Double]("bcubed_p"), 0.625, 1e-12), s"$p2")
+    assert(approx(p2.getAs[Double]("bcubed_r"), 1.0, 1e-12))
+  }
+
+  test("adjustedRandIndex: identical partitions give ARI = 1; a direct " +
+    "formula re-computation matches on a mixed case") {
+    val gold = Seq(1L -> "x", 2L -> "x", 3L -> "y", 4L -> "y", 5L -> "y")
+      .toDF("id", "cls")
+    val same = Seq(1L -> 7L, 2L -> 7L, 3L -> 8L, 4L -> 8L, 5L -> 8L)
+      .toDF("id", "cl")
+    val a1 = ClusterEval.adjustedRandIndex(same, "id", "cl", gold, "id", "cls")
+      .collect().head
+    assert(approx(a1.getAs[Double]("ari"), 1.0, 1e-12), s"$a1")
+    // mixed: clusters {1,2,3},{4,5} vs classes {1,2},{3,4,5}
+    // cells: (c1,x)=2,(c1,y)=1,(c2,y)=2 -> sidx=1+0+1=2; sa=C(3,2)+C(2,2)=4
+    // sb=C(2,2)+C(3,2)=4; cn=C(5,2)=10; exp=1.6; max=4; ari=0.4/2.4
+    val mixed = Seq(1L -> 7L, 2L -> 7L, 3L -> 7L, 4L -> 8L, 5L -> 8L)
+      .toDF("id", "cl")
+    val a2 = ClusterEval.adjustedRandIndex(mixed, "id", "cl", gold, "id", "cls")
+      .collect().head
+    assert(approx(a2.getAs[Double]("ari"), 0.4 / 2.4, 1e-12), s"$a2")
+  }
+
+  // --------------------------------------- TextQuality.heldoutTrigramNll
+
+  test("heldoutTrigramNll: a test doc with fully-unseen vocabulary scores " +
+    "exactly -ln(lambda0 / V)") {
+    // pick ids deterministically on each side of the 80% md5 split
+    val buckets = (1L to 60L).map(i =>
+      i -> spark.range(1).select(Splits.hashBucket(lit(i))).collect()
+        .head.getLong(0))
+    val trainId = buckets.find(_._2 < 80).get._1
+    val testId = buckets.find(_._2 >= 80).get._1
+    val docs = Seq(
+      (trainId, "aa bb cc aa bb cc aa bb"), // V = 3 train types
+      (testId, "zz yy xx ww")) // all unseen -> p = 0.05 / 3 per trigram
+      .toDF("doc_id", "text")
+    val out = TextQuality.heldoutTrigramNll(docs, "doc_id", "text").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(testId),
+      s"only the test doc is scored: ${out.toSeq}")
+    val exp = -math.log(0.05 * (1.0 / 3.0))
+    assert(approx(out.head.getAs[Double]("heldout_nll"),
+      math.rint(exp * 1e6) / 1e6, 1e-9),
+      s"unseen-vocab closed form: ${out.head} vs $exp")
+  }
+
+  test("heldoutTrigramNll: test text matching train verbatim scores far " +
+    "lower than shuffled-vocabulary text") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val buckets = (1L to 200L).map(i =>
+      i -> spark.range(1).select(Splits.hashBucket(lit(i))).collect()
+        .head.getLong(0))
+    val trainIds = buckets.filter(_._2 < 80).take(3).map(_._1)
+    val testIds = buckets.filter(_._2 >= 80).take(2).map(_._1)
+    val docs = (trainIds.map(id => (id, base)) ++
+      Seq((testIds(0), base),
+        (testIds(1), "dog the over fox quick again brown lazy jumps and")))
+      .toDF("doc_id", "text")
+    val nll = TextQuality.heldoutTrigramNll(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("heldout_nll")).toMap
+    assert(nll(testIds(0)) < nll(testIds(1)),
+      s"verbatim test text must score lower NLL: $nll")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
