@@ -864,6 +864,76 @@ object ApexQueries {
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Kneser-Ney bigram NLL
+  // --------------------------------------------------------------------------
+
+  /** Per-document Kneser-Ney bigram NLL (d = 0.75)
+    * ([[graft.ext.TextQuality.kneserNeyBigramNll]]) — the production n-gram
+    * smoothing next to q_bigram_nll's Jelinek-Mercer mixture.
+    */
+  def qKnBigramNll(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextQuality.kneserNeyBigramNll(Tables.documents(spark, dir),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  val knBigramNllSql: String =
+    """WITH s AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+      |bg AS (SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i]))
+      |      AS w1,
+      |    unnest(list_transform(generate_series(1, len(l) - 1), i -> l[i+1]))
+      |      AS w2
+      |  FROM s),
+      |dbf AS (SELECT doc_id, w1, w2, COUNT(*) AS bf FROM bg GROUP BY 1, 2, 3),
+      |c2 AS (SELECT w1, w2, CAST(SUM(bf) AS BIGINT) AS c12 FROM dbf
+      |  GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS nf
+      |  FROM c2 GROUP BY 1),
+      |bwd AS (SELECT w2, COUNT(*) AS nb FROM c2 GROUP BY 1),
+      |nbt AS (SELECT COUNT(*) AS nbt FROM c2)
+      |SELECT doc_id, CAST(SUM(bf) AS BIGINT) AS n_bigrams,
+      |  ROUND(-CAST(SUM(CAST(bf * ln(
+      |      (CAST(c12 AS DOUBLE) - 0.75) / c1 +
+      |      ((0.75 * nf) / c1) * (CAST(nb AS DOUBLE) / nbt))
+      |      AS DECIMAL(18,8))) AS DOUBLE) / CAST(SUM(bf) AS BIGINT), 6)
+      |    AS kn_nll
+      |FROM dbf JOIN c2 USING (w1, w2)
+      |  JOIN ctx USING (w1)
+      |  JOIN bwd USING (w2)
+      |  CROSS JOIN nbt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Differential-privacy sensitivity audit
+  // --------------------------------------------------------------------------
+
+  /** Per-event-type L1 sensitivity audit ([[graft.ext.Privacy.dpSensitivity]])
+    * — max single-user contribution and whale count, the clipping bound any
+    * DP release of per-type counts would need.
+    */
+  def qDpSensitivity(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Privacy.dpSensitivity(Tables.events(spark, dir),
+        "event_type", "user_id", whalePct = 1)
+      .select(col("event_type"), col("n_events"), col("n_users"),
+        col("max_user_n"), round(col("max_share"), 6).as("max_share"),
+        col("n_whales"))
+
+  val dpSensitivitySql: String =
+    """WITH pu AS (SELECT event_type AS key, user_id,
+      |    COUNT(*) AS user_n FROM events GROUP BY 1, 2),
+      |pk AS (SELECT key, CAST(SUM(user_n) AS BIGINT) AS n_events,
+      |    COUNT(*) AS n_users, MAX(user_n) AS max_user_n
+      |  FROM pu GROUP BY 1),
+      |wh AS (SELECT pu.key, COUNT(*) AS n_whales
+      |  FROM pu JOIN pk USING (key)
+      |  WHERE pu.user_n * 100 > pk.n_events * 1 GROUP BY 1)
+      |SELECT pk.key AS event_type, n_events, n_users, max_user_n,
+      |  ROUND(CAST(max_user_n AS DOUBLE) / n_events, 6) AS max_share,
+      |  COALESCE(n_whales, 0) AS n_whales
+      |FROM pk LEFT JOIN wh ON pk.key = wh.key
+      |ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -884,7 +954,9 @@ object ApexQueries {
     "q_ucb_scores" -> (qUcbScores _),
     "q_bcubed" -> (qBcubed _),
     "q_ari" -> (qAri _),
-    "q_heldout_nll" -> (qHeldoutNll _))
+    "q_heldout_nll" -> (qHeldoutNll _),
+    "q_kn_bigram_nll" -> (qKnBigramNll _),
+    "q_dp_sensitivity" -> (qDpSensitivity _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -905,5 +977,7 @@ object ApexQueries {
     "q_ucb_scores" -> ucbScoresSql,
     "q_bcubed" -> bcubedSql,
     "q_ari" -> ariSql,
-    "q_heldout_nll" -> heldoutNllSql)
+    "q_heldout_nll" -> heldoutNllSql,
+    "q_kn_bigram_nll" -> knBigramNllSql,
+    "q_dp_sensitivity" -> dpSensitivitySql)
 }

@@ -46,4 +46,40 @@ object Privacy {
         .as("rows_k_at_risk"),
       sum(when(col("l_at_risk"), col("class_size")).otherwise(lit(0L)))
         .as("rows_l_at_risk"))
+
+  /** Differential-privacy SENSITIVITY audit — the deterministic half of any
+    * DP release: before adding noise to a per-key count, one must know (and
+    * usually clip) the maximum single-user contribution, because the
+    * Laplace/Gaussian scale is proportional to that L1/L2 sensitivity. Per
+    * aggregation key: total events, contributing users, the largest single
+    * user's contribution and its share, plus the whale count (users above
+    * `wholePct`% of the key's volume — exact integer comparison
+    * `user_n·100 > n·wholePct`, no float thresholds). A key where one user
+    * IS the count cannot be released at any useful ε without clipping.
+    *
+    * Scale shape: one (key, user) groupBy over the scan (map-side
+    * combined), then one key-keyed max/conditional aggregate over the
+    * user-contribution table. Output per key asc:
+    * (key, n_events, n_users, max_user_n, max_share, n_whales).
+    */
+  def dpSensitivity(df: DataFrame, keyCol: String, userCol: String,
+                    whalePct: Int = 1): DataFrame = {
+    require(whalePct >= 1 && whalePct <= 100, s"bad whalePct $whalePct")
+    val perUser = df.groupBy(col(keyCol).as("key"), col(userCol).as("usr"))
+      .agg(count(lit(1)).as("user_n"))
+    val perKey = perUser.groupBy(col("key"))
+      .agg(sum(col("user_n")).as("n_events"),
+        count(lit(1)).as("n_users"),
+        max(col("user_n")).as("max_user_n"))
+    val whales = perUser.join(perKey.select(col("key"), col("n_events")),
+        Seq("key"))
+      .filter(col("user_n") * 100 > col("n_events") * whalePct)
+      .groupBy(col("key")).agg(count(lit(1)).as("n_whales"))
+    perKey.join(whales, Seq("key"), "left").na.fill(0L, Seq("n_whales"))
+      .select(col("key").as(keyCol), col("n_events"), col("n_users"),
+        col("max_user_n"),
+        (col("max_user_n").cast("double") / col("n_events"))
+          .as("max_share"), col("n_whales"))
+      .orderBy(col(keyCol))
+  }
 }

@@ -448,6 +448,45 @@ class ApexModulesSpec extends SparkTestBase {
       s"verbatim test text must score lower NLL: $nll")
   }
 
+  // ------------------------------------- TextQuality.kneserNeyBigramNll
+
+  test("kneserNeyBigramNll: hand-computed closed form on a 3-bigram corpus") {
+    // "a b a c": c2 ab=ba=ac=1; ctx a:(c1=2,nf=2) b:(1,1); nb all 1; nbt=3
+    // p(b|a)=0.25/2+(0.75*2/2)*(1/3)=0.375; p(a|b)=0.25+0.25=0.5; p(c|a)=0.375
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val o = TextQuality.kneserNeyBigramNll(docs, "doc_id", "text")
+      .collect().head
+    val exp = -(math.log(0.375) + math.log(0.5) + math.log(0.375)) / 3
+    assert(o.getAs[Long]("n_bigrams") == 3L)
+    assert(approx(o.getAs[Double]("kn_nll"), math.rint(exp * 1e6) / 1e6, 1e-9),
+      s"KN closed form mismatch: $o vs $exp")
+  }
+
+  test("kneserNeyBigramNll: deterministic continuation scores lower NLL " +
+    "than diverse continuation at equal length") {
+    val docs = Seq((1L, "a b a b a b a b"), (2L, "a b a c a d a e"))
+      .toDF("doc_id", "text")
+    val nll = TextQuality.kneserNeyBigramNll(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[Double]("kn_nll")).toMap
+    assert(nll(1L) < nll(2L), s"predictable text must score lower: $nll")
+  }
+
+  // ------------------------------------------------ Privacy.dpSensitivity
+
+  test("dpSensitivity: max contribution, share, and the whale threshold " +
+    "are exact") {
+    val rows = Seq.fill(9)(("k1", 1L)) ++ Seq(("k1", 2L)) ++
+      (1L to 10L).map(u => ("k2", u))
+    val out = Privacy.dpSensitivity(rows.toDF("key", "uid"), "key", "uid",
+      whalePct = 30).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("max_user_n"),
+        r.getAs[Double]("max_share"), r.getAs[Long]("n_whales"))).toMap
+    assert(out("k1") == ((10L, 2L, 9L, 0.9, 1L)), s"${out("k1")}")
+    // k2: 10 users x1 -> max 1, share 0.1, nobody above 30%
+    assert(out("k2") == ((10L, 10L, 1L, 0.1, 0L)), s"${out("k2")}")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
