@@ -934,6 +934,107 @@ object ApexQueries {
       |ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Feature-hashed document similarity
+  // --------------------------------------------------------------------------
+
+  /** Top-10 documents by feature-hashed bag-of-words cosine against doc 0
+    * ([[graft.ext.HashedEmbedding.topKSimilar]], D=64) — the no-model
+    * text→vector bridge, fully relational (vectors are (doc, dim, v) rows,
+    * dots an equi-join), so the whole sketch is oracle-checked.
+    */
+  def qHashedTopk(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.HashedEmbedding.topKSimilar(Tables.documents(spark, dir),
+        "doc_id", "text", queryId = 0L, k = 10, dims = 64)
+      .select(col("rank").as("sim_rank"), col("doc_id"), col("dot"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("sim_rank"))
+
+  val hashedTopkSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' '))
+      |    AS tok FROM documents),
+      |th AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT)
+      |    AS h FROM toks WHERE len(tok) > 0),
+      |vec AS (SELECT doc_id, h % 64 AS dim,
+      |    CAST(SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END)
+      |      AS BIGINT) AS v
+      |  FROM th GROUP BY 1, 2
+      |  HAVING SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+      |norms AS (SELECT doc_id, CAST(SUM(v * v) AS BIGINT) AS n2 FROM vec
+      |  GROUP BY 1),
+      |qv AS (SELECT dim, v AS qv FROM vec WHERE doc_id = 0),
+      |qn AS (SELECT n2 AS qn2 FROM norms WHERE doc_id = 0),
+      |dots AS (SELECT vec.doc_id, CAST(SUM(v * qv) AS BIGINT) AS dot
+      |  FROM vec JOIN qv USING (dim) WHERE vec.doc_id <> 0 GROUP BY 1),
+      |sc AS (SELECT d.doc_id, dot,
+      |    CAST(dot AS DOUBLE) /
+      |      (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(qn2 AS DOUBLE))) AS cosine
+      |  FROM dots d JOIN norms USING (doc_id) CROSS JOIN qn),
+      |top AS (SELECT doc_id, dot, cosine,
+      |    ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS sim_rank
+      |  FROM sc)
+      |SELECT sim_rank, doc_id, dot, ROUND(cosine, 6) AS cosine
+      |FROM top WHERE sim_rank <= 10 ORDER BY sim_rank""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Post-stratified mean
+  // --------------------------------------------------------------------------
+
+  /** Mean customer spend post-stratified by market segment
+    * ([[graft.ext.Experiment.postStratifiedMean]]): sample = customers with
+    * orders, population = all customers — corrects the raw responder mean
+    * for segment response skew. Dollars out.
+    */
+  def qPostStratified(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val spend = Tables.orders(spark, dir)
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)") * lit(10000))
+        .cast("decimal(19,0)").as("x"))
+    graft.ext.Experiment.postStratifiedMean(spend, cust, "c_mktsegment",
+        col("x"))
+      .select(col("n_sample"), col("n_strata_used"), col("n_strata_pop"),
+        round(col("raw_mean") / 10000.0, 6).as("raw_mean"),
+        round(col("post_mean") / 10000.0, 6).as("post_mean"),
+        round(col("post_se") / 10000.0, 6).as("post_se"))
+  }
+
+  val postStratifiedSql: String =
+    """WITH spend AS (SELECT c_mktsegment AS h, o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)) * 10000)
+      |      AS DECIMAL(19,0)) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |s AS (SELECT h, COUNT(*) AS n, CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+      |    CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx FROM spend GROUP BY 1),
+      |p AS (SELECT c_mktsegment AS h, COUNT(*) AS nh FROM customer
+      |  GROUP BY 1),
+      |ptot AS (SELECT CAST(SUM(nh) AS BIGINT) AS npop,
+      |    COUNT(*) AS n_strata_pop FROM p),
+      |stot AS (SELECT CAST(SUM(n) AS BIGINT) AS ns,
+      |    CAST(SUM(sx) AS DECIMAL(38,0)) AS sxall FROM s),
+      |terms AS (SELECT s.h, s.n, n_strata_pop,
+      |    CAST((CAST(nh AS DOUBLE) / CAST(npop AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(28,10))
+      |      AS tmean,
+      |    CAST(((CAST(nh AS DOUBLE) / CAST(npop AS DOUBLE)) *
+      |      (CAST(nh AS DOUBLE) / CAST(npop AS DOUBLE)) *
+      |      ((CAST(sxx AS DOUBLE) - CAST(n AS DOUBLE) *
+      |        ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |         (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) /
+      |        (CAST(n AS DOUBLE) - 1))) / CAST(n AS DOUBLE)
+      |      AS DECIMAL(28,10)) AS tvar
+      |  FROM s JOIN p USING (h) CROSS JOIN ptot WHERE s.n > 1),
+      |agg AS (SELECT COUNT(*) AS n_strata_used,
+      |    ANY_VALUE(n_strata_pop) AS n_strata_pop,
+      |    SUM(tmean) AS pm, SUM(tvar) AS pv FROM terms)
+      |SELECT ns AS n_sample, n_strata_used, n_strata_pop,
+      |  ROUND((CAST(sxall AS DOUBLE) / CAST(ns AS DOUBLE)) / 10000.0, 6)
+      |    AS raw_mean,
+      |  ROUND(CAST(pm AS DOUBLE) / 10000.0, 6) AS post_mean,
+      |  ROUND(sqrt(CAST(pv AS DOUBLE)) / 10000.0, 6) AS post_se
+      |FROM agg CROSS JOIN stot""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -956,7 +1057,9 @@ object ApexQueries {
     "q_ari" -> (qAri _),
     "q_heldout_nll" -> (qHeldoutNll _),
     "q_kn_bigram_nll" -> (qKnBigramNll _),
-    "q_dp_sensitivity" -> (qDpSensitivity _))
+    "q_dp_sensitivity" -> (qDpSensitivity _),
+    "q_hashed_topk" -> (qHashedTopk _),
+    "q_post_stratified" -> (qPostStratified _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -979,5 +1082,7 @@ object ApexQueries {
     "q_ari" -> ariSql,
     "q_heldout_nll" -> heldoutNllSql,
     "q_kn_bigram_nll" -> knBigramNllSql,
-    "q_dp_sensitivity" -> dpSensitivitySql)
+    "q_dp_sensitivity" -> dpSensitivitySql,
+    "q_hashed_topk" -> hashedTopkSql,
+    "q_post_stratified" -> postStratifiedSql)
 }

@@ -638,4 +638,57 @@ object Experiment {
     graft.ext.GlobalRank
       .globalRowNumber(scored, Seq(col("ucb_score").desc, col("arm")), "rank")
   }
+
+  /** Post-stratified mean (survey-sampling estimator): when the SAMPLE's
+    * stratum mix differs from the POPULATION's (responders skew toward some
+    * segments), the raw sample mean is biased toward over-represented
+    * strata; re-weighting per-stratum sample means by population shares
+    * fixes it:
+    *
+    *   ȳ_post = Σ_h W_h·ȳ_h,   SE² = Σ_h W_h²·s_h²/n_h,   W_h = N_h/N.
+    *
+    * The companion of [[graft.ext.Mixing]]'s Neyman ALLOCATION (which plans
+    * a future sample; this estimates from the one you have). Strata present
+    * in the population but absent from the sample contribute no term — the
+    * estimator is then conditional on the covered strata (reported via
+    * n_strata_used vs n_strata_pop).
+    *
+    * `xExact` must be integer-valued DECIMAL at sample-row grain. Scale
+    * shape: one stratum-keyed moment aggregate per table, broadcast 1-row
+    * totals; per-stratum terms pool in DECIMAL(28,10).
+    *
+    * Output: 1 row (n_sample, n_strata_used, n_strata_pop, raw_mean,
+    * post_mean, post_se).
+    */
+  def postStratifiedMean(sample: DataFrame, population: DataFrame,
+                         stratumCol: String, xExact: Column): DataFrame = {
+    val s = sample.select(col(stratumCol).as("h"), xExact.as("x"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"))
+    val p = population.groupBy(col(stratumCol).as("h"))
+      .agg(count(lit(1)).as("nh"))
+    val ptot = p.agg(sum(col("nh")).as("npop"), count(lit(1)).as("n_strata_pop"))
+    val stot = s.agg(sum(col("n")).as("ns"), sum(col("sx")).as("sxall"))
+    val nD = col("n").cast("double")
+    val mh = col("sx").cast("double") / nD
+    val vh = (col("sxx").cast("double") - nD * (mh * mh)) / (nD - 1)
+    val wh = col("nh").cast("double") / col("npop").cast("double")
+    val joined = s.join(p, Seq("h")).crossJoin(broadcast(ptot))
+      .filter(col("n") > 1)
+      .select(col("h"), col("n"), col("n_strata_pop"),
+        (wh * mh).cast("decimal(28,10)").as("tmean"),
+        (((wh * wh) * vh) / nD).cast("decimal(28,10)").as("tvar"))
+    joined
+      .agg(count(lit(1)).as("n_strata_used"),
+        first(col("n_strata_pop")).as("n_strata_pop"),
+        sum(col("tmean")).as("pm"), sum(col("tvar")).as("pv"))
+      .crossJoin(broadcast(stot))
+      .select(col("ns").as("n_sample"), col("n_strata_used"),
+        col("n_strata_pop"),
+        (col("sxall").cast("double") / col("ns").cast("double"))
+          .as("raw_mean"),
+        col("pm").cast("double").as("post_mean"),
+        sqrt(col("pv").cast("double")).as("post_se"))
+  }
 }

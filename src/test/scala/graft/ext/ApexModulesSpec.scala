@@ -487,6 +487,62 @@ class ApexModulesSpec extends SparkTestBase {
     assert(out("k2") == ((10L, 10L, 1L, 0.1, 0L)), s"${out("k2")}")
   }
 
+  // ------------------------------------------------- HashedEmbedding
+
+  test("hashedVectors: multiplicity scales components; duplicate document " +
+    "ranks first with cosine exactly 1") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta"),
+      (1L, "alpha beta gamma delta"), // verbatim dup of the query
+      (2L, "alpha alpha beta beta gamma gamma delta delta"), // 2x counts
+      (3L, "epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val v0 = HashedEmbedding.hashedVectors(docs.filter(col("doc_id") === 0),
+      "doc_id", "text", 64).collect().map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    val v2 = HashedEmbedding.hashedVectors(docs.filter(col("doc_id") === 2),
+      "doc_id", "text", 64).collect().map(r => r.getLong(1) -> r.getLong(2))
+      .toMap
+    assert(v2 == v0.map { case (d, x) => d -> 2 * x },
+      s"doubled tokens must double components: $v0 vs $v2")
+    val top = HashedEmbedding.topKSimilar(docs, "doc_id", "text",
+      queryId = 0L, k = 3).collect()
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+    assert(approx(top.head.getAs[Double]("cosine"), 1.0, 1e-12),
+      s"verbatim dup must have cosine 1: ${top.toSeq}")
+    // scaled copy also has cosine 1 (cosine is scale-invariant) -> rank 2
+    assert(top(1).getAs[Long]("doc_id") == 2L)
+    assert(approx(top(1).getAs[Double]("cosine"), 1.0, 1e-12))
+  }
+
+  // ------------------------------------- Experiment.postStratifiedMean
+
+  test("postStratifiedMean: representative sample leaves the mean " +
+    "unchanged; skewed response re-weights to the population mix") {
+    // population: 10 of h1, 10 of h2; h1 mean 10, h2 mean 20
+    val pop = ((1 to 10).map(i => ("h1", i)) ++ (1 to 10).map(i => ("h2", i)))
+      .toDF("h", "i")
+    val fair = (Seq.tabulate(4)(i => ("h1", i.toLong, 10L + i)) ++
+      Seq.tabulate(4)(i => ("h2", 100L + i, 20L + i)))
+      .toDF("h", "cid", "x")
+    val o1 = Experiment.postStratifiedMean(fair, pop, "h",
+      col("x").cast("decimal(19,0)")).collect().head
+    assert(approx(o1.getAs[Double]("raw_mean"), o1.getAs[Double]("post_mean"),
+      1e-9), s"balanced sample must not move: $o1")
+    // skewed: 6 h1 responders, 2 h2 responders -> raw biased toward h1;
+    // post re-weights to 50/50
+    val skew = (Seq.tabulate(6)(i => ("h1", i.toLong, 10L)) ++
+      Seq.tabulate(2)(i => ("h2", 100L + i, 20L)))
+      .toDF("h", "cid", "x")
+    val o2 = Experiment.postStratifiedMean(skew, pop, "h",
+      col("x").cast("decimal(19,0)")).collect().head
+    assert(approx(o2.getAs[Double]("raw_mean"), (6 * 10.0 + 2 * 20) / 8, 1e-9))
+    assert(approx(o2.getAs[Double]("post_mean"), 15.0, 1e-9),
+      s"post-stratified mean must hit the population-weighted 15: $o2")
+    assert(approx(o2.getAs[Double]("post_se"), 0.0, 1e-9),
+      "zero within-stratum variance implies zero SE")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
