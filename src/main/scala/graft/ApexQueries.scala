@@ -1035,6 +1035,91 @@ object ApexQueries {
       |FROM agg CROSS JOIN stot""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Upper-tail dependence
+  // --------------------------------------------------------------------------
+
+  /** λ_U of (l_quantity, l_extendedprice) at q ∈ {0.9, 0.95, 0.99}
+    * ([[graft.ext.RankCorr.tailDependence]]) — do the largest orders and the
+    * largest line revenues spike together beyond what correlation shows?
+    */
+  def qTailDependence(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.RankCorr.tailDependence(Tables.lineitem(spark, dir),
+        "l_quantity", "l_extendedprice",
+        tieCols = Seq("l_orderkey", "l_linenumber"),
+        probs = Seq(0.9, 0.95, 0.99))
+      .select(col("p"), col("tx"), col("ty"), col("n_joint"), col("n_y"),
+        round(col("lambda_u"), 6).as("lambda_u"))
+
+  val tailDependenceSql: String =
+    """WITH rx AS (SELECT l_quantity AS v,
+      |    ROW_NUMBER() OVER (ORDER BY l_quantity, l_orderkey, l_linenumber)
+      |      AS rn, COUNT(*) OVER () AS n
+      |  FROM lineitem),
+      |tx AS (SELECT CAST(p AS DOUBLE) AS p, v AS tx FROM rx
+      |  JOIN (VALUES (0.90), (0.95), (0.99)) t(p)
+      |    ON rn = GREATEST(1, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT))),
+      |ry AS (SELECT l_extendedprice AS v,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |      l_linenumber) AS rn, COUNT(*) OVER () AS n
+      |  FROM lineitem),
+      |ty AS (SELECT CAST(p AS DOUBLE) AS p, v AS ty FROM ry
+      |  JOIN (VALUES (0.90), (0.95), (0.99)) t(p)
+      |    ON rn = GREATEST(1, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT))),
+      |th AS (SELECT tx.p, tx.tx, ty.ty FROM tx JOIN ty USING (p)),
+      |c AS (SELECT p, tx, ty,
+      |    CAST(SUM(CASE WHEN l_extendedprice > ty THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_y,
+      |    CAST(SUM(CASE WHEN l_quantity > tx AND l_extendedprice > ty
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_joint
+      |  FROM lineitem CROSS JOIN th GROUP BY 1, 2, 3)
+      |SELECT p, tx, ty, n_joint, n_y,
+      |  ROUND(CAST(n_joint AS DOUBLE) / n_y, 6) AS lambda_u
+      |FROM c ORDER BY p""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Naive forecasting backtest
+  // --------------------------------------------------------------------------
+
+  /** Naive-1 vs seasonal-naive-7 backtest per event type over daily value
+    * sums ([[graft.ext.Forecast.naiveBacktest]]) — the MASE floor any
+    * forecast must beat; micro units rescaled to original units.
+    */
+  def qNaiveBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(col("value").cast("decimal(18,6)") * lit(1000000))
+        .cast("decimal(19,0)").as("x_micro"))
+    graft.ext.Forecast.naiveBacktest(daily, "event_type", "day", "x_micro")
+      .select(col("event_type"), col("n1"),
+        round(col("mae_naive1") / 1000000.0, 6).as("mae_naive1"),
+        col("n7"),
+        round(col("mae_naive7") / 1000000.0, 6).as("mae_naive7"),
+        round(col("mase7"), 6).as("mase7"))
+  }
+
+  val naiveBacktestSql: String =
+    """WITH daily AS (SELECT event_type AS g, date_trunc('day', ts) AS d,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,6)) * 1000000) AS DECIMAL(19,0))
+      |      AS x
+      |  FROM events GROUP BY 1, 2),
+      |e1 AS (SELECT a.g, COUNT(*) AS n1,
+      |    CAST(SUM(abs(a.x - b.x)) AS DECIMAL(38,0)) AS s1
+      |  FROM daily a JOIN daily b
+      |    ON a.g = b.g AND a.d = b.d + INTERVAL 1 DAY
+      |  GROUP BY 1),
+      |e7 AS (SELECT a.g, COUNT(*) AS n7,
+      |    CAST(SUM(abs(a.x - b.x)) AS DECIMAL(38,0)) AS s7
+      |  FROM daily a JOIN daily b
+      |    ON a.g = b.g AND a.d = b.d + INTERVAL 7 DAY
+      |  GROUP BY 1)
+      |SELECT e1.g AS event_type, n1,
+      |  ROUND((CAST(s1 AS DOUBLE) / n1) / 1000000.0, 6) AS mae_naive1,
+      |  n7, ROUND((CAST(s7 AS DOUBLE) / n7) / 1000000.0, 6) AS mae_naive7,
+      |  ROUND((CAST(s7 AS DOUBLE) / n7) / (CAST(s1 AS DOUBLE) / n1), 6)
+      |    AS mase7
+      |FROM e1 JOIN e7 USING (g) ORDER BY event_type""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1059,7 +1144,9 @@ object ApexQueries {
     "q_kn_bigram_nll" -> (qKnBigramNll _),
     "q_dp_sensitivity" -> (qDpSensitivity _),
     "q_hashed_topk" -> (qHashedTopk _),
-    "q_post_stratified" -> (qPostStratified _))
+    "q_post_stratified" -> (qPostStratified _),
+    "q_tail_dependence" -> (qTailDependence _),
+    "q_naive_backtest" -> (qNaiveBacktest _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1084,5 +1171,7 @@ object ApexQueries {
     "q_kn_bigram_nll" -> knBigramNllSql,
     "q_dp_sensitivity" -> dpSensitivitySql,
     "q_hashed_topk" -> hashedTopkSql,
-    "q_post_stratified" -> postStratifiedSql)
+    "q_post_stratified" -> postStratifiedSql,
+    "q_tail_dependence" -> tailDependenceSql,
+    "q_naive_backtest" -> naiveBacktestSql)
 }

@@ -85,4 +85,39 @@ object Forecast {
       }(enc)
       .toDF(groupCol, "n_days", "level", "trend", "forecast_next", "mae")
   }
+
+  /** Naive-baseline backtest — the sanity floor every forecast must beat
+    * (M-competition discipline): one-step error of naive-1 (yesterday's
+    * value) vs seasonal naive-7 (same weekday last week), and their ratio
+    * MASE₇ = MAE₇/MAE₁ (< 1 ⇔ the weekly pattern genuinely helps). A model
+    * (Holt, seasonal baseline) that can't beat these numbers is decoration.
+    *
+    * `xExactCol` must be integer-valued DECIMAL daily values (micro units).
+    * Lag alignment is the [[Series.acf]] calendar equi-join — never a
+    * per-group unpartitioned window. |errors| sum exactly in DECIMAL; each
+    * MAE is one division, reported in micro units (caller rescales).
+    *
+    * Output per group asc: (group, n1, mae_naive1, n7, mae_naive7, mase7).
+    */
+  def naiveBacktest(daily: DataFrame, groupCol: String, dayCol: String,
+                    xExactCol: String): DataFrame = {
+    val d = daily.select(col(groupCol).as("g"), col(dayCol).as("d"),
+      col(xExactCol).cast("decimal(19,0)").as("x"))
+    def lagErr(lag: Int, nName: String, sName: String): DataFrame = {
+      val shifted = d.select(col("g"), date_add(col("d"), lag).as("d"),
+        col("x").as("xl"))
+      d.join(shifted, Seq("g", "d"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as(nName),
+          sum(abs(col("x") - col("xl"))).as(sName))
+    }
+    lagErr(1, "n1", "s1").join(lagErr(7, "n7", "s7"), Seq("g"))
+      .select(col("g").as(groupCol), col("n1"),
+        (col("s1").cast("double") / col("n1")).as("mae_naive1"),
+        col("n7"),
+        (col("s7").cast("double") / col("n7")).as("mae_naive7"),
+        ((col("s7").cast("double") / col("n7")) /
+          (col("s1").cast("double") / col("n1"))).as("mase7"))
+      .orderBy(col(groupCol))
+  }
 }

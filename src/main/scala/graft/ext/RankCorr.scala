@@ -66,4 +66,41 @@ object RankCorr {
           (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
         .as("spearman_rho"))
   }
+
+  /** Empirical upper-tail dependence — the dependence measure correlation
+    * can't see: `λ_U(q) = P(X > F_X⁻¹(q) | Y > F_Y⁻¹(q))` for high
+    * quantiles q. Two variables can be ρ ≈ 0.3 "mildly correlated" yet
+    * crash/spike TOGETHER (λ_U ≈ 1) — the risk question for capacity and
+    * revenue concentration. λ_U ≈ 1 − q under independence; ≫ that means
+    * joint extremes cluster.
+    *
+    * Thresholds are EXACT empirical quantiles via
+    * [[GlobalRank.exactQuantiles]] (percentile_disc semantics — real data
+    * values, no interpolation to drift across engines), then one scan with
+    * the |probs|-row threshold table broadcast computes the conditional
+    * counts. All counts integer; one division per row.
+    *
+    * Output per q asc: (p, tx, ty, n_joint, n_y, lambda_u).
+    */
+  def tailDependence(df: DataFrame, xCol: String, yCol: String,
+                     tieCols: Seq[String], probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      s"probs must be in (0,1), got $probs")
+    val qx = GlobalRank.exactQuantiles(
+        df.select((xCol +: tieCols).map(col): _*), xCol, tieCols, probs)
+      .select(col("p"), col("value").as("tx"))
+    val qy = GlobalRank.exactQuantiles(
+        df.select((yCol +: tieCols).map(col): _*), yCol, tieCols, probs)
+      .select(col("p"), col("value").as("ty"))
+    val th = qx.join(qy, Seq("p"))
+    df.select(col(xCol).as("__x"), col(yCol).as("__y"))
+      .crossJoin(broadcast(th))
+      .groupBy(col("p"), col("tx"), col("ty"))
+      .agg(sum(when(col("__y") > col("ty"), 1L).otherwise(0L)).as("n_y"),
+        sum(when(col("__x") > col("tx") && col("__y") > col("ty"), 1L)
+          .otherwise(0L)).as("n_joint"))
+      .select(col("p"), col("tx"), col("ty"), col("n_joint"), col("n_y"),
+        (col("n_joint").cast("double") / col("n_y")).as("lambda_u"))
+      .orderBy(col("p"))
+  }
 }

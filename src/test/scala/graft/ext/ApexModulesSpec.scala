@@ -543,6 +543,43 @@ class ApexModulesSpec extends SparkTestBase {
       "zero within-stratum variance implies zero SE")
   }
 
+  // --------------------------------------------- RankCorr.tailDependence
+
+  test("tailDependence: comonotone data gives lambda_u = 1; independent-ish " +
+    "alternating data stays far below") {
+    val co = Seq.tabulate(100)(i => (i.toDouble, i * 2.0, i.toLong, 1L))
+      .toDF("x", "y", "k1", "k2")
+    val o = RankCorr.tailDependence(co, "x", "y", Seq("k1", "k2"), Seq(0.9))
+      .collect().head
+    assert(approx(o.getAs[Double]("lambda_u"), 1.0, 1e-12),
+      s"comonotone must have full tail dependence: $o")
+    // anti-monotone: largest x pairs with smallest y -> lambda_u = 0
+    val anti = Seq.tabulate(100)(i => (i.toDouble, -i * 2.0, i.toLong, 1L))
+      .toDF("x", "y", "k1", "k2")
+    val a = RankCorr.tailDependence(anti, "x", "y", Seq("k1", "k2"), Seq(0.9))
+      .collect().head
+    assert(approx(a.getAs[Double]("lambda_u"), 0.0, 1e-12),
+      s"anti-monotone must have zero tail dependence: $a")
+  }
+
+  // ------------------------------------------------ Forecast.naiveBacktest
+
+  test("naiveBacktest: an exact 7-day cycle makes mae_naive7 = 0 and " +
+    "mase7 = 0 while naive-1 pays the cycle's step size") {
+    val days = Seq.tabulate(28)(i =>
+      ("t", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 3, 1)
+        .plusDays(i)), BigDecimal(100L + (i % 7) * 10)))
+      .toDF("g", "d", "x").withColumn("x", col("x").cast("decimal(19,0)"))
+    val o = Forecast.naiveBacktest(days, "g", "d", "x").collect().head
+    assert(o.getAs[Long]("n7") == 21L && o.getAs[Long]("n1") == 27L)
+    assert(approx(o.getAs[Double]("mae_naive7"), 0.0, 1e-12), s"$o")
+    assert(approx(o.getAs[Double]("mase7"), 0.0, 1e-12))
+    // naive-1 errors over 27 pairs: 24 steps of |10| + 3 wraps of |60|
+    val mae1 = o.getAs[Double]("mae_naive1")
+    assert(approx(mae1, (24 * 10.0 + 3 * 60.0) / 27, 1e-9),
+      s"naive-1 must pay the step size: $mae1")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
