@@ -1120,6 +1120,93 @@ object ApexQueries {
       |FROM e1 JOIN e7 USING (g) ORDER BY event_type""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Histogram quantile sketch audit
+  // --------------------------------------------------------------------------
+
+  /** 128-bin histogram quantile estimates vs the exact percentile_disc
+    * values ([[graft.ext.HistSketch.histQuantilesAudit]]) — the one-pass,
+    * mergeable quantile path for 100 TB scans, with its error measured
+    * before anyone trusts it.
+    */
+  def qHistQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.HistSketch.histQuantilesAudit(Tables.lineitem(spark, dir),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+        Seq(0.5, 0.9, 0.99), bins = 128)
+      .select(col("p"), round(col("est"), 6).as("est"), col("exact_value"),
+        round(col("abs_err"), 6).as("abs_err"),
+        round(col("rel_err"), 6).as("rel_err"))
+
+  val histQuantilesSql: String =
+    """WITH v AS (SELECT l_extendedprice AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |mm AS (SELECT MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM v),
+      |binned AS (SELECT LEAST(CAST(floor(((v - lo) / (hi - lo)) * 128)
+      |    AS BIGINT), 127) AS bin, COUNT(*) AS c
+      |  FROM v CROSS JOIN mm GROUP BY 1),
+      |cum AS (SELECT a.bin, a.c, COALESCE(SUM(b.c), 0) AS cum_before
+      |  FROM binned a LEFT JOIN binned b ON b.bin < a.bin GROUP BY 1, 2),
+      |ps AS (SELECT CAST(p AS DOUBLE) AS p
+      |  FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+      |tg AS (SELECT p, lo, hi, n,
+      |    GREATEST(1, CAST(ceil(p * n) AS BIGINT)) AS target
+      |  FROM ps CROSS JOIN mm),
+      |est AS (SELECT p,
+      |    lo + ((hi - lo) / 128) * (CAST(bin AS DOUBLE) +
+      |      CAST(target - cum_before AS DOUBLE) / CAST(c AS DOUBLE)) AS est
+      |  FROM tg JOIN cum ON target > cum_before
+      |    AND target <= cum_before + c),
+      |rx AS (SELECT l_extendedprice AS ev,
+      |    ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey,
+      |      l_linenumber) AS rn, COUNT(*) OVER () AS n
+      |  FROM lineitem),
+      |ex AS (SELECT CAST(p AS DOUBLE) AS p, ev AS exact_value FROM rx
+      |  JOIN (VALUES (0.5), (0.9), (0.99)) t(p)
+      |    ON rn = GREATEST(1, CAST(ceil(CAST(p AS DOUBLE) * n) AS BIGINT)))
+      |SELECT est.p, ROUND(est, 6) AS est, exact_value,
+      |  ROUND(abs(est - exact_value), 6) AS abs_err,
+      |  ROUND(abs(est - exact_value) / abs(exact_value), 6) AS rel_err
+      |FROM est JOIN ex USING (p) ORDER BY p""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Zone-map skipping audit
+  // --------------------------------------------------------------------------
+
+  /** Min/max chunk-skipping under natural vs value-sorted layout for a
+    * price range predicate ([[graft.ext.Layout.zoneMapSkipAudit]], 64
+    * simulated row groups) — the quantitative case for clustering the
+    * table on its filter column.
+    */
+  def qZonemapSkip(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Layout.zoneMapSkipAudit(Tables.lineitem(spark, dir),
+        "l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+        chunks = 64, lo = 50000.0, hi = 55000.0)
+      .select(col("layout"), col("n_chunks"), col("n_skippable"),
+        round(col("skip_fraction"), 6).as("skip_fraction"))
+
+  val zonemapSkipSql: String =
+    """WITH proj AS (SELECT l_extendedprice AS v, l_orderkey, l_linenumber
+      |  FROM lineitem),
+      |nt AS (SELECT COUNT(*) AS total FROM proj),
+      |nat AS (SELECT v, ROW_NUMBER() OVER (ORDER BY l_orderkey,
+      |    l_linenumber) AS rn FROM proj),
+      |natc AS (SELECT ((rn - 1) * 64) // total AS chunk, MIN(v) AS mn,
+      |    MAX(v) AS mx FROM nat CROSS JOIN nt GROUP BY 1),
+      |nata AS (SELECT 'natural' AS layout, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN mx < 50000.0 OR mn > 55000.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_skippable FROM natc),
+      |srt AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v, l_orderkey,
+      |    l_linenumber) AS rn FROM proj),
+      |srtc AS (SELECT ((rn - 1) * 64) // total AS chunk, MIN(v) AS mn,
+      |    MAX(v) AS mx FROM srt CROSS JOIN nt GROUP BY 1),
+      |srta AS (SELECT 'sorted' AS layout, COUNT(*) AS n_chunks,
+      |    CAST(SUM(CASE WHEN mx < 50000.0 OR mn > 55000.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_skippable FROM srtc)
+      |SELECT layout, n_chunks, n_skippable,
+      |  ROUND(CAST(n_skippable AS DOUBLE) / n_chunks, 6) AS skip_fraction
+      |FROM (SELECT * FROM nata UNION ALL SELECT * FROM srta)
+      |ORDER BY layout""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1146,7 +1233,9 @@ object ApexQueries {
     "q_hashed_topk" -> (qHashedTopk _),
     "q_post_stratified" -> (qPostStratified _),
     "q_tail_dependence" -> (qTailDependence _),
-    "q_naive_backtest" -> (qNaiveBacktest _))
+    "q_naive_backtest" -> (qNaiveBacktest _),
+    "q_hist_quantiles" -> (qHistQuantiles _),
+    "q_zonemap_skip" -> (qZonemapSkip _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1173,5 +1262,7 @@ object ApexQueries {
     "q_hashed_topk" -> hashedTopkSql,
     "q_post_stratified" -> postStratifiedSql,
     "q_tail_dependence" -> tailDependenceSql,
-    "q_naive_backtest" -> naiveBacktestSql)
+    "q_naive_backtest" -> naiveBacktestSql,
+    "q_hist_quantiles" -> histQuantilesSql,
+    "q_zonemap_skip" -> zonemapSkipSql)
 }

@@ -125,4 +125,44 @@ object Layout {
         round(col("nat_prefix").cast("double") / col("nat_len"), 6)
           .as("savings_natural"))
   }
+
+  /** Zone-map (min/max) skipping audit — why sorting/clustering a table on
+    * its filter column is a 10-100× scan saver: chunk the table (simulated
+    * row groups) under NATURAL order vs VALUE-SORTED order, record each
+    * chunk's min/max of the predicate column, and count the chunks a range
+    * predicate could skip entirely (`max < lo OR min > hi` — exactly the
+    * parquet row-group pruning test). Under natural order nearly every
+    * chunk straddles the range; value-sorted, all but the boundary chunks
+    * skip. The quantitative companion of [[zorderAudit]] for ONE column.
+    *
+    * Both chunkings ride [[GlobalRank.globalRowNumber]] (no single-task
+    * window); `chunk = (rn−1)·C div N`. All comparisons are raw column
+    * values — no floats introduced.
+    *
+    * Output per layout asc: (layout, n_chunks, n_skippable, skip_fraction).
+    */
+  def zoneMapSkipAudit(df: DataFrame, valueCol: String,
+                       naturalOrder: Seq[String], chunks: Int,
+                       lo: Double, hi: Double): DataFrame = {
+    require(chunks >= 2, s"chunks ($chunks) must be >= 2")
+    require(lo <= hi, s"empty predicate range [$lo, $hi]")
+    val proj = df.select((valueCol +: naturalOrder).map(col): _*)
+    val total = proj.count()
+    def audit(label: String, order: Seq[String]): DataFrame = {
+      val ranked = GlobalRank.globalRowNumber(proj, order.map(col))
+      ranked
+        .withColumn("chunk", expr(s"((rn - 1) * $chunks) div $total"))
+        .groupBy(col("chunk"))
+        .agg(min(col(valueCol)).as("mn"), max(col(valueCol)).as("mx"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("mx") < lo || col("mn") > hi, 1L).otherwise(0L))
+            .as("n_skippable"))
+        .select(lit(label).as("layout"), col("n_chunks"), col("n_skippable"),
+          (col("n_skippable").cast("double") / col("n_chunks"))
+            .as("skip_fraction"))
+    }
+    audit("natural", naturalOrder)
+      .unionByName(audit("sorted", valueCol +: naturalOrder))
+      .orderBy(col("layout"))
+  }
 }

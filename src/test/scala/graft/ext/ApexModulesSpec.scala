@@ -580,6 +580,47 @@ class ApexModulesSpec extends SparkTestBase {
       s"naive-1 must pay the step size: $mae1")
   }
 
+  // ------------------------------------------- HistSketch.histQuantilesAudit
+
+  test("histQuantilesAudit: estimates are monotone in p, bracket the data " +
+    "range, and hit small error on smooth data") {
+    val df = Seq.tabulate(10000)(i => (i.toDouble, i.toLong))
+      .toDF("v", "k")
+    val out = HistSketch.histQuantilesAudit(df, "v", Seq("k"),
+      Seq(0.25, 0.5, 0.9, 0.99), bins = 100).collect()
+    val ests = out.map(_.getAs[Double]("est"))
+    assert(ests.sliding(2).forall(p => p(0) <= p(1)),
+      s"estimates must be monotone in p: ${ests.toSeq}")
+    out.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.02,
+        s"uniform data in 100 bins must estimate within 2%: $r")
+      assert(r.getAs[Double]("est") >= 0.0 &&
+        r.getAs[Double]("est") <= 9999.0)
+    }
+  }
+
+  // -------------------------------------------- Layout.zoneMapSkipAudit
+
+  test("zoneMapSkipAudit: value-sorted layout skips all but the chunks " +
+    "covering the range; an adversarial interleave skips none") {
+    // values 0..639, natural order interleaves lo/hi so EVERY natural chunk
+    // straddles the predicate range
+    val rows = Seq.tabulate(640)(i =>
+      (if (i % 2 == 0) i.toDouble / 2 else 639.0 - i / 2, i.toLong))
+      .toDF("v", "k")
+    val out = Layout.zoneMapSkipAudit(rows, "v", Seq("k"), chunks = 8,
+      lo = 100.0, hi = 120.0).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_chunks"),
+        r.getAs[Long]("n_skippable"))).toMap
+    // interleaved chunks mostly straddle the range (the early ones always
+    // do); sorted concentrates the range in one chunk
+    assert(out("natural")._2 < out("sorted")._2,
+      s"sorting must strictly improve skipping: $out")
+    // sorted: 8 chunks of 80 values; [100,120] touches chunk 1 only
+    // (80..159); 7 of 8 skip
+    assert(out("sorted") == ((8L, 7L)), s"sorted must skip 7/8: $out")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
