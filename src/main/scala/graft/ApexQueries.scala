@@ -1207,6 +1207,62 @@ object ApexQueries {
       |ORDER BY layout""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Language-ID confusion / classifier evaluation
+  // --------------------------------------------------------------------------
+
+  /** Multi-class language-ID evaluated against the corpus's gold `lang`
+    * column ([[graft.ext.TextStats.langIdEval]]): per-class P/R/F1 plus
+    * accuracy and macro-F1 — q_lang_id_multi predicts, THIS grades (the zh
+    * class has no stopword profile, so its recall-0 row is the honest
+    * blind spot of the profile classifier).
+    */
+  def qLangidConfusion(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.langIdEval(Tables.documents(spark, dir),
+        "doc_id", "text", "lang")
+      .select(col("lang"), col("n_gold"), col("n_pred"), col("tp"),
+        round(col("precision"), 6).as("precision"),
+        round(col("recall"), 6).as("recall"),
+        round(col("f1"), 6).as("f1"),
+        round(col("accuracy"), 6).as("accuracy"),
+        round(col("macro_f1"), 6).as("macro_f1"))
+
+  val langidConfusionSql: String = {
+    val profile = graft.ext.TextStats.langProfiles
+      .flatMap { case (lang, toks) => toks.map(t => s"('$t', '$lang')") }
+      .mkString(", ")
+    s"""WITH profile(tok, plang) AS (VALUES $profile),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, plang, COUNT(*) AS n_hits
+      |  FROM tok JOIN profile USING (tok) GROUP BY 1, 2),
+      |r AS (SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY n_hits DESC, plang) AS rn FROM h),
+      |preds AS (SELECT d.lang AS gold, COALESCE(r.plang, 'unk') AS pred
+      |  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1),
+      |cells AS (SELECT gold, pred, COUNT(*) AS nij FROM preds GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(nij) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN gold = pred THEN nij ELSE 0 END) AS BIGINT)
+      |      AS n_correct FROM cells),
+      |gq AS (SELECT gold, CAST(SUM(nij) AS BIGINT) AS n_gold,
+      |    CAST(SUM(CASE WHEN pred = gold THEN nij ELSE 0 END) AS BIGINT)
+      |      AS tp FROM cells GROUP BY 1),
+      |pq AS (SELECT pred AS gold, CAST(SUM(nij) AS BIGINT) AS n_pred
+      |  FROM cells GROUP BY 1),
+      |pc AS (SELECT gq.gold, n_gold, COALESCE(n_pred, 0) AS n_pred, tp
+      |  FROM gq LEFT JOIN pq USING (gold)),
+      |mac AS (SELECT SUM(CAST((2.0 * tp) / (n_gold + n_pred)
+      |    AS DECIMAL(28,12))) AS sf, COUNT(*) AS nc FROM pc)
+      |SELECT gold AS lang, n_gold, n_pred, tp,
+      |  ROUND(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred
+      |    ELSE 0.0 END, 6) AS precision,
+      |  ROUND(CAST(tp AS DOUBLE) / n_gold, 6) AS recall,
+      |  ROUND((2.0 * tp) / (n_gold + n_pred), 6) AS f1,
+      |  ROUND(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy,
+      |  ROUND(CAST(sf AS DOUBLE) / nc, 6) AS macro_f1
+      |FROM pc CROSS JOIN tot CROSS JOIN mac ORDER BY lang""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1235,7 +1291,8 @@ object ApexQueries {
     "q_tail_dependence" -> (qTailDependence _),
     "q_naive_backtest" -> (qNaiveBacktest _),
     "q_hist_quantiles" -> (qHistQuantiles _),
-    "q_zonemap_skip" -> (qZonemapSkip _))
+    "q_zonemap_skip" -> (qZonemapSkip _),
+    "q_langid_confusion" -> (qLangidConfusion _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1264,5 +1321,6 @@ object ApexQueries {
     "q_tail_dependence" -> tailDependenceSql,
     "q_naive_backtest" -> naiveBacktestSql,
     "q_hist_quantiles" -> histQuantilesSql,
-    "q_zonemap_skip" -> zonemapSkipSql)
+    "q_zonemap_skip" -> zonemapSkipSql,
+    "q_langid_confusion" -> langidConfusionSql)
 }

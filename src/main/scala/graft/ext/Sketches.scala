@@ -65,6 +65,21 @@ object Sketches {
       .orderBy(col("true_cnt").desc, col("item"))
   }
 
+  /** Per-row HLL (register index, rho) projection — the stateless part of
+    * the portable sketch, shared by the batch audits and
+    * [[graft.streaming.StreamingOps.hllRegistersStream]].
+    */
+  private[graft] def hllRho(df: DataFrame, itemCol: String, b: Int): DataFrame = {
+    val m = 1 << b
+    val wBits = 32 - b
+    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.select(h.as("h"))
+      .select((col("h") % m).as("idx"), expr(s"h div $m").as("w"))
+      .select(col("idx"), when(col("w") === 0, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("w")))).as("rho"))
+  }
+
   /** Portable HyperLogLog distinct-count audit (Flajolet et al., AofA 2007)
     * — the cardinality sketch partner of [[countMinSketch]] (frequency) and
     * MinHash (similarity). Spark's built-in `approx_count_distinct` IS HLL++
@@ -101,13 +116,7 @@ object Sketches {
       case 64 => 0.709
       case _  => 0.7213 / (1.0 + 1.079 / m)
     }
-    val h = conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
-      .cast("long")
-    val hashed = df.select(h.as("h"))
-      .select((col("h") % m).as("idx"), expr(s"h div $m").as("w"))
-    val rho = when(col("w") === 0, lit(wBits + 1))
-      .otherwise(lit(wBits + 1) - length(bin(col("w"))))
-    val regs = hashed.select(col("idx"), rho.as("rho"))
+    val regs = hllRho(df, itemCol, b)
       .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
     val spine = df.sparkSession.range(m).select(col("id").as("idx"))
     val full = spine.join(regs, Seq("idx"), "left").na.fill(0, Seq("mreg"))

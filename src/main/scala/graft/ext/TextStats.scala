@@ -160,6 +160,54 @@ object TextStats {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Classifier evaluation of [[langIdMultiDF]] against a gold language
+    * column: per-class precision/recall/F1 from the confusion cells plus
+    * corpus accuracy and macro-F1 (repeated per row, the Benford
+    * statistic-per-row convention). F1 uses the integer-clean form
+    * `2·tp/(n_gold + n_pred)`; macro-F1 averages over GOLD classes
+    * (a gold class the classifier never predicts scores its recall-only
+    * F1, never NaN — n_gold ≥ 1 keeps the denominator positive), pooled
+    * in DECIMAL(28,12).
+    *
+    * Scale shape: prediction is the broadcast-profile join; everything
+    * downstream runs on the |gold|×|pred| cell table. Output per gold
+    * class asc: (lang, n_gold, n_pred, tp, precision, recall, f1,
+    * accuracy, macro_f1).
+    */
+  def langIdEval(df: DataFrame, idCol: String, textCol: String,
+                 goldCol: String): DataFrame = {
+    val preds = langIdMultiDF(df, idCol, textCol)
+      .select(col(idCol), col("lang_pred"))
+    val j = df.select(col(idCol), col(goldCol).as("gold"))
+      .join(preds, Seq(idCol))
+    val cells = j.groupBy(col("gold"), col("lang_pred").as("pred"))
+      .agg(count(lit(1)).as("nij"))
+    val tot = cells.agg(sum(col("nij")).as("n"),
+      sum(when(col("gold") === col("pred"), col("nij")).otherwise(0L))
+        .as("n_correct"))
+    val gq = cells.groupBy(col("gold"))
+      .agg(sum(col("nij")).as("n_gold"),
+        sum(when(col("pred") === col("gold"), col("nij")).otherwise(0L))
+          .as("tp"))
+    val pq = cells.groupBy(col("pred").as("gold"))
+      .agg(sum(col("nij")).as("n_pred"))
+    val perClass = gq.join(pq, Seq("gold"), "left")
+      .na.fill(0L, Seq("n_pred"))
+    val f1 = (lit(2.0) * col("tp")) / (col("n_gold") + col("n_pred"))
+    val macroAgg = perClass.agg(
+      sum(f1.cast("decimal(28,12)")).as("sf"), count(lit(1)).as("nc"))
+    perClass.crossJoin(broadcast(tot)).crossJoin(broadcast(macroAgg))
+      .select(col("gold").as("lang"), col("n_gold"), col("n_pred"), col("tp"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred")).otherwise(lit(0.0))
+          .as("precision"),
+        (col("tp").cast("double") / col("n_gold")).as("recall"),
+        f1.as("f1"),
+        (col("n_correct").cast("double") / col("n")).as("accuracy"),
+        (col("sf").cast("double") / col("nc")).as("macro_f1"))
+      .orderBy(col("lang"))
+  }
+
   /** Per-group quantiles of a numeric column — the 100 TB path. Exact
     * `percentile` buffers every value per group (OOM on a billion-doc group);
     * `percentile_approx` keeps a fixed-size KLL-style sketch per group that

@@ -1334,4 +1334,18 @@ object StreamingOps {
         graft.ext.Sketches.bucket(col("j"), col("item"), width).as("bucket"))
       .agg(count(lit(1)).as("bucket_cnt"))
   }
+
+  /** Streaming twin of [[graft.ext.Sketches.hyperLogLogAudit]]'s register
+    * table: the portable HLL maintained incrementally — state is EXACTLY m
+    * max-registers forever (no watermark; max never retracts), the live
+    * distinct-count board for an unbounded key stream. Each trigger emits
+    * the updated registers (Update/Complete); the consumer applies the
+    * estimator formula α·m²/Σ2^(−M) snapshot-side, same as the batch
+    * audit's tail. After the stream drains the register table equals the
+    * batch [[graft.ext.Sketches.hllRho]]→max aggregation bit-for-bit.
+    */
+  def hllRegistersStream(stream: DataFrame, itemCol: String,
+                         b: Int = 6): DataFrame =
+    graft.ext.Sketches.hllRho(stream, itemCol, b)
+      .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
 }

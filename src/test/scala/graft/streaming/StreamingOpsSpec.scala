@@ -1104,6 +1104,37 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(flags == Map("feed_a" -> true, "feed_b" -> false, "feed_c" -> true))
   }
 
+  test("hllRegistersStream snapshot equals the batch register table and " +
+    "never loses a register across micro-batches") {
+    implicit val sc = spark.sqlContext
+    val b1 = (1L to 300L)
+    val b2 = (200L to 500L)
+    val input = MemoryStream[Long]
+    val query = StreamingOps
+      .hllRegistersStream(input.toDF().withColumnRenamed("value", "item_id"),
+        "item_id", b = 6)
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode("complete").start()
+    input.addData(b1: _*); query.processAllAvailable()
+    val mid = spark.table("hll_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val fin = spark.table("hll_stream").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // registers only grow
+    mid.foreach { case (idx, rho) =>
+      assert(fin.getOrElse(idx, 0) >= rho, s"register $idx regressed")
+    }
+    import spark.implicits._
+    val batch = graft.ext.Sketches
+      .hllRho((b1 ++ b2).toDF("item_id"), "item_id", 6)
+      .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fin == batch, s"streamed registers must equal batch: " +
+      s"${fin.size} vs ${batch.size}")
+  }
+
   test("countMinSketchStream snapshot equals the batch CMS counter for " +
     "counter matrix across micro-batches") {
     implicit val sc = spark.sqlContext
