@@ -1263,6 +1263,99 @@ object ApexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Percolation / attack tolerance
+  // --------------------------------------------------------------------------
+
+  /** Hub-removal robustness of the repeat-co-purchase graph
+    * ([[graft.ext.GraphPaths.percolationAudit]], top-20 hubs): does the
+    * giant component survive losing the whale items? The oracle replays
+    * BOTH connected-components passes with recursive reach CTEs.
+    */
+  def qPercolation(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphPaths.percolationAudit(
+        InsightQueries.repeatEdges(spark, dir), "src", "dst", topKHubs = 20)
+      .select(col("scenario"), col("n_nodes"), col("n_edges"),
+        col("largest_cc"),
+        round(col("largest_cc_share"), 6).as("largest_cc_share"))
+
+  val percolationSql: String =
+    s"""WITH RECURSIVE ${InsightQueries.repeatEdgesSql},
+      |edges AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+      |deg AS (SELECT a AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+      |hubs AS (SELECT node FROM deg ORDER BY deg DESC, node LIMIT 20),
+      |ea AS (SELECT a, b FROM e
+      |  WHERE a NOT IN (SELECT node FROM hubs)
+      |    AND b NOT IN (SELECT node FROM hubs)),
+      |edgesa AS (SELECT a, b FROM ea UNION SELECT b, a FROM ea),
+      |reach(id, r) AS (
+      |      SELECT a, a FROM edges UNION SELECT a, b FROM edges
+      |      UNION SELECT eg.a, r.r FROM edges eg JOIN reach r ON eg.b = r.id),
+      |lab AS (SELECT id, MIN(r) AS c FROM reach GROUP BY 1),
+      |reacha(id, r) AS (
+      |      SELECT a, a FROM edgesa UNION SELECT a, b FROM edgesa
+      |      UNION SELECT eg.a, r.r FROM edgesa eg
+      |        JOIN reacha r ON eg.b = r.id),
+      |laba AS (SELECT id, MIN(r) AS c FROM reacha GROUP BY 1),
+      |s1 AS (SELECT 'intact' AS scenario,
+      |    (SELECT COUNT(*) FROM lab) AS n_nodes,
+      |    (SELECT COUNT(*) FROM e) AS n_edges,
+      |    (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM lab GROUP BY c))
+      |      AS largest_cc),
+      |s2 AS (SELECT 'attacked' AS scenario,
+      |    (SELECT COUNT(*) FROM laba) AS n_nodes,
+      |    (SELECT COUNT(*) FROM ea) AS n_edges,
+      |    (SELECT MAX(cnt) FROM (SELECT COUNT(*) AS cnt FROM laba GROUP BY c))
+      |      AS largest_cc),
+      |u AS (SELECT * FROM s2 UNION ALL SELECT * FROM s1)
+      |SELECT scenario, n_nodes, n_edges, largest_cc,
+      |  ROUND(CAST(largest_cc AS DOUBLE) / n_nodes, 6) AS largest_cc_share
+      |FROM u ORDER BY scenario""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Sampled join-cardinality estimation
+  // --------------------------------------------------------------------------
+
+  /** 10% two-independent-sample estimate of the l_partkey self-join
+    * cardinality vs the exact Σc(k)²
+    * ([[graft.ext.Profiling.sampledSelfJoinCardinality]]) — the optimizer
+    * estimation audit: how much error does sampling buy at 1% of the work?
+    */
+  def qJoinCardSample(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Profiling.sampledSelfJoinCardinality(
+        Tables.lineitem(spark, dir), "l_partkey",
+        rowKey = concat(col("l_orderkey").cast("string"), lit("_"),
+          col("l_linenumber").cast("string")),
+        pctSample = 10)
+      .select(col("n_rows"), col("exact_join_card"), col("sample_join_card"),
+        col("estimate"), round(col("rel_err_pct"), 6).as("rel_err_pct"))
+
+  val joinCardSampleSql: String =
+    """WITH base AS (SELECT l_partkey AS k,
+      |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+      |      CAST(l_linenumber AS VARCHAR) || ':a'), 1, 8)) AS BIGINT) % 100
+      |      AS ba,
+      |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '_' ||
+      |      CAST(l_linenumber AS VARCHAR) || ':b'), 1, 8)) AS BIGINT) % 100
+      |      AS bb
+      |  FROM lineitem),
+      |ex AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+      |    CAST(SUM(CAST(c AS DECIMAL(19,0)) * CAST(c AS DECIMAL(19,0)))
+      |      AS BIGINT) AS exact_card
+      |  FROM (SELECT k, COUNT(*) AS c FROM base GROUP BY 1)),
+      |ca AS (SELECT k, COUNT(*) AS ca FROM base WHERE ba < 10 GROUP BY 1),
+      |cb AS (SELECT k, COUNT(*) AS cb FROM base WHERE bb < 10 GROUP BY 1),
+      |sm AS (SELECT COALESCE(CAST(SUM(CAST(ca AS DECIMAL(19,0)) *
+      |    CAST(cb AS DECIMAL(19,0))) AS BIGINT), 0) AS sample_card
+      |  FROM ca JOIN cb USING (k))
+      |SELECT n_rows, exact_card AS exact_join_card,
+      |  sample_card AS sample_join_card,
+      |  CAST(sample_card * 100 AS BIGINT) AS estimate,
+      |  ROUND(100.0 * abs(CAST(sample_card * 100 AS DOUBLE) -
+      |    CAST(exact_card AS DOUBLE)) / CAST(exact_card AS DOUBLE), 6)
+      |    AS rel_err_pct
+      |FROM ex CROSS JOIN sm""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1292,7 +1385,9 @@ object ApexQueries {
     "q_naive_backtest" -> (qNaiveBacktest _),
     "q_hist_quantiles" -> (qHistQuantiles _),
     "q_zonemap_skip" -> (qZonemapSkip _),
-    "q_langid_confusion" -> (qLangidConfusion _))
+    "q_langid_confusion" -> (qLangidConfusion _),
+    "q_percolation" -> (qPercolation _),
+    "q_join_card_sample" -> (qJoinCardSample _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1322,5 +1417,7 @@ object ApexQueries {
     "q_naive_backtest" -> naiveBacktestSql,
     "q_hist_quantiles" -> histQuantilesSql,
     "q_zonemap_skip" -> zonemapSkipSql,
-    "q_langid_confusion" -> langidConfusionSql)
+    "q_langid_confusion" -> langidConfusionSql,
+    "q_percolation" -> percolationSql,
+    "q_join_card_sample" -> joinCardSampleSql)
 }

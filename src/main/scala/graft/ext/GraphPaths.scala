@@ -60,4 +60,49 @@ object GraphPaths {
     levels.groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("level"))
   }
+
+  /** Percolation / attack-tolerance audit (Albert, Jeong & Barabási, Nature
+    * 2000): how much of the graph's connectivity survives removing the
+    * top-k hub nodes? Scale-free graphs are famously robust to random
+    * failure but fragile to TARGETED hub removal — the number that matters
+    * when the "hubs" are a platform's whale items or super-connectors.
+    * Reports, per scenario (intact vs hubs-removed): node/edge counts, the
+    * largest connected component, and its share of surviving nodes.
+    *
+    * Components come from [[Dedup.dupClusters]] (pointer-jumping min-label
+    * propagation — O(log n) rounds); hubs are a `TakeOrderedAndProject`
+    * top-k on the degree table, removed via two broadcast anti-joins on the
+    * edge list. All counts integer.
+    *
+    * Output per scenario asc: (scenario, n_nodes, n_edges, largest_cc,
+    * largest_cc_share).
+    */
+  def percolationAudit(edges: DataFrame, srcCol: String, dstCol: String,
+                       topKHubs: Int): DataFrame = {
+    require(topKHubs >= 1, s"topKHubs ($topKHubs) must be >= 1")
+    val e = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+    val deg = e.select(col("id_a").as("node"))
+      .union(e.select(col("id_b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val hubs = deg.orderBy(col("deg").desc, col("node")).limit(topKHubs)
+      .select(col("node"))
+    val attacked = e
+      .join(broadcast(hubs.select(col("node").as("id_a"))), Seq("id_a"),
+        "left_anti")
+      .join(broadcast(hubs.select(col("node").as("id_b"))), Seq("id_b"),
+        "left_anti")
+    def ccStats(label: String, pairs: DataFrame): DataFrame = {
+      val labels = Dedup.dupClusters(pairs)
+      val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+      labels.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(pairs.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(sizes.agg(max(col("sz")).as("largest_cc")))
+        .select(lit(label).as("scenario"), col("n_nodes"), col("n_edges"),
+          col("largest_cc"),
+          (col("largest_cc").cast("double") / col("n_nodes"))
+            .as("largest_cc_share"))
+    }
+    ccStats("attacked", attacked).unionByName(ccStats("intact", e))
+      .orderBy(col("scenario"))
+  }
 }

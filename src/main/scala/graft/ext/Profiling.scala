@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Dataset profiling — the "analyze table" primitive a pipeline runs on every
@@ -293,6 +293,56 @@ object Profiling {
     * then a broadcast of the 1-row global max. Output per source asc:
     * (source, n_events, last_seen_epoch, staleness_sec, is_stale).
     */
+  /** Sampled join-cardinality estimation audit — the optimizer-style
+    * question "how big will A ⋈ B be?" answered from two INDEPENDENT
+    * Bernoulli row samples: `|Â ⋈ B̂| / p²` is unbiased for `|A ⋈ B|`
+    * (each result pair survives with probability p² under independent
+    * sampling of its two parent rows). The audit runs the estimator
+    * against the exact cardinality and reports the relative error — the
+    * evidence for trusting sampled estimates before sizing a 100 TB
+    * shuffle. Samples are deterministic md5 buckets with distinct salts
+    * (the [[graft.ext.Splits.hashBucket]] idiom), so both engines draw the
+    * identical samples.
+    *
+    * The exact side never materializes the join: `|A ⋈_k A| = Σ_k c(k)²`
+    * from the key-count table; the sampled side joins the two sampled
+    * count tables the same way. All counts integer; the ×1/p² scaling is
+    * an exact integer multiply.
+    *
+    * Output: 1 row (n_rows, exact_join_card, sample_join_card, estimate,
+    * rel_err_pct).
+    */
+  def sampledSelfJoinCardinality(df: DataFrame, keyCol: String,
+                                 rowKey: Column, pctSample: Int = 10): DataFrame = {
+    require(pctSample >= 1 && pctSample <= 50, s"bad pctSample $pctSample")
+    def bucket(salt: String) =
+      conv(substring(md5(concat(rowKey.cast("string"), lit(":" + salt))),
+        1, 8), 16, 10).cast("long") % 100
+    val base = df.select(col(keyCol).as("k"), bucket("a").as("ba"),
+      bucket("b").as("bb"))
+    val exact = base.groupBy(col("k")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_rows"),
+        sum(col("c").cast("decimal(19,0)") * col("c").cast("decimal(19,0)"))
+          .as("exact_card"))
+    val ca = base.filter(col("ba") < pctSample)
+      .groupBy(col("k")).agg(count(lit(1)).as("ca"))
+    val cb = base.filter(col("bb") < pctSample)
+      .groupBy(col("k")).agg(count(lit(1)).as("cb"))
+    val sampled = ca.join(cb, Seq("k"))
+      .agg(coalesce(sum(col("ca").cast("decimal(19,0)") *
+        col("cb").cast("decimal(19,0)")), lit(0).cast("decimal(38,0)"))
+        .as("sample_card"))
+    val scale = (100L / pctSample) * (100L / pctSample)
+    exact.crossJoin(sampled)
+      .select(col("n_rows"), col("exact_card").cast("long")
+          .as("exact_join_card"),
+        col("sample_card").cast("long").as("sample_join_card"),
+        (col("sample_card") * scale).cast("long").as("estimate"),
+        (lit(100.0) * abs((col("sample_card") * scale).cast("double") -
+          col("exact_card").cast("double")) / col("exact_card").cast("double"))
+          .as("rel_err_pct"))
+  }
+
   def freshness(df: DataFrame, sourceCol: String, tsCol: String,
                 staleAfterSec: Long = 3600L): DataFrame = {
     val per = df.groupBy(col(sourceCol).as("source"))

@@ -621,6 +621,43 @@ class ApexModulesSpec extends SparkTestBase {
     assert(out("sorted") == ((8L, 7L)), s"sorted must skip 7/8: $out")
   }
 
+  // --------------------------------------- GraphPaths.percolationAudit
+
+  test("percolationAudit: removing the star hub shatters the giant " +
+    "component; a cycle survives any single removal") {
+    // star: hub 1 connects 2..11 -> intact largest CC = 11, attacked = 1
+    val star = (2L to 11L).map(i => (1L, i)).toDF("src", "dst")
+    val s = GraphPaths.percolationAudit(star, "src", "dst", topKHubs = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("largest_cc"))).toMap
+    assert(s("intact") == ((11L, 11L)), s"$s")
+    assert(s("attacked")._1 == 0L,
+      s"a pure star has no edges left after hub removal: $s")
+    // 10-cycle: removing the (tie-broken) top hub leaves a 9-path
+    val cycle = (0L to 9L).map(i => (i, (i + 1) % 10)).toDF("src", "dst")
+    val c = GraphPaths.percolationAudit(cycle, "src", "dst", topKHubs = 1)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_nodes"), r.getAs[Long]("largest_cc"))).toMap
+    assert(c("intact") == ((10L, 10L)))
+    assert(c("attacked") == ((9L, 9L)),
+      s"a cycle must stay connected after one removal: $c")
+  }
+
+  // ------------------------------- Profiling.sampledSelfJoinCardinality
+
+  test("sampledSelfJoinCardinality: exact side is sum of squared key " +
+    "counts and the estimate is the scaled sample join") {
+    val df = (Seq.fill(30)(1L) ++ Seq.fill(20)(2L) ++ (100L to 149L))
+      .zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "rid")
+    val o = Profiling.sampledSelfJoinCardinality(df, "k",
+      col("rid"), pctSample = 10).collect().head
+    assert(o.getAs[Long]("n_rows") == 100L)
+    assert(o.getAs[Long]("exact_join_card") == 30L * 30 + 20L * 20 + 50L,
+      s"exact must be sum of c^2: $o")
+    assert(o.getAs[Long]("estimate") ==
+      o.getAs[Long]("sample_join_card") * 100, s"$o")
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
