@@ -1356,6 +1356,38 @@ object ApexQueries {
       |FROM ex CROSS JOIN sm""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Degree-distribution tail index
+  // --------------------------------------------------------------------------
+
+  /** Hill tail index of the co-purchase DEGREE distribution
+    * ([[graft.metrics.LongTail.hillTailIndex]] over edge endpoints, k=50) —
+    * the scale-free-ness test that explains q_percolation's result: a
+    * heavy-tailed degree distribution (α̂ ≈ 1-2) predicts hub-fragility, a
+    * thin tail predicts the robustness we measured.
+    */
+  def qDegreeTail(spark: SparkSession, dir: String): DataFrame = {
+    val e = InsightQueries.repeatEdges(spark, dir)
+    val endpoints = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+    graft.metrics.LongTail.hillTailIndex(endpoints, "node", k = 50)
+  }
+
+  val degreeTailSql: String =
+    s"""WITH ${InsightQueries.repeatEdgesSql},
+      |ep AS (SELECT a AS node FROM e UNION ALL SELECT b FROM e),
+      |c AS (SELECT node, COUNT(*) AS volume FROM ep GROUP BY 1),
+      |r AS (SELECT node, volume,
+      |    ROW_NUMBER() OVER (ORDER BY volume DESC, node) AS rnk FROM c),
+      |tl AS (SELECT volume AS x_kplus1 FROM r WHERE rnk = 51),
+      |s AS (SELECT SUM(CAST(ln(CAST(r.volume AS DOUBLE) / tl.x_kplus1)
+      |      AS DECIMAL(18,8))) AS sl
+      |  FROM r CROSS JOIN tl WHERE rnk <= 50)
+      |SELECT 50 AS k, x_kplus1,
+      |  ROUND(CAST(sl AS DOUBLE), 6) AS sum_log,
+      |  ROUND(50 / CAST(sl AS DOUBLE), 6) AS hill_alpha
+      |FROM s CROSS JOIN tl""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1387,7 +1419,8 @@ object ApexQueries {
     "q_zonemap_skip" -> (qZonemapSkip _),
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_percolation" -> (qPercolation _),
-    "q_join_card_sample" -> (qJoinCardSample _))
+    "q_join_card_sample" -> (qJoinCardSample _),
+    "q_degree_tail" -> (qDegreeTail _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1419,5 +1452,6 @@ object ApexQueries {
     "q_zonemap_skip" -> zonemapSkipSql,
     "q_langid_confusion" -> langidConfusionSql,
     "q_percolation" -> percolationSql,
-    "q_join_card_sample" -> joinCardSampleSql)
+    "q_join_card_sample" -> joinCardSampleSql,
+    "q_degree_tail" -> degreeTailSql)
 }
