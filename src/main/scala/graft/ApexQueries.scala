@@ -594,7 +594,11 @@ object ApexQueries {
     * the modularity arithmetic.
     */
   def qModularity(spark: SparkSession, dir: String): DataFrame = {
+    // the edge table feeds LPA (3 rounds) AND the modularity joins —
+    // checkpoint once so the basket-explode pipeline doesn't re-run per
+    // consumer (the q_dedup_prefix localCheckpoint discipline)
     val edges = SummitQueries.copurchaseEdges(spark, dir)
+      .localCheckpoint(eager = true)
     val labels = graft.ext.Communities.labelPropagation(edges,
       "src", "dst", "w", iters = 3)
     graft.ext.Communities.modularity(edges, "src", "dst", "w",

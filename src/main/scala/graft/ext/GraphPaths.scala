@@ -80,7 +80,10 @@ object GraphPaths {
   def percolationAudit(edges: DataFrame, srcCol: String, dstCol: String,
                        topKHubs: Int): DataFrame = {
     require(topKHubs >= 1, s"topKHubs ($topKHubs) must be >= 1")
+    // the edge list feeds the degree table, both anti-joins, and two CC
+    // passes — checkpoint once so the upstream pipeline runs once
     val e = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+      .localCheckpoint(eager = true)
     val deg = e.select(col("id_a").as("node"))
       .union(e.select(col("id_b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
