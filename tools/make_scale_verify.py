@@ -18,15 +18,17 @@ def main(out_dir: str, check_txt: str, note: str) -> int:
     n_total = 0
     with open(check_txt) as f:
         for line in f:
-            m = re.match(r"^(PASS|FAIL) (\S+?):? ?(?:\((\d+) rows\))?", line)
-            if not m:
-                continue
-            status, name, rows = m.group(1), m.group(2), m.group(3)
-            n_total += 1
-            if status == "PASS":
+            m = re.match(r"^PASS (\S+) \((\d+) rows\)", line)
+            if m:
+                n_total += 1
                 n_pass += 1
-            queries[name] = {"status": status,
-                            "rows": int(rows) if rows else None}
+                queries[m.group(1)] = {"status": "PASS",
+                                       "rows": int(m.group(2))}
+                continue
+            m = re.match(r"^FAIL ([^:\s]+)", line)
+            if m:
+                n_total += 1
+                queries[m.group(1)] = {"status": "FAIL", "rows": None}
     doc = {
         "family": "FULL SUITE (every oracled query)",
         "n_queries": n_total,
