@@ -1392,6 +1392,38 @@ object ApexQueries {
       |FROM s CROSS JOIN tl""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Leaderboard turnover
+  // --------------------------------------------------------------------------
+
+  /** Day-over-day Jaccard of the daily top-10 most-active users
+    * ([[graft.ext.RankCompare.topKTurnover]]) — the leaderboard-volatility
+    * series; q_rbo compares one ranking pair, this monitors set stability
+    * over time.
+    */
+  def qRankChurn(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.RankCompare.topKTurnover(Tables.events(spark, dir),
+        dayCol = to_date(col("ts")), keyCol = "user_id", k = 10)
+      .select(col("day"), col("n_common"),
+        round(col("jaccard"), 6).as("jaccard"))
+
+  val rankChurnSql: String =
+    """WITH counts AS (SELECT CAST(ts AS DATE) AS day, user_id AS key,
+      |    COUNT(*) AS n FROM events GROUP BY 1, 2),
+      |top AS (SELECT day, key FROM (SELECT day, key,
+      |    ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, key) AS rk
+      |  FROM counts) WHERE rk <= 10),
+      |prev AS (SELECT day + 1 AS day, key FROM top),
+      |common AS (SELECT day, COUNT(*) AS n_common FROM top
+      |  JOIN prev USING (day, key) GROUP BY 1),
+      |days AS (SELECT DISTINCT day FROM top),
+      |spine AS (SELECT d.day FROM days d
+      |  JOIN (SELECT day + 1 AS day FROM days) p USING (day))
+      |SELECT spine.day, COALESCE(n_common, 0) AS n_common,
+      |  ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE) /
+      |    CAST(20 - COALESCE(n_common, 0) AS DOUBLE), 6) AS jaccard
+      |FROM spine LEFT JOIN common USING (day) ORDER BY day""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1424,7 +1456,8 @@ object ApexQueries {
     "q_langid_confusion" -> (qLangidConfusion _),
     "q_percolation" -> (qPercolation _),
     "q_join_card_sample" -> (qJoinCardSample _),
-    "q_degree_tail" -> (qDegreeTail _))
+    "q_degree_tail" -> (qDegreeTail _),
+    "q_rank_churn" -> (qRankChurn _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1457,5 +1490,6 @@ object ApexQueries {
     "q_langid_confusion" -> langidConfusionSql,
     "q_percolation" -> percolationSql,
     "q_join_card_sample" -> joinCardSampleSql,
-    "q_degree_tail" -> degreeTailSql)
+    "q_degree_tail" -> degreeTailSql,
+    "q_rank_churn" -> rankChurnSql)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ranking-comparison metrics. Rank-biased overlap (Webber, Moffat & Zobel
@@ -83,5 +83,47 @@ object RankCompare {
         round((col("c") - col("d")).cast("double") /
           sqrt(((col("n0") - col("n_tied_x")) *
             (col("n0") - col("n_tied_y"))).cast("double")), 6).as("tau_b"))
+  }
+
+  /** Day-over-day top-k turnover ("leaderboard churn") — how volatile is
+    * the daily top-k? For each consecutive day pair, the Jaccard overlap of
+    * the two top-k key sets (ties toward the smaller key so both engines
+    * pick identical sets). [[rbo]] compares ONE pair of rankings with rank
+    * weighting; this tracks set stability as a time SERIES — the ops
+    * monitor that distinguishes a stable catalog (high overlap) from a
+    * thrashing one the day a ranking change ships.
+    *
+    * Scale shape: one (day, key) count aggregate over the scan; the top-k
+    * rank window partitions BY DAY (parallel, bounded per partition); the
+    * day-over-day match is an equi-join of two k-row-per-day frames on
+    * (key, day+1). All counts integer.
+    *
+    * Output per day asc (days with a predecessor): (day, n_common,
+    * jaccard).
+    */
+  def topKTurnover(df: DataFrame, dayCol: Column, keyCol: String,
+                   k: Int): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.select(dayCol.as("day"), col(keyCol).as("key"))
+      .groupBy(col("day"), col("key")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("day"))
+      .orderBy(col("n").desc, col("key"))
+    val top = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("day"), col("key"))
+    val prev = top.select(date_add(col("day"), 1).as("day"),
+      col("key"))
+    val common = top.join(prev, Seq("day", "key"))
+      .groupBy(col("day")).agg(count(lit(1)).as("n_common"))
+    // day spine: days that HAVE a predecessor day in the data
+    val days = top.select(col("day")).distinct()
+    val spine = days.join(
+      days.select(date_add(col("day"), 1).as("day")), Seq("day"))
+    spine.join(common, Seq("day"), "left").na.fill(0L, Seq("n_common"))
+      .select(col("day"), col("n_common"),
+        (col("n_common").cast("double") /
+          (lit(2 * k) - col("n_common")).cast("double")).as("jaccard"))
+      .orderBy(col("day"))
   }
 }

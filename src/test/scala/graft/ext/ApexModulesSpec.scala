@@ -658,6 +658,27 @@ class ApexModulesSpec extends SparkTestBase {
       o.getAs[Long]("sample_join_card") * 100, s"$o")
   }
 
+  // --------------------------------------------- RankCompare.topKTurnover
+
+  test("topKTurnover: identical day boards give jaccard 1, disjoint boards " +
+    "give 0, and the tie-break picks smaller keys") {
+    def day(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 5, d))
+    // day1/day2 same top-2 {1,2}; day3 disjoint {8,9}
+    val rows = Seq(
+      (day(1), 1L), (day(1), 1L), (day(1), 2L), (day(1), 3L),
+      (day(2), 1L), (day(2), 1L), (day(2), 2L), (day(2), 2L),
+      (day(3), 8L), (day(3), 8L), (day(3), 9L))
+      .toDF("d", "uid")
+    val out = RankCompare.topKTurnover(rows, col("d"), "uid", k = 2)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    // day1 top-2 = {1,2} (3 loses the n tie to smaller keys 1,2? counts:
+    // 1->2, 2->1, 3->1; rank by n desc, key asc -> {1, 2})
+    assert(out("2024-05-02") == ((2L, 1.0)), s"$out")
+    assert(out("2024-05-03") == ((0L, 0.0)), s"$out")
+    assert(out.size == 2)
+  }
+
   // ------------------------------------------------- Profiling.freshness
 
   test("freshness: freshest source has zero staleness; older sources are " +
