@@ -1424,6 +1424,79 @@ object ApexQueries {
       |FROM spine LEFT JOIN common USING (day) ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Fisher ideal price index
+  // --------------------------------------------------------------------------
+
+  /** Completes q_price_index's index-number family: matched-basket
+    * Laspeyres (base-quantity weights, overstates inflation under
+    * substitution), Paasche (current-quantity weights, understates), and
+    * the Fisher ideal index √(L·P) with the L−P substitution gap — the
+    * classic Diewert superlative-index triple over monthly order data.
+    * Same exactness shape as q_price_index: exact long quantities/cents,
+    * per-part terms DECIMAL(28,12)-quantized, Paasche numerator an exact
+    * cents sum.
+    */
+  def qFisherIndex(spark: SparkSession, dir: String): DataFrame = {
+    val pm = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_partkey").as("part"),
+        trunc(col("o_orderdate"), "month").as("month"),
+        col("l_quantity").cast("long").as("qv"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("part"), col("month"))
+      .agg(sum(col("qv")).as("q"), sum(col("cents")).as("c"))
+    val baseMonth = pm.agg(min(col("month")).as("base_month"))
+    val basePm = pm.crossJoin(broadcast(baseMonth))
+      .filter(col("month") === col("base_month"))
+      .select(col("part"), col("q").as("q0"), col("c").as("c0"))
+    val agg = pm.join(basePm, "part")
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum((col("q0") * (col("c").cast("double") / col("q")))
+          .cast("decimal(28,12)")).as("lnum"),
+        sum((col("q0") * (col("c0").cast("double") / col("q0")))
+          .cast("decimal(28,12)")).as("lden"),
+        sum(col("c")).as("pnum"),
+        sum((col("q") * (col("c0").cast("double") / col("q0")))
+          .cast("decimal(28,12)")).as("pden"))
+    val l = col("lnum").cast("double") / col("lden").cast("double")
+    val p = col("pnum").cast("double") / col("pden").cast("double")
+    agg.select(col("month"), col("n_parts"),
+        round(l, 6).as("laspeyres"), round(p, 6).as("paasche"),
+        round(sqrt(l * p), 6).as("fisher"),
+        round(l - p, 6).as("substitution_gap"))
+      .orderBy(col("month"))
+  }
+
+  val fisherIndexSql: String =
+    """WITH pm AS (SELECT l_partkey AS part,
+      |    date_trunc('month', o_orderdate) AS month,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS c
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |bm AS (SELECT MIN(month) AS base_month FROM pm),
+      |base AS (SELECT part, q AS q0, c AS c0 FROM pm CROSS JOIN bm
+      |  WHERE month = base_month),
+      |agg AS (SELECT month, COUNT(*) AS n_parts,
+      |    SUM(CAST(q0 * (CAST(c AS DOUBLE) / q) AS DECIMAL(28,12))) AS lnum,
+      |    SUM(CAST(q0 * (CAST(c0 AS DOUBLE) / q0) AS DECIMAL(28,12)))
+      |      AS lden,
+      |    CAST(SUM(c) AS BIGINT) AS pnum,
+      |    SUM(CAST(q * (CAST(c0 AS DOUBLE) / q0) AS DECIMAL(28,12))) AS pden
+      |  FROM pm JOIN base USING (part) GROUP BY 1)
+      |SELECT month, n_parts,
+      |  ROUND(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE), 6) AS laspeyres,
+      |  ROUND(CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE), 6) AS paasche,
+      |  ROUND(sqrt((CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE)) *
+      |    (CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE))), 6) AS fisher,
+      |  ROUND(CAST(lnum AS DOUBLE) / CAST(lden AS DOUBLE) -
+      |    CAST(pnum AS DOUBLE) / CAST(pden AS DOUBLE), 6)
+      |    AS substitution_gap
+      |FROM agg ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_spearman" -> (qSpearman _),
@@ -1457,7 +1530,8 @@ object ApexQueries {
     "q_percolation" -> (qPercolation _),
     "q_join_card_sample" -> (qJoinCardSample _),
     "q_degree_tail" -> (qDegreeTail _),
-    "q_rank_churn" -> (qRankChurn _))
+    "q_rank_churn" -> (qRankChurn _),
+    "q_fisher_index" -> (qFisherIndex _))
 
   val oracleSql: Map[String, String] = Map(
     "q_spearman" -> spearmanSql,
@@ -1491,5 +1565,6 @@ object ApexQueries {
     "q_percolation" -> percolationSql,
     "q_join_card_sample" -> joinCardSampleSql,
     "q_degree_tail" -> degreeTailSql,
-    "q_rank_churn" -> rankChurnSql)
+    "q_rank_churn" -> rankChurnSql,
+    "q_fisher_index" -> fisherIndexSql)
 }
