@@ -260,24 +260,26 @@ object AtlasQueries {
 
   /** Q8-like national market share: per order year, the revenue share
     * supplied by nation-1 suppliers.
+    *
+    * Exactness: revenue is carried as integer 1e-4 currency units
+    * (price-cents × (100 − discount-pct-cents)), so `total_revenue` is a
+    * plain BIGINT on both engines — the round-8 driver red row was a
+    * cross-environment DECIMAL(18,4)-representation divergence on the raw
+    * decimal grand total, which integer units remove entirely. The share is
+    * the repo's one fixed-order double formula, ROUND(nat/total, 6).
     */
   def qMarketShare(spark: SparkSession, dir: String): DataFrame = {
-    val dec = AnalyticsQueries.dec _
-    val rev = dec(col("l_extendedprice")) *
-      (lit(1).cast("decimal(18,4)") - dec(col("l_discount")))
+    val rev = round(col("l_extendedprice") * 100, 0).cast("long") *
+      (lit(100L) - round(col("l_discount") * 100, 0).cast("long"))
     Tables.lineitem(spark, dir)
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
         sum(rev).as("total"),
-        sum(when(col("s_nationkey") === 1, rev)
-          .otherwise(lit(0).cast("decimal(18,4)"))).as("nat"))
+        sum(when(col("s_nationkey") === 1, rev).otherwise(lit(0L))).as("nat"))
       .select(col("o_year"),
-        // grand totals are ~5e9 at sf0.1: ROUND(double, 6) is unstable there
-        // (the 1e-6 increment sits below double ulp — the q_revenue_rollup
-        // trap), so the exact DECIMAL goes out as-is on both engines
-        col("total").cast("decimal(18,4)").as("total_revenue"),
+        col("total").as("total_revenue"),
         round(col("nat").cast("double") / col("total").cast("double"), 6)
           .as("mkt_share"))
       .orderBy(col("o_year"))
@@ -285,16 +287,16 @@ object AtlasQueries {
 
   val marketShareSql: String =
     """WITH a AS (SELECT YEAR(o_orderdate) AS o_year,
-      |    SUM(CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |        (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total,
-      |    SUM(CASE WHEN s_nationkey = 1
-      |        THEN CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |             (1 - CAST(l_discount AS DECIMAL(18,4)))
-      |        ELSE CAST(0 AS DECIMAL(18,4)) END) AS nat
+      |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+      |        (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT) AS total,
+      |    CAST(SUM(CASE WHEN s_nationkey = 1
+      |        THEN CAST(ROUND(l_extendedprice * 100) AS BIGINT) *
+      |             (100 - CAST(ROUND(l_discount * 100) AS BIGINT))
+      |        ELSE 0 END) AS BIGINT) AS nat
       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  GROUP BY 1)
-      |SELECT o_year, CAST(total AS DECIMAL(18,4)) AS total_revenue,
+      |SELECT o_year, total AS total_revenue,
       |  ROUND(CAST(nat AS DOUBLE) / CAST(total AS DOUBLE), 6) AS mkt_share
       |FROM a ORDER BY o_year""".stripMargin
 

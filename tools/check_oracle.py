@@ -1,23 +1,42 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--values]
 
 Reads <verifyOutDir>/oracle_sql.json, registers the sfDir parquet tables as DuckDB
 views, runs each oracle SQL, and compares against the Spark parquet dump
 (<verifyOutDir>/<name>/). Columns are sorted by name before comparing (driver
 contract); rows compared in order and, if that fails, as sorted multisets.
+
+Two comparison modes:
+  default   — str() of each cell (historical behavior; lenient: Decimal('1.5')
+              and 1.5 both stringify to "1.5" and compare equal).
+  --values  — repr() of the PYTHON value of each cell, type distinctions and
+              all. This replicates the driver's value-hash comparison, which
+              hashes the Python objects: a Decimal with a different scale or a
+              Decimal-vs-float divergence FAILS here even when the strings
+              agree (the r8 q_market_share builder-green/driver-red gap).
+              Run the suite in this mode before shipping.
 """
 import json
 import sys
 
 import duckdb
 
+
+def _canon(v):
+    """Hashable, type-preserving canonical form of one cell value."""
+    if isinstance(v, list):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _canon(x)) for k, x in v.items()))
+    return repr(v)
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir: str, out_dir: str) -> int:
+def main(sf_dir: str, out_dir: str, values_mode: bool = False) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -65,8 +84,9 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: column type families differ: {tdiff}")
             failures += 1
             continue
-        er = [tuple(str(r[c]) for c in e_cols) for r in exp.to_pylist()]
-        gr = [tuple(str(r[c]) for c in e_cols) for r in got.to_pylist()]
+        cell = _canon if values_mode else (lambda v: str(v))
+        er = [tuple(cell(r[c]) for c in e_cols) for r in exp.to_pylist()]
+        gr = [tuple(cell(r[c]) for c in e_cols) for r in got.to_pylist()]
         if er == gr:
             print(f"PASS {name} ({len(er)} rows)")
         elif sorted(er) == sorted(gr):
@@ -87,4 +107,6 @@ def main(sf_dir: str, out_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(1 if main(sys.argv[1], sys.argv[2]) else 0)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sys.exit(1 if main(args[0], args[1], "--values" in flags) else 0)
