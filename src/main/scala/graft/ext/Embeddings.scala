@@ -396,26 +396,32 @@ object Embeddings {
     * reproducible AND oracle-checkable — a sampled variant answers the same
     * question with less auditability.
     *
-    * Scale shape: two lag/lead windows (one label-partitioned, one global
-    * over ids — the global one is the documented exception, swap in
-    * [[GlobalRank.globalRowNumber]] neighbor pairing at real scale) + two
-    * id-keyed equi-joins to fetch the pos/neg vectors; cosines are codegen'd
-    * float dots. Output: one row (n_anchors, n_triplets, n_violations,
-    * violation_rate, avg_gap).
+    * Scale shape: one label-partitioned lead window for the positive, then
+    * [[GlobalRank.globalRowNumber]] neighbor pairing for the negative — each
+    * row's global-id-order successors are fetched by equi-joining rank rn
+    * against rn+1 and rn+2, so no task ever holds more than its range share
+    * (the former global `lead()` window held the whole corpus in one task) —
+    * + two id-keyed equi-joins to fetch the pos/neg vectors; cosines are
+    * codegen'd float dots. Output: one row (n_anchors, n_triplets,
+    * n_violations, violation_rate, avg_gap).
     */
   def tripletViolations(df: DataFrame, idCol: String, vecCol: String,
                         labelCol: String, margin: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byLabel = Window.partitionBy(col("lbl")).orderBy(col("id"))
-    val global = Window.orderBy(col("id"))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       col(labelCol).as("lbl"))
-    val picked = base
-      .withColumn("pos_id", lead(col("id"), 1).over(byLabel))
-      .withColumn("n1_id", lead(col("id"), 1).over(global))
-      .withColumn("n1_lbl", lead(col("lbl"), 1).over(global))
-      .withColumn("n2_id", lead(col("id"), 2).over(global))
-      .withColumn("n2_lbl", lead(col("lbl"), 2).over(global))
+    val ranked = GlobalRank.globalRowNumber(
+      base.withColumn("pos_id", lead(col("id"), 1).over(byLabel)),
+      Seq(col("id")), "rn")
+    val idx = ranked.select(col("rn"), col("id").as("n_id"),
+      col("lbl").as("n_lbl"))
+    val n1 = idx.select((col("rn") - 1).as("rn"), col("n_id").as("n1_id"),
+      col("n_lbl").as("n1_lbl"))
+    val n2 = idx.select((col("rn") - 2).as("rn"), col("n_id").as("n2_id"),
+      col("n_lbl").as("n2_lbl"))
+    val picked = ranked
+      .join(n1, Seq("rn"), "left").join(n2, Seq("rn"), "left")
       .withColumn("neg_id",
         when(col("n1_lbl").isNotNull && col("n1_lbl") =!= col("lbl"),
           col("n1_id"))

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions._
 
 class EmbeddingsSpec extends SparkTestBase {
   import spark.implicits._
@@ -260,5 +261,67 @@ class EmbeddingsSpec extends SparkTestBase {
         "vec_id", "embedding", "label", margin = 0.05)
       .collect().head
     assert(sOut.getLong(0) == 13 && sOut.getLong(1) <= out.getLong(1) + 1)
+  }
+
+  test("tripletViolations: GlobalRank neighbor pairing is row-identical to " +
+    "the unpartitioned lead-window form it replaced") {
+    import org.apache.spark.sql.expressions.Window
+    // fixed-seed scattered labels/vectors; ids NOT contiguous, to exercise
+    // the rank->rank+1/+2 joins rather than id arithmetic
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 97).map { i =>
+      (i.toLong * 7 + rnd.nextInt(3), // duplicate-free: stride 7 > max jitter 2
+        (0 until 8).map(_ => rnd.nextFloat()),
+        rnd.nextInt(4))
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val got = Embeddings.tripletViolations(
+      df, "vec_id", "embedding", "label", margin = 0.1).collect().head
+
+    // reference: the pre-r9 global lead() window selection, verbatim
+    val byLabel = Window.partitionBy(col("lbl")).orderBy(col("id"))
+    val global = Window.orderBy(col("id"))
+    val base = df.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label").as("lbl"))
+    val picked = base
+      .withColumn("pos_id", lead(col("id"), 1).over(byLabel))
+      .withColumn("n1_id", lead(col("id"), 1).over(global))
+      .withColumn("n1_lbl", lead(col("lbl"), 1).over(global))
+      .withColumn("n2_id", lead(col("id"), 2).over(global))
+      .withColumn("n2_lbl", lead(col("lbl"), 2).over(global))
+      .withColumn("neg_id",
+        when(col("n1_lbl").isNotNull && col("n1_lbl") =!= col("lbl"),
+          col("n1_id"))
+          .when(col("n2_lbl").isNotNull && col("n2_lbl") =!= col("lbl"),
+            col("n2_id")))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("id"), col("pos_id"), col("neg_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // same (anchor, pos, neg) selection => same one-row metric output;
+    // assert the selection itself via the production path's internals
+    val ranked = graft.ext.GlobalRank.globalRowNumber(
+      base.withColumn("pos_id", lead(col("id"), 1).over(byLabel)),
+      Seq(col("id")), "rn")
+    val idx = ranked.select(col("rn"), col("id").as("n_id"),
+      col("lbl").as("n_lbl"))
+    val n1 = idx.select((col("rn") - 1).as("rn"), col("n_id").as("n1_id"),
+      col("n_lbl").as("n1_lbl"))
+    val n2 = idx.select((col("rn") - 2).as("rn"), col("n_id").as("n2_id"),
+      col("n_lbl").as("n2_lbl"))
+    val newPicked = ranked
+      .join(n1, Seq("rn"), "left").join(n2, Seq("rn"), "left")
+      .withColumn("neg_id",
+        when(col("n1_lbl").isNotNull && col("n1_lbl") =!= col("lbl"),
+          col("n1_id"))
+          .when(col("n2_lbl").isNotNull && col("n2_lbl") =!= col("lbl"),
+            col("n2_id")))
+      .filter(col("pos_id").isNotNull && col("neg_id").isNotNull)
+      .select(col("id"), col("pos_id"), col("neg_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(newPicked == picked,
+      s"selection diverged: only-new=${(newPicked -- picked).take(3)} " +
+        s"only-old=${(picked -- newPicked).take(3)}")
+    assert(got.getLong(1) == picked.size.toLong)
   }
 }
