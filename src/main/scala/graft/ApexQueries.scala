@@ -1415,13 +1415,16 @@ object ApexQueries {
       |prev AS (SELECT day + 1 AS day, key FROM top),
       |common AS (SELECT day, COUNT(*) AS n_common FROM top
       |  JOIN prev USING (day, key) GROUP BY 1),
+      |sizes AS (SELECT day, COUNT(*) AS sz FROM top GROUP BY 1),
+      |psizes AS (SELECT day + 1 AS day, sz AS psz FROM sizes),
       |days AS (SELECT DISTINCT day FROM top),
       |spine AS (SELECT d.day FROM days d
       |  JOIN (SELECT day + 1 AS day FROM days) p USING (day))
       |SELECT spine.day, COALESCE(n_common, 0) AS n_common,
       |  ROUND(CAST(COALESCE(n_common, 0) AS DOUBLE) /
-      |    CAST(20 - COALESCE(n_common, 0) AS DOUBLE), 6) AS jaccard
-      |FROM spine LEFT JOIN common USING (day) ORDER BY day""".stripMargin
+      |    CAST(sz + psz - COALESCE(n_common, 0) AS DOUBLE), 6) AS jaccard
+      |FROM spine LEFT JOIN common USING (day)
+      |JOIN sizes USING (day) JOIN psizes USING (day) ORDER BY day""".stripMargin
 
   // --------------------------------------------------------------------------
   // Fisher ideal price index

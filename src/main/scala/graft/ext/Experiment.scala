@@ -481,10 +481,17 @@ object Experiment {
       .filter(col("n_u") >= 2)
     val pairable = ouc.join(nu, "u")
     // numerator term scaled by L: o_uc·(n_u−o_uc)·(L div (n_u−1)) — exact
-    // longs (n_u−1 ≤ maxRaters−1 divides L by construction)
+    // longs (n_u−1 ≤ maxRaters−1 divides L by construction). A unit with
+    // MORE ratings than maxRaters would make the div truncate and silently
+    // corrupt alpha, so that contract violation raises at execution time.
     val obs = pairable
-      .select((col("o") * (col("n_u") - col("o")) *
-        expr(s"${L}L div (n_u - 1)")).as("t"))
+      .select(when(col("n_u") > maxRaters,
+        raise_error(concat(lit("krippendorffAlpha: unit "),
+          col("u").cast("string"),
+          lit(s" has more ratings than maxRaters=$maxRaters; raise maxRaters")))
+          .cast("long"))
+        .otherwise(col("o") * (col("n_u") - col("o")) *
+          expr(s"${L}L div (n_u - 1)")).as("t"))
       .agg(sum(col("t")).as("num_scaled"))
     val totals = pairable.groupBy(col("c")).agg(sum(col("o")).as("n_c"))
       .agg(sum(col("n_c")).as("n"), sum(col("n_c") * col("n_c")).as("s_nc2"))

@@ -315,6 +315,11 @@ object Profiling {
   def sampledSelfJoinCardinality(df: DataFrame, keyCol: String,
                                  rowKey: Column, pctSample: Int = 10): DataFrame = {
     require(pctSample >= 1 && pctSample <= 50, s"bad pctSample $pctSample")
+    // the estimator scales by (100/pctSample)^2 in exact integers; a rate
+    // that does not divide 100 would silently bias it (40% would scale by
+    // 4 instead of 6.25), so fail loudly instead
+    require(100 % pctSample == 0,
+      s"pctSample ($pctSample) must divide 100 for the exact-integer scale")
     def bucket(salt: String) =
       conv(substring(md5(concat(rowKey.cast("string"), lit(":" + salt))),
         1, 8), 16, 10).cast("long") % 100

@@ -116,14 +116,21 @@ object RankCompare {
       col("key"))
     val common = top.join(prev, Seq("day", "key"))
       .groupBy(col("day")).agg(count(lit(1)).as("n_common"))
+    // actual top-set sizes: a day with fewer than k distinct keys has
+    // |top| < k, and Jaccard must use |A|+|B|−common, not 2k−common
+    val sizes = top.groupBy(col("day")).agg(count(lit(1)).as("__sz"))
+    val prevSizes = sizes.select(date_add(col("day"), 1).as("day"),
+      col("__sz").as("__psz"))
     // day spine: days that HAVE a predecessor day in the data
     val days = top.select(col("day")).distinct()
     val spine = days.join(
       days.select(date_add(col("day"), 1).as("day")), Seq("day"))
     spine.join(common, Seq("day"), "left").na.fill(0L, Seq("n_common"))
+      .join(sizes, Seq("day")).join(prevSizes, Seq("day"))
       .select(col("day"), col("n_common"),
         (col("n_common").cast("double") /
-          (lit(2 * k) - col("n_common")).cast("double")).as("jaccard"))
+          (col("__sz") + col("__psz") - col("n_common")).cast("double"))
+          .as("jaccard"))
       .orderBy(col("day"))
   }
 }

@@ -28,11 +28,25 @@ object ScaleGuard extends Logging {
 
   /** A plan whose row count is bounded by construction (small enough that a
     * single-task window over it is not a scale hazard).
+    *
+    * Grouped aggregates count as bounded here: the guard lints the
+    * RAW-CORPUS unpartitioned-window shape, and a window over `groupBy(...)
+    * .agg(...)` output is the library's documented post-aggregation idiom
+    * (per-source caps, tier CDFs, decile cumulatives — group domains of
+    * tens, not billions). A window over a genuinely high-cardinality
+    * groupBy (e.g. per-user) is still worth GlobalRank, but that is a
+    * cardinality judgment a static plan check cannot make, so the guard
+    * stays silent rather than failing the library's own operators under
+    * `spark.graft.scaleGuard.fail=true`.
+    *
+    * `Generate` (explode) multiplies rows, so it does NOT pass boundedness
+    * through — an explode over a `limit` is unbounded again.
     */
   private[graft] def bounded(p: LogicalPlan): Boolean = p match {
     case _: GlobalLimit | _: LocalLimit => true
     case _: OneRowRelation | _: LocalRelation => true
-    case a: Aggregate if a.groupingExpressions.isEmpty => true
+    case _: Aggregate => true
+    case _: Generate => false
     case j: Join => bounded(j.left) && bounded(j.right)
     case u: Union => u.children.forall(bounded)
     case w: Window => bounded(w.child)

@@ -26,6 +26,17 @@ object ColumnBridge {
       org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         ExpressionUtils.expression(bloom), ExpressionUtils.expression(value)))
 
+  /** Throw a proper `AnalysisException` (its plain-message constructor is
+    * `protected[sql]`, so extension libraries route through this bridge) —
+    * used by [[graft.GraftExtensions]] to reject malformed function
+    * arguments at analysis time instead of leaking a ClassCastException.
+    */
+  def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      errorClass = "INTERNAL_ERROR", messageParameters = Map("message" -> msg)) {
+      override def getMessage: String = msg
+    }
+
   /** Register a SQL function builder on an already-running session (the
     * `functionRegistry` is `private[sql]`; production deployments should prefer the
     * `spark.sql.extensions` path — [[graft.GraftExtensions]]).

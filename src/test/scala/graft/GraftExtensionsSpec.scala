@@ -21,6 +21,31 @@ class GraftExtensionsSpec extends SparkTestBase {
       e.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("non-literal / non-integer size arguments raise AnalysisException " +
+    "with the usage string, not a ClassCastException") {
+    GraftExtensions.register(spark)
+    // a column where an integer literal is required
+    val eCol = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT word_chunks(text, LENGTH(text)) " +
+        "FROM VALUES ('a b c') AS t(text)").collect()
+    }
+    assert(eCol.getMessage.contains("word_chunks(text, size)"), eCol.getMessage)
+    // a non-integer literal
+    val eStr = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sigs('a b c', 'x', 16)").collect()
+    }
+    assert(eStr.getMessage.contains("minhash_sigs(text, shingle, nSigs)"),
+      eStr.getMessage)
+    // missing arguments
+    val eArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_ngrams('abc')").collect()
+    }
+    assert(eArity.getMessage.contains("char_ngrams(text, n)"), eArity.getMessage)
+    // a LONG literal is fine (widened, not rejected)
+    val ok = spark.sql("SELECT word_chunks('a b c d', 2L) AS c").head()
+    assert(ok.getSeq[String](0) == Seq("a b", "c d"))
+  }
+
   test("simhash32 is callable from SQL and matches the kernel directly") {
     GraftExtensions.register(spark)
     val r = spark.sql("SELECT simhash32('the quick brown fox') AS s").head()

@@ -658,6 +658,15 @@ class ApexModulesSpec extends SparkTestBase {
       o.getAs[Long]("sample_join_card") * 100, s"$o")
   }
 
+  test("sampledSelfJoinCardinality: a pctSample that does not divide 100 " +
+    "is rejected (the integer scale would silently bias the estimate)") {
+    val df = Seq((1L, "k1")).toDF("id", "k")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.sampledSelfJoinCardinality(df, "k", col("id"), pctSample = 30)
+    }
+    assert(e.getMessage.contains("divide 100"))
+  }
+
   // --------------------------------------------- RankCompare.topKTurnover
 
   test("topKTurnover: identical day boards give jaccard 1, disjoint boards " +
@@ -677,6 +686,22 @@ class ApexModulesSpec extends SparkTestBase {
     assert(out("2024-05-02") == ((2L, 1.0)), s"$out")
     assert(out("2024-05-03") == ((0L, 0.0)), s"$out")
     assert(out.size == 2)
+  }
+
+  test("topKTurnover: a day with fewer than k distinct keys uses the ACTUAL " +
+    "set sizes in the Jaccard denominator, not 2k") {
+    def day(d: Int) = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 5, d))
+    // k=3: day1 top = {1,2,3}; day2 has only 2 distinct keys -> top = {1,2}
+    val rows = Seq(
+      (day(1), 1L), (day(1), 2L), (day(1), 3L),
+      (day(2), 1L), (day(2), 1L), (day(2), 2L))
+      .toDF("d", "uid")
+    val out = RankCompare.topKTurnover(rows, col("d"), "uid", k = 3)
+      .collect().map(r => r.getDate(0).toString ->
+        (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+    // |A|=3, |B|=2, common=2 -> 2/(3+2-2) = 2/3, NOT 2/(6-2) = 0.5
+    assert(out("2024-05-02")._1 == 2L, s"$out")
+    assert(math.abs(out("2024-05-02")._2 - 2.0 / 3.0) < 1e-12, s"$out")
   }
 
   // ------------------------------------------------- Profiling.freshness

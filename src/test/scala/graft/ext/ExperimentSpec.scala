@@ -345,6 +345,22 @@ class ExperimentSpec extends SparkTestBase {
       .collect().head.getDouble(4) < 0.0)
   }
 
+  test("krippendorffAlpha: a unit with more ratings than maxRaters fails " +
+    "loudly instead of silently corrupting alpha") {
+    import spark.implicits._
+    // unit 0 carries 5 ratings but maxRaters = 3: the lcm scaling would
+    // truncate (L div 4) — the contract violation must raise at execution
+    val rows = (0 until 5).map(r => (0L, s"r$r", r % 2)) ++
+      Seq((1L, "a", 0), (1L, "b", 1))
+    val e = intercept[Exception] {
+      Experiment.krippendorffAlpha(rows.toDF("u", "rater", "label"),
+        "u", "label", maxRaters = 3).collect()
+    }
+    assert(e.getMessage.contains("maxRaters") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxRaters")),
+      s"expected a maxRaters contract error, got: ${e.getMessage}")
+  }
+
   test("diffInDiff recovers a planted treatment effect on top of a shared " +
     "time trend") {
     import spark.implicits._

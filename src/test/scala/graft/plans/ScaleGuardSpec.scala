@@ -66,4 +66,22 @@ class ScaleGuardSpec extends SparkTestBase {
       }
     }
   }
+
+  test("a window over a GROUPED aggregate passes under fail mode (the " +
+    "library's post-aggregation idiom), and explode un-bounds a limit") {
+    import org.apache.spark.sql.expressions.Window
+    withFail {
+      // the Mixing.unimaxAllocation / tier-CDF shape: groupBy then a global
+      // cumulative window over the per-group rows
+      check(t.groupBy(col("k")).agg(sum(col("id")).as("s"))
+        .withColumn("cum", sum(col("s")).over(Window.orderBy(col("k")))))
+      // Generate multiplies rows: explode over a limit is NOT bounded
+      val exploded = t.limit(3)
+        .select(explode(sequence(lit(1), col("id") + 1)).as("e"))
+      intercept[IllegalStateException] {
+        check(exploded.withColumn("rn",
+          row_number().over(Window.orderBy(col("e")))))
+      }
+    }
+  }
 }
