@@ -2574,8 +2574,14 @@ object ExtQueries {
       .filter(col("ia") < col("ib"))
       .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
-    val edges = pairs.select(col("ia").as("src"), col("ib").as("dst"))
-      .union(pairs.select(col("ib").as("src"), col("ia").as("dst")))
+    // both edge directions from ONE generator — a union of two projections
+    // of `pairs` re-runs the whole basket pipeline per branch (column
+    // pruning specializes each branch's partial aggregate, so the exchange
+    // is NOT shared; the q_dedup_lsh banding trap)
+    val edges = pairs.select(explode(array(
+        struct(col("ia").as("src"), col("ib").as("dst")),
+        struct(col("ib").as("src"), col("ia").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
     PageRank.pageRank(edges, "src", "dst", iterations = 5, damping = 0.85)
       .select(col("node"), round(col("pr"), 6).as("pr"))
       .orderBy(col("node"))
