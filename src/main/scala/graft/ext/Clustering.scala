@@ -179,29 +179,32 @@ object Clustering {
   def lloydIterations(vecs: DataFrame, idCol: String, vecCol: String,
                       centroids0: DataFrame, cidCol: String, cvecCol: String,
                       iters: Int, dims: Int): DataFrame = {
+    val cents = lloydCentroids(vecs, idCol, vecCol, centroids0, cidCol,
+      cvecCol, iters, dims)
+    val v = lloydPrep(vecs, idCol, vecCol)
+    lloydAssign(v, idCol, vecCol, cents)
+      .groupBy(col("cid").as("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        (sum(col("cos").cast("decimal(18,8)")).cast("double") /
+          count(lit(1))).as("mean_cos"))
+  }
+
+  /** The centroid TABLE after `iters` Lloyd rounds — the training half of
+    * [[lloydIterations]], exposed so an IVF index build
+    * ([[SimSearch.ivfTrainedWriteIndex]]) can consume the learned quantizer
+    * instead of re-deriving it. Output: (cid, cvec array<double>); a cluster
+    * that loses all members drops out (k shrinks), exactly as in
+    * [[lloydIterations]].
+    */
+  def lloydCentroids(vecs: DataFrame, idCol: String, vecCol: String,
+                     centroids0: DataFrame, cidCol: String, cvecCol: String,
+                     iters: Int, dims: Int): DataFrame = {
     require(iters >= 1 && dims >= 1, s"bad iters=$iters dims=$dims")
-    val v = vecs.select(col(idCol), col(vecCol),
-      sqrt(SimSearch.dotGeneric(col(vecCol), col(vecCol))).as("__nv"))
-
-    def assign(cents: DataFrame): DataFrame = {
-      val c = cents.select(col("cid").as("__cid"), col("cvec").as("__cv"),
-        sqrt(SimSearch.dotGeneric(col("cvec"), col("cvec"))).as("__nc"))
-      val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
-        .otherwise(SimSearch.dotGeneric(col(vecCol), col("__cv")) /
-          (col("__nv") * col("__nc")))
-      v.crossJoin(broadcast(c))
-        .select(col(idCol), col("__cid"), cos.as("__cos"))
-        .groupBy(col(idCol))
-        .agg(min(struct((-col("__cos")).as("neg"), col("__cid").as("cid"),
-          col("__cos").as("cos"))).as("__b"))
-        .select(col(idCol), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
-    }
-
+    val v = lloydPrep(vecs, idCol, vecCol)
     var cents = centroids0.select(col(cidCol).as("cid"),
       col(cvecCol).cast("array<double>").as("cvec"))
-    var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = assign(cents)
+      val assigned = lloydAssign(v, idCol, vecCol, cents)
       cents = assigned.select(col(idCol), col("cid"))
         .join(v.select(col(idCol), col(vecCol)), Seq(idCol))
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("__pos", "__x")))
@@ -214,10 +217,34 @@ object Clustering {
         .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__mu")))),
           e => e.getField("__mu")).as("cvec"))
     }
-    assign(cents)
-      .groupBy(col("cid").as("centroid_id"))
-      .agg(count(lit(1)).as("n_members"),
-        (sum(col("cos").cast("decimal(18,8)")).cast("double") /
-          count(lit(1))).as("mean_cos"))
+    cents
+  }
+
+  /** (id, vec, ‖vec‖) projection shared by the Lloyd steps — dotGeneric (the
+    * fold-in-array-order form) rather than the native kernel so every
+    * downstream cosine is the exact expression the DuckDB oracle folds.
+    */
+  private[graft] def lloydPrep(vecs: DataFrame, idCol: String,
+                               vecCol: String): DataFrame =
+    vecs.select(col(idCol), col(vecCol),
+      sqrt(SimSearch.dotGeneric(col(vecCol), col(vecCol))).as("__nv"))
+
+  /** Cosine-argmax assignment of [[lloydPrep]] rows to a centroid table
+    * (cid, cvec): ties to the smaller cid, zero-norm vectors score 0.
+    * Output: (id, cid, cos). Centroids broadcast; one per-id argmax agg.
+    */
+  private[graft] def lloydAssign(v: DataFrame, idCol: String, vecCol: String,
+                                 cents: DataFrame): DataFrame = {
+    val c = cents.select(col("cid").as("__cid"), col("cvec").as("__cv"),
+      sqrt(SimSearch.dotGeneric(col("cvec"), col("cvec"))).as("__nc"))
+    val cos = when(col("__nv") === 0 || col("__nc") === 0, lit(0.0))
+      .otherwise(SimSearch.dotGeneric(col(vecCol), col("__cv")) /
+        (col("__nv") * col("__nc")))
+    v.crossJoin(broadcast(c))
+      .select(col(idCol), col("__cid"), cos.as("__cos"))
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("__cos")).as("neg"), col("__cid").as("cid"),
+        col("__cos").as("cos"))).as("__b"))
+      .select(col(idCol), col("__b.cid").as("cid"), col("__b.cos").as("cos"))
   }
 }

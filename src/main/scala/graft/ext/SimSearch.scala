@@ -382,6 +382,66 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Build and persist an IVF index from a TRAINED quantizer: run `iters`
+    * Lloyd rounds from deterministic seed centroids
+    * ([[Clustering.lloydCentroids]] — the q_kmeans_iters recurrence, so the
+    * learned cells are bit-reproducible across engines, unlike MLlib's
+    * sampled init in [[ivfWriteIndex]]), assign every vector to its
+    * highest-cosine learned centroid, and write the corpus parquet
+    * partitioned by `ivf_cell` plus the learned centroids as a side table.
+    * This is the full train → build lifecycle; [[ivfProbeTrainedTopK]] is
+    * the serve half.
+    *
+    * Scale shape: training is the lloyd loop (broadcast centroids, one
+    * (cid,dim) aggregate per round); the final assignment is one more
+    * broadcast scan; the only id-keyed shuffle is the join that re-attaches
+    * the vector column for the partitioned write — a one-time index-build
+    * cost. Centroid collect is O(nCells) rows.
+    */
+  def ivfTrainedWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                           seeds: DataFrame, cidCol: String, cvecCol: String,
+                           iters: Int, path: String, dims: Int = 64): Unit = {
+    val cents = Clustering.lloydCentroids(df, idCol, vecCol, seeds, cidCol,
+        cvecCol, iters, dims)
+      .localCheckpoint() // feeds the side-table write AND the assignment
+    cents.select(col("cid").cast("int").as("ivf_cell"), col("cvec").as("centroid"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val v = Clustering.lloydPrep(df, idCol, vecCol)
+    Clustering.lloydAssign(v, idCol, vecCol, cents)
+      .select(col(idCol), col("cid").cast("int").as("ivf_cell"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(s"$path/data")
+  }
+
+  /** Probe a [[ivfTrainedWriteIndex]] index by query vector: rank the
+    * learned centroids by squared L2 distance to the query (driver-side over
+    * the O(nCells) side table, ties to the smaller cell id), scan ONLY the
+    * nProbe nearest cells' parquet partitions (`ivf_cell IN` → partition
+    * filter, zero bytes from other cells), exact cosine + bounded top-k
+    * inside. `excludeId` drops the query's own row before the cut (pass a
+    * sentinel when the query vector is not in the corpus).
+    */
+  def ivfProbeTrainedTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                          idCol: String, vecCol: String, queryVec: Seq[Float],
+                          k: Int, nProbe: Int = 4,
+                          excludeId: Long = -1L): DataFrame = {
+    val qd = queryVec.map(_.toDouble).toArray
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (cell, d2) => (d2, cell) }.take(nProbe).map(_._1)
+    spark.read.parquet(s"$path/data")
+      .filter(col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col(idCol) =!= excludeId)
+      .select(col(idCol), col("ivf_cell"),
+        cosineToQuery(col(vecCol), queryVec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
     * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
     * candidates whose bucket is within `maxHammingProbe` of the query's bucket.

@@ -164,6 +164,43 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("trained IVF lifecycle: Lloyd-learned cells, probe prunes partitions, recall holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    try {
+      val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimSearch.ivfTrainedWriteIndex(corpus, "vec_id", "embedding", seeds,
+        "cid", "cvec", iters = 2, path = dir)
+      // learned quantizer: the two seed cells must have split the corpus along
+      // its two construction clusters (cluster 1 = ids < 20 seeds cell 0)
+      val cells = spark.read.parquet(s"$dir/data")
+        .select(col("vec_id"), col("ivf_cell")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(cells.size == 40)
+      assert((0L until 20L).forall(id => cells(id) == cells(0L)), "cluster 1 intact")
+      assert((20L until 40L).forall(id => cells(id) == cells(20L)), "cluster 2 intact")
+      assert(cells(0L) != cells(20L), "clusters in distinct learned cells")
+      // probe with nProbe=1 must read ONLY the query's cell partition
+      val qVec = corpus.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      val probed = SimSearch.ivfProbeTrainedTopK(spark, dir, "vec_id", "embedding",
+        qVec, k = 10, nProbe = 1, excludeId = 0L)
+      val rows = probed.collect()
+      val scans = probed.queryExecution.executedPlan.collectLeaves()
+        .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scans.nonEmpty)
+      assert(scans.head.selectedPartitions.partitionCount <= 1,
+        s"probe read ${scans.head.selectedPartitions.partitionCount} partitions, expected <= 1")
+      // the probed cell is the query's own cluster → perfect recall here
+      val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(rows.map(_.getLong(0)).toSet == exact,
+        s"one-cell probe should recover the exact top-10 on separated clusters")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("topKForQueries matches per-id brute force for every query") {
     val queries = corpus.filter(col("vec_id").isin(0L, 7L, 25L))
     val batch = SimSearch.topKForQueries(corpus, queries, "vec_id", "embedding", k = 5)
