@@ -1348,4 +1348,76 @@ object StreamingOps {
                          b: Int = 6): DataFrame =
     graft.ext.Sketches.hllRho(stream, itemCol, b)
       .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
+
+  final case class TurnoverEvent(board: String, key: Long, ts: Timestamp)
+  final case class TurnoverState(day: Long, counts: Map[Long, Long],
+                                 prevDay: Long, prevTop: Seq[Long])
+  final case class TurnoverOut(board: String, day: java.sql.Date,
+                               n_common: Long, jaccard: Double)
+
+  /** Streaming day-over-day top-k leaderboard turnover — the live twin of
+    * [[graft.ext.RankCompare.topKTurnover]]: per board, count keys within
+    * the open UTC day; when the first event of a LATER day arrives the open
+    * day closes (the [[collapseRunsStream]] finality discipline — a closed
+    * day's top-k can no longer change, so the emitted row is final) and, if
+    * the immediately-preceding day's top set is in state, the day's
+    * turnover row (n_common, Jaccard over actual set sizes) is emitted.
+    * Gap days emit nothing, exactly like the batch operator's
+    * has-a-predecessor spine.
+    *
+    * State per board: ONE open day's count map + the previous CLOSED day's
+    * top-k id list (O(k)). The count map is bounded by the day's distinct
+    * keys — for an unbounded key space swap it for the
+    * [[heavyHittersStream]] SpaceSaving buffer and accept approximate
+    * tops; the leaderboards this monitors (items, domains, channels) are
+    * bounded in practice.
+    *
+    * Same cross-batch event-time-order contract as [[sessionize]] (within a
+    * batch it sorts): an event arriving AFTER its day already closed is
+    * dropped — its day's row is already emitted and final (spec-locked;
+    * port [[sessionizeLate]]'s watermark buffering if arrival can disorder
+    * across days). Emitted rows == the batch operator's rows for every day
+    * with a CLOSED successor; the final still-open day lives only in state.
+    */
+  def topKTurnoverStream(events: Dataset[TurnoverEvent],
+                         k: Int): Dataset[TurnoverOut] = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    import events.sparkSession.implicits._
+
+    def topOf(counts: Map[Long, Long]): Seq[Long] =
+      counts.toSeq.sortBy { case (key, n) => (-n, key) }.take(k).map(_._1)
+
+    events
+      .groupByKey(_.board)
+      .flatMapGroupsWithState[TurnoverState, TurnoverOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (board: String, it: Iterator[TurnoverEvent],
+         state: GroupState[TurnoverState]) =>
+          var st = state.getOption.getOrElse(
+            TurnoverState(Long.MinValue, Map.empty, Long.MinValue, Seq.empty))
+          val out = scala.collection.mutable.ArrayBuffer.empty[TurnoverOut]
+          it.toSeq.sortBy(e => (e.ts.getTime, e.key)).foreach { e =>
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            if (st.day == Long.MinValue) {
+              st = st.copy(day = day, counts = Map(e.key -> 1L))
+            } else if (day == st.day) {
+              st = st.copy(counts =
+                st.counts.updated(e.key, st.counts.getOrElse(e.key, 0L) + 1L))
+            } else if (day > st.day) {
+              // the open day closes: its top-k is final
+              val top = topOf(st.counts)
+              if (st.prevDay == st.day - 1) {
+                val common = top.toSet.intersect(st.prevTop.toSet).size.toLong
+                val denom = (top.size + st.prevTop.size - common).toDouble
+                out += TurnoverOut(board,
+                  new java.sql.Date(st.day * 86400000L),
+                  common, common.toDouble / denom)
+              }
+              st = TurnoverState(day, Map(e.key -> 1L), st.day, top)
+            } // day < st.day: late event for an already-closed day — dropped
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
 }

@@ -1164,4 +1164,54 @@ class StreamingOpsSpec extends SparkTestBase {
       assert(mass == n, s"row $j mass $mass != $n")
     }
   }
+
+  test("topKTurnoverStream matches batch topKTurnover; late event for a " +
+      "closed day is dropped") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{TurnoverEvent, TurnoverOut}
+    val d0 = 19700L // epoch day of the first leaderboard day
+    def dts(day: Long, i: Long) =
+      new Timestamp((d0 + day) * 86400000L + i * 60000L)
+    // day 0: {1:2, 2:2, 3:1} → top2 {1,2} (count ties → smaller key)
+    // day 1: {2:2, 3:2, 4:1} → top2 {2,3}; common {2} → 1/3
+    // day 2: {3:1, 5:2}      → top2 {5,3}; common {3} → 1/3
+    // day 4 (gap): {1,2}     → closes day 2; no day-3 predecessor row
+    val byDay = Map(
+      0L -> Seq(1L, 1L, 2L, 2L, 3L),
+      1L -> Seq(2L, 2L, 3L, 3L, 4L),
+      2L -> Seq(3L, 5L, 5L),
+      4L -> Seq(1L, 2L))
+    def evs(day: Long) = byDay(day).zipWithIndex.map { case (k, i) =>
+      TurnoverEvent("b", k, dts(day, i.toLong)) }
+    val input = MemoryStream[TurnoverEvent]
+    val query = StreamingOps.topKTurnoverStream(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("turnover_out")
+      .outputMode("append").start()
+    // day-1 events arrive BEFORE the tail of day 0 in the same batch:
+    // in-batch sorting must still bucket them correctly
+    input.addData((evs(0).drop(3) ++ evs(1) ++ evs(0).take(3)): _*)
+    query.processAllAvailable()
+    input.addData(evs(2): _*); query.processAllAvailable()
+    input.addData(evs(4): _*); query.processAllAvailable()
+    // late event for long-closed day 1: its row is already final → dropped
+    input.addData(TurnoverEvent("b", 9L, dts(1L, 90L)))
+    query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("turnover_out").as[TurnoverOut].collect()
+      .map(r => (r.day.toString, r.n_common, r.jaccard)).toSet
+
+    val batchDf = byDay.toSeq.flatMap { case (d, ks) =>
+      ks.zipWithIndex.map { case (k, i) => (k, dts(d, i.toLong)) } }
+      .toDF("key", "ts")
+    val batch = graft.ext.RankCompare
+      .topKTurnover(batchDf, to_date(col("ts")), "key", k = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getDouble(2)))
+      .toSet
+    // every streamed day is closed (day 4 still open, day 0 has no
+    // predecessor), so stream == batch exactly here
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    assert(streamed.map(_._2) == Set(1L))
+    assert(streamed.forall(r => math.abs(r._3 - 1.0 / 3.0) < 1e-12))
+    assert(streamed.size == 2)
+  }
 }
