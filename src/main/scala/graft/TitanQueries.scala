@@ -95,14 +95,60 @@ object TitanQueries {
       |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Audio metadata: real RIFF/WAVE header parse over synthesized containers
+  // --------------------------------------------------------------------------
+
+  /** WAV metadata sweep with the REAL RIFF parser
+    * ([[graft.multimodal.WavCodec]]): manufacture a genuine PCM WAVE
+    * container per document (rate/channels/frame-count derived from the
+    * row), then recover the metadata by PARSING the binary — the oracle
+    * recomputes the expected values from the source columns, so a green row
+    * proves parse∘encode is the identity on every header field. The codec
+    * spec additionally locks the parser against an independent
+    * `javax.sound.sampled` fixture.
+    */
+  def qMultimodalAudio(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        (lit(8000) * (lit(1) + col("doc_id") % 3)).cast("int").as("sr"),
+        (lit(1) + col("doc_id") % 2).cast("int").as("ch"),
+        (octet_length(encode(col("text"), "UTF-8")) % 500 + 5).cast("int")
+          .as("nf"))
+    val wav = Multimodal.synthWavMedia(params, "sr", "ch", "nf")
+    Multimodal.decodeAudioMeta(wav, "media")
+      .select(col("doc_id"), col("format"), col("sample_rate"), col("channels"),
+        col("bits_per_sample"), col("n_frames"), col("duration_ms"),
+        col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalAudioSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    8000 * (1 + doc_id % 3) AS sr,
+      |    1 + doc_id % 2 AS ch,
+      |    octet_length(encode(text)) % 500 + 5 AS nf
+      |  FROM documents)
+      |SELECT doc_id, 'wav' AS format,
+      |  CAST(sr AS BIGINT) AS sample_rate,
+      |  CAST(ch AS BIGINT) AS channels,
+      |  CAST(16 AS BIGINT) AS bits_per_sample,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  (nf * 1000) // sr AS duration_ms,
+      |  CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes
+      |FROM p ORDER BY doc_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_ivf_trained" -> (qIvfTrained _)
+    "q_ivf_trained" -> (qIvfTrained _),
+    "q_multimodal_audio" -> (qMultimodalAudio _)
   )
 
   val oracleSql: Map[String, String] = Map(
-    "q_ivf_trained" -> ivfTrainedSql
+    "q_ivf_trained" -> ivfTrainedSql,
+    "q_multimodal_audio" -> multimodalAudioSql
   )
 }

@@ -120,6 +120,68 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.head._3 <= 3)
   }
 
+  test("WavCodec parses a WAV written by javax.sound.sampled (independent fixture)") {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // 11025 Hz, stereo, 16-bit signed LE, 250 frames of silence — written by
+    // the JDK's OWN wav writer, parsed by OUR parser
+    val fmt = new AudioFormat(11025f, 16, 2, true, false)
+    val nFrames = 250L
+    val pcm = new Array[Byte]((nFrames * fmt.getFrameSize).toInt)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    val parsed = WavCodec.decode(bos.toByteArray)
+    assert(parsed.isDefined, "JDK-written WAV must parse")
+    val a = parsed.get
+    assert(a.format == "wav" && a.sampleRate == 11025 && a.channels == 2 &&
+      a.bitsPerSample == 16 && a.nFrames == 250L)
+    assert(a.durationMs == 250L * 1000L / 11025L)
+    assert(a.nBytes == bos.size().toLong)
+  }
+
+  test("WavCodec round-trip, chunk skipping, and graceful rejection") {
+    val blob = WavCodec.encode(sampleRate = 16000, channels = 1,
+      bitsPerSample = 16, nFrames = 320)
+    val a = WavCodec.decode(blob).get
+    assert(a.sampleRate == 16000 && a.channels == 1 && a.nFrames == 320L &&
+      a.durationMs == 20L && a.nBytes == 44L + 640L)
+    // an unknown ODD-sized chunk spliced before fmt/data must be skipped
+    // (with its RIFF even-byte pad honored)
+    val body = blob.drop(12)
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5, 0) // 5 data + pad
+    val spliced = blob.take(12) ++ extra ++ body
+    // fix the RIFF size field (not that the parser reads it, but stay honest)
+    val withChunk = spliced.clone()
+    val b = WavCodec.decode(withChunk).get
+    assert(b.sampleRate == 16000 && b.nFrames == 320L)
+    // non-WAV payloads: None, never a throw
+    assert(WavCodec.decode("not audio at all".getBytes("UTF-8")).isEmpty)
+    assert(WavCodec.decode(Array.empty[Byte]).isEmpty)
+    // truncated/corrupt chunk length: None
+    val corrupt = blob.clone()
+    corrupt(40) = -1; corrupt(41) = -1; corrupt(42) = -1; corrupt(43) = -1
+    assert(WavCodec.decode(corrupt).isEmpty)
+  }
+
+  test("synthWavMedia → decodeAudioMeta recovers the generator parameters; " +
+      "non-WAV rows yield null metadata") {
+    val params = Seq((1L, 8000, 1, 10), (2L, 24000, 2, 100))
+      .toDF("doc_id", "sr", "ch", "nf")
+    val parsed = Multimodal.decodeAudioMeta(
+        Multimodal.synthWavMedia(params, "sr", "ch", "nf"), "media")
+      .orderBy("doc_id").collect()
+    assert(parsed(0).getString(5) == "wav") // doc_id, sr, ch, nf, media, format...
+    assert(parsed(0).getLong(6) == 8000L && parsed(0).getLong(7) == 1L)
+    assert(parsed(1).getLong(9) == 100L)  // n_frames
+    assert(parsed(1).getLong(10) == 100L * 1000L / 24000L)
+    val mixed = Multimodal.decodeAudioMeta(
+      Multimodal.withFakeMedia(docs, "text"), "media")
+    assert(mixed.filter(mixed("format").isNull).count() == mixed.count(),
+      "text blobs are not WAVs → all-null audio metadata")
+  }
+
   test("frameSample explodes n frames per blob with correct offsets") {
     val out = Multimodal.frameSample(Multimodal.withFakeMedia(docs, "text"), "media",
       n = 3, frameBytes = 4)
