@@ -89,4 +89,110 @@ class BpeTrainSpec extends SparkTestBase {
     assert(f("en") < f("de"),
       s"tokenizer trained on en should fragment de more: $f")
   }
+
+  // --------------------------------------------------------------------------
+  // Independent single-threaded reference encoder (Sennrich et al. apply_bpe:
+  // collect adjacent pairs, merge the lowest-rank one everywhere, repeat) —
+  // deliberately a DIFFERENT implementation shape (pair-list + minBy) from
+  // the engine's index-scan kernel, so the 100-doc differential below is a
+  // genuine cross-check, not the same code run twice.
+  // --------------------------------------------------------------------------
+  private def refEncodeWord(word: String,
+                            ranks: Map[(String, String), Int]): Vector[String] = {
+    var symbols = word.map(_.toString).toVector :+ BpeTrain.EndOfWord
+    var continue = true
+    while (continue && symbols.size > 1) {
+      val ranked = symbols.zip(symbols.tail)
+        .flatMap(p => ranks.get(p).map(r => (r, p)))
+      if (ranked.isEmpty) continue = false
+      else {
+        val (_, (l, r)) = ranked.minBy(_._1)
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < symbols.size) {
+          if (i + 1 < symbols.size && symbols(i) == l && symbols(i + 1) == r) {
+            out += (l + r); i += 2
+          } else { out += symbols(i); i += 1 }
+        }
+        symbols = out.result()
+      }
+    }
+    symbols
+  }
+
+  // deterministic 100-doc bilingual corpus: two disjoint word pools so the
+  // learned merges fit one "language" and fragment the other
+  private val poolAa = Vector("banana", "bandana", "nab", "ban", "dan", "anna")
+  private val poolBb = Vector("terse", "tree", "street", "test", "rest", "steer")
+  private def sampleDocs: Seq[(Long, String, String)] =
+    (0 until 100).map { i =>
+      val (lang, pool) = if (i % 2 == 0) ("aa", poolAa) else ("bb", poolBb)
+      val words = (0 until (i % 5 + 3)).map(j => pool((i + 2 * j) % pool.size))
+      (i.toLong, words.mkString(" "), lang)
+    }
+
+  // the FROZEN merge table: trained once from sampleDocs and pinned here, so
+  // the encode/fertility differential runs against a fixed vocabulary even if
+  // train's tie-breaking ever changes (which the assert below would also flag)
+  private val frozenMerges = Seq(
+    (1, "a", "n", 250L), (2, "e", "e", 166L), (3, "s", "t", 166L),
+    (4, "an", "</w>", 84L), (5, "d", "an</w>", 84L), (6, "e", "st", 84L),
+    (7, "ee", "</w>", 84L), (8, "est", "</w>", 84L), (9, "r", "ee</w>", 84L),
+    (10, "t", "est</w>", 84L), (11, "t", "ree</w>", 84L), (12, "a", "</w>", 83L)
+  ).map { case (rk, l, r, f) => BpeTrain.Merge(rk, l, r, f) }
+
+  test("frozen merge table: train on the 100-doc corpus reproduces it") {
+    val docs = sampleDocs.toDF("doc_id", "text", "lang")
+    val merges = BpeTrain.train(docs, "text", nMerges = 12, minFreq = 2)
+    assert(merges == frozenMerges,
+      s"merge table drifted:\n${merges.mkString("\n")}")
+  }
+
+  test("100-doc differential: distributed encode matches the reference " +
+      "encoder per document over the frozen merge table") {
+    val docs = sampleDocs.toDF("doc_id", "text", "lang")
+    val ranks = frozenMerges.map(m => (m.left, m.right) -> m.rank).toMap
+    val expected = sampleDocs.map { case (id, text, _) =>
+      val words = text.split(" ").filter(_.nonEmpty)
+      id -> ((words.map(w => refEncodeWord(w, ranks).size.toLong).sum,
+        words.length.toLong))
+    }.toMap
+    val got = BpeTrain.encode(docs, "doc_id", "text", frozenMerges)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.size == 100)
+    assert(got == expected,
+      s"first diffs: ${got.toSeq.sortBy(_._1)
+        .filter(kv => expected(kv._1) != kv._2).take(5)}")
+    // sanity: merges actually compressed the language they fit
+    val flat = sampleDocs.map { case (id, _, lang) => lang -> got(id) }
+    val aaTok = flat.collect { case ("aa", (t, w)) => (t, w) }
+    val fertAa = aaTok.map(_._1).sum.toDouble / aaTok.map(_._2).sum
+    assert(fertAa < 3.0, s"aa fertility $fertAa should reflect learned merges")
+  }
+
+  test("100-doc differential: fertilityByGroup matches reference aggregation " +
+      "by language") {
+    val docs = sampleDocs.toDF("doc_id", "text", "lang")
+    val ranks = frozenMerges.map(m => (m.left, m.right) -> m.rank).toMap
+    val ref = sampleDocs.groupBy(_._3).map { case (lang, rows) =>
+      val words = rows.flatMap(_._2.split(" ").filter(_.nonEmpty))
+      val nTokens = words.map(w => refEncodeWord(w, ranks).size.toLong).sum
+      val nWords = words.size.toLong
+      val nChars = rows.map(_._2.length.toLong).sum
+      lang -> ((rows.size.toLong, nWords, nTokens,
+        nTokens.toDouble / nWords, nChars.toDouble / nTokens))
+    }
+    val got = BpeTrain.fertilityByGroup(docs, "doc_id", "text", "lang",
+        frozenMerges)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(got.keySet == Set("aa", "bb"))
+    ref.foreach { case (lang, (nd, nw, nt, fert, cpt)) =>
+      val g = got(lang)
+      assert((g._1, g._2, g._3) == ((nd, nw, nt)),
+        s"$lang counts: got $g expected ($nd,$nw,$nt)")
+      assert(math.abs(g._4 - fert) < 1e-6, s"$lang fertility ${g._4} vs $fert")
+      assert(math.abs(g._5 - cpt) < 1e-6, s"$lang chars/token ${g._5} vs $cpt")
+    }
+  }
 }
