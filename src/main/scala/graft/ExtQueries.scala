@@ -141,7 +141,7 @@ object ExtQueries {
     * signatures → LSH band keys over `documents`, shared by the same-set pair
     * oracles and the cross-set incremental-dedup oracle.
     */
-  private val minhashSigBandCtesSql: String = {
+  private[graft] val minhashSigBandCtesSql: String = {
     val mh = (0 until numHashes).map { j =>
       s"MIN((${Dedup.minhashA(j)} * h + ${Dedup.minhashB(j)}) % ${Dedup.MinhashPrime}) AS mh_$j"
     }.mkString(",\n      ")

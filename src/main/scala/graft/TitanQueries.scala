@@ -139,16 +139,159 @@ object TitanQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Edit-distance dedup verification
+  // --------------------------------------------------------------------------
+
+  /** MinHash-LSH candidates verified with bounded Levenshtein
+    * ([[graft.ext.Dedup.editDistancePairs]]) — the character-level near-dup
+    * check next to the shingle-Jaccard one (q_dedup_minhash shares the exact
+    * same banding, so the two rows differ only in the verifier).
+    */
+  def qDedupEdit(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.editDistancePairs(Tables.documents(spark, dir),
+        "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 4,
+        maxDist = 400)
+      .select(col("id_a"), col("id_b"), col("edit_dist"),
+        round(col("edit_sim"), 6).as("edit_sim"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val dedupEditSql: String =
+    s"""WITH ${ExtQueries.minhashSigBandCtesSql},
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM banded x JOIN banded y
+      |    ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      |d AS (SELECT c.id_a, c.id_b,
+      |    levenshtein(ta.text, tb.text) AS edit_dist,
+      |    GREATEST(length(ta.text), length(tb.text)) AS ml
+      |  FROM cand c JOIN documents ta ON ta.doc_id = c.id_a
+      |  JOIN documents tb ON tb.doc_id = c.id_b)
+      |SELECT id_a, id_b, CAST(edit_dist AS BIGINT) AS edit_dist,
+      |  ROUND(1.0 - CAST(edit_dist AS DOUBLE) / CAST(ml AS DOUBLE), 6)
+      |    AS edit_sim
+      |FROM d WHERE edit_dist <= 400 ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Winnowing fingerprints (MOSS) — profile and similar-pair search
+  // --------------------------------------------------------------------------
+
+  /** Per-doc winnowing fingerprint profile
+    * ([[graft.ext.Winnowing.fingerprintProfile]], k=8 chars, window 4):
+    * every window-min selection decision is replayed by the oracle through
+    * the shared packed-key MIN.
+    */
+  def qWinnowFingerprint(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Winnowing.fingerprintProfile(Tables.documents(spark, dir),
+        "doc_id", "text", k = 8, w = 4)
+      .select(col("doc_id"), col("n_kgrams"), col("n_fingerprints"),
+        round(col("density"), 6).as("density"), col("fp_min"))
+      .orderBy(col("doc_id"))
+
+  private val winnowCtesSql: String =
+    """g AS (SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+      |pp AS (SELECT doc_id, text,
+      |    unnest(generate_series(1, length(text) - 7)) AS p FROM g),
+      |h AS (SELECT doc_id, p,
+      |    ('0x' || substr(md5(substr(text, p, 8)), 1, 8))::BIGINT AS h
+      |  FROM pp),
+      |kk AS (SELECT doc_id, p, h * 1048576 + (1048575 - p) AS key FROM h),
+      |s AS (SELECT doc_id, p,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+      |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS sel,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS wpos
+      |  FROM kk),
+      |selset AS (SELECT DISTINCT doc_id, sel FROM s WHERE wpos >= 4)""".stripMargin
+
+  val winnowFingerprintSql: String =
+    s"""WITH $winnowCtesSql,
+      |nk AS (SELECT doc_id, COUNT(*) AS n_kgrams FROM h GROUP BY 1),
+      |fp AS (SELECT doc_id, COUNT(*) AS n_fingerprints,
+      |    MIN(sel // 1048576) AS fp_min
+      |  FROM selset GROUP BY 1)
+      |SELECT doc_id, n_kgrams, n_fingerprints,
+      |  ROUND(CAST(n_fingerprints AS DOUBLE) / CAST(n_kgrams AS DOUBLE), 6)
+      |    AS density,
+      |  fp_min
+      |FROM fp JOIN nk USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** MOSS-style similar pairs ([[graft.ext.Winnowing.similarPairs]]):
+    * fingerprint-hash equi-join candidates (stop-fingerprint cut at df≤20),
+    * scored by containment.
+    */
+  def qWinnowPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Winnowing.similarPairs(Tables.documents(spark, dir),
+        "doc_id", "text", k = 8, w = 4, minShared = 10, maxDf = 20L)
+      .select(col("id_a"), col("id_b"), col("n_shared"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val winnowPairsSql: String =
+    s"""WITH $winnowCtesSql,
+      |fh AS (SELECT DISTINCT doc_id, sel // 1048576 AS fh FROM selset),
+      |rare AS (SELECT fh FROM fh GROUP BY 1 HAVING COUNT(*) <= 20),
+      |pruned AS (SELECT doc_id, fh.fh FROM fh JOIN rare USING (fh)),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM pruned GROUP BY 1),
+      |shared AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    COUNT(*) AS n_shared
+      |  FROM pruned a JOIN pruned b ON a.fh = b.fh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 10)
+      |SELECT id_a, id_b, n_shared,
+      |  ROUND(CAST(n_shared AS DOUBLE) /
+      |    CAST(LEAST(na.n, nb.n) AS DOUBLE), 6) AS containment
+      |FROM shared JOIN sz na ON id_a = na.doc_id
+      |JOIN sz nb ON id_b = nb.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Context-length truncation audit
+  // --------------------------------------------------------------------------
+
+  /** Token loss under hard truncation at candidate context lengths
+    * ([[graft.ext.TextStats.truncationLoss]], whitespace tokens) — the
+    * pick-the-sequence-length curve upstream of q_seq_pack/q_pad_waste.
+    */
+  def qTruncationLoss(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.truncationLoss(Tables.documents(spark, dir), "text",
+        budgets = Seq(64, 128, 256, 512))
+      .select(col("context_len"), col("n_docs"), col("n_docs_over"),
+        col("n_tokens"), col("n_tokens_lost"),
+        round(col("frac_lost"), 6).as("frac_lost"))
+      .orderBy(col("context_len"))
+
+  val truncationLossSql: String =
+    """WITH n AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0
+      |    ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n
+      |  FROM documents),
+      |b AS (SELECT unnest([64, 128, 256, 512]) AS context_len),
+      |x AS (SELECT b.context_len, n.n FROM n CROSS JOIN b)
+      |SELECT CAST(context_len AS BIGINT) AS context_len,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN n > context_len THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_docs_over,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(GREATEST(n - context_len, 0)) AS BIGINT) AS n_tokens_lost,
+      |  ROUND(CAST(SUM(GREATEST(n - context_len, 0)) AS DOUBLE) /
+      |    CAST(SUM(n) AS DOUBLE), 6) AS frac_lost
+      |FROM x GROUP BY context_len ORDER BY context_len""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Registration
   // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_trained" -> (qIvfTrained _),
-    "q_multimodal_audio" -> (qMultimodalAudio _)
+    "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_dedup_edit" -> (qDedupEdit _),
+    "q_winnow_fingerprint" -> (qWinnowFingerprint _),
+    "q_winnow_pairs" -> (qWinnowPairs _),
+    "q_truncation_loss" -> (qTruncationLoss _)
   )
 
   val oracleSql: Map[String, String] = Map(
     "q_ivf_trained" -> ivfTrainedSql,
-    "q_multimodal_audio" -> multimodalAudioSql
+    "q_multimodal_audio" -> multimodalAudioSql,
+    "q_dedup_edit" -> dedupEditSql,
+    "q_winnow_fingerprint" -> winnowFingerprintSql,
+    "q_winnow_pairs" -> winnowPairsSql,
+    "q_truncation_loss" -> truncationLossSql
   )
 }

@@ -331,6 +331,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** Edit-distance near-dup verification: MinHash-LSH candidate generation
+    * (same banding as [[minhashLshPairs]] — candidates stay an equi-join on
+    * band keys, never corpus²) verified with LEVENSHTEIN distance instead of
+    * shingle Jaccard — the character-level measure that catches small
+    * in-place edits (typo farms, template fills, near-identical boilerplate)
+    * which token-set Jaccard scores leniently. Verification uses Spark's
+    * bounded `levenshtein(l, r, threshold)` kernel: O(len·maxDist) per pair
+    * with early exit, not O(len²), so a pathological long-doc candidate
+    * cannot stall an executor. Output: (id_a, id_b, edit_dist,
+    * edit_sim = 1 − dist/max(len)), pairs with dist ≤ maxDist only.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, numHashes: Int = 16, rowsPerBand: Int = 4,
+                        maxDist: Int = 400): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
+    val candidates = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val t = df.select(col(idCol), col(textCol))
+    candidates
+      .join(t.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(t.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("__ta"), col("__tb"), maxDist).as("__d"),
+        greatest(length(col("__ta")), length(col("__tb"))).as("__ml"))
+      .filter(col("__d") >= 0) // bounded kernel returns -1 above threshold
+      .select(col("id_a"), col("id_b"), col("__d").cast("long").as("edit_dist"),
+        (lit(1.0) - col("__d").cast("double") / col("__ml").cast("double"))
+          .as("edit_sim"))
+  }
+
   /** LSH candidate-recall curve: ground-truth pairs (exact all-pairs Jaccard ≥
     * `truthThreshold`) bucketed by similarity decile, with the fraction that
     * the MinHash banding SURFACES as candidates — the empirical S-curve

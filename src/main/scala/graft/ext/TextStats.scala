@@ -226,6 +226,40 @@ object TextStats {
     df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Context-length truncation audit: for each candidate context length in
+    * `budgets` (whitespace tokens), how many docs exceed it and what fraction
+    * of the corpus' tokens a hard truncation at that length would discard —
+    * the curve a pipeline reads to pick sequence length before paying for
+    * packing ([[Packing]] handles the residual waste AFTER the cut).
+    *
+    * ONE corpus scan: per-doc token counts feed a Generate over the (tiny)
+    * budget list, then a budget-keyed aggregate — map-side combined,
+    * |budgets| rows out. All integer arithmetic except the final ratio
+    * (single fixed-order double division, matching the oracle). Output per
+    * budget: (context_len, n_docs, n_docs_over, n_tokens, n_tokens_lost,
+    * frac_lost).
+    */
+  def truncationLoss(df: DataFrame, textCol: String,
+                     budgets: Seq[Int]): DataFrame = {
+    require(budgets.nonEmpty && budgets.forall(_ >= 1),
+      s"budgets must be >= 1, got $budgets")
+    df.select(wsTokenCount(col(textCol)).as("__n"))
+      .select(col("__n"),
+        explode(array(budgets.map(lit): _*)).as("context_len"))
+      .groupBy(col("context_len"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n") > col("context_len"), 1L).otherwise(0L))
+          .as("n_docs_over"),
+        sum(col("__n")).as("n_tokens"),
+        sum(greatest(col("__n") - col("context_len"), lit(0L)))
+          .as("n_tokens_lost"))
+      .select(col("context_len").cast("long").as("context_len"),
+        col("n_docs"), col("n_docs_over"), col("n_tokens"),
+        col("n_tokens_lost"),
+        (col("n_tokens_lost").cast("double") / col("n_tokens").cast("double"))
+          .as("frac_lost"))
+  }
+
   /** Content fingerprint: md5 of the normalized text (lower-cased, whitespace
     * collapsed) — the exact-dedup key that survives formatting noise.
     */

@@ -392,4 +392,31 @@ class DedupSpec extends SparkTestBase {
     // candidates can never exceed the all-pairs space
     assert(out.getLong(2) <= out.getLong(1))
   }
+
+  test("editDistancePairs: one-char edit verified with its exact distance; " +
+      "pairs beyond maxDist are cut by the bounded kernel") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("lazy", "hazy")),        // 1 substitution
+      (3L, base + " with a short extra tail"),   // small append
+      (4L, "utterly different text about compilers and register allocation"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text",
+        k = 3, numHashes = 16, rowsPerBand = 4, maxDist = 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(pairs.contains((1L, 2L)), s"found: ${pairs.keySet}")
+    val (d12, s12) = pairs((1L, 2L))
+    assert(d12 == 1L, s"lazy->hazy is one substitution, got $d12")
+    assert(math.abs(s12 - (1.0 - 1.0 / base.length)) < 1e-12)
+    assert(!pairs.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+    // with maxDist = 2 the appended-tail pair (dist ~ 23) must disappear
+    // while the 1-edit pair survives
+    val tight = Dedup.editDistancePairs(docs, "doc_id", "text",
+        k = 3, numHashes = 16, rowsPerBand = 4, maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight.contains((1L, 2L)) && !tight.contains((1L, 3L)), s"$tight")
+  }
 }

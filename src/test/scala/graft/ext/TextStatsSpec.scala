@@ -308,4 +308,21 @@ class TextStatsSpec extends SparkTestBase {
     assert(out(2L) == ((4L, 0L, 0.0)))
     assert(out(3L)._1 == 5L && out(3L)._2 == 4L && out(3L)._3 == 0.8)
   }
+
+  test("truncationLoss: hand-computed loss curve over two budgets") {
+    // docs of 2, 4 and 6 whitespace tokens
+    val docs = Seq((1L, "a b"), (2L, "a b c d"), (3L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val out = TextStats.truncationLoss(docs, "text", budgets = Seq(3, 5))
+      .orderBy("context_len").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    // L=3: docs over = 2 (4-tok, 6-tok); lost = 1 + 3 = 4 of 12
+    assert(out(0) == ((3L, 3L, 2L, 12L, 4L, 4.0 / 12.0)))
+    // L=5: docs over = 1 (6-tok); lost = 1 of 12
+    assert(out(1) == ((5L, 3L, 1L, 12L, 1L, 1.0 / 12.0)))
+    intercept[IllegalArgumentException] {
+      TextStats.truncationLoss(docs, "text", budgets = Seq.empty)
+    }
+  }
 }
