@@ -139,6 +139,128 @@ object TitanQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Product quantization: encode summary + asymmetric-distance probe
+  // --------------------------------------------------------------------------
+
+  private def pqCodebook(spark: SparkSession, dir: String) =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+
+  /** Shared oracle CTE chain for the PQ queries, ending in
+    * `a(vec_id, s, code, d2, rk)` — subspace split, per-subspace squared L2
+    * against the vec_id<4 seed codebook, argmin rank.
+    */
+  private val pqCtesSql: String =
+    """ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 4),
+      |d AS (SELECT v.vec_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.embedding[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (v.embedding[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS d2
+      |  FROM embeddings v CROSS JOIN ss CROSS JOIN cb),
+      |a AS (SELECT vec_id, s, code, d2, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |  FROM d)""".stripMargin
+
+  /** PQ codebook utilization/distortion summary
+    * ([[graft.ext.ProductQuant.codebookSummary]], 8 subspaces × 8 dims,
+    * vec_id<4 seed codewords): one row per (subspace, code) cell with its
+    * population and DECIMAL-pooled mean squared quantization error.
+    */
+  def qPqEncode(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.ProductQuant.codebookSummary(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", pqCodebook(spark, dir), "code", "cvec",
+        m = 8, subDim = 8)
+      .select(col("subspace").cast("long").as("subspace"), col("code"),
+        col("n_vecs"), round(col("mse"), 6).as("mse"))
+      .orderBy(col("subspace"), col("code"))
+
+  val pqEncodeSql: String =
+    s"""WITH $pqCtesSql
+      |SELECT CAST(s AS BIGINT) AS subspace, code, COUNT(*) AS n_vecs,
+      |  ROUND(CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mse
+      |FROM a WHERE rk = 1 GROUP BY s, code ORDER BY subspace, code""".stripMargin
+
+  /** ADC top-10 for vec 0's query against the PQ-coded corpus
+    * ([[graft.ext.ProductQuant.adcTopK]]) — the m-lookups-per-vector
+    * approximate search the codes exist for; the oracle replays every code
+    * assignment and the DECIMAL-pooled distance sum.
+    */
+  def qPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    graft.ext.ProductQuant.adcTopK(emb, "vec_id", "embedding",
+        pqCodebook(spark, dir), "code", "cvec", qVec, k = 10, excludeId = 0L)
+      .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  val pqAdcSql: String =
+    s"""WITH $pqCtesSql,
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |lut AS (SELECT ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS dq2
+      |  FROM ss CROSS JOIN cb CROSS JOIN q),
+      |asn AS (SELECT vec_id, s, code FROM a WHERE rk = 1),
+      |adc AS (SELECT asn.vec_id,
+      |    CAST(SUM(CAST(lut.dq2 AS DECIMAL(18,9))) AS DOUBLE) AS adc_raw
+      |  FROM asn JOIN lut ON asn.s = lut.s AND asn.code = lut.code
+      |  WHERE asn.vec_id <> 0 GROUP BY 1)
+      |SELECT vec_id, ROUND(adc_raw, 6) AS adc_dist FROM adc
+      |ORDER BY adc_raw, vec_id LIMIT 10""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Dimension-truncation fidelity curve
+  // --------------------------------------------------------------------------
+
+  /** Matryoshka truncation audit
+    * ([[graft.ext.Embeddings.dimTruncationFidelity]]): mean |cos_d − cos_64|
+    * over (even, +1) pairs for d ∈ {8, 16, 32, 64} — the 64-dim row is an
+    * exact-zero sanity anchor.
+    */
+  def qDimTruncation(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.dimTruncationFidelity(Tables.embeddings(spark, dir),
+        "vec_id", "embedding", dims = Seq(8, 16, 32, 64), fullDim = 64)
+      .select(col("dims"), col("n_pairs"),
+        round(col("mean_abs_err"), 6).as("mean_abs_err"))
+      .orderBy(col("dims"))
+
+  val dimTruncationSql: String =
+    """WITH pr AS (SELECT a.embedding AS ea, b.embedding AS eb
+      |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      |  WHERE a.vec_id % 2 = 0),
+      |dd AS (SELECT unnest([8, 16, 32, 64]) AS d),
+      |e AS (SELECT dd.d,
+      |    sqrt(list_sum(list_transform(generate_series(1, dd.d),
+      |      i -> ea[i]::DOUBLE * ea[i]::DOUBLE))) AS na,
+      |    sqrt(list_sum(list_transform(generate_series(1, dd.d),
+      |      i -> eb[i]::DOUBLE * eb[i]::DOUBLE))) AS nb,
+      |    list_sum(list_transform(generate_series(1, dd.d),
+      |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS dt,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> ea[i]::DOUBLE * ea[i]::DOUBLE))) AS na64,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> eb[i]::DOUBLE * eb[i]::DOUBLE))) AS nb64,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> ea[i]::DOUBLE * eb[i]::DOUBLE)) AS dt64
+      |  FROM pr CROSS JOIN dd),
+      |er AS (SELECT d,
+      |    ABS((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dt / (na * nb) END)
+      |      - (CASE WHEN na64 = 0 OR nb64 = 0 THEN 0.0
+      |          ELSE dt64 / (na64 * nb64) END)) AS err
+      |  FROM e)
+      |SELECT CAST(d AS BIGINT) AS dims, COUNT(*) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(err AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_abs_err
+      |FROM er GROUP BY d ORDER BY dims""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Edit-distance dedup verification
   // --------------------------------------------------------------------------
 
@@ -280,6 +402,9 @@ object TitanQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_trained" -> (qIvfTrained _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_pq_encode" -> (qPqEncode _),
+    "q_pq_adc" -> (qPqAdc _),
+    "q_dim_truncation" -> (qDimTruncation _),
     "q_dedup_edit" -> (qDedupEdit _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_winnow_pairs" -> (qWinnowPairs _),
@@ -289,6 +414,9 @@ object TitanQueries {
   val oracleSql: Map[String, String] = Map(
     "q_ivf_trained" -> ivfTrainedSql,
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_pq_encode" -> pqEncodeSql,
+    "q_pq_adc" -> pqAdcSql,
+    "q_dim_truncation" -> dimTruncationSql,
     "q_dedup_edit" -> dedupEditSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
     "q_winnow_pairs" -> winnowPairsSql,

@@ -451,4 +451,42 @@ object Embeddings {
         round(col("__gap").cast("double") / col("n_triplets"), 6)
           .as("avg_gap"))
   }
+
+  /** Matryoshka-style dimension-truncation fidelity: over deterministic
+    * (even id, id+1) vector pairs, how far the cosine computed on the FIRST
+    * `d` dims drifts from the full-dimension cosine, for each candidate
+    * truncation in `dims` — the curve that says how many dims a
+    * shortlist/rerank index can drop (cf. Kusupati et al., Matryoshka
+    * Representation Learning: prefix-truncated embeddings as first-pass
+    * keys). All `|dims|` errors per pair come from ONE generator over the
+    * joined pair row (never |dims| passes over the corpus); means pool in
+    * DECIMAL(18,9). Zero-norm prefixes score cosine 0, like every cosine in
+    * this module. Output per d: (dims, n_pairs, mean_abs_err).
+    */
+  def dimTruncationFidelity(df: DataFrame, idCol: String, vecCol: String,
+                            dims: Seq[Int], fullDim: Int = 64): DataFrame = {
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= fullDim),
+      s"dims must lie in [1, $fullDim], got $dims")
+    val a = df.filter(col(idCol) % 2 === 0)
+      .select(col(idCol).as("__id"), col(vecCol).as("__a"))
+    val b = df.select((col(idCol) - 1).as("__id"), col(vecCol).as("__b"))
+    def cosAt(d: Int): org.apache.spark.sql.Column = {
+      val (xa, xb) = (slice(col("__a"), 1, d), slice(col("__b"), 1, d))
+      val (na, nb) =
+        (sqrt(SimSearch.dotGeneric(xa, xa)), sqrt(SimSearch.dotGeneric(xb, xb)))
+      when(na === 0 || nb === 0, lit(0.0))
+        .otherwise(SimSearch.dotGeneric(xa, xb) / (na * nb))
+    }
+    a.join(b, "__id")
+      .select(explode(array(dims.map { d =>
+        struct(lit(d).as("d"), abs(cosAt(d) - cosAt(fullDim)).as("err"))
+      }: _*)).as("__e"))
+      .select(col("__e.d").as("dims"), col("__e.err").as("err"))
+      .groupBy(col("dims"))
+      .agg(count(lit(1)).as("n_pairs"),
+        (sum(col("err").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("mean_abs_err"))
+      .select(col("dims").cast("long").as("dims"), col("n_pairs"),
+        col("mean_abs_err"))
+  }
 }

@@ -1,0 +1,120 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou, Douze & Schmid, TPAMI 2011): split the
+  * d-dimensional embedding into `m` contiguous subvectors, quantize each
+  * against a small per-subspace codebook, and represent every vector by its
+  * m code ids — d·4 bytes collapse to m bytes, the memory trick behind
+  * billion-vector ANN indexes (FAISS's IVFPQ pairs this with
+  * [[SimSearch.ivfTrainedWriteIndex]]'s coarse cells).
+  *
+  * Codebooks here come from deterministic seed vectors (their subvectors are
+  * the codewords — the same engine-reproducible convention as the seeded IVF
+  * and Lloyd queries; production would Lloyd-train each subspace with
+  * [[Clustering.lloydCentroids]], which composes directly since a codebook is
+  * just a (code, subvector) table).
+  *
+  * Exactness: per-subspace squared L2 folds the 8 dims in array order on both
+  * engines; assignment ties break to the smaller code via min-struct; every
+  * cross-row mean/sum of distances pools in DECIMAL(18,9) before the final
+  * double division.
+  *
+  * Scale shape: the codebook (m × codes rows) is broadcast; encoding is one
+  * scan with a subspace Generate (m rows per vector, each carrying one 8-dim
+  * slice, never the full vector twice) and a per-(id, subspace) argmin
+  * aggregate. ADC scoring joins the m-rows-per-vector code table to the
+  * broadcast query lookup table and sums m terms per id — shuffle carries
+  * (id, partial decimal) only.
+  */
+object ProductQuant {
+
+  /** (id, subspace, sub array<double>) rows: subspace s carries dims
+    * [s·subDim+1, (s+1)·subDim]. `m · subDim` must equal the vector length
+    * (enforced per row — a short vector raises, never silently truncates).
+    */
+  private def subvectors(df: DataFrame, idCol: String, vecCol: String,
+                         m: Int, subDim: Int): DataFrame =
+    df.select(col(idCol),
+        when(size(col(vecCol)) === m * subDim, col(vecCol))
+          .otherwise(raise_error(concat(lit(s"pq: expected ${m * subDim} dims, got "),
+            size(col(vecCol))))).as("__v"))
+      .select(col(idCol), explode(array((0 until m).map { s =>
+        struct(lit(s).as("subspace"),
+          slice(col("__v"), s * subDim + 1, subDim).cast("array<double>")
+            .as("sub"))
+      }: _*)).as("__ss"))
+      .select(col(idCol), col("__ss.subspace").as("subspace"),
+        col("__ss.sub").as("sub"))
+
+  private def sqDist(a: org.apache.spark.sql.Column,
+                     b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0), (acc, x) => acc + x)
+
+  /** Assign every (vector, subspace) to its nearest codeword. `codebook` is
+    * (codeCol, vecCol) seed rows whose subvectors become the per-subspace
+    * codewords. Output: (id, subspace, code, sq_err).
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             codebook: DataFrame, codeCol: String, cvecCol: String,
+             m: Int = 8, subDim: Int = 8): DataFrame = {
+    val v = subvectors(df, idCol, vecCol, m, subDim)
+    val c = subvectors(codebook.select(col(codeCol).as("__code"),
+        col(cvecCol).as("__cv")), "__code", "__cv", m, subDim)
+      .select(col("__code"), col("subspace"), col("sub").as("__csub"))
+    v.join(broadcast(c), Seq("subspace"))
+      .select(col(idCol), col("subspace"), col("__code"),
+        sqDist(col("sub"), col("__csub")).as("__d2"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(min(struct(col("__d2"), col("__code"))).as("__b"))
+      .select(col(idCol), col("subspace"),
+        col("__b.__code").as("code"), col("__b.__d2").as("sq_err"))
+  }
+
+  /** Codebook utilization + distortion summary: per (subspace, code) cell,
+    * how many vectors landed there and their mean squared quantization error
+    * (DECIMAL-pooled). The readout a PQ tuning pass watches: dead codes and
+    * high-MSE cells both say "retrain or re-split".
+    */
+  def codebookSummary(df: DataFrame, idCol: String, vecCol: String,
+                      codebook: DataFrame, codeCol: String, cvecCol: String,
+                      m: Int = 8, subDim: Int = 8): DataFrame =
+    encode(df, idCol, vecCol, codebook, codeCol, cvecCol, m, subDim)
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("sq_err").cast("decimal(18,9)")).cast("double") /
+          count(lit(1))).as("mse"))
+
+  /** Asymmetric distance computation (ADC) top-k: the query stays EXACT while
+    * the corpus is PQ codes — distance(q, v) ≈ Σ_s ‖q_s − codeword(s,
+    * code_s(v))‖², read from an m×codes lookup table built once per query
+    * (the paper's Fig. 2 trick: m table lookups per corpus vector, no
+    * decode). `queryVec` need not be in the corpus; `excludeId` drops the
+    * query's own row. Output: (id, adc_dist), k rows ascending.
+    */
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
+              codebook: DataFrame, codeCol: String, cvecCol: String,
+              queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
+              m: Int = 8, subDim: Int = 8): DataFrame = {
+    require(queryVec.length == m * subDim,
+      s"pq: query has ${queryVec.length} dims, expected ${m * subDim}")
+    val spark = df.sparkSession
+    val codes = encode(df, idCol, vecCol, codebook, codeCol, cvecCol, m, subDim)
+    val q = array(queryVec.map(x => lit(x.toDouble)): _*)
+    val lut = subvectors(codebook.select(col(codeCol).as("__code"),
+        col(cvecCol).as("__cv")), "__code", "__cv", m, subDim)
+      .select(col("__code").as("code"), col("subspace"),
+        sqDist(slice(q, col("subspace") * subDim + 1, lit(subDim)),
+          col("sub")).as("__dq2"))
+    codes.join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__dq2").cast("decimal(18,9)")).cast("double")
+        .as("adc_dist"))
+      .filter(col(idCol) =!= excludeId)
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+}
