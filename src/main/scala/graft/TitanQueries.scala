@@ -139,6 +139,99 @@ object TitanQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // HITS hubs/authorities over the customer→part bipartite graph
+  // --------------------------------------------------------------------------
+
+  /** Top-20 authorities (parts) and hubs (customers) after two HITS rounds
+    * ([[graft.ext.Hits.hits]]) over the who-bought-what bipartite graph —
+    * the mutually-reinforcing ranking next to q_pagerank's random walk; the
+    * oracle unrolls the same DECIMAL-pooled recurrence.
+    */
+  def qHits(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+    val w = Window.partitionBy(col("kind"))
+      .orderBy(col("score").desc, col("node"))
+    graft.ext.Hits.hits(edges, "src", "dst", iterations = 2)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 20)
+      .orderBy(col("kind"), col("rk"))
+      .select(col("kind"), col("rk").cast("long").as("rk"), col("node"),
+        round(col("score"), 6).as("score"))
+  }
+
+  val hitsSql: String = {
+    def norm(prev: String, tag: String): String =
+      s"""${tag}s AS (SELECT CAST(SUM(CAST(v AS DECIMAL(18,9))) AS DOUBLE) AS s
+        |  FROM ${prev}),
+        |$tag AS (SELECT node, v / s AS v FROM $prev CROSS JOIN ${tag}s)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |a1r AS (SELECT dst AS node,
+      |    CAST(SUM(CAST(1.0 AS DECIMAL(18,9))) AS DOUBLE) AS v
+      |  FROM e GROUP BY 1),
+      |${norm("a1r", "a1")},
+      |h1r AS (SELECT e.src AS node,
+      |    CAST(SUM(CAST(a1.v AS DECIMAL(18,9))) AS DOUBLE) AS v
+      |  FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+      |${norm("h1r", "h1")},
+      |a2r AS (SELECT e.dst AS node,
+      |    CAST(SUM(CAST(h1.v AS DECIMAL(18,9))) AS DOUBLE) AS v
+      |  FROM e JOIN h1 ON h1.node = e.src GROUP BY 1),
+      |${norm("a2r", "a2")},
+      |h2r AS (SELECT e.src AS node,
+      |    CAST(SUM(CAST(a2.v AS DECIMAL(18,9))) AS DOUBLE) AS v
+      |  FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1),
+      |${norm("h2r", "h2")},
+      |au AS (SELECT 'authority' AS kind, node, v AS score FROM a2
+      |  UNION ALL SELECT 'hub', node, v FROM h2),
+      |rr AS (SELECT kind, node, score, ROW_NUMBER() OVER
+      |    (PARTITION BY kind ORDER BY score DESC, node) AS rk
+      |  FROM au)
+      |SELECT kind, CAST(rk AS BIGINT) AS rk, node, ROUND(score, 6) AS score
+      |FROM rr WHERE rk <= 20 ORDER BY kind, rk""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Local clustering coefficient by degree
+  // --------------------------------------------------------------------------
+
+  /** Watts–Strogatz local clustering coefficient averaged per degree
+    * ([[graft.ext.Triangles.localClusteringByDegree]]) over the repeat
+    * co-purchase graph — the degree-resolved closure curve next to
+    * q_triangles' global number.
+    */
+  def qClusteringCoef(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Triangles.localClusteringByDegree(
+        InsightQueries.repeatEdges(spark, dir), "src", "dst")
+      .select(col("deg"), col("n_nodes"),
+        round(col("mean_coef"), 6).as("mean_coef"))
+      .orderBy(col("deg"))
+
+  val clusteringCoefSql: String =
+    s"""WITH ${InsightQueries.repeatEdgesSql},
+      |deg AS (SELECT node, COUNT(*) AS deg FROM
+      |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+      |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+      |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |pn AS (SELECT node, COUNT(*) AS tri FROM
+      |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+      |   UNION ALL SELECT z FROM tri) GROUP BY 1),
+      |c AS (SELECT d.deg,
+      |    2.0 * COALESCE(pn.tri, 0) / (d.deg * (d.deg - 1)) AS c
+      |  FROM deg d LEFT JOIN pn USING (node) WHERE d.deg >= 2)
+      |SELECT deg, COUNT(*) AS n_nodes,
+      |  ROUND(CAST(SUM(CAST(c AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+      |    AS mean_coef
+      |FROM c GROUP BY deg ORDER BY deg""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Product quantization: encode summary + asymmetric-distance probe
   // --------------------------------------------------------------------------
 
@@ -402,6 +495,8 @@ object TitanQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_trained" -> (qIvfTrained _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_hits" -> (qHits _),
+    "q_clustering_coef" -> (qClusteringCoef _),
     "q_pq_encode" -> (qPqEncode _),
     "q_pq_adc" -> (qPqAdc _),
     "q_dim_truncation" -> (qDimTruncation _),
@@ -414,6 +509,8 @@ object TitanQueries {
   val oracleSql: Map[String, String] = Map(
     "q_ivf_trained" -> ivfTrainedSql,
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_hits" -> hitsSql,
+    "q_clustering_coef" -> clusteringCoefSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_adc" -> pqAdcSql,
     "q_dim_truncation" -> dimTruncationSql,

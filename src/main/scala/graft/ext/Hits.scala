@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a DIRECTED edge
+  * table — on a bipartite customer→item graph, hubs are broad consumers and
+  * authorities are the items broad consumers converge on, a different (and
+  * mutually-reinforcing) ranking than raw degree or [[PageRank]]'s random
+  * walk.
+  *
+  * Update per iteration: a ← L1-normalized Σ_in h, then h ← L1-normalized
+  * Σ_out a (the power iteration on AᵀA / AAᵀ). Exactness: every cross-row
+  * sum — both the per-node gathers and the normalization totals — pools in
+  * DECIMAL(18,9) (scores live in [0, 1] after the first normalization, so
+  * the 1e-9 grid loses nothing either engine keeps), making each iteration's
+  * doubles bit-identical across engines; the oracle unrolls the same
+  * recurrence.
+  *
+  * Scale shape: the edge table is localCheckpoint'd once and drives every
+  * gather; each iteration is two edge-keyed aggregates joined to the
+  * (node-sized) score tables and two 1-row normalization crossJoins —
+  * no driver-side graph, O(iterations) fixed-size plans (the PageRank
+  * checkpoint discipline). The alternating src-/dst-keyed shuffles are the
+  * cost; a production run keeps two partitioned copies of the edges.
+  */
+object Hits {
+
+  /** Returns (kind, node, score): kind 'authority' scores dst nodes, kind
+    * 'hub' scores src nodes, after `iterations` full a-then-h rounds.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .localCheckpoint()
+    def l1Normalize(scores: DataFrame, valCol: String): DataFrame = {
+      val total = scores.agg(
+        sum(col(valCol).cast("decimal(18,9)")).cast("double").as("__s"))
+      scores.crossJoin(broadcast(total))
+        .select(col("node"), (col(valCol) / col("__s")).as(valCol))
+    }
+    var h = e.select(col("src").as("node")).distinct()
+      .withColumn("h", lit(1.0))
+    var a: DataFrame = null
+    for (_ <- 1 to iterations) {
+      // each edge-sized gather is materialized once: the normalization total
+      // and the score rows (and the next gather, and the final union) all
+      // read the node-sized checkpoint instead of re-running the join
+      a = l1Normalize(
+        e.join(h.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("h").cast("decimal(18,9)")).cast("double").as("a"))
+          .localCheckpoint(),
+        "a")
+      h = l1Normalize(
+        e.join(a.withColumnRenamed("node", "dst"), "dst")
+          .groupBy(col("src").as("node"))
+          .agg(sum(col("a").cast("decimal(18,9)")).cast("double").as("h"))
+          .localCheckpoint(),
+        "h")
+    }
+    a.select(lit("authority").as("kind"), col("node"), col("a").as("score"))
+      .unionByName(
+        h.select(lit("hub").as("kind"), col("node"), col("h").as("score")))
+  }
+}

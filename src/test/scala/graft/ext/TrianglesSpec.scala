@@ -74,4 +74,31 @@ class TrianglesSpec extends SparkTestBase {
     val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
     assert(Triangles.assortativity(cycle, "s", "t").collect().head.isNullAt(2))
   }
+
+  test("localClusteringByDegree: triangle with a pendant edge, by hand") {
+    // triangle {1,2,3} + edge 3-4: C(1)=C(2)=1, C(3)=1/3, node 4 deg<2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("s", "t")
+    val out = Triangles.localClusteringByDegree(g, "s", "t")
+      .orderBy("deg").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 2, s"deg-1 node must be excluded: ${out.toSeq}")
+    assert(out(0)._1 == 2L && out(0)._2 == 2L && out(0)._3 == 1.0)
+    assert(out(1)._1 == 3L && out(1)._2 == 1L &&
+      math.abs(out(1)._3 - 1.0 / 3.0) < 1e-9)
+  }
+
+  test("localClusteringByDegree: K4 is fully clustered at every node; " +
+      "a star has zero closure") {
+    val k4 = (for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j))
+      .toDF("s", "t")
+    val outK4 = Triangles.localClusteringByDegree(k4, "s", "t").collect()
+    assert(outK4.length == 1)
+    assert(outK4.head.getLong(0) == 3L && outK4.head.getLong(1) == 4L &&
+      outK4.head.getDouble(2) == 1.0)
+    val star = (2L to 6L).map(i => (1L, i)).toDF("s", "t")
+    val outStar = Triangles.localClusteringByDegree(star, "s", "t").collect()
+    // only the hub has deg >= 2, and it closes nothing
+    assert(outStar.length == 1 && outStar.head.getLong(0) == 5L &&
+      outStar.head.getDouble(2) == 0.0)
+  }
 }
