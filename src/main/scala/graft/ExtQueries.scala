@@ -825,7 +825,7 @@ object ExtQueries {
 
   private val stopRegexes = Seq("the", "and", "of", "to", "a", "in", "is", "it")
     .map(w => s"len(regexp_extract_all(text, '\\b$w\\b'))")
-  private val stopCountSql = stopRegexes.mkString("(", " + ", ")")
+  private[graft] val stopCountSql = stopRegexes.mkString("(", " + ", ")")
 
   val textStatsSql: String =
     s"""WITH t AS (SELECT doc_id, text, length(text) AS n_chars,

@@ -457,6 +457,159 @@ object TitanQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Stratified / paired / resampled statistics
+  // --------------------------------------------------------------------------
+
+  /** Mantel–Haenszel pooled odds ratio
+    * ([[graft.ext.Experiment.mantelHaenszel]]) of positive balance on the
+    * BUILDING segment, stratified by nation — crude vs pooled OR side by
+    * side, the odds-scale Simpson check.
+    */
+  def qMantelHaenszel(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.mantelHaenszel(Tables.customer(spark, dir),
+        col("c_nationkey"), col("c_mktsegment") === "BUILDING",
+        col("c_acctbal") > 0)
+      .select(col("n_strata"), col("n_units"),
+        round(col("crude_or"), 6).as("crude_or"),
+        round(col("mh_or"), 6).as("mh_or"))
+
+  val mantelHaenszelSql: String =
+    """WITH f AS (SELECT c_nationkey AS h,
+      |    c_mktsegment = 'BUILDING' AS e, c_acctbal > 0 AS y FROM customer),
+      |cells AS (SELECT h,
+      |    SUM(CASE WHEN e AND y THEN 1 ELSE 0 END) AS a,
+      |    SUM(CASE WHEN e AND NOT y THEN 1 ELSE 0 END) AS b,
+      |    SUM(CASE WHEN NOT e AND y THEN 1 ELSE 0 END) AS c,
+      |    SUM(CASE WHEN NOT e AND NOT y THEN 1 ELSE 0 END) AS d
+      |  FROM f GROUP BY 1),
+      |t AS (SELECT COUNT(*) AS n_strata,
+      |    CAST(SUM(a + b + c + d) AS BIGINT) AS n_units,
+      |    CAST(SUM(a) AS BIGINT) AS ta, CAST(SUM(b) AS BIGINT) AS tb,
+      |    CAST(SUM(c) AS BIGINT) AS tc, CAST(SUM(d) AS BIGINT) AS td,
+      |    SUM(CAST(CAST(a * d AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS sn,
+      |    SUM(CAST(CAST(b * c AS DOUBLE) / CAST(a + b + c + d AS DOUBLE)
+      |      AS DECIMAL(28,12))) AS sd
+      |  FROM cells)
+      |SELECT n_strata, n_units,
+      |  CASE WHEN tb * tc > 0 THEN
+      |    ROUND(CAST(ta * td AS DOUBLE) / CAST(tb * tc AS DOUBLE), 6)
+      |  END AS crude_or,
+      |  CASE WHEN CAST(sd AS DOUBLE) > 0 THEN
+      |    ROUND(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6)
+      |  END AS mh_or
+      |FROM t""".stripMargin
+
+  /** Deterministic hash-permutation test
+    * ([[graft.ext.Experiment.permutationTest]], 200 md5-parity relabelings)
+    * for the returned-vs-kept quantity gap on a 1%-of-parts lineitem slice —
+    * both engines regenerate the identical permutation set, so the
+    * Monte-Carlo p-value is exactly reproducible.
+    */
+  def qPermutationTest(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Experiment.permutationTest(
+        Tables.lineitem(spark, dir).filter(col("l_partkey") % 100 === 0),
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")),
+        col("l_returnflag") === "R", col("l_quantity"), reps = 200)
+      .select(col("n_units"), col("n_reps"),
+        round(col("obs_diff"), 6).as("obs_diff"), col("n_exceed"),
+        round(col("p_value"), 6).as("p_value"))
+
+  val permutationTestSql: String =
+    """WITH base AS (SELECT
+      |    CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+      |      AS k,
+      |    l_returnflag = 'R' AS f, l_quantity AS v
+      |  FROM lineitem WHERE l_partkey % 100 = 0),
+      |obs AS (SELECT COUNT(*) AS n_units,
+      |    CAST(SUM(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    SUM(CASE WHEN f THEN CAST(v AS DECIMAL(28,12)) END) AS sa,
+      |    SUM(CASE WHEN NOT f THEN CAST(v AS DECIMAL(28,12)) END) AS sb
+      |  FROM base),
+      |od AS (SELECT n_units,
+      |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / (n_units - na)
+      |      AS obs_diff
+      |  FROM obs),
+      |reps AS (SELECT unnest(generate_series(0, 199)) AS r),
+      |perm AS (SELECT r,
+      |    CAST(na AS BIGINT) AS na, n, sa, sb FROM (
+      |    SELECT b.r, SUM(CASE WHEN pf THEN 1 ELSE 0 END) AS na,
+      |      COUNT(*) AS n,
+      |      SUM(CASE WHEN pf THEN CAST(v AS DECIMAL(28,12)) END) AS sa,
+      |      SUM(CASE WHEN NOT pf THEN CAST(v AS DECIMAL(28,12)) END) AS sb
+      |    FROM (SELECT base.v, reps.r AS r,
+      |        ('0x' || substr(md5(base.k || ':' || CAST(reps.r AS VARCHAR)),
+      |          1, 8))::BIGINT % 2 = 0 AS pf
+      |      FROM base CROSS JOIN reps) b
+      |    GROUP BY 1)),
+      |rd AS (SELECT r,
+      |    CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / (n - na) AS rdiff
+      |  FROM perm)
+      |SELECT od.n_units, COUNT(*) AS n_reps,
+      |  ROUND(od.obs_diff, 6) AS obs_diff,
+      |  CAST(SUM(CASE WHEN ABS(rdiff) >= ABS(od.obs_diff) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_exceed,
+      |  ROUND(CAST(SUM(CASE WHEN ABS(rdiff) >= ABS(od.obs_diff)
+      |      THEN 1 ELSE 0 END) + 1 AS DOUBLE) / (COUNT(*) + 1), 6) AS p_value
+      |FROM rd CROSS JOIN od GROUP BY od.n_units, od.obs_diff""".stripMargin
+
+  /** McNemar paired test ([[graft.ext.Experiment.mcnemar]]) between the two
+    * shipped language classifiers (en-density rule vs multi-profile argmax)
+    * scored against the gold `lang` column — do they err on the SAME
+    * documents, or is one strictly better where they disagree?
+    */
+  def qMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextStats
+    val d = Tables.documents(spark, dir)
+    val pa = TextStats.langIdDF(d, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred").as("pa"))
+    val pb = TextStats.langIdMultiDF(d, "doc_id", "text")
+      .select(col("doc_id"), col("lang_pred").as("pb"))
+    val j = d.select(col("doc_id"), col("lang"))
+      .join(pa, "doc_id").join(pb, "doc_id")
+    graft.ext.Experiment.mcnemar(j, col("pa") === col("lang"),
+        col("pb") === col("lang"))
+      .select(col("n_pairs"), col("n_both"), col("n10"), col("n01"),
+        round(col("chi2"), 6).as("chi2"))
+  }
+
+  val mcnemarSql: String = {
+    val profile = graft.ext.TextStats.langProfiles
+      .flatMap { case (lang, toks) => toks.map(t => s"('$t', '$lang')") }
+      .mkString(", ")
+    s"""WITH profile(tok, plang) AS (VALUES $profile),
+      |ta AS (SELECT doc_id, ${ExtQueries.stopCountSql} AS sh,
+      |    length(text) - length(replace(text, ' ', '')) + 1 AS nt
+      |  FROM documents),
+      |pa AS (SELECT doc_id, CASE WHEN sh * 25 >= nt * 2 THEN 'en'
+      |    WHEN sh > 0 THEN 'en-maybe' ELSE 'unk' END AS pa FROM ta),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, plang, COUNT(*) AS n_hits
+      |  FROM tok JOIN profile USING (tok) GROUP BY 1, 2),
+      |r AS (SELECT doc_id, plang, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |    ORDER BY n_hits DESC, plang) AS rn FROM h),
+      |pb AS (SELECT d.doc_id, COALESCE(r.plang, 'unk') AS pb
+      |  FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id AND r.rn = 1),
+      |fl AS (SELECT d.lang = pa.pa AS ca, d.lang = pb.pb AS cb
+      |  FROM documents d JOIN pa USING (doc_id) JOIN pb USING (doc_id)),
+      |agg AS (SELECT COUNT(*) AS n_pairs,
+      |    CAST(SUM(CASE WHEN ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_both,
+      |    CAST(SUM(CASE WHEN ca AND NOT cb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n10,
+      |    CAST(SUM(CASE WHEN NOT ca AND cb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n01
+      |  FROM fl)
+      |SELECT n_pairs, n_both, n10, n01,
+      |  CASE WHEN n10 + n01 > 0 THEN
+      |    ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)
+      |      / CAST(n10 + n01 AS DOUBLE), 6)
+      |  END AS chi2
+      |FROM agg""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // Context-length truncation audit
   // --------------------------------------------------------------------------
 
@@ -503,7 +656,10 @@ object TitanQueries {
     "q_dedup_edit" -> (qDedupEdit _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
     "q_winnow_pairs" -> (qWinnowPairs _),
-    "q_truncation_loss" -> (qTruncationLoss _)
+    "q_truncation_loss" -> (qTruncationLoss _),
+    "q_mantel_haenszel" -> (qMantelHaenszel _),
+    "q_permutation_test" -> (qPermutationTest _),
+    "q_mcnemar" -> (qMcnemar _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -517,6 +673,9 @@ object TitanQueries {
     "q_dedup_edit" -> dedupEditSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,
     "q_winnow_pairs" -> winnowPairsSql,
-    "q_truncation_loss" -> truncationLossSql
+    "q_truncation_loss" -> truncationLossSql,
+    "q_mantel_haenszel" -> mantelHaenszelSql,
+    "q_permutation_test" -> permutationTestSql,
+    "q_mcnemar" -> mcnemarSql
   )
 }

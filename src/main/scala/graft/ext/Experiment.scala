@@ -698,4 +698,122 @@ object Experiment {
         col("pm").cast("double").as("post_mean"),
         sqrt(col("pv").cast("double")).as("post_se"))
   }
+
+  /** Mantel–Haenszel pooled odds ratio (Mantel & Haenszel 1959) — the
+    * confounder-adjusted exposure/outcome association: within each stratum
+    * the 2×2 cells (a = exposed∧outcome … d = unexposed∧¬outcome) form the
+    * classic estimator OR_MH = Σ(a·d/n) / Σ(b·c/n), pooled next to the CRUDE
+    * (stratum-ignoring) odds ratio so Simpson-style confounding is visible
+    * as the gap between the two (the aggregate-vs-stratified contrast
+    * q_simpson_paradox states for means, here for odds).
+    *
+    * ONE scan: per-stratum conditional-count aggregate, then a one-row
+    * reduce; per-stratum ad/n terms pool in DECIMAL(28,12). A zero pooled
+    * denominator (no stratum with discordant cells) yields null, never a
+    * division blow-up. Output: (n_strata, n_units, crude_or, mh_or).
+    */
+  def mantelHaenszel(df: DataFrame, stratum: Column, exposed: Column,
+                     outcome: Column): DataFrame = {
+    val cells = df.select(stratum.as("h"), exposed.cast("boolean").as("e"),
+        outcome.cast("boolean").as("y"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("e") && col("y"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("e") && !col("y"), 1L).otherwise(0L)).as("b"),
+        sum(when(!col("e") && col("y"), 1L).otherwise(0L)).as("c"),
+        sum(when(!col("e") && !col("y"), 1L).otherwise(0L)).as("d"))
+    val n = (col("a") + col("b") + col("c") + col("d")).cast("double")
+    cells
+      .select(col("a"), col("b"), col("c"), col("d"),
+        ((col("a") * col("d")).cast("double") / n).cast("decimal(28,12)")
+          .as("__num"),
+        ((col("b") * col("c")).cast("double") / n).cast("decimal(28,12)")
+          .as("__den"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("a") + col("b") + col("c") + col("d")).as("n_units"),
+        sum(col("a")).as("__ta"), sum(col("b")).as("__tb"),
+        sum(col("c")).as("__tc"), sum(col("d")).as("__td"),
+        sum(col("__num")).as("__sn"), sum(col("__den")).as("__sd"))
+      .select(col("n_strata"), col("n_units"),
+        when(col("__tb") * col("__tc") > 0,
+          (col("__ta") * col("__td")).cast("double") /
+            (col("__tb") * col("__tc")).cast("double")).as("crude_or"),
+        when(col("__sd").cast("double") > 0.0,
+          col("__sn").cast("double") / col("__sd").cast("double"))
+          .as("mh_or"))
+  }
+
+  /** Deterministic permutation test for a difference in means: replicate r
+    * reassigns every unit to a pseudo-arm by the parity of a 32-bit
+    * md5-prefix hash of (unit key, r) — the fixed-seed, engine-portable
+    * stand-in for random relabeling (same construction as the repo's salted
+    * samplers), so both engines generate THE SAME `reps` permutations and
+    * the p-value is exactly reproducible. p = (1 + #{|Δ_r| ≥ |Δ_obs|}) /
+    * (reps + 1), the standard add-one Monte-Carlo estimator (Phipson &
+    * Smyth 2010 — never reports p = 0).
+    *
+    * Scale shape: the replicate stream is a Generate over the (tiny) rep
+    * list — reps × n rows, map-side aggregated to one row per rep before
+    * anything shuffles; means pool in DECIMAL(28,12). Output one row:
+    * (n_units, n_reps, obs_diff, n_exceed, p_value).
+    */
+  def permutationTest(df: DataFrame, unitKey: Column, flag: Column,
+                      value: Column, reps: Int): DataFrame = {
+    require(reps >= 1, s"reps must be >= 1, got $reps")
+    val base = df.select(unitKey.cast("string").as("k"),
+      flag.cast("boolean").as("f"), value.cast("double").as("v"))
+    def diff(flagCol: Column): (Column, Column) = (
+      sum(when(flagCol, col("v").cast("decimal(28,12)"))).as("__sa"),
+      sum(when(!flagCol, col("v").cast("decimal(28,12)"))).as("__sb"))
+    val obs = base.agg(count(lit(1)).as("n_units"),
+        sum(when(col("f"), 1L).otherwise(0L)).as("__na"),
+        diff(col("f"))._1, diff(col("f"))._2)
+      .select(col("n_units"), col("__na"),
+        (col("__sa").cast("double") / col("__na") -
+          col("__sb").cast("double") / (col("n_units") - col("__na")))
+          .as("obs_diff"))
+    val perm = base
+      .select(col("k"), col("v"),
+        explode(sequence(lit(0), lit(reps - 1))).as("r"))
+      .select(col("r"), col("v"),
+        (conv(substring(md5(concat_ws(":", col("k"), col("r"))), 1, 8),
+          16, 10).cast("long") % 2 === 0).as("pf"))
+      .groupBy(col("r"))
+      .agg(sum(when(col("pf"), 1L).otherwise(0L)).as("__na"),
+        count(lit(1)).as("__n"),
+        sum(when(col("pf"), col("v").cast("decimal(28,12)"))).as("__sa"),
+        sum(when(!col("pf"), col("v").cast("decimal(28,12)"))).as("__sb"))
+      .select(col("r"),
+        (col("__sa").cast("double") / col("__na") -
+          col("__sb").cast("double") / (col("__n") - col("__na")))
+          .as("rdiff"))
+    perm.crossJoin(broadcast(obs))
+      .groupBy(col("n_units"), col("obs_diff"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(when(abs(col("rdiff")) >= abs(col("obs_diff")), 1L).otherwise(0L))
+          .as("n_exceed"))
+      .select(col("n_units"), col("n_reps"), col("obs_diff"), col("n_exceed"),
+        ((col("n_exceed") + 1).cast("double") /
+          (col("n_reps") + 1).cast("double")).as("p_value"))
+  }
+
+  /** McNemar's test on paired binary outcomes (two classifiers over the
+    * same units): only the discordant cells carry signal — n10 (A right,
+    * B wrong) vs n01 — and the continuity-free statistic is
+    * χ² = (n10 − n01)² / (n10 + n01), null when the classifiers never
+    * disagree. One conditional-count aggregate. Output:
+    * (n_pairs, n_both, n10, n01, chi2).
+    */
+  def mcnemar(df: DataFrame, correctA: Column, correctB: Column): DataFrame = {
+    val flags = df.select(correctA.cast("boolean").as("ca"),
+      correctB.cast("boolean").as("cb"))
+    flags.agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ca") && col("cb"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("ca") && !col("cb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("ca") && col("cb"), 1L).otherwise(0L)).as("n01"))
+      .select(col("n_pairs"), col("n_both"), col("n10"), col("n01"),
+        when(col("n10") + col("n01") > 0,
+          ((col("n10") - col("n01")) * (col("n10") - col("n01")))
+            .cast("double") / (col("n10") + col("n01")).cast("double"))
+          .as("chi2"))
+  }
 }

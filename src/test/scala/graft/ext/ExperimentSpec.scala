@@ -387,4 +387,68 @@ class ExperimentSpec extends SparkTestBase {
       "treated", "post", "v").collect().head
     assert(out.getDouble(5) == 0.0)
   }
+
+  test("mantelHaenszel: hand-computed two-stratum pooled OR vs crude") {
+    import org.apache.spark.sql.functions.col
+    // stratum 1 cells (a,b,c,d) = (2,1,1,2); stratum 2 = (3,1,1,3)
+    // MH = (4/6 + 9/8) / (1/6 + 1/8) = 43/7; crude = 25/4
+    def rows(h: Int, a: Int, b: Int, c: Int, d: Int) =
+      Seq.fill(a)((h, true, true)) ++ Seq.fill(b)((h, true, false)) ++
+        Seq.fill(c)((h, false, true)) ++ Seq.fill(d)((h, false, false))
+    val df = (rows(1, 2, 1, 1, 2) ++ rows(2, 3, 1, 1, 3))
+      .toDF("h", "e", "y")
+    val out = Experiment.mantelHaenszel(df, col("h"), col("e"), col("y"))
+      .collect().head
+    assert(out.getLong(0) == 2L && out.getLong(1) == 14L)
+    assert(math.abs(out.getDouble(2) - 25.0 / 4.0) < 1e-9, "crude")
+    assert(math.abs(out.getDouble(3) - 43.0 / 7.0) < 1e-9, "mh")
+  }
+
+  test("mantelHaenszel: no discordant cells anywhere -> null ORs") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1, true, true), (1, false, false), (2, true, true))
+      .toDF("h", "e", "y")
+    val out = Experiment.mantelHaenszel(df, col("h"), col("e"), col("y"))
+      .collect().head
+    assert(out.isNullAt(2) && out.isNullAt(3))
+  }
+
+  test("permutationTest: planted shift -> tiny p; label-free data -> large p; " +
+      "deterministic across runs") {
+    import org.apache.spark.sql.functions.col
+    val shifted = ((1 to 60).map(i => (i.toLong, true, 100.0 + i % 3)) ++
+      (61 to 120).map(i => (i.toLong, false, 1.0 + i % 3)))
+      .toDF("k", "f", "v")
+    val o1 = Experiment.permutationTest(shifted, col("k"), col("f"), col("v"),
+      reps = 199).collect().head
+    assert(o1.getLong(0) == 120L && o1.getLong(1) == 199L)
+    assert(math.abs(o1.getDouble(2) - 99.0) < 1e-9, s"obs ${o1.getDouble(2)}")
+    assert(o1.getDouble(4) <= 0.01, s"p ${o1.getDouble(4)}")
+    // p respects the add-one formula
+    assert(math.abs(o1.getDouble(4) -
+      (o1.getLong(3) + 1.0) / 200.0) < 1e-12)
+    val o2 = Experiment.permutationTest(shifted, col("k"), col("f"), col("v"),
+      reps = 199).collect().head
+    assert(o1.getDouble(4) == o2.getDouble(4), "hash permutations are fixed")
+    val flat = (1 to 120).map(i => (i.toLong, i % 2 == 0, 5.0))
+      .toDF("k", "f", "v")
+    val o3 = Experiment.permutationTest(flat, col("k"), col("f"), col("v"),
+      reps = 199).collect().head
+    assert(o3.getDouble(4) == 1.0, s"constant outcome -> p=1, got $o3")
+  }
+
+  test("mcnemar: hand-computed discordant cells") {
+    import org.apache.spark.sql.functions.col
+    // 5 both right, 3 only-A right, 1 only-B right, 2 both wrong
+    val df = (Seq.fill(5)((true, true)) ++ Seq.fill(3)((true, false)) ++
+      Seq.fill(1)((false, true)) ++ Seq.fill(2)((false, false)))
+      .toDF("ca", "cb")
+    val out = Experiment.mcnemar(df, col("ca"), col("cb")).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2), out.getLong(3)) ==
+      ((11L, 5L, 3L, 1L)))
+    assert(out.getDouble(4) == 1.0) // (3-1)^2 / 4
+    val agree = Seq((true, true), (false, false)).toDF("ca", "cb")
+    assert(Experiment.mcnemar(agree, col("ca"), col("cb"))
+      .collect().head.isNullAt(4))
+  }
 }
