@@ -457,6 +457,101 @@ object TitanQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Replication integrity: two-level Merkle digest per month
+  // --------------------------------------------------------------------------
+
+  /** Order-independent per-month content digest of the orders table
+    * ([[graft.ext.Integrity.groupDigest]], 16 leaf buckets) — the
+    * replication-verification surface: equal digests ⇒ byte-identical
+    * slice, unequal leaf drill-down localizes the diff. Row rendering uses
+    * only integer/string/date columns (engine-identical text forms).
+    */
+  def qTableDigest(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    graft.ext.Integrity.groupDigest(o,
+        substring(to_date(col("o_orderdate")).cast("string"), 1, 7),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), to_date(col("o_orderdate")).cast("string")),
+        buckets = 16)
+      .select(col("grp").as("month"), col("n_rows"), col("digest"))
+      .orderBy(col("month"))
+  }
+
+  val tableDigestSql: String =
+    """WITH r AS (SELECT
+      |    substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS grp,
+      |    md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+      |      CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+      |      CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS rh
+      |  FROM orders),
+      |rb AS (SELECT grp, rh,
+      |    ('0x' || substr(rh, 1, 2))::BIGINT % 16 AS bk FROM r),
+      |lv AS (SELECT grp, bk, COUNT(*) AS n,
+      |    md5(string_agg(rh, '' ORDER BY rh)) AS leaf
+      |  FROM rb GROUP BY 1, 2)
+      |SELECT grp AS month, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  md5(string_agg(leaf, '' ORDER BY bk)) AS digest
+      |FROM lv GROUP BY grp ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Bloom filter audit
+  // --------------------------------------------------------------------------
+
+  /** Portable Bloom filter over namespaced customer keys probed with a
+    * disjoint namespace ([[graft.ext.Sketches.bloomFilterAudit]],
+    * m = 131072 bits, k = 4): observed false-positive rate vs the textbook
+    * (1 − e^(−kn/m))^k — the sizing measurement for Bloom-filtered
+    * anti-joins.
+    */
+  def qBloomAudit(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    graft.ext.Sketches.bloomFilterAudit(c,
+        concat(lit("c:"), col("c_custkey")), c,
+        concat(lit("p:"), col("c_custkey")), wWords = 4096, kHashes = 4)
+      .select(col("m_bits"), col("k_hashes"), col("n_inserted"),
+        col("n_bits_set"), col("n_probes"), col("n_fp"),
+        round(col("fp_rate"), 6).as("fp_rate"),
+        round(col("fp_theory"), 6).as("fp_theory"))
+  }
+
+  val bloomAuditSql: String =
+    """WITH ins AS (SELECT DISTINCT 'c:' || CAST(c_custkey AS VARCHAR) AS key
+      |  FROM customer),
+      |ip AS (SELECT key, unnest(generate_series(0, 3)) AS j FROM ins),
+      |ipos AS (SELECT key,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 8))
+      |      ::BIGINT % 131072 AS pos
+      |  FROM ip),
+      |iw AS (SELECT pos // 32 AS word,
+      |    CAST(POWER(2, pos % 32) AS BIGINT) AS mask FROM ipos),
+      |fw AS (SELECT word, BIT_OR(mask) AS bits FROM iw GROUP BY 1),
+      |pr AS (SELECT DISTINCT 'p:' || CAST(c_custkey AS VARCHAR) AS key
+      |  FROM customer),
+      |pp AS (SELECT key, unnest(generate_series(0, 3)) AS j FROM pr),
+      |ppos AS (SELECT key,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 8))
+      |      ::BIGINT % 131072 AS pos
+      |  FROM pp),
+      |pw AS (SELECT key, pos // 32 AS word,
+      |    CAST(POWER(2, pos % 32) AS BIGINT) AS mask FROM ppos),
+      |hits AS (SELECT pw.key,
+      |    SUM(CASE WHEN fw.bits IS NOT NULL AND (fw.bits & pw.mask) = pw.mask
+      |      THEN 1 ELSE 0 END) AS n_hit
+      |  FROM pw LEFT JOIN fw USING (word) GROUP BY 1),
+      |pa AS (SELECT COUNT(*) AS n_probes,
+      |    CAST(SUM(CASE WHEN n_hit = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_fp
+      |  FROM hits),
+      |fa AS (SELECT CAST(SUM(bit_count(bits)) AS BIGINT) AS n_bits_set
+      |  FROM fw),
+      |ni AS (SELECT COUNT(*) AS n_inserted FROM ins)
+      |SELECT CAST(131072 AS BIGINT) AS m_bits, CAST(4 AS BIGINT) AS k_hashes,
+      |  n_inserted, n_bits_set, n_probes, n_fp,
+      |  ROUND(CAST(n_fp AS DOUBLE) / CAST(n_probes AS DOUBLE), 6) AS fp_rate,
+      |  ROUND(POWER(1 - EXP(-1.0 * 4 * n_inserted / 131072.0), 4), 6)
+      |    AS fp_theory
+      |FROM pa CROSS JOIN fa CROSS JOIN ni""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Stratified / paired / resampled statistics
   // --------------------------------------------------------------------------
 
@@ -659,7 +754,9 @@ object TitanQueries {
     "q_truncation_loss" -> (qTruncationLoss _),
     "q_mantel_haenszel" -> (qMantelHaenszel _),
     "q_permutation_test" -> (qPermutationTest _),
-    "q_mcnemar" -> (qMcnemar _)
+    "q_mcnemar" -> (qMcnemar _),
+    "q_table_digest" -> (qTableDigest _),
+    "q_bloom_audit" -> (qBloomAudit _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -676,6 +773,8 @@ object TitanQueries {
     "q_truncation_loss" -> truncationLossSql,
     "q_mantel_haenszel" -> mantelHaenszelSql,
     "q_permutation_test" -> permutationTestSql,
-    "q_mcnemar" -> mcnemarSql
+    "q_mcnemar" -> mcnemarSql,
+    "q_table_digest" -> tableDigestSql,
+    "q_bloom_audit" -> bloomAuditSql
   )
 }

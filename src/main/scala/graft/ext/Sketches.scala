@@ -185,4 +185,61 @@ object Sketches {
         col("true_distinct").cast("double")).as("rel_err_pct"))
       .orderBy(col(groupCol))
   }
+
+  /** Portable Bloom filter audit (Bloom, CACM 1970): build an m-bit filter
+    * (m = 32·`wWords`, stored as `wWords` 32-bit words in BIGINTs so no
+    * sign-bit arithmetic ever differs between engines) over `items` with
+    * `kHashes` md5-derived positions per key, then probe it with the
+    * DISJOINT `probes` set and report the observed false-positive rate next
+    * to the textbook expectation (1 − e^(−kn/m))^k — the measurement a
+    * pipeline runs before sizing a Bloom-filtered anti-join at 100 TB.
+    *
+    * Scale shape: the filter is a word-keyed BIT_OR aggregate (wWords rows
+    * total — it IS the broadcast-ready form of Spark's own
+    * `fpp`-parameterized Bloom join filters, but portable); probing joins
+    * each probe's k (word, mask) rows against those wWords rows and demands
+    * all k bits set. Output one row: (m_bits, k_hashes, n_inserted,
+    * n_bits_set, n_probes, n_fp, fp_rate, fp_theory).
+    */
+  def bloomFilterAudit(items: DataFrame, itemCol: org.apache.spark.sql.Column,
+                       probes: DataFrame, probeCol: org.apache.spark.sql.Column,
+                       wWords: Int = 64, kHashes: Int = 4): DataFrame = {
+    require(wWords >= 1 && kHashes >= 1,
+      s"bad bloom shape w=$wWords k=$kHashes")
+    val m = 32L * wWords
+    def positions(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
+      df.select(c.cast("string").as("key"))
+        .distinct()
+        .select(col("key"),
+          explode(sequence(lit(0), lit(kHashes - 1))).as("j"))
+        .select(col("key"),
+          (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+            col("key"))), 1, 8), 16, 10).cast("long") % m).as("pos"))
+        .select(col("key"), floor(col("pos") / 32).cast("long").as("word"),
+          pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
+    val filterWords = positions(items, itemCol)
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+    val nIns = items.select(itemCol.cast("string")).distinct().count()
+    val probePos = positions(probes, probeCol)
+    val hits = probePos
+      .join(filterWords, Seq("word"), "left")
+      .select(col("key"),
+        when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
+          .otherwise(0L).as("hit"))
+      .groupBy(col("key")).agg(sum(col("hit")).as("n_hit"))
+    val probeAgg = hits.agg(count(lit(1)).as("n_probes"),
+      sum(when(col("n_hit") === kHashes, 1L).otherwise(0L)).as("n_fp"))
+    val fillAgg = filterWords.agg(
+      sum(bit_count(col("bits"))).cast("long").as("n_bits_set"))
+    val theory = pow(lit(1.0) -
+      exp(lit(-1.0) * kHashes * nIns / m.toDouble), kHashes)
+    probeAgg.crossJoin(broadcast(fillAgg))
+      .select(lit(m).as("m_bits"), lit(kHashes.toLong).as("k_hashes"),
+        lit(nIns).as("n_inserted"), col("n_bits_set"), col("n_probes"),
+        col("n_fp"),
+        (col("n_fp").cast("double") / col("n_probes").cast("double"))
+          .as("fp_rate"),
+        theory.as("fp_theory"))
+  }
 }

@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class IntegritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val rows = Seq(
+    ("g1", 1L, "x"), ("g1", 2L, "y"), ("g1", 3L, "z"),
+    ("g2", 4L, "w"))
+
+  test("buckets=1 digest equals the hand-rolled sorted-hash reference") {
+    val df = rows.toDF("g", "id", "v")
+    val got = Integrity.groupDigest(df, col("g"),
+        Seq(col("id"), col("v")), buckets = 1)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val rowHashes = rs.map { case (_, id, v) => md5Hex(s"$id|$v") }.sorted
+      // one bucket → group digest = md5(md5(sorted row hashes))
+      val expected = md5Hex(md5Hex(rowHashes.mkString("")))
+      assert(got(g) == ((rs.size.toLong, expected)), s"group $g")
+    }
+  }
+
+  test("digest is invariant under row order but sensitive to any value") {
+    val df = rows.toDF("g", "id", "v")
+    val base = Integrity.groupDigest(df, col("g"), Seq(col("id"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val shuffled = rows.reverse.toDF("g", "id", "v").repartition(7)
+    val resh = Integrity.groupDigest(shuffled, col("g"),
+        Seq(col("id"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(base == resh, "row order and partitioning must not matter")
+    val tweaked = rows.map { case ("g1", 2L, _) => ("g1", 2L, "Y")
+                             case r => r }.toDF("g", "id", "v")
+    val tw = Integrity.groupDigest(tweaked, col("g"), Seq(col("id"), col("v")))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(tw("g1") != base("g1") && tw("g2") == base("g2"),
+      "a one-cell change must flip exactly its group's digest")
+  }
+
+  test("bloomFilterAudit: members always hit (no false negatives); disjoint " +
+      "probes track the theoretical rate") {
+    val items = (1L to 400L).map(i => Tuple1(i)).toDF("k")
+    // probing the inserted keys themselves: every probe is 'positive'
+    val self = Sketches.bloomFilterAudit(items, col("k"), items, col("k"),
+      wWords = 16, kHashes = 4).collect().head
+    assert(self.getLong(4) == 400L && self.getLong(5) == 400L,
+      s"members must all test positive: $self")
+    // disjoint namespace probes: fp_rate within a loose band of theory
+    val out = Sketches.bloomFilterAudit(items, concat(lit("a:"), col("k")),
+        items, concat(lit("b:"), col("k")), wWords = 16, kHashes = 4)
+      .collect().head
+    val (m, nSet, fp, theory) =
+      (out.getLong(0), out.getLong(3), out.getDouble(6), out.getDouble(7))
+    assert(m == 512L)
+    assert(nSet > 0L && nSet <= m)
+    // k·n/m = 3.125 → theory ≈ 0.83; the observed rate should be in the
+    // same regime, not near 0 or exactly 1 by accident of a broken mask
+    assert(math.abs(fp - theory) < 0.15, s"fp=$fp theory=$theory")
+    assert(out.getLong(2) == 400L && out.getLong(1) == 4L)
+  }
+
+  test("bloomFilterAudit: empty-ish overlap in a roomy filter stays near zero") {
+    val items = (1L to 50L).map(i => Tuple1(i)).toDF("k")
+    val out = Sketches.bloomFilterAudit(items, concat(lit("a:"), col("k")),
+        items, concat(lit("b:"), col("k")), wWords = 1024, kHashes = 4)
+      .collect().head
+    assert(out.getDouble(6) <= 0.02, s"roomy filter fp: $out")
+  }
+}
