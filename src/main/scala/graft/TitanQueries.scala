@@ -494,6 +494,121 @@ object TitanQueries {
       |FROM lv GROUP BY grp ORDER BY month""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Format interop: ORC / CSV round-trips proven by digest equality
+  // --------------------------------------------------------------------------
+
+  private def ordersDigestFrame(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderstatus"), col("o_orderpriority"),
+      to_date(col("o_orderdate")).cast("string").as("o_date"))
+
+  private def digestOf(rt: DataFrame): DataFrame =
+    graft.ext.Integrity.groupDigest(rt, substring(col("o_date"), 1, 7),
+        Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_date")), buckets = 16)
+      .select(col("grp").as("month"), col("n_rows"), col("digest"))
+      .orderBy(col("month"))
+
+  /** ORC write→read round-trip of the orders slice, digested per month
+    * ([[graft.sources.Formats.orcRoundtrip]]) — the oracle digests the
+    * PARQUET original, so a green row proves the ORC path is lossless
+    * end-to-end (columns, values, row multiplicity).
+    */
+  def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    digestOf(graft.sources.Formats.orcRoundtrip(
+      ordersDigestFrame(spark, dir),
+      s"/tmp/graft_orc_${math.abs(dir.hashCode.toLong)}"))
+
+  /** CSV (headered, explicit schema) round-trip with the same digest proof
+    * ([[graft.sources.Formats.csvRoundtrip]]) — the projected frame carries
+    * only exact-text columns, the documented precondition.
+    */
+  def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    digestOf(graft.sources.Formats.csvRoundtrip(
+      ordersDigestFrame(spark, dir),
+      s"/tmp/graft_csv_${math.abs(dir.hashCode.toLong)}"))
+
+  val roundtripDigestSql: String =
+    """WITH r AS (SELECT
+      |    substr(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), 1, 7) AS grp,
+      |    md5(concat_ws('|', CAST(o_orderkey AS VARCHAR),
+      |      CAST(o_custkey AS VARCHAR), o_orderstatus, o_orderpriority,
+      |      CAST(CAST(o_orderdate AS DATE) AS VARCHAR))) AS rh
+      |  FROM orders),
+      |rb AS (SELECT grp, rh,
+      |    ('0x' || substr(rh, 1, 2))::BIGINT % 16 AS bk FROM r),
+      |lv AS (SELECT grp, bk, COUNT(*) AS n,
+      |    md5(string_agg(rh, '' ORDER BY rh)) AS leaf
+      |  FROM rb GROUP BY 1, 2)
+      |SELECT grp AS month, CAST(SUM(n) AS BIGINT) AS n_rows,
+      |  md5(string_agg(leaf, '' ORDER BY bk)) AS digest
+      |FROM lv GROUP BY grp ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // GROUPING SETS via the SQL front end
+  // --------------------------------------------------------------------------
+
+  /** Custom GROUPING SETS ((nation, segment), (nation), ()) with a
+    * grouping-bit id — the partial-rollup surface q_revenue_rollup's full
+    * ROLLUP can't state, run through `spark.sql` (the SQL front end is part
+    * of the API surface; the DataFrame queries cover the other entry).
+    * Money pools by the repo's ROUND(x·100) integer-cents convention.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("customer_gs")
+    spark.sql(
+      """SELECT coalesce(c_nationkey, -1) AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  grouping(c_nationkey) * 2 + grouping(c_mktsegment) AS gid,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents
+        |FROM customer_gs
+        |GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment),
+        |  (c_nationkey), ())
+        |ORDER BY gid, nation, segment""".stripMargin)
+      .select(col("nation"), col("segment"), col("gid").cast("long").as("gid"),
+        col("n_customers"), col("bal_cents"))
+  }
+
+  val groupingSetsSql: String =
+    """SELECT coalesce(c_nationkey, -1) AS nation,
+      |  coalesce(c_mktsegment, 'ALL') AS segment,
+      |  CAST(GROUPING(c_nationkey) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+      |    AS gid,
+      |  COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+      |    AS bal_cents
+      |FROM customer
+      |GROUP BY GROUPING SETS ((c_nationkey, c_mktsegment), (c_nationkey), ())
+      |ORDER BY gid, nation, segment""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Sequential motif discovery
+  // --------------------------------------------------------------------------
+
+  /** Top first-occurrence 3-step journeys
+    * ([[graft.ext.SequencePatterns.firstOccurrenceTriples]]) — funnel
+    * DISCOVERY next to q_funnel's single hypothesized sequence.
+    */
+  def qSeqPatterns(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SequencePatterns.firstOccurrenceTriples(
+      Tables.events(spark, dir), "user_id", "event_type",
+      unix_millis(col("ts")), k = 20)
+
+  val seqPatternsSql: String =
+    """WITH f AS (SELECT user_id AS u, event_type AS ty,
+      |    MIN(epoch_ms(ts)) AS t
+      |  FROM events GROUP BY 1, 2),
+      |tr AS (SELECT a.ty AS step1, b.ty AS step2, c.ty AS step3
+      |  FROM f a
+      |  JOIN f b ON a.u = b.u AND (a.t < b.t OR (a.t = b.t AND a.ty < b.ty))
+      |  JOIN f c ON b.u = c.u AND (b.t < c.t OR (b.t = c.t AND b.ty < c.ty)))
+      |SELECT step1, step2, step3, COUNT(*) AS n_users FROM tr
+      |GROUP BY 1, 2, 3 ORDER BY n_users DESC, step1, step2, step3
+      |LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Bloom filter audit
   // --------------------------------------------------------------------------
 
@@ -756,7 +871,11 @@ object TitanQueries {
     "q_permutation_test" -> (qPermutationTest _),
     "q_mcnemar" -> (qMcnemar _),
     "q_table_digest" -> (qTableDigest _),
-    "q_bloom_audit" -> (qBloomAudit _)
+    "q_bloom_audit" -> (qBloomAudit _),
+    "q_orc_roundtrip" -> (qOrcRoundtrip _),
+    "q_csv_roundtrip" -> (qCsvRoundtrip _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_seq_patterns" -> (qSeqPatterns _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -775,6 +894,10 @@ object TitanQueries {
     "q_permutation_test" -> permutationTestSql,
     "q_mcnemar" -> mcnemarSql,
     "q_table_digest" -> tableDigestSql,
-    "q_bloom_audit" -> bloomAuditSql
+    "q_bloom_audit" -> bloomAuditSql,
+    "q_orc_roundtrip" -> roundtripDigestSql,
+    "q_csv_roundtrip" -> roundtripDigestSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_seq_patterns" -> seqPatternsSql
   )
 }
