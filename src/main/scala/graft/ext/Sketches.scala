@@ -201,26 +201,49 @@ object Sketches {
     * all k bits set. Output one row: (m_bits, k_hashes, n_inserted,
     * n_bits_set, n_probes, n_fp, fp_rate, fp_theory).
     */
+  /** (key, word, mask) Bloom positions: kHashes md5-derived bits per key in
+    * an m = 32·wWords bit space stored as 32-bit words. No dedup — BIT_OR
+    * absorbs duplicates, which is what makes the SAME expression the batch
+    * builder AND the streaming register twin.
+    */
+  private[graft] def bloomPositions(df: DataFrame,
+                                    c: org.apache.spark.sql.Column,
+                                    wWords: Int, kHashes: Int): DataFrame = {
+    val m = 32L * wWords
+    df.select(c.cast("string").as("key"))
+      .select(col("key"),
+        explode(sequence(lit(0), lit(kHashes - 1))).as("j"))
+      .select(col("key"),
+        (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
+          col("key"))), 1, 8), 16, 10).cast("long") % m).as("pos"))
+      .select(col("key"), floor(col("pos") / 32).cast("long").as("word"),
+        pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
+  }
+
+  /** The filter itself: word-keyed BIT_OR of [[bloomPositions]] — wWords
+    * rows, the broadcast-ready membership structure. Works unchanged on a
+    * streaming DataFrame (update/complete mode): BIT_OR is monotone, so the
+    * snapshot after a stream drains equals the batch build bit-for-bit
+    * (spec-locked, the [[graft.streaming.StreamingOps.hllRegistersStream]]
+    * discipline).
+    */
+  def bloomFilterWords(df: DataFrame, itemCol: org.apache.spark.sql.Column,
+                       wWords: Int = 64, kHashes: Int = 4): DataFrame =
+    bloomPositions(df, itemCol, wWords, kHashes)
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+
   def bloomFilterAudit(items: DataFrame, itemCol: org.apache.spark.sql.Column,
                        probes: DataFrame, probeCol: org.apache.spark.sql.Column,
                        wWords: Int = 64, kHashes: Int = 4): DataFrame = {
     require(wWords >= 1 && kHashes >= 1,
       s"bad bloom shape w=$wWords k=$kHashes")
     val m = 32L * wWords
-    def positions(df: DataFrame, c: org.apache.spark.sql.Column): DataFrame =
-      df.select(c.cast("string").as("key"))
-        .distinct()
-        .select(col("key"),
-          explode(sequence(lit(0), lit(kHashes - 1))).as("j"))
-        .select(col("key"),
-          (conv(substring(md5(concat(col("j").cast("string"), lit(":"),
-            col("key"))), 1, 8), 16, 10).cast("long") % m).as("pos"))
-        .select(col("key"), floor(col("pos") / 32).cast("long").as("word"),
-          pow(lit(2.0), col("pos") % 32).cast("long").as("mask"))
-    val filterWords = positions(items, itemCol)
-      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+    val filterWords = bloomFilterWords(items, itemCol, wWords, kHashes)
     val nIns = items.select(itemCol.cast("string")).distinct().count()
-    val probePos = positions(probes, probeCol)
+    // probes dedup by key: the all-k-bits test below counts hits per key
+    val probePos = bloomPositions(
+      probes.select(probeCol.cast("string").as("__pk")).distinct(),
+      col("__pk"), wWords, kHashes)
     val hits = probePos
       .join(filterWords, Seq("word"), "left")
       .select(col("key"),

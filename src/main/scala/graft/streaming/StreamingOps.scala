@@ -1349,6 +1349,114 @@ object StreamingOps {
     graft.ext.Sketches.hllRho(stream, itemCol, b)
       .groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
 
+  /** Streaming Bloom filter registers — the membership twin of
+    * [[graft.ext.Sketches.bloomFilterAudit]]'s build half: the word-keyed
+    * BIT_OR is monotone (bits only turn on), so state is EXACTLY wWords
+    * longs forever, no watermark, and the drained snapshot equals the batch
+    * [[graft.ext.Sketches.bloomFilterWords]] bit-for-bit (spec-locked).
+    * The live form of a Bloom-filtered anti-join's build side: stream the
+    * key space once, broadcast the word table to consumers each trigger.
+    */
+  def bloomRegistersStream(stream: DataFrame, itemCol: String,
+                           wWords: Int = 64, kHashes: Int = 4): DataFrame =
+    graft.ext.Sketches.bloomFilterWords(stream, col(itemCol), wWords, kHashes)
+
+  final case class P2Value(series: String, x: Double, seq: Long)
+  final case class P2State(init: Seq[Double], q: Seq[Double], n: Seq[Long],
+                           np: Seq[Double], count: Long)
+  final case class P2Out(series: String, n: Long, estimate: Double)
+
+  /** Streaming single-quantile estimator — the P² algorithm (Jain &
+    * Chlamtac, CACM 1985): five markers (min, three interior, max) whose
+    * heights adjust by a piecewise-parabolic rule as observations arrive.
+    * State per series is O(1) — 5 heights + 5 positions — forever, against
+    * the O(n) an exact quantile needs; the price is approximation (the spec
+    * bounds it on smooth data). This is the keyed-state analog of the batch
+    * sketch in [[graft.ext.HistSketch]]: that one buckets value space, this
+    * one tracks ONE quantile with no bucketing decisions.
+    *
+    * Emits the current (n, estimate) per touched series per micro-batch
+    * (Update mode). Deterministic given arrival order: in-batch rows sort
+    * by `seq`, and the marker recurrence has no randomness — same input
+    * order, same estimate, both of which the spec pins.
+    */
+  def p2QuantileStream(values: Dataset[P2Value], p: Double): Dataset[P2Out] = {
+    require(p > 0.0 && p < 1.0, s"p must lie in (0,1), got $p")
+    import values.sparkSession.implicits._
+    val d = Array(0.0, p / 2.0, p, (1.0 + p) / 2.0, 1.0)
+    values
+      .groupByKey(_.series)
+      .flatMapGroupsWithState[P2State, P2Out](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (series: String, it: Iterator[P2Value], state: GroupState[P2State]) =>
+          var st = state.getOption.getOrElse(
+            P2State(Seq.empty, Seq.empty, Seq.empty, Seq.empty, 0L))
+          var init = st.init.toArray
+          var q = st.q.toArray
+          var n = st.n.toArray
+          var np = st.np.toArray
+          var count = st.count
+          it.toSeq.sortBy(_.seq).foreach { v =>
+            val x = v.x
+            count += 1
+            if (q.isEmpty) {
+              init = init :+ x
+              if (init.length == 5) {
+                q = init.sorted
+                n = Array(1L, 2L, 3L, 4L, 5L)
+                np = Array(1.0, 1.0 + 4.0 * d(1), 1.0 + 4.0 * d(2),
+                  1.0 + 4.0 * d(3), 5.0)
+                init = Array.empty
+              }
+            } else {
+              // locate cell k, clamping the extreme markers
+              var k = -1
+              if (x < q(0)) { q(0) = x; k = 0 }
+              else if (x >= q(4)) { q(4) = math.max(q(4), x); k = 3 }
+              else {
+                k = 0
+                var i = 1
+                while (i < 5 && x >= q(i)) { k = i; i += 1 }
+                if (k > 3) k = 3
+              }
+              var i = k + 1
+              while (i < 5) { n(i) += 1; i += 1 }
+              i = 0
+              while (i < 5) { np(i) += d(i); i += 1 }
+              // adjust interior markers
+              i = 1
+              while (i <= 3) {
+                val dd = np(i) - n(i)
+                if ((dd >= 1.0 && n(i + 1) - n(i) > 1) ||
+                    (dd <= -1.0 && n(i - 1) - n(i) < -1)) {
+                  val s = if (dd >= 1.0) 1 else -1
+                  // piecewise-parabolic (P²) candidate
+                  val qp = q(i) + s.toDouble / (n(i + 1) - n(i - 1)) * (
+                    (n(i) - n(i - 1) + s) * (q(i + 1) - q(i)) /
+                      (n(i + 1) - n(i)) +
+                    (n(i + 1) - n(i) - s) * (q(i) - q(i - 1)) /
+                      (n(i) - n(i - 1)))
+                  q(i) =
+                    if (q(i - 1) < qp && qp < q(i + 1)) qp
+                    else q(i) + s * (q(i + s) - q(i)) / (n(i + s) - n(i))
+                  n(i) += s
+                }
+                i += 1
+              }
+            }
+          }
+          st = P2State(init.toSeq, q.toSeq, n.toSeq, np.toSeq, count)
+          state.update(st)
+          val est =
+            if (q.nonEmpty) q(2)
+            else if (init.nonEmpty) {
+              val s = init.sorted
+              s(math.min(s.length - 1, (p * s.length).toInt))
+            } else Double.NaN
+          Iterator.single(P2Out(series, count, est))
+      }
+  }
+
   final case class TurnoverEvent(board: String, key: Long, ts: Timestamp)
   final case class TurnoverState(day: Long, counts: Map[Long, Long],
                                  prevDay: Long, prevTop: Seq[Long])

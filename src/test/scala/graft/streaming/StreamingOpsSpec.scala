@@ -1165,6 +1165,70 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("bloomRegistersStream snapshot equals the batch filter bit-for-bit") {
+    implicit val sc = spark.sqlContext
+    val b1 = (1L to 300L).toSeq
+    val b2 = (200L to 500L).toSeq // overlap: BIT_OR must absorb repeats
+    val input = MemoryStream[Long]
+    val query = StreamingOps.bloomRegistersStream(
+        input.toDF().withColumnRenamed("value", "item"), "item",
+        wWords = 32, kHashes = 4)
+      .writeStream.format("memory").queryName("bloom_stream")
+      .outputMode("complete").start()
+    input.addData(b1: _*); query.processAllAvailable()
+    input.addData(b2: _*); query.processAllAvailable()
+    query.stop()
+    val streamed = spark.table("bloom_stream").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = graft.ext.Sketches.bloomFilterWords(
+        (b1 ++ b2).toDF("item"), col("item"), wWords = 32, kHashes = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch,
+      s"streamed ${streamed.size} words vs batch ${batch.size}")
+    assert(streamed.nonEmpty)
+  }
+
+  test("p2QuantileStream: exact at 5 samples, close to the true median on " +
+      "a long smooth stream, and deterministic") {
+    implicit val sc = spark.sqlContext
+    import StreamingOps.{P2Out, P2Value}
+    // phase 1: exactly 5 values → marker init makes q(2) the exact median
+    val five = Seq(9.0, 1.0, 5.0, 3.0, 7.0).zipWithIndex
+      .map { case (x, i) => P2Value("s", x, i.toLong) }
+    val input = MemoryStream[P2Value]
+    val query = StreamingOps.p2QuantileStream(input.toDS(), p = 0.5)
+      .writeStream.format("memory").queryName("p2_out")
+      .outputMode("update").start()
+    input.addData(five: _*); query.processAllAvailable()
+    val atFive = spark.table("p2_out").as[P2Out].collect()
+      .filter(_.n == 5L).head
+    assert(atFive.estimate == 5.0, s"exact median of 5: $atFive")
+    // phase 2: 2000 more smooth values — estimate tracks the true median
+    val more = (0 until 2000).map { i =>
+      P2Value("s", (i * 37 % 2000).toDouble, (5 + i).toLong) }
+    input.addData(more.take(1000): _*); query.processAllAvailable()
+    input.addData(more.drop(1000): _*); query.processAllAvailable()
+    query.stop()
+    val fin = spark.table("p2_out").as[P2Out].collect()
+      .maxBy(_.n)
+    assert(fin.n == 2005L)
+    // true median ≈ 1000 over range 2000: P² on smooth data stays within
+    // a few percent of range
+    assert(math.abs(fin.estimate - 1000.0) < 100.0,
+      s"median estimate ${fin.estimate}")
+    // determinism: replay the identical stream → identical estimate
+    val input2 = MemoryStream[P2Value]
+    val q2 = StreamingOps.p2QuantileStream(input2.toDS(), p = 0.5)
+      .writeStream.format("memory").queryName("p2_out2")
+      .outputMode("update").start()
+    input2.addData(five: _*); q2.processAllAvailable()
+    input2.addData(more.take(1000): _*); q2.processAllAvailable()
+    input2.addData(more.drop(1000): _*); q2.processAllAvailable()
+    q2.stop()
+    val fin2 = spark.table("p2_out2").as[P2Out].collect().maxBy(_.n)
+    assert(fin2.estimate == fin.estimate && fin2.n == fin.n)
+  }
+
   test("topKTurnoverStream matches batch topKTurnover; late event for a " +
       "closed day is dropped") {
     implicit val sc = spark.sqlContext
