@@ -457,6 +457,136 @@ object TitanQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Theil's U, source JSD, RAKE keyphrases
+  // --------------------------------------------------------------------------
+
+  /** Asymmetric categorical association
+    * ([[graft.ext.Contingency.theilsU]]): how much of the market segment is
+    * predictable from nation and vice versa — the direction-resolved
+    * readout next to q_cramers_v's symmetric one.
+    */
+  def qTheilsU(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Contingency.theilsU(Tables.customer(spark, dir),
+        "c_mktsegment", "c_nationkey")
+      .select(col("n"), col("x_levels"), col("y_levels"),
+        round(col("h_x"), 6).as("h_x"), round(col("h_y"), 6).as("h_y"),
+        round(col("u_x_given_y"), 6).as("u_x_given_y"),
+        round(col("u_y_given_x"), 6).as("u_y_given_x"))
+
+  val theilsUSql: String =
+    """WITH cells AS (SELECT c_mktsegment AS x, c_nationkey AS y,
+      |    COUNT(*) AS nxy FROM customer GROUP BY 1, 2),
+      |nx AS (SELECT x, CAST(SUM(nxy) AS BIGINT) AS nx FROM cells GROUP BY 1),
+      |ny AS (SELECT y, CAST(SUM(nxy) AS BIGINT) AS ny FROM cells GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(nxy) AS BIGINT) AS n FROM cells),
+      |hx AS (SELECT COUNT(*) AS x_levels,
+      |    -1.0 * CAST(SUM(CAST((CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) AS h_x
+      |  FROM nx CROSS JOIN tot),
+      |hy AS (SELECT COUNT(*) AS y_levels,
+      |    -1.0 * CAST(SUM(CAST((CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) AS h_y
+      |  FROM ny CROSS JOIN tot),
+      |hxgy AS (SELECT
+      |    -1.0 * CAST(SUM(CAST((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(nxy AS DOUBLE) / CAST(ny AS DOUBLE)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) AS h_x_given_y
+      |  FROM cells JOIN ny USING (y) CROSS JOIN tot),
+      |hygx AS (SELECT
+      |    -1.0 * CAST(SUM(CAST((CAST(nxy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      ln(CAST(nxy AS DOUBLE) / CAST(nx AS DOUBLE)) AS DECIMAL(18,8)))
+      |      AS DOUBLE) AS h_y_given_x
+      |  FROM cells JOIN nx USING (x) CROSS JOIN tot)
+      |SELECT n, x_levels, y_levels,
+      |  ROUND(h_x, 6) AS h_x, ROUND(h_y, 6) AS h_y,
+      |  CASE WHEN h_x > 0 THEN ROUND((h_x - h_x_given_y) / h_x, 6) END
+      |    AS u_x_given_y,
+      |  CASE WHEN h_y > 0 THEN ROUND((h_y - h_y_given_x) / h_y, 6) END
+      |    AS u_y_given_x
+      |FROM tot CROSS JOIN hx CROSS JOIN hy
+      |CROSS JOIN hxgy CROSS JOIN hygx""".stripMargin
+
+  /** Per-source Jensen–Shannon divergence to the corpus unigram mix
+    * ([[graft.ext.TextStats.groupJsDivergence]]) — the bounded symmetric
+    * companion of q_source_kl.
+    */
+  def qSourceJsd(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextStats.groupJsDivergence(Tables.documents(spark, dir),
+        "source", "text")
+      .select(col("grp").as("source"), col("n_tokens"), col("jsd_bits"))
+      .orderBy(col("source"))
+
+  val sourceJsdSql: String =
+    """WITH tok AS (SELECT source AS grp, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |gt AS (SELECT grp, t, COUNT(*) AS n_gt FROM tok GROUP BY 1, 2),
+      |g AS (SELECT grp, CAST(SUM(n_gt) AS BIGINT) AS n_g FROM gt GROUP BY 1),
+      |ct AS (SELECT t, CAST(SUM(n_gt) AS BIGINT) AS n_t FROM gt GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_total FROM ct),
+      |ff AS (SELECT ct.t, g.grp, g.n_g, ct.n_t, COALESCE(gt.n_gt, 0) AS n_gt
+      |  FROM ct CROSS JOIN g
+      |  LEFT JOIN gt ON gt.t = ct.t AND gt.grp = g.grp),
+      |pq AS (SELECT grp, n_g, n_gt,
+      |    CAST(n_gt AS DOUBLE) / CAST(n_g AS DOUBLE) AS p,
+      |    CAST(n_t AS DOUBLE) / CAST(n_total AS DOUBLE) AS q
+      |  FROM ff CROSS JOIN tot),
+      |term AS (SELECT grp, n_g,
+      |    CAST((CASE WHEN n_gt > 0 THEN 0.5 * p * ln(p / (0.5 * (p + q)))
+      |        ELSE 0.0 END
+      |      + 0.5 * q * ln(q / (0.5 * (p + q)))) AS DECIMAL(18,8)) AS tt
+      |  FROM pq)
+      |SELECT grp AS source, CAST(MAX(n_g) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(tt) AS DOUBLE) / 0.6931471805599453, 6) AS jsd_bits
+      |FROM term GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Corpus-level RAKE keyphrases ([[graft.ext.Rake.keyphrases]], top 20,
+    * phrases to 4 words) — every break decision, degree/frequency score and
+    * phrase sum replayed by the oracle.
+    */
+  def qRakeKeyphrases(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Rake.keyphrases(Tables.documents(spark, dir), "doc_id", "text",
+        k = 20, maxPhraseLen = 4)
+      .select(col("phrase"), col("n_words"), col("n_occurrences"),
+        round(col("score"), 6).as("score"))
+
+  val rakeKeyphrasesSql: String = {
+    val stops = graft.ext.Rake.stopwordsEn.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk0 AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |tk1 AS (SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, len(w)), i -> {'pos': i, 'tok': w[i]})) AS u
+      |  FROM tk0),
+      |tk AS (SELECT doc_id, u.pos AS pos,
+      |    regexp_replace(u.tok, '[^a-z]', '', 'g') AS wd FROM tk1),
+      |tb AS (SELECT doc_id, pos, wd,
+      |    CASE WHEN wd = '' OR wd IN ($stops) THEN 1 ELSE 0 END AS brk
+      |  FROM tk),
+      |tp AS (SELECT doc_id, pos, wd, brk,
+      |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS pid FROM tb),
+      |ph AS (SELECT doc_id, pid,
+      |    string_agg(wd, ' ' ORDER BY pos) AS phrase, COUNT(*) AS len
+      |  FROM tp WHERE brk = 0 GROUP BY 1, 2),
+      |phv AS (SELECT * FROM ph WHERE len <= 4),
+      |ws AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(len) AS BIGINT) AS deg
+      |  FROM (SELECT len, unnest(string_split(phrase, ' ')) AS w FROM phv)
+      |  GROUP BY 1),
+      |wsc AS (SELECT w, CAST(deg AS DOUBLE) / CAST(freq AS DOUBLE) AS wscore
+      |  FROM ws),
+      |occ AS (SELECT phrase, COUNT(*) AS n_occurrences,
+      |    CAST(MAX(len) AS BIGINT) AS n_words FROM phv GROUP BY 1),
+      |pw AS (SELECT phrase, n_words, n_occurrences,
+      |    unnest(string_split(phrase, ' ')) AS w FROM occ),
+      |sc AS (SELECT phrase, n_words, n_occurrences,
+      |    CAST(SUM(CAST(wscore AS DECIMAL(18,8))) AS DOUBLE) AS score_raw
+      |  FROM pw JOIN wsc USING (w) GROUP BY 1, 2, 3)
+      |SELECT phrase, n_words, n_occurrences, ROUND(score_raw, 6) AS score
+      |FROM sc ORDER BY score_raw DESC, phrase LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
   // Replication integrity: two-level Merkle digest per month
   // --------------------------------------------------------------------------
 
@@ -875,7 +1005,10 @@ object TitanQueries {
     "q_orc_roundtrip" -> (qOrcRoundtrip _),
     "q_csv_roundtrip" -> (qCsvRoundtrip _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "q_seq_patterns" -> (qSeqPatterns _)
+    "q_seq_patterns" -> (qSeqPatterns _),
+    "q_theils_u" -> (qTheilsU _),
+    "q_source_jsd" -> (qSourceJsd _),
+    "q_rake_keyphrases" -> (qRakeKeyphrases _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -898,6 +1031,9 @@ object TitanQueries {
     "q_orc_roundtrip" -> roundtripDigestSql,
     "q_csv_roundtrip" -> roundtripDigestSql,
     "q_grouping_sets" -> groupingSetsSql,
-    "q_seq_patterns" -> seqPatternsSql
+    "q_seq_patterns" -> seqPatternsSql,
+    "q_theils_u" -> theilsUSql,
+    "q_source_jsd" -> sourceJsdSql,
+    "q_rake_keyphrases" -> rakeKeyphrasesSql
   )
 }

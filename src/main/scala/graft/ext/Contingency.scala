@@ -65,4 +65,55 @@ object Contingency {
             least(col("r_levels") - 1, col("c_levels") - 1).cast("double")))
           .as("cramers_v"))
   }
+
+  /** Theil's uncertainty coefficient U (Theil 1970) in both directions —
+    * the ASYMMETRIC categorical association [[chiSquareCramersV]] cannot
+    * express: U(X|Y) = (H(X) − H(X|Y)) / H(X) is the fraction of X's
+    * entropy that knowing Y removes, so U(X|Y) ≠ U(Y|X) surfaces which
+    * variable predicts which (the feature-selection question Cramér's V
+    * symmetrizes away). Degenerate marginals (H = 0) yield null, never a
+    * division blow-up.
+    *
+    * One (x, y) cell aggregate off the scan; every entropy term pools in
+    * DECIMAL(18,8) (the groupDivergence discipline) so the doubles match
+    * the oracle bit-for-bit. Output one row: (n, x_levels, y_levels, h_x,
+    * h_y, u_x_given_y, u_y_given_x).
+    */
+  def theilsU(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.select(col(xCol).as("x"), col(yCol).as("y"))
+      .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nxy"))
+      .localCheckpoint() // four aggregate consumers below
+    val nx = cells.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+    val ny = cells.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+    val tot = cells.agg(sum(col("nxy")).as("n"))
+    def marginalEntropy(m: DataFrame, cnt: String, levels: String) =
+      m.crossJoin(broadcast(tot))
+        .select(((col(cnt).cast("double") / col("n").cast("double")) *
+          log(col(cnt).cast("double") / col("n").cast("double")))
+          .cast("decimal(18,8)").as("__t"))
+        .agg(count(lit(1)).as(levels),
+          (lit(-1.0) * sum(col("__t")).cast("double")).as(s"h_$cnt"))
+    val hx = marginalEntropy(nx, "nx", "x_levels")
+      .withColumnRenamed("h_nx", "h_x")
+    val hy = marginalEntropy(ny, "ny", "y_levels")
+      .withColumnRenamed("h_ny", "h_y")
+    val hxGy = cells.join(ny, "y").crossJoin(broadcast(tot))
+      .select(((col("nxy").cast("double") / col("n").cast("double")) *
+        log(col("nxy").cast("double") / col("ny").cast("double")))
+        .cast("decimal(18,8)").as("__t"))
+      .agg((lit(-1.0) * sum(col("__t")).cast("double")).as("h_x_given_y"))
+    val hyGx = cells.join(nx, "x").crossJoin(broadcast(tot))
+      .select(((col("nxy").cast("double") / col("n").cast("double")) *
+        log(col("nxy").cast("double") / col("nx").cast("double")))
+        .cast("decimal(18,8)").as("__t"))
+      .agg((lit(-1.0) * sum(col("__t")).cast("double")).as("h_y_given_x"))
+    tot.crossJoin(broadcast(hx)).crossJoin(broadcast(hy))
+      .crossJoin(broadcast(hxGy)).crossJoin(broadcast(hyGx))
+      .select(col("n"), col("x_levels"), col("y_levels"),
+        col("h_x"), col("h_y"),
+        when(col("h_x") > 0.0,
+          (col("h_x") - col("h_x_given_y")) / col("h_x")).as("u_x_given_y"),
+        when(col("h_y") > 0.0,
+          (col("h_y") - col("h_y_given_x")) / col("h_y")).as("u_y_given_x"))
+  }
 }

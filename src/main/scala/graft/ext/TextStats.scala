@@ -425,6 +425,44 @@ object TextStats {
           .as("kl_bits"))
   }
 
+  /** Per-group Jensen–Shannon divergence to the corpus unigram distribution
+    * — the SYMMETRIC, [0, 1]-bounded (in bits) companion of
+    * [[groupDivergence]]'s KL: JSD(P‖Q) = ½KL(P‖M) + ½KL(Q‖M) with
+    * M = ½(P+Q), finite even where a source is missing corpus tokens, which
+    * is exactly where raw KL(Q‖P) blows up — the data-mixture literature's
+    * preferred distance for corpus-vs-corpus drift.
+    *
+    * The Q-side sum ranges over the WHOLE vocabulary for every group, so
+    * the term table is |vocab| × |groups| rows — bounded by design because
+    * groups are sources/splits (a handful), never documents. Terms pool in
+    * DECIMAL(18,8); nats→bits via the shared embedded ln(2) literal.
+    * Output per group: (grp, n_tokens, jsd_bits).
+    */
+  def groupJsDivergence(df: DataFrame, groupCol: String,
+                        textCol: String): DataFrame = {
+    val tok = df.select(col(groupCol).as("grp"),
+      explode(split(col(textCol), " ")).as("t"))
+    val gt = tok.groupBy(col("grp"), col("t")).agg(count(lit(1)).as("n_gt"))
+      .localCheckpoint() // feeds g, ct and the term join
+    val g = gt.groupBy(col("grp")).agg(sum(col("n_gt")).as("n_g"))
+    val ct = gt.groupBy(col("t")).agg(sum(col("n_gt")).as("n_t"))
+    val total = ct.agg(sum(col("n_t")).as("n_total"))
+    val full = ct.crossJoin(g) // every (token, group) pair — Q's support
+      .join(gt, Seq("t", "grp"), "left").na.fill(0L, Seq("n_gt"))
+      .crossJoin(broadcast(total))
+    val p = col("n_gt").cast("double") / col("n_g").cast("double")
+    val q = col("n_t").cast("double") / col("n_total").cast("double")
+    val m = lit(0.5) * (p + q)
+    val term =
+      (when(col("n_gt") > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        lit(0.5) * q * log(q / m)).cast("decimal(18,8)")
+    full.select(col("grp"), col("n_g"), term.as("__t"))
+      .groupBy(col("grp"))
+      .agg(max(col("n_g")).as("n_tokens"),
+        round(sum(col("__t")).cast("double") / lit(0.6931471805599453), 6)
+          .as("jsd_bits"))
+  }
+
   /** Characteristic terms per group — log-odds with an informative Dirichlet
     * prior (Monroe, Colaresi & Quinn 2008, "Fightin' Words"): for token w in
     * group i vs the REST of the corpus,
