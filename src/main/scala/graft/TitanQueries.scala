@@ -13,6 +13,16 @@ import graft.ext.SimSearch
   */
 object TitanQueries {
 
+  /** Scratch path for artifacts a query writes then reads back: keyed by
+    * data dir AND the Spark application id, so two concurrent runs over the
+    * same dir (or a hash collision between dirs) never race on one
+    * half-rewritten index/round-trip file.
+    */
+  private def scratchPath(spark: SparkSession, tag: String,
+                          dir: String): String =
+    s"/tmp/graft_${tag}_${math.abs(dir.hashCode.toLong)}_" +
+      spark.sparkContext.applicationId
+
   // --------------------------------------------------------------------------
   // Trained IVF lifecycle: Lloyd-trained quantizer → persisted index → probe
   // --------------------------------------------------------------------------
@@ -30,7 +40,7 @@ object TitanQueries {
     val emb = Tables.embeddings(spark, dir)
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val path = s"/tmp/graft_ivf_trained_${math.abs(dir.hashCode.toLong)}"
+    val path = scratchPath(spark, "ivf_trained", dir)
     SimSearch.ivfTrainedWriteIndex(emb, "vec_id", "embedding", seeds,
       "cid", "cvec", iters = 1, path)
     val qVec = emb.filter(col("vec_id") === 0L)
@@ -647,7 +657,7 @@ object TitanQueries {
   def qOrcRoundtrip(spark: SparkSession, dir: String): DataFrame =
     digestOf(graft.sources.Formats.orcRoundtrip(
       ordersDigestFrame(spark, dir),
-      s"/tmp/graft_orc_${math.abs(dir.hashCode.toLong)}"))
+      scratchPath(spark, "orc", dir)))
 
   /** CSV (headered, explicit schema) round-trip with the same digest proof
     * ([[graft.sources.Formats.csvRoundtrip]]) — the projected frame carries
@@ -656,7 +666,7 @@ object TitanQueries {
   def qCsvRoundtrip(spark: SparkSession, dir: String): DataFrame =
     digestOf(graft.sources.Formats.csvRoundtrip(
       ordersDigestFrame(spark, dir),
-      s"/tmp/graft_csv_${math.abs(dir.hashCode.toLong)}"))
+      scratchPath(spark, "csv", dir)))
 
   val roundtripDigestSql: String =
     """WITH r AS (SELECT

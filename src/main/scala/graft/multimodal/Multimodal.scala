@@ -357,7 +357,9 @@ object WavCodec extends Serializable {
     while (off + 8 <= bytes.length && (dataSize < 0 || sampleRate == 0)) {
       val id = tag(bytes, off)
       val size = le32(bytes, off + 4)
-      if (size > bytes.length) return None // corrupt chunk length
+      // a chunk must fit in the bytes REMAINING after its header, not just
+      // the total buffer — a truncated data chunk is corrupt, not shorter
+      if (off + 8 + size > bytes.length) return None
       if (id == "fmt " && size >= 16 && off + 24 <= bytes.length) {
         channels = le16(bytes, off + 10)
         sampleRate = le32(bytes, off + 12).toInt
@@ -387,6 +389,9 @@ object WavCodec extends Serializable {
       s"bad wav params sr=$sampleRate ch=$channels bits=$bitsPerSample n=$nFrames")
     val blockAlign = channels * bitsPerSample / 8
     val dataSize = nFrames.toLong * blockAlign
+    require(44L + dataSize <= Int.MaxValue,
+      s"wav payload too large for one buffer: $nFrames frames x " +
+        s"$blockAlign bytes/frame = $dataSize bytes")
     val out = new Array[Byte](44 + dataSize.toInt)
     "RIFF".getBytes("US-ASCII").copyToArray(out, 0)
     putLe32(out, 4, 36L + dataSize)

@@ -2,7 +2,9 @@ package graft.plans
 
 import org.apache.spark.internal.Logging
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.types.{BooleanType, DateType}
 
 /** Scale-lint analysis check: flag the canonical 100 TB plan-killer — an
   * UNPARTITIONED window (`ROW_NUMBER() OVER (ORDER BY ...)` with no
@@ -26,18 +28,31 @@ object ScaleGuard extends Logging {
 
   val FailConf = "spark.graft.scaleGuard.fail"
 
+  /** A grouping key whose domain is small BY CONSTRUCTION, so an aggregate
+    * grouped only on such keys is itself bounded: literals/foldables,
+    * booleans, dates (thousands of distinct values over years of data), and
+    * any expression derived through a calendar-truncation function. A raw
+    * id or string key is NOT low-cardinality — a per-user groupBy is
+    * corpus-sized.
+    */
+  private[graft] def lowCardKey(e: Expression): Boolean =
+    e.foldable || (e.resolved && (e.dataType == BooleanType ||
+      e.dataType == DateType ||
+      e.exists {
+        case _: Year | _: Quarter | _: Month | _: DayOfWeek | _: WeekDay |
+            _: Hour | _: TruncDate | _: TruncTimestamp | _: MonthsBetween =>
+          true
+        case _ => false
+      }))
+
   /** A plan whose row count is bounded by construction (small enough that a
-    * single-task window over it is not a scale hazard).
-    *
-    * Grouped aggregates count as bounded here: the guard lints the
-    * RAW-CORPUS unpartitioned-window shape, and a window over `groupBy(...)
-    * .agg(...)` output is the library's documented post-aggregation idiom
-    * (per-source caps, tier CDFs, decile cumulatives — group domains of
-    * tens, not billions). A window over a genuinely high-cardinality
-    * groupBy (e.g. per-user) is still worth GlobalRank, but that is a
-    * cardinality judgment a static plan check cannot make, so the guard
-    * stays silent rather than failing the library's own operators under
-    * `spark.graft.scaleGuard.fail=true`.
+    * single-task window over it is not a scale hazard): limits, literal
+    * relations, global aggregates, and aggregates whose EVERY grouping key
+    * is [[lowCardKey]] (per-month caps, tier CDFs over boolean flags). A
+    * grouped aggregate over arbitrary keys is NOT bounded here — a per-user
+    * aggregate is corpus-sized — but it is also not the raw-corpus shape
+    * this guard hard-fails on; [[groupedAggregate]] classifies it into the
+    * warn-only path.
     *
     * `Generate` (explode) multiplies rows, so it does NOT pass boundedness
     * through — an explode over a `limit` is unbounded again.
@@ -45,7 +60,9 @@ object ScaleGuard extends Logging {
   private[graft] def bounded(p: LogicalPlan): Boolean = p match {
     case _: GlobalLimit | _: LocalLimit => true
     case _: OneRowRelation | _: LocalRelation => true
-    case _: Aggregate => true
+    case a: Aggregate =>
+      a.groupingExpressions.isEmpty ||
+        a.groupingExpressions.forall(lowCardKey)
     case _: Generate => false
     case j: Join => bounded(j.left) && bounded(j.right)
     case u: Union => u.children.forall(bounded)
@@ -54,15 +71,41 @@ object ScaleGuard extends Logging {
     case _ => false
   }
 
+  /** True when every unbounded path from the window down ends at a grouped
+    * [[Aggregate]] — the library's post-aggregation idiom (decile
+    * cumulatives, per-source caps). Those windows WARN (the group domain
+    * might still be huge — per-user, per-document) but never fail the
+    * query: whether `groupBy(user)` output fits one task is a cardinality
+    * judgment a static plan check cannot make.
+    */
+  private[graft] def groupedAggregate(p: LogicalPlan): Boolean = {
+    def ok(c: LogicalPlan): Boolean = bounded(c) || groupedAggregate(c)
+    p match {
+      case _: Aggregate => true
+      case _: Generate => false
+      case j: Join => ok(j.left) && ok(j.right)
+      case u: Union => u.children.forall(ok)
+      case other if other.children.size == 1 =>
+        groupedAggregate(other.children.head)
+      case _ => false
+    }
+  }
+
   def check(spark: SparkSession)(plan: LogicalPlan): Unit =
     plan.foreach {
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
+        val grouped = groupedAggregate(w.child)
         val msg = "graft scale guard: unpartitioned window over an " +
-          "unbounded child — this plans as ONE task holding the whole " +
-          s"dataset. Use graft.ext.GlobalRank (distributed numbering) or " +
+          (if (grouped) "aggregate grouped on arbitrary keys — fine when " +
+            "the group domain is small (months, tiers), ONE task holding " +
+            "every group when it is per-user/per-document. "
+          else "unbounded child — this plans as ONE task holding the " +
+            "whole dataset. ") +
+          s"Use graft.ext.GlobalRank (distributed numbering) or " +
           s"orderBy().limit(k) (TakeOrderedAndProject) instead. Window: " +
           w.windowExpressions.map(_.sql).mkString(", ")
-        if (spark.conf.get(ScaleGuard.FailConf, "false").toBoolean)
+        if (!grouped &&
+            spark.conf.get(ScaleGuard.FailConf, "false").toBoolean)
           throw new IllegalStateException(msg)
         else logWarning(msg)
       case _ => ()

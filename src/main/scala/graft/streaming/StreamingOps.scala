@@ -729,7 +729,10 @@ object StreamingOps {
           // a micro-batch may carry several days of one type: process in day
           // order (bounded by days per batch, not by history)
           val out = it.toSeq.sortBy(_.day.getTime).map { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             val w =
               if (st.lastEpochDay == Long.MinValue) 0.0
               else math.pow(decay, (epochDay - st.lastEpochDay).toDouble)
@@ -836,7 +839,10 @@ object StreamingOps {
             CusumState(0.0, 0.0, Long.MinValue, 0L, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[CusumOut]
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             if (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay) {
               val z = (e.x - refMean) / refSd
               // left-assoc (s + z) - k, matching the batch fold exactly
@@ -883,7 +889,10 @@ object StreamingOps {
           var st = state.getOption.getOrElse(AcfState(Seq.empty, Long.MinValue,
             Seq.fill(maxLag)((0L, 0.0, 0.0, 0.0, 0.0, 0.0))))
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             // the in-order/unique-day contract, ENFORCED: a duplicate or
             // out-of-order day would pair against an unshifted ring and then
             // prepend a second entry for the same day, silently corrupting
@@ -1173,7 +1182,10 @@ object StreamingOps {
             RunsState(0, 0L, 0L, 0L, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[RunsOut]
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             val sign = if (e.x > refMean) 1 else if (e.x < refMean) -1 else 0
             if (sign != 0 &&
               (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay)) {
@@ -1220,7 +1232,10 @@ object StreamingOps {
             PeakState(Long.MinValue, 0.0, Long.MinValue, 0.0))
           val out = scala.collection.mutable.ArrayBuffer.empty[PeakOut]
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             if (st.d2 == Long.MinValue || epochDay > st.d2) {
               // ROW adjacency in day order — the batch lag/lead convention
               // (calendar holes are just neighbors, not edges)
@@ -1228,7 +1243,8 @@ object StreamingOps {
                 st.v2 > st.v1 && st.v2 > e.x) {
                 val prom = st.v2 - math.max(st.v1, e.x)
                 out += PeakOut(series,
-                  new java.sql.Date(st.d2 * 86400000L), st.v2, prom)
+                  java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(st.d2)), st.v2, prom)
               }
               st = PeakState(st.d2, st.v2, epochDay, e.x)
             }
@@ -1266,7 +1282,10 @@ object StreamingOps {
             HoltState(0L, 0.0, 0.0, 0.0, 0.0, Long.MinValue))
           val out = scala.collection.mutable.ArrayBuffer.empty[HoltOut]
           it.toSeq.sortBy(_.day.getTime).foreach { e =>
-            val epochDay = Math.floorDiv(e.day.getTime, 86400000L)
+            // toLocalDate inverts Spark's DateType → java.sql.Date decode
+            // (local midnight) TZ-independently; floorDiv of getTime would
+            // shift a day on a JVM east of UTC
+            val epochDay = e.day.toLocalDate.toEpochDay
             if (st.lastEpochDay == Long.MinValue || epochDay > st.lastEpochDay) {
               val n = st.n + 1
               st =
@@ -1517,8 +1536,12 @@ object StreamingOps {
               if (st.prevDay == st.day - 1) {
                 val common = top.toSet.intersect(st.prevTop.toSet).size.toLong
                 val denom = (top.size + st.prevTop.size - common).toDouble
+                // Date.valueOf(LocalDate) round-trips the UTC epoch day
+                // through Spark's JVM-default-TZ DateType conversion
+                // without shifting on a non-UTC JVM
                 out += TurnoverOut(board,
-                  new java.sql.Date(st.day * 86400000L),
+                  java.sql.Date.valueOf(
+                    java.time.LocalDate.ofEpochDay(st.day)),
                   common, common.toDouble / denom)
               }
               st = TurnoverState(day, Map(e.key -> 1L), st.day, top)
