@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CharNgrams, FloatVecDot, MinHashSigs, SimHash32, WordChunks, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, FloatVecDot, MinHashSigs, SimHash32, WinnowKeys, WordChunks, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => MinHashSigs(children(0),
         intArg("minhash_sigs(text, shingle, nSigs)", children, 1),
         intArg("minhash_sigs(text, shingle, nSigs)", children, 2))))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_keys"),
+      new ExpressionInfo(classOf[WinnowKeys].getName, "winnow_keys"),
+      (children: Seq[Expression]) => WinnowKeys(children(0),
+        intArg("winnow_keys(text, k, w)", children, 1),
+        intArg("winnow_keys(text, k, w)", children, 2))))
     // scale-lint: flag unpartitioned windows over unbounded children
     // (warn by default; spark.graft.scaleGuard.fail=true -> analysis error)
     ext.injectCheckRule(spark => graft.plans.ScaleGuard.check(spark))
@@ -112,5 +118,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => MinHashSigs(children.head,
         intArg("minhash_sigs(text, shingle, nSigs)", children, 1),
         intArg("minhash_sigs(text, shingle, nSigs)", children, 2)))
+    ColumnBridge.registerTempFunction(spark, "winnow_keys",
+      (children: Seq[Expression]) => WinnowKeys(children.head,
+        intArg("winnow_keys(text, k, w)", children, 1),
+        intArg("winnow_keys(text, k, w)", children, 2)))
   }
 }

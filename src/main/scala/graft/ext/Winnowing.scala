@@ -20,11 +20,15 @@ import org.apache.spark.sql.functions._
   * fingerprints with plain MIN. Positions are capped at 2²⁰ (docs to 1 MiB;
   * require guards).
   *
-  * Scale shape: one Generate (k-gram explode) per doc — corpus-chars rows,
-  * scan-local — then a per-doc ROWS window and a per-doc aggregate; nothing
-  * global, no joins. The production kernel would fuse hash+min into a native
-  * expression like [[graft.functions.MinHashSigs]]; the declarative form here
-  * keeps the plan whole-stage-codegen throughout.
+  * Scale shape: the PRIMARY path ([[fingerprintProfile]], [[similarPairs]])
+  * runs the whole hash+window-min selection inside the scan via the native
+  * [[graft.functions.WinnowKeys]] expression — O(chars) per doc with a
+  * monotonic deque, no per-character rows, no shuffle before the per-doc
+  * result. The declarative twins ([[fingerprintProfileDeclarative]],
+  * [[similarPairsDeclarative]]) state the same selection as explode → two
+  * per-doc ROWS windows; they are what the DuckDB oracle replays, and
+  * WinnowingSpec pins fused == declarative, so the fast kernel can never
+  * drift from the replayable definition.
   *
   * Supersedes the Dataset-map prototype [[TextStats.winnowingFingerprints]]
   * (kept for its per-row kernel spec): that loop is opaque to Catalyst and
@@ -34,7 +38,19 @@ import org.apache.spark.sql.functions._
   */
 object Winnowing {
 
-  private val PosSpace = 1L << 20
+  private val PosSpace = graft.functions.WinnowKeys.PosSpace
+
+  /** (id, __keys) — per-doc DISTINCT selected fingerprint keys (ascending)
+    * from the fused kernel. Docs with no full window (length < k+w−1) carry
+    * an empty array and are dropped, matching the declarative inner join.
+    */
+  private def fusedKeys(df: DataFrame, idCol: String, textCol: String,
+                        k: Int, w: Int): DataFrame =
+    graft.plans.ScanFanout.fanOut(df.filter(length(col(textCol)) >= k))
+      .select(col(idCol),
+        (length(col(textCol)) - (k - 1)).cast("long").as("__nk"),
+        graft.functions.WinnowKeys.winnowKeys(col(textCol), k, w).as("__keys"))
+      .filter(size(col("__keys")) > 0)
 
   /** (id, position, 32-bit hash) rows for every character k-gram, one per
     * text position. Loud guard: a doc at or beyond the 2²⁰-char position
@@ -61,6 +77,24 @@ object Winnowing {
     */
   def fingerprintProfile(df: DataFrame, idCol: String, textCol: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
+    // keys are sorted ascending and key = h·2²⁰ + ..., so keys[0] >> 20 is
+    // the doc's smallest selected hash
+    fusedKeys(df, idCol, textCol, k, w)
+      .select(col(idCol), col("__nk").as("n_kgrams"),
+        size(col("__keys")).cast("long").as("n_fingerprints"),
+        (size(col("__keys")).cast("double") / col("__nk").cast("double"))
+          .as("density"),
+        shiftright(element_at(col("__keys"), 1), 20).as("fp_min"))
+  }
+
+  /** Declarative twin of [[fingerprintProfile]] — the explode + window form
+    * the DuckDB oracle replays; WinnowingSpec pins equality with the fused
+    * kernel.
+    */
+  def fingerprintProfileDeclarative(df: DataFrame, idCol: String,
+                                    textCol: String,
+                                    k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && w >= 2, s"need k >= 2 and w >= 2, got k=$k w=$w")
     val grams = gramHashes(df, idCol, textCol, k)
     // one integer key: min over (hash asc, position desc) == winnowing's
@@ -98,6 +132,20 @@ object Winnowing {
   def similarPairs(df: DataFrame, idCol: String, textCol: String,
                    k: Int = 8, w: Int = 4, minShared: Int = 2,
                    maxDf: Long = 50L): DataFrame = {
+    // distinct HASHES per doc: distinct keys can share a hash (same k-gram
+    // selected at two positions), so dedupe again after dropping positions
+    val fp = fusedKeys(df, idCol, textCol, k, w)
+      .select(col(idCol), explode(array_distinct(
+        transform(col("__keys"), kk => shiftright(kk, 20)))).as("__fh"))
+    pairsFromFingerprints(fp, idCol, minShared, maxDf)
+  }
+
+  /** Declarative twin of [[similarPairs]] — oracle-replayable explode +
+    * window form; WinnowingSpec pins equality with the fused kernel.
+    */
+  def similarPairsDeclarative(df: DataFrame, idCol: String, textCol: String,
+                              k: Int = 8, w: Int = 4, minShared: Int = 2,
+                              maxDf: Long = 50L): DataFrame = {
     val grams = gramHashes(df, idCol, textCol, k)
     val win = Window.partitionBy(col(idCol)).orderBy(col("__p"))
       .rowsBetween(-(w - 1), 0)
@@ -111,9 +159,25 @@ object Winnowing {
       .select(col(idCol),
         floor(col("__sel") / PosSpace).cast("long").as("__fh"))
       .distinct()
-    val rare = fp.groupBy(col("__fh")).agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxDf).select(col("__fh"))
-    val pruned = fp.join(rare, "__fh")
+    pairsFromFingerprints(fp, idCol, minShared, maxDf)
+  }
+
+  /** Shared candidate-join tail: stop-fingerprint cut at df ≤ maxDf, hash
+    * equi-join, containment scoring. `fp` = (idCol, __fh) distinct rows.
+    */
+  private def pairsFromFingerprints(fp: DataFrame, idCol: String,
+                                    minShared: Int, maxDf: Long): DataFrame = {
+    // document frequency rides ONE hash-keyed window pass (no second
+    // aggregate + join back), and the df-cut survivor table is materialized
+    // once: its three consumers below (sizes, both self-join sides) hash on
+    // different keys, so without a checkpoint AQE re-runs the whole
+    // fingerprint kernel per branch (the Dedup.jaccardPairsPrefix finding —
+    // and the fused kernel has no shuffle of its own to reuse)
+    val pruned = fp
+      .withColumn("__df", count(lit(1)).over(
+        Window.partitionBy(col("__fh"))))
+      .filter(col("__df") <= maxDf).drop("__df")
+      .localCheckpoint(eager = true)
     val sizes = pruned.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
     val shared = pruned.select(col(idCol).as("id_a"), col("__fh"))
       .join(pruned.select(col(idCol).as("id_b"), col("__fh")), "__fh")

@@ -54,6 +54,53 @@ class WinnowingSpec extends SparkTestBase {
     assert(got.getLong(4) == expected.map(_._2).min, "fp_min")
   }
 
+  test("fused kernel == declarative window form on a pseudo-random corpus " +
+      "(profile and pairs), including short-doc boundaries") {
+    // deterministic corpus: word soup with deliberate shared passages and
+    // docs straddling the no-k-gram (< k) / no-full-window (< k+w−1) edges
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    def doc(seed: Long, n: Int): String = {
+      val rng = new scala.util.Random(seed) // fixed-seed: deterministic
+      (0 until n).map(_ => words(rng.nextInt(10))).mkString(" ")
+    }
+    val docs = ((0L until 40L).map(i => (i, doc(i, 8 + (i % 13).toInt))) ++
+      Seq((100L, "abcdefg"),            // len 7 < k: no k-grams
+          (101L, "abcdefgh"),           // len 8 = k: grams but no full window
+          (102L, "abcdefghij"),         // len 10 = k+w-2: still no full window
+          (103L, "abcdefghijk"),        // len 11 = k+w-1: exactly one window
+          (104L, doc(77L, 60) + " " + doc(5L, 12)))) // shared passage w/ doc 5
+      .toDF("doc_id", "text")
+    val key = (r: org.apache.spark.sql.Row) => r.toSeq.toList
+    val profF = Winnowing.fingerprintProfile(docs, "doc_id", "text", k, w)
+      .orderBy("doc_id").collect().map(key).toList
+    val profD = Winnowing.fingerprintProfileDeclarative(
+        docs, "doc_id", "text", k, w)
+      .orderBy("doc_id").collect().map(key).toList
+    assert(profF == profD, "profile fused vs declarative")
+    assert(!profF.exists(r => Seq(100L, 101L, 102L).contains(
+      r.head.asInstanceOf[Long])), "short docs excluded")
+    assert(profF.exists(_.head == 103L), "one-window doc present")
+    val pairsF = Winnowing.similarPairs(docs, "doc_id", "text", k, w,
+        minShared = 2, maxDf = 30)
+      .orderBy("id_a", "id_b").collect().map(key).toList
+    val pairsD = Winnowing.similarPairsDeclarative(docs, "doc_id", "text",
+        k, w, minShared = 2, maxDf = 30)
+      .orderBy("id_a", "id_b").collect().map(key).toList
+    assert(pairsF == pairsD, "pairs fused vs declarative")
+    assert(pairsF.nonEmpty, "shared passages should pair")
+  }
+
+  test("winnow_keys registered in SQL; keys ascending and distinct") {
+    graft.GraftExtensions.register(spark)
+    val rows = spark.sql(
+      "SELECT winnow_keys('the quick brown fox jumps over the lazy dog', " +
+        "8, 4) AS ks")
+      .collect().head.getSeq[Long](0)
+    assert(rows.nonEmpty)
+    assert(rows == rows.sorted && rows.distinct == rows)
+  }
+
   test("similarPairs finds the shared-substring pair and scores containment") {
     val shared = "unmistakably unique shared passage of text nobody else has"
     val docs = Seq(
