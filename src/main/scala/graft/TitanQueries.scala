@@ -51,8 +51,12 @@ object TitanQueries {
         round(col("cosine"), 6).as("cosine"))
   }
 
-  val ivfTrainedSql: String =
-    """WITH v AS (SELECT vec_id, embedding,
+  /** Shared oracle CTE chain for the trained-IVF queries: Lloyd round from
+    * the vec_id<4 seeds, second assignment, the query row, the 2 probed
+    * cells, and `cand(vec_id, cid)` — the pruned candidate set.
+    */
+  private val ivfCtesSql: String =
+    """v AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
       |      AS nv
       |  FROM embeddings),
@@ -95,7 +99,10 @@ object TitanQueries {
       |      i -> (ce[i] - qe[i]::DOUBLE) * (ce[i] - qe[i]::DOUBLE))), cid
       |  LIMIT 2),
       |cand AS (SELECT a.vec_id, a.cid FROM asn2 a JOIN probe USING (cid)
-      |  WHERE a.vec_id <> 0),
+      |  WHERE a.vec_id <> 0)""".stripMargin
+
+  val ivfTrainedSql: String =
+    s"""WITH $ivfCtesSql,
       |sc AS (SELECT cand.vec_id, cand.cid AS ivf_cell,
       |    list_sum(list_transform(generate_series(1, 64),
       |      i -> v.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) / (v.nv * q.qn)
@@ -103,6 +110,74 @@ object TitanQueries {
       |  FROM cand JOIN v USING (vec_id) CROSS JOIN q)
       |SELECT vec_id, ivf_cell, ROUND(cos_raw, 6) AS cosine FROM sc
       |ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Full IVFPQ serve path ([[SimSearch.ivfPqWriteIndex]] →
+    * [[SimSearch.ivfPqProbeTopK]]): Lloyd-learned 4-cell coarse quantizer
+    * (1 round, vec_id<4 seeds), PQ codes (8×8, vec_id<4 codebook) persisted
+    * per cell, then vec 0's top-10 served by ADC-scoring ONLY the 2 nearest
+    * cells' code rows from the broadcast lookup table, shortlisting 30 by
+    * approximate distance and exactly reranking just those vectors — the
+    * FAISS-style IVFPQ deployment shape. The oracle replays the Lloyd round,
+    * every code assignment, the ADC sums, the shortlist cut and the exact
+    * rerank; SimSearchSpec asserts the partition pruning and
+    * recall(rerank) ≥ recall(ADC-only).
+    */
+  def qIvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val path = scratchPath(spark, "ivfpq", dir)
+    SimSearch.ivfPqWriteIndex(emb, "vec_id", "embedding", seeds,
+      "cid", "cvec", iters = 1, pqCodebook(spark, dir), "code", "cvec",
+      path, m = 8, subDim = 8)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    SimSearch.ivfPqProbeTopK(spark, path, "vec_id", "embedding", qVec,
+        k = 10, nProbe = 2, shortlist = 30, excludeId = 0L)
+      .select(col("vec_id"), col("ivf_cell").cast("long").as("ivf_cell"),
+        round(col("adc_dist"), 6).as("adc_dist"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  val ivfPqSql: String =
+    s"""WITH $ivfCtesSql,
+      |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 4),
+      |pd AS (SELECT c.vec_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS d2
+      |  FROM cand c JOIN v ON c.vec_id = v.vec_id
+      |  CROSS JOIN ss CROSS JOIN cb),
+      |pa AS (SELECT vec_id, s, code, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |  FROM pd),
+      |asnc AS (SELECT vec_id, s, code FROM pa WHERE rk = 1),
+      |lut AS (SELECT ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS dq2
+      |  FROM ss CROSS JOIN cb CROSS JOIN q),
+      |adc AS (SELECT asnc.vec_id,
+      |    CAST(SUM(CAST(lut.dq2 AS DECIMAL(18,9))) AS DOUBLE) AS adc_raw
+      |  FROM asnc JOIN lut ON asnc.s = lut.s AND asnc.code = lut.code
+      |  GROUP BY 1),
+      |short AS (SELECT vec_id, adc_raw FROM adc
+      |  ORDER BY adc_raw, vec_id LIMIT 30),
+      |rr AS (SELECT sh.vec_id, c.cid AS ivf_cell, sh.adc_raw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> v.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) / (v.nv * q.qn)
+      |      AS cos_raw
+      |  FROM short sh JOIN cand c ON sh.vec_id = c.vec_id
+      |  JOIN v ON sh.vec_id = v.vec_id CROSS JOIN q)
+      |SELECT vec_id, ivf_cell, ROUND(adc_raw, 6) AS adc_dist,
+      |  ROUND(cos_raw, 6) AS cosine
+      |FROM rr ORDER BY cos_raw DESC, vec_id LIMIT 10""".stripMargin
 
   // --------------------------------------------------------------------------
   // Audio metadata: real RIFF/WAVE header parse over synthesized containers
@@ -1002,6 +1077,7 @@ object TitanQueries {
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_pq_encode" -> (qPqEncode _),
     "q_pq_adc" -> (qPqAdc _),
+    "q_ivfpq_topk" -> (qIvfPqTopK _),
     "q_dim_truncation" -> (qDimTruncation _),
     "q_dedup_edit" -> (qDedupEdit _),
     "q_winnow_fingerprint" -> (qWinnowFingerprint _),
@@ -1028,6 +1104,7 @@ object TitanQueries {
     "q_clustering_coef" -> clusteringCoefSql,
     "q_pq_encode" -> pqEncodeSql,
     "q_pq_adc" -> pqAdcSql,
+    "q_ivfpq_topk" -> ivfPqSql,
     "q_dim_truncation" -> dimTruncationSql,
     "q_dedup_edit" -> dedupEditSql,
     "q_winnow_fingerprint" -> winnowFingerprintSql,

@@ -95,20 +95,38 @@ object ProductQuant {
     * decode). `queryVec` need not be in the corpus; `excludeId` drops the
     * query's own row. Output: (id, adc_dist), k rows ascending.
     */
-  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
-              codebook: DataFrame, codeCol: String, cvecCol: String,
-              queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
-              m: Int = 8, subDim: Int = 8): DataFrame = {
+  /** The ADC lookup table for one query: (code, subspace, __dq2) — the
+    * per-subspace squared L2 between the EXACT query slice and every
+    * codeword. m×codes rows; always broadcast by callers.
+    */
+  def adcLut(codebook: DataFrame, codeCol: String, cvecCol: String,
+             queryVec: Seq[Float], m: Int = 8, subDim: Int = 8): DataFrame = {
     require(queryVec.length == m * subDim,
       s"pq: query has ${queryVec.length} dims, expected ${m * subDim}")
-    val spark = df.sparkSession
-    val codes = encode(df, idCol, vecCol, codebook, codeCol, cvecCol, m, subDim)
     val q = array(queryVec.map(x => lit(x.toDouble)): _*)
-    val lut = subvectors(codebook.select(col(codeCol).as("__code"),
+    subvectors(codebook.select(col(codeCol).as("__code"),
         col(cvecCol).as("__cv")), "__code", "__cv", m, subDim)
       .select(col("__code").as("code"), col("subspace"),
         sqDist(slice(q, col("subspace") * subDim + 1, lit(subDim)),
           col("sub")).as("__dq2"))
+  }
+
+  /** Pack (id, subspace, code) assignment rows into one `array<int>` of m
+    * codes per id, subspace order — the m-bytes-per-vector representation an
+    * IVFPQ index persists.
+    */
+  def packCodes(codes: DataFrame, idCol: String): DataFrame =
+    codes.groupBy(col(idCol))
+      .agg(transform(sort_array(collect_list(
+          struct(col("subspace"), col("code")))),
+        s => s.getField("code").cast("int")).as("codes"))
+
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
+              codebook: DataFrame, codeCol: String, cvecCol: String,
+              queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
+              m: Int = 8, subDim: Int = 8): DataFrame = {
+    val codes = encode(df, idCol, vecCol, codebook, codeCol, cvecCol, m, subDim)
+    val lut = adcLut(codebook, codeCol, cvecCol, queryVec, m, subDim)
     codes.join(broadcast(lut), Seq("subspace", "code"))
       .groupBy(col(idCol))
       .agg(sum(col("__dq2").cast("decimal(18,9)")).cast("double")

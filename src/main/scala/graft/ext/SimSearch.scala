@@ -442,6 +442,85 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Build and persist a full IVFPQ index (Jégou et al. TPAMI 2011, the
+    * FAISS IVFPQ shape): [[ivfTrainedWriteIndex]]'s Lloyd-learned coarse
+    * cells + vectors partitioned by cell, PLUS a `codes` table — every
+    * vector's m PQ code ids packed into one `array<int>`
+    * ([[ProductQuant.packCodes]]), partitioned by the same learned cell —
+    * and the PQ codebook as a side table. A probe then reads m ints per
+    * candidate from only nProbe cells; full vectors are touched only for the
+    * reranked shortlist.
+    */
+  def ivfPqWriteIndex(df: DataFrame, idCol: String, vecCol: String,
+                      seeds: DataFrame, cidCol: String, cvecCol: String,
+                      iters: Int, codebook: DataFrame, codeCol: String,
+                      pqVecCol: String, path: String,
+                      m: Int = 8, subDim: Int = 8, dims: Int = 64): Unit = {
+    ivfTrainedWriteIndex(df, idCol, vecCol, seeds, cidCol, cvecCol, iters,
+      path, dims)
+    val spark = df.sparkSession
+    val assign = spark.read.parquet(s"$path/data")
+      .select(col(idCol), col("ivf_cell"))
+    ProductQuant.packCodes(
+        ProductQuant.encode(df, idCol, vecCol, codebook, codeCol, pqVecCol,
+          m, subDim), idCol)
+      .join(assign, Seq(idCol))
+      .write.mode("overwrite").partitionBy("ivf_cell")
+      .parquet(s"$path/codes")
+    codebook.select(col(codeCol).as("code"), col(pqVecCol).as("cvec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve an [[ivfPqWriteIndex]] index: rank learned centroids driver-side
+    * (O(nCells)), ADC-score ONLY the nProbe nearest cells' code rows against
+    * the broadcast m×codes lookup table (`ivf_cell IN` → partition filter on
+    * the codes table — zero bytes from other cells, m ints per candidate),
+    * cut to a `shortlist` by approximate distance, then rerank the shortlist
+    * EXACTLY by fetching just those vectors (broadcast semi of the shortlist
+    * against the pruned vector partitions). Output: (id, ivf_cell, adc_dist,
+    * cosine), k rows by exact cosine descending.
+    *
+    * recall(rerank) ≥ recall(ADC alone) whenever the shortlist is deeper
+    * than k — quantization error can reorder near-ties, and the exact pass
+    * repairs every inversion inside the shortlist (spec-asserted).
+    */
+  def ivfPqProbeTopK(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, vecCol: String, queryVec: Seq[Float],
+                     k: Int, nProbe: Int = 2, shortlist: Int = 30,
+                     excludeId: Long = -1L,
+                     m: Int = 8, subDim: Int = 8): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val qd = queryVec.map(_.toDouble).toArray
+    val probeCells = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        (r.getInt(0), c.zip(qd).map { case (a, b) => (a - b) * (a - b) }.sum)
+      }
+      .sortBy { case (cell, d2) => (d2, cell) }.take(nProbe).map(_._1)
+    val cellFilter = col("ivf_cell").isin(probeCells.map(Integer.valueOf): _*)
+    val lut = ProductQuant.adcLut(spark.read.parquet(s"$path/codebook"),
+      "code", "cvec", queryVec, m, subDim)
+    // posexplode position IS the subspace (packCodes stores subspace order)
+    val adc = spark.read.parquet(s"$path/codes")
+      .filter(cellFilter).filter(col(idCol) =!= excludeId)
+      .select(col(idCol), col("ivf_cell"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(first(col("ivf_cell")).as("ivf_cell"),
+        sum(col("__dq2").cast("decimal(18,9)")).cast("double").as("adc_dist"))
+    // keep only (id, adc_dist): the vector table re-supplies ivf_cell
+    val short = adc.orderBy(col("adc_dist"), col(idCol)).limit(shortlist)
+      .select(col(idCol), col("adc_dist"))
+    spark.read.parquet(s"$path/data").filter(cellFilter)
+      .join(broadcast(short), Seq(idCol))
+      .select(col(idCol), col("ivf_cell"), col("adc_dist"),
+        cosineToQuery(col(vecCol), queryVec).as("cosine"))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
     * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
     * candidates whose bucket is within `maxHammingProbe` of the query's bucket.

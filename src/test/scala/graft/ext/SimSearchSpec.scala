@@ -124,6 +124,66 @@ class SimSearchSpec extends SparkTestBase {
     assert(recalls.sum / recalls.size >= 0.8, s"mean recall ${recalls.sum / recalls.size}")
   }
 
+  test("IVFPQ lifecycle: codes partition-pruned to nProbe cells, exact " +
+      "rerank recall >= ADC-only recall") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    try {
+      val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val codebook = corpus.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+      SimSearch.ivfPqWriteIndex(corpus, "vec_id", "embedding", seeds,
+        "cid", "cvec", iters = 2, codebook, "code", "cvec", dir,
+        m = 8, subDim = 8)
+      val qVec = corpus.filter(col("vec_id") === 0L)
+        .select("embedding").head().getSeq[Float](0)
+      val probed = SimSearch.ivfPqProbeTopK(spark, dir, "vec_id", "embedding",
+        qVec, k = 10, nProbe = 1, shortlist = 15, excludeId = 0L)
+      val rows = probed.collect()
+      assert(rows.length == 10)
+      // BOTH index scans (codes for ADC, data for the rerank fetch) carry the
+      // partition filter and read at most nProbe cells' files. The probe plan
+      // is adaptive, so descend through AQE wrappers and query stages.
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+        case q: QueryStageExec => collectScans(q.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(collectScans)
+      }
+      val scans = collectScans(probed.queryExecution.executedPlan)
+      assert(scans.size >= 2, s"expected codes+data scans, got ${scans.size}")
+      scans.foreach { s =>
+        assert(s.selectedPartitions.partitionCount <= 1,
+          s"scan read ${s.selectedPartitions.partitionCount} partitions, " +
+            "expected <= 1 (nProbe)")
+      }
+      // exact rerank must not lose recall vs ranking by quantized distance
+      // alone over the same candidates
+      val exact = SimSearch.topKForId(corpus, "vec_id", "embedding", 0L, 10)
+        .collect().map(_.getLong(0)).toSet
+      val reranked = rows.map(_.getLong(0)).toSet
+      val adcOnly = ProductQuant.adcTopK(
+          corpus.filter(col("vec_id") < 20), // the probed cell's cluster
+          "vec_id", "embedding", codebook, "code", "cvec", qVec,
+          k = 10, excludeId = 0L)
+        .collect().map(_.getLong(0)).toSet
+      val recallRerank = (exact & reranked).size.toDouble / exact.size
+      val recallAdc = (exact & adcOnly).size.toDouble / exact.size
+      assert(recallRerank >= recallAdc,
+        s"rerank recall $recallRerank < ADC-only $recallAdc")
+      assert(recallRerank >= 0.8, s"rerank recall $recallRerank")
+      // adc_dist ascending should broadly anti-correlate with cosine: the
+      // result's exact-cosine order is descending by construction
+      val cosines = rows.map(_.getDouble(3))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("allPairsCosine threshold keeps within-cluster pairs only") {
     val small = ((0 until 5).map(o => (o.toLong, clusterVec(1, o))) ++
       (5 until 10).map(o => (o.toLong, clusterVec(9, o)))).toDF("vec_id", "embedding")
