@@ -223,6 +223,51 @@ object TitanQueries {
       |  CAST(44 + nf * ch * 2 AS BIGINT) AS n_bytes
       |FROM p ORDER BY doc_id""".stripMargin
 
+  /** MP4 metadata sweep with the REAL ISO-BMFF box parser
+    * ([[graft.multimodal.Mp4Codec]]): manufacture a genuine MP4 container
+    * per document (brand/track-count/timescale/duration derived from the
+    * row), then recover the metadata by walking the binary box tree — the
+    * oracle recomputes every field from the source columns, so a green row
+    * proves parse∘encode is the identity on the whole header (including the
+    * floor semantics of units→ms). The codec spec additionally locks the
+    * parser against a hand-laid fixture with free boxes, a 64-bit largesize
+    * mdat and a version-1 mvhd.
+    */
+  def qMultimodalVideo(spark: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val params = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, lit("isom")).otherwise(lit("mp42"))
+          .as("brand"),
+        (lit(1) + col("doc_id") % 3).cast("int").as("nt"),
+        (lit(600) * (lit(1) + col("doc_id") % 4)).cast("long").as("ts"),
+        ((col("doc_id") % 1000) + 30).cast("long").as("du"),
+        (octet_length(encode(col("text"), "UTF-8")) % 400).cast("int")
+          .as("pb"))
+    val mp4 = Multimodal.synthMp4Media(params, "brand", "nt", "ts", "du", "pb")
+    Multimodal.decodeVideoMeta(mp4, "media")
+      .select(col("doc_id"), col("format"), col("major_brand"),
+        col("n_tracks"), col("timescale"), col("duration_units"),
+        col("duration_ms"), col("mdat_bytes"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val multimodalVideoSql: String =
+    """WITH p AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+      |    1 + doc_id % 3 AS nt,
+      |    600 * (1 + doc_id % 4) AS ts,
+      |    (doc_id % 1000) + 30 AS du,
+      |    octet_length(encode(text)) % 400 AS pb
+      |  FROM documents)
+      |SELECT doc_id, 'mp4' AS format, brand AS major_brand,
+      |  CAST(nt AS BIGINT) AS n_tracks, CAST(ts AS BIGINT) AS timescale,
+      |  CAST(du AS BIGINT) AS duration_units,
+      |  (du * 1000) // ts AS duration_ms,
+      |  CAST(pb AS BIGINT) AS mdat_bytes,
+      |  CAST(148 + 100 * nt + pb AS BIGINT) AS n_bytes
+      |FROM p ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------------------------------
   // HITS hubs/authorities over the customer→part bipartite graph
   // --------------------------------------------------------------------------
@@ -1073,6 +1118,7 @@ object TitanQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ivf_trained" -> (qIvfTrained _),
     "q_multimodal_audio" -> (qMultimodalAudio _),
+    "q_multimodal_video" -> (qMultimodalVideo _),
     "q_hits" -> (qHits _),
     "q_clustering_coef" -> (qClusteringCoef _),
     "q_pq_encode" -> (qPqEncode _),
@@ -1100,6 +1146,7 @@ object TitanQueries {
   val oracleSql: Map[String, String] = Map(
     "q_ivf_trained" -> ivfTrainedSql,
     "q_multimodal_audio" -> multimodalAudioSql,
+    "q_multimodal_video" -> multimodalVideoSql,
     "q_hits" -> hitsSql,
     "q_clustering_coef" -> clusteringCoefSql,
     "q_pq_encode" -> pqEncodeSql,

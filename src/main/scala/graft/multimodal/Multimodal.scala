@@ -188,6 +188,63 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  private val videoMetaSchema = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("major_brand", StringType, nullable = true),
+    StructField("n_tracks", LongType, nullable = true),
+    StructField("timescale", LongType, nullable = true),
+    StructField("duration_units", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("mdat_bytes", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** Synthesize a canonical ISO-BMFF MP4 blob per row from parameter columns
+    * — the video counterpart of [[synthWavMedia]]: REAL box structure
+    * ([[Mp4Codec.encode]]) whose parse-back is oracle-checkable against the
+    * source columns.
+    */
+  def synthMp4Media(df: DataFrame, brandCol: String, nTracksCol: String,
+                    timescaleCol: String, durUnitsCol: String,
+                    payloadCol: String, mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(mediaCol, BinaryType, nullable = false))
+    val bIdx = df.schema.fieldIndex(brandCol)
+    val tIdx = df.schema.fieldIndex(nTracksCol)
+    val sIdx = df.schema.fieldIndex(timescaleCol)
+    val dIdx = df.schema.fieldIndex(durUnitsCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val mp4 = Mp4Codec.encode(r.getString(bIdx), r.getInt(tIdx),
+          r.getLong(sIdx), r.getLong(dIdx), r.getInt(pIdx))
+        Row.fromSeq(r.toSeq :+ mp4)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Parse video metadata from each media blob with the REAL ISO-BMFF box
+    * parser ([[Mp4Codec.decode]]) — same per-partition batch-loop shape as
+    * [[decodeAudioMeta]]; non-MP4 blobs yield null metadata so a mixed-media
+    * scan never throws. Header-only: sample payloads are never decoded.
+    */
+  def decodeVideoMeta(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ videoMetaSchema.fields)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val parsed = Mp4Codec.decode(r.getAs[Array[Byte]](mediaIdx))
+        val meta: Seq[Any] = parsed match {
+          case Some(v) => Seq(v.format, v.majorBrand, v.nTracks.toLong,
+            v.timescale, v.durationUnits, v.durationMs, v.mdatBytes, v.nBytes)
+          case None => Seq(null, null, null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Frame-sample a "video" blob: split the payload into `n` evenly spaced fixed-size
     * frames, one output row each — the explode shape a video pipeline needs.
     */
@@ -408,6 +465,167 @@ object WavCodec extends Serializable {
     putLe32(out, 40, dataSize)
     var i = 0
     while (i < dataSize) { out(44 + i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
+    out
+  }
+}
+
+final case class VideoMeta(format: String, majorBrand: String, nTracks: Int,
+                           timescale: Long, durationUnits: Long,
+                           durationMs: Long, mdatBytes: Long, nBytes: Long)
+
+/** REAL video container parser — the third real codec behind the seam, after
+  * [[ImageIoCodec]] and [[WavCodec]]: walks the top-level ISO-BMFF box list
+  * of an MP4 file (ISO/IEC 14496-12 — big-endian 32-bit size + fourcc,
+  * `size==1` → 64-bit largesize follows, `size==0` → box extends to EOF),
+  * reads `ftyp`'s major brand, `moov`→`mvhd`'s timescale/duration (version
+  * 0 and 1 layouts), counts `trak` children, and sums `mdat` payload bytes.
+  * Header-only: sample data is never decoded — the right cost for a 100 TB
+  * metadata sweep. Returns None for anything that is not a well-formed MP4
+  * so mixed-media scans degrade gracefully; unknown boxes (`free`, `skip`,
+  * `udta`, …) are skipped by size exactly as the spec requires.
+  */
+object Mp4Codec extends Serializable {
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+  private def putBe32(b: Array[Byte], o: Int, v: Long): Unit = {
+    b(o) = ((v >> 24) & 0xff).toByte; b(o + 1) = ((v >> 16) & 0xff).toByte
+    b(o + 2) = ((v >> 8) & 0xff).toByte; b(o + 3) = (v & 0xff).toByte
+  }
+  private def tag(b: Array[Byte], o: Int): String =
+    new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** (boxType, payloadStart, payloadEnd, boxEnd) for the box at `off`, or
+    * None if the header or declared size does not fit in [off, limit).
+    */
+  private def boxAt(bytes: Array[Byte], off: Int,
+                    limit: Int): Option[(String, Int, Int, Int)] = {
+    if (off + 8 > limit) return None
+    val size32 = be32(bytes, off)
+    val tp = tag(bytes, off + 4)
+    if (size32 == 0L) { // box runs to the end of the enclosing scope
+      Some((tp, off + 8, limit, limit))
+    } else if (size32 == 1L) { // 64-bit largesize follows the fourcc
+      if (off + 16 > limit) return None
+      val size = be64(bytes, off + 8)
+      if (size < 16 || off + size > limit) None
+      else Some((tp, off + 16, off + size.toInt, off + size.toInt))
+    } else {
+      if (size32 < 8 || off + size32 > limit) None
+      else Some((tp, off + 8, off + size32.toInt, off + size32.toInt))
+    }
+  }
+
+  def decode(bytes: Array[Byte]): Option[VideoMeta] = {
+    // an MP4 must LEAD with ftyp (14496-12 §4.3: "shall be placed as early
+    // as possible"); we require it first, which also rejects non-MP4 blobs
+    val ftyp = boxAt(bytes, 0, bytes.length) match {
+      case Some(("ftyp", ps, pe, _)) if pe - ps >= 8 => (ps, pe)
+      case _ => return None
+    }
+    val majorBrand = tag(bytes, ftyp._1)
+    var off = boxAt(bytes, 0, bytes.length).get._4
+    var timescale = -1L; var duration = -1L
+    var nTracks = 0; var mdatBytes = 0L; var sawMoov = false
+    while (off < bytes.length) {
+      boxAt(bytes, off, bytes.length) match {
+        case None => return None // corrupt: declared size overruns buffer
+        case Some((tp, ps, pe, end)) =>
+          if (tp == "moov") {
+            sawMoov = true
+            var o = ps
+            while (o < pe) {
+              boxAt(bytes, o, pe) match {
+                case None => return None
+                case Some((ctp, cps, _, cend)) =>
+                  if (ctp == "mvhd") {
+                    if (cps + 4 > pe) return None
+                    val version = bytes(cps) & 0xff
+                    if (version == 1) { // 64-bit creation/modification/duration
+                      if (cps + 32 > pe) return None
+                      timescale = be32(bytes, cps + 20)
+                      duration = be64(bytes, cps + 24)
+                    } else {
+                      if (cps + 24 > pe) return None
+                      timescale = be32(bytes, cps + 12)
+                      duration = be32(bytes, cps + 16)
+                    }
+                  } else if (ctp == "trak") nTracks += 1
+                  o = cend
+              }
+            }
+          } else if (tp == "mdat") mdatBytes += (pe - ps).toLong
+          off = end
+      }
+    }
+    if (!sawMoov || timescale <= 0 || duration < 0) None
+    else Some(VideoMeta("mp4", majorBrand, nTracks, timescale, duration,
+      duration * 1000L / timescale, mdatBytes, bytes.length.toLong))
+  }
+
+  /** Emit a minimal valid MP4: `ftyp` (major brand + isom/mp41 compatible
+    * brands), `moov` holding a version-0 `mvhd` (timescale, duration) and
+    * `nTracks` `trak` boxes each with a version-0 `tkhd`, then an `mdat` of
+    * `payloadBytes` deterministic bytes. Sizes: ftyp 24, mvhd 108, trak 100
+    * (8 + 92-byte tkhd), moov 116 + 100·nTracks, mdat 8 + payload.
+    */
+  def encode(majorBrand: String, nTracks: Int, timescale: Long,
+             durationUnits: Long, payloadBytes: Int): Array[Byte] = {
+    require(majorBrand.length == 4, s"brand must be 4 chars: '$majorBrand'")
+    require(nTracks >= 0 && timescale > 0 && durationUnits >= 0 &&
+      payloadBytes >= 0,
+      s"bad mp4 params tracks=$nTracks ts=$timescale dur=$durationUnits " +
+        s"payload=$payloadBytes")
+    val ftypSize = 24; val mvhdSize = 108; val trakSize = 100
+    val moovSize = 8 + mvhdSize + trakSize * nTracks
+    val total = ftypSize + moovSize + 8 + payloadBytes
+    val out = new Array[Byte](total)
+    var o = 0
+    def fourcc(s: String, at: Int): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, at)
+    // ftyp
+    putBe32(out, o, ftypSize); fourcc("ftyp", o + 4)
+    fourcc(majorBrand, o + 8); putBe32(out, o + 12, 0L) // minor_version
+    fourcc("isom", o + 16); fourcc("mp41", o + 20)
+    o += ftypSize
+    // moov > mvhd
+    putBe32(out, o, moovSize); fourcc("moov", o + 4)
+    var m = o + 8
+    putBe32(out, m, mvhdSize); fourcc("mvhd", m + 4)
+    // version/flags 0, creation 0, modification 0 (bytes already zero)
+    putBe32(out, m + 20, timescale)
+    putBe32(out, m + 24, durationUnits)
+    putBe32(out, m + 28, 0x00010000L) // rate 1.0
+    out(m + 32) = 0x01; out(m + 33) = 0x00 // volume 1.0
+    // unity matrix at +44 (after 10 reserved bytes)
+    putBe32(out, m + 44, 0x00010000L)
+    putBe32(out, m + 60, 0x00010000L)
+    putBe32(out, m + 76, 0x40000000L)
+    putBe32(out, m + 104, nTracks + 1L) // next_track_ID
+    m += mvhdSize
+    var t = 0
+    while (t < nTracks) {
+      putBe32(out, m, trakSize); fourcc("trak", m + 4)
+      putBe32(out, m + 8, trakSize - 8L); fourcc("tkhd", m + 12)
+      putBe32(out, m + 16, 0x00000007L) // version 0, flags enabled|in-movie
+      putBe32(out, m + 28, t + 1L)      // track_ID
+      putBe32(out, m + 36, durationUnits)
+      // unity matrix at +56 (layer/alt-group/volume/reserved precede)
+      putBe32(out, m + 56, 0x00010000L)
+      putBe32(out, m + 72, 0x00010000L)
+      putBe32(out, m + 88, 0x40000000L)
+      m += trakSize
+      t += 1
+    }
+    o += moovSize
+    // mdat with deterministic payload
+    putBe32(out, o, 8L + payloadBytes); fourcc("mdat", o + 4)
+    var i = 0
+    while (i < payloadBytes) {
+      out(o + 8 + i) = ((i * 131 + 11) & 0xff).toByte; i += 1
+    }
     out
   }
 }

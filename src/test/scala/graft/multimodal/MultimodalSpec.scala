@@ -182,6 +182,90 @@ class MultimodalSpec extends SparkTestBase {
       "text blobs are not WAVs → all-null audio metadata")
   }
 
+  test("Mp4Codec round-trip recovers every header field") {
+    val blob = Mp4Codec.encode("isom", nTracks = 2, timescale = 600L,
+      durationUnits = 1500L, payloadBytes = 33)
+    val v = Mp4Codec.decode(blob).get
+    assert(v.format == "mp4" && v.majorBrand == "isom" && v.nTracks == 2)
+    assert(v.timescale == 600L && v.durationUnits == 1500L)
+    assert(v.durationMs == 1500L * 1000L / 600L) // 2500
+    assert(v.mdatBytes == 33L)
+    assert(v.nBytes == blob.length.toLong &&
+      blob.length == 148 + 100 * 2 + 33)
+  }
+
+  test("Mp4Codec parses a hand-laid fixture: free boxes, version-1 mvhd, " +
+      "64-bit largesize mdat") {
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be64(v: Long): Array[Byte] = be32(v >> 32) ++ be32(v & 0xffffffffL)
+    def cc(s: String) = s.getBytes("US-ASCII")
+    // ftyp with three compatible brands (28 bytes)
+    val ftyp = be32(28) ++ cc("ftyp") ++ cc("mp42") ++ be32(512) ++
+      cc("mp42") ++ cc("isom") ++ cc("avc1")
+    // top-level free box the walker must skip by size
+    val free = be32(16) ++ cc("free") ++ Array.fill[Byte](8)(0x5a)
+    // moov: [free child][mvhd v1][trak][trak][trak]
+    val mvhdV1 = be32(120) ++ cc("mvhd") ++
+      Array[Byte](1, 0, 0, 0) ++ // version 1
+      be64(0L) ++ be64(0L) ++    // creation/modification (64-bit)
+      be32(90000L) ++            // timescale
+      be64(450000L) ++           // duration (64-bit)
+      Array.fill[Byte](120 - 8 - 4 - 8 - 8 - 4 - 8)(0)
+    val trak = be32(16) ++ cc("trak") ++ be32(8) ++ cc("tkhd")
+    val innerFree = be32(8) ++ cc("free")
+    val moovPayload = innerFree ++ mvhdV1 ++ trak ++ trak ++ trak
+    val moov = be32(8L + moovPayload.length) ++ cc("moov") ++ moovPayload
+    // mdat with size==1 → 64-bit largesize (16-byte header + 5 payload)
+    val mdat = be32(1) ++ cc("mdat") ++ be64(21L) ++
+      Array[Byte](1, 2, 3, 4, 5)
+    val fixture = ftyp ++ free ++ moov ++ mdat
+    val v = Mp4Codec.decode(fixture).get
+    assert(v.majorBrand == "mp42" && v.nTracks == 3)
+    assert(v.timescale == 90000L && v.durationUnits == 450000L)
+    assert(v.durationMs == 450000L * 1000L / 90000L) // 5000 ms
+    assert(v.mdatBytes == 5L && v.nBytes == fixture.length.toLong)
+  }
+
+  test("Mp4Codec graceful rejection: non-MP4, truncated, corrupt sizes, " +
+      "missing moov") {
+    assert(Mp4Codec.decode("definitely not a video".getBytes("UTF-8")).isEmpty)
+    assert(Mp4Codec.decode(Array.empty[Byte]).isEmpty)
+    val good = Mp4Codec.encode("isom", 1, 1000L, 2000L, 16)
+    // truncated mid-mdat: the mdat's declared size overruns the buffer
+    assert(Mp4Codec.decode(good.dropRight(5)).isEmpty)
+    // corrupt moov size (overruns)
+    val corrupt = good.clone()
+    corrupt(24) = 0x7f // moov size forced huge
+    assert(Mp4Codec.decode(corrupt).isEmpty)
+    // ftyp alone (no moov): rejected — no timescale/duration to report
+    assert(Mp4Codec.decode(good.take(24)).isEmpty)
+  }
+
+  test("synthMp4Media → decodeVideoMeta recovers the generator parameters; " +
+      "non-MP4 rows yield null metadata") {
+    val params = Seq((1L, "isom", 1, 600L, 1200L, 10),
+        (2L, "mp42", 3, 1000L, 500L, 0))
+      .toDF("doc_id", "brand", "nt", "ts", "du", "pb")
+    val parsed = Multimodal.decodeVideoMeta(
+        Multimodal.synthMp4Media(params, "brand", "nt", "ts", "du", "pb"),
+        "media")
+      .orderBy("doc_id").collect()
+    // columns: doc_id, brand, nt, ts, du, pb, media, format, major_brand,
+    // n_tracks, timescale, duration_units, duration_ms, mdat_bytes, n_bytes
+    assert(parsed(0).getString(7) == "mp4")
+    assert(parsed(0).getString(8) == "isom" && parsed(0).getLong(9) == 1L)
+    assert(parsed(0).getLong(10) == 600L && parsed(0).getLong(11) == 1200L)
+    assert(parsed(0).getLong(12) == 2000L) // 1200 units / 600 ts = 2 s
+    assert(parsed(1).getString(8) == "mp42" && parsed(1).getLong(9) == 3L)
+    assert(parsed(1).getLong(12) == 500L && parsed(1).getLong(13) == 0L)
+    val mixed = Multimodal.decodeVideoMeta(
+      Multimodal.withFakeMedia(docs, "text"), "media")
+    assert(mixed.filter(mixed("format").isNull).count() == mixed.count(),
+      "text blobs are not MP4s → all-null video metadata")
+  }
+
   test("frameSample explodes n frames per blob with correct offsets") {
     val out = Multimodal.frameSample(Multimodal.withFakeMedia(docs, "text"), "media",
       n = 3, frameBytes = 4)
