@@ -431,11 +431,14 @@ object Experiment {
     val k = m.select(
       floor(((col("n_cal") + 1) * lit(1000 - alphaMil) + 999) / lit(1000.0))
         .cast("long").as("k"), col("n_cal"), col("a_i"), col("b_i"))
-    val q = cal.crossJoin(broadcast(k))
-      .select(col("n_cal"), col("a_i"), col("b_i"), col("k"), col("xi"),
-        col("yi"), resid.as("r"))
-      .withColumn("rn",
-        row_number().over(Window.orderBy(col("r"), col("xi"), col("yi"))))
+    // the k-th smallest residual over the WHOLE calibration set: a corpus-
+    // sized total order, so rank with GlobalRank's distributed numbering
+    // (range-partitioned two-phase prefix), never an unpartitioned window
+    val q = GlobalRank.globalRowNumber(
+        cal.crossJoin(broadcast(k))
+          .select(col("n_cal"), col("a_i"), col("b_i"), col("k"), col("xi"),
+            col("yi"), resid.as("r")),
+        Seq(col("r"), col("xi"), col("yi")), rnCol = "rn")
       .filter(col("rn") === least(col("k"), col("n_cal")))
       .select(col("n_cal"), col("a_i"), col("b_i"), col("r").as("q_i"))
     base.filter(!col("is_cal")).crossJoin(broadcast(q))

@@ -60,6 +60,10 @@ object ScaleGuard extends Logging {
   private[graft] def bounded(p: LogicalPlan): Boolean = p match {
     case _: GlobalLimit | _: LocalLimit => true
     case _: OneRowRelation | _: LocalRelation => true
+    // a literal Range (spark.range / bin spines) has its cardinality in the
+    // node itself; bound it like the literal relation it is when small
+    case r: Range => r.numElements.isValidLong &&
+      r.numElements.toLong <= 1000000L
     case a: Aggregate =>
       a.groupingExpressions.isEmpty ||
         a.groupingExpressions.forall(lowCardKey)
@@ -72,16 +76,20 @@ object ScaleGuard extends Logging {
   }
 
   /** True when every unbounded path from the window down ends at a grouped
-    * [[Aggregate]] — the library's post-aggregation idiom (decile
-    * cumulatives, per-source caps). Those windows WARN (the group domain
-    * might still be huge — per-user, per-document) but never fail the
-    * query: whether `groupBy(user)` output fits one task is a cardinality
-    * judgment a static plan check cannot make.
+    * [[Aggregate]] OR a materialized [[org.apache.spark.sql.execution.LogicalRDD]]
+    * (localCheckpoint output) — the library's two post-reduction idioms
+    * (decile cumulatives, per-source caps; checkpointed digit/arm/bin count
+    * tables). Those windows WARN (the group domain or checkpoint might still
+    * be huge — per-user, per-document) but never fail the query: the
+    * cardinality behind either is a judgment a static plan check cannot
+    * make, and a checkpoint is by definition a deliberate materialization
+    * the author sized.
     */
   private[graft] def groupedAggregate(p: LogicalPlan): Boolean = {
     def ok(c: LogicalPlan): Boolean = bounded(c) || groupedAggregate(c)
     p match {
       case _: Aggregate => true
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
       case _: Generate => false
       case j: Join => ok(j.left) && ok(j.right)
       case u: Union => u.children.forall(ok)
@@ -96,9 +104,10 @@ object ScaleGuard extends Logging {
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
         val grouped = groupedAggregate(w.child)
         val msg = "graft scale guard: unpartitioned window over an " +
-          (if (grouped) "aggregate grouped on arbitrary keys — fine when " +
-            "the group domain is small (months, tiers), ONE task holding " +
-            "every group when it is per-user/per-document. "
+          (if (grouped) "aggregate grouped on arbitrary keys (or a " +
+            "checkpointed materialization) — fine when the domain is small " +
+            "(months, tiers, bins), ONE task holding every group when it " +
+            "is per-user/per-document. "
           else "unbounded child — this plans as ONE task holding the " +
             "whole dataset. ") +
           s"Use graft.ext.GlobalRank (distributed numbering) or " +

@@ -16,10 +16,16 @@ class ScaleGuardSpec extends SparkTestBase {
   private def check(df: DataFrame): Unit =
     ScaleGuard.check(spark)(df.queryExecution.analyzed)
 
-  // spark.range, not a local Seq: a LocalRelation (literal data) is bounded
-  // by construction and correctly stays silent
-  private lazy val t = spark.range(100)
-    .select(col("id"), (col("id") % 7).as("k"))
+  // a parquet-backed relation, not a local Seq or spark.range: LocalRelation
+  // (literal data) AND a literal Range both carry their cardinality in the
+  // plan and are correctly classified bounded — only a real scan is
+  // statically unbounded, which is what the reject tests need
+  private lazy val t: DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sg").toString
+    spark.range(100).select(col("id"), (col("id") % 7).as("k"))
+      .write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
 
   private def withFail(body: => Unit): Unit = {
     spark.conf.set(ScaleGuard.FailConf, "true")
