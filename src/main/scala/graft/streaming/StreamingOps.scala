@@ -181,6 +181,67 @@ object StreamingOps {
       }
   }
 
+  /** Streaming winnowing near-dup candidates with event-time state TTL —
+    * the fingerprint-register twin of [[graft.ext.Winnowing.similarPairs]],
+    * closing the streaming story for position-robust dedup the way
+    * [[minhashCandidatesStreamTtl]] does for set-level: each arriving doc's
+    * DISTINCT selected fingerprint hashes (the native
+    * [[graft.functions.WinnowKeys]] kernel — same selection the batch oracle
+    * replays) key into per-fingerprint buckets holding one canonical doc id;
+    * a doc landing in an occupied bucket emits a candidate pair against the
+    * canonical (the canonical-chain trade: a boilerplate fingerprint grows
+    * pairs LINEARLY in arrivals, never quadratically — the streaming analog
+    * of the batch maxDf cut). Bucket state expires `ttlMs` past its
+    * last-seen event time, re-armed per visit, so an unbounded corpus keeps
+    * bounded state; a duplicate recurring after the horizon re-seeds instead
+    * of pairing, with the batch operator as the exact backstop.
+    */
+  def winnowCandidatesStreamTtl(docs: DataFrame, tsCol: String, ttlMs: Long,
+                                idCol: String = "doc_id",
+                                textCol: String = "text", k: Int = 8,
+                                w: Int = 4,
+                                allowedLateness: String = "0 seconds")
+      : Dataset[CandidatePair] = {
+    import docs.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val keyed = docs.withWatermark(tsCol, allowedLateness)
+      .select(col(idCol).cast("long").as("_1"), col(tsCol).as("_2"),
+        explode(array_distinct(transform(
+          graft.functions.WinnowKeys.winnowKeys(col(textCol), k, w),
+          kk => shiftright(kk, 20)))).as("_3"))
+      .as[(Long, Timestamp, Long)]
+    keyed
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, CandidatePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, it: Iterator[(Long, Timestamp, Long)],
+         state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val ids = rows.map(_._1).distinct.sorted
+            val out = scala.collection.mutable.ArrayBuffer[CandidatePair]()
+            var canon = state.getOption.getOrElse(Long.MaxValue)
+            ids.foreach { id =>
+              if (canon == Long.MaxValue) canon = id
+              else if (id != canon) {
+                out += CandidatePair(math.min(canon, id), math.max(canon, id))
+                canon = math.min(canon, id)
+              }
+            }
+            if (canon != Long.MaxValue) {
+              state.update(canon)
+              val maxTs = rows.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming twin of [[graft.ext.TextQuality.contamination]]: score arriving
     * documents against a STATIC benchmark shingle set, statelessly. The
     * benchmark is collapsed to one array row and broadcast-cross-joined; per-doc

@@ -746,6 +746,59 @@ class StreamingOpsSpec extends SparkTestBase {
 
   final case class TsDoc(ts: Timestamp, doc_id: Long, text: String)
 
+  test("winnow TTL candidates: shared-passage docs pair in-horizon, late " +
+      "rows drop, expired buckets re-seed, batch twin agrees") {
+    implicit val sc = spark.sqlContext
+    import graft.ext.Winnowing
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "orbital mechanics of interplanetary transfer windows explained"
+    val third = "completely distinct text about sourdough bread fermentation"
+    val input = MemoryStream[TsDoc]
+    val query = StreamingOps.winnowCandidatesStreamTtl(input.toDF(), "ts",
+        ttlMs = 60 * 60000L) // 1 hour of event time
+      .writeStream.format("memory").queryName("wn_ttl_out")
+      .outputMode("append").start()
+    // docs 1/2 share the whole base passage (>> w+k-1 chars): guaranteed
+    // shared fingerprint; doc 3 is unrelated
+    input.addData(TsDoc(ts(0), 1L, base),
+      TsDoc(ts(10), 2L, base + " with a different ending entirely"))
+    query.processAllAvailable()
+    input.addData(TsDoc(ts(20), 3L, other))
+    query.processAllAvailable()
+    // 3 hours later: watermark passes the TTL horizon (and ts(20))
+    input.addData(TsDoc(ts(180), 7L, third))
+    query.processAllAvailable()
+    input.addData(TsDoc(ts(200), 8L, third + " varied"))
+    query.processAllAvailable()
+    // LATE row (event time far behind the watermark): dropped before the
+    // stateful op — its base text must not pair with anything
+    input.addData(TsDoc(ts(5), 9L, base))
+    query.processAllAvailable()
+    // recurrence after expiry: re-seeds, no cross-epoch pair with 1/2
+    input.addData(TsDoc(ts(210), 5L, base))
+    query.processAllAvailable()
+    input.addData(TsDoc(ts(215), 6L, base))
+    query.processAllAvailable()
+    query.stop()
+    val pairs = spark.table("wn_ttl_out").as[StreamingOps.CandidatePair]
+      .collect().map(p => (p.id_a, p.id_b)).toSet
+    assert(pairs.contains((1L, 2L)), s"in-horizon shared passage missed: $pairs")
+    assert(!pairs.exists(p => p._1 == 9L || p._2 == 9L),
+      s"late row leaked into pairing: $pairs")
+    assert(!pairs.exists(p => p._2 == 5L && p._1 <= 3L),
+      s"expired canonical leaked across the TTL horizon: $pairs")
+    assert(pairs.contains((5L, 6L)), s"re-seeded epoch dup missed: $pairs")
+    // batch twin on the first epoch's corpus: same candidate components
+    val batchPairs = Winnowing.similarPairs(
+        Seq((1L, base), (2L, base + " with a different ending entirely"),
+          (3L, other)).toDF("doc_id", "text"),
+        "doc_id", "text", k = 8, w = 4, minShared = 1, maxDf = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val firstEpoch = pairs.filter(p => p._1 <= 3L && p._2 <= 3L)
+    assert(firstEpoch == batchPairs,
+      s"streamed first-epoch pairs $firstEpoch != batch twin $batchPairs")
+  }
+
   test("minhash TTL: buckets expire past the horizon, dups within it still pair") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
