@@ -30,11 +30,15 @@ object Communities {
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int): DataFrame = {
-    // symmetrize once; both directions carry the same weight
-    val sym = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+    // materialize the DIRECTED edges first: the symmetrizing union reads
+    // them twice, and without this the whole upstream edge pipeline (basket
+    // explode included) executes once per union branch
+    val e0 = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
         col(weightCol).as("w"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst"),
-        col(weightCol).as("w")))
+      .localCheckpoint(eager = true)
+    // symmetrize once; both directions carry the same weight
+    val sym = e0
+      .union(e0.select(col("dst").as("src"), col("src").as("dst"), col("w")))
       .localCheckpoint(eager = true)
 
     val nodes = sym.select(col("src").as("node")).distinct()
@@ -50,9 +54,14 @@ object Communities {
         .withColumn("__rn", row_number().over(rank))
         .filter(col("__rn") === 1)
         .select(col("dst").as("node"), col("lbl").as("new_label"))
+      // checkpoint per round (the pagerank/kcore iterative discipline):
+      // `labels` is consumed TWICE each round (adoption join + carry-left
+      // join), so the lazy plan re-executes round t−1 twice per round-t
+      // evaluation — 2^iters round-1 runs by the end without this
       labels = labels.join(adopted, Seq("node"), "left")
         .select(col("node"),
           coalesce(col("new_label"), col("label")).as("label"))
+        .localCheckpoint(eager = true)
     }
     labels
   }
