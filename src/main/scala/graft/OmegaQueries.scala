@@ -1,0 +1,535 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-10 query batch: residual product quantization, power-iteration
+  * PCA, offline changepoint, SAX motifs, interval concurrency, truncated
+  * harmonic centrality, HLL set operations, JSONL round-trip, and the
+  * Bloom pre-join audit. Conventions as everywhere: DECIMAL-pooled
+  * moments, one fixed-order double formula per readout, ROUND(,6) only on
+  * O(1)-magnitude values, deterministic final ORDER BY.
+  */
+object OmegaQueries {
+
+  // --------------------------------------------------------------------------
+  // Residual product quantization
+  // --------------------------------------------------------------------------
+
+  private def pqCodebook(spark: SparkSession, dir: String) =
+    Tables.embeddings(spark, dir).filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+
+  /** Residual PQ vs raw PQ, per subspace: quantize v − centroid(v) (the
+    * coarse cell from the q_ivf_trained Lloyd round) against a residual
+    * codebook and compare pooled MSE with quantizing v directly
+    * ([[graft.ext.ProductQuant.residualVectors]]/[[graft.ext.ProductQuant
+    * .subspaceMse]]) — the measurement behind FAISS's choice to PQ-encode
+    * residuals inside IVF cells. OmegaModulesSpec asserts the residual MSE
+    * is lower on clustered data; the oracle replays the Lloyd round, both
+    * code assignments and both poolings.
+    */
+  def qPqResidual(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Clustering, ProductQuant}
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = Clustering.lloydCentroids(emb, "vec_id", "embedding", seeds,
+        "cid", "cvec", iters = 1, dims = 64)
+      .localCheckpoint(eager = true) // assignment + residual join read it
+    val resid = ProductQuant.residualVectors(emb, "vec_id", "embedding",
+      cents).localCheckpoint(eager = true) // codebook slice + encode read it
+    val residCb = resid.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("code"), col("resid").as("cvec"))
+    val rawMse = ProductQuant.subspaceMse(ProductQuant.encode(
+      emb, "vec_id", "embedding", pqCodebook(spark, dir), "code", "cvec",
+      m = 8, subDim = 8)).withColumnRenamed("mse", "mse_raw")
+    val residMse = ProductQuant.subspaceMse(ProductQuant.encode(
+      resid, "vec_id", "resid", residCb, "code", "cvec",
+      m = 8, subDim = 8)).withColumnRenamed("mse", "mse_resid")
+    rawMse.join(residMse, Seq("subspace"))
+      .select(col("subspace").cast("long").as("subspace"),
+        round(col("mse_raw"), 6).as("mse_raw"),
+        round(col("mse_resid"), 6).as("mse_resid"),
+        round(col("mse_resid") / col("mse_raw"), 6).as("mse_ratio"))
+      .orderBy(col("subspace"))
+  }
+
+  val pqResidualSql: String =
+    s"""WITH ${TitanQueries.ivfCtesSql},
+      |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 4),
+      |rd0 AS (SELECT v.vec_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS d2
+      |  FROM v CROSS JOIN ss CROSS JOIN cb),
+      |ra0 AS (SELECT vec_id, s, d2, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM rd0),
+      |rawm AS (SELECT s,
+      |    CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mse_raw
+      |  FROM ra0 WHERE rk = 1 GROUP BY 1),
+      |rv AS (SELECT v.vec_id,
+      |    list_transform(generate_series(1, 64),
+      |      i -> v.embedding[i]::DOUBLE - c1.ce[i]) AS r
+      |  FROM v JOIN asn2 ON v.vec_id = asn2.vec_id
+      |  JOIN c1 ON asn2.cid = c1.cid),
+      |rcb AS (SELECT vec_id AS code, r AS rce FROM rv WHERE vec_id < 4),
+      |rd1 AS (SELECT rv.vec_id, ss.s, rcb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (rv.r[ss.s * 8 + i] - rcb.rce[ss.s * 8 + i])
+      |         * (rv.r[ss.s * 8 + i] - rcb.rce[ss.s * 8 + i])))
+      |      AS d2
+      |  FROM rv CROSS JOIN ss CROSS JOIN rcb),
+      |ra1 AS (SELECT vec_id, s, d2, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM rd1),
+      |resm AS (SELECT s,
+      |    CAST(SUM(CAST(d2 AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*)
+      |      AS mse_resid
+      |  FROM ra1 WHERE rk = 1 GROUP BY 1)
+      |SELECT CAST(s AS BIGINT) AS subspace, ROUND(mse_raw, 6) AS mse_raw,
+      |  ROUND(mse_resid, 6) AS mse_resid,
+      |  ROUND(mse_resid / mse_raw, 6) AS mse_ratio
+      |FROM rawm JOIN resm USING (s) ORDER BY subspace""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Power-iteration top eigenpair of the embedding covariance
+  // --------------------------------------------------------------------------
+
+  /** Top principal eigenpair by two deterministic power-iteration rounds
+    * ([[graft.ext.Embeddings.powerIterationTopEig]]): per-dim loading of
+    * the dominant direction, its eigenvalue, and the share of total
+    * variance it explains — the oracle-checkable partner of the MLlib
+    * [[graft.ext.Embeddings.pcaProject]].
+    */
+  def qPcaPower(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Embeddings.powerIterationTopEig(
+        Tables.embeddings(spark, dir), "embedding", iters = 2, dims = 64)
+      .select(col("dim"), round(col("loading"), 6).as("loading"),
+        round(col("lambda"), 6).as("lambda"),
+        round(col("explained_share"), 6).as("explained_share"))
+      .orderBy(col("dim"))
+
+  val pcaPowerSql: String =
+    """WITH ii AS (SELECT unnest(generate_series(1, 64)) AS i),
+      |v AS (SELECT vec_id, embedding FROM embeddings),
+      |n AS (SELECT COUNT(*) AS n FROM v),
+      |mu AS (SELECT ii.i,
+      |    CAST(SUM(CAST(v.embedding[ii.i]::DOUBLE AS DECIMAL(18,9)))
+      |      AS DOUBLE) / COUNT(*) AS mu
+      |  FROM v CROSS JOIN ii GROUP BY 1),
+      |muv AS (SELECT list(mu ORDER BY i) AS muv FROM mu),
+      |cv AS (SELECT v.vec_id, list_transform(generate_series(1, 64),
+      |    i -> v.embedding[i]::DOUBLE - muv.muv[i]) AS c
+      |  FROM v CROSS JOIN muv),
+      |d1 AS (SELECT vec_id, c,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> c[i] * 1.0)) AS d
+      |  FROM cv),
+      |w1 AS (SELECT ii.i,
+      |    CAST(SUM(CAST(d1.c[ii.i] * d1.d AS DECIMAL(28,12))) AS DOUBLE)
+      |      / (SELECT CAST(n AS DOUBLE) FROM n) AS w
+      |  FROM d1 CROSS JOIN ii GROUP BY 1),
+      |wv1 AS (SELECT list(w ORDER BY i) AS wv FROM w1),
+      |l1 AS (SELECT wv,
+      |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS l FROM wv1),
+      |u1 AS (SELECT list_transform(wv, x -> x / l) AS u FROM l1),
+      |d2 AS (SELECT cv.vec_id, cv.c,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> cv.c[i] * u1.u[i])) AS d
+      |  FROM cv CROSS JOIN u1),
+      |w2 AS (SELECT ii.i,
+      |    CAST(SUM(CAST(d2.c[ii.i] * d2.d AS DECIMAL(28,12))) AS DOUBLE)
+      |      / (SELECT CAST(n AS DOUBLE) FROM n) AS w
+      |  FROM d2 CROSS JOIN ii GROUP BY 1),
+      |wv2 AS (SELECT list(w ORDER BY i) AS wv FROM w2),
+      |l2 AS (SELECT wv,
+      |    sqrt(list_sum(list_transform(wv, x -> x * x))) AS l FROM wv2),
+      |u2 AS (SELECT list_transform(wv, x -> x / l) AS u, l FROM l2),
+      |tv AS (SELECT CAST(SUM(CAST(cv.c[ii.i] * cv.c[ii.i]
+      |      AS DECIMAL(28,12))) AS DOUBLE)
+      |      / (SELECT CAST(n AS DOUBLE) FROM n) AS totvar
+      |  FROM cv CROSS JOIN ii)
+      |SELECT CAST(ii.i AS INT) AS dim, ROUND(u2.u[ii.i], 6) AS loading,
+      |  ROUND(u2.l, 6) AS lambda, ROUND(u2.l / tv.totvar, 6)
+      |    AS explained_share
+      |FROM ii CROSS JOIN u2 CROSS JOIN tv ORDER BY dim""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Offline changepoint: binary-segmentation single split of daily revenue
+  // --------------------------------------------------------------------------
+
+  /** Single most likely break in the daily order-revenue series
+    * ([[graft.ext.Series.binarySegmentSplit]] over integer-cent daily
+    * sums): the split minimizing SSE_left + SSE_right, with segment means
+    * in dollars and SSE magnitudes rescaled to 1e12 units so every output
+    * stays inside ROUND's stable range.
+    */
+  def qChangepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .cast("decimal(18,2)").as("cents"))
+    graft.ext.Series.binarySegmentSplit(daily, "day", "cents")
+      .select(col("split_day"), col("n_left"), col("n_right"),
+        round(col("mean_left") / 100.0, 2).as("mean_left_usd"),
+        round(col("mean_right") / 100.0, 2).as("mean_right_usd"),
+        round(col("sse_full") / 1.0e12, 6).as("sse_full_e12"),
+        round(col("sse_split") / 1.0e12, 6).as("sse_split_e12"),
+        round(col("gain_share"), 6).as("gain_share"))
+  }
+
+  val changepointSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |pref AS (SELECT day, x,
+      |    ROW_NUMBER() OVER (ORDER BY day) AS t,
+      |    SUM(CAST(x AS HUGEINT)) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+      |      PRECEDING AND CURRENT ROW) AS s,
+      |    SUM(CAST(x AS HUGEINT) * x) OVER (ORDER BY day ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND CURRENT ROW) AS s2,
+      |    LEAD(day, 1) OVER (ORDER BY day) AS next_day
+      |  FROM daily),
+      |tot AS (SELECT MAX(t) AS n, MAX(s) AS sn, MAX(s2) AS s2n FROM pref),
+      |cand AS (SELECT p.t, p.next_day, p.s, p.s2, tot.n, tot.sn, tot.s2n,
+      |    (CAST(p.s2 AS DOUBLE)
+      |       - CAST(p.s AS DOUBLE) * CAST(p.s AS DOUBLE) / CAST(p.t AS DOUBLE))
+      |    + ((CAST(tot.s2n AS DOUBLE) - CAST(p.s2 AS DOUBLE))
+      |       - (CAST(tot.sn AS DOUBLE) - CAST(p.s AS DOUBLE))
+      |         * (CAST(tot.sn AS DOUBLE) - CAST(p.s AS DOUBLE))
+      |         / (CAST(tot.n AS DOUBLE) - CAST(p.t AS DOUBLE))) AS cost
+      |  FROM pref p CROSS JOIN tot WHERE p.t < tot.n),
+      |best AS (SELECT * FROM cand ORDER BY cost, t LIMIT 1)
+      |SELECT next_day AS split_day, CAST(t AS BIGINT) AS n_left,
+      |  CAST(n - t AS BIGINT) AS n_right,
+      |  ROUND(CAST(s AS DOUBLE) / CAST(t AS DOUBLE) / 100.0, 2)
+      |    AS mean_left_usd,
+      |  ROUND((CAST(sn AS DOUBLE) - CAST(s AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - CAST(t AS DOUBLE)) / 100.0, 2)
+      |    AS mean_right_usd,
+      |  ROUND((CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) / 1000000000000.0, 6) AS sse_full_e12,
+      |  ROUND(cost / 1000000000000.0, 6) AS sse_split_e12,
+      |  ROUND(1.0 - cost / (CAST(s2n AS DOUBLE) - CAST(sn AS DOUBLE)
+      |    * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS gain_share
+      |FROM best""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // SAX motifs of the daily revenue series
+  // --------------------------------------------------------------------------
+
+  /** SAX motif profile ([[graft.ext.Series.saxMotifs]], 7-day PAA frames,
+    * 3-symbol words over the quartile alphabet) of daily order revenue —
+    * does the series repeat weekly shapes?
+    */
+  def qSaxMotifs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(round(col("o_totalprice") * 100, 0).cast("long"))
+        .cast("decimal(18,2)").as("cents"))
+    graft.ext.Series.saxMotifs(daily, "day", "cents", paaWidth = 7,
+        wordLen = 3)
+      .orderBy(col("n_occurrences").desc, col("word"))
+  }
+
+  val saxMotifsSql: String =
+    """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+      |    CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |base AS (SELECT day, x, ROW_NUMBER() OVER (ORDER BY day) AS t
+      |  FROM daily),
+      |m AS (SELECT COUNT(*) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+      |  FROM base),
+      |paa AS (SELECT (t - 1) // 7 AS frame, SUM(x) AS fs, COUNT(*) AS fn
+      |  FROM base GROUP BY 1),
+      |z AS (SELECT frame,
+      |    (CAST(fs AS DOUBLE) / CAST(fn AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / sqrt(CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS z
+      |  FROM paa CROSS JOIN m),
+      |sym AS (SELECT frame,
+      |    CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0.0 THEN 'b'
+      |         WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS s
+      |  FROM z),
+      |words AS (SELECT s
+      |    || LEAD(s, 1) OVER (ORDER BY frame)
+      |    || LEAD(s, 2) OVER (ORDER BY frame) AS word
+      |  FROM sym)
+      |SELECT word, COUNT(*) AS n_occurrences FROM words
+      |WHERE length(word) = 3 GROUP BY 1
+      |ORDER BY n_occurrences DESC, word""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Interval concurrency: orders in flight
+  // --------------------------------------------------------------------------
+
+  /** Peak orders-in-flight per month ([[graft.ext.EventStats
+    * .intervalConcurrency]]): each order is open from o_orderdate to its
+    * last lineitem ship date; the +1/−1 day sweep reports every month's
+    * maximum concurrency and first peak day.
+    */
+  def qMaxConcurrent(spark: SparkSession, dir: String): DataFrame = {
+    // the synthetic generator draws o_orderdate and l_shipdate
+    // independently, so an "order" can postdate its last shipment —
+    // normalize each span to [least, greatest] before the sweep
+    val spans = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(max(to_date(col("l_shipdate"))).as("d2"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d1")),
+        Seq("o_orderkey"))
+      .select(least(col("d1"), col("d2")).as("start"),
+        greatest(col("d1"), col("d2")).as("ship_end"))
+    graft.ext.EventStats.intervalConcurrency(spans, "start", "ship_end")
+  }
+
+  val maxConcurrentSql: String =
+    """WITH spans0 AS (SELECT l.l_orderkey,
+      |    CAST(o.o_orderdate AS DATE) AS d1,
+      |    MAX(CAST(l.l_shipdate AS DATE)) AS d2
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1, 2),
+      |spans AS (SELECT l_orderkey, LEAST(d1, d2) AS s,
+      |    GREATEST(d1, d2) AS e FROM spans0),
+      |ev AS (SELECT s AS day, 1 AS d FROM spans
+      |  UNION ALL SELECT e + INTERVAL 1 DAY, -1 FROM spans),
+      |net AS (SELECT day, CAST(SUM(d) AS BIGINT) AS net FROM ev GROUP BY 1),
+      |open AS (SELECT day,
+      |    SUM(net) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      CURRENT ROW) AS open
+      |  FROM net),
+      |rk AS (SELECT strftime(day, '%Y-%m') AS month, day, open,
+      |    ROW_NUMBER() OVER (PARTITION BY strftime(day, '%Y-%m')
+      |      ORDER BY open DESC, day) AS rn
+      |  FROM open)
+      |SELECT month, CAST(open AS BIGINT) AS max_open, CAST(day AS DATE)
+      |    AS peak_day
+      |FROM rk WHERE rn = 1 ORDER BY month""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Truncated harmonic centrality of co-purchase hubs
+  // --------------------------------------------------------------------------
+
+  /** Harmonic centrality of the 5 smallest part ids in the repeat
+    * co-purchase graph, truncated at 3 hops ([[graft.ext.GraphPaths
+    * .harmonicCentrality]]) — one simultaneous multi-source BFS.
+    */
+  def qHarmonicCentrality(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.GraphPaths.harmonicCentrality(
+        SummitQueries.copurchaseEdges(spark, dir), "src", "dst", nSeeds = 5)
+      .select(col("seed"), col("n_d1"), col("n_d2"), col("n_d3"),
+        round(col("harmonic"), 6).as("harmonic"))
+      .orderBy(col("seed"))
+
+  val harmonicCentralitySql: String =
+    """WITH e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |    COUNT(DISTINCT x.l_orderkey) AS w
+      |  FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+      |sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b, a FROM e0),
+      |seeds AS (SELECT DISTINCT u AS node FROM sym ORDER BY node LIMIT 5),
+      |d0 AS (SELECT node AS seed, node AS id FROM seeds),
+      |f1 AS (SELECT DISTINCT d0.seed, s.v AS id
+      |  FROM d0 JOIN sym s ON d0.id = s.u),
+      |d1 AS (SELECT seed, id FROM f1 EXCEPT SELECT seed, id FROM d0),
+      |f2 AS (SELECT DISTINCT d1.seed, s.v AS id
+      |  FROM d1 JOIN sym s ON d1.id = s.u),
+      |d2 AS (SELECT seed, id FROM f2
+      |  EXCEPT SELECT seed, id FROM d0
+      |  EXCEPT SELECT seed, id FROM d1),
+      |f3 AS (SELECT DISTINCT d2.seed, s.v AS id
+      |  FROM d2 JOIN sym s ON d2.id = s.u),
+      |d3 AS (SELECT seed, id FROM f3
+      |  EXCEPT SELECT seed, id FROM d0
+      |  EXCEPT SELECT seed, id FROM d1
+      |  EXCEPT SELECT seed, id FROM d2),
+      |cnt AS (SELECT seed,
+      |    CAST(SUM(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1,
+      |    CAST(SUM(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2,
+      |    CAST(SUM(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3
+      |  FROM (SELECT seed, id, 1 AS dist FROM d1
+      |    UNION ALL SELECT seed, id, 2 FROM d2
+      |    UNION ALL SELECT seed, id, 3 FROM d3)
+      |  GROUP BY 1)
+      |SELECT seed, n_d1, n_d2, n_d3,
+      |  ROUND(CAST(n_d1 AS DOUBLE) + CAST(n_d2 AS DOUBLE) / 2.0
+      |    + CAST(n_d3 AS DOUBLE) / 3.0, 6) AS harmonic
+      |FROM cnt ORDER BY seed""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // HLL set operations: repeat customers across years
+  // --------------------------------------------------------------------------
+
+  /** HLL union/intersection estimates vs exact for the customer sets
+    * ordering in 1996 vs 1997 ([[graft.ext.Sketches.hllIntersectAudit]],
+    * b=6): the register-max merge and the inclusion-exclusion intersection
+    * a 100 TB overlap job would run on sketches alone.
+    */
+  def qHllIntersect(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    graft.ext.Sketches.hllIntersectAudit(
+        o.filter(col("yr") === 1996), o.filter(col("yr") === 1997),
+        "o_custkey", b = 6)
+      .select(col("m"), round(col("est_a"), 6).as("est_a"),
+        round(col("est_b"), 6).as("est_b"),
+        round(col("est_union"), 6).as("est_union"),
+        round(col("est_intersect"), 6).as("est_intersect"),
+        col("true_intersect"),
+        round(col("jaccard_est"), 6).as("jaccard_est"),
+        round(col("jaccard_true"), 6).as("jaccard_true"))
+  }
+
+  val hllIntersectSql: String = {
+    // one register CTE chain per set; estimator = the q_hll_estimate math
+    // (rho = 27 - bitlength(w) for b=6; 27 when w = 0)
+    def regs(src: String, tag: String): String =
+      s"""h_$tag AS (SELECT CAST(('0x' ||
+        |      substr(md5(CAST(o_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+        |      AS h FROM $src),
+        |g_$tag AS (SELECT h % 64 AS idx,
+        |    MAX(CASE WHEN h // 64 = 0 THEN 27
+        |      ELSE 27 - len(bin(h // 64)) END) AS mreg
+        |  FROM h_$tag GROUP BY 1)""".stripMargin
+    def est(tag: String): String =
+      s"""z_$tag AS (SELECT SUM(power(2.0, -CAST(mreg AS DOUBLE))) AS zsum,
+        |    CAST(SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_empty
+        |  FROM (SELECT sp.idx, COALESCE(g_$tag.mreg, 0) AS mreg
+        |    FROM sp LEFT JOIN g_$tag ON sp.idx = g_$tag.idx)),
+        |e_$tag AS (SELECT CASE
+        |    WHEN 0.709 * (64.0 * 64.0) / zsum <= 160.0 AND v_empty > 0
+        |      THEN 64.0 * ln(64.0 / CAST(v_empty AS DOUBLE))
+        |    ELSE 0.709 * (64.0 * 64.0) / zsum END AS est
+        |  FROM z_$tag)""".stripMargin
+    s"""WITH a0 AS (SELECT o_custkey FROM orders
+      |  WHERE year(o_orderdate) = 1996),
+      |b0 AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997),
+      |sp AS (SELECT unnest(generate_series(0, 63)) AS idx),
+      |${regs("a0", "a")},
+      |${regs("b0", "b")},
+      |g_u AS (SELECT idx, MAX(mreg) AS mreg FROM
+      |  (SELECT * FROM g_a UNION ALL SELECT * FROM g_b) GROUP BY 1),
+      |${est("a")},
+      |${est("b")},
+      |${est("u")},
+      |ex AS (SELECT
+      |    (SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey FROM a0
+      |       INTERSECT SELECT DISTINCT o_custkey FROM b0)) AS true_intersect,
+      |    (SELECT COUNT(*) FROM (SELECT o_custkey FROM a0
+      |       UNION SELECT o_custkey FROM b0)) AS true_union)
+      |SELECT CAST(64 AS INT) AS m, ROUND(e_a.est, 6) AS est_a,
+      |  ROUND(e_b.est, 6) AS est_b, ROUND(e_u.est, 6) AS est_union,
+      |  ROUND(e_a.est + e_b.est - e_u.est, 6) AS est_intersect,
+      |  CAST(ex.true_intersect AS BIGINT) AS true_intersect,
+      |  ROUND((e_a.est + e_b.est - e_u.est) / e_u.est, 6) AS jaccard_est,
+      |  ROUND(CAST(ex.true_intersect AS DOUBLE)
+      |    / CAST(ex.true_union AS DOUBLE), 6) AS jaccard_true
+      |FROM e_a CROSS JOIN e_b CROSS JOIN e_u CROSS JOIN ex""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // JSONL round-trip digest
+  // --------------------------------------------------------------------------
+
+  /** JSON Lines write→read round-trip of the orders slice, digested per
+    * month ([[graft.sources.Formats.jsonlRoundtrip]]) — same lossless
+    * proof as q_orc_roundtrip/q_csv_roundtrip, for the interchange format
+    * LLM corpora actually ship in.
+    */
+  def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    TitanQueries.digestOf(graft.sources.Formats.jsonlRoundtrip(
+      TitanQueries.ordersDigestFrame(spark, dir),
+      s"/tmp/graft_jsonl_${math.abs(dir.hashCode.toLong)}_" +
+        spark.sparkContext.applicationId))
+
+  // --------------------------------------------------------------------------
+  // Bloom pre-join audit
+  // --------------------------------------------------------------------------
+
+  /** Runtime-filter sizing audit ([[graft.ext.Sketches.bloomPrejoinAudit]]):
+    * a Bloom filter over one brand's part keys probed by every lineitem
+    * row — how many fact rows the dim-side filter would keep off the
+    * shuffle, and how many false positives leak through.
+    */
+  def qBloomPrejoin(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.bloomPrejoinAudit(
+        Tables.lineitem(spark, dir), col("l_partkey"),
+        Tables.part(spark, dir).filter(col("p_brand") === "Brand#23"),
+        col("p_partkey"), wWords = 64, kHashes = 4)
+      .withColumn("reduction_pct", round(col("reduction_pct"), 6))
+
+  val bloomPrejoinSql: String =
+    """WITH dimk AS (SELECT DISTINCT CAST(p_partkey AS VARCHAR) AS key
+      |  FROM part WHERE p_brand = 'Brand#23'),
+      |ip AS (SELECT key, unnest(generate_series(0, 3)) AS j FROM dimk),
+      |ipos AS (SELECT key,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 8))
+      |      ::BIGINT % 2048 AS pos
+      |  FROM ip),
+      |fw AS (SELECT pos // 32 AS word,
+      |    BIT_OR(CAST(POWER(2, pos % 32) AS BIGINT)) AS bits
+      |  FROM ipos GROUP BY 1),
+      |fk AS (SELECT CAST(l_partkey AS VARCHAR) AS key, COUNT(*) AS nr
+      |  FROM lineitem GROUP BY 1),
+      |pp AS (SELECT key, unnest(generate_series(0, 3)) AS j FROM fk),
+      |ppos AS (SELECT key,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || key), 1, 8))
+      |      ::BIGINT % 2048 AS pos
+      |  FROM pp),
+      |pw AS (SELECT key, pos // 32 AS word,
+      |    CAST(POWER(2, pos % 32) AS BIGINT) AS mask FROM ppos),
+      |hits AS (SELECT pw.key,
+      |    SUM(CASE WHEN fw.bits IS NOT NULL AND (fw.bits & pw.mask) = pw.mask
+      |      THEN 1 ELSE 0 END) AS n_hit
+      |  FROM pw LEFT JOIN fw USING (word) GROUP BY 1),
+      |pass AS (SELECT key, n_hit = 4 AS p FROM hits),
+      |truth AS (SELECT key, TRUE AS in_dim FROM dimk),
+      |agg AS (SELECT
+      |    CAST(SUM(fk.nr) AS BIGINT) AS n_fact_rows,
+      |    COUNT(*) AS n_fact_keys,
+      |    CAST(SUM(CASE WHEN pass.p THEN fk.nr ELSE 0 END) AS BIGINT)
+      |      AS n_pass_rows,
+      |    CAST(SUM(CASE WHEN truth.in_dim IS NOT NULL THEN fk.nr ELSE 0 END)
+      |      AS BIGINT) AS n_true_rows,
+      |    CAST(SUM(CASE WHEN pass.p AND truth.in_dim IS NULL THEN fk.nr
+      |      ELSE 0 END) AS BIGINT) AS n_fp_rows
+      |  FROM fk JOIN pass USING (key) LEFT JOIN truth USING (key))
+      |SELECT n_fact_rows, n_fact_keys, n_pass_rows, n_true_rows, n_fp_rows,
+      |  ROUND(100.0 * (1.0 - CAST(n_pass_rows AS DOUBLE)
+      |    / CAST(n_fact_rows AS DOUBLE)), 6) AS reduction_pct
+      |FROM agg""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pq_residual" -> (qPqResidual _),
+    "q_pca_power" -> (qPcaPower _),
+    "q_changepoint" -> (qChangepoint _),
+    "q_sax_motifs" -> (qSaxMotifs _),
+    "q_max_concurrent" -> (qMaxConcurrent _),
+    "q_harmonic_centrality" -> (qHarmonicCentrality _),
+    "q_hll_intersect" -> (qHllIntersect _),
+    "q_jsonl_roundtrip" -> (qJsonlRoundtrip _),
+    "q_bloom_prejoin" -> (qBloomPrejoin _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q_pq_residual" -> pqResidualSql,
+    "q_pca_power" -> pcaPowerSql,
+    "q_changepoint" -> changepointSql,
+    "q_sax_motifs" -> saxMotifsSql,
+    "q_max_concurrent" -> maxConcurrentSql,
+    "q_harmonic_centrality" -> harmonicCentralitySql,
+    "q_hll_intersect" -> hllIntersectSql,
+    "q_jsonl_roundtrip" -> TitanQueries.roundtripDigestSql,
+    "q_bloom_prejoin" -> bloomPrejoinSql)
+}

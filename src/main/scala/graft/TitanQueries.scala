@@ -55,7 +55,7 @@ object TitanQueries {
     * the vec_id<4 seeds, second assignment, the query row, the 2 probed
     * cells, and `cand(vec_id, cid)` — the pruned candidate set.
     */
-  private val ivfCtesSql: String =
+  private[graft] val ivfCtesSql: String =
     """v AS (SELECT vec_id, embedding,
       |    sqrt(list_sum(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE)))
       |      AS nv
@@ -373,7 +373,7 @@ object TitanQueries {
     * `a(vec_id, s, code, d2, rk)` — subspace split, per-subspace squared L2
     * against the vec_id<4 seed codebook, argmin rank.
     */
-  private val pqCtesSql: String =
+  private[graft] val pqCtesSql: String =
     """ss AS (SELECT unnest(generate_series(0, 7)) AS s),
       |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
       |  WHERE vec_id < 4),
@@ -757,12 +757,12 @@ object TitanQueries {
   // Format interop: ORC / CSV round-trips proven by digest equality
   // --------------------------------------------------------------------------
 
-  private def ordersDigestFrame(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def ordersDigestFrame(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"),
       col("o_orderstatus"), col("o_orderpriority"),
       to_date(col("o_orderdate")).cast("string").as("o_date"))
 
-  private def digestOf(rt: DataFrame): DataFrame =
+  private[graft] def digestOf(rt: DataFrame): DataFrame =
     graft.ext.Integrity.groupDigest(rt, substring(col("o_date"), 1, 7),
         Seq(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_orderpriority"), col("o_date")), buckets = 16)

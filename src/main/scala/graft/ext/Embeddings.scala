@@ -117,6 +117,74 @@ object Embeddings {
     df.sparkSession.createDataFrame(projected, schema)
   }
 
+  /** Deterministic power iteration for the TOP principal eigenpair of the
+    * centered covariance — the oracle-checkable partner of [[pcaProject]]
+    * (whose MLlib SVD an external engine cannot replay bit-for-bit). Starts
+    * from the all-ones direction and runs `iters` rounds of
+    * w ← Σ_rows (v−μ)·((v−μ)·u) / n, u ← w/‖w‖; after enough rounds u is
+    * the top eigenvector and ‖w‖ its eigenvalue (Mises & Pollaczek-
+    * Geiringer 1929). `explained_share` = λ₁ / Σ_d Var_d — the one-number
+    * anisotropy readout a truncation/whitening decision reads
+    * (high share = embeddings collapse toward one axis; pairs with
+    * [[isotropyProfile]]).
+    *
+    * Exactness: μ and every cross-row pooling are DECIMAL-summed before one
+    * double division; per-row dots fold in array order ([[SimSearch
+    * .dotGeneric]]); the iteration count is a literal, so the DuckDB oracle
+    * unrolls the same rounds CTE-for-CTE.
+    *
+    * Scale shape: the centered table is checkpointed once and each round is
+    * one broadcast of the 1-row direction + one (dim)-keyed aggregate —
+    * O(iters) fixed-size jobs, dims rows shuffled per round, no driver
+    * collect anywhere.
+    */
+  def powerIterationTopEig(df: DataFrame, vecCol: String, iters: Int,
+                           dims: Int): DataFrame = {
+    require(iters >= 1 && dims >= 1, s"bad iters=$iters dims=$dims")
+    val mu = df.select(posexplode(col(vecCol)).as(Seq("__pos", "__x")))
+      .groupBy(col("__pos"))
+      .agg((sum(col("__x").cast("double").cast("decimal(18,9)"))
+        .cast("double") / count(lit(1))).as("__mu"))
+      .groupBy()
+      .agg(transform(array_sort(collect_list(struct(col("__pos"),
+        col("__mu")))), e => e.getField("__mu")).as("__muv"))
+    val centered = df.crossJoin(broadcast(mu))
+      .select(zip_with(col(vecCol), col("__muv"),
+        (x, m) => x.cast("double") - m).as("__cv"))
+      .localCheckpoint(eager = true) // every round reads it
+    val n = centered.count()
+    var u = centered.sparkSession.range(1)
+      .select(transform(sequence(lit(1), lit(dims)), _ => lit(1.0))
+        .as("__u"))
+    (1 to iters).foreach { _ =>
+      val w = centered.crossJoin(broadcast(u))
+        .select(col("__cv"),
+          SimSearch.dotGeneric(col("__cv"), col("__u")).as("__d"))
+        .select(posexplode(col("__cv")).as(Seq("__pos", "__x")), col("__d"))
+        .groupBy(col("__pos"))
+        .agg((sum((col("__x") * col("__d")).cast("decimal(28,12)"))
+          .cast("double") / lit(n.toDouble)).as("__w"))
+        .groupBy()
+        .agg(transform(array_sort(collect_list(struct(col("__pos"),
+          col("__w")))), e => e.getField("__w")).as("__wv"))
+      u = w.select(col("__wv"),
+          sqrt(aggregate(col("__wv"), lit(0.0),
+            (acc, x) => acc + x * x)).as("__lambda"))
+        .select(transform(col("__wv"), x => x / col("__lambda")).as("__u"),
+          col("__lambda"))
+    }
+    val totVar = centered
+      .select(posexplode(col("__cv")).as(Seq("__pos", "__x")))
+      .agg((sum((col("__x") * col("__x")).cast("decimal(28,12)"))
+        .cast("double") / lit(n.toDouble)).as("__totvar"))
+    u.crossJoin(totVar)
+      .select(posexplode(col("__u")).as(Seq("__pos", "loading")),
+        col("__lambda"), col("__totvar"))
+      .select((col("__pos") + 1).cast("int").as("dim"), col("loading"),
+        col("__lambda").as("lambda"),
+        (col("__lambda") / col("__totvar")).as("explained_share"))
+  }
+
   /** Per-vector quantization summary — the flat (non-array) projection of
     * [[quantizeInt8]] used by the oracle-checked query: element-wise explode,
     * re-aggregated to (sum, min, max) of the quantized values.

@@ -262,4 +262,50 @@ object EventStats {
       .withColumn("wau_est", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
       .select(col("day"), col("dau_est"), col("wau_est"))
   }
+
+  /** Interval concurrency by event sweep — "how many intervals are open on
+    * each day, and when does each month peak?": the classic +1/−1 boundary
+    * trick (start day adds one, day AFTER the inclusive end subtracts one),
+    * net deltas aggregated per DAY, then one cumulative sum over the
+    * day-grain table. The sweep turns an O(n·span) interval×day join into
+    * one scan + a bounded-series window: per-day deltas are a date-keyed
+    * aggregate (thousands of rows at any corpus scale — the ScaleGuard-
+    * exempt shape), and no interval is ever exploded across its span.
+    *
+    * Output per month asc: (month 'yyyy-MM', max_open, peak_day = first
+    * day attaining the max). Intervals with end < start raise (a sweep
+    * would silently go negative). NOTE: months appear only if some interval
+    * BOUNDARY falls in them — a month fully inside one long interval is
+    * absent (its open count is the carried level, visible in the
+    * neighboring months); densify the day spine first when that matters.
+    */
+  def intervalConcurrency(intervals: DataFrame, startCol: String,
+                          endCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val checked = intervals.select(
+      to_date(col(startCol)).as("__s"),
+      when(to_date(col(endCol)) >= to_date(col(startCol)),
+        to_date(col(endCol)))
+        .otherwise(raise_error(concat(lit("interval ends before start: "),
+          col(startCol).cast("string"), lit(" > "),
+          col(endCol).cast("string")))).as("__e"))
+    val deltas = checked
+      .select(explode(array(
+        struct(col("__s").as("day"), lit(1L).as("d")),
+        struct(date_add(col("__e"), 1).as("day"), lit(-1L).as("d")))).as("ev"))
+      .select(col("ev.day").as("day"), col("ev.d").as("d"))
+      .groupBy(col("day")).agg(sum(col("d")).as("net"))
+    val open = deltas.withColumn("open",
+      sum(col("net")).over(Window.orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    open
+      .select(date_format(col("day"), "yyyy-MM").as("month"), col("day"),
+        col("open"))
+      .groupBy(col("month"))
+      .agg(min(struct((-col("open")).as("nego"), col("day").as("day"),
+        col("open").as("open"))).as("__b"))
+      .select(col("month"), col("__b.open").as("max_open"),
+        col("__b.day").as("peak_day"))
+      .orderBy(col("month"))
+  }
 }

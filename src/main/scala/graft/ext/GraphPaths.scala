@@ -61,6 +61,58 @@ object GraphPaths {
       .orderBy(col("level"))
   }
 
+  /** Harmonic centrality of the `nSeeds` smallest node ids, truncated at
+    * `maxDepth` hops (Boldi & Vigna, Internet Math 2014: H(s) =
+    * Σ_{v≠s} 1/d(s,v), the centrality that handles disconnected graphs
+    * where closeness breaks): one SIMULTANEOUS multi-source BFS — frontier
+    * state is (seed, node, dist), each round one join against the
+    * checkpointed symmetric edge list and one EXCEPT against visited — so
+    * k seeds cost the same O(maxDepth) fixed-size plans as one. Truncation
+    * is the standard large-graph practice (hops beyond a few contribute
+    * ≤ 1/d each and the frontier saturates).
+    *
+    * Output per seed asc: (seed, n_d1, n_d2, n_d3, harmonic) with
+    * harmonic = n_d1 + n_d2/2 + n_d3/3 (one fixed double formula over
+    * integer counts — engine-exact). maxDepth is fixed at 3 here so the
+    * oracle unrolls the rounds; generalize by adding rounds.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         nSeeds: Int = 5): DataFrame = {
+    require(nSeeds >= 1, s"nSeeds ($nSeeds) must be >= 1")
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val both = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .localCheckpoint(eager = true) // joined once per BFS round
+    val seeds = both.select(col("u").as("node")).distinct()
+      .orderBy(col("node")).limit(nSeeds)
+    var levels = seeds
+      .select(col("node").as("seed"), col("node").as("id"),
+        lit(0).as("dist"))
+      .localCheckpoint(eager = true)
+    (1 to 3).foreach { d =>
+      val frontier = levels.filter(col("dist") === d - 1)
+        .select(col("seed"), col("id").as("u"))
+      val next = both.join(frontier, Seq("u"))
+        .select(col("seed"), col("v").as("id")).distinct()
+        .join(levels.select(col("seed"), col("id")), Seq("seed", "id"),
+          "left_anti")
+        .select(col("seed"), col("id"), lit(d).as("dist"))
+      levels = levels.union(next).localCheckpoint(eager = true)
+    }
+    levels.filter(col("dist") > 0)
+      .groupBy(col("seed"))
+      .agg(sum(when(col("dist") === 1, 1L).otherwise(0L)).as("n_d1"),
+        sum(when(col("dist") === 2, 1L).otherwise(0L)).as("n_d2"),
+        sum(when(col("dist") === 3, 1L).otherwise(0L)).as("n_d3"))
+      .select(col("seed"), col("n_d1"), col("n_d2"), col("n_d3"),
+        (col("n_d1").cast("double") + col("n_d2").cast("double") / 2.0 +
+          col("n_d3").cast("double") / 3.0).as("harmonic"))
+  }
+
   /** Percolation / attack-tolerance audit (Albert, Jeong & Barabási, Nature
     * 2000): how much of the graph's connectivity survives removing the
     * top-k hub nodes? Scale-free graphs are famously robust to random

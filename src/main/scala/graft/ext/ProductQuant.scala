@@ -95,6 +95,36 @@ object ProductQuant {
     * decode). `queryVec` need not be in the corpus; `excludeId` drops the
     * query's own row. Output: (id, adc_dist), k rows ascending.
     */
+  /** Residual vectors against a coarse-quantizer centroid table (cid,
+    * cvec `array<double>`): each vector's cosine-argmax cell
+    * ([[Clustering.lloydAssign]] — the IVF assignment) and the elementwise
+    * difference v − centroid. This is what FAISS's IVFPQ actually encodes —
+    * residuals concentrate near zero once the coarse cell soaks up the
+    * vector's position, so the same codebook budget buys lower distortion
+    * ([[subspaceMse]] quantifies exactly that; OmegaModulesSpec asserts the
+    * drop). Output: (id, cid, resid array<double>).
+    */
+  def residualVectors(df: DataFrame, idCol: String, vecCol: String,
+                      cents: DataFrame): DataFrame = {
+    val assigned = Clustering.lloydAssign(
+      Clustering.lloydPrep(df, idCol, vecCol), idCol, vecCol, cents)
+    assigned.select(col(idCol), col("cid"))
+      .join(broadcast(cents.select(col("cid"), col("cvec").as("__cv"))),
+        Seq("cid"))
+      .join(df.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col(idCol), col("cid"),
+        zip_with(col(vecCol), col("__cv"),
+          (x, c) => x.cast("double") - c).as("resid"))
+  }
+
+  /** Pooled per-subspace quantization MSE of an [[encode]] output —
+    * DECIMAL-pooled sum of sq_err over all vectors, one row per subspace.
+    */
+  def subspaceMse(encoded: DataFrame): DataFrame =
+    encoded.groupBy(col("subspace"))
+      .agg((sum(col("sq_err").cast("decimal(18,9)")).cast("double") /
+        count(lit(1))).as("mse"))
+
   /** The ADC lookup table for one query: (code, subspace, __dq2) — the
     * per-subspace squared L2 between the EXACT query slice and every
     * codeword. m×codes rows; always broadcast by callers.

@@ -224,4 +224,121 @@ object Series {
         .as("return_level"))
       .orderBy(col("t_blocks"))
   }
+
+  /** Offline single change-point by binary segmentation (Scott & Knott
+    * 1974): the split index t that minimizes SSE_left(t) + SSE_right(t)
+    * over the day-ordered series — the first recursion step of the classic
+    * changepoint detector, and the batch partner of the streaming CUSUM
+    * ([[graft.streaming.StreamingOps.cusumStream]]): CUSUM flags drift
+    * online against a KNOWN reference; this finds the single most likely
+    * break offline with no reference at all.
+    *
+    * Exactness: `x` must be exact DECIMAL (caller casts; revenue cents);
+    * prefix sums S(t), S2(t) accumulate in DECIMAL via day-ordered windows,
+    * each candidate's cost is ONE fixed double formula over those exact
+    * prefixes, and the argmin is min-struct (cost, then smaller t). The
+    * day-ordered windows ride a DAY-grain aggregate input — thousands of
+    * rows regardless of corpus scale, the bounded shape ScaleGuard exempts.
+    *
+    * Output: 1 row (split_day = first day of the RIGHT segment, n_left,
+    * n_right, mean_left, mean_right, sse_full, sse_split, gain_share =
+    * 1 − sse_split/sse_full — how much of the series' variance one break
+    * explains).
+    */
+  def binarySegmentSplit(series: DataFrame, dayCol: String,
+                         xCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pref = series
+      .select(col(dayCol).as("__day"), col(xCol).cast("decimal(18,2)").as("__x"))
+      .withColumn("__t", row_number().over(Window.orderBy(col("__day"))))
+      .withColumn("__s", sum(col("__x")).over(w))
+      .withColumn("__s2", sum(col("__x") * col("__x")).over(w))
+      .withColumn("__next_day", lead(col("__day"), 1).over(
+        Window.orderBy(col("__day"))))
+    val tot = pref.agg(max(col("__t")).as("__n"),
+      max(col("__s")).as("__sn"), max(col("__s2")).as("__s2n"))
+    def dbl(c: Column): Column = c.cast("double")
+    val cand = pref.crossJoin(broadcast(tot)).filter(col("__t") < col("__n"))
+    val costL = dbl(col("__s2")) -
+      dbl(col("__s")) * dbl(col("__s")) / dbl(col("__t"))
+    val costR = (dbl(col("__s2n")) - dbl(col("__s2"))) -
+      (dbl(col("__sn")) - dbl(col("__s"))) * (dbl(col("__sn")) - dbl(col("__s"))) /
+        (dbl(col("__n")) - dbl(col("__t")))
+    val best = cand
+      .select(col("__n"), col("__sn"), col("__s2n"),
+        struct((costL + costR).as("cost"), col("__t").as("t"),
+          col("__next_day").as("split_day"), col("__s").as("s"),
+          col("__s2").as("s2")).as("__c"))
+      .groupBy(col("__n"), col("__sn"), col("__s2n"))
+      .agg(min(col("__c")).as("__b"))
+    best.select(
+      col("__b.split_day").as("split_day"),
+      col("__b.t").cast("long").as("n_left"),
+      (col("__n") - col("__b.t")).cast("long").as("n_right"),
+      (dbl(col("__b.s")) / dbl(col("__b.t"))).as("mean_left"),
+      ((dbl(col("__sn")) - dbl(col("__b.s"))) /
+        (dbl(col("__n")) - dbl(col("__b.t")))).as("mean_right"),
+      (dbl(col("__s2n")) - dbl(col("__sn")) * dbl(col("__sn")) /
+        dbl(col("__n"))).as("sse_full"),
+      col("__b.cost").as("sse_split"),
+      {
+        // a perfectly flat series has sse_full = 0: no variance for a break
+        // to explain — gain is undefined, emitted as null (ANSI double
+        // division would otherwise throw)
+        val sseFull = dbl(col("__s2n")) - dbl(col("__sn")) * dbl(col("__sn")) /
+          dbl(col("__n"))
+        when(sseFull === 0.0, lit(null).cast("double"))
+          .otherwise(lit(1.0) - col("__b.cost") / sseFull).as("gain_share")
+      })
+  }
+
+  /** SAX symbolization + motif counts (Lin, Keogh, Lonardi & Chiu, DMKD
+    * 2007): z-normalize the day series against its own global moments,
+    * average into `paaWidth`-day PAA frames, map each frame to one of four
+    * symbols at the Gaussian quartile breakpoints (±0.6745, 0), and count
+    * every `wordLen`-symbol sliding word — the discretized motif profile
+    * that turns "does this revenue series repeat shapes?" into a GROUP BY.
+    *
+    * Exactness: moments and PAA sums pool in DECIMAL; μ, σ (population) and
+    * each z-score are one fixed double formula; breakpoints are shared
+    * literals; words assemble with lead() over the bounded PAA frame
+    * sequence. Day-grain input → everything downstream is thousands of
+    * rows at any corpus scale.
+    *
+    * Output per word desc by count then word: (word, n_occurrences).
+    */
+  def saxMotifs(series: DataFrame, dayCol: String, xCol: String,
+                paaWidth: Int = 7, wordLen: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(paaWidth >= 1 && wordLen >= 2,
+      s"bad paaWidth=$paaWidth wordLen=$wordLen")
+    val base = series
+      .select(col(dayCol).as("__day"), col(xCol).cast("decimal(18,2)").as("__x"))
+      .withColumn("__t", row_number().over(Window.orderBy(col("__day"))))
+    val m = base.agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    def dbl(c: Column): Column = c.cast("double")
+    val muE = dbl(col("__sx")) / dbl(col("__n"))
+    val sdE = sqrt(dbl(col("__sxx")) / dbl(col("__n")) - muE * muE)
+    val paa = base
+      .withColumn("__frame", expr(s"(__t - 1) div $paaWidth"))
+      .groupBy(col("__frame"))
+      .agg(sum(col("__x")).as("__fs"), count(lit(1)).as("__fn"))
+      .crossJoin(broadcast(m))
+      .select(col("__frame"),
+        ((dbl(col("__fs")) / dbl(col("__fn")) - muE) / sdE).as("__z"))
+      .select(col("__frame"),
+        when(col("__z") < lit(-0.6745), lit("a"))
+          .when(col("__z") < lit(0.0), lit("b"))
+          .when(col("__z") < lit(0.6745), lit("c"))
+          .otherwise(lit("d")).as("__sym"))
+    val wo = Window.orderBy(col("__frame"))
+    val word = concat((0 until wordLen).map(i =>
+      lead(col("__sym"), i).over(wo)): _*)
+    paa.select(word.as("word"))
+      .filter(length(col("word")) === wordLen) // trailing partial words drop
+      .groupBy(col("word")).agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -186,6 +186,64 @@ object Sketches {
       .orderBy(col(groupCol))
   }
 
+  /** HLL set-operation audit: estimate |A|, |B|, |A∪B| and — by
+    * inclusion-exclusion — |A∩B| from three m-register sketches, next to
+    * the exact counts. The union sketch is the REGISTER-WISE MAX of A's and
+    * B's sketches (the merge that makes HLL distributable at all); the
+    * intersection has no native sketch, so est_intersect = est_a + est_b −
+    * est_union is the standard derived figure whose error grows as the
+    * overlap shrinks — exactly the trade this audit quantifies before a
+    * 100 TB overlap job chooses sketches over an exact join. Same portable
+    * md5 register math as [[hyperLogLogAudit]], so the DuckDB oracle
+    * replays every register.
+    *
+    * Output: 1 row (m, est_a, est_b, est_union, est_intersect,
+    * true_intersect, jaccard_est = est_intersect/est_union, jaccard_true).
+    */
+  def hllIntersectAudit(dfA: DataFrame, dfB: DataFrame, itemCol: String,
+                        b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 12, s"b=$b out of supported [4,12]")
+    val m = 1 << b
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val spark = dfA.sparkSession
+    val spine = spark.range(m).select(col("id").as("idx"))
+    def estOf(regs: DataFrame, tag: String): DataFrame = {
+      val full = spine.join(regs, Seq("idx"), "left").na.fill(0, Seq("mreg"))
+      val z = full.agg(
+        sum(pow(lit(2.0), -col("mreg").cast("double"))).as("zsum"),
+        sum(when(col("mreg") === 0, 1L).otherwise(0L)).as("v_empty"))
+      val raw = lit(alpha) * (lit(m.toDouble) * lit(m.toDouble)) / col("zsum")
+      val est = when(raw <= lit(2.5 * m) && col("v_empty") > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / col("v_empty").cast("double")))
+        .otherwise(raw)
+      z.select(est.as(tag))
+    }
+    def regsOf(df: DataFrame): DataFrame =
+      hllRho(df, itemCol, b).groupBy(col("idx")).agg(max(col("rho")).as("mreg"))
+    val ra = regsOf(dfA).localCheckpoint(eager = true) // own est + union
+    val rb = regsOf(dfB).localCheckpoint(eager = true)
+    val ru = ra.union(rb).groupBy(col("idx")).agg(max(col("mreg")).as("mreg"))
+    val ia = dfA.select(col(itemCol).as("__k")).distinct()
+    val ib = dfB.select(col(itemCol).as("__k")).distinct()
+    val exact = ia.join(ib, Seq("__k"))
+      .agg(count(lit(1)).as("true_intersect"))
+      .crossJoin(ia.union(ib).distinct().agg(count(lit(1)).as("true_union")))
+    estOf(ra, "est_a").crossJoin(estOf(rb, "est_b"))
+      .crossJoin(estOf(ru, "est_union")).crossJoin(exact)
+      .select(lit(m).as("m"), col("est_a"), col("est_b"), col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        col("true_intersect"),
+        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
+          .as("jaccard_est"),
+        (col("true_intersect").cast("double") /
+          col("true_union").cast("double")).as("jaccard_true"))
+  }
+
   /** Portable Bloom filter audit (Bloom, CACM 1970): build an m-bit filter
     * (m = 32·`wWords`, stored as `wWords` 32-bit words in BIGINTs so no
     * sign-bit arithmetic ever differs between engines) over `items` with
@@ -264,5 +322,58 @@ object Sketches {
         (col("n_fp").cast("double") / col("n_probes").cast("double"))
           .as("fp_rate"),
         theory.as("fp_theory"))
+  }
+
+  /** Bloom pre-join audit — the sizing measurement a runtime-filtered join
+    * runs BEFORE shipping a selective dim-side filter against a huge fact
+    * scan (what Spark's own `spark.sql.optimizer.runtimeFilter.*` bloom
+    * does engine-side, replayed here portably so the numbers are
+    * oracle-checkable): build the filter over the dim keys, classify every
+    * fact ROW by whether its key passes all k bits, and report the row
+    * reduction next to the exact semi-join truth. false-positive rows are
+    * the shuffle the filter fails to save; `reduction_pct` is what it does
+    * save.
+    *
+    * Scale shape: the filter is wWords rows broadcast; fact keys dedupe
+    * before probing (distinct keys ≪ rows), and the pass/fail flag joins
+    * back to fact rows by key — one broadcast-sized equi-join, no
+    * fact-side shuffle.
+    *
+    * Output 1 row: (n_fact_rows, n_fact_keys, n_pass_rows, n_true_rows,
+    * n_fp_rows, reduction_pct).
+    */
+  def bloomPrejoinAudit(facts: DataFrame,
+                        factKey: org.apache.spark.sql.Column,
+                        dim: DataFrame,
+                        dimKey: org.apache.spark.sql.Column,
+                        wWords: Int = 64, kHashes: Int = 4): DataFrame = {
+    require(wWords >= 1 && kHashes >= 1,
+      s"bad bloom shape w=$wWords k=$kHashes")
+    val filterWords = bloomFilterWords(dim, dimKey, wWords, kHashes)
+    val factKeys = facts.select(factKey.cast("string").as("__fk"))
+    val keyed = factKeys.groupBy(col("__fk")).agg(count(lit(1)).as("__nr"))
+    val pass = bloomPositions(keyed.select(col("__fk")), col("__fk"),
+        wWords, kHashes)
+      .join(filterWords, Seq("word"), "left")
+      .select(col("key").as("__fk"),
+        when(col("bits").isNotNull &&
+          col("bits").bitwiseAND(col("mask")) === col("mask"), 1L)
+          .otherwise(0L).as("__hit"))
+      .groupBy(col("__fk"))
+      .agg((sum(col("__hit")) === kHashes).as("__pass"))
+    val truth = dim.select(dimKey.cast("string").as("__fk")).distinct()
+      .select(col("__fk"), lit(true).as("__in_dim"))
+    keyed.join(pass, Seq("__fk")).join(truth, Seq("__fk"), "left")
+      .agg(sum(col("__nr")).as("n_fact_rows"),
+        count(lit(1)).as("n_fact_keys"),
+        sum(when(col("__pass"), col("__nr")).otherwise(0L)).as("n_pass_rows"),
+        sum(when(col("__in_dim").isNotNull, col("__nr")).otherwise(0L))
+          .as("n_true_rows"),
+        sum(when(col("__pass") && col("__in_dim").isNull, col("__nr"))
+          .otherwise(0L)).as("n_fp_rows"))
+      .select(col("n_fact_rows"), col("n_fact_keys"), col("n_pass_rows"),
+        col("n_true_rows"), col("n_fp_rows"),
+        (lit(100.0) * (lit(1.0) - col("n_pass_rows").cast("double") /
+          col("n_fact_rows").cast("double"))).as("reduction_pct"))
   }
 }

@@ -25,6 +25,18 @@ object Formats {
     df.sparkSession.read.orc(path)
   }
 
+  /** Write `df` as JSON Lines under `path` and read it back with the
+    * ORIGINAL schema (never inferred — inference is an extra full pass and
+    * widens integer types). Same caller contract as [[csvRoundtrip]]:
+    * exact-text column types only; JSONL is the interchange format every
+    * LLM-corpus pipeline speaks, so losslessness here is the property that
+    * lets this engine sit between a crawler and a trainer.
+    */
+  def jsonlRoundtrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
   /** Write `df` as headered CSV under `path` and read it back with the
     * ORIGINAL schema (never inferred). Callers must pass frames whose
     * column types have exact text forms (integers, strings, dates) — a raw
