@@ -160,7 +160,7 @@ object ExtQueries {
   /** CTE chain ending in `j(id_a, id_b, jaccard)` — the MinHash-LSH candidate +
     * exact-verify pipeline, shared by the pair oracle and the LSH-cluster oracle.
     */
-  private val minhashPairCtesSql: String = {
+  private[graft] val minhashPairCtesSql: String = {
     s"""$minhashSigBandCtesSql,
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |      FROM banded x JOIN banded y

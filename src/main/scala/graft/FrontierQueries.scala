@@ -214,8 +214,11 @@ object FrontierQueries {
       .orderBy(col("bin"))
   }
 
-  val scoreCalibrationSql: String =
-    """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+  /** Shared oracle CTE chain for the hashed-score queries, ending in
+    * `sc(doc_id, score)` (ROUND 6) and `g(doc_id, keep)`.
+    */
+  private[graft] val calibScoreKeepCtes: String =
+    """t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
       |  FROM documents),
       |f AS (SELECT doc_id, unnest(toks) AS feat FROM t
       |      UNION ALL
@@ -245,7 +248,10 @@ object FrontierQueries {
       |g AS (SELECT ta.doc_id,
       |    (CAST(max_tf AS DOUBLE) / n_tokens <= 0.20 AND
       |     1.0 - CAST(n_distinct_bg AS DOUBLE) / n_bg <= 0.30) AS keep
-      |  FROM ta JOIN ba USING (doc_id)),
+      |  FROM ta JOIN ba USING (doc_id))""".stripMargin
+
+  val scoreCalibrationSql: String =
+    s"""WITH $calibScoreKeepCtes,
       |j AS (SELECT CAST(LEAST(19, FLOOR(sc.score * 20)) AS INT) AS bin,
       |    sc.score, g.keep FROM sc JOIN g USING (doc_id))
       |SELECT bin, ROUND(bin / 20.0, 6) AS lo, COUNT(*) AS n_docs,

@@ -511,7 +511,274 @@ object OmegaQueries {
       |    / CAST(n_fact_rows AS DOUBLE)), 6) AS reduction_pct
       |FROM agg""".stripMargin
 
+  // --------------------------------------------------------------------------
+  // Personalized PageRank from seed parts
+  // --------------------------------------------------------------------------
+
+  /** Proximity-to-seeds ranking over the weighted co-purchase graph
+    * ([[graft.ext.PageRank.personalizedPageRank]], 3 rounds, d=0.85,
+    * teleport uniform over the 3 smallest part ids): the graph-native
+    * "more like these" expansion. Top-20 by score.
+    */
+  def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    val e = SummitQueries.copurchaseEdges(spark, dir)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
+      col("w")))
+    val seeds = sym.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    graft.ext.PageRank.personalizedPageRank(sym, "src", "dst", "w", seeds,
+        "node", iterations = 3, damping = 0.85)
+      .orderBy(col("ppr").desc, col("node"))
+      .limit(20)
+      .select(col("node"), round(col("ppr"), 6).as("ppr"))
+  }
+
+  val pprSql: String =
+    """WITH e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b,
+      |    COUNT(DISTINCT x.l_orderkey) AS w
+      |  FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+      |sym AS (SELECT a AS src, b AS dst, w FROM e0
+      |  UNION ALL SELECT b, a, w FROM e0),
+      |outw AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outw FROM sym
+      |  GROUP BY 1),
+      |seeds AS (SELECT DISTINCT src AS node FROM sym ORDER BY node LIMIT 3),
+      |ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k FROM seeds),
+      |p0 AS (SELECT node, 1.0 / (SELECT k FROM ns) AS ppr FROM seeds),
+      |c1 AS (SELECT s.dst AS node,
+      |    CAST(SUM(CAST(p.ppr * s.w / o.outw AS DECIMAL(28,15))) AS DOUBLE)
+      |      AS s
+      |  FROM sym s JOIN p0 p ON s.src = p.node JOIN outw o
+      |    ON s.src = o.src GROUP BY 1),
+      |p1 AS (SELECT COALESCE(c.node, sd.node) AS node,
+      |    CASE WHEN sd.node IS NOT NULL
+      |      THEN (1.0 - 0.85) * (1.0 / (SELECT k FROM ns)) ELSE 0.0 END
+      |    + 0.85 * COALESCE(c.s, 0.0) AS ppr
+      |  FROM c1 c FULL JOIN seeds sd ON c.node = sd.node),
+      |c2 AS (SELECT s.dst AS node,
+      |    CAST(SUM(CAST(p.ppr * s.w / o.outw AS DECIMAL(28,15))) AS DOUBLE)
+      |      AS s
+      |  FROM sym s JOIN p1 p ON s.src = p.node JOIN outw o
+      |    ON s.src = o.src GROUP BY 1),
+      |p2 AS (SELECT COALESCE(c.node, sd.node) AS node,
+      |    CASE WHEN sd.node IS NOT NULL
+      |      THEN (1.0 - 0.85) * (1.0 / (SELECT k FROM ns)) ELSE 0.0 END
+      |    + 0.85 * COALESCE(c.s, 0.0) AS ppr
+      |  FROM c2 c FULL JOIN seeds sd ON c.node = sd.node),
+      |c3 AS (SELECT s.dst AS node,
+      |    CAST(SUM(CAST(p.ppr * s.w / o.outw AS DECIMAL(28,15))) AS DOUBLE)
+      |      AS s
+      |  FROM sym s JOIN p2 p ON s.src = p.node JOIN outw o
+      |    ON s.src = o.src GROUP BY 1),
+      |p3 AS (SELECT COALESCE(c.node, sd.node) AS node,
+      |    CASE WHEN sd.node IS NOT NULL
+      |      THEN (1.0 - 0.85) * (1.0 / (SELECT k FROM ns)) ELSE 0.0 END
+      |    + 0.85 * COALESCE(c.s, 0.0) AS ppr
+      |  FROM c3 c FULL JOIN seeds sd ON c.node = sd.node)
+      |SELECT node, ROUND(ppr, 6) AS ppr FROM p3 WHERE ppr > 0
+      |ORDER BY p3.ppr DESC, node LIMIT 20""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // b-bit MinHash audit
+  // --------------------------------------------------------------------------
+
+  /** b-bit MinHash estimator audit over the LSH candidate pairs
+    * ([[graft.ext.Dedup.bbitMinhashPairs]]): full-signature vs 2-bit vs
+    * 1-bit Jaccard estimates next to the exact shingle Jaccard — the
+    * storage-vs-variance sweep before shrinking a 100 TB signature store.
+    */
+  def qBbitMinhash(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Dedup.bbitMinhashPairs(Tables.documents(spark, dir),
+        "doc_id", "text", k = 3, numHashes = 16, rowsPerBand = 4)
+      .select(col("id_a"), col("id_b"),
+        round(col("est_full"), 6).as("est_full"),
+        round(col("est_b2"), 6).as("est_b2"),
+        round(col("est_b1"), 6).as("est_b1"),
+        round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  val bbitMinhashSql: String = {
+    def matchFrac(expr: Int => String): String =
+      (0 until 16).map(j =>
+        s"CASE WHEN ${expr(j)} THEN 1.0 ELSE 0.0 END")
+        .mkString("(", " + ", ") / 16")
+    val full = matchFrac(j => s"a.mh_$j = b.mh_$j")
+    val b2 = matchFrac(j => s"a.mh_$j % 4 = b.mh_$j % 4")
+    val b1 = matchFrac(j => s"a.mh_$j % 2 = b.mh_$j % 2")
+    s"""WITH ${ExtQueries.minhashPairCtesSql},
+      |est AS (SELECT c.id_a, c.id_b, $full AS est_full,
+      |    ($b2 - 0.25) / 0.75 AS est_b2,
+      |    ($b1 - 0.5) / 0.5 AS est_b1
+      |  FROM cand c JOIN sig a ON c.id_a = a.doc_id
+      |  JOIN sig b ON c.id_b = b.doc_id)
+      |SELECT j.id_a, j.id_b, ROUND(est.est_full, 6) AS est_full,
+      |  ROUND(est.est_b2, 6) AS est_b2, ROUND(est.est_b1, 6) AS est_b1,
+      |  ROUND(j.jaccard, 6) AS jaccard
+      |FROM j JOIN est ON j.id_a = est.id_a AND j.id_b = est.id_b
+      |ORDER BY j.id_a, j.id_b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Brier decomposition of the quality-score forecast
+  // --------------------------------------------------------------------------
+
+  /** Murphy decomposition of the hashed-linear quality score treated as a
+    * forecast of the Gopher keep decision ([[graft.ext.Experiment
+    * .brierDecomposition]], 20 bins): reliability / resolution /
+    * uncertainty plus the within-bin variance gap — the readout that says
+    * whether recalibrating the score (REL) or retraining it (RES) is the
+    * lever. Forecasts enter at ROUND 6 on both engines.
+    */
+  def qBrierDecomp(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.TextQuality
+    val docs = Tables.documents(spark, dir)
+    val s = TextQuality.hashedLinearScore(docs, "doc_id", "text")
+      .select(col("doc_id"), round(col("score"), 6).as("score"))
+    val g = TextQuality.gopherSignals(docs, "doc_id", "text")
+      .select(col("doc_id"), col("keep"))
+    graft.ext.Experiment.brierDecomposition(s.join(g, "doc_id"),
+        "score", "keep", bins = 20)
+      .select(col("n"), round(col("brier"), 6).as("brier"),
+        round(col("reliability"), 6).as("reliability"),
+        round(col("resolution"), 6).as("resolution"),
+        round(col("uncertainty"), 6).as("uncertainty"),
+        round(col("decomp_gap"), 6).as("decomp_gap"))
+  }
+
+  val brierDecompSql: String =
+    s"""WITH ${FrontierQueries.calibScoreKeepCtes},
+      |rows0 AS (SELECT sc.score AS p,
+      |    CASE WHEN g.keep THEN 1 ELSE 0 END AS o,
+      |    CAST(LEAST(19, FLOOR(sc.score * 20)) AS INT) AS bin
+      |  FROM sc JOIN g USING (doc_id)),
+      |tot AS (SELECT COUNT(*) AS n, CAST(SUM(o) AS BIGINT) AS son,
+      |    SUM(CAST((p - CAST(o AS DOUBLE)) * (p - CAST(o AS DOUBLE))
+      |      AS DECIMAL(27,12))) AS sbs
+      |  FROM rows0),
+      |gb AS (SELECT bin, COUNT(*) AS nk,
+      |    SUM(CAST(p AS DECIMAL(27,12))) AS sp,
+      |    CAST(SUM(o) AS BIGINT) AS so
+      |  FROM rows0 GROUP BY 1),
+      |terms AS (SELECT tot.n, tot.son, tot.sbs,
+      |    SUM(CAST(CAST(nk AS DOUBLE) *
+      |      ((CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE)
+      |          - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE))
+      |       * (CAST(sp AS DOUBLE) / CAST(nk AS DOUBLE)
+      |          - CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)))
+      |      AS DECIMAL(28,12))) AS srel,
+      |    SUM(CAST(CAST(nk AS DOUBLE) *
+      |      ((CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+      |          - CAST(son AS DOUBLE) / CAST(n AS DOUBLE))
+      |       * (CAST(so AS DOUBLE) / CAST(nk AS DOUBLE)
+      |          - CAST(son AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      AS DECIMAL(28,12))) AS sres
+      |  FROM gb CROSS JOIN tot GROUP BY 1, 2, 3)
+      |SELECT n, ROUND(CAST(sbs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS brier,
+      |  ROUND(CAST(srel AS DOUBLE) / CAST(n AS DOUBLE), 6) AS reliability,
+      |  ROUND(CAST(sres AS DOUBLE) / CAST(n AS DOUBLE), 6) AS resolution,
+      |  ROUND((CAST(son AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (1.0 - CAST(son AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |    AS uncertainty,
+      |  ROUND(CAST(sbs AS DOUBLE) / CAST(n AS DOUBLE)
+      |    - (CAST(srel AS DOUBLE) / CAST(n AS DOUBLE)
+      |       - CAST(sres AS DOUBLE) / CAST(n AS DOUBLE)
+      |       + (CAST(son AS DOUBLE) / CAST(n AS DOUBLE))
+      |         * (1.0 - CAST(son AS DOUBLE) / CAST(n AS DOUBLE))), 6)
+      |    AS decomp_gap
+      |FROM terms""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Prefix-hierarchy rollup of part types
+  // --------------------------------------------------------------------------
+
+  /** Revenue rollup at every word-prefix depth of p_type
+    * ([[graft.ext.Hierarchy.prefixRollup]]): the taxonomy-from-strings
+    * OLAP shape ("STANDARD" ⊃ "STANDARD BRUSHED" ⊃ ...), exact
+    * integer-cent totals.
+    */
+  def qTypePrefixRollup(spark: SparkSession, dir: String): DataFrame = {
+    val partRev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("rev_cents"))
+      .join(Tables.part(spark, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_type")),
+        Seq("l_partkey"))
+    graft.ext.Hierarchy.prefixRollup(partRev, "p_type", "rev_cents",
+        sep = " ", maxLevels = 3)
+      .withColumnRenamed("n_rows", "n_parts")
+      .withColumnRenamed("total", "rev_cents")
+      .orderBy(col("level"), col("prefix"))
+  }
+
+  val typePrefixRollupSql: String =
+    """WITH pr AS (SELECT l.l_partkey,
+      |    CAST(SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT))
+      |      AS BIGINT) AS rev,
+      |    MAX(p.p_type) AS p_type
+      |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |  GROUP BY 1),
+      |w AS (SELECT rev, string_split(p_type, ' ') AS ws FROM pr),
+      |px AS (SELECT lvl.l AS level,
+      |    array_to_string(ws[1:lvl.l], ' ') AS prefix, rev
+      |  FROM w CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS l) lvl
+      |  WHERE len(ws) >= lvl.l)
+      |SELECT CAST(level AS INT) AS level, prefix, COUNT(*) AS n_parts,
+      |  CAST(SUM(rev) AS BIGINT) AS rev_cents
+      |FROM px GROUP BY 1, 2 ORDER BY level, prefix""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Quantile treatment effects
+  // --------------------------------------------------------------------------
+
+  /** Per-arm exact purchase-value quantiles via ONE distributed global
+    * ranking ([[graft.ext.GlobalRank.groupedExactQuantiles]] — groups
+    * contiguous in rank space, no per-arm single-task sort): the
+    * quantile-level readout of the A/B split that q_ab_test's means
+    * average away.
+    */
+  def qQte(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(
+        when(graft.ext.Splits.hashBucket(col("user_id")) % 2 === 0,
+          lit("A")).otherwise(lit("B")).as("arm"),
+        round(col("value") * 1000000.0, 0).cast("long").as("vm"),
+        col("user_id"))
+    graft.ext.GlobalRank.groupedExactQuantiles(e, "arm", "vm",
+        Seq("user_id"), probs = Seq(0.25, 0.5, 0.75, 0.9))
+      .select(col("arm"), col("p"),
+        round(col("value") / 1000000.0, 6).as("value"))
+      .orderBy(col("arm"), col("p"))
+  }
+
+  val qteSql: String =
+    """WITH e AS (SELECT
+      |    CASE WHEN (('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT % 100) % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(ROUND(value * 1000000.0, 0) AS BIGINT) AS vm,
+      |    user_id
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT arm, COUNT(*) AS ng FROM e GROUP BY 1),
+      |ps AS (SELECT unnest(CAST([0.25, 0.5, 0.75, 0.9] AS DOUBLE[]))
+      |  AS p),
+      |t AS (SELECT arm, p,
+      |    GREATEST(1, CAST(CEIL(p * ng) AS BIGINT)) AS tr
+      |  FROM g CROSS JOIN ps),
+      |r AS (SELECT arm, vm,
+      |    ROW_NUMBER() OVER (PARTITION BY arm ORDER BY vm, user_id) AS rn
+      |  FROM e)
+      |SELECT r.arm, t.p, ROUND(r.vm / 1000000.0, 6) AS value
+      |FROM r JOIN t ON r.arm = t.arm AND r.rn = t.tr
+      |ORDER BY r.arm, t.p""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppr" -> (qPpr _),
+    "q_bbit_minhash" -> (qBbitMinhash _),
+    "q_brier_decomp" -> (qBrierDecomp _),
+    "q_type_prefix_rollup" -> (qTypePrefixRollup _),
+    "q_qte" -> (qQte _),
     "q_pq_residual" -> (qPqResidual _),
     "q_pca_power" -> (qPcaPower _),
     "q_changepoint" -> (qChangepoint _),
@@ -523,6 +790,11 @@ object OmegaQueries {
     "q_bloom_prejoin" -> (qBloomPrejoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ppr" -> pprSql,
+    "q_bbit_minhash" -> bbitMinhashSql,
+    "q_brier_decomp" -> brierDecompSql,
+    "q_type_prefix_rollup" -> typePrefixRollupSql,
+    "q_qte" -> qteSql,
     "q_pq_residual" -> pqResidualSql,
     "q_pca_power" -> pcaPowerSql,
     "q_changepoint" -> changepointSql,

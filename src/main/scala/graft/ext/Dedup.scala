@@ -331,6 +331,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"), col("jaccard"))
   }
 
+  /** b-bit MinHash audit (Li & König, WWW 2010): for every LSH candidate
+    * pair, the full-signature Jaccard estimate next to the 1-bit and 2-bit
+    * estimates — keeping only the lowest b bits of each signature component
+    * cuts sketch storage 64/b-fold, at the price of chance collisions the
+    * estimator debiases: with match rate p_b over the components,
+    * Ĵ_b = (p_b − 2⁻ᵇ)/(1 − 2⁻ᵇ) (the paper's r→0 form; exact shingle
+    * Jaccard rides along as truth). The numbers a 100 TB dedup run reads
+    * before choosing its signature width.
+    * Output: (id_a, id_b, est_full, est_b2, est_b1, jaccard).
+    */
+  def bbitMinhashPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, numHashes: Int = 16,
+                       rowsPerBand: Int = 4): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val sig = minhashSignatures(df, idCol, textCol, k, numHashes)
+    val banded = bandKeys(sig, idCol, numHashes / rowsPerBand, rowsPerBand)
+    val cand = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))
+      .join(banded.select(col(idCol).as("id_b"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val sigA = sig.select(col(idCol).as("id_a") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__a_$j")): _*)
+    val sigB = sig.select(col(idCol).as("id_b") +:
+      (0 until numHashes).map(j => col(s"mh_$j").as(s"__b_$j")): _*)
+    def estBits(b: Int): org.apache.spark.sql.Column = {
+      val mask = (1L << b) - 1
+      val p = (0 until numHashes).map { j =>
+        when(col(s"__a_$j").bitwiseAND(lit(mask)) ===
+          col(s"__b_$j").bitwiseAND(lit(mask)), 1.0).otherwise(0.0)
+      }.reduce(_ + _) / numHashes
+      val c = 1.0 / (1L << b).toDouble
+      (p - lit(c)) / lit(1.0 - c)
+    }
+    val estFull = (0 until numHashes).map { j =>
+      when(col(s"__a_$j") === col(s"__b_$j"), 1.0).otherwise(0.0)
+    }.reduce(_ + _) / numHashes
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    verifyJaccard(cand, sh, sizes, idCol, threshold = 0.0)
+      .join(cand.join(sigA, Seq("id_a")).join(sigB, Seq("id_b"))
+          .select(col("id_a"), col("id_b"), estFull.as("est_full"),
+            estBits(2).as("est_b2"), estBits(1).as("est_b1")),
+        Seq("id_a", "id_b"))
+      .select(col("id_a"), col("id_b"), col("est_full"), col("est_b2"),
+        col("est_b1"), col("jaccard"))
+  }
+
   /** Edit-distance near-dup verification: MinHash-LSH candidate generation
     * (same banding as [[minhashLshPairs]] — candidates stay an equi-join on
     * band keys, never corpus²) verified with LEVENSHTEIN distance instead of

@@ -97,4 +97,42 @@ object GlobalRank {
     ranked.join(broadcast(targets), col("rn") === col("__target"))
       .select(col("p"), col(valueCol).as("value"))
   }
+
+  /** Per-GROUP exact quantiles without per-group single-task sorts: ONE
+    * global ranking under `(group, value, ties...)` (so groups are
+    * contiguous in rank space), per-group offsets/counts from a small
+    * aggregate, and a broadcast (group, p, target-rank) join picks each
+    * group's `max(1, ceil(p·n_g))`-th value — percentile_disc semantics
+    * per group. The scale contrast: `Window.partitionBy(group)` puts a
+    * WHOLE group in one task, which for low-cardinality groups (arms,
+    * tiers) is half the corpus; here no task ever holds more than its
+    * range-partition share regardless of group skew.
+    *
+    * Output: (group, p, value), ordered by nothing (caller sorts).
+    */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String,
+                            valueCol: String, tieCols: Seq[String],
+                            probs: Seq[Double]): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p <= 1),
+      s"probs must be in (0, 1], got $probs")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val proj = df.select(groupCol, (valueCol +: tieCols): _*)
+    val ranked = globalRowNumber(proj,
+      (groupCol +: valueCol +: tieCols).map(col))
+    val bounds = ranked.groupBy(col(groupCol))
+      .agg(min(col("rn")).as("__start"), count(lit(1)).as("__ng"))
+    val ps = probs.toDF("p")
+    // rename the group key on the target side: both frames descend from the
+    // same ranking, and Spark's ambiguous-self-join check (rightly) rejects
+    // same-named columns with shared lineage
+    val targets = broadcast(bounds.crossJoin(ps)
+      .select(col(groupCol).as("__grp"), col("p"),
+        (col("__start") - 1 +
+          greatest(lit(1L), ceil(col("p") * col("__ng")).cast("long")))
+          .as("__target")))
+    ranked.join(targets,
+        col(groupCol) === col("__grp") && col("rn") === col("__target"))
+      .select(col(groupCol), col("p"), col(valueCol).as("value"))
+  }
 }

@@ -70,4 +70,51 @@ object PageRank {
     // nodes) are the ones worth materializing.
     pr
   }
+
+  /** Personalized PageRank (Haveliwala, WWW 2002) over a WEIGHTED edge
+    * table: random walks teleport back to the `seeds` set (uniformly)
+    * instead of to every node, so scores measure proximity TO THE SEEDS —
+    * the graph-native "more like these" ranking behind seed-based item
+    * expansion. Same fixed-iteration, engine-portable discipline as
+    * [[pageRank]]: contributions `ppr(u)·w(u,v)/outw(u)` pool in
+    * DECIMAL(28,15), the damping mix is one double formula, and the
+    * teleport mass (1−d)/|S| lands ONLY on seed rows. Nodes unreachable
+    * from the seeds (and off the teleport set) end at 0 and are dropped.
+    * Output: (node, ppr), nonzero rows.
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           weightCol: String, seeds: DataFrame,
+                           seedCol: String, iterations: Int = 3,
+                           damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .repartition(col("src"))
+      .localCheckpoint()
+    val outw = e.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+      .localCheckpoint()
+    val s = seeds.select(col(seedCol).as("node")).distinct()
+      .localCheckpoint()
+    val nSeeds = s.count() // one driver scalar
+    require(nSeeds >= 1, "personalizedPageRank needs at least one seed")
+    val teleport = 1.0 / nSeeds
+    var pr = s.withColumn("ppr", lit(teleport))
+    (1 to iterations).foreach { _ =>
+      val contrib = e
+        .join(pr.withColumnRenamed("node", "src"), "src")
+        .join(outw, "src")
+        .select(col("dst").as("node"),
+          (col("ppr") * col("w") / col("outw")).cast("decimal(28,15)")
+            .as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      pr = contrib
+        .join(s.withColumn("__seed", lit(true)), Seq("node"), "full")
+        .select(col("node"),
+          (when(col("__seed").isNotNull, lit((1.0 - damping) * teleport))
+            .otherwise(lit(0.0)) +
+            lit(damping) * coalesce(col("s").cast("double"), lit(0.0)))
+            .as("ppr"))
+    }
+    pr.filter(col("ppr") > 0)
+  }
 }

@@ -170,6 +170,94 @@ class OmegaModulesSpec extends SparkTestBase {
       s"residual PQ should cut distortion: $mseRes vs $mseRaw")
   }
 
+  test("personalizedPageRank: one hand-computed round on a 3-node path") {
+    // edges 1->2, 2->1, 2->3, 3->2 (path 1-2-3, unit weights); seed {1}
+    val edges = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+      .toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val out = PageRank.personalizedPageRank(edges, "src", "dst", "w", seeds,
+        "node", iterations = 1, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // p0 = {1: 1.0}; contribs: node2 gets 1.0 * 1/1 = 1.0
+    // p1(1) = 0.15*1 + 0.85*0 = 0.15; p1(2) = 0.85*1.0 = 0.85; 3 absent
+    assert(out.keySet == Set(1L, 2L))
+    assert(approx(out(1L), 0.15) && approx(out(2L), 0.85))
+    // more rounds: mass reaches 3, seed proximity ordering holds
+    val out3 = PageRank.personalizedPageRank(edges, "src", "dst", "w", seeds,
+        "node", iterations = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out3.keySet == Set(1L, 2L, 3L))
+    assert(out3(2L) > out3(3L), "closer to seed ranks higher")
+  }
+
+  test("bbitMinhashPairs: identical docs estimate 1 at every width; " +
+      "debiased estimates track the exact Jaccard direction") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, base + " lambda mu nu xi omicron pi rho sigma"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.bbitMinhashPairs(docs, "doc_id", "text", k = 3,
+        numHashes = 16, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    val (f12, b2_12, b1_12, j12) = rows((1L, 2L))
+    assert(approx(f12, 1.0) && approx(b2_12, 1.0) && approx(b1_12, 1.0) &&
+      approx(j12, 1.0))
+    // the partially-similar pair: every estimator should sit well below 1
+    rows.get((1L, 3L)).foreach { case (f, b2, b1, j) =>
+      assert(j < 1.0 && f < 1.0)
+      // debiased range: estimates live in [-c/(1-c), 1]
+      assert(b1 <= 1.0 + 1e-9 && b2 <= 1.0 + 1e-9)
+    }
+  }
+
+  test("brierDecomposition: perfect and constant forecasts hit the " +
+      "closed forms") {
+    // perfect: p == o -> BS=0, REL=0, RES=UNC, gap=0
+    val perfect = Seq.tabulate(40)(i => (if (i % 4 == 0) 1.0 else 0.0,
+      i % 4 == 0)).toDF("p", "o")
+    val r1 = Experiment.brierDecomposition(perfect, "p", "o", bins = 20)
+      .collect().head
+    val obar = 0.25
+    assert(approx(r1.getDouble(1), 0.0) && approx(r1.getDouble(2), 0.0))
+    assert(approx(r1.getDouble(3), obar * (1 - obar)))
+    assert(approx(r1.getDouble(4), obar * (1 - obar)))
+    assert(approx(r1.getDouble(5), 0.0))
+    // constant forecast at the base rate: RES=0, REL=0, BS=UNC
+    val const = Seq.tabulate(40)(i => (0.25, i % 4 == 0)).toDF("p", "o")
+    val r2 = Experiment.brierDecomposition(const, "p", "o", bins = 20)
+      .collect().head
+    assert(approx(r2.getDouble(2), 0.0) && approx(r2.getDouble(3), 0.0))
+    assert(approx(r2.getDouble(1), obar * (1 - obar)))
+  }
+
+  test("prefixRollup aggregates every word-prefix level exactly") {
+    val df = Seq(("a b c", 1L), ("a b d", 10L), ("a x", 100L), ("z", 1000L))
+      .toDF("path", "v")
+    val out = Hierarchy.prefixRollup(df, "path", "v", " ", maxLevels = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out((1, "a")) == ((3L, 111L)) && out((1, "z")) == ((1L, 1000L)))
+    assert(out((2, "a b")) == ((2L, 11L)) && out((2, "a x")) == ((1L, 100L)))
+    assert(out((3, "a b c")) == ((1L, 1L)) && out((3, "a b d")) == ((1L, 10L)))
+    assert(!out.contains((2, "z")), "short paths stop at their depth")
+  }
+
+  test("groupedExactQuantiles matches per-group sorted picks") {
+    val rows = (1 to 7).map(i => ("A", i.toLong, i.toLong)) ++
+      (1 to 4).map(i => ("B", (10 * i).toLong, (100 + i).toLong))
+    val df = rows.toDF("g", "v", "id")
+    val out = GlobalRank.groupedExactQuantiles(df, "g", "v", Seq("id"),
+        Seq(0.5, 1.0))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2))
+      .toMap
+    // A: n=7 -> ceil(0.5*7)=4 -> value 4; ceil(1.0*7)=7 -> 7
+    assert(out(("A", 0.5)) == 4L && out(("A", 1.0)) == 7L)
+    // B: n=4 -> ceil(2)=2 -> 20; 4 -> 40
+    assert(out(("B", 0.5)) == 20L && out(("B", 1.0)) == 40L)
+  }
+
   test("jsonlRoundtrip is lossless on exact-text column types") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
     try {
