@@ -233,6 +233,14 @@ object Series {
     * online against a KNOWN reference; this finds the single most likely
     * break offline with no reference at all.
     *
+    * Dual of [[ChangeDetect.bestSplit]] (argmax BETWEEN-segment SSE): total
+    * SSE is constant over split choices, so minimizing within-SSE and
+    * maximizing between-SSE pick THE SAME split — OmegaModulesSpec pins the
+    * two operators to each other on a planted shift. This form adds the
+    * variance-decomposition readout (sse_full/sse_split/gain_share, segment
+    * means) a monitoring dashboard plots; bestSplit reports the per-group
+    * z-scored break scan.
+    *
     * Exactness: `x` must be exact DECIMAL (caller casts; revenue cents);
     * prefix sums S(t), S2(t) accumulate in DECIMAL via day-ordered windows,
     * each candidate's cost is ONE fixed double formula over those exact

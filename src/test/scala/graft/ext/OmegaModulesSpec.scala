@@ -36,6 +36,27 @@ class OmegaModulesSpec extends SparkTestBase {
     assert(out.isNullAt(7), "gain undefined on a flat series")
   }
 
+  test("binarySegmentSplit picks the same break as its between-SSE dual " +
+      "ChangeDetect.bestSplit") {
+    // noisy series with a planted level shift at day 13
+    val rows = (1 to 24).map { d =>
+      val base = if (d <= 12) 2000 else 5000
+      (day(d), java.math.BigDecimal.valueOf(base + (d * 37) % 100))
+    }
+    val mine = Series.binarySegmentSplit(rows.toDF("day", "x"), "day", "x")
+      .collect().head
+    val dual = ChangeDetect.bestSplit(
+        rows.map { case (d, x) => ("g", d, x) }.toDF("g", "day", "v"),
+        "g", "day", "v")
+      .collect().head
+    // bestSplit reports the LAST LEFT day; binarySegmentSplit the first
+    // right day — adjacent by construction
+    val lastLeft = dual.getDate(dual.fieldIndex("split_day"))
+    assert(mine.getDate(0) == day(13) &&
+      lastLeft == day(12),
+      s"duals disagree: ${mine.getDate(0)} vs $lastLeft")
+  }
+
   test("saxMotifs: alternating high/low frames yield the alternating word") {
     // 1-day PAA frames, values alternate far above/below the mean
     val rows = (1 to 12).map(d =>
