@@ -512,6 +512,98 @@ object OmegaQueries {
       |FROM agg""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Batched IVFPQ serve
+  // --------------------------------------------------------------------------
+
+  /** Many-queries-one-job IVFPQ serve
+    * ([[graft.ext.SimSearch.ivfPqProbeTopKForQueries]]): vecs 0/1/2 each
+    * resolve their 2 nearest learned cells, ADC-score only those cells'
+    * code rows against their own broadcast LUT slice, shortlist 20 by
+    * approximate distance, exact-rerank to top-5 — the production batch
+    * shape of q_ivfpq_topk. The probed-cell union reaches the reads as a
+    * STATIC partition filter.
+    */
+  def qIvfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.SimSearch
+    val emb = Tables.embeddings(spark, dir)
+    val seeds = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val path = s"/tmp/graft_ivfpq_batch_${math.abs(dir.hashCode.toLong)}_" +
+      spark.sparkContext.applicationId
+    SimSearch.ivfPqWriteIndex(emb, "vec_id", "embedding", seeds,
+      "cid", "cvec", iters = 1, pqCodebook(spark, dir), "code", "cvec",
+      path, m = 8, subDim = 8)
+    val queries = emb.filter(col("vec_id") < 3)
+    SimSearch.ivfPqProbeTopKForQueries(spark, path, queries,
+        "vec_id", "embedding", k = 5, nProbe = 2, shortlist = 20)
+      .select(col("query_id"), col("vec_id"),
+        col("ivf_cell").cast("long").as("ivf_cell"),
+        round(col("adc_dist"), 6).as("adc_dist"),
+        round(col("cosine"), 6).as("cosine"))
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
+
+  val ivfPqBatchSql: String =
+    s"""WITH ${TitanQueries.ivfCtesSql},
+      |qs AS (SELECT vec_id AS query_id, embedding AS qe, nv AS qn FROM v
+      |  WHERE vec_id IN (0, 1, 2)),
+      |prk AS (SELECT qs.query_id, cn1.cid, ROW_NUMBER() OVER (
+      |    PARTITION BY qs.query_id ORDER BY
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> (cn1.ce[i] - qs.qe[i]::DOUBLE)
+      |         * (cn1.ce[i] - qs.qe[i]::DOUBLE))), cn1.cid) AS rk
+      |  FROM qs CROSS JOIN cn1),
+      |probes2 AS (SELECT query_id, cid FROM prk WHERE rk <= 2),
+      |ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 4),
+      |candv AS (SELECT p.query_id, a.vec_id, a.cid
+      |  FROM asn2 a JOIN probes2 p ON a.cid = p.cid
+      |  WHERE a.vec_id <> p.query_id),
+      |cvd AS (SELECT DISTINCT vec_id FROM candv),
+      |pdd AS (SELECT c.vec_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (v.embedding[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS d2
+      |  FROM cvd c JOIN v ON c.vec_id = v.vec_id
+      |  CROSS JOIN ss CROSS JOIN cb),
+      |pa AS (SELECT vec_id, s, code, ROW_NUMBER() OVER
+      |    (PARTITION BY vec_id, s ORDER BY d2, code) AS rk FROM pdd),
+      |asnc AS (SELECT vec_id, s, code FROM pa WHERE rk = 1),
+      |lut AS (SELECT qs.query_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (qs.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (qs.qe[ss.s * 8 + i]::DOUBLE
+      |              - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS dq2
+      |  FROM qs CROSS JOIN ss CROSS JOIN cb),
+      |adc AS (SELECT cv.query_id, cv.vec_id, cv.cid AS ivf_cell,
+      |    CAST(SUM(CAST(l.dq2 AS DECIMAL(18,9))) AS DOUBLE) AS adc_raw
+      |  FROM candv cv JOIN asnc a ON cv.vec_id = a.vec_id
+      |  JOIN lut l ON l.query_id = cv.query_id AND l.s = a.s
+      |    AND l.code = a.code
+      |  GROUP BY 1, 2, 3),
+      |shr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY adc_raw, vec_id) AS sr FROM adc),
+      |sh2 AS (SELECT query_id, vec_id, ivf_cell, adc_raw FROM shr
+      |  WHERE sr <= 20),
+      |rr AS (SELECT s.query_id, s.vec_id, s.ivf_cell, s.adc_raw,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> v.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) / (v.nv * q.qn)
+      |      AS cos_raw
+      |  FROM sh2 s JOIN v ON s.vec_id = v.vec_id
+      |  JOIN qs q ON s.query_id = q.query_id),
+      |rk2 AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_raw DESC, vec_id) AS kr FROM rr)
+      |SELECT query_id, vec_id, ivf_cell, ROUND(adc_raw, 6) AS adc_dist,
+      |  ROUND(cos_raw, 6) AS cosine
+      |FROM rk2 WHERE kr <= 5
+      |ORDER BY query_id, cos_raw DESC, vec_id""".stripMargin
+
+  // --------------------------------------------------------------------------
   // Personalized PageRank from seed parts
   // --------------------------------------------------------------------------
 
@@ -774,6 +866,7 @@ object OmegaQueries {
       |ORDER BY r.arm, t.p""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ivfpq_batch" -> (qIvfPqBatch _),
     "q_ppr" -> (qPpr _),
     "q_bbit_minhash" -> (qBbitMinhash _),
     "q_brier_decomp" -> (qBrierDecomp _),
@@ -790,6 +883,7 @@ object OmegaQueries {
     "q_bloom_prejoin" -> (qBloomPrejoin _))
 
   val oracleSql: Map[String, String] = Map(
+    "q_ivfpq_batch" -> ivfPqBatchSql,
     "q_ppr" -> pprSql,
     "q_bbit_minhash" -> bbitMinhashSql,
     "q_brier_decomp" -> brierDecompSql,

@@ -521,6 +521,99 @@ object SimSearch {
       .limit(k)
   }
 
+  /** Batched IVFPQ serve: every query row in `queries` resolves its nProbe
+    * nearest learned cells, ADC-scores ONLY those cells' code rows against
+    * its own broadcast lookup-table slice, shortlists per query by
+    * approximate distance, and exactly reranks the shortlist — the
+    * many-queries-one-job shape a production ANN service runs
+    * ([[ivfPqProbeTopK]] × queries without per-query jobs, the IVFPQ
+    * counterpart of [[ivfTopKForQueries]]/[[lshTopKForQueries]]).
+    *
+    * Scale shape: centroids (nCells rows) and the per-query LUTs
+    * (#queries × m × codes rows) broadcast; the codes table is read ONCE
+    * filtered to the UNION of all queries' probe cells (partition filter),
+    * candidates join their queries' probes on `ivf_cell`; per-query
+    * shortlists come from a rank window PARTITIONED BY query (parallel
+    * across queries); vectors are fetched only for shortlisted (query, id)
+    * pairs via a broadcast join against the pruned vector partitions.
+    * Output: (query_id, id, ivf_cell, adc_dist, cosine), k rows per query
+    * by exact cosine descending.
+    */
+  def ivfPqProbeTopKForQueries(spark: org.apache.spark.sql.SparkSession,
+                               path: String, queries: DataFrame,
+                               idCol: String, vecCol: String,
+                               k: Int, nProbe: Int = 2, shortlist: Int = 30,
+                               m: Int = 8, subDim: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("ivf_cell"), col("centroid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      norm(col(vecCol)).as("__qn"))
+    val d2 = aggregate(
+      zip_with(col("__qv"), col("__centroid"),
+        (x, c) => { val dx = x.cast("double") - c; dx * dx }),
+      lit(0.0), (acc, x) => acc + x)
+    // nProbe cells per query: #queries × nCells rows, both sides broadcast
+    val probes = q.crossJoin(broadcast(
+        cents.select(col("ivf_cell"), col("centroid").as("__centroid"))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(d2, col("ivf_cell"))))
+      .filter(col("__rn") <= nProbe)
+      .select(col("query_id"), col("ivf_cell"))
+      .localCheckpoint(eager = true) // cell filter + candidate join + rerank
+    // per-query ADC lookup tables: slice the query vector per subspace
+    // against every codeword — #queries × m × codes broadcast rows
+    val cb = spark.read.parquet(s"$path/codebook")
+    val lut = q.crossJoin(broadcast(cb))
+      .select(col("query_id"), col("code"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("subspace"),
+            aggregate(zip_with(
+              slice(col("__qv"), s * subDim + 1, subDim),
+              slice(col("cvec"), s * subDim + 1, subDim),
+              (x, y) => {
+                val d = x.cast("double") - y.cast("double"); d * d
+              }), lit(0.0), (acc, x) => acc + x).as("dq2"))
+        }: _*)).as("__s"))
+      .select(col("query_id"), col("__s.subspace").as("subspace"),
+        col("code"), col("__s.dq2").as("__dq2"))
+    // the probed-cell UNION comes to the driver as O(nCells) ints so both
+    // index reads carry a STATIC partition filter (isin prunes files at
+    // plan time; a join would not)
+    val cellsArr = probes.select(col("ivf_cell")).distinct()
+      .collect().map(_.getInt(0))
+    val cellFilter = col("ivf_cell").isin(cellsArr.map(Integer.valueOf): _*)
+    val adc = spark.read.parquet(s"$path/codes")
+      .filter(cellFilter)
+      .join(broadcast(probes), Seq("ivf_cell"))
+      .filter(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol), col("ivf_cell"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .join(broadcast(lut), Seq("query_id", "subspace", "code"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(first(col("ivf_cell")).as("ivf_cell"),
+        sum(col("__dq2").cast("decimal(18,9)")).cast("double")
+          .as("adc_dist"))
+    val short = adc
+      .withColumn("__sr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col(idCol))))
+      .filter(col("__sr") <= shortlist)
+      .select(col("query_id"), col(idCol), col("adc_dist"))
+    spark.read.parquet(s"$path/data")
+      .filter(cellFilter)
+      .join(broadcast(short), Seq(idCol))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col(idCol), col("ivf_cell"), col("adc_dist"),
+        (dot(col(vecCol), col("__qv")) /
+          (norm(col(vecCol)) * col("__qn"))).as("cosine"))
+      .withColumn("__kr", row_number().over(Window.partitionBy(col("query_id"))
+        .orderBy(col("cosine").desc, col(idCol))))
+      .filter(col("__kr") <= k)
+      .select(col("query_id"), col(idCol), col("ivf_cell"), col("adc_dist"),
+        col("cosine"))
+  }
+
   /** Approximate top-k: sign-LSH bucket the corpus once (numPlanes deterministic
     * hyperplanes — same scheme as [[Dedup.embeddingDupPairs]]), then scan only
     * candidates whose bucket is within `maxHammingProbe` of the query's bucket.

@@ -184,6 +184,58 @@ class SimSearchSpec extends SparkTestBase {
     }
   }
 
+  test("batched IVFPQ probe matches the single-query probe per query and " +
+      "prunes to the probed-cell union") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqb").toString
+    try {
+      val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val codebook = corpus.filter(col("vec_id").isin(0L, 10L, 20L, 30L))
+        .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+      SimSearch.ivfPqWriteIndex(corpus, "vec_id", "embedding", seeds,
+        "cid", "cvec", iters = 2, codebook, "code", "cvec", dir,
+        m = 8, subDim = 8)
+      val queries = corpus.filter(col("vec_id").isin(0L, 25L))
+      val batch = SimSearch.ivfPqProbeTopKForQueries(spark, dir, queries,
+          "vec_id", "embedding", k = 8, nProbe = 1, shortlist = 15)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.map(r => (r.getLong(1), r.getDouble(4))).toSeq.sorted
+        }
+      assert(batch.keySet == Set(0L, 25L))
+      queries.select("vec_id", "embedding").collect().foreach { qr =>
+        val qid = qr.getLong(0)
+        val single = SimSearch.ivfPqProbeTopK(spark, dir, "vec_id",
+            "embedding", qr.getSeq[Float](1), k = 8, nProbe = 1,
+            shortlist = 15, excludeId = qid)
+          .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq.sorted
+        assert(batch(qid) == single, s"query $qid batch != single")
+      }
+      // the two queries sit in different clusters -> 2 probed cells total;
+      // scans must read at most that union, never all cells
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+        case qs: QueryStageExec => collectScans(qs.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(collectScans)
+      }
+      val probed = SimSearch.ivfPqProbeTopKForQueries(spark, dir, queries,
+        "vec_id", "embedding", k = 8, nProbe = 1, shortlist = 15)
+      probed.collect()
+      val scans = collectScans(probed.queryExecution.executedPlan)
+        .filter(_.selectedPartitions.partitionCount > 0)
+      assert(scans.nonEmpty)
+      scans.foreach(s => assert(s.selectedPartitions.partitionCount <= 2,
+        s"scan read ${s.selectedPartitions.partitionCount} partitions"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("allPairsCosine threshold keeps within-cluster pairs only") {
     val small = ((0 until 5).map(o => (o.toLong, clusterVec(1, o))) ++
       (5 until 10).map(o => (o.toLong, clusterVec(9, o)))).toDF("vec_id", "embedding")
