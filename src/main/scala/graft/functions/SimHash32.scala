@@ -46,7 +46,7 @@ case class SimHash32(child: Expression) extends UnaryExpression {
 
 object SimHash32 {
   private val SPACE = UTF8String.fromString(" ")
-  private val md5Local = new ThreadLocal[MessageDigest] {
+  private[functions] val md5Local = new ThreadLocal[MessageDigest] {
     override def initialValue(): MessageDigest =
       MessageDigest.getInstance("MD5")
   }

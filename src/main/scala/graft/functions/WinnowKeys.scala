@@ -65,7 +65,15 @@ object WinnowKeys {
     */
   val PosSpace: Long = 1L << 20
 
-  /** Static kernel shared by interpreted eval and generated code. */
+  /** Static kernel shared by interpreted eval and generated code.
+    *
+    * The k-gram hash feeds md5 the BYTE SLICE of the k-char substring
+    * directly: char→byte offsets are computed once per doc (O(bytes)), so
+    * the whole kernel is O(chars) — `substringSQL(p, k)` per position would
+    * re-seek from the string start each call (O(chars²) on multi-byte text)
+    * and allocate a UTF8String per k-gram. md5 over the slice is
+    * byte-identical to md5 over the substring's own bytes.
+    */
   def compute(text: UTF8String, k: Int, w: Int): ArrayData = {
     val len = text.numChars()
     if (len >= PosSpace)
@@ -73,17 +81,34 @@ object WinnowKeys {
         s"winnowing position space exceeded: doc length $len")
     val count = len - k + 1 // k-grams at 1-based positions 1..count
     if (count < w) return new GenericArrayData(Array.emptyLongArray)
+    val bytes = text.getBytes
+    // byte offset of each 0-based char index; offs(len) = total bytes
+    val offs = new Array[Int](len + 1)
+    var ci = 0
+    var bi = 0
+    while (ci < len) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(len) = bytes.length
+    val md = SimHash32.md5Local.get()
     // monotonic deque of (position, key), keys strictly increasing from the
     // front; front is the current window minimum
     val dqPos = new Array[Int](count)
     val dqKey = new Array[Long](count)
     var head = 0
     var tail = 0 // exclusive
-    val out = new java.util.ArrayList[java.lang.Long]()
+    var out = new Array[Long](math.max(4, 2 * count / (w + 1)))
+    var nOut = 0
     var last = Long.MinValue
     var p = 1
     while (p <= count) {
-      val h = SimHash32.tokenHash32(text.substringSQL(p, k))
+      md.reset()
+      md.update(bytes, offs(p - 1), offs(p - 1 + k) - offs(p - 1))
+      val d = md.digest()
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
       val key = h * PosSpace + (PosSpace - 1 - p)
       // later position + smaller-or-equal key dominates (keys are unique, so
       // strict > suffices, but >= is the safe statement of the rule)
@@ -92,13 +117,14 @@ object WinnowKeys {
       if (dqPos(head) <= p - w) head += 1
       if (p >= w) {
         val sel = dqKey(head)
-        if (sel != last) { out.add(sel); last = sel }
+        if (sel != last) {
+          if (nOut == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+          out(nOut) = sel; nOut += 1; last = sel
+        }
       }
       p += 1
     }
-    val arr = new Array[Long](out.size)
-    var i = 0
-    while (i < arr.length) { arr(i) = out.get(i); i += 1 }
+    val arr = java.util.Arrays.copyOf(out, nOut)
     java.util.Arrays.sort(arr)
     new GenericArrayData(arr)
   }
