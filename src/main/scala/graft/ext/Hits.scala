@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   * doubles bit-identical across engines; the oracle unrolls the same
   * recurrence.
   *
-  * Scale shape: the edge table is localCheckpoint'd once and drives every
-  * gather; each iteration is two edge-keyed aggregates joined to the
-  * (node-sized) score tables and two 1-row normalization crossJoins —
+  * Scale shape: the distinct edge table is checkpointed TWICE — once
+  * hash-partitioned by src, once by dst (localCheckpoint preserves the
+  * physical partitioning through LogicalRDD) — so each iteration's two
+  * gathers shuffle only the node-sized score table into the matching edge
+  * copy instead of re-shuffling the edge table every round; the remaining
+  * per-iteration exchanges are the gather outputs' own groupBy keys, which
+  * partial aggregation already shrinks. Two 1-row normalization crossJoins,
   * no driver-side graph, O(iterations) fixed-size plans (the PageRank
-  * checkpoint discipline). The alternating src-/dst-keyed shuffles are the
-  * cost; a production run keeps two partitioned copies of the edges.
+  * checkpoint discipline).
   */
 object Hits {
 
@@ -35,6 +38,10 @@ object Hits {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct()
       .localCheckpoint()
+    // two partitioned copies: joins on src/dst reuse the edge-side layout
+    // every iteration (only the node-sized score table moves)
+    val eSrc = e.repartition(col("src")).localCheckpoint()
+    val eDst = e.repartition(col("dst")).localCheckpoint()
     def l1Normalize(scores: DataFrame, valCol: String): DataFrame = {
       val total = scores.agg(
         sum(col(valCol).cast("decimal(18,9)")).cast("double").as("__s"))
@@ -49,13 +56,13 @@ object Hits {
       // and the score rows (and the next gather, and the final union) all
       // read the node-sized checkpoint instead of re-running the join
       a = l1Normalize(
-        e.join(h.withColumnRenamed("node", "src"), "src")
+        eSrc.join(h.withColumnRenamed("node", "src"), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("h").cast("decimal(18,9)")).cast("double").as("a"))
           .localCheckpoint(),
         "a")
       h = l1Normalize(
-        e.join(a.withColumnRenamed("node", "dst"), "dst")
+        eDst.join(a.withColumnRenamed("node", "dst"), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("a").cast("decimal(18,9)")).cast("double").as("h"))
           .localCheckpoint(),
