@@ -1,0 +1,82 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Absorption probabilities of an empirical Markov chain by fixed-round
+  * value iteration: from each state, the probability of eventually reaching
+  * the absorbing state within `iterations` steps — the funnel question
+  * ("how likely does a session in state s go on to convert?") asked of the
+  * whole transition structure instead of one hand-picked path
+  * (`Funnel`/`q_top_paths` measure specific sequences; this closes over all
+  * of them).
+  *
+  * Estimation: transitions are consecutive same-entity event pairs; the
+  * chain is the maximum-likelihood P(s→t) = n_st / n_s. The absorbing state
+  * is pinned to 1 every round, all other states start at 0, and each round
+  * applies p ← P·p — so after k rounds p(s) is exactly the probability of
+  * absorption in ≤ k steps, a monotone lower bound converging to the true
+  * absorption probability (states with no path contribute 0 forever).
+  *
+  * Exactness: each round's gather pools p(t)·n_st in DECIMAL(28,15) and
+  * divides by n_s ONCE (one fixed-order double formula per state per
+  * round), the q_ppr discipline — the DuckDB oracle unrolls the same
+  * rounds bit-identically.
+  *
+  * Scale shape: the transition matrix is one window pass over the event
+  * log (entity-partitioned lead), then `iterations` joins of the
+  * state-sized p vector into the (states²-bounded) edge table — fixed-size
+  * plans, no driver-side matrix, same envelope as [[PageRank]] /
+  * [[Hits]].
+  */
+object AbsorbingMarkov {
+
+  /** Per-state absorption probability within `iterations` steps toward
+    * `absorbing`. Output: (state, n_out, p_absorb) — n_out is the state's
+    * observed outgoing-transition count (0 for terminal-only states,
+    * which keep p_absorb 0 unless they ARE the absorbing state).
+    */
+  def absorptionProbability(events: DataFrame, entityCol: String,
+                            orderCols: Seq[String], stateCol: String,
+                            absorbing: String, iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    val trans = events
+      .select(Seq(col(entityCol), col(stateCol).as("s")) ++
+        orderCols.map(col): _*)
+      .withColumn("t", lead(col("s"), 1).over(w))
+      .filter(col("t").isNotNull)
+      .groupBy(col("s"), col("t")).agg(count(lit(1)).as("n_st"))
+      .localCheckpoint(eager = true) // every round gathers over it
+    val outs = trans.groupBy(col("s")).agg(sum(col("n_st")).as("n_s"))
+    val states = events.select(col(stateCol).as("state")).distinct()
+      .localCheckpoint(eager = true)
+    var p = states.select(col("state"),
+      when(col("state") === absorbing, lit(1.0)).otherwise(lit(0.0))
+        .as("p"))
+    for (_ <- 1 to iterations) {
+      val gathered = trans
+        .join(p.select(col("state").as("t"), col("p")), "t")
+        .groupBy(col("s"))
+        .agg(sum((col("p") * col("n_st")).cast("decimal(28,15)"))
+          .as("num"))
+        .join(outs, "s")
+        .select(col("s").as("state"),
+          (col("num").cast("double") / col("n_s")).as("p_next"))
+      p = states
+        .join(gathered, Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === absorbing, lit(1.0))
+            .otherwise(coalesce(col("p_next"), lit(0.0))).as("p"))
+        .localCheckpoint(eager = true) // fixed-size plan per round
+    }
+    states
+      .join(outs.select(col("s").as("state"), col("n_s")), Seq("state"),
+        "left")
+      .join(p, "state")
+      .select(col("state"), coalesce(col("n_s"), lit(0L)).as("n_out"),
+        col("p").as("p_absorb"))
+  }
+}

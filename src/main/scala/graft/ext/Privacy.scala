@@ -31,6 +31,33 @@ object Privacy {
       .withColumn("k_at_risk", col("class_size") < k)
       .withColumn("l_at_risk", col("l_diversity") < l)
 
+  /** Entropy ℓ-diversity (Machanavajjhala et al. §3.2 — the strict variant:
+    * distinct-ℓ is satisfied by a class that is 99% one sensitive value,
+    * entropy-ℓ is not). Per equivalence class: size, distinct sensitive
+    * values, and the sensitive-value entropy in nats; a class satisfies
+    * entropy ℓ-diversity iff H ≥ ln(ℓ). Exactness: the per-value terms
+    * n_v·ln(n_v) pool in DECIMAL(28,15) (order-free), and the readout
+    * H = ln(n) − S/n is one fixed-order double formula — the repo's
+    * standard entropy discipline.
+    */
+  def entropyLDiversity(df: DataFrame, quasiIds: Seq[Column],
+                        sensitive: Column): DataFrame = {
+    val qiNames = quasiIds.zipWithIndex.map { case (_, i) => s"__qi$i" }
+    val base = df.select(
+      quasiIds.zip(qiNames).map { case (c, n) => c.as(n) } :+
+        sensitive.as("__v"): _*)
+    val perValue = base.groupBy(qiNames.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("n_v"))
+    perValue.groupBy(qiNames.map(col): _*)
+      .agg(sum(col("n_v")).as("class_size"),
+        count(lit(1)).as("l_diversity"),
+        sum((col("n_v").cast("double") * log(col("n_v").cast("double")))
+          .cast("decimal(28,15)")).as("__s"))
+      .select(qiNames.map(col) :+ col("class_size") :+ col("l_diversity") :+
+        (log(col("class_size").cast("double")) -
+          col("__s").cast("double") / col("class_size")).as("entropy"): _*)
+  }
+
   /** One-row release gate over [[kAnonymity]]'s class table: the dataset's
     * k-anonymity level (min class size), diversity level (min distinct
     * sensitive), and how many ROWS sit in at-risk classes — the number a
