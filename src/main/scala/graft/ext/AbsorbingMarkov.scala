@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * rounds bit-identically.
   *
   * Scale shape: the transition matrix is one window pass over the event
-  * log (entity-partitioned lead), then `iterations` joins of the
-  * state-sized p vector into the (states²-bounded) edge table — fixed-size
-  * plans, no driver-side matrix, same envelope as [[PageRank]] /
-  * [[Hits]].
+  * log (entity-partitioned lead) — the only corpus-sized stage at any
+  * scale, since the state space is a bounded taxonomy. The iteration then
+  * runs over the single-partition states²-row table in one nested plan;
+  * no driver-side matrix, no per-round jobs.
   */
 object AbsorbingMarkov {
 
@@ -43,15 +43,22 @@ object AbsorbingMarkov {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val w = Window.partitionBy(col(entityCol))
       .orderBy(orderCols.map(col): _*)
+    // the distributed pass: transition extraction. Everything after it is
+    // O(states²) data — single-partition, checkpointed ONCE, and the value
+    // iteration builds one nested plan over those tiny tables (4 rounds of
+    // 25-row joins need no per-round materialization; a per-round
+    // localCheckpoint would pay 2 jobs/round of pure scheduling overhead)
     val trans = events
       .select(Seq(col(entityCol), col(stateCol).as("s")) ++
         orderCols.map(col): _*)
       .withColumn("t", lead(col("s"), 1).over(w))
       .filter(col("t").isNotNull)
       .groupBy(col("s"), col("t")).agg(count(lit(1)).as("n_st"))
-      .localCheckpoint(eager = true) // every round gathers over it
+      .repartition(1)
+      .localCheckpoint(eager = true)
     val outs = trans.groupBy(col("s")).agg(sum(col("n_st")).as("n_s"))
     val states = events.select(col(stateCol).as("state")).distinct()
+      .repartition(1)
       .localCheckpoint(eager = true)
     var p = states.select(col("state"),
       when(col("state") === absorbing, lit(1.0)).otherwise(lit(0.0))
@@ -70,7 +77,6 @@ object AbsorbingMarkov {
         .select(col("state"),
           when(col("state") === absorbing, lit(1.0))
             .otherwise(coalesce(col("p_next"), lit(0.0))).as("p"))
-        .localCheckpoint(eager = true) // fixed-size plan per round
     }
     states
       .join(outs.select(col("s").as("state"), col("n_s")), Seq("state"),

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * VLDB'94), with the support threshold expressed as a RATE of the basket
   * count so the same query is meaningful at every scale factor.
   *
-  * Scale shape: the level-2 candidate join is basket-keyed (pairs are only
-  * generated inside a basket), and level 3 extends PRUNED pairs — the
-  * Apriori property (every subset of a frequent set is frequent) is applied
-  * as broadcast-able semi-joins on the three sub-pairs before any counting,
-  * so the triple generation never sees an item that already failed level 2.
-  * All support checks are integer cross-multiplications
-  * (`n · denom ≥ total · num`), no float thresholds.
+  * Scale shape: items failing level 1 are cut by a broadcast semi-join
+  * BEFORE baskets are assembled (the Apriori property applied where it
+  * pays: infrequent items never enter a candidate), then each basket's
+  * frequent items collect into ONE order-keyed set aggregate and triples
+  * generate MAP-SIDE from each set (the `repeatEdges` basket pattern) —
+  * bounded by the per-basket frequent-item count cubed, with no self-join
+  * of the (basket, item) table at all. All support checks are integer
+  * cross-multiplications (`n · denom ≥ total · num`), no float thresholds.
   */
 object Itemsets {
 
@@ -30,39 +31,24 @@ object Itemsets {
     val b = baskets
       .select(col(basketCol).as("bk"), col(itemCol).as("it"))
       .distinct()
-      // every level reads it: the basket self-joins and the three support
-      // semi-joins would otherwise each re-run the upstream scan+distinct
+      // read by the basket count, the level-1 counts, and the set assembly
       .localCheckpoint(eager = true)
     val total = b.select(col("bk")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
-    // level 1: per-item support (kept for the lift denominator)
+    // level 1: per-item support (also the lift denominator)
     val s1 = b.groupBy(col("it")).agg(count(lit(1)).as("n1"))
       .crossJoin(broadcast(total))
       .filter(col("n1") * supDenom >= col("n_baskets") * supNum)
       .localCheckpoint(eager = true)
-    // level 2: in-basket pairs of frequent items, then the support cut
-    val bf = b.join(s1.select(col("it")), Seq("it"), "left_semi")
-    val s2 = bf.select(col("bk"), col("it").as("ia"))
-      .join(bf.select(col("bk"), col("it").as("ib")), "bk")
+    // one set per basket over the SURVIVING items, triples map-side
+    val sets = b.join(s1.select(col("it")), Seq("it"), "left_semi")
+      .groupBy(col("bk")).agg(sort_array(collect_set(col("it"))).as("its"))
+    val triples = sets
+      .select(explode(col("its")).as("ia"), col("its"))
+      .select(col("ia"), explode(col("its")).as("ib"), col("its"))
       .filter(col("ia") < col("ib"))
-      .groupBy(col("ia"), col("ib")).agg(count(lit(1)).as("n2"))
-      .crossJoin(broadcast(total))
-      .filter(col("n2") * supDenom >= col("n_baskets") * supNum)
-      .select(col("ia"), col("ib"))
-      .localCheckpoint(eager = true)
-    // level 3: extend each frequent pair inside its baskets, prune the two
-    // new sub-pairs (Apriori), then count
-    val pairInBasket = bf.select(col("bk"), col("it").as("ia"))
-      .join(bf.select(col("bk"), col("it").as("ib")), "bk")
-      .filter(col("ia") < col("ib"))
-      .join(s2, Seq("ia", "ib"), "left_semi")
-    val triples = pairInBasket
-      .join(bf.select(col("bk"), col("it").as("ic")), "bk")
+      .select(col("ia"), col("ib"), explode(col("its")).as("ic"))
       .filter(col("ib") < col("ic"))
-      .join(s2.select(col("ia"), col("ib").as("ic")), Seq("ia", "ic"),
-        "left_semi")
-      .join(s2.select(col("ia").as("ib"), col("ib").as("ic")),
-        Seq("ib", "ic"), "left_semi")
       .groupBy(col("ia"), col("ib"), col("ic"))
       .agg(count(lit(1)).as("n3"))
       .crossJoin(broadcast(total))

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * integer MIN/MAX with deterministic struct tie-breaks. No floats anywhere.
   *
   * Scale shape: the ring / node list is O(nodes·vnodes) and broadcast; keys
-  * are never shuffled — ownership resolves map-side under the broadcast
-  * (the clockwise-successor search is a broadcast theta-join on a ~100-row
-  * build side), and only the per-node counts aggregate.
+  * are never shuffled — consistent-hash ownership is a codegen'd filter
+  * over ONE broadcast sorted array of packed ring entries, rendezvous
+  * ownership a map-side argmax under a broadcast node list — and only the
+  * per-node counts aggregate.
   */
 object Sharding {
 
@@ -46,27 +47,37 @@ object Sharding {
           col("vnode").cast("string"))).as("ph"))
   }
 
+  /** Node-id space inside a packed ring entry: entry = ph·2²⁰ + node, so
+    * ordering entries orders (hash, node) — the smallest entry with
+    * ph ≥ kh IS the successor with the smaller-node tie rule.
+    */
+  val NodeSpace: Long = 1L << 20
+
   /** Consistent-hash owner per key: the clockwise successor — the ring
     * point with the smallest hash ≥ the key's hash, wrapping to the
     * globally smallest point. Ties (a 32-bit point-hash collision) break to
     * the smaller node id on both engines. Output: (key, node).
+    *
+    * The whole ring packs into ONE broadcast sorted array (entry =
+    * ph·2²⁰ + node), and the successor search runs inside the key scan as
+    * a codegen'd array filter — no join, no aggregation, nothing but the
+    * final per-node counts ever shuffles. Any entry ≥ kh·2²⁰ has ph ≥ kh
+    * (node < 2²⁰), so `filter(arr, e ≥ kh·2²⁰)[1]` is exactly the
+    * tie-broken successor and `arr[1]` the wrap-around.
     */
   def consistentOwners(keys: DataFrame, keyCol: String,
                        ringDf: DataFrame): DataFrame = {
-    val k = keys.select(col(keyCol).as("key"),
-      h32(concat(lit("k:"), col(keyCol).cast("string"))).as("kh"))
-    val succ = k.join(broadcast(ringDf), col("ph") >= col("kh"))
-      .groupBy(col("key"))
-      .agg(min(struct(col("ph"), col("node"))).as("m"))
-      .select(col("key"), col("m.node").as("succ_node"))
-    val wrap = ringDf
-      .agg(min(struct(col("ph"), col("node"))).as("m"))
-      .select(col("m.node").as("wrap_node"))
-    k.select(col("key"))
-      .join(succ, Seq("key"), "left")
-      .crossJoin(broadcast(wrap))
+    val ringArr = ringDf
+      .agg(sort_array(collect_list(col("ph") * NodeSpace + col("node")))
+        .as("__ring"))
+    keys.select(col(keyCol).as("key"),
+        h32(concat(lit("k:"), col(keyCol).cast("string"))).as("kh"))
+      .crossJoin(broadcast(ringArr))
       .select(col("key"),
-        coalesce(col("succ_node"), col("wrap_node")).as("node"))
+        pmod(coalesce(
+          try_element_at(filter(col("__ring"),
+            e => e >= col("kh") * NodeSpace), lit(1)),
+          element_at(col("__ring"), 1)), lit(NodeSpace)).as("node"))
   }
 
   /** Rendezvous (HRW) owner per key: argmax over nodes of
