@@ -301,18 +301,179 @@ object NexusQueries {
       |FROM cls ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------------
+  // JL random-projection distortion
+  // --------------------------------------------------------------------------
+
+  /** 64→16-dim Johnson–Lindenstrauss projection with the hash-seeded ±1
+    * matrix ([[graft.ext.RandomProjection]]), audited by the squared-
+    * distance ratio histogram over id-sampled pairs — the read before
+    * shrinking an embedding store 4×. Mass should sit at bucket 10
+    * (ratio ≈ 1).
+    */
+  def qJlDistortion(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.RandomProjection.distortionHistogram(
+        Tables.embeddings(spark, dir), "vec_id", "embedding",
+        inDims = 64, outDims = 16, modA = 29, modB = 31)
+      .select(col("bucket"), col("n_pairs"),
+        round(col("mean_ratio"), 6).as("mean_ratio"))
+      .orderBy(col("bucket"))
+
+  val jlDistortionSql: String = {
+    val sign = """(CASE WHEN ('0x' || substr(md5('jl:' || i || ':' || j),
+      |        1, 8))::BIGINT % 2 = 0 THEN 1.0 ELSE -1.0 END)""".stripMargin
+    s"""WITH proj AS (SELECT vec_id, embedding,
+      |    list_transform(generate_series(0, 15), i ->
+      |      list_sum(list_transform(generate_series(1, 64), j ->
+      |        embedding[j]::DOUBLE * $sign)) / sqrt(16.0)) AS y
+      |  FROM embeddings WHERE vec_id % 29 = 0 OR vec_id % 31 = 0),
+      |a AS (SELECT vec_id AS ida, embedding AS xa, y AS ya FROM proj
+      |  WHERE vec_id % 29 = 0),
+      |b AS (SELECT vec_id AS idb, embedding AS xb, y AS yb FROM proj
+      |  WHERE vec_id % 31 = 0),
+      |pr AS (SELECT
+      |    list_sum(list_transform(generate_series(1, 64), j ->
+      |      (xa[j]::DOUBLE - xb[j]::DOUBLE)
+      |      * (xa[j]::DOUBLE - xb[j]::DOUBLE))) AS dx2,
+      |    list_sum(list_transform(generate_series(1, 16), i ->
+      |      (ya[i] - yb[i]) * (ya[i] - yb[i]))) AS dy2
+      |  FROM a JOIN b ON ida < idb),
+      |r AS (SELECT dy2 / dx2 AS ratio FROM pr WHERE dx2 > 0)
+      |SELECT CAST(FLOOR(ratio * 10) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n_pairs,
+      |  ROUND(CAST(SUM(CAST(ratio AS DECIMAL(18,9))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_ratio
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Haar wavelet energy decomposition
+  // --------------------------------------------------------------------------
+
+  /** Haar energy shares of the first 64 ship days' revenue (integer cents,
+    * [[graft.ext.Wavelet.haarEnergyShares]]): which time scale — 2-day
+    * spikes through 64-day regimes — carries the variation that
+    * q_periodogram (frequency) and q_changepoint (single break) each see
+    * only a slice of.
+    */
+  def qHaarEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.lineitem(spark, dir)
+      .groupBy(col("l_shipdate").cast("date").as("day"))
+      .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
+        .as("cents"))
+      .orderBy(col("day")).limit(64)
+    graft.ext.Wavelet.haarEnergyShares(daily, "day", "cents", levels = 6)
+      .select(col("level"), col("n_coeffs"), col("d2_sum"),
+        round(col("energy_share"), 6).as("energy_share"))
+      .orderBy(col("level"))
+  }
+
+  val haarEnergySql: String =
+    """WITH daily AS (SELECT day, cents FROM (
+      |    SELECT CAST(l_shipdate AS DATE) AS day,
+      |      CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+      |        AS BIGINT) AS cents
+      |    FROM lineitem GROUP BY 1 ORDER BY 1 LIMIT 64)),
+      |s AS (SELECT list(cents ORDER BY day) AS x FROM daily),
+      |p AS (SELECT list_transform(generate_series(0, 64), i ->
+      |    CAST(COALESCE(list_sum(list_slice(x, 1, i)), 0) AS BIGINT)) AS p
+      |  FROM s),
+      |lv AS (SELECT l.level, p.p, CAST(pow(2, l.level) AS BIGINT) AS sz
+      |  FROM p CROSS JOIN
+      |    (SELECT unnest(generate_series(1, 6)) AS level) l),
+      |blk AS (SELECT level, sz, p, bb.b FROM lv CROSS JOIN
+      |    (SELECT unnest(generate_series(0, 31)) AS b) bb
+      |  WHERE bb.b <= 64 // sz - 1),
+      |d AS (SELECT level, sz,
+      |    CAST((p[CAST(b*sz + sz//2 AS INT) + 1] - p[CAST(b*sz AS INT) + 1])
+      |       - (p[CAST((b+1)*sz AS INT) + 1]
+      |          - p[CAST(b*sz + sz//2 AS INT) + 1]) AS DECIMAL(38,0))
+      |      AS dd
+      |  FROM blk),
+      |en AS (SELECT level, COUNT(*) AS n_coeffs,
+      |    CAST(SUM(dd * dd) AS DECIMAL(38,0)) AS d2_sum,
+      |    CAST(CAST(SUM(dd * dd) AS DECIMAL(38,0))
+      |      * CAST(pow(2, 6 - level) AS BIGINT) AS DECIMAL(38,0)) AS scaled
+      |  FROM d GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(scaled) AS DECIMAL(38,0)) AS t FROM en)
+      |SELECT CAST(level AS BIGINT) AS level, n_coeffs, d2_sum,
+      |  ROUND(CAST(scaled AS DOUBLE)
+      |    / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS energy_share
+      |FROM en ORDER BY level""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // CMS heavy-change detection
+  // --------------------------------------------------------------------------
+
+  /** Sketch-diff change detection audit ([[graft.ext.Sketches
+    * .countMinHeavyChangeAudit]]): the stream splits at its time midpoint,
+    * each half gets an independent CMS (d=4, w=64), and the estimated
+    * per-user activity change is compared against the exact change for the
+    * true top-10 movers — the accuracy read before replacing exact two-
+    * window counts with sketches.
+    */
+  def qHeavyChange(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.countMinHeavyChangeAudit(
+      Tables.events(spark, dir).withColumn("tsm", unix_millis(col("ts"))),
+      "user_id", "tsm", k = 10, depth = 4, width = 64)
+
+  val heavyChangeSql: String = {
+    def bucketOf(item: String): String =
+      s"""('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |      CAST($item AS VARCHAR)), 1, 8))::BIGINT % 64""".stripMargin
+    s"""WITH ev AS (SELECT user_id AS item, epoch_ms(ts) AS tsm FROM events),
+      |mid AS (SELECT MIN(tsm) + CAST(FLOOR((MAX(tsm) - MIN(tsm)) / 2.0)
+      |    AS BIGINT) AS mid FROM ev),
+      |tagged AS (SELECT item, tsm <= (SELECT mid FROM mid) AS fh FROM ev),
+      |exact AS (SELECT item,
+      |    CAST(SUM(CASE WHEN fh THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+      |    CAST(SUM(CASE WHEN fh THEN 0 ELSE 1 END) AS BIGINT) AS n_second
+      |  FROM tagged GROUP BY 1),
+      |top AS (SELECT item, n_first, n_second,
+      |    ABS(n_second - n_first) AS true_change
+      |  FROM exact ORDER BY ABS(n_second - n_first) DESC, item LIMIT 10),
+      |js AS (SELECT unnest([0, 1, 2, 3]) AS j),
+      |c1 AS (SELECT item, COUNT(*) AS cnt FROM tagged WHERE fh GROUP BY 1),
+      |c2 AS (SELECT item, COUNT(*) AS cnt FROM tagged WHERE NOT fh
+      |  GROUP BY 1),
+      |sk1 AS (SELECT j, ${bucketOf("item")} AS bucket, SUM(cnt) AS bc
+      |  FROM c1 CROSS JOIN js GROUP BY 1, 2),
+      |sk2 AS (SELECT j, ${bucketOf("item")} AS bucket, SUM(cnt) AS bc
+      |  FROM c2 CROSS JOIN js GROUP BY 1, 2),
+      |pr AS (SELECT t.item, j, ${bucketOf("t.item")} AS bucket
+      |  FROM top t CROSS JOIN js),
+      |e1 AS (SELECT item, CAST(MIN(COALESCE(s.bc, 0)) AS BIGINT)
+      |    AS est_first
+      |  FROM pr LEFT JOIN sk1 s USING (j, bucket) GROUP BY 1),
+      |e2 AS (SELECT item, CAST(MIN(COALESCE(s.bc, 0)) AS BIGINT)
+      |    AS est_second
+      |  FROM pr LEFT JOIN sk2 s USING (j, bucket) GROUP BY 1)
+      |SELECT t.item, t.n_first, t.n_second,
+      |  CAST(t.true_change AS BIGINT) AS true_change,
+      |  e1.est_first, e2.est_second,
+      |  ABS(e2.est_second - e1.est_first) AS est_change
+      |FROM top t JOIN e1 USING (item) JOIN e2 USING (item)
+      |ORDER BY true_change DESC, item""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_consistent_hash" -> (qConsistentHash _),
     "q_rendezvous" -> (qRendezvous _),
     "q_itemsets3" -> (qItemsets3 _),
     "q_absorbing_markov" -> (qAbsorbingMarkov _),
-    "q_entropy_l" -> (qEntropyL _))
+    "q_entropy_l" -> (qEntropyL _),
+    "q_jl_distortion" -> (qJlDistortion _),
+    "q_haar_energy" -> (qHaarEnergy _),
+    "q_heavy_change" -> (qHeavyChange _))
 
   val oracleSql: Map[String, String] = Map(
     "q_consistent_hash" -> consistentHashSql,
     "q_rendezvous" -> rendezvousSql,
     "q_itemsets3" -> itemsets3Sql,
     "q_absorbing_markov" -> absorbingMarkovSql,
-    "q_entropy_l" -> entropyLSql)
+    "q_entropy_l" -> entropyLSql,
+    "q_jl_distortion" -> jlDistortionSql,
+    "q_haar_energy" -> haarEnergySql,
+    "q_heavy_change" -> heavyChangeSql)
 }

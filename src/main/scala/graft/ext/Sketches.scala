@@ -65,6 +65,54 @@ object Sketches {
       .orderBy(col("true_cnt").desc, col("item"))
   }
 
+  /** Heavy-CHANGE detection audit (Cormode & Muthukrishnan's "what's new"
+    * question): split the stream at its time midpoint, sketch each half
+    * with an independent CMS, and compare the sketch-estimated per-item
+    * change |est₂ − est₁| against the exact change for the true top-`k`
+    * movers — the accuracy read before deploying sketch-diff change
+    * detection at a scale where exact per-key counts from BOTH windows
+    * can't be kept. Items absent from a half estimate 0 there (an empty
+    * bucket is a true zero in CMS).
+    *
+    * Scale shape: the midpoint is a 1-row broadcast; both sketches reduce
+    * per item first (map-side) and are d·w rows each; probes join the
+    * broadcast sketches. All-integer math. Output per item (true-change
+    * desc, item asc): (item, n_first, n_second, true_change, est_first,
+    * est_second, est_change).
+    */
+  def countMinHeavyChangeAudit(df: DataFrame, itemCol: String, tsCol: String,
+                               k: Int = 10, depth: Int = 4,
+                               width: Int = 256): DataFrame = {
+    val mid = df.agg((min(col(tsCol)) +
+      floor((max(col(tsCol)) - min(col(tsCol))) / 2).cast("long")).as("mid"))
+    val tagged = df.crossJoin(broadcast(mid))
+      .select(col(itemCol).as("item"),
+        (col(tsCol) <= col("mid")).as("first_half"))
+      .localCheckpoint(eager = true) // exact counts + both sketches read it
+    val exact = tagged.groupBy(col("item"))
+      .agg(sum(when(col("first_half"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(!col("first_half"), 1L).otherwise(0L)).as("n_second"))
+      .withColumn("true_change", abs(col("n_second") - col("n_first")))
+    val top = exact.orderBy(col("true_change").desc, col("item")).limit(k)
+    def sketchOf(firstHalf: Boolean): DataFrame =
+      countMinSketch(tagged.filter(col("first_half") === firstHalf), "item",
+        depth, width)
+    def estOf(sk: DataFrame, out: String): DataFrame =
+      top.select(col("item"),
+          explode(sequence(lit(0), lit(depth - 1))).as("j"))
+        .withColumn("bucket", bucket(col("j"), col("item"), width))
+        .join(broadcast(sk), Seq("j", "bucket"), "left")
+        .groupBy(col("item"))
+        .agg(min(coalesce(col("bucket_cnt"), lit(0L))).as(out))
+    top
+      .join(estOf(sketchOf(firstHalf = true), "est_first"), "item")
+      .join(estOf(sketchOf(firstHalf = false), "est_second"), "item")
+      .select(col("item"), col("n_first"), col("n_second"),
+        col("true_change"), col("est_first"), col("est_second"),
+        abs(col("est_second") - col("est_first")).as("est_change"))
+      .orderBy(col("true_change").desc, col("item"))
+  }
+
   /** Per-row HLL (register index, rho) projection — the stateless part of
     * the portable sketch, shared by the batch audits and
     * [[graft.streaming.StreamingOps.hllRegistersStream]].

@@ -117,6 +117,86 @@ class NexusModulesSpec extends SparkTestBase {
     assert(out("A") == 0.0 && out("P") == 1.0)
   }
 
+  test("haarEnergyShares: 2-level hand fold — fine spike vs coarse step") {
+    // [1, 3, 2, 2]: level-1 details (1-3, 2-2) -> sum d^2 = 4; level-2
+    // detail (4-4) -> 0; all energy at the fine scale
+    val spike = Seq((1, 1L), (2, 3L), (3, 2L), (4, 2L)).toDF("o", "v")
+    val s1 = Wavelet.haarEnergyShares(spike, "o", "v", levels = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2).longValueExact, r.getDouble(3)))
+      .toMap
+    assert(s1(1L) == ((2L, 4L, 1.0)) && s1(2L) == ((1L, 0L, 0.0)))
+    // [0, 0, 4, 4]: a regime shift — zero fine energy, all coarse
+    val step = Seq((1, 0L), (2, 0L), (3, 4L), (4, 4L)).toDF("o", "v")
+    val s2 = Wavelet.haarEnergyShares(step, "o", "v", levels = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDecimal(2).longValueExact, r.getDouble(3))).toMap
+    assert(s2(1L) == ((0L, 0.0)) && s2(2L) == ((64L, 1.0)))
+  }
+
+  test("haarEnergyShares: wrong series length raises") {
+    val bad = Seq((1, 1L), (2, 2L), (3, 3L)).toDF("o", "v")
+    intercept[Exception] {
+      Wavelet.haarEnergyShares(bad, "o", "v", levels = 2).collect()
+    }
+  }
+
+  test("jlVector: signs match the reference hash parity and the map is " +
+      "linear") {
+    val df = Seq((1L, Array.fill(8)(0f).updated(2, 1f)),
+      (2L, Array.fill(8)(0f).updated(2, 2f))).toDF("id", "vec")
+    val out = df.select(col("id"),
+        RandomProjection.jlVector(col("vec"), inDims = 8, outDims = 4)
+          .as("y"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // e_3 (1-based j=3): y_i = sign(i, 3) / 2
+    (0 until 4).foreach { i =>
+      val s = if (refH32(s"jl:$i:3") % 2 == 0) 1.0 else -1.0
+      assert(out(1L)(i) == s / 2.0, s"dim $i")
+      assert(out(2L)(i) == 2.0 * out(1L)(i), "linearity")
+    }
+  }
+
+  test("distortionHistogram: ratios concentrate near 1 (JL lemma) and " +
+      "every bucket is consistent with its mean") {
+    val rnd = new scala.util.Random(7)
+    val vecs = (1L to 120L).map(i =>
+      (i, Array.fill(64)(rnd.nextGaussian().toFloat)))
+    val out = RandomProjection.distortionHistogram(vecs.toDF("id", "vec"),
+        "id", "vec", inDims = 64, outDims = 16, modA = 3, modB = 5)
+      .collect()
+    val n = out.map(_.getLong(1)).sum
+    val mean = out.map(r => r.getDouble(2) * r.getLong(1)).sum / n
+    assert(n > 100, s"enough sampled pairs, got $n")
+    assert(mean > 0.7 && mean < 1.3, s"overall mean ratio $mean")
+    out.foreach { r =>
+      val b = r.getLong(0)
+      assert(r.getDouble(2) >= b / 10.0 - 1e-9 &&
+        r.getDouble(2) < (b + 1) / 10.0 + 1e-9, s"bucket $b mean in range")
+    }
+  }
+
+  test("countMinHeavyChangeAudit: exact movers rank first and CMS never " +
+      "underestimates; a collision-free width is exact") {
+    // item 1: 10 -> 0 (change 10); item 2: 1 -> 8 (7); item 3: 2 -> 2 (0)
+    val ev = (1 to 10).map(i => (1L, i.toLong)) ++
+      Seq((2L, 5L)) ++ (11 to 18).map(i => (2L, i.toLong)) ++
+      Seq((3L, 1L), (3L, 2L), (3L, 19L), (3L, 20L))
+    // ts range 1..20 -> mid = 10: first half ts <= 10
+    val df = ev.toDF("item", "ts")
+    val out = Sketches.countMinHeavyChangeAudit(df, "item", "ts", k = 3,
+        depth = 4, width = 1024)
+      .collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "rank by change")
+    out.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(1) && r.getLong(5) >= r.getLong(2),
+        "CMS estimates never underestimate")
+      assert(r.getLong(4) == r.getLong(1) && r.getLong(5) == r.getLong(2),
+        "collision-free width is exact")
+    }
+    assert(out.head.getLong(3) == 10L && out.head.getLong(6) == 10L)
+  }
+
   test("entropyLDiversity: uniform class hits ln(l), single-value class " +
       "hits zero") {
     val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"), ("g1", "y"),
