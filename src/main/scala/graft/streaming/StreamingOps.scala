@@ -1415,6 +1415,36 @@ object StreamingOps {
       .agg(count(lit(1)).as("bucket_cnt"))
   }
 
+  /** WINDOWED CMS registers — the streaming half of
+    * [[graft.ext.Sketches.countMinHeavyChangeAudit]]: one independent
+    * sketch per tumbling event-time window, emitted in APPEND mode only
+    * once the watermark closes the window, so each (window, j, bucket) row
+    * is FINAL when it appears and a consumer can diff consecutive windows'
+    * registers the moment the newer one lands (heavy-change detection with
+    * d·w longs per open window of state, never per-key counts). Late rows
+    * beyond the watermark drop — the count they would have added is
+    * acknowledged lost, the same contract as `topKTurnoverStream`. Drained
+    * snapshot equals the batch per-window
+    * [[graft.ext.Sketches.countMinSketch]] (spec-locked).
+    */
+  def cmsWindowedRegistersStream(stream: DataFrame, itemCol: String,
+                                 tsCol: String = "ts",
+                                 windowDur: String = "1 hour",
+                                 watermark: String = "2 hours",
+                                 depth: Int = 4, width: Int = 256)
+  : DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col(itemCol).as("item"))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("j"),
+        graft.ext.Sketches.bucket(col("j"), col("item"), width).as("bucket"))
+      .agg(count(lit(1)).as("bucket_cnt"))
+      .select(col("w.start").as("window_start"), col("j"), col("bucket"),
+        col("bucket_cnt"))
+  }
+
   /** Streaming twin of [[graft.ext.Sketches.hyperLogLogAudit]]'s register
     * table: the portable HLL maintained incrementally — state is EXACTLY m
     * max-registers forever (no watermark; max never retracts), the live

@@ -1218,6 +1218,61 @@ class StreamingOpsSpec extends SparkTestBase {
     }
   }
 
+  test("cmsWindowedRegistersStream: closed windows are final, equal the " +
+    "batch per-window sketch, diff recovers the planted change, and a " +
+    "late row is dropped") {
+    implicit val sc = spark.sqlContext
+    final case class It(ts: Timestamp, item: Long)
+    val input = MemoryStream[Ev]
+    // window0 (min 0-59): item ids via value; window1 (min 60-119)
+    val w0 = Seq(Ev(ts(0), "x", 1.0), Ev(ts(5), "x", 1.0), Ev(ts(9), "x", 2.0))
+    val w1 = Seq(Ev(ts(60), "x", 1.0), Ev(ts(65), "x", 3.0),
+      Ev(ts(70), "x", 3.0), Ev(ts(80), "x", 3.0))
+    val query = StreamingOps.cmsWindowedRegistersStream(
+        input.toDF().select(col("ts"), col("value").cast("long").as("item")),
+        "item", windowDur = "1 hour", watermark = "1 hour",
+        depth = 3, width = 64)
+      .writeStream.format("memory").queryName("cms_win_out")
+      .outputMode("append").start()
+    input.addData(w0 ++ w1: _*); query.processAllAvailable()
+    // advance the watermark past both windows; then a LATE row for window0
+    input.addData(Ev(ts(240), "x", 9.0)); query.processAllAvailable()
+    input.addData(Ev(ts(10), "x", 2.0)); query.processAllAvailable()
+    query.stop()
+    val out = spark.table("cms_win_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    def batchOf(items: Seq[Long]) = graft.ext.Sketches
+      .countMinSketch(items.toDF("item"), "item", depth = 3, width = 64)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // tumbling windows align to epoch hour boundaries, not to ts(0)
+    val t0 = ts(0).getTime / 3600000L * 3600000L
+    val t1 = t0 + 3600000L
+    val got0 = out.collect { case ((t, j, b), c) if t == t0 => (j, b) -> c }
+    val got1 = out.collect { case ((t, j, b), c) if t == t1 => (j, b) -> c }
+    assert(got0 == batchOf(Seq(1L, 1L, 2L)),
+      "window0 equals the batch sketch (the late row never lands)")
+    assert(got1 == batchOf(Seq(1L, 3L, 3L, 3L)), "window1 equals batch")
+    // register diff = heavy change: item 3 estimates 0 -> 3 across windows
+    val est3 = (0 to 2).map { j =>
+      got1.getOrElse((j, item3Bucket(j, 64)), 0L)
+    }.min
+    val est3w0 = (0 to 2).map { j =>
+      got0.getOrElse((j, item3Bucket(j, 64)), 0L)
+    }.min
+    assert(est3w0 == 0L && est3 == 3L,
+      s"sketch diff recovers the change: $est3w0 -> $est3")
+  }
+
+  /** Reference bucket for item 3 — the md5 convention the module states. */
+  private def item3Bucket(j: Int, width: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:3".getBytes("UTF-8"))
+    val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    h % width
+  }
+
   test("bloomRegistersStream snapshot equals the batch filter bit-for-bit") {
     implicit val sc = spark.sqlContext
     val b1 = (1L to 300L).toSeq
