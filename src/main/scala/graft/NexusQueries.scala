@@ -361,8 +361,14 @@ object NexusQueries {
       .agg(sum(round(col("l_extendedprice") * 100, 0).cast("long"))
         .as("cents"))
       .orderBy(col("day")).limit(64)
+    // d2_sum is emitted as a DIGIT STRING: it is the suite's only 128-bit
+    // integer readout, and decimal128 surfaces hash differently across
+    // DuckDB/Arrow builds even when the values are identical (the r8
+    // q_market_share lesson in reverse). The exact DECIMAL(38,0) arithmetic
+    // stays internal; only the portable string crosses the oracle boundary.
     graft.ext.Wavelet.haarEnergyShares(daily, "day", "cents", levels = 6)
-      .select(col("level"), col("n_coeffs"), col("d2_sum"),
+      .select(col("level"), col("n_coeffs"),
+        col("d2_sum").cast("string").as("d2_sum"),
         round(col("energy_share"), 6).as("energy_share"))
       .orderBy(col("level"))
   }
@@ -395,7 +401,8 @@ object NexusQueries {
       |      * CAST(pow(2, 6 - level) AS BIGINT) AS DECIMAL(38,0)) AS scaled
       |  FROM d GROUP BY 1),
       |tot AS (SELECT CAST(SUM(scaled) AS DECIMAL(38,0)) AS t FROM en)
-      |SELECT CAST(level AS BIGINT) AS level, n_coeffs, d2_sum,
+      |SELECT CAST(level AS BIGINT) AS level, n_coeffs,
+      |  CAST(d2_sum AS VARCHAR) AS d2_sum,
       |  ROUND(CAST(scaled AS DOUBLE)
       |    / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS energy_share
       |FROM en ORDER BY level""".stripMargin

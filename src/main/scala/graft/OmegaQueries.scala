@@ -431,11 +431,14 @@ object OmegaQueries {
       |       UNION SELECT o_custkey FROM b0)) AS true_union)
       |SELECT CAST(64 AS INT) AS m, ROUND(e_a.est, 6) AS est_a,
       |  ROUND(e_b.est, 6) AS est_b, ROUND(e_u.est, 6) AS est_union,
-      |  ROUND(e_a.est + e_b.est - e_u.est, 6) AS est_intersect,
+      |  ROUND(GREATEST(0.0, e_a.est + e_b.est - e_u.est), 6)
+      |    AS est_intersect,
       |  CAST(ex.true_intersect AS BIGINT) AS true_intersect,
-      |  ROUND((e_a.est + e_b.est - e_u.est) / e_u.est, 6) AS jaccard_est,
-      |  ROUND(CAST(ex.true_intersect AS DOUBLE)
-      |    / CAST(ex.true_union AS DOUBLE), 6) AS jaccard_true
+      |  ROUND(GREATEST(0.0, e_a.est + e_b.est - e_u.est) / e_u.est, 6)
+      |    AS jaccard_est,
+      |  CASE WHEN ex.true_union > 0
+      |    THEN ROUND(CAST(ex.true_intersect AS DOUBLE)
+      |      / CAST(ex.true_union AS DOUBLE), 6) END AS jaccard_true
       |FROM e_a CROSS JOIN e_b CROSS JOIN e_u CROSS JOIN ex""".stripMargin
   }
 

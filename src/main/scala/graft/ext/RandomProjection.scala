@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: projection is scan-local (a per-row expression — no join
   * against a matrix table, no shuffle); the distortion audit samples pairs
-  * by id-hash filters and crossJoins two BOUNDED sampled sides.
+  * by id-hash filters and crossJoins two sampled sides, each hard-capped
+  * at [[MaxSide]] rows (the id-hash filter alone only scales the side by
+  * 1/mod, which is not a bound at 100 TB).
   */
 object RandomProjection {
 
@@ -51,6 +53,17 @@ object RandomProjection {
     * 10 (ratio ≈ 1); how wide the spill is tells whether `outDims` is
     * enough before committing the reduced store.
     */
+  /** Hard cap on each sampled side of the distortion pair join. The id-hash
+    * filters alone shrink each side only by a FIXED fraction (1/modA,
+    * 1/modB), which still grows linearly with the corpus — at 100 TB the
+    * broadcast side would not fit. The cap makes the bound absolute: each
+    * side is the `MaxSide` smallest sampled ids (a deterministic sorted
+    * TakeOrdered, so the audit is reproducible), giving at most MaxSide²
+    * pairs and a ≤ MaxSide-row broadcast regardless of corpus size. At the
+    * test tiers the samples are far below the cap, so it never binds there.
+    */
+  val MaxSide: Int = 4096
+
   def distortionHistogram(emb: DataFrame, idCol: String, vecCol: String,
                           inDims: Int, outDims: Int,
                           modA: Int, modB: Int): DataFrame = {
@@ -58,8 +71,10 @@ object RandomProjection {
       jlVector(col(vecCol), inDims, outDims).as("y"))
     val a = proj.filter(col("id") % modA === 0)
       .select(col("id").as("ida"), col("x").as("xa"), col("y").as("ya"))
+      .orderBy(col("ida")).limit(MaxSide)
     val b = proj.filter(col("id") % modB === 0)
       .select(col("id").as("idb"), col("x").as("xb"), col("y").as("yb"))
+      .orderBy(col("idb")).limit(MaxSide)
     a.crossJoin(broadcast(b)).filter(col("ida") < col("idb"))
       .select(sqDist(col("xa"), col("xb")).as("dx2"),
         sqDist(col("ya"), col("yb")).as("dy2"))

@@ -67,9 +67,20 @@ object Sharding {
     */
   def consistentOwners(keys: DataFrame, keyCol: String,
                        ringDf: DataFrame): DataFrame = {
+    // Loud guard (the Winnowing position-space pattern): the packing is
+    // only injective for 0 ≤ node < NodeSpace — a caller-supplied ring with
+    // ids outside that range would silently corrupt both the successor
+    // ordering and the pmod-recovered owner, so fail the job instead.
     val ringArr = ringDf
       .agg(sort_array(collect_list(col("ph") * NodeSpace + col("node")))
-        .as("__ring"))
+        .as("__ring"),
+        max(col("node")).as("__maxn"), min(col("node")).as("__minn"))
+      .select(when(col("__maxn") < NodeSpace && col("__minn") >= 0,
+        col("__ring"))
+        .otherwise(raise_error(concat(
+          lit(s"consistentOwners: node ids must be in [0, $NodeSpace), got ["),
+          col("__minn").cast("string"), lit(", "),
+          col("__maxn").cast("string"), lit("]")))).as("__ring"))
     keys.select(col(keyCol).as("key"),
         h32(concat(lit("k:"), col(keyCol).cast("string"))).as("kh"))
       .crossJoin(broadcast(ringArr))

@@ -281,15 +281,22 @@ object Sketches {
     val exact = ia.join(ib, Seq("__k"))
       .agg(count(lit(1)).as("true_intersect"))
       .crossJoin(ia.union(ib).distinct().agg(count(lit(1)).as("true_union")))
+    // Inclusion-exclusion can go NEGATIVE on disjoint-ish sets (est_union
+    // overshooting est_a+est_b is ordinary sketch noise) — clamp the derived
+    // intersection and its jaccard at 0 so the audit never reports a
+    // negative cardinality; and null out jaccard_true on two empty inputs
+    // (0/0) instead of emitting NaN.
+    val interEst = greatest(lit(0.0),
+      col("est_a") + col("est_b") - col("est_union"))
     estOf(ra, "est_a").crossJoin(estOf(rb, "est_b"))
       .crossJoin(estOf(ru, "est_union")).crossJoin(exact)
       .select(lit(m).as("m"), col("est_a"), col("est_b"), col("est_union"),
-        (col("est_a") + col("est_b") - col("est_union")).as("est_intersect"),
+        interEst.as("est_intersect"),
         col("true_intersect"),
-        ((col("est_a") + col("est_b") - col("est_union")) / col("est_union"))
-          .as("jaccard_est"),
-        (col("true_intersect").cast("double") /
-          col("true_union").cast("double")).as("jaccard_true"))
+        (interEst / col("est_union")).as("jaccard_est"),
+        when(col("true_union") > 0,
+          col("true_intersect").cast("double") /
+            col("true_union").cast("double")).as("jaccard_true"))
   }
 
   /** Portable Bloom filter audit (Bloom, CACM 1970): build an m-bit filter

@@ -1,6 +1,8 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, LeafExecNode}
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 
 /** Fan a too-narrow scan out to the session's parallelism before a
   * compute-heavy scan-local kernel (winnowing, minhash, codecs).
@@ -14,13 +16,30 @@ import org.apache.spark.sql.DataFrame
   * it exists for the long tail of small dimension/side tables that real
   * pipelines also hit (a 500-doc eval set joined against a 100 TB corpus).
   *
-  * The check reads only the plan's partition arithmetic (no job runs); the
-  * repartition is round-robin over full rows, costing one shuffle of the
-  * small input — by construction less than the kernel work it unlocks.
+  * Cost (explicit, not free): reading the split count forces ONE physical
+  * planning pass of the input plan — milliseconds for the scan-shaped
+  * inputs this helper targets, and no job runs. The count is read from the
+  * leaf file scans' own split RDDs (`sparkPlan`, pre-AQE), which is the
+  * same arithmetic the executed query uses: AQE re-plans exchanges, it
+  * never re-splits a file scan, so for a scan(+scan-local filter) input the
+  * static and final counts coincide. Plans whose leaves are not file scans
+  * fall back to `df.rdd.getNumPartitions` — a full RDD-DAG construction,
+  * acceptable only because such inputs are small by contract here.
+  *
+  * The repartition is round-robin over full rows, costing one shuffle of
+  * the small input — by construction less than the kernel work it unlocks.
   */
 object ScanFanout {
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val leaves = df.queryExecution.sparkPlan.collectLeaves()
+    val scanParts = leaves.collect {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      case b: BatchScanExec      => b.inputRDDs().map(_.getNumPartitions).sum
+    }
+    val parts =
+      if (scanParts.length == leaves.length) scanParts.sum
+      else df.rdd.getNumPartitions
+    if (parts < target) df.repartition(target) else df
   }
 }
