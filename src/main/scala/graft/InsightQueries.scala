@@ -1168,9 +1168,11 @@ object InsightQueries {
     val topHistory = a.join(broadcast(popTop), Seq("item_id"), "left_semi")
     val cand = users.crossJoin(broadcast(popTop))
       .join(broadcast(topHistory), Seq("user_id", "item_id"), "left_anti")
+      // fused 52-bit pick ([[graft.functions.Md5Pick52]]): same bytes, same
+      // digest as conv(substring(md5(concat(u,':',i)),1,13),16,10), minus
+      // the per-candidate string concat / hex string / parse allocations
       .withColumn("pick",
-        conv(substring(md5(concat(col("user_id").cast("string"), lit(":"),
-          col("item_id").cast("string"))), 1, 13), 16, 10).cast("long"))
+        graft.functions.Md5Pick52.md5Pick52(col("user_id"), col("item_id")))
     val topk = udaf(new graft.functions.TopKAggregator(5))
     cand.groupBy(col("user_id"))
       .agg(topk(col("item_id"), (-col("pick")).cast("double")).as("__r"))
