@@ -194,7 +194,8 @@ object SparkEntry {
   ) ++ ExtQueries.queries ++ AnalyticsQueries.queries ++ InsightQueries.queries ++
     FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries ++
     ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries ++
-    ApexQueries.queries ++ TitanQueries.queries ++ OmegaQueries.queries ++ NexusQueries.queries
+    ApexQueries.queries ++ TitanQueries.queries ++ OmegaQueries.queries ++ NexusQueries.queries ++
+    VertexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -353,5 +354,6 @@ object SparkEntry {
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql ++
     FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
     ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
-    ApexQueries.oracleSql ++ TitanQueries.oracleSql ++ OmegaQueries.oracleSql ++ NexusQueries.oracleSql
+    ApexQueries.oracleSql ++ TitanQueries.oracleSql ++ OmegaQueries.oracleSql ++ NexusQueries.oracleSql ++
+    VertexQueries.oracleSql
 }
