@@ -267,6 +267,73 @@ object Multimodal {
     }
     df.sparkSession.createDataFrame(rows, schema)
   }
+
+  private val imageMetaSchema = StructType(Seq(
+    StructField("format", StringType, nullable = true),
+    StructField("width", LongType, nullable = true),
+    StructField("height", LongType, nullable = true),
+    StructField("bit_depth", LongType, nullable = true),
+    StructField("n_channels", LongType, nullable = true),
+    StructField("n_bytes", LongType, nullable = true)))
+
+  /** Synthesize a real PNG or JPEG blob per row from parameter columns —
+    * the image counterpart of [[synthWavMedia]]: genuine signatures,
+    * CRC-correct IHDR / walkable marker structure
+    * ([[ImageHeaderCodec.encodePng]]/[[ImageHeaderCodec.encodeJpeg]]) whose
+    * parse-back is oracle-checkable against the source columns. `fmtCol`
+    * selects "png" or "jpeg"; `depthCol` is the PNG bit depth (JPEG is
+    * always 8-bit baseline); `ctOrNcCol` is the PNG color type / JPEG
+    * component count; `payloadCol` sizes the opaque payload.
+    */
+  def synthImageMedia(df: DataFrame, fmtCol: String, wCol: String,
+                      hCol: String, depthCol: String, ctOrNcCol: String,
+                      payloadCol: String, mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(mediaCol, BinaryType, nullable = false))
+    val fIdx = df.schema.fieldIndex(fmtCol)
+    val wIdx = df.schema.fieldIndex(wCol)
+    val hIdx = df.schema.fieldIndex(hCol)
+    val dIdx = df.schema.fieldIndex(depthCol)
+    val cIdx = df.schema.fieldIndex(ctOrNcCol)
+    val pIdx = df.schema.fieldIndex(payloadCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val img =
+          if (r.getString(fIdx) == "png")
+            ImageHeaderCodec.encodePng(r.getInt(wIdx), r.getInt(hIdx),
+              r.getInt(dIdx), r.getInt(cIdx), r.getInt(pIdx))
+          else
+            ImageHeaderCodec.encodeJpeg(r.getInt(wIdx), r.getInt(hIdx),
+              r.getInt(cIdx), r.getInt(pIdx))
+        Row.fromSeq(r.toSeq :+ img)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Parse image metadata from each media blob with the REAL header-only
+    * PNG/JPEG parser ([[ImageHeaderCodec.decode]]) — same per-partition
+    * batch-loop shape as [[decodeAudioMeta]]; blobs that are neither yield
+    * null metadata so a mixed-media scan never throws. This replaces the
+    * `javax.imageio` reader-dispatch path for metadata sweeps: no stream,
+    * no plugin lookup, one pass over the leading bytes.
+    */
+  def decodeImageMeta(df: DataFrame, mediaCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ imageMetaSchema.fields)
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val meta: Seq[Any] =
+          ImageHeaderCodec.decode(r.getAs[Array[Byte]](mediaIdx)) match {
+            case Some(m) => Seq(m.format, m.width.toLong, m.height.toLong,
+              m.bitDepth.toLong, m.nChannels.toLong, m.nBytes)
+            case None => Seq(null, null, null, null, null, null)
+          }
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
 }
 
 final case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long)
