@@ -62,6 +62,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scale-lint: flag unpartitioned windows over unbounded children
     // (warn by default; spark.graft.scaleGuard.fail=true -> analysis error)
     ext.injectCheckRule(spark => graft.plans.ScaleGuard.check(spark))
+    // stream-state lint: flag keyed streaming state with no eviction bound
+    // (warn by default; spark.graft.streamGuard.fail=true -> analysis error)
+    ext.injectCheckRule(spark => graft.plans.StreamStateGuard.check(spark))
   }
 }
 
