@@ -103,12 +103,157 @@ object VertexQueries {
       |FROM p ORDER BY doc_id""".stripMargin
 
   // --------------------------------------------------------------------------
+  // HyperANF neighborhood function
+  // --------------------------------------------------------------------------
+
+  /** HyperANF over the symmetric co-purchase graph
+    * ([[graft.ext.HyperAnf.neighborhoodFunction]], b=4, 3 hops): the
+    * register-algebra neighborhood function N(t) = Σ_v |B(v,t)| whose growth
+    * curve reads off average distance and effective diameter — all-pairs
+    * reachability at O(nodes·16) state instead of quadratic BFS frontiers.
+    * The oracle replays every register: init rho, three max-merge hops, the
+    * per-node estimator, and the DECIMAL-pooled corpus sum.
+    */
+  def qHyperAnf(spark: SparkSession, dir: String): DataFrame = {
+    val e = SummitQueries.copurchaseEdges(spark, dir)
+      .select(col("src"), col("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    graft.ext.HyperAnf.neighborhoodFunction(sym, "src", "dst",
+      hops = 3, b = 4)
+  }
+
+  val hyperAnfSql: String = {
+    def hop(t: Int): String = {
+      val prev = s"r${t - 1}"
+      s"""r$t AS (SELECT node, idx, MAX(mreg) AS mreg FROM (
+        |    SELECT node, idx, mreg FROM $prev
+        |    UNION ALL
+        |    SELECT s.src AS node, r.idx, r.mreg
+        |    FROM sym s JOIN $prev r ON s.dst = r.node)
+        |  GROUP BY 1, 2)""".stripMargin
+    }
+    def est(t: Int): String =
+      s"""pn$t AS (SELECT node, COUNT(*) AS cnt,
+        |    SUM(power(2.0, -CAST(mreg AS DOUBLE))) AS zp
+        |  FROM r$t GROUP BY 1),
+        |es$t AS (SELECT CASE
+        |    WHEN 0.673 * (16.0 * 16.0) / (16.0 - cnt + zp) <= 40.0
+        |      AND (16 - cnt) > 0
+        |    THEN 16.0 * ln(16.0 / CAST(16 - cnt AS DOUBLE))
+        |    ELSE 0.673 * (16.0 * 16.0) / (16.0 - cnt + zp) END AS e
+        |  FROM pn$t),
+        |o$t AS (SELECT CAST($t AS BIGINT) AS hop,
+        |    CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |    ROUND(CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE), 6)
+        |      AS nf_est,
+        |    ROUND(CAST(SUM(CAST(e AS DECIMAL(28,12))) AS DOUBLE)
+        |      / CAST(COUNT(*) AS DOUBLE), 6) AS avg_ball
+        |  FROM es$t)""".stripMargin
+    s"""WITH e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+      |  FROM lineitem x JOIN lineitem y
+      |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+      |sym AS (SELECT a AS src, b AS dst FROM e0
+      |  UNION ALL SELECT b, a FROM e0),
+      |nodes AS (SELECT DISTINCT src AS node FROM sym),
+      |hh AS (SELECT node,
+      |    ('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 8))::BIGINT AS h
+      |  FROM nodes),
+      |r0 AS (SELECT node, h % 16 AS idx,
+      |    CASE WHEN h // 16 = 0 THEN 29
+      |      ELSE 29 - len(bin(h // 16)) END AS mreg
+      |  FROM hh),
+      |${hop(1)},
+      |${hop(2)},
+      |${hop(3)},
+      |${est(0)},
+      |${est(1)},
+      |${est(2)},
+      |${est(3)}
+      |SELECT * FROM o0 UNION ALL SELECT * FROM o1
+      |UNION ALL SELECT * FROM o2 UNION ALL SELECT * FROM o3
+      |ORDER BY hop""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // Indexed exact substring search
+  // --------------------------------------------------------------------------
+
+  /** Multi-query exact substring search over the corpus
+    * ([[graft.ext.SubstringSearch.searchCounts]]): five query strings
+    * lifted verbatim from documents, each resolved through the k-gram
+    * posting index (argmin-hash gram → broadcast candidate join →
+    * `contains` verification on candidates only). The oracle recomputes
+    * the selected gram and both counts by brute-force `contains` — a green
+    * row proves the index path finds EXACTLY the scan's answer, plus the
+    * candidates ⊇ matches containment the posting join guarantees.
+    */
+  def qSubstringSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val qs = docs
+      .filter(col("doc_id").isin(1L, 101L, 201L, 301L, 401L) &&
+        length(col("text")) >= 43)
+      .select(col("doc_id").as("qid"),
+        substring(col("text"), 25, 18).as("q"))
+    graft.ext.SubstringSearch.searchCounts(docs, "doc_id", "text",
+      qs, "qid", "q", gramLen = 8)
+  }
+
+  val substringSearchSql: String =
+    """WITH qs AS (SELECT doc_id AS qid, substr(text, 25, 18) AS q
+      |  FROM documents
+      |  WHERE doc_id IN (1, 101, 201, 301, 401) AND len(text) >= 43),
+      |qg AS (SELECT qid, q, g,
+      |    ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+      |  FROM (SELECT qid, q, unnest(list_transform(
+      |      generate_series(1, len(q) - 7), i -> substr(q, i, 8))) AS g
+      |    FROM qs)),
+      |sel AS (SELECT qid, q, g AS gram FROM (
+      |    SELECT qid, q, g,
+      |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY h, g) AS rn
+      |    FROM qg) WHERE rn = 1),
+      |cand AS (SELECT s.qid, COUNT(*) AS n_candidates,
+      |    CAST(SUM(CASE WHEN contains(d.text, s.q) THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_matches
+      |  FROM sel s JOIN documents d ON contains(d.text, s.gram)
+      |  GROUP BY 1)
+      |SELECT s.qid AS query_id, s.gram,
+      |  CAST(c.n_candidates AS BIGINT) AS n_candidates, c.n_matches
+      |FROM sel s JOIN cand c USING (qid)
+      |ORDER BY query_id""".stripMargin
+
+  // --------------------------------------------------------------------------
+  // Unigram tokenizer fertility by language
+  // --------------------------------------------------------------------------
+
+  /** Language-skew readout of the unigram tokenizer
+    * ([[graft.ext.UnigramLm.fertilityByGroup]]): train on the full corpus,
+    * report tokens-per-word and chars-per-token by language — the
+    * q_tokenizer_fertility contract on the second tokenizer family.
+    * Rows-only check, like the rest of the trainer surface.
+    */
+  def qUnigramFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val cfg = graft.ext.UnigramLm.Config(maxPieceLen = 5, seedMulti = 150,
+      targetMulti = 60, emIters = 2, minFreq = 2)
+    val pieces = graft.ext.UnigramLm.train(docs, "text", cfg)
+    graft.ext.UnigramLm.fertilityByGroup(docs, "doc_id", "text", "lang",
+        pieces, cfg.maxPieceLen)
+      .orderBy(col("grp"))
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
     "q_unigram_encode" -> (qUnigramEncode _),
-    "q_multimodal_image" -> (qMultimodalImage _))
+    "q_unigram_fertility" -> (qUnigramFertility _),
+    "q_multimodal_image" -> (qMultimodalImage _),
+    "q_hyperanf" -> (qHyperAnf _),
+    "q_substring_search" -> (qSubstringSearch _))
 
   val oracleSql: Map[String, String] = Map(
-    "q_multimodal_image" -> multimodalImageSql)
+    "q_multimodal_image" -> multimodalImageSql,
+    "q_hyperanf" -> hyperAnfSql,
+    "q_substring_search" -> substringSearchSql)
 }
