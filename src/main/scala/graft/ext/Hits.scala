@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions._
   * doubles bit-identical across engines; the oracle unrolls the same
   * recurrence.
   *
-  * Scale shape: the distinct edge table is checkpointed TWICE — once
+  * Scale shape: above [[Hits.PartitionedCopyMinEdges]] edges, the distinct
+  * edge table is checkpointed TWICE — once
   * hash-partitioned by src, once by dst (localCheckpoint preserves the
   * physical partitioning through LogicalRDD) — so each iteration's two
   * gathers shuffle only the node-sized score table into the matching edge
@@ -29,6 +30,11 @@ import org.apache.spark.sql.functions._
   */
 object Hits {
 
+  /** Edge count above which the per-key partitioned edge copies pay for
+    * their two up-front shuffles (see the gate comment in [[hits]]).
+    */
+  val PartitionedCopyMinEdges: Long = 5000000L
+
   /** Returns (kind, node, score): kind 'authority' scores dst nodes, kind
     * 'hub' scores src nodes, after `iterations` full a-then-h rounds.
     */
@@ -39,9 +45,16 @@ object Hits {
       .distinct()
       .localCheckpoint()
     // two partitioned copies: joins on src/dst reuse the edge-side layout
-    // every iteration (only the node-sized score table moves)
-    val eSrc = e.repartition(col("src")).localCheckpoint()
-    val eDst = e.repartition(col("dst")).localCheckpoint()
+    // every iteration (only the node-sized score table moves). GATED on
+    // edge count: the copies trade 2 up-front edge shuffles + 2 checkpoint
+    // jobs for ~2·iterations in-loop edge shuffles — a clear win once the
+    // edge shuffle costs real time, pure job overhead below it (measured:
+    // the copies ADDED ~0.6 s at the sf0.1 tier's ~1M edges, where every
+    // edge shuffle is milliseconds). The count is one fast job over the
+    // already-materialized checkpoint blocks.
+    val useCopies = e.count() >= PartitionedCopyMinEdges
+    val eSrc = if (useCopies) e.repartition(col("src")).localCheckpoint() else e
+    val eDst = if (useCopies) e.repartition(col("dst")).localCheckpoint() else e
     def l1Normalize(scores: DataFrame, valCol: String): DataFrame = {
       val total = scores.agg(
         sum(col(valCol).cast("decimal(18,9)")).cast("double").as("__s"))
