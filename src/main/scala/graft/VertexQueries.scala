@@ -243,6 +243,112 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // KMV set-operation sketches
+  // --------------------------------------------------------------------------
+
+  /** KMV k-minimum-values set-operation estimates for the 1996-vs-1997
+    * customer sets ([[graft.ext.Kmv.setOpsAudit]], k=128) — the same
+    * pairing as q_hll_intersect, adding what HLL registers cannot do: the
+    * union sketch is a uniform sample of union-distinct elements, so
+    * |A∩B|, |A\B| and |B\A| all get direct unbiased estimates instead of
+    * inclusion-exclusion. The oracle replays hash, k-smallest selection,
+    * tagging and every estimator formula.
+    */
+  def qKmvSetops(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    graft.ext.Kmv.setOpsAudit(
+      o.filter(col("yr") === 1996), o.filter(col("yr") === 1997),
+      "o_custkey", k = 128)
+  }
+
+  val kmvSetopsSql: String = {
+    def dv(h: String, n: String): String =
+      s"(CAST($n AS DOUBLE) - 1.0) / (CAST($h AS DOUBLE) / 4294967296.0)"
+    s"""WITH a0 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+      |  FROM orders WHERE year(o_orderdate) = 1996),
+      |b0 AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+      |  FROM orders WHERE year(o_orderdate) = 1997),
+      |sa AS (SELECT key, ('0x' || substr(md5(key), 1, 8))::BIGINT AS h
+      |  FROM a0 ORDER BY h, key LIMIT 128),
+      |sb AS (SELECT key, ('0x' || substr(md5(key), 1, 8))::BIGINT AS h
+      |  FROM b0 ORDER BY h, key LIMIT 128),
+      |u AS (SELECT key, h FROM (SELECT DISTINCT key, h FROM
+      |    (SELECT key, h FROM sa UNION ALL SELECT key, h FROM sb))
+      |  ORDER BY h, key LIMIT 128),
+      |tg AS (SELECT u.h,
+      |    sa.key IS NOT NULL AS ina, sb.key IS NOT NULL AS inb
+      |  FROM u LEFT JOIN sa ON u.key = sa.key
+      |  LEFT JOIN sb ON u.key = sb.key),
+      |es AS (SELECT MAX(h) AS hu, COUNT(*) AS nu,
+      |    CAST(SUM(CASE WHEN ina AND inb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_both,
+      |    CAST(SUM(CASE WHEN ina AND NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_only_a,
+      |    CAST(SUM(CASE WHEN inb AND NOT ina THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS c_only_b
+      |  FROM tg),
+      |ka AS (SELECT MAX(h) AS ha, COUNT(*) AS na FROM sa),
+      |kb AS (SELECT MAX(h) AS hb, COUNT(*) AS nb FROM sb),
+      |ex AS (SELECT
+      |    (SELECT COUNT(*) FROM a0 WHERE key IN (SELECT key FROM b0))
+      |      AS t_intersect,
+      |    (SELECT COUNT(*) FROM a0 WHERE key NOT IN (SELECT key FROM b0))
+      |      AS t_only_a,
+      |    (SELECT COUNT(*) FROM b0 WHERE key NOT IN (SELECT key FROM a0))
+      |      AS t_only_b)
+      |SELECT CAST(128 AS BIGINT) AS k,
+      |  ROUND(${dv("ka.ha", "ka.na")}, 6) AS est_a,
+      |  ROUND(${dv("kb.hb", "kb.nb")}, 6) AS est_b,
+      |  ROUND(${dv("es.hu", "es.nu")}, 6) AS est_union,
+      |  ROUND(CAST(es.c_both AS DOUBLE) / es.nu
+      |    * (${dv("es.hu", "es.nu")}), 6) AS est_intersect,
+      |  ROUND(CAST(es.c_only_a AS DOUBLE) / es.nu
+      |    * (${dv("es.hu", "es.nu")}), 6) AS est_only_a,
+      |  ROUND(CAST(es.c_only_b AS DOUBLE) / es.nu
+      |    * (${dv("es.hu", "es.nu")}), 6) AS est_only_b,
+      |  CAST(ex.t_intersect AS BIGINT) AS true_intersect,
+      |  CAST(ex.t_only_a AS BIGINT) AS true_only_a,
+      |  CAST(ex.t_only_b AS BIGINT) AS true_only_b
+      |FROM ka CROSS JOIN kb CROSS JOIN es CROSS JOIN ex""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // AMS F2 self-join-size estimation
+  // --------------------------------------------------------------------------
+
+  /** Self-join-size estimation from AMS/Count-Sketch registers
+    * ([[graft.ext.Sketches.selfJoinSizeAudit]], d=5, w=64): the planner
+    * primitive |events ⋈_user events| = Σ_u f(u)², estimated as the
+    * median over sign-sketch rows of Σ_bucket (Σ ±f)² against the exact
+    * second moment — the calibration run before sizing join outputs from
+    * d·w counters alone.
+    */
+  def qSelfjoinF2(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.selfJoinSizeAudit(
+      Tables.events(spark, dir), "user_id", depth = 5, width = 64)
+
+  val selfjoinF2Sql: String =
+    """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS item, COUNT(*) AS cnt
+      |  FROM events GROUP BY 1),
+      |ex AS (SELECT CAST(SUM(cnt * cnt) AS BIGINT) AS f2_exact FROM c),
+      |js AS (SELECT unnest([0, 1, 2, 3, 4]) AS j),
+      |sk AS (SELECT j,
+      |    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || item), 1, 8))
+      |      ::BIGINT % 64 AS bucket,
+      |    CAST(SUM(((('0x' || substr(md5('s:' || CAST(j AS VARCHAR) || ':'
+      |      || item), 1, 8))::BIGINT % 2) * 2 - 1) * cnt) AS BIGINT) AS bc
+      |  FROM c CROSS JOIN js GROUP BY 1, 2),
+      |re AS (SELECT j, CAST(SUM(bc * bc) AS BIGINT) AS row_est
+      |  FROM sk GROUP BY 1),
+      |mn AS (SELECT list_sort(list(row_est))[3] AS f2_est FROM re)
+      |SELECT CAST(5 AS BIGINT) AS depth, CAST(64 AS BIGINT) AS width,
+      |  ex.f2_exact, mn.f2_est,
+      |  ROUND(CAST(mn.f2_est - ex.f2_exact AS DOUBLE)
+      |    / CAST(ex.f2_exact AS DOUBLE), 6) AS rel_err
+      |FROM ex CROSS JOIN mn""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -250,10 +356,14 @@ object VertexQueries {
     "q_unigram_fertility" -> (qUnigramFertility _),
     "q_multimodal_image" -> (qMultimodalImage _),
     "q_hyperanf" -> (qHyperAnf _),
-    "q_substring_search" -> (qSubstringSearch _))
+    "q_substring_search" -> (qSubstringSearch _),
+    "q_kmv_setops" -> (qKmvSetops _),
+    "q_selfjoin_f2" -> (qSelfjoinF2 _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
     "q_hyperanf" -> hyperAnfSql,
-    "q_substring_search" -> substringSearchSql)
+    "q_substring_search" -> substringSearchSql,
+    "q_kmv_setops" -> kmvSetopsSql,
+    "q_selfjoin_f2" -> selfjoinF2Sql)
 }

@@ -43,6 +43,56 @@ object Sketches {
       .agg(sum(col("cnt")).as("bucket_cnt"))
   }
 
+  /** Self-join-size (second frequency moment, F2) audit from AMS/Count-
+    * Sketch registers (Alon-Matias-Szegedy, STOC'96; Charikar et al.'s
+    * bucketed fast variant): |R ⋈_key R| = Σ_key f(key)² — the query-
+    * planner cardinality primitive — estimated per hash row as
+    * Σ_bucket (Σ_item ±f(item))² with md5-derived random signs, then the
+    * MEDIAN over the d rows. The signs make each row UNBIASED with
+    * variance ≈ 2·F2²/width, which is why this sketch (and not a plain
+    * CMS inner product, whose error scales with F1² and drowns any
+    * non-heavy-hitter corpus) is the one planners actually use for
+    * join-size estimation. This audit is the calibration run before
+    * trusting d·w counters to size join outputs at corpus scale.
+    *
+    * Exactness: frequencies, signed bucket sums and squared sums are
+    * exact longs; the median of d longs is element (d+1)/2 of the sorted
+    * list (d odd required); rel_err is the single double division.
+    * Output one row: (depth, width, f2_exact, f2_est, rel_err).
+    *
+    * Scale shape: one (item) count aggregate (map-side partials absorb
+    * hot keys), then the d-way explode groups into d·w register rows —
+    * the corpus never moves again; exact and estimate read the same
+    * counts table once via a localCheckpoint.
+    */
+  def selfJoinSizeAudit(df: DataFrame, itemCol: String,
+                        depth: Int = 5, width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth % 2 == 1 && width >= 2,
+      s"need odd depth >= 1 and width >= 2, got d=$depth w=$width")
+    val counts = df.groupBy(col(itemCol).cast("string").as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true) // exact moment + sketch both read it
+    val exact = counts
+      .agg(sum(col("cnt") * col("cnt")).cast("long").as("f2_exact"))
+    val sign = (conv(substring(md5(concat(lit("s:"),
+      col("j").cast("string"), lit(":"), col("item"))), 1, 8), 16, 10)
+      .cast("long") % 2) * 2 - 1
+    val est = counts
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col("item"), col("cnt"))
+      .groupBy(col("j"), bucket(col("j"), col("item"), width).as("bucket"))
+      .agg(sum(sign * col("cnt")).as("bc"))
+      .groupBy(col("j"))
+      .agg(sum(col("bc") * col("bc")).cast("long").as("row_est"))
+      .agg(element_at(sort_array(collect_list(col("row_est"))),
+        (depth + 1) / 2).as("f2_est"))
+    exact.crossJoin(est)
+      .select(lit(depth.toLong).as("depth"), lit(width.toLong).as("width"),
+        col("f2_exact"), col("f2_est"),
+        round((col("f2_est") - col("f2_exact")).cast("double") /
+          col("f2_exact").cast("double"), 6).as("rel_err"))
+  }
+
   /** Point-query the sketch for the true top-k items and report the
     * overestimate — the accuracy audit a pipeline runs before trusting the
     * sketch at full scale. Output per item (true-count desc, item asc):
