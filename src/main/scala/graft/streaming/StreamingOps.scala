@@ -1471,6 +1471,58 @@ object StreamingOps {
                            wWords: Int = 64, kHashes: Int = 4): DataFrame =
     graft.ext.Sketches.bloomFilterWords(stream, col(itemCol), wWords, kHashes)
 
+  /** Streaming KMV registers — the incremental twin of [[graft.ext.Kmv]]'s
+    * set-operation sketch: per hash shard, the k smallest DISTINCT md5
+    * hashes maintained by a bounded [[graft.functions.KmvAggregator]]
+    * (duplicate arrivals are no-ops — the distinct-set semantics that make
+    * KMV a union-able sample). State is EXACTLY nShards × k longs forever
+    * (shard = pmod(hash, nShards), a register-bounded key domain the
+    * stream-state guard proves); the consumer merges the shard snapshots —
+    * global k smallest of the union, exact because each shard's global
+    * minima are necessarily within its own k-min — and applies the
+    * (k−1)/u_k estimator snapshot-side, the hllRegistersStream division of
+    * labor. After the stream drains the merged sketch equals the batch
+    * TakeOrdered sketch value-for-value (spec-locked).
+    *
+    * Output per touched shard per trigger (Update mode): (shard, hs) with
+    * hs ascending.
+    */
+  def kmvRegistersStream(stream: DataFrame, itemCol: String,
+                         nShards: Int = 8, k: Int = 64): DataFrame = {
+    require(nShards >= 1 && k >= 1, s"bad kmv shape s=$nShards k=$k")
+    val kmv = udaf(new graft.functions.KmvAggregator(k))
+    stream
+      .select(conv(substring(md5(col(itemCol).cast("string")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .groupBy(pmod(col("h"), lit(nShards)).as("shard"))
+      .agg(kmv(col("h")).as("__b"))
+      .select(col("shard"), col("__b.hs").as("hs"))
+  }
+
+  /** Streaming AMS/Count-Sketch registers — the incremental twin of
+    * [[graft.ext.Sketches.selfJoinSizeAudit]]'s sign sketch: per (hash row
+    * j, bucket), the running Σ ±1 over arriving items. Signs and buckets
+    * are the audit's exact md5 derivations, so the drained register table
+    * equals the batch Σ_item sign·count registers value-for-value
+    * (spec-locked); the consumer squares, sums and medians snapshot-side
+    * to read F2 — live join-size telemetry at d·w longs of state forever,
+    * no watermark, the countMinSketchStream contract with signs.
+    */
+  def amsRegistersStream(stream: DataFrame, itemCol: String,
+                         depth: Int = 5, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad sketch shape d=$depth w=$width")
+    val item = col(itemCol).cast("string")
+    val sign = (conv(substring(md5(concat(lit("s:"),
+      col("j").cast("string"), lit(":"), col("item"))), 1, 8), 16, 10)
+      .cast("long") % 2) * 2 - 1
+    stream
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        item.as("item"))
+      .groupBy(col("j"),
+        graft.ext.Sketches.bucket(col("j"), col("item"), width).as("bucket"))
+      .agg(sum(sign).as("bc"))
+  }
+
   final case class P2Value(series: String, x: Double, seq: Long)
   final case class P2State(init: Seq[Double], q: Seq[Double], n: Seq[Long],
                            np: Seq[Double], count: Long)

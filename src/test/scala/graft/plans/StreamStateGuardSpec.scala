@@ -75,7 +75,9 @@ class StreamStateGuardSpec extends SparkTestBase {
       "hllRegistersStream" -> hllRegistersStream(evts, "event_type"),
       "bloomRegistersStream" -> bloomRegistersStream(evts, "event_type"),
       "dsirBucketCountsStream" ->
-        dsirBucketCountsStream(docs, "text", col("doc_id") % 2 === 0))
+        dsirBucketCountsStream(docs, "text", col("doc_id") % 2 === 0),
+      "kmvRegistersStream" -> kmvRegistersStream(evts, "event_type"),
+      "amsRegistersStream" -> amsRegistersStream(evts, "event_type"))
     regs.foreach { case (name, ds) =>
       val audit = StreamStateGuard.audit(ds)
       assert(audit.exists(o => o.bounded && o.op == "streamingAggregate" &&
