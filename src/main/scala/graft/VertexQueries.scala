@@ -349,6 +349,102 @@ object VertexQueries {
       |FROM ex CROSS JOIN mn""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Hilbert-curve layout (batch 5)
+  // --------------------------------------------------------------------------
+
+  private val hBits = 6
+  private val hCoarse = 4
+
+  /** Chained-CTE unroll of [[graft.functions.HilbertXy2d]]'s per-plane
+    * reflect-rotate recurrence: stages hp0..hp{order-1} each consume the
+    * previous plane's (x, y, d) and carry the ORIGINAL coordinates (ox, oy)
+    * through untouched. `base` must expose columns x, y, ox, oy, d. Pure
+    * integer algebra — byte-identical to the engine's codegen kernel.
+    */
+  private def hilbertStagesSql(base: String): (String, String) = {
+    val stages = (hBits - 1 to 0 by -1).zipWithIndex.map { case (b, i) =>
+      val s = 1L << b
+      val prev = if (i == 0) base else s"hp${i - 1}"
+      s"""hp$i AS (SELECT ox, oy,
+         |  CASE WHEN (y & $s) <> 0 THEN x
+         |       WHEN (x & $s) <> 0 THEN $s - 1 - y ELSE y END AS x,
+         |  CASE WHEN (y & $s) <> 0 THEN y
+         |       WHEN (x & $s) <> 0 THEN $s - 1 - x ELSE x END AS y,
+         |  d + ${s * s} * xor(3 * (CASE WHEN (x & $s) <> 0 THEN 1 ELSE 0 END),
+         |    CASE WHEN (y & $s) <> 0 THEN 1 ELSE 0 END) AS d
+         |FROM $prev)""".stripMargin
+    }
+    (stages.mkString(",\n"), s"hp${hBits - 1}")
+  }
+
+  private val partCellsSql: String =
+    """SELECT CAST(p_size AS BIGINT) AS x,
+      |    (CAST(FLOOR(p_retailprice) AS BIGINT) - 900) // 2 AS y FROM part"""
+      .stripMargin
+
+  private def partCellsDF(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).withColumn("pb",
+      expr("(CAST(FLOOR(p_retailprice) AS BIGINT) - 900) div 2"))
+
+  /** Hilbert-curve bucket audit over (p_size, price-bucket) on a 64×64
+    * grid — `q_zorder`'s twin on the better-adjacency curve
+    * ([[graft.ext.Layout.hilbertAudit]]). The oracle replays the xy2d
+    * recurrence as a 6-plane chained-CTE unroll.
+    */
+  def qHilbert(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Layout.hilbertAudit(partCellsDF(spark, dir),
+        col("p_size"), col("pb"), order = hBits, coarseBits = hCoarse)
+      .orderBy(col("h_bucket"))
+
+  val hilbertSql: String = {
+    val (stages, last) = hilbertStagesSql("d0")
+    s"""WITH cells AS ($partCellsSql),
+       |d0 AS (SELECT x, y, x AS ox, y AS oy, CAST(0 AS BIGINT) AS d
+       |  FROM cells),
+       |$stages
+       |SELECT d >> $hCoarse AS h_bucket, COUNT(*) AS n,
+       |  MIN(ox) AS x_min, MAX(ox) AS x_max,
+       |  MIN(oy) AS y_min, MAX(oy) AS y_max
+       |FROM $last GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Consecutive-key Manhattan step, Hilbert vs Morton, over the distinct
+    * occupied cells ([[graft.ext.Layout.curveLocality]]) — the measurable
+    * locality claim behind the Hilbert layout: its mean step stays near 1
+    * while Morton's bit-boundary jumps push the mean well above.
+    */
+  def qCurveLocality(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Layout.curveLocality(partCellsDF(spark, dir),
+      col("p_size"), col("pb"), order = hBits)
+
+  val curveLocalitySql: String = {
+    val (stages, last) = hilbertStagesSql("c0")
+    val interleave = (0 until hBits).flatMap { b =>
+      Seq(s"(((x >> $b) & 1) << ${2 * b})", s"(((y >> $b) & 1) << ${2 * b + 1})")
+    }.mkString(" | ")
+    s"""WITH cells AS (SELECT DISTINCT x, y FROM ($partCellsSql)),
+       |c0 AS (SELECT x, y, x AS ox, y AS oy, CAST(0 AS BIGINT) AS d
+       |  FROM cells),
+       |$stages,
+       |hk AS (SELECT ox AS x, oy AS y, d AS h FROM $last),
+       |zk AS (SELECT x, y, ($interleave) AS z FROM cells),
+       |hp AS (SELECT x - LAG(x) OVER (ORDER BY h) AS dx,
+       |  y - LAG(y) OVER (ORDER BY h) AS dy FROM hk),
+       |zp AS (SELECT x - LAG(x) OVER (ORDER BY z) AS dx,
+       |  y - LAG(y) OVER (ORDER BY z) AS dy FROM zk),
+       |hs AS (SELECT CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS h_sum FROM hp),
+       |zs AS (SELECT CAST(SUM(ABS(dx) + ABS(dy)) AS BIGINT) AS z_sum FROM zp),
+       |n AS (SELECT COUNT(*) AS n_cells FROM cells)
+       |SELECT n.n_cells, hs.h_sum AS hilbert_step_sum,
+       |  zs.z_sum AS morton_step_sum,
+       |  ROUND(CAST(hs.h_sum AS DOUBLE) / CAST(n.n_cells - 1 AS DOUBLE), 6)
+       |    AS hilbert_avg_step,
+       |  ROUND(CAST(zs.z_sum AS DOUBLE) / CAST(n.n_cells - 1 AS DOUBLE), 6)
+       |    AS morton_avg_step
+       |FROM n CROSS JOIN hs CROSS JOIN zs""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -358,12 +454,16 @@ object VertexQueries {
     "q_hyperanf" -> (qHyperAnf _),
     "q_substring_search" -> (qSubstringSearch _),
     "q_kmv_setops" -> (qKmvSetops _),
-    "q_selfjoin_f2" -> (qSelfjoinF2 _))
+    "q_selfjoin_f2" -> (qSelfjoinF2 _),
+    "q_hilbert" -> (qHilbert _),
+    "q_curve_locality" -> (qCurveLocality _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
     "q_hyperanf" -> hyperAnfSql,
     "q_substring_search" -> substringSearchSql,
     "q_kmv_setops" -> kmvSetopsSql,
-    "q_selfjoin_f2" -> selfjoinF2Sql)
+    "q_selfjoin_f2" -> selfjoinF2Sql,
+    "q_hilbert" -> hilbertSql,
+    "q_curve_locality" -> curveLocalitySql)
 }

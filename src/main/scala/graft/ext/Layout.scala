@@ -66,6 +66,76 @@ object Layout {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
 
+  /** Hilbert-curve locality audit: [[zorderAudit]]'s twin on the
+    * [[graft.functions.HilbertXy2d]] key. Same bucket-rectangle output
+    * (h_bucket, n, x_min, x_max, y_min, y_max) so the two layouts'
+    * pruning quality is directly comparable — Hilbert buckets are tighter
+    * because consecutive curve indices are always grid-adjacent (no
+    * Morton bit-boundary jumps).
+    */
+  def hilbertAudit(df: DataFrame, x: Column, y: Column,
+                   order: Int, coarseBits: Int): DataFrame = {
+    import graft.functions.HilbertXy2d.hilbertXy2d
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .withColumn("h", hilbertXy2d(col("x"), col("y"), order))
+      .groupBy(shiftright(col("h"), coarseBits).as("h_bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+        min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+  }
+
+  /** Range-partition rows by their Hilbert key — [[zorderLayout]] with the
+    * better-adjacency curve (the Delta/Iceberg OPTIMIZE-by-Hilbert design).
+    */
+  def hilbertLayout(x: Column, y: Column, order: Int, nFiles: Int)
+                   (df: DataFrame): DataFrame = {
+    import graft.functions.HilbertXy2d.hilbertXy2d
+    df.withColumn("__h", hilbertXy2d(x.cast("long"), y.cast("long"), order))
+      .repartitionByRange(nFiles, col("__h"))
+      .sortWithinPartitions(col("__h"))
+      .drop("__h")
+  }
+
+  /** One-row comparison of the two curves' locality: over the DISTINCT
+    * occupied grid cells, walk each curve's visit order (rank by key, join
+    * rank → rank+1 — never an unpartitioned lag window) and sum the
+    * Manhattan step |dx|+|dy| between consecutive cells. Lower mean step =
+    * better adjacency = tighter file rectangles at any file count. On a
+    * FULL 2^order × 2^order grid the Hilbert mean is exactly 1 (every step
+    * adjacent); Morton's bit-boundary jumps push it well above. Exact
+    * integer sums; one double division at the readout. Output: (n_cells,
+    * hilbert_step_sum, morton_step_sum, hilbert_avg_step, morton_avg_step).
+    */
+  def curveLocality(df: DataFrame, x: Column, y: Column,
+                    order: Int): DataFrame = {
+    import graft.functions.HilbertXy2d.hilbertXy2d
+    val cells = df.select(x.cast("long").as("x"), y.cast("long").as("y"))
+      .distinct()
+      .withColumn("h", hilbertXy2d(col("x"), col("y"), order))
+      .withColumn("z", mortonKey(col("x"), col("y"), order))
+    def stepSum(key: String): DataFrame = {
+      val ranked = GlobalRank.globalRowNumber(
+        cells.select(col("x"), col("y"), col(key)), Seq(col(key)))
+      ranked.select(col("x"), col("y"), col("rn"))
+        .join(ranked.select(col("x").as("x2"), col("y").as("y2"),
+          (col("rn") - 1).as("rn")), "rn")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum((abs(col("x2") - col("x")) + abs(col("y2") - col("y")))
+            .cast("long")).as(s"${key}_sum"))
+    }
+    val h = stepSum("h")
+    val z = stepSum("z")
+    val n = cells.agg(count(lit(1)).as("n_cells"))
+    n.crossJoin(h.select(col("h_sum"))).crossJoin(z.select(col("z_sum")))
+      .select(col("n_cells"),
+        col("h_sum").as("hilbert_step_sum"),
+        col("z_sum").as("morton_step_sum"),
+        round(col("h_sum").cast("double") /
+          (col("n_cells") - 1).cast("double"), 6).as("hilbert_avg_step"),
+        round(col("z_sum").cast("double") /
+          (col("n_cells") - 1).cast("double"), 6).as("morton_avg_step"))
+  }
+
   /** Skew-salted equi-join: replicate the small (dimension) side
     * `saltFactor` ways, spread the big (fact) side across replicas by a
     * deterministic hash of its whole row, and join on (key, salt). Output

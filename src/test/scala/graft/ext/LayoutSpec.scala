@@ -162,4 +162,33 @@ class LayoutSpec extends SparkTestBase {
     assert(sortedSav > naturalSav + 0.3,
       s"sorted $sortedSav should beat natural $naturalSav")
   }
+
+  test("hilbertAudit: full-grid buckets are tight square tiles") {
+    // full 16x16 grid, order 4, coarse 4 -> 16 d-values per bucket = one
+    // 4x4 tile (Hilbert subdivides into quadrants, so each 16-run of d is
+    // exactly one 4x4 sub-square)
+    val grid = spark.range(0, 16).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 16).select(col("id").as("y")))
+    val audit = Layout.hilbertAudit(grid, col("x"), col("y"),
+      order = 4, coarseBits = 4).collect()
+    assert(audit.length == 16)
+    audit.foreach { r =>
+      assert(r.getAs[Long]("n") == 16)
+      assert(r.getAs[Long]("x_max") - r.getAs[Long]("x_min") == 3)
+      assert(r.getAs[Long]("y_max") - r.getAs[Long]("y_min") == 3)
+    }
+  }
+
+  test("curveLocality: on a full grid the Hilbert mean step is exactly 1 " +
+    "and Morton's bit-boundary jumps push its mean above") {
+    val grid = spark.range(0, 16).select(col("id").as("x"))
+      .crossJoin(spark.range(0, 16).select(col("id").as("y")))
+    val r = Layout.curveLocality(grid, col("x"), col("y"), order = 4)
+      .collect().head
+    assert(r.getAs[Long]("n_cells") == 256)
+    assert(r.getAs[Long]("hilbert_step_sum") == 255) // every step adjacent
+    assert(r.getAs[Double]("hilbert_avg_step") == 1.0)
+    assert(r.getAs[Double]("morton_avg_step") > 1.5,
+      s"morton mean ${r.getAs[Double]("morton_avg_step")} should jump")
+  }
 }
