@@ -445,6 +445,99 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Deterministic random walks + clustering-depth audit (batch 6)
+  // --------------------------------------------------------------------------
+
+  private val walkSteps = 4
+
+  /** DeepWalk-style corpus generation over the symmetrized customer↔part
+    * interaction graph ([[graft.ext.RandomWalks.walks]]): 4-step
+    * hash-seeded walks from every 100th customer. Deterministic by
+    * construction — the oracle replays the identical md5 pick per step as
+    * chained CTE joins over the same ROW_NUMBER adjacency index.
+    */
+  def qRandomWalks(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"), (col("l_partkey") + 10000000L).as("b"))
+      .distinct()
+    // both directions from ONE generator (a union of two projections would
+    // re-run the orders⋈lineitem pipeline per branch)
+    val sym = ed.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val starts = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 100 === 0)
+    graft.ext.RandomWalks.walks(sym, "src", "dst", starts, "c_custkey",
+        steps = walkSteps)
+      .orderBy(col("walker"), col("step"))
+  }
+
+  val randomWalksSql: String = {
+    val stepCtes = (1 to walkSteps).map { t =>
+      val prev = s"s${t - 1}"
+      s"""s$t AS (SELECT $prev.walker, a.dst AS cur FROM $prev JOIN adj a
+         |  ON $prev.cur = a.src
+         |  AND a.pos = ('0x' || substr(md5($prev.walker::VARCHAR || ':$t:' ||
+         |    $prev.cur::VARCHAR), 1, 8))::BIGINT % a.deg)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to walkSteps).map { t =>
+      s"UNION ALL SELECT walker, $t AS step, cur AS node FROM s$t"
+    }.mkString("\n")
+    s"""WITH ed AS (SELECT DISTINCT o_custkey AS a, l_partkey + 10000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT a AS src, b AS dst FROM ed
+       |  UNION SELECT b, a FROM ed),
+       |adj AS (SELECT src, dst,
+       |  ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS pos,
+       |  COUNT(*) OVER (PARTITION BY src) AS deg FROM sym),
+       |s0 AS (SELECT c_custkey AS walker, c_custkey AS cur FROM customer
+       |  WHERE c_custkey % 100 = 0),
+       |$stepCtes
+       |SELECT walker, 0 AS step, walker AS node FROM s0
+       |$unions
+       |ORDER BY walker, step""".stripMargin
+  }
+
+  /** Snowflake-style clustering-depth histogram on orders' total price
+    * ([[graft.ext.Layout.clusteringDepth]]): value-quantized "sorted"
+    * buckets (depth 1 — disjoint ranges) vs round-robin "natural" buckets
+    * (depth ≈ 32 — every file overlaps every point). The depth metric is
+    * what an OPTIMIZE/compaction job monitors to decide when to re-sort.
+    */
+  def qClusteringDepth(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Layout.clusteringDepth(Tables.orders(spark, dir),
+        expr("CAST(FLOOR(o_totalprice) AS BIGINT)"),
+        least(lit(31L), expr("CAST(FLOOR(o_totalprice) AS BIGINT) div 17500")),
+        pmod(col("o_orderkey"), lit(32L)))
+      .orderBy(col("layout"), col("depth"))
+
+  val clusteringDepthSql: String =
+    """WITH base AS (SELECT CAST(FLOOR(o_totalprice) AS BIGINT) AS v,
+      |    LEAST(31, CAST(FLOOR(o_totalprice) AS BIGINT) // 17500) AS sb,
+      |    o_orderkey % 32 AS nb FROM orders),
+      |lb AS (SELECT v, 'sorted' AS layout, sb AS bucket FROM base
+      |  UNION ALL SELECT v, 'natural', nb FROM base),
+      |iv AS (SELECT layout, bucket, MIN(v) AS lo, MAX(v) AS hi
+      |  FROM lb GROUP BY 1, 2),
+      |ev AS (SELECT layout, v, typ, CAST(SUM(delta) AS BIGINT) AS delta
+      |  FROM (SELECT layout, lo AS v, 0 AS typ, 1 AS delta FROM iv
+      |    UNION ALL SELECT layout, hi, 1, -1 FROM iv)
+      |  GROUP BY 1, 2, 3),
+      |sw AS (SELECT layout, v, typ, CAST(SUM(delta) OVER (
+      |    PARTITION BY layout ORDER BY v, typ
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |  AS depth FROM ev)
+      |SELECT iv.layout, sw.depth, COUNT(*) AS n_buckets
+      |FROM iv JOIN sw ON iv.layout = sw.layout AND iv.lo = sw.v
+      |  AND sw.typ = 0
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -456,7 +549,9 @@ object VertexQueries {
     "q_kmv_setops" -> (qKmvSetops _),
     "q_selfjoin_f2" -> (qSelfjoinF2 _),
     "q_hilbert" -> (qHilbert _),
-    "q_curve_locality" -> (qCurveLocality _))
+    "q_curve_locality" -> (qCurveLocality _),
+    "q_random_walks" -> (qRandomWalks _),
+    "q_clustering_depth" -> (qClusteringDepth _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -465,5 +560,7 @@ object VertexQueries {
     "q_kmv_setops" -> kmvSetopsSql,
     "q_selfjoin_f2" -> selfjoinF2Sql,
     "q_hilbert" -> hilbertSql,
-    "q_curve_locality" -> curveLocalitySql)
+    "q_curve_locality" -> curveLocalitySql,
+    "q_random_walks" -> randomWalksSql,
+    "q_clustering_depth" -> clusteringDepthSql)
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: space-filling-curve sort keys and skew-salted
@@ -234,5 +235,53 @@ object Layout {
     audit("natural", naturalOrder)
       .unionByName(audit("sorted", valueCol +: naturalOrder))
       .orderBy(col("layout"))
+  }
+
+  /** Clustering-depth audit (the Snowflake `SYSTEM$CLUSTERING_DEPTH`
+    * metric): how many files' [min, max] ranges stab a given point of the
+    * clustering column. Depth 1 = perfectly clustered (a point predicate
+    * reads one file); depth ≈ #files = every file overlaps everything (a
+    * point predicate reads them all). Both layouts are assigned in a
+    * SINGLE scan via one explode generator (a union of two projections
+    * would re-run the base pipeline per branch — the AQE shared-subtree
+    * trap), and the depth comes from a boundary sweep: per-bucket
+    * intervals → (value, ±1) events aggregated by value → a running sum
+    * read at each bucket's start. With events pre-aggregated per (layout,
+    * value, type) the sweep is deterministic, and its window runs over ≤
+    * 4·#buckets post-aggregation rows — metadata-sized, never the data.
+    * Inclusive overlap: an end at value v is subtracted only AFTER starts
+    * at v (type orders starts first). Output: (layout, depth, n_buckets).
+    */
+  def clusteringDepth(df: DataFrame, value: Column,
+                      sortedBucket: Column, naturalBucket: Column)
+      : DataFrame = {
+    val rows = df.select(value.cast("long").as("v"),
+        explode(array(
+          struct(lit("sorted").as("layout"),
+            sortedBucket.cast("long").as("bucket")),
+          struct(lit("natural").as("layout"),
+            naturalBucket.cast("long").as("bucket")))).as("lb"))
+      .select(col("v"), col("lb.layout").as("layout"),
+        col("lb.bucket").as("bucket"))
+    val intervals = rows.groupBy(col("layout"), col("bucket"))
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val events = intervals.select(col("layout"),
+        explode(array(
+          struct(col("lo").as("v"), lit(0).as("typ"), lit(1L).as("delta")),
+          struct(col("hi").as("v"), lit(1).as("typ"), lit(-1L).as("delta"))))
+          .as("e"))
+      .groupBy(col("layout"), col("e.v").as("v"), col("e.typ").as("typ"))
+      .agg(sum(col("e.delta")).as("delta"))
+    val sweep = events.withColumn("depth",
+      sum(col("delta")).over(Window.partitionBy(col("layout"))
+        .orderBy(col("v"), col("typ"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val startDepth = sweep.filter(col("typ") === 0)
+      .select(col("layout").as("s_layout"), col("v").as("s_v"), col("depth"))
+    intervals
+      .join(startDepth,
+        col("layout") === col("s_layout") && col("lo") === col("s_v"))
+      .groupBy(col("layout"), col("depth"))
+      .agg(count(lit(1)).as("n_buckets"))
   }
 }

@@ -191,4 +191,20 @@ class LayoutSpec extends SparkTestBase {
     assert(r.getAs[Double]("morton_avg_step") > 1.5,
       s"morton mean ${r.getAs[Double]("morton_avg_step")} should jump")
   }
+
+  test("clusteringDepth: disjoint sorted buckets are all depth 1; " +
+    "round-robin buckets stack to closed-form depths 1..10") {
+    // values 0..99: sorted bucket v/10 -> 10 disjoint [10i, 10i+9] ranges;
+    // natural bucket v%10 -> bucket i spans [i, 90+i], so at bucket i's
+    // start exactly the i+1 buckets j <= i cover it -> one bucket per depth
+    val df = spark.range(0, 100).select(col("id").as("v"))
+    val got = Layout.clusteringDepth(df, col("v"),
+        expr("v div 10"), pmod(col("v"), lit(10)))
+      .orderBy("layout", "depth")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Long]("depth"),
+        r.getAs[Long]("n_buckets")))
+    val natural = (1L to 10L).map(d => ("natural", d, 1L))
+    assert(got.toSeq == natural :+ (("sorted", 1L, 10L)))
+  }
 }
