@@ -538,6 +538,87 @@ object VertexQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Temporal-graph reachability + cascade motifs (batch 7)
+  // --------------------------------------------------------------------------
+
+  private val reachSeedArr = 8500L  // epoch day ~1993-04 — mid data range,
+                                    // so the time-respecting filter bites
+  private val cascadeWindow = 28
+
+  private def datedEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), to_date(lit("1970-01-01"))).as("d"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+
+  /** Time-respecting earliest-arrival reachability
+    * ([[graft.ext.TemporalGraph.earliestArrival]]): 3 hops over the dated
+    * customer↔part contact graph from every 500th customer active on epoch
+    * day 8500 — each reached node reports the earliest day any
+    * time-increasing path delivers to it. The oracle replays the min-merge
+    * rounds as chained CTEs.
+    */
+  def qTemporalReach(spark: SparkSession, dir: String): DataFrame = {
+    val ed = datedEdges(spark, dir)
+      .select(col("o_custkey").as("a"), (col("l_partkey") + 10000000L).as("b"),
+        col("d"))
+      .distinct()
+    val sym = ed.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v"), col("d")),
+        struct(col("b").as("u"), col("a").as("v"), col("d")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.d").as("d"))
+    val seeds = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 500 === 0)
+      .select(col("c_custkey").as("node"), lit(reachSeedArr).as("arr"))
+    graft.ext.TemporalGraph.earliestArrival(sym, "u", "v", "d",
+        seeds, "node", "arr", hops = 3)
+      .orderBy(col("node"))
+  }
+
+  val temporalReachSql: String = {
+    val rounds = (1 to 3).map { h =>
+      val prev = s"a${h - 1}"
+      s"""r$h AS (SELECT v AS node, MIN(d) AS arr FROM $prev
+         |  JOIN sym ON $prev.node = sym.u AND sym.d >= $prev.arr GROUP BY 1),
+         |a$h AS (SELECT node, MIN(arr) AS arr FROM
+         |  (SELECT * FROM $prev UNION ALL SELECT * FROM r$h) GROUP BY 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ed AS (SELECT DISTINCT o_custkey AS a, l_partkey + 10000000 AS b,
+       |    date_diff('day', DATE '1970-01-01', o_orderdate) AS d
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |sym AS (SELECT a AS u, b AS v, d FROM ed UNION SELECT b, a, d FROM ed),
+       |a0 AS (SELECT c_custkey AS node, CAST($reachSeedArr AS BIGINT) AS arr
+       |  FROM customer WHERE c_custkey % 500 = 0),
+       |$rounds
+       |SELECT node, arr FROM a3 ORDER BY node""".stripMargin
+  }
+
+  /** Co-purchase cascade wedges ([[graft.ext.TemporalGraph.cascadeWedges]]):
+    * customer b adopts a part ≤ 28 days after customer a's first adoption —
+    * counted per whole-week gap bucket. The temporal-motif primitive of
+    * influence analysis, bounded per item, never actor².
+    */
+  def qCascade(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TemporalGraph.cascadeWedges(
+        datedEdges(spark, dir).select(col("o_custkey").as("actor"),
+          col("l_partkey").as("item"), col("d")),
+        "actor", "item", "d", windowDays = cascadeWindow)
+      .orderBy(col("gap_week"))
+
+  val cascadeSql: String =
+    s"""WITH t AS (SELECT o_custkey AS actor, l_partkey AS item,
+       |    MIN(date_diff('day', DATE '1970-01-01', o_orderdate)) AS d
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2),
+       |w AS (SELECT l.item, (r.d - l.d - 1) // 7 AS gap_week
+       |  FROM t l JOIN t r ON l.item = r.item AND l.actor <> r.actor
+       |    AND r.d > l.d AND r.d <= l.d + $cascadeWindow)
+       |SELECT gap_week, COUNT(*) AS n_wedges, COUNT(DISTINCT item) AS n_items
+       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -551,7 +632,9 @@ object VertexQueries {
     "q_hilbert" -> (qHilbert _),
     "q_curve_locality" -> (qCurveLocality _),
     "q_random_walks" -> (qRandomWalks _),
-    "q_clustering_depth" -> (qClusteringDepth _))
+    "q_clustering_depth" -> (qClusteringDepth _),
+    "q_temporal_reach" -> (qTemporalReach _),
+    "q_cascade" -> (qCascade _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -562,5 +645,7 @@ object VertexQueries {
     "q_hilbert" -> hilbertSql,
     "q_curve_locality" -> curveLocalitySql,
     "q_random_walks" -> randomWalksSql,
-    "q_clustering_depth" -> clusteringDepthSql)
+    "q_clustering_depth" -> clusteringDepthSql,
+    "q_temporal_reach" -> temporalReachSql,
+    "q_cascade" -> cascadeSql)
 }
