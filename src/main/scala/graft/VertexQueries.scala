@@ -619,6 +619,107 @@ object VertexQueries {
        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // HDR log-linear quantiles + Luby MIS (batch 8)
+  // --------------------------------------------------------------------------
+
+  /** Log-linear (HdrHistogram/DDSketch-family) quantile sketch audit on
+    * lineitem prices ([[graft.ext.HdrHistogram.quantileAudit]], k = 16):
+    * sketch estimate vs the exact percentile_disc value with signed
+    * relative error. The bucketing is all-integer (floor-log2 via
+    * length(bin(v))), so both engines agree bit-for-bit.
+    */
+  def qHdrQuantiles(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.HdrHistogram.quantileAudit(
+        Tables.lineitem(spark, dir)
+          .select(expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").as("price")),
+        "price", k = 16, percents = Seq(50, 90, 99))
+      .orderBy(col("pct"))
+
+  val hdrQuantilesSql: String =
+    """WITH vals AS (SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+      |  FROM lineitem WHERE CAST(FLOOR(l_extendedprice) AS BIGINT) >= 1),
+      |b1 AS (SELECT e, ((v - p2) * 16) // p2 AS sub FROM
+      |  (SELECT v, length(bin(v)) - 1 AS e,
+      |     CAST(POWER(2, length(bin(v)) - 1) AS BIGINT) AS p2 FROM vals)),
+      |g AS (SELECT e, sub, COUNT(*) AS cnt FROM b1 GROUP BY 1, 2),
+      |g3 AS (SELECT e, sub, cnt, p2 + (sub * p2) // 16 AS lo,
+      |    p2 + ((sub + 1) * p2) // 16 AS hi
+      |  FROM (SELECT e, sub, cnt, CAST(POWER(2, e) AS BIGINT) AS p2 FROM g)),
+      |c AS (SELECT cnt, lo, hi, SUM(cnt) OVER (ORDER BY e, sub
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM g3),
+      |nn AS (SELECT COUNT(*) AS n FROM vals),
+      |t AS (SELECT pct, nn.n, (nn.n * pct + 99) // 100 AS target
+      |  FROM (VALUES (50), (90), (99)) p(pct) CROSS JOIN nn),
+      |est AS (SELECT pct, n, target, (lo + hi) // 2 AS est FROM c JOIN t
+      |  ON cum >= target AND cum - cnt < target),
+      |rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals),
+      |ex AS (SELECT t.pct AS xpct, rk.v AS exact FROM rk
+      |  JOIN t ON rk.rn = t.target)
+      |SELECT est.pct, est.n, est.est, ex.exact,
+      |  ROUND(CAST(est.est - ex.exact AS DOUBLE) / CAST(ex.exact AS DOUBLE),
+      |    6) AS rel_err
+      |FROM est JOIN ex ON est.pct = ex.xpct ORDER BY est.pct""".stripMargin
+
+  /** Deterministic Luby MIS over the symmetrized customer↔part contact
+    * graph ([[graft.ext.Mis.luby]], 3 rounds): every node reports
+    * mis / dominated / undecided with its decision round. The oracle
+    * replays the identical md5 priorities round by round.
+    */
+  def qMis(spark: SparkSession, dir: String): DataFrame = {
+    val ed = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("a"), (col("l_partkey") + 10000000L).as("b"))
+      .distinct()
+    val sym = ed.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    graft.ext.Mis.luby(sym, "src", "dst", rounds = 3)
+      .orderBy(col("node"))
+  }
+
+  val misSql: String = {
+    val prioN = "(('0x' || substr(md5(a.node::VARCHAR), 1, 8))::BIGINT" +
+      " * 2147483648 + a.node)"
+    val prioV = "(('0x' || substr(md5(ae.v::VARCHAR), 1, 8))::BIGINT" +
+      " * 2147483648 + ae.v)"
+    // AS MATERIALIZED: each act_r is referenced 4x by round r+1; inlining
+    // would re-evaluate the whole prefix exponentially (DuckDB temp blowup
+    // at sf0.1).
+    val roundCtes = (1 to 3).map { r =>
+      val act = s"act${r - 1}"
+      s"""ae$r AS (SELECT e.u, e.v FROM e
+         |  JOIN $act x ON e.u = x.node JOIN $act y ON e.v = y.node),
+         |nb$r AS (SELECT ae.u, MIN($prioV) AS minp FROM ae$r ae GROUP BY 1),
+         |mis$r AS MATERIALIZED (SELECT a.node FROM $act a
+         |  LEFT JOIN nb$r ON a.node = nb$r.u
+         |  WHERE nb$r.minp IS NULL OR $prioN < nb$r.minp),
+         |dom$r AS MATERIALIZED (SELECT DISTINCT e.v AS node FROM e
+         |  JOIN mis$r m ON e.u = m.node JOIN $act y ON e.v = y.node),
+         |act$r AS MATERIALIZED (SELECT node FROM $act
+         |  EXCEPT SELECT node FROM mis$r
+         |  EXCEPT SELECT node FROM dom$r)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to 3).flatMap { r =>
+      Seq(s"UNION ALL SELECT node, 'mis' AS status, $r AS round FROM mis$r",
+        s"UNION ALL SELECT node, 'dominated', $r FROM dom$r")
+    }.mkString("\n")
+    s"""WITH ed AS (SELECT DISTINCT o_custkey AS a, l_partkey + 10000000 AS b
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       |e AS MATERIALIZED (SELECT a AS u, b AS v FROM ed
+       |  UNION SELECT b, a FROM ed),
+       |act0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM e),
+       |$roundCtes
+       |SELECT * FROM (
+       |SELECT node, 'undecided' AS status, 0 AS round FROM act3
+       |$unions)
+       |ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -634,7 +735,9 @@ object VertexQueries {
     "q_random_walks" -> (qRandomWalks _),
     "q_clustering_depth" -> (qClusteringDepth _),
     "q_temporal_reach" -> (qTemporalReach _),
-    "q_cascade" -> (qCascade _))
+    "q_cascade" -> (qCascade _),
+    "q_hdr_quantiles" -> (qHdrQuantiles _),
+    "q_mis" -> (qMis _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -647,5 +750,7 @@ object VertexQueries {
     "q_random_walks" -> randomWalksSql,
     "q_clustering_depth" -> clusteringDepthSql,
     "q_temporal_reach" -> temporalReachSql,
-    "q_cascade" -> cascadeSql)
+    "q_cascade" -> cascadeSql,
+    "q_hdr_quantiles" -> hdrQuantilesSql,
+    "q_mis" -> misSql)
 }
