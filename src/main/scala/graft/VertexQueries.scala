@@ -672,7 +672,8 @@ object VertexQueries {
           .select(col("l_orderkey"), col("l_partkey")),
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("a"), (col("l_partkey") + 10000000L).as("b"))
-      .distinct()
+    // no distinct here: luby() dedups after symmetrization — one shuffle
+    // over 2|rows| instead of distinct-then-distinct.
     val sym = ed.select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))

@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
   * round's expected kill fraction makes O(log n) rounds enough; a fixed
   * round budget leaves stragglers explicitly `undecided`.
   *
-  * Scale shape: per round, two semi-joins restrict edges to the active
-  * subgraph, one src-keyed min-aggregate finds each node's best active
-  * neighbor, and the new MIS/dominated sets are checkpointed (each is
-  * referenced twice — accumulator + active-set subtraction — so an
-  * unchecked lineage would double per round). Priorities are pure
-  * expressions of the node id — no priority table, no extra join.
+  * Scale shape: the ACTIVE-edge table is maintained directly (anti-join
+  * shrink per round), so each round is one src-keyed min-aggregate plus
+  * one checkpointed decision table — the edge set typically collapses
+  * geometrically, and round r touches only surviving edges. Priorities
+  * are pure expressions of the node id — no priority table, no extra
+  * join.
   */
 object Mis {
 
@@ -35,45 +35,68 @@ object Mis {
     * directions; self-loops are dropped). Nodes are the distinct sources.
     * Output: (node, status, round) — status ∈ mis | dominated (a MIS
     * neighbor) | undecided (round budget exhausted; round = 0).
+    *
+    * Per round: one min-aggregate over the surviving ACTIVE-edge table,
+    * one checkpointed (node, status) decision table, one checkpointed
+    * anti-join shrink of the edge table — 2 jobs, not 4. Priorities ride
+    * as columns computed once at ingest; the active node set is derived
+    * (all nodes anti-join accumulated decisions), never re-materialized.
+    * The last round skips the edge shrink entirely.
     */
   def luby(edges: DataFrame, srcCol: String, dstCol: String,
            rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds must be 1..8, got $rounds")
-    val e = edges.select(col(srcCol).cast("long").as("u"),
+    // pv rides as an edge column (the per-round min aggregates over it);
+    // pu is NOT materialized per edge — node priorities are computed once
+    // on the distinct node table (|V| md5s, not 2|E|). Edges are NOT
+    // deduped: every per-round op is idempotent to edge multiplicity
+    // (min-agg, semi/anti joins, distinct dominated), so the dedup shuffle
+    // would buy nothing — callers with heavily duplicated inputs should
+    // distinct upstream to keep |E| honest.
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+      .filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), prio(col("v")).as("pv"))
       .localCheckpoint()
-    var active = e.select(col("u").as("node")).distinct().localCheckpoint()
-    var decided: DataFrame = active.limit(0)
+    val nodes = e0.select(col("u").as("node")).distinct()
+      .select(col("node"), prio(col("node")).as("pn")).localCheckpoint()
+    var eAct = e0
+    var decidedAll: DataFrame = nodes.limit(0)
       .select(col("node"), lit("x").as("status"), lit(0).as("round"))
     for (r <- 1 to rounds) {
-      val ae = e
-        .join(active.select(col("node").as("au")), col("u") === col("au"),
-          "leftsemi")
-        .join(active.select(col("node").as("av")), col("v") === col("av"),
-          "leftsemi")
-      val nbMin = ae.groupBy(col("u")).agg(min(prio(col("v"))).as("minp"))
+      val active = nodes.join(decidedAll.select(col("node")), Seq("node"),
+        "leftanti")
+      val nbMin = eAct.groupBy(col("u")).agg(min(col("pv")).as("minp"))
+      // eAct holds only active-active edges, so a node with no surviving
+      // edge (minp null) has no active neighbor and enters the MIS.
       val mis = active.join(nbMin, col("node") === col("u"), "left")
-        .filter(col("minp").isNull || prio(col("node")) < col("minp"))
+        .filter(col("minp").isNull || col("pn") < col("minp"))
         .select(col("node"))
-        .localCheckpoint()
-      val dominated = e
+      val dominated = eAct
         .join(mis.select(col("node").as("mnode")), col("u") === col("mnode"),
           "leftsemi")
         .select(col("v").as("node")).distinct()
-        .join(active, Seq("node"), "leftsemi")
-        .localCheckpoint()
-      decided = decided
-        .unionByName(mis.select(col("node"), lit("mis").as("status"),
-          lit(r).as("round")))
+      // mis is evaluated twice inside this one job (directly + via
+      // dominated) — one extra aggregate, cheaper than a third checkpoint.
+      val dec = mis.select(col("node"), lit("mis").as("status"),
+          lit(r).as("round"))
         .unionByName(dominated.select(col("node"),
           lit("dominated").as("status"), lit(r).as("round")))
-      active = active
-        .join(mis, Seq("node"), "leftanti")
-        .join(dominated, Seq("node"), "leftanti")
         .localCheckpoint()
+      decidedAll = decidedAll.unionByName(dec)
+      if (r < rounds) {
+        val dn = dec.select(col("node"))
+        eAct = eAct
+          .join(dn.select(col("node").as("du")), col("u") === col("du"),
+            "leftanti")
+          .join(dn.select(col("node").as("dv")), col("v") === col("dv"),
+            "leftanti")
+          .localCheckpoint()
+      }
     }
-    decided.unionByName(active.select(col("node"),
-      lit("undecided").as("status"), lit(0).as("round")))
+    decidedAll.unionByName(
+      nodes.join(decidedAll.select(col("node")), Seq("node"), "leftanti")
+        .select(col("node"), lit("undecided").as("status"),
+          lit(0).as("round")))
   }
 }
