@@ -721,6 +721,100 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // t-closeness + k-truss (batch 9)
+  // --------------------------------------------------------------------------
+
+  /** t-closeness release audit ([[graft.ext.Privacy.tCloseness]], t = 0.15)
+    * over the same (nation, mktsegment) → order-priority surface as
+    * `q_entropy_l`: ordered-EMD distance between each class's priority
+    * distribution and the global one. All-integer cumulative differences;
+    * one double division at the readout.
+    */
+  def qTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    val rec = Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir), col("c_custkey") === col("o_custkey"))
+    graft.ext.Privacy.tCloseness(rec,
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        col("o_orderpriority"), t = 0.15)
+      .select(col("__qi0").as("c_nationkey"),
+        col("__qi1").as("c_mktsegment"), col("class_size"),
+        round(col("emd"), 6).as("emd"), col("t_at_risk"))
+      .orderBy(col("c_nationkey"), col("c_mktsegment"))
+  }
+
+  val tClosenessSql: String =
+    """WITH rec AS (SELECT c.c_nationkey, c.c_mktsegment,
+      |    o.o_orderpriority AS v
+      |  FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey),
+      |cv AS (SELECT c_nationkey, c_mktsegment, v, COUNT(*) AS c_v
+      |  FROM rec GROUP BY 1, 2, 3),
+      |cls AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_c
+      |  FROM rec GROUP BY 1, 2),
+      |gv AS (SELECT v, COUNT(*) AS g_v FROM rec GROUP BY 1),
+      |gtot AS (SELECT CAST(SUM(g_v) AS BIGINT) AS n_total,
+      |    COUNT(*) AS m FROM gv),
+      |dense AS (SELECT cls.c_nationkey, cls.c_mktsegment, gv.v, cls.n_c,
+      |    gv.g_v, gtot.n_total, gtot.m, COALESCE(cv.c_v, 0) AS c_v
+      |  FROM cls CROSS JOIN gv CROSS JOIN gtot
+      |  LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+      |    AND cv.c_mktsegment = cls.c_mktsegment AND cv.v = gv.v),
+      |cum AS (SELECT c_nationkey, c_mktsegment, n_c, n_total, m,
+      |    SUM(c_v * n_total - g_v * n_c) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM dense)
+      |SELECT c_nationkey, c_mktsegment,
+      |  CAST(MAX(n_c) AS BIGINT) AS class_size,
+      |  ROUND(CAST(SUM(ABS(cum)) AS DOUBLE) /
+      |    CAST(MAX(n_c) * MAX(n_total) * (MAX(m) - 1) AS DOUBLE), 6) AS emd,
+      |  CAST(SUM(ABS(cum)) AS DOUBLE) /
+      |    CAST(MAX(n_c) * MAX(n_total) * (MAX(m) - 1) AS DOUBLE)
+      |    > 0.15 AS t_at_risk
+      |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** 4-truss of the repeat-co-purchase part graph
+    * ([[graft.ext.Truss.ktruss]], k = 4, 4 peel rounds): every surviving
+    * edge closes ≥ 2 triangles inside the surviving subgraph; peeled edges
+    * carry the round that dropped them. The oracle replays the identical
+    * simultaneous peel with materialized per-round CTEs.
+    */
+  def qKtruss(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Truss.ktruss(
+        InsightQueries.repeatEdges(spark, dir), "src", "dst", k = 4,
+        rounds = 4)
+      .orderBy(col("a"), col("b"))
+
+  val ktrussSql: String = {
+    val roundCtes = (1 to 4).map { r =>
+      val e = s"e${r - 1}"
+      s"""tri$r AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM $e e1 JOIN $e e2 ON e1.b = e2.a
+         |  JOIN $e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |supp$r AS (SELECT a, b, COUNT(*) AS supp FROM (
+         |    SELECT x AS a, y AS b FROM tri$r
+         |    UNION ALL SELECT x, z FROM tri$r
+         |    UNION ALL SELECT y, z FROM tri$r) GROUP BY 1, 2),
+         |tag$r AS MATERIALIZED (SELECT e.a, e.b,
+         |    COALESCE(s.supp, 0) >= 2 AS keep
+         |  FROM $e e LEFT JOIN supp$r s ON e.a = s.a AND e.b = s.b),
+         |e$r AS (SELECT a, b FROM tag$r WHERE keep)""".stripMargin
+    }.mkString(",\n")
+    val removed = (1 to 4).map { r =>
+      s"UNION ALL SELECT a, b, 'removed', $r FROM tag$r WHERE NOT keep"
+    }.mkString("\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT a, b FROM (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2)),
+       |$roundCtes
+       |SELECT * FROM (
+       |SELECT a, b, 'kept' AS status, 0 AS round FROM e4
+       |$removed)
+       |ORDER BY a, b""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -738,7 +832,9 @@ object VertexQueries {
     "q_temporal_reach" -> (qTemporalReach _),
     "q_cascade" -> (qCascade _),
     "q_hdr_quantiles" -> (qHdrQuantiles _),
-    "q_mis" -> (qMis _))
+    "q_mis" -> (qMis _),
+    "q_t_closeness" -> (qTCloseness _),
+    "q_ktruss" -> (qKtruss _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -753,5 +849,7 @@ object VertexQueries {
     "q_temporal_reach" -> temporalReachSql,
     "q_cascade" -> cascadeSql,
     "q_hdr_quantiles" -> hdrQuantilesSql,
-    "q_mis" -> misSql)
+    "q_mis" -> misSql,
+    "q_t_closeness" -> tClosenessSql,
+    "q_ktruss" -> ktrussSql)
 }

@@ -109,4 +109,62 @@ object Privacy {
           .as("max_share"), col("n_whales"))
       .orderBy(col(keyCol))
   }
+
+  /** t-closeness (Li, Li & Venkatasubramanian, ICDE 2007) for an ORDERED
+    * sensitive attribute: per equivalence class, the earth-mover's
+    * distance between the class's sensitive-value distribution and the
+    * GLOBAL one — the audit l-diversity misses when a class is "diverse"
+    * but skewed toward one end of a severity scale. For ordered values
+    * v_1 < … < v_m, EMD = (1/(m−1)) Σ_i |Σ_{j≤i} (p_j − q_j)|.
+    *
+    * Exactness: the cumulative differences pool as INTEGERS —
+    * c_j·N − g_j·n_c (class count × global total minus global count ×
+    * class size) — and a single double division by n_c·N·(m−1) happens at
+    * the readout, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one (quasi-ids, v) groupBy, one per-class aggregate, one
+    * broadcast of the m-row global value table (the class×value grid is
+    * #classes·m rows), and a class-PARTITIONED cumulative window over m
+    * rows per class. Output per class: quasi-id columns + class_size,
+    * emd, t_at_risk (emd > t).
+    */
+  def tCloseness(df: DataFrame, quasiIds: Seq[Column], sensitive: Column,
+                 t: Double): DataFrame = {
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    val qiNames = quasiIds.zipWithIndex.map { case (_, i) => s"__qi$i" }
+    val base = df.select(
+      quasiIds.zip(qiNames).map { case (c, n) => c.as(n) } :+
+        sensitive.cast("string").as("__v"): _*)
+    val cv = base.groupBy(qiNames.map(col) :+ col("__v"): _*)
+      .agg(count(lit(1)).as("c_v"))
+      .withColumnsRenamed(
+        (qiNames.map(n => n -> s"${n}c") :+ ("__v" -> "__vc")).toMap)
+    val cls = base.groupBy(qiNames.map(col): _*)
+      .agg(count(lit(1)).as("n_c"))
+    val gv = base.groupBy(col("__v")).agg(count(lit(1)).as("g_v"))
+    val gtot = gv.agg(sum(col("g_v")).as("n_total"), count(lit(1)).as("m"))
+    // dense class × global-value grid (gv and the 1-row total broadcast),
+    // class count coalesced to 0 where the class lacks the value
+    val dense = cls.crossJoin(broadcast(gv.crossJoin(gtot)))
+      .join(cv,
+        qiNames.map(n => col(n) === col(s"${n}c"))
+          .reduce(_ && _) && col("__v") === col("__vc"), "left")
+      .select(qiNames.map(col) ++ Seq(col("__v"), col("n_c"), col("g_v"),
+        col("n_total"), col("m"),
+        coalesce(col("c_v"), lit(0L)).as("c_v")): _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiNames.map(col): _*)
+      .orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    dense
+      .withColumn("cum",
+        sum(col("c_v") * col("n_total") - col("g_v") * col("n_c")).over(win))
+      .groupBy(qiNames.map(col): _*)
+      .agg(max(col("n_c")).as("class_size"),
+        (sum(abs(col("cum"))).cast("double") /
+          (max(col("n_c")) * max(col("n_total")) * (max(col("m")) - 1))
+            .cast("double")).as("emd"))
+      .withColumn("t_at_risk", col("emd") > t)
+  }
 }
