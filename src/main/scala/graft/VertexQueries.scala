@@ -815,6 +815,128 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Maximal matching + encoding advisor (batch 10)
+  // --------------------------------------------------------------------------
+
+  /** Deterministic greedy maximal matching over the repeat-co-purchase
+    * graph ([[graft.ext.Matching.maximalMatching]], 3 rounds): every edge
+    * reports matched / dropped (an endpoint taken) / unmatched with its
+    * decision round. The oracle replays the identical md5-string
+    * priorities round by round.
+    */
+  def qMatching(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Matching.maximalMatching(
+        InsightQueries.repeatEdges(spark, dir), "src", "dst", rounds = 3)
+      .orderBy(col("a"), col("b"))
+
+  val matchingSql: String = {
+    val prio = "md5(a::VARCHAR || ':' || b::VARCHAR) || ':' ||" +
+      " lpad(a::VARCHAR, 12, '0') || ':' || lpad(b::VARCHAR, 12, '0')"
+    val roundCtes = (1 to 3).map { r =>
+      val e = s"e${r - 1}"
+      s"""nm$r AS (SELECT v, MIN(p) AS mp FROM (
+         |    SELECT a AS v, p FROM $e UNION ALL SELECT b, p FROM $e)
+         |  GROUP BY 1),
+         |tag$r AS MATERIALIZED (SELECT e.a, e.b, e.p,
+         |    (e.p = na.mp AND e.p = nb.mp) AS win
+         |  FROM $e e JOIN nm$r na ON e.a = na.v JOIN nm$r nb ON e.b = nb.v),
+         |mn$r AS MATERIALIZED (SELECT a AS v FROM tag$r WHERE win
+         |  UNION SELECT b FROM tag$r WHERE win),
+         |dec$r AS MATERIALIZED (SELECT a, b,
+         |    CASE WHEN win THEN 'matched' ELSE 'dropped' END AS status
+         |  FROM tag$r WHERE win OR a IN (SELECT v FROM mn$r)
+         |    OR b IN (SELECT v FROM mn$r)),
+         |e$r AS (SELECT a, b, p FROM tag$r WHERE NOT win
+         |  AND a NOT IN (SELECT v FROM mn$r)
+         |  AND b NOT IN (SELECT v FROM mn$r))""".stripMargin
+    }.mkString(",\n")
+    val decs = (1 to 3).map { r =>
+      s"SELECT a, b, status, $r AS round FROM dec$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH base AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+       |e0 AS MATERIALIZED (SELECT a, b, $prio AS p FROM base),
+       |$roundCtes,
+       |alldec AS ($decs)
+       |SELECT a, b, status, round FROM alldec
+       |UNION ALL
+       |SELECT e0.a, e0.b, 'unmatched', 0 FROM e0
+       |  LEFT JOIN (SELECT DISTINCT a, b FROM alldec) d
+       |  ON e0.a = d.a AND e0.b = d.b WHERE d.a IS NULL
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Columnar encoding advisor over lineitem
+    * ([[graft.ext.EncodingAdvisor.advise]]): per column, run/cardinality/
+    * byte statistics and the cheaper of plain / dictionary / RLE under the
+    * shared all-integer cost model; runs counted within each order (the
+    * row-group analogy), so only order-partitioned windows are needed.
+    */
+  def qEncodingAdvisor(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.EncodingAdvisor.advise(
+      Tables.lineitem(spark, dir)
+        .withColumn("l_qty_int", col("l_quantity").cast("long"))
+        .withColumn("l_shipday", col("l_shipdate").cast("date")
+          .cast("string")),
+      col("l_orderkey"),
+      // (l_orderkey, l_linenumber) is NOT unique in the generated data;
+      // tie-break by the full analyzed tuple - identical rows then sort
+      // arbitrarily but every analyzed value agrees, so runs are exact
+      struct(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_qty_int"), col("l_shipday"), col("l_returnflag"),
+        col("l_linestatus")),
+      Seq("l_partkey", "l_suppkey", "l_linenumber", "l_returnflag",
+        "l_linestatus", "l_qty_int", "l_shipday"))
+
+  val encodingAdvisorSql: String = {
+    val colsList = Seq("l_partkey", "l_suppkey", "l_linenumber",
+      "l_returnflag", "l_linestatus", "l_qty_int", "l_shipday")
+    val unpivot = colsList.map { c =>
+      s"SELECT l_orderkey AS g, l_linenumber AS s1, l_partkey AS s2," +
+        s" l_suppkey AS s3, l_qty_int AS s4, l_shipday AS s5," +
+        s" l_returnflag AS s6, l_linestatus AS s7, '$c' AS cname," +
+        s" $c::VARCHAR AS v FROM li"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |    l_returnflag, l_linestatus,
+       |    CAST(l_quantity AS BIGINT) AS l_qty_int,
+       |    CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS l_shipday
+       |  FROM lineitem),
+       |rows_ AS ($unpivot),
+       |flag AS (SELECT cname, v,
+       |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY cname, g
+       |        ORDER BY s1, s2, s3, s4, s5, s6, s7) = 1
+       |      OR v IS DISTINCT FROM LAG(v) OVER (PARTITION BY cname, g
+       |        ORDER BY s1, s2, s3, s4, s5, s6, s7)
+       |    THEN 1 ELSE 0 END AS newrun
+       |  FROM rows_),
+       |percol AS (SELECT cname, COUNT(*) AS n,
+       |    CAST(SUM(newrun) AS BIGINT) AS n_runs,
+       |    CAST(SUM(strlen(v)) AS BIGINT) AS plain_bytes,
+       |    CAST(SUM(CASE WHEN newrun = 1 THEN strlen(v) + 4
+       |      ELSE 0 END) AS BIGINT) AS rle_bytes
+       |  FROM flag GROUP BY 1),
+       |dict AS (SELECT cname, COUNT(*) AS ndv,
+       |    CAST(SUM(strlen(v)) AS BIGINT) AS dict_val_bytes
+       |  FROM (SELECT DISTINCT cname, v FROM rows_) GROUP BY 1),
+       |j AS (SELECT p.cname, n, ndv, n_runs, plain_bytes, rle_bytes,
+       |    (n * length(bin(greatest(ndv - 1, 1))) + 7) // 8 + dict_val_bytes
+       |      AS dict_bytes
+       |  FROM percol p JOIN dict USING (cname))
+       |SELECT cname AS col_name, n, ndv, n_runs,
+       |  ROUND(CAST(n AS DOUBLE) / CAST(n_runs AS DOUBLE), 6)
+       |    AS avg_run_len,
+       |  plain_bytes, dict_bytes, rle_bytes,
+       |  CASE WHEN rle_bytes <= dict_bytes AND rle_bytes <= plain_bytes
+       |    THEN 'rle'
+       |    WHEN dict_bytes <= plain_bytes THEN 'dict'
+       |    ELSE 'plain' END AS recommended
+       |FROM j ORDER BY col_name""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -834,7 +956,9 @@ object VertexQueries {
     "q_hdr_quantiles" -> (qHdrQuantiles _),
     "q_mis" -> (qMis _),
     "q_t_closeness" -> (qTCloseness _),
-    "q_ktruss" -> (qKtruss _))
+    "q_ktruss" -> (qKtruss _),
+    "q_matching" -> (qMatching _),
+    "q_encoding_advisor" -> (qEncodingAdvisor _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -851,5 +975,7 @@ object VertexQueries {
     "q_hdr_quantiles" -> hdrQuantilesSql,
     "q_mis" -> misSql,
     "q_t_closeness" -> tClosenessSql,
-    "q_ktruss" -> ktrussSql)
+    "q_ktruss" -> ktrussSql,
+    "q_matching" -> matchingSql,
+    "q_encoding_advisor" -> encodingAdvisorSql)
 }
