@@ -937,6 +937,71 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Jones-Plassmann coloring (batch 11)
+  // --------------------------------------------------------------------------
+
+  /** Deterministic Jones-Plassmann coloring of the repeat-co-purchase
+    * graph ([[graft.ext.Coloring.jonesPlassmann]], 4 sweeps): every node
+    * reports its color and the sweep that assigned it (−1/0 if the budget
+    * ran out). The oracle replays the identical priorities, winner rule,
+    * and relational smallest-free-color pick round by round.
+    */
+  def qColoring(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Coloring.jonesPlassmann(
+        InsightQueries.repeatEdges(spark, dir), "src", "dst", rounds = 4)
+      .orderBy(col("node"))
+
+  val coloringSql: String = {
+    def prio(x: String) =
+      s"(('0x' || substr(md5($x::VARCHAR), 1, 8))::BIGINT * 2147483648 + $x)"
+    val roundCtes = (1 to 4).map { r =>
+      val ea = s"ea${r - 1}"
+      val act = s"act${r - 1}"
+      val colored = s"colored${r - 1}"
+      s"""nb$r AS (SELECT u, MIN(${prio("v")}) AS minp FROM $ea GROUP BY 1),
+         |win$r AS MATERIALIZED (SELECT n.node FROM $act n
+         |  LEFT JOIN nb$r ON n.node = nb$r.u
+         |  WHERE minp IS NULL OR ${prio("n.node")} < minp),
+         |used$r AS MATERIALIZED (SELECT s.u AS wnode, c.color FROM sym s
+         |  JOIN win$r w ON s.u = w.node JOIN $colored c ON s.v = c.node
+         |  GROUP BY 1, 2),
+         |nu$r AS (SELECT w.node, COALESCE(x.n, 0) AS n FROM win$r w
+         |  LEFT JOIN (SELECT wnode, COUNT(*) AS n FROM used$r GROUP BY 1) x
+         |  ON w.node = x.wnode),
+         |cand$r AS (SELECT node, UNNEST(generate_series(0, n)) AS cand
+         |  FROM nu$r),
+         |pick$r AS MATERIALIZED (SELECT c.node,
+         |    CAST(MIN(c.cand) AS INT) AS color, $r AS round
+         |  FROM cand$r c LEFT JOIN used$r u2
+         |  ON c.node = u2.wnode AND c.cand = u2.color
+         |  WHERE u2.wnode IS NULL GROUP BY 1),
+         |colored$r AS MATERIALIZED (SELECT node, color, round FROM $colored
+         |  UNION ALL SELECT node, color, round FROM pick$r),
+         |act$r AS MATERIALIZED (SELECT node FROM $act
+         |  EXCEPT SELECT node FROM pick$r),
+         |ea$r AS MATERIALIZED (SELECT e.u, e.v FROM $ea e
+         |  JOIN act$r x ON e.u = x.node JOIN act$r y ON e.v = y.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT x.l_partkey AS a, y.l_partkey AS b
+       |  FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2),
+       |sym AS MATERIALIZED (SELECT a AS u, b AS v FROM e0
+       |  UNION ALL SELECT b, a FROM e0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT u AS node FROM sym),
+       |colored0 AS (SELECT node, 0 AS color, 0 AS round FROM nodes
+       |  WHERE 1 = 0),
+       |act0 AS (SELECT node FROM nodes),
+       |ea0 AS (SELECT u, v FROM sym),
+       |$roundCtes
+       |SELECT node, color, round FROM colored4
+       |UNION ALL
+       |SELECT node, -1 AS color, 0 AS round FROM act4
+       |ORDER BY node""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -958,7 +1023,8 @@ object VertexQueries {
     "q_t_closeness" -> (qTCloseness _),
     "q_ktruss" -> (qKtruss _),
     "q_matching" -> (qMatching _),
-    "q_encoding_advisor" -> (qEncodingAdvisor _))
+    "q_encoding_advisor" -> (qEncodingAdvisor _),
+    "q_coloring" -> (qColoring _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -977,5 +1043,6 @@ object VertexQueries {
     "q_t_closeness" -> tClosenessSql,
     "q_ktruss" -> ktrussSql,
     "q_matching" -> matchingSql,
-    "q_encoding_advisor" -> encodingAdvisorSql)
+    "q_encoding_advisor" -> encodingAdvisorSql,
+    "q_coloring" -> coloringSql)
 }

@@ -1445,6 +1445,40 @@ object StreamingOps {
         col("bucket_cnt"))
   }
 
+  /** WINDOWED log-linear (HDR/DDSketch-family) histogram registers — the
+    * streaming half of [[graft.ext.HdrHistogram.quantileAudit]]: one
+    * bounded (octave, sub-bucket) register table per tumbling event-time
+    * window, emitted in APPEND mode only once the watermark closes the
+    * window — the per-hour p50/p99 latency board. Each closed window
+    * carries at most 64·k registers regardless of row count; the consumer
+    * runs the cumulative-readout quantile formula snapshot-side (the
+    * hllRegistersStream division of labor). Bucketing is the module's
+    * shared all-integer arithmetic (floor-log2 via bin-length, integer
+    * sub-bucket), so a drained window's register table equals the batch
+    * bucket build bit-for-bit (spec-locked). Values < 1 drop at the door,
+    * as in the batch audit; late rows beyond the watermark drop with
+    * their mass acknowledged lost.
+    */
+  def hdrWindowedBucketsStream(stream: DataFrame, valueCol: String,
+                               tsCol: String = "ts",
+                               windowDur: String = "1 hour",
+                               watermark: String = "2 hours",
+                               k: Int = 16): DataFrame = {
+    require(k >= 2 && k <= 256, s"k must be 2..256, got $k")
+    stream
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), col(valueCol).cast("long").as("v"))
+      .filter(col("v") >= 1)
+      .selectExpr(tsCol, "v", "CAST(length(bin(v)) - 1 AS BIGINT) AS e")
+      .selectExpr(tsCol, "v", "e",
+        "CAST(pow(2.0d, CAST(e AS DOUBLE)) AS BIGINT) AS p2")
+      .selectExpr(tsCol, "e", s"((v - p2) * $k) div p2 AS sub")
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("e"), col("sub"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("e"), col("sub"),
+        col("cnt"))
+  }
+
   /** Streaming twin of [[graft.ext.Sketches.hyperLogLogAudit]]'s register
     * table: the portable HLL maintained incrementally — state is EXACTLY m
     * max-registers forever (no watermark; max never retracts), the live

@@ -58,7 +58,9 @@ class StreamStateGuardSpec extends SparkTestBase {
       "psiDriftStream" -> psiDriftStream(evts,
         Seq(1.0, 2.0, 3.0).toDF("value"), "value"),
       "cmsWindowedRegistersStream" ->
-        cmsWindowedRegistersStream(evts, "event_type"))
+        cmsWindowedRegistersStream(evts, "event_type"),
+      "hdrWindowedBucketsStream" ->
+        hdrWindowedBucketsStream(evts, "value"))
     boundedOps.foreach { case (name, ds) =>
       assert(flags(ds).isEmpty,
         s"$name should be bounded, got: ${flags(ds)}")

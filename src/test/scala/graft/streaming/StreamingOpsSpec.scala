@@ -1273,6 +1273,52 @@ class StreamingOpsSpec extends SparkTestBase {
     h % width
   }
 
+  test("hdrWindowedBucketsStream: closed windows are final, equal the " +
+    "batch bucket build, sub-1 values drop, and a late row is dropped") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[Ev]
+    // window0 (min 0-59) and window1 (min 60-119); values span octaves
+    val w0 = Seq(Ev(ts(0), "x", 3.0), Ev(ts(5), "x", 17.0),
+      Ev(ts(9), "x", 17.0), Ev(ts(20), "x", 250.0), Ev(ts(30), "x", 0.0))
+    val w1 = Seq(Ev(ts(61), "x", 1.0), Ev(ts(70), "x", 1000.0),
+      Ev(ts(80), "x", 1000.0))
+    val query = StreamingOps.hdrWindowedBucketsStream(
+        input.toDF(), "value", windowDur = "1 hour", watermark = "1 hour",
+        k = 16)
+      .writeStream.format("memory").queryName("hdr_win_out")
+      .outputMode("append").start()
+    input.addData(w0 ++ w1: _*); query.processAllAvailable()
+    // advance the watermark far past both windows, then a LATE w0 row
+    input.addData(Ev(ts(240), "x", 9.0)); query.processAllAvailable()
+    input.addData(Ev(ts(10), "x", 17.0)); query.processAllAvailable()
+    query.stop()
+    val out = spark.table("hdr_win_out").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2)) ->
+        r.getLong(3)).toMap
+    // independent bucket replay (same all-integer arithmetic)
+    def bucket(v: Long): (Long, Long) = {
+      val e = 63 - java.lang.Long.numberOfLeadingZeros(v)
+      val p2 = 1L << e
+      (e.toLong, (v - p2) * 16 / p2)
+    }
+    def batchOf(vals: Seq[Long]) =
+      vals.filter(_ >= 1).groupBy(bucket)
+        .map { case (b, xs) => b -> xs.size.toLong }
+    val t0 = ts(0).getTime / 3600000L * 3600000L
+    val t1 = t0 + 3600000L
+    val got0 = out.collect { case ((t, e, s), c) if t == t0 => (e, s) -> c }
+    val got1 = out.collect { case ((t, e, s), c) if t == t1 => (e, s) -> c }
+    // w0: 3, 17, 17, 250 (the 0.0 drops); the late 17 never lands
+    assert(got0 == batchOf(Seq(3L, 17L, 17L, 250L)),
+      s"window0 equals batch buckets: $got0")
+    assert(got1 == batchOf(Seq(1L, 1000L, 1000L)), "window1 equals batch")
+    // and the register table also matches the batch module's bucket build
+    val batchBuckets = graft.ext.HdrHistogram.quantileAudit(
+      Seq(3L, 17L, 17L, 250L).toDF("v"), "v", 16, Seq(100)).collect()
+    assert(batchBuckets.head.getLong(1) == 4L,
+      "batch audit sees the same 4 surviving rows")
+  }
+
   test("bloomRegistersStream snapshot equals the batch filter bit-for-bit") {
     implicit val sc = spark.sqlContext
     val b1 = (1L to 300L).toSeq
