@@ -1002,6 +1002,161 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Markov removal-effect attribution (batch 12)
+  // --------------------------------------------------------------------------
+
+  /** Markov removal-effect channel attribution over the event log
+    * ([[graft.ext.AbsorbingMarkov.removalEffects]], 4 value-iteration
+    * rounds): ablate each touch channel (p pinned 0), read the drop in
+    * start-weighted conversion, normalize the effects into credits. The
+    * oracle unrolls all five chains (baseline + 4 ablations) with the
+    * module's DECIMAL-pooling discipline.
+    */
+  def qMarkovAttribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.AbsorbingMarkov.removalEffects(Tables.events(spark, dir),
+        "user_id", Seq("ts", "event_id"), "event_type",
+        absorbing = "purchase",
+        removable = Seq("click", "error", "signup", "view"),
+        iterations = 4)
+      .select(col("channel"), round(col("conv_base"), 6).as("conv_base"),
+        round(col("conv_removed"), 6).as("conv_removed"),
+        round(col("removal_effect"), 6).as("removal_effect"),
+        round(col("credit"), 6).as("credit"))
+      .orderBy(col("channel"))
+
+  val markovAttributionSql: String = {
+    val channels = Seq("click", "error", "signup", "view")
+    def pin(v: String, inner: String): String = v match {
+      case "base" => s"CASE WHEN st.state = 'purchase' THEN 1.0" +
+        s" ELSE $inner END"
+      case c => s"CASE WHEN st.state = 'purchase' THEN 1.0" +
+        s" WHEN st.state = '$c' THEN 0.0 ELSE $inner END"
+    }
+    def chain(v: String): String = {
+      val rounds = (1 to 4).map { k =>
+        s"""g${k}_$v AS (SELECT tr.s AS state,
+           |    CAST(SUM(CAST(p.p * tr.n_st AS DECIMAL(28,15))) AS DOUBLE)
+           |      / o.n_s AS pn
+           |  FROM tr JOIN p${k - 1}_$v p ON tr.t = p.state
+           |  JOIN outs o ON tr.s = o.s GROUP BY tr.s, o.n_s),
+           |p${k}_$v AS (SELECT st.state,
+           |    ${pin(v, s"COALESCE(g.pn, 0.0)")} AS p
+           |  FROM st LEFT JOIN g${k}_$v g ON st.state = g.state)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""p0_$v AS (SELECT st.state, ${pin(v, "0.0")} AS p FROM st),
+         |$rounds,
+         |conv_$v AS (SELECT
+         |    CAST(SUM(CAST(p.p * sx.n_start AS DECIMAL(28,15))) AS DOUBLE)
+         |    / CAST(SUM(sx.n_start) AS DOUBLE) AS conv
+         |  FROM starts sx JOIN p4_$v p ON sx.state = p.state)""".stripMargin
+    }
+    val chains = ("base" +: channels).map(chain).mkString(",\n")
+    val rows = channels.map { c =>
+      s"SELECT '$c' AS channel, b.conv AS conv_base, r.conv AS conv_removed," +
+        s" 1.0 - r.conv / b.conv AS removal_effect" +
+        s" FROM conv_base b CROSS JOIN conv_$c r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH seq AS (SELECT user_id, event_type AS s,
+       |    LEAD(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS t,
+       |    ROW_NUMBER() OVER (PARTITION BY user_id
+       |      ORDER BY ts, event_id) AS rn
+       |  FROM events),
+       |tr AS (SELECT s, t, COUNT(*) AS n_st FROM seq WHERE t IS NOT NULL
+       |  GROUP BY 1, 2),
+       |outs AS (SELECT s, CAST(SUM(n_st) AS BIGINT) AS n_s FROM tr
+       |  GROUP BY 1),
+       |st AS (SELECT DISTINCT event_type AS state FROM events),
+       |starts AS (SELECT s AS state, COUNT(*) AS n_start FROM seq
+       |  WHERE rn = 1 GROUP BY 1),
+       |$chains,
+       |eff AS ($rows),
+       |tot AS (SELECT SUM(CAST(removal_effect AS DECIMAL(28,15)))
+       |    AS re_sum FROM eff)
+       |SELECT channel, ROUND(conv_base, 6) AS conv_base,
+       |  ROUND(conv_removed, 6) AS conv_removed,
+       |  ROUND(removal_effect, 6) AS removal_effect,
+       |  ROUND(CASE WHEN CAST(re_sum AS DOUBLE) = 0.0 THEN NULL
+       |    ELSE removal_effect / CAST(re_sum AS DOUBLE) END, 6) AS credit
+       |FROM eff CROSS JOIN tot ORDER BY channel""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
+  // V-optimal histogram (batch 12)
+  // --------------------------------------------------------------------------
+
+  /** 6-bucket V-optimal histogram of lineitem prices over a 64-cell
+    * equi-width pre-bucketing ([[graft.ext.VOptimal.histogram]]): the
+    * minimum-SSE boundaries a cost-based optimizer's statistics build
+    * wants. The oracle replays the integer moment prefixes, all five DP
+    * levels with the two-step argmin, and the relational backtrack.
+    */
+  def qVoptimal(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.VOptimal.histogram(
+      Tables.lineitem(spark, dir)
+        .select(expr("CAST(FLOOR(l_extendedprice) AS BIGINT)").as("price")),
+      "price", cells = 64, buckets = 6)
+
+  val voptimalSql: String = {
+    def segd(i: String, k: String): String =
+      s"CAST(CAST($i.ps2 - $k.ps2 AS DECIMAL(38,0)) * ($i.pn - $k.pn) - " +
+        s"CAST($i.ps1 - $k.ps1 AS DECIMAL(38,0)) * ($i.ps1 - $k.ps1)" +
+        s" AS DOUBLE) / CAST($i.pn - $k.pn AS DOUBLE)"
+    val levels = (2 to 6).map { j =>
+      s"""cand$j AS (SELECT pi.idx AS i, d.i AS k,
+         |    d.cost + (${segd("pi", "pk")}) AS cost
+         |  FROM dp${j - 1} d JOIN pres pk ON pk.idx = d.i
+         |  JOIN pre pi ON pi.idx > d.i),
+         |mins$j AS (SELECT i, MIN(cost) AS mcost FROM cand$j GROUP BY 1),
+         |dp$j AS MATERIALIZED (SELECT c.i, MIN(c.cost) AS cost,
+         |    MIN(c.k) AS k
+         |  FROM cand$j c JOIN mins$j m ON c.i = m.i AND c.cost = m.mcost
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val backtrack = (5 to 1 by -1).map { j =>
+      s"bt$j AS (SELECT $j AS j, d.i, d.k FROM dp$j d" +
+        s" JOIN bt${j + 1} b ON d.i = b.k)"
+    }.mkString(",\n")
+    val unions = (1 to 6).map(j => s"SELECT j, i, k FROM bt$j")
+      .mkString(" UNION ALL ")
+    s"""WITH vals AS (SELECT CAST(FLOOR(l_extendedprice) AS BIGINT) AS v
+       |  FROM lineitem),
+       |mm AS (SELECT MIN(v) AS minv, MAX(v) AS maxv FROM vals),
+       |cells0 AS (SELECT ((v - minv) * 64) // (maxv - minv + 1) AS cell,
+       |    COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) AS s1,
+       |    CAST(SUM(v * v) AS BIGINT) AS s2
+       |  FROM vals CROSS JOIN mm GROUP BY 1),
+       |pre AS MATERIALIZED (SELECT
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS BIGINT) AS idx,
+       |    cell, CAST(SUM(cnt) OVER w AS BIGINT) AS pn,
+       |    CAST(SUM(s1) OVER w AS BIGINT) AS ps1,
+       |    CAST(SUM(s2) OVER w AS BIGINT) AS ps2
+       |  FROM cells0 WINDOW w AS (ORDER BY cell
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |pres AS MATERIALIZED (SELECT idx, pn, ps1, ps2 FROM pre
+       |  UNION ALL SELECT CAST(-1 AS BIGINT), 0, 0, 0),
+       |dp1 AS MATERIALIZED (SELECT p.idx AS i,
+       |    CAST(CAST(p.ps2 - 0 AS DECIMAL(38,0)) * (p.pn - 0) -
+       |      CAST(p.ps1 - 0 AS DECIMAL(38,0)) * (p.ps1 - 0)
+       |      AS DOUBLE) / CAST(p.pn - 0 AS DOUBLE) AS cost,
+       |    CAST(-1 AS BIGINT) AS k
+       |  FROM pre p),
+       |$levels,
+       |li AS (SELECT MAX(idx) AS li FROM pre),
+       |bt6 AS (SELECT 6 AS j, d.i, d.k FROM dp6 d JOIN li ON d.i = li.li),
+       |$backtrack,
+       |ranges AS ($unions)
+       |SELECT r.j AS bucket, lo.cell AS lo_cell, pi.cell AS hi_cell,
+       |  pi.pn - pk.pn AS n_rows,
+       |  ROUND(${segd("pi", "pk")}, 2) AS sse
+       |FROM ranges r JOIN pres pk ON pk.idx = r.k
+       |JOIN pre pi ON pi.idx = r.i
+       |JOIN pre lo ON lo.idx = r.k + 1
+       |ORDER BY bucket""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1024,7 +1179,9 @@ object VertexQueries {
     "q_ktruss" -> (qKtruss _),
     "q_matching" -> (qMatching _),
     "q_encoding_advisor" -> (qEncodingAdvisor _),
-    "q_coloring" -> (qColoring _))
+    "q_coloring" -> (qColoring _),
+    "q_markov_attribution" -> (qMarkovAttribution _),
+    "q_voptimal" -> (qVoptimal _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1044,5 +1201,7 @@ object VertexQueries {
     "q_ktruss" -> ktrussSql,
     "q_matching" -> matchingSql,
     "q_encoding_advisor" -> encodingAdvisorSql,
-    "q_coloring" -> coloringSql)
+    "q_coloring" -> coloringSql,
+    "q_markov_attribution" -> markovAttributionSql,
+    "q_voptimal" -> voptimalSql)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -84,5 +84,105 @@ object AbsorbingMarkov {
       .join(p, "state")
       .select(col("state"), coalesce(col("n_s"), lit(0L)).as("n_out"),
         col("p").as("p_absorb"))
+  }
+
+  /** Markov REMOVAL-EFFECT attribution (Anderl et al., "Mapping the
+    * customer journey", IJRM 2016): per touch channel c, re-run the
+    * absorption value iteration with p(c) PINNED to 0 — every journey
+    * that reaches c then never converts — and read the drop in the
+    * start-weighted conversion rate. removal_effect(c) =
+    * 1 − conv_removed(c)/conv_base is the channel's causal share under
+    * the chain model; credits normalize the effects to 1. Monotonicity of
+    * value iteration guarantees conv_removed ≤ conv_base at every finite
+    * round, so effects are never negative.
+    *
+    * `removable` is the bounded channel taxonomy to ablate (pass the
+    * touch states; the absorbing state must not be in it). Output per
+    * channel: (channel, conv_base, conv_removed, removal_effect, credit)
+    * — credit null when every effect is 0. Exactness: per-round gathers
+    * pool p·n_st in DECIMAL(28,15) with ONE double division per state
+    * ([[absorptionProbability]]'s discipline); conversion rates pool
+    * n_start·p the same way; credits divide by a DECIMAL-pooled effect
+    * sum, so both engines agree bit-for-bit.
+    *
+    * Scale shape: one corpus window pass for transitions plus one
+    * row_number pass for start states; every iteration (|removable|+1
+    * variants × rounds) runs over the same single-partition states²
+    * table in nested plans — channel count is a taxonomy, not data.
+    */
+  def removalEffects(events: DataFrame, entityCol: String,
+                     orderCols: Seq[String], stateCol: String,
+                     absorbing: String, removable: Seq[String],
+                     iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(removable.nonEmpty && !removable.contains(absorbing),
+      s"removable must be non-empty and exclude '$absorbing'")
+    val w = Window.partitionBy(col(entityCol))
+      .orderBy(orderCols.map(col): _*)
+    // internal aliases are __-prefixed so caller column names (an order
+    // column literally called "t", say) cannot shadow them
+    val base = events.select(Seq(col(entityCol), col(stateCol).as("__s")) ++
+      orderCols.map(col): _*)
+    val trans = base
+      .withColumn("__t", lead(col("__s"), 1).over(w))
+      .filter(col("__t").isNotNull)
+      .groupBy(col("__s").as("s"), col("__t").as("t"))
+      .agg(count(lit(1)).as("n_st"))
+      .repartition(1)
+      .localCheckpoint(eager = true)
+    val outs = trans.groupBy(col("s")).agg(sum(col("n_st")).as("n_s"))
+    val states = events.select(col(stateCol).as("state")).distinct()
+      .repartition(1)
+      .localCheckpoint(eager = true)
+    val starts = base
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .groupBy(col("__s").as("state")).agg(count(lit(1)).as("n_start"))
+      .repartition(1)
+      .localCheckpoint(eager = true)
+    // start-weighted conversion of one ablated chain (removed = None for
+    // the baseline): value iteration with p(removed) pinned 0
+    def conv(removed: Option[String]) = {
+      def pin(c: Column) = removed match {
+        case Some(r) => when(col("state") === absorbing, lit(1.0))
+          .when(col("state") === r, lit(0.0)).otherwise(c)
+        case None => when(col("state") === absorbing, lit(1.0)).otherwise(c)
+      }
+      var p = states.select(col("state"), pin(lit(0.0)).as("p"))
+      for (_ <- 1 to iterations) {
+        val gathered = trans
+          .join(p.select(col("state").as("t"), col("p")), "t")
+          .groupBy(col("s"))
+          .agg(sum((col("p") * col("n_st")).cast("decimal(28,15)"))
+            .as("num"))
+          .join(outs, "s")
+          .select(col("s").as("state"),
+            (col("num").cast("double") / col("n_s")).as("p_next"))
+        p = states.join(gathered, Seq("state"), "left")
+          .select(col("state"), pin(coalesce(col("p_next"), lit(0.0)))
+            .as("p"))
+      }
+      starts.join(p, "state")
+        .agg((sum((col("p") * col("n_start")).cast("decimal(28,15)"))
+          .cast("double") /
+          sum(col("n_start")).cast("double")).as("conv"))
+    }
+    val baseConv = conv(None).select(col("conv").as("conv_base"))
+    val perChannel = removable.map { c =>
+      conv(Some(c)).select(lit(c).as("channel"),
+        col("conv").as("conv_removed"))
+    }.reduce(_ unionByName _)
+    val effects = perChannel.crossJoin(baseConv)
+      .select(col("channel"), col("conv_base"), col("conv_removed"),
+        (lit(1.0) - col("conv_removed") / col("conv_base"))
+          .as("removal_effect"))
+    val total = effects.agg(sum(col("removal_effect")
+      .cast("decimal(28,15)")).as("re_sum"))
+    effects.crossJoin(total)
+      .select(col("channel"), col("conv_base"), col("conv_removed"),
+        col("removal_effect"),
+        when(col("re_sum").cast("double") === 0.0, lit(null))
+          .otherwise(col("removal_effect") / col("re_sum").cast("double"))
+          .as("credit"))
   }
 }
