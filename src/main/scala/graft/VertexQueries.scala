@@ -1157,6 +1157,128 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Weighted SSSP + Merkle drill-down (batch 13)
+  // --------------------------------------------------------------------------
+
+  /** Weighted single-source shortest paths over the repeat-co-purchase
+    * graph ([[graft.ext.GraphPaths.ssspWeighted]], 4 Bellman-Ford
+    * sweeps): edge cost = inverse co-purchase affinity
+    * (greatest(1, 1000 div support)), seed = the busiest hub. All-integer
+    * distances; the oracle replays each min-merge sweep.
+    */
+  def qSssp(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val weighted = l.groupBy(col("ok")).agg(collect_set(col("pk")).as("parts"))
+      .select(explode(col("parts")).as("src"), col("parts"))
+      .select(col("src"), explode(col("parts")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("s"))
+      .filter(col("s") >= 2)
+      .select(col("src"), col("dst"),
+        expr("greatest(1, 1000 div s)").as("w"))
+    graft.ext.GraphPaths.ssspWeighted(weighted, "src", "dst", "w",
+      rounds = 4)
+  }
+
+  val ssspSql: String = {
+    val roundCtes = (1 to 4).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT id, MIN(d) AS d FROM (
+         |    SELECT id, d FROM d${r - 1}
+         |    UNION ALL
+         |    SELECT bo.v, dd.d + bo.w FROM bt bo
+         |    JOIN d${r - 1} dd ON bo.u = dd.id)
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT a, b, GREATEST(1, 1000 // s) AS w FROM (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b,
+       |    COUNT(DISTINCT x.l_orderkey) AS s
+       |  FROM lineitem x JOIN lineitem y
+       |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+       |  GROUP BY 1, 2 HAVING COUNT(DISTINCT x.l_orderkey) >= 2)),
+       |bt AS MATERIALIZED (SELECT a AS u, b AS v, w FROM e0
+       |  UNION ALL SELECT b, a, w FROM e0),
+       |seed AS (SELECT u AS node FROM bt GROUP BY 1
+       |  ORDER BY COUNT(*) DESC, u LIMIT 1),
+       |d0 AS (SELECT node AS id, CAST(0 AS BIGINT) AS d FROM seed),
+       |$roundCtes
+       |SELECT id AS node, d AS dist FROM d4 ORDER BY node""".stripMargin
+  }
+
+  /** Merkle range drill-down between lineitem and a deterministically
+    * perturbed next version (edits where orderkey % 997 = 0, deletes
+    * where orderkey % 991 = 0 and linenumber % 3 = 0)
+    * ([[graft.ext.Integrity.merkleDrill]], 3 levels): the sync audit
+    * reports exactly which key-hash buckets diverge, drilling only under
+    * differing parents.
+    */
+  def qMerkleDrill(spark: SparkSession, dir: String): DataFrame = {
+    val a = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long").as("q"), col("l_returnflag"))
+    val b = a
+      .filter(!(col("l_orderkey") % 991 === 0 &&
+        col("l_linenumber") % 3 === 0))
+      .withColumn("q", when(col("l_orderkey") % 997 === 0, col("q") + 1)
+        .otherwise(col("q")))
+    graft.ext.Integrity.merkleDrill(a, b,
+      keyCols = Seq(col("l_orderkey"), col("l_linenumber")),
+      rowCols = Seq(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("q"), col("l_returnflag")),
+      levels = 3)
+  }
+
+  val merkleDrillSql: String = {
+    val levelCtes = (2 to 3).map { l =>
+      s"""la$l AS (SELECT substr(kh, 1, $l) AS bucket, COUNT(*) AS n,
+         |    bit_xor(h) AS x FROM ha
+         |  WHERE substr(kh, 1, ${l - 1}) IN (SELECT bucket FROM p${l - 1})
+         |  GROUP BY 1),
+         |lb$l AS (SELECT substr(kh, 1, $l) AS bucket, COUNT(*) AS n,
+         |    bit_xor(h) AS x FROM hb
+         |  WHERE substr(kh, 1, ${l - 1}) IN (SELECT bucket FROM p${l - 1})
+         |  GROUP BY 1),
+         |c$l AS MATERIALIZED (SELECT $l AS level,
+         |    COALESCE(la$l.bucket, lb$l.bucket) AS bucket,
+         |    COALESCE(la$l.n, 0) AS n_a, COALESCE(lb$l.n, 0) AS n_b,
+         |    (la$l.n IS DISTINCT FROM lb$l.n
+         |      OR la$l.x IS DISTINCT FROM lb$l.x) AS differs
+         |  FROM la$l FULL OUTER JOIN lb$l ON la$l.bucket = lb$l.bucket),
+         |p$l AS (SELECT bucket FROM c$l WHERE differs)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH a_ AS (SELECT l_orderkey, l_linenumber, l_partkey,
+       |    CAST(l_quantity AS BIGINT) AS q, l_returnflag FROM lineitem),
+       |b_ AS (SELECT l_orderkey, l_linenumber, l_partkey,
+       |    CASE WHEN l_orderkey % 997 = 0 THEN q + 1 ELSE q END AS q,
+       |    l_returnflag
+       |  FROM a_ WHERE NOT (l_orderkey % 991 = 0 AND l_linenumber % 3 = 0)),
+       |ha AS MATERIALIZED (SELECT
+       |    md5(concat_ws('|', l_orderkey, l_linenumber)) AS kh,
+       |    ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+       |      l_partkey, q, l_returnflag)), 1, 15))::BIGINT AS h FROM a_),
+       |hb AS MATERIALIZED (SELECT
+       |    md5(concat_ws('|', l_orderkey, l_linenumber)) AS kh,
+       |    ('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+       |      l_partkey, q, l_returnflag)), 1, 15))::BIGINT AS h FROM b_),
+       |la1 AS (SELECT substr(kh, 1, 1) AS bucket, COUNT(*) AS n,
+       |    bit_xor(h) AS x FROM ha GROUP BY 1),
+       |lb1 AS (SELECT substr(kh, 1, 1) AS bucket, COUNT(*) AS n,
+       |    bit_xor(h) AS x FROM hb GROUP BY 1),
+       |c1 AS MATERIALIZED (SELECT 1 AS level,
+       |    COALESCE(la1.bucket, lb1.bucket) AS bucket,
+       |    COALESCE(la1.n, 0) AS n_a, COALESCE(lb1.n, 0) AS n_b,
+       |    (la1.n IS DISTINCT FROM lb1.n OR la1.x IS DISTINCT FROM lb1.x)
+       |      AS differs
+       |  FROM la1 FULL OUTER JOIN lb1 ON la1.bucket = lb1.bucket),
+       |p1 AS (SELECT bucket FROM c1 WHERE differs),
+       |$levelCtes
+       |SELECT level, bucket, n_a, n_b, differs FROM c1
+       |UNION ALL SELECT level, bucket, n_a, n_b, differs FROM c2
+       |UNION ALL SELECT level, bucket, n_a, n_b, differs FROM c3
+       |ORDER BY level, bucket""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1181,7 +1303,9 @@ object VertexQueries {
     "q_encoding_advisor" -> (qEncodingAdvisor _),
     "q_coloring" -> (qColoring _),
     "q_markov_attribution" -> (qMarkovAttribution _),
-    "q_voptimal" -> (qVoptimal _))
+    "q_voptimal" -> (qVoptimal _),
+    "q_sssp" -> (qSssp _),
+    "q_merkle_drill" -> (qMerkleDrill _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1203,5 +1327,7 @@ object VertexQueries {
     "q_encoding_advisor" -> encodingAdvisorSql,
     "q_coloring" -> coloringSql,
     "q_markov_attribution" -> markovAttributionSql,
-    "q_voptimal" -> voptimalSql)
+    "q_voptimal" -> voptimalSql,
+    "q_sssp" -> ssspSql,
+    "q_merkle_drill" -> merkleDrillSql)
 }

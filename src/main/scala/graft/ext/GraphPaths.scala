@@ -160,4 +160,52 @@ object GraphPaths {
     ccStats("attacked", attacked).unionByName(ccStats("intact", e))
       .orderBy(col("scenario"))
   }
+
+  /** Weighted single-source shortest paths by `rounds` Bellman-Ford
+    * relaxation sweeps from the (max-degree, min-id) seed — the weighted
+    * sibling of [[bfsLevels]] (hop counts lie when edges carry costs:
+    * latency, inverse affinity, toll). After r sweeps dist(v) is exactly
+    * the cheapest ≤ r-edge path cost — a monotone upper bound converging
+    * to the true distance; unreached nodes are absent.
+    *
+    * Input edges are undirected (any orientation) with an integer weight;
+    * parallel edges collapse to their MINIMUM weight, so distances stay
+    * all-integer and both engines agree exactly.
+    *
+    * Scale shape: per sweep, one equi-join of the checkpointed symmetric
+    * edge list against the current distance table and one min-merge
+    * aggregate — the frontier-free form (no visited set needed: min-merge
+    * is idempotent), 2 jobs per sweep.
+    *
+    * Output: (node, dist) for every node reached within `rounds` sweeps,
+    * node ascending.
+    */
+  def ssspWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                   weightCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 10, s"rounds must be 1..10, got $rounds")
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .filter(col("a") =!= col("b") && col("w") >= 0)
+      .groupBy(col("a"), col("b")).agg(min(col("w")).as("w"))
+    val both = e.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .union(e.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .localCheckpoint(eager = true)
+    val seed = both.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("node"))
+      .limit(1)
+    var dist = seed.select(col("node").as("id"), lit(0L).as("d"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val relaxed = both
+        .join(dist.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+        .select(col("v").as("id"), (col("du") + col("w")).as("d"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+        .localCheckpoint(eager = true)
+    }
+    dist.select(col("id").as("node"), col("d").as("dist"))
+      .orderBy(col("node"))
+  }
 }
