@@ -15,7 +15,10 @@ class SparkEntrySpec extends AnyFunSuite {
   private val rowsOnlyQueries = Set(
     "q_bpe_train", // iterative data-dependent merge recurrence; BpeTrainSpec golden
     "q_bpe_encode", // rank-order greedy tokenizer apply; BpeTrainSpec golden
-    "q_tokenizer_fertility") // composes the trained-BPE encode; BpeTrainSpec golden
+    "q_tokenizer_fertility", // composes the trained-BPE encode; BpeTrainSpec golden
+    "q_unigram_train", // EM/prune recurrence; UnigramLmSpec reference differential
+    "q_unigram_encode", // Viterbi over the trained vocab; UnigramLmSpec differential
+    "q_unigram_fertility") // composes the unigram encode; UnigramLmSpec differential
 
   test("every query has an oracle and every oracle has a query") {
     val q = SparkEntry.queries.keySet
