@@ -1279,6 +1279,113 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Jaro-Winkler linkage + rank fusion (batch 14)
+  // --------------------------------------------------------------------------
+
+  /** Blocked Jaro-Winkler name linkage over parts: candidate pairs from
+    * (brand, size) blocking, scored by the native codegen
+    * [[graft.functions.JaroWinkler]] expression, top-100 by similarity.
+    * The oracle is DuckDB's own `jaro_winkler_similarity` — an
+    * independent implementation of the same standard algorithm, so a
+    * green row pins the expression's window/transposition/prefix-boost
+    * semantics end to end.
+    */
+  def qJaroMatch(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("p_size"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
+        col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
+          col("name_b")), 6).as("jw"))
+      .filter(col("jw") >= 0.7)
+      .orderBy(col("jw").desc, col("key_a"), col("key_b"))
+      .limit(100)
+  }
+
+  val jaroMatchSql: String =
+    """WITH a AS (SELECT p_brand, p_size, p_partkey AS key_a,
+      |    p_name AS name_a FROM part),
+      |b AS (SELECT p_brand, p_size, p_partkey AS key_b, p_name AS name_b
+      |  FROM part)
+      |SELECT key_a, key_b,
+      |  ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+      |FROM a JOIN b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |  AND key_a < key_b
+      |WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7
+      |ORDER BY jw DESC, key_a, key_b LIMIT 100""".stripMargin
+
+  /** Borda + Copeland fusion of three brand rankers (integer revenue,
+    * total quantity, distinct orders) over the lineitem⋈part join
+    * ([[graft.ext.RankFusion.bordaCopeland]]): the Condorcet-consistent
+    * complement of `q_hybrid_rrf`. All-integer metrics and scores.
+    */
+  def qRankFusion(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)
+        .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val metrics = li.groupBy(col("p_brand"))
+      .agg(sum(expr("CAST(FLOOR(l_extendedprice) AS BIGINT)")).as("rev"),
+        sum(col("l_quantity").cast("long")).as("qty"),
+        countDistinct(col("l_orderkey")).as("orders"))
+    val w = (m: String) => org.apache.spark.sql.expressions.Window
+      .orderBy(col(m).desc, col("p_brand"))
+    val long = Seq("rev", "qty", "orders").map { m =>
+      metrics.select(col("p_brand").as("item"), lit(m).as("ranker"),
+        row_number().over(w(m)).as("rank"))
+    }.reduce(_ unionByName _)
+    graft.ext.RankFusion.bordaCopeland(long, "item", "ranker", "rank")
+  }
+
+  val rankFusionSql: String =
+    """WITH m AS (SELECT p_brand,
+      |    CAST(SUM(CAST(FLOOR(l_extendedprice) AS BIGINT)) AS BIGINT)
+      |      AS rev,
+      |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty,
+      |    COUNT(DISTINCT l_orderkey) AS orders
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+      |r AS (SELECT p_brand AS item, 'rev' AS ranker,
+      |    ROW_NUMBER() OVER (ORDER BY rev DESC, p_brand) AS rank FROM m
+      |  UNION ALL SELECT p_brand, 'qty',
+      |    ROW_NUMBER() OVER (ORDER BY qty DESC, p_brand) FROM m
+      |  UNION ALL SELECT p_brand, 'orders',
+      |    ROW_NUMBER() OVER (ORDER BY orders DESC, p_brand) FROM m),
+      |ni AS (SELECT COUNT(DISTINCT item) AS n_items FROM r),
+      |borda AS (SELECT item, COUNT(*) AS n_rankers,
+      |    CAST(SUM(ni.n_items - rank) AS BIGINT) AS borda
+      |  FROM r CROSS JOIN ni GROUP BY 1),
+      |pairs AS (SELECT x.item AS i, y.item AS j,
+      |    SUM(CASE WHEN x.rank < y.rank THEN 1 ELSE 0 END) AS i_wins,
+      |    SUM(CASE WHEN y.rank < x.rank THEN 1 ELSE 0 END) AS j_wins
+      |  FROM r x JOIN r y ON x.ranker = y.ranker AND x.item < y.item
+      |  GROUP BY 1, 2),
+      |duels AS (SELECT i AS item,
+      |    CASE WHEN i_wins > j_wins THEN 1
+      |      WHEN j_wins > i_wins THEN -1 ELSE 0 END AS pt FROM pairs
+      |  UNION ALL SELECT j,
+      |    CASE WHEN j_wins > i_wins THEN 1
+      |      WHEN i_wins > j_wins THEN -1 ELSE 0 END FROM pairs),
+      |cope AS (SELECT item,
+      |    CAST(SUM(CASE WHEN pt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS copeland_wins,
+      |    CAST(SUM(CASE WHEN pt = -1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS copeland_losses
+      |  FROM duels GROUP BY 1)
+      |SELECT b.item, b.n_rankers, b.borda,
+      |  COALESCE(c.copeland_wins, 0) AS copeland_wins,
+      |  COALESCE(c.copeland_losses, 0) AS copeland_losses,
+      |  COALESCE(c.copeland_wins, 0) - COALESCE(c.copeland_losses, 0)
+      |    AS copeland
+      |FROM borda b LEFT JOIN cope c ON b.item = c.item
+      |ORDER BY copeland DESC, borda DESC, b.item""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1305,7 +1412,9 @@ object VertexQueries {
     "q_markov_attribution" -> (qMarkovAttribution _),
     "q_voptimal" -> (qVoptimal _),
     "q_sssp" -> (qSssp _),
-    "q_merkle_drill" -> (qMerkleDrill _))
+    "q_merkle_drill" -> (qMerkleDrill _),
+    "q_jaro_match" -> (qJaroMatch _),
+    "q_rank_fusion" -> (qRankFusion _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1329,5 +1438,7 @@ object VertexQueries {
     "q_markov_attribution" -> markovAttributionSql,
     "q_voptimal" -> voptimalSql,
     "q_sssp" -> ssspSql,
-    "q_merkle_drill" -> merkleDrillSql)
+    "q_merkle_drill" -> merkleDrillSql,
+    "q_jaro_match" -> jaroMatchSql,
+    "q_rank_fusion" -> rankFusionSql)
 }
