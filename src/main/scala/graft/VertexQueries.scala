@@ -1386,6 +1386,140 @@ object VertexQueries {
       |ORDER BY copeland DESC, borda DESC, b.item""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Fellegi-Sunter linkage (batch 15)
+  // --------------------------------------------------------------------------
+
+  /** Candidate part pairs from (brand, size) blocking with boolean
+    * comparison fields and a p_type-equality truth label — the input
+    * surface both Fellegi-Sunter queries share.
+    */
+  private def fsPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"),
+      col("p_brand"), col("p_size"), col("p_type"),
+      expr("CAST(FLOOR(p_retailprice) AS BIGINT)").as("pr"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("p_type").as("type_a"), col("pr").as("pr_a"))
+    val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("p_type").as("type_b"), col("pr").as("pr_b"))
+    a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
+        col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"),
+        (col("type_a") === col("type_b")).as("is_match"),
+        (element_at(split(col("name_a"), " "), 2) ===
+          element_at(split(col("name_b"), " "), 2)).as("f_noun"),
+        (round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
+          col("name_b")), 6) >= 0.72).as("f_jw"),
+        (abs(col("pr_a") - col("pr_b")) <= 50).as("f_price50"),
+        (expr("pr_a div 100") === expr("pr_b div 100")).as("f_price100"))
+  }
+
+  private val fsFields = Seq("f_noun", "f_jw", "f_price50", "f_price100")
+
+  private val fsPairsSql: String =
+    """pairs AS (SELECT a.key_a, b.key_b, ta = tb AS is_match,
+      |    split_part(na, ' ', 2) = split_part(nb, ' ', 2) AS f_noun,
+      |    ROUND(jaro_winkler_similarity(na, nb), 6) >= 0.72 AS f_jw,
+      |    ABS(pa - pb) <= 50 AS f_price50,
+      |    pa // 100 = pb // 100 AS f_price100
+      |  FROM (SELECT p_brand, p_size, p_partkey AS key_a, p_name AS na,
+      |      p_type AS ta, CAST(FLOOR(p_retailprice) AS BIGINT) AS pa
+      |    FROM part) a
+      |  JOIN (SELECT p_brand AS b2, p_size AS s2, p_partkey AS key_b,
+      |      p_name AS nb, p_type AS tb,
+      |      CAST(FLOOR(p_retailprice) AS BIGINT) AS pb
+      |    FROM part) b
+      |  ON a.p_brand = b.b2 AND a.p_size = b.s2 AND a.key_a < b.key_b)"""
+      .stripMargin
+
+  /** Fellegi-Sunter m/u probabilities and log2 agreement weights per
+    * comparison field ([[graft.ext.Linkage.fellegiSunterWeights]]) over
+    * the blocked part pairs — the model table a Splink-style linkage
+    * pass ships. All counts exact integers; each weight one fixed
+    * double formula.
+    */
+  def qFsWeights(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Linkage.fellegiSunterWeights(fsPairs(spark, dir), "is_match",
+      fsFields)
+
+  val fsWeightsSql: String = {
+    val fieldRows = fsFields.map(f => s"SELECT '$f' AS field, $f AS agree," +
+      s" is_match FROM pairs").mkString("\n  UNION ALL ")
+    s"""WITH $fsPairsSql,
+       |long AS ($fieldRows),
+       |cnt AS (SELECT field,
+       |    CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS m_cnt,
+       |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_tot,
+       |    CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS u_cnt,
+       |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS u_tot
+       |  FROM long GROUP BY 1)
+       |SELECT field, m_cnt, m_tot, u_cnt, u_tot,
+       |  ROUND(CAST(m_cnt + 1 AS DOUBLE) / CAST(m_tot + 2 AS DOUBLE), 6)
+       |    AS m,
+       |  ROUND(CAST(u_cnt + 1 AS DOUBLE) / CAST(u_tot + 2 AS DOUBLE), 6)
+       |    AS u,
+       |  ROUND(log2(CAST((m_cnt + 1) * (u_tot + 2) AS DOUBLE) /
+       |    CAST((u_cnt + 1) * (m_tot + 2) AS DOUBLE)), 6) AS w_agree,
+       |  ROUND(log2(CAST((m_tot - m_cnt + 1) * (u_tot + 2) AS DOUBLE) /
+       |    CAST((u_tot - u_cnt + 1) * (m_tot + 2) AS DOUBLE)), 6)
+       |    AS w_disagree
+       |FROM cnt ORDER BY field""".stripMargin
+  }
+
+  /** Top-20 pair scores under the learned Fellegi-Sunter weights
+    * ([[graft.ext.Linkage.fellegiSunterScore]]): score = Σ per-field
+    * agreement/disagreement weights, summed in fixed field order against
+    * the 1-row broadcast weight table.
+    */
+  def qFsScores(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Linkage.fellegiSunterScore(fsPairs(spark, dir),
+        Seq("key_a", "key_b"), "is_match", fsFields)
+      .orderBy(col("score").desc, col("key_a"), col("key_b"))
+      .limit(20)
+
+  val fsScoresSql: String = {
+    val wcols = fsFields.flatMap(f => Seq(
+      s"MAX(CASE WHEN field = '$f' THEN w_agree END) AS wa_$f",
+      s"MAX(CASE WHEN field = '$f' THEN w_disagree END) AS wd_$f"))
+      .mkString(",\n    ")
+    val total = fsFields.map(f =>
+      s"(CASE WHEN $f THEN wa_$f ELSE wd_$f END)").mkString(" + ")
+    s"""WITH $fsPairsSql,
+       |long AS (${fsFields.map(f =>
+      s"SELECT '$f' AS field, $f AS agree, is_match FROM pairs")
+      .mkString("\n  UNION ALL ")}),
+       |cnt AS (SELECT field,
+       |    CAST(SUM(CASE WHEN is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS m_cnt,
+       |    CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m_tot,
+       |    CAST(SUM(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS u_cnt,
+       |    CAST(SUM(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS u_tot
+       |  FROM long GROUP BY 1),
+       |wt AS (SELECT field,
+       |    ROUND(log2(CAST((m_cnt + 1) * (u_tot + 2) AS DOUBLE) /
+       |      CAST((u_cnt + 1) * (m_tot + 2) AS DOUBLE)), 6) AS w_agree,
+       |    ROUND(log2(CAST((m_tot - m_cnt + 1) * (u_tot + 2) AS DOUBLE) /
+       |      CAST((u_tot - u_cnt + 1) * (m_tot + 2) AS DOUBLE)), 6)
+       |      AS w_disagree
+       |  FROM cnt),
+       |one AS (SELECT
+       |    $wcols
+       |  FROM wt)
+       |SELECT key_a, key_b, is_match,
+       |  ROUND($total, 6) AS score
+       |FROM pairs CROSS JOIN one
+       |ORDER BY score DESC, key_a, key_b LIMIT 20""".stripMargin
+  }
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1414,7 +1548,9 @@ object VertexQueries {
     "q_sssp" -> (qSssp _),
     "q_merkle_drill" -> (qMerkleDrill _),
     "q_jaro_match" -> (qJaroMatch _),
-    "q_rank_fusion" -> (qRankFusion _))
+    "q_rank_fusion" -> (qRankFusion _),
+    "q_fs_weights" -> (qFsWeights _),
+    "q_fs_scores" -> (qFsScores _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1440,5 +1576,7 @@ object VertexQueries {
     "q_sssp" -> ssspSql,
     "q_merkle_drill" -> merkleDrillSql,
     "q_jaro_match" -> jaroMatchSql,
-    "q_rank_fusion" -> rankFusionSql)
+    "q_rank_fusion" -> rankFusionSql,
+    "q_fs_weights" -> fsWeightsSql,
+    "q_fs_scores" -> fsScoresSql)
 }

@@ -96,4 +96,77 @@ object Linkage {
                      maxDist: Int = 2, lengthBand: Int = 2): DataFrame =
     Dedup.dupClusters(fuzzyPairs(df, idCol, nameCol, maxDist, lengthBand)
       .select(col("id_a"), col("id_b")))
+
+  /** FELLEGI-SUNTER probabilistic linkage weights (Fellegi & Sunter,
+    * JASA 1969 — the model Splink/Dedupe productionize): per comparison
+    * field, estimate m = P(agree | match) and u = P(agree | non-match)
+    * from labeled candidate pairs, and derive the log2 agreement /
+    * disagreement weights a scoring pass sums. Laplace-smoothed
+    * ((cnt+1)/(tot+2)) so a field that never disagrees among matches
+    * still yields finite weights.
+    *
+    * Exactness: m/u and each weight are ONE fixed double formula over
+    * exact integer counts — w_agree = log2((m_cnt+1)·(u_tot+2) /
+    * ((u_cnt+1)·(m_tot+2))) with integer products < 2⁵³ — so both
+    * engines agree bit-for-bit.
+    *
+    * Input: candidate pairs with a boolean truth column and k boolean
+    * agreement columns. Output per field, ordered: (field, m_cnt, m_tot,
+    * u_cnt, u_tot, m, u, w_agree, w_disagree).
+    *
+    * Scale shape: one conditional aggregate over the pair table per
+    * call (fields unpivot map-side via one explode) — the pair table
+    * itself comes from blocking, never the corpus cross product.
+    */
+  def fellegiSunterWeights(pairs: DataFrame, truthCol: String,
+                           fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "need at least one comparison field")
+    val long = pairs.select(col(truthCol).as("__t"),
+      explode(array(fields.map(f =>
+        struct(lit(f).as("field"), col(f).as("agree"))): _*)).as("e"))
+      .select(col("__t"), col("e.field").as("field"),
+        col("e.agree").as("agree"))
+    long.groupBy(col("field"))
+      .agg(sum(when(col("__t") && col("agree"), 1L).otherwise(0L))
+          .as("m_cnt"),
+        sum(when(col("__t"), 1L).otherwise(0L)).as("m_tot"),
+        sum(when(!col("__t") && col("agree"), 1L).otherwise(0L))
+          .as("u_cnt"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("u_tot"))
+      .select(col("field"), col("m_cnt"), col("m_tot"), col("u_cnt"),
+        col("u_tot"),
+        round(expr("CAST(m_cnt + 1 AS DOUBLE) / CAST(m_tot + 2 AS DOUBLE)"),
+          6).as("m"),
+        round(expr("CAST(u_cnt + 1 AS DOUBLE) / CAST(u_tot + 2 AS DOUBLE)"),
+          6).as("u"),
+        round(expr("log2(CAST((m_cnt + 1) * (u_tot + 2) AS DOUBLE) /" +
+          " CAST((u_cnt + 1) * (m_tot + 2) AS DOUBLE))"), 6).as("w_agree"),
+        round(expr("log2(CAST((m_tot - m_cnt + 1) * (u_tot + 2) AS DOUBLE)" +
+          " / CAST((u_tot - u_cnt + 1) * (m_tot + 2) AS DOUBLE))"), 6)
+          .as("w_disagree"))
+      .orderBy(col("field"))
+  }
+
+  /** Score every candidate pair with the [[fellegiSunterWeights]] table:
+    * score = Σ_fields (agree ? w_agree : w_disagree), summed as ONE fixed
+    * expression in `fields` order (never a float SUM aggregate, whose
+    * combine order is partition-dependent) against the 1-row pivoted
+    * weight table broadcast into the scan. Output columns: the pair's
+    * id columns + the truth column + `score` (log2 match odds shift).
+    */
+  def fellegiSunterScore(pairs: DataFrame, idCols: Seq[String],
+                         truthCol: String, fields: Seq[String]): DataFrame = {
+    val w = fellegiSunterWeights(pairs, truthCol, fields)
+    // flatten the k-row weight table to ONE row of scalar columns
+    val aggs = fields.flatMap(f => Seq(
+      max(when(col("field") === f, col("w_agree"))).as(s"__wa_$f"),
+      max(when(col("field") === f, col("w_disagree"))).as(s"__wd_$f")))
+    val oneRow = w.agg(aggs.head, aggs.tail: _*)
+    val total = fields.map { f =>
+      when(col(f), col(s"__wa_$f")).otherwise(col(s"__wd_$f"))
+    }.reduce(_ + _)
+    pairs.crossJoin(broadcast(oneRow))
+      .select(idCols.map(col) :+ col(truthCol) :+
+        round(total, 6).as("score"): _*)
+  }
 }
