@@ -111,6 +111,15 @@ object StreamStateGuard extends Logging {
       case a: Attribute if boundedGen.contains(a.exprId) => true
       case a: Attribute if depth > 0 && defs.contains(a.exprId) =>
         bounded(defs(a.exprId), depth - 1)
+      // a short fixed-length prefix is a bounded domain (≤ charset^len —
+      // the Merkle-register hex-prefix bucket space); cap at 4 so a long
+      // substring of an unbounded string never sneaks through
+      case s: Substring if s.pos.foldable && s.len.foldable =>
+        s.len.eval() match {
+          case n: Int => n <= 4
+          case n: Long => n <= 4L
+          case _ => false
+        }
       case _ => false
     }
     bounded(key, depth = 8)

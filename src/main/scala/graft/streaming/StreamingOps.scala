@@ -1479,6 +1479,36 @@ object StreamingOps {
         col("cnt"))
   }
 
+  /** Streaming MERKLE DIGEST registers — the live half of
+    * [[graft.ext.Integrity.merkleDrill]]: per key-hash-prefix bucket,
+    * (row count, bit_xor of the 60-bit row-content hash) maintained
+    * incrementally. State is EXACTLY 16^level registers forever (the
+    * bucket domain is a fixed hex-prefix space — the stream-state guard's
+    * register-bounded classification), and xor is its own inverse, so the
+    * register table tracks the table's content digest as rows stream in.
+    * A consumer diffs the snapshot against another replica's registers to
+    * locate divergent buckets without any row shipping — anti-entropy as
+    * a standing streaming aggregate. After the stream drains, the
+    * register table equals the batch [[graft.ext.Integrity.merkleDrill]]
+    * leaf build bit-for-bit (spec-locked).
+    *
+    * `keyCols`/`rowCols` follow the batch contract (pre-stringified,
+    * engine-identical rendering). Output per touched bucket per trigger
+    * (Update/Complete): (bucket, n, x).
+    */
+  def merkleRegistersStream(stream: DataFrame, keyCols: Seq[Column],
+                            rowCols: Seq[Column], level: Int = 3)
+  : DataFrame = {
+    require(level >= 1 && level <= 4, s"level must be 1..4, got $level")
+    stream
+      .select(substring(md5(concat_ws("|", keyCols: _*)), 1, level)
+          .as("bucket"),
+        conv(substring(md5(concat_ws("|", rowCols: _*)), 1, 15), 16, 10)
+          .cast("long").as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
+  }
+
   /** Streaming twin of [[graft.ext.Sketches.hyperLogLogAudit]]'s register
     * table: the portable HLL maintained incrementally — state is EXACTLY m
     * max-registers forever (no watermark; max never retracts), the live

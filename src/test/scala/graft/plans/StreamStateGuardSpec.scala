@@ -79,7 +79,11 @@ class StreamStateGuardSpec extends SparkTestBase {
       "dsirBucketCountsStream" ->
         dsirBucketCountsStream(docs, "text", col("doc_id") % 2 === 0),
       "kmvRegistersStream" -> kmvRegistersStream(evts, "event_type"),
-      "amsRegistersStream" -> amsRegistersStream(evts, "event_type"))
+      "amsRegistersStream" -> amsRegistersStream(evts, "event_type"),
+      "merkleRegistersStream" -> merkleRegistersStream(evts,
+        Seq(org.apache.spark.sql.functions.col("event_type")),
+        Seq(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value")), level = 2))
     regs.foreach { case (name, ds) =>
       val audit = StreamStateGuard.audit(ds)
       assert(audit.exists(o => o.bounded && o.op == "streamingAggregate" &&
