@@ -1520,6 +1520,48 @@ object VertexQueries {
   }
 
   // --------------------------------------------------------------------------
+  // Persistent-items audit (batch 17)
+  // --------------------------------------------------------------------------
+
+  /** Persistence × intensity quadrants of customers over order quarters
+    * ([[graft.ext.EventStats.persistenceQuadrants]], persistence ≥ 0.25,
+    * ≥ 2 orders per active quarter): the loyal-but-light vs bursty-heavy
+    * separation a frequency sketch cannot read. All-integer quadrant
+    * splits; one double division per average.
+    */
+  def qPersistence(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.EventStats.persistenceQuadrants(
+      Tables.orders(spark, dir)
+        .select(col("o_custkey"),
+          expr("CAST(date_trunc('quarter', CAST(o_orderdate AS DATE))" +
+            " AS DATE)").as("qt")),
+      col("o_custkey"), col("qt"), persistMin = 0.25, perWindowMin = 2)
+
+  val persistenceSql: String =
+    """WITH grain AS (SELECT o_custkey AS ent,
+      |    CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+      |      AS win
+      |  FROM orders),
+      |pw AS (SELECT ent, win, COUNT(*) AS n_in_win FROM grain GROUP BY 1, 2),
+      |pe AS (SELECT ent, COUNT(*) AS windows_active,
+      |    CAST(SUM(n_in_win) AS BIGINT) AS n_events FROM pw GROUP BY 1),
+      |tw AS (SELECT COUNT(DISTINCT win) AS total_windows FROM grain),
+      |cls AS (SELECT ent, windows_active, n_events, total_windows,
+      |    windows_active * 100 >= total_windows * 25 AS persistent,
+      |    n_events >= windows_active * 2 AS intense
+      |  FROM pe CROSS JOIN tw)
+      |SELECT (CASE WHEN persistent THEN 'persistent' ELSE 'transient' END
+      |    || '_' || CASE WHEN intense THEN 'heavy' ELSE 'light' END)
+      |    AS quadrant,
+      |  COUNT(*) AS n_entities, CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |  ROUND(CAST(SUM(windows_active) AS DOUBLE) /
+      |    CAST(COUNT(*) * MAX(total_windows) AS DOUBLE), 6)
+      |    AS avg_persistence,
+      |  ROUND(CAST(SUM(n_events) AS DOUBLE) /
+      |    CAST(SUM(windows_active) AS DOUBLE), 6) AS avg_per_window
+      |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1550,7 +1592,8 @@ object VertexQueries {
     "q_jaro_match" -> (qJaroMatch _),
     "q_rank_fusion" -> (qRankFusion _),
     "q_fs_weights" -> (qFsWeights _),
-    "q_fs_scores" -> (qFsScores _))
+    "q_fs_scores" -> (qFsScores _),
+    "q_persistence" -> (qPersistence _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1578,5 +1621,6 @@ object VertexQueries {
     "q_jaro_match" -> jaroMatchSql,
     "q_rank_fusion" -> rankFusionSql,
     "q_fs_weights" -> fsWeightsSql,
-    "q_fs_scores" -> fsScoresSql)
+    "q_fs_scores" -> fsScoresSql,
+    "q_persistence" -> persistenceSql)
 }

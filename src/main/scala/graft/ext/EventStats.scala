@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Behavioral statistics over event streams — the monitoring layer of a
@@ -307,5 +307,69 @@ object EventStats {
       .select(col("month"), col("__b.open").as("max_open"),
         col("__b.day").as("peak_day"))
       .orderBy(col("month"))
+  }
+
+  /** PERSISTENT-ITEMS audit (Dai et al., "Finding persistent items in data
+    * streams", VLDB 2016 — the observation that PERSISTENCE, the number of
+    * distinct time windows an entity appears in, separates steady
+    * low-volume actors from bursty heavy hitters, and no frequency sketch
+    * can read it): classify entities into the four
+    * persistence × intensity quadrants and summarize each. Loyal-but-
+    * light customers, periodic scrapers, one-burst spam — all invisible
+    * to a pure count ranking.
+    *
+    * Per entity: windows_active = distinct windows touched, n_events;
+    * persistence = windows_active / total_windows; intensity = events
+    * per ACTIVE window. Quadrants split at `persistMin` (persistence,
+    * inclusive) and `perWindowMin` (intensity via the exact integer
+    * comparison n_events ≥ perWindowMin·windows_active — no float
+    * threshold). Output per quadrant, ordered: (quadrant, n_entities,
+    * n_events, avg_persistence, avg_per_window) with each average ONE
+    * double division of exact integer sums.
+    *
+    * Scale shape: one (entity, window) distinct-grain aggregate (map-side
+    * combinable), one entity-keyed rollup, a 1-row broadcast window
+    * count, and a 4-group summary — no joins beyond the broadcast.
+    */
+  def persistenceQuadrants(df: DataFrame, entityCol: Column,
+                           windowCol: Column, persistMin: Double,
+                           perWindowMin: Int): DataFrame = {
+    require(persistMin > 0 && persistMin < 1, s"bad persistMin $persistMin")
+    require(perWindowMin >= 1, s"bad perWindowMin $perWindowMin")
+    // persistMin as an exact rational over 100 so the quadrant split is an
+    // integer cross-multiplication in both engines
+    val pm = math.round(persistMin * 100).toInt
+    val grain = df.select(entityCol.as("ent"), windowCol.as("win"))
+    val perEnt = grain.groupBy(col("ent"), col("win"))
+      .agg(count(lit(1)).as("n_in_win"))
+      .groupBy(col("ent"))
+      .agg(count(lit(1)).as("windows_active"),
+        sum(col("n_in_win")).as("n_events"))
+    val totalW = grain.select(col("win")).distinct()
+      .agg(count(lit(1)).as("total_windows"))
+    perEnt.crossJoin(broadcast(totalW))
+      .select(col("ent"), col("windows_active"), col("n_events"),
+        (col("windows_active") * 100 >= col("total_windows") * pm)
+          .as("persistent"),
+        (col("n_events") >= col("windows_active") * perWindowMin)
+          .as("intense"),
+        col("total_windows"))
+      .groupBy(col("persistent"), col("intense"))
+      .agg(count(lit(1)).as("n_entities"),
+        sum(col("n_events")).as("n_events"),
+        (sum(col("windows_active")).cast("double") /
+          (count(lit(1)) * max(col("total_windows"))).cast("double"))
+          .as("avg_persistence"),
+        (sum(col("n_events")).cast("double") /
+          sum(col("windows_active")).cast("double")).as("avg_per_window"))
+      .select(
+        concat(when(col("persistent"), lit("persistent"))
+            .otherwise(lit("transient")), lit("_"),
+          when(col("intense"), lit("heavy")).otherwise(lit("light")))
+          .as("quadrant"),
+        col("n_entities"), col("n_events"),
+        round(col("avg_persistence"), 6).as("avg_persistence"),
+        round(col("avg_per_window"), 6).as("avg_per_window"))
+      .orderBy(col("quadrant"))
   }
 }
