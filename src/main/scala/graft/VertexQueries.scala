@@ -1562,6 +1562,43 @@ object VertexQueries {
       |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------------
+  // Mutual nearest neighbors (batch 17b)
+  // --------------------------------------------------------------------------
+
+  /** Mutual-nearest-neighbor alignment between the even- and odd-id
+    * halves of the embedding store ([[graft.ext.SimSearch
+    * .mutualNearestNeighbors]]): pairs both sides agree on — the
+    * batch-alignment / translation-mining seed set. The oracle replays
+    * the full A×B cosine matrix and both argmax windows.
+    */
+  def qMnnPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SimSearch.mutualNearestNeighbors(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      col("vec_id") % 2 === 0)
+
+  val mnnPairsSql: String =
+    """WITH a AS (SELECT vec_id AS a_id, embedding AS va,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm_a
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |b AS (SELECT vec_id AS b_id, embedding AS vb,
+      |    sqrt(list_sum(list_transform(generate_series(1, 64),
+      |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm_b
+      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |p AS MATERIALIZED (SELECT a_id, b_id,
+      |    list_sum(list_transform(generate_series(1, 64),
+      |      i -> va[i]::DOUBLE * vb[i]::DOUBLE)) / (nrm_a * nrm_b) AS cos
+      |  FROM a CROSS JOIN b),
+      |ra AS (SELECT a_id, b_id, cos, ROW_NUMBER() OVER (
+      |    PARTITION BY a_id ORDER BY cos DESC, b_id) AS r FROM p),
+      |rb AS (SELECT a_id, b_id, ROW_NUMBER() OVER (
+      |    PARTITION BY b_id ORDER BY cos DESC, a_id) AS r FROM p)
+      |SELECT ra.a_id, ra.b_id, ROUND(ra.cos, 6) AS cosine
+      |FROM ra JOIN rb ON ra.a_id = rb.a_id AND ra.b_id = rb.b_id
+      |WHERE ra.r = 1 AND rb.r = 1
+      |ORDER BY ra.a_id""".stripMargin
+
+  // --------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_unigram_train" -> (qUnigramTrain _),
@@ -1593,7 +1630,8 @@ object VertexQueries {
     "q_rank_fusion" -> (qRankFusion _),
     "q_fs_weights" -> (qFsWeights _),
     "q_fs_scores" -> (qFsScores _),
-    "q_persistence" -> (qPersistence _))
+    "q_persistence" -> (qPersistence _),
+    "q_mnn_pairs" -> (qMnnPairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q_multimodal_image" -> multimodalImageSql,
@@ -1622,5 +1660,6 @@ object VertexQueries {
     "q_rank_fusion" -> rankFusionSql,
     "q_fs_weights" -> fsWeightsSql,
     "q_fs_scores" -> fsScoresSql,
-    "q_persistence" -> persistenceSql)
+    "q_persistence" -> persistenceSql,
+    "q_mnn_pairs" -> mnnPairsSql)
 }

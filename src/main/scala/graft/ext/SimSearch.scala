@@ -685,4 +685,53 @@ object SimSearch {
         round(col("n_found").cast("double") / col("n_truth_pairs"), 6)
           .as("recall"))
   }
+
+  /** MUTUAL nearest neighbors between two embedding sides (Haghverdi et
+    * al., Nat. Biotech 2018 — batch-effect alignment; Artetxe/Conneau —
+    * unsupervised translation-pair mining): (a, b) pairs where b is a's
+    * top-1 AND a is b's top-1 by cosine. One-directional top-1 pairs
+    * everything greedily and drags in hubs; mutuality is the cheap filter
+    * that keeps only pairs BOTH sides agree on — the standard alignment
+    * seed.
+    *
+    * Exact contract: all A×B cosines — the SIDES must be bounded by
+    * construction (two query batches, two shortlist pools; at corpus
+    * scale route each side through the IVF/LSH shortlist paths first and
+    * align the shortlists). Norms precompute per row; the pair table
+    * checkpoints once and feeds both per-side argmax windows (partitioned
+    * by a-id / b-id — never global). Ties break on the partner id, and
+    * dot/norm arithmetic is the module's ascending-index discipline, so
+    * both engines rank identically.
+    *
+    * Output, a-id ascending: (a_id, b_id, cosine) for mutual pairs only.
+    */
+  def mutualNearestNeighbors(df: DataFrame, idCol: String, vecCol: String,
+                             sideA: Column): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"), sideA.as("in_a"))
+    val a = base.filter(col("in_a"))
+      .select(col("id").as("a_id"), col("v").as("va"),
+        sqrt(dot(col("v"), col("v"))).as("nrm_a"))
+    val b = base.filter(!col("in_a"))
+      .select(col("id").as("b_id"), col("v").as("vb"),
+        sqrt(dot(col("v"), col("v"))).as("nrm_b"))
+    val pairs = a.crossJoin(b)
+      .select(col("a_id"), col("b_id"),
+        (dot(col("va"), col("vb")) / (col("nrm_a") * col("nrm_b")))
+          .as("cos"))
+      .localCheckpoint()
+    val wa = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("b_id")).orderBy(col("cos").desc, col("a_id"))
+    val topA = pairs.withColumn("r", row_number().over(wa))
+      .filter(col("r") === 1).select(col("a_id"), col("b_id"), col("cos"))
+    val topB = pairs.withColumn("r", row_number().over(wb))
+      .filter(col("r") === 1)
+      .select(col("a_id").as("a2"), col("b_id").as("b2"))
+    topA.join(topB, col("a_id") === col("a2") && col("b_id") === col("b2"),
+        "leftsemi")
+      .select(col("a_id"), col("b_id"), round(col("cos"), 6).as("cosine"))
+      .orderBy(col("a_id"))
+  }
 }
