@@ -92,22 +92,23 @@ object HyperAnf {
       val merged = regs.select(col("node"), col("idx"), col("mreg"))
         .union(fromNeighbors)
         .groupBy(col("node"), col("idx")).agg(max(col("mreg")).as("mreg"))
-      val old = regs
       // the LAST hop's registers feed one estimate and nothing else — a
       // checkpoint there is a pure extra job (the tiny-iteration-table
       // lesson); every earlier hop is read twice (next hop's union + join)
       // and must stay fixed-size. The final hop's PREDECESSOR stays
       // persisted: the un-checkpointed last merge still reads its blocks.
+      //
+      // NO per-hop unpersist: Dataset.unpersist on a localCheckpointed
+      // frame only clears CacheManager entries, not the checkpoint's RDD
+      // blocks — and the per-hop estimates in `out` are LAZY, so those
+      // blocks must in any case survive until the caller's action. The
+      // suite-level reclaim is the caller's job (Verify/Bench unpersist
+      // every persistent RDD after each query).
       regs =
-        if (t < hops) {
-          val next = merged.localCheckpoint(eager = true)
-          old.unpersist()
-          next
-        } else merged
+        if (t < hops) merged.localCheckpoint(eager = true) else merged
       out = out.union(estimate(regs, t))
       t += 1
     }
-    e.unpersist()
     out.orderBy(col("hop"))
   }
 }

@@ -132,9 +132,13 @@ object Privacy {
                  t: Double): DataFrame = {
     require(t > 0 && t < 1, s"t must be in (0,1), got $t")
     val qiNames = quasiIds.zipWithIndex.map { case (_, i) => s"__qi$i" }
+    // The sensitive column keeps its NATIVE type: the cumulative-EMD window
+    // below orders by __v, and a numeric ordered attribute (severity 1..10)
+    // stringified would sort '10' < '2' and silently compute a wrong
+    // ordered EMD. __v never surfaces in the output, so no cast is needed.
     val base = df.select(
       quasiIds.zip(qiNames).map { case (c, n) => c.as(n) } :+
-        sensitive.cast("string").as("__v"): _*)
+        sensitive.as("__v"): _*)
     val cv = base.groupBy(qiNames.map(col) :+ col("__v"): _*)
       .agg(count(lit(1)).as("c_v"))
       .withColumnsRenamed(

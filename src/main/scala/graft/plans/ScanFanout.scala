@@ -37,8 +37,21 @@ object ScanFanout {
       case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
       case b: BatchScanExec      => b.inputRDDs().map(_.getNumPartitions).sum
     }
+    // The static-split shortcut only describes the documented shape — ONE
+    // file scan with scan-local ops above it and NO exchange. For
+    // multi-leaf plans (join/union of scans) the SUM of leaf splits
+    // overstates the plan's real output parallelism (the post-shuffle
+    // partitioning governs), which could skip the repartition this helper
+    // exists to add; and any exchange above a single scan (an explicit
+    // repartition) decouples the output from the scan's split count in the
+    // other direction. Both fall back to the materialized RDD's own count.
+    val hasExchange = df.queryExecution.sparkPlan.exists {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => true
+      case _ => false
+    }
     val parts =
-      if (scanParts.length == leaves.length) scanParts.sum
+      if (leaves.length == 1 && scanParts.length == 1 && !hasExchange)
+        scanParts.head
       else df.rdd.getNumPartitions
     if (parts < target) df.repartition(target) else df
   }

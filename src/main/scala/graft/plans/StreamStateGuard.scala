@@ -104,7 +104,16 @@ object StreamStateGuard extends Logging {
       case c: Cast => bounded(c.child, depth)
       case r: Remainder => r.right.foldable
       case p: Pmod => p.right.foldable
-      case l: Least => l.children.exists(bounded(_, depth))
+      // least(key, 100) clamps only from ABOVE — a signed key is still
+      // unbounded below, so one bounded child must NOT make Least bounded.
+      // Bounded iff all children are bounded, or a foldable ceiling exists
+      // AND every other child carries a proven lower bound (the
+      // least(greatest(x, lo), hi) clamp ladder).
+      case l: Least =>
+        l.children.forall(bounded(_, depth)) ||
+          (l.children.exists(_.foldable) &&
+            l.children.forall(c => c.foldable || bounded(c, depth) ||
+              lowerBounded(c, depth)))
       case g: Greatest => g.children.forall(bounded(_, depth))
       case f: Floor => bounded(f.child, depth)
       case d: Divide => d.right.foldable && bounded(d.left, depth)
@@ -120,6 +129,17 @@ object StreamStateGuard extends Logging {
           case n: Long => n <= 4L
           case _ => false
         }
+      case _ => false
+    }
+    // proven lower bound: greatest(x, literal) clamps from below (and so
+    // does any alias/cast of one) — paired with a foldable Least ceiling
+    // the composed domain is a finite interval
+    def lowerBounded(e: Expression, depth: Int): Boolean = e match {
+      case a: Alias => lowerBounded(a.child, depth)
+      case c: Cast => lowerBounded(c.child, depth)
+      case g: Greatest => g.children.exists(_.foldable)
+      case a: Attribute if depth > 0 && defs.contains(a.exprId) =>
+        lowerBounded(defs(a.exprId), depth - 1)
       case _ => false
     }
     bounded(key, depth = 8)

@@ -148,4 +148,47 @@ class TrussTClosenessSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     got.foreach { case (g, e) => assert(e == emd(g), s"class $g") }
   }
+
+  test("t-closeness: numeric severity orders numerically, not lexically") {
+    // severities 1..12 — lexicographic order would put 11,12 before 2, so
+    // a stringified window order computes a different (wrong) ordered EMD
+    // for classes whose mass sits at the numeric ends. Replay both orders.
+    val rows = Seq(("g1", 1), ("g1", 2), ("g2", 11), ("g2", 12),
+      ("g3", 1), ("g3", 11), ("g4", 2), ("g4", 12))
+    val df = rows.toDF("grp", "v")
+    val global = rows.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+    val vs = global.keys.toSeq.sorted // NUMERIC sort: 1,2,11,12
+    val n = rows.size.toLong
+    val m = vs.size
+    def emd(grp: String): Double = {
+      val cls = rows.filter(_._1 == grp)
+      val nc = cls.size.toLong
+      val c = cls.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+      var cum = 0L; var s = 0L
+      for (v <- vs) {
+        cum += c.getOrElse(v, 0L) * n - global(v) * nc
+        s += math.abs(cum)
+      }
+      s.toDouble / (nc * n * (m - 1)).toDouble
+    }
+    val got = Privacy.tCloseness(df, Seq(col("grp")), col("v"), t = 0.05)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    got.foreach { case (g, e) => assert(e == emd(g), s"class $g: got $e expected ${emd(g)}") }
+    // the lexical ('1','11','12','2') replay disagrees for the end-heavy
+    // classes — proving the native-type window order is load-bearing
+    val vsLex = global.keys.toSeq.map(_.toString).sorted.map(_.toInt)
+    def emdLex(grp: String): Double = {
+      val cls = rows.filter(_._1 == grp)
+      val nc = cls.size.toLong
+      val c = cls.groupBy(_._2).map { case (v, xs) => v -> xs.size.toLong }
+      var cum = 0L; var s = 0L
+      for (v <- vsLex) {
+        cum += c.getOrElse(v, 0L) * n - global(v) * nc
+        s += math.abs(cum)
+      }
+      s.toDouble / (nc * n * (m - 1)).toDouble
+    }
+    assert(got.exists { case (g, e) => e != emdLex(g) },
+      "fixture should distinguish numeric from lexical EMD order")
+  }
 }

@@ -93,6 +93,35 @@ class StreamStateGuardSpec extends SparkTestBase {
     }
   }
 
+  test("least() ceilings do NOT bound a signed key; the greatest/least " +
+      "clamp ladder does") {
+    def keyAudit(keyed: Dataset[_]): Seq[StreamStateGuard.StateOp] =
+      StreamStateGuard.audit(keyed)
+    // least(v, 100) over a signed long: clamped above, unbounded below
+    val ceilingOnly = evts
+      .groupBy(least(col("value").cast("long"), lit(100L)).as("k"))
+      .count()
+    assert(keyAudit(ceilingOnly).exists(o =>
+        o.op == "streamingAggregate" && !o.bounded),
+      s"least(signed, lit) must stay flagged: ${keyAudit(ceilingOnly)}")
+    // least(greatest(v, 0), 100): a finite interval — bounded
+    val clamp = evts
+      .groupBy(least(greatest(col("value").cast("long"), lit(0L)),
+        lit(100L)).as("k"))
+      .count()
+    assert(keyAudit(clamp).forall(o =>
+        o.op != "streamingAggregate" || o.bounded),
+      s"clamp ladder should classify bounded: ${keyAudit(clamp)}")
+    // least of two bounded keys stays bounded (forall branch)
+    val bothBounded = evts
+      .groupBy(least(col("value").cast("long") % 8,
+        pmod(col("value").cast("long"), lit(16L))).as("k"))
+      .count()
+    assert(keyAudit(bothBounded).forall(o =>
+        o.op != "streamingAggregate" || o.bounded),
+      s"least(bounded, bounded) should stay bounded: ${keyAudit(bothBounded)}")
+  }
+
   test("NoTimeout demo twins are FLAGGED — the audit documents that their " +
       "*Late/*Ttl twins are the deployment shape") {
     val demos: Seq[(String, Dataset[_])] = Seq(
