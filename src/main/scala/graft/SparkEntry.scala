@@ -15,6 +15,12 @@ import graft.metrics._
   */
 object SparkEntry {
 
+  /** Absolute root of the committed golden-fixture CSVs (tokenizer
+    * trainers) — absolute because the driver's DuckDB process has an
+    * unknown working directory.
+    */
+  val FixtureRoot: String = "/root/repo/fixtures"
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     qNovelty(spark, "/root/testdata/sf0.001")
@@ -350,7 +356,58 @@ object SparkEntry {
         |    CAST(SUM(rn * volume) AS BIGINT) AS srw FROM r)
         |SELECT n, s,
         |  ROUND(2.0 * srw / (n * s) - (n + 1) * 1.0 / n, 6) AS gini
-        |FROM s""".stripMargin
+        |FROM s""".stripMargin,
+
+    // -------------------------------------------------------------------
+    // Tokenizer-trainer golden fixtures: the BPE merge loop and unigram
+    // EM/prune recurrences are not SQL-expressible, so their oracles READ
+    // the committed per-SF fixtures under fixtures/<sf>/ instead of
+    // recomputing. Each fixture is generated by graft.FixtureGen from an
+    // INDEPENDENT single-threaded reference implementation (the
+    // BpeTrainSpec/UnigramLmSpec differential pattern) and FixtureGen
+    // refuses to write a fixture that the live engine query does not
+    // match bit-for-bit — so these rows give the driver a real value-hash
+    // gate, not a rows-only check. `__GRAFT_SF__` is substituted with the
+    // scale-factor directory name by Verify at dump time.
+    // -------------------------------------------------------------------
+    "q_bpe_train" ->
+      s"""SELECT rank, "left", "right", pair_freq
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_bpe_train.csv',
+        |  header=true, columns={'rank':'INTEGER','left':'VARCHAR',
+        |  'right':'VARCHAR','pair_freq':'BIGINT'})
+        |ORDER BY rank""".stripMargin,
+    "q_bpe_encode" ->
+      s"""SELECT doc_id, n_tokens, n_words
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_bpe_encode.csv',
+        |  header=true, columns={'doc_id':'BIGINT','n_tokens':'BIGINT',
+        |  'n_words':'BIGINT'})
+        |ORDER BY doc_id""".stripMargin,
+    "q_tokenizer_fertility" ->
+      s"""SELECT lang, n_docs, n_words, n_tokens, fertility, chars_per_token
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_tokenizer_fertility.csv',
+        |  header=true, columns={'lang':'VARCHAR','n_docs':'BIGINT',
+        |  'n_words':'BIGINT','n_tokens':'BIGINT','fertility':'DOUBLE',
+        |  'chars_per_token':'DOUBLE'})
+        |ORDER BY lang""".stripMargin,
+    "q_unigram_train" ->
+      s"""SELECT rank, piece, count, logp
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_unigram_train.csv',
+        |  header=true, columns={'rank':'BIGINT','piece':'VARCHAR',
+        |  'count':'BIGINT','logp':'DOUBLE'})
+        |ORDER BY rank""".stripMargin,
+    "q_unigram_encode" ->
+      s"""SELECT doc_id, n_tokens, n_words
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_unigram_encode.csv',
+        |  header=true, columns={'doc_id':'BIGINT','n_tokens':'BIGINT',
+        |  'n_words':'BIGINT'})
+        |ORDER BY doc_id""".stripMargin,
+    "q_unigram_fertility" ->
+      s"""SELECT grp, n_docs, n_words, n_tokens, fertility, chars_per_token
+        |FROM read_csv('$FixtureRoot/__GRAFT_SF__/q_unigram_fertility.csv',
+        |  header=true, columns={'grp':'VARCHAR','n_docs':'BIGINT',
+        |  'n_words':'BIGINT','n_tokens':'BIGINT','fertility':'DOUBLE',
+        |  'chars_per_token':'DOUBLE'})
+        |ORDER BY grp""".stripMargin
   ) ++ ExtQueries.oracleSql ++ AnalyticsQueries.oracleSql ++ InsightQueries.oracleSql ++
     FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
     ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
