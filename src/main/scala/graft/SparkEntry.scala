@@ -201,7 +201,7 @@ object SparkEntry {
     FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries ++
     ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries ++
     ApexQueries.queries ++ TitanQueries.queries ++ OmegaQueries.queries ++ NexusQueries.queries ++
-    VertexQueries.queries
+    VertexQueries.queries ++ MeridianQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -412,5 +412,5 @@ object SparkEntry {
     FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
     ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
     ApexQueries.oracleSql ++ TitanQueries.oracleSql ++ OmegaQueries.oracleSql ++ NexusQueries.oracleSql ++
-    VertexQueries.oracleSql
+    VertexQueries.oracleSql ++ MeridianQueries.oracleSql
 }
