@@ -141,14 +141,185 @@ object MeridianQueries {
        |ORDER BY wp.lang""".stripMargin
 
   // --------------------------------------------------------------------
+  // URL canonicalization / dedup
+  // --------------------------------------------------------------------
+
+  /** Deterministic messy crawl URL per document — every field derived from
+    * the row, so both engines synthesize the SAME raw string and the
+    * oracle genuinely tests the canonicalizer, not the generator. The
+    * noise axes are exactly what [[graft.ext.UrlCanonical]] normalizes:
+    * scheme/host case, www/cdn labels, default vs real ports, path case +
+    * trailing slash, tracking params, parameter order.
+    */
+  private def withUrls(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+    val id = col("doc_id")
+    val scheme = when(id % 3 === 0, "HTTPS").when(id % 3 === 1, "http")
+      .otherwise("Https")
+    val sub = when(id % 4 === 0, "WWW.").when(id % 4 === 1, "www.")
+      .when(id % 4 === 2, "cdn.").otherwise("")
+    val hostbase = concat(col("source"),
+      when(id % 5 === 0, ".co.uk").otherwise(".com"))
+    val hostcased = when(id % 7 < 3, upper(concat(sub, hostbase)))
+      .otherwise(concat(sub, hostbase))
+    val port = when(id % 12 === 0, ":443").when(id % 12 === 7, ":8080")
+      .when(id % 12 === 4, ":80").otherwise("")
+    val path = concat(
+      when(id % 2 === 0, "/Docs/").otherwise("/docs/"), col("lang"),
+      lit("/item"), (col("n_chars") % 2).cast("string"),
+      when(id % 2 === 1, "/").otherwise(""))
+    val qid = (id % 2).cast("string")
+    val query = when(id % 3 === 0,
+        concat(lit("?utm_source=feed&id="), qid, lit("&v=1")))
+      .when(id % 3 === 1, concat(lit("?id="), qid, lit("&utm_campaign=x&ref=abc")))
+      .otherwise(concat(lit("?v=1&id="), qid))
+    d.select(id, concat(scheme, lit("://"), hostcased, port, path, query)
+      .as("url"))
+  }
+
+  /** The same synthesis as a DuckDB CTE `u(doc_id, url)`. */
+  private val urlGenSql: String =
+    """u AS (SELECT doc_id,
+      |  (CASE doc_id % 3 WHEN 0 THEN 'HTTPS' WHEN 1 THEN 'http'
+      |     ELSE 'Https' END) || '://' ||
+      |  (CASE WHEN doc_id % 7 < 3 THEN upper(sub || hostbase)
+      |     ELSE sub || hostbase END) ||
+      |  (CASE doc_id % 12 WHEN 0 THEN ':443' WHEN 7 THEN ':8080'
+      |     WHEN 4 THEN ':80' ELSE '' END) ||
+      |  (CASE doc_id % 2 WHEN 0 THEN '/Docs/' ELSE '/docs/' END) || lang ||
+      |  '/item' || CAST(n_chars % 2 AS VARCHAR) ||
+      |  (CASE doc_id % 2 WHEN 1 THEN '/' ELSE '' END) ||
+      |  (CASE doc_id % 3
+      |     WHEN 0 THEN '?utm_source=feed&id=' ||
+      |       CAST(doc_id % 2 AS VARCHAR) || '&v=1'
+      |     WHEN 1 THEN '?id=' || CAST(doc_id % 2 AS VARCHAR) ||
+      |       '&utm_campaign=x&ref=abc'
+      |     ELSE '?v=1&id=' || CAST(doc_id % 2 AS VARCHAR) END) AS url
+      |FROM (SELECT doc_id, lang, n_chars,
+      |    CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.'
+      |      WHEN 2 THEN 'cdn.' ELSE '' END AS sub,
+      |    source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+      |      ELSE '.com' END AS hostbase
+      |  FROM documents))""".stripMargin
+
+  /** DuckDB replay of [[graft.ext.UrlCanonical.canonicalize]] over `u` —
+    * produces `c(doc_id, url, url_host, registrable_domain,
+    * canonical_url)`.
+    */
+  private val urlCanonSql: String =
+    """parts AS (SELECT doc_id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      |      AS scheme,
+      |    lower(regexp_extract(url, '^[^/]*//([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(url, '^[^/]*//[^/?#]*([^?#]*)', 1) AS rawpath,
+      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |  FROM u),
+      |hp AS (SELECT *,
+      |    CASE WHEN strpos(hostport, ':') > 0
+      |      THEN split_part(hostport, ':', 1) ELSE hostport END AS host0,
+      |    CASE WHEN strpos(hostport, ':') > 0
+      |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+      |  FROM parts),
+      |hh AS (SELECT *, regexp_replace(host0, '^www\.', '') AS url_host,
+      |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+      |      OR (scheme = 'https' AND port = '443')
+      |      THEN '' ELSE ':' || port END AS portout
+      |  FROM hp),
+      |pp AS (SELECT *,
+      |    CASE WHEN regexp_replace(lower(rawpath), '/+$', '') = ''
+      |      THEN '/' ELSE regexp_replace(lower(rawpath), '/+$', '') END
+      |      AS path,
+      |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
+      |      x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |        AND NOT starts_with(x, 'fbclid')
+      |        AND NOT starts_with(x, 'gclid')
+      |        AND NOT starts_with(x, 'msclkid')
+      |        AND NOT starts_with(x, 'ref='))), '&') AS qc
+      |  FROM hh),
+      |lab AS (SELECT *, string_split(url_host, '.') AS labels FROM pp),
+      |c AS (SELECT doc_id, url, url_host,
+      |    CASE WHEN len(labels) >= 3
+      |        AND labels[-2] IN ('co','com','org','net','ac','gov','edu')
+      |        AND len(labels[-1]) = 2
+      |      THEN array_to_string(list_slice(labels, len(labels) - 2,
+      |        len(labels)), '.')
+      |      WHEN len(labels) >= 2
+      |      THEN array_to_string(list_slice(labels, len(labels) - 1,
+      |        len(labels)), '.')
+      |      ELSE url_host END AS registrable_domain,
+      |    scheme || '://' || url_host || portout || path ||
+      |      CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canonical_url
+      |  FROM lab)""".stripMargin
+
+  /** Per-doc canonicalization readout ([[graft.ext.UrlCanonical
+    * .canonicalize]]): raw URL → canonical URL + host + registrable
+    * domain. Scan-side string expressions only — zero shuffles.
+    */
+  def qUrlCanonical(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url")
+      .select(col("doc_id"), col("url"), col("url_host"),
+        col("registrable_domain"), col("canonical_url"))
+      .orderBy(col("doc_id"))
+
+  val urlCanonicalSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql
+       |SELECT doc_id, url, url_host, registrable_domain, canonical_url
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** Canonical-URL dup clusters ([[graft.ext.UrlCanonical.dupClusters]]):
+    * pages fetched under ≥2 raw variants, collapsed by the canonicalizer —
+    * the cheap first dedup pass that runs BEFORE any content
+    * fingerprinting. One groupBy shuffle on the canonical key.
+    */
+  def qUrlDupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.UrlCanonical.dupClusters(withUrls(spark, dir), "url", "doc_id")
+      .orderBy(col("canonical_url"))
+
+  val urlDupClustersSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql
+       |SELECT canonical_url, COUNT(*) AS cluster_size,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants,
+       |  MIN(doc_id) AS cluster_id, MAX(doc_id) AS max_id
+       |FROM c GROUP BY 1 HAVING COUNT(*) >= 2
+       |ORDER BY canonical_url""".stripMargin
+
+  /** Per-registrable-domain crawl stats ([[graft.ext.UrlCanonical
+    * .domainStats]]): how much of each site's crawl volume
+    * canonicalization collapses (`dup_rate`) and how many distinct hosts
+    * (www/cdn/...) feed it.
+    */
+  def qUrlDomainStats(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.UrlCanonical.domainStats(withUrls(spark, dir), "url")
+      .orderBy(col("registrable_domain"))
+
+  val urlDomainStatsSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql
+       |SELECT registrable_domain, COUNT(*) AS n_docs,
+       |  CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_urls,
+       |  CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       |  CAST(COUNT(DISTINCT url_host) AS BIGINT) AS n_hosts,
+       |  ROUND(1.0 - CAST(COUNT(DISTINCT canonical_url) AS DOUBLE) /
+       |    COUNT(DISTINCT url), 6) AS dup_rate
+       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordpiece_encode" -> (qWordpieceEncode _),
-    "q_tokenizer_compare" -> (qTokenizerCompare _)
+    "q_tokenizer_compare" -> (qTokenizerCompare _),
+    "q_url_canonical" -> (qUrlCanonical _),
+    "q_url_dup_clusters" -> (qUrlDupClusters _),
+    "q_url_domain_stats" -> (qUrlDomainStats _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_wordpiece_encode" -> wordpieceEncodeSql,
-    "q_tokenizer_compare" -> tokenizerCompareSql
+    "q_tokenizer_compare" -> tokenizerCompareSql,
+    "q_url_canonical" -> urlCanonicalSql,
+    "q_url_dup_clusters" -> urlDupClustersSql,
+    "q_url_domain_stats" -> urlDomainStatsSql
   )
 }
