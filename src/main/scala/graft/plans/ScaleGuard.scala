@@ -28,6 +28,20 @@ object ScaleGuard extends Logging {
 
   val FailConf = "spark.graft.scaleGuard.fail"
 
+  /** Subquery-alias marker that waives the cartesian lint for ONE join —
+    * the explicit, grep-able contract for the library's documented
+    * small-by-contract all-pairs sites ([[graft.ext.SimSearch
+    * .allPairsCosine]]'s verification twin, [[graft.ext.Dedup]]'s
+    * sample-only truth joins). Applied via [[allowCartesian]] on a join
+    * INPUT; it survives analysis (check rules run on the analyzed plan)
+    * and the optimizer erases it afterwards, so it costs nothing.
+    */
+  val CartesianWaiver = "graft_allow_cartesian"
+
+  /** Tag `df` as the deliberately-cartesian side of the join it feeds. */
+  def allowCartesian(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.as(CartesianWaiver)
+
   /** A grouping key whose domain is small BY CONSTRUCTION, so an aggregate
     * grouped only on such keys is itself bounded: literals/foldables,
     * booleans, dates (thousands of distinct values over years of data), and
@@ -66,7 +80,9 @@ object ScaleGuard extends Logging {
       r.numElements.toLong <= 1000000L
     case a: Aggregate =>
       a.groupingExpressions.isEmpty ||
-        a.groupingExpressions.forall(lowCardKey)
+        a.groupingExpressions.forall(lowCardKey) ||
+        bounded(a.child) // aggregates never increase rows
+    case d: Distinct => bounded(d.child)
     case _: Generate => false
     case j: Join => bounded(j.left) && bounded(j.right)
     case u: Union => u.children.forall(bounded)
@@ -99,8 +115,65 @@ object ScaleGuard extends Logging {
     }
   }
 
+  /** True when the join would plan as CartesianProduct /
+    * BroadcastNestedLoopJoin: no equality predicate CONNECTING the two
+    * sides (a pure cross, or theta-only conditions). Equalities local to
+    * one side don't count — they filter, they don't key the join.
+    */
+  private[graft] def cartesianLike(j: Join): Boolean = {
+    def spansBoth(l: Expression, r: Expression): Boolean =
+      (l.references.subsetOf(j.left.outputSet) &&
+        r.references.subsetOf(j.right.outputSet) &&
+        l.references.nonEmpty && r.references.nonEmpty) ||
+      (l.references.subsetOf(j.right.outputSet) &&
+        r.references.subsetOf(j.left.outputSet) &&
+        l.references.nonEmpty && r.references.nonEmpty)
+    val hasEquiKey = j.condition.exists(_.exists {
+      case EqualTo(l, r) => spansBoth(l, r)
+      case EqualNullSafe(l, r) => spansBoth(l, r)
+      case _ => false
+    })
+    !hasEquiKey
+  }
+
+  /** Waiver check on one join input: either the explicit
+    * [[CartesianWaiver]] marker alias, or an explicit BROADCAST hint —
+    * `broadcast(df)` is the author's size declaration for that side (the
+    * build side must fit in one executor or the job fails LOUDLY at the
+    * broadcast build; it can never silently become a quadratic shuffle),
+    * which is exactly the contract of the library's centroid / probe /
+    * query-batch tables. Both markers sit on the input's own unary chain
+    * (stopping at the next join/aggregate, so a waived inner join cannot
+    * silently waive an outer one).
+    */
+  private[graft] def waived(p: LogicalPlan): Boolean = p match {
+    case s: SubqueryAlias =>
+      s.alias == CartesianWaiver || waived(s.child)
+    case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => true
+    case _: Join | _: Aggregate => false
+    case other if other.children.size == 1 => waived(other.children.head)
+    case _ => false
+  }
+
   def check(spark: SparkSession)(plan: LogicalPlan): Unit =
     plan.foreach {
+      case j: Join if cartesianLike(j) &&
+          !bounded(j.left) && !bounded(j.right) &&
+          !waived(j.left) && !waived(j.right) =>
+        val grouped = groupedAggregate(j.left) && groupedAggregate(j.right)
+        val msg = "graft scale guard: cartesian-shaped join (no equi key " +
+          "between the sides — plans as CartesianProduct/" +
+          "BroadcastNestedLoopJoin) over " +
+          (if (grouped) "two grouped/checkpointed sides — quadratic in the " +
+            "group domains; fine for bounded domains (months, bins), a " +
+            "blow-up for per-user/per-document ones. "
+          else "at least one raw-corpus side — O(n·m) row pairs at scale. ") +
+          "Key the join (LSH bands / IVF cells / bucketing), broadcast a " +
+          "provably small side behind a limit/aggregate, or mark the " +
+          "documented small-by-contract site with ScaleGuard.allowCartesian."
+        if (!grouped && spark.conf.get(FailConf, "false").toBoolean)
+          throw new IllegalStateException(msg)
+        else logWarning(msg)
       case w: Window if w.partitionSpec.isEmpty && !bounded(w.child) =>
         val grouped = groupedAggregate(w.child)
         val msg = "graft scale guard: unpartitioned window over an " +

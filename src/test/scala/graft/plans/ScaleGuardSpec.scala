@@ -73,6 +73,38 @@ class ScaleGuardSpec extends SparkTestBase {
     }
   }
 
+  test("cartesian-shaped joins over two scans are rejected; bounded, " +
+      "hinted and waived sides pass") {
+    withFail {
+      val t2 = t.select(col("id").as("id2"), col("k").as("k2"))
+      // raw scan × raw scan, no condition: the 100 TB plan-killer
+      intercept[IllegalStateException] { check(t.crossJoin(t2)) }
+      // theta-only condition still plans as BNLJ: same verdict
+      intercept[IllegalStateException] {
+        check(t.join(t2, col("id") < col("id2")))
+      }
+      // an equality LOCAL to one side does not key the join
+      intercept[IllegalStateException] {
+        check(t.join(t2, col("id2") === col("k2") && col("id") < col("id2")))
+      }
+      // a real equi key between the sides: fine
+      check(t.join(t2, col("id") === col("id2")))
+      // one side bounded by a limit or a global aggregate: fine
+      check(t.limit(5).crossJoin(t2))
+      check(t.crossJoin(t2.agg(sum(col("id2")).as("s"))))
+      // explicit broadcast hint = the author's size declaration: fine
+      check(t.crossJoin(broadcast(t2.filter(col("id2") < 8))))
+      // explicit waiver marker for documented all-pairs sites: fine
+      check(t.crossJoin(ScaleGuard.allowCartesian(t2)))
+      // ...but a waiver on an INNER join must not leak to an outer one
+      val waivedInner = t.crossJoin(ScaleGuard.allowCartesian(t2))
+      intercept[IllegalStateException] {
+        check(waivedInner.crossJoin(
+          t.select(col("id").as("id3"), col("k").as("k3"))))
+      }
+    }
+  }
+
   test("a window over a GROUPED aggregate passes under fail mode (the " +
     "library's post-aggregation idiom), and explode un-bounds a limit") {
     import org.apache.spark.sql.expressions.Window
