@@ -14,11 +14,13 @@ import org.apache.spark.sql.functions._
   * free scheduling, register allocation at graph scale, channel
   * assignment.
   *
-  * The smallest-free-color (mex) is computed RELATIONALLY — candidates
-  * 0..#used from a sequence explode, anti-joined against the used-color
-  * set, min per node — no array fold, so the SQL oracle states the same
-  * plan. Edge multiplicity is harmless (min-priority and distinct-color
-  * aggregates), as in [[Mis.luby]].
+  * The smallest-free-color (mex) is ONE degree-bounded fold over each
+  * winner's sorted distinct neighbor-color set (collect_set + aggregate —
+  * a single shuffle); the SQL oracle states the equivalent RELATIONAL
+  * formulation (candidate explode anti-joined against used colors), and
+  * the two agree because mex is a pure function of the color set. Edge
+  * multiplicity is harmless (min-priority and set aggregates), as in
+  * [[Mis.luby]].
   *
   * Scale shape: per round, one min-aggregate over surviving
   * uncolored-edge rows, one join of winner adjacency against the colored
@@ -44,14 +46,20 @@ object Coloring {
     val raw = edges.select(col(srcCol).cast("long").as("a"),
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
+    // Checkpointed HASH-PARTITIONED on u/node: localCheckpoint preserves
+    // the physical partitioning, so every per-round groupBy(u), u-keyed
+    // join and u-side anti-join reuses it instead of re-shuffling — the
+    // "reuse a partitioning across stages" rule applied to the iteration.
     val sym = raw.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"),
         prio(col("e.v")).as("pv"))
+      .repartition(col("u"))
       .localCheckpoint()
     val nodes = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), prio(col("node")).as("pn")).localCheckpoint()
+      .select(col("node"), prio(col("node")).as("pn"))
+      .repartition(col("node")).localCheckpoint()
     var eAct = sym
     var colored: DataFrame = nodes.limit(0)
       .select(col("node"), lit(0).as("color"), lit(0).as("round"))
@@ -67,27 +75,52 @@ object Coloring {
           col("u") === col("wn"), "leftsemi")
         .join(colored.select(col("node").as("cn"), col("color")),
           col("v") === col("cn"))
-        .select(col("u").as("wnode"), col("color")).distinct()
-      val nUsed = winners
-        .join(used.groupBy(col("wnode")).agg(count(lit(1)).as("n")),
-          col("node") === col("wnode"), "left")
-        .select(col("node"), coalesce(col("n"), lit(0L)).as("n"))
-      val picked = nUsed
-        .select(col("node"), explode(sequence(lit(0L), col("n"))).as("cand"))
-        .join(used, col("node") === col("wnode") &&
-          col("cand") === col("color"), "leftanti")
-        .groupBy(col("node")).agg(min(col("cand")).cast("int").as("color"))
-        .select(col("node"), col("color"), lit(r).as("round"))
-        .localCheckpoint()
-      colored = colored.unionByName(picked)
+        .select(col("u").as("wnode"), col("color"))
+      // mex as ONE degree-bounded array fold instead of the former
+      // distinct + count + candidate-explode + anti-join + min chain
+      // (4 shuffles → 1): over the SORTED distinct color set, walking
+      // `acc+1 on every exact hit` lands on the smallest absent value.
+      // The per-winner set holds ≤ distinct-neighbor-colors elements —
+      // the same bound the candidate explode had. The oracle keeps the
+      // relational explode formulation; mex is mex, values agree.
+      val mex = used.groupBy(col("wnode")).agg(
+        aggregate(array_sort(collect_set(col("color"))), lit(0),
+          (acc, x) => when(x === acc, acc + 1).otherwise(acc)).as("mexc"))
+      val picked0 = winners
+        .join(mex, col("node") === col("wnode"), "left")
+        .select(col("node"), coalesce(col("mexc"), lit(0)).cast("int")
+          .as("color"), lit(r).as("round"))
       if (r < rounds) {
-        val wn = picked.select(col("node"))
-        eAct = eAct
-          .join(wn.select(col("node").as("du")), col("u") === col("du"),
-            "leftanti")
-          .join(wn.select(col("node").as("dv")), col("v") === col("dv"),
-            "leftanti")
+        // ONE checkpoint materializes this round's picks AND the shrunk
+        // edge table through a union-aligned schema (job overhead is the
+        // measured cost on small graphs — 2 jobs/round → 1). The eAct
+        // branch anti-joins against the same `winners` subtree the picks
+        // branch uses; its exchanges are identical, so ReuseExchange
+        // evaluates them once. Filters over the checkpointed blocks then
+        // split the two tables back out without recompute.
+        val both = picked0
+          .select(lit("p").as("tag"), col("node").as("x1"),
+            lit(null).cast("long").as("x2"), col("color").cast("long")
+              .as("x3"), col("round").cast("long").as("x4"))
+          .unionByName(eAct
+            .join(winners.select(col("node").as("du")),
+              col("u") === col("du"), "leftanti")
+            .join(winners.select(col("node").as("dv")),
+              col("v") === col("dv"), "leftanti")
+            .select(lit("e").as("tag"), col("u").as("x1"),
+              col("v").as("x2"), col("pv").as("x3"),
+              lit(null).cast("long").as("x4")))
           .localCheckpoint()
+        val picked = both.filter(col("tag") === "p")
+          .select(col("x1").as("node"), col("x3").cast("int").as("color"),
+            col("x4").cast("int").as("round"))
+        colored = colored.unionByName(picked)
+        eAct = both.filter(col("tag") === "e")
+          .select(col("x1").as("u"), col("x2").as("v"), col("x3").as("pv"))
+      } else {
+        // the last round has no edge shrink — checkpoint the picks alone
+        // (colored is read twice by the output union + anti-join)
+        colored = colored.unionByName(picked0.localCheckpoint())
       }
     }
     colored.unionByName(

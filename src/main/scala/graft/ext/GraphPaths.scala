@@ -44,6 +44,8 @@ object GraphPaths {
       .localCheckpoint(eager = true)
     var d = 1
     var grew = true
+    var nPrev = 1L // the seed row; remembered driver-side so the
+    // convergence check is ONE count job per round, not two
     while (grew && d <= maxDepth) {
       val frontier = levels.filter(col("level") === d - 1)
         .select(col("id").as("u"))
@@ -52,8 +54,9 @@ object GraphPaths {
         .join(levels, Seq("id"), "left_anti")
         .select(col("id"), lit(d).as("level"))
       val grown = levels.union(next).localCheckpoint(eager = true)
-      // one cheap narrow-scan count per round — the convergence check
-      grew = grown.count() > levels.count()
+      val n = grown.count() // cheap: counts the just-checkpointed blocks
+      grew = n > nPrev
+      nPrev = n
       levels = grown
       d += 1
     }

@@ -78,6 +78,16 @@ object Mis {
         .select(col("v").as("node")).distinct()
       // mis is evaluated twice inside this one job (directly + via
       // dominated) — one extra aggregate, cheaper than a third checkpoint.
+      // TWO checkpoints per round, deliberately NOT the single
+      // union-fused checkpoint Coloring.jonesPlassmann uses: here the
+      // decision table's inputs (mis + the eAct-sized dominated semi-join)
+      // are heavy, and in a fused plan the edge branch consumes them via a
+      // BroadCast while the decision branch consumes them via the union —
+      // different exchange shapes, so ReuseExchange cannot dedupe and the
+      // aggregates over the full active-edge table evaluate TWICE. On the
+      // 600k-edge q_mis graph the fusion measured ~1s slower; the separate
+      // dec checkpoint keeps the heavy subtree single-evaluated, and the
+      // follow-up eAct job reads it back for free.
       val dec = mis.select(col("node"), lit("mis").as("status"),
           lit(r).as("round"))
         .unionByName(dominated.select(col("node"),
