@@ -306,13 +306,106 @@ object MeridianQueries {
        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
   // --------------------------------------------------------------------
+  // Crawl-budget allocation and dup-cluster representatives
+  // --------------------------------------------------------------------
+
+  /** Max-min fair crawl budget over registrable domains
+    * ([[graft.ext.Waterfill.maxMinFair]], budget = half the corpus):
+    * every domain keeps its full demand unless it sits above the water
+    * level — the politeness-bounded fetch-quota split a crawler computes
+    * per cycle. All-integer feasibility; ONE double division (the water
+    * level) at the readout.
+    */
+  def qCrawlBudget(spark: SparkSession, dir: String): DataFrame = {
+    // fetch segments = site × language section; byte demands spread ~5×
+    // across segments, so half the budget saturates the heavy ones while
+    // light ones keep their full demand — a real mixed water level
+    val dem = graft.ext.UrlCanonical
+      .canonicalize(withUrls(spark, dir), "url")
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        col("n_chars"), col("lang")), Seq("doc_id"))
+      .groupBy(concat(col("registrable_domain"), lit("/"), col("lang"))
+        .as("segment"))
+      .agg(sum(col("n_chars")).as("demand"))
+    graft.ext.Waterfill.maxMinFair(dem, "segment", "demand",
+        budgetFrac = 0.5)
+      .orderBy(col("segment"))
+  }
+
+  val crawlBudgetSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql,
+       |dem AS (SELECT registrable_domain || '/' || d.lang AS segment,
+       |    CAST(SUM(d.n_chars) AS BIGINT) AS demand
+       |  FROM c JOIN documents d USING (doc_id) GROUP BY 1),
+       |r AS (SELECT segment, demand,
+       |    ROW_NUMBER() OVER (ORDER BY demand, segment) AS rnk,
+       |    CAST(SUM(demand) OVER (ORDER BY demand, segment
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS p
+       |  FROM dem),
+       |nb AS (SELECT COUNT(*) AS n,
+       |    CAST(FLOOR(CAST(SUM(demand) AS DOUBLE) * 0.5) AS BIGINT) AS b
+       |  FROM dem),
+       |k AS (SELECT COALESCE(MAX(CASE WHEN p + (n - rnk) * demand <= b
+       |      THEN rnk END), 0) AS ks FROM r CROSS JOIN nb),
+       |kp AS (SELECT ks, COALESCE((SELECT p FROM r WHERE rnk = ks), 0) AS pk
+       |  FROM k)
+       |SELECT segment, demand, rnk,
+       |  ROUND(CASE WHEN rnk <= ks THEN CAST(demand AS DOUBLE)
+       |    ELSE CAST(b - pk AS DOUBLE) / (n - ks) END, 6) AS allocated,
+       |  rnk > ks AS saturated
+       |FROM r CROSS JOIN nb CROSS JOIN kp
+       |ORDER BY segment""".stripMargin
+
+  /** Quality-aware representative per canonical-URL dup cluster: within
+    * each ≥2-variant cluster keep the longest document (ties → smallest
+    * doc id) and count what dedup drops — the "which copy survives"
+    * policy every curation pipeline must pin down, made deterministic.
+    * One groupBy on the canonical key; the argmax is a struct min, no
+    * window.
+    */
+  def qUrlClusterReps(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.ext.UrlCanonical
+      .canonicalize(withUrls(spark, dir), "url")
+      .join(Tables.documents(spark, dir).select(col("doc_id"),
+        col("n_chars")), Seq("doc_id"))
+    c.groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("n_chars")).as("nn"), col("doc_id").as("id")))
+          .as("__rep"))
+      .filter(col("cluster_size") >= 2)
+      .select(col("canonical_url"), col("cluster_size"),
+        col("__rep.id").as("rep_doc"), (-col("__rep.nn")).as("rep_chars"),
+        (col("cluster_size") - 1).as("n_dropped"))
+      .orderBy(col("canonical_url"))
+  }
+
+  val urlClusterRepsSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql,
+       |j AS (SELECT c.canonical_url, c.doc_id, d.n_chars
+       |  FROM c JOIN documents d USING (doc_id)),
+       |rk AS (SELECT canonical_url, doc_id, n_chars,
+       |    COUNT(*) OVER (PARTITION BY canonical_url) AS cluster_size,
+       |    ROW_NUMBER() OVER (PARTITION BY canonical_url
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM j)
+       |SELECT canonical_url, cluster_size, doc_id AS rep_doc,
+       |  n_chars AS rep_chars, cluster_size - 1 AS n_dropped
+       |FROM rk WHERE rn = 1 AND cluster_size >= 2
+       |ORDER BY canonical_url""".stripMargin
+
+  // --------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_url_canonical" -> (qUrlCanonical _),
     "q_url_dup_clusters" -> (qUrlDupClusters _),
-    "q_url_domain_stats" -> (qUrlDomainStats _)
+    "q_url_domain_stats" -> (qUrlDomainStats _),
+    "q_crawl_budget" -> (qCrawlBudget _),
+    "q_url_cluster_reps" -> (qUrlClusterReps _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -320,6 +413,8 @@ object MeridianQueries {
     "q_tokenizer_compare" -> tokenizerCompareSql,
     "q_url_canonical" -> urlCanonicalSql,
     "q_url_dup_clusters" -> urlDupClustersSql,
-    "q_url_domain_stats" -> urlDomainStatsSql
+    "q_url_domain_stats" -> urlDomainStatsSql,
+    "q_crawl_budget" -> crawlBudgetSql,
+    "q_url_cluster_reps" -> urlClusterRepsSql
   )
 }
