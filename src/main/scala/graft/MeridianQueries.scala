@@ -397,8 +397,50 @@ object MeridianQueries {
        |ORDER BY canonical_url""".stripMargin
 
   // --------------------------------------------------------------------
+  // Greedy max-coverage selection
+  // --------------------------------------------------------------------
+
+  /** Pick the 6 documents whose word-trigram sets jointly cover the most
+    * of the corpus ([[graft.ext.MaxCoverage.greedySelect]]) — the
+    * coverage-based data-selection primitive. The oracle unrolls the six
+    * greedy rounds as MATERIALIZED CTEs (anti-join gains, LIMIT-1 argmax
+    * with the same ties-to-smallest-id order, set-union coverage).
+    */
+  def qMaxCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val items = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordShingles.shingles(col("text"), 3))
+          .as("f"))
+    graft.ext.MaxCoverage.greedySelect(items, "doc_id", "f", k = 6)
+      .orderBy(col("round"))
+  }
+
+  val maxCoverageSql: String = {
+    val rounds = (1 to 6).map { r =>
+      s"""g$r AS MATERIALIZED (SELECT i.doc_id, COUNT(*) AS g FROM items i
+         |  ANTI JOIN cov${r - 1} c ON i.f = c.f GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT doc_id, g FROM g$r
+         |  ORDER BY g DESC, doc_id LIMIT 1),
+         |cov$r AS MATERIALIZED (SELECT f FROM cov${r - 1}
+         |  UNION SELECT i.f FROM items i JOIN w$r USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    val readout = (1 to 6).map { r =>
+      s"""SELECT $r AS round, doc_id, g AS marginal_gain,
+         |  (SELECT COUNT(*) FROM cov$r) AS covered_total FROM w$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH items AS MATERIALIZED (SELECT DISTINCT doc_id,
+       |    unnest(list_transform(generate_series(1, greatest(len(l) - 2, 1)),
+       |      i -> array_to_string(l[i:i+2], ' '))) AS f
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)),
+       |cov0 AS (SELECT f FROM items WHERE 1 = 0),
+       |$rounds
+       |SELECT * FROM (
+       |$readout
+       |) ORDER BY round""".stripMargin
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_max_coverage" -> (qMaxCoverage _),
     "q_wordpiece_encode" -> (qWordpieceEncode _),
     "q_tokenizer_compare" -> (qTokenizerCompare _),
     "q_url_canonical" -> (qUrlCanonical _),
@@ -409,6 +451,7 @@ object MeridianQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_max_coverage" -> maxCoverageSql,
     "q_wordpiece_encode" -> wordpieceEncodeSql,
     "q_tokenizer_compare" -> tokenizerCompareSql,
     "q_url_canonical" -> urlCanonicalSql,
