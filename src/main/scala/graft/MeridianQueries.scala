@@ -397,6 +397,68 @@ object MeridianQueries {
        |ORDER BY canonical_url""".stripMargin
 
   // --------------------------------------------------------------------
+  // Leakage-safe domain-grouped split audit
+  // --------------------------------------------------------------------
+
+  /** Group-aware train/val/test assignment: the split key is the
+    * REGISTRABLE DOMAIN, not the document ([[graft.ext.Splits
+    * .splitLabel]] over the domain string), so every page of a site lands
+    * in one split — the near-dup/template leakage channel a per-document
+    * split leaves wide open. The readout reports per-split volume plus
+    * the counterfactual: how many domains a naive doc-keyed split would
+    * scatter across splits (`n_leaky_domains_docsplit` — the leak this
+    * operator exists to zero out). Scan-side md5 bucket expressions;
+    * two aggregates; scalars broadcast back.
+    */
+  def qDomainSplit(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url")
+      .select(col("doc_id"), col("registrable_domain"))
+    val byDomain = c.withColumn("split",
+      graft.ext.Splits.splitLabel(col("registrable_domain"), 80, 10))
+    val naive = c.withColumn("split",
+      graft.ext.Splits.splitLabel(col("doc_id"), 80, 10))
+    val leaky = naive.groupBy(col("registrable_domain"))
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1)
+      .agg(count(lit(1)).as("n_leaky_domains_docsplit"))
+    val per = byDomain.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("registrable_domain")).as("n_domains"))
+    val tot = byDomain.agg(count(lit(1)).as("tot"))
+    per.crossJoin(broadcast(tot)).crossJoin(broadcast(leaky))
+      .select(col("split"), col("n_docs"), col("n_domains"),
+        round(col("n_docs").cast("double") / col("tot"), 6).as("pct_docs"),
+        col("n_leaky_domains_docsplit"))
+      .orderBy(col("split"))
+  }
+
+  val domainSplitSql: String =
+    s"""WITH $urlGenSql,
+       |$urlCanonSql,
+       |t AS (SELECT doc_id, registrable_domain,
+       |    ('0x' || substr(md5(registrable_domain), 1, 8))::BIGINT % 100
+       |      AS bd,
+       |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+       |      % 100 AS bi
+       |  FROM c),
+       |s AS (SELECT CASE WHEN bd < 80 THEN 'train' WHEN bd < 90 THEN 'val'
+       |    ELSE 'test' END AS split, registrable_domain FROM t),
+       |per AS (SELECT split, COUNT(*) AS n_docs,
+       |    CAST(COUNT(DISTINCT registrable_domain) AS BIGINT) AS n_domains
+       |  FROM s GROUP BY 1),
+       |tot AS (SELECT COUNT(*) AS tot FROM s),
+       |leaky AS (SELECT COUNT(*) AS n_leaky_domains_docsplit FROM (
+       |  SELECT registrable_domain FROM (
+       |    SELECT registrable_domain, CASE WHEN bi < 80 THEN 'train'
+       |      WHEN bi < 90 THEN 'val' ELSE 'test' END AS sp FROM t)
+       |  GROUP BY 1 HAVING COUNT(DISTINCT sp) > 1))
+       |SELECT split, n_docs, n_domains,
+       |  ROUND(CAST(n_docs AS DOUBLE) / tot, 6) AS pct_docs,
+       |  n_leaky_domains_docsplit
+       |FROM per CROSS JOIN tot CROSS JOIN leaky
+       |ORDER BY split""".stripMargin
+
+  // --------------------------------------------------------------------
   // Greedy max-coverage selection
   // --------------------------------------------------------------------
 
@@ -447,7 +509,8 @@ object MeridianQueries {
     "q_url_dup_clusters" -> (qUrlDupClusters _),
     "q_url_domain_stats" -> (qUrlDomainStats _),
     "q_crawl_budget" -> (qCrawlBudget _),
-    "q_url_cluster_reps" -> (qUrlClusterReps _)
+    "q_url_cluster_reps" -> (qUrlClusterReps _),
+    "q_domain_split" -> (qDomainSplit _)
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -458,6 +521,7 @@ object MeridianQueries {
     "q_url_dup_clusters" -> urlDupClustersSql,
     "q_url_domain_stats" -> urlDomainStatsSql,
     "q_crawl_budget" -> crawlBudgetSql,
-    "q_url_cluster_reps" -> urlClusterRepsSql
+    "q_url_cluster_reps" -> urlClusterRepsSql,
+    "q_domain_split" -> domainSplitSql
   )
 }

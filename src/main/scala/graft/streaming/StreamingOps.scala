@@ -43,6 +43,24 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming canonical-URL dedup — the incremental twin of
+    * [[graft.ext.UrlCanonical.dupClusters]]: canonicalization is pure
+    * scan-side string expressions (works unchanged on a streaming frame),
+    * then only the FIRST fetch of each canonical URL passes; later
+    * scheme/case/port/tracking-param variants within the watermark horizon
+    * drop. Keying on the md5 of the canonical form keeps per-key state at
+    * 32 bytes regardless of URL length, and the within-watermark dedup
+    * expires state — bounded at crawl-firehose scale, with the batch
+    * dupClusters as the exact backstop beyond the horizon.
+    */
+  def urlDedupStream(stream: DataFrame, tsCol: String = "ts",
+                     urlCol: String = "url",
+                     watermark: String = "1 hour"): DataFrame =
+    graft.ext.UrlCanonical.canonicalize(stream, urlCol)
+      .withColumn("canon_md5", md5(col("canonical_url")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("canon_md5")
+
   final case class CandidatePair(id_a: Long, id_b: Long)
 
   /** Streaming MinHash+LSH near-dup candidate detection — the incremental twin of

@@ -11,6 +11,7 @@ final case class IncDoc(doc_id: Long, text: String)
 final case class PrivRow(region: String, band: Long, salary: Double)
 final case class CorpusDoc(src: String, doc_id: Long, text: String)
 final case class SourcedEvent(src: String, ts: Timestamp)
+final case class UrlFetch(ts: Timestamp, doc_id: Long, url: String)
 
 class StreamingOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -848,6 +849,40 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(out.map(_._2).sorted.toSeq == Seq("alpha", "beta", "gamma"),
       s"got ${out.mkString(";")}")
     assert(out.toMap.get(1L).contains("alpha")) // the FIRST alpha won
+  }
+
+  test("urlDedupStream passes the first fetch per canonical URL and drops " +
+      "scheme/case/port/param variants; guard classifies bounded") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[UrlFetch]
+    val op = StreamingOps.urlDedupStream(input.toDF(), watermark = "1 hour")
+    // the within-watermark dedup keyed on a fixed-width md5 is bounded state
+    assert(graft.plans.StreamStateGuard.audit(op).forall(_.bounded),
+      s"guard: ${graft.plans.StreamStateGuard.audit(op)}")
+    val query = op.writeStream.format("memory").queryName("urldedup_out")
+      .outputMode("append").start()
+    input.addData(
+      UrlFetch(ts(0), 1L, "HTTPS://WWW.A.COM:443/x?utm_source=f&id=1"),
+      UrlFetch(ts(1), 2L, "https://a.com/x?id=1"),          // in-batch variant
+      UrlFetch(ts(2), 3L, "https://a.com/y?id=1"))          // different path
+    query.processAllAvailable()
+    input.addData(
+      UrlFetch(ts(5), 4L, "Https://a.com/x/?id=1&fbclid=z"), // cross-batch variant
+      UrlFetch(ts(6), 5L, "http://a.com/x?id=1"))            // http ≠ https
+    query.processAllAvailable()
+    query.stop()
+    val out = spark.table("urldedup_out").collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    assert(out == Seq(1L, 3L, 5L), s"got $out")
+    // differential: survivors = one per batch dupClusters canonical key
+    val batch = graft.ext.UrlCanonical.canonicalize(
+        Seq((1L, "HTTPS://WWW.A.COM:443/x?utm_source=f&id=1"),
+          (2L, "https://a.com/x?id=1"), (3L, "https://a.com/y?id=1"),
+          (4L, "Https://a.com/x/?id=1&fbclid=z"), (5L, "http://a.com/x?id=1"))
+          .toDF("doc_id", "url"), "url")
+      .groupBy(col("canonical_url")).agg(min(col("doc_id")).as("first_id"))
+      .collect().map(_.getAs[Long]("first_id")).sorted.toSeq
+    assert(batch == out, s"stream $out vs batch first-seen $batch")
   }
 
   test("attributionStream last-touch credit matches batch channelCredit") {
