@@ -424,7 +424,8 @@ object MeridianQueries {
     val per = byDomain.groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col("registrable_domain")).as("n_domains"))
-    val tot = byDomain.agg(count(lit(1)).as("tot"))
+    // total folds from the ≤3-row per-split aggregate — no third scan
+    val tot = per.agg(sum(col("n_docs")).as("tot"))
     per.crossJoin(broadcast(tot)).crossJoin(broadcast(leaky))
       .select(col("split"), col("n_docs"), col("n_domains"),
         round(col("n_docs").cast("double") / col("tot"), 6).as("pct_docs"),
