@@ -159,7 +159,8 @@ object MeridianQueries {
     val sub = when(id % 4 === 0, "WWW.").when(id % 4 === 1, "www.")
       .when(id % 4 === 2, "cdn.").otherwise("")
     val hostbase = concat(col("source"),
-      when(id % 5 === 0, ".co.uk").otherwise(".com"))
+      when(id % 5 === 0, ".co.uk").when(id % 5 === 3, ".github.io")
+        .otherwise(".com"))
     val hostcased = when(id % 7 < 3, upper(concat(sub, hostbase)))
       .otherwise(concat(sub, hostbase))
     val port = when(id % 12 === 0, ":443").when(id % 12 === 7, ":8080")
@@ -199,35 +200,54 @@ object MeridianQueries {
       |    CASE doc_id % 4 WHEN 0 THEN 'WWW.' WHEN 1 THEN 'www.'
       |      WHEN 2 THEN 'cdn.' ELSE '' END AS sub,
       |    source || CASE WHEN doc_id % 5 = 0 THEN '.co.uk'
+      |      WHEN doc_id % 5 = 3 THEN '.github.io'
       |      ELSE '.com' END AS hostbase
       |  FROM documents))""".stripMargin
 
-  /** DuckDB replay of [[graft.ext.UrlCanonical.canonicalize]] over `u` —
-    * produces `c(doc_id, url, url_host, registrable_domain,
-    * canonical_url)`.
+  /** DuckDB replay of [[graft.ext.UrlCanonical.canonicalize]] over `u`
+    * (foldPathCase = true, the synthetic crawl's case noise is
+    * intentional) — produces `c(doc_id, url, url_host,
+    * registrable_domain, canonical_url)`. The registrable domain replays
+    * the [[graft.ext.PublicSuffix]] longest-matching-suffix algorithm
+    * over the SAME committed `fixtures/psl.csv` rule table the engine
+    * broadcasts: exception beats all, else max labels among exact and
+    * one-extra-label wildcard matches, implicit `*` when nothing matches.
     */
   private val urlCanonSql: String =
-    """parts AS (SELECT doc_id, url,
+    s"""pslr AS (SELECT suffix, MAX(he) AS he, MAX(hw) AS hw,
+      |    MAX(hx) AS hx FROM (
+      |  SELECT CASE WHEN starts_with(rule, '!') THEN substr(rule, 2)
+      |      WHEN starts_with(rule, '*.') THEN substr(rule, 3)
+      |      ELSE rule END AS suffix,
+      |    CASE WHEN starts_with(rule, '!') OR starts_with(rule, '*.')
+      |      THEN 0 ELSE 1 END AS he,
+      |    CASE WHEN starts_with(rule, '*.') THEN 1 ELSE 0 END AS hw,
+      |    CASE WHEN starts_with(rule, '!') THEN 1 ELSE 0 END AS hx
+      |  FROM read_csv('${SparkEntry.FixtureRoot}/psl.csv', header=true,
+      |    columns={'rule':'VARCHAR','section':'VARCHAR'}))
+      |  GROUP BY suffix),
+      |parts AS (SELECT doc_id, url,
       |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
       |      AS scheme,
       |    lower(regexp_extract(url, '^[^/]*//([^/?#]*)', 1)) AS hostport,
       |    regexp_extract(url, '^[^/]*//[^/?#]*([^?#]*)', 1) AS rawpath,
-      |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+      |    regexp_extract(url, '\\?([^#]*)', 1) AS rawq
       |  FROM u),
       |hp AS (SELECT *,
       |    CASE WHEN strpos(hostport, ':') > 0
       |      THEN split_part(hostport, ':', 1) ELSE hostport END AS host0,
       |    CASE WHEN strpos(hostport, ':') > 0
-      |      THEN split_part(hostport, ':', 2) ELSE '' END AS port
+      |      THEN regexp_extract(hostport, ':([^:]*)$$', 1) ELSE '' END
+      |      AS port
       |  FROM parts),
-      |hh AS (SELECT *, regexp_replace(host0, '^www\.', '') AS url_host,
+      |hh AS (SELECT *, regexp_replace(host0, '^www\\.', '') AS url_host,
       |    CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
       |      OR (scheme = 'https' AND port = '443')
       |      THEN '' ELSE ':' || port END AS portout
       |  FROM hp),
       |pp AS (SELECT *,
-      |    CASE WHEN regexp_replace(lower(rawpath), '/+$', '') = ''
-      |      THEN '/' ELSE regexp_replace(lower(rawpath), '/+$', '') END
+      |    CASE WHEN regexp_replace(lower(rawpath), '/+$$', '') = ''
+      |      THEN '/' ELSE regexp_replace(lower(rawpath), '/+$$', '') END
       |      AS path,
       |    array_to_string(list_sort(list_filter(string_split(rawq, '&'),
       |      x -> x <> '' AND NOT starts_with(x, 'utm_')
@@ -236,27 +256,36 @@ object MeridianQueries {
       |        AND NOT starts_with(x, 'msclkid')
       |        AND NOT starts_with(x, 'ref='))), '&') AS qc
       |  FROM hh),
-      |lab AS (SELECT *, string_split(url_host, '.') AS labels FROM pp),
-      |c AS (SELECT doc_id, url, url_host,
-      |    CASE WHEN len(labels) >= 3
-      |        AND labels[-2] IN ('co','com','org','net','ac','gov','edu')
-      |        AND len(labels[-1]) = 2
-      |      THEN array_to_string(list_slice(labels, len(labels) - 2,
-      |        len(labels)), '.')
-      |      WHEN len(labels) >= 2
-      |      THEN array_to_string(list_slice(labels, len(labels) - 1,
-      |        len(labels)), '.')
-      |      ELSE url_host END AS registrable_domain,
-      |    scheme || '://' || url_host || portout || path ||
-      |      CASE WHEN qc = '' THEN '' ELSE '?' || qc END AS canonical_url
-      |  FROM lab)""".stripMargin
+      |lab AS (SELECT *, string_split(url_host, '.') AS labels,
+      |    len(string_split(url_host, '.')) AS nl FROM pp),
+      |cand AS (SELECT doc_id, nl, i,
+      |    array_to_string(labels[nl - i + 1:nl], '.') AS cnd
+      |  FROM (SELECT doc_id, nl, labels,
+      |      unnest(generate_series(1, least(nl, 5))) AS i FROM lab)),
+      |mm AS (SELECT doc_id,
+      |    MAX(CASE WHEN hx = 1 THEN i - 1 END) AS exc,
+      |    MAX(CASE WHEN hw = 1 AND nl > i THEN i + 1 END) AS wc,
+      |    MAX(CASE WHEN he = 1 THEN i END) AS ex
+      |  FROM cand JOIN pslr ON cnd = suffix GROUP BY 1),
+      |psn AS (SELECT l.doc_id, CASE WHEN m.exc IS NOT NULL THEN m.exc
+      |    ELSE COALESCE(GREATEST(m.wc, m.ex), 1) END AS ps
+      |  FROM lab l LEFT JOIN mm m USING (doc_id)),
+      |c AS (SELECT l.doc_id, l.url, l.url_host,
+      |    CASE WHEN l.nl > p.ps
+      |      THEN array_to_string(l.labels[l.nl - p.ps:l.nl], '.')
+      |      ELSE l.url_host END AS registrable_domain,
+      |    l.scheme || '://' || l.url_host || l.portout || l.path ||
+      |      CASE WHEN l.qc = '' THEN '' ELSE '?' || l.qc END
+      |      AS canonical_url
+      |  FROM lab l JOIN psn p USING (doc_id))""".stripMargin
 
   /** Per-doc canonicalization readout ([[graft.ext.UrlCanonical
     * .canonicalize]]): raw URL → canonical URL + host + registrable
     * domain. Scan-side string expressions only — zero shuffles.
     */
   def qUrlCanonical(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url")
+    graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url",
+        foldPathCase = true)
       .select(col("doc_id"), col("url"), col("url_host"),
         col("registrable_domain"), col("canonical_url"))
       .orderBy(col("doc_id"))
@@ -273,7 +302,8 @@ object MeridianQueries {
     * fingerprinting. One groupBy shuffle on the canonical key.
     */
   def qUrlDupClusters(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.UrlCanonical.dupClusters(withUrls(spark, dir), "url", "doc_id")
+    graft.ext.UrlCanonical.dupClusters(withUrls(spark, dir), "url", "doc_id",
+        foldPathCase = true)
       .orderBy(col("canonical_url"))
 
   val urlDupClustersSql: String =
@@ -291,7 +321,8 @@ object MeridianQueries {
     * (www/cdn/...) feed it.
     */
   def qUrlDomainStats(spark: SparkSession, dir: String): DataFrame =
-    graft.ext.UrlCanonical.domainStats(withUrls(spark, dir), "url")
+    graft.ext.UrlCanonical.domainStats(withUrls(spark, dir), "url",
+        foldPathCase = true)
       .orderBy(col("registrable_domain"))
 
   val urlDomainStatsSql: String =
@@ -321,7 +352,7 @@ object MeridianQueries {
     // across segments, so half the budget saturates the heavy ones while
     // light ones keep their full demand — a real mixed water level
     val dem = graft.ext.UrlCanonical
-      .canonicalize(withUrls(spark, dir), "url")
+      .canonicalize(withUrls(spark, dir), "url", foldPathCase = true)
       .join(Tables.documents(spark, dir).select(col("doc_id"),
         col("n_chars"), col("lang")), Seq("doc_id"))
       .groupBy(concat(col("registrable_domain"), lit("/"), col("lang"))
@@ -367,7 +398,7 @@ object MeridianQueries {
     */
   def qUrlClusterReps(spark: SparkSession, dir: String): DataFrame = {
     val c = graft.ext.UrlCanonical
-      .canonicalize(withUrls(spark, dir), "url")
+      .canonicalize(withUrls(spark, dir), "url", foldPathCase = true)
       .join(Tables.documents(spark, dir).select(col("doc_id"),
         col("n_chars")), Seq("doc_id"))
     c.groupBy(col("canonical_url"))
@@ -411,7 +442,8 @@ object MeridianQueries {
     * two aggregates; scalars broadcast back.
     */
   def qDomainSplit(spark: SparkSession, dir: String): DataFrame = {
-    val c = graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url")
+    val c = graft.ext.UrlCanonical.canonicalize(withUrls(spark, dir), "url",
+        foldPathCase = true)
       .select(col("doc_id"), col("registrable_domain"))
     val byDomain = c.withColumn("split",
       graft.ext.Splits.splitLabel(col("registrable_domain"), 80, 10))

@@ -17,9 +17,14 @@ object SparkEntry {
 
   /** Absolute root of the committed golden-fixture CSVs (tokenizer
     * trainers) — absolute because the driver's DuckDB process has an
-    * unknown working directory.
+    * unknown working directory. Overridable for foreign checkouts via
+    * `-Dgraft.fixture.root=...` or `GRAFT_FIXTURE_ROOT`; the default is
+    * this repo's canonical path.
     */
-  val FixtureRoot: String = "/root/repo/fixtures"
+  val FixtureRoot: String =
+    sys.props.get("graft.fixture.root")
+      .orElse(sys.env.get("GRAFT_FIXTURE_ROOT"))
+      .getOrElse("/root/repo/fixtures")
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

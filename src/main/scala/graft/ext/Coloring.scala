@@ -47,9 +47,12 @@ object Coloring {
         col(dstCol).cast("long").as("b"))
       .filter(col("a") =!= col("b"))
     // Checkpointed HASH-PARTITIONED on u/node: localCheckpoint preserves
-    // the physical partitioning, so every per-round groupBy(u), u-keyed
-    // join and u-side anti-join reuses it instead of re-shuffling — the
-    // "reuse a partitioning across stages" rule applied to the iteration.
+    // the physical partitioning, so ROUND 1's groupBy(u) and the per-round
+    // `used` semi-join (which always reads `sym`) reuse it instead of
+    // re-shuffling. From round 2 on, eAct is a filter over the fused union
+    // checkpoint below, which is NOT u-partitioned — that round's nbMin
+    // re-shuffles, a measured trade: fusing the two per-round jobs into
+    // one checkpoint beat keeping the u-partitioning (see SCALE.md r12).
     val sym = raw.select(explode(array(
         struct(col("a").as("u"), col("b").as("v")),
         struct(col("b").as("u"), col("a").as("v")))).as("e"))

@@ -12,26 +12,34 @@ import org.apache.spark.sql.functions._
   * normalization plus tracking-param stripping):
   *   - scheme and host lowercased; a leading `www.` label dropped
   *   - default ports removed (`:80` for http, `:443` for https); any
-  *     other explicit port kept (a different port IS a different origin)
-  *   - path lowercased, trailing slashes collapsed (empty path → `/`)
+  *     other explicit port kept (a different port IS a different origin).
+  *     Port = the text after the LAST colon in the authority (and the
+  *     oracle replays the same rule) — bracketed IPv6 literals and
+  *     `user:pass@` userinfo are NOT parsed; an authority containing
+  *     either keeps whatever the last colon segment is. Crawl pipelines
+  *     normally reject both classes upstream.
+  *   - path: trailing slashes collapsed (empty path → `/`); lowercased
+  *     only when `foldPathCase` is set — RFC 3986 paths are
+  *     case-sensitive, so the default keeps case (fold it for crawls
+  *     known to serve case-insensitively, e.g. Windows-backed sites)
   *   - query parameters: tracking params dropped ([[TrackingPrefixes]]),
   *     the rest SORTED and re-joined — parameter order does not change
   *     the resource, so it must not split a dup cluster
   *   - fragments discarded (never sent to the server)
   *
   * Registrable domain ("site" granularity for per-domain stats and crawl
-  * budgets): the last two host labels, or the last THREE when the
-  * second-level label is a generic registry prefix (`co`/`com`/`org`/
-  * `net`/`ac`/`gov`/`edu`) under a 2-letter ccTLD — the public-suffix-list
-  * heuristic that covers the `co.uk` / `com.au` family without shipping
-  * the full PSL (documented approximation; a production deployment swaps
-  * in the PSL table as a broadcast join).
+  * budgets): resolved against the committed public-suffix-list fixture
+  * via [[PublicSuffix.withRegistrableDomain]] — longest-matching-suffix
+  * semantics including wildcard (`*.ck`), exception (`!www.ck`) and
+  * private-section rules (`github.io`), applied as `maxLabels` broadcast
+  * probes with zero shuffles. Callers can inject a different rule table
+  * (e.g. a full PSL snapshot, or ICANN-only) through the `psl` parameter.
   *
-  * Scale shape: every step is a built-in string/array expression —
-  * scan-side whole-stage codegen, NO shuffle, no UDF. At 100 TB the
-  * canonicalization itself is free relative to the scan; the dup-cluster
-  * groupBy shuffles once on canonical_url (a key far smaller than the
-  * payload after projection).
+  * Scale shape: every step is a built-in string/array expression plus the
+  * broadcast PSL probes — scan-side whole-stage codegen, NO shuffle, no
+  * UDF. At 100 TB the canonicalization itself is free relative to the
+  * scan; the dup-cluster groupBy shuffles once on canonical_url (a key
+  * far smaller than the payload after projection).
   */
 object UrlCanonical {
 
@@ -39,12 +47,14 @@ object UrlCanonical {
   val TrackingPrefixes: Seq[String] =
     Seq("utm_", "fbclid", "gclid", "msclkid", "ref=")
 
-  private val RegistryLabels = Seq("co", "com", "org", "net", "ac", "gov", "edu")
-
   /** Adds `url_host`, `registrable_domain`, `canonical_url` next to
-    * `urlCol`. Pure built-in expressions (codegen, scan-side).
+    * `urlCol`. Pure built-in expressions + broadcast PSL probes
+    * (codegen, scan-side). `psl` defaults to the committed fixture table
+    * ([[PublicSuffix.loadRules]]).
     */
-  def canonicalize(df: DataFrame, urlCol: String): DataFrame = {
+  def canonicalize(df: DataFrame, urlCol: String,
+                   foldPathCase: Boolean = false,
+                   psl: Option[DataFrame] = None): DataFrame = {
     val url = col(urlCol)
     val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val hostport = lower(regexp_extract(url, "^[^/]*//([^/?#]*)", 1))
@@ -58,7 +68,8 @@ object UrlCanonical {
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
     val rawPath = regexp_extract(url, "^[^/]*//[^/?#]*([^?#]*)", 1)
-    val path0 = regexp_replace(lower(rawPath), "/+$", "")
+    val cased = if (foldPathCase) lower(rawPath) else rawPath
+    val path0 = regexp_replace(cased, "/+$", "")
     val path = when(path0 === "", lit("/")).otherwise(path0)
     val rawQ = regexp_extract(url, "\\?([^#]*)", 1)
     val kept = filter(split(rawQ, "&"), p =>
@@ -66,17 +77,12 @@ object UrlCanonical {
     val qc = array_join(array_sort(kept), "&")
     val canonical = concat(scheme, lit("://"), host, portOut, path,
       when(qc === "", lit("")).otherwise(concat(lit("?"), qc)))
-    val labels = split(host, "\\.")
-    val n = size(labels)
-    val domain = when(n >= 3 &&
-        element_at(labels, -2).isin(RegistryLabels.map(x => x: Any): _*) &&
-        length(element_at(labels, -1)) === 2,
-        concat_ws(".", slice(labels, n - lit(2), lit(3))))
-      .when(n >= 2, concat_ws(".", slice(labels, n - lit(1), lit(2))))
-      .otherwise(host)
-    df.withColumn("url_host", host)
-      .withColumn("registrable_domain", domain)
+    val rules = psl.getOrElse(PublicSuffix.loadRules(df.sparkSession))
+    val withHost = df.withColumn("url_host", host)
       .withColumn("canonical_url", canonical)
+    PublicSuffix.withRegistrableDomain(withHost, "url_host", rules)
+      .select(df.columns.map(col) ++
+        Seq(col("url_host"), col("registrable_domain"), col("canonical_url")): _*)
   }
 
   /** Canonical-URL dup clusters: one row per canonical URL fetched under
@@ -84,8 +90,9 @@ object UrlCanonical {
     * are transitive, so a groupBy IS the connected component).
     */
   def dupClusters(df: DataFrame, urlCol: String, idCol: String,
-                  minSize: Int = 2): DataFrame =
-    canonicalize(df, urlCol)
+                  minSize: Int = 2, foldPathCase: Boolean = false,
+                  psl: Option[DataFrame] = None): DataFrame =
+    canonicalize(df, urlCol, foldPathCase, psl)
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("cluster_size"),
         countDistinct(col(urlCol)).as("n_raw_variants"),
@@ -96,8 +103,10 @@ object UrlCanonical {
   /** Per-registrable-domain crawl stats: docs, distinct raw URLs,
     * distinct canonical URLs, and the dup rate canonicalization exposes.
     */
-  def domainStats(df: DataFrame, urlCol: String): DataFrame =
-    canonicalize(df, urlCol)
+  def domainStats(df: DataFrame, urlCol: String,
+                  foldPathCase: Boolean = false,
+                  psl: Option[DataFrame] = None): DataFrame =
+    canonicalize(df, urlCol, foldPathCase, psl)
       .groupBy(col("registrable_domain"))
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(col(urlCol)).as("n_raw_urls"),

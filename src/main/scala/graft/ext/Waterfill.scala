@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
 object Waterfill {
 
   /** Allocate `floor(Σ demand × budgetFrac)` units max-min fairly across
-    * keys. Input: one row per key with an integer demand ≥ 0. Output per
+    * keys, `budgetFrac` in (0,1] (1 = the whole demand is affordable).
+    * Input: one row per key with an integer demand ≥ 0. Output per
     * key: (keyCol, demand, rnk, allocated, saturated) — `rnk` the global
     * ascending-demand rank (ties by key), `allocated` rounded to 6,
     * `saturated` true when the key hit the water level.
@@ -69,6 +70,9 @@ object Waterfill {
         sorted.schema.add("rnk", LongType, nullable = false)
           .add("__p", LongType, nullable = false))
       .localCheckpoint() // read twice: the k* aggregate + the readout
+    // the eager checkpoint above was the ranked RDD's last consumer —
+    // release the cache here instead of leaking it to the caller
+    rdd.unpersist(blocking = false)
     // k* = max feasible rank; P_{k*} rides in the same max (the struct is
     // ordered by rnk, so max picks the matching prefix)
     val kStar = rdf
