@@ -311,6 +311,47 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Render a REAL decodable grayscale PNG per row from `pixelsCol`
+    * (array<int> of length w·h, row-major luma values 0-255) — the
+    * full-pixel counterpart of [[synthImageMedia]]'s header-only blobs,
+    * for operators that DECODE pixels (dHash, luma histograms). Because
+    * the pixel values arrive as a Catalyst-expressible column and PNG is
+    * lossless, anything computed from the decoded pixels has a closed
+    * form over the same expressions — which is what makes the perceptual
+    * near-dup query oracle-checkable. Per-partition batch encode via
+    * `javax.imageio`, same shape as the other synth generators.
+    */
+  def synthPixelPng(df: DataFrame, pixelsCol: String, w: Int, h: Int,
+                    mediaCol: String = "media"): DataFrame = {
+    require(w >= 1 && h >= 1, "need positive dimensions")
+    val schema = StructType(df.schema.fields :+
+      StructField(mediaCol, BinaryType, nullable = false))
+    val pIdx = df.schema.fieldIndex(pixelsCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val pix = r.getSeq[Int](pIdx)
+        require(pix.length == w * h,
+          s"pixels length ${pix.length} != $w*$h")
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = pix(y * w + x) & 0xff
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        Row.fromSeq(r.toSeq :+ bos.toByteArray)
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
   /** Parse image metadata from each media blob with the REAL header-only
     * PNG/JPEG parser ([[ImageHeaderCodec.decode]]) — same per-partition
     * batch-loop shape as [[decodeAudioMeta]]; blobs that are neither yield

@@ -1,0 +1,109 @@
+package graft.ext
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SubstringDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def words(prefix: String, n: Int): String =
+    (1 to n).map(i => s"$prefix$i").mkString(" ")
+
+  test("a planted 25-token shared run is recovered exactly on both docs") {
+    val shared = words("dup", 25)
+    val docs = Seq(
+      (1L, words("a", 10) + " " + shared + " " + words("b", 5)),
+      (2L, words("c", 3) + " " + shared + " " + words("d", 12)),
+      (3L, words("e", 40))
+    ).toDF("doc_id", "text")
+    val runs = SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 20).collect()
+    assert(runs.length == 1)
+    val r = runs.head
+    assert(r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 2L)
+    // doc1: run starts after the 10-token prefix, at position 11
+    assert(r.getAs[Int]("s1") == 11 && r.getAs[Int]("e1") == 35)
+    // doc2: after the 3-token prefix, at position 4
+    assert(r.getAs[Int]("s2") == 4 && r.getAs[Int]("e2") == 28)
+    assert(r.getAs[Int]("run_len") == 25)
+    val spans = SubstringDedup.mergedSpans(docs, "doc_id", "text",
+        k = 8, minLen = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(spans.toSeq == Seq((1L, 11, 35, 25), (2L, 4, 28, 25)))
+  }
+
+  test("runs shorter than minLen are dropped") {
+    val shared = words("dup", 15)
+    val docs = Seq(
+      (1L, shared + " " + words("a", 10)),
+      (2L, words("b", 10) + " " + shared)
+    ).toDF("doc_id", "text")
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 20).count() == 0)
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 15).count() == 1) // one run for the (1,2) pair
+  }
+
+  test("overlapping spans from different partners merge per doc") {
+    // doc 1 shares tokens 1..25 with doc 2 and tokens 16..45 with doc 3:
+    // its merged span is 1..45
+    val w = (1 to 60).map(i => s"w$i")
+    val docs = Seq(
+      (1L, w.mkString(" ")),
+      (2L, (w.take(25) ++ Seq("zz1", "zz2", "zz3", "zz4", "zz5", "zz6",
+        "zz7", "zz8")).mkString(" ")),
+      (3L, (Seq("yy1", "yy2") ++ w.slice(15, 45)).mkString(" "))
+    ).toDF("doc_id", "text")
+    val spans = SubstringDedup.mergedSpans(docs, "doc_id", "text",
+        k = 8, minLen = 20)
+      .filter(col("doc_id") === 1L).orderBy("span_start").collect()
+      .map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.toSeq == Seq((1, 45)))
+  }
+
+  test("dedupStats reports tokens removed and the per-doc rate") {
+    val shared = words("dup", 30)
+    val docs = Seq(
+      (1L, shared + " " + words("a", 30)), // 60 tokens, 30 dup
+      (2L, shared), // 30 tokens, all dup
+      (3L, words("c", 10))
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.dedupStats(docs, "doc_id", "text",
+        k = 8, minLen = 20)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((1L, 1L, 30L, 60L, 0.5), (2L, 1L, 30L, 30L, 1.0)))
+  }
+
+  test("grams hotter than maxDf are dropped (stop-gram rule)") {
+    val boiler = words("hot", 10)
+    val docs = (1L to 6L).map(i =>
+      (i, boiler + " " + words(s"u$i", 15))).toDF("doc_id", "text")
+    // boilerplate 10-gram run appears in 6 docs; df cap 3 kills its anchors
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 10, maxDf = 3).count() == 0)
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 10, maxDf = 10).count() == 15) // C(6,2) pairs
+  }
+
+  test("within-doc repetition alone yields no runs (cross-doc only)") {
+    val rep = words("r", 12)
+    val docs = Seq((1L, rep + " " + rep + " " + rep)).toDF("doc_id", "text")
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 10).count() == 0)
+  }
+
+  test("plan shape passes ScaleGuard in fail mode (partitioned windows, " +
+      "no cartesian)") {
+    val docs = Seq((1L, words("a", 30)), (2L, words("a", 30)))
+      .toDF("doc_id", "text")
+    spark.conf.set(graft.plans.ScaleGuard.FailConf, "true")
+    try {
+      graft.plans.ScaleGuard.check(spark)(
+        SubstringDedup.dedupStats(docs, "doc_id", "text")
+          .queryExecution.analyzed)
+    } finally spark.conf.unset(graft.plans.ScaleGuard.FailConf)
+  }
+}
