@@ -155,8 +155,10 @@ object HorizonQueries {
   // DSIR-style importance-resampling weights
   // --------------------------------------------------------------------
 
-  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
-    * Language Models via Importance Resampling", arXiv:2302.03169):
+  /** DSIR-style data SELECTION (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169) — the
+    * resampling member the weights-only `q_dsir_weights`
+    * ([[VanguardQueries]], target = en) stops short of:
     * hashed word-unigram bag features (256 md5 buckets), two
     * add-one-smoothed bag-of-ngrams models — target = the `lang='de'`
     * slice, raw = the whole corpus — and per-doc importance weight
@@ -174,7 +176,7 @@ object HorizonQueries {
     * per-doc weights are one more keyed aggregate; ranking is the
     * range-partition prefix trick.
     */
-  def qDsirWeights(spark: SparkSession, dir: String): DataFrame = {
+  def qDsirSelect(spark: SparkSession, dir: String): DataFrame = {
     val B = 256
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"), col("lang"),
@@ -209,7 +211,7 @@ object HorizonQueries {
       .orderBy(col("doc_id"))
   }
 
-  val dsirWeightsSql: String =
+  val dsirSelectSql: String =
     """WITH tok AS (SELECT doc_id, lang,
       |    ('0x' || substr(md5(w), 1, 8))::BIGINT % 256 AS g
       |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
@@ -242,13 +244,13 @@ object HorizonQueries {
     "q_substring_spans" -> (qSubstringSpans _),
     "q_substring_dedup" -> (qSubstringDedup _),
     "q_image_near_dup" -> (qImageNearDup _),
-    "q_dsir_weights" -> (qDsirWeights _)
+    "q_dsir_select" -> (qDsirSelect _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_substring_spans" -> substringSpansSql,
     "q_substring_dedup" -> substringDedupSql,
     "q_image_near_dup" -> imageNearDupSql,
-    "q_dsir_weights" -> dsirWeightsSql
+    "q_dsir_select" -> dsirSelectSql
   )
 }
