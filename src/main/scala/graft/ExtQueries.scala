@@ -400,9 +400,33 @@ object ExtQueries {
         maxHamming = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** 60-bit signature replay for the PAIR query (the 32-bit `sims` CTE
+    * stays for q_dedup_simhash's signature dump): token hash = first 15
+    * md5 hex chars, 60 conditional bit sums, 4 × 15-bit band keys —
+    * the [[graft.functions.SimHash60]] convention.
+    */
+  private val simhash60CtesSql: String = {
+    val bitSums = (0 until 60).map { j =>
+      s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN tf ELSE -tf END) AS s_$j"
+    }.mkString(",\n      ")
+    val sig = (0 until 60).map { j =>
+      s"CASE WHEN s_$j > 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+    s"""tok AS (SELECT doc_id, tok, COUNT(*) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |  GROUP BY 1, 2),
+      |hh AS (SELECT doc_id, tf,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tok),
+      |s AS (SELECT doc_id,
+      |      $bitSums
+      |      FROM hh GROUP BY doc_id),
+      |sims AS (SELECT doc_id, $sig AS simhash FROM s)""".stripMargin
+  }
+
   val simhashPairsSql: String =
-    s"""WITH $simhashCtesSql,
-      |banded AS (SELECT doc_id, b AS band, (simhash >> (b * 8)) & 255 AS bkey
+    s"""WITH $simhash60CtesSql,
+      |banded AS (SELECT doc_id, b AS band,
+      |        (simhash >> (b * 15)) & 32767 AS bkey
       |      FROM sims CROSS JOIN generate_series(0, 3) g(b)),
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       |      FROM banded x JOIN banded y
@@ -1542,8 +1566,14 @@ object ExtQueries {
     */
   def qKnnLabelAcc(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
+    // FIXED probe panel (200 vectors): an accuracy estimator's error is set
+    // by the panel size, not the corpus — and a panel that grows with the
+    // corpus makes the probe join quadratic (the r13 sf1.0 probe measured
+    // 44x time for 10x data with `vec_id % 10 = 0` alone; the cap restores
+    // panel x corpus = O(corpus)).
     val nn = SimSearch.topKForQueries(emb,
-      emb.filter(col("vec_id") % 10 === 0), "vec_id", "embedding", k = 1)
+      emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 2000),
+      "vec_id", "embedding", k = 1)
     nn.join(emb.select(col("vec_id").as("query_id"), col("label").as("q_label")),
         Seq("query_id"))
       .join(emb.select(col("vec_id"), col("label").as("n_label")), Seq("vec_id"))
@@ -1558,7 +1588,7 @@ object ExtQueries {
 
   val knnLabelAccSql: String =
     """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlab
-      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |  FROM embeddings WHERE vec_id % 10 = 0 AND vec_id < 2000),
       |s AS (SELECT q.qid, q.qlab, e.label AS nlab,
       |    list_sum(list_transform(generate_series(1, 64),
       |      i -> e.embedding[i]::DOUBLE * q.qe[i]::DOUBLE)) /

@@ -763,22 +763,31 @@ object Dedup {
     sums.select(col(idCol), sig.as("simhash"))
   }
 
-  /** SimHash near-dup candidates: pairs whose signatures match on at least one of the
-    * four 8-bit bands (hamming-distance-bounded blocking), verified by exact hamming
-    * distance ≤ maxHamming. Output: (id_a, id_b, hamming).
+  /** SimHash near-dup candidates: pairs whose 60-bit signatures
+    * ([[graft.functions.SimHash60]]) match on at least one of the four
+    * 15-bit bands (hamming-distance-bounded blocking), verified by exact
+    * hamming distance ≤ maxHamming. Output: (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // 60-bit signature, 4 bands × 15 bits: same hamming ≤ 3 pigeonhole
+    // exactness as the old 4 × 8-bit banding over simhash32, but 32,768
+    // band keys instead of 256 — the r13 sf1.0 probe measured the 8-bit
+    // buckets saturating (~n/256 docs per bucket → candidate join goes
+    // quadratic, 23× time for 10× data); at 15 bits buckets stay sparse
+    // until ~10M docs per shuffle partition.
     // sig (one row per doc) feeds three differently-keyed branches (banding +
-    // both verify sides); checkpoint so the tokenize + 32-bit-sum aggregate
+    // both verify sides); checkpoint so the tokenize + bit-sum aggregate
     // runs once instead of per branch.
-    val sig = simhash(df, idCol, textCol).localCheckpoint(eager = true)
+    val sig = df.select(col(idCol),
+        graft.functions.SimHash60.simhash60(col(textCol)).as("simhash"))
+      .localCheckpoint(eager = true)
     // one explode generator, not a UNION ALL of band projections — the union
-    // shape re-runs the 32-sum simhash aggregate per band (same column-pruning
+    // shape re-runs the bit-sum simhash aggregate per band (same column-pruning
     // trap as the MinHash bandKeys, see that note)
     val banded = sig.select(col(idCol), explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L)).as("bkey"))
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("bkey"))
       }: _*)).as("__bb"))
       .select(col(idCol), col("__bb.band").as("band"), col("__bb.bkey").as("bkey"))
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))

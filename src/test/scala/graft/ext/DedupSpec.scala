@@ -262,6 +262,29 @@ class DedupSpec extends SparkTestBase {
     assert(fused == agg)
   }
 
+  test("SimHash60 kernel matches an independent reference (15-hex-char " +
+      "token hash, tf-weighted bit sums) on repeats/empty/order cases") {
+    def refHash60(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = d.map(b => f"${b & 0xff}%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def refSim60(text: String): Long = {
+      val tf = text.split(" ", -1).groupBy(identity).view.mapValues(_.length)
+      val sums = new Array[Long](60)
+      for ((t, w) <- tf; j <- 0 until 60)
+        sums(j) += (if (((refHash60(t) >> j) & 1L) == 1L) w else -w)
+      (0 until 60).map(j => if (sums(j) > 0) 1L << j else 0L).sum
+    }
+    for (t <- Seq("", "a", "a a a b", "b a a a", "the quick brown fox",
+        "x y z x y z")) {
+      assert(graft.functions.SimHash60.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) == refSim60(t),
+        s"mismatch on '$t'")
+    }
+  }
+
   test("simhashPairs finds exact and near dups within hamming bound") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
