@@ -64,19 +64,26 @@ object PublicSuffix {
 
   /** Adds `out` = the registrable domain of `hostCol` (already-lowercased
     * host, no port) under the given grouped rule table. `maxLabels` caps
-    * the candidate-suffix depth probed (5 covers every rule in the fixture
-    * with wildcard headroom; raise it if a deeper rule table is supplied).
+    * the candidate-suffix depth probed; the default (0) DERIVES it from the
+    * rule table — the deepest rule base (a driver-side 1-row aggregate over
+    * the already-driver-local rules), so a 3-deep fixture costs 3 broadcast
+    * probes, not a pessimistic constant. Candidate depths beyond the
+    * deepest base can never match a rule, so the derivation is lossless.
     */
   def withRegistrableDomain(df: DataFrame, hostCol: String, rules: DataFrame,
                             out: String = "registrable_domain",
-                            maxLabels: Int = 5): DataFrame = {
-    require(maxLabels >= 1 && maxLabels <= 8,
-      s"maxLabels must be 1..8, got $maxLabels")
+                            maxLabels: Int = 0): DataFrame = {
+    val depth =
+      if (maxLabels >= 1) maxLabels
+      else rules.select(max(size(split(col("suffix"), "\\."))))
+        .head().getInt(0)
+    require(depth >= 1 && depth <= 8,
+      s"probe depth must be 1..8, got $depth")
     val host = col(hostCol)
     val labels = split(host, "\\.")
     val n = size(labels)
     var cur = df
-    for (i <- 1 to maxLabels) {
+    for (i <- 1 to depth) {
       // candidate = the host's last i labels (null when the host is shorter)
       val cand = when(n >= i,
         concat_ws(".", slice(labels, n - lit(i - 1), lit(i))))
@@ -88,7 +95,7 @@ object PublicSuffix {
     }
     val nullI = lit(null).cast("int")
     def best(f: Int => org.apache.spark.sql.Column) =
-      greatest(nullI +: (1 to maxLabels).map(f): _*)
+      greatest(nullI +: (1 to depth).map(f): _*)
     // exception rule: public suffix = rule minus its leftmost label
     val exc = best(i => when(col(s"__psl_x$i") === true, lit(i - 1)))
     // wildcard *.base consumes one label beyond the base it matched on
@@ -98,7 +105,7 @@ object PublicSuffix {
     val reg = when(n > ps,
       concat_ws(".", slice(labels, n - ps, ps + lit(1)))).otherwise(host)
     cur.withColumn(out, reg)
-      .drop((1 to maxLabels).flatMap(i =>
+      .drop((1 to depth).flatMap(i =>
         Seq(s"__psl_s$i", s"__psl_e$i", s"__psl_w$i", s"__psl_x$i")): _*)
   }
 }
