@@ -86,6 +86,42 @@ object HorizonQueries {
        |FROM merged m JOIN tk USING (doc_id)
        |GROUP BY m.doc_id, tk.n_tokens ORDER BY m.doc_id""".stripMargin
 
+  /** The tier's APPLY step ([[graft.ext.SubstringDedup.removeSpans]]):
+    * every document's text with the duplicate spans cut and survivors
+    * re-joined — the artifact a curation pipeline actually writes. Docs
+    * that lose everything (or have no tokens) come back empty via the
+    * left join; the oracle replays the cut with a NOT EXISTS over the
+    * span table and an ordered string_agg.
+    */
+  def qSubstringApply(spark: SparkSession, dir: String): DataFrame = {
+    val rs = graft.ext.SubstringDedup.removeSpans(
+      Tables.documents(spark, dir), "doc_id", "text",
+      k = SubK, minLen = SubMinLen, maxDf = SubMaxDf)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(rs, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens_kept"), lit(0L)).as("n_tokens_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+      .orderBy(col("doc_id"))
+  }
+
+  val substringApplySql: String =
+    s"""WITH $substringCte,
+       |tk AS (SELECT doc_id, i AS pos, l[i] AS tok
+       |  FROM (SELECT doc_id, l, unnest(generate_series(1, len(l))) AS i
+       |    FROM toks)),
+       |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tk t
+       |  WHERE NOT EXISTS (SELECT 1 FROM merged m
+       |    WHERE m.doc_id = t.doc_id
+       |      AND t.pos BETWEEN m.span_start AND m.span_end)),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_tokens_kept,
+       |    string_agg(tok, ' ' ORDER BY pos) AS text_dedup
+       |  FROM kept GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(a.n_tokens_kept, 0) AS n_tokens_kept,
+       |  COALESCE(a.text_dedup, '') AS text_dedup
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // --------------------------------------------------------------------
   // Perceptual image near-dup through the banded-LSH path
   // --------------------------------------------------------------------
@@ -243,6 +279,7 @@ object HorizonQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_spans" -> (qSubstringSpans _),
     "q_substring_dedup" -> (qSubstringDedup _),
+    "q_substring_apply" -> (qSubstringApply _),
     "q_image_near_dup" -> (qImageNearDup _),
     "q_dsir_select" -> (qDsirSelect _)
   )
@@ -250,6 +287,7 @@ object HorizonQueries {
   def oracleSql: Map[String, String] = Map(
     "q_substring_spans" -> substringSpansSql,
     "q_substring_dedup" -> substringDedupSql,
+    "q_substring_apply" -> substringApplySql,
     "q_image_near_dup" -> imageNearDupSql,
     "q_dsir_select" -> dsirSelectSql
   )

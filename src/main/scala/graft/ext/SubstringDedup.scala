@@ -43,6 +43,12 @@ object SubstringDedup {
   private def anchors(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, maxDf: Int): DataFrame = {
     val l = col("__l")
+    // CHECKPOINT the gram table: it feeds the df-cap aggregate, both sides
+    // of the self-join, and (via the callers) the stats/apply readouts —
+    // without it Catalyst re-runs the tokenize+explode pipeline per
+    // consumer (the r13 plan audit counted 12-19 parquet scans of
+    // documents across the query family; with the checkpoint the corpus
+    // is tokenized ONCE per query).
     val grams = docs
       .select(col(idCol).cast("long").as("doc"),
         split(col(textCol), " ").as("__l"))
@@ -52,6 +58,7 @@ object SubstringDedup {
               concat_ws(" ", slice(l, i, lit(k))).as("g"))))
         .otherwise(array())).as("a"))
       .select(col("doc"), col("a.pos").as("pos"), col("a.g").as("g"))
+      .localCheckpoint(eager = true)
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc")).as("df"))
       .filter(col("df") > maxDf).select(col("g"))
@@ -113,6 +120,35 @@ object SubstringDedup {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .select(col("doc").as("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
+  /** APPLY step — the tier's output artifact: every document's text with
+    * the merged duplicate spans REMOVED (surviving tokens re-joined with
+    * single spaces, in order). Docs without spans pass through verbatim
+    * (modulo whitespace normalization, which tokenization already imposed).
+    * Shape: the span table is tiny relative to the corpus (one row per
+    * merged span), so the positions explode joins against it BROADCAST;
+    * the per-doc reassembly is one groupBy(doc) of kept tokens — at
+    * 100 TB the cost is the tokenize explode plus one doc-keyed shuffle,
+    * the same class as any per-doc aggregate.
+    */
+  def removeSpans(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64): DataFrame = {
+    val spans = mergedSpans(docs, idCol, textCol, k, minLen, maxDf)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start").as("s"),
+        col("span_end").as("e"))).as("__spans"))
+    val toks = docs.select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__p0", "__tok")))
+      .select(col("doc_id"), (col("__p0") + 1).as("__pos"), col("__tok"))
+    toks.join(broadcast(spans), Seq("doc_id"), "left")
+      .filter(col("__spans").isNull || !exists(col("__spans"),
+        sp => col("__pos") >= sp.getField("s") && col("__pos") <= sp.getField("e")))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens_kept"),
+        concat_ws(" ", array_sort(collect_list(
+          struct(col("__pos"), col("__tok")))).getField("__tok"))
+          .as("text_dedup"))
   }
 
   /** Per-document dedup readout over the merged spans: span count, tokens

@@ -95,6 +95,23 @@ class SubstringDedupSpec extends SparkTestBase {
       k = 8, minLen = 10).count() == 0)
   }
 
+  test("removeSpans cuts exactly the merged spans and reassembles in " +
+      "order; a fully-duplicated doc vanishes from the output") {
+    val shared = words("dup", 30)
+    val docs = Seq(
+      (1L, words("a", 5) + " " + shared + " " + words("b", 4)),
+      (2L, shared), // all 30 tokens removed
+      (3L, words("c", 10))
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.removeSpans(docs, "doc_id", "text",
+        k = 8, minLen = 20)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(1L) == ((9L, words("a", 5) + " " + words("b", 4))))
+    assert(!got.contains(2L), "fully-removed doc must drop out")
+    assert(got(3L) == ((10L, words("c", 10))))
+  }
+
   test("plan shape passes ScaleGuard in fail mode (partitioned windows, " +
       "no cartesian)") {
     val docs = Seq((1L, words("a", 30)), (2L, words("a", 30)))
