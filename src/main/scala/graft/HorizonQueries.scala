@@ -221,8 +221,13 @@ object HorizonQueries {
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % B)
           .as("g"))
+    // dgl feeds the bucket model AND the per-doc weight aggregate —
+    // checkpoint the (doc, bucket) counts so the token explode over the
+    // text column runs once, not once per consumer (plan audit: 9 scans
+    // of documents without it)
     val dgl = tok.groupBy(col("doc_id"), col("g"), col("lang"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val buckets = dgl.groupBy(col("g"))
       .agg(sum(when(col("lang") === "de", col("c")).otherwise(0L)).as("ct"),
         sum(col("c")).as("cr"))
