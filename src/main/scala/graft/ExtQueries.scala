@@ -390,10 +390,11 @@ object ExtQueries {
     s"""WITH $simhashCtesSql
       |SELECT doc_id, simhash FROM sims ORDER BY doc_id""".stripMargin
 
-  /** SimHash PAIR detection through the oracle gate: banded 8-bit blocking
-    * (hamming-bounded candidate generation) + exact hamming verify — the
-    * operator [[Dedup.simhashPairs]], previously spec-only. The oracle replays
-    * the same bands and `bit_count(xor(...))` verify.
+  /** SimHash PAIR detection through the oracle gate: 60-bit signatures
+    * banded into 4 × 15-bit blocks (hamming-bounded candidate generation,
+    * pigeonhole-exact at maxHamming = 3) + exact hamming verify — the
+    * operator [[Dedup.simhashPairs]], previously spec-only. The oracle
+    * replays the same bands and `bit_count(xor(...))` verify.
     */
   def qSimhashPairs(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(spark, dir), "doc_id", "text",

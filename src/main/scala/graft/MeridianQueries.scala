@@ -261,7 +261,9 @@ object MeridianQueries {
       |cand AS (SELECT doc_id, nl, i,
       |    array_to_string(labels[nl - i + 1:nl], '.') AS cnd
       |  FROM (SELECT doc_id, nl, labels,
-      |      unnest(generate_series(1, least(nl, 5))) AS i FROM lab)),
+      |      unnest(generate_series(1, least(nl,
+      |        (SELECT MAX(len(string_split(suffix, '.'))) FROM pslr))))
+      |        AS i FROM lab)),
       |mm AS (SELECT doc_id,
       |    MAX(CASE WHEN hx = 1 THEN i - 1 END) AS exc,
       |    MAX(CASE WHEN hw = 1 AND nl > i THEN i + 1 END) AS wc,

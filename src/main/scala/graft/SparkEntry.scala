@@ -206,7 +206,8 @@ object SparkEntry {
     FrontierQueries.queries ++ AtlasQueries.queries ++ VanguardQueries.queries ++
     ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries ++
     ApexQueries.queries ++ TitanQueries.queries ++ OmegaQueries.queries ++ NexusQueries.queries ++
-    VertexQueries.queries ++ MeridianQueries.queries ++ HorizonQueries.queries
+    VertexQueries.queries ++ MeridianQueries.queries ++ HorizonQueries.queries ++
+    KeystoneQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -417,5 +418,6 @@ object SparkEntry {
     FrontierQueries.oracleSql ++ AtlasQueries.oracleSql ++ VanguardQueries.oracleSql ++
     ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
     ApexQueries.oracleSql ++ TitanQueries.oracleSql ++ OmegaQueries.oracleSql ++ NexusQueries.oracleSql ++
-    VertexQueries.oracleSql ++ MeridianQueries.oracleSql ++ HorizonQueries.oracleSql
+    VertexQueries.oracleSql ++ MeridianQueries.oracleSql ++ HorizonQueries.oracleSql ++
+    KeystoneQueries.oracleSql
 }

@@ -1294,8 +1294,9 @@ object VertexQueries {
     // same sorted-neighborhood window as fsPairs: the (brand, size) block
     // count is fixed, so an unbounded blocked self-join saturates
     // quadratically (39.6x for 10x data in the r13 sf1.0 sweep); pairing
-    // each part with its 16 nearest in-block successors is exhaustive at
-    // the oracle SFs (blocks <= 16 there) and linear beyond.
+    // each part with its 32 nearest in-block successors is exhaustive at
+    // the oracle SFs (blocks <= 28 there) and the deliberate linear
+    // approximation beyond (sf1.0 blocks ~280).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_brand"), col("p_size")).orderBy(col("p_partkey"))
     val p = Tables.part(spark, dir)
@@ -1308,7 +1309,7 @@ object VertexQueries {
       col("rn").as("rn_b"),
       col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
-        col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + 16)
+        col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + FsWindow)
       .select(col("key_a"), col("key_b"),
         round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
           col("name_b")), 6).as("jw"))
@@ -1329,7 +1330,7 @@ object VertexQueries {
       |SELECT key_a, key_b,
       |  ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
       |FROM a JOIN b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-      |  AND rn_b > rn_a AND rn_b <= rn_a + 16
+      |  AND rn_b > rn_a AND rn_b <= rn_a + 32
       |WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7
       |ORDER BY jw DESC, key_a, key_b LIMIT 100""".stripMargin
 
@@ -1409,11 +1410,14 @@ object VertexQueries {
     * q_fs_scores at 37x for 10x data). Pairing each record with only its
     * W nearest in-block successors (Hernandez & Stolfo's sorted
     * neighborhood, ordered by part key) bounds pairs to n*W — linear —
-    * and is EXHAUSTIVE whenever a block holds <= W+1 records, so at the
-    * oracle scale factors (blocks of ~2 and ~16 at sf0.01/sf0.1) the
-    * candidate set is identical to the full blocked join.
+    * and is EXHAUSTIVE whenever a block holds <= W+1 records. W = 32
+    * covers the oracle scale factors (measured max block sizes: ~3 at
+    * sf0.01, 28 at sf0.1 — the r13 W = 16 silently dropped ~2.8% of
+    * sf0.1's within-block pairs), so there the candidate set is identical
+    * to the full blocked join; beyond sf0.1 (sf1.0 blocks ~280) the
+    * neighborhood is the deliberate linear-cost approximation.
     */
-  private val FsWindow = 16
+  private val FsWindow = 32
 
   /** Candidate part pairs from (brand, size) blocking + the
     * sorted-neighborhood window, with boolean comparison fields and a
@@ -1465,7 +1469,7 @@ object VertexQueries {
       |      p_partkey AS key_b, p_name AS nb, p_type AS tb, pr AS pb
       |    FROM pp) b
       |  ON a.p_brand = b.b2 AND a.p_size = b.s2
-      |    AND b.rn_b > a.rn_a AND b.rn_b <= a.rn_a + 16)"""
+      |    AND b.rn_b > a.rn_a AND b.rn_b <= a.rn_a + 32)"""
       .stripMargin
 
   /** Fellegi-Sunter m/u probabilities and log2 agreement weights per

@@ -764,18 +764,32 @@ object Dedup {
   }
 
   /** SimHash near-dup candidates: pairs whose 60-bit signatures
-    * ([[graft.functions.SimHash60]]) match on at least one of the four
-    * 15-bit bands (hamming-distance-bounded blocking), verified by exact
-    * hamming distance ≤ maxHamming. Output: (id_a, id_b, hamming).
+    * ([[graft.functions.SimHash60]]) match on at least one of
+    * `maxHamming + 1` bands (hamming-distance-bounded blocking), verified
+    * by exact hamming distance ≤ maxHamming. The band count is DERIVED
+    * from the bound (mirroring [[Multimodal.perceptualDupPairs]]): with
+    * maxHamming + 1 bands, any pair within the bound has at least one
+    * band with zero differing bits (pigeonhole), so candidate recall is
+    * exact for EVERY maxHamming, not just the default. The 60 bits split
+    * as evenly as possible across the bands (maxHamming = 3 ⇒ 4 × 15-bit
+    * bands, the oracle-replayed convention). Output: (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    // 60-bit signature, 4 bands × 15 bits: same hamming ≤ 3 pigeonhole
-    // exactness as the old 4 × 8-bit banding over simhash32, but 32,768
-    // band keys instead of 256 — the r13 sf1.0 probe measured the 8-bit
+    require(maxHamming >= 0 && maxHamming <= 19,
+      s"maxHamming must be 0..19 (bands need >= 3 bits of 60 to stay " +
+        s"selective), got $maxHamming")
+    // Band geometry: nBands = maxHamming + 1 over the 60-bit signature;
+    // wide bands keep buckets sparse — the r13 sf1.0 probe measured 8-bit
     // buckets saturating (~n/256 docs per bucket → candidate join goes
-    // quadratic, 23× time for 10× data); at 15 bits buckets stay sparse
-    // until ~10M docs per shuffle partition.
+    // quadratic, 23× time for 10× data); at the default's 15 bits buckets
+    // stay sparse until ~10M docs per shuffle partition.
+    val nBands = maxHamming + 1
+    val base = 60 / nBands
+    val extra = 60 % nBands // first `extra` bands get one extra bit
+    val geom = (0 until nBands).scanLeft((0, 0)) { case ((off, w), b) =>
+      (off + w, base + (if (b < extra) 1 else 0))
+    }.tail // (offset, width) per band
     // sig (one row per doc) feeds three differently-keyed branches (banding +
     // both verify sides); checkpoint so the tokenize + bit-sum aggregate
     // runs once instead of per branch.
@@ -785,9 +799,11 @@ object Dedup {
     // one explode generator, not a UNION ALL of band projections — the union
     // shape re-runs the bit-sum simhash aggregate per band (same column-pruning
     // trap as the MinHash bandKeys, see that note)
-    val banded = sig.select(col(idCol), explode(array((0 until 4).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L)).as("bkey"))
+    val banded = sig.select(col(idCol), explode(array(geom.zipWithIndex.map {
+        case ((off, w), b) =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+              .as("bkey"))
       }: _*)).as("__bb"))
       .select(col(idCol), col("__bb.band").as("band"), col("__bb.bkey").as("bkey"))
     val x = banded.select(col(idCol).as("id_a"), col("band"), col("bkey"))

@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** Exact-substring deduplication — the Lee et al. 2022 ("Deduplicating
   * Training Data Makes Language Models Better", arXiv:2107.06499) tier of
-  * the dedup ladder: find maximal CROSS-DOCUMENT duplicate token runs of
-  * length ≥ `minLen` and report the per-document spans a curation
-  * pipeline would cut. Where the paper builds a monolithic suffix array,
+  * the dedup ladder: find maximal duplicate token runs of length ≥
+  * `minLen` — cross-document by default, within-document repeats too via
+  * `includeSelf` — and report the per-document spans a curation pipeline
+  * would cut. Where the paper builds a monolithic suffix array,
   * this is the distributed suffix-array-lite: anchor on k-token grams,
   * self-join anchors, and recover maximal runs as contiguity islands on
   * the (docA, docB, positionA − positionB) diagonal — two anchors of the
@@ -65,21 +66,45 @@ object SubstringDedup {
     grams.join(broadcast(hot), Seq("g"), "leftanti")
   }
 
-  /** Maximal cross-document duplicate runs ≥ `minLen` tokens: one row per
-    * (d1 < d2, run) with both docs' 1-based inclusive token intervals and
-    * the anchor count that witnessed the run.
+  /** Maximal duplicate runs ≥ `minLen` tokens: one row per (d1 ≤ d2, run)
+    * with both occurrences' 1-based inclusive token intervals and the
+    * anchor count that witnessed the run. Default scope is CROSS-document
+    * (d1 < d2); `includeSelf = true` adds WITHIN-document repeats (Lee et
+    * al.'s exact-substring dedup removes those too): same-doc anchor
+    * pairs at diag = p1 − p2 > 0 (one orientation only, so each mirrored
+    * pair is counted once; [s2,e2] is the earlier occurrence). Self
+    * pairing joins on (doc, gram) — a FINER shuffle key than the
+    * cross-doc gram join, so it adds no cross-doc fan-out — and is
+    * multiplicity-capped at `maxSelfOcc` occurrences per (doc, gram): the
+    * df cap bounds distinct DOCS per gram but not repeats inside one doc,
+    * and a token repeated m times in one doc would otherwise fan out
+    * m²/2 self pairs (that degenerate boilerplate is the line-dedup
+    * tier's job, same rationale as the stop-gram rule).
     */
   def duplicateRuns(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minLen: Int = 20,
-                    maxDf: Int = 64): DataFrame = {
+                    maxDf: Int = 64, includeSelf: Boolean = false,
+                    maxSelfOcc: Int = 8): DataFrame = {
     require(k >= 2 && minLen >= k,
       s"need k >= 2 and minLen >= k, got k=$k minLen=$minLen")
     val anc = anchors(docs, idCol, textCol, k, maxDf)
     val a = anc.select(col("g"), col("doc").as("d1"), col("pos").as("p1"))
     val b = anc.select(col("g"), col("doc").as("d2"), col("pos").as("p2"))
-    val pairs = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+    val cross = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"), col("p1"),
         (col("p1") - col("p2")).as("diag"))
+    val pairs = if (!includeSelf) cross else {
+      val occHot = anc.groupBy(col("doc"), col("g"))
+        .agg(count(lit(1)).as("__occ")).filter(col("__occ") > maxSelfOcc)
+        .select(col("doc"), col("g"))
+      val sa = anc.join(occHot, Seq("doc", "g"), "leftanti")
+      val sb = sa.select(col("doc"), col("g"), col("pos").as("p2"))
+      val self = sa.join(sb, Seq("doc", "g"))
+        .filter(col("pos") > col("p2"))
+        .select(col("doc").as("d1"), col("doc").as("d2"),
+          col("pos").as("p1"), (col("pos") - col("p2")).as("diag"))
+      cross.unionByName(self)
+    }
     val w = Window.partitionBy(col("d1"), col("d2"), col("diag"))
       .orderBy(col("p1"))
     pairs
@@ -100,8 +125,11 @@ object SubstringDedup {
     * span_start, span_end, span_len), 1-based inclusive token positions.
     */
   def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64): DataFrame = {
-    val runs = duplicateRuns(docs, idCol, textCol, k, minLen, maxDf)
+                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
+                  includeSelf: Boolean = false,
+                  maxSelfOcc: Int = 8): DataFrame = {
+    val runs = duplicateRuns(docs, idCol, textCol, k, minLen, maxDf,
+      includeSelf, maxSelfOcc)
     val spans = runs.select(explode(array(
         struct(col("d1").as("doc"), col("s1").as("s"), col("e1").as("e")),
         struct(col("d2").as("doc"), col("s2").as("s"), col("e2").as("e"))))
@@ -126,22 +154,27 @@ object SubstringDedup {
     * the merged duplicate spans REMOVED (surviving tokens re-joined with
     * single spaces, in order). Docs without spans pass through verbatim
     * (modulo whitespace normalization, which tokenization already imposed).
-    * Shape: the span table is tiny relative to the corpus (one row per
-    * merged span), so the positions explode joins against it BROADCAST;
-    * the per-doc reassembly is one groupBy(doc) of kept tokens — at
-    * 100 TB the cost is the tokenize explode plus one doc-keyed shuffle,
-    * the same class as any per-doc aggregate.
+    * Shape: the span table is one row per span-bearing doc — it scales
+    * with the corpus's duplicate MASS, not with a constant, so no
+    * broadcast hint is forced: AQE broadcasts it when its runtime size
+    * fits and falls back to a plain doc_id shuffle join when boilerplate
+    * is heavy (the safe default at 100 TB). The per-doc reassembly is one
+    * groupBy(doc) of kept tokens — the cost is the tokenize explode plus
+    * one doc-keyed shuffle, the same class as any per-doc aggregate.
     */
   def removeSpans(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64): DataFrame = {
-    val spans = mergedSpans(docs, idCol, textCol, k, minLen, maxDf)
+                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
+                  includeSelf: Boolean = false,
+                  maxSelfOcc: Int = 8): DataFrame = {
+    val spans = mergedSpans(docs, idCol, textCol, k, minLen, maxDf,
+        includeSelf, maxSelfOcc)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("__p0", "__tok")))
       .select(col("doc_id"), (col("__p0") + 1).as("__pos"), col("__tok"))
-    toks.join(broadcast(spans), Seq("doc_id"), "left")
+    toks.join(spans, Seq("doc_id"), "left")
       .filter(col("__spans").isNull || !exists(col("__spans"),
         sp => col("__pos") >= sp.getField("s") && col("__pos") <= sp.getField("e")))
       .groupBy(col("doc_id"))
@@ -156,8 +189,11 @@ object SubstringDedup {
     * loses at least one span.
     */
   def dedupStats(docs: DataFrame, idCol: String, textCol: String,
-                 k: Int = 8, minLen: Int = 20, maxDf: Int = 64): DataFrame = {
-    val merged = mergedSpans(docs, idCol, textCol, k, minLen, maxDf)
+                 k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
+                 includeSelf: Boolean = false,
+                 maxSelfOcc: Int = 8): DataFrame = {
+    val merged = mergedSpans(docs, idCol, textCol, k, minLen, maxDf,
+      includeSelf, maxSelfOcc)
     val per = merged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len").cast("long")).as("dup_tokens"))

@@ -111,26 +111,81 @@ object Multimodal {
             .map(hh => Row(r.get(idIdx), hh))
         }
       }, hashSchema)
+    bandedHammingPairs(hashed, idCol, "dhash", maxHamming)
+  }
+
+  /** Pigeonhole-banded Hamming join over a 64-bit hash column — the shared
+    * candidate-generation core of [[perceptualDupPairs]] (image dHash) and
+    * [[audioDupPairs]] (audio envelope fingerprint): maxHamming + 1 bands,
+    * so any pair within the bound collides on at least one band (exact
+    * recall), candidates verified with `bit_count(xor)`. Never corpus².
+    */
+  private def bandedHammingPairs(hashed: DataFrame, idCol: String,
+                                 hashCol: String, maxHamming: Int): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
     val bands = explode(array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("dhash"), b * bandBits).bitwiseAND(lit(mask))
+        shiftrightunsigned(col(hashCol), b * bandBits).bitwiseAND(lit(mask))
           .as("bits"))
     }: _*))
-    val banded = hashed.select(col(idCol), col("dhash"), bands.as("__bb"))
-      .select(col(idCol), col("dhash"),
+    val banded = hashed.select(col(idCol), col(hashCol), bands.as("__bb"))
+      .select(col(idCol), col(hashCol),
         col("__bb.band").as("band"), col("__bb.bits").as("bits"))
-    banded.select(col(idCol).as("id_a"), col("dhash").as("__ha"),
+    banded.select(col(idCol).as("id_a"), col(hashCol).as("__ha"),
         col("band"), col("bits"))
-      .join(banded.select(col(idCol).as("id_b"), col("dhash").as("__hb"),
+      .join(banded.select(col(idCol).as("id_b"), col(hashCol).as("__hb"),
         col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ha").bitwiseXOR(col("__hb"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Synthesize a mono 16-bit PCM WAV blob per row from an
+    * `array<int>` sample column ([[WavCodec.encodePcm]]) — the audio
+    * counterpart of [[synthPixelPng]]: caller-controlled samples make the
+    * downstream fingerprint oracle-checkable in closed form while the
+    * engine still exercises the real encode → parse → fingerprint path.
+    */
+  def synthPcmWav(df: DataFrame, samplesCol: String, sampleRate: Int,
+                  mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(mediaCol, BinaryType, nullable = false))
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val samples = r.getSeq[Int](sIdx).toArray
+        Row.fromSeq(r.toSeq :+ WavCodec.encodePcm(sampleRate, samples))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Audio near-dup pairs: [[WavCodec.audioFingerprint]]'s 64-bit
+    * loudness-envelope sign-of-delta hash per blob, then the same
+    * pigeonhole-banded Hamming join as the image path. Blobs that don't
+    * fingerprint (non-PCM, < 65 frames) drop out of pairing.
+    */
+  def audioDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idField = df.schema(idCol)
+    val hashSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("afp", LongType, nullable = false)))
+    val hashed = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          WavCodec.audioFingerprint(r.getAs[Array[Byte]](mediaIdx))
+            .map(hh => Row(r.get(idIdx), hh))
+        }
+      }, hashSchema)
+    bandedHammingPairs(hashed, idCol, "afp", maxHamming)
   }
 
   val audioMetaSchema: StructType = StructType(Seq(
@@ -574,6 +629,82 @@ object WavCodec extends Serializable {
     var i = 0
     while (i < dataSize) { out(44 + i) = ((i * 31 + 7) & 0xff).toByte; i += 1 }
     out
+  }
+
+  /** Emit a canonical mono 16-bit PCM WAVE blob carrying the GIVEN sample
+    * values — the audio counterpart of [[ImageIoCodec]]'s synthetic-pixel
+    * PNG: because the payload is caller-controlled, a generator can derive
+    * samples from closed-form expressions and an oracle can recompute the
+    * downstream fingerprint without parsing bytes.
+    */
+  def encodePcm(sampleRate: Int, samples: Array[Int]): Array[Byte] = {
+    val out = encode(sampleRate, channels = 1, bitsPerSample = 16,
+      nFrames = samples.length)
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i)
+      require(v >= Short.MinValue && v <= Short.MaxValue, s"sample $v")
+      out(44 + 2 * i) = (v & 0xff).toByte
+      out(44 + 2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual audio fingerprint: split the first channel's frames
+    * into 65 equal windows, take each window's mean |amplitude|, and set
+    * bit w iff window w+1 is strictly louder than window w — the
+    * sign-of-delta convention of the dHash gradient bit, over the loudness
+    * envelope instead of the luma row. Robust to gain-preserving edits
+    * that keep the envelope shape; a localized edit flips only the
+    * neighboring envelope bits, which is what lets a Hamming-banded join
+    * find perturbed re-encodes. None for anything that is not 16-bit PCM
+    * with ≥ 65 frames (too short to carry the envelope).
+    */
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
+      return None
+    var off = 12
+    var channels = 0; var bits = 0; var blockAlign = 0
+    var dataOff = -1; var dataSize = -1L
+    while (off + 8 <= bytes.length && (dataSize < 0 || channels == 0)) {
+      val id = tag(bytes, off)
+      val size = le32(bytes, off + 4)
+      if (off + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16 && off + 24 <= bytes.length) {
+        channels = le16(bytes, off + 10)
+        blockAlign = le16(bytes, off + 20)
+        bits = le16(bytes, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataSize = size }
+      off += 8 + size.toInt + (size.toInt & 1)
+    }
+    if (channels <= 0 || bits != 16 || blockAlign <= 0 || dataOff < 0)
+      return None
+    val n = (dataSize / blockAlign).toInt
+    if (n < 65) return None
+    val energy = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val lo = (w.toLong * n / 65).toInt
+      val hi = ((w + 1).toLong * n / 65).toInt
+      var s = 0.0
+      var f = lo
+      while (f < hi) {
+        val o = dataOff + f * blockAlign
+        val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+        s += math.abs(v.toDouble)
+        f += 1
+      }
+      energy(w) = s / (hi - lo)
+      w += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (energy(b + 1) > energy(b)) fp |= 1L << b
+      b += 1
+    }
+    Some(fp)
   }
 }
 

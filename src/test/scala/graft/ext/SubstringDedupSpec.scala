@@ -88,11 +88,77 @@ class SubstringDedupSpec extends SparkTestBase {
       k = 8, minLen = 10, maxDf = 10).count() == 15) // C(6,2) pairs
   }
 
-  test("within-doc repetition alone yields no runs (cross-doc only)") {
+  test("within-doc repetition alone yields no runs by default; " +
+      "includeSelf surfaces it as d1 = d2 runs") {
     val rep = words("r", 12)
     val docs = Seq((1L, rep + " " + rep + " " + rep)).toDF("doc_id", "text")
     assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
       k = 8, minLen = 10).count() == 0)
+    val self = SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+        k = 8, minLen = 10, includeSelf = true)
+      .collect()
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Long]("d1") == 1L &&
+      r.getAs[Long]("d2") == 1L))
+    // each run's later occurrence sits diag tokens after the earlier one
+    assert(self.forall(r => r.getAs[Int]("s1") > r.getAs[Int]("s2")))
+  }
+
+  test("a planted tail-repeat is recovered exactly with includeSelf and " +
+      "its spans merge into the same per-doc table") {
+    // doc 1: 10 unique + R(25) + 5 unique + R(25) again → self-run of 25
+    // tokens at diag 30; doc 2 is unrelated
+    val r25 = words("rep", 25)
+    val docs = Seq(
+      (1L, words("a", 10) + " " + r25 + " " + words("b", 5) + " " + r25),
+      (2L, words("z", 40))
+    ).toDF("doc_id", "text")
+    val runs = SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+        k = 8, minLen = 20, includeSelf = true).collect()
+    assert(runs.length == 1)
+    val r = runs.head
+    assert(r.getAs[Long]("d1") == 1L && r.getAs[Long]("d2") == 1L)
+    assert(r.getAs[Int]("s2") == 11 && r.getAs[Int]("e2") == 35)
+    assert(r.getAs[Int]("s1") == 41 && r.getAs[Int]("e1") == 65)
+    assert(r.getAs[Int]("run_len") == 25)
+    val spans = SubstringDedup.mergedSpans(docs, "doc_id", "text",
+        k = 8, minLen = 20, includeSelf = true)
+      .orderBy("doc_id", "span_start").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2)))
+    // both occurrences land in the one span table (non-adjacent → 2 spans)
+    assert(spans.toSeq == Seq((1L, 11, 35), (1L, 41, 65)))
+  }
+
+  test("self pairing is multiplicity-capped: a gram repeated more than " +
+      "maxSelfOcc times in one doc is dropped from self pairs") {
+    val r = words("r", 12)
+    // 12-token block repeated 12 times → every interior 8-gram occurs ~12
+    // times within the doc
+    val docs = Seq((1L, Seq.fill(12)(r).mkString(" "))).toDF("doc_id", "text")
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 10, includeSelf = true, maxSelfOcc = 3).count() == 0)
+    assert(SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 10, includeSelf = true, maxSelfOcc = 20).count() > 0)
+  }
+
+  test("removeSpans places no broadcast hint on the span table (it " +
+      "scales with dup mass — AQE decides at runtime)") {
+    val docs = Seq((1L, words("a", 30)), (2L, words("a", 30)))
+      .toDF("doc_id", "text")
+    val plan = SubstringDedup.removeSpans(docs, "doc_id", "text")
+      .queryExecution.analyzed
+    val hints = plan.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    // the only surviving hints are the df-cap stop-gram anti-join's (a
+    // bounded Zipf-head table, one instance per anchor-join side); the
+    // span table — whose output carries the __spans interval list — must
+    // stay unhinted
+    assert(hints.nonEmpty)
+    hints.foreach { h =>
+      assert(h.child.output.map(_.name) == Seq("g"),
+        s"unexpected broadcast hint over ${h.child.output.map(_.name)}")
+    }
   }
 
   test("removeSpans cuts exactly the merged spans and reassembles in " +
