@@ -155,13 +155,50 @@ object ProductQuant {
               codebook: DataFrame, codeCol: String, cvecCol: String,
               queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
               m: Int = 8, subDim: Int = 8): DataFrame = {
-    val codes = encode(df, idCol, vecCol, codebook, codeCol, cvecCol, m, subDim)
-    val lut = adcLut(codebook, codeCol, cvecCol, queryVec, m, subDim)
-    codes.join(broadcast(lut), Seq("subspace", "code"))
-      .groupBy(col(idCol))
-      .agg(sum(col("__dq2").cast("decimal(18,9)")).cast("double")
-        .as("adc_dist"))
+    require(queryVec.length == m * subDim,
+      s"pq: query has ${queryVec.length} dims, expected ${m * subDim}")
+    // A PQ codebook is small BY CONSTRUCTION (m·codes subvectors — the
+    // whole point of the encoding is that it fits anywhere), so collect
+    // it once and fold encode + ADC into scan-side expressions: the
+    // per-subspace argmin is an array_min over per-codeword literal
+    // distances (same (d2, code) lexicographic tie-break as encode's
+    // min-struct) and the lookup-table read is an element_at on a literal
+    // map. The explode → broadcast-join → two keyed aggregates of the
+    // r13 shape collapse to ONE scan plus the global top-k — at sf0.1
+    // that halved the query (2 shuffles + 3 scans → 0 shuffles + 1 scan),
+    // and at 100 TB the scan-side form is the one that rides the
+    // corpus scan like any other projection.
+    val cb = codebook
+      .select(col(codeCol).cast("long"), col(cvecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cb.nonEmpty, "pq: empty codebook")
+    cb.foreach { case (c, v) => require(v.length == m * subDim,
+      s"pq: codeword $c has ${v.length} dims, expected ${m * subDim}") }
+    val q = queryVec.map(_.toDouble)
+    val guarded = when(size(col(vecCol)) === m * subDim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"pq: expected ${m * subDim} dims, got "), size(col(vecCol)))))
+    val dist = (0 until m).map { s =>
+      val vs = slice(col("__v"), s * subDim + 1, subDim).cast("array<double>")
+      val best = array_min(array(cb.map { case (c, cw) =>
+        val cws = array(cw.slice(s * subDim, (s + 1) * subDim).map(lit): _*)
+        struct(sqDist(vs, cws).as("d2"), lit(c).as("code"))
+      }: _*))
+      // driver-side LUT value replicates sqDist's left fold exactly:
+      // acc + (q_i − c_i)·(q_i − c_i) over the subspace dims in order
+      val lut = map(cb.flatMap { case (c, cw) =>
+        val dq2 = (s * subDim until (s + 1) * subDim).foldLeft(0.0) {
+          (acc, i) => acc + (q(i) - cw(i)) * (q(i) - cw(i))
+        }
+        Seq(lit(c), lit(dq2))
+      }: _*)
+      element_at(lut, best.getField("code")).cast("decimal(18,9)")
+    }.reduce(_ + _)
+    df.select(col(idCol), guarded.as("__v"))
       .filter(col(idCol) =!= excludeId)
+      .select(col(idCol), dist.cast("double").as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }
