@@ -87,10 +87,15 @@ object PublicSuffix {
       // candidate = the host's last i labels (null when the host is shorter)
       val cand = when(n >= i,
         concat_ws(".", slice(labels, n - lit(i - 1), lit(i))))
-      val r = broadcast(rules.select(col("suffix").as(s"__psl_s$i"),
-        col("has_exact").as(s"__psl_e$i"),
-        col("has_wildcard").as(s"__psl_w$i"),
-        col("has_exception").as(s"__psl_x$i")))
+      // a depth-i candidate can only equal a suffix with exactly i labels,
+      // so each probe broadcasts just its own depth slice of the rule
+      // table (the full PSL is ~10k rows; the deep slices are dozens)
+      val r = broadcast(rules
+        .filter(size(split(col("suffix"), "\\.")) === i)
+        .select(col("suffix").as(s"__psl_s$i"),
+          col("has_exact").as(s"__psl_e$i"),
+          col("has_wildcard").as(s"__psl_w$i"),
+          col("has_exception").as(s"__psl_x$i")))
       cur = cur.join(r, cand === col(s"__psl_s$i"), "left")
     }
     val nullI = lit(null).cast("int")
