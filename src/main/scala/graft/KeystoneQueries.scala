@@ -150,13 +150,67 @@ object KeystoneQueries {
        |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $AudMaxHam
        |ORDER BY id_a, id_b""".stripMargin
 
+  // --------------------------------------------------------------------
+  // Perceptual video near-dup through the banded-Hamming path
+  // --------------------------------------------------------------------
+
+  /** Video near-dup pairs — the third member of the banded-Hamming family
+    * (image dHash, audio envelope, now video): REAL ISO-BMFF MP4s are
+    * synthesized with md5-derived mdat sample bytes (docs with id ≡ 1 mod
+    * 10 reuse the PREVIOUS doc's payload with one perturbed window),
+    * fingerprinted through the real box walk ([[graft.multimodal.Mp4Codec
+    * .videoFingerprint]]: 65-window mdat envelope, sign-of-delta bits) and
+    * paired within Hamming ≤ 3 by the shared pigeonhole-banded equi-join.
+    * One byte per envelope window gives the fingerprint a closed form, so
+    * the oracle checks encode → box-walk → fingerprint → band → verify
+    * end to end.
+    */
+  def qVideoNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val pat = when(id % 10 === 1, id - 1).otherwise(id)
+    val samples = transform(sequence(lit(0), lit(AudWindows - 1)), w => {
+      val v = conv(substring(md5(concat(lit("v"), pat.cast("string"),
+          lit("_"), w.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 256
+      when(id % 10 === 1 && w === 11, (v + 97) % 256)
+        .otherwise(v).cast("int")
+    })
+    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
+    graft.multimodal.Multimodal.videoDupPairs(mp4, "doc_id", "media",
+        maxHamming = AudMaxHam)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val videoNearDupSql: String =
+    s"""WITH v0 AS (SELECT doc_id, w,
+       |    ('0x' || substr(md5('v' || (CASE WHEN doc_id % 10 = 1
+       |        THEN doc_id - 1 ELSE doc_id END) || '_' || w), 1,
+       |      8))::BIGINT % 256 AS v0
+       |  FROM (SELECT doc_id FROM documents) CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${AudWindows - 1})) AS w)),
+       |v AS (SELECT doc_id, w, CASE WHEN doc_id % 10 = 1 AND w = 11
+       |    THEN (v0 + 97) % 256 ELSE v0 END AS v FROM v0),
+       |bits AS (SELECT a.doc_id, a.w AS b, n.v > a.v AS bit
+       |  FROM v a JOIN v n ON a.doc_id = n.doc_id AND n.w = a.w + 1
+       |  WHERE a.w < ${AudWindows - 1}),
+       |ham AS (SELECT p.doc_id AS id_a, q.doc_id AS id_b,
+       |    CAST(SUM(CASE WHEN p.bit <> q.bit THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hamming
+       |  FROM bits p JOIN bits q ON p.b = q.b AND p.doc_id < q.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= $AudMaxHam
+       |ORDER BY id_a, id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_self" -> (qSubstringSelf _),
-    "q_audio_near_dup" -> (qAudioNearDup _)
+    "q_audio_near_dup" -> (qAudioNearDup _),
+    "q_video_near_dup" -> (qVideoNearDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_substring_self" -> substringSelfSql,
-    "q_audio_near_dup" -> audioNearDupSql
+    "q_audio_near_dup" -> audioNearDupSql,
+    "q_video_near_dup" -> videoNearDupSql
   )
 }

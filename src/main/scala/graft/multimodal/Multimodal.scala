@@ -278,6 +278,53 @@ object Multimodal {
     df.sparkSession.createDataFrame(rows, schema)
   }
 
+  /** Synthesize an MP4 blob per row whose mdat carries the given
+    * `array<int>` sample bytes ([[Mp4Codec.encodeWithMdat]]) — the video
+    * counterpart of [[synthPcmWav]]: caller-controlled payload makes the
+    * downstream fingerprint oracle-checkable in closed form while the
+    * engine exercises the real box-walk → fingerprint path.
+    */
+  def synthMp4Samples(df: DataFrame, samplesCol: String,
+                      brand: String = "isom", nTracks: Int = 1,
+                      timescale: Long = 1000L, durUnits: Long = 2000L,
+                      mediaCol: String = "media"): DataFrame = {
+    val schema = StructType(df.schema.fields :+
+      StructField(mediaCol, BinaryType, nullable = false))
+    val sIdx = df.schema.fieldIndex(samplesCol)
+    val rows = df.rdd.mapPartitions { it =>
+      it.map { r =>
+        val mdat = r.getSeq[Int](sIdx).map(v => (v & 0xff).toByte).toArray
+        Row.fromSeq(r.toSeq :+ Mp4Codec.encodeWithMdat(brand, nTracks,
+          timescale, durUnits, mdat))
+      }
+    }
+    df.sparkSession.createDataFrame(rows, schema)
+  }
+
+  /** Video near-dup pairs: [[Mp4Codec.videoFingerprint]]'s 64-bit
+    * mdat-envelope hash per blob, then the same pigeonhole-banded Hamming
+    * join as the image and audio paths. Blobs with no mdat (or one too
+    * short to window) drop out of pairing.
+    */
+  def videoDupPairs(df: DataFrame, idCol: String, mediaCol: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val idField = df.schema(idCol)
+    val hashSchema = StructType(Seq(
+      StructField(idCol, idField.dataType, idField.nullable),
+      StructField("vfp", LongType, nullable = false)))
+    val hashed = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          Mp4Codec.videoFingerprint(r.getAs[Array[Byte]](mediaIdx))
+            .map(hh => Row(r.get(idIdx), hh))
+        }
+      }, hashSchema)
+    bandedHammingPairs(hashed, idCol, "vfp", maxHamming)
+  }
+
   /** Parse video metadata from each media blob with the REAL ISO-BMFF box
     * parser ([[Mp4Codec.decode]]) — same per-partition batch-loop shape as
     * [[decodeAudioMeta]]; non-MP4 blobs yield null metadata so a mixed-media
@@ -867,6 +914,68 @@ object Mp4Codec extends Serializable {
     }
     out
   }
+
+  /** [[encode]] with a CALLER-CONTROLLED mdat payload — the video
+    * counterpart of [[WavCodec.encodePcm]]: a generator can derive sample
+    * bytes from closed-form expressions so the downstream fingerprint is
+    * oracle-checkable without parsing.
+    */
+  def encodeWithMdat(majorBrand: String, nTracks: Int, timescale: Long,
+                     durationUnits: Long, mdat: Array[Byte]): Array[Byte] = {
+    val out = encode(majorBrand, nTracks, timescale, durationUnits,
+      mdat.length)
+    mdat.copyToArray(out, out.length - mdat.length)
+    out
+  }
+
+  /** The mdat payload bytes of a well-formed MP4 (first mdat box), or None
+    * — the box walk is the same top-level scan as [[decode]], never a
+    * sample decode.
+    */
+  def mdatPayload(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 8) return None
+    var off = 0
+    while (off + 8 <= bytes.length) {
+      val size = be32(bytes, off)
+      val name = tag(bytes, off + 4)
+      if (size < 8 || off + size > bytes.length) return None
+      if (name == "mdat")
+        return Some(bytes.slice(off + 8, off + size.toInt))
+      off += size.toInt
+    }
+    None
+  }
+
+  /** 64-bit perceptual video fingerprint — the [[WavCodec
+    * .audioFingerprint]] convention over the mdat sample stream: 65 equal
+    * windows, mean unsigned byte value per window, bit w = window w+1 >
+    * window w. On a real corpus the windows would hold decoded frame
+    * luma; over the synthetic containers they hold the deterministic
+    * sample bytes — the banding/verify pipeline downstream is identical
+    * either way. None when there is no mdat or it is shorter than 65
+    * bytes.
+    */
+  def videoFingerprint(bytes: Array[Byte]): Option[Long] =
+    mdatPayload(bytes).filter(_.length >= 65).map { p =>
+      val energy = new Array[Double](65)
+      var w = 0
+      while (w < 65) {
+        val lo = (w.toLong * p.length / 65).toInt
+        val hi = ((w + 1).toLong * p.length / 65).toInt
+        var s = 0.0
+        var i = lo
+        while (i < hi) { s += (p(i) & 0xff); i += 1 }
+        energy(w) = s / (hi - lo)
+        w += 1
+      }
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (energy(b + 1) > energy(b)) fp |= 1L << b
+        b += 1
+      }
+      fp
+    }
 }
 
 /** Deterministic stand-in codec: derives metadata from the bytes alone. Kept as
