@@ -128,15 +128,21 @@ object HorizonQueries {
 
   private val ImgW = 9
   private val ImgH = 8
-  private val ImgMaxHam = 7
+  private val ImgMaxHam = 3
 
   /** Image near-dup pairs: REAL 9×8 grayscale PNGs are rendered from
     * md5-derived per-cell lumas (docs with id ≡ 1 mod 10 reuse the
-    * PREVIOUS doc's pattern with one perturbed cell — a planted near-dup),
-    * dHash'd through `javax.imageio` decode, and paired within Hamming ≤ 7
-    * by [[graft.multimodal.Multimodal.perceptualDupPairs]]'s banded
-    * equi-join (8 bands × 8 bits; pigeonhole makes the banding EXACT at
-    * this budget, never corpus²). Because the 9×8 canvas maps one pixel
+    * PREVIOUS doc's pattern with one perturbed cell — a planted near-dup,
+    * flipping ≤ 2 dHash bits), dHash'd through `javax.imageio` decode,
+    * and paired within Hamming ≤ 3 by [[graft.multimodal.Multimodal
+    * .perceptualDupPairs]]'s banded equi-join (4 bands × 16 bits;
+    * pigeonhole makes the banding EXACT at this budget, never corpus²).
+    * The budget was 7 (8 × 8-bit bands) until the r14 sf1.0 probe caught
+    * the 256-key bands saturating — ~n/256 images per bucket goes
+    * quadratic, the same failure the r13 probe found in the 8-bit simhash
+    * bands; 16-bit bands stay sparse into the tens of millions of images,
+    * and the planted dups sit at Hamming ≤ 2 so the tightened budget
+    * changes no tested output. Because the 9×8 canvas maps one pixel
     * per dHash grid cell and PNG is lossless, the decoded-pixel hash has a
     * closed form over the generator expressions — the oracle computes
     * pairwise Hamming straight from them, so it independently checks the

@@ -327,9 +327,9 @@ object NexusQueries {
       |        embedding[j]::DOUBLE * $sign)) / sqrt(16.0)) AS y
       |  FROM embeddings WHERE vec_id % 29 = 0 OR vec_id % 31 = 0),
       |a AS (SELECT vec_id AS ida, embedding AS xa, y AS ya FROM proj
-      |  WHERE vec_id % 29 = 0),
+      |  WHERE vec_id % 29 = 0 ORDER BY vec_id LIMIT 256),
       |b AS (SELECT vec_id AS idb, embedding AS xb, y AS yb FROM proj
-      |  WHERE vec_id % 31 = 0),
+      |  WHERE vec_id % 31 = 0 ORDER BY vec_id LIMIT 256),
       |pr AS (SELECT
       |    list_sum(list_transform(generate_series(1, 64), j ->
       |      (xa[j]::DOUBLE - xb[j]::DOUBLE)

@@ -56,13 +56,18 @@ object RandomProjection {
   /** Hard cap on each sampled side of the distortion pair join. The id-hash
     * filters alone shrink each side only by a FIXED fraction (1/modA,
     * 1/modB), which still grows linearly with the corpus — at 100 TB the
-    * broadcast side would not fit. The cap makes the bound absolute: each
-    * side is the `MaxSide` smallest sampled ids (a deterministic sorted
-    * TakeOrdered, so the audit is reproducible), giving at most MaxSide²
-    * pairs and a ≤ MaxSide-row broadcast regardless of corpus size. At the
-    * test tiers the samples are far below the cap, so it never binds there.
+    * broadcast side would not fit, and pair count grows QUADRATICALLY in
+    * the window before any cap binds (the r14 sf1.0 probe measured the
+    * old 4096 cap letting the query go 20× for 10× data: the cap only
+    * bound beyond ~120k vectors). A distortion audit needs a fixed PAIR
+    * budget, not a fixed fraction: each side is the `MaxSide` smallest
+    * sampled ids (a deterministic sorted TakeOrdered, so the audit is
+    * reproducible), giving ≤ MaxSide²/2 ≈ 33k pairs — ample statistics
+    * for a 0.1-wide ratio histogram — and a ≤ MaxSide-row broadcast
+    * regardless of corpus size. At the oracle tiers (sides ≈ 7 / 69) the
+    * cap never binds.
     */
-  val MaxSide: Int = 4096
+  val MaxSide: Int = 256
 
   def distortionHistogram(emb: DataFrame, idCol: String, vecCol: String,
                           inDims: Int, outDims: Int,
