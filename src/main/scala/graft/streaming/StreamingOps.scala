@@ -199,6 +199,87 @@ object StreamingOps {
       }
   }
 
+  final case class HammingPair(id_a: Long, id_b: Long, hamming: Int)
+
+  /** Streaming banded-Hamming near-dup candidates with event-time state
+    * TTL — the perceptual-fingerprint twin of [[graft.multimodal
+    * .Multimodal]]'s banded batch joins (image dHash, audio envelope,
+    * video mdat), closing the streaming story for that tier the way
+    * [[minhashCandidatesStreamTtl]] does for set-level dedup: each
+    * arriving (id, 64-bit fingerprint) keys into `maxHamming + 1` band
+    * buckets (pigeonhole: a pair within the bound shares at least one
+    * bucket), a bucket holds one canonical (id, fingerprint), and an
+    * arrival pairs against the canonical with an EXACT `bitCount` verify.
+    * Canonical-chain trade as in the minhash/winnow twins: a hot bucket
+    * grows pairs linearly in arrivals, never quadratically, and the same
+    * pair may surface from more than one band (downstream dedups —
+    * identical to the batch operators' pre-`distinct` candidate stream).
+    * Bucket state expires `ttlMs` past its last-seen event time, re-armed
+    * per visit, so an unbounded corpus keeps bounded state; a duplicate
+    * recurring after the horizon re-seeds instead of pairing, with the
+    * batch operators as the exact backstop.
+    */
+  def fingerprintCandidatesStreamTtl(fps: DataFrame, tsCol: String,
+                                     ttlMs: Long, idCol: String = "doc_id",
+                                     fpCol: String = "fingerprint",
+                                     maxHamming: Int = 3,
+                                     allowedLateness: String = "0 seconds")
+      : Dataset[HammingPair] = {
+    import fps.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"need 0 <= maxHamming <= 15, got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
+          .as("bits"))
+    }
+    val keyed = fps.withWatermark(tsCol, allowedLateness)
+      .select(col(idCol).cast("long").as("__id"), col(tsCol).as("__ts"),
+        col(fpCol).cast("long").as("__fp"))
+      .select(col("__id"), col("__ts"), col("__fp"),
+        explode(array(banded: _*)).as("bk"))
+      .select(col("__id").as("_1"), col("__ts").as("_2"),
+        col("__fp").as("_3"), col("bk.band").as("_4"), col("bk.bits").as("_5"))
+      .as[(Long, Timestamp, Long, Int, Long)]
+    keyed
+      .groupByKey { case (_, _, _, band, bits) => (band, bits) }
+      .flatMapGroupsWithState[(Long, Long), HammingPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[(Long, Timestamp, Long, Int, Long)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val arrivals = rows.map(r => (r._1, r._3)).distinct.sortBy(_._1)
+            val out = scala.collection.mutable.ArrayBuffer[HammingPair]()
+            var canon: (Long, Long) = state.getOption.orNull
+            arrivals.foreach { case (id, fp) =>
+              if (canon == null) canon = (id, fp)
+              else if (id != canon._1) {
+                val d = java.lang.Long.bitCount(canon._2 ^ fp)
+                if (d <= maxHamming)
+                  out += HammingPair(math.min(canon._1, id),
+                    math.max(canon._1, id), d)
+                if (id < canon._1) canon = (id, fp)
+              }
+            }
+            if (canon != null) {
+              state.update(canon)
+              val maxTs = rows.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming winnowing near-dup candidates with event-time state TTL —
     * the fingerprint-register twin of [[graft.ext.Winnowing.similarPairs]],
     * closing the streaming story for position-robust dedup the way

@@ -41,6 +41,11 @@ class StreamStateGuardSpec extends SparkTestBase {
         minhashCandidatesStreamTtl(docs, "ts", ttlMs = 60000L),
       "winnowCandidatesStreamTtl" ->
         winnowCandidatesStreamTtl(docs, "ts", ttlMs = 60000L),
+      "fingerprintCandidatesStreamTtl" ->
+        fingerprintCandidatesStreamTtl(
+          docs.select(col("doc_id"), col("ts"),
+            col("doc_id").cast("long").as("fingerprint")),
+          "ts", ttlMs = 60000L),
       "funnelStreamLate" ->
         funnelStreamLate(MemoryStream[FunnelEvent].toDS(), Seq("a", "b")),
       "sessionizeLate" -> sessionizeLate(MemoryStream[SessionEvent].toDS()),

@@ -800,6 +800,75 @@ class StreamingOpsSpec extends SparkTestBase {
       s"streamed first-epoch pairs $firstEpoch != batch twin $batchPairs")
   }
 
+  final case class FpDoc(ts: Timestamp, doc_id: Long, fingerprint: Long)
+
+  test("fingerprint TTL candidates: near-dups within the horizon pair " +
+      "with exact hamming, unrelated fingerprints stay unpaired, expired " +
+      "buckets re-seed") {
+    implicit val sc = spark.sqlContext
+    val base = 0x0123456789abcdefL
+    val near = base ^ (1L << 5) ^ (1L << 40) // hamming 2; bands 1 and 3 agree
+    val far = 0x5a5a13377331a5a5L // hamming 32 vs base, no shared band
+    val input = MemoryStream[FpDoc]
+    val query = StreamingOps.fingerprintCandidatesStreamTtl(input.toDF(),
+        "ts", ttlMs = 60 * 60000L) // 1 hour of event time
+      .writeStream.format("memory").queryName("fp_ttl_out")
+      .outputMode("append").start()
+    input.addData(FpDoc(ts(0), 1L, base), FpDoc(ts(10), 2L, near),
+      FpDoc(ts(12), 3L, far))
+    query.processAllAvailable()
+    // 3 hours later: an UNRELATED fingerprint advances the watermark past
+    // every first-epoch bucket's TTL (watermarks lag one batch, so this
+    // row itself is still judged against the old watermark — it must
+    // share no band with anything live)
+    input.addData(FpDoc(ts(180), 4L, 0xfedcba9876543210L))
+    query.processAllAvailable()
+    // base again: its old bucket expired -> re-seeds, no cross-epoch pair
+    input.addData(FpDoc(ts(200), 5L, base))
+    query.processAllAvailable()
+    // a fresh near-dup inside the new epoch pairs against the re-seed
+    input.addData(FpDoc(ts(205), 6L, base ^ (1L << 63)))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("fp_ttl_out").as[StreamingOps.HammingPair]
+      .collect()
+    val pairs = rows.map(p => (p.id_a, p.id_b)).toSet
+    val ham = rows.map(p => (p.id_a, p.id_b) -> p.hamming).toMap
+    assert(pairs.contains((1L, 2L)) && ham((1L, 2L)) == 2,
+      s"in-horizon near-dup missed or wrong hamming: $rows")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      s"unrelated fingerprint paired: $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated watermark-advancer paired: $pairs")
+    assert(!pairs.exists(p => p._2 == 5L && p._1 <= 3L),
+      s"expired base bucket leaked across the TTL horizon: $pairs")
+    assert(pairs.contains((5L, 6L)) && ham((5L, 6L)) == 1,
+      s"re-seeded epoch near-dup missed: $pairs")
+    // batch differential on the first epoch: the streamed pair set equals
+    // the banded batch join over the same three fingerprints
+    val batch = {
+      import org.apache.spark.sql.functions._
+      val fps = Seq((1L, base), (2L, near), (3L, far)).toDF("id", "fp")
+      val banded = fps.select(col("id"), col("fp"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+            .as("bits"))): _*)).as("bk"))
+        .select(col("id"), col("fp"), col("bk.band").as("band"),
+          col("bk.bits").as("bits"))
+      banded.select(col("id").as("ia"), col("fp").as("fa"), col("band"),
+          col("bits"))
+        .join(banded.select(col("id").as("ib"), col("fp").as("fb"),
+          col("band"), col("bits")), Seq("band", "bits"))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          bit_count(col("fa").bitwiseXOR(col("fb"))).as("d"))
+        .distinct().filter(col("d") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    assert(pairs.filter(p => p._1 <= 3L && p._2 <= 3L) == batch,
+      s"streamed first-epoch pairs != batch banded join: $pairs vs $batch")
+  }
+
   test("minhash TTL: buckets expire past the horizon, dups within it still pair") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
