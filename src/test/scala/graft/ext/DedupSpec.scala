@@ -292,6 +292,36 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("simhashPairs banding is pigeonhole-exact at ANY maxHamming — " +
+      "uneven band widths included: agrees with brute-force hamming over " +
+      "the 60-bit signatures") {
+    // 30 docs drifting away from one base a token at a time: signature
+    // hammings span the whole 0..60 range, so every band boundary is
+    // exercised; maxHamming = 6 ⇒ 7 bands of widths 9,9,9,9,8,8,8
+    val words = base.split(" ")
+    val corpus = (0 until 30).map { i =>
+      val t = words.zipWithIndex.map { case (w, j) =>
+        if (j < i % words.length) s"drift${i}_$j" else w
+      }.mkString(" ")
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+    for (mh <- Seq(1, 4, 6, 9)) {
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = mh)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sigs = corpus
+        .select(col("doc_id"),
+          graft.functions.SimHash60.simhash60(col("text")).as("s"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val brute = (for {
+        (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+        d = java.lang.Long.bitCount(sa ^ sb) if d <= mh
+      } yield (ia, ib, d.toLong)).toSet
+      assert(banded == brute,
+        s"maxHamming=$mh: banded ${banded.size} pairs != brute ${brute.size}")
+      assert(brute.nonEmpty, s"maxHamming=$mh fixture produced no pairs")
+    }
+  }
+
   test("embeddingDupPairs: planted near-identical vectors are found, bucket-local") {
     val dim = 64
     def vec(seed: Int, jitter: Float): Seq[Float] =
