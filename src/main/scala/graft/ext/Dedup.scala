@@ -775,10 +775,19 @@ object Dedup {
     * bands, the oracle-replayed convention). Output: (id_a, id_b, hamming).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   allowCoarseBands: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 19,
-      s"maxHamming must be 0..19 (bands need >= 3 bits of 60 to stay " +
-        s"selective), got $maxHamming")
+      s"maxHamming must be 0..19, got $maxHamming")
+    // maxHamming > 5 shrinks bands below 10 bits (< 1024 keys): recall
+    // stays pigeonhole-exact but buckets saturate at ~n/2^width docs and
+    // the candidate join goes quadratic on any non-trivial corpus — the
+    // exact failure mode the r13 probe measured for 8-bit bands. Callers
+    // that KNOW the input is small (tests, bounded partitions) opt in.
+    require(maxHamming <= 5 || allowCoarseBands,
+      s"maxHamming=$maxHamming gives bands narrower than 10 bits; the " +
+        s"candidate join saturates on large corpora — pass " +
+        s"allowCoarseBands=true only for provably small inputs")
     // Band geometry: nBands = maxHamming + 1 over the 60-bit signature;
     // wide bands keep buckets sparse — the r13 sf1.0 probe measured 8-bit
     // buckets saturating (~n/256 docs per bucket → candidate join goes

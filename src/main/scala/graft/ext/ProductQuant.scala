@@ -151,6 +151,17 @@ object ProductQuant {
           struct(col("subspace"), col("code")))),
         s => s.getField("code").cast("int")).as("codes"))
 
+  /** Codebook-size ceiling for [[adcTopK]]'s scan-side literal fold. The
+    * fold emits m × |codes| struct literals per projection plus an m-way
+    * literal map; past a few dozen codewords that single projection risks
+    * Janino's 64 KB method / constant-pool limits (silent interpreted
+    * fallback at best, codegen failure at worst). Above the gate adcTopK
+    * keeps the same semantics through the broadcast-join shape instead
+    * (encode → broadcast LUT join → keyed sum), which is literal-free and
+    * sized by data, not by generated code.
+    */
+  val AdcFoldMaxCodes: Int = 64
+
   def adcTopK(df: DataFrame, idCol: String, vecCol: String,
               codebook: DataFrame, codeCol: String, cvecCol: String,
               queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
@@ -167,7 +178,11 @@ object ProductQuant {
     // r13 shape collapse to ONE scan plus the global top-k — at sf0.1
     // that halved the query (2 shuffles + 3 scans → 0 shuffles + 1 scan),
     // and at 100 TB the scan-side form is the one that rides the
-    // corpus scan like any other projection.
+    // corpus scan like any other projection. The fold is gated on
+    // [[AdcFoldMaxCodes]]: a 256-codeword × m=8 book would bake ~2k
+    // struct literals into one generated method, so large books take the
+    // broadcast-join path below (ProductQuantSpec drives both
+    // differentially at 256 codewords and asserts the chosen plan shape).
     val cb = codebook
       .select(col(codeCol).cast("long"), col(cvecCol).cast("array<double>"))
       .collect()
@@ -176,6 +191,9 @@ object ProductQuant {
     require(cb.nonEmpty, "pq: empty codebook")
     cb.foreach { case (c, v) => require(v.length == m * subDim,
       s"pq: codeword $c has ${v.length} dims, expected ${m * subDim}") }
+    if (cb.length > AdcFoldMaxCodes)
+      return adcTopKJoin(df, idCol, vecCol, codebook, codeCol, cvecCol,
+        queryVec, k, excludeId, m, subDim)
     val q = queryVec.map(_.toDouble)
     val guarded = when(size(col(vecCol)) === m * subDim, col(vecCol))
       .otherwise(raise_error(concat(
@@ -199,6 +217,32 @@ object ProductQuant {
     df.select(col(idCol), guarded.as("__v"))
       .filter(col(idCol) =!= excludeId)
       .select(col(idCol), dist.cast("double").as("adc_dist"))
+      .orderBy(col("adc_dist"), col(idCol))
+      .limit(k)
+  }
+
+  /** The large-codebook ADC shape: [[encode]]'s explode + broadcast-codebook
+    * argmin, then a broadcast join against [[adcLut]]'s m×codes query table
+    * and a per-id DECIMAL sum. Two keyed aggregates and one extra scan vs
+    * the literal fold, but zero generated-code growth in |codes| — the form
+    * that holds at real 256-codeword books. Same tie-break (min-struct on
+    * (d2, code)) and same DECIMAL(18,9) pooling, so results are bit-equal
+    * to the fold (ProductQuantSpec asserts it differentially).
+    */
+  private[ext] def adcTopKJoin(df: DataFrame, idCol: String, vecCol: String,
+                          codebook: DataFrame, codeCol: String, cvecCol: String,
+                          queryVec: Seq[Float], k: Int, excludeId: Long,
+                          m: Int, subDim: Int): DataFrame = {
+    val lut = adcLut(codebook, codeCol, cvecCol, queryVec, m, subDim)
+      .select(col("code").cast("long").as("code"), col("subspace"),
+        col("__dq2"))
+    encode(df.filter(col(idCol) =!= excludeId), idCol, vecCol,
+        codebook, codeCol, cvecCol, m, subDim)
+      .select(col(idCol), col("subspace"), col("code").cast("long").as("code"))
+      .join(broadcast(lut), Seq("subspace", "code"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__dq2").cast("decimal(18,9)")).cast("double")
+        .as("adc_dist"))
       .orderBy(col("adc_dist"), col(idCol))
       .limit(k)
   }

@@ -77,8 +77,12 @@ object PublicSuffix {
       if (maxLabels >= 1) maxLabels
       else rules.select(max(size(split(col("suffix"), "\\."))))
         .head().getInt(0)
-    require(depth >= 1 && depth <= 8,
-      s"probe depth must be 1..8, got $depth")
+    // No upper cap: each extra depth level costs exactly one broadcast
+    // hash probe of that depth's (small) rule slice, and the DuckDB
+    // oracle derives depth unbounded from the same rule table — a hard
+    // cap here would make the engine throw on a fixture the oracle still
+    // handles (the real PSL has bases deeper than 8 labels).
+    require(depth >= 1, s"probe depth must be >= 1, got $depth")
     val host = col(hostCol)
     val labels = split(host, "\\.")
     val n = size(labels)

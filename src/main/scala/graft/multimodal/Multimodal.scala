@@ -936,11 +936,21 @@ object Mp4Codec extends Serializable {
     if (bytes.length < 8) return None
     var off = 0
     while (off + 8 <= bytes.length) {
-      val size = be32(bytes, off)
+      val size32 = be32(bytes, off)
       val name = tag(bytes, off + 4)
-      if (size < 8 || off + size > bytes.length) return None
+      // ISO 14496-12 §4.2 size escapes: size==1 → a 64-bit largesize
+      // follows the type (how real-world >4 GB mdats are written, so
+      // skipping it would drop exactly the large files on a real corpus);
+      // size==0 → the box extends to end of file (legal for a last box).
+      val (size, hdr) =
+        if (size32 == 1L) {
+          if (off + 16 > bytes.length) return None
+          (be64(bytes, off + 8), 16)
+        } else if (size32 == 0L) ((bytes.length - off).toLong, 8)
+        else (size32, 8)
+      if (size < hdr || off + size > bytes.length) return None
       if (name == "mdat")
-        return Some(bytes.slice(off + 8, off + size.toInt))
+        return Some(bytes.slice(off + hdr, (off + size).toInt))
       off += size.toInt
     }
     None

@@ -261,7 +261,11 @@ object StreamingOps {
             var canon: (Long, Long) = state.getOption.orNull
             arrivals.foreach { case (id, fp) =>
               if (canon == null) canon = (id, fp)
-              else if (id != canon._1) {
+              // the canonical doc re-arriving with a CHANGED fingerprint
+              // must refresh the stored one, or later arrivals verify
+              // against a stale fingerprint until the bucket's TTL expires
+              else if (id == canon._1) canon = (id, fp)
+              else {
                 val d = java.lang.Long.bitCount(canon._2 ^ fp)
                 if (d <= maxHamming)
                   out += HammingPair(math.min(canon._1, id),

@@ -286,10 +286,19 @@ class DedupSpec extends SparkTestBase {
   }
 
   test("simhashPairs finds exact and near dups within hamming bound") {
-    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6,
+        allowCoarseBands = true)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(pairs((1L, 2L)) == 0L)
     assert(pairs.contains((1L, 3L)))
+  }
+
+  test("simhashPairs refuses sub-10-bit bands without the explicit " +
+      "small-input opt-in (bucket saturation goes quadratic at scale)") {
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6)
+    }
+    assert(ex.getMessage.contains("allowCoarseBands"))
   }
 
   test("simhashPairs banding is pigeonhole-exact at ANY maxHamming — " +
@@ -306,7 +315,8 @@ class DedupSpec extends SparkTestBase {
       (i.toLong, t)
     }.toDF("doc_id", "text")
     for (mh <- Seq(1, 4, 6, 9)) {
-      val banded = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = mh)
+      val banded = Dedup.simhashPairs(corpus, "doc_id", "text",
+          maxHamming = mh, allowCoarseBands = mh > 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val sigs = corpus
         .select(col("doc_id"),

@@ -67,6 +67,70 @@ class ProductQuantSpec extends SparkTestBase {
     assert(byId(101L) == 16 * 100.0, s"got ${byId(101L)}")
   }
 
+  test("adcTopK at a 256-codeword × m=8 book gates OFF the literal fold: " +
+      "join-shaped plan, results match a driver-side exact ADC reference") {
+    val m = 8; val subDim = 8; val d = m * subDim
+    val rnd = new scala.util.Random(42)
+    val book = (0L until 256L).map(c =>
+      (c, Seq.fill(d)(rnd.nextFloat() * 10f)))
+    val vecs = (0L until 300L).map(i =>
+      (i, Seq.fill(d)(rnd.nextFloat() * 10f)))
+    val query = Seq.fill(d)(rnd.nextFloat() * 10f)
+    val bigBook = book.toDF("code", "cvec")
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val out = ProductQuant.adcTopK(corpus, "vec_id", "embedding",
+      bigBook, "code", "cvec", query, k = 20, m = m, subDim = subDim)
+    // above AdcFoldMaxCodes the plan must be the broadcast-join shape,
+    // never a 256×8-literal projection
+    assert(256 > ProductQuant.AdcFoldMaxCodes)
+    assert(out.queryExecution.optimizedPlan.toString.contains("Join"),
+      "expected the broadcast-join ADC shape at 256 codewords")
+    val got = out.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // driver-side exact reference replicating the engine's fold order:
+    // per-subspace left-fold sq L2, (d2, code) tie-break, DECIMAL(18,9)
+    // per-term rounding before the sum
+    def sq(a: Seq[Float], b: Seq[Float], lo: Int): Double =
+      (0 until subDim).foldLeft(0.0) { (acc, i) =>
+        val dd = a(lo + i).toDouble - b(lo + i).toDouble; acc + dd * dd
+      }
+    def sqQ(b: Seq[Float], lo: Int): Double =
+      (0 until subDim).foldLeft(0.0) { (acc, i) =>
+        val dd = query(lo + i).toDouble - b(lo + i).toDouble; acc + dd * dd
+      }
+    val expected = vecs.map { case (id, v) =>
+      val dist = (0 until m).map { s =>
+        val lo = s * subDim
+        val best = book.map { case (c, cw) => (sq(v, cw, lo), c) }.min
+        new java.math.BigDecimal(sqQ(book(best._2.toInt)._2, lo))
+          .setScale(9, java.math.RoundingMode.HALF_UP)
+      }.reduce(_.add(_))
+      (id, dist.doubleValue)
+    }.sortBy { case (id, dd) => (dd, id) }.take(20)
+    assert(got.toSeq == expected,
+      s"join-path ADC diverged from the exact reference:\n${got.toSeq}\nvs\n$expected")
+  }
+
+  test("adcTopK fold and join paths are bit-equal at the gate boundary; " +
+      "small books keep the single-scan fold plan") {
+    val m = 2; val subDim = 8; val d = m * subDim
+    val rnd = new scala.util.Random(7)
+    val book = (0L until ProductQuant.AdcFoldMaxCodes.toLong).map(c =>
+      (c, Seq.fill(d)(rnd.nextFloat() * 10f))).toDF("code", "cvec")
+    val corpus = (0L until 200L).map(i =>
+      (i, Seq.fill(d)(rnd.nextFloat() * 10f))).toDF("vec_id", "embedding")
+    val query = Seq.fill(d)(rnd.nextFloat() * 10f)
+    val fold = ProductQuant.adcTopK(corpus, "vec_id", "embedding",
+      book, "code", "cvec", query, k = 200, m = m, subDim = subDim)
+    assert(!fold.queryExecution.optimizedPlan.toString.contains("Join"),
+      "a 64-codeword book must keep the scan-side literal fold (no join)")
+    val joined = ProductQuant.adcTopKJoin(corpus, "vec_id", "embedding",
+      book, "code", "cvec", query, k = 200, excludeId = -1L,
+      m = m, subDim = subDim)
+    val f = fold.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val j = joined.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(f == j, "fold vs join ADC paths diverged on identical inputs")
+  }
+
   test("dimension mismatch raises loudly instead of truncating") {
     val bad = Seq((1L, Seq.fill(12)(1f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {

@@ -243,6 +243,34 @@ class MultimodalSpec extends SparkTestBase {
     assert(Mp4Codec.decode(good.take(24)).isEmpty)
   }
 
+  test("mdatPayload reads the ISO 14496-12 size escapes: size==1 64-bit " +
+      "largesize (how real >4 GB mdats are written) and size==0 to-EOF") {
+    def u32(v: Long): Array[Byte] = Array(
+      (v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def u64(v: Long): Array[Byte] = u32(v >>> 32) ++ u32(v & 0xffffffffL)
+    val payload = Array.tabulate(100)(i => (i * 7 + 3).toByte)
+    val free = u32(16L) ++ "free".getBytes("US-ASCII") ++ new Array[Byte](8)
+    // largesize form behind a leading free box: [1]["mdat"][16+n][payload]
+    val large = free ++ u32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      u64(16L + payload.length) ++ payload
+    assert(Mp4Codec.mdatPayload(large).map(_.toSeq).contains(payload.toSeq))
+    // size==0: box extends to end of file
+    val toEof = free ++ u32(0L) ++ "mdat".getBytes("US-ASCII") ++ payload
+    assert(Mp4Codec.mdatPayload(toEof).map(_.toSeq).contains(payload.toSeq))
+    // the fingerprint sees identical sample bytes through either header
+    val normal = Mp4Codec.encodeWithMdat("isom", 1, 1000L, 2000L, payload)
+    assert(Mp4Codec.videoFingerprint(large) ==
+      Mp4Codec.videoFingerprint(normal))
+    assert(Mp4Codec.videoFingerprint(toEof) ==
+      Mp4Codec.videoFingerprint(normal))
+    // truncated largesize header: rejected, not mis-sliced
+    assert(Mp4Codec.mdatPayload(
+      u32(1L) ++ "mdat".getBytes("US-ASCII") ++ u32(99L)).isEmpty)
+    // largesize overrunning the buffer: rejected
+    assert(Mp4Codec.mdatPayload(u32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      u64(1L << 40) ++ payload).isEmpty)
+  }
+
   test("synthMp4Media → decodeVideoMeta recovers the generator parameters; " +
       "non-MP4 rows yield null metadata") {
     val params = Seq((1L, "isom", 1, 600L, 1200L, 10),

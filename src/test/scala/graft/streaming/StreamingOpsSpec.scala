@@ -869,6 +869,38 @@ class StreamingOpsSpec extends SparkTestBase {
       s"streamed first-epoch pairs != batch banded join: $pairs vs $batch")
   }
 
+  test("fingerprint TTL: a canonical doc re-arriving with a changed " +
+      "fingerprint refreshes the stored one — later arrivals verify " +
+      "against the NEW fingerprint, not the stale seed") {
+    implicit val sc = spark.sqlContext
+    val fpA = 0L
+    // 8 bits set inside band 1 only: hamming(A,B) = 8 > 3, band-0 key
+    // (and bands 2/3) unchanged, so id 1's re-arrival hits its own buckets
+    val fpB = (0xffL << 20)
+    // 1-bit flips in bands 1, 2, 3: hamming(B,C) = 3 <= 3 but every band
+    // key of C except band 0 differs from BOTH A's and B's — the ONLY
+    // shared bucket is (band 0, 0), so the pair exists iff that bucket's
+    // canonical fingerprint was refreshed to fpB (hamming(A,C) = 9)
+    val fpC = fpB ^ (1L << 21) ^ (1L << 37) ^ (1L << 53)
+    val input = MemoryStream[FpDoc]
+    val query = StreamingOps.fingerprintCandidatesStreamTtl(input.toDF(),
+        "ts", ttlMs = 60 * 60000L)
+      .writeStream.format("memory").queryName("fp_refresh_out")
+      .outputMode("append").start()
+    input.addData(FpDoc(ts(0), 1L, fpA))
+    query.processAllAvailable()
+    input.addData(FpDoc(ts(5), 1L, fpB))
+    query.processAllAvailable()
+    input.addData(FpDoc(ts(10), 3L, fpC))
+    query.processAllAvailable()
+    query.stop()
+    val rows = spark.table("fp_refresh_out").as[StreamingOps.HammingPair]
+      .collect()
+    assert(rows.map(p => ((p.id_a, p.id_b), p.hamming)).toSet ==
+      Set(((1L, 3L), 3)),
+      s"stale canonical fingerprint survived the re-arrival: ${rows.toSeq}")
+  }
+
   test("minhash TTL: buckets expire past the horizon, dups within it still pair") {
     implicit val sc = spark.sqlContext
     val base = "the quick brown fox jumps over the lazy dog and runs far away today"
