@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 registry: the exact-substring tier's PRODUCTION key path
+  * (128-bit gram hashes in place of gram strings — same algorithm, 16-byte
+  * shuffle keys) and SHIFT-TOLERANT audio/video near-dup (the r14
+  * envelope fingerprints compare window-aligned signals, so a trimmed or
+  * offset copy — the common real-world media near-dup — was invisible;
+  * fixed-size windows + shingled fingerprints make it visible). Each
+  * query pairs the engine pipeline with a DuckDB oracle that
+  * independently replays the semantics.
+  */
+object BeaconQueries {
+
+  // --------------------------------------------------------------------
+  // Exact-substring dedup over hashed gram keys
+  // --------------------------------------------------------------------
+
+  /** The substring tier's merged spans computed over the HASHED gram key
+    * ([[graft.ext.SubstringDedup.mergedSpans]], gramHash = true): every
+    * shuffle in the anchor pipeline (df-cap aggregate, stop-gram
+    * anti-join, anchor self-join) carries a 16-byte (h1, h2) struct
+    * instead of a k-token string. Results are identical to the string
+    * path short of a ~2⁻¹²⁸ collision, so the oracle IS the string
+    * path's SQL — the query being hash-green is the differential.
+    */
+  def qSubstringHashed(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.SubstringDedup.mergedSpans(Tables.documents(spark, dir),
+        "doc_id", "text", k = 8, minLen = 20, maxDf = 64, gramHash = true)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  // --------------------------------------------------------------------
+  // Shift-tolerant audio/video near-dup (shingled envelope fingerprints)
+  // --------------------------------------------------------------------
+
+  private val ShWindows = 80 // envelope windows per synthetic blob
+  private val ShShift = 5    // planted trim, in whole windows
+  private val ShMaxHam = 3
+
+  private def md5Val(prefix: String, d: Column, w: Column,
+                     mod: Int): Column =
+    conv(substring(md5(concat(lit(prefix), d.cast("string"), lit("_"),
+      w.cast("string"))), 1, 8), 16, 10).cast("long") % mod
+
+  /** Shift-tolerant audio near-dup: docs with id ≡ 1 (mod 10) carry the
+    * PREVIOUS doc's waveform trimmed by [[ShShift]] windows (the first 5
+    * windows cut, fresh tail appended) — the classic trimmed-copy
+    * near-dup that defeats the whole-signal fingerprint
+    * (`q_audio_near_dup`'s path; ShiftedNearDupSpec holds the negative
+    * control). [[graft.multimodal.Multimodal.audioDupPairsShifted]]
+    * recovers each pair with hamming 0 at offset_windows = +5 through
+    * real WAV encode → RIFF parse → fixed-window envelope → shingled
+    * fingerprints → pigeonhole-banded join. One sample per window gives
+    * the whole pipeline a closed form, so the oracle replays it end to
+    * end, banding included.
+    */
+  def qAudioShiftedDup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val copies = id % 10 === 1
+    val samples = transform(sequence(lit(0), lit(ShWindows - 1)), w =>
+      when(copies && w <= ShWindows - ShShift - 1,
+          md5Val("as", id - 1, w + ShShift, 32768))
+        .otherwise(md5Val("as", id, w, 32768)).cast("int"))
+    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
+      sampleRate = 16000)
+    graft.multimodal.Multimodal.audioDupPairsShifted(wav, "doc_id", "media",
+        maxHamming = ShMaxHam, windowFrames = 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shift-tolerant video near-dup — [[qAudioShiftedDup]]'s plant over
+    * mdat sample bytes ([[graft.multimodal.Multimodal
+    * .videoDupPairsShifted]]: real MP4 encode → box walk → fixed-window
+    * byte envelope → shingled fingerprints → banded join).
+    */
+  def qVideoShiftedDup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val copies = id % 10 === 1
+    val samples = transform(sequence(lit(0), lit(ShWindows - 1)), w =>
+      when(copies && w <= ShWindows - ShShift - 1,
+          md5Val("vs", id - 1, w + ShShift, 256))
+        .otherwise(md5Val("vs", id, w, 256)).cast("int"))
+    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
+    graft.multimodal.Multimodal.videoDupPairsShifted(mp4, "doc_id", "media",
+        maxHamming = ShMaxHam, windowBytes = 1)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Shared oracle chain for the shifted fixtures: generator values →
+    * sign-of-delta bits (shingle-independent: bit b of shingle s is the
+    * delta at window s + b) → per-(shingle, band) 16-bit keys → banded
+    * candidates (pigeonhole-exact, the same theorem the engine relies on)
+    * → exact hamming per alignment → lexicographically minimal
+    * (hamming, offset, shingle) witness per pair.
+    */
+  private def shiftedSql(prefix: String, mod: Int): String = {
+    val lastCopied = ShWindows - ShShift - 1
+    val nShingles = ShWindows - 65 // max shingle index
+    s"""WITH v AS (SELECT doc_id, w,
+       |    ('0x' || substr(md5('$prefix' ||
+       |        (CASE WHEN doc_id % 10 = 1 AND w <= $lastCopied
+       |           THEN doc_id - 1 ELSE doc_id END) || '_' ||
+       |        (CASE WHEN doc_id % 10 = 1 AND w <= $lastCopied
+       |           THEN w + $ShShift ELSE w END)), 1, 8))::BIGINT % $mod AS v
+       |  FROM (SELECT doc_id FROM documents) CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${ShWindows - 1})) AS w)),
+       |d AS (SELECT a.doc_id, a.w,
+       |    CASE WHEN n.v > a.v THEN 1 ELSE 0 END AS bit
+       |  FROM v a JOIN v n ON a.doc_id = n.doc_id AND n.w = a.w + 1
+       |  WHERE a.w < ${ShWindows - 1}),
+       |bands AS (SELECT d.doc_id, sh.s, ks.k,
+       |    CAST(SUM(bit * (1 << (w - sh.s - 16 * ks.k))) AS BIGINT) AS bits
+       |  FROM d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, $nShingles)) AS s) sh
+       |  CROSS JOIN (SELECT unnest(generate_series(0, $ShMaxHam)) AS k) ks
+       |  WHERE d.w >= sh.s + 16 * ks.k AND d.w < sh.s + 16 * (ks.k + 1)
+       |  GROUP BY 1, 2, 3),
+       |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b,
+       |    p.s AS sa, q.s AS sb
+       |  FROM bands p JOIN bands q
+       |    ON p.k = q.k AND p.bits = q.bits AND p.doc_id < q.doc_id),
+       |ham AS (SELECT c.id_a, c.id_b, c.sa, c.sb,
+       |    CAST(SUM(CASE WHEN da.bit <> db.bit THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS hamming
+       |  FROM cand c
+       |  JOIN d da ON da.doc_id = c.id_a
+       |    AND da.w >= c.sa AND da.w < c.sa + 64
+       |  JOIN d db ON db.doc_id = c.id_b AND db.w = da.w - c.sa + c.sb
+       |  GROUP BY 1, 2, 3, 4),
+       |best AS (SELECT id_a, id_b, hamming, sa - sb AS offset_windows,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+       |      ORDER BY hamming, sa - sb, sa) AS rn
+       |  FROM ham WHERE hamming <= $ShMaxHam)
+       |SELECT id_a, id_b, hamming, offset_windows FROM best WHERE rn = 1
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val audioShiftedDupSql: String = shiftedSql("as", 32768)
+  val videoShiftedDupSql: String = shiftedSql("vs", 256)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_substring_hashed" -> (qSubstringHashed _),
+    "q_audio_shifted_dup" -> (qAudioShiftedDup _),
+    "q_video_shifted_dup" -> (qVideoShiftedDup _)
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    // the string-key path's SQL verbatim: hashed keys change no result
+    "q_substring_hashed" -> HorizonQueries.substringSpansSql,
+    "q_audio_shifted_dup" -> audioShiftedDupSql,
+    "q_video_shifted_dup" -> videoShiftedDupSql
+  )
+}

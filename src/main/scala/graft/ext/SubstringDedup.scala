@@ -32,17 +32,26 @@ import org.apache.spark.sql.functions._
   *   5. runs ≥ minLen explode to both docs' intervals, which merge per
   *      doc (overlapping-or-adjacent) under a doc-partitioned window.
   *
-  * Join keys are the gram STRINGS for oracle parity; a production
-  * deployment swaps in a 128-bit gram hash to shrink the shuffle (the
-  * algorithm is unchanged — only the key width).
+  * Join keys are the gram STRINGS by default for oracle parity;
+  * `gramHash = true` swaps in the production key — a 128-bit gram
+  * fingerprint as two salted xxhash64 halves — so the df-cap aggregate,
+  * the anti-join and the anchor self-join all shuffle 16-byte keys
+  * instead of k-token strings (~50 bytes at k=8). The algorithm is
+  * unchanged — only the key width; results are identical short of a
+  * 128-bit collision (~2⁻¹²⁸ per gram pair; SubstringDedupSpec holds the
+  * two paths differential on real corpus data).
   */
 object SubstringDedup {
 
   /** Anchor table: (doc, pos, g) — the k-token gram starting at 1-based
-    * token position `pos`, df-capped at `maxDf` docs per gram.
+    * token position `pos`, df-capped at `maxDf` docs per gram. With
+    * `gramHash` the key column `g` is the 128-bit (h1, h2) struct instead
+    * of the string; the hash is computed BEFORE the checkpoint, so the
+    * materialized anchor table itself shrinks too.
     */
   private def anchors(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, maxDf: Int): DataFrame = {
+                      k: Int, maxDf: Int,
+                      gramHash: Boolean = false): DataFrame = {
     val l = col("__l")
     // CHECKPOINT the gram table: it feeds the df-cap aggregate, both sides
     // of the self-join, and (via the callers) the stats/apply readouts —
@@ -50,6 +59,10 @@ object SubstringDedup {
     // consumer (the r13 plan audit counted 12-19 parquet scans of
     // documents across the query family; with the checkpoint the corpus
     // is tokenized ONCE per query).
+    val key =
+      if (!gramHash) col("a.g")
+      else struct(xxhash64(lit(0x9e3779b97f4a7c15L), col("a.g")).as("h1"),
+        xxhash64(lit(0xc2b2ae3d27d4eb4fL), col("a.g")).as("h2"))
     val grams = docs
       .select(col(idCol).cast("long").as("doc"),
         split(col(textCol), " ").as("__l"))
@@ -58,7 +71,7 @@ object SubstringDedup {
             i => struct(i.as("pos"),
               concat_ws(" ", slice(l, i, lit(k))).as("g"))))
         .otherwise(array())).as("a"))
-      .select(col("doc"), col("a.pos").as("pos"), col("a.g").as("g"))
+      .select(col("doc"), col("a.pos").as("pos"), key.as("g"))
       .localCheckpoint(eager = true)
     val hot = grams.groupBy(col("g"))
       .agg(countDistinct(col("doc")).as("df"))
@@ -84,10 +97,11 @@ object SubstringDedup {
   def duplicateRuns(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8, minLen: Int = 20,
                     maxDf: Int = 64, includeSelf: Boolean = false,
-                    maxSelfOcc: Int = 8): DataFrame = {
+                    maxSelfOcc: Int = 8,
+                    gramHash: Boolean = false): DataFrame = {
     require(k >= 2 && minLen >= k,
       s"need k >= 2 and minLen >= k, got k=$k minLen=$minLen")
-    val anc = anchors(docs, idCol, textCol, k, maxDf)
+    val anc = anchors(docs, idCol, textCol, k, maxDf, gramHash)
     val a = anc.select(col("g"), col("doc").as("d1"), col("pos").as("p1"))
     val b = anc.select(col("g"), col("doc").as("d2"), col("pos").as("p2"))
     val cross = a.join(b, Seq("g")).filter(col("d1") < col("d2"))
@@ -127,9 +141,10 @@ object SubstringDedup {
   def mergedSpans(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
                   includeSelf: Boolean = false,
-                  maxSelfOcc: Int = 8): DataFrame = {
+                  maxSelfOcc: Int = 8,
+                  gramHash: Boolean = false): DataFrame = {
     val runs = duplicateRuns(docs, idCol, textCol, k, minLen, maxDf,
-      includeSelf, maxSelfOcc)
+      includeSelf, maxSelfOcc, gramHash)
     val spans = runs.select(explode(array(
         struct(col("d1").as("doc"), col("s1").as("s"), col("e1").as("e")),
         struct(col("d2").as("doc"), col("s2").as("s"), col("e2").as("e"))))
@@ -165,9 +180,10 @@ object SubstringDedup {
   def removeSpans(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
                   includeSelf: Boolean = false,
-                  maxSelfOcc: Int = 8): DataFrame = {
+                  maxSelfOcc: Int = 8,
+                  gramHash: Boolean = false): DataFrame = {
     val spans = mergedSpans(docs, idCol, textCol, k, minLen, maxDf,
-        includeSelf, maxSelfOcc)
+        includeSelf, maxSelfOcc, gramHash)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start").as("s"),
         col("span_end").as("e"))).as("__spans"))
@@ -191,9 +207,10 @@ object SubstringDedup {
   def dedupStats(docs: DataFrame, idCol: String, textCol: String,
                  k: Int = 8, minLen: Int = 20, maxDf: Int = 64,
                  includeSelf: Boolean = false,
-                 maxSelfOcc: Int = 8): DataFrame = {
+                 maxSelfOcc: Int = 8,
+                 gramHash: Boolean = false): DataFrame = {
     val merged = mergedSpans(docs, idCol, textCol, k, minLen, maxDf,
-      includeSelf, maxSelfOcc)
+      includeSelf, maxSelfOcc, gramHash)
     val per = merged.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         sum(col("span_len").cast("long")).as("dup_tokens"))

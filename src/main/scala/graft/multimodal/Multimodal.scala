@@ -325,6 +325,130 @@ object Multimodal {
     bandedHammingPairs(hashed, idCol, "vfp", maxHamming)
   }
 
+  /** Sign-of-delta 64-bit fingerprint of every 65-window shingle of an
+    * envelope, capped at `maxShingles`: fp(s) bit b = e(s+b+1) > e(s+b).
+    * The shingling is what buys SHIFT tolerance — a copy trimmed/offset by
+    * w whole windows reproduces the original's fingerprints at shingle
+    * index s − w exactly, so the banded join finds it even though the
+    * whole-signal fingerprints ([[WavCodec.audioFingerprint]],
+    * [[Mp4Codec.videoFingerprint]]) are disjoint. Tolerance granularity is
+    * one window: a sub-window trim re-mixes every window mean. Fan-out is
+    * (nWindows − 64) fingerprints per blob, linear in media duration up to
+    * the cap — the media-domain analogue of text shingling, and the price
+    * of offset tolerance; trims beyond `maxShingles` windows are outside
+    * the detection horizon by construction.
+    */
+  private[multimodal] def envelopeShingles(e: Array[Double],
+                                           maxShingles: Int): Seq[(Int, Long)] = {
+    val n = math.min(math.max(e.length - 64, 0), maxShingles)
+    (0 until n).map { s =>
+      var fp = 0L
+      var b = 0
+      while (b < 64) {
+        if (e(s + b + 1) > e(s + b)) fp |= 1L << b
+        b += 1
+      }
+      (s, fp)
+    }
+  }
+
+  /** Shift-tolerant audio near-dup pairs: fixed-size loudness windows
+    * ([[WavCodec.audioEnvelopeFixed]]), one fingerprint per 65-window
+    * shingle ([[envelopeShingles]]), then the pigeonhole-banded Hamming
+    * join over ALL (blob, shingle) rows. A pair matches when ANY shingle
+    * alignment lands within `maxHamming` — which is exactly what a
+    * window-aligned trimmed/offset copy produces and what the
+    * whole-signal [[audioDupPairs]] cannot see. Output: (id_a, id_b,
+    * hamming, offset_windows) with the lexicographically minimal
+    * (hamming, offset, shingle) witness per pair; offset_windows > 0
+    * means id_b's content starts offset_windows windows EARLIER (id_b is
+    * the trimmed copy).
+    */
+  def audioDupPairsShifted(df: DataFrame, idCol: String, mediaCol: String,
+                           maxHamming: Int = 3, windowFrames: Int = 256,
+                           maxShingles: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val shingled = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          WavCodec.audioEnvelopeFixed(r.getAs[Array[Byte]](mediaIdx),
+              windowFrames).toSeq
+            .flatMap(envelopeShingles(_, maxShingles)
+              .map { case (s, fp) => Row(r.get(idIdx), s, fp) })
+        }
+      }, shingleSchema(df.schema(idCol)))
+    bandedShingleHammingPairs(shingled, idCol, maxHamming)
+  }
+
+  /** Shift-tolerant video near-dup pairs — [[audioDupPairsShifted]]'s
+    * convention over the mdat byte stream ([[Mp4Codec
+    * .videoEnvelopeFixed]] windows). Same output contract.
+    */
+  def videoDupPairsShifted(df: DataFrame, idCol: String, mediaCol: String,
+                           maxHamming: Int = 3, windowBytes: Int = 256,
+                           maxShingles: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val shingled = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          Mp4Codec.videoEnvelopeFixed(r.getAs[Array[Byte]](mediaIdx),
+              windowBytes).toSeq
+            .flatMap(envelopeShingles(_, maxShingles)
+              .map { case (s, fp) => Row(r.get(idIdx), s, fp) })
+        }
+      }, shingleSchema(df.schema(idCol)))
+    bandedShingleHammingPairs(shingled, idCol, maxHamming)
+  }
+
+  private def shingleSchema(idField: StructField): StructType =
+    StructType(Seq(
+      StructField(idField.name, idField.dataType, idField.nullable),
+      StructField("s", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+
+  /** The shingled variant of [[bandedHammingPairs]]: candidates are
+    * (blob, shingle) × (blob, shingle) band collisions, verified by exact
+    * bit_count, then reduced per blob pair to the lexicographically
+    * minimal (hamming, offset, shingle) witness. One shuffle on the band
+    * key, one keyed aggregate — the shingle fan-out multiplies ROWS, not
+    * plan stages, and buckets stay sparse for the same reason the
+    * whole-signal path's do (16-bit bands at the default budget).
+    */
+  private def bandedShingleHammingPairs(shingled: DataFrame, idCol: String,
+                                        maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val bands = explode(array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("fp"), b * bandBits).bitwiseAND(lit(mask))
+          .as("bits"))
+    }: _*))
+    val banded = shingled
+      .select(col(idCol), col("s"), col("fp"), bands.as("__bb"))
+      .select(col(idCol), col("s"), col("fp"),
+        col("__bb.band").as("band"), col("__bb.bits").as("bits"))
+    banded.select(col(idCol).as("id_a"), col("s").as("__sa"),
+        col("fp").as("__fa"), col("band"), col("bits"))
+      .join(banded.select(col(idCol).as("id_b"), col("s").as("__sb"),
+        col("fp").as("__fb"), col("band"), col("bits")), Seq("band", "bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"),
+        bit_count(col("__fa").bitwiseXOR(col("__fb"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(struct(col("hamming"),
+        (col("__sa") - col("__sb")).as("offset_windows"),
+        col("__sa").as("__wit"))).as("__m"))
+      .select(col("id_a"), col("id_b"), col("__m.hamming").as("hamming"),
+        col("__m.offset_windows").as("offset_windows"))
+  }
+
   /** Parse video metadata from each media blob with the REAL ISO-BMFF box
     * parser ([[Mp4Codec.decode]]) — same per-partition batch-loop shape as
     * [[decodeAudioMeta]]; non-MP4 blobs yield null metadata so a mixed-media
@@ -708,7 +832,11 @@ object WavCodec extends Serializable {
     * find perturbed re-encodes. None for anything that is not 16-bit PCM
     * with ≥ 65 frames (too short to carry the envelope).
     */
-  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+  /** (dataOff, blockAlign, nFrames) of a parseable 16-bit PCM WAV — the
+    * shared chunk walk behind [[audioFingerprint]] and
+    * [[audioEnvelopeFixed]]. None for anything that isn't 16-bit PCM.
+    */
+  private def pcm16Info(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
     if (bytes.length < 44 || tag(bytes, 0) != "RIFF" || tag(bytes, 8) != "WAVE")
       return None
     var off = 12
@@ -725,9 +853,43 @@ object WavCodec extends Serializable {
       } else if (id == "data") { dataOff = off + 8; dataSize = size }
       off += 8 + size.toInt + (size.toInt & 1)
     }
-    if (channels <= 0 || bits != 16 || blockAlign <= 0 || dataOff < 0)
-      return None
-    val n = (dataSize / blockAlign).toInt
+    if (channels <= 0 || bits != 16 || blockAlign <= 0 || dataOff < 0) None
+    else Some((dataOff, blockAlign, (dataSize / blockAlign).toInt))
+  }
+
+  /** First-channel mean-|sample| per FIXED-SIZE window of `windowFrames`
+    * frames, full windows only (the tail partial window is dropped).
+    * Unlike [[audioFingerprint]]'s 65 length-normalized windows, this
+    * binning is length-INDEPENDENT — two blobs' windows describe the same
+    * wall-clock span regardless of their durations, which is what makes
+    * the shingled fingerprints ([[Multimodal.envelopeShingles]])
+    * comparable across a trimmed/offset copy and its original.
+    */
+  def audioEnvelopeFixed(bytes: Array[Byte],
+                         windowFrames: Int): Option[Array[Double]] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    pcm16Info(bytes).flatMap { case (dataOff, blockAlign, n) =>
+      val nW = n / windowFrames
+      if (nW < 1) None
+      else Some(Array.tabulate(nW) { w =>
+        var s = 0.0
+        var f = w * windowFrames
+        val end = f + windowFrames
+        while (f < end) {
+          val o = dataOff + f * blockAlign
+          val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+          s += math.abs(v.toDouble)
+          f += 1
+        }
+        s / windowFrames
+      })
+    }
+  }
+
+  def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
+    val info = pcm16Info(bytes)
+    if (info.isEmpty) return None
+    val (dataOff, blockAlign, n) = info.get
     if (n < 65) return None
     val energy = new Array[Double](65)
     var w = 0
@@ -954,6 +1116,27 @@ object Mp4Codec extends Serializable {
       off += size.toInt
     }
     None
+  }
+
+  /** Mean unsigned mdat byte per FIXED-SIZE window of `windowBytes`, full
+    * windows only — the video counterpart of [[WavCodec
+    * .audioEnvelopeFixed]]: length-independent binning so shingled
+    * fingerprints stay comparable across a trimmed copy and its original.
+    */
+  def videoEnvelopeFixed(bytes: Array[Byte],
+                         windowBytes: Int): Option[Array[Double]] = {
+    require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
+    mdatPayload(bytes).flatMap { p =>
+      val nW = p.length / windowBytes
+      if (nW < 1) None
+      else Some(Array.tabulate(nW) { w =>
+        var s = 0.0
+        var i = w * windowBytes
+        val end = i + windowBytes
+        while (i < end) { s += (p(i) & 0xff); i += 1 }
+        s / windowBytes
+      })
+    }
   }
 
   /** 64-bit perceptual video fingerprint — the [[WavCodec

@@ -33,6 +33,43 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(spans.toSeq == Seq((1L, 11, 35, 25), (2L, 4, 28, 25)))
   }
 
+  test("gramHash twin is differential with the string-key path on the " +
+      "sf0.001 corpus (spans, stats, and self-repeat runs), and its " +
+      "shuffled key is the 16-byte (h1, h2) struct") {
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    def spanSet(hash: Boolean) =
+      SubstringDedup.mergedSpans(docs, "doc_id", "text",
+          k = 8, minLen = 20, maxDf = 64, gramHash = hash)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val strSpans = spanSet(false)
+    assert(strSpans.nonEmpty, "fixture corpus produced no spans")
+    assert(spanSet(true) == strSpans, "hashed-gram spans != string-key spans")
+    def selfRuns(hash: Boolean) =
+      SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+          k = 8, minLen = 20, maxDf = 64, includeSelf = true,
+          gramHash = hash)
+        .collect().map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"),
+          r.getAs[Int]("s1"), r.getAs[Int]("e1"), r.getAs[Int]("s2"),
+          r.getAs[Int]("e2"), r.getAs[Long]("n_anchors"))).toSet
+    assert(selfRuns(true) == selfRuns(false),
+      "hashed-gram self-repeat runs != string-key runs")
+    // the hashed path's join key must be the two-long (h1, h2) struct —
+    // never the gram string
+    val plan = SubstringDedup.duplicateRuns(docs, "doc_id", "text",
+      k = 8, minLen = 20, gramHash = true).queryExecution.optimizedPlan
+    val keyTypes = plan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }.flatMap(_.condition).flatMap(_.references)
+      .filter(_.name == "g").map(_.dataType).distinct
+    assert(keyTypes.nonEmpty, "no join keyed on the gram column found")
+    keyTypes.foreach {
+      case st: org.apache.spark.sql.types.StructType =>
+        assert(st.fieldNames.toSeq == Seq("h1", "h2"))
+      case other => fail(s"hashed path shuffles a $other gram key, " +
+        "expected struct<h1,h2>")
+    }
+  }
+
   test("runs shorter than minLen are dropped") {
     val shared = words("dup", 15)
     val docs = Seq(
