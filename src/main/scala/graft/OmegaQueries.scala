@@ -454,8 +454,7 @@ object OmegaQueries {
   def qJsonlRoundtrip(spark: SparkSession, dir: String): DataFrame =
     TitanQueries.digestOf(graft.sources.Formats.jsonlRoundtrip(
       TitanQueries.ordersDigestFrame(spark, dir),
-      s"/tmp/graft_jsonl_${math.abs(dir.hashCode.toLong)}_" +
-        spark.sparkContext.applicationId))
+      Scratch.path(spark, "jsonl", dir)))
 
   // --------------------------------------------------------------------------
   // Bloom pre-join audit
@@ -531,8 +530,7 @@ object OmegaQueries {
     val emb = Tables.embeddings(spark, dir)
     val seeds = emb.filter(col("vec_id") < 4)
       .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
-    val path = s"/tmp/graft_ivfpq_batch_${math.abs(dir.hashCode.toLong)}_" +
-      spark.sparkContext.applicationId
+    val path = Scratch.path(spark, "ivfpq_batch", dir)
     SimSearch.ivfPqWriteIndex(emb, "vec_id", "embedding", seeds,
       "cid", "cvec", iters = 1, pqCodebook(spark, dir), "code", "cvec",
       path, m = 8, subDim = 8)

@@ -20,8 +20,7 @@ object TitanQueries {
     */
   private def scratchPath(spark: SparkSession, tag: String,
                           dir: String): String =
-    s"/tmp/graft_${tag}_${math.abs(dir.hashCode.toLong)}_" +
-      spark.sparkContext.applicationId
+    Scratch.path(spark, tag, dir)
 
   // --------------------------------------------------------------------------
   // Trained IVF lifecycle: Lloyd-trained quantizer → persisted index → probe

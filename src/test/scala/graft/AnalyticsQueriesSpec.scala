@@ -13,7 +13,7 @@ class AnalyticsQueriesSpec extends SparkTestBase {
   import spark.implicits._
 
   test("q_customers_no_orders counts order-less customers per segment") {
-    val dir = Files.createTempDirectory("graft_noorders").toString
+    val dir = Scratch.register(Files.createTempDirectory("graft_noorders").toString)
     Seq(
       (1L, "AUTOMOBILE"), (2L, "AUTOMOBILE"), (3L, "BUILDING"),
       (4L, "BUILDING"), (5L, "MACHINERY")

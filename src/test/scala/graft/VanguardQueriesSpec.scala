@@ -8,7 +8,8 @@ class VanguardQueriesSpec extends SparkTestBase {
   test("data contract flags each dirty rule exactly once on a dirty fixture") {
     // the driver corpus is clean (the oracle run is a zero-violations
     // regression) — the rule logic itself needs a dirty fixture
-    val tmp = java.nio.file.Files.createTempDirectory("graft_contract").toString
+    val tmp = Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_contract").toString)
     Seq(
       (1.0, 0.05, "A", 10.0, Some(new Timestamp(1700000000000L))),
       (0.0, 0.50, "X", -1.0, Option.empty[Timestamp])

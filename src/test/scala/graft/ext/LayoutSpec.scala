@@ -53,7 +53,8 @@ class LayoutSpec extends SparkTestBase {
         .select("x0", "x1", "y0", "y1").as[(Long, Long, Long, Long)]
         .collect().toSeq
     }
-    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("zorder").toString)
     val z = rects(
       grid.transform(Layout.zorderLayout(col("x"), col("y"), bits = 6, nFiles = 16)),
       s"$dir/zordered")

@@ -280,7 +280,8 @@ class OmegaModulesSpec extends SparkTestBase {
   }
 
   test("jsonlRoundtrip is lossless on exact-text column types") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_jsonl").toString)
     try {
       val df = Seq((1L, "alpha", day(3)), (2L, "beta|comma, \"quoted\"",
         day(14))).toDF("id", "s", "d")

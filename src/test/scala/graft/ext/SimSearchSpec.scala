@@ -126,7 +126,8 @@ class SimSearchSpec extends SparkTestBase {
 
   test("IVFPQ lifecycle: codes partition-pruned to nProbe cells, exact " +
       "rerank recall >= ADC-only recall") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_ivfpq").toString)
     try {
       val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -186,7 +187,8 @@ class SimSearchSpec extends SparkTestBase {
 
   test("batched IVFPQ probe matches the single-query probe per query and " +
       "prunes to the probed-cell union") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqb").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_ivfpqb").toString)
     try {
       val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
@@ -246,7 +248,8 @@ class SimSearchSpec extends SparkTestBase {
   }
 
   test("persisted IVF index: probe prunes to nProbe cells' files and keeps recall") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_ivf").toString)
     try {
       SimSearch.ivfWriteIndex(corpus, "embedding", dir, nCells = 4)
       val qVec = corpus.filter(col("vec_id") === 0L)
@@ -277,7 +280,8 @@ class SimSearchSpec extends SparkTestBase {
   }
 
   test("trained IVF lifecycle: Lloyd-learned cells, probe prunes partitions, recall holds") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_ivf_trained").toString)
     try {
       val seeds = corpus.filter(col("vec_id").isin(0L, 20L))
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))

@@ -21,7 +21,8 @@ class ScaleGuardSpec extends SparkTestBase {
   // plan and are correctly classified bounded — only a real scan is
   // statically unbounded, which is what the reject tests need
   private lazy val t: DataFrame = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_sg").toString
+    val dir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("graft_sg").toString)
     spark.range(100).select(col("id"), (col("id") % 7).as("k"))
       .write.mode("overwrite").parquet(dir)
     spark.read.parquet(dir)

@@ -14,7 +14,7 @@ class ScanFanoutSpec extends SparkTestBase {
   import spark.implicits._
 
   private lazy val dir = {
-    val d = Files.createTempDirectory("fanout").toString
+    val d = graft.Scratch.register(Files.createTempDirectory("fanout").toString)
     (1L to 100L).map(i => (i, s"d$i")).toDF("id", "s")
       .coalesce(1).write.mode("overwrite").parquet(s"$d/t1")
     (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")

@@ -6,7 +6,8 @@ class FormatsSpec extends SparkTestBase {
   import spark.implicits._
 
   private def tmp(prefix: String) =
-    java.nio.file.Files.createTempDirectory(prefix).toString
+    graft.Scratch.register(
+    java.nio.file.Files.createTempDirectory(prefix).toString)
 
   private val rows = Seq(
     (1L, "alpha", "2024-01-31"),

@@ -7,7 +7,8 @@ import graft.SparkTestBase
 class JsonlSpec extends SparkTestBase {
 
   private def writeCorpus(lines: Seq[String]): String = {
-    val dir = Files.createTempDirectory("jsonl_spec")
+    val dir = java.nio.file.Paths.get(
+      graft.Scratch.register(Files.createTempDirectory("jsonl_spec").toString))
     Files.writeString(dir.resolve("part-0.jsonl"), lines.mkString("\n"))
     dir.toString
   }

@@ -10,7 +10,8 @@ class PartitionedSpec extends SparkTestBase {
   import spark.implicits._
 
   test("partition filter prunes directories at the scan, not after") {
-    val dir = Files.createTempDirectory("graft_part").toString + "/docs"
+    val dir = graft.Scratch.register(
+      Files.createTempDirectory("graft_part").toString) + "/docs"
     val df = (1 to 400).map(i => (i.toLong, s"src_${i % 8}", s"text $i"))
       .toDF("doc_id", "source", "text")
     Partitioned.writePartitioned(df, dir, Seq("source"))
@@ -30,7 +31,8 @@ class PartitionedSpec extends SparkTestBase {
   }
 
   test("writer consolidates files per partition value") {
-    val dir = Files.createTempDirectory("graft_part2").toString + "/events"
+    val dir = graft.Scratch.register(
+      Files.createTempDirectory("graft_part2").toString) + "/events"
     val df = (1 to 1000).map(i => (i.toLong, s"d${i % 4}")).toDF("id", "day")
     Partitioned.writePartitioned(df, dir, Seq("day"))
     val files = new java.io.File(dir).listFiles().filter(_.isDirectory).map { d =>
@@ -41,7 +43,8 @@ class PartitionedSpec extends SparkTestBase {
   }
 
   test("partitioned layout round-trips with partition column restored") {
-    val dir = Files.createTempDirectory("graft_part3").toString + "/events"
+    val dir = graft.Scratch.register(
+      Files.createTempDirectory("graft_part3").toString) + "/events"
     val df = (1 to 1000).map(i => (i.toLong, s"d${i % 3}")).toDF("id", "day")
     Partitioned.writePartitioned(df, dir, Seq("day"))
     val back = Partitioned.readPartitioned(spark, dir)

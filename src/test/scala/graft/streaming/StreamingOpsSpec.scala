@@ -71,8 +71,10 @@ class StreamingOpsSpec extends SparkTestBase {
     val existing = Seq((1L, base), (2L, base),
       (4L, "completely different words about spark query engines and data processing")
     ).toDF("doc_id", "text")
-    val ckpt = java.nio.file.Files.createTempDirectory("incdedup_ckpt").toString
-    val outDir = java.nio.file.Files.createTempDirectory("incdedup_out").toString
+    val ckpt = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("incdedup_ckpt").toString)
+    val outDir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("incdedup_out").toString)
 
     val input = MemoryStream[IncDoc]
     def run(store: org.apache.spark.sql.DataFrame): Unit = {
@@ -231,12 +233,14 @@ class StreamingOpsSpec extends SparkTestBase {
   test("UpsertSink: overlapping keys across micro-batches resolve to the " +
     "latest version and a replayed batch is idempotent") {
     implicit val sc = spark.sqlContext
-    val outDir = java.nio.file.Files.createTempDirectory("upsert_sink").toString
+    val outDir = graft.Scratch.register(
+      java.nio.file.Files.createTempDirectory("upsert_sink").toString)
     val input = MemoryStream[IncDoc] // doc_id = key, text = payload
     input.addData(IncDoc(1L, "v1"), IncDoc(2L, "v1"))
     val q = input.toDS().toDF()
       .writeStream.option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("upsert_ckpt").toString)
+        graft.Scratch.register(
+        java.nio.file.Files.createTempDirectory("upsert_ckpt").toString))
       .foreachBatch(UpsertSink.writeBatch(outDir) _)
       .outputMode("append").start()
     q.processAllAvailable()
