@@ -1409,13 +1409,20 @@ object VertexQueries {
     * within-block pairs quadratically (the r13 sf1.0 sweep measured
     * q_fs_scores at 37x for 10x data). Pairing each record with only its
     * W nearest in-block successors (Hernandez & Stolfo's sorted
-    * neighborhood, ordered by part key) bounds pairs to n*W — linear —
-    * and is EXHAUSTIVE whenever a block holds <= W+1 records. W = 32
-    * covers the oracle scale factors (measured max block sizes: ~3 at
-    * sf0.01, 28 at sf0.1 — the r13 W = 16 silently dropped ~2.8% of
-    * sf0.1's within-block pairs), so there the candidate set is identical
-    * to the full blocked join; beyond sf0.1 (sf1.0 blocks ~280) the
-    * neighborhood is the deliberate linear-cost approximation.
+    * neighborhood) bounds pairs to n*W — linear — and is EXHAUSTIVE
+    * whenever a block holds <= W+1 records. W = 32 covers the oracle
+    * scale factors (measured max block sizes: ~3 at sf0.01, 28 at sf0.1 —
+    * the r13 W = 16 silently dropped ~2.8% of sf0.1's within-block
+    * pairs), so there the candidate set is identical to the full blocked
+    * join REGARDLESS of sort order. Beyond sf0.1 the neighborhood is the
+    * deliberate linear-cost approximation, and the SORT KEY is what sets
+    * its recall (the method's core lever): ordering by (p_type,
+    * p_partkey) clusters would-be matches so same-type records sit
+    * adjacent — measured on the r15 sf1.0 probe data (280-record max
+    * blocks), true-pair recall is 90.1% type-sorted vs 33.0% when sorted
+    * by part key alone, at identical n*W cost; the residual 9.9% is
+    * same-type groups wider than W + 1. Recorded in SCALE.md ("W = 32
+    * recall audit").
     */
   private val FsWindow = 32
 
@@ -1426,7 +1433,8 @@ object VertexQueries {
     */
   private def fsPairs(spark: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_brand"), col("p_size")).orderBy(col("p_partkey"))
+      .partitionBy(col("p_brand"), col("p_size"))
+      .orderBy(col("p_type"), col("p_partkey"))
     val p = Tables.part(spark, dir).select(col("p_partkey"), col("p_name"),
       col("p_brand"), col("p_size"), col("p_type"),
       expr("CAST(FLOOR(p_retailprice) AS BIGINT)").as("pr"))
@@ -1456,7 +1464,7 @@ object VertexQueries {
     """pp AS (SELECT p_brand, p_size, p_partkey, p_name, p_type,
       |    CAST(FLOOR(p_retailprice) AS BIGINT) AS pr,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-      |      ORDER BY p_partkey) AS rn
+      |      ORDER BY p_type, p_partkey) AS rn
       |  FROM part),
       |pairs AS (SELECT a.key_a, b.key_b, ta = tb AS is_match,
       |    split_part(na, ' ', 2) = split_part(nb, ' ', 2) AS f_noun,
