@@ -1207,15 +1207,20 @@ object InsightQueries {
     * InsightQueriesSpec, the q_customers_no_orders precedent).
     */
   def qFkIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pass per child: LEFT join against the parent's DISTINCT keys
+    // (exact even if a parent key were ever duplicated) and count rows +
+    // unmatched rows in the same aggregate. The previous shape scanned
+    // every child twice (anti join for orphans + a separate total count)
+    // and crossJoined the two 1-row aggregates — 14 child scans for 7
+    // relations; this is 7.
     def audit(child: DataFrame, childKey: String, parent: DataFrame,
-              parentKey: String, relation: String): DataFrame = {
-      val orphans = child.select(col(childKey))
-        .join(parent.select(col(parentKey)),
-          col(childKey) === col(parentKey), "left_anti")
-      child.agg(count(lit(1)).as("n_child"))
-        .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+              parentKey: String, relation: String): DataFrame =
+      child.select(col(childKey))
+        .join(parent.select(col(parentKey)).distinct(),
+          col(childKey) === col(parentKey), "left")
+        .agg(count(lit(1)).as("n_child"),
+          count(when(col(parentKey).isNull, 1)).as("n_orphans"))
         .select(lit(relation).as("relation"), col("n_child"), col("n_orphans"))
-    }
     val l = Tables.lineitem(spark, dir)
     val o = Tables.orders(spark, dir)
     val c = Tables.customer(spark, dir)
