@@ -223,12 +223,14 @@ object AnalyticsQueries {
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .rollup(col("p_brand"), col("p_type"))
-      // 2-dp rounding, not the usual 6: the grand-total row reaches ~3e9 where
-      // a 1e-6 increment is BELOW double ulp (~5e-7) — the engines' round()
-      // algorithms then pick adjacent doubles. 1e-2 is safely above ulp at any
-      // total this schema can produce.
-      .agg(round(revenueDec(col("l_extendedprice"), col("l_discount"))
-          .cast("double"), 2).as("revenue"),
+      // round in DECIMAL space FIRST, then cast: rounding the DOUBLE at the
+      // grand total's ~3e9 magnitude is a knife edge (the r15 sf1.0 hash
+      // gate caught .36 vs .37 on a half-cent boundary the two engines'
+      // double round() resolved differently); the decimal round is exact
+      // and identical (HALF_UP both sides), and both engines then convert
+      // the SAME 2-dp decimal to its nearest double.
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
         coalesce(col("p_type"), lit("ALL")).as("ptype"),
@@ -238,7 +240,7 @@ object AnalyticsQueries {
   val revenueRollupSql: String =
     s"""SELECT COALESCE(p_brand, 'ALL') AS brand,
       |  COALESCE(p_type, 'ALL') AS ptype,
-      |  ROUND(CAST($revenueDecSql AS DOUBLE), 2) AS revenue,
+      |  CAST(ROUND($revenueDecSql, 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY ROLLUP(p_brand, p_type)

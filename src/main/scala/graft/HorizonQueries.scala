@@ -238,12 +238,16 @@ object HorizonQueries {
       .agg(sum(when(col("lang") === "de", col("c")).otherwise(0L)).as("ct"),
         sum(col("c")).as("cr"))
     val totals = buckets.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    // quantize the log-ratio DIFFERENCE once at DECIMAL(12,6) — the
+    // logRatiosFromDist recipe: casting each log separately on the 1e-8
+    // grid doubled the boundary exposure at 100x finer pitch, and the
+    // r15 sf1.0 value-hash gate caught exactly that (6th-decimal
+    // log_weight flips + selection-membership swaps near the threshold)
     val term = buckets.crossJoin(broadcast(totals))
       .select(col("g"),
-        (log((col("ct") + 1).cast("double") / (col("tt") + B))
-            .cast("decimal(18,8)") -
-          log((col("cr") + 1).cast("double") / (col("tr") + B))
-            .cast("decimal(18,8)")).as("dterm"))
+        (log((col("ct") + 1).cast("double") / (col("tt") + B)) -
+          log((col("cr") + 1).cast("double") / (col("tr") + B)))
+          .cast("decimal(12,6)").as("dterm"))
     val perDoc = dgl.join(broadcast(term), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c").cast("decimal(10,0)") * col("dterm")).as("__lw"),
@@ -272,8 +276,8 @@ object HorizonQueries {
       |tts AS (SELECT CAST(SUM(ct) AS BIGINT) AS tt,
       |    CAST(SUM(cr) AS BIGINT) AS tr FROM bk),
       |term AS (SELECT g,
-      |    CAST(ln(CAST(ct + 1 AS DOUBLE) / (tt + 256)) AS DECIMAL(18,8)) -
-      |    CAST(ln(CAST(cr + 1 AS DOUBLE) / (tr + 256)) AS DECIMAL(18,8))
+      |    CAST(ln(CAST(ct + 1 AS DOUBLE) / (tt + 256)) -
+      |      ln(CAST(cr + 1 AS DOUBLE) / (tr + 256)) AS DECIMAL(12,6))
       |      AS dterm
       |  FROM bk CROSS JOIN tts),
       |pd AS (SELECT doc_id,
