@@ -1296,9 +1296,14 @@ object VertexQueries {
     // quadratically (39.6x for 10x data in the r13 sf1.0 sweep); pairing
     // each part with its 32 nearest in-block successors is exhaustive at
     // the oracle SFs (blocks <= 28 there) and the deliberate linear
-    // approximation beyond (sf1.0 blocks ~280).
+    // approximation beyond (sf1.0 blocks ~280). The sort key is the
+    // recall lever (SCALE.md r15 "W = 32 recall audit"): ordered by
+    // p_name, prefix-similar names — exactly what Jaro-Winkler up-weights
+    // — sit adjacent, measured 64.0% recall of jw >= 0.7 pairs at sf1.0
+    // vs 33.2% under the partkey sort, identical n*W cost.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("p_brand"), col("p_size")).orderBy(col("p_partkey"))
+      .partitionBy(col("p_brand"), col("p_size"))
+      .orderBy(col("p_name"), col("p_partkey"))
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"))
@@ -1321,7 +1326,7 @@ object VertexQueries {
   val jaroMatchSql: String =
     """WITH pp AS (SELECT p_brand, p_size, p_partkey, p_name,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-      |      ORDER BY p_partkey) AS rn
+      |      ORDER BY p_name, p_partkey) AS rn
       |  FROM part),
       |a AS (SELECT p_brand, p_size, rn AS rn_a, p_partkey AS key_a,
       |    p_name AS name_a FROM pp),
