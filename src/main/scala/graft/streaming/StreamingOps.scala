@@ -284,6 +284,95 @@ object StreamingOps {
       }
   }
 
+  final case class ShinglePair(id_a: Long, id_b: Long, hamming: Int,
+                               offset_windows: Int)
+
+  /** Streaming SHIFT-TOLERANT near-dup candidates with event-time state
+    * TTL — the streaming twin of [[graft.multimodal.Multimodal
+    * .audioDupPairsShifted]]/[[graft.multimodal.Multimodal
+    * .videoDupPairsShifted]]: input rows are the already-shingled
+    * (id, shingle index, 64-bit fingerprint) stream (the same
+    * per-blob [[graft.multimodal.Multimodal.envelopeShingles]] fan-out
+    * the batch path produces), each row keys into `maxHamming + 1` band
+    * buckets, a bucket holds one canonical (id, shingle, fp), and an
+    * arrival from a DIFFERENT blob pairs against it with an exact
+    * bitCount verify, reporting the shingle-offset witness — so a
+    * window-aligned trimmed copy of an in-horizon original is caught as
+    * it streams in, exactly the case the whole-signal
+    * [[fingerprintCandidatesStreamTtl]] twin cannot see. Same canonical-
+    * chain trade and TTL-bounded state as the other dedup twins; a blob's
+    * own later shingles refresh its canonical entry and never self-pair.
+    * The same pair may surface from several (band, shingle) collisions
+    * with different witnesses — downstream keeps min (hamming, offset) as
+    * the batch operator's groupBy does.
+    */
+  def shingleCandidatesStreamTtl(fps: DataFrame, tsCol: String,
+                                 ttlMs: Long, idCol: String = "doc_id",
+                                 shingleCol: String = "s",
+                                 fpCol: String = "fp",
+                                 maxHamming: Int = 3,
+                                 allowedLateness: String = "0 seconds")
+      : Dataset[ShinglePair] = {
+    import fps.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"need 0 <= maxHamming <= 15, got $maxHamming")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val banded = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__fp"), b * bandBits).bitwiseAND(lit(mask))
+          .as("bits"))
+    }
+    val keyed = fps.withWatermark(tsCol, allowedLateness)
+      .select(col(idCol).cast("long").as("__id"), col(tsCol).as("__ts"),
+        col(shingleCol).cast("int").as("__s"), col(fpCol).cast("long").as("__fp"))
+      .select(col("__id"), col("__ts"), col("__s"), col("__fp"),
+        explode(array(banded: _*)).as("bk"))
+      .select(col("__id").as("_1"), col("__ts").as("_2"), col("__s").as("_3"),
+        col("__fp").as("_4"), col("bk.band").as("_5"), col("bk.bits").as("_6"))
+      .as[(Long, Timestamp, Int, Long, Int, Long)]
+    keyed
+      .groupByKey { case (_, _, _, _, band, bits) => (band, bits) }
+      .flatMapGroupsWithState[(Long, Int, Long), ShinglePair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long),
+         it: Iterator[(Long, Timestamp, Int, Long, Int, Long)],
+         state: GroupState[(Long, Int, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val arrivals = rows.map(r => (r._1, r._3, r._4)).distinct
+              .sortBy(t => (t._1, t._2))
+            val out = scala.collection.mutable.ArrayBuffer[ShinglePair]()
+            var canon: (Long, Int, Long) = state.getOption.orNull
+            arrivals.foreach { case (id, s, fp) =>
+              if (canon == null) canon = (id, s, fp)
+              // same blob: refresh the canonical shingle (never self-pair)
+              else if (id == canon._1) canon = (id, s, fp)
+              else {
+                val d = java.lang.Long.bitCount(canon._3 ^ fp)
+                if (d <= maxHamming)
+                  out += (if (canon._1 < id)
+                    ShinglePair(canon._1, id, d, canon._2 - s)
+                  else ShinglePair(id, canon._1, d, s - canon._2))
+                if (id < canon._1) canon = (id, s, fp)
+              }
+            }
+            if (canon != null) {
+              state.update(canon)
+              val maxTs = rows.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming winnowing near-dup candidates with event-time state TTL —
     * the fingerprint-register twin of [[graft.ext.Winnowing.similarPairs]],
     * closing the streaming story for position-robust dedup the way

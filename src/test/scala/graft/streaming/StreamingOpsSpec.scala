@@ -3,6 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 
 import graft.SparkTestBase
+import graft.multimodal.Multimodal
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -903,6 +904,74 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(rows.map(p => ((p.id_a, p.id_b), p.hamming)).toSet ==
       Set(((1L, 3L), 3)),
       s"stale canonical fingerprint survived the re-arrival: ${rows.toSeq}")
+  }
+
+  final case class ShRow(ts: Timestamp, doc_id: Long, s: Int, fp: Long)
+
+  test("shingle TTL candidates: a trimmed copy streaming in pairs against " +
+      "its original at the right offset witness, TTL re-seeds, and the " +
+      "first-epoch pair set matches the batch shifted operator") {
+    implicit val sc = spark.sqlContext
+    // driver-side sign-of-delta shingles, the same convention as
+    // Multimodal.envelopeShingles at windowFrames = 1
+    def shingles(samples: Array[Int]): Seq[(Int, Long)] =
+      (0 to samples.length - 65).map { s =>
+        var fp = 0L
+        (0 until 64).foreach { b =>
+          if (samples(s + b + 1) > samples(s + b)) fp |= 1L << b
+        }
+        (s, fp)
+      }
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(80)(rnd.nextInt(32768))
+    val copy = base.drop(5) ++ Array.fill(5)(rnd.nextInt(32768))
+    val other = Array.fill(80)(rnd.nextInt(32768))
+    def rows(id: Long, at: Timestamp, ss: Array[Int]): Seq[ShRow] =
+      shingles(ss).map { case (s, fp) => ShRow(at, id, s, fp) }
+    val input = MemoryStream[ShRow]
+    val query = StreamingOps.shingleCandidatesStreamTtl(input.toDF(), "ts",
+        ttlMs = 60 * 60000L)
+      .writeStream.format("memory").queryName("sh_ttl_out")
+      .outputMode("append").start()
+    input.addData(rows(1L, ts(0), base): _*)
+    query.processAllAvailable()
+    input.addData(rows(2L, ts(10), copy) ++ rows(3L, ts(12), other): _*)
+    query.processAllAvailable()
+    // 3 hours later an unrelated doc advances the watermark past the TTL
+    input.addData(rows(4L, ts(180), Array.fill(80)(rnd.nextInt(32768))): _*)
+    query.processAllAvailable()
+    // base re-arrives after expiry: re-seeds, then its fresh copy pairs
+    input.addData(rows(5L, ts(200), base): _*)
+    query.processAllAvailable()
+    input.addData(rows(6L, ts(205), base): _*)
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("sh_ttl_out").as[StreamingOps.ShinglePair].collect()
+    val pairs = got.map(p => (p.id_a, p.id_b)).toSet
+    // min (hamming, offset) witness per pair — the batch groupBy's reduce
+    val best = got.groupBy(p => (p.id_a, p.id_b)).map { case (k, ps) =>
+      k -> ps.map(p => (p.hamming, p.offset_windows)).min
+    }
+    assert(pairs.contains((1L, 2L)) && best((1L, 2L)) == ((0, 5)),
+      s"trimmed copy missed or wrong witness: ${best.toSeq}")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L) &&
+      !pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated blob paired: $pairs")
+    assert(!pairs.exists(p => p._2 == 5L && p._1 < 5L),
+      s"expired bucket leaked across the TTL horizon: $pairs")
+    assert(pairs.contains((5L, 6L)) && best((5L, 6L)) == ((0, 0)),
+      s"re-seeded epoch dup missed: ${best.toSeq}")
+    // batch differential on the first epoch's media (real WAV round-trip)
+    val wav = Multimodal.synthPcmWav(
+      Seq((1L, base.toSeq), (2L, copy.toSeq), (3L, other.toSeq))
+        .toDF("doc_id", "samples"), "samples", sampleRate = 16000)
+    val batch = Multimodal.audioDupPairsShifted(wav, "doc_id", "media",
+        maxHamming = 3, windowFrames = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getInt(2), r.getInt(3)))).toMap
+    val firstEpoch = best.filter { case ((a, b), _) => a <= 3L && b <= 3L }
+    assert(firstEpoch == batch,
+      s"streamed first-epoch witnesses $firstEpoch != batch twin $batch")
   }
 
   test("minhash TTL: buckets expire past the horizon, dups within it still pair") {
