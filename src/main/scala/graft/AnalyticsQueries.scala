@@ -73,14 +73,15 @@ object AnalyticsQueries {
       .join(Tables.region(spark, dir), col("n_regionkey") === col("r_regionkey"))
       .filter(col("r_name") === "AMERICA")
       .groupBy(col("n_name"))
-      .agg(round(revenueDec(col("l_extendedprice"), col("l_discount"))
-          .cast("double"), 6).as("revenue"),
+      // per-nation volume passes 1e10 at sf1.0 — decimal-space 2-dp round
+      .agg(revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("n_name"))
 
   val localSupplierVolumeSql: String =
     s"""SELECT n_name,
-      |  ROUND(CAST($revenueDecSql AS DOUBLE), 6) AS revenue,
+      |  CAST(ROUND($revenueDecSql, 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM customer
       |JOIN orders ON c_custkey = o_custkey

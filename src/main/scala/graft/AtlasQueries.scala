@@ -243,14 +243,15 @@ object AtlasQueries {
     Layout.saltedJoin(big, small, Seq("partkey"), saltFactor = 8)
       .groupBy(col("p_brand"))
       .agg(count(lit(1)).as("n_lines"),
-        round(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
-          .cast("double"), 6).as("revenue"))
+        // per-brand revenue passes 1e10 at sf1.0 — decimal-space round
+        AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,2)").cast("double").as("revenue"))
       .orderBy(col("p_brand"))
   }
 
   val saltedBrandRevSql: String =
     s"""SELECT p_brand, COUNT(*) AS n_lines,
-      |  ROUND(CAST(${AnalyticsQueries.revenueDecSql} AS DOUBLE), 6) AS revenue
+      |  CAST(ROUND(${AnalyticsQueries.revenueDecSql}, 2) AS DOUBLE) AS revenue
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 

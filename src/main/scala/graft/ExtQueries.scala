@@ -1137,11 +1137,17 @@ object ExtQueries {
   def qPricingSummary(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
+      // the three whole-table sums pass 1e10 at sf1.0 where a 1e-6 round
+      // increment is below double ulp — round the exact decimal at 2 dp
+      // and cast (r15 sf1.0 value-hash gate discipline); the per-line
+      // averages stay small-magnitude doubles
       .agg(
-        round(sum(dec(col("l_quantity"))).cast("double"), 6).as("sum_qty"),
-        round(sum(dec(col("l_extendedprice"))).cast("double"), 6).as("sum_base_price"),
-        round(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
-          .cast("double"), 6).as("sum_disc_price"),
+        sum(dec(col("l_quantity"))).cast("decimal(38,2)")
+          .cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("decimal(38,2)")
+          .cast("double").as("sum_base_price"),
+        AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,2)").cast("double").as("sum_disc_price"),
         round(sum(dec(col("l_quantity"))).cast("double") / count(lit(1)), 6).as("avg_qty"),
         round(sum(dec(col("l_discount"))).cast("double") / count(lit(1)), 6).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -1149,9 +1155,9 @@ object ExtQueries {
 
   val pricingSummarySql: String =
     s"""SELECT l_returnflag, l_linestatus,
-      |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_qty,
-      |  ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE), 6) AS sum_base_price,
-      |  ROUND(CAST(${AnalyticsQueries.revenueDecSql} AS DOUBLE), 6) AS sum_disc_price,
+      |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+      |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+      |  CAST(ROUND(${AnalyticsQueries.revenueDecSql}, 2) AS DOUBLE) AS sum_disc_price,
       |  ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
       |  ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
       |  COUNT(*) AS count_order
@@ -1161,14 +1167,19 @@ object ExtQueries {
     Tables.lineitem(spark, dir)
       .join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(col("p_brand"))
-      .agg(round(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
-          .cast("double"), 6).as("revenue"),
+      // DECIMAL-space round before the double cast: per-brand revenue
+      // passes 1e10 at sf1.0, where a 1e-6 round increment sits BELOW
+      // double ulp and the engines pick adjacent doubles (the r15 sf1.0
+      // value-hash gate caught it); 2-dp money rounding on the exact
+      // decimal is deterministic on both sides at any magnitude.
+      .agg(AnalyticsQueries.revenueDec(col("l_extendedprice"), col("l_discount"))
+          .cast("decimal(38,2)").cast("double").as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy(col("p_brand"))
 
   val brandRevenueSql: String =
     s"""SELECT p_brand,
-      |  ROUND(CAST(${AnalyticsQueries.revenueDecSql} AS DOUBLE), 6) AS revenue,
+      |  CAST(ROUND(${AnalyticsQueries.revenueDecSql}, 2) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
