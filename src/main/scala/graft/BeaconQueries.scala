@@ -142,16 +142,68 @@ object BeaconQueries {
   val audioShiftedDupSql: String = shiftedSql("as", 32768)
   val videoShiftedDupSql: String = shiftedSql("vs", 256)
 
+  // --------------------------------------------------------------------
+  // Large-codebook ADC through the broadcast-join path
+  // --------------------------------------------------------------------
+
+  /** ADC top-10 against a 128-codeword seeded book — above
+    * [[graft.ext.ProductQuant.AdcFoldMaxCodes]], so this query exercises
+    * the broadcast-LUT JOIN shape in the oracle gate (the 4-codeword
+    * `q_pq_adc` rides the scan-side literal fold; the spec's differential
+    * covers both, this makes the production-size path hash-checked too).
+    * Same DECIMAL(18,9) pooling and (d2, code) tie-break; the oracle
+    * replays all 128 × 8 assignments and the lookup sum.
+    */
+  def qPqAdcBigbook(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qVec = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val book = emb.filter(col("vec_id") < 128)
+      .select(col("vec_id").as("code"), col("embedding").as("cvec"))
+    graft.ext.ProductQuant.adcTopK(emb, "vec_id", "embedding",
+        book, "code", "cvec", qVec, k = 10, excludeId = 0L)
+      .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+  }
+
+  val pqAdcBigbookSql: String =
+    """WITH ss AS (SELECT unnest(generate_series(0, 7)) AS s),
+      |cb AS (SELECT vec_id AS code, embedding AS ce FROM embeddings
+      |  WHERE vec_id < 128),
+      |d AS (SELECT v.vec_id, ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (v.embedding[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (v.embedding[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS d2
+      |  FROM embeddings v CROSS JOIN ss CROSS JOIN cb),
+      |asn AS (SELECT vec_id, s, code FROM (SELECT vec_id, s, code,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2, code) AS rk
+      |  FROM d) WHERE rk = 1),
+      |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      |lut AS (SELECT ss.s, cb.code,
+      |    list_sum(list_transform(generate_series(1, 8),
+      |      i -> (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)
+      |         * (q.qe[ss.s * 8 + i]::DOUBLE - cb.ce[ss.s * 8 + i]::DOUBLE)))
+      |      AS dq2
+      |  FROM ss CROSS JOIN cb CROSS JOIN q),
+      |adc AS (SELECT asn.vec_id,
+      |    CAST(SUM(CAST(lut.dq2 AS DECIMAL(18,9))) AS DOUBLE) AS adc_raw
+      |  FROM asn JOIN lut ON asn.s = lut.s AND asn.code = lut.code
+      |  WHERE asn.vec_id <> 0 GROUP BY 1)
+      |SELECT vec_id, ROUND(adc_raw, 6) AS adc_dist FROM adc
+      |ORDER BY adc_raw, vec_id LIMIT 10""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_substring_hashed" -> (qSubstringHashed _),
     "q_audio_shifted_dup" -> (qAudioShiftedDup _),
-    "q_video_shifted_dup" -> (qVideoShiftedDup _)
+    "q_video_shifted_dup" -> (qVideoShiftedDup _),
+    "q_pq_adc_bigbook" -> (qPqAdcBigbook _)
   )
 
   def oracleSql: Map[String, String] = Map(
     // the string-key path's SQL verbatim: hashed keys change no result
     "q_substring_hashed" -> HorizonQueries.substringSpansSql,
     "q_audio_shifted_dup" -> audioShiftedDupSql,
-    "q_video_shifted_dup" -> videoShiftedDupSql
+    "q_video_shifted_dup" -> videoShiftedDupSql,
+    "q_pq_adc_bigbook" -> pqAdcBigbookSql
   )
 }

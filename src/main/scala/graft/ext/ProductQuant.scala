@@ -48,11 +48,11 @@ object ProductQuant {
       .select(col(idCol), col("__ss.subspace").as("subspace"),
         col("__ss.sub").as("sub"))
 
+  // native codegen'd loop, bit-equal to the zip_with/aggregate fold —
+  // this runs n·m·|codes| times per encode scan, the PQ hot path
   private def sqDist(a: org.apache.spark.sql.Column,
                      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val d = x.cast("double") - y.cast("double"); d * d
-    }), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecSqDist(a, b)
 
   /** Assign every (vector, subspace) to its nearest codeword. `codebook` is
     * (codeCol, vecCol) seed rows whose subvectors become the per-subspace

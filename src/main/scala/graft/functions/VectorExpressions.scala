@@ -66,11 +66,90 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native squared-L2 distance over two `array<float|double>` columns — the
+  * hot primitive of PQ encoding (n·m·|codes| evaluations per corpus scan).
+  * Bit-equal to the composable `aggregate(zip_with(a, b, (x, y) => {val d =
+  * x − y; d*d}), 0.0, _+_)`: the accumulator folds (xᵢ − yᵢ)² in index
+  * order in doubles, so swapping it in changes no hashes — ProductQuantSpec
+  * holds the equality on random vectors. The r15 sf1.0 sweep measured the
+  * HOF form dominating q_pq_adc_bigbook (1,024 lambda-plumbed evals per
+  * vector); this is the same loop inside WholeStageCodegen.
+  */
+case class VecSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> on both sides, " +
+          s"got (${left.dataType}, ${right.dataType})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_sq_dist"
+
+  private lazy val leftIsFloat = elemType(left.dataType).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right.dataType).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xd = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yd = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xd - yd
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("sqLen")
+      val acc = ctx.freshName("sqAcc")
+      val d = ctx.freshName("sqDelta")
+      val i = ctx.freshName("sqIdx")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.$getL($i) - (double) $b.$getR($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecSqDist =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level wrappers for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product over two `array<float>` columns (double accumulator). */
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd squared-L2 distance over two `array<float|double>` columns
+    * (double accumulator, index-ordered fold — bit-equal to the
+    * zip_with/aggregate form).
+    */
+  def vecSqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(VecSqDist(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Codegen'd L2 norm of an `array<float>` column. */

@@ -21,6 +21,34 @@ class VectorExpressionsSpec extends SparkTestBase {
       s"native ${r.getDouble(0)} != generic ${r.getDouble(1)}"))
   }
 
+  test("native VecSqDist equals the composable zip_with fold bit-for-bit " +
+      "on float and double arrays, and handles mixed element types") {
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    val out = vecs.select(
+      VectorFunctions.vecSqDist(col("a"), col("b")).as("native"),
+      hof(col("a"), col("b")).as("generic")).collect()
+    out.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+      s"native ${r.getDouble(0)} != generic ${r.getDouble(1)}"))
+    val dbl = vecs.select(col("a").cast("array<double>").as("a"),
+      col("b").cast("array<double>").as("b"))
+    dbl.select(VectorFunctions.vecSqDist(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("generic")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // mixed float/double sides: float is widened exactly, same result
+    val mixed = vecs.select(col("a"),
+      col("b").cast("array<double>").as("b"))
+    mixed.select(VectorFunctions.vecSqDist(col("a"), col("b")).as("native"),
+        hof(col("a"), col("b")).as("generic")).collect()
+      .foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // known value: (1-4)^2 + (2-5)^2 + (3-6)^2 = 27
+    val k = vecs.limit(1)
+      .select(VectorFunctions.vecSqDist(col("a"), col("b"))).head()
+    assert(k.getDouble(0) == 27.0)
+  }
+
   test("known value and norm") {
     val r = vecs.limit(1).select(
       VectorFunctions.floatDot(col("a"), col("b")),
