@@ -39,12 +39,10 @@ object RandomProjection {
         / lit(math.sqrt(outDims.toDouble)))
 
   /** Squared euclidean distance between two equal-length vector columns,
-    * folded in ascending index order (deterministic doubles). */
+    * folded in ascending index order (deterministic doubles) — the native
+    * codegen'd loop, bit-equal to the zip_with/aggregate form. */
   def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, d) => acc + d)
+    graft.functions.VectorFunctions.vecSqDist(a, b)
 
   /** JL distortion audit: project, sample pairs (ids ≡ 0 mod `modA` ×
     * ids ≡ 0 mod `modB`, a < b), and histogram the squared-distance ratio

@@ -39,9 +39,11 @@ object SimSearch {
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.floatDot(a, b)
 
   /** Composable fallback for arbitrary numeric array types. */
+  // native codegen'd loop, bit-equal to the zip_with/aggregate fold
+  // (VectorExpressionsSpec holds the equality) — this is the Lloyd /
+  // power-iteration / pair-cosine hot primitive
   def dotGeneric(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.vecDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -137,11 +137,86 @@ case class VecSqDist(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native dot product over `array<float|double>` columns — the
+  * element-type-generic sibling of [[FloatVecDot]] (which predates it and
+  * stays for the float-only call sites). Bit-equal to
+  * `aggregate(zip_with(a, b, (x, y) => x.cast(double) * y.cast(double)),
+  * 0.0, _+_)` — the index-ordered double fold — so swapping it into
+  * SimSearch.dotGeneric changes no hashes. This is the Lloyd-assignment /
+  * power-iteration / pair-cosine hot loop (n·k dot products per pass).
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def elemType(dt: DataType): Option[DataType] = dt match {
+    case ArrayType(FloatType, _) => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left.dataType), elemType(right.dataType)) match {
+      case (Some(_), Some(_)) => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> on both sides, " +
+          s"got (${left.dataType}, ${right.dataType})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_dot"
+
+  private lazy val leftIsFloat = elemType(left.dataType).contains(FloatType)
+  private lazy val rightIsFloat = elemType(right.dataType).contains(FloatType)
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xd = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yd = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xd * yd
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val getL = if (leftIsFloat) "getFloat" else "getDouble"
+      val getR = if (rightIsFloat) "getFloat" else "getDouble"
+      val n = ctx.freshName("dotLen")
+      val acc = ctx.freshName("dotAcc")
+      val i = ctx.freshName("dotIdx")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.$getL($i) * (double) $b.$getR($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-level wrappers for the native vector expressions. */
 object VectorFunctions {
   /** Codegen'd dot product over two `array<float>` columns (double accumulator). */
   def floatDot(a: Column, b: Column): Column =
     ColumnBridge.column(FloatVecDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Codegen'd dot product over two `array<float|double>` columns (double
+    * accumulator, index-ordered fold — bit-equal to the zip_with/aggregate
+    * form).
+    */
+  def vecDot(a: Column, b: Column): Column =
+    ColumnBridge.column(VecDot(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   /** Codegen'd squared-L2 distance over two `array<float|double>` columns

@@ -49,6 +49,23 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(k.getDouble(0) == 27.0)
   }
 
+  test("native VecDot equals the composable fold bit-for-bit on float, " +
+      "double, and mixed arrays") {
+    def hof(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    for (df <- Seq(vecs,
+        vecs.select(col("a").cast("array<double>").as("a"),
+          col("b").cast("array<double>").as("b")),
+        vecs.select(col("a"), col("b").cast("array<double>").as("b")))) {
+      df.select(VectorFunctions.vecDot(col("a"), col("b")).as("n"),
+          hof(col("a"), col("b")).as("g")).collect()
+        .foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+          s"native ${r.getDouble(0)} != generic ${r.getDouble(1)}"))
+    }
+  }
+
   test("known value and norm") {
     val r = vecs.limit(1).select(
       VectorFunctions.floatDot(col("a"), col("b")),
