@@ -129,7 +129,7 @@ object AtlasQueries {
       |ORDER BY query_id, rnk""".stripMargin
 
   /** Banded binary candidates + exact-cosine rerank (the sub-linear path);
-    * exercises the codegen'd FloatVecDot in the rerank projection. 8-bit
+    * exercises the codegen'd VecDot in the rerank projection. 8-bit
     * bands: the synthetic embeddings have near-independent dimensions, so a
     * 16-bit exact band almost never fires (p ≈ 4·2⁻¹⁶ per pair); real
     * embedding spaces are anisotropic (correlated sign patterns) and band

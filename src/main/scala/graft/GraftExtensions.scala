@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 
-import graft.functions.{CharNgrams, FloatVecDot, MinHashSigs, SimHash32, WinnowKeys, WordChunks, WordPairs, WordShingles}
+import graft.functions.{CharNgrams, MinHashSigs, SimHash32, VecDot, WinnowKeys, WordChunks, WordPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: make graft's native expressions available as
   * SQL functions. Wire with
@@ -21,8 +21,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("float_vec_dot"),
-      new ExpressionInfo(classOf[FloatVecDot].getName, "float_vec_dot"),
-      (children: Seq[Expression]) => FloatVecDot(children(0), children(1))))
+      new ExpressionInfo(classOf[VecDot].getName, "float_vec_dot"),
+      (children: Seq[Expression]) => VecDot(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
@@ -102,7 +102,7 @@ object GraftExtensions {
   /** Late registration on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit = {
     ColumnBridge.registerTempFunction(spark, "float_vec_dot",
-      (children: Seq[Expression]) => FloatVecDot(children.head, children(1)))
+      (children: Seq[Expression]) => VecDot(children.head, children(1)))
     ColumnBridge.registerTempFunction(spark, "word_pairs",
       (children: Seq[Expression]) => WordPairs(children.head,
         intArg("word_pairs(text, window)", children, 1)))

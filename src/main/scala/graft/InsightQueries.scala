@@ -1248,10 +1248,14 @@ object InsightQueries {
       ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
       ("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
     rels.map { case (rel, ct, ck, pt, pk) =>
+      // NULL-safe orphan predicate: the engine's left join counts a NULL
+      // child key as an orphan (it can never match a parent); plain NOT IN
+      // would silently exclude it (NULL NOT IN ... is NULL), and a NULL
+      // parent key would nuke the whole NOT IN — filter both explicitly
       s"""SELECT '$rel' AS relation,
          |  (SELECT COUNT(*) FROM $ct) AS n_child,
-         |  (SELECT COUNT(*) FROM $ct WHERE $ck NOT IN
-         |    (SELECT $pk FROM $pt)) AS n_orphans""".stripMargin
+         |  (SELECT COUNT(*) FROM $ct WHERE $ck IS NULL OR $ck NOT IN
+         |    (SELECT $pk FROM $pt WHERE $pk IS NOT NULL)) AS n_orphans""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 

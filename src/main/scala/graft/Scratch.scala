@@ -2,40 +2,32 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch-tree lifecycle for queries that WRITE an artifact then read it
-  * back (persisted IVF/PQ indexes, format round-trips): paths are keyed by
-  * data dir AND Spark application id so concurrent runs never race on one
-  * half-rewritten tree, and every path handed out is swept by a JVM
-  * shutdown hook — Verify/Bench/Profile leave /tmp clean instead of
-  * accreting one tree per (query, run) forever. The sweep is best-effort
-  * by design: a SIGKILL'd run leaves its trees, but the NEXT run's keys
-  * never collide with them (fresh application id), so correctness never
-  * depends on the cleanup.
+/** Scratch-tree lifecycle for paths that are written then read back
+  * (persisted IVF/PQ indexes, format round-trips, test temp dirs): every
+  * registered tree is deleted by a JVM shutdown hook, so Verify/Bench/
+  * Profile/test runs leave /tmp clean instead of accreting one tree per
+  * (query, run) forever. The sweep is best-effort by design: a SIGKILL'd
+  * run leaves its trees, but the next run's keys never collide with them
+  * (fresh application id), so correctness never depends on the cleanup.
+  *
+  * The registry is a class so tests can exercise [[ScratchRegistry.sweep]]
+  * on a private instance without draining the process-global [[Scratch]]
+  * queue out from under concurrently-running suites.
   */
-object Scratch {
+class ScratchRegistry {
   private val created = new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-  /** A per-(tag, dir, applicationId) scratch path, registered for the
-    * end-of-JVM sweep.
-    */
-  def path(spark: SparkSession, tag: String, dir: String): String =
-    register(s"/tmp/graft_${tag}_${math.abs(dir.hashCode.toLong)}_" +
-      spark.sparkContext.applicationId)
-
-  /** Register an externally-chosen path for the end-of-JVM sweep and
-    * return it.
-    */
+  /** Register a path for the end-of-JVM sweep and return it. */
   def register(p: String): String = {
     created.add(p)
     if (hooked.compareAndSet(false, true))
-      Runtime.getRuntime.addShutdownHook(new Thread(() => sweep(), "graft-scratch-sweep"))
+      Runtime.getRuntime.addShutdownHook(
+        new Thread(() => sweep(), "graft-scratch-sweep"))
     p
   }
 
-  /** Delete every registered tree now (also what the shutdown hook runs —
-    * callable directly from tests).
-    */
+  /** Delete every registered tree now (what the shutdown hook runs). */
   def sweep(): Unit = {
     var p = created.poll()
     while (p != null) {
@@ -51,4 +43,19 @@ object Scratch {
     }
     f.delete(): Unit
   }
+}
+
+/** The process-global registry every query scratch site and test temp dir
+  * registers with.
+  */
+object Scratch extends ScratchRegistry {
+
+  /** A per-(tag, dir, applicationId) scratch path — keyed by data dir AND
+    * Spark application id so two concurrent runs over the same dir (or a
+    * hash collision between dirs) never race on one half-rewritten tree —
+    * registered for the end-of-JVM sweep.
+    */
+  def path(spark: SparkSession, tag: String, dir: String): String =
+    register(s"/tmp/graft_${tag}_${math.abs(dir.hashCode.toLong)}_" +
+      spark.sparkContext.applicationId)
 }

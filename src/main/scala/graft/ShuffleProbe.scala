@@ -42,6 +42,9 @@ object ShuffleProbe {
       spark.sparkContext.addSparkListener(tally)
       val n = graft.ext.SubstringDedup.mergedSpans(docs, "doc_id", "text",
         k = 8, minLen = 20, maxDf = 64, gramHash = hash).count()
+      // the listener bus is async: drain it before reading the tallies or
+      // the trailing task-end events are silently missed
+      org.apache.spark.graftbridge.ListenerBridge.drain(spark.sparkContext)
       spark.sparkContext.removeSparkListener(tally)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values

@@ -93,7 +93,10 @@ object ProductQuant {
     * code_s(v))‖², read from an m×codes lookup table built once per query
     * (the paper's Fig. 2 trick: m table lookups per corpus vector, no
     * decode). `queryVec` need not be in the corpus; `excludeId` drops the
-    * query's own row. Output: (id, adc_dist), k rows ascending.
+    * query's own row. `idCol` must be UNIQUE per vector (it is the
+    * encode aggregation key — on duplicate ids the two plan shapes would
+    * differ: the scan-side fold scores rows independently while the join
+    * path collapses per id). Output: (id, adc_dist), k rows ascending.
     */
   /** Residual vectors against a coarse-quantizer centroid table (cid,
     * cvec `array<double>`): each vector's cosine-argmax cell

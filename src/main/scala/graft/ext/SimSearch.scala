@@ -32,16 +32,19 @@ object SimSearch {
     }.reduce(_ + _)
 
   /** Dot product of two `array<float>` columns via the native codegen expression
-    * [[graft.functions.FloatVecDot]] (double accumulator, index-ordered — identical
-    * numerics to the composable `aggregate(zip_with(...))` form, which remains
-    * available as [[dotGeneric]] for non-float arrays).
+    * [[graft.functions.VecDot]] (double accumulator, index-ordered — identical
+    * numerics to the composable `aggregate(zip_with(...))` form).
     */
   def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.floatDot(a, b)
 
-  /** Composable fallback for arbitrary numeric array types. */
-  // native codegen'd loop, bit-equal to the zip_with/aggregate fold
-  // (VectorExpressionsSpec holds the equality) — this is the Lloyd /
-  // power-iteration / pair-cosine hot primitive
+  /** Dot product over `array<float|double>` columns — the native codegen'd
+    * loop, bit-equal to the zip_with/aggregate fold it replaced
+    * (VectorExpressionsSpec holds the equality, NULL semantics included).
+    * This is the Lloyd / power-iteration / pair-cosine hot primitive. For
+    * array types outside float/double (none in this library), compose
+    * `aggregate(zip_with(a, b, (x, y) => x.cast("double") *
+    * y.cast("double")), lit(0.0), _ + _)` directly.
+    */
   def dotGeneric(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.vecDot(a, b)
 

@@ -13,7 +13,7 @@ class VectorExpressionsSpec extends SparkTestBase {
     (Seq.tabulate(64)(i => math.sin(i).toFloat), Seq.tabulate(64)(i => math.cos(i).toFloat))
   ).toDF("a", "b")
 
-  test("native FloatVecDot equals the composable aggregate/zip_with formulation") {
+  test("native dot (floatDot -> VecDot) equals the composable aggregate/zip_with formulation") {
     val out = vecs.select(
       VectorFunctions.floatDot(col("a"), col("b")).as("native"),
       SimSearch.dotGeneric(col("a"), col("b")).as("generic")).collect()
@@ -66,6 +66,28 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("HOF null semantics preserved: a length mismatch or a null element " +
+      "yields NULL, exactly like the zip_with fold (never a partial sum)") {
+    def hofDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b,
+          (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val mismatch = Seq((Seq(1f, 2f, 3f), Seq(1f, 2f))).toDF("a", "b")
+    val r = mismatch.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("n"),
+      hofDot(col("a"), col("b")).as("g"),
+      VectorFunctions.vecSqDist(col("a"), col("b")).as("ns")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      s"length mismatch must be NULL on every path: $r")
+    val nullElem = Seq((Seq(Option(1f), Option.empty[Float]),
+      Seq(Option(1f), Option(2f)))).toDF("a", "b")
+    val r2 = nullElem.select(
+      VectorFunctions.vecDot(col("a"), col("b")).as("n"),
+      hofDot(col("a"), col("b")).as("g")).head()
+    assert(r2.isNullAt(0) && r2.isNullAt(1),
+      s"null element must be NULL on both paths: $r2")
+  }
+
   test("known value and norm") {
     val r = vecs.limit(1).select(
       VectorFunctions.floatDot(col("a"), col("b")),
@@ -95,7 +117,7 @@ class VectorExpressionsSpec extends SparkTestBase {
     val a = BoundReference(0, at, nullable = true)
     val b = BoundReference(1, at, nullable = true)
     val proj = GenerateUnsafeProjection.generate(
-      Seq(FloatVecDot(a, b), FloatVecDot(a, a), FloatVecDot(b, b)))
+      Seq(VecDot(a, b), VecDot(a, a), VecDot(b, b)))
     val row = InternalRow(
       ArrayData.toArrayData(Array(1f, 2f)), ArrayData.toArrayData(Array(3f, 4f)))
     val out = proj(row)
@@ -106,7 +128,7 @@ class VectorExpressionsSpec extends SparkTestBase {
 
   test("interpreted eval path (outside codegen) agrees") {
     // force interpreted projection by evaluating the expression directly
-    val e = FloatVecDot(
+    val e = VecDot(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
         Seq(1f, 2f), org.apache.spark.sql.types.ArrayType(
           org.apache.spark.sql.types.FloatType)),
