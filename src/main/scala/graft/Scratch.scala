@@ -37,7 +37,11 @@ class ScratchRegistry {
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) {
+    // Never follow symlinks: File.isDirectory resolves links, so a stray
+    // link inside a registered tree would let this unconditional shutdown
+    // sweep recurse into (and delete) files OUTSIDE the tree. A link is
+    // deleted as a link; only real directories are descended into.
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath) && f.isDirectory) {
       val children = f.listFiles()
       if (children != null) children.foreach(deleteRecursively)
     }

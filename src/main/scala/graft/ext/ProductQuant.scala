@@ -165,6 +165,15 @@ object ProductQuant {
     */
   val AdcFoldMaxCodes: Int = 64
 
+  /** True when the codebook is small enough for [[adcTopK]]'s scan-side
+    * literal fold. Decided from a LIMIT probe — `limit(n + 1).count()`
+    * caps every scan task at n + 1 rows — so the answer never requires
+    * materializing the book on the driver (ProductQuantSpec proves the
+    * probe consumes a bounded prefix of a 1M-row book via an accumulator).
+    */
+  private[ext] def foldEligible(codebook: DataFrame): Boolean =
+    codebook.limit(AdcFoldMaxCodes + 1).count() <= AdcFoldMaxCodes
+
   def adcTopK(df: DataFrame, idCol: String, vecCol: String,
               codebook: DataFrame, codeCol: String, cvecCol: String,
               queryVec: Seq[Float], k: Int, excludeId: Long = -1L,
@@ -186,6 +195,15 @@ object ProductQuant {
     // struct literals into one generated method, so large books take the
     // broadcast-join path below (ProductQuantSpec drives both
     // differentially at 256 codewords and asserts the chosen plan shape).
+    // The fold-vs-join decision runs BEFORE any driver materialization:
+    // foldEligible counts a LIMIT(AdcFoldMaxCodes + 1) probe, so a misused
+    // oversized "codebook" (a 1M-centroid table passed by mistake — the
+    // exact case the gate exists for) is never collected just to be
+    // counted; only a book proven ≤ AdcFoldMaxCodes rows is pulled to the
+    // driver, and that collect is ≤ 64 rows by construction.
+    if (!foldEligible(codebook))
+      return adcTopKJoin(df, idCol, vecCol, codebook, codeCol, cvecCol,
+        queryVec, k, excludeId, m, subDim)
     val cb = codebook
       .select(col(codeCol).cast("long"), col(cvecCol).cast("array<double>"))
       .collect()
@@ -194,9 +212,6 @@ object ProductQuant {
     require(cb.nonEmpty, "pq: empty codebook")
     cb.foreach { case (c, v) => require(v.length == m * subDim,
       s"pq: codeword $c has ${v.length} dims, expected ${m * subDim}") }
-    if (cb.length > AdcFoldMaxCodes)
-      return adcTopKJoin(df, idCol, vecCol, codebook, codeCol, cvecCol,
-        queryVec, k, excludeId, m, subDim)
     val q = queryVec.map(_.toDouble)
     val guarded = when(size(col(vecCol)) === m * subDim, col(vecCol))
       .otherwise(raise_error(concat(

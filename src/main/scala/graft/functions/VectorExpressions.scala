@@ -58,6 +58,16 @@ abstract class BinaryVecFold extends BinaryExpression {
   private lazy val leftIsFloat = elemType(left.dataType).contains(FloatType)
   private lazy val rightIsFloat = elemType(right.dataType).contains(FloatType)
 
+  // When BOTH sides are ArrayType(_, containsNull = false), null elements
+  // are impossible by type and the per-element isNullAt branch is dropped
+  // from the hot loop (interpreted and generated alike) — semantics are
+  // unchanged; the expression can still return null on a length mismatch.
+  private lazy val elemsNullFree: Boolean =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(_, ln), ArrayType(_, rn)) => !ln && !rn
+      case _ => false
+    }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -66,7 +76,7 @@ abstract class BinaryVecFold extends BinaryExpression {
     var s = 0.0
     var i = 0
     while (i < n) {
-      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      if (!elemsNullFree && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xd = if (leftIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yd = if (rightIsFloat) y.getFloat(i).toDouble else y.getDouble(i)
       s = foldStep(s, xd, yd)
@@ -84,6 +94,23 @@ abstract class BinaryVecFold extends BinaryExpression {
       val i = ctx.freshName("vfIdx")
       val xd = ctx.freshName("vfX")
       val yd = ctx.freshName("vfY")
+      val body =
+        if (elemsNullFree)
+          s"""
+             |    double $xd = (double) $a.$getL($i);
+             |    double $yd = (double) $b.$getR($i);
+             |    ${genStep(ctx, acc, xd, yd)}
+           """.stripMargin
+        else
+          s"""
+             |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true;
+             |    } else {
+             |      double $xd = (double) $a.$getL($i);
+             |      double $yd = (double) $b.$getR($i);
+             |      ${genStep(ctx, acc, xd, yd)}
+             |    }
+           """.stripMargin
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -91,13 +118,7 @@ abstract class BinaryVecFold extends BinaryExpression {
          |} else {
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
-         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
-         |      ${ev.isNull} = true;
-         |    } else {
-         |      double $xd = (double) $a.$getL($i);
-         |      double $yd = (double) $b.$getR($i);
-         |      ${genStep(ctx, acc, xd, yd)}
-         |    }
+         |$body
          |  }
          |  if (!${ev.isNull}) ${ev.value} = $acc;
          |}

@@ -16,6 +16,23 @@ class ScratchSpec extends SparkTestBase {
     reg.sweep() // second sweep over an empty queue is a no-op
   }
 
+  test("sweep deletes a symlink inside a registered tree WITHOUT following " +
+      "it — the link target's contents survive") {
+    val reg = new ScratchRegistry
+    val outside = java.nio.file.Files.createTempDirectory("graft_scratch_out")
+    val keep = outside.resolve("keep.txt")
+    java.nio.file.Files.write(keep, Array[Byte](42))
+    val root = java.nio.file.Files.createTempDirectory("graft_scratch_lnk")
+    java.nio.file.Files.createSymbolicLink(root.resolve("link"), outside)
+    reg.register(root.toString)
+    reg.sweep()
+    assert(!root.toFile.exists(), "registered tree survived the sweep")
+    assert(java.nio.file.Files.exists(keep),
+      "sweep followed a symlink and deleted files outside the tree")
+    java.nio.file.Files.delete(keep)
+    java.nio.file.Files.delete(outside)
+  }
+
   test("path keys on tag, dir hash, and application id") {
     val p = Scratch.path(spark, "spec", "/some/dir")
     assert(p.startsWith("/tmp/graft_spec_"))

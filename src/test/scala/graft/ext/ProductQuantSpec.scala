@@ -131,6 +131,27 @@ class ProductQuantSpec extends SparkTestBase {
     assert(f == j, "fold vs join ADC paths diverged on identical inputs")
   }
 
+  test("the fold-vs-join decision never materializes an oversized book on " +
+      "the driver: a 1M-row \"codebook\" routes to the join path after a " +
+      "bounded LIMIT probe") {
+    val acc = spark.sparkContext.longAccumulator("cbRowsTouched")
+    val huge = spark.range(0L, 1000000L).map { i =>
+      acc.add(1L)
+      (i, Seq.fill(16)(0.5f))
+    }.toDF("code", "cvec")
+    assert(!ProductQuant.foldEligible(huge),
+      "a 1M-row book must fail fold eligibility")
+    // limit(65).count() caps every scan task at 65 rows: with 32
+    // partitions the probe touches at most ~2k rows of the million. A
+    // collect-first decision would have touched all 1e6.
+    assert(acc.value < 100000L,
+      s"the eligibility probe consumed ${acc.value} rows of a 1M-row book " +
+        "— the decision is materializing the codebook")
+    val small = Seq((0L, Seq.fill(16)(0f)), (1L, Seq.fill(16)(10f)))
+      .toDF("code", "cvec")
+    assert(ProductQuant.foldEligible(small))
+  }
+
   test("dimension mismatch raises loudly instead of truncating") {
     val bad = Seq((1L, Seq.fill(12)(1f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
