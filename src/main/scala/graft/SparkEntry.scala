@@ -207,7 +207,7 @@ object SparkEntry {
     ZenithQueries.queries ++ SummitQueries.queries ++ PinnacleQueries.queries ++
     ApexQueries.queries ++ TitanQueries.queries ++ OmegaQueries.queries ++ NexusQueries.queries ++
     VertexQueries.queries ++ MeridianQueries.queries ++ HorizonQueries.queries ++
-    KeystoneQueries.queries ++ BeaconQueries.queries
+    KeystoneQueries.queries ++ BeaconQueries.queries ++ CrestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -419,5 +419,5 @@ object SparkEntry {
     ZenithQueries.oracleSql ++ SummitQueries.oracleSql ++ PinnacleQueries.oracleSql ++
     ApexQueries.oracleSql ++ TitanQueries.oracleSql ++ OmegaQueries.oracleSql ++ NexusQueries.oracleSql ++
     VertexQueries.oracleSql ++ MeridianQueries.oracleSql ++ HorizonQueries.oracleSql ++
-    KeystoneQueries.oracleSql ++ BeaconQueries.oracleSql
+    KeystoneQueries.oracleSql ++ BeaconQueries.oracleSql ++ CrestQueries.oracleSql
 }

@@ -404,6 +404,66 @@ object Multimodal {
     bandedShingleHammingPairs(shingled, idCol, maxHamming)
   }
 
+  /** SUB-window shift-tolerant audio near-dup pairs: the
+    * [[audioDupPairsShifted]] pipeline over OVERLAPPING envelope windows
+    * ([[WavCodec.audioEnvelopeOverlap]], hop < window). The
+    * non-overlapping grid only survives trims that are a whole number of
+    * windows — an offset of half a window re-phases every window boundary
+    * and scrambles all fingerprints (ShiftedOverlapSpec holds that
+    * negative control). With hop = windowFrames/h, any trim that is a
+    * multiple of hopFrames shifts the envelope by whole positions and the
+    * shingled fingerprints realign; tolerance granularity drops from
+    * windowFrames to hopFrames at an h× row fan-out (rows, not key width
+    * — the same linear price the shingling itself pays). Output matches
+    * [[audioDupPairsShifted]] except the witness offset is in HOPS
+    * (`offset_hops`): offset_hops > 0 means id_b's content starts
+    * offset_hops · hopFrames frames into id_a's.
+    */
+  def audioDupPairsShiftedOverlap(df: DataFrame, idCol: String,
+                                  mediaCol: String, maxHamming: Int = 3,
+                                  windowFrames: Int = 256,
+                                  hopFrames: Int = 64,
+                                  maxShingles: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val shingled = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          WavCodec.audioEnvelopeOverlap(r.getAs[Array[Byte]](mediaIdx),
+              windowFrames, hopFrames).toSeq
+            .flatMap(envelopeShingles(_, maxShingles)
+              .map { case (s, fp) => Row(r.get(idIdx), s, fp) })
+        }
+      }, shingleSchema(df.schema(idCol)))
+    bandedShingleHammingPairs(shingled, idCol, maxHamming, "offset_hops")
+  }
+
+  /** SUB-window shift-tolerant video near-dup pairs —
+    * [[audioDupPairsShiftedOverlap]]'s convention over the mdat byte
+    * stream ([[Mp4Codec.videoEnvelopeOverlap]] windows). Same output
+    * contract (`offset_hops` witness in hops of hopBytes bytes).
+    */
+  def videoDupPairsShiftedOverlap(df: DataFrame, idCol: String,
+                                  mediaCol: String, maxHamming: Int = 3,
+                                  windowBytes: Int = 256,
+                                  hopBytes: Int = 64,
+                                  maxShingles: Int = 256): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15, "need 0 <= maxHamming <= 15")
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val shingled = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          Mp4Codec.videoEnvelopeOverlap(r.getAs[Array[Byte]](mediaIdx),
+              windowBytes, hopBytes).toSeq
+            .flatMap(envelopeShingles(_, maxShingles)
+              .map { case (s, fp) => Row(r.get(idIdx), s, fp) })
+        }
+      }, shingleSchema(df.schema(idCol)))
+    bandedShingleHammingPairs(shingled, idCol, maxHamming, "offset_hops")
+  }
+
   private def shingleSchema(idField: StructField): StructType =
     StructType(Seq(
       StructField(idField.name, idField.dataType, idField.nullable),
@@ -419,7 +479,9 @@ object Multimodal {
     * whole-signal path's do (16-bit bands at the default budget).
     */
   private def bandedShingleHammingPairs(shingled: DataFrame, idCol: String,
-                                        maxHamming: Int): DataFrame = {
+                                        maxHamming: Int,
+                                        offsetName: String = "offset_windows")
+      : DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
@@ -443,10 +505,10 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(struct(col("hamming"),
-        (col("__sa") - col("__sb")).as("offset_windows"),
+        (col("__sa") - col("__sb")).as("__off"),
         col("__sa").as("__wit"))).as("__m"))
       .select(col("id_a"), col("id_b"), col("__m.hamming").as("hamming"),
-        col("__m.offset_windows").as("offset_windows"))
+        col("__m.__off").as(offsetName))
   }
 
   /** Parse video metadata from each media blob with the REAL ISO-BMFF box
@@ -886,6 +948,38 @@ object WavCodec extends Serializable {
     }
   }
 
+  /** [[audioEnvelopeFixed]] with OVERLAPPING windows: window w covers
+    * frames [w·hopFrames, w·hopFrames + windowFrames), full windows only.
+    * Overlap is what buys SUB-window shift tolerance downstream
+    * ([[Multimodal.audioDupPairsShiftedOverlap]]): a copy trimmed by any
+    * multiple of hopFrames frames reproduces the original's envelope
+    * shifted by whole positions, so the shingled fingerprints realign —
+    * the non-overlapping grid (hop = window) only survives whole-WINDOW
+    * trims. Tolerance granularity = hopFrames at a (windowFrames /
+    * hopFrames)× row fan-out; hop = window degenerates to the fixed grid.
+    */
+  def audioEnvelopeOverlap(bytes: Array[Byte], windowFrames: Int,
+                           hopFrames: Int): Option[Array[Double]] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    require(hopFrames >= 1 && hopFrames <= windowFrames,
+      s"need 1 <= hopFrames <= windowFrames, got $hopFrames")
+    pcm16Info(bytes).flatMap { case (dataOff, blockAlign, n) =>
+      if (n < windowFrames) None
+      else Some(Array.tabulate((n - windowFrames) / hopFrames + 1) { w =>
+        var s = 0.0
+        var f = w * hopFrames
+        val end = f + windowFrames
+        while (f < end) {
+          val o = dataOff + f * blockAlign
+          val v = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+          s += math.abs(v.toDouble)
+          f += 1
+        }
+        s / windowFrames
+      })
+    }
+  }
+
   def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
     val info = pcm16Info(bytes)
     if (info.isEmpty) return None
@@ -1132,6 +1226,28 @@ object Mp4Codec extends Serializable {
       else Some(Array.tabulate(nW) { w =>
         var s = 0.0
         var i = w * windowBytes
+        val end = i + windowBytes
+        while (i < end) { s += (p(i) & 0xff); i += 1 }
+        s / windowBytes
+      })
+    }
+  }
+
+  /** [[videoEnvelopeFixed]] with OVERLAPPING windows — the video
+    * counterpart of [[WavCodec.audioEnvelopeOverlap]]: window w covers
+    * mdat bytes [w·hopBytes, w·hopBytes + windowBytes), full windows
+    * only. Sub-window trim tolerance at granularity hopBytes.
+    */
+  def videoEnvelopeOverlap(bytes: Array[Byte], windowBytes: Int,
+                           hopBytes: Int): Option[Array[Double]] = {
+    require(windowBytes >= 1, s"windowBytes must be >= 1, got $windowBytes")
+    require(hopBytes >= 1 && hopBytes <= windowBytes,
+      s"need 1 <= hopBytes <= windowBytes, got $hopBytes")
+    mdatPayload(bytes).flatMap { p =>
+      if (p.length < windowBytes) None
+      else Some(Array.tabulate((p.length - windowBytes) / hopBytes + 1) { w =>
+        var s = 0.0
+        var i = w * hopBytes
         val end = i + windowBytes
         while (i < end) { s += (p(i) & 0xff); i += 1 }
         s / windowBytes
