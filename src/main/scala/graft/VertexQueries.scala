@@ -1291,30 +1291,54 @@ object VertexQueries {
     * semantics end to end.
     */
   def qJaroMatch(spark: SparkSession, dir: String): DataFrame = {
-    // same sorted-neighborhood window as fsPairs: the (brand, size) block
-    // count is fixed, so an unbounded blocked self-join saturates
+    // same sorted-neighborhood blocking as fsPairs: the (brand, size)
+    // block count is fixed, so an unbounded blocked self-join saturates
     // quadratically (39.6x for 10x data in the r13 sf1.0 sweep); pairing
     // each part with its 32 nearest in-block successors is exhaustive at
     // the oracle SFs (blocks <= 28 there) and the deliberate linear
-    // approximation beyond (sf1.0 blocks ~280). The sort key is the
-    // recall lever (SCALE.md r15 "W = 32 recall audit"): ordered by
-    // p_name, prefix-similar names — exactly what Jaro-Winkler up-weights
-    // — sit adjacent, measured 64.0% recall of jw >= 0.7 pairs at sf1.0
-    // vs 33.2% under the partkey sort, identical n*W cost.
-    val w = org.apache.spark.sql.expressions.Window
+    // approximation beyond (sf1.0 blocks ~280). MULTI-PASS (Hernandez &
+    // Stolfo): one window over the p_name sort (Jaro-Winkler up-weights
+    // common prefixes, so prefix-similar names sit adjacent) plus a
+    // second over the REVERSED name (clusters the prefix-divergent,
+    // suffix-similar residual), candidates unioned and deduped after
+    // re-orienting the reversed pass to the forward (p_name, p_partkey)
+    // convention. Measured at sf1.0 (SCALE.md r16): recall of jw >= 0.7
+    // pairs 64.0% single-pass -> 89.9% two-pass at 1.57x the candidate
+    // count (9.0M union vs 5.74M per pass) — still n*W-linear. At the
+    // oracle SFs every block <= W+1, each pass alone is exhaustive, so
+    // the union changes nothing and the query's hashes are untouched.
+    val wFwd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_brand"), col("p_size"))
       .orderBy(col("p_name"), col("p_partkey"))
+    val wRev = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"), col("p_size"))
+      .orderBy(reverse(col("p_name")), col("p_partkey"))
     val p = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"))
-      .withColumn("rn", row_number().over(w))
-    val a = p.select(col("p_brand"), col("p_size"), col("rn").as("rn_a"),
-      col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-    val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
-      col("rn").as("rn_b"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
+      .withColumn("rn", row_number().over(wFwd))
+      .withColumn("rnr", row_number().over(wRev))
+    def pass(rnCol: String): DataFrame = {
+      val a = p.select(col("p_brand"), col("p_size"), col(rnCol).as("rn_a"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+        col(rnCol).as("rn_b"),
+        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
         col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + FsWindow)
+    }
+    // forward pass is already oriented: rn order IS (p_name, p_partkey)
+    val fwd = pass("rn")
+      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
+    // reversed pass re-oriented to the same convention before the union
+    val fwdFirst = struct(col("name_a"), col("key_a")) <
+      struct(col("name_b"), col("key_b"))
+    val rev = pass("rnr").select(
+      when(fwdFirst, col("key_a")).otherwise(col("key_b")).as("key_a"),
+      when(fwdFirst, col("key_b")).otherwise(col("key_a")).as("key_b"),
+      when(fwdFirst, col("name_a")).otherwise(col("name_b")).as("name_a"),
+      when(fwdFirst, col("name_b")).otherwise(col("name_a")).as("name_b"))
+    fwd.union(rev).distinct()
       .select(col("key_a"), col("key_b"),
         round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
           col("name_b")), 6).as("jw"))
@@ -1326,16 +1350,29 @@ object VertexQueries {
   val jaroMatchSql: String =
     """WITH pp AS (SELECT p_brand, p_size, p_partkey, p_name,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-      |      ORDER BY p_name, p_partkey) AS rn
+      |      ORDER BY p_name, p_partkey) AS rn,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
+      |      ORDER BY reverse(p_name), p_partkey) AS rnr
       |  FROM part),
-      |a AS (SELECT p_brand, p_size, rn AS rn_a, p_partkey AS key_a,
-      |    p_name AS name_a FROM pp),
-      |b AS (SELECT p_brand, p_size, rn AS rn_b, p_partkey AS key_b,
-      |    p_name AS name_b FROM pp)
+      |fwd AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+      |    a.p_name AS name_a, b.p_name AS name_b
+      |  FROM pp a JOIN pp b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
+      |rev AS (SELECT
+      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
+      |      THEN a.p_partkey ELSE b.p_partkey END AS key_a,
+      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
+      |      THEN b.p_partkey ELSE a.p_partkey END AS key_b,
+      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
+      |      THEN a.p_name ELSE b.p_name END AS name_a,
+      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
+      |      THEN b.p_name ELSE a.p_name END AS name_b
+      |  FROM pp a JOIN pp b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |    AND b.rnr > a.rnr AND b.rnr <= a.rnr + 32),
+      |cand AS (SELECT * FROM fwd UNION SELECT * FROM rev)
       |SELECT key_a, key_b,
       |  ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
-      |FROM a JOIN b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-      |  AND rn_b > rn_a AND rn_b <= rn_a + 32
+      |FROM cand
       |WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7
       |ORDER BY jw DESC, key_a, key_b LIMIT 100""".stripMargin
 
