@@ -302,6 +302,16 @@ object StreamingOps {
     * [[fingerprintCandidatesStreamTtl]] twin cannot see. Same canonical-
     * chain trade and TTL-bounded state as the other dedup twins; a blob's
     * own later shingles refresh its canonical entry and never self-pair.
+    * The trade's two misses, explicitly: (1) two NON-canonical arrivals
+    * never pair against EACH OTHER, only against the bucket's canonical —
+    * three same-batch copies a < b < c emit (a, b) and (a, c) but never
+    * (b, c) (StreamReplaySpec holds this case); (2) a duplicate arriving
+    * after its original's bucket state expired past the TTL horizon
+    * re-seeds instead of pairing. For both, the batch operator
+    * ([[graft.multimodal.Multimodal.audioDupPairsShifted]] and kin) is
+    * the exact backstop — the streamed pairs are a subset of the batch
+    * pairs, complete whenever each bucket holds one canonical per
+    * TTL-epoch and dups arrive within the horizon.
     * The same pair may surface from several (band, shingle) collisions
     * with different witnesses — downstream keeps min (hamming, offset) as
     * the batch operator's groupBy does.
