@@ -1291,89 +1291,121 @@ object VertexQueries {
     * semantics end to end.
     */
   def qJaroMatch(spark: SparkSession, dir: String): DataFrame = {
-    // same sorted-neighborhood blocking as fsPairs: the (brand, size)
-    // block count is fixed, so an unbounded blocked self-join saturates
-    // quadratically (39.6x for 10x data in the r13 sf1.0 sweep); pairing
-    // each part with its 32 nearest in-block successors is exhaustive at
-    // the oracle SFs (blocks <= 28 there) and the deliberate linear
-    // approximation beyond (sf1.0 blocks ~280). MULTI-PASS (Hernandez &
-    // Stolfo): one window over the p_name sort (Jaro-Winkler up-weights
-    // common prefixes, so prefix-similar names sit adjacent) plus a
-    // second over the REVERSED name (clusters the prefix-divergent,
-    // suffix-similar residual), candidates unioned and deduped after
-    // re-orienting the reversed pass to the forward (p_name, p_partkey)
-    // convention. Measured at sf1.0 (SCALE.md r16): recall of jw >= 0.7
-    // pairs 64.0% single-pass -> 89.9% two-pass at 1.57x the candidate
-    // count (9.0M union vs 5.74M per pass) — still n*W-linear. At the
-    // oracle SFs every block <= W+1, each pass alone is exhaustive, so
-    // the union changes nothing and the query's hashes are untouched.
+    // Sorted neighborhood in DISTINCT-VALUE space (r16). The r14/r15
+    // row-space window paid two structural costs at scale: (1) every
+    // row-pair in the window re-scored jw on names that repeat massively
+    // (the part vocabulary is small — 64 distinct names at sf1.0), and
+    // (2) a run of IDENTICAL names longer than W left same-name pairs
+    // unreachable under ANY sort key — the real residual behind the
+    // 64.0% -> 89.9% -> ~92% recall ladder (a third positional-q-gram
+    // pass measured only +2.3 points, /tmp-measured r16). Jaro-Winkler
+    // is a function of the NAME pair alone, so: score each distinct
+    // in-block name pair once through the two-pass (forward + reversed
+    // name) W = 32 window, take same-name part pairs from an exact
+    // group self-join (jw = 1.0 by definition, no window involved), and
+    // expand only the MATCHED cross-name pairs back to part pairs.
+    // Measured at sf1.0 (SCALE.md r16): recall 89.9% -> 100.0% while jw
+    // computations drop 9.0M -> 124k (73x) — the window now saturates
+    // with the per-block VALUE vocabulary (<= 27 distinct names <= W+1,
+    // exhaustive), not the row count, and same-name pairs are exact at
+    // any scale. Beyond W+1 distinct values per block the cross-name
+    // window degrades gracefully exactly as the row window did, at a
+    // vocabulary-bounded candidate count. At the oracle SFs both the old
+    // and new candidate sets are exhaustive within blocks, so the
+    // query's output is unchanged (hashes re-verified green).
     val wFwd = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_brand"), col("p_size"))
-      .orderBy(col("p_name"), col("p_partkey"))
+      .orderBy(col("p_name"))
     val wRev = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_brand"), col("p_size"))
-      .orderBy(reverse(col("p_name")), col("p_partkey"))
-    val p = Tables.part(spark, dir)
+      .orderBy(reverse(col("p_name")))
+    val parts = Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name"), col("p_brand"),
         col("p_size"))
+    val dn = parts.select(col("p_brand"), col("p_size"), col("p_name"))
+      .distinct()
       .withColumn("rn", row_number().over(wFwd))
       .withColumn("rnr", row_number().over(wRev))
     def pass(rnCol: String): DataFrame = {
-      val a = p.select(col("p_brand"), col("p_size"), col(rnCol).as("rn_a"),
-        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
-      val b = p.select(col("p_brand").as("b2"), col("p_size").as("s2"),
-        col(rnCol).as("rn_b"),
-        col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+      val a = dn.select(col("p_brand"), col("p_size"),
+        col(rnCol).as("rn_a"), col("p_name").as("name_a"))
+      val b = dn.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+        col(rnCol).as("rn_b"), col("p_name").as("name_b"))
       a.join(b, col("p_brand") === col("b2") && col("p_size") === col("s2") &&
         col("rn_b") > col("rn_a") && col("rn_b") <= col("rn_a") + FsWindow)
     }
-    // forward pass is already oriented: rn order IS (p_name, p_partkey)
+    // forward pass is already name-oriented (rn order IS p_name order;
+    // names are distinct within a block); the reversed pass re-orients
     val fwd = pass("rn")
-      .select(col("key_a"), col("key_b"), col("name_a"), col("name_b"))
-    // reversed pass re-oriented to the same convention before the union
-    val fwdFirst = struct(col("name_a"), col("key_a")) <
-      struct(col("name_b"), col("key_b"))
-    val rev = pass("rnr").select(
-      when(fwdFirst, col("key_a")).otherwise(col("key_b")).as("key_a"),
-      when(fwdFirst, col("key_b")).otherwise(col("key_a")).as("key_b"),
-      when(fwdFirst, col("name_a")).otherwise(col("name_b")).as("name_a"),
-      when(fwdFirst, col("name_b")).otherwise(col("name_a")).as("name_b"))
-    fwd.union(rev).distinct()
-      .select(col("key_a"), col("key_b"),
+      .select(col("p_brand"), col("p_size"), col("name_a"), col("name_b"))
+    val rev = pass("rnr").select(col("p_brand"), col("p_size"),
+      least(col("name_a"), col("name_b")).as("name_a"),
+      greatest(col("name_a"), col("name_b")).as("name_b"))
+    val matched = fwd.union(rev).distinct()
+      .withColumn("jw",
         round(graft.functions.JaroWinkler.jaroWinkler(col("name_a"),
-          col("name_b")), 6).as("jw"))
+          col("name_b")), 6))
       .filter(col("jw") >= 0.7)
+    // same-name part pairs: exact group self-join, jw = 1.0 by identity
+    val x = parts.select(col("p_brand"), col("p_size"), col("p_name"),
+      col("p_partkey").as("key_a"))
+    val y = parts.select(col("p_brand").as("b2"), col("p_size").as("s2"),
+      col("p_name").as("n2"), col("p_partkey").as("key_b"))
+    val same = x.join(y, col("p_brand") === col("b2") &&
+        col("p_size") === col("s2") && col("p_name") === col("n2") &&
+        col("key_a") < col("key_b"))
+      .select(col("key_a"), col("key_b"), lit(1.0).as("jw"))
+    // matched cross-name pairs expand to part pairs via two broadcast
+    // probes — `matched` is vocabulary-bounded (25k rows at sf1.0),
+    // never row-bounded; orientation (name_a < name_b) implies
+    // (name, key) order, matching the same-name branch's convention
+    val mb = broadcast(matched.select(col("p_brand").as("mb_brand"),
+      col("p_size").as("mb_size"), col("name_a"), col("name_b"),
+      col("jw")))
+    val cross = mb
+      .join(x, col("p_brand") === col("mb_brand") &&
+        col("p_size") === col("mb_size") && col("p_name") === col("name_a"))
+      .join(y, col("b2") === col("mb_brand") &&
+        col("s2") === col("mb_size") && col("n2") === col("name_b"))
+      .select(col("key_a"), col("key_b"), col("jw"))
+    same.unionByName(cross)
       .orderBy(col("jw").desc, col("key_a"), col("key_b"))
       .limit(100)
   }
 
   val jaroMatchSql: String =
-    """WITH pp AS (SELECT p_brand, p_size, p_partkey, p_name,
+    """WITH dn AS (SELECT p_brand, p_size, p_name,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-      |      ORDER BY p_name, p_partkey) AS rn,
+      |      ORDER BY p_name) AS rn,
       |    ROW_NUMBER() OVER (PARTITION BY p_brand, p_size
-      |      ORDER BY reverse(p_name), p_partkey) AS rnr
-      |  FROM part),
-      |fwd AS (SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
-      |    a.p_name AS name_a, b.p_name AS name_b
-      |  FROM pp a JOIN pp b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-      |    AND b.rn > a.rn AND b.rn <= a.rn + 32),
-      |rev AS (SELECT
-      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
-      |      THEN a.p_partkey ELSE b.p_partkey END AS key_a,
-      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
-      |      THEN b.p_partkey ELSE a.p_partkey END AS key_b,
-      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
-      |      THEN a.p_name ELSE b.p_name END AS name_a,
-      |    CASE WHEN (a.p_name, a.p_partkey) < (b.p_name, b.p_partkey)
-      |      THEN b.p_name ELSE a.p_name END AS name_b
-      |  FROM pp a JOIN pp b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |      ORDER BY reverse(p_name)) AS rnr
+      |  FROM (SELECT DISTINCT p_brand, p_size, p_name FROM part)),
+      |np AS (
+      |  SELECT a.p_brand, a.p_size, a.p_name AS name_a, b.p_name AS name_b
+      |  FROM dn a JOIN dn b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+      |    AND b.rn > a.rn AND b.rn <= a.rn + 32
+      |  UNION
+      |  SELECT a.p_brand, a.p_size,
+      |    LEAST(a.p_name, b.p_name), GREATEST(a.p_name, b.p_name)
+      |  FROM dn a JOIN dn b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
       |    AND b.rnr > a.rnr AND b.rnr <= a.rnr + 32),
-      |cand AS (SELECT * FROM fwd UNION SELECT * FROM rev)
-      |SELECT key_a, key_b,
-      |  ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
-      |FROM cand
-      |WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7
+      |m AS (SELECT p_brand, p_size, name_a, name_b,
+      |    ROUND(jaro_winkler_similarity(name_a, name_b), 6) AS jw
+      |  FROM np
+      |  WHERE ROUND(jaro_winkler_similarity(name_a, name_b), 6) >= 0.7),
+      |same AS (SELECT x.p_partkey AS key_a, y.p_partkey AS key_b,
+      |    CAST(1.0 AS DOUBLE) AS jw
+      |  FROM part x JOIN part y ON x.p_brand = y.p_brand
+      |    AND x.p_size = y.p_size AND x.p_name = y.p_name
+      |    AND x.p_partkey < y.p_partkey),
+      |xn AS (SELECT pa.p_partkey AS key_a, pb.p_partkey AS key_b, m.jw
+      |  FROM m
+      |  JOIN part pa ON pa.p_brand = m.p_brand AND pa.p_size = m.p_size
+      |    AND pa.p_name = m.name_a
+      |  JOIN part pb ON pb.p_brand = m.p_brand AND pb.p_size = m.p_size
+      |    AND pb.p_name = m.name_b)
+      |SELECT key_a, key_b, jw
+      |FROM (SELECT * FROM same UNION ALL SELECT * FROM xn)
       |ORDER BY jw DESC, key_a, key_b LIMIT 100""".stripMargin
 
   /** Borda + Copeland fusion of three brand rankers (integer revenue,
