@@ -131,13 +131,127 @@ object CrestQueries {
   val audioSubwindowDupSql: String = subwindowSql("ao", 32768)
   val videoSubwindowDupSql: String = subwindowSql("vo", 256)
 
+  private val CdcTrim = 3 // frames — deliberately NOT a multiple of any hop
+
+  /** Content-defined-chunking audio near-dup: docs with id ≡ 1 (mod 10)
+    * carry the PREVIOUS doc's waveform trimmed by [[CdcTrim]] = 3 frames.
+    * No fixed grid survives an arbitrary trim without paying fan-out for
+    * the granularity (the hop-2 overlap path provably misses an odd trim
+    * — CdcSpec holds that negative control); the content-defined
+    * boundaries of [[graft.multimodal.Multimodal.audioDupPairsCdc]] move
+    * WITH the content, so every interior segment of the copy reproduces
+    * the original's (fp, len) keys verbatim and the pair reports with
+    * offset_frames = +3 at ~1 segment row per [[graft.multimodal
+    * .Multimodal.CdcCutMod]] frames. The oracle replays the whole chain
+    * in closed form: generator values → rolling cut polynomial →
+    * interior segments → positional-polynomial fingerprints → df-capped
+    * exact (fp, len) join → shared-count + minimal-offset witness.
+    */
+  def qAudioCdcDup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val copies = id % 10 === 1
+    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
+      when(copies && w <= OvSamples - CdcTrim - 1,
+          md5Val("cd", id - 1, w + CdcTrim, 32768))
+        .otherwise(md5Val("cd", id, w, 32768)).cast("int"))
+    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
+      sampleRate = 16000)
+    graft.multimodal.Multimodal.audioDupPairsCdc(wav, "doc_id", "media")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Content-defined-chunking video near-dup — [[qAudioCdcDup]]'s plant
+    * over mdat sample bytes ([[graft.multimodal.Multimodal
+    * .videoDupPairsCdc]]: real MP4 encode → box walk → CDC over the
+    * byte magnitudes → exact (fp, len) join).
+    */
+  def qVideoCdcDup(spark: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val copies = id % 10 === 1
+    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
+      when(copies && w <= OvSamples - CdcTrim - 1,
+          md5Val("cv", id - 1, w + CdcTrim, 256))
+        .otherwise(md5Val("cv", id, w, 256)).cast("int"))
+    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
+    graft.multimodal.Multimodal.videoDupPairsCdc(mp4, "doc_id", "media")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Closed-form oracle for the CDC fixtures: the constants mirror
+    * [[graft.multimodal.Multimodal.CdcCutBase]]/CdcCutMod/CdcFpBase/
+    * CdcFpMod, and the power table is generated Scala-side so both
+    * engines fold the identical (B^j mod M) residues.
+    */
+  private def cdcSql(prefix: String, mod: Int): String = {
+    val b = graft.multimodal.Multimodal.CdcCutBase
+    val b2 = b * b
+    val b3 = b * b * b
+    val cutMod = graft.multimodal.Multimodal.CdcCutMod
+    val fpM = graft.multimodal.Multimodal.CdcFpMod
+    val fpB = graft.multimodal.Multimodal.CdcFpBase
+    val lastCopied = OvSamples - CdcTrim - 1
+    val pows = Iterator.iterate(1L)(_ * fpB % fpM).take(OvSamples)
+      .zipWithIndex.map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    s"""WITH v AS (SELECT doc_id, w,
+       |    ('0x' || substr(md5('$prefix' ||
+       |        (CASE WHEN doc_id % 10 = 1 AND w <= $lastCopied
+       |           THEN doc_id - 1 ELSE doc_id END) || '_' ||
+       |        (CASE WHEN doc_id % 10 = 1 AND w <= $lastCopied
+       |           THEN w + $CdcTrim ELSE w END)), 1, 8))::BIGINT % $mod AS v
+       |  FROM (SELECT doc_id FROM documents) CROSS JOIN
+       |    (SELECT unnest(generate_series(0, ${OvSamples - 1})) AS w)),
+       |pows(j, p) AS (VALUES $pows),
+       |hv AS (SELECT doc_id, w,
+       |    (LAG(v, 3) OVER win * $b3 + LAG(v, 2) OVER win * $b2
+       |      + LAG(v, 1) OVER win * $b + v) % $cutMod AS h
+       |  FROM v WINDOW win AS (PARTITION BY doc_id ORDER BY w)),
+       |cuts AS (SELECT doc_id, w,
+       |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY w) AS nw
+       |  FROM hv WHERE w >= 3 AND h = 0),
+       |seg AS (SELECT doc_id, w + 1 AS pos, nw AS endw, nw - w AS len
+       |  FROM cuts WHERE nw IS NOT NULL AND nw - w >= 4),
+       |fpseg AS (SELECT s.doc_id, s.pos, s.len,
+       |    CAST(SUM(v.v * pw.p) % $fpM AS BIGINT) AS fp
+       |  FROM seg s
+       |  JOIN v ON v.doc_id = s.doc_id AND v.w BETWEEN s.pos AND s.endw
+       |  JOIN pows pw ON pw.j = v.w - s.pos
+       |  GROUP BY 1, 2, 3),
+       |keep AS (SELECT fp, len FROM fpseg GROUP BY fp, len
+       |  HAVING COUNT(DISTINCT doc_id) <= 64),
+       |k AS (SELECT f.* FROM fpseg f JOIN keep USING (fp, len)),
+       |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.fp, a.len,
+       |    a.pos AS pa, b.pos AS pb
+       |  FROM k a JOIN k b ON a.fp = b.fp AND a.len = b.len
+       |    AND a.doc_id < b.doc_id),
+       |agg AS (SELECT id_a, id_b,
+       |    COUNT(DISTINCT (fp, len)) AS shared
+       |  FROM prs GROUP BY 1, 2 HAVING COUNT(DISTINCT (fp, len)) >= 2),
+       |best AS (SELECT id_a, id_b, pa - pb AS offset_frames,
+       |    ROW_NUMBER() OVER (PARTITION BY id_a, id_b
+       |      ORDER BY pa - pb, pa) AS rn
+       |  FROM prs)
+       |SELECT a.id_a, a.id_b, a.shared, b.offset_frames
+       |FROM agg a JOIN best b ON a.id_a = b.id_a AND a.id_b = b.id_b
+       |  AND b.rn = 1
+       |ORDER BY a.id_a, a.id_b""".stripMargin
+  }
+
+  val audioCdcDupSql: String = cdcSql("cd", 32768)
+  val videoCdcDupSql: String = cdcSql("cv", 256)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_audio_subwindow_dup" -> (qAudioSubwindowDup _),
-    "q_video_subwindow_dup" -> (qVideoSubwindowDup _)
+    "q_video_subwindow_dup" -> (qVideoSubwindowDup _),
+    "q_audio_cdc_dup" -> (qAudioCdcDup _),
+    "q_video_cdc_dup" -> (qVideoCdcDup _)
   )
 
   def oracleSql: Map[String, String] = Map(
     "q_audio_subwindow_dup" -> audioSubwindowDupSql,
-    "q_video_subwindow_dup" -> videoSubwindowDupSql
+    "q_video_subwindow_dup" -> videoSubwindowDupSql,
+    "q_audio_cdc_dup" -> audioCdcDupSql,
+    "q_video_cdc_dup" -> videoCdcDupSql
   )
 }

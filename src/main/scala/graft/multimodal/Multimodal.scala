@@ -464,6 +464,158 @@ object Multimodal {
     bandedShingleHammingPairs(shingled, idCol, maxHamming, "offset_hops")
   }
 
+  /** Content-defined chunking parameters shared by the Scala pipeline and
+    * the SQL oracle replays. Cut predicate: position i is a boundary when
+    * the degree-3 polynomial hash of magnitudes [i-3, i] over base
+    * [[CdcCutBase]] is ≡ 0 (mod [[CdcCutMod]]) — a pure per-position
+    * predicate (no min/max segment clamps), so the whole chain is
+    * closed-form SQL-expressible; a production variant would add FastCDC
+    * min/max bounds in the same per-partition scan. Segment fingerprint:
+    * positional polynomial over base [[CdcFpBase]] mod [[CdcFpMod]]
+    * (prime; terms < 32768 · CdcFpMod keep every partial sum well inside
+    * Int64 in both engines).
+    */
+  val CdcCutBase = 31L
+  val CdcCutMod = 8L
+  val CdcFpBase = 37L
+  val CdcFpMod = 2000003L
+
+  /** CONTENT-DEFINED segments of a magnitude sequence: (startPos, len,
+    * fp) per interior segment. Boundaries sit where the rolling cut
+    * predicate fires — positions defined by the CONTENT, so they move
+    * WITH the content: a copy trimmed by ANY amount reproduces every
+    * interior boundary (once the 4-value hash window clears the cut
+    * point) and therefore every interior segment verbatim. That removes
+    * the tolerance-granularity-vs-fan-out trade the overlap tier pays
+    * ([[audioDupPairsShiftedOverlap]]: granularity hopFrames at a
+    * (window/hop)× row fan-out): CDC gives exact-offset tolerance at ~1
+    * row per [[CdcCutMod]] input positions. The head and tail segments
+    * are dropped (blob edges truncate them, so a trim changes them); a
+    * segment's fp is position-independent (indexed from its own start),
+    * which is exactly the trim invariance. The rsync/FastCDC idea
+    * applied to the media-dedup candidate key.
+    */
+  private[multimodal] def cdcSegments(m: Array[Int]): Seq[(Int, Int, Long)] = {
+    if (m.length < 5) return Seq.empty
+    val cuts = scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 3
+    while (i < m.length) {
+      val h = (m(i - 3) * CdcCutBase * CdcCutBase * CdcCutBase +
+        m(i - 2) * CdcCutBase * CdcCutBase +
+        m(i - 1) * CdcCutBase + m(i)) % CdcCutMod
+      if (h == 0) cuts += i
+      i += 1
+    }
+    (0 until cuts.length - 1).map { k =>
+      val start = cuts(k) + 1
+      val end = cuts(k + 1) // inclusive
+      var fp = 0L
+      var pw = 1L
+      var j = start
+      while (j <= end) {
+        fp = (fp + m(j) * pw) % CdcFpMod
+        pw = pw * CdcFpBase % CdcFpMod
+        j += 1
+      }
+      (start, end - start + 1, fp)
+    }
+  }
+
+  private def cdcSchema(idField: StructField): StructType =
+    StructType(Seq(
+      StructField(idField.name, idField.dataType, idField.nullable),
+      StructField("pos", IntegerType, nullable = false),
+      StructField("len", IntegerType, nullable = false),
+      StructField("fp", LongType, nullable = false)))
+
+  /** Pair reduction over CDC segment rows: equi-join on (fp, len) — an
+    * exact-key join, no banding — with a document-frequency cap dropping
+    * segments shared by more than `maxDf` blobs (boilerplate/silence
+    * guard, the substring-dedup df-cap precedent: a hot segment key
+    * would otherwise fan out quadratically). A pair reports when it
+    * shares at least `minShared` DISTINCT segments; the witness is the
+    * minimal (pos_a − pos_b, pos_a) — for a pure trim every shared
+    * segment agrees on pos_a − pos_b, and that common delta IS the trim
+    * in input positions. Segments shorter than `minLen` are excluded
+    * from the match key entirely: a 1-2 value segment carries almost no
+    * content entropy (over a byte alphabet there are only 256 distinct
+    * length-1 segments), so tiny segments collide by chance and would
+    * both fabricate pairs and steal the offset witness from real ones.
+    */
+  private def cdcPairs(segs0: DataFrame, idCol: String, minShared: Int,
+                       maxDf: Int, minLen: Int): DataFrame = {
+    // the segment table feeds the df-cap aggregate AND both self-join
+    // sides — materialize once or Catalyst re-runs the decode+chunk scan
+    // per consumer (the standing multi-consumer localCheckpoint rule)
+    val segs = segs0.filter(col("len") >= minLen).localCheckpoint()
+    val kept = segs.join(
+      segs.groupBy(col("fp"), col("len"))
+        .agg(countDistinct(col(idCol)).as("__df"))
+        .filter(col("__df") <= maxDf)
+        .select(col("fp"), col("len")),
+      Seq("fp", "len"))
+    kept.select(col(idCol).as("id_a"), col("pos").as("__pa"),
+        col("fp"), col("len"))
+      .join(kept.select(col(idCol).as("id_b"), col("pos").as("__pb"),
+        col("fp"), col("len")), Seq("fp", "len"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("fp"), col("len")).as("shared"),
+        min(struct((col("__pa") - col("__pb")).as("__off"),
+          col("__pa").as("__wit"))).as("__m"))
+      .filter(col("shared") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        col("__m.__off").as("offset_frames"))
+  }
+
+  /** Content-defined audio near-dup pairs: per-frame |sample| magnitudes
+    * → [[cdcSegments]] → exact (fp, len) join ([[cdcPairs]]). Catches a
+    * copy trimmed by ANY number of frames — no window grid to realign —
+    * at ~1 segment row per [[CdcCutMod]] frames, where the overlap tier
+    * needs a (window/hop)× fan-out to reach granularity hop
+    * (CdcSpec holds the negative control: a 3-frame trim is invisible to
+    * [[audioDupPairsShiftedOverlap]] at hop 2 and exact here). Trade
+    * documented honestly: CDC keys are EXACT content hashes, so
+    * amplitude-perturbed near-copies that the Hamming tiers tolerate do
+    * NOT match — this tier is for trim/offset/splice variants of
+    * byte-identical content, the two tiers compose.
+    */
+  def audioDupPairsCdc(df: DataFrame, idCol: String, mediaCol: String,
+                       minShared: Int = 2, maxDf: Int = 64,
+                       minLen: Int = 4): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val segs = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          WavCodec.audioMagnitudes(r.getAs[Array[Byte]](mediaIdx)).toSeq
+            .flatMap(cdcSegments(_).map { case (p, l, fp) =>
+              Row(r.get(idIdx), p, l, fp)
+            })
+        }
+      }, cdcSchema(df.schema(idCol)))
+    cdcPairs(segs, idCol, minShared, maxDf, minLen)
+  }
+
+  /** Content-defined video near-dup pairs — [[audioDupPairsCdc]]'s
+    * convention over the mdat byte stream (unsigned byte magnitudes).
+    */
+  def videoDupPairsCdc(df: DataFrame, idCol: String, mediaCol: String,
+                       minShared: Int = 2, maxDf: Int = 64,
+                       minLen: Int = 4): DataFrame = {
+    val mediaIdx = df.schema.fieldIndex(mediaCol)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val segs = df.sparkSession.createDataFrame(
+      df.rdd.mapPartitions { it =>
+        it.flatMap { r =>
+          Mp4Codec.mdatPayload(r.getAs[Array[Byte]](mediaIdx)).toSeq
+            .flatMap(p => cdcSegments(p.map(b => b & 0xff))
+              .map { case (pos, l, fp) => Row(r.get(idIdx), pos, l, fp) })
+        }
+      }, cdcSchema(df.schema(idCol)))
+    cdcPairs(segs, idCol, minShared, maxDf, minLen)
+  }
+
   private def shingleSchema(idField: StructField): StructType =
     StructType(Seq(
       StructField(idField.name, idField.dataType, idField.nullable),
@@ -979,6 +1131,18 @@ object WavCodec extends Serializable {
       })
     }
   }
+
+  /** First-channel |sample| per frame of a 16-bit PCM WAV — the
+    * unwindowed magnitude sequence [[Multimodal.cdcSegments]] chunks;
+    * None for anything that isn't 16-bit PCM.
+    */
+  def audioMagnitudes(bytes: Array[Byte]): Option[Array[Int]] =
+    pcm16Info(bytes).map { case (dataOff, blockAlign, n) =>
+      Array.tabulate(n) { f =>
+        val o = dataOff + f * blockAlign
+        math.abs(((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort.toInt)
+      }
+    }
 
   def audioFingerprint(bytes: Array[Byte]): Option[Long] = {
     val info = pcm16Info(bytes)
