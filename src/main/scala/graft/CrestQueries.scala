@@ -3,18 +3,24 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Round-16 registry: SUB-window shift tolerance for the media near-dup
-  * tier. The r15 shingled path ([[BeaconQueries]]) reads the envelope on a
-  * non-overlapping window grid, so it only survives trims that are a whole
-  * number of windows — an offset of half a window re-phases every window
-  * boundary and scrambles all fingerprints, and real-world edits are
-  * rarely window-aligned. Overlapping windows (hop < window) restore the
-  * alignment for any trim that is a multiple of the hop, dropping the
-  * tolerance granularity from windowFrames to hopFrames at a linear row
-  * fan-out. The fixtures here plant a trim of 2.5 WINDOWS (5 samples at
-  * windowFrames = 2) — provably invisible to the non-overlapping path
-  * (ShiftedOverlapSpec holds the negative control) and recovered by the
-  * hop-1 overlap path at hamming 0, offset_hops = +5.
+/** Round-16 registry: SUB-window trim tolerance for the media near-dup
+  * tier, two ways. The r15 shingled path ([[BeaconQueries]]) reads the
+  * envelope on a non-overlapping window grid, so it only survives trims
+  * that are a whole number of windows — an offset of half a window
+  * re-phases every window boundary and scrambles all fingerprints, and
+  * real-world edits are rarely window-aligned. (1) OVERLAPPING windows
+  * (hop < window) restore the alignment for any trim that is a multiple
+  * of the hop, dropping the tolerance granularity from windowFrames to
+  * hopFrames at a (window/hop)× row fan-out; the fixtures plant a trim of
+  * 2.5 WINDOWS (5 samples at windowFrames = 2) — provably invisible to
+  * the non-overlapping path (ShiftedOverlapSpec holds the negative
+  * control) and recovered by the hop-1 overlap path at hamming 0,
+  * offset_hops = +5. (2) CONTENT-DEFINED chunking removes the
+  * granularity-vs-fan-out trade entirely: boundaries move with the
+  * content, so ANY trim realigns at ~1 segment row per CdcCutMod frames
+  * — the q_*_cdc_dup fixtures plant a 3-frame trim that the hop-2
+  * overlap path provably misses (CdcSpec) and CDC pins with
+  * offset_frames = +3.
   */
 object CrestQueries {
 

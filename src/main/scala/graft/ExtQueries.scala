@@ -2297,21 +2297,44 @@ object ExtQueries {
     */
   def qPricePctRank(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // The ordering is TOTAL (price, partkey), so percent_rank = (rn−1)/
+    // (n−1) and cume_dist = rn/n with rn = row_number. The built-ins
+    // compute those as doubles, and at sf1.0 partition sizes (n−1 = 6400)
+    // values like 410/6400 = 0.0640625 sit exactly on the 6-dp round
+    // boundary, where the engines' division ulps pick opposite sides (the
+    // sf1.0 value-hash gate caught 3 such rows). Round in exact integer
+    // space instead: half-up of k/d at 6 dp is (2k·10⁶ + d) div 2d, and
+    // the final /1e6 is a single exact-operand IEEE division both
+    // engines perform identically.
     val w = Window.partitionBy(col("p_brand"))
       .orderBy(col("p_retailprice"), col("p_partkey"))
+    val nw = Window.partitionBy(col("p_brand"))
     Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"))
+        (row_number().over(w) - 1).cast("long").as("__k"),
+        count(lit(1)).over(nw).as("__n"))
+      .select(col("p_partkey"), col("p_brand"), col("p_retailprice"),
+        when(col("__n") === 1, lit(0.0)).otherwise(
+          expr("(2 * __k * 1000000 + (__n - 1)) div (2 * (__n - 1))")
+            .cast("double") / 1e6).as("pct_rank"),
+        (expr("(2 * (__k + 1) * 1000000 + __n) div (2 * __n)")
+          .cast("double") / 1e6).as("cume"))
       .orderBy(col("p_partkey"))
   }
 
   val pricePctRankSql: String =
-    """SELECT p_partkey, p_brand, p_retailprice,
-      |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-      |  ROUND(CUME_DIST() OVER w, 6) AS cume
-      |FROM part
-      |WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+    """WITH r AS (SELECT p_partkey, p_brand, p_retailprice,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY p_retailprice, p_partkey) - 1 AS k,
+      |    COUNT(*) OVER (PARTITION BY p_brand) AS n
+      |  FROM part)
+      |SELECT p_partkey, p_brand, p_retailprice,
+      |  CASE WHEN n = 1 THEN CAST(0.0 AS DOUBLE) ELSE
+      |    CAST((2 * k * 1000000 + (n - 1)) // (2 * (n - 1)) AS DOUBLE)
+      |      / 1e6 END AS pct_rank,
+      |  CAST((2 * (k + 1) * 1000000 + n) // (2 * n) AS DOUBLE) / 1e6
+      |    AS cume
+      |FROM r
       |ORDER BY p_partkey""".stripMargin
 
   /** Join-key skew diagnostic — the report that decides whether a join needs

@@ -212,7 +212,17 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] = Map(
+  // Every oracle ships with its top-level CTEs forced to AS MATERIALIZED
+  // (OracleCtes.materialize, applied once here): DuckDB inlines a CTE per
+  // reference, and chained iterative oracles compound that exponentially —
+  // q_hits spilled >60 GB of DuckDB temp at the sf1.0 value-hash gate
+  // before the systematic guard (the r13 q_mis precedent). Results are
+  // unchanged; Spark never parses these strings.
+  def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> OracleCtes.materialize(v)
+  }
+
+  private def oracleSqlRaw: Map[String, String] = Map(
     "q_long_tail" ->
       """WITH v AS (SELECT l_partkey, COUNT(*) AS volume FROM lineitem GROUP BY 1),
         |w AS (SELECT l_partkey, volume,
