@@ -383,6 +383,81 @@ object StreamingOps {
       }
   }
 
+  final case class CdcSegMatch(id_a: Long, id_b: Long, offset_frames: Int)
+
+  /** Streaming CONTENT-DEFINED segment match candidates with event-time
+    * state TTL — the streaming twin of [[graft.multimodal.Multimodal
+    * .audioDupPairsCdc]]/[[graft.multimodal.Multimodal.videoDupPairsCdc]]:
+    * input rows are the already-segmented (id, pos, len, fp) stream (the
+    * per-blob [[graft.multimodal.Multimodal.cdcSegments]] fan-out the
+    * batch path produces, minLen-filtered by the caller), each (fp, len)
+    * key holds one canonical (id, pos), and an arrival from a DIFFERENT
+    * blob emits the per-segment match witness oriented exactly as the
+    * batch op's (id_a < id_b, offset = pos_a − pos_b) — so a trimmed
+    * copy of an in-horizon original surfaces one match per shared
+    * interior segment as it streams in. Downstream keeps pairs with
+    * ≥ minShared distinct matched segments and the minimal offset
+    * witness, which is precisely the batch threshold + groupBy reduce.
+    * Same canonical-chain trade and TTL-bounded state as the other dedup
+    * twins (two non-canonical same-batch arrivals pair against the
+    * canonical, not each other; an expired bucket re-seeds) — and the
+    * batch df-cap has a streaming analogue built in: a bucket holds ONE
+    * canonical, so a hot boilerplate segment pairs each arrival against
+    * one representative, linearly, never quadratically.
+    */
+  def cdcCandidatesStreamTtl(segs: DataFrame, tsCol: String, ttlMs: Long,
+                             idCol: String = "doc_id",
+                             posCol: String = "pos",
+                             lenCol: String = "len",
+                             fpCol: String = "fp",
+                             allowedLateness: String = "0 seconds")
+      : Dataset[CdcSegMatch] = {
+    import segs.sparkSession.implicits._
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val keyed = segs.withWatermark(tsCol, allowedLateness)
+      .select(col(idCol).cast("long").as("_1"), col(tsCol).as("_2"),
+        col(posCol).cast("int").as("_3"), col(lenCol).cast("int").as("_4"),
+        col(fpCol).cast("long").as("_5"))
+      .as[(Long, Timestamp, Int, Int, Long)]
+    keyed
+      .groupByKey { case (_, _, _, len, fp) => (fp, len) }
+      .flatMapGroupsWithState[(Long, Int), CdcSegMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: (Long, Int),
+         it: Iterator[(Long, Timestamp, Int, Int, Long)],
+         state: GroupState[(Long, Int)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val rows = it.toSeq
+            val arrivals = rows.map(r => (r._1, r._3)).distinct
+              .sortBy(identity)
+            val out = scala.collection.mutable.ArrayBuffer[CdcSegMatch]()
+            var canon: (Long, Int) = state.getOption.orNull
+            arrivals.foreach { case (id, pos) =>
+              if (canon == null) canon = (id, pos)
+              // same blob re-arriving (a repeat of its own segment):
+              // refresh the canonical position, never self-pair
+              else if (id == canon._1) canon = (id, pos)
+              else {
+                out += (if (canon._1 < id)
+                  CdcSegMatch(canon._1, id, canon._2 - pos)
+                else CdcSegMatch(id, canon._1, pos - canon._2))
+                if (id < canon._1) canon = (id, pos)
+              }
+            }
+            if (canon != null) {
+              state.update(canon)
+              val maxTs = rows.map(_._2.getTime).max
+              state.setTimeoutTimestamp(
+                math.max(maxTs + ttlMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming winnowing near-dup candidates with event-time state TTL —
     * the fingerprint-register twin of [[graft.ext.Winnowing.similarPairs]],
     * closing the streaming story for position-robust dedup the way

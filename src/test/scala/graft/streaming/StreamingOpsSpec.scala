@@ -1682,4 +1682,80 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(streamed.forall(r => math.abs(r._3 - 1.0 / 3.0) < 1e-12))
     assert(streamed.size == 2)
   }
+  final case class CdcRow(ts: Timestamp, doc_id: Long, pos: Int, len: Int,
+                          fp: Long)
+
+  test("CDC TTL candidates: a trimmed copy's shared segments stream in " +
+      "against the original, downstream minShared+min-offset reduce " +
+      "matches the batch CDC operator, and TTL re-seeds") {
+    implicit val sc = spark.sqlContext
+    // driver-side replica of Multimodal.cdcSegments (cut polynomial,
+    // positional fp, interior segments, minLen = 4) — the differential
+    // against the batch operator below keeps it honest
+    def segments(m: Array[Int]): Seq[(Int, Int, Long)] = {
+      val cuts = (3 until m.length).filter { i =>
+        (m(i - 3) * 31L * 31L * 31L + m(i - 2) * 31L * 31L +
+          m(i - 1) * 31L + m(i)) % 8L == 0
+      }
+      (0 until cuts.length - 1).map { k =>
+        val start = cuts(k) + 1
+        val end = cuts(k + 1)
+        var fp = 0L; var pw = 1L
+        (start to end).foreach { j =>
+          fp = (fp + m(j) * pw) % 2000003L; pw = pw * 37L % 2000003L
+        }
+        (start, end - start + 1, fp)
+      }.filter(_._2 >= 4)
+    }
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(160)(rnd.nextInt(32768))
+    val copy = base.drop(3) ++ Array.fill(3)(rnd.nextInt(32768))
+    val other = Array.fill(160)(rnd.nextInt(32768))
+    def rows(id: Long, at: Timestamp, m: Array[Int]): Seq[CdcRow] =
+      segments(m).map { case (p, l, fp) => CdcRow(at, id, p, l, fp) }
+    def ts(min: Int) = new Timestamp(3600L * 1000 * 24 + min * 60000L)
+    val input = MemoryStream[CdcRow]
+    val query = StreamingOps.cdcCandidatesStreamTtl(input.toDF(), "ts",
+        ttlMs = 60 * 60000L)
+      .writeStream.format("memory").queryName("cdc_ttl_out")
+      .outputMode("append").start()
+    input.addData(rows(1L, ts(0), base): _*)
+    query.processAllAvailable()
+    input.addData(rows(2L, ts(10), copy) ++ rows(3L, ts(12), other): _*)
+    query.processAllAvailable()
+    // 3 hours later an unrelated doc advances the watermark past the TTL
+    input.addData(rows(4L, ts(180), Array.fill(160)(rnd.nextInt(32768))): _*)
+    query.processAllAvailable()
+    // base re-arrives after expiry: re-seeds, then a fresh copy pairs
+    input.addData(rows(5L, ts(200), base): _*)
+    query.processAllAvailable()
+    input.addData(rows(6L, ts(205), base): _*)
+    query.processAllAvailable()
+    query.stop()
+    val got = spark.table("cdc_ttl_out").as[StreamingOps.CdcSegMatch]
+      .collect()
+    // downstream reduce = the batch op's threshold + witness: keep pairs
+    // with >= 2 matches, take the minimal offset
+    val reduced = got.groupBy(p => (p.id_a, p.id_b))
+      .filter(_._2.length >= 2)
+      .map { case (k, ps) => k -> ps.map(_.offset_frames).min }
+    assert(reduced.get((1L, 2L)).contains(3),
+      s"trimmed copy missed or wrong witness: ${reduced.toSeq.sorted}")
+    assert(!reduced.keySet.exists(p => p._1 == 3L || p._2 == 3L) &&
+      !reduced.keySet.exists(p => p._1 == 4L || p._2 == 4L),
+      s"unrelated blob paired: ${reduced.keySet}")
+    assert(!reduced.keySet.exists(p => p._2 == 5L && p._1 < 5L),
+      s"expired bucket leaked across the TTL horizon: ${reduced.keySet}")
+    assert(reduced.get((5L, 6L)).contains(0),
+      s"re-seeded epoch dup missed: ${reduced.toSeq.sorted}")
+    // batch differential on the first epoch's media (real WAV round-trip)
+    val wav = Multimodal.synthPcmWav(
+      Seq((1L, base.toSeq), (2L, copy.toSeq), (3L, other.toSeq))
+        .toDF("doc_id", "samples"), "samples", sampleRate = 16000)
+    val batch = Multimodal.audioDupPairsCdc(wav, "doc_id", "media")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    val firstEpoch = reduced.filter { case ((a, b), _) => a <= 3L && b <= 3L }
+    assert(firstEpoch == batch,
+      s"streamed first-epoch pairs $firstEpoch != batch CDC $batch")
+  }
 }
