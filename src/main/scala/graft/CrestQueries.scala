@@ -107,12 +107,14 @@ object CrestQueries {
        |    CASE WHEN n.env > a.env THEN 1 ELSE 0 END AS bit
        |  FROM env a JOIN env n ON a.doc_id = n.doc_id AND n.w = a.w + 1
        |  WHERE a.w < ${nWin - 1}),
-       |bands AS (SELECT d.doc_id, sh.s, ks.k,
-       |    CAST(SUM(bit * (1 << (w - sh.s - 16 * ks.k))) AS BIGINT) AS bits
-       |  FROM d
-       |  CROSS JOIN (SELECT unnest(generate_series(0, $nShingles)) AS s) sh
-       |  CROSS JOIN (SELECT unnest(generate_series(0, $OvMaxHam)) AS k) ks
-       |  WHERE d.w >= sh.s + 16 * ks.k AND d.w < sh.s + 16 * (ks.k + 1)
+       |bands AS (SELECT doc_id, s, k,
+       |    CAST(SUM(bit * (1 << off)) AS BIGINT) AS bits
+       |  FROM (SELECT d.doc_id, d.bit, ks.k, f.off,
+       |      d.w - 16 * ks.k - f.off AS s
+       |    FROM d
+       |    CROSS JOIN (SELECT unnest(generate_series(0, $OvMaxHam)) AS k) ks
+       |    CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS off) f)
+       |  WHERE s >= 0 AND s <= $nShingles
        |  GROUP BY 1, 2, 3),
        |cand AS (SELECT DISTINCT p.doc_id AS id_a, q.doc_id AS id_b,
        |    p.s AS sa, q.s AS sb
@@ -122,9 +124,9 @@ object CrestQueries {
        |    CAST(SUM(CASE WHEN da.bit <> db.bit THEN 1 ELSE 0 END) AS BIGINT)
        |      AS hamming
        |  FROM cand c
-       |  JOIN d da ON da.doc_id = c.id_a
-       |    AND da.w >= c.sa AND da.w < c.sa + 64
-       |  JOIN d db ON db.doc_id = c.id_b AND db.w = da.w - c.sa + c.sb
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j) jj
+       |  JOIN d da ON da.doc_id = c.id_a AND da.w = c.sa + jj.j
+       |  JOIN d db ON db.doc_id = c.id_b AND db.w = c.sb + jj.j
        |  GROUP BY 1, 2, 3, 4),
        |best AS (SELECT id_a, id_b, hamming, sa - sb AS offset_hops,
        |    ROW_NUMBER() OVER (PARTITION BY id_a, id_b

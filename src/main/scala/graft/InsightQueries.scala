@@ -948,13 +948,16 @@ object InsightQueries {
   val burstinessSql: String =
     """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
       |g AS (SELECT user_id,
-      |    (ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id))
-      |      / 1000.0 AS gap_s
+      |    ms - LAG(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id)
+      |      AS gap_ms
       |  FROM e),
       |s AS (SELECT user_id, COUNT(*) + 1 AS n_events,
-      |    AVG(gap_s) AS mu, STDDEV_SAMP(gap_s) AS sigma
-      |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
-      |SELECT user_id, n_events, ROUND(mu, 6) AS mean_gap_s,
+      |    CAST(SUM(gap_ms) AS BIGINT) AS sms, COUNT(*) AS ng,
+      |    AVG(gap_ms / 1000.0) AS mu, STDDEV_SAMP(gap_ms / 1000.0) AS sigma
+      |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  CAST((2 * sms * 1000000 + 1000 * ng) // (2000 * ng) AS DOUBLE)
+      |    / 1e6 AS mean_gap_s,
       |  ROUND(sigma, 6) AS std_gap_s,
       |  ROUND((sigma - mu) / (sigma + mu), 6) AS burstiness
       |FROM s WHERE n_events >= 6 ORDER BY user_id""".stripMargin

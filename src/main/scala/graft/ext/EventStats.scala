@@ -100,14 +100,23 @@ object EventStats {
     val gaps = events
       .select(col(userCol).as("user_id"),
         (unix_millis(col(tsCol))).as("ms"), col("event_id"))
-      .withColumn("gap_s", (col("ms") - lag(col("ms"), 1).over(w)) / 1000.0)
+      .withColumn("gap_ms", col("ms") - lag(col("ms"), 1).over(w))
+      .withColumn("gap_s", col("gap_ms") / 1000.0)
       .filter(col("gap_s").isNotNull)
+    // the mean gap is a RATIONAL (integer ms sum / 1000n) — AVG's double
+    // accumulation puts user means like 32118.7978625 exactly on the 6-dp
+    // round boundary where engine summation order flips the last digit
+    // (sf0.1 value-hash catch, r16); round it in exact integer space
+    // (the q_price_pctrank recipe). sigma and burstiness keep the double
+    // path — they are not rationals and both engines agree on them.
     gaps.groupBy(col("user_id"))
       .agg((count(lit(1)) + 1).as("n_events"),
+        sum(col("gap_ms")).as("__sms"), count(lit(1)).as("__ng"),
         avg(col("gap_s")).as("mu"), stddev_samp(col("gap_s")).as("sigma"))
       .filter(col("n_events") >= minEvents)
       .select(col("user_id"), col("n_events"),
-        round(col("mu"), 6).as("mean_gap_s"),
+        (expr("(2 * __sms * 1000000 + 1000 * __ng) div (2000 * __ng)")
+          .cast("double") / 1e6).as("mean_gap_s"),
         round(col("sigma"), 6).as("std_gap_s"),
         round((col("sigma") - col("mu")) / (col("sigma") + col("mu")), 6)
           .as("burstiness"))
