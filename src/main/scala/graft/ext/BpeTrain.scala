@@ -37,6 +37,35 @@ object BpeTrain {
     * tail of hapax words from the vocab table (they cannot win a merge early
     * and dominate its row count).
     */
+  /** Re-checkpoint cadence for the distributed merge loop. [[applyMerge]] is
+    * a narrow per-row map over a small (word, freq) table, so iteration i can
+    * simply CHAIN onto iteration i−1's plan — consecutive MapElements fuse
+    * with no intermediate ser/de (EliminateSerialization) — instead of paying
+    * an eager localCheckpoint job per merge. A checkpoint every 8 merges
+    * bounds the replay depth (bestPair at iteration i re-runs ≤ 8 chained
+    * maps over the vocab table) and the plan size; the r16 measurement:
+    * per-iteration checkpointing spent HALF the train jobs on
+    * materialization (2 jobs per merge → ~1 job per merge + 2 checkpoints
+    * for 16 merges).
+    */
+  private val CheckpointEvery = 8
+
+  /** Vocab-row bound under which the merge recurrence runs on the driver.
+    * The merge loop is inherently sequential (each argmax depends on the
+    * previous rewrite), so running it distributed costs 1-2 Spark jobs PER
+    * MERGE regardless of data size — pure scheduling overhead once the
+    * vocab is small. The corpus-sized pass (word counting) is always
+    * distributed; what is collected is the DISTINCT freq-pruned word table,
+    * which Heaps' law keeps sub-linear in corpus size and which every
+    * production tokenizer trainer holds in one process. 1M rows ≈ tens of
+    * MB — far under driver budgets; beyond the gate the loop stays fully
+    * distributed (a web-scale vocab that genuinely does not fit still
+    * trains). Both paths share [[bestPairLocal]]/[[applyMergeLocal]]
+    * semantics bit-for-bit: same freq-desc/(left,right)-asc argmax, same
+    * left-to-right non-overlapping rewrite (BpeTrainSpec differential).
+    */
+  private[ext] val LocalTrainMaxVocab = 1000000L
+
   def train(docs: DataFrame, textCol: String, nMerges: Int,
             minFreq: Long = 1L): Seq[Merge] = {
     val spark = docs.sparkSession
@@ -47,28 +76,106 @@ object BpeTrain {
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
       .filter(col("__f") >= minFreq)
-    var vocab: Dataset[VocabRow] = vocabDf
+    val base: Dataset[VocabRow] = vocabDf
       .as[(String, Long)]
       .map { case (w, f) => VocabRow(w.map(_.toString) :+ EndOfWord, f) }
       .localCheckpoint(eager = true)
+    // cheap job over the already-materialized checkpoint blocks (the Hits
+    // partitioned-copy gate pattern): decide where the merge loop runs
+    val result =
+      if (base.count() <= LocalTrainMaxVocab)
+        trainLocal(base.collect(), nMerges)
+      else trainDistributed(base, nMerges)
+    base.unpersist()
+    result
+  }
 
+  /** Driver-side merge loop for gate-sized vocabularies: zero Spark jobs
+    * per merge. Argmax and rewrite semantics are shared with the
+    * distributed path (see [[LocalTrainMaxVocab]]).
+    */
+  private[ext] def trainLocal(rows: Array[VocabRow],
+                              nMerges: Int): Seq[Merge] = {
+    var vocab = rows.map(r => (r.symbols.toArray, r.freq))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var iter = 0
     var exhausted = false
     while (iter < nMerges && !exhausted) {
-      val top = bestPair(vocab)
-      top match {
+      bestPairLocal(vocab) match {
         case None => exhausted = true
         case Some((left, right, freq)) =>
           merges += Merge(iter + 1, left, right, freq)
-          val old = vocab
-          vocab = applyMerge(vocab, left, right).localCheckpoint(eager = true)
-          old.unpersist()
+          vocab = vocab.map { case (s, f) => (applyMergeLocal(s, left, right), f) }
           iter += 1
       }
     }
-    vocab.unpersist()
     merges.toSeq
+  }
+
+  /** Distributed merge loop for vocabularies over the driver gate. */
+  private[ext] def trainDistributed(base: Dataset[VocabRow],
+                                    nMerges: Int): Seq[Merge] = {
+    var vocab = base
+    // the checkpoint currently holding the loop's materialized state — only
+    // this one is ever pinned; the chained maps between checkpoints replay.
+    // The caller owns (and unpersists) `base` itself.
+    var ckpt: Dataset[VocabRow] = null
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var iter = 0
+    var exhausted = false
+    while (iter < nMerges && !exhausted) {
+      bestPair(vocab) match {
+        case None => exhausted = true
+        case Some((left, right, freq)) =>
+          merges += Merge(iter + 1, left, right, freq)
+          vocab = applyMerge(vocab, left, right)
+          iter += 1
+          if (iter % CheckpointEvery == 0 && iter < nMerges) {
+            val next = vocab.localCheckpoint(eager = true)
+            if (ckpt != null) ckpt.unpersist()
+            vocab = next
+            ckpt = next
+          }
+      }
+    }
+    if (ckpt != null) ckpt.unpersist()
+    merges.toSeq
+  }
+
+  /** Local twin of [[bestPair]]: highest total freq, ties broken by
+    * (left, right) ascending — the exact orderBy of the distributed form.
+    */
+  private[ext] def bestPairLocal(
+      vocab: Array[(Array[String], Long)]): Option[(String, String, Long)] = {
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    vocab.foreach { case (s, f) =>
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        counts.update(k, counts.getOrElse(k, 0L) + f)
+        i += 1
+      }
+    }
+    if (counts.isEmpty) None
+    else {
+      val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
+      Some((l, r, f))
+    }
+  }
+
+  /** Local twin of [[applyMerge]]'s per-row kernel: merge each
+    * non-overlapping left-to-right occurrence.
+    */
+  private[ext] def applyMergeLocal(s: Array[String], left: String,
+                                   right: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == left && s(i + 1) == right) {
+        out += left + right; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
   }
 
   /** DataFrame form of [[train]] for query surfaces. */
@@ -166,21 +273,27 @@ object BpeTrain {
 
   /** Highest-frequency adjacent symbol pair (freq desc, then (left, right)
     * asc for determinism); None when no row has two symbols left.
+    *
+    * Relational form (r16): adjacent pairs come from a codegen
+    * transform/explode over the symbols array and the count is a partial
+    * (map-side) aggregation + TakeOrderedAndProject — the typed
+    * groupByKey/reduceGroups predecessor shipped every (pair, freq) object
+    * row through the exchange with no combine. Same pair multiset (both
+    * emit every adjacent occurrence, freq-weighted), same Long sum, same
+    * (freq desc, left, right) tie-break.
     */
   private def bestPair(vocab: Dataset[VocabRow]): Option[(String, String, Long)] = {
-    val spark = vocab.sparkSession
-    import spark.implicits._
-    vocab.flatMap { r =>
-        if (r.symbols.length < 2) Iterator.empty
-        else r.symbols.iterator.zip(r.symbols.iterator.drop(1))
-          .map { case (a, b) => ((a, b), r.freq) }
-      }
-      .groupByKey(_._1)
-      .mapValues(_._2).reduceGroups(_ + _)
-      .map { case ((a, b), f) => (a, b, f) }
-      .orderBy(col("_3").desc, col("_1"), col("_2"))
+    vocab.toDF()
+      .filter(size(col("symbols")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(symbols) - 2)," +
+          " i -> struct(symbols[i] AS l, symbols[i + 1] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("f"))
+      .orderBy(col("f").desc, col("l"), col("r"))
       .limit(1)
       .collect().headOption
+      .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
   }
 
   /** Rewrite every vocab row, merging each non-overlapping left-to-right

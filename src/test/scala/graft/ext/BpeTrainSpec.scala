@@ -148,6 +148,27 @@ class BpeTrainSpec extends SparkTestBase {
       s"merge table drifted:\n${merges.mkString("\n")}")
   }
 
+  test("local/distributed merge-loop differential: both paths reproduce " +
+      "the frozen merge table (the r16 driver-gate twin check)") {
+    // train() takes the local path here (vocab << LocalTrainMaxVocab);
+    // drive the distributed loop directly on the same pruned vocab and
+    // require the exact same merge sequence, freqs and tie-breaks.
+    val docs = sampleDocs.toDF("doc_id", "text", "lang")
+    val base = docs
+      .select(explode(split(col("text"), " ")).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .filter(col("__f") >= 2)
+      .as[(String, Long)]
+      .map { case (w, f) =>
+        BpeTrain.VocabRow(w.map(_.toString) :+ BpeTrain.EndOfWord, f) }
+      .localCheckpoint(eager = true)
+    val dist = BpeTrain.trainDistributed(base, nMerges = 12)
+    base.unpersist()
+    assert(dist == frozenMerges,
+      s"distributed path drifted:\n${dist.mkString("\n")}")
+  }
+
   test("100-doc differential: distributed encode matches the reference " +
       "encoder per document over the frozen merge table") {
     val docs = sampleDocs.toDF("doc_id", "text", "lang")
