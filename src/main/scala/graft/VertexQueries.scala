@@ -1213,19 +1213,35 @@ object VertexQueries {
     * differing parents.
     */
   def qMerkleDrill(spark: SparkSession, dir: String): DataFrame = {
+    // Version B derives from version A by a filter (deletes) plus a sparse
+    // edit (q+1 where orderkey % 997 = 0), so both sides' hashes render in
+    // ONE lineitem scan (Integrity.merkleDrillHashed, r16): the key hash is
+    // shared, and the b-side content hash is recomputed ONLY on edited rows
+    // — versus the materialize-both-sides form, half the scans and ~half
+    // the md5 work. The drill output is identical (oracle + IntegritySpec
+    // differential pin it).
     val a = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
         col("l_quantity").cast("long").as("q"), col("l_returnflag"))
-    val b = a
-      .filter(!(col("l_orderkey") % 991 === 0 &&
-        col("l_linenumber") % 3 === 0))
-      .withColumn("q", when(col("l_orderkey") % 997 === 0, col("q") + 1)
-        .otherwise(col("q")))
-    graft.ext.Integrity.merkleDrill(a, b,
-      keyCols = Seq(col("l_orderkey"), col("l_linenumber")),
-      rowCols = Seq(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("q"), col("l_returnflag")),
-      levels = 3)
+    def rowHash(qCol: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|", col("l_orderkey"),
+        col("l_linenumber"), col("l_partkey"), qCol,
+        col("l_returnflag"))), 1, 15), 16, 10).cast("long")
+    val deleted = col("l_orderkey") % 991 === 0 && col("l_linenumber") % 3 === 0
+    val edited = col("l_orderkey") % 997 === 0
+    val sideA = struct(lit("a").as("side"), col("__ha").as("h"))
+    val sideB = struct(lit("b").as("side"), col("__hb").as("h"))
+    val hashed = a
+      .withColumn("__kh", md5(concat_ws("|", col("l_orderkey"),
+        col("l_linenumber"))))
+      .withColumn("__ha", rowHash(col("q")))
+      .withColumn("__hb",
+        when(edited, rowHash(col("q") + 1)).otherwise(col("__ha")))
+      .select(col("__kh").as("kh"),
+        explode(when(deleted, array(sideA))
+          .otherwise(array(sideA, sideB))).as("e"))
+      .select(col("e.side").as("side"), col("kh"), col("e.h").as("h"))
+    graft.ext.Integrity.merkleDrillHashed(hashed, levels = 3)
   }
 
   val merkleDrillSql: String = {

@@ -89,8 +89,43 @@ object Integrity {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
       .localCheckpoint(eager = true)
-    val la = scala.collection.mutable.Map(levels -> leaf(a))
-    val lb = scala.collection.mutable.Map(levels -> leaf(b))
+    drillFromLeaves(leaf(a), leaf(b), levels)
+  }
+
+  /** One-scan twin of [[merkleDrill]] for the common sync-audit case where
+    * version B DERIVES from version A by a filter plus a sparse edit: the
+    * caller renders both sides' hashes in a single pass over the shared
+    * input — `hashed` holds (side 'a'|'b', kh = md5 hex of the key
+    * rendering, h = the 60-bit row-content hash), with unedited rows
+    * REUSING the a-side content hash — and both sides' leaf registers come
+    * from ONE aggregation of that table. Versus materializing the two
+    * sides: half the corpus scans, and content md5s only where the row
+    * actually changed (r16; at a 100 TB audit the second full-table hash
+    * pass is the dominant cost this removes). Output is identical to
+    * merkleDrill on the materialized sides (IntegritySpec differential).
+    */
+  def merkleDrillHashed(hashed: DataFrame, levels: Int = 3): DataFrame = {
+    require(levels >= 1 && levels <= 4, s"levels must be 1..4, got $levels")
+    val leaves = hashed
+      .select(col("side"), substring(col("kh"), 1, levels).as("bucket"),
+        col("h").as("__h"))
+      .groupBy(col("side"), col("bucket"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(__h)").as("x"))
+      .localCheckpoint(eager = true)
+    drillFromLeaves(
+      leaves.filter(col("side") === "a").select("bucket", "n", "x"),
+      leaves.filter(col("side") === "b").select("bucket", "n", "x"), levels)
+  }
+
+  /** Shared drill core over the two sides' LEAF registers (already
+    * materialized; ≤ 16^levels rows each): per-level rollups (counts add,
+    * xors xor) and the full-outer compares restricted to differing
+    * parents.
+    */
+  private def drillFromLeaves(leafA: DataFrame, leafB: DataFrame,
+                              levels: Int): DataFrame = {
+    val la = scala.collection.mutable.Map(levels -> leafA)
+    val lb = scala.collection.mutable.Map(levels -> leafB)
     for (l <- (levels - 1) to 1 by -1) {
       def up(child: DataFrame): DataFrame = child
         .groupBy(substring(col("bucket"), 1, l).as("bucket"))

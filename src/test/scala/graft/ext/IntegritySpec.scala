@@ -67,6 +67,38 @@ class IntegritySpec extends SparkTestBase {
     assert(out.getLong(2) == 400L && out.getLong(1) == 4L)
   }
 
+  test("merkleDrillHashed differential: the one-scan tagged form drills " +
+      "identically to merkleDrill on materialized sides") {
+    // 60 keyed rows; version b drops every 7th key and edits every 5th
+    val a = (1L to 60L).map(k => (k, k % 10, s"v$k")).toDF("k", "q", "pay")
+    val b = a.filter(!(col("k") % 7 === 0))
+      .withColumn("q", when(col("k") % 5 === 0, col("q") + 1)
+        .otherwise(col("q")))
+    val ref = Integrity.merkleDrill(a, b,
+        keyCols = Seq(col("k")),
+        rowCols = Seq(col("k"), col("q"), col("pay")), levels = 2)
+      .collect().map(_.toSeq).toSeq
+    def rowHash(qCol: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat_ws("|", col("k"), qCol, col("pay"))),
+        1, 15), 16, 10).cast("long")
+    val sideA = struct(lit("a").as("side"), col("__ha").as("h"))
+    val sideB = struct(lit("b").as("side"), col("__hb").as("h"))
+    val hashed = a
+      .withColumn("__kh", md5(concat_ws("|", col("k"))))
+      .withColumn("__ha", rowHash(col("q")))
+      .withColumn("__hb", when(col("k") % 5 === 0, rowHash(col("q") + 1))
+        .otherwise(col("__ha")))
+      .select(col("__kh").as("kh"),
+        explode(when(col("k") % 7 === 0, array(sideA))
+          .otherwise(array(sideA, sideB))).as("e"))
+      .select(col("e.side").as("side"), col("kh"), col("e.h").as("h"))
+    val got = Integrity.merkleDrillHashed(hashed, levels = 2)
+      .collect().map(_.toSeq).toSeq
+    assert(got == ref, s"drill diverged:\ngot  $got\nref  $ref")
+    // sanity: the fixture actually diverges somewhere
+    assert(ref.exists(r => r(4) == true))
+  }
+
   test("bloomFilterAudit: empty-ish overlap in a roomy filter stays near zero") {
     val items = (1L to 50L).map(i => Tuple1(i)).toDF("k")
     val out = Sketches.bloomFilterAudit(items, concat(lit("a:"), col("k")),
