@@ -648,13 +648,22 @@ object Multimodal {
         col("__bb.band").as("band"), col("__bb.bits").as("bits"))
     banded.select(col(idCol).as("id_a"), col("s").as("__sa"),
         col("fp").as("__fa"), col("band"), col("bits"))
+      // sort-merge deliberately (r16 A/B, guide §3.1): a shuffle_hash hint
+      // was measured SLOWER here — band keys are massively duplicated
+      // (that is what banding means), and SMJ streams duplicate-key
+      // groups where SHJ buffers them in per-bucket chains
       .join(banded.select(col(idCol).as("id_b"), col("s").as("__sb"),
         col("fp").as("__fb"), col("band"), col("bits")), Seq("band", "bits"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("__sa"), col("__sb"),
         bit_count(col("__fa").bitwiseXOR(col("__fb"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      // no distinct before the min-agg (r16): an alignment colliding in
+      // several bands duplicates its candidate row, but min(struct) is
+      // idempotent to duplicates — the distinct was a FULL extra exchange
+      // of the candidate table (the tier's one super-linear intermediate,
+      // SCALE.md r16 probe rows), and dropping it lets the pair min
+      // partial-aggregate map-side before anything shuffles
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(struct(col("hamming"),
         (col("__sa") - col("__sb")).as("__off"),
