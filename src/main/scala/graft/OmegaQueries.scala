@@ -614,7 +614,11 @@ object OmegaQueries {
     * "more like these" expansion. Top-20 by score.
     */
   def qPpr(spark: SparkSession, dir: String): DataFrame = {
+    // Materialize the co-purchase pair table once: the union's two projections
+    // and the two checkpoints inside personalizedPageRank (edge table, seed
+    // set) otherwise each re-execute the whole basket-pair pipeline.
     val e = SummitQueries.copurchaseEdges(spark, dir)
+      .localCheckpoint(eager = true)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"),
       col("w")))
     val seeds = sym.select(col("src").as("node")).distinct()

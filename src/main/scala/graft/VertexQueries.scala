@@ -115,6 +115,11 @@ object VertexQueries {
     * per-node estimator, and the DECIMAL-pooled corpus sum.
     */
   def qHyperAnf(spark: SparkSession, dir: String): DataFrame = {
+    // (r16 note: a pre-union localCheckpoint was tried and measured ~0.4 s
+    // SLOWER — the union's two branches prune to the same columns, so the
+    // basket-pair aggregate's exchange is already reused across them inside
+    // neighborhoodFunction's own checkpoint job; the extra materialization
+    // only added a job boundary)
     val e = SummitQueries.copurchaseEdges(spark, dir)
       .select(col("src"), col("dst"))
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))

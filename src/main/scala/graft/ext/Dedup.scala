@@ -907,10 +907,13 @@ object Dedup {
     val nd = df.select(col(idCol)).distinct()
       .agg(count(lit(1)).as("n_docs"))
     val nc = cand.agg(count(lit(1)).as("n_candidates"))
-    val nt = truth.agg(count(lit(1)).as("n_truth"))
-    val caught = truth.join(cand, Seq("id_a", "id_b"), "left_semi")
-      .agg(count(lit(1)).as("n_caught"))
-    nd.crossJoin(nc).crossJoin(nt).crossJoin(caught)
+    // One pass over the truth pipeline computes n_truth AND n_caught: cand is
+    // distinct on (id_a, id_b), so a left join preserves the truth row count
+    // and the non-null hit flag counts exactly the semi-join's matches.
+    val tc = truth
+      .join(cand.withColumn("__hit", lit(1)), Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_truth"), count(col("__hit")).as("n_caught"))
+    nd.crossJoin(nc).crossJoin(tc)
       .withColumn("n_total_pairs", expr("n_docs * (n_docs - 1) div 2"))
       .select(col("n_docs"), col("n_total_pairs"), col("n_candidates"),
         col("n_truth"), col("n_caught"),

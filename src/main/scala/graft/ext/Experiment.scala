@@ -844,15 +844,23 @@ object Experiment {
         when(col(outcomeCol), 1L).otherwise(0L).as("__o"))
       .withColumn("__bin",
         least(lit(bins - 1), floor(col("__p") * bins)).cast("int"))
+    // The ≤`bins`-row bin table carries every global moment as exact partials
+    // (long counts, decimal sums — associative, rounding-free), so the global
+    // aggregate derives from it instead of re-running the input pipeline a
+    // second time. The eager checkpoint materializes the tiny bin table once;
+    // without it the two readers below would each re-specialize and re-execute
+    // the whole upstream (column pruning defeats exchange reuse).
     val g = base.groupBy(col("__bin"))
       .agg(count(lit(1)).as("nk"),
         sum(col("__p").cast("decimal(27,12)")).as("sp"),
-        sum(col("__o")).as("so"))
-    val tot = base.agg(count(lit(1)).as("n"),
-      sum(col("__o")).as("son"),
-      sum(((col("__p") - col("__o").cast("double")) *
-        (col("__p") - col("__o").cast("double"))).cast("decimal(27,12)"))
-        .as("sbs"))
+        sum(col("__o")).as("so"),
+        sum(((col("__p") - col("__o").cast("double")) *
+          (col("__p") - col("__o").cast("double"))).cast("decimal(27,12)"))
+          .as("sbk"))
+      .localCheckpoint(eager = true)
+    val tot = g.agg(sum(col("nk")).as("n"),
+      sum(col("so")).as("son"),
+      sum(col("sbk")).as("sbs"))
     val obar = col("son").cast("double") / col("n").cast("double")
     val fk = col("sp").cast("double") / col("nk").cast("double")
     val ok = col("so").cast("double") / col("nk").cast("double")
