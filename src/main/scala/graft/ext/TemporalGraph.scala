@@ -44,10 +44,13 @@ object TemporalGraph {
       .groupBy(col("node")).agg(min(col("arr")).as("arr"))
       .localCheckpoint()
     for (_ <- 1 to hops) {
+      // raw (v, d) arrivals feed the state merge directly: the merge's own
+      // groupBy(node).min partial-aggregates map-side, so a per-hop
+      // pre-aggregate of the join output was a redundant second exchange
+      // (min over the same multiset — identical result, one shuffle per hop)
       val reached = state.join(e, col("node") === col("u") &&
           col("d") >= col("arr"))
-        .groupBy(col("v").as("nnode")).agg(min(col("d")).as("narr"))
-        .select(col("nnode").as("node"), col("narr").as("arr"))
+        .select(col("v").as("node"), col("d").as("arr"))
       state = state.unionByName(reached)
         .groupBy(col("node")).agg(min(col("arr")).as("arr"))
         .localCheckpoint()
