@@ -39,10 +39,23 @@ object BeaconQueries {
   private val ShShift = 5    // planted trim, in whole windows
   private val ShMaxHam = 3
 
-  private def md5Val(prefix: String, d: Column, w: Column,
-                     mod: Int): Column =
-    conv(substring(md5(concat(lit(prefix), d.cast("string"), lit("_"),
-      w.cast("string"))), 1, 8), 16, 10).cast("long") % mod
+  /** JVM form of the tier's generator (the documented column form was
+    * `conv(substring(md5(prefix || d || '_' || w), 1, 8), 16, 10) % mod`,
+    * a CodegenFallback transform/md5 expression that evaluated interpreted
+    * and dominated the synth cost) plus the copy-shift plant: docs with
+    * id ≡ 1 (mod 10) read the PREVIOUS doc's generator at w + shift for
+    * the copied head. Values bit-identical (Md5SamplesSpec + oracle);
+    * consumed by [[graft.multimodal.Multimodal.md5Samples]].
+    */
+  private def copyShiftGen(prefix: String, mod: Int, shift: Int)
+      : (graft.multimodal.Multimodal.Md5Hex32, Long, Int) => Int = {
+    val lastCopied = ShWindows - shift - 1
+    (h, id, w) => {
+      val (d, ww) = if (id % 10 == 1 && w <= lastCopied) (id - 1, w + shift)
+        else (id, w)
+      (h.hex32(prefix + d + "_" + ww) % mod).toInt
+    }
+  }
 
   /** Shift-tolerant audio near-dup: docs with id ≡ 1 (mod 10) carry the
     * PREVIOUS doc's waveform trimmed by [[ShShift]] windows (the first 5
@@ -57,13 +70,9 @@ object BeaconQueries {
     * end, banding included.
     */
   def qAudioShiftedDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(ShWindows - 1)), w =>
-      when(copies && w <= ShWindows - ShShift - 1,
-          md5Val("as", id - 1, w + ShShift, 32768))
-        .otherwise(md5Val("as", id, w, 32768)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      ShWindows, copyShiftGen("as", 32768, ShShift))
     val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
       sampleRate = 16000)
     graft.multimodal.Multimodal.audioDupPairsShifted(wav, "doc_id", "media",
@@ -77,13 +86,9 @@ object BeaconQueries {
     * byte envelope → shingled fingerprints → banded join).
     */
   def qVideoShiftedDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(ShWindows - 1)), w =>
-      when(copies && w <= ShWindows - ShShift - 1,
-          md5Val("vs", id - 1, w + ShShift, 256))
-        .otherwise(md5Val("vs", id, w, 256)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      ShWindows, copyShiftGen("vs", 256, ShShift))
     val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
     graft.multimodal.Multimodal.videoDupPairsShifted(mp4, "doc_id", "media",
         maxHamming = ShMaxHam, windowBytes = 1)

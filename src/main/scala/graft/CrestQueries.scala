@@ -28,10 +28,23 @@ object CrestQueries {
   private val OvTrim = 5      // planted trim in samples = 2.5 windows at W=2
   private val OvMaxHam = 3
 
-  private def md5Val(prefix: String, d: Column, w: Column,
-                     mod: Int): Column =
-    conv(substring(md5(concat(lit(prefix), d.cast("string"), lit("_"),
-      w.cast("string"))), 1, 8), 16, 10).cast("long") % mod
+  /** JVM form of the tier's generator (the documented column form was
+    * `conv(substring(md5(prefix || d || '_' || w), 1, 8), 16, 10) % mod`,
+    * a CodegenFallback transform/md5 expression that evaluated interpreted
+    * and dominated the synth cost) plus the copy-shift plant, for
+    * [[graft.multimodal.Multimodal.md5Samples]]: docs with id ≡ 1 (mod 10)
+    * read the PREVIOUS doc's generator at w + trim for the copied head.
+    * Values bit-identical (Md5SamplesSpec + oracle).
+    */
+  private def copyShiftGen(prefix: String, mod: Int, trim: Int)
+      : (graft.multimodal.Multimodal.Md5Hex32, Long, Int) => Int = {
+    val lastCopied = OvSamples - trim - 1
+    (h, id, w) => {
+      val (d, ww) = if (id % 10 == 1 && w <= lastCopied) (id - 1, w + trim)
+        else (id, w)
+      (h.hex32(prefix + d + "_" + ww) % mod).toInt
+    }
+  }
 
   /** Sub-window shift-tolerant audio near-dup: docs with id ≡ 1 (mod 10)
     * carry the PREVIOUS doc's waveform trimmed by [[OvTrim]] = 5 samples
@@ -46,13 +59,9 @@ object CrestQueries {
     * same comparisons, no division).
     */
   def qAudioSubwindowDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
-      when(copies && w <= OvSamples - OvTrim - 1,
-          md5Val("ao", id - 1, w + OvTrim, 32768))
-        .otherwise(md5Val("ao", id, w, 32768)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      OvSamples, copyShiftGen("ao", 32768, OvTrim))
     val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
       sampleRate = 16000)
     graft.multimodal.Multimodal.audioDupPairsShiftedOverlap(wav, "doc_id",
@@ -67,13 +76,9 @@ object CrestQueries {
     * join).
     */
   def qVideoSubwindowDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
-      when(copies && w <= OvSamples - OvTrim - 1,
-          md5Val("vo", id - 1, w + OvTrim, 256))
-        .otherwise(md5Val("vo", id, w, 256)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      OvSamples, copyShiftGen("vo", 256, OvTrim))
     val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
     graft.multimodal.Multimodal.videoDupPairsShiftedOverlap(mp4, "doc_id",
         "media", maxHamming = OvMaxHam, windowBytes = 2, hopBytes = 1)
@@ -156,13 +161,9 @@ object CrestQueries {
     * exact (fp, len) join → shared-count + minimal-offset witness.
     */
   def qAudioCdcDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
-      when(copies && w <= OvSamples - CdcTrim - 1,
-          md5Val("cd", id - 1, w + CdcTrim, 32768))
-        .otherwise(md5Val("cd", id, w, 32768)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      OvSamples, copyShiftGen("cd", 32768, CdcTrim))
     val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
       sampleRate = 16000)
     graft.multimodal.Multimodal.audioDupPairsCdc(wav, "doc_id", "media")
@@ -175,13 +176,9 @@ object CrestQueries {
     * byte magnitudes → exact (fp, len) join).
     */
   def qVideoCdcDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val copies = id % 10 === 1
-    val samples = transform(sequence(lit(0), lit(OvSamples - 1)), w =>
-      when(copies && w <= OvSamples - CdcTrim - 1,
-          md5Val("cv", id - 1, w + CdcTrim, 256))
-        .otherwise(md5Val("cv", id, w, 256)).cast("int"))
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      OvSamples, copyShiftGen("cv", 256, CdcTrim))
     val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
     graft.multimodal.Multimodal.videoDupPairsCdc(mp4, "doc_id", "media")
       .orderBy(col("id_a"), col("id_b"))

@@ -32,8 +32,14 @@ object HorizonQueries {
     * readout.
     */
   def qSubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    // gramHash (r17): 16-byte anchor keys, the r15 production key — results
+    // identical short of a ~2^-128 collision (SubstringDedupSpec
+    // differential); q_substring_spans deliberately KEEPS the string key so
+    // the spans pipeline retains a live string↔hash differential pair
+    // (q_substring_spans vs q_substring_hashed).
     graft.ext.SubstringDedup.dedupStats(Tables.documents(spark, dir),
-        "doc_id", "text", k = SubK, minLen = SubMinLen, maxDf = SubMaxDf)
+        "doc_id", "text", k = SubK, minLen = SubMinLen, maxDf = SubMaxDf,
+        gramHash = true)
       .orderBy(col("doc_id"))
 
   /** Shared oracle CTE chain replaying the anchor → df-cap → diagonal
@@ -94,9 +100,10 @@ object HorizonQueries {
     * span table and an ordered string_agg.
     */
   def qSubstringApply(spark: SparkSession, dir: String): DataFrame = {
+    // gramHash = true: same rationale as qSubstringDedup (r17)
     val rs = graft.ext.SubstringDedup.removeSpans(
       Tables.documents(spark, dir), "doc_id", "text",
-      k = SubK, minLen = SubMinLen, maxDf = SubMaxDf)
+      k = SubK, minLen = SubMinLen, maxDf = SubMaxDf, gramHash = true)
     Tables.documents(spark, dir).select(col("doc_id"))
       .join(rs, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -149,19 +156,23 @@ object HorizonQueries {
     * render → decode → hash → band → verify pipeline end to end.
     */
   def qImageNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val pat = when(id % 10 === 1, id - 1).otherwise(id)
-    val pixels = transform(sequence(lit(0), lit(ImgW * ImgH - 1)), i => {
-      // Column `/` is double division — floor back to the integer grid row
-      val y = floor(i / ImgW).cast("int")
-      val x = i % ImgW
-      val v = conv(substring(md5(concat(pat.cast("string"), lit("_"),
-          y.cast("string"), lit("_"), x.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 256
-      when(id % 10 === 1 && y === 3 && x === 4, (v + 60) % 256)
-        .otherwise(v).cast("int")
-    })
-    val px = Tables.documents(spark, dir).select(id, pixels.as("pixels"))
+    // JVM twin of the documented per-cell generator expression
+    // conv(substring(md5(pat || '_' || y || '_' || x), 1, 8), 16, 10) % 256
+    // with the (y, x) = (3, 4) perturbation on copies — one mapPartitions
+    // pass instead of the 72-element interpreted transform/md5 column
+    // (Multimodal.md5Samples; values bit-identical, Md5SamplesSpec +
+    // oracle). The r16 q_image_near_dup bimodality (fast ~2.1 s / slow
+    // ~6.5 s reps on identical plans) was this expression's C2
+    // recompilation; the JVM pass removes it at the root.
+    val px = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      ImgW * ImgH, (h, id, i) => {
+        val pat = if (id % 10 == 1) id - 1 else id
+        val y = i / ImgW
+        val x = i % ImgW
+        val v = h.hex32(s"${pat}_${y}_$x") % 256
+        (if (id % 10 == 1 && y == 3 && x == 4) (v + 60) % 256 else v).toInt
+      }, samplesCol = "pixels")
     val img = graft.multimodal.Multimodal.synthPixelPng(px, "pixels",
       ImgW, ImgH)
     graft.multimodal.Multimodal.perceptualDupPairs(img, "doc_id", "media",

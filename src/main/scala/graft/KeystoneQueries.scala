@@ -40,9 +40,15 @@ object KeystoneQueries {
       when(col("doc_id") % 7 === 0,
         concat_ws(" ", col("text"), concat_ws(" ", slice(l, 1, 25))))
         .otherwise(col("text")).as("text"))
+    // gramHash (r17): every anchor shuffle carries the 16-byte (h1, h2)
+    // fingerprint instead of the 8-token gram string — the r15 production
+    // key (measured −31% shuffle bytes on the spans pipeline). Results are
+    // identical short of a ~2^-128 collision (SubstringDedupSpec holds the
+    // string/hash differential for the includeSelf path too); the oracle
+    // stays the string-path SQL, so hash-green doubles as the differential.
     graft.ext.SubstringDedup.mergedSpans(aug, "doc_id", "text",
         k = SubK, minLen = SubMinLen, maxDf = SubMaxDf,
-        includeSelf = true, maxSelfOcc = SubSelfOcc)
+        includeSelf = true, maxSelfOcc = SubSelfOcc, gramHash = true)
       .orderBy(col("doc_id"), col("span_start"))
   }
 
@@ -113,16 +119,18 @@ object KeystoneQueries {
     * pipeline end to end.
     */
   def qAudioNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val pat = when(id % 10 === 1, id - 1).otherwise(id)
-    val samples = transform(sequence(lit(0), lit(AudWindows - 1)), w => {
-      val v = conv(substring(md5(concat(pat.cast("string"), lit("_"),
-          w.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 32768
-      when(id % 10 === 1 && w === 7, (v + 9000) % 32768)
-        .otherwise(v).cast("int")
-    })
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    // JVM twin of the documented generator expression
+    // conv(substring(md5(pat || '_' || w), 1, 8), 16, 10) % 32768 with the
+    // w = 7 perturbation — one mapPartitions pass instead of the
+    // interpreted transform/md5 column (Multimodal.md5Samples; values
+    // bit-identical, Md5SamplesSpec + oracle)
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      AudWindows, (h, id, w) => {
+        val pat = if (id % 10 == 1) id - 1 else id
+        val v = h.hex32(s"${pat}_$w") % 32768
+        (if (id % 10 == 1 && w == 7) (v + 9000) % 32768 else v).toInt
+      })
     val wav = graft.multimodal.Multimodal.synthPcmWav(sm, "samples",
       sampleRate = 16000)
     graft.multimodal.Multimodal.audioDupPairs(wav, "doc_id", "media",
@@ -166,16 +174,15 @@ object KeystoneQueries {
     * end to end.
     */
   def qVideoNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val id = col("doc_id")
-    val pat = when(id % 10 === 1, id - 1).otherwise(id)
-    val samples = transform(sequence(lit(0), lit(AudWindows - 1)), w => {
-      val v = conv(substring(md5(concat(lit("v"), pat.cast("string"),
-          lit("_"), w.cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 256
-      when(id % 10 === 1 && w === 11, (v + 97) % 256)
-        .otherwise(v).cast("int")
-    })
-    val sm = Tables.documents(spark, dir).select(id, samples.as("samples"))
+    // JVM twin of conv(substring(md5('v' || pat || '_' || w), 1, 8), 16,
+    // 10) % 256 with the w = 11 perturbation (see qAudioNearDup)
+    val sm = graft.multimodal.Multimodal.md5Samples(
+      Tables.documents(spark, dir).select(col("doc_id")), "doc_id",
+      AudWindows, (h, id, w) => {
+        val pat = if (id % 10 == 1) id - 1 else id
+        val v = h.hex32(s"v${pat}_$w") % 256
+        (if (id % 10 == 1 && w == 11) (v + 97) % 256 else v).toInt
+      })
     val mp4 = graft.multimodal.Multimodal.synthMp4Samples(sm, "samples")
     graft.multimodal.Multimodal.videoDupPairs(mp4, "doc_id", "media",
         maxHamming = AudMaxHam)

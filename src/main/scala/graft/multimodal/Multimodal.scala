@@ -144,6 +144,59 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Per-partition MD5 helper for the deterministic media fixtures:
+    * `hex32(s)` is the unsigned 32-bit value of the digest's first four
+    * bytes over s's UTF-8 bytes — bit-identical to the Catalyst
+    * formulation `conv(substring(md5(s), 1, 8), 16, 10).cast("long")`
+    * (the hex string's first 8 chars ARE the first 4 digest bytes). One
+    * MessageDigest per deserialized instance — i.e. one per task, so no
+    * cross-thread sharing; digest() resets it between calls.
+    */
+  final class Md5Hex32 extends Serializable {
+    @transient private lazy val md =
+      java.security.MessageDigest.getInstance("MD5")
+    def hex32(s: String): Long = {
+      val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+    }
+  }
+
+  /** Generate a fixture's md5-derived `array<int>` sample column in one
+    * JVM pass: sample w of row id is `gen(h, id, w)`. Replaces the
+    * `transform(sequence(0, n-1), w -> conv(substring(md5(...), 1, 8), 16,
+    * 10) % mod)` column formulation: `transform` is a HigherOrderFunction →
+    * CodegenFallback → the whole synth evaluates INTERPRETED, ~n allocating
+    * expression evaluations per row — the dominant synth cost for the
+    * media fixtures at sf0.1 and the source of the q_image_near_dup
+    * C2-recompilation bimodality (r16). `gen` must be a pure function of
+    * (id, w) through [[Md5Hex32.hex32]] so values stay bit-identical to
+    * the expression form — Md5SamplesSpec pins the shared derive shapes
+    * and the oracle re-checks every query end to end. `idCol` must be
+    * non-null (it is every fixture's primary key).
+    * Output columns: (idCol long, samplesCol array<int>).
+    */
+  def md5Samples(df: DataFrame, idCol: String, n: Int,
+                 gen: (Md5Hex32, Long, Int) => Int,
+                 samplesCol: String = "samples"): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField(samplesCol, ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val rows = df.select(col(idCol).cast("long")).rdd.mapPartitions { it =>
+      val h = new Md5Hex32
+      it.map { r =>
+        val id = r.getLong(0)
+        val arr = new Array[Int](n)
+        var w = 0
+        while (w < n) { arr(w) = gen(h, id, w); w += 1 }
+        Row(id, arr.toSeq)
+      }
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** Synthesize a mono 16-bit PCM WAV blob per row from an
     * `array<int>` sample column ([[WavCodec.encodePcm]]) — the audio
     * counterpart of [[synthPixelPng]]: caller-controlled samples make the
