@@ -50,21 +50,30 @@ object BpeTrain {
     */
   private val CheckpointEvery = 8
 
-  /** Vocab-row bound under which the merge recurrence runs on the driver.
-    * The merge loop is inherently sequential (each argmax depends on the
-    * previous rewrite), so running it distributed costs 1-2 Spark jobs PER
-    * MERGE regardless of data size — pure scheduling overhead once the
-    * vocab is small. The corpus-sized pass (word counting) is always
+  /** SYMBOL-count bound under which the merge recurrence runs on the
+    * driver. The merge loop is inherently sequential (each argmax depends
+    * on the previous rewrite), so running it distributed costs 1-2 Spark
+    * jobs PER MERGE regardless of data size — pure scheduling overhead once
+    * the vocab is small. The corpus-sized pass (word counting) is always
     * distributed; what is collected is the DISTINCT freq-pruned word table,
     * which Heaps' law keeps sub-linear in corpus size and which every
-    * production tokenizer trainer holds in one process. 1M rows ≈ tens of
-    * MB — far under driver budgets; beyond the gate the loop stays fully
+    * production tokenizer trainer holds in one process.
+    *
+    * The gate counts SYMBOLS, not rows, because the collected footprint is
+    * per-symbol: each symbol is one small JVM String (~24 B header + ~24 B
+    * byte[] for a 1-char string) plus a Seq slot — roughly 60-70 B each —
+    * so 4M symbols ≈ 250-280 MB of driver heap and a serialized collect in
+    * the tens of MB, comfortably under the default 1 GiB
+    * spark.driver.maxResultSize. (A row-count gate at 1M rows admitted ~9M
+    * strings at typical word lengths — several hundred MB, not the "tens of
+    * MB" its comment claimed.) Beyond the gate the loop stays fully
     * distributed (a web-scale vocab that genuinely does not fit still
     * trains). Both paths share [[bestPairLocal]]/[[applyMergeLocal]]
-    * semantics bit-for-bit: same freq-desc/(left,right)-asc argmax, same
-    * left-to-right non-overlapping rewrite (BpeTrainSpec differential).
+    * semantics bit-for-bit: same freq-desc/(left,right)-asc argmax in UTF-8
+    * binary order, same left-to-right non-overlapping rewrite (BpeTrainSpec
+    * differential).
     */
-  private[ext] val LocalTrainMaxVocab = 1000000L
+  private[ext] val LocalTrainMaxSymbols = 4000000L
 
   def train(docs: DataFrame, textCol: String, nMerges: Int,
             minFreq: Long = 1L): Seq[Merge] = {
@@ -81,9 +90,15 @@ object BpeTrain {
       .map { case (w, f) => VocabRow(w.map(_.toString) :+ EndOfWord, f) }
       .localCheckpoint(eager = true)
     // cheap job over the already-materialized checkpoint blocks (the Hits
-    // partitioned-copy gate pattern): decide where the merge loop runs
+    // partitioned-copy gate pattern): decide where the merge loop runs.
+    // sum(size(symbols)) is the collected-footprint proxy the gate bounds
+    // (see LocalTrainMaxSymbols); one aggregate job, same cost as count().
+    val nSymbols = base.toDF()
+      .agg(sum(size(col("symbols"))).cast("long")).collect()
+      .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
+      .getOrElse(0L)
     val result =
-      if (base.count() <= LocalTrainMaxVocab)
+      if (nSymbols <= LocalTrainMaxSymbols)
         trainLocal(base.collect(), nMerges)
       else trainDistributed(base, nMerges)
     base.unpersist()
@@ -142,8 +157,32 @@ object BpeTrain {
     merges.toSeq
   }
 
+  /** Spark compares strings as UTF-8 bytes, unsigned (UTF8String.compareTo);
+    * Java String ordering compares UTF-16 code units, and the two disagree
+    * when a supplementary character (UTF-16 surrogates 0xD800-0xDFFF, UTF-8
+    * lead byte 0xF0-0xF4) ties against a BMP character in U+E000-U+FFFF
+    * (UTF-16 units above the surrogate block, UTF-8 lead 0xEE-0xEF). The
+    * local path must break freq ties exactly like the distributed orderBy,
+    * so it compares the same bytes Spark does — including Java's unpaired-
+    * surrogate-to-'?' mangling, which String.getBytes(UTF_8) applies on the
+    * distributed side too (UTF8String.fromString).
+    */
+  private def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    x.length - y.length
+  }
+
   /** Local twin of [[bestPair]]: highest total freq, ties broken by
-    * (left, right) ascending — the exact orderBy of the distributed form.
+    * (left, right) ascending in Spark's UTF-8 binary string order — the
+    * exact orderBy of the distributed form (see [[utf8Cmp]]).
     */
   private[ext] def bestPairLocal(
       vocab: Array[(Array[String], Long)]): Option[(String, String, Long)] = {
@@ -158,8 +197,15 @@ object BpeTrain {
     }
     if (counts.isEmpty) None
     else {
-      val ((l, r), f) = counts.minBy { case ((l, r), f) => (-f, l, r) }
-      Some((l, r, f))
+      var bl: String = null; var br: String = null; var bf = 0L
+      counts.foreach { case ((l, r), f) =>
+        val better = bl == null || f > bf || (f == bf && {
+          val cl = utf8Cmp(l, bl)
+          cl < 0 || (cl == 0 && utf8Cmp(r, br) < 0)
+        })
+        if (better) { bl = l; br = r; bf = f }
+      }
+      Some((bl, br, bf))
     }
   }
 

@@ -94,7 +94,9 @@ object VOptimal {
     // dp level 1: one bucket over 0..i (split k = −1)
     val NoK = Int.MinValue
     var dpCost = Array.tabulate(c)(i => seg(i, -1))
-    var dpK = Array.fill(c)(-1)
+    // level-1 split choice only (the backtrack reads levelK/levelDef; later
+    // levels' choices live in levelK, so no running dpK is kept)
+    val dpK = Array.fill(c)(-1)
     var dpDef = Array.fill(c)(true)
     // per level, the (i → k) split choice for the backtrack
     val levelK = Array.ofDim[Int](buckets + 1, c)
@@ -127,7 +129,7 @@ object VOptimal {
         }
         i += 1
       }
-      dpCost = nc; dpK = nk; dpDef = nd
+      dpCost = nc; dpDef = nd
       levelK(j) = nk.clone(); levelDef(j) = nd.clone()
     }
 

@@ -150,7 +150,7 @@ class BpeTrainSpec extends SparkTestBase {
 
   test("local/distributed merge-loop differential: both paths reproduce " +
       "the frozen merge table (the r16 driver-gate twin check)") {
-    // train() takes the local path here (vocab << LocalTrainMaxVocab);
+    // train() takes the local path here (vocab << LocalTrainMaxSymbols);
     // drive the distributed loop directly on the same pruned vocab and
     // require the exact same merge sequence, freqs and tie-breaks.
     val docs = sampleDocs.toDF("doc_id", "text", "lang")
@@ -167,6 +167,31 @@ class BpeTrainSpec extends SparkTestBase {
     base.unpersist()
     assert(dist == frozenMerges,
       s"distributed path drifted:\n${dist.mkString("\n")}")
+  }
+
+  test("bestPairLocal breaks freq ties in UTF-8 binary order, matching the " +
+      "distributed orderBy (supplementary vs U+F900 tie)") {
+    // U+F900 is one UTF-16 unit (0xF900) but three UTF-8 bytes (EF A4 80);
+    // U+1F600 is a surrogate pair (first unit 0xD83D < 0xF900) but four
+    // UTF-8 bytes (F0 9F 98 80). Java String ordering would pick the emoji
+    // on a freq tie; Spark's UTF8String binary ordering picks U+F900. The
+    // local path must match the distributed orderBy.
+    val bmp = "\uF900"
+    val supp = new String(Character.toChars(0x1F600))
+    val rows = Array(
+      (Array(bmp, "x"), 5L),
+      (Array(supp, "x"), 5L))
+    val local = BpeTrain.bestPairLocal(rows)
+    assert(local.contains((bmp, "x", 5L)),
+      s"UTF-8 order puts U+F900 before U+1F600: $local")
+    val ds = Seq(
+      BpeTrain.VocabRow(Seq(bmp, "x"), 5L),
+      BpeTrain.VocabRow(Seq(supp, "x"), 5L)).toDS()
+      .localCheckpoint(eager = true)
+    val dist = BpeTrain.trainDistributed(ds, nMerges = 1)
+    ds.unpersist()
+    assert(dist.map(m => (m.left, m.right, m.pair_freq)) ==
+      Seq((bmp, "x", 5L)), s"distributed tie-break drifted: $dist")
   }
 
   test("100-doc differential: distributed encode matches the reference " +
