@@ -137,10 +137,21 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .withColumn("n_sh", count(lit(1)).over(Window.partitionBy(col(idCol))))
       .filter(col("pos") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
-      .select(col(idCol), col("shingle"), col("pos"), col("n_sh"))
-    val a = prefix.select(col(idCol).as("id_a"), col("shingle"),
+      // the candidate self-join needs only token EQUALITY, not the token:
+      // join on the 8-byte xxhash64 instead of the k-gram string (r17, the
+      // r15 substring hashed-key move). LOSSLESS by construction, not just
+      // to 2^-64: equal shingles always hash equal, so every true candidate
+      // still joins; a collision can only ADD a candidate pair (and can
+      // only LOWER min(pa)/min(pb), which weakens the positional filter —
+      // admitting, never dropping), and verifyJaccard re-checks every
+      // candidate on the full string shingle sets. Shuffle/broadcast rows
+      // narrow from (id, k-gram string, pos, n_sh) to (id, int64, pos,
+      // n_sh) — the quadratic term's key drops from ~25 B to 8 B.
+      .select(col(idCol), xxhash64(col("shingle")).as("hsh"), col("pos"),
+        col("n_sh"))
+    val a = prefix.select(col(idCol).as("id_a"), col("hsh"),
       col("pos").as("pa"), col("n_sh").as("na"))
-    val b = prefix.select(col(idCol).as("id_b"), col("shingle"),
+    val b = prefix.select(col(idCol).as("id_b"), col("hsh"),
       col("pos").as("pb"), col("n_sh").as("nb"))
     // Positional filter (Xiao et al. PPJoin §3.2 / Vernica et al. VLDB'10):
     // prefix positions follow the global token order, so the pair's FIRST
@@ -151,7 +162,7 @@ object Dedup {
     // inequality (exact for dyadic t; the 1e-9 slack only ever ADMITS extra
     // candidates, so the exact verify keeps the output lossless regardless).
     // Without it the verify join ran on 1600× more candidates than survivors.
-    val candidates = a.join(b, Seq("shingle")).filter(col("id_a") < col("id_b"))
+    val candidates = a.join(b, Seq("hsh")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(min(col("pa")).as("pa1"), min(col("pb")).as("pb1"),
         first(col("na")).as("na"), first(col("nb")).as("nb"))

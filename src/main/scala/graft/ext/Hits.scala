@@ -55,27 +55,45 @@ object Hits {
     val useCopies = e.count() >= PartitionedCopyMinEdges
     val eSrc = if (useCopies) e.repartition(col("src")).localCheckpoint() else e
     val eDst = if (useCopies) e.repartition(col("dst")).localCheckpoint() else e
+    // Below the copy gate, hint the NODE-SIZED score table broadcast into
+    // each gather join: the scores read back from localCheckpoint blocks
+    // whose LogicalRDD carries the original edge-join-sized estimate, so
+    // the planner sort-merged and re-shuffled the EDGE table by src/dst
+    // every gather (the r17 Mis JobProbe finding; here ~4 × |E| records
+    // per run at sf0.1). Scores are ≤ distinct src/dst ≤ |E| < 5M rows
+    // under the gate; above it the partitioned copies make the score
+    // shuffle the designed cheap path, so no hint is forced there.
+    val bcast: DataFrame => DataFrame = if (useCopies) identity else broadcast
     def l1Normalize(scores: DataFrame, valCol: String): DataFrame = {
       val total = scores.agg(
         sum(col(valCol).cast("decimal(18,9)")).cast("double").as("__s"))
       scores.crossJoin(broadcast(total))
         .select(col("node"), (col(valCol) / col("__s")).as(valCol))
     }
-    var h = e.select(col("src").as("node")).distinct()
-      .withColumn("h", lit(1.0))
+    var h: DataFrame = null
     var a: DataFrame = null
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // each edge-sized gather is materialized once: the normalization total
       // and the score rows (and the next gather, and the final union) all
-      // read the node-sized checkpoint instead of re-running the join
-      a = l1Normalize(
-        eSrc.join(h.withColumnRenamed("node", "src"), "src")
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("h").cast("decimal(18,9)")).cast("double").as("a"))
-          .localCheckpoint(),
-        "a")
+      // read the node-sized checkpoint instead of re-running the join.
+      // Iteration 1 folds h0 ≡ 1 away (r17): h0 holds 1.0 for EXACTLY the
+      // distinct non-null srcs of e, so the gather's sum of decimal 1.0s
+      // per dst is its non-null-src in-degree — count(*) — exactly
+      // (decimal sum of N ones = N.000000000, double(N) exact below 2^53).
+      // That drops iteration 1's distinct exchange + broadcast join over
+      // the edge table; iterations 2+ are unchanged.
+      val rawA =
+        if (i == 1)
+          eSrc.filter(col("src").isNotNull)
+            .groupBy(col("dst").as("node"))
+            .agg(count(lit(1)).cast("double").as("a"))
+        else
+          eSrc.join(bcast(h.withColumnRenamed("node", "src")), "src")
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("h").cast("decimal(18,9)")).cast("double").as("a"))
+      a = l1Normalize(rawA.localCheckpoint(), "a")
       h = l1Normalize(
-        eDst.join(a.withColumnRenamed("node", "dst"), "dst")
+        eDst.join(bcast(a.withColumnRenamed("node", "dst")), "dst")
           .groupBy(col("src").as("node"))
           .agg(sum(col("a").cast("decimal(18,9)")).cast("double").as("h"))
           .localCheckpoint(),

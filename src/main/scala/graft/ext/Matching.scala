@@ -48,6 +48,14 @@ object Matching {
       .filter(col("a") < col("b")).distinct()
       .withColumn("p", prio)
       .localCheckpoint()
+    // Gated broadcast hints on the decision-side joins (the Mis/Coloring
+    // r17 pattern — checkpoint-fed sides carry edge-join-sized estimates,
+    // so the planner re-shuffles the full surviving edge table per round).
+    // Matching's decision tables are EDGE rows (dropped can approach
+    // |E_alive|), so the gate is the materialized edge count itself: one
+    // cheap count job, hints on only when every possible build side is
+    // bounded; above the gate the joins stay shuffled as before.
+    val bcast = BroadcastGate.hint(e0.count() * 2)
     var alive = e0
     var decidedAll: DataFrame = e0.limit(0)
       .select(col("a"), col("b"), lit("x").as("status"), lit(0).as("round"))
@@ -56,9 +64,9 @@ object Matching {
           col("p"))
         .groupBy(col("v")).agg(min(col("p")).as("mp"))
       val tagged = alive
-        .join(nodeMin.select(col("v").as("va"), col("mp").as("ma")),
+        .join(bcast(nodeMin.select(col("v").as("va"), col("mp").as("ma"))),
           col("a") === col("va"))
-        .join(nodeMin.select(col("v").as("vb"), col("mp").as("mb")),
+        .join(bcast(nodeMin.select(col("v").as("vb"), col("mp").as("mb"))),
           col("b") === col("vb"))
         .select(col("a"), col("b"), col("p"),
           (col("p") === col("ma") && col("p") === col("mb")).as("win"))
@@ -67,11 +75,11 @@ object Matching {
         .select(explode(array(col("a"), col("b"))).as("v"))
       // dropped: an endpoint is matched but the edge itself is not
       val dropped = tagged.filter(!col("win"))
-        .join(matchedNodes.select(col("v").as("da")), col("a") === col("da"),
-          "leftsemi")
+        .join(bcast(matchedNodes.select(col("v").as("da"))),
+          col("a") === col("da"), "leftsemi")
         .select(col("a"), col("b"))
         .unionByName(tagged.filter(!col("win"))
-          .join(matchedNodes.select(col("v").as("db")),
+          .join(bcast(matchedNodes.select(col("v").as("db"))),
             col("b") === col("db"), "leftsemi")
           .select(col("a"), col("b")))
         .distinct()
@@ -82,13 +90,14 @@ object Matching {
         .localCheckpoint()
       decidedAll = decidedAll.unionByName(dec)
       if (r < rounds) {
-        alive = alive.join(dec.select(col("a").as("xa"), col("b").as("xb")),
+        alive = alive.join(
+            bcast(dec.select(col("a").as("xa"), col("b").as("xb"))),
             col("a") === col("xa") && col("b") === col("xb"), "leftanti")
           .localCheckpoint()
       }
     }
     val undecided = e0
-      .join(decidedAll.select(col("a").as("xa"), col("b").as("xb")),
+      .join(bcast(decidedAll.select(col("a").as("xa"), col("b").as("xb"))),
         col("a") === col("xa") && col("b") === col("xb"), "leftanti")
       .select(col("a"), col("b"), lit("unmatched").as("status"),
         lit(0).as("round"))

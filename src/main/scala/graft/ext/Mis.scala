@@ -60,12 +60,15 @@ object Mis {
       .localCheckpoint()
     val nodes = e0.select(col("u").as("node")).distinct()
       .select(col("node"), prio(col("node")).as("pn")).localCheckpoint()
+    // one cheap job over the materialized checkpoint blocks decides the
+    // broadcast gate for every decision-side join below
+    val bcast = BroadcastGate.hint(nodes.count())
     var eAct = e0
     var decidedAll: DataFrame = nodes.limit(0)
       .select(col("node"), lit("x").as("status"), lit(0).as("round"))
     for (r <- 1 to rounds) {
-      val active = nodes.join(decidedAll.select(col("node")), Seq("node"),
-        "leftanti")
+      val active = nodes.join(bcast(decidedAll.select(col("node"))),
+        Seq("node"), "leftanti")
       val nbMin = eAct.groupBy(col("u")).agg(min(col("pv")).as("minp"))
       // eAct holds only active-active edges, so a node with no surviving
       // edge (minp null) has no active neighbor and enters the MIS.
@@ -73,8 +76,8 @@ object Mis {
         .filter(col("minp").isNull || col("pn") < col("minp"))
         .select(col("node"))
       val dominated = eAct
-        .join(mis.select(col("node").as("mnode")), col("u") === col("mnode"),
-          "leftsemi")
+        .join(bcast(mis.select(col("node").as("mnode"))),
+          col("u") === col("mnode"), "leftsemi")
         .select(col("v").as("node")).distinct()
       // mis is evaluated twice inside this one job (directly + via
       // dominated) — one extra aggregate, cheaper than a third checkpoint.
@@ -97,15 +100,16 @@ object Mis {
       if (r < rounds) {
         val dn = dec.select(col("node"))
         eAct = eAct
-          .join(dn.select(col("node").as("du")), col("u") === col("du"),
-            "leftanti")
-          .join(dn.select(col("node").as("dv")), col("v") === col("dv"),
-            "leftanti")
+          .join(bcast(dn.select(col("node").as("du"))),
+            col("u") === col("du"), "leftanti")
+          .join(bcast(dn.select(col("node").as("dv"))),
+            col("v") === col("dv"), "leftanti")
           .localCheckpoint()
       }
     }
     decidedAll.unionByName(
-      nodes.join(decidedAll.select(col("node")), Seq("node"), "leftanti")
+      nodes.join(bcast(decidedAll.select(col("node"))), Seq("node"),
+          "leftanti")
         .select(col("node"), lit("undecided").as("status"),
           lit(0).as("round")))
   }

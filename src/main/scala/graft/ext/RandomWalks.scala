@@ -34,9 +34,17 @@ object RandomWalks {
   def walks(edges: DataFrame, srcCol: String, dstCol: String,
             starts: DataFrame, startCol: String, steps: Int): DataFrame = {
     require(steps >= 1 && steps <= 16, s"steps must be 1..16, got $steps")
+    // ONE src exchange builds the index (r17): hash-partitioning by src
+    // satisfies both the distinct's (src, dst) clustering and the window's
+    // src partitioning (HashPartitioning on a subset of the required keys),
+    // so the former distinct-then-window chain of TWO full-edge exchanges
+    // collapses to this single repartition. The distinct's partial
+    // aggregate bought nothing here anyway — symmetrized edges are already
+    // unique per direction (r17 JobProbe: 1.198M of 1.2M records crossed).
     val adj = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+      .repartition(col("src"))
       .distinct()
       .withColumn("pos",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst")))
@@ -44,6 +52,17 @@ object RandomWalks {
       .localCheckpoint()
     val deg = adj.groupBy(col("src").as("dsrc"))
       .agg(count(lit(1)).cast("long").as("deg"))
+    // Gated broadcast of the adjacency/degree sides (r17, BroadcastGate
+    // rationale): the checkpoint's LogicalRDD hides adj's real size, so
+    // each step's left joins ran as sort-merge — the src-partitioned
+    // layout spared the EXCHANGE, but every step still re-SORTED the full
+    // adjacency (steps × |E| log |E|). Under the gate, ONE broadcast hash
+    // relation is built and reused by all `steps` joins (identical
+    // broadcast subtrees dedupe via ReuseExchange) and the walker state
+    // streams through unbuffered. Above it the partitioned-layout
+    // sort-merge path stays — the correct plan for adjacencies that don't
+    // fit an executor.
+    val bcast = BroadcastGate.hint(adj.count())
 
     var state = starts
       .select(col(startCol).cast("long").as("walker"))
@@ -56,10 +75,10 @@ object RandomWalks {
           col("cur").cast("string"))), 1, 8), 16, 10).cast("long"),
         col("deg"))
       state = state
-        .join(deg, col("cur") === col("dsrc"), "left")
+        .join(bcast(deg), col("cur") === col("dsrc"), "left")
         .withColumn("pick", pick)
-        .join(adj, col("cur") === col("src") && col("pick") === col("pos"),
-          "left")
+        .join(bcast(adj),
+          col("cur") === col("src") && col("pick") === col("pos"), "left")
         .select(col("walker"), coalesce(col("dst"), col("cur")).as("cur"),
           when(col("dst").isNotNull,
             concat(col("path"), array(col("dst"))))

@@ -34,7 +34,7 @@ object TemporalGraph {
                       dayCol: String, seeds: DataFrame, nodeCol: String,
                       arrCol: String, hops: Int): DataFrame = {
     require(hops >= 1 && hops <= 8, s"hops must be 1..8, got $hops")
-    val e = edges.select(col(srcCol).cast("long").as("u"),
+    val e0 = edges.select(col(srcCol).cast("long").as("u"),
         col(dstCol).cast("long").as("v"),
         col(dayCol).cast("long").as("d"))
       .distinct()
@@ -43,12 +43,27 @@ object TemporalGraph {
         col(arrCol).cast("long").as("arr"))
       .groupBy(col("node")).agg(min(col("arr")).as("arr"))
       .localCheckpoint()
+    // The hop join's state side reads back from localCheckpoint blocks,
+    // whose LogicalRDD carries the original (edge-sized) estimate — the
+    // planner sort-merged and re-shuffled the FULL edge table by u EVERY
+    // hop (r17 JobProbe: 3 × 1.2M-record exchanges at sf0.1). State rows
+    // are bounded by |V(e)| + |seeds| ≤ 2·|E| + |seeds| — two cheap count
+    // jobs over already-materialized blocks bound the whole run (the Hits
+    // gate pattern). Under the gate, hint the state broadcast: zero
+    // exchanges per hop on either join side. Over it (graphs where the
+    // state legitimately cannot broadcast), checkpoint the edge table
+    // hash-partitioned by u ONCE so every hop's sort-merge reuses the
+    // edge layout and shuffles only the node-sized state — one up-front
+    // edge exchange instead of `hops` of them.
+    val small = e0.count() * 2 + state.count() <= BroadcastGate.MaxRows
+    val e = if (small) e0 else e0.repartition(col("u")).localCheckpoint()
+    val bcast: DataFrame => DataFrame = if (small) broadcast else identity
     for (_ <- 1 to hops) {
       // raw (v, d) arrivals feed the state merge directly: the merge's own
       // groupBy(node).min partial-aggregates map-side, so a per-hop
       // pre-aggregate of the join output was a redundant second exchange
       // (min over the same multiset — identical result, one shuffle per hop)
-      val reached = state.join(e, col("node") === col("u") &&
+      val reached = bcast(state).join(e, col("node") === col("u") &&
           col("d") >= col("arr"))
         .select(col("v").as("node"), col("d").as("arr"))
       state = state.unionByName(reached)
