@@ -830,6 +830,10 @@ object Multimodal {
       StructField(mediaCol, BinaryType, nullable = false))
     val pIdx = df.schema.fieldIndex(pixelsCol)
     val rows = df.rdd.mapPartitions { it =>
+      // memory-backed ImageOutputStreams — otherwise every PNG encode
+      // spools through a temp FILE (see the ImageIoCodec note); idempotent,
+      // set here because this closure can run before ImageIoCodec loads
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { r =>
         val pix = r.getSeq[Int](pIdx)
         require(pix.length == w * h,
@@ -898,6 +902,15 @@ trait MediaCodec extends Serializable {
   * semantics with format "unknown" so a mixed-media scan never throws.
   */
 object ImageIoCodec extends MediaCodec {
+  // ImageIO's default Image{Input,Output}Stream cache is DISK-backed: every
+  // ImageIO.read / createImageInputStream call first spools the source to a
+  // temp FILE (FileCacheImageInputStream) before parsing — for thousands of
+  // already-in-memory blobs per query that is thousands of temp-file
+  // create/write/delete cycles per run, and their filesystem jitter is a
+  // measured source of run-to-run bimodality (r17). Everything here decodes
+  // from byte arrays, so cache in memory. JVM-global, values unaffected.
+  javax.imageio.ImageIO.setUseCache(false)
+
   override def decode(bytes: Array[Byte]): MediaMeta = {
     val in = new java.io.ByteArrayInputStream(bytes)
     val iis = javax.imageio.ImageIO.createImageInputStream(in)
